@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship query at sf0.001;
+``queries()`` returns one callable per implemented operator from
+SURVEY.md §2 (each (spark, sf_dir) -> DataFrame); ``oracle_sql()``
+returns the equivalent DuckDB ANSI SQL per query.
+
+All float-valued output columns are rounded to a fixed precision ON
+BOTH SIDES (Spark and oracle) — Spark's parallel partial aggregation
+and DuckDB's sequential one legitimately differ in final ulps; the
+rounding is part of the declared query, not a fudge.
 """
 
 from __future__ import annotations
@@ -12,27 +16,479 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+import pd_utils_spark as pus
+
+_ROUND = 6
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS) which the vectorized
+        # reader rejects; read as long and integer-divide to micros
+        # (double division would lose precision on ns epochs > 2^53)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _round_doubles(df: DataFrame, n: int = _ROUND) -> DataFrame:
+    out = df
+    for name, dtype in df.dtypes:
+        if dtype in ("double", "float"):
+            out = out.withColumn(name, F.round(F.col(name).cast("double"), n))
+    return out
+
+
+# ---------------------------------------------------------------- queries
+
+def q_averages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    out = pus.averages(
+        li, "l_extendedprice", byvars="l_returnflag", wtvar="l_quantity", count="l_extendedprice"
+    )
+    return _round_doubles(out)
+
+
+def q_groupby_merge_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+    return _round_doubles(pus.groupby_merge(li, "l_orderkey", "max", subset="l_quantity"))
+
+
+def q_groupby_merge_std(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_extendedprice")
+    return _round_doubles(
+        pus.groupby_merge(li, "l_orderkey", "std", subset="l_extendedprice")
+    )
+
+
+def q_groupby_transform_demean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
+    out = pus.groupby_merge(
+        li, "l_returnflag", "transform", (lambda s: s - s.mean()), subset="l_quantity"
+    )
+    return _round_doubles(out)
+
+
+def q_groupby_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    return pus.groupby_index(o, "o_custkey", sortvars=["o_orderdate", "o_orderkey"])
+
+
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
+    )
+    return _round_doubles(
+        pus.winsorize(li, 0.05, subset="l_extendedprice", byvars="l_returnflag")
+    )
+
+
+def q_portfolio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+    return _round_doubles(
+        pus.portfolio(o, "o_totalprice", ngroups=5, byvars="o_orderpriority")
+    )
+
+
+def q_portfolio_averages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+    avgs = pus.portfolio_averages(
+        o, "o_totalprice", "o_totalprice", ngroups=5, byvars="o_orderpriority", avgonly=True
+    )
+    return _round_doubles(avgs)
+
+
+def q_long_short_portfolio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+    avgs = pus.portfolio_averages(
+        o, "o_totalprice", "o_totalprice", ngroups=5, byvars="o_orderpriority", avgonly=True
+    )
+    ls = pus.long_short_portfolio(avgs, "portfolio", byvars="o_orderpriority", retvars="o_totalprice")
+    return _round_doubles(ls)
+
+
+def q_left_merge_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "event_id", "value")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("click_value")
+    )
+    out = pus.left_merge_latest(views, clicks, on="user_id", left_datevar="ts", right_datevar="ts")
+    return _round_doubles(out)
+
+
+def _li_unique_lines(spark: SparkSession, sf_dir: str, valcol: str, agg) -> DataFrame:
+    """(l_orderkey, l_linenumber) is NOT unique in the synthetic data;
+    pre-aggregate to one row per pair so order-within-group is
+    deterministic for positional operators."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey", "l_linenumber").agg(agg(valcol).alias(valcol))
+
+
+def q_cumulate_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _li_unique_lines(spark, sf_dir, "l_discount", F.max)
+    out = pus.cumulate(
+        li, "l_discount", "between", periodvar="l_linenumber", byvars="l_orderkey",
+        time=[1, 3], grossify=True,
+    )
+    return _round_doubles(out)
+
+
+def q_var_change_by_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    out = pus.var_change_by_groups(
+        o, "o_totalprice", "o_custkey", datevar="o_orderkey"
+    )
+    return _round_doubles(out)
+
+
+def q_long_to_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _li_unique_lines(spark, sf_dir, "l_quantity", F.max)
+    return _round_doubles(
+        pus.long_to_wide(li, "l_orderkey", "l_quantity", colindex="l_linenumber")
+    )
+
+
+def q_expand_months(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    return pus.expand_months(o, datevar="o_orderdate", newdatevar="daily_date", trade_days=False)
+
+
+def q_expand_months_tradedays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    return pus.expand_months(o, datevar="o_orderdate", newdatevar="daily_date", trade_days=True)
+
+
+def q_expand_time_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    return pus.expand_time(
+        o, datevar="o_orderdate", freq="m", time=[1, 2, 3], newdate="shift_date", shiftvar="shift_n"
+    )
+
+
+def q_fill_excluded_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    counts = p.groupBy("p_brand", "p_size").agg(F.count("*").cast("double").alias("cnt"))
+    return pus.fill_excluded_rows(counts, ["p_brand", "p_size"], "cnt", value=0)
+
+
+def q_add_missing_group_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    sales = (
+        li.withColumn("month", F.trunc("l_shipdate", "MM"))
+        .groupBy("l_suppkey", "month")
+        .agg(F.round(F.sum("l_extendedprice"), _ROUND).alias("rev"))
+    )
+    out = pus.add_missing_group_rows(sales, ["l_suppkey"], ["month"], fill_method="ffill")
+    return out
+
+
+def q_fillna_by_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_linenumber") == 1, None).otherwise(F.col("l_quantity")).alias("v"),
+    )
+    out = pus.fillna_by_groups(li, "l_orderkey", num_vars="mean", ordervar="l_linenumber")
+    # ordervar column is filled too (it has no nulls; pandas reference
+    # behaves the same) — keep output deterministic
+    return _round_doubles(out)
+
+
+def q_reg_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice")
+    out = pus.reg_by(li, "l_extendedprice", "l_quantity", "l_partkey", cons=True)
+    return _round_doubles(out, 4)
+
+
+def q_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    out = pus.sql(
+        [li],
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 6) AS sum_qty,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+               count(*) AS n
+        FROM li_view
+        GROUP BY l_returnflag, l_linestatus
+        """,
+    )
+    return out
+
+
+def q_select_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_tax", "l_discount"
+    )
+    out = pus.select_rows_by_condition_on_columns(
+        li, ["l_tax", "l_discount"], condition=">= 0.05", logic="or"
+    )
+    return _round_doubles(out)
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_averages(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "averages": q_averages,
+        "groupby_merge_max": q_groupby_merge_max,
+        "groupby_merge_std": q_groupby_merge_std,
+        "groupby_transform_demean": q_groupby_transform_demean,
+        "groupby_index": q_groupby_index,
+        "winsorize": q_winsorize,
+        "portfolio": q_portfolio,
+        "portfolio_averages": q_portfolio_averages,
+        "long_short_portfolio": q_long_short_portfolio,
+        "left_merge_latest": q_left_merge_latest,
+        "cumulate_between": q_cumulate_between,
+        "var_change_by_groups": q_var_change_by_groups,
+        "long_to_wide": q_long_to_wide,
+        "expand_months": q_expand_months,
+        "expand_months_tradedays": q_expand_months_tradedays,
+        "expand_time_monthly": q_expand_time_monthly,
+        "fill_excluded_rows": q_fill_excluded_rows,
+        "add_missing_group_rows": q_add_missing_group_rows,
+        "fillna_by_groups": q_fillna_by_groups,
+        "reg_by": q_reg_by,
+        "sql_interface": q_sql_interface,
+        "select_rows": q_select_rows,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+def _holiday_sql_list() -> str:
+    """US trading holiday literals for the oracle's trading-day filter,
+    covering the synthetic data's date range generously."""
+    from pd_utils_spark.functions.datetime_utils import us_trading_holidays
+
+    days = us_trading_holidays("1990-01-01", "2035-12-31")
+    return ", ".join(f"DATE '{d.isoformat()}'" for d in days)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    r = _ROUND
+    port_case = " ".join(
+        f"WHEN o_totalprice >= c{i} AND o_totalprice <= c{i+1} THEN {i+1}" for i in range(5)
+    )
+    port_cuts = ", ".join(
+        f"quantile_cont(o_totalprice, {i/5}) AS c{i}" for i in range(6)
+    )
+    return {
+        "averages": f"""
+            SELECT l_returnflag,
+                   round(avg(l_extendedprice), {r}) AS l_extendedprice,
+                   round(cast(count(l_extendedprice) AS double), {r}) AS l_extendedprice_count,
+                   round(sum(l_extendedprice * l_quantity) / sum(l_quantity), {r}) AS l_extendedprice_wavg,
+                   round(cast(count(l_extendedprice) AS double), {r}) AS l_extendedprice_count_wavg
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "groupby_merge_max": f"""
+            SELECT l_orderkey, l_linenumber, round(l_quantity, {r}) AS l_quantity,
+                   round(max(l_quantity) OVER (PARTITION BY l_orderkey), {r}) AS l_quantity_max
+            FROM lineitem
+        """,
+        "groupby_merge_std": f"""
+            SELECT l_orderkey, l_linenumber, round(l_extendedprice, {r}) AS l_extendedprice,
+                   round(stddev_samp(l_extendedprice) OVER (PARTITION BY l_orderkey), {r}) AS l_extendedprice_std
+            FROM lineitem
+        """,
+        "groupby_transform_demean": f"""
+            SELECT l_orderkey, l_linenumber, l_returnflag, round(l_quantity, {r}) AS l_quantity,
+                   round(l_quantity - avg(l_quantity) OVER (PARTITION BY l_returnflag), {r}) AS l_quantity_transform
+            FROM lineitem
+        """,
+        "groupby_index": """
+            SELECT o_orderkey, o_custkey, o_orderdate,
+                   row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) - 1 AS group_index
+            FROM orders
+        """,
+        "winsorize": f"""
+            WITH hi AS (
+                SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
+                       quantile_cont(l_extendedprice, 0.95) OVER (PARTITION BY l_returnflag) AS h
+                FROM lineitem
+            ), tc AS (
+                SELECT *, CASE WHEN l_extendedprice > h THEN h ELSE l_extendedprice END AS tcv FROM hi
+            ), lo AS (
+                SELECT *, quantile_cont(tcv, 0.05) OVER (PARTITION BY l_returnflag) AS l FROM tc
+            )
+            SELECT l_orderkey, l_linenumber, l_returnflag,
+                   round(CASE WHEN tcv < l THEN l ELSE tcv END, {r}) AS l_extendedprice
+            FROM lo
+        """,
+        "portfolio": f"""
+            WITH cuts AS (
+                SELECT o_orderpriority, {port_cuts}
+                FROM orders GROUP BY o_orderpriority
+            )
+            SELECT o.o_orderkey, o.o_orderpriority, round(o.o_totalprice, {r}) AS o_totalprice,
+                   CAST(CASE {port_case} ELSE 0 END AS bigint) AS portfolio
+            FROM orders o JOIN cuts USING (o_orderpriority)
+        """,
+        "portfolio_averages": f"""
+            WITH cuts AS (
+                SELECT o_orderpriority, {port_cuts}
+                FROM orders GROUP BY o_orderpriority
+            ), ports AS (
+                SELECT o.o_orderpriority, o.o_totalprice,
+                       CAST(CASE {port_case} ELSE 0 END AS bigint) AS portfolio
+                FROM orders o JOIN cuts USING (o_orderpriority)
+            )
+            SELECT portfolio, o_orderpriority, round(avg(o_totalprice), {r}) AS o_totalprice
+            FROM ports GROUP BY portfolio, o_orderpriority
+        """,
+        "long_short_portfolio": f"""
+            WITH cuts AS (
+                SELECT o_orderpriority, {port_cuts}
+                FROM orders GROUP BY o_orderpriority
+            ), ports AS (
+                SELECT o.o_orderpriority, o.o_totalprice,
+                       CAST(CASE {port_case} ELSE 0 END AS bigint) AS portfolio
+                FROM orders o JOIN cuts USING (o_orderpriority)
+            ), avgs AS (
+                SELECT portfolio, o_orderpriority, avg(o_totalprice) AS o_totalprice
+                FROM ports GROUP BY portfolio, o_orderpriority
+            )
+            SELECT t.o_orderpriority, round(t.o_totalprice - b.o_totalprice, {r}) AS o_totalprice
+            FROM (SELECT * FROM avgs WHERE portfolio = 5) t
+            JOIN (SELECT * FROM avgs WHERE portfolio = 1) b USING (o_orderpriority)
+        """,
+        "left_merge_latest": f"""
+            WITH views AS (
+                SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'view'
+            ), clicks AS (
+                SELECT user_id, ts, value AS click_value FROM events WHERE event_type = 'click'
+            )
+            SELECT a.user_id, a.ts, a.event_id, round(a.value, {r}) AS value,
+                   b.ts AS ts_y, round(b.click_value, {r}) AS click_value
+            FROM views a
+            LEFT JOIN clicks b
+              ON a.user_id = b.user_id AND b.ts <= a.ts
+             AND b.ts = (SELECT max(b2.ts) FROM clicks b2
+                         WHERE b2.user_id = a.user_id AND b2.ts <= a.ts)
+        """,
+        "cumulate_between": f"""
+            WITH uniq AS (
+                SELECT l_orderkey, l_linenumber, max(l_discount) AS l_discount
+                FROM lineitem GROUP BY 1, 2
+            ), pos AS (
+                SELECT l_orderkey, l_linenumber, l_discount,
+                       row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) - 1 AS p
+                FROM uniq
+            ), b AS (
+                SELECT *, CASE WHEN p = 0 THEN 0 WHEN p <= 2 THEN 1 ELSE 2 END AS w FROM pos
+            )
+            SELECT l_orderkey, l_linenumber, round(l_discount, {r}) AS l_discount,
+                   round(exp(sum(ln(1 + l_discount)) OVER (
+                       PARTITION BY l_orderkey, w ORDER BY l_linenumber
+                       ROWS UNBOUNDED PRECEDING)) - 1, {r}) AS cum_l_discount
+            FROM b
+        """,
+        "var_change_by_groups": f"""
+            SELECT o_custkey, o_orderkey, round(o_totalprice, {r}) AS o_totalprice,
+                   round(o_totalprice - lag(o_totalprice) OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderkey), {r}) AS o_totalprice_change
+            FROM orders
+        """,
+        "long_to_wide": f"""
+            WITH uniq AS (
+                SELECT l_orderkey, l_linenumber, max(l_quantity) AS l_quantity
+                FROM lineitem GROUP BY 1, 2
+            )
+            SELECT l_orderkey,
+                   {", ".join(f'round(max(CASE WHEN l_linenumber = {i} THEN l_quantity END), {r}) AS "l_quantity{i}"' for i in range(1, 8))}
+            FROM uniq GROUP BY l_orderkey
+        """,
+        "expand_months": """
+            SELECT o_orderkey, o_orderdate,
+                   unnest(generate_series(cast(date_trunc('month', o_orderdate) AS timestamp),
+                                          cast(last_day(o_orderdate) AS timestamp),
+                                          INTERVAL 1 DAY)) AS daily_date
+            FROM orders
+        """,
+        "expand_months_tradedays": f"""
+            WITH days AS (
+                SELECT o_orderkey, o_orderdate,
+                       unnest(generate_series(cast(date_trunc('month', o_orderdate) AS timestamp),
+                                              cast(last_day(o_orderdate) AS timestamp),
+                                              INTERVAL 1 DAY)) AS daily_date
+                FROM orders
+            )
+            SELECT * FROM days
+            WHERE isodow(daily_date) NOT IN (6, 7)
+              AND cast(daily_date AS date) NOT IN ({_holiday_sql_list()})
+        """,
+        "expand_time_monthly": """
+            SELECT o_orderkey, o_orderdate, s.shift_n,
+                   o_orderdate + s.shift_n * INTERVAL 1 MONTH AS shift_date
+            FROM orders CROSS JOIN (VALUES (1), (2), (3)) s(shift_n)
+        """,
+        "fill_excluded_rows": """
+            WITH counts AS (
+                SELECT p_brand, p_size, cast(count(*) AS double) AS cnt
+                FROM part GROUP BY p_brand, p_size
+            ), dims AS (
+                SELECT b.p_brand, s.p_size
+                FROM (SELECT DISTINCT p_brand FROM part) b
+                CROSS JOIN (SELECT DISTINCT p_size FROM part) s
+            )
+            SELECT d.p_brand, d.p_size, coalesce(c.cnt, 0.0) AS cnt
+            FROM dims d LEFT JOIN counts c USING (p_brand, p_size)
+        """,
+        "add_missing_group_rows": f"""
+            WITH sales AS (
+                SELECT l_suppkey, cast(date_trunc('month', l_shipdate) AS date) AS month,
+                       round(sum(l_extendedprice), {r}) AS rev
+                FROM lineitem GROUP BY 1, 2
+            ), dims AS (
+                SELECT s.l_suppkey, m.month
+                FROM (SELECT DISTINCT l_suppkey FROM sales) s
+                CROSS JOIN (SELECT DISTINCT month FROM sales) m
+            ), merged AS (
+                SELECT d.l_suppkey, d.month, sa.rev
+                FROM dims d LEFT JOIN sales sa USING (l_suppkey, month)
+            )
+            SELECT l_suppkey, month,
+                   last_value(rev IGNORE NULLS) OVER (
+                       PARTITION BY l_suppkey ORDER BY month
+                       ROWS UNBOUNDED PRECEDING) AS rev
+            FROM merged
+        """,
+        "fillna_by_groups": f"""
+            WITH base AS (
+                SELECT l_orderkey, l_linenumber,
+                       CASE WHEN l_linenumber = 1 THEN NULL ELSE l_quantity END AS v
+                FROM lineitem
+            )
+            SELECT l_orderkey, cast(l_linenumber AS double) AS l_linenumber,
+                   round(coalesce(v, avg(v) OVER (PARTITION BY l_orderkey)), {r}) AS v
+            FROM base
+        """,
+        "reg_by": """
+            SELECT round(regr_intercept(l_extendedprice, l_quantity), 4) AS const,
+                   round(regr_slope(l_extendedprice, l_quantity), 4) AS coef_l_quantity,
+                   cast(l_partkey AS varchar) AS l_partkey
+            FROM lineitem GROUP BY l_partkey
+        """,
+        "sql_interface": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 6) AS sum_qty,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+                   count(*) AS n
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "select_rows": f"""
+            SELECT l_orderkey, l_linenumber, round(l_tax, {r}) AS l_tax,
+                   round(l_discount, {r}) AS l_discount
+            FROM lineitem WHERE l_tax >= 0.05 OR l_discount >= 0.05
+        """,
+    }

@@ -1,0 +1,254 @@
+"""Group-aggregate-broadcast, group row index, and as-of join operators.
+
+Spark-native re-expression of the reference's merge module
+(reference: pd_utils/merge.py). Every operator is a lazy DataFrame ->
+DataFrame transformation; Catalyst plans the shuffles.
+
+Scale notes (100 TB posture):
+- ``groupby_merge`` uses window aggregates (one shuffle on ``byvars``,
+  no join) instead of the reference's groupby+merge (two shuffles).
+- ``left_merge_latest`` keeps the equi keys inside the join condition so
+  the planner picks broadcast/sort-merge on the keys; the date predicate
+  is a post-join filter, never a cartesian nested loop.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Union
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from pd_utils_spark.utils import to_list
+
+# pandas DataFrameGroupBy method name -> Spark aggregate.
+# 'std'/'var' are sample (ddof=1) in pandas => stddev_samp/var_samp.
+_AGG_FUNCS: dict[str, Callable[[str], Column]] = {
+    "min": F.min,
+    "max": F.max,
+    "sum": F.sum,
+    "count": F.count,
+    "mean": F.avg,
+    "avg": F.avg,
+    "median": F.median,
+    "std": F.stddev_samp,
+    "var": F.var_samp,
+    "first": lambda c: F.first(c, ignorenulls=True),
+    "last": lambda c: F.last(c, ignorenulls=True),
+    "nunique": lambda c: F.size(F.collect_set(c)),
+    "prod": F.product,
+    "product": F.product,
+}
+
+
+def groupby_merge(
+    df: DataFrame,
+    byvars: Union[str, list[str]],
+    func_str: str,
+    *func_args,
+    subset: Union[str, list[str]] = "all",
+    replace: bool = False,
+    ordervar: Optional[str] = None,
+) -> DataFrame:
+    """Group by ``byvars``, apply ``func_str`` on ``subset`` columns, and
+    broadcast the per-group result back onto every input row as
+    ``<col>_<func_str>`` columns (reference: pd_utils/merge.py:14-110).
+
+    Aggregate path (``func_str`` in min/max/sum/count/std/mean/...):
+    expressed as a window aggregate over ``Window.partitionBy(byvars)`` —
+    a single shuffle, no join. Rows whose group key contains a null get a
+    null aggregate (the reference's pandas groupby drops NaN keys, so the
+    merge back yields NaN for those rows — pd_utils/merge.py:97-105 and
+    the reference test of null byvars).
+
+    Transform path (``func_str='transform'``, ``func_args[0]`` a callable
+    ``pd.Series -> sequence``): runs per group via ``applyInPandas``
+    (Arrow-batched). Null group keys DO participate as their own group
+    (the reference fills ``__tempnan__`` to achieve the same —
+    pd_utils/merge.py:57-59). Rows with a null in any subset column are
+    excluded from the callable's input and get a null result
+    (pd_utils/merge.py:61-68). The callable receives each group's rows
+    ordered by ``ordervar`` when given (Spark DataFrames are unordered;
+    pass it for order-sensitive callables).
+
+    :param replace: True to overwrite the original columns with the
+        aggregated/transformed values.
+    """
+    byvars = to_list(byvars)
+    if subset == "all":
+        subset = [c for c in df.columns if c not in byvars]
+    subset = to_list(subset)
+
+    if func_str == "transform":
+        out = _groupby_transform(df, byvars, subset, func_args[0], ordervar=ordervar)
+    else:
+        agg = _AGG_FUNCS[func_str]
+        w = Window.partitionBy(*byvars)
+        null_key = None
+        for b in byvars:
+            cond = F.col(b).isNull()
+            null_key = cond if null_key is None else (null_key | cond)
+        out = df
+        for c in subset:
+            expr = agg(c).over(w)
+            if null_key is not None:
+                expr = F.when(null_key, F.lit(None)).otherwise(expr)
+            out = out.withColumn(f"{c}_{func_str}", expr)
+
+    if replace:
+        suffix = "_" + func_str
+        new_cols = [c for c in out.columns if c.endswith(suffix)]
+        orig = [c[: -len(suffix)] for c in new_cols]
+        keep = [c for c in out.columns if c not in orig and c not in new_cols]
+        # preserve original column positions with replaced values
+        sel = []
+        for c in df.columns:
+            if c in orig:
+                sel.append(F.col(c + suffix).alias(c))
+            elif c in keep:
+                sel.append(F.col(c))
+        out = out.select(*sel)
+    return out
+
+
+def _groupby_transform(
+    df: DataFrame,
+    byvars: list[str],
+    subset: list[str],
+    fn: Callable,
+    ordervar: Optional[str] = None,
+) -> DataFrame:
+    """applyInPandas backend for groupby_merge's transform path."""
+    out_cols = [f"{c}_transform" for c in subset]
+    schema_parts = df.schema.simpleString()[7:-1]  # strip struct<...>
+    out_schema = ",".join(
+        [f"`{f.name}`:{f.dataType.simpleString()}" for f in df.schema.fields]
+        + [f"`{c}`:double" for c in out_cols]
+    )
+    out_schema = "struct<" + out_schema + ">"
+    _ = schema_parts  # schema built from fields above
+
+    order_col = ordervar
+
+    def apply_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        if order_col is not None:
+            pdf = pdf.sort_values(order_col, kind="stable")
+        mask = pdf[subset].notna().all(axis=1)
+        for c, oc in zip(subset, out_cols):
+            res = pd.Series([float("nan")] * len(pdf), index=pdf.index, dtype="float64")
+            if mask.any():
+                vals = pd.Series(list(fn(pdf.loc[mask, c])), index=pdf.index[mask])
+                res.loc[mask] = vals.astype("float64")
+            pdf[oc] = res
+        return pdf
+
+    return df.groupBy(*byvars).applyInPandas(apply_group, schema=out_schema)
+
+
+def groupby_index(
+    df: DataFrame,
+    byvars: Union[str, list[str]],
+    sortvars: Optional[Union[str, list[str]]] = None,
+    ascending: bool = True,
+) -> DataFrame:
+    """Append a 0-based per-group row index column ``group_index``
+    (reference: pd_utils/merge.py:122-154).
+
+    Spark form: ``row_number() - 1`` over
+    ``Window.partitionBy(byvars).orderBy(sortvars)``. The reference sorts
+    by ``byvars + sortvars`` and enumerates; the window equivalent needs
+    an explicit in-group order, so when ``sortvars`` is empty the group
+    members are numbered in an arbitrary (but valid) order.
+    """
+    byvars = to_list(byvars)
+    sortvars = to_list(sortvars)
+    order = [F.col(c).asc() if ascending else F.col(c).desc() for c in sortvars]
+    if not order:
+        order = [F.lit(1)]
+    w = Window.partitionBy(*byvars).orderBy(*order)
+    return df.withColumn("group_index", (F.row_number().over(w) - 1).cast("long"))
+
+
+def apply_func_to_unique_and_merge(
+    df: DataFrame, col: str, func, output_type: str = "string", output_col: Optional[str] = None
+) -> DataFrame:
+    """Apply an expensive scalar function once per distinct value of
+    ``col`` and join the result back (reference: pd_utils/merge.py:157-191).
+
+    Catalyst does not rewrite expensive Python UDFs into
+    distinct-then-rejoin, so we keep the reference's optimization as an
+    explicit utility: ``select(col).distinct()`` -> pandas UDF ->
+    broadcast join back. For cheap expressions just use the expression
+    directly — per-row codegen beats the join.
+    """
+    output_col = output_col or f"{col}_applied"
+
+    @F.pandas_udf(output_type)
+    def _udf(s: pd.Series) -> pd.Series:
+        return s.map(func)
+
+    uniq = df.select(col).distinct().withColumn(output_col, _udf(F.col(col)))
+    return df.join(F.broadcast(uniq), on=col, how="left")
+
+
+def left_merge_latest(
+    df: DataFrame,
+    df2: DataFrame,
+    on: Union[str, list[str]],
+    left_datevar: str = "Date",
+    right_datevar: str = "Date",
+    max_offset=None,
+    backend: str = "spark",
+    low_memory: bool = False,
+) -> DataFrame:
+    """As-of (backward) left join: for each left row attach the right
+    row(s) with the greatest ``right_datevar <= left_datevar`` within the
+    equi-key ``on`` (reference: pd_utils/merge.py:194-289, the
+    ``_left_merge_latest_pandas`` backend is the semantics oracle).
+
+    ``max_offset`` bounds the lookback: a number for numeric date
+    columns, a ``datetime.timedelta`` (or Spark INTERVAL string) for
+    timestamps (pd_utils/merge.py:268-269).
+
+    When both date columns share a name the right one is exposed as
+    ``<name>_y`` in the output, matching the reference's suffix behavior.
+    If several right rows tie at the max date, all of them are kept
+    (duplicating left rows), exactly like the reference's merge-back.
+
+    Plan shape: distinct left (keys, date) -> equi join on keys (Catalyst
+    picks broadcast vs sort-merge) -> theta filter -> per-(keys, date)
+    max -> join back for payload -> left join onto the input. The equi
+    keys always stay in the join condition; the date predicate never
+    degrades the join to a nested loop. All-null keys never match and the
+    left row is kept with null payload.
+
+    ``backend``/``low_memory`` are accepted for API parity and ignored —
+    Spark spills, and there is only one engine.
+    """
+    on = to_list(on)
+
+    rename = left_datevar == right_datevar
+    if rename:
+        df2 = df2.withColumnRenamed(right_datevar, right_datevar + "_y")
+        right_datevar = right_datevar + "_y"
+
+    payload_cols = [c for c in df2.columns if c not in on]
+
+    lefts = df.select(*on, left_datevar).distinct()
+    many = lefts.join(df2, on=on, how="inner")
+    lt = many.filter(F.col(left_datevar) >= F.col(right_datevar))
+    if max_offset is not None:
+        if isinstance(max_offset, (int, float)):
+            lo = F.col(left_datevar) - F.lit(max_offset)
+        else:
+            # datetime.timedelta or INTERVAL-like
+            lo = F.col(left_datevar) - F.lit(max_offset)
+        lt = lt.filter(F.col(right_datevar) >= lo)
+
+    maxes = lt.groupBy(*on, left_datevar).agg(F.max(right_datevar).alias(right_datevar))
+    data_rows = maxes.join(lt, on=on + [left_datevar, right_datevar], how="left")
+    # restore reference column order: on, left date, right date, payload
+    ordered = on + [left_datevar, right_datevar] + [c for c in payload_cols if c != right_datevar]
+    data_rows = data_rows.select(*ordered)
+    return df.join(data_rows, on=on + [left_datevar], how="left")

@@ -1,0 +1,314 @@
+"""Reshape and within-group transformation operators.
+
+Spark-native re-expression of the reference's transform module
+(reference: pd_utils/transform.py). All lazy DataFrame transformations.
+"""
+
+from __future__ import annotations
+
+import warnings
+from typing import Optional, Union
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pd_utils_spark.utils import numeric_cols, quote, to_list
+
+
+def averages(
+    df: DataFrame,
+    avgvars: Union[str, list[str]],
+    byvars: Union[str, list[str]],
+    wtvar: Optional[str] = None,
+    count: Union[str, bool] = False,
+    flatten: bool = True,
+) -> DataFrame:
+    """Equal- and value-weighted within-group means
+    (reference: pd_utils/transform.py:110-164).
+
+    Output: one row per group with ``byvars``, the equal-weighted means
+    (same column names), optionally ``<count>_count`` (non-missing count
+    of that column, as double — the reference takes a group mean of a
+    broadcast count), and ``<var>_wavg`` value-weighted means.
+
+    Value-weighted semantics replicate the reference exactly
+    (pd_utils/transform.py:150-157): the denominator is the group total
+    of ``wtvar`` over ALL rows — rows where the avgvar is null still
+    contribute weight — so ``wavg = sum(w*x) / sum(w)``.
+
+    Rows with a null group key are dropped (pandas groupby drops NaN
+    keys). ``flatten`` is accepted for API parity (Spark output is always
+    flat).
+
+    Plan: a single ``groupBy(byvars).agg(...)`` — map-side partial
+    aggregation + one shuffle on the group keys; scales linearly.
+    """
+    avgvars = to_list(avgvars)
+    byvars = to_list(byvars)
+
+    base = df
+    for b in byvars:
+        base = base.filter(F.col(b).isNotNull())
+
+    aggs = [F.avg(v).alias(v) for v in avgvars]
+    if count and isinstance(count, str):
+        aggs.append(F.count(count).cast("double").alias(f"{count}_count"))
+    if wtvar is not None:
+        for v in avgvars:
+            aggs.append(
+                (F.sum(F.col(v) * F.col(wtvar)) / F.sum(wtvar)).alias(f"{v}_wavg")
+            )
+        if count and isinstance(count, str):
+            # the reference value-weights the broadcast count column too;
+            # the count is constant within the group, so its weighted
+            # average is just the count itself
+            aggs.append(F.count(count).cast("double").alias(f"{count}_count_wavg"))
+    return base.groupBy(*byvars).agg(*aggs)
+
+
+def winsorize(
+    df: DataFrame,
+    pct: Union[float, tuple],
+    subset: Optional[Union[str, list[str]]] = None,
+    byvars: Optional[Union[str, list[str]]] = None,
+    bot: bool = True,
+    top: bool = True,
+) -> DataFrame:
+    """Clip values at (group) quantiles (reference:
+    pd_utils/transform.py:167-232).
+
+    ``pct`` float -> clip below the ``pct`` and above the ``1-pct``
+    quantile; tuple ``(a, b)`` -> below ``a`` and above ``1-b``. Exact
+    ``percentile`` (linear interpolation, same as pandas
+    ``Series.quantile``) — NOT ``percentile_approx``, which would break
+    oracle equality. Nulls stay null.
+
+    Clipping is sequential like the reference kernel
+    (pd_utils/transform.py:221-232): the top quantile is computed on the
+    raw values and applied, then the bottom quantile is computed on the
+    top-clipped values. Both quantiles share one window partitioning, so
+    it is still a single shuffle.
+
+    Per-group (``byvars``): one window aggregate per clipped column —
+    single shuffle on byvars; the exact percentile buffers each
+    partition, acceptable when groups fit in an executor (at extreme
+    scale switch to ``percentile_approx``). Global: a tiny one-row
+    aggregate broadcast-cross-joined back — no driver round trip.
+    """
+    assert bot or top
+    if isinstance(pct, float):
+        bot_pct, top_pct = pct, 1 - pct
+    else:
+        bot_pct, top_pct = pct[0], 1 - pct[1]
+
+    byvars_l = to_list(byvars)
+    if subset is None:
+        cols = numeric_cols(df, exclude=byvars_l)
+    else:
+        cols = to_list(subset)
+
+    if byvars_l:
+        w = Window.partitionBy(*byvars_l)
+        out = df
+        for c in cols:
+            cc = F.col(c).cast("double")
+            if top:
+                hi = F.expr(f"percentile({quote(c)}, {top_pct})").over(w)
+                out = out.withColumn("__hi_" + c, hi)
+                cc = F.when(F.col(c).cast("double") > F.col("__hi_" + c), F.col("__hi_" + c)).otherwise(
+                    F.col(c).cast("double")
+                )
+                out = out.withColumn("__tc_" + c, cc)
+                cc = F.col("__tc_" + c)
+            if bot:
+                src = ("__tc_" + c) if top else c
+                lo = F.expr(f"percentile(cast({quote(src)} as double), {bot_pct})").over(w)
+                out = out.withColumn("__lo_" + c, lo)
+                cc = F.when(cc < F.col("__lo_" + c), F.col("__lo_" + c)).otherwise(cc)
+            out = out.withColumn("__w_" + c, cc)
+        out = out.select(*[("__w_" + c) if c in cols else c for c in df.columns])
+        for c in cols:
+            out = out.withColumnRenamed("__w_" + c, c)
+        return out
+    # global: tiny aggregate rows broadcast-cross-joined back — no
+    # driver round trip, no single giant window partition
+    out = df
+    if top:
+        hi_row = df.agg(
+            *[F.expr(f"percentile({quote(c)}, {top_pct})").alias("__hi_" + c) for c in cols]
+        )
+        out = out.crossJoin(F.broadcast(hi_row))
+        for c in cols:
+            cc = F.col(c).cast("double")
+            out = out.withColumn(
+                "__tc_" + c, F.when(cc > F.col("__hi_" + c), F.col("__hi_" + c)).otherwise(cc)
+            )
+        src = {c: "__tc_" + c for c in cols}
+    else:
+        src = {c: c for c in cols}
+    if bot:
+        lo_row = out.agg(
+            *[
+                F.expr(f"percentile(cast({quote(src[c])} as double), {bot_pct})").alias("__lo_" + c)
+                for c in cols
+            ]
+        )
+        out = out.crossJoin(F.broadcast(lo_row))
+        for c in cols:
+            cc = F.col(src[c]).cast("double")
+            out = out.withColumn(
+                "__w_" + c, F.when(cc < F.col("__lo_" + c), F.col("__lo_" + c)).otherwise(cc)
+            )
+    else:
+        for c in cols:
+            out = out.withColumn("__w_" + c, F.col(src[c]).cast("double"))
+    out = out.select(*[("__w_" + c) if c in cols else c for c in df.columns])
+    for c in cols:
+        out = out.withColumnRenamed("__w_" + c, c)
+    return out
+
+
+def var_change_by_groups(
+    df: DataFrame,
+    var: Union[str, list[str]],
+    byvars: Union[str, list[str]],
+    datevar: str = "Date",
+    numlags: int = 1,
+) -> DataFrame:
+    """Per-group lag difference ``x - lag(x, numlags)`` joined back on
+    (datevar, byvars) as ``<var>_change``
+    (reference: pd_utils/transform.py:260-292).
+
+    The reference relies on pre-sorted input ("sort before calling");
+    Spark DataFrames are unordered, so the in-group order is an explicit
+    ``orderBy(datevar)`` — the only sensible order for a lag over time.
+
+    Plan: dedup the (var, byvars, datevar) projection, one window lag
+    (shuffle on byvars), then an equi join back on (datevar, byvars).
+    """
+    var_l, byvars_l, datevar_l = to_list(var), to_list(byvars), to_list(datevar)
+
+    short = df.select(*(var_l + byvars_l + datevar_l))
+    for b in byvars_l:
+        short = short.filter(F.col(b).isNotNull())
+    short = short.dropDuplicates()
+
+    w = Window.partitionBy(*byvars_l).orderBy(*[F.col(d) for d in datevar_l])
+    for v in var_l:
+        short = short.withColumn(f"{v}_change", F.col(v) - F.lag(v, numlags).over(w))
+    short = short.drop(*var_l)
+    out = df.join(short, on=datevar_l + byvars_l, how="left")
+    return out.select(*df.columns, *[f"{v}_change" for v in var_l])
+
+
+def long_to_wide(
+    df: DataFrame,
+    groupvars: Union[str, list[str]],
+    values: Union[str, list[str]],
+    colindex: Optional[Union[str, list[str]]] = None,
+    colindex_only: bool = False,
+    ordervar: Optional[str] = None,
+) -> DataFrame:
+    """Long -> wide pivot (reference: pd_utils/transform.py:11-107).
+
+    One output row per ``groupvars`` combination; one output column per
+    distinct ``colindex`` value and ``values`` entry, named
+    ``<value><colindex>`` (or the bare colindex when ``colindex_only``).
+    Multi-column ``colindex`` values are concatenated with ``_`` (with a
+    leading ``_``, matching the reference). When ``colindex`` is None the
+    within-group ordinal is used — order given by ``ordervar`` (the
+    reference uses physical row order; Spark needs it explicit).
+
+    Exact duplicate rows are dropped first with a warning, like the
+    reference. Implemented as ``groupBy(groupvars).pivot(colindex)
+    .agg(first(value))`` — Spark's native pivot; the pivot column set is
+    computed in one pass and the agg is a single shuffle.
+    """
+    groupvars = to_list(groupvars)
+    values = to_list(values)
+    if colindex_only and len(values) > 1:
+        raise NotImplementedError("set colindex_only to False when passing more than one value")
+
+    df = df.dropDuplicates()
+
+    other = [c for c in df.columns if c not in values]
+    idx_col = "__idx__"
+    if colindex is None:
+        order = [F.col(ordervar)] if ordervar else [F.lit(1)]
+        w = Window.partitionBy(*groupvars).orderBy(*order)
+        df = df.withColumn(idx_col, (F.row_number().over(w) - 1).cast("string"))
+        drop_idx = []
+    elif isinstance(colindex, list):
+        df = df.withColumn(
+            idx_col, F.concat(*[F.concat(F.lit("_"), F.col(c).cast("string")) for c in colindex])
+        )
+        drop_idx = colindex
+    else:
+        df = df.withColumn(idx_col, F.col(colindex).cast("string"))
+        drop_idx = [colindex]
+
+    # columns carried through (everything but values and the colindex cols)
+    carry = [c for c in other if c not in drop_idx and c != idx_col]
+
+    pivot_vals = [r[0] for r in df.select(idx_col).distinct().collect()]
+    pivot_vals = sorted(v for v in pivot_vals if v is not None)
+
+    wides = []
+    for value in values:
+        wide = df.groupBy(*groupvars).pivot(idx_col, pivot_vals).agg(F.first(value, ignorenulls=True))
+        if not colindex_only:
+            renames = {v: f"{value}{v}" for v in pivot_vals}
+        else:
+            renames = {v: str(v).strip("_") for v in pivot_vals}
+        for old, new in renames.items():
+            wide = wide.withColumnRenamed(old, new)
+        wides.append(wide)
+
+    base = df.select(*[c for c in df.columns if c in carry or c in groupvars]).drop(idx_col)
+    combined = base
+    for wide in wides:
+        combined = combined.join(wide, on=groupvars, how="left")
+    return combined.dropDuplicates()
+
+
+_STATES_TO_ABBREV = {
+    "Alabama": "AL", "Montana": "MT", "Alaska": "AK", "Nebraska": "NE",
+    "Arizona": "AZ", "Nevada": "NV", "Arkansas": "AR", "New Hampshire": "NH",
+    "California": "CA", "New Jersey": "NJ", "Colorado": "CO", "New Mexico": "NM",
+    "Connecticut": "CT", "New York": "NY", "Delaware": "DE", "North Carolina": "NC",
+    "Florida": "FL", "North Dakota": "ND", "Georgia": "GA", "Ohio": "OH",
+    "Hawaii": "HI", "Oklahoma": "OK", "Idaho": "ID", "Oregon": "OR",
+    "Illinois": "IL", "Pennsylvania": "PA", "Indiana": "IN", "Rhode Island": "RI",
+    "Iowa": "IA", "South Carolina": "SC", "Kansas": "KS", "South Dakota": "SD",
+    "Kentucky": "KY", "Tennessee": "TN", "Louisiana": "LA", "Texas": "TX",
+    "Maine": "ME", "Utah": "UT", "Maryland": "MD", "Vermont": "VT",
+    "Massachusetts": "MA", "Virginia": "VA", "Michigan": "MI", "Washington": "WA",
+    "Minnesota": "MN", "West Virginia": "WV", "Mississippi": "MS", "Wisconsin": "WI",
+    "Missouri": "MO", "Wyoming": "WY",
+}
+
+
+def state_abbrev(df: DataFrame, col: str, toabbrev: bool = False) -> DataFrame:
+    """US state name <-> abbreviation map on a column; unmatched values
+    pass through (reference: pd_utils/transform.py:295-364).
+
+    Implemented as a literal ``create_map`` lookup + ``coalesce`` —
+    stays inside whole-stage codegen; no join, no UDF.
+    """
+    mapping = _STATES_TO_ABBREV if toabbrev else {v: k for k, v in _STATES_TO_ABBREV.items()}
+    pairs = []
+    for k, v in mapping.items():
+        pairs += [F.lit(k), F.lit(v)]
+    m = F.create_map(*pairs)
+    return df.withColumn(col, F.coalesce(m[F.col(col)], F.col(col)))
+
+
+def join_col_strings(df: DataFrame, cols: Union[str, list[str]], out_col: str = "joined") -> DataFrame:
+    """Concatenate stringified columns with ``_`` into ``out_col``
+    (reference: pd_utils/transform.py:372-388; returns a Series there —
+    here a new column, the Spark-native shape). Null values stringify as
+    ``'nan'`` to match ``str(np.nan)``.
+    """
+    cols = to_list(cols)
+    parts = [F.coalesce(F.col(c).cast("string"), F.lit("nan")) for c in cols]
+    return df.withColumn(out_col, F.concat_ws("_", *parts))

@@ -1,0 +1,667 @@
+"""Golden-output parity tests ported from the reference test suite
+(reference: tests/test_pandas.py). Expected frames are the reference's
+inline literals; comparisons are order-insensitive and dtype-tolerant
+(SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pandas import Timestamp
+
+import pd_utils_spark as pus
+from tests import fixtures as fx
+from tests.helpers import assert_df_equal
+
+nan = np.nan
+
+
+class TestCumulate:
+    expect_between_1_3 = pd.DataFrame(
+        [
+            (10516, "a", "1/1/2000", 1.01, 1.01),
+            (10516, "a", "1/2/2000", 1.02, 1.02),
+            (10516, "a", "1/3/2000", 1.03, 1.0506),
+            (10516, "a", "1/4/2000", 1.04, 1.04),
+            (10516, "b", "1/1/2000", 1.05, 1.05),
+            (10516, "b", "1/2/2000", 1.06, 1.06),
+            (10516, "b", "1/3/2000", 1.07, 1.1342),
+            (10516, "b", "1/4/2000", 1.08, 1.08),
+            (10517, "a", "1/1/2000", 1.09, 1.09),
+            (10517, "a", "1/2/2000", 1.1, 1.1),
+            (10517, "a", "1/3/2000", 1.11, 1.2210000000000003),
+            (10517, "a", "1/4/2000", 1.12, 1.12),
+        ],
+        columns=["PERMNO", "byvar", "Date", "RET", "cum_RET"],
+    )
+
+    expect_first = pd.DataFrame(
+        [
+            (10516, "a", "1/1/2000", 1.01, 1.01),
+            (10516, "a", "1/2/2000", 1.02, 1.02),
+            (10516, "a", "1/3/2000", 1.03, 1.0506),
+            (10516, "a", "1/4/2000", 1.04, 1.092624),
+            (10516, "b", "1/1/2000", 1.05, 1.05),
+            (10516, "b", "1/2/2000", 1.06, 1.06),
+            (10516, "b", "1/3/2000", 1.07, 1.1342),
+            (10516, "b", "1/4/2000", 1.08, 1.224936),
+            (10517, "a", "1/1/2000", 1.09, 1.09),
+            (10517, "a", "1/2/2000", 1.10, 1.10),
+            (10517, "a", "1/3/2000", 1.11, 1.221),
+            (10517, "a", "1/4/2000", 1.12, 1.36752),
+        ],
+        columns=["PERMNO", "byvar", "Date", "RET", "cum_RET"],
+    )
+
+    def test_method_between_1_3(self, spark):
+        out = pus.cumulate(
+            fx.df(spark), "RET", "between", periodvar="Date", byvars=["PERMNO", "byvar"], time=[1, 3]
+        )
+        assert_df_equal(out, self.expect_between_1_3)
+
+    def test_method_between_m2_0(self, spark):
+        out = pus.cumulate(
+            fx.df(spark), "RET", "between", periodvar="Date", byvars=["PERMNO", "byvar"], time=[-2, 0]
+        )
+        assert_df_equal(out, self.expect_between_1_3)
+
+    def test_method_first(self, spark):
+        out = pus.cumulate(
+            fx.df(spark), "RET", "first", periodvar="Date", byvars=["PERMNO", "byvar"]
+        )
+        assert_df_equal(out, self.expect_first)
+
+    def test_grossify(self, spark):
+        from pyspark.sql import functions as F
+
+        indf = fx.df(spark).withColumn("RET", F.col("RET") - 1)
+        expect = self.expect_first.copy()
+        expect["cum_RET"] -= 1
+        expect["RET"] -= 1
+        out = pus.cumulate(
+            indf, "RET", "first", periodvar="Date", byvars=["PERMNO", "byvar"], grossify=True
+        )
+        assert_df_equal(out, expect)
+
+    def test_method_zero_not_implemented(self, spark):
+        with pytest.raises(NotImplementedError):
+            pus.cumulate(fx.df(spark), "RET", "zero", periodvar="Date")
+
+
+class TestGroupbyMerge:
+    def test_subset_max(self, spark):
+        out = pus.groupby_merge(fx.df(spark), ["PERMNO", "byvar"], "max", subset="RET")
+        expect = pd.DataFrame(fx.ROWS, columns=fx.COLS)
+        expect["RET_max"] = [1.04] * 4 + [1.08] * 4 + [1.12] * 4
+        assert_df_equal(out, expect)
+
+    def test_subset_std(self, spark):
+        out = pus.groupby_merge(fx.df(spark), ["PERMNO", "byvar"], "std", subset="RET")
+        expect = pd.DataFrame(fx.ROWS, columns=fx.COLS)
+        expect["RET_std"] = [0.012909944487358068] * 12
+        assert_df_equal(out, expect)
+
+    def test_nan_byvar_transform(self, spark):
+        out = pus.groupby_merge(fx.df_nan_byvar(spark), "byvar", "transform", (lambda x: x))
+        expect = pd.DataFrame(
+            [("a", 1, 1.0), (None, 2, 2.0), ("b", 3, 3.0), ("b", 4, 4.0)],
+            columns=["byvar", "val", "val_transform"],
+        )
+        assert_df_equal(out, expect, sort_cols=["val"])
+
+    def test_nan_byvar_and_nan_val_transform(self, spark):
+        out = pus.groupby_merge(
+            fx.df_nan_byvar_and_val(spark), "byvar", "transform", (lambda x: x + 1)
+        )
+        expect = pd.DataFrame(
+            [("a", 1.0, 2.0), (None, 2.0, 3.0), ("b", nan, nan), ("b", 4.0, 5.0)],
+            columns=["byvar", "val", "val_transform"],
+        )
+        assert_df_equal(out, expect, sort_cols=["val"])
+
+    def test_nan_byvar_sum(self, spark):
+        out = pus.groupby_merge(fx.df_nan_byvar(spark), "byvar", "sum")
+        expect = pd.DataFrame(
+            [("a", 1, 1.0), (None, 2, nan), ("b", 3, 7.0), ("b", 4, 7.0)],
+            columns=["byvar", "val", "val_sum"],
+        )
+        assert_df_equal(out, expect, sort_cols=["val"])
+
+
+class TestGroupbyIndex:
+    def test_groupby_index(self, spark):
+        out = pus.groupby_index(fx.df(spark), ["PERMNO", "byvar"], sortvars="Date")
+        expect = pd.DataFrame(fx.ROWS, columns=fx.COLS)
+        expect["group_index"] = [0, 1, 2, 3] * 3
+        assert_df_equal(out, expect)
+
+
+class TestLongToWide:
+    expect_df_with_colindex = pd.DataFrame(
+        [
+            (10516, "a", 1.01, 1.02, 1.03, 1.04),
+            (10516, "b", 1.05, 1.06, 1.07, 1.08),
+            (10517, "a", 1.09, 1.1, 1.11, 1.12),
+        ],
+        columns=["PERMNO", "byvar", "RET1/1/2000", "RET1/2/2000", "RET1/3/2000", "RET1/4/2000"],
+    )
+
+    expect_df_no_colindex = pd.DataFrame(
+        [
+            (10516, "a", "1/1/2000", 1.01, 1.02, 1.03, 1.04),
+            (10516, "a", "1/2/2000", 1.01, 1.02, 1.03, 1.04),
+            (10516, "a", "1/3/2000", 1.01, 1.02, 1.03, 1.04),
+            (10516, "a", "1/4/2000", 1.01, 1.02, 1.03, 1.04),
+            (10516, "b", "1/1/2000", 1.05, 1.06, 1.07, 1.08),
+            (10516, "b", "1/2/2000", 1.05, 1.06, 1.07, 1.08),
+            (10516, "b", "1/3/2000", 1.05, 1.06, 1.07, 1.08),
+            (10516, "b", "1/4/2000", 1.05, 1.06, 1.07, 1.08),
+            (10517, "a", "1/1/2000", 1.09, 1.1, 1.11, 1.12),
+            (10517, "a", "1/2/2000", 1.09, 1.1, 1.11, 1.12),
+            (10517, "a", "1/3/2000", 1.09, 1.1, 1.11, 1.12),
+            (10517, "a", "1/4/2000", 1.09, 1.1, 1.11, 1.12),
+        ],
+        columns=["PERMNO", "byvar", "Date", "RET0", "RET1", "RET2", "RET3"],
+    )
+
+    def test_no_duplicates_with_colindex(self, spark):
+        out = pus.long_to_wide(fx.df(spark), ["PERMNO", "byvar"], "RET", colindex="Date")
+        assert_df_equal(out, self.expect_df_with_colindex)
+
+    def test_duplicates_with_colindex(self, spark):
+        out = pus.long_to_wide(
+            fx.df_duplicate_row(spark), ["PERMNO", "byvar"], "RET", colindex="Date"
+        )
+        assert_df_equal(out, self.expect_df_with_colindex)
+
+    def test_no_duplicates_no_colindex(self, spark):
+        out = pus.long_to_wide(fx.df(spark), ["PERMNO", "byvar"], "RET", ordervar="Date")
+        assert_df_equal(out, self.expect_df_no_colindex)
+
+    def test_duplicates_no_colindex(self, spark):
+        out = pus.long_to_wide(
+            fx.df_duplicate_row(spark), ["PERMNO", "byvar"], "RET", ordervar="Date"
+        )
+        assert_df_equal(out, self.expect_df_no_colindex)
+
+
+class TestPortfolio:
+    def test_portfolio_byvars(self, spark):
+        out = pus.portfolio(fx.df(spark), "RET", ngroups=2, byvars=["PERMNO", "byvar"])
+        expect = pd.DataFrame(fx.ROWS, columns=fx.COLS)
+        expect["portfolio"] = [1, 1, 2, 2] * 3
+        assert_df_equal(out, expect)
+
+    def test_portfolio_with_nan_and_byvars(self, spark):
+        from pyspark.sql import functions as F
+
+        indf = fx.df(spark).withColumn(
+            "RET", F.when((F.col("Date") == "1/1/2000") & (F.col("PERMNO") == 10516) & (F.col("byvar") == "a"), None).otherwise(F.col("RET"))
+        )
+        out = pus.portfolio(indf, "RET", ngroups=2, byvars=["PERMNO", "byvar"])
+        rows = [list(r) for r in fx.ROWS]
+        rows[0][3] = nan
+        expect = pd.DataFrame(rows, columns=fx.COLS)
+        # nan row -> 0; with updated nan handling 1.03 lands in port 1
+        expect["portfolio"] = [0, 1, 1, 2, 1, 1, 2, 2, 1, 1, 2, 2]
+        assert_df_equal(out, expect, sort_cols=["PERMNO", "byvar", "Date"])
+
+
+class TestPortfolioAverages:
+    expect_avgs_no_wt = pd.DataFrame(
+        [
+            (1, "a", 1.0250000000000001),
+            (1, "b", 1.0550000000000002),
+            (2, "a", 1.1050000000000002),
+            (2, "b", 1.0750000000000002),
+        ],
+        columns=["portfolio", "byvar", "RET"],
+    )
+    expect_avgs_wt = pd.DataFrame(
+        [
+            (1, "a", 1.0250000000000001, 1.025),
+            (1, "b", 1.0550000000000002, 1.0550000000000002),
+            (2, "a", 1.1050000000000002, 1.12),
+            (2, "b", 1.0750000000000002, 1.0750000000000002),
+        ],
+        columns=["portfolio", "byvar", "RET", "RET_wavg"],
+    )
+
+    def test_simple_averages(self, spark):
+        avgs, ports = pus.portfolio_averages(
+            fx.df_weight(spark), "RET", "RET", ngroups=2, byvars="byvar"
+        )
+        assert_df_equal(avgs, self.expect_avgs_no_wt)
+
+    def test_weighted_averages(self, spark):
+        avgs, ports = pus.portfolio_averages(
+            fx.df_weight(spark), "RET", "RET", ngroups=2, byvars="byvar", wtvar="weight"
+        )
+        assert_df_equal(avgs, self.expect_avgs_wt)
+
+    def test_portfolio_construction(self, spark):
+        _, ports = pus.portfolio_averages(
+            fx.df_weight(spark), "RET", "RET", ngroups=2, byvars="byvar"
+        )
+        weights = [0, 1, 1, 0, 1, 1, 1, 1, 0, 0, 0, 1]
+        expect = pd.DataFrame(
+            [r + (w,) for r, w in zip(fx.ROWS, weights)], columns=fx.COLS + ["weight"]
+        )
+        expect["portfolio"] = [1, 1, 1, 1, 1, 1, 2, 2, 2, 2, 2, 2]
+        assert_df_equal(ports, expect)
+
+
+class TestWinsorize:
+    def test_winsor_40_subset_byvars(self, spark):
+        out = pus.winsorize(fx.df(spark), 0.4, subset="RET", byvars=["PERMNO", "byvar"])
+        expect = pd.DataFrame(
+            [
+                (10516, "a", "1/1/2000", 1.0216),
+                (10516, "a", "1/2/2000", 1.0216),
+                (10516, "a", "1/3/2000", 1.028),
+                (10516, "a", "1/4/2000", 1.028),
+                (10516, "b", "1/1/2000", 1.0616),
+                (10516, "b", "1/2/2000", 1.0616),
+                (10516, "b", "1/3/2000", 1.068),
+                (10516, "b", "1/4/2000", 1.068),
+                (10517, "a", "1/1/2000", 1.1016000000000001),
+                (10517, "a", "1/2/2000", 1.1016000000000001),
+                (10517, "a", "1/3/2000", 1.108),
+                (10517, "a", "1/4/2000", 1.108),
+            ],
+            columns=["PERMNO", "byvar", "Date", "RET"],
+        )
+        assert_df_equal(out, expect, sort_cols=["PERMNO", "byvar", "Date"], rtol=1e-6)
+
+
+class TestRegBy:
+    def _indf(self, spark):
+        from pyspark.sql import functions as F
+
+        return fx.df_weight(spark).withColumn(
+            "key", F.concat(F.col("PERMNO").cast("string"), F.lit("_"), F.col("byvar"))
+        )
+
+    def test_regby_nocons(self, spark):
+        out = pus.reg_by(self._indf(spark), "weight", "RET", "key", cons=False)
+        expect = pd.DataFrame(
+            [
+                (0.48774684748988806, "10516_a"),
+                (0.9388636664168903, "10516_b"),
+                (0.22929206076239614, "10517_a"),
+            ],
+            columns=["coef_RET", "key"],
+        )
+        assert_df_equal(out, expect, sort_cols=["key"], rtol=1e-8)
+
+    def test_regby_cons(self, spark):
+        out = pus.reg_by(self._indf(spark), "weight", "RET", "key")
+        expect = pd.DataFrame(
+            [
+                (0.49999999999999645, 5.329070518200751e-15, "10516_a"),
+                (0.9999999999999893, 1.0658141036401503e-14, "10516_b"),
+                (-32.89999999999997, 29.999999999999982, "10517_a"),
+            ],
+            columns=["const", "coef_RET", "key"],
+        )
+        assert_df_equal(out, expect, sort_cols=["key"], rtol=1e-6, atol=1e-7)
+
+    def test_regby_cons_low_obs(self, spark):
+        from pyspark.sql import functions as F
+
+        indf = self._indf(spark).filter(
+            ~((F.col("PERMNO") == 10517) & (F.col("Date") != "1/1/2000"))
+        )
+        out = pus.reg_by(indf, "weight", "RET", "key")
+        expect = pd.DataFrame(
+            [
+                (0.49999999999999645, 5.329070518200751e-15, "10516_a"),
+                (0.9999999999999893, 1.0658141036401503e-14, "10516_b"),
+                (nan, nan, "10517_a"),
+            ],
+            columns=["const", "coef_RET", "key"],
+        )
+        assert_df_equal(out, expect, sort_cols=["key"], rtol=1e-6, atol=1e-7)
+
+
+class TestExpandMonths:
+    def test_expand_months_tradedays(self, spark):
+        out = pus.expand_months(fx.single_ticker_df(spark))
+        days = [3, 4, 5, 6, 7, 10, 11, 12, 13, 14, 18, 19, 20, 21, 24, 25, 26, 27, 28, 31]
+        expect = pd.DataFrame(
+            [("a", Timestamp("2000-01-01"), "ADM", Timestamp(f"2000-01-{d:02d}")) for d in days],
+            columns=["byvar", "Date", "TICKER", "Daily Date"],
+        )
+        assert_df_equal(out, expect, sort_cols=["Daily Date"])
+
+    def test_expand_months_calendardays(self, spark):
+        out = pus.expand_months(fx.single_ticker_df(spark), trade_days=False)
+        expect = pd.DataFrame(
+            [
+                ("a", Timestamp("2000-01-01"), "ADM", Timestamp(f"2000-01-{d:02d}"))
+                for d in range(1, 32)
+            ],
+            columns=["byvar", "Date", "TICKER", "Daily Date"],
+        )
+        assert_df_equal(out, expect, sort_cols=["Daily Date"])
+
+
+class TestConvertSASDate:
+    def test_convert(self, spark):
+        pdf = pd.DataFrame(
+            [("011508", 16114.0), ("011508", 16482.0), ("011508", 17178.0),
+             ("011508", 17197.0), ("011508", 17212.0)],
+            columns=["gvkey", "datadate"],
+        )
+        sdf = spark.createDataFrame(pdf)
+        out = sdf.select(pus.convert_sas_date_to_date("datadate").alias("d"))
+        expect = pd.DataFrame(
+            {"d": pd.to_datetime(["2004-02-13", "2005-02-15", "2007-01-12", "2007-01-31", "2007-02-15"])}
+        )
+        assert_df_equal(out, expect, sort_cols=["d"])
+
+    def test_convert_nan(self, spark):
+        pdf = pd.DataFrame(
+            [("011508", 16114.0), ("011508", nan)], columns=["gvkey", "datadate"]
+        )
+        sdf = spark.createDataFrame(pdf)
+        out = sdf.select(pus.convert_sas_date_to_date("datadate").alias("d")).toPandas()
+        assert out["d"].isna().sum() == 1
+        assert (out["d"].dropna() == pd.Timestamp("2004-02-13")).all()
+
+
+class TestMapWindows:
+    """Window-bucket mapping parity (reference: tests/test_pandas.py:1028-1218),
+    tested through cumulate's between path on the 8-period frame."""
+
+    times = [[-4, -2, 0], [-3, 1, 2], [4, 5, 6], [0, 1, 2], [-1, 0, 1]]
+    expected_windows = [
+        [0, 1, 1, 2, 2, 3, 3, 3],
+        [0, 1, 1, 1, 1, 2, 3, 3],
+        [0, 1, 2, 3, 3, 3, 3, 3],
+        [0, 1, 2, 3, 3, 3, 3, 3],
+        [0, 1, 2, 3, 3, 3, 3, 3],
+    ]
+
+    def test_bucket_mapping(self, spark):
+        from pd_utils_spark.operators.cum import _bucket_from_position
+        from pyspark.sql import functions as F
+
+        for time, expect in zip(self.times, self.expected_windows):
+            pos_df = spark.range(8).select(F.col("id").cast("int").alias("pos"))
+            got = (
+                pos_df.select("pos", _bucket_from_position(F.col("pos"), time).alias("w"))
+                .orderBy("pos")
+                .toPandas()["w"]
+                .tolist()
+            )
+            assert got == expect, f"time={time}: {got} != {expect}"
+
+
+class TestLeftMergeLatest:
+    def test_left_merge_latest(self, spark):
+        out = pus.left_merge_latest(fx.df_gvkey_str(spark), fx.df_gvkey_str2(spark), on="GVKEY")
+        expect = pd.DataFrame(
+            [
+                ("001076", Timestamp("1995-03-01"), Timestamp("1995-02-01")),
+                ("001076", Timestamp("1995-04-01"), Timestamp("1995-03-02")),
+                ("001722", Timestamp("2012-01-01"), Timestamp("2011-11-01")),
+                ("001722", Timestamp("2012-07-01"), Timestamp("2011-11-01")),
+                ("001722", pd.NaT, pd.NaT),
+                (None, Timestamp("2012-01-01"), pd.NaT),
+            ],
+            columns=["GVKEY", "Date", "Date_y"],
+        )
+        assert_df_equal(out, expect, sort_cols=["GVKEY", "Date"])
+
+    def test_max_offset_numeric(self, spark):
+        left = spark.createDataFrame([("k", 10), ("k", 20)], ["id", "t"])
+        right = spark.createDataFrame([("k", 1, "old"), ("k", 18, "new")], ["id", "t", "v"])
+        out = pus.left_merge_latest(left, right, on="id", left_datevar="t", right_datevar="t", max_offset=5)
+        got = {(r["t"], r["v"]) for r in out.collect()}
+        assert got == {(10, None), (20, "new")}
+
+
+class TestVarChangeByGroups:
+    def test_multi_byvar_single_var(self, spark):
+        out = pus.var_change_by_groups(fx.df(spark), "RET", ["PERMNO", "byvar"])
+        expect = pd.DataFrame(fx.ROWS, columns=fx.COLS)
+        expect["RET_change"] = [nan, 0.01, 0.01, 0.01] * 3
+        assert_df_equal(out, expect, sort_cols=["PERMNO", "byvar", "Date"], rtol=1e-9, atol=1e-12)
+
+    def test_multi_byvar_multi_var(self, spark):
+        out = pus.var_change_by_groups(fx.df_weight(spark), ["RET", "weight"], ["PERMNO", "byvar"])
+        weights = [0, 1, 1, 0, 1, 1, 1, 1, 0, 0, 0, 1]
+        expect = pd.DataFrame(
+            [r + (w,) for r, w in zip(fx.ROWS, weights)], columns=fx.COLS + ["weight"]
+        )
+        expect["RET_change"] = [nan, 0.01, 0.01, 0.01] * 3
+        expect["weight_change"] = [nan, 1.0, 0.0, -1.0, nan, 0.0, 0.0, 0.0, nan, 0.0, 0.0, 1.0]
+        assert_df_equal(out, expect, sort_cols=["PERMNO", "byvar", "Date"], atol=1e-12)
+
+
+class TestFillExcludedRows:
+    def test_no_fillvars(self, spark):
+        out = pus.fill_excluded_rows(fx.df_gvkey_str(spark), ["GVKEY", "Date"])
+        dates = ["1995-03-01", "1995-04-01", "2012-01-01", "2012-07-01"]
+        expect = pd.DataFrame(
+            [(g, Timestamp(d)) for g in ["001076", "001722"] for d in dates],
+            columns=["GVKEY", "Date"],
+        )
+        assert_df_equal(out, expect, sort_cols=["GVKEY", "Date"])
+
+    def test_fillvars(self, spark):
+        from pyspark.sql import functions as F
+
+        var_df = fx.df_gvkey_str(spark).withColumn("var", F.lit(1))
+        out = pus.fill_excluded_rows(var_df, ["GVKEY", "Date"], "var", value=0)
+        expect = pd.DataFrame(
+            [
+                ("001076", Timestamp("1995-03-01"), 1.0),
+                ("001076", Timestamp("1995-04-01"), 1.0),
+                ("001076", Timestamp("2012-01-01"), 0.0),
+                ("001076", Timestamp("2012-07-01"), 0.0),
+                ("001722", Timestamp("1995-03-01"), 0.0),
+                ("001722", Timestamp("1995-04-01"), 0.0),
+                ("001722", Timestamp("2012-01-01"), 1.0),
+                ("001722", Timestamp("2012-07-01"), 1.0),
+            ],
+            columns=["GVKEY", "Date", "var"],
+        )
+        assert_df_equal(out, expect, sort_cols=["GVKEY", "Date"])
+
+
+class TestFillnaByGroups:
+    def test_fillna_by_group(self, spark):
+        out = pus.fillna_by_groups(
+            fx.df_fill_data(spark).drop("roworder"), "group", ordervar=None
+        )
+        # note: Spark relations are unordered; use an explicit ordervar
+        out = pus.fillna_by_groups(fx.df_fill_data(spark), "group", exclude_cols="roworder", ordervar="roworder")
+        expect = pd.DataFrame(
+            [
+                ("a", 4.0, "c", 51.5),
+                ("a", 1.0, "d", 3.0),
+                ("a", 10.0, "e", 100.0),
+                ("b", 2.0, "f", 6.0),
+                ("b", 5.0, "f", 8.0),
+                ("b", 11.0, "g", 150.0),
+            ],
+            columns=["group", "y", "x1", "x2"],
+        )
+        assert_df_equal(out, expect, sort_cols=["group", "y"])
+
+    def test_fillna_by_group_keep_one(self, spark):
+        out = pus.fillna_by_groups_and_keep_one_per_group(
+            fx.df_fill_data(spark), "group", exclude_cols="roworder", ordervar="roworder"
+        )
+        expect = pd.DataFrame(
+            [("a", 4.0, "c", 51.5), ("b", 2.0, "f", 6.0)],
+            columns=["group", "y", "x1", "x2"],
+        )
+        assert_df_equal(out, expect, sort_cols=["group"])
+
+
+class TestAddMissingGroupRows:
+    def test_ffill(self, spark):
+        pdf = pd.DataFrame(
+            [("e1", 1, 10.0), ("e1", 3, 30.0), ("e2", 2, 200.0)],
+            columns=["entity", "t", "v"],
+        )
+        out = pus.add_missing_group_rows(spark.createDataFrame(pdf), ["entity"], ["t"])
+        expect = pd.DataFrame(
+            [
+                ("e1", 1, 10.0),
+                ("e1", 2, 10.0),
+                ("e1", 3, 30.0),
+                ("e2", 1, nan),
+                ("e2", 2, 200.0),
+                ("e2", 3, 200.0),
+            ],
+            columns=["entity", "t", "v"],
+        )
+        assert_df_equal(out, expect, sort_cols=["entity", "t"])
+
+    def test_ffill_limit(self, spark):
+        pdf = pd.DataFrame(
+            [("e1", 1, 10.0), ("e1", 4, 40.0), ("e2", 2, 5.0), ("e2", 3, 7.0)],
+            columns=["entity", "t", "v"],
+        )
+        out = pus.add_missing_group_rows(
+            spark.createDataFrame(pdf), ["entity"], ["t"], fill_limit=1
+        )
+        got = {(r["entity"], r["t"]): r["v"] for r in out.collect()}
+        # e1: t=1 obs, t=2 filled (gap 1), t=3 gap 2 > limit -> null, t=4 obs
+        assert got[("e1", 1)] == 10.0 and got[("e1", 2)] == 10.0 and got[("e1", 4)] == 40.0
+        assert got[("e1", 3)] is None or np.isnan(got[("e1", 3)])
+        # e2: t=1 nothing before -> null, t=4 filled from t=3 (gap 1)
+        assert got[("e2", 1)] is None or np.isnan(got[("e2", 1)])
+        assert got[("e2", 4)] == 7.0
+
+    def test_no_fill(self, spark):
+        pdf = pd.DataFrame(
+            [("e1", 1, 10.0), ("e2", 2, 200.0)], columns=["entity", "t", "v"]
+        )
+        out = pus.add_missing_group_rows(spark.createDataFrame(pdf), ["entity"], ["t"], fill_method=None)
+        assert out.count() == 4
+        assert out.filter("v is null").count() == 2
+
+
+class TestDropMissingGroupRows:
+    def test_drop(self, spark):
+        pdf = pd.DataFrame(
+            [("e1", 1, 10.0, "x"), ("e1", 2, nan, None), ("e2", 1, nan, "y")],
+            columns=["entity", "t", "v", "s"],
+        )
+        out = pus.drop_missing_group_rows(spark.createDataFrame(pdf), ["entity", "t"])
+        assert out.count() == 2
+
+
+class TestSelectRows:
+    def test_or(self, spark):
+        out = pus.select_rows_by_condition_on_columns(
+            fx.df_weight(spark), ["weight"], condition="== 1", logic="or"
+        )
+        assert out.count() == 7
+
+    def test_and(self, spark):
+        from pyspark.sql import functions as F
+
+        d = fx.df_weight(spark).withColumn("w2", F.lit(1))
+        out = pus.select_rows_by_condition_on_columns(d, ["weight", "w2"], "== 1", "and")
+        assert out.count() == 7
+
+
+class TestSql:
+    def test_sql(self, spark):
+        d = fx.df(spark)
+        out = pus.sql([d], "SELECT PERMNO, avg(RET) AS m FROM mydf GROUP BY PERMNO")
+        got = {r["PERMNO"]: round(r["m"], 6) for r in out.collect()}
+        assert got == {10516: round(sum([1.01, 1.02, 1.03, 1.04, 1.05, 1.06, 1.07, 1.08]) / 8, 6),
+                       10517: round(sum([1.09, 1.10, 1.11, 1.12]) / 4, 6)}
+
+
+class TestStateAbbrev:
+    def test_to_name(self, spark):
+        d = spark.createDataFrame([("TX",), ("CA",), ("zz",)], ["st"])
+        out = pus.state_abbrev(d, "st")
+        got = {r["st"] for r in out.collect()}
+        assert got == {"Texas", "California", "zz"}
+
+    def test_to_abbrev(self, spark):
+        d = spark.createDataFrame([("Texas",), ("New York",)], ["st"])
+        out = pus.state_abbrev(d, "st", toabbrev=True)
+        got = {r["st"] for r in out.collect()}
+        assert got == {"TX", "NY"}
+
+
+class TestJoinColStrings:
+    def test_join(self, spark):
+        out = pus.join_col_strings(fx.df(spark), ["PERMNO", "Date"], out_col="key")
+        assert out.filter("key = '10516_1/1/2000'").count() == 2
+
+
+class TestLongShortPortfolio:
+    def test_long_short(self, spark):
+        ports = pus.portfolio(fx.df(spark), "RET", ngroups=2, byvars=["PERMNO", "byvar"])
+        out = pus.long_short_portfolio(ports, "portfolio", byvars=["PERMNO", "byvar", "Date"], retvars="RET")
+        # within each (PERMNO,byvar): top rows minus bottom rows share no Date pairing
+        # -> with Date in byvars, no alignment; use group-only byvars on aggregated data
+        avgs = pus.portfolio_averages(
+            fx.df(spark), "RET", "RET", ngroups=2, byvars="byvar", avgonly=True
+        )
+        ls = pus.long_short_portfolio(avgs, "portfolio", byvars=["byvar"], retvars="RET")
+        got = {r["byvar"]: round(r["RET"], 10) for r in ls.collect()}
+        assert got == {"a": round(1.105 - 1.025, 10), "b": round(1.075 - 1.055, 10)}
+
+
+class TestCorr:
+    def test_formatted_corr(self, spark):
+        out = pus.formatted_corr_df(fx.df_weight(spark), cols=["RET", "weight"])
+        rows = {r["variable"]: r for r in out.collect()}
+        assert rows["RET"]["RET"] == "1.00"
+        assert rows["RET"]["weight"] == ""
+        assert rows["weight"]["weight"] == "1.00"
+
+
+class TestYearMonth:
+    def test_year_month(self, spark):
+        out = pus.year_month_from_date(fx.df_datetime(spark), date="Date")
+        r = out.filter("Date = '2000-01-03'").collect()[0]
+        assert r["Year"] == 2000 and r["Month"] == 1
+
+
+class TestExpandTime:
+    def test_expand_time_monthly(self, spark):
+        out = pus.expand_time(
+            fx.df_datetime(spark), datevar="Date", freq="m", time=[1, 2]
+        )
+        assert out.count() == 24
+        r = out.filter("Date = '2000-01-03' and Shift = 2 and PERMNO = 10516 and byvar = 'a'").collect()
+        assert len(r) == 1
+        assert pd.Timestamp(r[0]["Shift Date"]) == pd.Timestamp("2000-03-03")
+
+    def test_expand_time_annual(self, spark):
+        out = pus.expand_time(fx.df_datetime(spark), datevar="Date", freq="a", time=[1])
+        r = out.filter("Date = '2000-01-03' and PERMNO = 10516 and byvar = 'a'").collect()
+        assert pd.Timestamp(r[0]["Shift Date"]) == pd.Timestamp("2001-01-03")
+
+    def test_expand_time_trading_days(self, spark):
+        td = pus.trading_day_dimension(spark, "1999-12-01", "2000-03-01")
+        out = pus.expand_time(
+            fx.df_datetime(spark), datevar="Date", freq="d", time=[1, 5], trading_days=td
+        )
+        # 2000-01-03 (Monday, trading day) + 1 td = 2000-01-04
+        r = out.filter("Date = '2000-01-03' and Shift = 1 and PERMNO = 10516 and byvar = 'a'").collect()
+        assert pd.Timestamp(r[0]["Shift Date"]) == pd.Timestamp("2000-01-04")
+        # +5 td from 01-03 -> 01-10
+        r = out.filter("Date = '2000-01-03' and Shift = 5 and PERMNO = 10516 and byvar = 'a'").collect()
+        assert pd.Timestamp(r[0]["Shift Date"]) == pd.Timestamp("2000-01-10")
+
+    def test_intermediate_periods(self, spark):
+        out = pus.expand_time(
+            fx.df_datetime(spark), intermediate_periods=True, datevar="Date", freq="m", time=[1, 3]
+        )
+        assert out.count() == 36
