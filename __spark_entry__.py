@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 import pd_utils_spark as pus
+from pd_utils_spark.extensions import text as pus_text
 
 _ROUND = 6
 
@@ -232,6 +233,43 @@ def q_select_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_doubles(out)
 
 
+def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = pus_text.token_count_bpe(pus_text.token_count(d)).drop("text")
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_tokens_bpe").cast("bigint").alias("n_tokens_bpe"),
+    )
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = pus_text.text_quality(d).drop("text")
+    return out.select(
+        "doc_id",
+        F.col("n_chars_obs").cast("bigint").alias("n_chars_obs"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        "mean_token_len", "punct_ratio", "stopword_ratio", "quality_score",
+    )
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return pus_text.language_id(d).drop("text")
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return pus_text.doc_fingerprint(d).drop("text")
+
+
+def q_shingle_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = pus_text.rolling_hash_fingerprints(d, k=5)
+    return out.select("doc_id", F.explode("shingle_hashes").alias("shingle_hash"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_averages(spark, "/root/testdata/sf0.001")
@@ -261,6 +299,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reg_by": q_reg_by,
         "sql_interface": q_sql_interface,
         "select_rows": q_select_rows,
+        "text_token_count": q_text_token_count,
+        "text_quality": q_text_quality,
+        "language_id": q_language_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        "shingle_fingerprints": q_shingle_fingerprints,
     }
 
 
@@ -271,6 +314,15 @@ def _holiday_sql_list() -> str:
 
     days = us_trading_holidays("1990-01-01", "2035-12-31")
     return ", ".join(f"DATE '{d.isoformat()}'" for d in days)
+
+
+_SQL_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+_EN_STOPS = ("the", "a", "and", "is", "not", "of", "to", "in")
+from pd_utils_spark.extensions.text import LANG_MARKERS as _LANG_MARKERS
+
+
+def _sql_str_list(items) -> str:
+    return "[" + ", ".join(f"'{s}'" for s in items) + "]"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -490,5 +542,68 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_orderkey, l_linenumber, round(l_tax, {r}) AS l_tax,
                    round(l_discount, {r}) AS l_discount
             FROM lineitem WHERE l_tax >= 0.05 OR l_discount >= 0.05
+        """,
+        "text_token_count": f"""
+            SELECT doc_id,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len({_SQL_TOKS}) END AS n_tokens,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE cast(list_sum(list_transform({_SQL_TOKS},
+                             w -> cast(ceil(length(w) / 4.0) AS bigint))) AS bigint) END AS n_tokens_bpe
+            FROM documents
+        """,
+        "text_quality": f"""
+            WITH t AS (
+                SELECT doc_id,
+                       length(text) AS n_chars_obs,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len({_SQL_TOKS}) END AS n_tokens,
+                       length(regexp_replace(text, '\\s+', '', 'g')) AS nonspace,
+                       length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS punct,
+                       len(list_filter({_SQL_TOKS},
+                           w -> list_contains({_sql_str_list(_EN_STOPS)}, lower(w)))) AS stop_hits
+                FROM documents
+            )
+            SELECT doc_id, n_chars_obs, n_tokens,
+                   round(CASE WHEN n_tokens > 0 THEN nonspace / n_tokens ELSE 0 END, {r}) AS mean_token_len,
+                   round(CASE WHEN n_chars_obs > 0 THEN punct / n_chars_obs ELSE 0 END, {r}) AS punct_ratio,
+                   round(CASE WHEN n_tokens > 0 THEN stop_hits / n_tokens ELSE 0 END, {r}) AS stopword_ratio,
+                   round(least(n_tokens / 100.0, 1.0)
+                         * least((CASE WHEN n_tokens > 0 THEN nonspace / n_tokens ELSE 0 END) / 5.0, 1.0)
+                         * (1.0 - least((CASE WHEN n_chars_obs > 0 THEN punct / n_chars_obs ELSE 0 END) * 5, 1.0) * 0.5),
+                         {r}) AS quality_score
+            FROM t
+        """,
+        "language_id": f"""
+            WITH t AS (
+                SELECT *, {", ".join(
+                    f"len(list_filter({_SQL_TOKS}, w -> list_contains({_sql_str_list(ms)}, lower(w)))) AS h_{lang}"
+                    for lang, ms in sorted(_LANG_MARKERS.items())
+                )}
+                FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+                        WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+                        WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+                        WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+                        ELSE 'fr' END AS lang_pred
+            FROM t
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+            FROM documents
+        """,
+        "shingle_fingerprints": f"""
+            WITH toks AS (
+                SELECT doc_id, {_SQL_TOKS} AS w FROM documents
+            )
+            SELECT doc_id,
+                   unnest(list_transform(
+                       list_transform(generate_series(1, greatest(len(w) - 4, 0)),
+                                      i -> array_to_string(w[i:i+4], ' ')),
+                       s -> md5(s))) AS shingle_hash
+            FROM toks
         """,
     }

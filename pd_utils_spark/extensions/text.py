@@ -1,0 +1,207 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+These go beyond the reference surface (nickderobertis/pd-utils has no
+text operators) and target the ``documents`` table shape
+(doc_id, text, lang, source, n_chars). Everything here is pure
+column expressions — JVM-side, whole-stage-codegen friendly, no Python
+UDFs — so the operators scale linearly with partitions and never
+shuffle (per-row transforms only).
+
+Determinism contract: every derived value is a pure function of the
+input text so results hash-match an ANSI-SQL oracle. Hashing uses md5
+(identical hex output in every engine) rather than engine-specific
+hash functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pd_utils_spark.utils import quote
+
+# Marker-word sets for the n-gram language-ID heuristic. Deliberately
+# tiny: the heuristic scores languages by marker-token hits and picks
+# the argmax (ties broken alphabetically, no hits -> 'und'). On real
+# text this is the classic stopword-profile trick; it is exactly
+# reproducible in SQL.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "en": ("the", "a", "and", "is", "not", "of", "to", "in"),
+    "es": ("el", "la", "los", "las", "es", "y", "un", "una"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "dans"),
+}
+
+PUNCT_CLASS = r"[.,;:!?]"
+
+
+def _tokens(textcol: Column) -> Column:
+    return F.split(F.trim(textcol), r"\s+")
+
+
+def _token_count(textcol: Column) -> Column:
+    return F.when(F.length(F.trim(textcol)) == 0, F.lit(0)).otherwise(
+        F.size(_tokens(textcol))
+    )
+
+
+def token_count(df: DataFrame, textcol: str = "text", out: str = "n_tokens") -> DataFrame:
+    """Whitespace token count per document (0 for empty/blank text).
+
+    A BPE-ish *subword* estimate is exposed separately as
+    ``token_count_bpe`` — whitespace count is the cheap exact baseline.
+    """
+    return df.withColumn(out, _token_count(F.col(textcol)))
+
+
+def token_count_bpe(
+    df: DataFrame, textcol: str = "text", out: str = "n_tokens_bpe", chars_per_token: float = 4.0
+) -> DataFrame:
+    """BPE-style subword-token *estimate*: word tokens plus an extra
+    token per ``chars_per_token`` characters beyond the first 4 of each
+    word (the standard chars/4 heuristic, computed exactly as
+    ``ceil(len(word)/chars_per_token)`` summed over words)."""
+    t = F.col(textcol)
+    toks = _tokens(t)
+    per_word = F.transform(toks, lambda w: F.ceil(F.length(w) / F.lit(chars_per_token)))
+    total = F.aggregate(per_word, F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+    return df.withColumn(
+        out, F.when(F.length(F.trim(t)) == 0, F.lit(0).cast("bigint")).otherwise(total)
+    )
+
+
+def text_quality(
+    df: DataFrame,
+    textcol: str = "text",
+    stopwords: tuple[str, ...] = LANG_MARKERS["en"],
+    round_to: int = 6,
+) -> DataFrame:
+    """Heuristic quality signals per document, as new columns:
+
+    - ``n_chars_obs``: character length of the raw text
+    - ``n_tokens``: whitespace token count
+    - ``mean_token_len``: non-whitespace chars / tokens
+    - ``punct_ratio``: sentence-punctuation chars / chars
+    - ``stopword_ratio``: stopword tokens / tokens
+    - ``quality_score``: blended [0,1] score (length x stopword
+      presence x sane word length), the kind of gate used to filter
+      LLM pretraining shards.
+
+    All ratios are NULL-safe (0-token docs get 0 ratios, score 0).
+    """
+    t = F.col(textcol)
+    toks = _tokens(t)
+    n_chars = F.length(t)
+    n_tok = _token_count(t)
+    nonspace = F.length(F.regexp_replace(t, r"\s+", ""))
+    punct = F.length(t) - F.length(F.regexp_replace(t, PUNCT_CLASS, ""))
+    stop_arr = F.array(*[F.lit(s) for s in stopwords])
+    stop_hits = F.size(F.filter(toks, lambda w: F.array_contains(stop_arr, F.lower(w))))
+
+    mean_len = F.when(n_tok > 0, nonspace / n_tok).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tok > 0, stop_hits / n_tok).otherwise(F.lit(0.0))
+    # Blend: each factor in [0,1]; least() clamps the length credit.
+    score = (
+        F.least(n_tok / F.lit(100.0), F.lit(1.0))
+        * F.least(mean_len / F.lit(5.0), F.lit(1.0))
+        * (F.lit(1.0) - F.least(punct_ratio * 5, F.lit(1.0)) * F.lit(0.5))
+    )
+    return (
+        df.withColumn("n_chars_obs", n_chars)
+        .withColumn("n_tokens", n_tok)
+        .withColumn("mean_token_len", F.round(mean_len, round_to))
+        .withColumn("punct_ratio", F.round(punct_ratio, round_to))
+        .withColumn("stopword_ratio", F.round(stop_ratio, round_to))
+        .withColumn("quality_score", F.round(score, round_to))
+    )
+
+
+def language_id(
+    df: DataFrame,
+    textcol: str = "text",
+    out: str = "lang_pred",
+    markers: dict[str, tuple[str, ...]] | None = None,
+) -> DataFrame:
+    """Stopword-profile language ID: count marker-token hits per
+    candidate language, emit the argmax (alphabetical tie-break), or
+    ``'und'`` (undetermined) when nothing hits.
+
+    One pass over the token array per language — no shuffle, no UDF.
+    """
+    markers = markers if markers is not None else LANG_MARKERS
+    toks = _tokens(F.col(textcol))
+    scored = df
+    langs = sorted(markers)
+    for lang in langs:
+        arr = F.array(*[F.lit(m) for m in markers[lang]])
+        scored = scored.withColumn(
+            f"__hits_{lang}",
+            F.size(F.filter(toks, lambda w: F.array_contains(arr, F.lower(w)))),
+        )
+    best = F.greatest(*[F.col(f"__hits_{lang}") for lang in langs])
+    pred = F.lit("und")
+    # build the when-chain in reverse so earlier (alphabetical) langs win ties
+    for lang in reversed(langs):
+        pred = F.when(
+            (F.col(f"__hits_{lang}") == best) & (best > 0), F.lit(lang)
+        ).otherwise(pred)
+    return scored.withColumn(out, pred).drop(*[f"__hits_{lang}" for lang in langs])
+
+
+def doc_fingerprint(
+    df: DataFrame, textcol: str = "text", out: str = "fingerprint", normalize: bool = True
+) -> DataFrame:
+    """Content fingerprint: md5 hex of the (optionally normalized)
+    text. Normalization = lowercase + collapse all whitespace runs to
+    one space + trim, so formatting-only variants collide — the
+    standard exact-dup key for document pipelines.
+
+    md5 is chosen over xxhash64 deliberately: its hex output is
+    engine-portable (same string in Spark, DuckDB, Postgres), which
+    makes downstream dedup joins reproducible across systems.
+    """
+    t = F.col(textcol)
+    if normalize:
+        t = F.trim(F.regexp_replace(F.lower(t), r"\s+", " "))
+    return df.withColumn(out, F.md5(t.cast("string")))
+
+
+def rolling_hash_fingerprints(
+    df: DataFrame,
+    textcol: str = "text",
+    k: int = 5,
+    out: str = "shingle_hashes",
+) -> DataFrame:
+    """Per-document array of k-word-shingle md5 fingerprints (the
+    rolling-hash building block for winnowing / near-dup detection).
+
+    Shingles are built JVM-side with ``transform(sequence(...))`` over
+    the token array — one row stays one row (array column), so this is
+    shuffle-free and streams through codegen.
+    """
+    toks = _tokens(F.col(textcol))
+    n = F.size(toks)
+    # sequence(1, 0) counts DOWN in Spark, so docs shorter than k need
+    # an explicit empty-array branch
+    idx = F.sequence(F.lit(1), n - F.lit(k - 1))
+    shingles = F.when(
+        n >= k, F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    ).otherwise(F.array().cast("array<string>"))
+    return df.withColumn(out, F.transform(shingles, F.md5))
+
+
+# --------------------------------------------------------------- oracle SQL
+
+def token_count_oracle(table: str = "documents", textcol: str = "text") -> str:
+    """DuckDB-equivalent expression for token_count (used by callers
+    assembling oracle SQL)."""
+    q = quote_sql(textcol)
+    return (
+        f"CASE WHEN length(trim({q})) = 0 THEN 0 "
+        f"ELSE len(regexp_split_to_array(trim({q}), '\\s+')) END"
+    )
+
+
+def quote_sql(col: str) -> str:
+    return '"' + col.replace('"', '""') + '"'

@@ -1,0 +1,110 @@
+"""Golden tests for the text-analysis extension operators
+(pd_utils_spark/extensions/text.py) on tiny hand-written documents."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+
+from pd_utils_spark.extensions import text as T
+from tests.helpers import assert_df_equal
+
+DOCS = pd.DataFrame(
+    {
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            "the cat sat on the mat.",
+            "der Hund und die Katze",
+            "  spaced   out\ttabs  ",
+            "",
+        ],
+    }
+)
+
+
+def _sdf(spark):
+    return spark.createDataFrame(DOCS)
+
+
+class TestTokenCount:
+    def test_counts(self, spark):
+        out = T.token_count(_sdf(spark)).select("doc_id", "n_tokens")
+        expect = pd.DataFrame({"doc_id": [0, 1, 2, 3], "n_tokens": [6, 5, 3, 0]})
+        assert_df_equal(out, expect, sort_cols=["doc_id"])
+
+    def test_bpe_estimate(self, spark):
+        out = T.token_count_bpe(_sdf(spark)).select("doc_id", "n_tokens_bpe")
+        # ceil(len/4) per word: doc0 all words <=4 chars -> 6;
+        # doc1 Katze(5)->2, rest 1 -> 6; doc2 spaced(6)->2, out, tabs -> 4; doc3 0
+        expect = pd.DataFrame({"doc_id": [0, 1, 2, 3], "n_tokens_bpe": [6, 6, 4, 0]})
+        assert_df_equal(out, expect, sort_cols=["doc_id"])
+
+
+class TestTextQuality:
+    def test_ratios(self, spark):
+        out = T.text_quality(_sdf(spark)).select(
+            "doc_id", "n_tokens", "punct_ratio", "stopword_ratio"
+        )
+        expect = pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2, 3],
+                "n_tokens": [6, 5, 3, 0],
+                "punct_ratio": [round(1 / 23, 6), 0.0, 0.0, 0.0],
+                "stopword_ratio": [round(2 / 6, 6), 0.0, 0.0, 0.0],
+            }
+        )
+        assert_df_equal(out, expect, sort_cols=["doc_id"])
+
+
+class TestLanguageId:
+    def test_pred(self, spark):
+        out = T.language_id(_sdf(spark)).select("doc_id", "lang_pred")
+        # doc0: 'the' x2 -> en; doc1: der/und/die -> de; doc2/3: no hits -> und
+        expect = pd.DataFrame(
+            {"doc_id": [0, 1, 2, 3], "lang_pred": ["en", "de", "und", "und"]}
+        )
+        assert_df_equal(out, expect, sort_cols=["doc_id"])
+
+    def test_tie_breaks_alphabetical(self, spark):
+        df = spark.createDataFrame(pd.DataFrame({"doc_id": [0], "text": ["la la"]}))
+        # 'la' is a marker for both es and fr (2 hits each) -> 'es' wins
+        out = T.language_id(df).select("doc_id", "lang_pred")
+        expect = pd.DataFrame({"doc_id": [0], "lang_pred": ["es"]})
+        assert_df_equal(out, expect, sort_cols=["doc_id"])
+
+
+class TestDocFingerprint:
+    def test_normalized_md5(self, spark):
+        out = T.doc_fingerprint(_sdf(spark)).select("doc_id", "fingerprint")
+        def fp(s):
+            norm = " ".join(s.lower().split())
+            return hashlib.md5(norm.encode()).hexdigest()
+        expect = pd.DataFrame(
+            {"doc_id": [0, 1, 2, 3], "fingerprint": [fp(t) for t in DOCS["text"]]}
+        )
+        assert_df_equal(out, expect, sort_cols=["doc_id"])
+
+    def test_whitespace_variants_collide(self, spark):
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [0, 1], "text": ["A  b\tc", "a b c"]})
+        )
+        fps = (
+            T.doc_fingerprint(df).select("fingerprint").distinct().count()
+        )
+        assert fps == 1
+
+
+class TestRollingHash:
+    def test_shingle_count(self, spark):
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [0, 1], "text": ["a b c d e f", "a b"]})
+        )
+        out = T.rolling_hash_fingerprints(df, k=5).toPandas().set_index("doc_id")
+        assert len(out.loc[0, "shingle_hashes"]) == 2  # 6 tokens, k=5 -> 2
+        assert len(out.loc[1, "shingle_hashes"]) == 0  # shorter than k
+
+    def test_matches_python_md5(self, spark):
+        df = spark.createDataFrame(pd.DataFrame({"doc_id": [0], "text": ["a b c d e"]}))
+        [row] = T.rolling_hash_fingerprints(df, k=5).collect()
+        assert row.shingle_hashes == [hashlib.md5(b"a b c d e").hexdigest()]
