@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 import pd_utils_spark as pus
+from pd_utils_spark.extensions import dedup as pus_dedup
 from pd_utils_spark.extensions import text as pus_text
 
 _ROUND = 6
@@ -270,6 +271,45 @@ def q_shingle_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.explode("shingle_hashes").alias("shingle_hash"))
 
 
+def _docs_with_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents unioned with an id-shifted copy of itself — a corpus
+    with known duplicates for exercising dedup operators."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.unionByName(d.select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    u = _docs_with_copies(spark, sf_dir)
+    return pus_dedup.exact_dedup(u).select("doc_id")
+
+
+def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    sig = pus_dedup.minhash_signature(d, k=3, num_hashes=12)
+    return sig.select(
+        "doc_id", F.posexplode("minhash_sig").alias("seed", "minhash")
+    ).select("doc_id", F.col("seed").cast("bigint").alias("seed"), "minhash")
+
+
+def q_lsh_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    u = _docs_with_copies(spark, sf_dir)
+    cands = pus_dedup.lsh_candidate_pairs(u, k=3, num_hashes=12, bands=4)
+    sim = pus_dedup.jaccard_pairs(u, cands, k=3).filter(F.col("jaccard") >= 0.5)
+    return _round_doubles(sim.select("id_a", "id_b", "jaccard"))
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return pus_dedup.simhash(d, bits=16).select("doc_id", "simhash")
+
+
+def q_simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    u = _docs_with_copies(spark, sf_dir)
+    return pus_dedup.simhash_near_dup_pairs(u, bits=16, max_hamming=3).select(
+        "id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_averages(spark, "/root/testdata/sf0.001")
@@ -304,6 +344,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": q_language_id,
         "doc_fingerprint": q_doc_fingerprint,
         "shingle_fingerprints": q_shingle_fingerprints,
+        "dedup_exact": q_dedup_exact,
+        "minhash_signature": q_minhash_signature,
+        "lsh_jaccard_pairs": q_lsh_jaccard_pairs,
+        "simhash": q_simhash,
+        "simhash_near_dup_pairs": q_simhash_near_dup_pairs,
     }
 
 
@@ -317,6 +362,19 @@ def _holiday_sql_list() -> str:
 
 
 _SQL_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+_SQL_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_SQL_NORM_TOKS = f"regexp_split_to_array({_SQL_NORM}, '\\s+')"
+# distinct 3-word shingles of normalized text; short docs -> whole text
+_SQL_SHINGLES = (
+    f"list_distinct(CASE WHEN len({_SQL_NORM_TOKS}) >= 3 THEN "
+    f"list_transform(generate_series(1, len({_SQL_NORM_TOKS}) - 2), "
+    f"i -> array_to_string({_SQL_NORM_TOKS}[i:i+2], ' ')) "
+    f"ELSE [{_SQL_NORM}] END)"
+)
+_SQL_DOC_UNION = (
+    "SELECT doc_id, text FROM documents "
+    "UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents"
+)
 _EN_STOPS = ("the", "a", "and", "is", "not", "of", "to", "in")
 from pd_utils_spark.extensions.text import LANG_MARKERS as _LANG_MARKERS
 
@@ -605,5 +663,79 @@ def oracle_sql() -> dict[str, str]:
                                       i -> array_to_string(w[i:i+4], ' ')),
                        s -> md5(s))) AS shingle_hash
             FROM toks
+        """,
+        "dedup_exact": f"""
+            WITH u AS ({_SQL_DOC_UNION})
+            SELECT min(doc_id) AS doc_id
+            FROM u GROUP BY md5({_SQL_NORM})
+        """,
+        "minhash_signature": f"""
+            WITH sh AS (
+                SELECT doc_id, {_SQL_SHINGLES} AS s FROM documents
+            )
+            SELECT doc_id, t.i AS seed,
+                   list_min(list_transform(s, x -> md5(cast(t.i AS varchar) || ':' || x))) AS minhash
+            FROM sh, range(0, 12) t(i)
+        """,
+        "lsh_jaccard_pairs": f"""
+            WITH u AS ({_SQL_DOC_UNION}),
+            sh AS (
+                SELECT doc_id, {_SQL_SHINGLES} AS s FROM u
+            ), sig AS (
+                SELECT doc_id, s,
+                       list_transform(range(0, 12),
+                           i -> list_min(list_transform(s, x -> md5(cast(i AS varchar) || ':' || x)))) AS sg
+                FROM sh
+            ), bands AS (
+                SELECT doc_id, t.b AS band,
+                       md5(array_to_string(sg[t.b * 3 + 1 : t.b * 3 + 3], '|')) AS band_key
+                FROM sig, range(0, 4) t(b)
+            ), pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM bands a JOIN bands b
+                  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT p.id_a, p.id_b,
+                   round(len(list_intersect(sa.s, sb.s))
+                         / len(list_distinct(list_concat(sa.s, sb.s))), {r}) AS jaccard
+            FROM pairs p
+            JOIN sh sa ON sa.doc_id = p.id_a
+            JOIN sh sb ON sb.doc_id = p.id_b
+            WHERE len(list_intersect(sa.s, sb.s))
+                  / len(list_distinct(list_concat(sa.s, sb.s))) >= 0.5
+        """,
+        "simhash": f"""
+            SELECT doc_id,
+                   CASE WHEN length({_SQL_NORM}) = 0 THEN 0 ELSE
+                   cast(list_sum(list_transform(range(0, 16), j ->
+                       CASE WHEN list_sum(list_transform({_SQL_NORM_TOKS}, w ->
+                                cast((('0x' || substr(md5(w), 1, 15))::BIGINT >> j) & 1 AS bigint) * 2 - 1)) > 0
+                            THEN (1::BIGINT << j) ELSE 0 END)) AS bigint) END AS simhash
+            FROM documents
+        """,
+        "simhash_near_dup_pairs": f"""
+            WITH u AS ({_SQL_DOC_UNION}),
+            shs AS (
+                SELECT doc_id,
+                       CASE WHEN length({_SQL_NORM}) = 0 THEN 0 ELSE
+                       cast(list_sum(list_transform(range(0, 16), j ->
+                           CASE WHEN list_sum(list_transform({_SQL_NORM_TOKS}, w ->
+                                    cast((('0x' || substr(md5(w), 1, 15))::BIGINT >> j) & 1 AS bigint) * 2 - 1)) > 0
+                                THEN (1::BIGINT << j) ELSE 0 END)) AS bigint) END AS simhash
+                FROM u
+            ), blk AS (
+                SELECT doc_id, simhash, t.b AS block,
+                       simhash & (15::BIGINT << (t.b * 4)) AS block_val
+                FROM shs, range(0, 4) t(b)
+            ), cand AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       bit_count(xor(a.simhash, b.simhash)) AS hamming
+                FROM blk a JOIN blk b
+                  ON a.block = b.block AND a.block_val = b.block_val AND a.doc_id < b.doc_id
+                GROUP BY 1, 2, 3
+            )
+            SELECT id_a, id_b, cast(hamming AS bigint) AS hamming
+            FROM cand WHERE hamming <= 3
         """,
     }

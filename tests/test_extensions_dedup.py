@@ -1,0 +1,96 @@
+"""Golden tests for dedup extension operators
+(pd_utils_spark/extensions/dedup.py)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from pd_utils_spark.extensions import dedup as D
+
+DOCS = pd.DataFrame(
+    {
+        "doc_id": [0, 1, 2, 3, 4],
+        "text": [
+            "the quick brown fox jumps over the lazy dog",
+            "The quick  brown fox jumps over the lazy dog",  # normalization dup of 0
+            "the quick brown fox jumps over the lazy cat",  # near-dup of 0
+            "completely different content about spark engines here",
+            "short",
+        ],
+    }
+)
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(DOCS)
+
+
+class TestExactDedup:
+    def test_normalized_dup_dropped_min_id_kept(self, docs):
+        ids = sorted(r.doc_id for r in D.exact_dedup(docs).collect())
+        assert ids == [0, 2, 3, 4]
+
+    def test_no_normalize_keeps_case_variants(self, docs):
+        ids = sorted(r.doc_id for r in D.exact_dedup(docs, normalize=False).collect())
+        assert ids == [0, 1, 2, 3, 4]
+
+
+class TestMinhashLSH:
+    def test_identical_docs_share_signature(self, docs):
+        sig = {r.doc_id: r.minhash_sig for r in D.minhash_signature(docs).collect()}
+        assert sig[0] == sig[1]
+        assert sig[0] != sig[3]
+        assert len(sig[0]) == 12
+
+    def test_candidates_and_jaccard(self, docs):
+        cands = D.lsh_candidate_pairs(docs, num_hashes=12, bands=6)
+        got = sorted((r.id_a, r.id_b) for r in cands.collect())
+        assert (0, 1) in got  # exact dup always collides
+        jac = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in D.jaccard_pairs(docs, cands).collect()
+        }
+        assert jac[(0, 1)] == 1.0
+        assert 0 < jac.get((0, 2), 0.75) < 1.0
+
+    def test_dedup_minhash_lsh_survivors(self, docs):
+        survivors = sorted(
+            r.doc_id for r in D.dedup_minhash_lsh(docs, threshold=0.5, bands=6).collect()
+        )
+        assert survivors == [0, 3, 4]
+
+    def test_bands_must_divide(self, docs):
+        with pytest.raises(ValueError, match="divisible"):
+            D.lsh_candidate_pairs(docs, num_hashes=12, bands=5)
+
+    def test_max_bucket_caps_floods(self, spark):
+        same = spark.createDataFrame(
+            pd.DataFrame({"doc_id": range(10), "text": ["same doc text here"] * 10})
+        )
+        capped = D.lsh_candidate_pairs(same, bands=4, max_bucket=2)
+        assert capped.count() == 0
+
+
+class TestSimhash:
+    def test_identical_normalized_docs_equal(self, docs):
+        sh = {r.doc_id: r.simhash for r in D.simhash(docs).collect()}
+        assert sh[0] == sh[1]
+        assert 0 <= sh[0] < 2**16
+
+    def test_near_dup_small_hamming(self, docs):
+        pairs = {
+            (r.id_a, r.id_b): r.hamming
+            for r in D.simhash_near_dup_pairs(docs, max_hamming=3).collect()
+        }
+        assert pairs[(0, 1)] == 0
+        assert pairs.get((0, 2), 99) <= 3
+
+    def test_empty_text_hash_zero(self, spark):
+        df = spark.createDataFrame(pd.DataFrame({"doc_id": [0], "text": [""]}))
+        assert D.simhash(df).collect()[0].simhash == 0
+
+    def test_bits_validation(self, docs):
+        with pytest.raises(ValueError, match="bits"):
+            D.simhash(docs, bits=61)
