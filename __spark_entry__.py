@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 import pd_utils_spark as pus
 from pd_utils_spark.extensions import dedup as pus_dedup
+from pd_utils_spark.extensions import similarity as pus_sim
 from pd_utils_spark.extensions import text as pus_text
 
 _ROUND = 6
@@ -310,6 +311,29 @@ def q_simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    out = pus_sim.brute_force_topk(emb, q, k=10)
+    return _round_doubles(out)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    out = pus_sim.ann_lsh_topk(emb, q, k=10, planes=6, dims=64)
+    return _round_doubles(out)
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    u = emb.unionByName(
+        emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    )
+    out = pus_sim.embedding_near_dup_pairs(u, threshold=0.99, planes=8, dims=64)
+    return _round_doubles(out)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_averages(spark, "/root/testdata/sf0.001")
@@ -349,6 +373,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_jaccard_pairs": q_lsh_jaccard_pairs,
         "simhash": q_simhash,
         "simhash_near_dup_pairs": q_simhash_near_dup_pairs,
+        "cosine_topk": q_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "embedding_near_dup": q_embedding_near_dup,
     }
 
 
@@ -376,6 +403,36 @@ _SQL_DOC_UNION = (
     "UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents"
 )
 _EN_STOPS = ("the", "a", "and", "is", "not", "of", "to", "in")
+
+# double-precision left-fold dot product / cosine between two FLOAT[]
+# columns, element order preserved -> bit-identical to Spark's
+# zip_with/aggregate form
+def _sql_dot(a: str, b: str, dims: int = 64) -> str:
+    return (
+        f"list_sum(list_transform(range(1, {dims + 1}), "
+        f"__i -> {a}[__i]::DOUBLE * {b}[__i]::DOUBLE))"
+    )
+
+
+def _sql_cosine(a: str, b: str, dims: int = 64) -> str:
+    d = _sql_dot(a, b, dims)
+    na = f"sqrt({_sql_dot(a, a, dims)})"
+    nb = f"sqrt({_sql_dot(b, b, dims)})"
+    return f"CASE WHEN {na} * {nb} > 0 THEN {d} / ({na} * {nb}) END"
+
+
+def _sql_hyperplane_sig(vec: str, planes: int, dims: int = 64) -> str:
+    """DuckDB expression for the md5-parity hyperplane signature,
+    mirroring pd_utils_spark.extensions.similarity.hyperplane_signature."""
+    from pd_utils_spark.extensions.similarity import _plane_weight
+
+    terms = []
+    for p in range(planes):
+        prods = " + ".join(
+            f"{vec}[{d + 1}]::DOUBLE * ({_plane_weight(p, d)})" for d in range(dims)
+        )
+        terms.append(f"(CASE WHEN ({prods}) > 0 THEN {1 << p}::BIGINT ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
 from pd_utils_spark.extensions.text import LANG_MARKERS as _LANG_MARKERS
 
 
@@ -737,5 +794,62 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id_a, id_b, cast(hamming AS bigint) AS hamming
             FROM cand WHERE hamming <= 3
+        """,
+        "cosine_topk": f"""
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+            ), scored AS (
+                SELECT q.query_id, e.vec_id,
+                       {_sql_cosine("e.embedding", "q.qv")} AS cosine
+                FROM embeddings e CROSS JOIN q
+                WHERE e.vec_id <> q.query_id
+            ), ranked AS (
+                SELECT query_id, vec_id, cosine,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cosine DESC, vec_id) AS rank
+                FROM scored
+            )
+            SELECT query_id, vec_id, round(cosine, {r}) AS cosine, cast(rank AS int) AS rank
+            FROM ranked WHERE rank <= 10
+        """,
+        "ann_lsh_topk": f"""
+            WITH sigs AS (
+                SELECT vec_id, embedding,
+                       {_sql_hyperplane_sig("embedding", 6)} AS sig
+                FROM embeddings
+            ), q AS (
+                SELECT vec_id AS query_id, embedding AS qv, sig AS qsig
+                FROM sigs WHERE vec_id < 5
+            ), scored AS (
+                SELECT q.query_id, e.vec_id,
+                       {_sql_cosine("e.embedding", "q.qv")} AS cosine
+                FROM sigs e JOIN q ON e.sig = q.qsig
+                WHERE e.vec_id <> q.query_id
+            ), ranked AS (
+                SELECT query_id, vec_id, cosine,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cosine DESC, vec_id) AS rank
+                FROM scored
+            )
+            SELECT query_id, vec_id, round(cosine, {r}) AS cosine, cast(rank AS int) AS rank
+            FROM ranked WHERE rank <= 10
+        """,
+        "embedding_near_dup": f"""
+            WITH u AS (
+                SELECT vec_id, embedding FROM embeddings
+                UNION ALL
+                SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings
+            ), sigs AS (
+                SELECT vec_id, embedding,
+                       {_sql_hyperplane_sig("embedding", 8)} AS sig
+                FROM u
+            ), pairs AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       {_sql_cosine("a.embedding", "b.embedding")} AS cosine
+                FROM sigs a JOIN sigs b
+                  ON a.sig = b.sig AND a.vec_id < b.vec_id
+            )
+            SELECT id_a, id_b, round(cosine, {r}) AS cosine
+            FROM pairs WHERE cosine >= 0.99
         """,
     }

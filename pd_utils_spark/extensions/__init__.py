@@ -3,6 +3,23 @@ training-data pipeline operators (text analysis, deduplication,
 similarity search, multimodal plumbing). All Spark-DataFrame-native,
 designed for 100 TB-class inputs."""
 
+from pd_utils_spark.extensions.dedup import (
+    dedup_minhash_lsh,
+    exact_dedup,
+    hamming_distance,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signature,
+    simhash,
+    simhash_near_dup_pairs,
+)
+from pd_utils_spark.extensions.similarity import (
+    ann_lsh_topk,
+    brute_force_topk,
+    cosine,
+    embedding_near_dup_pairs,
+    hyperplane_signature,
+)
 from pd_utils_spark.extensions.text import (
     LANG_MARKERS,
     doc_fingerprint,

@@ -1,0 +1,208 @@
+"""Similarity search over embedding columns (``array<float>``):
+brute-force cosine top-k as the exact baseline, and a random-
+hyperplane LSH (SimHash-for-vectors) bucketed variant as the scale
+path. Beyond the reference surface (nickderobertis/pd-utils has no
+vector operators).
+
+Scale design (the 100 TB posture):
+
+- The query set is always the SMALL side: it is broadcast, so
+  brute-force scoring is a map-only pass over the corpus — no
+  shuffle; the only exchange is the final per-query top-k
+  (``row_number`` over query partitions, k rows per query survive).
+- The LSH variant buckets the corpus by hyperplane-sign signature
+  (one shuffle on the signature); each query probes only its own
+  bucket, turning O(|corpus|) scoring per query into
+  O(|bucket|) — the classic recall/cost dial (more planes = smaller
+  buckets = faster + lower recall).
+- All dot products run JVM-side via ``zip_with``/``aggregate`` in
+  DOUBLE precision (left-fold in element order, so results are
+  bit-reproducible and oracle-checkable across engines). No Python
+  UDFs in the hot path.
+
+Hyperplane determinism: plane weights are ±1 derived from md5 parity
+(plane p, dim d -> first hex nibble of ``md5('p:d')`` odd/even), so
+signatures are a pure function of the vector — reproducible across
+engines and runs with no RNG state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Double-precision dot product of two array columns (left fold in
+    element order — bit-reproducible)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity; NULL when either vector has zero norm."""
+    d = dot(a, b)
+    den = norm(a) * norm(b)
+    return F.when(den > 0, d / den)
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    idcol: str = "vec_id",
+    veccol: str = "embedding",
+    qidcol: str = "query_id",
+    exclude_self: bool = True,
+    out_sim: str = "cosine",
+) -> DataFrame:
+    """Exact cosine top-k: every query scored against every corpus
+    vector. ``queries`` must be small — it is broadcast, making this a
+    map-only scan of the corpus plus one top-k exchange.
+
+    Output: (query_id, vec_id, cosine, rank) with rank 1..k per query,
+    ties broken by ``idcol`` ascending for determinism.
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(idcol).alias(qidcol), F.col(veccol).alias("__qvec__")
+    )
+    scored = corpus.select(idcol, veccol).crossJoin(F.broadcast(q))
+    if exclude_self:
+        scored = scored.filter(F.col(idcol) != F.col(qidcol))
+    scored = scored.withColumn(out_sim, cosine(F.col(veccol), F.col("__qvec__")))
+    w = Window.partitionBy(qidcol).orderBy(F.desc(out_sim), F.col(idcol))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qidcol, idcol, out_sim, "rank")
+    )
+
+
+def hyperplane_signature(
+    df: DataFrame,
+    veccol: str = "embedding",
+    planes: int = 8,
+    dims: int | None = None,
+    out: str = "signature",
+) -> DataFrame:
+    """Random-hyperplane sign signature: bit p of the output is 1 iff
+    ``sum_d w(p,d) * vec[d] > 0`` with deterministic md5-parity ±1
+    weights. Vectors close in angle agree on most bits (SimHash for
+    vectors). ``dims`` defaults to the session's first-row vector
+    length; pass it explicitly in production plans."""
+    if dims is None:
+        first = df.select(F.size(veccol).alias("n")).first()
+        if first is None:
+            raise ValueError("empty DataFrame and dims not given")
+        dims = first["n"]
+    sig = None
+    vec = F.col(veccol)
+    for p in range(planes):
+        weights = F.array(*[F.lit(_plane_weight(p, d)) for d in range(dims)])
+        proj = dot(vec, weights)
+        bit = F.when(proj > 0, F.lit(2**p).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        sig = bit if sig is None else sig + bit
+    return df.withColumn(out, sig)
+
+
+def _plane_weight(p: int, d: int) -> float:
+    """Deterministic ±1.0 from md5 parity — engine-portable."""
+    import hashlib
+
+    h = hashlib.md5(f"{p}:{d}".encode()).hexdigest()
+    return 1.0 if int(h[0], 16) % 2 == 1 else -1.0
+
+
+def plane_weight_sql(p: str, d: str) -> str:
+    """DuckDB expression mirroring ``_plane_weight`` for oracle SQL
+    (p, d are SQL expressions)."""
+    return (
+        f"CASE WHEN ('0x' || substr(md5(cast({p} AS varchar) || ':' || "
+        f"cast({d} AS varchar)), 1, 1))::BIGINT % 2 = 1 THEN 1.0 ELSE -1.0 END"
+    )
+
+
+def ann_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    planes: int = 8,
+    dims: int | None = None,
+    idcol: str = "vec_id",
+    veccol: str = "embedding",
+    qidcol: str = "query_id",
+    exclude_self: bool = True,
+    out_sim: str = "cosine",
+) -> DataFrame:
+    """Approximate top-k: queries only score corpus vectors in their
+    own hyperplane-signature bucket, then exact cosine rerank. Recall
+    < 1 by design; raise recall with fewer planes (bigger buckets) or
+    multi-probe (not implemented — document the dial).
+
+    One shuffle (corpus bucketing); the query side is broadcast.
+    """
+    from pyspark.sql import Window
+
+    c = hyperplane_signature(corpus.select(idcol, veccol), veccol, planes, dims)
+    q = hyperplane_signature(
+        queries.select(F.col(idcol).alias(qidcol), F.col(veccol).alias("__qvec__")),
+        "__qvec__",
+        planes,
+        dims,
+    ).withColumnRenamed("signature", "__qsig__")
+    joined = c.join(
+        F.broadcast(q), F.col("signature") == F.col("__qsig__"), "inner"
+    )
+    if exclude_self:
+        joined = joined.filter(F.col(idcol) != F.col(qidcol))
+    scored = joined.withColumn(out_sim, cosine(F.col(veccol), F.col("__qvec__")))
+    w = Window.partitionBy(qidcol).orderBy(F.desc(out_sim), F.col(idcol))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qidcol, idcol, out_sim, "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.99,
+    planes: int = 8,
+    dims: int | None = None,
+    idcol: str = "vec_id",
+    veccol: str = "embedding",
+    out_sim: str = "cosine",
+) -> DataFrame:
+    """Near-duplicate vector pairs (cosine >= threshold), candidates
+    generated by shared hyperplane signature — near-identical vectors
+    agree on every sign bit, so recall at thresholds ~>=0.95 is high
+    while the join stays bucket-local. Output (id_a, id_b, cosine)
+    with id_a < id_b."""
+    sig = hyperplane_signature(df.select(idcol, veccol), veccol, planes, dims)
+    a = sig.alias("a")
+    b = sig.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.signature") == F.col("b.signature"))
+            & (F.col(f"a.{idcol}") < F.col(f"b.{idcol}")),
+        )
+        .select(
+            F.col(f"a.{idcol}").alias("id_a"),
+            F.col(f"b.{idcol}").alias("id_b"),
+            cosine(F.col(f"a.{veccol}"), F.col(f"b.{veccol}")).alias(out_sim),
+        )
+        .filter(F.col(out_sim) >= threshold)
+    )
+    return pairs

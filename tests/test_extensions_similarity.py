@@ -1,0 +1,114 @@
+"""Tests for similarity-search extension operators
+(pd_utils_spark/extensions/similarity.py)."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pd_utils_spark.extensions import similarity as S
+
+VECS = pd.DataFrame(
+    {
+        "vec_id": [0, 1, 2, 3],
+        "embedding": [
+            [1.0, 0.0, 0.0],
+            [0.9, 0.1, 0.0],   # close to 0
+            [0.0, 1.0, 0.0],   # orthogonal to 0
+            [-1.0, 0.0, 0.0],  # opposite of 0
+        ],
+    }
+)
+
+
+@pytest.fixture()
+def vecs(spark):
+    return spark.createDataFrame(VECS).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+
+
+class TestBruteForce:
+    def test_ranking(self, vecs):
+        q = vecs.filter("vec_id = 0")
+        out = S.brute_force_topk(vecs, q, k=3).collect()
+        ranked = [(r.vec_id, r.rank) for r in sorted(out, key=lambda r: r.rank)]
+        assert ranked == [(1, 1), (2, 2), (3, 3)]
+        sims = {r.vec_id: r.cosine for r in out}
+        assert sims[1] == pytest.approx(0.9 / math.sqrt(0.82), rel=1e-6)
+        assert sims[2] == pytest.approx(0.0, abs=1e-12)
+        assert sims[3] == pytest.approx(-1.0, rel=1e-12)
+
+    def test_exclude_self(self, vecs):
+        q = vecs.filter("vec_id = 0")
+        ids = {r.vec_id for r in S.brute_force_topk(vecs, q, k=10).collect()}
+        assert 0 not in ids
+        ids2 = {
+            r.vec_id
+            for r in S.brute_force_topk(vecs, q, k=10, exclude_self=False).collect()
+        }
+        assert 0 in ids2
+
+    def test_zero_vector_null_cosine(self, spark):
+        df = spark.createDataFrame(
+            pd.DataFrame({"vec_id": [0, 1], "embedding": [[0.0, 0.0], [1.0, 0.0]]})
+        ).withColumn("embedding", F.col("embedding").cast("array<float>"))
+        q = df.filter("vec_id = 1")
+        rows = S.brute_force_topk(df, q, k=5).collect()
+        assert [r.cosine for r in rows] == [None]
+
+
+class TestLSH:
+    def test_identical_vectors_share_signature(self, vecs):
+        dup = vecs.unionByName(
+            vecs.select((F.col("vec_id") + 100).alias("vec_id"), "embedding")
+        )
+        sig = {r.vec_id: r.signature for r in S.hyperplane_signature(dup, planes=8).collect()}
+        for i in range(4):
+            assert sig[i] == sig[i + 100]
+
+    def test_near_dup_pairs_find_copies(self, vecs):
+        dup = vecs.unionByName(
+            vecs.select((F.col("vec_id") + 100).alias("vec_id"), "embedding")
+        )
+        pairs = {
+            (r.id_a, r.id_b): r.cosine
+            for r in S.embedding_near_dup_pairs(dup, threshold=0.99).collect()
+        }
+        for i in range(4):
+            assert pairs[(i, i + 100)] == pytest.approx(1.0)
+
+    def test_ann_subset_of_brute_force_scores(self, spark):
+        import numpy as np
+
+        rng = np.random.RandomState(7)
+        pdf = pd.DataFrame(
+            {
+                "vec_id": range(100),
+                "embedding": [rng.randn(16).astype("float32").tolist() for _ in range(100)],
+            }
+        )
+        df = spark.createDataFrame(pdf).withColumn(
+            "embedding", F.col("embedding").cast("array<float>")
+        )
+        q = df.filter("vec_id < 2")
+        ann = S.ann_lsh_topk(df, q, k=5, planes=4, dims=16).collect()
+        # ANN results must be genuine cosine values and unique per query
+        seen = set()
+        for r in ann:
+            assert (r.query_id, r.vec_id) not in seen
+            seen.add((r.query_id, r.vec_id))
+            assert -1.0001 <= r.cosine <= 1.0001
+
+    def test_empty_df_needs_dims(self, spark):
+        # hyperplane_signature on an empty frame without dims raises
+        df = (
+            spark.createDataFrame(pd.DataFrame({"vec_id": [1], "embedding": [[1.0, 2.0]]}))
+            .withColumn("embedding", F.col("embedding").cast("array<float>"))
+            .filter("vec_id < 0")
+        )
+        with pytest.raises(ValueError, match="dims"):
+            S.hyperplane_signature(df, planes=2)
