@@ -22,6 +22,7 @@ import pd_utils_spark as pus
 from pd_utils_spark.extensions import dedup as pus_dedup
 from pd_utils_spark.extensions import similarity as pus_sim
 from pd_utils_spark.extensions import text as pus_text
+from pd_utils_spark import streaming as pus_stream
 
 _ROUND = 6
 
@@ -334,6 +335,44 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_doubles(out)
 
 
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    out = pus_stream.tumbling_window_agg(
+        ev, "ts", "1 hour", keys="event_type", aggs={"value": "sum", "event_id": "count"}
+    )
+    return _round_doubles(out.drop("window_end"))
+
+
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    out = pus_stream.sliding_window_agg(
+        ev, "ts", "1 hour", "30 minutes", keys="event_type", aggs={"value": "avg"}
+    )
+    return _round_doubles(out.drop("window_end"))
+
+
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    out = pus_stream.session_window_agg(
+        ev, "ts", "30 minutes", keys="user_id", aggs={"value": "sum", "event_id": "count"}
+    )
+    return _round_doubles(out)
+
+
+def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    out = pus_stream.extract_json_props(ev, "props", {"k": "int"})
+    return (
+        out.groupBy("event_type")
+        .agg(
+            F.avg("k").alias("k_avg"),
+            F.sum("k").cast("bigint").alias("k_sum"),
+            F.count("k").alias("k_count"),
+        )
+        .withColumn("k_avg", F.round("k_avg", _ROUND))
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_averages(spark, "/root/testdata/sf0.001")
@@ -376,6 +415,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "embedding_near_dup": q_embedding_near_dup,
+        "tumbling_window": q_tumbling_window,
+        "sliding_window": q_sliding_window,
+        "session_window": q_session_window,
+        "events_json_props": q_events_json_props,
     }
 
 
@@ -851,5 +894,48 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id_a, id_b, round(cosine, {r}) AS cosine
             FROM pairs WHERE cosine >= 0.99
+        """,
+        "tumbling_window": f"""
+            SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+                   event_type,
+                   round(sum(value), {r}) AS value_sum,
+                   count(event_id) AS event_id_count
+            FROM events GROUP BY 1, 2
+        """,
+        "sliding_window": f"""
+            WITH w AS (
+                SELECT time_bucket(INTERVAL 30 MINUTE, ts) - t.i * INTERVAL 30 MINUTE AS window_start,
+                       event_type, value
+                FROM events, range(0, 2) t(i)
+            )
+            SELECT window_start, event_type, round(avg(value), {r}) AS value_avg
+            FROM w GROUP BY 1, 2
+        """,
+        "session_window": f"""
+            WITH m AS (
+                SELECT user_id, ts, value, event_id,
+                       CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                              OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                 > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+            ), s AS (
+                SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                           ROWS UNBOUNDED PRECEDING) AS sid
+                FROM m
+            )
+            SELECT min(ts) AS session_start,
+                   max(ts) + INTERVAL 30 MINUTE AS session_end,
+                   user_id,
+                   round(sum(value), {r}) AS value_sum,
+                   count(event_id) AS event_id_count
+            FROM s GROUP BY user_id, sid
+        """,
+        "events_json_props": f"""
+            SELECT event_type,
+                   round(avg(json_extract_string(props, '$.k')::INT), {r}) AS k_avg,
+                   sum(json_extract_string(props, '$.k')::INT)::BIGINT AS k_sum,
+                   count(json_extract_string(props, '$.k')::INT) AS k_count
+            FROM events GROUP BY event_type
         """,
     }

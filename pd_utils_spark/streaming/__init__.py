@@ -1,0 +1,11 @@
+"""Structured-Streaming-compatible event-time operators (engine
+extension; the reference is batch-only)."""
+
+from pd_utils_spark.streaming.windows import (
+    extract_json_props,
+    read_event_stream,
+    session_window_agg,
+    sliding_window_agg,
+    tumbling_window_agg,
+    with_watermark,
+)

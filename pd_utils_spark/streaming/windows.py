@@ -1,0 +1,159 @@
+"""Event-time window operators, written once to run in BOTH batch and
+Structured Streaming mode (the reference, nickderobertis/pd-utils, is
+batch-only — SURVEY.md §2.10; this module is the engine extension for
+the ``events`` stream shape).
+
+Design rules:
+
+- Operators take and return DataFrames; whether the input came from
+  ``spark.read`` or ``spark.readStream`` decides the execution mode.
+  Under streaming, set ``watermark=`` so state for closed windows is
+  dropped (unbounded state otherwise — the classic streaming OOM).
+- Aggregations are expressed with built-in window functions
+  (``F.window`` / ``F.session_window``), which Spark executes with
+  incremental state stores under streaming and plain hash aggregation
+  in batch — one code path, two physical strategies.
+- At 100 TB / high-rate streams, per-key state is partitioned by the
+  grouping keys; skewed keys (one hot user) are the scale risk —
+  compose with salting or pre-aggregation upstream where needed.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pd_utils_spark.utils import to_list
+
+
+def _agg_exprs(aggs: Mapping[str, str] | Sequence[Column]) -> list[Column]:
+    """``{'value': 'sum'}``-style maps become ``F.sum('value').alias
+    ('value_sum')``; alternatively pass Column expressions directly."""
+    if isinstance(aggs, Mapping):
+        out = []
+        for col, func in aggs.items():
+            if func == "count":
+                out.append(F.count(col).alias(f"{col}_count"))
+            else:
+                out.append(getattr(F, func)(col).alias(f"{col}_{func}"))
+        return out
+    return list(aggs)
+
+
+def with_watermark(df: DataFrame, tscol: str = "ts", delay: str = "10 minutes") -> DataFrame:
+    """Declare event-time lateness tolerance; required for streaming
+    window aggregations to bound state. No-op on batch DataFrames'
+    results (Spark accepts and ignores it in batch plans)."""
+    return df.withWatermark(tscol, delay)
+
+
+def tumbling_window_agg(
+    df: DataFrame,
+    tscol: str = "ts",
+    duration: str = "1 hour",
+    keys: str | Sequence[str] | None = None,
+    aggs: Mapping[str, str] | Sequence[Column] | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Fixed non-overlapping event-time windows; output has
+    ``window_start``/``window_end`` plus keys and aggregates.
+    Runs under batch and streaming unchanged."""
+    if watermark is not None:
+        df = df.withWatermark(tscol, watermark)
+    aggs = aggs if aggs is not None else {tscol: "count"}
+    keys_l = to_list(keys)
+    grouped = df.groupBy(F.window(tscol, duration).alias("__w__"), *keys_l)
+    out = grouped.agg(*_agg_exprs(aggs))
+    return out.select(
+        F.col("__w__.start").alias("window_start"),
+        F.col("__w__.end").alias("window_end"),
+        *keys_l,
+        *[c for c in out.columns if c not in ("__w__", *keys_l)],
+    )
+
+
+def sliding_window_agg(
+    df: DataFrame,
+    tscol: str = "ts",
+    duration: str = "1 hour",
+    slide: str = "30 minutes",
+    keys: str | Sequence[str] | None = None,
+    aggs: Mapping[str, str] | Sequence[Column] | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Overlapping event-time windows (each event lands in
+    duration/slide windows)."""
+    if watermark is not None:
+        df = df.withWatermark(tscol, watermark)
+    aggs = aggs if aggs is not None else {tscol: "count"}
+    keys_l = to_list(keys)
+    grouped = df.groupBy(F.window(tscol, duration, slide).alias("__w__"), *keys_l)
+    out = grouped.agg(*_agg_exprs(aggs))
+    return out.select(
+        F.col("__w__.start").alias("window_start"),
+        F.col("__w__.end").alias("window_end"),
+        *keys_l,
+        *[c for c in out.columns if c not in ("__w__", *keys_l)],
+    )
+
+
+def session_window_agg(
+    df: DataFrame,
+    tscol: str = "ts",
+    gap: str = "30 minutes",
+    keys: str | Sequence[str] | None = None,
+    aggs: Mapping[str, str] | Sequence[Column] | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Data-driven session windows: a session extends while successive
+    events arrive within ``gap``; ``session_end`` = last event + gap
+    (Spark's session_window contract). Streaming requires a
+    watermark."""
+    if watermark is not None:
+        df = df.withWatermark(tscol, watermark)
+    aggs = aggs if aggs is not None else {tscol: "count"}
+    keys_l = to_list(keys)
+    grouped = df.groupBy(F.session_window(tscol, gap).alias("__w__"), *keys_l)
+    out = grouped.agg(*_agg_exprs(aggs))
+    return out.select(
+        F.col("__w__.start").alias("session_start"),
+        F.col("__w__.end").alias("session_end"),
+        *keys_l,
+        *[c for c in out.columns if c not in ("__w__", *keys_l)],
+    )
+
+
+def extract_json_props(
+    df: DataFrame,
+    propscol: str = "props",
+    fields: Mapping[str, str] | None = None,
+) -> DataFrame:
+    """Pull typed fields out of a JSON-string column:
+    ``fields={'k': 'int'}`` adds column ``k`` as int. Uses
+    ``get_json_object`` (JVM-side, streaming-safe); for deeply nested
+    fixed schemas prefer ``F.from_json`` with an explicit schema."""
+    fields = fields or {"k": "int"}
+    out = df
+    for name, dtype in fields.items():
+        out = out.withColumn(
+            name, F.get_json_object(F.col(propscol), f"$.{name}").cast(dtype)
+        )
+    return out
+
+
+def read_event_stream(
+    spark,
+    path: str,
+    schema,
+    fmt: str = "json",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream reader (the standard test/replay harness for
+    event pipelines; swap for kafka in production — same downstream
+    operators)."""
+    reader = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)

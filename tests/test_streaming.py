@@ -1,0 +1,134 @@
+"""Streaming-module tests: batch semantics of the window operators
+plus a REAL Structured Streaming run (file source -> watermark ->
+tumbling window -> memory sink)."""
+
+from __future__ import annotations
+
+import json
+import shutil
+import tempfile
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from pd_utils_spark import streaming as W
+
+EVENTS = pd.DataFrame(
+    {
+        "ts": pd.to_datetime(
+            [
+                "2024-01-01 00:05:00",
+                "2024-01-01 00:20:00",
+                "2024-01-01 00:50:00",
+                "2024-01-01 02:00:00",  # new session for u1 (gap > 30m)
+                "2024-01-01 00:10:00",
+            ]
+        ),
+        "user_id": [1, 1, 1, 1, 2],
+        "event_type": ["view", "view", "click", "view", "view"],
+        "value": [1.0, 2.0, 3.0, 4.0, 10.0],
+        "props": ['{"k": 1}', '{"k": 2}', '{"k": 3}', '{"k": 4}', '{"k": 5}'],
+    }
+)
+
+
+@pytest.fixture()
+def events(spark):
+    return spark.createDataFrame(EVENTS)
+
+
+class TestBatchWindows:
+    def test_tumbling(self, events):
+        out = W.tumbling_window_agg(
+            events, "ts", "1 hour", keys="event_type", aggs={"value": "sum"}
+        ).toPandas()
+        views_h0 = out[
+            (out.event_type == "view")
+            & (out.window_start == pd.Timestamp("2024-01-01 00:00:00"))
+        ]
+        assert views_h0.value_sum.iloc[0] == 13.0  # 1+2+10
+        assert set(out.columns) == {"window_start", "window_end", "event_type", "value_sum"}
+
+    def test_sliding_doubles_membership(self, events):
+        out = W.sliding_window_agg(
+            events, "ts", "1 hour", "30 minutes", aggs={"value": "count"}
+        ).toPandas()
+        # each event appears in exactly 2 windows
+        assert out.value_count.sum() == 2 * len(EVENTS)
+
+    def test_session_windows(self, events):
+        out = W.session_window_agg(
+            events, "ts", "30 minutes", keys="user_id", aggs={"value": "sum"}
+        ).toPandas()
+        u1 = out[out.user_id == 1].sort_values("session_start")
+        # u1: 00:05/00:20/00:50 chain into ONE session — an event at
+        # exactly prev+gap still merges (Spark's boundary is
+        # inclusive); 02:00 starts a new session
+        assert len(u1) == 2
+        assert u1.value_sum.tolist() == [6.0, 4.0]
+        # session_end = last event + gap
+        assert u1.session_end.iloc[0] == pd.Timestamp("2024-01-01 01:20:00")
+
+    def test_extract_json_props(self, events):
+        out = W.extract_json_props(events, "props", {"k": "int"}).toPandas()
+        assert out.k.tolist() == [1, 2, 3, 4, 5]
+
+
+class TestRealStreaming:
+    def test_file_stream_tumbling_window(self, spark):
+        src = tempfile.mkdtemp(prefix="stream_src_")
+        try:
+            with open(f"{src}/batch1.json", "w") as f:
+                for _, row in EVENTS.iterrows():
+                    f.write(
+                        json.dumps(
+                            {
+                                "ts": row.ts.isoformat(sep=" "),
+                                "user_id": int(row.user_id),
+                                "event_type": row.event_type,
+                                "value": row.value,
+                            }
+                        )
+                        + "\n"
+                    )
+            schema = StructType(
+                [
+                    StructField("ts", TimestampType()),
+                    StructField("user_id", StringType()),
+                    StructField("event_type", StringType()),
+                    StructField("value", DoubleType()),
+                ]
+            )
+            stream = W.read_event_stream(spark, src, schema, fmt="json")
+            assert stream.isStreaming
+            agg = W.tumbling_window_agg(
+                stream,
+                "ts",
+                "1 hour",
+                keys="event_type",
+                aggs={"value": "sum"},
+                watermark="10 minutes",
+            )
+            q = (
+                agg.writeStream.format("memory")
+                .queryName("tumbling_test")
+                .outputMode("complete")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(60)
+            got = spark.sql(
+                "SELECT event_type, sum(value_sum) AS total FROM tumbling_test GROUP BY 1"
+            ).toPandas()
+            totals = dict(zip(got.event_type, got.total))
+            assert totals == {"view": 17.0, "click": 3.0}
+        finally:
+            shutil.rmtree(src, ignore_errors=True)
