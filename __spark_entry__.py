@@ -23,6 +23,7 @@ from pd_utils_spark.extensions import dedup as pus_dedup
 from pd_utils_spark.extensions import similarity as pus_sim
 from pd_utils_spark.extensions import text as pus_text
 from pd_utils_spark import streaming as pus_stream
+from pd_utils_spark.extensions import multimodal as pus_mm
 
 _ROUND = 6
 
@@ -373,6 +374,18 @@ def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: documents text -> binary payload ->
+    Arrow-batched byte features via mapInPandas. No oracle_sql entry
+    (pandas-UDF kernel; the driver records a rows-only check)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    media = pus_mm.text_to_media(d)
+    out = pus_mm.byte_features(media)
+    return _round_doubles(
+        out.select("media_id", "n_bytes", "byte_entropy")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_averages(spark, "/root/testdata/sf0.001")
@@ -419,6 +432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_window": q_sliding_window,
         "session_window": q_session_window,
         "events_json_props": q_events_json_props,
+        "media_byte_features": q_media_byte_features,
     }
 
 
