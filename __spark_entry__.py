@@ -386,6 +386,143 @@ def q_media_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cumulate_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _li_unique_lines(spark, sf_dir, "l_discount", F.max)
+    out = pus.cumulate(
+        li, "l_discount", "first", periodvar="l_linenumber", byvars="l_orderkey",
+        grossify=True,
+    )
+    return _round_doubles(out)
+
+
+def q_left_merge_latest_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+
+    ev = _t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "event_id", "value")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("click_value")
+    )
+    out = pus.left_merge_latest(
+        views, clicks, on="user_id", left_datevar="ts", right_datevar="ts",
+        max_offset=datetime.timedelta(hours=2),
+    )
+    return _round_doubles(out)
+
+
+def q_portfolio_cutoffs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return _round_doubles(
+        pus.portfolio(o, "o_totalprice", cutoffs=[100000.0, 200000.0])
+    )
+
+
+def q_portfolio_cutdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice", "o_orderdate"
+    )
+    cutdf = o.filter(F.col("o_orderdate") < F.lit("1995-01-01"))
+    out = pus.portfolio(
+        o.drop("o_orderdate"), "o_totalprice", ngroups=4,
+        byvars="o_orderpriority", cutdf=cutdf.drop("o_orderdate"),
+    )
+    return _round_doubles(out)
+
+
+def q_expand_time_annual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    return pus.expand_time(
+        o, datevar="o_orderdate", freq="a", time=[1, 2], newdate="shift_date", shiftvar="shift_n"
+    )
+
+
+def q_expand_time_tradedays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    td = pus.trading_day_dimension(spark, "1990-01-01", "2005-12-31")
+    return pus.expand_time(
+        o, datevar="o_orderdate", freq="d", time=[1, 5, 20],
+        newdate="shift_date", shiftvar="shift_n", trading_days=td,
+    )
+
+
+def q_year_month_sas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    sas = o.withColumn(
+        "sas_days", F.datediff(F.col("o_orderdate"), F.lit("1960-01-01").cast("date"))
+    )
+    conv = sas.withColumn("date_back", pus.convert_sas_date_to_date("sas_days"))
+    out = pus.year_month_from_date(conv, date="date_back")
+    return out.select(
+        "o_orderkey",
+        F.col("sas_days").cast("bigint").alias("sas_days"),
+        F.col("date_back").cast("date").alias("date_back"),
+        F.col("Year").cast("bigint").alias("year"),
+        F.col("Month").cast("bigint").alias("month"),
+    )
+
+
+def q_formatted_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return pus.formatted_corr_df(li, ["l_quantity", "l_extendedprice", "l_discount"])
+
+
+def q_groupby_merge_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_extendedprice")
+    return _round_doubles(
+        pus.groupby_merge(li, "l_orderkey", "median", subset="l_extendedprice")
+    )
+
+
+def q_sql_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    return pus.sql(
+        [li, o],
+        """
+        SELECT o.o_orderpriority,
+               round(sum(li.l_extendedprice * (1 - li.l_discount)), 4) AS revenue,
+               count(*) AS n
+        FROM li_view li
+        JOIN o_view o ON li.l_orderkey = o.o_orderkey
+        WHERE o.o_orderstatus = 'F'
+        GROUP BY o.o_orderpriority
+        """,
+    )
+
+
+def q_apply_func_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    out = pus.apply_func_to_unique_and_merge(
+        p, "p_brand", lambda v: hashlib.md5(str(v).encode()).hexdigest(),
+        output_type="string", output_col="brand_hash",
+    )
+    return out.select("p_partkey", "p_brand", "brand_hash")
+
+
+def q_reg_by_stderr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice")
+    out = pus.reg_by(
+        li, "l_extendedprice", "l_quantity", "l_partkey", cons=True, stderr=True
+    )
+    return _round_doubles(out, 4)
+
+
+def q_fillna_str_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_custkey",
+        F.when(F.col("c_custkey") % 3 == 0, None)
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg"),
+    )
+    out = pus.fillna_by_groups(
+        c, "c_nationkey", str_vars="first", num_vars="mean", ordervar="c_custkey"
+    )
+    return _round_doubles(out)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_averages(spark, "/root/testdata/sf0.001")
@@ -433,6 +570,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_window": q_session_window,
         "events_json_props": q_events_json_props,
         "media_byte_features": q_media_byte_features,
+        "cumulate_first": q_cumulate_first,
+        "left_merge_latest_offset": q_left_merge_latest_offset,
+        "portfolio_cutoffs": q_portfolio_cutoffs,
+        "portfolio_cutdf": q_portfolio_cutdf,
+        "expand_time_annual": q_expand_time_annual,
+        "expand_time_tradedays": q_expand_time_tradedays,
+        "year_month_sas": q_year_month_sas,
+        "formatted_corr": q_formatted_corr,
+        "groupby_merge_median": q_groupby_merge_median,
+        "sql_join": q_sql_join,
+        "apply_func_unique": q_apply_func_unique,
+        "reg_by_stderr": q_reg_by_stderr,
+        "fillna_str_first": q_fillna_str_first,
     }
 
 
@@ -951,5 +1101,163 @@ def oracle_sql() -> dict[str, str]:
                    sum(json_extract_string(props, '$.k')::INT)::BIGINT AS k_sum,
                    count(json_extract_string(props, '$.k')::INT) AS k_count
             FROM events GROUP BY event_type
+        """,
+        "cumulate_first": f"""
+            WITH uniq AS (
+                SELECT l_orderkey, l_linenumber, max(l_discount) AS l_discount
+                FROM lineitem GROUP BY 1, 2
+            ), b AS (
+                SELECT *, CASE WHEN l_linenumber = (SELECT min(l_linenumber) FROM uniq)
+                               THEN 0 ELSE 1 END AS w
+                FROM uniq
+            )
+            SELECT l_orderkey, l_linenumber, round(l_discount, {r}) AS l_discount,
+                   round(exp(sum(ln(1 + l_discount)) OVER (
+                       PARTITION BY l_orderkey, w ORDER BY l_linenumber
+                       ROWS UNBOUNDED PRECEDING)) - 1, {r}) AS cum_l_discount
+            FROM b
+        """,
+        "left_merge_latest_offset": f"""
+            WITH views AS (
+                SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'view'
+            ), clicks AS (
+                SELECT user_id, ts, value AS click_value FROM events WHERE event_type = 'click'
+            )
+            SELECT a.user_id, a.ts, a.event_id, round(a.value, {r}) AS value,
+                   b.ts AS ts_y, round(b.click_value, {r}) AS click_value
+            FROM views a
+            LEFT JOIN clicks b
+              ON a.user_id = b.user_id AND b.ts <= a.ts
+             AND b.ts >= a.ts - INTERVAL 2 HOUR
+             AND b.ts = (SELECT max(b2.ts) FROM clicks b2
+                         WHERE b2.user_id = a.user_id AND b2.ts <= a.ts
+                           AND b2.ts >= a.ts - INTERVAL 2 HOUR)
+        """,
+        "portfolio_cutoffs": f"""
+            WITH bounds AS (
+                SELECT min(o_totalprice) AS c0, max(o_totalprice) AS c3 FROM orders
+            )
+            SELECT o_orderkey, round(o_totalprice, {r}) AS o_totalprice,
+                   CAST(CASE WHEN o_totalprice BETWEEN 200000.0 AND c3 THEN 3
+                             WHEN o_totalprice BETWEEN 100000.0 AND 200000.0 THEN 2
+                             WHEN o_totalprice BETWEEN c0 AND 100000.0 THEN 1
+                             ELSE 0 END AS bigint) AS portfolio
+            FROM orders CROSS JOIN bounds
+        """,
+        "portfolio_cutdf": f"""
+            WITH cuts AS (
+                SELECT o_orderpriority,
+                       {", ".join(f"quantile_cont(o_totalprice, {i / 4}) AS c{i}" for i in range(5))}
+                FROM orders WHERE o_orderdate < DATE '1995-01-01'
+                GROUP BY o_orderpriority
+            )
+            SELECT o.o_orderkey, o.o_orderpriority, round(o.o_totalprice, {r}) AS o_totalprice,
+                   CAST(CASE {" ".join(f"WHEN o_totalprice >= c{i} AND o_totalprice <= c{i + 1} THEN {i + 1}" for i in range(4))}
+                        ELSE 0 END AS bigint) AS portfolio
+            FROM orders o LEFT JOIN cuts USING (o_orderpriority)
+        """,
+        "expand_time_annual": """
+            SELECT o_orderkey, o_orderdate, s.shift_n,
+                   o_orderdate + s.shift_n * INTERVAL 1 YEAR AS shift_date
+            FROM orders CROSS JOIN (VALUES (1), (2)) s(shift_n)
+        """,
+        "expand_time_tradedays": f"""
+            WITH td AS (
+                SELECT d AS td_date, row_number() OVER (ORDER BY d) AS td_index
+                FROM (SELECT unnest(generate_series(DATE '1990-01-01', DATE '2005-12-31',
+                                                    INTERVAL 1 DAY))::DATE AS d)
+                WHERE isodow(d) NOT IN (6, 7) AND d NOT IN ({_holiday_sql_list()})
+            ), ex AS (
+                SELECT o_orderkey, o_orderdate, s.shift_n
+                FROM orders CROSS JOIN (VALUES (1), (5), (20)) s(shift_n)
+            ), base AS (
+                SELECT ex.*, td.td_index AS base_idx
+                FROM ex ASOF LEFT JOIN td ON ex.o_orderdate >= td.td_date
+            )
+            SELECT b.o_orderkey, b.o_orderdate, b.shift_n,
+                   t.td_date::TIMESTAMP AS shift_date
+            FROM base b LEFT JOIN td t ON t.td_index = b.base_idx + b.shift_n
+        """,
+        "year_month_sas": """
+            SELECT o_orderkey,
+                   datediff('day', DATE '1960-01-01', o_orderdate) AS sas_days,
+                   o_orderdate::DATE AS date_back,
+                   year(o_orderdate) AS year,
+                   month(o_orderdate) AS month
+            FROM orders
+        """,
+        "formatted_corr": """
+            WITH c AS (
+                SELECT corr(l_quantity, l_quantity) AS qq,
+                       corr(l_extendedprice, l_quantity) AS eq,
+                       corr(l_extendedprice, l_extendedprice) AS ee,
+                       corr(l_discount, l_quantity) AS dq,
+                       corr(l_discount, l_extendedprice) AS de,
+                       corr(l_discount, l_discount) AS dd
+                FROM lineitem
+            )
+            SELECT 'l_quantity' AS variable, printf('%.2f', qq) AS l_quantity,
+                   '' AS l_extendedprice, '' AS l_discount FROM c
+            UNION ALL
+            SELECT 'l_extendedprice', printf('%.2f', eq), printf('%.2f', ee), '' FROM c
+            UNION ALL
+            SELECT 'l_discount', printf('%.2f', dq), printf('%.2f', de), printf('%.2f', dd) FROM c
+        """,
+        "groupby_merge_median": f"""
+            SELECT l_orderkey, l_linenumber, round(l_extendedprice, {r}) AS l_extendedprice,
+                   round(median(l_extendedprice) OVER (PARTITION BY l_orderkey), {r})
+                       AS l_extendedprice_median
+            FROM lineitem
+        """,
+        "sql_join": """
+            SELECT o.o_orderpriority,
+                   round(sum(li.l_extendedprice * (1 - li.l_discount)), 4) AS revenue,
+                   count(*) AS n
+            FROM lineitem li
+            JOIN orders o ON li.l_orderkey = o.o_orderkey
+            WHERE o.o_orderstatus = 'F'
+            GROUP BY o.o_orderpriority
+        """,
+        "apply_func_unique": """
+            SELECT p_partkey, p_brand, md5(p_brand) AS brand_hash FROM part
+        """,
+        "reg_by_stderr": """
+            WITH base AS (
+                SELECT l_partkey AS g, l_quantity AS x, l_extendedprice AS y
+                FROM lineitem WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+            ), st AS (
+                SELECT g, regr_slope(y, x) AS b, regr_intercept(y, x) AS a,
+                       avg(x) AS xm, count(*) AS n, regr_sxx(y, x) AS sxx
+                FROM base GROUP BY g
+            ), res AS (
+                SELECT base.g, base.x, base.y, st.a, st.b, st.xm, st.n, st.sxx
+                FROM base JOIN st USING (g)
+            ), agg AS (
+                SELECT g, any_value(n) AS n, any_value(a) AS a, any_value(b) AS b,
+                       any_value(sxx) AS sxx,
+                       sum(pow(y - a - b * x, 2) * pow(x - xm, 2)) AS meat_b,
+                       sum(pow(y - a - b * x, 2) * pow(1.0 / n - xm * (x - xm) / sxx, 2)) AS meat_a
+                FROM res GROUP BY g
+            )
+            SELECT round(CASE WHEN n >= 3 THEN a END, 4) AS const,
+                   round(CASE WHEN n >= 3 THEN b END, 4) AS coef_l_quantity,
+                   cast(g AS varchar) AS l_partkey,
+                   round(CASE WHEN n >= 3 THEN sqrt(n / (n - 2.0) * meat_a) END, 4) AS stderr_const,
+                   round(CASE WHEN n >= 3 THEN sqrt(n / (n - 2.0) * meat_b / pow(sxx, 2)) END, 4)
+                       AS stderr_l_quantity
+            FROM agg
+        """,
+        "fillna_str_first": f"""
+            WITH base AS (
+                SELECT c_nationkey, c_custkey,
+                       CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_mktsegment END AS seg
+                FROM customer
+            )
+            SELECT c_nationkey,
+                   cast(c_custkey AS double) AS c_custkey,
+                   coalesce(seg, first_value(seg IGNORE NULLS) OVER (
+                       PARTITION BY c_nationkey ORDER BY c_custkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) AS seg
+            FROM base
         """,
     }
