@@ -307,8 +307,10 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """48-bit simhash: 12-bit pigeonhole blocks keep buckets sparse so
+    the candidate join stays ~linear (16 bits saturates at 10k+ docs)."""
     u = _docs_with_copies(spark, sf_dir)
-    return pus_dedup.simhash_near_dup_pairs(u, bits=16, max_hamming=3).select(
+    return pus_dedup.simhash_near_dup_pairs(u, bits=48, max_hamming=3).select(
         "id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming")
     )
 
@@ -611,6 +613,29 @@ _SQL_DOC_UNION = (
 )
 _EN_STOPS = ("the", "a", "and", "is", "not", "of", "to", "in")
 
+# universal-hash minhash pieces mirroring extensions.dedup
+_SQL_MH_BASE = "((('0x' || substr(md5({x}), 1, 15))::BIGINT) & 2147483647)"
+
+
+def _sql_minhash_values() -> str:
+    from pd_utils_spark.extensions.dedup import _minhash_coeffs
+
+    rows = ", ".join(
+        f"({i}, {a}::BIGINT, {c}::BIGINT)" for i, (a, c) in enumerate(_minhash_coeffs(12))
+    )
+    return f"(VALUES {rows})"
+
+
+def _sql_minhash_sig_list(s: str = "s") -> str:
+    from pd_utils_spark.extensions.dedup import _minhash_coeffs
+
+    base = _SQL_MH_BASE.format(x="x")
+    terms = ", ".join(
+        f"list_min(list_transform({s}, x -> ({a} * {base} + {c}) % 2147483647))"
+        for a, c in _minhash_coeffs(12)
+    )
+    return f"[{terms}]"
+
 # double-precision left-fold dot product / cosine between two FLOAT[]
 # columns, element order preserved -> bit-identical to Spark's
 # zip_with/aggregate form
@@ -847,10 +872,20 @@ def oracle_sql() -> dict[str, str]:
             FROM base
         """,
         "reg_by": """
-            SELECT round(regr_intercept(l_extendedprice, l_quantity), 4) AS const,
-                   round(regr_slope(l_extendedprice, l_quantity), 4) AS coef_l_quantity,
+            WITH m AS (
+                SELECT l_partkey,
+                       sum(1.0) AS n, sum(1.0 * l_quantity) AS sx,
+                       sum(l_quantity * l_quantity) AS sxx,
+                       sum(1.0 * l_extendedprice) AS sy,
+                       sum(l_quantity * l_extendedprice) AS sxy
+                FROM lineitem
+                WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+                GROUP BY l_partkey
+            )
+            SELECT round(CASE WHEN n >= 3 THEN (sxx * sy - sx * sxy) / (n * sxx - sx * sx) END, 4) AS const,
+                   round(CASE WHEN n >= 3 THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END, 4) AS coef_l_quantity,
                    cast(l_partkey AS varchar) AS l_partkey
-            FROM lineitem GROUP BY l_partkey
+            FROM m
         """,
         "sql_interface": """
             SELECT l_returnflag, l_linestatus,
@@ -938,17 +973,16 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, {_SQL_SHINGLES} AS s FROM documents
             )
             SELECT doc_id, t.i AS seed,
-                   list_min(list_transform(s, x -> md5(cast(t.i AS varchar) || ':' || x))) AS minhash
-            FROM sh, range(0, 12) t(i)
+                   list_min(list_transform(s,
+                       x -> (t.a * {_SQL_MH_BASE.format(x="x")} + t.c) % 2147483647)) AS minhash
+            FROM sh, {_sql_minhash_values()} t(i, a, c)
         """,
         "lsh_jaccard_pairs": f"""
             WITH u AS ({_SQL_DOC_UNION}),
             sh AS (
                 SELECT doc_id, {_SQL_SHINGLES} AS s FROM u
             ), sig AS (
-                SELECT doc_id, s,
-                       list_transform(range(0, 12),
-                           i -> list_min(list_transform(s, x -> md5(cast(i AS varchar) || ':' || x)))) AS sg
+                SELECT doc_id, s, {_sql_minhash_sig_list("s")} AS sg
                 FROM sh
             ), bands AS (
                 SELECT doc_id, t.b AS band,
@@ -980,17 +1014,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         "simhash_near_dup_pairs": f"""
             WITH u AS ({_SQL_DOC_UNION}),
-            shs AS (
-                SELECT doc_id,
-                       CASE WHEN length({_SQL_NORM}) = 0 THEN 0 ELSE
-                       cast(list_sum(list_transform(range(0, 16), j ->
-                           CASE WHEN list_sum(list_transform({_SQL_NORM_TOKS}, w ->
-                                    cast((('0x' || substr(md5(w), 1, 15))::BIGINT >> j) & 1 AS bigint) * 2 - 1)) > 0
-                                THEN (1::BIGINT << j) ELSE 0 END)) AS bigint) END AS simhash
+            hs AS (
+                SELECT doc_id, length({_SQL_NORM}) AS nlen,
+                       list_transform({_SQL_NORM_TOKS},
+                           w -> ('0x' || substr(md5(w), 1, 15))::BIGINT) AS h
                 FROM u
+            ), shs AS (
+                SELECT doc_id,
+                       CASE WHEN nlen = 0 THEN 0 ELSE
+                       cast(list_sum(list_transform(range(0, 48), j ->
+                           CASE WHEN list_sum(list_transform(h, x ->
+                                    cast((x >> j) & 1 AS bigint) * 2 - 1)) > 0
+                                THEN (1::BIGINT << j) ELSE 0 END)) AS bigint) END AS simhash
+                FROM hs
             ), blk AS (
                 SELECT doc_id, simhash, t.b AS block,
-                       simhash & (15::BIGINT << (t.b * 4)) AS block_val
+                       simhash & (4095::BIGINT << (t.b * 12)) AS block_val
                 FROM shs, range(0, 4) t(b)
             ), cand AS (
                 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -1225,26 +1264,35 @@ def oracle_sql() -> dict[str, str]:
             WITH base AS (
                 SELECT l_partkey AS g, l_quantity AS x, l_extendedprice AS y
                 FROM lineitem WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
-            ), st AS (
-                SELECT g, regr_slope(y, x) AS b, regr_intercept(y, x) AS a,
-                       avg(x) AS xm, count(*) AS n, regr_sxx(y, x) AS sxx
+            ), m AS (
+                SELECT g, sum(1.0) AS n, sum(1.0 * x) AS sx, sum(x * x) AS sxx,
+                       sum(1.0 * y) AS sy, sum(x * y) AS sxy
                 FROM base GROUP BY g
-            ), res AS (
-                SELECT base.g, base.x, base.y, st.a, st.b, st.xm, st.n, st.sxx
-                FROM base JOIN st USING (g)
+            ), st AS (
+                SELECT g, n, sx, sxx,
+                       (sxx * sy - sx * sxy) / (n * sxx - sx * sx) AS a,
+                       (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b
+                FROM m
             ), agg AS (
-                SELECT g, any_value(n) AS n, any_value(a) AS a, any_value(b) AS b,
-                       any_value(sxx) AS sxx,
-                       sum(pow(y - a - b * x, 2) * pow(x - xm, 2)) AS meat_b,
-                       sum(pow(y - a - b * x, 2) * pow(1.0 / n - xm * (x - xm) / sxx, 2)) AS meat_a
-                FROM res GROUP BY g
+                SELECT base.g, any_value(st.n) AS n, any_value(st.a) AS a,
+                       any_value(st.b) AS b, any_value(st.sx) AS sx,
+                       any_value(st.sxx) AS sxx,
+                       sum(pow(y - (a * 1.0 + b * x), 2) * 1.0 * 1.0) AS m00,
+                       sum(pow(y - (a * 1.0 + b * x), 2) * 1.0 * x) AS m01,
+                       sum(pow(y - (a * 1.0 + b * x), 2) * x * x) AS m11
+                FROM base JOIN st USING (g) GROUP BY base.g
             )
             SELECT round(CASE WHEN n >= 3 THEN a END, 4) AS const,
                    round(CASE WHEN n >= 3 THEN b END, 4) AS coef_l_quantity,
                    cast(g AS varchar) AS l_partkey,
-                   round(CASE WHEN n >= 3 THEN sqrt(n / (n - 2.0) * meat_a) END, 4) AS stderr_const,
-                   round(CASE WHEN n >= 3 THEN sqrt(n / (n - 2.0) * meat_b / pow(sxx, 2)) END, 4)
-                       AS stderr_l_quantity
+                   round(CASE WHEN n >= 3 THEN
+                       sqrt((sxx * sxx * m00 - 2 * sxx * sx * m01 + sx * sx * m11)
+                            / ((n * sxx - sx * sx) * (n * sxx - sx * sx)) * (n / (n - 2))
+                       ) END, 4) AS stderr_const,
+                   round(CASE WHEN n >= 3 THEN
+                       sqrt((sx * sx * m00 - 2 * n * sx * m01 + n * n * m11)
+                            / ((n * sxx - sx * sx) * (n * sxx - sx * sx)) * (n / (n - 2))
+                       ) END, 4) AS stderr_l_quantity
             FROM agg
         """,
         "fillna_str_first": f"""
