@@ -525,6 +525,105 @@ def q_fillna_str_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_doubles(out)
 
 
+def q_winsorize_asym(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
+    )
+    return _round_doubles(
+        pus.winsorize(li, (0.01, 0.10), subset="l_extendedprice", byvars="l_returnflag")
+    )
+
+
+def q_winsorize_top_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_extendedprice")
+    return _round_doubles(
+        pus.winsorize(li, 0.05, subset="l_extendedprice", bot=False)
+    )
+
+
+def _li_two_vals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey", "l_linenumber").agg(
+        F.max("l_quantity").alias("l_quantity"), F.max("l_discount").alias("l_discount")
+    )
+
+
+def q_long_to_wide_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _round_doubles(
+        pus.long_to_wide(
+            _li_two_vals(spark, sf_dir), "l_orderkey",
+            ["l_quantity", "l_discount"], colindex="l_linenumber",
+        )
+    )
+
+
+def q_long_to_wide_colindex_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _li_unique_lines(spark, sf_dir, "l_quantity", F.max)
+    return _round_doubles(
+        pus.long_to_wide(
+            li, "l_orderkey", "l_quantity", colindex="l_linenumber", colindex_only=True
+        )
+    )
+
+
+def q_fillna_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_custkey",
+        F.when(F.col("c_custkey") % 3 == 0, None)
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg"),
+    )
+    out = pus.fillna_by_groups_and_keep_one_per_group(
+        c, "c_nationkey", str_vars="first", num_vars="mean", ordervar="c_custkey"
+    )
+    return _round_doubles(out)
+
+
+def q_drop_missing_group_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_linenumber") == 1, None).otherwise(F.col("l_quantity")).alias("v1"),
+        F.when(F.col("l_quantity") < 10, None).otherwise(F.col("l_discount")).alias("v2"),
+    )
+    out = pus.drop_missing_group_rows(li, ["l_orderkey", "l_linenumber"])
+    return _round_doubles(out)
+
+
+def q_join_col_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority", "o_orderstatus")
+    return pus.join_col_strings(o, ["o_orderpriority", "o_orderstatus"])
+
+
+def q_groupby_merge_nunique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_suppkey")
+    out = pus.groupby_merge(li, "l_orderkey", "nunique", subset="l_suppkey")
+    return out.withColumn(
+        "l_suppkey_nunique", F.col("l_suppkey_nunique").cast("bigint")
+    )
+
+
+def q_expand_time_intermediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    return pus.expand_time(
+        o, intermediate_periods=True, datevar="o_orderdate", freq="m",
+        time=[2, 5], newdate="shift_date", shiftvar="shift_n",
+    )
+
+
+_STATE_CASE = {0: "California", 1: "Texas", 2: "New York", 3: "Atlantis"}
+
+
+def q_state_abbrev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    expr = F.lit(None).cast("string")
+    for k, v in reversed(_STATE_CASE.items()):
+        expr = F.when(F.col("n_nationkey") % 4 == k, F.lit(v)).otherwise(expr)
+    st = n.withColumn("state", expr)
+    return pus.state_abbrev(st, "state", toabbrev=True)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_averages(spark, "/root/testdata/sf0.001")
@@ -585,6 +684,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "apply_func_unique": q_apply_func_unique,
         "reg_by_stderr": q_reg_by_stderr,
         "fillna_str_first": q_fillna_str_first,
+        "winsorize_asym": q_winsorize_asym,
+        "winsorize_top_global": q_winsorize_top_global,
+        "long_to_wide_multi": q_long_to_wide_multi,
+        "long_to_wide_colindex_only": q_long_to_wide_colindex_only,
+        "fillna_keep_one": q_fillna_keep_one,
+        "drop_missing_group_rows": q_drop_missing_group_rows,
+        "join_col_strings": q_join_col_strings,
+        "groupby_merge_nunique": q_groupby_merge_nunique,
+        "expand_time_intermediate": q_expand_time_intermediate,
+        "state_abbrev": q_state_abbrev,
     }
 
 
@@ -679,6 +788,21 @@ def oracle_sql() -> dict[str, str]:
     )
     port_cuts = ", ".join(
         f"quantile_cont(o_totalprice, {i/5}) AS c{i}" for i in range(6)
+    )
+    lw_multi_cols = ", ".join(
+        f'round(max(CASE WHEN l_linenumber = {i} THEN {v} END), {r}) AS "{v}{i}"'
+        for v in ("l_quantity", "l_discount")
+        for i in range(1, 8)
+    )
+    lw_only_cols = ", ".join(
+        f'round(max(CASE WHEN l_linenumber = {i} THEN l_quantity END), {r}) AS "{i}"'
+        for i in range(1, 8)
+    )
+    state_case = (
+        "CASE WHEN n_nationkey % 4 = 0 THEN 'California' "
+        "WHEN n_nationkey % 4 = 1 THEN 'Texas' "
+        "WHEN n_nationkey % 4 = 2 THEN 'New York' "
+        "ELSE 'Atlantis' END"
     )
     return {
         "averages": f"""
@@ -1307,5 +1431,97 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY c_nationkey ORDER BY c_custkey
                        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) AS seg
             FROM base
+        """,
+        "winsorize_asym": f"""
+            WITH hi AS (
+                SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
+                       quantile_cont(l_extendedprice, 0.90) OVER (PARTITION BY l_returnflag) AS h
+                FROM lineitem
+            ), tc AS (
+                SELECT *, CASE WHEN l_extendedprice > h THEN h ELSE l_extendedprice END AS tcv FROM hi
+            ), lo AS (
+                SELECT *, quantile_cont(tcv, 0.01) OVER (PARTITION BY l_returnflag) AS l FROM tc
+            )
+            SELECT l_orderkey, l_linenumber, l_returnflag,
+                   round(CASE WHEN tcv < l THEN l ELSE tcv END, {r}) AS l_extendedprice
+            FROM lo
+        """,
+        "winsorize_top_global": f"""
+            WITH hi AS (SELECT quantile_cont(l_extendedprice, 0.95) AS h FROM lineitem)
+            SELECT l_orderkey, l_linenumber,
+                   round(CASE WHEN l_extendedprice > h THEN h ELSE l_extendedprice END, {r})
+                       AS l_extendedprice
+            FROM lineitem CROSS JOIN hi
+        """,
+        "long_to_wide_multi": f"""
+            WITH uniq AS (
+                SELECT l_orderkey, l_linenumber,
+                       max(l_quantity) AS l_quantity, max(l_discount) AS l_discount
+                FROM lineitem GROUP BY 1, 2
+            )
+            SELECT l_orderkey, {lw_multi_cols}
+            FROM uniq GROUP BY l_orderkey
+        """,
+        "long_to_wide_colindex_only": f"""
+            WITH uniq AS (
+                SELECT l_orderkey, l_linenumber, max(l_quantity) AS l_quantity
+                FROM lineitem GROUP BY 1, 2
+            )
+            SELECT l_orderkey, {lw_only_cols}
+            FROM uniq GROUP BY l_orderkey
+        """,
+        "fillna_keep_one": f"""
+            WITH base AS (
+                SELECT c_nationkey, c_custkey,
+                       CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_mktsegment END AS seg
+                FROM customer
+            ), filled AS (
+                SELECT c_nationkey, c_custkey,
+                       coalesce(seg, first_value(seg IGNORE NULLS) OVER (
+                           PARTITION BY c_nationkey ORDER BY c_custkey
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) AS seg,
+                       row_number() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS rn
+                FROM base
+            )
+            SELECT c_nationkey, cast(c_custkey AS double) AS c_custkey, seg
+            FROM filled WHERE rn = 1
+        """,
+        "drop_missing_group_rows": f"""
+            WITH base AS (
+                SELECT l_orderkey, l_linenumber,
+                       CASE WHEN l_linenumber = 1 THEN NULL ELSE l_quantity END AS v1,
+                       CASE WHEN l_quantity < 10 THEN NULL ELSE l_discount END AS v2
+                FROM lineitem
+            )
+            SELECT l_orderkey, l_linenumber, round(v1, {r}) AS v1, round(v2, {r}) AS v2
+            FROM base WHERE v1 IS NOT NULL OR v2 IS NOT NULL
+        """,
+        "join_col_strings": """
+            SELECT o_orderkey, o_orderpriority, o_orderstatus,
+                   concat_ws('_', coalesce(o_orderpriority, 'nan'),
+                             coalesce(o_orderstatus, 'nan')) AS joined
+            FROM orders
+        """,
+        "groupby_merge_nunique": """
+            SELECT li.l_orderkey, li.l_linenumber, li.l_suppkey, d.l_suppkey_nunique
+            FROM lineitem li
+            JOIN (SELECT l_orderkey, count(DISTINCT l_suppkey) AS l_suppkey_nunique
+                  FROM lineitem GROUP BY 1) d USING (l_orderkey)
+        """,
+        "expand_time_intermediate": """
+            SELECT o_orderkey, o_orderdate, s.shift_n,
+                   o_orderdate + s.shift_n * INTERVAL 1 MONTH AS shift_date
+            FROM orders CROSS JOIN (VALUES (2), (3), (4), (5)) s(shift_n)
+        """,
+        "state_abbrev": f"""
+            WITH st AS (
+                SELECT n_nationkey, n_name, {state_case} AS state FROM nation
+            )
+            SELECT n_nationkey, n_name,
+                   CASE state WHEN 'California' THEN 'CA'
+                              WHEN 'Texas' THEN 'TX'
+                              WHEN 'New York' THEN 'NY'
+                              ELSE state END AS state
+            FROM st
         """,
     }

@@ -91,7 +91,12 @@ def groupby_merge(
             null_key = cond if null_key is None else (null_key | cond)
         out = df
         for c in subset:
-            expr = agg(c).over(w)
+            if func_str == "nunique":
+                # the window must attach to the aggregate itself, not
+                # the size() wrapper
+                expr = F.size(F.collect_set(c).over(w))
+            else:
+                expr = agg(c).over(w)
             if null_key is not None:
                 expr = F.when(null_key, F.lit(None)).otherwise(expr)
             out = out.withColumn(f"{c}_{func_str}", expr)

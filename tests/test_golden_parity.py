@@ -97,6 +97,12 @@ class TestGroupbyMerge:
         expect["RET_max"] = [1.04] * 4 + [1.08] * 4 + [1.12] * 4
         assert_df_equal(out, expect)
 
+    def test_subset_nunique(self, spark):
+        out = pus.groupby_merge(fx.df(spark), "PERMNO", "nunique", subset="byvar")
+        expect = pd.DataFrame(fx.ROWS, columns=fx.COLS)
+        expect["byvar_nunique"] = [2] * 8 + [1] * 4
+        assert_df_equal(out, expect)
+
     def test_subset_std(self, spark):
         out = pus.groupby_merge(fx.df(spark), ["PERMNO", "byvar"], "std", subset="RET")
         expect = pd.DataFrame(fx.ROWS, columns=fx.COLS)
