@@ -1,0 +1,74 @@
+"""Custom stateful streaming operators via
+``applyInPandasWithState`` — for semantics the built-in window
+aggregations can't express (running totals across micro-batches,
+custom session logic, online statistics).
+
+State design for scale: state lives in the executor state store,
+partitioned by the grouping keys — per-key state must stay O(1)
+(scalars/counters, never row buffers) or the store becomes the
+bottleneck; set a timeout so abandoned keys are evicted.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from pd_utils_spark.utils import to_list
+
+
+def stateful_running_agg(
+    sdf: DataFrame,
+    keys: str | Sequence[str],
+    value_col: str = "value",
+    timeout: str = "NoTimeout",
+) -> DataFrame:
+    """Running (sum, count, mean) per key, updated each micro-batch and
+    carried across batches in the state store — the canonical custom
+    stateful operator (batch-mode groupBy can't do "so far" totals on
+    an unbounded stream).
+
+    Output one row per key per batch that touched it:
+    ``keys..., running_sum, running_count, running_mean``.
+    State per key = two scalars — O(1), partition-local, shuffle only
+    on the grouping keys.
+    """
+    keys_l = to_list(keys)
+    key_fields = ", ".join(
+        f"`{k}` {dict(sdf.dtypes)[k]}" for k in keys_l
+    )
+    out_schema = (
+        f"{key_fields}, running_sum double, running_count bigint, running_mean double"
+    )
+    state_schema = "total double, cnt bigint"
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            total, cnt = state.get
+        else:
+            total, cnt = 0.0, 0
+        for pdf in pdfs:
+            vals = pd.to_numeric(pdf[value_col], errors="coerce").dropna()
+            total += float(vals.sum())
+            cnt += int(len(vals))
+        state.update((total, cnt))
+        row = {k: key[i] for i, k in enumerate(keys_l)}
+        row["running_sum"] = total
+        row["running_count"] = cnt
+        row["running_mean"] = total / cnt if cnt else None
+        yield pd.DataFrame([row])
+
+    timeout_conf = (
+        GroupStateTimeout.NoTimeout
+        if timeout == "NoTimeout"
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
+    return sdf.groupBy(*keys_l).applyInPandasWithState(
+        update, out_schema, state_schema, "update", timeout_conf
+    )

@@ -82,6 +82,60 @@ class TestBatchWindows:
         assert out.k.tolist() == [1, 2, 3, 4, 5]
 
 
+class TestStatefulStreaming:
+    def test_running_agg_state_across_batches(self, spark):
+        import time
+
+        from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+        src = tempfile.mkdtemp(prefix="state_src_")
+        try:
+            schema = StructType(
+                [StructField("user_id", LongType()), StructField("value", DoubleType())]
+            )
+            with open(f"{src}/b1.json", "w") as f:
+                f.write('{"user_id": 1, "value": 10.0}\n{"user_id": 1, "value": 20.0}\n')
+            stream = (
+                spark.readStream.format("json")
+                .schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .load(src)
+            )
+            out = W.stateful_running_agg(stream, "user_id", "value")
+            q = (
+                out.writeStream.format("memory")
+                .queryName("state_test")
+                .outputMode("update")
+                .trigger(processingTime="1 second")
+                .start()
+            )
+            try:
+                deadline = time.time() + 60
+                while time.time() < deadline:
+                    rows = spark.sql(
+                        "SELECT running_sum FROM state_test WHERE user_id = 1"
+                    ).collect()
+                    if rows:
+                        break
+                    time.sleep(1)
+                assert rows and rows[0].running_sum == 30.0
+                with open(f"{src}/b2.json", "w") as f:
+                    f.write('{"user_id": 1, "value": 30.0}\n')
+                while time.time() < deadline:
+                    rows = spark.sql(
+                        "SELECT max(running_sum) AS s FROM state_test WHERE user_id = 1"
+                    ).collect()
+                    if rows and rows[0].s == 60.0:
+                        break
+                    time.sleep(1)
+                # state carried across micro-batches: 10+20 then +30
+                assert rows[0].s == 60.0
+            finally:
+                q.stop()
+        finally:
+            shutil.rmtree(src, ignore_errors=True)
+
+
 class TestRealStreaming:
     def test_file_stream_tumbling_window(self, spark):
         src = tempfile.mkdtemp(prefix="stream_src_")
