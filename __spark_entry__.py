@@ -301,6 +301,16 @@ def q_lsh_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_doubles(sim.select("id_a", "id_b", "jaccard"))
 
 
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup dedup: LSH candidates -> Jaccard >= 0.5 ->
+    drop docs with a smaller-id near-duplicate."""
+    u = _docs_with_copies(spark, sf_dir)
+    out = pus_dedup.dedup_minhash_lsh(
+        u, k=3, num_hashes=12, bands=4, threshold=0.5
+    )
+    return out.select("doc_id")
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return pus_dedup.simhash(d, bits=16).select("doc_id", "simhash")
@@ -326,6 +336,15 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5)
     out = pus_sim.ann_lsh_topk(emb, q, k=10, planes=6, dims=64)
+    return _round_doubles(out)
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (KMeans coarse quantizer) ANN; iterative training has no
+    SQL oracle — rows-only driver check, invariants in pytest."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    out = pus_sim.ann_ivf_topk(emb, q, k=10, nlist=16, nprobe=3)
     return _round_doubles(out)
 
 
@@ -661,10 +680,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "minhash_signature": q_minhash_signature,
         "lsh_jaccard_pairs": q_lsh_jaccard_pairs,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "simhash": q_simhash,
         "simhash_near_dup_pairs": q_simhash_near_dup_pairs,
         "cosine_topk": q_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "tumbling_window": q_tumbling_window,
         "sliding_window": q_sliding_window,
@@ -1126,6 +1147,33 @@ def oracle_sql() -> dict[str, str]:
             JOIN sh sb ON sb.doc_id = p.id_b
             WHERE len(list_intersect(sa.s, sb.s))
                   / len(list_distinct(list_concat(sa.s, sb.s))) >= 0.5
+        """,
+        "dedup_minhash_lsh": f"""
+            WITH u AS ({_SQL_DOC_UNION}),
+            sh AS (
+                SELECT doc_id, {_SQL_SHINGLES} AS s FROM u
+            ), sig AS (
+                SELECT doc_id, s, {_sql_minhash_sig_list("s")} AS sg
+                FROM sh
+            ), bands AS (
+                SELECT doc_id, t.b AS band,
+                       md5(array_to_string(sg[t.b * 3 + 1 : t.b * 3 + 3], '|')) AS band_key
+                FROM sig, range(0, 4) t(b)
+            ), pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM bands a JOIN bands b
+                  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ), losers AS (
+                SELECT DISTINCT p.id_b
+                FROM pairs p
+                JOIN sh sa ON sa.doc_id = p.id_a
+                JOIN sh sb ON sb.doc_id = p.id_b
+                WHERE len(list_intersect(sa.s, sb.s))
+                      / len(list_distinct(list_concat(sa.s, sb.s))) >= 0.5
+            )
+            SELECT doc_id FROM u
+            WHERE doc_id NOT IN (SELECT id_b FROM losers)
         """,
         "simhash": f"""
             SELECT doc_id,

@@ -14,11 +14,13 @@ from pd_utils_spark.extensions.dedup import (
     simhash_near_dup_pairs,
 )
 from pd_utils_spark.extensions.similarity import (
+    ann_ivf_topk,
     ann_lsh_topk,
     brute_force_topk,
     cosine,
     embedding_near_dup_pairs,
     hyperplane_signature,
+    ivf_assign,
 )
 from pd_utils_spark.extensions.text import (
     LANG_MARKERS,

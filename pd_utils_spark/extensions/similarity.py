@@ -175,6 +175,88 @@ def ann_lsh_topk(
     )
 
 
+def ivf_assign(
+    df: DataFrame,
+    veccol: str = "embedding",
+    nlist: int = 16,
+    seed: int = 42,
+    out: str = "cell",
+):
+    """Fit a KMeans coarse quantizer (the IVF index of
+    FAISS-style ANN) and assign every vector to its nearest centroid
+    cell. Returns (assigned DataFrame, fitted model). Training runs on
+    (a sample of) the corpus; assignment is a map-only transform.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    feat = df.withColumn("__v__", array_to_vector(F.col(veccol)))
+    km = KMeans(k=nlist, seed=seed, featuresCol="__v__", predictionCol=out)
+    model = km.fit(feat)
+    assigned = model.transform(feat).drop("__v__")
+    return assigned, model
+
+
+def ann_ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 2,
+    seed: int = 42,
+    idcol: str = "vec_id",
+    veccol: str = "embedding",
+    qidcol: str = "query_id",
+    exclude_self: bool = True,
+    out_sim: str = "cosine",
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors are bucketed into
+    ``nlist`` KMeans cells; each query scores only the ``nprobe``
+    cells whose centroids are nearest (by cosine), then exact cosine
+    rerank. The standard FAISS-IVF recipe on Spark primitives: one
+    shuffle to bucket the corpus, centroid table broadcast, probe
+    join is an equi-join on cell id.
+
+    Not SQL-oracle-checkable (KMeans is iterative) — covered by the
+    driver's rows-only check and pytest invariants.
+    """
+    from pyspark.sql import Window
+
+    assigned, model = ivf_assign(corpus.select(idcol, veccol), veccol, nlist, seed)
+    centers = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    spark = corpus.sparkSession
+    cent_df = spark.createDataFrame(centers, ["cell", "centroid"]).withColumn(
+        "centroid", F.col("centroid").cast("array<float>")
+    )
+
+    q = queries.select(
+        F.col(idcol).alias(qidcol), F.col(veccol).alias("__qvec__")
+    )
+    # query -> nprobe nearest cells (by cosine to centroid)
+    qc = q.crossJoin(F.broadcast(cent_df)).withColumn(
+        "__csim__", cosine(F.col("__qvec__"), F.col("centroid"))
+    )
+    w = Window.partitionBy(qidcol).orderBy(F.desc("__csim__"), F.col("cell"))
+    probes = (
+        qc.withColumn("__pr__", F.row_number().over(w))
+        .filter(F.col("__pr__") <= nprobe)
+        .select(qidcol, "__qvec__", "cell")
+    )
+
+    scored = assigned.join(F.broadcast(probes), on="cell")
+    if exclude_self:
+        scored = scored.filter(F.col(idcol) != F.col(qidcol))
+    scored = scored.withColumn(out_sim, cosine(F.col(veccol), F.col("__qvec__")))
+    wr = Window.partitionBy(qidcol).orderBy(F.desc(out_sim), F.col(idcol))
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select(qidcol, idcol, out_sim, "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.99,

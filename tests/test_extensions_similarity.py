@@ -103,6 +103,30 @@ class TestLSH:
             seen.add((r.query_id, r.vec_id))
             assert -1.0001 <= r.cosine <= 1.0001
 
+    def test_ivf_topk_invariants(self, spark):
+        import numpy as np
+
+        rng = np.random.RandomState(11)
+        pdf = pd.DataFrame(
+            {
+                "vec_id": range(80),
+                "embedding": [rng.randn(8).astype("float32").tolist() for _ in range(80)],
+            }
+        )
+        df = spark.createDataFrame(pdf).withColumn(
+            "embedding", F.col("embedding").cast("array<float>")
+        )
+        q = df.filter("vec_id < 2")
+        out = S.ann_ivf_topk(df, q, k=5, nlist=4, nprobe=4).collect()
+        # nprobe = nlist probes every cell -> equals brute force top-k
+        exact = {
+            (r.query_id, r.vec_id)
+            for r in S.brute_force_topk(df, q, k=5).collect()
+        }
+        assert {(r.query_id, r.vec_id) for r in out} == exact
+        for r in out:
+            assert 1 <= r.rank <= 5 and -1.0001 <= r.cosine <= 1.0001
+
     def test_empty_df_needs_dims(self, spark):
         # hyperplane_signature on an empty frame without dims raises
         df = (
