@@ -623,6 +623,29 @@ def q_groupby_merge_nunique(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_groupby_merge_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _li_unique_lines(spark, sf_dir, "l_quantity", F.max).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_linenumber") == 1, None).otherwise(F.col("l_quantity")).alias("v"),
+    )
+    out = pus.groupby_merge(li, "l_orderkey", "first", subset="v", ordervar="l_linenumber")
+    return _round_doubles(out)
+
+
+def q_reg_by_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-regressor per-group OLS (general-k sufficient-statistics
+    path). No closed-form SQL oracle for the batched pinv solve —
+    rows-only driver check; exactness covered in pytest vs numpy."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_quantity", "l_discount", "l_extendedprice"
+    )
+    out = pus.reg_by(
+        li, "l_extendedprice", ["l_quantity", "l_discount"], "l_suppkey", cons=True
+    )
+    return _round_doubles(out, 4)
+
+
 def q_expand_time_intermediate(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     return pus.expand_time(
@@ -714,6 +737,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_col_strings": q_join_col_strings,
         "groupby_merge_nunique": q_groupby_merge_nunique,
         "expand_time_intermediate": q_expand_time_intermediate,
+        "groupby_merge_first": q_groupby_merge_first,
+        "reg_by_multi": q_reg_by_multi,
         "state_abbrev": q_state_abbrev,
     }
 
@@ -1555,6 +1580,22 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem li
             JOIN (SELECT l_orderkey, count(DISTINCT l_suppkey) AS l_suppkey_nunique
                   FROM lineitem GROUP BY 1) d USING (l_orderkey)
+        """,
+        "groupby_merge_first": f"""
+            WITH uniq AS (
+                SELECT l_orderkey, l_linenumber, max(l_quantity) AS l_quantity
+                FROM lineitem GROUP BY 1, 2
+            ), base AS (
+                SELECT l_orderkey, l_linenumber,
+                       CASE WHEN l_linenumber = 1 THEN NULL ELSE l_quantity END AS v
+                FROM uniq
+            )
+            SELECT l_orderkey, l_linenumber, round(v, {r}) AS v,
+                   round(first_value(v IGNORE NULLS) OVER (
+                       PARTITION BY l_orderkey ORDER BY l_linenumber
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), {r})
+                       AS v_first
+            FROM base
         """,
         "expand_time_intermediate": """
             SELECT o_orderkey, o_orderdate, s.shift_n,

@@ -89,6 +89,18 @@ def groupby_merge(
         for b in byvars:
             cond = F.col(b).isNull()
             null_key = cond if null_key is None else (null_key | cond)
+        if func_str in ("first", "last"):
+            # order-dependent aggregates: the reference takes input row
+            # order; Spark relations are unordered, so require ordervar
+            # for a deterministic result
+            if ordervar is None:
+                raise ValueError(
+                    f"groupby_merge('{func_str}') needs ordervar — Spark "
+                    "DataFrames have no row order"
+                )
+            w = w.orderBy(ordervar).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
         out = df
         for c in subset:
             if func_str == "nunique":

@@ -97,6 +97,20 @@ class TestGroupbyMerge:
         expect["RET_max"] = [1.04] * 4 + [1.08] * 4 + [1.12] * 4
         assert_df_equal(out, expect)
 
+    def test_first_requires_ordervar(self, spark):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="ordervar"):
+            pus.groupby_merge(fx.df(spark), "PERMNO", "first", subset="RET")
+
+    def test_subset_first_with_ordervar(self, spark):
+        out = pus.groupby_merge(
+            fx.df(spark), ["PERMNO", "byvar"], "first", subset="RET", ordervar="Date"
+        )
+        expect = pd.DataFrame(fx.ROWS, columns=fx.COLS)
+        expect["RET_first"] = [1.01] * 4 + [1.05] * 4 + [1.09] * 4
+        assert_df_equal(out, expect)
+
     def test_subset_nunique(self, spark):
         out = pus.groupby_merge(fx.df(spark), "PERMNO", "nunique", subset="byvar")
         expect = pd.DataFrame(fx.ROWS, columns=fx.COLS)
@@ -313,6 +327,68 @@ class TestRegBy:
             columns=["const", "coef_RET", "key"],
         )
         assert_df_equal(out, expect, sort_cols=["key"], rtol=1e-6, atol=1e-7)
+
+    def test_regby_multi_x_matches_numpy(self, spark):
+        import numpy as np
+
+        rng = np.random.RandomState(3)
+        pdf = pd.DataFrame(
+            {
+                "g": np.repeat(["a", "b", "c"], 20),
+                "x1": rng.randn(60),
+                "x2": rng.randn(60),
+                "y": rng.randn(60),
+            }
+        )
+        out = (
+            pus.reg_by(spark.createDataFrame(pdf), "y", ["x1", "x2"], "g", cons=True)
+            .toPandas()
+            .set_index("g")
+            .sort_index()
+        )
+        for g, sub in pdf.groupby("g"):
+            X = np.column_stack([np.ones(len(sub)), sub.x1, sub.x2])
+            beta, *_ = np.linalg.lstsq(X, sub.y.to_numpy(), rcond=None)
+            np.testing.assert_allclose(
+                out.loc[g, ["const", "coef_x1", "coef_x2"]].to_numpy(dtype=float),
+                beta,
+                rtol=1e-8,
+            )
+
+    def test_regby_multi_x_stderr_matches_sandwich(self, spark):
+        import numpy as np
+
+        rng = np.random.RandomState(5)
+        pdf = pd.DataFrame(
+            {
+                "g": np.repeat(["a", "b"], 25),
+                "x1": rng.randn(50),
+                "x2": rng.randn(50),
+                "y": rng.randn(50),
+            }
+        )
+        out = (
+            pus.reg_by(
+                spark.createDataFrame(pdf), "y", ["x1", "x2"], "g", cons=True, stderr=True
+            )
+            .toPandas()
+            .set_index("g")
+            .sort_index()
+        )
+        for g, sub in pdf.groupby("g"):
+            X = np.column_stack([np.ones(len(sub)), sub.x1, sub.x2])
+            y = sub.y.to_numpy()
+            beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+            resid = y - X @ beta
+            xtx_inv = np.linalg.pinv(X.T @ X)
+            meat = (X * (resid**2)[:, None]).T @ X
+            n, k = X.shape
+            se = np.sqrt(np.diag(xtx_inv @ meat @ xtx_inv * (n / (n - k))))
+            np.testing.assert_allclose(
+                out.loc[g, ["stderr_const", "stderr_x1", "stderr_x2"]].to_numpy(dtype=float),
+                se,
+                rtol=1e-6,
+            )
 
     def test_regby_cons_low_obs(self, spark):
         from pyspark.sql import functions as F
