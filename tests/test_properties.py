@@ -1,0 +1,111 @@
+"""Property-based tests (hypothesis): operator invariants that must
+hold for ANY input, complementing the golden-output tests. Example
+counts are kept small — every example runs real Spark jobs."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+import pd_utils_spark as pus
+from pd_utils_spark.extensions import dedup as D
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+values = st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=64)
+frames = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=2), values),
+    min_size=4,
+    max_size=24,
+)
+
+
+@given(rows=frames, pct=st.floats(min_value=0.01, max_value=0.3))
+@settings(**SETTINGS)
+def test_winsorize_bounds_and_shape(spark, rows, pct):
+    pdf = pd.DataFrame(rows, columns=["g", "x"])
+    df = spark.createDataFrame(pdf)
+    out = pus.winsorize(df, pct, subset="x", byvars="g").toPandas()
+    assert len(out) == len(pdf)
+    # every group's winsorized values lie within the group's raw range
+    for g, sub in out.groupby("g"):
+        raw = pdf[pdf.g == g].x
+        assert sub.x.min() >= raw.min() - 1e-9
+        assert sub.x.max() <= raw.max() + 1e-9
+
+
+@given(rows=frames, ngroups=st.integers(min_value=2, max_value=5))
+@settings(**SETTINGS)
+def test_portfolio_range_and_monotonicity(spark, rows, ngroups):
+    pdf = pd.DataFrame(rows, columns=["g", "x"])
+    df = spark.createDataFrame(pdf)
+    out = pus.portfolio(df, "x", ngroups=ngroups, byvars="g").toPandas()
+    assert out.portfolio.between(0, ngroups).all()
+    # within a group, a strictly larger value never gets a lower portfolio
+    for g, sub in out[out.portfolio > 0].groupby("g"):
+        s = sub.sort_values("x")
+        assert s.portfolio.is_monotonic_increasing
+
+
+@given(rows=frames)
+@settings(**SETTINGS)
+def test_left_merge_latest_asof_invariant(spark, rows):
+    pdf = pd.DataFrame(rows, columns=["k", "d"])
+    pdf["d"] = pdf["d"].abs().round(3)
+    left = spark.createDataFrame(pdf)
+    right = spark.createDataFrame(
+        pdf.assign(payload=pdf.d * 2).rename(columns={"d": "rd"})[["k", "rd", "payload"]]
+    )
+    out = pus.left_merge_latest(
+        left, right, on="k", left_datevar="d", right_datevar="rd"
+    ).toPandas()
+    # as-of contract: matched right date <= left date, and it is the
+    # max eligible right date for that key
+    matched = out.dropna(subset=["rd"])
+    assert (matched.rd <= matched.d + 1e-12).all()
+    rights = pdf.rename(columns={"d": "rd"})
+    for _, row in matched.iterrows():
+        elig = rights[(rights.k == row.k) & (rights.rd <= row.d + 1e-12)].rd
+        assert abs(row.rd - elig.max()) < 1e-9
+    # left rows are never lost
+    assert out[["k", "d"]].drop_duplicates().shape[0] == pdf.drop_duplicates().shape[0]
+
+
+doc_texts = st.lists(
+    st.text(alphabet="ab c", min_size=0, max_size=30), min_size=2, max_size=10
+)
+
+
+@given(texts=doc_texts)
+@settings(**SETTINGS)
+def test_exact_dedup_invariants(spark, texts):
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    df = spark.createDataFrame(pdf)
+    out = D.exact_dedup(df).toPandas()
+    # survivors are a subset, one per normalized text, with the min id
+    norm = pdf.text.str.lower().str.split().str.join(" ")
+    expected = pdf.groupby(norm, sort=False).doc_id.min()
+    assert sorted(out.doc_id) == sorted(expected)
+
+
+@given(texts=doc_texts)
+@settings(**SETTINGS)
+def test_minhash_identical_docs_identical_sigs(spark, texts):
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    dup = pd.concat(
+        [pdf, pdf.assign(doc_id=pdf.doc_id + 1000)], ignore_index=True
+    )
+    df = spark.createDataFrame(dup)
+    sigs = {
+        r.doc_id: tuple(r.minhash_sig)
+        for r in D.minhash_signature(df, num_hashes=4).collect()
+    }
+    for i in range(len(texts)):
+        assert sigs[i] == sigs[i + 1000]
