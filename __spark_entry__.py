@@ -646,6 +646,35 @@ def q_reg_by_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_doubles(out, 4)
 
 
+def q_groupby_merge_var(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+    return _round_doubles(pus.groupby_merge(li, "l_orderkey", "var", subset="l_quantity"))
+
+
+def q_groupby_merge_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_discount")
+    out = pus.groupby_merge(
+        li.withColumn("l_discount", F.col("l_discount") + 1), "l_orderkey", "prod",
+        subset="l_discount",
+    )
+    return _round_doubles(out)
+
+
+def q_groupby_merge_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+    out = pus.groupby_merge(li, "l_orderkey", "max", subset="l_quantity", replace=True)
+    return _round_doubles(out)
+
+
+def q_averages_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    out = pus.averages(
+        li, ["l_quantity", "l_extendedprice"], byvars=["l_returnflag", "l_linestatus"],
+        wtvar="l_discount",
+    )
+    return _round_doubles(out)
+
+
 def q_expand_time_intermediate(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     return pus.expand_time(
@@ -738,6 +767,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "groupby_merge_nunique": q_groupby_merge_nunique,
         "expand_time_intermediate": q_expand_time_intermediate,
         "groupby_merge_first": q_groupby_merge_first,
+        "groupby_merge_var": q_groupby_merge_var,
+        "groupby_merge_prod": q_groupby_merge_prod,
+        "groupby_merge_replace": q_groupby_merge_replace,
+        "averages_multi": q_averages_multi,
         "reg_by_multi": q_reg_by_multi,
         "state_abbrev": q_state_abbrev,
     }
@@ -1580,6 +1613,31 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem li
             JOIN (SELECT l_orderkey, count(DISTINCT l_suppkey) AS l_suppkey_nunique
                   FROM lineitem GROUP BY 1) d USING (l_orderkey)
+        """,
+        "groupby_merge_var": f"""
+            SELECT l_orderkey, l_linenumber, round(l_quantity, {r}) AS l_quantity,
+                   round(var_samp(l_quantity) OVER (PARTITION BY l_orderkey), {r})
+                       AS l_quantity_var
+            FROM lineitem
+        """,
+        "groupby_merge_prod": f"""
+            SELECT l_orderkey, l_linenumber, round(l_discount + 1, {r}) AS l_discount,
+                   round(product(l_discount + 1) OVER (PARTITION BY l_orderkey), {r})
+                       AS l_discount_prod
+            FROM lineitem
+        """,
+        "groupby_merge_replace": f"""
+            SELECT l_orderkey, l_linenumber,
+                   round(max(l_quantity) OVER (PARTITION BY l_orderkey), {r}) AS l_quantity
+            FROM lineitem
+        """,
+        "averages_multi": f"""
+            SELECT l_returnflag, l_linestatus,
+                   round(avg(l_quantity), {r}) AS l_quantity,
+                   round(avg(l_extendedprice), {r}) AS l_extendedprice,
+                   round(sum(l_quantity * l_discount) / sum(l_discount), {r}) AS l_quantity_wavg,
+                   round(sum(l_extendedprice * l_discount) / sum(l_discount), {r}) AS l_extendedprice_wavg
+            FROM lineitem GROUP BY 1, 2
         """,
         "groupby_merge_first": f"""
             WITH uniq AS (
