@@ -695,6 +695,28 @@ def q_state_abbrev(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pus.state_abbrev(st, "state", toabbrev=True)
 
 
+def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship composition: the full LLM-pretraining data-prep chain —
+    quality gate -> language filter -> near-dup removal (MinHash LSH +
+    Jaccard, min-id survivor) -> per-source corpus stats. Every stage
+    is a lazy DataFrame transform; the whole pipeline is one Catalyst
+    plan."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    scored = pus_text.text_quality(pus_text.language_id(d))
+    kept = scored.filter(
+        (F.col("quality_score") >= 0.2) & (F.col("lang_pred") == "en")
+    ).select("doc_id", "source", "text", "n_tokens")
+    deduped = pus_dedup.dedup_minhash_lsh(
+        kept, k=3, num_hashes=12, bands=4, threshold=0.8
+    )
+    out = deduped.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("n_tokens").cast("bigint")).alias("total_tokens"),
+        F.round(F.avg("n_tokens"), _ROUND).alias("avg_tokens"),
+    )
+    return out
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_averages(spark, "/root/testdata/sf0.001")
@@ -771,6 +793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "groupby_merge_prod": q_groupby_merge_prod,
         "groupby_merge_replace": q_groupby_merge_replace,
         "averages_multi": q_averages_multi,
+        "training_pipeline": q_training_pipeline,
         "reg_by_multi": q_reg_by_multi,
         "state_abbrev": q_state_abbrev,
     }
@@ -1613,6 +1636,61 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem li
             JOIN (SELECT l_orderkey, count(DISTINCT l_suppkey) AS l_suppkey_nunique
                   FROM lineitem GROUP BY 1) d USING (l_orderkey)
+        """,
+        "training_pipeline": f"""
+            WITH q AS (
+                SELECT doc_id, source, text,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len({_SQL_TOKS}) END AS n_tokens,
+                       length(text) AS n_chars_obs,
+                       length(regexp_replace(text, '\\s+', '', 'g')) AS nonspace,
+                       length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS punct,
+                       {", ".join(
+                           f"len(list_filter({_SQL_TOKS}, w -> list_contains({_sql_str_list(ms)}, lower(w)))) AS h_{lang}"
+                           for lang, ms in sorted(_LANG_MARKERS.items())
+                       )}
+                FROM documents
+            ), scored AS (
+                SELECT doc_id, source, text, n_tokens,
+                       round(least(n_tokens / 100.0, 1.0)
+                             * least((CASE WHEN n_tokens > 0 THEN nonspace / n_tokens ELSE 0 END) / 5.0, 1.0)
+                             * (1.0 - least((CASE WHEN n_chars_obs > 0 THEN punct / n_chars_obs ELSE 0 END) * 5, 1.0) * 0.5),
+                             {r}) AS quality_score,
+                       CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+                            WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+                            WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+                            WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+                            ELSE 'fr' END AS lang_pred
+                FROM q
+            ), kept AS (
+                SELECT doc_id, source, text, n_tokens
+                FROM scored WHERE quality_score >= 0.2 AND lang_pred = 'en'
+            ), sh AS (
+                SELECT doc_id, {_SQL_SHINGLES} AS s FROM kept
+            ), sig AS (
+                SELECT doc_id, s, {_sql_minhash_sig_list("s")} AS sg FROM sh
+            ), bands AS (
+                SELECT doc_id, t.b AS band,
+                       md5(array_to_string(sg[t.b * 3 + 1 : t.b * 3 + 3], '|')) AS band_key
+                FROM sig, range(0, 4) t(b)
+            ), pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM bands a JOIN bands b
+                  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ), losers AS (
+                SELECT DISTINCT p.id_b
+                FROM pairs p
+                JOIN sh sa ON sa.doc_id = p.id_a
+                JOIN sh sb ON sb.doc_id = p.id_b
+                WHERE len(list_intersect(sa.s, sb.s))
+                      / len(list_distinct(list_concat(sa.s, sb.s))) >= 0.8
+            )
+            SELECT source, count(*) AS n_docs,
+                   sum(n_tokens)::BIGINT AS total_tokens,
+                   round(avg(n_tokens), {r}) AS avg_tokens
+            FROM kept WHERE doc_id NOT IN (SELECT id_b FROM losers)
+            GROUP BY source
         """,
         "groupby_merge_var": f"""
             SELECT l_orderkey, l_linenumber, round(l_quantity, {r}) AS l_quantity,
