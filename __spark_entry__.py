@@ -695,6 +695,38 @@ def q_state_abbrev(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pus.state_abbrev(st, "state", toabbrev=True)
 
 
+def q_groupby_index_desc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    return pus.groupby_index(
+        o, "o_custkey", sortvars=["o_orderdate", "o_orderkey"], ascending=False
+    )
+
+
+def q_select_rows_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_tax", "l_discount"
+    )
+    out = pus.select_rows_by_condition_on_columns(
+        li, ["l_tax", "l_discount"], condition=">= 0.05", logic="and"
+    )
+    return _round_doubles(out)
+
+
+def q_left_merge_latest_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join on a NUMERIC ordering column with a numeric
+    max_offset (the reference's int-date path)."""
+    o = _t(spark, sf_dir, "orders")
+    left = o.select("o_custkey", "o_orderkey")
+    right = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_custkey", F.col("o_orderkey").alias("r_key"), F.col("o_totalprice").alias("payload")
+    )
+    out = pus.left_merge_latest(
+        left, right, on="o_custkey", left_datevar="o_orderkey",
+        right_datevar="r_key", max_offset=1000,
+    )
+    return _round_doubles(out)
+
+
 def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship composition: the full LLM-pretraining data-prep chain —
     quality gate -> language filter -> near-dup removal (MinHash LSH +
@@ -796,6 +828,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_pipeline": q_training_pipeline,
         "reg_by_multi": q_reg_by_multi,
         "state_abbrev": q_state_abbrev,
+        "groupby_index_desc": q_groupby_index_desc,
+        "select_rows_and": q_select_rows_and,
+        "left_merge_latest_numeric": q_left_merge_latest_numeric,
     }
 
 
@@ -1636,6 +1671,32 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem li
             JOIN (SELECT l_orderkey, count(DISTINCT l_suppkey) AS l_suppkey_nunique
                   FROM lineitem GROUP BY 1) d USING (l_orderkey)
+        """,
+        "groupby_index_desc": """
+            SELECT o_orderkey, o_custkey, o_orderdate,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate DESC, o_orderkey DESC) - 1
+                       AS group_index
+            FROM orders
+        """,
+        "select_rows_and": f"""
+            SELECT l_orderkey, l_linenumber, round(l_tax, {r}) AS l_tax,
+                   round(l_discount, {r}) AS l_discount
+            FROM lineitem WHERE l_tax >= 0.05 AND l_discount >= 0.05
+        """,
+        "left_merge_latest_numeric": f"""
+            WITH l AS (SELECT o_custkey, o_orderkey FROM orders),
+            r AS (
+                SELECT o_custkey, o_orderkey AS r_key, o_totalprice AS payload
+                FROM orders WHERE o_orderkey % 3 = 0
+            )
+            SELECT l.o_custkey, l.o_orderkey, r.r_key, round(r.payload, {r}) AS payload
+            FROM l LEFT JOIN r
+              ON l.o_custkey = r.o_custkey AND r.r_key <= l.o_orderkey
+             AND r.r_key >= l.o_orderkey - 1000
+             AND r.r_key = (SELECT max(r2.r_key) FROM r r2
+                            WHERE r2.o_custkey = l.o_custkey AND r2.r_key <= l.o_orderkey
+                              AND r2.r_key >= l.o_orderkey - 1000)
         """,
         "training_pipeline": f"""
             WITH q AS (
