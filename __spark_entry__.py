@@ -193,6 +193,27 @@ def q_add_missing_group_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _supp_month_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.withColumn("month", F.trunc("l_shipdate", "MM"))
+        .groupBy("l_suppkey", "month")
+        .agg(F.round(F.sum("l_extendedprice"), _ROUND).alias("rev"))
+    )
+
+
+def q_add_missing_group_rows_bfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sales = _supp_month_sales(spark, sf_dir)
+    return pus.add_missing_group_rows(sales, ["l_suppkey"], ["month"], fill_method="bfill")
+
+
+def q_add_missing_group_rows_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sales = _supp_month_sales(spark, sf_dir)
+    return pus.add_missing_group_rows(
+        sales, ["l_suppkey"], ["month"], fill_method="ffill", fill_limit=1
+    )
+
+
 def q_fillna_by_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey",
@@ -774,6 +795,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expand_time_monthly": q_expand_time_monthly,
         "fill_excluded_rows": q_fill_excluded_rows,
         "add_missing_group_rows": q_add_missing_group_rows,
+        "add_missing_group_rows_bfill": q_add_missing_group_rows_bfill,
+        "add_missing_group_rows_limit": q_add_missing_group_rows_limit,
         "fillna_by_groups": q_fillna_by_groups,
         "reg_by": q_reg_by,
         "sql_interface": q_sql_interface,
@@ -1120,6 +1143,50 @@ def oracle_sql() -> dict[str, str]:
                    last_value(rev IGNORE NULLS) OVER (
                        PARTITION BY l_suppkey ORDER BY month
                        ROWS UNBOUNDED PRECEDING) AS rev
+            FROM merged
+        """,
+        "add_missing_group_rows_bfill": f"""
+            WITH sales AS (
+                SELECT l_suppkey, cast(date_trunc('month', l_shipdate) AS date) AS month,
+                       round(sum(l_extendedprice), {r}) AS rev
+                FROM lineitem GROUP BY 1, 2
+            ), dims AS (
+                SELECT s.l_suppkey, m.month
+                FROM (SELECT DISTINCT l_suppkey FROM sales) s
+                CROSS JOIN (SELECT DISTINCT month FROM sales) m
+            ), merged AS (
+                SELECT d.l_suppkey, d.month, sa.rev
+                FROM dims d LEFT JOIN sales sa USING (l_suppkey, month)
+            )
+            SELECT l_suppkey, month,
+                   last_value(rev IGNORE NULLS) OVER (
+                       PARTITION BY l_suppkey ORDER BY month DESC
+                       ROWS UNBOUNDED PRECEDING) AS rev
+            FROM merged
+        """,
+        "add_missing_group_rows_limit": f"""
+            WITH sales AS (
+                SELECT l_suppkey, cast(date_trunc('month', l_shipdate) AS date) AS month,
+                       round(sum(l_extendedprice), {r}) AS rev
+                FROM lineitem GROUP BY 1, 2
+            ), dims AS (
+                SELECT s.l_suppkey, m.month
+                FROM (SELECT DISTINCT l_suppkey FROM sales) s
+                CROSS JOIN (SELECT DISTINCT month FROM sales) m
+            ), merged AS (
+                SELECT d.l_suppkey, d.month, sa.rev,
+                       row_number() OVER (PARTITION BY d.l_suppkey ORDER BY d.month) AS rn
+                FROM dims d LEFT JOIN sales sa USING (l_suppkey, month)
+            )
+            SELECT l_suppkey, month,
+                   CASE WHEN rev IS NOT NULL THEN rev
+                        WHEN rn - max(CASE WHEN rev IS NOT NULL THEN rn END) OVER (
+                                 PARTITION BY l_suppkey ORDER BY month
+                                 ROWS UNBOUNDED PRECEDING) <= 1
+                        THEN last_value(rev IGNORE NULLS) OVER (
+                                 PARTITION BY l_suppkey ORDER BY month
+                                 ROWS UNBOUNDED PRECEDING)
+                        END AS rev
             FROM merged
         """,
         "fillna_by_groups": f"""
