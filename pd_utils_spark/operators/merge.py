@@ -83,6 +83,11 @@ def groupby_merge(
     if func_str == "transform":
         out = _groupby_transform(df, byvars, subset, func_args[0], ordervar=ordervar)
     else:
+        if func_str not in _AGG_FUNCS:
+            raise ValueError(
+                f"unknown aggregate {func_str!r}; valid: "
+                + ", ".join(sorted(_AGG_FUNCS)) + ", transform"
+            )
         agg = _AGG_FUNCS[func_str]
         w = Window.partitionBy(*byvars)
         null_key = None
