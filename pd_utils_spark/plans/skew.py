@@ -1,0 +1,122 @@
+"""Skew and co-location helpers — the physical-plan toolkit for the
+100 TB posture (SCALE.md). AQE handles moderate skew automatically;
+these are the explicit tools for pathological keys and for removing
+shuffles entirely via bucketing.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pd_utils_spark.utils import to_list
+
+# partial / final decomposition per aggregate: algebraic aggs combine
+# with the listed final function; avg decomposes into sum + count
+_TWO_PHASE = {
+    "sum": ("sum", "sum"),
+    "count": ("count", "sum"),
+    "min": ("min", "min"),
+    "max": ("max", "max"),
+}
+
+
+def salted_groupby_agg(
+    df: DataFrame,
+    keys: str | Sequence[str],
+    aggs: Mapping[str, str],
+    salt: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation with an explicit salt: rows first
+    aggregate within (keys, salt) partitions — splitting any hot key
+    across ``salt`` reducers — then the partials combine per key.
+
+    ``aggs`` maps column -> one of sum/count/min/max/avg(mean);
+    output columns are ``<col>_<func>``. For purely algebraic
+    aggregates Spark's map-side partial aggregation usually makes this
+    unnecessary; the salt matters when a single key's partials alone
+    overwhelm one reducer (extreme cardinality-1 skew) or as the
+    pattern template for window-like computations.
+    """
+    keys_l = to_list(keys)
+    salted = df.withColumn(
+        "__salt__",
+        F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt)),
+    )
+
+    partials = []
+    finals = []
+    for col, func in aggs.items():
+        if func in ("avg", "mean"):
+            partials += [
+                F.sum(col).alias(f"__s_{col}__"),
+                F.count(col).alias(f"__c_{col}__"),
+            ]
+            finals.append(
+                (F.sum(f"__s_{col}__") / F.sum(f"__c_{col}__")).alias(f"{col}_{func}")
+            )
+        elif func in _TWO_PHASE:
+            p, f_ = _TWO_PHASE[func]
+            partials.append(getattr(F, p)(col).alias(f"__p_{col}_{func}__"))
+            finals.append(
+                getattr(F, f_)(f"__p_{col}_{func}__").alias(f"{col}_{func}")
+            )
+        else:
+            raise ValueError(
+                f"{func!r} is not two-phase decomposable here; "
+                "valid: sum, count, min, max, avg"
+            )
+
+    phase1 = salted.groupBy(*keys_l, "__salt__").agg(*partials)
+    return phase1.groupBy(*keys_l).agg(*finals)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-join salting: the left side gets a deterministic salt in
+    [0, salt); the right side is replicated once per salt value; the
+    join runs on (keys, salt) so a hot key spreads over ``salt``
+    tasks. Right-side rows are duplicated ``salt`` times — use only
+    when the right side is small enough to replicate but too large or
+    too skew-prone to broadcast. AQE's skew-join split is the first
+    resort; this is the explicit fallback.
+    """
+    on_l = to_list(on)
+    lsalt = left.withColumn(
+        "__salt__",
+        F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt)),
+    )
+    rsalt = right.withColumn(
+        "__salt__", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    out = lsalt.join(rsalt, on=on_l + ["__salt__"], how=how)
+    return out.drop("__salt__")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    keys: str | Sequence[str],
+    buckets: int = 32,
+    sort_by: Optional[str | Sequence[str]] = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed (and optionally sorted) table: joins and
+    aggregations on the bucket keys between same-bucket-count tables
+    run WITHOUT a shuffle (verified by plan test — no Exchange). The
+    Spark-native answer to the co-located-join problem at 100 TB:
+    shuffle once at write time, never again at read time.
+    """
+    keys_l = to_list(keys)
+    writer = df.write.mode(mode).bucketBy(buckets, *keys_l)
+    if sort_by is not None:
+        writer = writer.sortBy(*to_list(sort_by))
+    writer.saveAsTable(table)

@@ -1,0 +1,86 @@
+"""Physical-plan regression tests: lock the SCALE.md claims — filters
+reach the parquet scan, scans are column-pruned, dimension joins
+broadcast, and the as-of join never degrades to a cartesian plan.
+These catch silent plan regressions that value-correctness tests
+cannot."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+import pd_utils_spark as pus
+
+
+@pytest.fixture(scope="module")
+def li(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+class TestPushdownAndPruning:
+    def test_filter_pushed_to_scan(self, spark, li):
+        out = pus.select_rows_by_condition_on_columns(
+            li.select("l_orderkey", "l_tax", "l_discount"),
+            ["l_tax", "l_discount"],
+            condition=">= 0.05",
+            logic="or",
+        )
+        plan = plan_of(out)
+        assert "PushedFilters: [Or(GreaterThanOrEqual(l_tax,0.05)" in plan
+
+    def test_scan_is_column_pruned(self, spark, li):
+        out = li.groupBy("l_returnflag").agg(F.avg("l_quantity"))
+        plan = plan_of(out)
+        # only the two referenced columns reach the reader
+        assert "ReadSchema: struct<l_quantity:double,l_returnflag:string>" in plan
+
+    def test_aggregate_is_partial_then_final(self, spark, li):
+        plan = plan_of(pus.averages(li, "l_extendedprice", byvars="l_returnflag"))
+        # partial HashAggregate -> single Exchange -> final HashAggregate
+        assert plan.count("HashAggregate") >= 2
+        assert "hashpartitioning(l_returnflag" in plan
+
+
+class TestJoinShapes:
+    def test_asof_join_keeps_equi_keys(self, spark):
+        ev = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        left = ev.select("o_custkey", "o_orderkey")
+        right = ev.select("o_custkey", F.col("o_orderkey").alias("rk"), "o_totalprice")
+        out = pus.left_merge_latest(
+            left, right, on="o_custkey", left_datevar="o_orderkey", right_datevar="rk"
+        )
+        plan = plan_of(out)
+        assert "CartesianProduct" not in plan
+        # every join keyed on the equi column
+        assert "o_custkey" in plan
+
+    def test_dimension_completion_broadcasts(self, spark, li):
+        counts = li.groupBy("l_returnflag", "l_linestatus").agg(
+            F.count("*").cast("double").alias("cnt")
+        )
+        out = pus.fill_excluded_rows(counts, ["l_returnflag", "l_linestatus"], "cnt", value=0)
+        plan = plan_of(out)
+        assert "BroadcastExchange" in plan
+
+    def test_trading_day_lookup_broadcasts(self, spark):
+        o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").select(
+            "o_orderkey", "o_orderdate"
+        )
+        td = pus.trading_day_dimension(spark, "1990-01-01", "1999-12-31")
+        out = pus.expand_time(
+            o, datevar="o_orderdate", freq="d", time=[1], newdate="nd",
+            shiftvar="s", trading_days=td,
+        )
+        plan = plan_of(out)
+        assert plan.count("BroadcastExchange") >= 2  # asof map + target lookup
+        assert "CartesianProduct" not in plan

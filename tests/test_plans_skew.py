@@ -1,0 +1,80 @@
+"""Tests for the physical-plan toolkit (plans/skew.py): salted
+aggregation/join equivalence and the zero-shuffle bucketed join."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from pd_utils_spark.plans import salted_groupby_agg, salted_join, write_bucketed
+
+
+@pytest.fixture(scope="module")
+def li(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+
+
+class TestSaltedAgg:
+    def test_equals_plain_aggregation(self, spark, li):
+        plain = {
+            r.l_returnflag: (r.s, r.a)
+            for r in li.groupBy("l_returnflag")
+            .agg(F.sum("l_quantity").alias("s"), F.avg("l_extendedprice").alias("a"))
+            .collect()
+        }
+        salted = {
+            r.l_returnflag: (r.l_quantity_sum, r.l_extendedprice_avg)
+            for r in salted_groupby_agg(
+                li, "l_returnflag", {"l_quantity": "sum", "l_extendedprice": "avg"}, salt=7
+            ).collect()
+        }
+        assert plain.keys() == salted.keys()
+        for k in plain:
+            assert plain[k][0] == pytest.approx(salted[k][0])
+            assert plain[k][1] == pytest.approx(salted[k][1])
+
+    def test_rejects_non_decomposable(self, li):
+        with pytest.raises(ValueError, match="two-phase"):
+            salted_groupby_agg(li, "l_returnflag", {"l_quantity": "median"})
+
+
+class TestSaltedJoin:
+    def test_equals_plain_join(self, spark, li):
+        o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").selectExpr(
+            "o_orderkey AS l_orderkey", "o_orderpriority"
+        )
+        l2 = li.select("l_orderkey", "l_quantity")
+        assert (
+            salted_join(l2, o, "l_orderkey", salt=4).count()
+            == l2.join(o, "l_orderkey").count()
+        )
+
+
+class TestBucketedJoin:
+    def test_zero_shuffle_cocolocated_join(self, spark, li, tmp_path):
+        spark.sql("DROP TABLE IF EXISTS tb_li")
+        spark.sql("DROP TABLE IF EXISTS tb_o")
+        o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").selectExpr(
+            "o_orderkey AS l_orderkey", "o_orderpriority"
+        )
+        write_bucketed(li.select("l_orderkey", "l_quantity"), "tb_li", "l_orderkey", 8,
+                       sort_by="l_orderkey")
+        write_bucketed(o, "tb_o", "l_orderkey", 8, sort_by="l_orderkey")
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = spark.table("tb_li").join(spark.table("tb_o"), "l_orderkey")
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                j.explain("formatted")
+            plan = buf.getvalue()
+            assert "Exchange" not in plan  # co-located: no shuffle at all
+            assert "SortMergeJoin" in plan
+            assert j.count() == li.count()  # every lineitem matches its order
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            spark.sql("DROP TABLE IF EXISTS tb_li")
+            spark.sql("DROP TABLE IF EXISTS tb_o")
