@@ -428,6 +428,34 @@ def q_media_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cumulate_multivar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _li_two_vals(spark, sf_dir)
+    out = pus.cumulate(
+        li, ["l_quantity", "l_discount"], "between", periodvar="l_linenumber",
+        byvars="l_orderkey", time=[1, 3], grossify=True,
+    )
+    return _round_doubles(out)
+
+
+def q_var_change_lag2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    out = pus.var_change_by_groups(
+        o, "o_totalprice", "o_custkey", datevar="o_orderkey", numlags=2
+    )
+    return _round_doubles(out)
+
+
+def q_winsorize_multicol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice", "l_quantity"
+    )
+    return _round_doubles(
+        pus.winsorize(
+            li, 0.05, subset=["l_extendedprice", "l_quantity"], byvars="l_returnflag"
+        )
+    )
+
+
 def q_cumulate_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _li_unique_lines(spark, sf_dir, "l_discount", F.max)
     out = pus.cumulate(
@@ -822,6 +850,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_props": q_events_json_props,
         "media_byte_features": q_media_byte_features,
         "cumulate_first": q_cumulate_first,
+        "cumulate_multivar": q_cumulate_multivar,
+        "var_change_lag2": q_var_change_lag2,
+        "winsorize_multicol": q_winsorize_multicol,
         "left_merge_latest_offset": q_left_merge_latest_offset,
         "portfolio_cutoffs": q_portfolio_cutoffs,
         "portfolio_cutdf": q_portfolio_cutdf,
@@ -1495,6 +1526,56 @@ def oracle_sql() -> dict[str, str]:
                    sum(json_extract_string(props, '$.k')::INT)::BIGINT AS k_sum,
                    count(json_extract_string(props, '$.k')::INT) AS k_count
             FROM events GROUP BY event_type
+        """,
+        "cumulate_multivar": f"""
+            WITH uniq AS (
+                SELECT l_orderkey, l_linenumber,
+                       max(l_quantity) AS l_quantity, max(l_discount) AS l_discount
+                FROM lineitem GROUP BY 1, 2
+            ), pos AS (
+                SELECT *, row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) - 1 AS p
+                FROM uniq
+            ), b AS (
+                SELECT *, CASE WHEN p = 0 THEN 0 WHEN p <= 2 THEN 1 ELSE 2 END AS w FROM pos
+            )
+            SELECT l_orderkey, l_linenumber,
+                   round(l_quantity, {r}) AS l_quantity,
+                   round(l_discount, {r}) AS l_discount,
+                   round(product(1 + l_quantity) OVER (
+                       PARTITION BY l_orderkey, w ORDER BY l_linenumber
+                       ROWS UNBOUNDED PRECEDING) - 1, {r}) AS cum_l_quantity,
+                   round(product(1 + l_discount) OVER (
+                       PARTITION BY l_orderkey, w ORDER BY l_linenumber
+                       ROWS UNBOUNDED PRECEDING) - 1, {r}) AS cum_l_discount
+            FROM b
+        """,
+        "var_change_lag2": f"""
+            SELECT o_custkey, o_orderkey, round(o_totalprice, {r}) AS o_totalprice,
+                   round(o_totalprice - lag(o_totalprice, 2) OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderkey), {r}) AS o_totalprice_change
+            FROM orders
+        """,
+        "winsorize_multicol": f"""
+            WITH hi AS (
+                SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice, l_quantity,
+                       quantile_cont(l_extendedprice, 0.95) OVER (PARTITION BY l_returnflag) AS he,
+                       quantile_cont(l_quantity, 0.95) OVER (PARTITION BY l_returnflag) AS hq
+                FROM lineitem
+            ), tc AS (
+                SELECT *,
+                       CASE WHEN l_extendedprice > he THEN he ELSE l_extendedprice END AS te,
+                       CASE WHEN l_quantity > hq THEN hq ELSE l_quantity END AS tq
+                FROM hi
+            ), lo AS (
+                SELECT *,
+                       quantile_cont(te, 0.05) OVER (PARTITION BY l_returnflag) AS le,
+                       quantile_cont(tq, 0.05) OVER (PARTITION BY l_returnflag) AS lq
+                FROM tc
+            )
+            SELECT l_orderkey, l_linenumber, l_returnflag,
+                   round(CASE WHEN te < le THEN le ELSE te END, {r}) AS l_extendedprice,
+                   round(CASE WHEN tq < lq THEN lq ELSE tq END, {r}) AS l_quantity
+            FROM lo
         """,
         "cumulate_first": f"""
             WITH uniq AS (
