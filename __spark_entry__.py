@@ -295,6 +295,16 @@ def q_shingle_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.explode("shingle_hashes").alias("shingle_hash"))
 
 
+def q_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return pus_text.vocabulary(d, min_count=2)
+
+
+def q_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return pus_text.tf_idf(d, round_to=_ROUND)
+
+
 def _docs_with_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents unioned with an id-shifted copy of itself — a corpus
     with known duplicates for exercising dedup operators."""
@@ -357,6 +367,13 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5)
     out = pus_sim.ann_lsh_topk(emb, q, k=10, planes=6, dims=64)
+    return _round_doubles(out)
+
+
+def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    out = pus_sim.ann_lsh_topk(emb, q, k=10, planes=6, dims=64, multiprobe=1)
     return _round_doubles(out)
 
 
@@ -834,6 +851,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": q_language_id,
         "doc_fingerprint": q_doc_fingerprint,
         "shingle_fingerprints": q_shingle_fingerprints,
+        "vocabulary": q_vocabulary,
+        "tf_idf": q_tf_idf,
         "dedup_exact": q_dedup_exact,
         "minhash_signature": q_minhash_signature,
         "lsh_jaccard_pairs": q_lsh_jaccard_pairs,
@@ -842,6 +861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dup_pairs": q_simhash_near_dup_pairs,
         "cosine_topk": q_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "tumbling_window": q_tumbling_window,
@@ -1322,6 +1342,37 @@ def oracle_sql() -> dict[str, str]:
                        s -> md5(s))) AS shingle_hash
             FROM toks
         """,
+        "vocabulary": """
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+                FROM documents
+            )
+            SELECT token, count(*) AS count, count(DISTINCT doc_id) AS doc_freq
+            FROM tok WHERE length(token) > 0
+            GROUP BY token HAVING count(*) >= 2
+        """,
+        "tf_idf": f"""
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+                FROM documents
+            ), tc AS (
+                SELECT doc_id, token, count(*) AS tc
+                FROM tok WHERE length(token) > 0 GROUP BY 1, 2
+            ), dl AS (
+                SELECT doc_id, count(*) AS dl FROM tok WHERE length(token) > 0 GROUP BY 1
+            ), df AS (
+                SELECT token, count(*) AS df FROM tc GROUP BY 1
+            ), nd AS (
+                SELECT cast(count(DISTINCT doc_id) AS double) AS n FROM tc
+            )
+            SELECT tc.doc_id, tc.token,
+                   round(tc.tc / dl.dl, {r}) AS tf,
+                   round(ln(nd.n / df.df), {r}) AS idf,
+                   round((tc.tc / dl.dl) * ln(nd.n / df.df), {r}) AS tfidf
+            FROM tc JOIN dl USING (doc_id) JOIN df USING (token) CROSS JOIN nd
+        """,
         "dedup_exact": f"""
             WITH u AS ({_SQL_DOC_UNION})
             SELECT min(doc_id) AS doc_id
@@ -1457,6 +1508,33 @@ def oracle_sql() -> dict[str, str]:
                        {_sql_cosine("e.embedding", "q.qv")} AS cosine
                 FROM sigs e JOIN q ON e.sig = q.qsig
                 WHERE e.vec_id <> q.query_id
+            ), ranked AS (
+                SELECT query_id, vec_id, cosine,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cosine DESC, vec_id) AS rank
+                FROM scored
+            )
+            SELECT query_id, vec_id, round(cosine, {r}) AS cosine, cast(rank AS int) AS rank
+            FROM ranked WHERE rank <= 10
+        """,
+        "ann_lsh_multiprobe": f"""
+            WITH sigs AS (
+                SELECT vec_id, embedding,
+                       {_sql_hyperplane_sig("embedding", 6)} AS sig
+                FROM embeddings
+            ), q AS (
+                SELECT vec_id AS query_id, embedding AS qv, sig AS qsig
+                FROM sigs WHERE vec_id < 5
+            ), probes AS (
+                SELECT query_id, qv,
+                       CASE WHEN t.p = -1 THEN qsig
+                            ELSE xor(qsig, (1::BIGINT << t.p)) END AS psig
+                FROM q, range(-1, 6) t(p)
+            ), scored AS (
+                SELECT DISTINCT p.query_id, e.vec_id,
+                       {_sql_cosine("e.embedding", "p.qv")} AS cosine
+                FROM sigs e JOIN probes p ON e.sig = p.psig
+                WHERE e.vec_id <> p.query_id
             ), ranked AS (
                 SELECT query_id, vec_id, cosine,
                        row_number() OVER (PARTITION BY query_id

@@ -144,11 +144,14 @@ def ann_lsh_topk(
     qidcol: str = "query_id",
     exclude_self: bool = True,
     out_sim: str = "cosine",
+    multiprobe: int = 0,
 ) -> DataFrame:
     """Approximate top-k: queries only score corpus vectors in their
     own hyperplane-signature bucket, then exact cosine rerank. Recall
-    < 1 by design; raise recall with fewer planes (bigger buckets) or
-    multi-probe (not implemented — document the dial).
+    dials: fewer planes (bigger buckets) or ``multiprobe=1`` (also
+    probe every bucket one sign-flip away — planes+1 buckets per
+    query, the standard multi-probe LSH recall boost for the same
+    index).
 
     One shuffle (corpus bucketing); the query side is broadcast.
     """
@@ -161,11 +164,21 @@ def ann_lsh_topk(
         planes,
         dims,
     ).withColumnRenamed("signature", "__qsig__")
+    if multiprobe:
+        if multiprobe != 1:
+            raise NotImplementedError("only hamming-distance-1 multiprobe supported")
+        probes = F.array(
+            F.col("__qsig__"),
+            *[F.col("__qsig__").bitwiseXOR(F.lit(1 << p)) for p in range(planes)],
+        )
+        q = q.withColumn("__qsig__", F.explode(probes))
     joined = c.join(
         F.broadcast(q), F.col("signature") == F.col("__qsig__"), "inner"
     )
     if exclude_self:
         joined = joined.filter(F.col(idcol) != F.col(qidcol))
+    if multiprobe:
+        joined = joined.dropDuplicates([qidcol, idcol])
     scored = joined.withColumn(out_sim, cosine(F.col(veccol), F.col("__qvec__")))
     w = Window.partitionBy(qidcol).orderBy(F.desc(out_sim), F.col(idcol))
     return (

@@ -191,6 +191,75 @@ def rolling_hash_fingerprints(
     return df.withColumn(out, F.transform(shingles, F.md5))
 
 
+def vocabulary(
+    df: DataFrame,
+    textcol: str = "text",
+    min_count: int = 1,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Corpus vocabulary: one row per distinct token with ``count``
+    (total occurrences) and ``doc_freq`` (documents containing it).
+    One explode + one hash aggregation with map-side combine — the
+    shuffle carries one partial row per (map partition, token).
+    """
+    t = F.col(textcol)
+    toks = _tokens(F.lower(t) if lowercase else t)
+    ex = df.select(F.monotonically_increasing_id().alias("__doc__"), toks.alias("__t__"))
+    ex = ex.select("__doc__", F.explode("__t__").alias("token")).filter(
+        F.length("token") > 0
+    )
+    out = ex.groupBy("token").agg(
+        F.count("*").alias("count"),
+        F.countDistinct("__doc__").alias("doc_freq"),
+    )
+    return out.filter(F.col("count") >= min_count)
+
+
+def tf_idf(
+    df: DataFrame,
+    textcol: str = "text",
+    idcol: str = "doc_id",
+    lowercase: bool = True,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Document-term TF-IDF: ``tf`` = term count / doc token count,
+    ``idf`` = ln(N / doc_freq) (plain inverse document frequency),
+    output one row per (doc, token).
+
+    Two hash aggregations (doc-term counts, then doc-frequency per
+    token joined back) — both partial-aggregated; the per-token
+    doc-frequency frame is broadcast when small. Deterministic and
+    oracle-checkable: no smoothing constants beyond the ln(N/df) form.
+    """
+    t = F.col(textcol)
+    toks = _tokens(F.lower(t) if lowercase else t)
+    ex = df.select(F.col(idcol), F.explode(toks).alias("token")).filter(
+        F.length("token") > 0
+    )
+    term_counts = ex.groupBy(idcol, "token").agg(F.count("*").alias("tc"))
+    doc_lens = ex.groupBy(idcol).agg(F.count("*").alias("dl"))
+    doc_freq = term_counts.groupBy("token").agg(F.count("*").alias("df"))
+    # corpus size as a one-row aggregate cross-joined back — no driver
+    # round trip (SCALE.md rule 4)
+    n_docs = ex.agg(F.countDistinct(idcol).cast("double").alias("__n__"))
+    out = (
+        term_counts.join(doc_lens, idcol)
+        .join(F.broadcast(doc_freq), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            idcol,
+            "token",
+            (F.col("tc") / F.col("dl")).alias("tf"),
+            F.log(F.col("__n__") / F.col("df")).alias("idf"),
+        )
+        .withColumn("tfidf", F.col("tf") * F.col("idf"))
+    )
+    if round_to is not None:
+        for c in ("tf", "idf", "tfidf"):
+            out = out.withColumn(c, F.round(c, round_to))
+    return out
+
+
 # --------------------------------------------------------------- oracle SQL
 
 def token_count_oracle(table: str = "documents", textcol: str = "text") -> str:
