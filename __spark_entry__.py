@@ -386,6 +386,16 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_doubles(out)
 
 
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = pus_sim.label_centroids(emb)
+    return (
+        cents.select("label", F.posexplode("centroid").alias("pos", "c"))
+        .withColumn("pos", F.col("pos").cast("bigint"))
+        .withColumn("c", F.round("c", _ROUND))
+    )
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     u = emb.unionByName(
@@ -864,6 +874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_dup": q_embedding_near_dup,
+        "label_centroids": q_label_centroids,
         "tumbling_window": q_tumbling_window,
         "sliding_window": q_sliding_window,
         "session_window": q_session_window,
@@ -1561,6 +1572,12 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id_a, id_b, round(cosine, {r}) AS cosine
             FROM pairs WHERE cosine >= 0.99
+        """,
+        "label_centroids": f"""
+            SELECT label, t.i - 1 AS pos,
+                   round(avg(embedding[t.i]::DOUBLE), {r}) AS c
+            FROM embeddings, range(1, 65) t(i)
+            GROUP BY label, t.i
         """,
         "tumbling_window": f"""
             SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,

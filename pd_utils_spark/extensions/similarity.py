@@ -270,6 +270,34 @@ def ann_ivf_topk(
     )
 
 
+def label_centroids(
+    df: DataFrame,
+    labelcol: str = "label",
+    veccol: str = "embedding",
+    out: str = "centroid",
+) -> DataFrame:
+    """Per-label mean vector (class prototypes — the building block
+    for nearest-centroid classification and per-class dedup).
+
+    Element-wise mean across rows: posexplode to (label, dim, value),
+    one hash aggregation (map-side combined — shuffle is
+    |labels| x dims rows), then reassembled into an ordered array.
+    """
+    ex = df.select(
+        F.col(labelcol), F.posexplode(F.col(veccol)).alias("__d__", "__v__")
+    )
+    per_dim = ex.groupBy(labelcol, "__d__").agg(
+        F.avg(F.col("__v__").cast("double")).alias("__m__")
+    )
+    return (
+        per_dim.groupBy(labelcol)
+        .agg(
+            F.array_sort(F.collect_list(F.struct("__d__", "__m__"))).alias("__s__")
+        )
+        .select(labelcol, F.transform("__s__", lambda s: s["__m__"]).alias(out))
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.99,
