@@ -1,7 +1,10 @@
 """Structured-Streaming-compatible event-time operators (engine
 extension; the reference is batch-only)."""
 
-from pd_utils_spark.streaming.stateful import stateful_running_agg
+from pd_utils_spark.streaming.stateful import (
+    stateful_running_agg,
+    streaming_exact_dedup,
+)
 from pd_utils_spark.streaming.windows import (
     extract_json_props,
     read_event_stream,

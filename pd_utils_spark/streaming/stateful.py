@@ -16,9 +16,41 @@ from collections.abc import Iterator, Sequence
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from pd_utils_spark.utils import to_list
+
+
+def streaming_exact_dedup(
+    sdf: DataFrame,
+    textcol: str = "text",
+    tscol: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact deduplication: documents whose normalized
+    content fingerprint was already seen are dropped — across
+    micro-batches, using Spark's keyed dedup state. With ``tscol`` +
+    ``watermark`` the fingerprint state is evicted once the watermark
+    passes (bounded state); without it state grows with distinct
+    fingerprints (exact global dedup — only for bounded corpora).
+
+    The batch twin is ``extensions.dedup.exact_dedup``; same
+    fingerprint, different survivor rule (streaming keeps the FIRST
+    arrival — order exists on a stream, so first-wins is well defined
+    there, while batch uses min-id).
+    """
+    from pd_utils_spark.extensions.dedup import _norm
+
+    out = sdf.withColumn("__fp__", F.md5(_norm(F.col(textcol)).cast("string")))
+    if tscol is not None:
+        # state for a fingerprint is dropped once the watermark passes
+        # its first arrival — bounded-state dedup
+        out = out.withWatermark(tscol, watermark)
+        deduped = out.dropDuplicatesWithinWatermark(["__fp__"])
+    else:
+        deduped = out.dropDuplicates(["__fp__"])
+    return deduped.drop("__fp__")
 
 
 def stateful_running_agg(

@@ -136,6 +136,61 @@ class TestStatefulStreaming:
             shutil.rmtree(src, ignore_errors=True)
 
 
+class TestStreamingDedup:
+    def test_cross_batch_exact_dedup(self, spark):
+        import time
+
+        from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+        src = tempfile.mkdtemp(prefix="dd_src_")
+        try:
+            schema = StructType(
+                [StructField("doc_id", LongType()), StructField("text", StringType())]
+            )
+            with open(f"{src}/b1.json", "w") as f:
+                f.write('{"doc_id": 1, "text": "hello world"}\n')
+                f.write('{"doc_id": 2, "text": "Hello  WORLD"}\n')  # same-batch dup
+            stream = (
+                spark.readStream.format("json")
+                .schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .load(src)
+            )
+            q = (
+                W.streaming_exact_dedup(stream)
+                .writeStream.format("memory")
+                .queryName("dd_test")
+                .outputMode("append")
+                .trigger(processingTime="1 second")
+                .start()
+            )
+            try:
+                deadline = time.time() + 60
+                while time.time() < deadline:
+                    got = sorted(
+                        r.doc_id for r in spark.sql("SELECT doc_id FROM dd_test").collect()
+                    )
+                    if got:
+                        break
+                    time.sleep(1)
+                assert got == [1]
+                with open(f"{src}/b2.json", "w") as f:
+                    f.write('{"doc_id": 3, "text": "hello world"}\n')  # cross-batch dup
+                    f.write('{"doc_id": 4, "text": "fresh"}\n')
+                while time.time() < deadline:
+                    got = sorted(
+                        r.doc_id for r in spark.sql("SELECT doc_id FROM dd_test").collect()
+                    )
+                    if 4 in got:
+                        break
+                    time.sleep(1)
+                assert got == [1, 4]  # 3 deduped against batch-1 state
+            finally:
+                q.stop()
+        finally:
+            shutil.rmtree(src, ignore_errors=True)
+
+
 class TestRealStreaming:
     def test_file_stream_tumbling_window(self, spark):
         src = tempfile.mkdtemp(prefix="stream_src_")
