@@ -295,6 +295,20 @@ def q_shingle_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.explode("shingle_hashes").alias("shingle_hash"))
 
 
+def q_approx_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based aggregates (HLL++ distinct, t-digest quantiles);
+    sketch parameters are engine-specific so there is no SQL oracle —
+    rows-only driver check, accuracy bounds in pytest."""
+    from pd_utils_spark.extensions.approx import approx_group_stats
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = approx_group_stats(
+        li, "l_returnflag", distinct_cols="l_orderkey",
+        quantile_cols="l_extendedprice", quantiles=(0.5,),
+    )
+    return _round_doubles(out)
+
+
 def q_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return pus_text.vocabulary(d, min_count=2)
@@ -861,6 +875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": q_language_id,
         "doc_fingerprint": q_doc_fingerprint,
         "shingle_fingerprints": q_shingle_fingerprints,
+        "approx_group_stats": q_approx_group_stats,
         "vocabulary": q_vocabulary,
         "tf_idf": q_tf_idf,
         "dedup_exact": q_dedup_exact,
