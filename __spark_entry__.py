@@ -23,6 +23,7 @@ from pd_utils_spark.extensions import dedup as pus_dedup
 from pd_utils_spark.extensions import similarity as pus_sim
 from pd_utils_spark.extensions import text as pus_text
 from pd_utils_spark import streaming as pus_stream
+from pd_utils_spark.extensions import events as pus_events
 from pd_utils_spark.extensions import multimodal as pus_mm
 
 _ROUND = 6
@@ -455,6 +456,24 @@ def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("k_avg", F.round("k_avg", _ROUND))
     )
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return pus_events.funnel_counts(ev, ["view", "click", "purchase"])
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return pus_events.cohort_retention(ev, period="week")
+
+
+def q_top_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    out = pus_events.top_k_per_group(
+        o, "o_custkey", "o_totalprice", k=3, tiebreak="o_orderkey"
+    )
+    return _round_doubles(out)
 
 
 def q_media_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -894,6 +913,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_window": q_sliding_window,
         "session_window": q_session_window,
         "events_json_props": q_events_json_props,
+        "funnel": q_funnel,
+        "cohort_retention": q_cohort_retention,
+        "top_k_per_group": q_top_k_per_group,
         "media_byte_features": q_media_byte_features,
         "cumulate_first": q_cumulate_first,
         "cumulate_multivar": q_cumulate_multivar,
@@ -1587,6 +1609,52 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id_a, id_b, round(cosine, {r}) AS cosine
             FROM pairs WHERE cosine >= 0.99
+        """,
+        "funnel": """
+            WITH per_user AS (
+                SELECT user_id,
+                       min(CASE WHEN event_type = 'view' THEN ts END) AS t0,
+                       min(CASE WHEN event_type = 'click' THEN ts END) AS t1,
+                       min(CASE WHEN event_type = 'purchase' THEN ts END) AS t2
+                FROM events GROUP BY user_id
+            ), totals AS (
+                SELECT sum(CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS r0,
+                       sum(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t1 > t0
+                                THEN 1 ELSE 0 END)::BIGINT AS r1,
+                       sum(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t1 > t0
+                                 AND t2 IS NOT NULL AND t2 > t1
+                                THEN 1 ELSE 0 END)::BIGINT AS r2
+                FROM per_user
+            )
+            SELECT 'view' AS step, 0::BIGINT AS step_index, r0 AS users FROM totals
+            UNION ALL SELECT 'click', 1, r1 FROM totals
+            UNION ALL SELECT 'purchase', 2, r2 FROM totals
+        """,
+        "cohort_retention": """
+            WITH firsts AS (
+                SELECT user_id, min(date_trunc('week', ts))::TIMESTAMP AS cohort
+                FROM events GROUP BY user_id
+            ), activity AS (
+                SELECT DISTINCT user_id, date_trunc('week', ts)::TIMESTAMP AS p
+                FROM events
+            )
+            SELECT f.cohort,
+                   cast(floor((epoch(a.p) - epoch(f.cohort)) / 604800) AS bigint)
+                       AS period_number,
+                   count(DISTINCT a.user_id) AS users
+            FROM activity a JOIN firsts f USING (user_id)
+            GROUP BY 1, 2
+        """,
+        "top_k_per_group": f"""
+            WITH ranked AS (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       row_number() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_totalprice DESC, o_orderkey) AS rank
+                FROM orders
+            )
+            SELECT o_custkey, o_orderkey, round(o_totalprice, {r}) AS o_totalprice,
+                   cast(rank AS int) AS rank
+            FROM ranked WHERE rank <= 3
         """,
         "label_centroids": f"""
             SELECT label, t.i - 1 AS pos,

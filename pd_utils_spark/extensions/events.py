@@ -1,0 +1,118 @@
+"""Event-stream analytics operators over the (event_id, ts, user_id,
+event_type, value, props) shape: ordered funnels, cohort retention,
+and generic per-group top-k. Engine extensions (the reference has no
+event operators); all pure DataFrame expressions, oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pd_utils_spark.utils import to_list
+
+
+def funnel_counts(
+    df: DataFrame,
+    steps: Sequence[str],
+    usercol: str = "user_id",
+    tscol: str = "ts",
+    typecol: str = "event_type",
+) -> DataFrame:
+    """Ordered conversion funnel: for each prefix of ``steps``, the
+    number of users who performed those event types IN ORDER (first
+    occurrence of step i+1 strictly after the first occurrence of
+    step i — the standard first-touch funnel definition).
+
+    One aggregation pass (min event time per user per step as
+    conditional aggregates), then a tiny per-user expression — no
+    joins, no window over events. Output: (step, step_index, users).
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    aggs = [
+        F.min(F.when(F.col(typecol) == s, F.col(tscol))).alias(f"__t{i}__")
+        for i, s in enumerate(steps)
+    ]
+    per_user = df.groupBy(usercol).agg(*aggs)
+
+    reached_exprs = []
+    cond = None
+    for i in range(len(steps)):
+        ti = F.col(f"__t{i}__")
+        if i == 0:
+            cond = ti.isNotNull()
+        else:
+            cond = cond & ti.isNotNull() & (ti > F.col(f"__t{i - 1}__"))
+        reached_exprs.append(F.sum(cond.cast("bigint")).alias(f"__r{i}__"))
+    totals = per_user.agg(*reached_exprs)
+
+    rows = None
+    for i, s in enumerate(steps):
+        row = totals.select(
+            F.lit(s).alias("step"),
+            F.lit(i).cast("bigint").alias("step_index"),
+            F.col(f"__r{i}__").alias("users"),
+        )
+        rows = row if rows is None else rows.unionByName(row)
+    return rows
+
+
+def cohort_retention(
+    df: DataFrame,
+    usercol: str = "user_id",
+    tscol: str = "ts",
+    period: str = "week",
+) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-activity
+    period (cohort), counted in each subsequent activity period.
+    Output: (cohort, period_number, users) with period_number 0 = the
+    cohort period itself.
+
+    Two aggregations (first-activity per user, then distinct users
+    per (cohort, period offset)) — both partially aggregated; no
+    window over raw events.
+    """
+    p = F.date_trunc(period, F.col(tscol))
+    firsts = df.groupBy(usercol).agg(F.min(p).alias("__cohort__"))
+    activity = df.select(usercol, p.alias("__p__")).distinct()
+    joined = activity.join(firsts, usercol)
+    out = (
+        joined.withColumn(
+            "period_number",
+            # whole periods between cohort and activity
+            F.floor(
+                (F.col("__p__").cast("long") - F.col("__cohort__").cast("long"))
+                / F.lit(7 * 86400 if period == "week" else 86400)
+            ).cast("bigint"),
+        )
+        .groupBy(F.col("__cohort__").alias("cohort"), "period_number")
+        .agg(F.countDistinct(usercol).alias("users"))
+    )
+    return out
+
+
+def top_k_per_group(
+    df: DataFrame,
+    keys: str | Sequence[str],
+    order_col: str,
+    k: int = 3,
+    descending: bool = True,
+    tiebreak: str | Sequence[str] | None = None,
+) -> DataFrame:
+    """Generic top-k rows per group by ``order_col`` with a
+    deterministic tiebreak; adds ``rank`` 1..k. One shuffle; only k
+    rows per group survive the window filter (Spark pushes the rank
+    predicate into the sort)."""
+    from pyspark.sql import Window
+
+    keys_l = to_list(keys)
+    order = [F.desc(order_col) if descending else F.asc(order_col)]
+    order += [F.col(c) for c in to_list(tiebreak)]
+    w = Window.partitionBy(*keys_l).orderBy(*order)
+    return (
+        df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

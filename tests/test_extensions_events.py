@@ -1,0 +1,71 @@
+"""Golden tests for event analytics operators
+(pd_utils_spark/extensions/events.py)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from pd_utils_spark.extensions import events as E
+
+EV = pd.DataFrame(
+    {
+        "user_id": [1, 1, 1, 2, 2, 3, 3, 3],
+        "event_type": [
+            "view", "click", "purchase",   # u1: full ordered funnel
+            "click", "view",               # u2: click BEFORE view -> only step 0
+            "view", "purchase", "click",   # u3: purchase before click -> steps 0,1? click after view yes; purchase before click -> stops at click
+        ],
+        "ts": pd.to_datetime(
+            [
+                "2024-01-01 10:00:00", "2024-01-01 10:05:00", "2024-01-01 10:10:00",
+                "2024-01-02 09:00:00", "2024-01-02 09:30:00",
+                "2024-01-08 12:00:00", "2024-01-08 12:30:00", "2024-01-08 13:00:00",
+            ]
+        ),
+    }
+)
+
+
+@pytest.fixture()
+def ev(spark):
+    return spark.createDataFrame(EV)
+
+
+class TestFunnel:
+    def test_ordered_funnel(self, ev):
+        out = {
+            r.step: r.users
+            for r in E.funnel_counts(ev, ["view", "click", "purchase"]).collect()
+        }
+        # u1, u2, u3 all viewed; u1 and u3 clicked after viewing;
+        # only u1 purchased after clicking (u3 purchased before click)
+        assert out == {"view": 3, "click": 2, "purchase": 1}
+
+    def test_empty_steps_rejected(self, ev):
+        with pytest.raises(ValueError, match="steps"):
+            E.funnel_counts(ev, [])
+
+
+class TestCohortRetention:
+    def test_weekly_cohorts(self, ev):
+        out = {
+            (r.cohort.date().isoformat(), r.period_number): r.users
+            for r in E.cohort_retention(ev, period="week").collect()
+        }
+        # u1, u2 first active in week of 2024-01-01; u3 in week of 01-08
+        assert out[("2024-01-01", 0)] == 2
+        assert out[("2024-01-08", 0)] == 1
+        assert len(out) == 2  # nobody returns a later week
+
+
+class TestTopK:
+    def test_top_k_with_tiebreak(self, spark):
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {"g": [1, 1, 1, 2], "v": [5.0, 5.0, 1.0, 7.0], "id": [10, 11, 12, 13]}
+            )
+        )
+        out = E.top_k_per_group(df, "g", "v", k=2, tiebreak="id").collect()
+        got = {(r.g, r.rank): r.id for r in out}
+        assert got == {(1, 1): 10, (1, 2): 11, (2, 1): 13}
