@@ -357,6 +357,13 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id")
 
 
+def q_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    q = d.filter(F.col("doc_id") < 3)
+    out = pus_dedup.jaccard_topk(d, q, k=5, shingle_k=3)
+    return _round_doubles(out)
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return pus_dedup.simhash(d, bits=16).select("doc_id", "simhash")
@@ -901,6 +908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signature": q_minhash_signature,
         "lsh_jaccard_pairs": q_lsh_jaccard_pairs,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "jaccard_topk": q_jaccard_topk,
         "simhash": q_simhash,
         "simhash_near_dup_pairs": q_simhash_near_dup_pairs,
         "cosine_topk": q_cosine_topk,
@@ -1460,6 +1468,26 @@ def oracle_sql() -> dict[str, str]:
             JOIN sh sb ON sb.doc_id = p.id_b
             WHERE len(list_intersect(sa.s, sb.s))
                   / len(list_distinct(list_concat(sa.s, sb.s))) >= 0.5
+        """,
+        "jaccard_topk": f"""
+            WITH sh AS (
+                SELECT doc_id, {_SQL_SHINGLES} AS s FROM documents
+            ), q AS (
+                SELECT doc_id AS query_id, s AS qs FROM sh WHERE doc_id < 3
+            ), scored AS (
+                SELECT q.query_id, c.doc_id,
+                       len(list_intersect(c.s, q.qs))
+                           / len(list_distinct(list_concat(c.s, q.qs))) AS jaccard
+                FROM sh c CROSS JOIN q
+                WHERE c.doc_id <> q.query_id
+            ), ranked AS (
+                SELECT query_id, doc_id, jaccard,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY jaccard DESC, doc_id) AS rank
+                FROM scored
+            )
+            SELECT query_id, doc_id, round(jaccard, {r}) AS jaccard, cast(rank AS int) AS rank
+            FROM ranked WHERE rank <= 5
         """,
         "dedup_minhash_lsh": f"""
             WITH u AS ({_SQL_DOC_UNION}),

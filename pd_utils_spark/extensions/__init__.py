@@ -3,18 +3,26 @@ training-data pipeline operators (text analysis, deduplication,
 similarity search, multimodal plumbing). All Spark-DataFrame-native,
 designed for 100 TB-class inputs."""
 
+from pd_utils_spark.extensions.approx import approx_group_stats
 from pd_utils_spark.extensions.dedup import (
     dedup_minhash_lsh,
     exact_dedup,
     hamming_distance,
     jaccard_pairs,
+    jaccard_topk,
     lsh_candidate_pairs,
     minhash_signature,
     simhash,
     simhash_near_dup_pairs,
 )
+from pd_utils_spark.extensions.events import (
+    cohort_retention,
+    funnel_counts,
+    top_k_per_group,
+)
 from pd_utils_spark.extensions.similarity import (
     ann_ivf_topk,
+    label_centroids,
     ann_lsh_topk,
     brute_force_topk,
     cosine,
@@ -28,6 +36,8 @@ from pd_utils_spark.extensions.text import (
     language_id,
     rolling_hash_fingerprints,
     text_quality,
+    tf_idf,
     token_count,
     token_count_bpe,
+    vocabulary,
 )

@@ -242,6 +242,48 @@ def jaccard_pairs(
     return out_df
 
 
+def jaccard_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    shingle_k: int = 3,
+    idcol: str = "doc_id",
+    textcol: str = "text",
+    qidcol: str = "query_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Text similarity search: top-k most similar corpus documents per
+    query document by exact k-word-shingle Jaccard. The query side is
+    broadcast (shingle sets of a handful of docs), so scoring is a
+    map-only corpus scan plus one per-query top-k exchange — the text
+    twin of ``similarity.brute_force_topk``. For corpus-vs-corpus at
+    scale use ``lsh_candidate_pairs`` + ``jaccard_pairs`` instead.
+    Output: (query_id, doc id, jaccard, rank)."""
+    from pyspark.sql import Window
+
+    c = corpus.select(
+        F.col(idcol), _shingle_set(F.col(textcol), shingle_k).alias("__cs__")
+    )
+    q = queries.select(
+        F.col(idcol).alias(qidcol),
+        _shingle_set(F.col(textcol), shingle_k).alias("__qs__"),
+    )
+    scored = c.crossJoin(F.broadcast(q))
+    if exclude_self:
+        scored = scored.filter(F.col(idcol) != F.col(qidcol))
+    scored = scored.withColumn(
+        "jaccard",
+        F.size(F.array_intersect("__cs__", "__qs__"))
+        / F.size(F.array_union("__cs__", "__qs__")),
+    )
+    w = Window.partitionBy(qidcol).orderBy(F.desc("jaccard"), F.col(idcol))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qidcol, idcol, "jaccard", "rank")
+    )
+
+
 def dedup_minhash_lsh(
     df: DataFrame,
     textcol: str = "text",
