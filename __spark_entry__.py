@@ -80,6 +80,17 @@ def q_groupby_transform_demean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_doubles(out)
 
 
+def q_groupby_transform_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive transform callable (running sum) — exercises
+    the ordered applyInPandas path against a window-sum oracle."""
+    li = _li_unique_lines(spark, sf_dir, "l_quantity", F.max)
+    out = pus.groupby_merge(
+        li, "l_orderkey", "transform", (lambda s: s.cumsum()),
+        subset="l_quantity", ordervar="l_linenumber",
+    )
+    return _round_doubles(out)
+
+
 def q_groupby_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
     return pus.groupby_index(o, "o_custkey", sortvars=["o_orderdate", "o_orderkey"])
@@ -463,6 +474,34 @@ def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("k_avg", F.round("k_avg", _ROUND))
     )
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events assigned to weekly intervals via the interval join (the
+    interval dimension is generated in-plan and broadcast)."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    bounds = ev.agg(
+        F.date_trunc("week", F.min("ts")).alias("lo"), F.max("ts").alias("hi")
+    )
+    weeks = bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("interval 7 days"))
+        ).alias("week_start")
+    ).withColumn("week_end", F.col("week_start") + F.expr("interval 7 days"))
+    out = pus.range_join(
+        ev, weeks, left_on="ts", right_start="week_start", right_end="week_end",
+        broadcast_right=True,
+    )
+    return out.select("event_id", "user_id", "ts", "week_start", "week_end")
+
+
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    out = pus_stream.time_rollup(
+        ev, "ts", keys="event_type", aggs={"value": "sum", "event_id": "count"},
+        granularities=("day", "week"),
+    )
+    return _round_doubles(out)
 
 
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -876,6 +915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "groupby_merge_max": q_groupby_merge_max,
         "groupby_merge_std": q_groupby_merge_std,
         "groupby_transform_demean": q_groupby_transform_demean,
+        "groupby_transform_cumsum": q_groupby_transform_cumsum,
         "groupby_index": q_groupby_index,
         "winsorize": q_winsorize,
         "portfolio": q_portfolio,
@@ -921,6 +961,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_window": q_sliding_window,
         "session_window": q_session_window,
         "events_json_props": q_events_json_props,
+        "range_join": q_range_join,
+        "time_rollup": q_time_rollup,
         "funnel": q_funnel,
         "cohort_retention": q_cohort_retention,
         "top_k_per_group": q_top_k_per_group,
@@ -1094,6 +1136,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_orderkey, l_linenumber, l_returnflag, round(l_quantity, {r}) AS l_quantity,
                    round(l_quantity - avg(l_quantity) OVER (PARTITION BY l_returnflag), {r}) AS l_quantity_transform
             FROM lineitem
+        """,
+        "groupby_transform_cumsum": f"""
+            WITH uniq AS (
+                SELECT l_orderkey, l_linenumber, max(l_quantity) AS l_quantity
+                FROM lineitem GROUP BY 1, 2
+            )
+            SELECT l_orderkey, l_linenumber, round(l_quantity, {r}) AS l_quantity,
+                   round(sum(l_quantity) OVER (
+                       PARTITION BY l_orderkey ORDER BY l_linenumber
+                       ROWS UNBOUNDED PRECEDING), {r}) AS l_quantity_transform
+            FROM uniq
         """,
         "groupby_index": """
             SELECT o_orderkey, o_custkey, o_orderdate,
@@ -1637,6 +1690,29 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id_a, id_b, round(cosine, {r}) AS cosine
             FROM pairs WHERE cosine >= 0.99
+        """,
+        "range_join": """
+            WITH bounds AS (
+                SELECT date_trunc('week', min(ts)) AS lo, max(ts) AS hi FROM events
+            ), weeks AS (
+                SELECT ws AS week_start, ws + INTERVAL 7 DAY AS week_end
+                FROM (SELECT unnest(generate_series(lo, hi, INTERVAL 7 DAY)) AS ws
+                      FROM bounds)
+            )
+            SELECT e.event_id, e.user_id, e.ts, w.week_start, w.week_end
+            FROM events e JOIN weeks w
+              ON e.ts >= w.week_start AND e.ts < w.week_end
+        """,
+        "time_rollup": f"""
+            SELECT date_trunc('day', ts)::TIMESTAMP AS bucket, event_type,
+                   round(sum(value), {r}) AS value_sum,
+                   count(event_id) AS event_id_count,
+                   'day' AS granularity
+            FROM events GROUP BY 1, 2
+            UNION ALL
+            SELECT date_trunc('week', ts)::TIMESTAMP, event_type,
+                   round(sum(value), {r}), count(event_id), 'week'
+            FROM events GROUP BY 1, 2
         """,
         "funnel": """
             WITH per_user AS (

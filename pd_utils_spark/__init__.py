@@ -13,6 +13,7 @@ from pd_utils_spark.operators.merge import (
     groupby_index,
     groupby_merge,
     left_merge_latest,
+    range_join,
 )
 from pd_utils_spark.operators.transform import (
     averages,

@@ -192,6 +192,49 @@ def groupby_index(
     return df.withColumn("group_index", (F.row_number().over(w) - 1).cast("long"))
 
 
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_start: str,
+    right_end: str,
+    on: Union[str, list[str], None] = None,
+    how: str = "inner",
+    end_exclusive: bool = True,
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """Interval join: each left row pairs with the right rows whose
+    ``[right_start, right_end)`` interval contains ``left_on``
+    (``end_exclusive=False`` for closed intervals), optionally within
+    equi keys ``on``. An engine extension (the reference has only the
+    as-of join); the standard tool for event-to-interval assignment
+    (calendar buckets, maintenance windows, price regimes).
+
+    Plan shape: with equi keys the range predicates ride the key join
+    (hash/sort-merge, never a cartesian). Without keys this is a pure
+    interval join — Spark plans a broadcast nested loop; pass
+    ``broadcast_right=True`` (interval dimensions are almost always
+    the small side) to pin the broadcast direction.
+    """
+    on_l = to_list(on)
+    end_cmp = (
+        F.col(left_on) < F.col(right_end)
+        if end_exclusive
+        else F.col(left_on) <= F.col(right_end)
+    )
+    cond = (F.col(left_on) >= F.col(right_start)) & end_cmp
+    r = F.broadcast(right) if broadcast_right else right
+    if on_l:
+        for k in on_l:
+            cond = (left[k] == right[k]) & cond
+        joined = left.join(r, cond, how)
+        # drop the duplicated equi-key columns from the right side
+        for k in on_l:
+            joined = joined.drop(right[k])
+        return joined
+    return left.join(r, cond, how)
+
+
 def apply_func_to_unique_and_merge(
     df: DataFrame, col: str, func, output_type: str = "string", output_col: Optional[str] = None
 ) -> DataFrame:

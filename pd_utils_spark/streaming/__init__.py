@@ -7,6 +7,7 @@ from pd_utils_spark.streaming.stateful import (
 )
 from pd_utils_spark.streaming.windows import (
     extract_json_props,
+    time_rollup,
     read_event_stream,
     session_window_agg,
     sliding_window_agg,

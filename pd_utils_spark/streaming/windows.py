@@ -125,6 +125,37 @@ def session_window_agg(
     )
 
 
+def time_rollup(
+    df: DataFrame,
+    tscol: str = "ts",
+    keys: str | Sequence[str] | None = None,
+    aggs: Mapping[str, str] | Sequence[Column] | None = None,
+    granularities: Sequence[str] = ("hour", "day", "week"),
+) -> DataFrame:
+    """Hypertable-style multi-granularity rollup: the same aggregates
+    computed at each time granularity, unioned with a ``granularity``
+    label and the truncated ``bucket`` timestamp. The continuous-
+    aggregate pattern of time-series stores expressed as plain
+    grouped aggregation — each granularity is one partially-aggregated
+    pass; Catalyst shares the scan across the union branches.
+
+    At very large inputs, roll up hierarchically instead (aggregate
+    finest first, re-aggregate coarser levels from it) when the
+    aggregates are re-aggregable (sum/count/min/max — not avg).
+    """
+    aggs = aggs if aggs is not None else {tscol: "count"}
+    keys_l = to_list(keys)
+    out = None
+    for g in granularities:
+        rolled = (
+            df.groupBy(F.date_trunc(g, F.col(tscol)).alias("bucket"), *keys_l)
+            .agg(*_agg_exprs(aggs))
+            .withColumn("granularity", F.lit(g))
+        )
+        out = rolled if out is None else out.unionByName(rolled)
+    return out
+
+
 def extract_json_props(
     df: DataFrame,
     propscol: str = "props",
