@@ -120,6 +120,17 @@ def q_portfolio_averages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_doubles(avgs)
 
 
+def q_portfolio_averages_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_discount", "l_quantity"
+    )
+    avgs = pus.portfolio_averages(
+        li, "l_extendedprice", "l_discount", ngroups=4, byvars="l_returnflag",
+        wtvar="l_quantity", count="l_discount", avgonly=True,
+    )
+    return _round_doubles(avgs)
+
+
 def q_long_short_portfolio(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
     avgs = pus.portfolio_averages(
@@ -920,6 +931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize": q_winsorize,
         "portfolio": q_portfolio,
         "portfolio_averages": q_portfolio_averages,
+        "portfolio_averages_weighted": q_portfolio_averages_weighted,
         "long_short_portfolio": q_long_short_portfolio,
         "left_merge_latest": q_left_merge_latest,
         "cumulate_between": q_cumulate_between,
@@ -1187,6 +1199,24 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT portfolio, o_orderpriority, round(avg(o_totalprice), {r}) AS o_totalprice
             FROM ports GROUP BY portfolio, o_orderpriority
+        """,
+        "portfolio_averages_weighted": f"""
+            WITH cuts AS (
+                SELECT l_returnflag,
+                       {", ".join(f"quantile_cont(l_extendedprice, {i / 4}) AS c{i}" for i in range(5))}
+                FROM lineitem GROUP BY l_returnflag
+            ), ports AS (
+                SELECT li.l_returnflag, li.l_discount, li.l_quantity,
+                       CAST(CASE {" ".join(f"WHEN l_extendedprice >= c{i} AND l_extendedprice <= c{i + 1} THEN {i + 1}" for i in range(4))}
+                            ELSE 0 END AS bigint) AS portfolio
+                FROM lineitem li JOIN cuts USING (l_returnflag)
+            )
+            SELECT portfolio, l_returnflag,
+                   round(avg(l_discount), {r}) AS l_discount,
+                   round(cast(count(l_discount) AS double), {r}) AS l_discount_count,
+                   round(sum(l_discount * l_quantity) / sum(l_quantity), {r}) AS l_discount_wavg,
+                   round(cast(count(l_discount) AS double), {r}) AS l_discount_count_wavg
+            FROM ports GROUP BY 1, 2
         """,
         "long_short_portfolio": f"""
             WITH cuts AS (
