@@ -182,6 +182,31 @@ def q_long_to_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_long_to_wide_ordinal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """colindex=None: columns come from the within-group ordinal under
+    an explicit ordervar (the reference relies on physical row order)."""
+    li = _li_unique_lines(spark, sf_dir, "l_quantity", F.max)
+    return _round_doubles(
+        pus.long_to_wide(
+            li.select("l_orderkey", "l_linenumber", "l_quantity"),
+            "l_orderkey", "l_quantity", colindex=None, ordervar="l_linenumber",
+        )
+    )
+
+
+def q_research_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second flagship: the reference's empirical-finance chain —
+    per-entity change series -> quantile portfolio formation ->
+    within-portfolio averages — composed lazily into one plan."""
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    chg = pus.var_change_by_groups(o, "o_totalprice", "o_custkey", datevar="o_orderkey")
+    chg = chg.filter(F.col("o_totalprice_change").isNotNull())
+    avgs = pus.portfolio_averages(
+        chg, "o_totalprice_change", "o_totalprice", ngroups=5, avgonly=True
+    )
+    return _round_doubles(avgs)
+
+
 def q_expand_months(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     return pus.expand_months(o, datevar="o_orderdate", newdatevar="daily_date", trade_days=False)
@@ -937,6 +962,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cumulate_between": q_cumulate_between,
         "var_change_by_groups": q_var_change_by_groups,
         "long_to_wide": q_long_to_wide,
+        "long_to_wide_ordinal": q_long_to_wide_ordinal,
+        "research_pipeline": q_research_pipeline,
         "expand_months": q_expand_months,
         "expand_months_tradedays": q_expand_months_tradedays,
         "expand_time_monthly": q_expand_time_monthly,
@@ -1279,6 +1306,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_orderkey,
                    {", ".join(f'round(max(CASE WHEN l_linenumber = {i} THEN l_quantity END), {r}) AS "l_quantity{i}"' for i in range(1, 8))}
             FROM uniq GROUP BY l_orderkey
+        """,
+        "long_to_wide_ordinal": f"""
+            WITH uniq AS (
+                SELECT l_orderkey, l_linenumber, max(l_quantity) AS l_quantity
+                FROM lineitem GROUP BY 1, 2
+            ), pos AS (
+                SELECT l_orderkey, l_linenumber, l_quantity,
+                       row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) - 1 AS p
+                FROM uniq
+            ), wide AS (
+                SELECT l_orderkey,
+                       {", ".join(f'round(max(CASE WHEN p = {i} THEN l_quantity END), {r}) AS "l_quantity{i}"' for i in range(7))}
+                FROM pos GROUP BY l_orderkey
+            )
+            SELECT u.l_orderkey, u.l_linenumber,
+                   {", ".join(f'w."l_quantity{i}"' for i in range(7))}
+            FROM uniq u JOIN wide w USING (l_orderkey)
+        """,
+        "research_pipeline": f"""
+            WITH chg AS (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       o_totalprice - lag(o_totalprice) OVER (
+                           PARTITION BY o_custkey ORDER BY o_orderkey) AS ch
+                FROM orders
+            ), valid AS (
+                SELECT * FROM chg WHERE ch IS NOT NULL
+            ), cuts AS (
+                SELECT {", ".join(f"quantile_cont(ch, {i / 5}) AS c{i}" for i in range(6))}
+                FROM valid
+            ), ports AS (
+                SELECT v.o_totalprice,
+                       CAST(CASE {" ".join(f"WHEN ch BETWEEN c{4 - i} AND c{5 - i} THEN {5 - i}" for i in range(5))}
+                            ELSE 0 END AS bigint) AS portfolio
+                FROM valid v CROSS JOIN cuts
+            )
+            SELECT portfolio, round(avg(o_totalprice), {r}) AS o_totalprice
+            FROM ports GROUP BY portfolio
         """,
         "expand_months": """
             SELECT o_orderkey, o_orderdate,
