@@ -70,17 +70,39 @@ def load_sas(
 
 
 def optimized_df(df: DataFrame) -> DataFrame:
-    """Narrow numeric storage types where lossless: bigint -> int when
-    values fit (reference: pd_utils/optimize/dftypes.py:7-36 —
-    object->category there is parquet dictionary encoding here, and
-    Tungsten already packs rows; this survives mostly as an explicit
-    cast utility for wire/size-sensitive sinks)."""
+    """Narrow numeric storage types where LOSSLESS: bigint -> int only
+    when every value fits, double -> float only when every value
+    round-trips exactly (reference: pd_utils/optimize/dftypes.py:7-36,
+    whose pandas ``downcast`` checks the same; object->category there
+    is parquet dictionary encoding here). One aggregation pass checks
+    all candidate columns at once; columns that would lose data keep
+    their type."""
+    int_cols = [n for n, t in df.dtypes if t == "bigint"]
+    dbl_cols = [n for n, t in df.dtypes if t == "double"]
+    if not int_cols and not dbl_cols:
+        return df
+
+    checks = []
+    for c in int_cols:
+        checks.append(F.min(c).alias(f"__min_{c}__"))
+        checks.append(F.max(c).alias(f"__max_{c}__"))
+    for c in dbl_cols:
+        # exact float32 round-trip: max absolute representation error
+        checks.append(
+            F.max(
+                F.abs(F.col(c) - F.col(c).cast("float").cast("double"))
+            ).alias(f"__err_{c}__")
+        )
+    row = df.agg(*checks).collect()[0]
+
     out = df
-    for name, dtype in df.dtypes:
-        if dtype == "double":
-            out = out.withColumn(name, F.col(name).cast("float"))
-        elif dtype == "bigint":
-            out = out.withColumn(name, F.col(name).cast("int"))
+    for c in int_cols:
+        lo, hi = row[f"__min_{c}__"], row[f"__max_{c}__"]
+        if lo is not None and -(2**31) <= lo and hi <= 2**31 - 1:
+            out = out.withColumn(c, F.col(c).cast("int"))
+    for c in dbl_cols:
+        if row[f"__err_{c}__"] is None or row[f"__err_{c}__"] == 0.0:
+            out = out.withColumn(c, F.col(c).cast("float"))
     return out
 
 

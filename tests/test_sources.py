@@ -86,6 +86,21 @@ class TestOptimize:
         types = dict(out.dtypes)
         assert types["a"] == "int" and types["c"] == "float" and types["b"] == "string"
 
+    def test_optimized_df_refuses_lossy_casts(self, spark):
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "big": [2**40, 1],               # overflows int32
+                    "precise": [0.1, 1e300],          # not float32-exact
+                    "ok": [1, 2],
+                }
+            )
+        )
+        types = dict(optimized_df(df).dtypes)
+        assert types["big"] == "bigint"      # kept — would overflow
+        assert types["precise"] == "double"  # kept — would lose precision
+        assert types["ok"] == "int"
+
     def test_df_types_dict(self, spark):
         df = spark.createDataFrame(
             pd.DataFrame({"a": [1], "d": pd.to_datetime(["2024-01-01"])})
