@@ -136,6 +136,86 @@ class TestStatefulStreaming:
             shutil.rmtree(src, ignore_errors=True)
 
 
+class TestWatermarkLateData:
+    def test_late_event_beyond_watermark_dropped(self, spark):
+        import time
+
+        from pyspark.sql.types import (
+            DoubleType,
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+            TimestampType,
+        )
+
+        src = tempfile.mkdtemp(prefix="late_src_")
+        try:
+            schema = StructType(
+                [
+                    StructField("ts", TimestampType()),
+                    StructField("event_type", StringType()),
+                    StructField("value", DoubleType()),
+                ]
+            )
+            # batch 1: events up to 12:00 -> watermark advances to 11:50
+            with open(f"{src}/b1.json", "w") as f:
+                f.write('{"ts": "2024-01-01 10:05:00", "event_type": "a", "value": 1.0}\n')
+                f.write('{"ts": "2024-01-01 12:00:00", "event_type": "a", "value": 2.0}\n')
+            stream = (
+                spark.readStream.format("json")
+                .schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .load(src)
+            )
+            agg = W.tumbling_window_agg(
+                stream, "ts", "1 hour", keys="event_type",
+                aggs={"value": "sum"}, watermark="10 minutes",
+            )
+            q = (
+                agg.writeStream.format("memory")
+                .queryName("late_test")
+                .outputMode("append")
+                .trigger(processingTime="1 second")
+                .start()
+            )
+            try:
+                deadline = time.time() + 90
+                # in append mode the 10:00 window emits once the
+                # watermark (12:00 - 10m) passes its end
+                while time.time() < deadline:
+                    rows = spark.sql(
+                        "SELECT window_start, value_sum FROM late_test"
+                    ).collect()
+                    if rows:
+                        break
+                    time.sleep(1)
+                got = {r.window_start.hour: r.value_sum for r in rows}
+                assert got.get(10) == 1.0
+                # batch 2: an event 3 hours LATE (08:30) — beyond the
+                # watermark, must be dropped, its window never emitted
+                with open(f"{src}/b2.json", "w") as f:
+                    f.write('{"ts": "2024-01-01 08:30:00", "event_type": "a", "value": 99.0}\n')
+                    # 14:00 pushes the watermark to 13:50, closing the
+                    # 12:00-13:00 window so it emits
+                    f.write('{"ts": "2024-01-01 14:00:00", "event_type": "a", "value": 3.0}\n')
+                while time.time() < deadline:
+                    rows = spark.sql(
+                        "SELECT window_start, value_sum FROM late_test"
+                    ).collect()
+                    hours = {r.window_start.hour for r in rows}
+                    if 12 in hours:  # batch-2 watermark advance emitted 12:00 window
+                        break
+                    time.sleep(1)
+                hours = {r.window_start.hour: r.value_sum for r in rows}
+                assert 8 not in hours, "late event's window must never appear"
+                assert hours.get(12) == 2.0
+            finally:
+                q.stop()
+        finally:
+            shutil.rmtree(src, ignore_errors=True)
+
+
 class TestStreamingDedup:
     def test_cross_batch_exact_dedup(self, spark):
         import time
