@@ -903,6 +903,21 @@ def q_select_rows_and(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_doubles(out)
 
 
+def q_left_merge_latest_strkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join on STRING equi keys (the reference's gvkey-str
+    fixtures, tests/test_pandas.py:106-133)."""
+    ev = _t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").cast("string").alias("uid"), "ts", "event_id"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").cast("string").alias("uid"), "ts",
+        F.col("value").alias("click_value"),
+    )
+    out = pus.left_merge_latest(views, clicks, on="uid", left_datevar="ts", right_datevar="ts")
+    return _round_doubles(out)
+
+
 def q_left_merge_latest_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join on a NUMERIC ordering column with a numeric
     max_offset (the reference's int-date path)."""
@@ -1042,6 +1057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "groupby_index_desc": q_groupby_index_desc,
         "select_rows_and": q_select_rows_and,
         "left_merge_latest_numeric": q_left_merge_latest_numeric,
+        "left_merge_latest_strkey": q_left_merge_latest_strkey,
     }
 
 
@@ -2207,6 +2223,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_orderkey, l_linenumber, round(l_tax, {r}) AS l_tax,
                    round(l_discount, {r}) AS l_discount
             FROM lineitem WHERE l_tax >= 0.05 AND l_discount >= 0.05
+        """,
+        "left_merge_latest_strkey": f"""
+            WITH views AS (
+                SELECT cast(user_id AS varchar) AS uid, ts, event_id
+                FROM events WHERE event_type = 'view'
+            ), clicks AS (
+                SELECT cast(user_id AS varchar) AS uid, ts, value AS click_value
+                FROM events WHERE event_type = 'click'
+            )
+            SELECT a.uid, a.ts, a.event_id, b.ts AS ts_y,
+                   round(b.click_value, {r}) AS click_value
+            FROM views a
+            LEFT JOIN clicks b
+              ON a.uid = b.uid AND b.ts <= a.ts
+             AND b.ts = (SELECT max(b2.ts) FROM clicks b2
+                         WHERE b2.uid = a.uid AND b2.ts <= a.ts)
         """,
         "left_merge_latest_numeric": f"""
             WITH l AS (SELECT o_custkey, o_orderkey FROM orders),
