@@ -201,7 +201,7 @@ def ivf_assign(
     (a sample of) the corpus; assignment is a map-only transform.
     """
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     feat = df.withColumn("__v__", array_to_vector(F.col(veccol)))
     km = KMeans(k=nlist, seed=seed, featuresCol="__v__", predictionCol=out)

@@ -18,8 +18,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from pd_utils_spark.utils import quote
-
 # Marker-word sets for the n-gram language-ID heuristic. Deliberately
 # tiny: the heuristic scores languages by marker-token hits and picks
 # the argmax (ties broken alphabetically, no hits -> 'und'). On real
@@ -258,19 +256,3 @@ def tf_idf(
         for c in ("tf", "idf", "tfidf"):
             out = out.withColumn(c, F.round(c, round_to))
     return out
-
-
-# --------------------------------------------------------------- oracle SQL
-
-def token_count_oracle(table: str = "documents", textcol: str = "text") -> str:
-    """DuckDB-equivalent expression for token_count (used by callers
-    assembling oracle SQL)."""
-    q = quote_sql(textcol)
-    return (
-        f"CASE WHEN length(trim({q})) = 0 THEN 0 "
-        f"ELSE len(regexp_split_to_array(trim({q}), '\\s+')) END"
-    )
-
-
-def quote_sql(col: str) -> str:
-    return '"' + col.replace('"', '""') + '"'
