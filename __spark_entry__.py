@@ -744,6 +744,26 @@ def q_winsorize_asym(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winsorize_bot_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
+    )
+    return _round_doubles(
+        pus.winsorize(li, 0.05, subset="l_extendedprice", byvars="l_returnflag", top=False)
+    )
+
+
+def q_expand_time_tradedays_negative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trading-day LOOKBACK shifts (negative offsets through the
+    indexed calendar)."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    td = pus.trading_day_dimension(spark, "1990-01-01", "2005-12-31")
+    return pus.expand_time(
+        o, datevar="o_orderdate", freq="d", time=[-5, -1],
+        newdate="shift_date", shiftvar="shift_n", trading_days=td,
+    )
+
+
 def q_winsorize_top_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_extendedprice")
     return _round_doubles(
@@ -1038,6 +1058,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reg_by_stderr": q_reg_by_stderr,
         "fillna_str_first": q_fillna_str_first,
         "winsorize_asym": q_winsorize_asym,
+        "winsorize_bot_only": q_winsorize_bot_only,
+        "expand_time_tradedays_negative": q_expand_time_tradedays_negative,
         "winsorize_top_global": q_winsorize_top_global,
         "long_to_wide_multi": q_long_to_wide_multi,
         "long_to_wide_colindex_only": q_long_to_wide_colindex_only,
@@ -2149,6 +2171,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_orderkey, l_linenumber, l_returnflag,
                    round(CASE WHEN tcv < l THEN l ELSE tcv END, {r}) AS l_extendedprice
             FROM lo
+        """,
+        "winsorize_bot_only": f"""
+            WITH lo AS (
+                SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
+                       quantile_cont(l_extendedprice, 0.05) OVER (PARTITION BY l_returnflag) AS l
+                FROM lineitem
+            )
+            SELECT l_orderkey, l_linenumber, l_returnflag,
+                   round(CASE WHEN l_extendedprice < l THEN l ELSE l_extendedprice END, {r})
+                       AS l_extendedprice
+            FROM lo
+        """,
+        "expand_time_tradedays_negative": f"""
+            WITH td AS (
+                SELECT d AS td_date, row_number() OVER (ORDER BY d) AS td_index
+                FROM (SELECT unnest(generate_series(DATE '1990-01-01', DATE '2005-12-31',
+                                                    INTERVAL 1 DAY))::DATE AS d)
+                WHERE isodow(d) NOT IN (6, 7) AND d NOT IN ({_holiday_sql_list()})
+            ), ex AS (
+                SELECT o_orderkey, o_orderdate, s.shift_n
+                FROM orders CROSS JOIN (VALUES (-5), (-1)) s(shift_n)
+            ), base AS (
+                SELECT ex.*, td.td_index AS base_idx
+                FROM ex ASOF LEFT JOIN td ON ex.o_orderdate >= td.td_date
+            )
+            SELECT b.o_orderkey, b.o_orderdate, b.shift_n,
+                   t.td_date::TIMESTAMP AS shift_date
+            FROM base b LEFT JOIN td t ON t.td_index = b.base_idx + b.shift_n
         """,
         "winsorize_top_global": f"""
             WITH hi AS (SELECT quantile_cont(l_extendedprice, 0.95) AS h FROM lineitem)
