@@ -598,6 +598,17 @@ def q_winsorize_multicol(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cumulate_between_2_5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Different breakpoint spacing: windows [0], (0,3], (3,...) after
+    the reference's shift-to-zero normalization of time=[2,5]."""
+    li = _li_unique_lines(spark, sf_dir, "l_discount", F.max)
+    out = pus.cumulate(
+        li, "l_discount", "between", periodvar="l_linenumber", byvars="l_orderkey",
+        time=[2, 5], grossify=True,
+    )
+    return _round_doubles(out)
+
+
 def q_cumulate_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _li_unique_lines(spark, sf_dir, "l_discount", F.max)
     out = pus.cumulate(
@@ -995,6 +1006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "long_short_portfolio": q_long_short_portfolio,
         "left_merge_latest": q_left_merge_latest,
         "cumulate_between": q_cumulate_between,
+        "cumulate_between_2_5": q_cumulate_between_2_5,
         "var_change_by_groups": q_var_change_by_groups,
         "long_to_wide": q_long_to_wide,
         "long_to_wide_ordinal": q_long_to_wide_ordinal,
@@ -1990,6 +2002,23 @@ def oracle_sql() -> dict[str, str]:
                    round(CASE WHEN te < le THEN le ELSE te END, {r}) AS l_extendedprice,
                    round(CASE WHEN tq < lq THEN lq ELSE tq END, {r}) AS l_quantity
             FROM lo
+        """,
+        "cumulate_between_2_5": f"""
+            WITH uniq AS (
+                SELECT l_orderkey, l_linenumber, max(l_discount) AS l_discount
+                FROM lineitem GROUP BY 1, 2
+            ), pos AS (
+                SELECT l_orderkey, l_linenumber, l_discount,
+                       row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) - 1 AS p
+                FROM uniq
+            ), b AS (
+                SELECT *, CASE WHEN p = 0 THEN 0 WHEN p <= 3 THEN 1 ELSE 2 END AS w FROM pos
+            )
+            SELECT l_orderkey, l_linenumber, round(l_discount, {r}) AS l_discount,
+                   round(exp(sum(ln(1 + l_discount)) OVER (
+                       PARTITION BY l_orderkey, w ORDER BY l_linenumber
+                       ROWS UNBOUNDED PRECEDING)) - 1, {r}) AS cum_l_discount
+            FROM b
         """,
         "cumulate_first": f"""
             WITH uniq AS (
