@@ -713,6 +713,30 @@ def q_sql_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sql_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority) shape through the sql() escape
+    hatch — three-table join with date predicates, all planned by
+    Catalyst from one SQL string."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return pus.sql(
+        [li, o, c],
+        """
+        SELECT li.l_orderkey,
+               round(sum(li.l_extendedprice * (1 - li.l_discount)), 4) AS revenue,
+               o.o_orderdate, o.o_orderpriority
+        FROM li_t li
+        JOIN o_t o ON li.l_orderkey = o.o_orderkey
+        JOIN c_t c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < DATE '1995-03-15'
+          AND li.l_shipdate > DATE '1995-03-15'
+        GROUP BY li.l_orderkey, o.o_orderdate, o.o_orderpriority
+        """,
+    )
+
+
 def q_apply_func_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
 
@@ -1066,6 +1090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "formatted_corr": q_formatted_corr,
         "groupby_merge_median": q_groupby_merge_median,
         "sql_join": q_sql_join,
+        "sql_tpch_q3": q_sql_tpch_q3,
         "apply_func_unique": q_apply_func_unique,
         "reg_by_stderr": q_reg_by_stderr,
         "fillna_str_first": q_fillna_str_first,
@@ -2135,6 +2160,18 @@ def oracle_sql() -> dict[str, str]:
             JOIN orders o ON li.l_orderkey = o.o_orderkey
             WHERE o.o_orderstatus = 'F'
             GROUP BY o.o_orderpriority
+        """,
+        "sql_tpch_q3": """
+            SELECT li.l_orderkey,
+                   round(sum(li.l_extendedprice * (1 - li.l_discount)), 4) AS revenue,
+                   o.o_orderdate, o.o_orderpriority
+            FROM lineitem li
+            JOIN orders o ON li.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < DATE '1995-03-15'
+              AND li.l_shipdate > DATE '1995-03-15'
+            GROUP BY li.l_orderkey, o.o_orderdate, o.o_orderpriority
         """,
         "apply_func_unique": """
             SELECT p_partkey, p_brand, md5(p_brand) AS brand_hash FROM part
