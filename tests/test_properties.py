@@ -78,6 +78,20 @@ def test_left_merge_latest_asof_invariant(spark, rows):
     assert out[["k", "d"]].drop_duplicates().shape[0] == pdf.drop_duplicates().shape[0]
 
 
+def test_left_merge_latest_ties_keep_all_rows(spark):
+    # two right rows at the same max eligible date -> BOTH kept,
+    # duplicating the left row (reference merge-back semantics)
+    left = spark.createDataFrame(pd.DataFrame({"k": [1], "d": [10.0]}))
+    right = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1, 1], "rd": [5.0, 5.0, 2.0], "payload": ["a", "b", "c"]})
+    )
+    out = pus.left_merge_latest(
+        left, right, on="k", left_datevar="d", right_datevar="rd"
+    ).toPandas()
+    assert len(out) == 2
+    assert sorted(out.payload) == ["a", "b"]
+
+
 doc_texts = st.lists(
     st.text(alphabet="ab c", min_size=0, max_size=30), min_size=2, max_size=10
 )
