@@ -892,6 +892,16 @@ def q_reg_by_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_doubles(out, 4)
 
 
+def q_groupby_merge_multi_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    out = pus.groupby_merge(
+        li, "l_orderkey", "max", subset=["l_quantity", "l_extendedprice"]
+    )
+    return _round_doubles(out)
+
+
 def q_groupby_merge_var(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
     return _round_doubles(pus.groupby_merge(li, "l_orderkey", "var", subset="l_quantity"))
@@ -1106,6 +1116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "groupby_merge_nunique": q_groupby_merge_nunique,
         "expand_time_intermediate": q_expand_time_intermediate,
         "groupby_merge_first": q_groupby_merge_first,
+        "groupby_merge_multi_subset": q_groupby_merge_multi_subset,
         "groupby_merge_var": q_groupby_merge_var,
         "groupby_merge_prod": q_groupby_merge_prod,
         "groupby_merge_replace": q_groupby_merge_replace,
@@ -2424,6 +2435,14 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(n_tokens), {r}) AS avg_tokens
             FROM kept WHERE doc_id NOT IN (SELECT id_b FROM losers)
             GROUP BY source
+        """,
+        "groupby_merge_multi_subset": f"""
+            SELECT l_orderkey, l_linenumber,
+                   round(l_quantity, {r}) AS l_quantity,
+                   round(l_extendedprice, {r}) AS l_extendedprice,
+                   round(max(l_quantity) OVER (PARTITION BY l_orderkey), {r}) AS l_quantity_max,
+                   round(max(l_extendedprice) OVER (PARTITION BY l_orderkey), {r}) AS l_extendedprice_max
+            FROM lineitem
         """,
         "groupby_merge_var": f"""
             SELECT l_orderkey, l_linenumber, round(l_quantity, {r}) AS l_quantity,
