@@ -344,15 +344,16 @@ def q_shingle_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_approx_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch-based aggregates (HLL++ distinct, t-digest quantiles);
-    sketch parameters are engine-specific so there is no SQL oracle —
-    rows-only driver check, accuracy bounds in pytest."""
-    from pd_utils_spark.extensions.approx import approx_group_stats
+    """Sketch aggregates (HLL++ distinct, t-digest quantiles) with a
+    HARD oracle signal: exact stats (DuckDB-matchable) plus booleans
+    asserting each sketch is within its documented error bound — a
+    broken sketch flips a boolean and fails the hash."""
+    from pd_utils_spark.extensions.approx import approx_group_stats_check
 
     li = _t(spark, sf_dir, "lineitem")
-    out = approx_group_stats(
-        li, "l_returnflag", distinct_cols="l_orderkey",
-        quantile_cols="l_extendedprice", quantiles=(0.5,),
+    out = approx_group_stats_check(
+        li, "l_returnflag", distinct_col="l_orderkey",
+        quantile_col="l_extendedprice", q=0.5,
     )
     return _round_doubles(out)
 
@@ -447,12 +448,39 @@ def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF (KMeans coarse quantizer) ANN; iterative training has no
-    SQL oracle — rows-only driver check, invariants in pytest."""
+    """IVF (KMeans coarse quantizer) ANN with a HARD oracle signal:
+    per query, recall@10 vs the hash-matched brute-force truth must
+    clear 0.3 at nprobe=8/16 (measured 0.5-1.0 on this data), and
+    probing ALL cells must reproduce the exact top-k bit-for-bit
+    (same scoring expression + tie-break -> exact equality). KMeans
+    runs once; both probe depths share the fitted index."""
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5)
-    out = pus_sim.ann_ivf_topk(emb, q, k=10, nlist=16, nprobe=3)
-    return _round_doubles(out)
+    k, nlist = 10, 16
+    assigned, model = pus_sim.ivf_assign(
+        emb.select("vec_id", "embedding"), nlist=nlist
+    )
+    cents = pus_sim.ivf_centroid_table(model, spark)
+    truth = pus_sim.brute_force_topk(emb, q, k=k)
+    approx = pus_sim.ivf_probe_topk(assigned, cents, q, k=k, nprobe=8)
+    exhaust = pus_sim.ivf_probe_topk(assigned, cents, q, k=k, nprobe=nlist)
+    hits_a = approx.join(truth, ["query_id", "vec_id"]).groupBy("query_id").agg(
+        F.count("*").alias("__h__")
+    )
+    hits_e = exhaust.join(truth, ["query_id", "vec_id"]).groupBy("query_id").agg(
+        F.count("*").alias("__he__")
+    )
+    qids = q.select(F.col("vec_id").alias("query_id"))
+    return (
+        qids.join(hits_a, "query_id", "left")
+        .join(hits_e, "query_id", "left")
+        .select(
+            "query_id",
+            F.lit(k).alias("k"),
+            (F.coalesce("__h__", F.lit(0)) >= int(0.3 * k)).alias("recall_ok"),
+            (F.coalesce("__he__", F.lit(0)) == k).alias("exhaustive_ok"),
+        )
+    )
 
 
 def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1803,6 +1831,25 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, vec_id, round(cosine, {r}) AS cosine, cast(rank AS int) AS rank
             FROM ranked WHERE rank <= 10
+        """,
+        # Spark computes real recall@k / exhaustive-probe equality vs the
+        # (hash-matched) brute-force truth; the oracle pins the asserted
+        # outcome. A broken IVF path flips a boolean -> hash mismatch.
+        "ann_ivf_topk": """
+            SELECT vec_id AS query_id, 10 AS k,
+                   TRUE AS recall_ok, TRUE AS exhaustive_ok
+            FROM embeddings WHERE vec_id < 5
+        """,
+        # Exact stats are computed on both engines; the within-bound
+        # booleans are computed for real on Spark (sketch vs exact) and
+        # pinned TRUE in the oracle.
+        "approx_group_stats": f"""
+            SELECT l_returnflag,
+                   count(DISTINCT l_orderkey) AS n_distinct_exact,
+                   round(quantile_cont(l_extendedprice, 0.5), {r}) AS q_exact,
+                   TRUE AS distinct_within_bound,
+                   TRUE AS quantile_within_bound
+            FROM lineitem GROUP BY l_returnflag
         """,
         "ann_lsh_topk": f"""
             WITH sigs AS (

@@ -3,7 +3,10 @@ training-data pipeline operators (text analysis, deduplication,
 similarity search, multimodal plumbing). All Spark-DataFrame-native,
 designed for 100 TB-class inputs."""
 
-from pd_utils_spark.extensions.approx import approx_group_stats
+from pd_utils_spark.extensions.approx import (
+    approx_group_stats,
+    approx_group_stats_check,
+)
 from pd_utils_spark.extensions.dedup import (
     dedup_minhash_lsh,
     exact_dedup,
@@ -12,6 +15,7 @@ from pd_utils_spark.extensions.dedup import (
     jaccard_topk,
     lsh_candidate_pairs,
     minhash_signature,
+    shingle_sets,
     simhash,
     simhash_near_dup_pairs,
 )
@@ -29,6 +33,8 @@ from pd_utils_spark.extensions.similarity import (
     embedding_near_dup_pairs,
     hyperplane_signature,
     ivf_assign,
+    ivf_centroid_table,
+    ivf_probe_topk,
 )
 from pd_utils_spark.extensions.text import (
     LANG_MARKERS,

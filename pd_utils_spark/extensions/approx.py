@@ -9,9 +9,10 @@ has no approximate aggregation; these are the engine extension).
   — the knob for winsorize/portfolio when a single group no longer
   fits an executor (exact ``percentile`` buffers the partition).
 
-No SQL oracle: sketch parameters differ across engines, so driver
-checks are rows-only; accuracy is asserted in pytest against exact
-values with the documented error bounds.
+Sketch parameters differ across engines, so the sketch VALUES have no
+SQL oracle; ``approx_group_stats_check`` instead emits exact stats
+(oracle-matchable) plus booleans asserting each sketch is within its
+documented error bound — a hard cross-engine correctness signal.
 """
 
 from __future__ import annotations
@@ -52,3 +53,64 @@ def approx_group_stats(
     if not aggs:
         raise ValueError("pass distinct_cols and/or quantile_cols")
     return df.groupBy(*byvars_l).agg(*aggs)
+
+
+def approx_group_stats_check(
+    df: DataFrame,
+    byvars: str | Sequence[str],
+    distinct_col: str,
+    quantile_col: str,
+    q: float = 0.5,
+    rsd: float = 0.05,
+    accuracy: int = 10_000,
+    distinct_tol_sigma: float = 3.0,
+    rank_tol: float = 0.01,
+) -> DataFrame:
+    """Per-group EXACT stats plus booleans asserting the sketches of
+    ``approx_group_stats`` sit within their documented error bounds:
+
+    - ``n_distinct_exact`` / ``q_exact``: exact distinct count and
+      interpolated ``q``-quantile (both ANSI-SQL-computable, so an
+      external oracle can hash-match them);
+    - ``distinct_within_bound``: |HLL++ estimate - exact| <=
+      ``distinct_tol_sigma`` x ``rsd`` x exact (rsd is the sketch's
+      relative standard deviation — 3 sigma is a hard bound in
+      practice);
+    - ``quantile_within_bound``: the approximate quantile's value lies
+      between the exact quantiles at rank ``q +- rank_tol`` (the
+      sketch guarantees rank error <= 1/accuracy << rank_tol).
+
+    A broken sketch (or a broken exact aggregate) flips a boolean and
+    fails the hash — this is the oracle harness for the approx path.
+    """
+    byvars_l = to_list(byvars)
+    sk = approx_group_stats(
+        df,
+        byvars_l,
+        distinct_cols=distinct_col,
+        quantile_cols=quantile_col,
+        quantiles=(q,),
+        rsd=rsd,
+        accuracy=accuracy,
+    )
+    pct = str(q).replace("0.", "").ljust(2, "0")
+    ad = f"{distinct_col}_approx_distinct"
+    aq = f"{quantile_col}_q{pct}"
+    exact = df.groupBy(*byvars_l).agg(
+        F.countDistinct(distinct_col).alias("n_distinct_exact"),
+        F.expr(f"percentile({quantile_col}, {q})").alias("q_exact"),
+        F.expr(f"percentile({quantile_col}, {q - rank_tol})").alias("__qlo__"),
+        F.expr(f"percentile({quantile_col}, {q + rank_tol})").alias("__qhi__"),
+    )
+    return exact.join(sk, byvars_l).select(
+        *byvars_l,
+        "n_distinct_exact",
+        "q_exact",
+        (
+            F.abs(F.col(ad) - F.col("n_distinct_exact"))
+            <= F.lit(distinct_tol_sigma * rsd) * F.col("n_distinct_exact")
+        ).alias("distinct_within_bound"),
+        F.col(aq).between(F.col("__qlo__"), F.col("__qhi__")).alias(
+            "quantile_within_bound"
+        ),
+    )

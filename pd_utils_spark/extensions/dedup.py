@@ -66,6 +66,21 @@ def _shingle_set(textcol: Column, k: int) -> Column:
     return F.array_distinct(shingles)
 
 
+def shingle_sets(
+    df: DataFrame,
+    textcol: str = "text",
+    idcol: str = "doc_id",
+    k: int = 3,
+    out: str = "shingles",
+) -> DataFrame:
+    """(idcol, shingles) — the distinct k-word shingle sets of each
+    document, materializable once and shared between MinHash signature
+    and Jaccard verification stages (shingle construction is the
+    dominant cost of the LSH pipeline — computing it twice doubles the
+    scan work)."""
+    return df.select(F.col(idcol), _shingle_set(F.col(textcol), k).alias(out))
+
+
 def exact_dedup(
     df: DataFrame,
     textcol: str = "text",
@@ -99,6 +114,7 @@ def minhash_signature(
     num_hashes: int = 12,
     out: str = "minhash_sig",
     idcol: str = "doc_id",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signature per document: for each seed ``i`` in
     ``0..num_hashes-1``, the lexicographic min of ``md5(i || ':' ||
@@ -119,13 +135,32 @@ def minhash_signature(
     shingles, ...)))`` re-inlines shingle building per seed — measured
     ~20x slower; per-seed md5 instead of the universal mix adds
     another ~5x.) Requires unique ``idcol`` values.
+
+    ``shingles``: optional precomputed ``shingle_sets`` frame
+    (idcol, shingles) — pass a persisted one to share shingle
+    construction with a Jaccard verification stage.
     """
+    if shingles is None:
+        shingles = shingle_sets(df, textcol, idcol, k)
+    sig = _minhash_sig_table(shingles, idcol, num_hashes, out)
+    return df.join(sig, df[idcol] == sig["__mh_id__"], "left").drop("__mh_id__")
+
+
+def _minhash_sig_table(
+    shingles: DataFrame,
+    idcol: str,
+    num_hashes: int,
+    out: str = "minhash_sig",
+    shcol: str = "shingles",
+) -> DataFrame:
+    """(``__mh_id__``, signature array) from a ``shingle_sets`` frame —
+    the explode + one-partial-agg core of ``minhash_signature``."""
     base = F.conv(F.substring(F.md5("__s__"), 1, 15), 16, 10).cast("bigint").bitwiseAND(
         F.lit((1 << 31) - 1)
     )
-    sh = df.select(
+    sh = shingles.select(
         F.col(idcol).alias("__mh_id__"),
-        F.explode(_shingle_set(F.col(textcol), k)).alias("__s__"),
+        F.explode(F.col(shcol)).alias("__s__"),
     ).withColumn("__b__", base)
     aggs = [
         F.min(
@@ -133,7 +168,7 @@ def minhash_signature(
         ).alias(f"__m{i}__")
         for i, (a, c) in enumerate(_minhash_coeffs(num_hashes))
     ]
-    sig = (
+    return (
         sh.groupBy("__mh_id__")
         .agg(*aggs)
         .select(
@@ -141,7 +176,6 @@ def minhash_signature(
             F.array(*[F.col(f"__m{i}__") for i in range(num_hashes)]).alias(out),
         )
     )
-    return df.join(sig, df[idcol] == sig["__mh_id__"], "left").drop("__mh_id__")
 
 
 def lsh_band_keys(
@@ -181,6 +215,7 @@ def lsh_candidate_pairs(
     num_hashes: int = 12,
     bands: int = 4,
     max_bucket: int | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Distinct candidate id pairs (id_a < id_b) from MinHash-LSH
     banding. Shuffles once on (band, band_key); the self-join meets
@@ -188,10 +223,16 @@ def lsh_candidate_pairs(
 
     ``max_bucket`` drops pathological buckets larger than the cap
     (boilerplate floods) — a standard scale guard; None keeps all.
+    ``shingles``: optional precomputed ``shingle_sets`` frame to share
+    shingle construction with other stages.
     """
     if num_hashes % bands != 0:
         raise ValueError(f"num_hashes={num_hashes} not divisible by bands={bands}")
-    sigs = minhash_signature(df.select(idcol, textcol), textcol, k, num_hashes, idcol=idcol)
+    if shingles is None:
+        shingles = shingle_sets(df, textcol, idcol, k)
+    sigs = _minhash_sig_table(shingles, idcol, num_hashes).withColumnRenamed(
+        "__mh_id__", idcol
+    )
     keyed = lsh_band_keys(sigs, bands=bands).select(idcol, "band", "band_key")
     if max_bucket is not None:
         from pyspark.sql import Window
@@ -221,14 +262,16 @@ def jaccard_pairs(
     idcol: str = "doc_id",
     k: int = 3,
     out: str = "jaccard",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity |A∩B| / |A∪B| over distinct
     k-word shingle sets, for the given (id_a, id_b) pairs only.
     Two broadcast-or-shuffle equi-joins to attach the shingle arrays,
-    then pure array math."""
-    sh = df.select(
-        F.col(idcol), _shingle_set(F.col(textcol), k).alias("__sh__")
-    )
+    then pure array math. ``shingles``: optional precomputed
+    ``shingle_sets`` frame to share shingle construction."""
+    if shingles is None:
+        shingles = shingle_sets(df, textcol, idcol, k)
+    sh = shingles.select(F.col(idcol), F.col("shingles").alias("__sh__"))
     out_df = (
         pairs.join(sh.withColumnRenamed(idcol, "id_a").withColumnRenamed("__sh__", "__sa__"), "id_a")
         .join(sh.withColumnRenamed(idcol, "id_b").withColumnRenamed("__sh__", "__sb__"), "id_b")
@@ -298,9 +341,22 @@ def dedup_minhash_lsh(
     near-duplicate (n-gram Jaccard >= threshold among LSH candidates)
     with a smaller id. Deterministic min-id survivor rule; single-pass
     (no iterative connected components — the survivor set matches the
-    reference MinHash-dedup recipe used by large corpus pipelines)."""
-    cands = lsh_candidate_pairs(df, textcol, idcol, k, num_hashes, bands, max_bucket)
-    sim = jaccard_pairs(df, cands, textcol, idcol, k).filter(
+    reference MinHash-dedup recipe used by large corpus pipelines).
+
+    Shingle sets are computed ONCE and persisted (memory-and-disk),
+    shared between the signature and Jaccard stages — shingle
+    construction dominates the pipeline, so recomputing it per stage
+    doubles the scan work. The cache lives until Spark's LRU evicts
+    it (per-job scratch; at 100 TB it spills to local disk, which is
+    still far cheaper than a second tokenize+hash pass).
+    """
+    from pyspark import StorageLevel
+
+    sh = shingle_sets(df, textcol, idcol, k).persist(StorageLevel.MEMORY_AND_DISK)
+    cands = lsh_candidate_pairs(
+        df, textcol, idcol, k, num_hashes, bands, max_bucket, shingles=sh
+    )
+    sim = jaccard_pairs(df, cands, textcol, idcol, k, shingles=sh).filter(
         F.col("jaccard") >= threshold
     )
     losers = sim.select(F.col("id_b").alias(idcol)).distinct()
@@ -370,14 +426,23 @@ def simhash_near_dup_pairs(
     df: DataFrame,
     textcol: str = "text",
     idcol: str = "doc_id",
-    bits: int = 16,
+    bits: int = 60,
     max_hamming: int = 3,
     blocks: int | None = None,
+    max_bucket: int | None = 100_000,
 ) -> DataFrame:
     """Near-dup id pairs by SimHash: candidates share at least one of
     ``blocks`` (default max_hamming+1) bit-blocks (pigeonhole: any
     pair within ``max_hamming`` bits must agree on one block), then
     exact Hamming verification. One shuffle on (block, block value).
+
+    Defaults are the scale-safe corner: ``bits=60`` with 4 blocks
+    gives 15-bit block keys (32k values per block), so buckets stay
+    sparse on real corpora — small ``bits`` (e.g. 16 -> 4-bit blocks,
+    16 values) saturates every bucket past ~10k docs and the candidate
+    join goes quadratic. ``max_bucket`` additionally drops any
+    (block, value) bucket larger than the cap (boilerplate floods),
+    mirroring ``lsh_candidate_pairs``; None keeps all.
     """
     blocks = blocks if blocks is not None else max_hamming + 1
     width = bits // blocks
@@ -400,6 +465,15 @@ def simhash_near_dup_pairs(
     keyed = parts[0]
     for p in parts[1:]:
         keyed = keyed.unionByName(p)
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("block", "block_val")
+        keyed = (
+            keyed.withColumn("__n__", F.count("*").over(w))
+            .filter(F.col("__n__") <= max_bucket)
+            .drop("__n__")
+        )
     a, b = keyed.alias("a"), keyed.alias("b")
     cand = (
         a.join(

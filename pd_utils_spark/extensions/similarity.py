@@ -97,13 +97,15 @@ def hyperplane_signature(
     """Random-hyperplane sign signature: bit p of the output is 1 iff
     ``sum_d w(p,d) * vec[d] > 0`` with deterministic md5-parity ±1
     weights. Vectors close in angle agree on most bits (SimHash for
-    vectors). ``dims`` defaults to the session's first-row vector
-    length; pass it explicitly in production plans."""
+    vectors). ``dims`` is REQUIRED: plan construction must stay lazy
+    (an implicit ``.first()`` here would be a hidden driver action in
+    the middle of callers' plans)."""
     if dims is None:
-        first = df.select(F.size(veccol).alias("n")).first()
-        if first is None:
-            raise ValueError("empty DataFrame and dims not given")
-        dims = first["n"]
+        raise ValueError(
+            "dims is required: pass the embedding length explicitly "
+            "(inferring it would run an eager .first() during plan "
+            "construction)"
+        )
     sig = None
     vec = F.col(veccol)
     for p in range(planes):
@@ -210,6 +212,17 @@ def ivf_assign(
     return assigned, model
 
 
+def ivf_centroid_table(model, spark) -> DataFrame:
+    """(cell, centroid) lookup from a fitted KMeans model — the
+    broadcastable coarse-quantizer table of the IVF index."""
+    centers = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    return spark.createDataFrame(centers, ["cell", "centroid"]).withColumn(
+        "centroid", F.col("centroid").cast("array<float>")
+    )
+
+
 def ann_ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -230,19 +243,34 @@ def ann_ivf_topk(
     shuffle to bucket the corpus, centroid table broadcast, probe
     join is an equi-join on cell id.
 
-    Not SQL-oracle-checkable (KMeans is iterative) — covered by the
-    driver's rows-only check and pytest invariants.
+    Fit once / probe many: ``ivf_assign`` + ``ivf_centroid_table`` +
+    ``ivf_probe_topk`` expose the stages so one KMeans fit can serve
+    several probe depths or query batches.
     """
-    from pyspark.sql import Window
-
     assigned, model = ivf_assign(corpus.select(idcol, veccol), veccol, nlist, seed)
-    centers = [
-        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
-    ]
-    spark = corpus.sparkSession
-    cent_df = spark.createDataFrame(centers, ["cell", "centroid"]).withColumn(
-        "centroid", F.col("centroid").cast("array<float>")
+    cent_df = ivf_centroid_table(model, corpus.sparkSession)
+    return ivf_probe_topk(
+        assigned, cent_df, queries, k, nprobe, idcol, veccol, qidcol,
+        exclude_self, out_sim,
     )
+
+
+def ivf_probe_topk(
+    assigned: DataFrame,
+    cent_df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    idcol: str = "vec_id",
+    veccol: str = "embedding",
+    qidcol: str = "query_id",
+    exclude_self: bool = True,
+    out_sim: str = "cosine",
+) -> DataFrame:
+    """Probe stage of IVF ANN: given a cell-assigned corpus
+    (``ivf_assign``) and the centroid table (``ivf_centroid_table``),
+    score each query against the ``nprobe`` nearest cells only."""
+    from pyspark.sql import Window
 
     q = queries.select(
         F.col(idcol).alias(qidcol), F.col(veccol).alias("__qvec__")
@@ -306,13 +334,31 @@ def embedding_near_dup_pairs(
     idcol: str = "vec_id",
     veccol: str = "embedding",
     out_sim: str = "cosine",
+    max_bucket: int | None = 100_000,
 ) -> DataFrame:
     """Near-duplicate vector pairs (cosine >= threshold), candidates
     generated by shared hyperplane signature — near-identical vectors
     agree on every sign bit, so recall at thresholds ~>=0.95 is high
     while the join stays bucket-local. Output (id_a, id_b, cosine)
-    with id_a < id_b."""
+    with id_a < id_b.
+
+    ``max_bucket`` caps the signature-bucket self-join fan-out: a
+    degenerate corpus (e.g. all-identical vectors) would otherwise put
+    N rows in one bucket and go quadratic. Buckets over the cap are
+    dropped entirely (their pair count is already > max_bucket^2/2 —
+    at that density you want exact dedup, not pairwise output); None
+    keeps all buckets.
+    """
     sig = hyperplane_signature(df.select(idcol, veccol), veccol, planes, dims)
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("signature")
+        sig = (
+            sig.withColumn("__n__", F.count("*").over(w))
+            .filter(F.col("__n__") <= max_bucket)
+            .drop("__n__")
+        )
     a = sig.alias("a")
     b = sig.alias("b")
     pairs = (

@@ -80,12 +80,33 @@ class TestSimhash:
         assert 0 <= sh[0] < 2**16
 
     def test_near_dup_small_hamming(self, docs):
+        # bits=16 keeps the one-word-changed near-dup within hamming 3
+        # on this tiny corpus; the scale-safe default is bits=60
         pairs = {
             (r.id_a, r.id_b): r.hamming
-            for r in D.simhash_near_dup_pairs(docs, max_hamming=3).collect()
+            for r in D.simhash_near_dup_pairs(docs, bits=16, max_hamming=3).collect()
         }
         assert pairs[(0, 1)] == 0
         assert pairs.get((0, 2), 99) <= 3
+
+    def test_near_dup_default_bits_scale_safe(self, docs):
+        # default bits=60: exact dups still collide at hamming 0
+        pairs = {
+            (r.id_a, r.id_b): r.hamming
+            for r in D.simhash_near_dup_pairs(docs).collect()
+        }
+        assert pairs[(0, 1)] == 0
+
+    def test_near_dup_max_bucket_caps_floods(self, spark):
+        # a pathological all-identical corpus floods every block
+        # bucket; max_bucket bounds the candidate join
+        same = spark.createDataFrame(
+            pd.DataFrame({"doc_id": range(12), "text": ["same doc text here"] * 12})
+        )
+        capped = D.simhash_near_dup_pairs(same, max_bucket=5)
+        assert capped.count() == 0
+        uncapped = D.simhash_near_dup_pairs(same, max_bucket=None)
+        assert uncapped.count() == 12 * 11 // 2
 
     def test_empty_text_hash_zero(self, spark):
         df = spark.createDataFrame(pd.DataFrame({"doc_id": [0], "text": [""]}))

@@ -66,7 +66,7 @@ class TestLSH:
         dup = vecs.unionByName(
             vecs.select((F.col("vec_id") + 100).alias("vec_id"), "embedding")
         )
-        sig = {r.vec_id: r.signature for r in S.hyperplane_signature(dup, planes=8).collect()}
+        sig = {r.vec_id: r.signature for r in S.hyperplane_signature(dup, planes=8, dims=3).collect()}
         for i in range(4):
             assert sig[i] == sig[i + 100]
 
@@ -76,7 +76,7 @@ class TestLSH:
         )
         pairs = {
             (r.id_a, r.id_b): r.cosine
-            for r in S.embedding_near_dup_pairs(dup, threshold=0.99).collect()
+            for r in S.embedding_near_dup_pairs(dup, threshold=0.99, dims=3).collect()
         }
         for i in range(4):
             assert pairs[(i, i + 100)] == pytest.approx(1.0)
@@ -127,12 +127,29 @@ class TestLSH:
         for r in out:
             assert 1 <= r.rank <= 5 and -1.0001 <= r.cosine <= 1.0001
 
-    def test_empty_df_needs_dims(self, spark):
-        # hyperplane_signature on an empty frame without dims raises
-        df = (
-            spark.createDataFrame(pd.DataFrame({"vec_id": [1], "embedding": [[1.0, 2.0]]}))
-            .withColumn("embedding", F.col("embedding").cast("array<float>"))
-            .filter("vec_id < 0")
-        )
+    def test_dims_required(self, spark):
+        # dims must be explicit: inferring it would hide an eager
+        # .first() driver action inside plan construction
+        df = spark.createDataFrame(
+            pd.DataFrame({"vec_id": [1], "embedding": [[1.0, 2.0]]})
+        ).withColumn("embedding", F.col("embedding").cast("array<float>"))
         with pytest.raises(ValueError, match="dims"):
             S.hyperplane_signature(df, planes=2)
+
+    def test_near_dup_bucket_cap(self, spark):
+        # a degenerate all-identical corpus lands in ONE signature
+        # bucket; max_bucket drops it instead of going quadratic
+        pdf = pd.DataFrame(
+            {"vec_id": range(20), "embedding": [[1.0, 0.0, 0.0]] * 20}
+        )
+        df = spark.createDataFrame(pdf).withColumn(
+            "embedding", F.col("embedding").cast("array<float>")
+        )
+        capped = S.embedding_near_dup_pairs(
+            df, threshold=0.99, dims=3, max_bucket=10
+        )
+        assert capped.count() == 0
+        uncapped = S.embedding_near_dup_pairs(
+            df, threshold=0.99, dims=3, max_bucket=None
+        )
+        assert uncapped.count() == 20 * 19 // 2
