@@ -91,6 +91,19 @@ def q_groupby_transform_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_doubles(out)
 
 
+def q_groupby_transform_str(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-valued transform callable — exercises output_type
+    propagation (the reference keeps the callable's dtype; Spark
+    declares it in the applyInPandas schema)."""
+    cu = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    return pus.groupby_merge(
+        cu, "c_nationkey", "transform", (lambda s: s.str.lower()),
+        subset="c_mktsegment", output_type="string",
+    )
+
+
 def q_groupby_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
     return pus.groupby_index(o, "o_custkey", sortvars=["o_orderdate", "o_orderkey"])
@@ -578,6 +591,13 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pus_events.cohort_retention(ev, period="week")
 
 
+def q_cohort_retention_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month cohorts — variable-length periods, so offsets come from
+    months_between rather than a fixed epoch divisor."""
+    ev = _t(spark, sf_dir, "events")
+    return pus_events.cohort_retention(ev, period="month")
+
+
 def q_top_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
     out = pus_events.top_k_per_group(
@@ -1060,6 +1080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "groupby_merge_std": q_groupby_merge_std,
         "groupby_transform_demean": q_groupby_transform_demean,
         "groupby_transform_cumsum": q_groupby_transform_cumsum,
+        "groupby_transform_str": q_groupby_transform_str,
         "groupby_index": q_groupby_index,
         "winsorize": q_winsorize,
         "portfolio": q_portfolio,
@@ -1113,6 +1134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_rollup": q_time_rollup,
         "funnel": q_funnel,
         "cohort_retention": q_cohort_retention,
+        "cohort_retention_monthly": q_cohort_retention_monthly,
         "top_k_per_group": q_top_k_per_group,
         "media_byte_features": q_media_byte_features,
         "cumulate_first": q_cumulate_first,
@@ -1300,6 +1322,11 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY l_orderkey ORDER BY l_linenumber
                        ROWS UNBOUNDED PRECEDING), {r}) AS l_quantity_transform
             FROM uniq
+        """,
+        "groupby_transform_str": """
+            SELECT c_custkey, c_nationkey, c_mktsegment,
+                   lower(c_mktsegment) AS c_mktsegment_transform
+            FROM customer
         """,
         "groupby_index": """
             SELECT o_orderkey, o_custkey, o_orderdate,
@@ -1971,6 +1998,21 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT f.cohort,
                    cast(floor((epoch(a.p) - epoch(f.cohort)) / 604800) AS bigint)
+                       AS period_number,
+                   count(DISTINCT a.user_id) AS users
+            FROM activity a JOIN firsts f USING (user_id)
+            GROUP BY 1, 2
+        """,
+        "cohort_retention_monthly": """
+            WITH firsts AS (
+                SELECT user_id, min(date_trunc('month', ts))::TIMESTAMP AS cohort
+                FROM events GROUP BY user_id
+            ), activity AS (
+                SELECT DISTINCT user_id, date_trunc('month', ts)::TIMESTAMP AS p
+                FROM events
+            )
+            SELECT f.cohort,
+                   cast(date_diff('month', f.cohort, a.p) AS bigint)
                        AS period_number,
                    count(DISTINCT a.user_id) AS users
             FROM activity a JOIN firsts f USING (user_id)

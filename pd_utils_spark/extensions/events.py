@@ -74,20 +74,33 @@ def cohort_retention(
     Two aggregations (first-activity per user, then distinct users
     per (cohort, period offset)) — both partially aggregated; no
     window over raw events.
+
+    ``period``: one of hour/day/week/month. Fixed-length periods use
+    an epoch-second divisor; month offsets use ``months_between``
+    (month lengths vary, so a fixed divisor would miscount).
     """
+    fixed_seconds = {"hour": 3600, "day": 86400, "week": 7 * 86400}
+    if period not in fixed_seconds and period != "month":
+        raise ValueError(
+            f"period must be one of {sorted(fixed_seconds) + ['month']}, "
+            f"got {period!r}"
+        )
     p = F.date_trunc(period, F.col(tscol))
     firsts = df.groupBy(usercol).agg(F.min(p).alias("__cohort__"))
     activity = df.select(usercol, p.alias("__p__")).distinct()
     joined = activity.join(firsts, usercol)
+    if period == "month":
+        # both sides are month starts -> months_between is integral
+        offset = F.round(
+            F.months_between(F.col("__p__"), F.col("__cohort__"))
+        ).cast("bigint")
+    else:
+        offset = F.floor(
+            (F.col("__p__").cast("long") - F.col("__cohort__").cast("long"))
+            / F.lit(fixed_seconds[period])
+        ).cast("bigint")
     out = (
-        joined.withColumn(
-            "period_number",
-            # whole periods between cohort and activity
-            F.floor(
-                (F.col("__p__").cast("long") - F.col("__cohort__").cast("long"))
-                / F.lit(7 * 86400 if period == "week" else 86400)
-            ).cast("bigint"),
-        )
+        joined.withColumn("period_number", offset)
         .groupBy(F.col("__cohort__").alias("cohort"), "period_number")
         .agg(F.countDistinct(usercol).alias("users"))
     )

@@ -59,15 +59,6 @@ MEDIA_SCHEMA = StructType(
 )
 
 
-def _try_real_image_decoder():
-    try:  # pragma: no cover - PIL absent in this environment
-        from PIL import Image  # noqa: F401
-
-        return Image
-    except Exception:
-        return None
-
-
 def _fake_image_dims(data: bytes) -> tuple[int, int, int]:
     """DETERMINISTIC FAKE decode — stands in for a real codec. Derives
     (width, height, channels) from the payload hash; stable across
@@ -82,14 +73,16 @@ def decode_image(
     fake: bool = False,
 ) -> DataFrame:
     """Attach (width, height, channels) decoded from the binary
-    payload via ``mapInPandas``. STUB: raises ``NotImplementedError``
-    without a real decoder unless ``fake=True`` (deterministic fake
-    for plumbing tests)."""
-    decoder = _try_real_image_decoder()
-    if decoder is None and not fake:
+    payload via ``mapInPandas``. STUB: only the deterministic fake
+    kernel is implemented — ``fake=False`` ALWAYS raises (even if a
+    codec library happens to be importable, a fake result must never
+    masquerade as a real decode); a real codec kernel would slot into
+    the same mapInPandas shape."""
+    if not fake:
         raise NotImplementedError(
-            "no image codec available in this environment; pass fake=True "
-            "to run the deterministic stub decoder (plumbing test mode)"
+            "decode_image is a stub: only the deterministic fake kernel "
+            "exists (pass fake=True for plumbing test mode); a real codec "
+            "kernel is not implemented in this environment"
         )
 
     out_schema = StructType(
@@ -121,8 +114,12 @@ def byte_features(
     """REAL (no codec needed) content features from the raw bytes:
     ``n_bytes``, ``byte_entropy`` (Shannon, bits), and a
     ``byte_hist`` array of ``bins`` normalized bucket frequencies.
-    Arrow-batched numpy kernel via ``mapInPandas``."""
+    Arrow-batched numpy kernel via ``mapInPandas``. ``bins`` must
+    divide 256 (the histogram buckets the 256 byte values evenly)."""
     import numpy as np
+
+    if bins < 1 or 256 % bins != 0:
+        raise ValueError(f"bins must divide 256 evenly, got {bins}")
 
     out_schema = StructType(
         df.schema.fields
@@ -166,14 +163,16 @@ def resize_images(
     datacol: str = "data",
     fake: bool = False,
 ) -> DataFrame:
-    """Resize payloads to (width, height). STUB: real path needs a
-    codec; the fake path re-hashes the payload with the target dims
-    so output bytes are deterministic and size-bounded — exercising
-    the binary-in/binary-out Arrow round trip."""
-    decoder = _try_real_image_decoder()
-    if decoder is None and not fake:
+    """Resize payloads to (width, height). STUB: only the fake path
+    exists — it re-hashes the payload with the target dims so output
+    bytes are deterministic and size-bounded, exercising the
+    binary-in/binary-out Arrow round trip. ``fake=False`` ALWAYS
+    raises (a fake result must never masquerade as a real resize)."""
+    if not fake:
         raise NotImplementedError(
-            "no image codec available; pass fake=True for the stub resizer"
+            "resize_images is a stub: only the deterministic fake kernel "
+            "exists (pass fake=True); a real codec kernel is not "
+            "implemented in this environment"
         )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

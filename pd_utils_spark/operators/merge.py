@@ -50,6 +50,7 @@ def groupby_merge(
     subset: Union[str, list[str]] = "all",
     replace: bool = False,
     ordervar: Optional[str] = None,
+    output_type: Optional[str] = None,
 ) -> DataFrame:
     """Group by ``byvars``, apply ``func_str`` on ``subset`` columns, and
     broadcast the per-group result back onto every input row as
@@ -74,6 +75,11 @@ def groupby_merge(
 
     :param replace: True to overwrite the original columns with the
         aggregated/transformed values.
+    :param output_type: Spark type name for transform output columns
+        (e.g. ``'string'``, ``'bigint'``, ``'date'``). The reference
+        propagates the callable's dtype (pd_utils/merge.py:54-89);
+        Spark must declare the applyInPandas schema up front, so pass
+        this for non-numeric transforms. Default ``'double'``.
     """
     byvars = to_list(byvars)
     if subset == "all":
@@ -81,7 +87,10 @@ def groupby_merge(
     subset = to_list(subset)
 
     if func_str == "transform":
-        out = _groupby_transform(df, byvars, subset, func_args[0], ordervar=ordervar)
+        out = _groupby_transform(
+            df, byvars, subset, func_args[0], ordervar=ordervar,
+            output_type=output_type or "double",
+        )
     else:
         if func_str not in _AGG_FUNCS:
             raise ValueError(
@@ -140,28 +149,36 @@ def _groupby_transform(
     subset: list[str],
     fn: Callable,
     ordervar: Optional[str] = None,
+    output_type: str = "double",
 ) -> DataFrame:
-    """applyInPandas backend for groupby_merge's transform path."""
+    """applyInPandas backend for groupby_merge's transform path.
+    ``output_type`` declares the Arrow schema of the transform columns;
+    float64 is the fast path, anything else goes through an object
+    series so strings/dates/ints survive untouched."""
     out_cols = [f"{c}_transform" for c in subset]
-    schema_parts = df.schema.simpleString()[7:-1]  # strip struct<...>
     out_schema = ",".join(
         [f"`{f.name}`:{f.dataType.simpleString()}" for f in df.schema.fields]
-        + [f"`{c}`:double" for c in out_cols]
+        + [f"`{c}`:{output_type}" for c in out_cols]
     )
     out_schema = "struct<" + out_schema + ">"
-    _ = schema_parts  # schema built from fields above
 
     order_col = ordervar
+    as_double = output_type == "double"
 
     def apply_group(pdf: pd.DataFrame) -> pd.DataFrame:
         if order_col is not None:
             pdf = pdf.sort_values(order_col, kind="stable")
         mask = pdf[subset].notna().all(axis=1)
         for c, oc in zip(subset, out_cols):
-            res = pd.Series([float("nan")] * len(pdf), index=pdf.index, dtype="float64")
+            if as_double:
+                res = pd.Series(
+                    [float("nan")] * len(pdf), index=pdf.index, dtype="float64"
+                )
+            else:
+                res = pd.Series([None] * len(pdf), index=pdf.index, dtype="object")
             if mask.any():
                 vals = pd.Series(list(fn(pdf.loc[mask, c])), index=pdf.index[mask])
-                res.loc[mask] = vals.astype("float64")
+                res.loc[mask] = vals.astype("float64") if as_double else vals
             pdf[oc] = res
         return pdf
 

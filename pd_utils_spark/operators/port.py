@@ -72,8 +72,11 @@ def portfolio(
 
     if cutoffs is not None:
         # explicit value cutoffs: [min, *cutoffs, max]; last match wins;
-        # byvars ignored (reference behavior)
-        bounds = df.agg(
+        # byvars ignored (reference behavior). NaN must not feed the
+        # min/max: Spark sorts NaN above every value (one NaN row would
+        # null out the whole top bucket) while pandas min/max skip NaN;
+        # +-inf stays in, matching pandas.
+        bounds = df.filter(F.col(groupvar).isNotNull() & ~F.isnan(gv)).agg(
             F.min(gv).alias("__min__"), F.max(gv).alias("__max__")
         )
         out = df.crossJoin(F.broadcast(bounds))

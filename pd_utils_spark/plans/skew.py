@@ -88,7 +88,17 @@ def salted_join(
     when the right side is small enough to replicate but too large or
     too skew-prone to broadcast. AQE's skew-join split is the first
     resort; this is the explicit fallback.
+
+    Only ``inner`` and ``left`` joins are supported: replicating the
+    right side would emit each unmatched right row ``salt`` times
+    under right/full-outer semantics.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left' only, got {how!r} "
+            "(the replicated right side would duplicate unmatched right "
+            "rows under right/full-outer semantics)"
+        )
     on_l = to_list(on)
     lsalt = left.withColumn(
         "__salt__",

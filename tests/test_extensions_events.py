@@ -58,6 +58,41 @@ class TestCohortRetention:
         assert out[("2024-01-08", 0)] == 1
         assert len(out) == 2  # nobody returns a later week
 
+    def test_monthly_cohorts_use_month_offsets(self, spark):
+        # a user active in Jan and Mar is period_number 2 (months),
+        # not ~59 (days) — month offsets must not use a fixed divisor
+        ev = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "user_id": [1, 1, 2],
+                    "ts": pd.to_datetime(
+                        ["2024-01-15", "2024-03-02", "2024-02-01"]
+                    ),
+                }
+            )
+        )
+        out = {
+            (r.cohort.date().isoformat(), r.period_number): r.users
+            for r in E.cohort_retention(ev, period="month").collect()
+        }
+        assert out == {
+            ("2024-01-01", 0): 1,
+            ("2024-01-01", 2): 1,
+            ("2024-02-01", 0): 1,
+        }
+
+    def test_hourly_cohorts(self, ev):
+        out = E.cohort_retention(ev, period="hour").collect()
+        # u3 is active 12:00, 12:30, 13:00 -> periods 0 and 1
+        by_pn = {
+            (r.cohort.isoformat(), r.period_number): r.users for r in out
+        }
+        assert by_pn[("2024-01-08T12:00:00", 1)] == 1
+
+    def test_unsupported_period_rejected(self, ev):
+        with pytest.raises(ValueError, match="period"):
+            E.cohort_retention(ev, period="quarter")
+
 
 class TestTopK:
     def test_top_k_with_tiebreak(self, spark):

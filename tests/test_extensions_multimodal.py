@@ -57,6 +57,11 @@ class TestByteFeatures:
         out = M.byte_features(media)
         assert out.columns[:2] == ["media_id", "data"]
 
+    def test_bins_must_divide_256(self, media):
+        # validated up front — not a runtime reshape error in the kernel
+        with pytest.raises(ValueError, match="divide 256"):
+            M.byte_features(media, bins=10)
+
 
 class TestResizeStub:
     def test_fake_resize_binary_roundtrip(self, media):

@@ -141,6 +141,33 @@ class TestGroupbyMerge:
         )
         assert_df_equal(out, expect, sort_cols=["val"])
 
+    def test_transform_string_output_type(self, spark):
+        # reference propagates the callable's dtype (pd_utils/merge.py:
+        # 54-89); Spark declares it via output_type
+        df = spark.createDataFrame(
+            [("g1", "Apple"), ("g1", None), ("g2", "Beta")], ["byvar", "val"]
+        )
+        out = pus.groupby_merge(
+            df, "byvar", "transform", (lambda s: s.str.upper()),
+            output_type="string",
+        )
+        assert dict(out.dtypes)["val_transform"] == "string"
+        got = {r.val: r.val_transform for r in out.collect()}
+        assert got == {"Apple": "APPLE", None: None, "Beta": "BETA"}
+
+    def test_transform_bigint_output_type(self, spark):
+        df = spark.createDataFrame(
+            [("g1", 1, 10), ("g1", 2, 20), ("g2", 1, 5)],
+            ["byvar", "ord", "val"],
+        )
+        out = pus.groupby_merge(
+            df, "byvar", "transform", (lambda s: s.cumsum()),
+            ordervar="ord", output_type="bigint",
+        )
+        assert dict(out.dtypes)["val_transform"] == "bigint"
+        got = {(r.byvar, r.ord): r.val_transform for r in out.collect()}
+        assert got == {("g1", 1): 10, ("g1", 2): 30, ("g2", 1): 5}
+
     def test_nan_byvar_sum(self, spark):
         out = pus.groupby_merge(fx.df_nan_byvar(spark), "byvar", "sum")
         expect = pd.DataFrame(
@@ -227,6 +254,15 @@ class TestPortfolio:
         # nan row -> 0; with updated nan handling 1.03 lands in port 1
         expect["portfolio"] = [0, 1, 1, 2, 1, 1, 2, 2, 1, 1, 2, 2]
         assert_df_equal(out, expect, sort_cols=["PERMNO", "byvar", "Date"])
+
+    def test_explicit_cutoffs_ignore_nan(self, spark):
+        # Spark max() sorts NaN above all values; one NaN row must not
+        # null out the data min/max bounds (pandas min/max skip NaN)
+        df = spark.createDataFrame(
+            pd.DataFrame({"id": [1, 2, 3, 4], "v": [1.0, 5.0, 9.0, nan]})
+        )
+        out = {r.id: r.portfolio for r in pus.portfolio(df, "v", cutoffs=[4.0]).collect()}
+        assert out == {1: 1, 2: 2, 3: 2, 4: 0}
 
 
 class TestPortfolioAverages:

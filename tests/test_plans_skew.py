@@ -52,6 +52,17 @@ class TestSaltedJoin:
             == l2.join(o, "l_orderkey").count()
         )
 
+    def test_rejects_right_and_full_outer(self, spark, li):
+        # replicated right side would emit unmatched right rows `salt`
+        # times under right/full-outer semantics
+        o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").selectExpr(
+            "o_orderkey AS l_orderkey", "o_orderpriority"
+        )
+        l2 = li.select("l_orderkey", "l_quantity")
+        for how in ("right", "full", "outer"):
+            with pytest.raises(ValueError, match="salted_join"):
+                salted_join(l2, o, "l_orderkey", how=how)
+
 
 class TestBucketedJoin:
     def test_zero_shuffle_cocolocated_join(self, spark, li, tmp_path):
