@@ -153,6 +153,20 @@ def q_long_short_portfolio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_doubles(ls)
 
 
+def q_long_short_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """byvars=None parity path: positional (ordervar row-number) alignment,
+    the Spark stand-in for the reference's pandas-index alignment
+    (reference: pd_utils/port.py:248-260)."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+    avgs = pus.portfolio_averages(
+        o, "o_totalprice", "o_totalprice", ngroups=5, byvars="o_orderpriority", avgonly=True
+    )
+    ls = pus.long_short_portfolio(
+        avgs, "portfolio", ordervar="o_orderpriority", retvars="o_totalprice"
+    )
+    return _round_doubles(ls.withColumn("row_index", F.col("row_index").cast("bigint")))
+
+
 def q_left_merge_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     views = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "event_id", "value")
@@ -1087,6 +1101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "portfolio_averages": q_portfolio_averages,
         "portfolio_averages_weighted": q_portfolio_averages_weighted,
         "long_short_portfolio": q_long_short_portfolio,
+        "long_short_positional": q_long_short_positional,
         "left_merge_latest": q_left_merge_latest,
         "cumulate_between": q_cumulate_between,
         "cumulate_between_2_5": q_cumulate_between_2_5,
@@ -1401,6 +1416,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT t.o_orderpriority, round(t.o_totalprice - b.o_totalprice, {r}) AS o_totalprice
             FROM (SELECT * FROM avgs WHERE portfolio = 5) t
             JOIN (SELECT * FROM avgs WHERE portfolio = 1) b USING (o_orderpriority)
+        """,
+        "long_short_positional": f"""
+            WITH cuts AS (
+                SELECT o_orderpriority, {port_cuts}
+                FROM orders GROUP BY o_orderpriority
+            ), ports AS (
+                SELECT o.o_orderpriority, o.o_totalprice,
+                       CAST(CASE {port_case} ELSE 0 END AS bigint) AS portfolio
+                FROM orders o JOIN cuts USING (o_orderpriority)
+            ), avgs AS (
+                SELECT portfolio, o_orderpriority, avg(o_totalprice) AS o_totalprice
+                FROM ports GROUP BY portfolio, o_orderpriority
+            ), lng AS (
+                SELECT row_number() OVER (ORDER BY o_orderpriority) - 1 AS row_index,
+                       o_totalprice
+                FROM avgs WHERE portfolio = 5
+            ), sht AS (
+                SELECT row_number() OVER (ORDER BY o_orderpriority) - 1 AS row_index,
+                       o_totalprice
+                FROM avgs WHERE portfolio = 1
+            )
+            SELECT row_index,
+                   round(lng.o_totalprice - sht.o_totalprice, {r}) AS o_totalprice
+            FROM lng FULL JOIN sht USING (row_index)
         """,
         "left_merge_latest": f"""
             WITH views AS (

@@ -175,29 +175,38 @@ def long_short_portfolio(
     byvars: Optional[Union[str, list[str]]] = None,
     retvars: Optional[Union[str, list[str]]] = None,
     top_minus_bot: bool = True,
+    ordervar: Optional[str] = None,
 ) -> DataFrame:
     """Difference the top and bottom portfolios element-wise, aligned on
     ``byvars`` (reference: pd_utils/port.py:211-260).
 
     Returns byvars + the differenced ``retvars`` (default: all numeric
-    columns except byvars and ``portvar``). The reference aligns on the
-    pandas index when ``byvars`` is None; an unordered relation has no
-    index, so byvars are required here.
+    columns except byvars and ``portvar``). When ``byvars`` is None the
+    reference aligns the two slices on the pandas index
+    (pd_utils/port.py:248-260); an unordered relation has no index, so
+    pass ``ordervar`` instead and the slices align POSITIONALLY — i-th
+    long row (by ordervar) minus i-th short row. Output then carries
+    ``row_index`` (0-based position) plus the differenced retvars.
 
     Plan: a one-row min/max aggregate broadcast to both sides (no
-    ``collect``), then an equi join of the top-portfolio slice to the
-    bottom slice on byvars.
+    ``collect``); byvars path is an equi join of the two slices on
+    byvars. The positional path numbers each slice with a
+    single-partition window — acceptable because portfolio slices are
+    post-formation outputs (rows ~= periods, not raw data); do not use
+    it on a raw 100 TB frame.
     """
     from pd_utils_spark.utils import numeric_cols
 
     byvars_l = to_list(byvars)
-    if not byvars_l:
+    if not byvars_l and ordervar is None:
         raise ValueError(
-            "byvars is required: Spark DataFrames have no row index to align on "
-            "(the reference aligns on the pandas index when byvars is None)"
+            "pass byvars (group alignment) or ordervar (positional "
+            "alignment — the Spark stand-in for the reference's "
+            "pandas-index alignment when byvars is None)"
         )
+    excl = set(byvars_l) | {portvar, ordervar}
     if retvars is None:
-        retvars_l = [c for c in numeric_cols(df) if c not in byvars_l and c != portvar]
+        retvars_l = [c for c in numeric_cols(df) if c not in excl]
     else:
         retvars_l = to_list(retvars)
 
@@ -206,14 +215,32 @@ def long_short_portfolio(
     long_port = F.col("__top__") if top_minus_bot else F.col("__bot__")
     short_port = F.col("__bot__") if top_minus_bot else F.col("__top__")
 
+    if byvars_l:
+        long_df = tagged.filter(F.col(portvar) == long_port).select(
+            *byvars_l, *[F.col(c).alias(f"__l_{c}") for c in retvars_l]
+        )
+        short_df = tagged.filter(F.col(portvar) == short_port).select(
+            *byvars_l, *[F.col(c).alias(f"__s_{c}") for c in retvars_l]
+        )
+        joined = long_df.join(short_df, on=byvars_l, how="outer")
+        return joined.select(
+            *byvars_l,
+            *[(F.col(f"__l_{c}") - F.col(f"__s_{c}")).alias(c) for c in retvars_l],
+        )
+
+    from pyspark.sql import Window
+
+    w = Window.orderBy(ordervar)
     long_df = tagged.filter(F.col(portvar) == long_port).select(
-        *byvars_l, *[F.col(c).alias(f"__l_{c}") for c in retvars_l]
+        (F.row_number().over(w) - 1).alias("row_index"),
+        *[F.col(c).alias(f"__l_{c}") for c in retvars_l],
     )
     short_df = tagged.filter(F.col(portvar) == short_port).select(
-        *byvars_l, *[F.col(c).alias(f"__s_{c}") for c in retvars_l]
+        (F.row_number().over(w) - 1).alias("row_index"),
+        *[F.col(c).alias(f"__s_{c}") for c in retvars_l],
     )
-    joined = long_df.join(short_df, on=byvars_l, how="outer")
+    joined = long_df.join(short_df, on="row_index", how="outer")
     return joined.select(
-        *byvars_l,
+        "row_index",
         *[(F.col(f"__l_{c}") - F.col(f"__s_{c}")).alias(c) for c in retvars_l],
     )

@@ -208,6 +208,7 @@ def long_to_wide(
     colindex: Optional[Union[str, list[str]]] = None,
     colindex_only: bool = False,
     ordervar: Optional[str] = None,
+    max_columns: int = 10_000,
 ) -> DataFrame:
     """Long -> wide pivot (reference: pd_utils/transform.py:11-107).
 
@@ -223,6 +224,11 @@ def long_to_wide(
     reference. Implemented as ``groupBy(groupvars).pivot(colindex)
     .agg(first(value))`` — Spark's native pivot; the pivot column set is
     computed in one pass and the agg is a single shuffle.
+
+    ``max_columns`` guards the pivot width: the distinct colindex
+    values become driver-side column metadata (as in Spark's own
+    pivot), so hostile cardinality would OOM the driver — exceeding
+    the cap raises with the observed cardinality instead.
     """
     groupvars = to_list(groupvars)
     values = to_list(values)
@@ -250,7 +256,15 @@ def long_to_wide(
     # columns carried through (everything but values and the colindex cols)
     carry = [c for c in other if c not in drop_idx and c != idx_col]
 
-    pivot_vals = [r[0] for r in df.select(idx_col).distinct().collect()]
+    pivot_vals = [
+        r[0] for r in df.select(idx_col).distinct().limit(max_columns + 1).collect()
+    ]
+    if len(pivot_vals) > max_columns:
+        raise ValueError(
+            f"long_to_wide would create more than max_columns={max_columns} "
+            f"pivot columns (colindex cardinality > {max_columns}); widen "
+            "max_columns explicitly or aggregate the colindex first"
+        )
     pivot_vals = sorted(v for v in pivot_vals if v is not None)
 
     wides = []

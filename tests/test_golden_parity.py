@@ -233,6 +233,17 @@ class TestLongToWide:
         )
         assert_df_equal(out, self.expect_df_no_colindex)
 
+    def test_max_columns_guard(self, spark):
+        from pyspark.sql import functions as F
+
+        df = spark.range(20).select(
+            F.lit(1).alias("g"),
+            F.col("id").cast("string").alias("c"),
+            F.col("id").cast("double").alias("v"),
+        )
+        with pytest.raises(ValueError, match="max_columns"):
+            pus.long_to_wide(df, "g", "v", colindex="c", max_columns=10)
+
 
 class TestPortfolio:
     def test_portfolio_byvars(self, spark):
@@ -733,6 +744,33 @@ class TestLongShortPortfolio:
         ls = pus.long_short_portfolio(avgs, "portfolio", byvars=["byvar"], retvars="RET")
         got = {r["byvar"]: round(r["RET"], 10) for r in ls.collect()}
         assert got == {"a": round(1.105 - 1.025, 10), "b": round(1.075 - 1.055, 10)}
+
+    def test_long_short_positional(self, spark):
+        # byvars=None stand-in for the reference's pandas-index
+        # alignment (pd_utils/port.py:248-260): i-th long row (by
+        # ordervar) minus i-th short row, keyed by row_index
+        df = spark.createDataFrame(
+            [(1, "a", 10.0), (1, "b", 20.0), (3, "a", 50.0), (3, "b", 70.0), (2, "a", 30.0)],
+            ["portfolio", "grp", "ret"],
+        )
+        out = pus.long_short_portfolio(df, "portfolio", ordervar="grp", retvars="ret")
+        got = {r["row_index"]: r["ret"] for r in out.collect()}
+        assert got == {0: 40.0, 1: 50.0}
+
+    def test_long_short_positional_uneven_slices(self, spark):
+        # unmatched positions survive the outer join with null diffs
+        df = spark.createDataFrame(
+            [(1, "a", 10.0), (3, "a", 50.0), (3, "b", 70.0)],
+            ["portfolio", "grp", "ret"],
+        )
+        out = pus.long_short_portfolio(df, "portfolio", ordervar="grp", retvars="ret")
+        got = {r["row_index"]: r["ret"] for r in out.collect()}
+        assert got[0] == 40.0 and got[1] is None
+
+    def test_long_short_requires_byvars_or_ordervar(self, spark):
+        df = spark.createDataFrame([(1, 10.0), (2, 20.0)], ["portfolio", "ret"])
+        with pytest.raises(ValueError, match="ordervar"):
+            pus.long_short_portfolio(df, "portfolio")
 
 
 class TestCorr:
