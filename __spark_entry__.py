@@ -941,6 +941,23 @@ def q_groupby_merge_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_doubles(out)
 
 
+def q_groupby_merge_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _li_unique_lines(spark, sf_dir, "l_quantity", F.max).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_linenumber") >= 6, None)
+        .otherwise(F.col("l_quantity"))
+        .alias("v"),
+    )
+    out = pus.groupby_merge(li, "l_orderkey", "last", subset="v", ordervar="l_linenumber")
+    return _round_doubles(out)
+
+
+def q_groupby_merge_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+    return _round_doubles(pus.groupby_merge(li, "l_orderkey", "sum", subset="l_quantity"))
+
+
 def q_reg_by_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-regressor per-group OLS (general-k sufficient-statistics
     path). No closed-form SQL oracle for the batched pinv solve —
@@ -1181,6 +1198,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "groupby_merge_nunique": q_groupby_merge_nunique,
         "expand_time_intermediate": q_expand_time_intermediate,
         "groupby_merge_first": q_groupby_merge_first,
+        "groupby_merge_last": q_groupby_merge_last,
+        "groupby_merge_sum": q_groupby_merge_sum,
         "groupby_merge_multi_subset": q_groupby_merge_multi_subset,
         "groupby_merge_var": q_groupby_merge_var,
         "groupby_merge_prod": q_groupby_merge_prod,
@@ -2612,6 +2631,28 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), {r})
                        AS v_first
             FROM base
+        """,
+        "groupby_merge_last": f"""
+            WITH uniq AS (
+                SELECT l_orderkey, l_linenumber, max(l_quantity) AS l_quantity
+                FROM lineitem GROUP BY 1, 2
+            ), base AS (
+                SELECT l_orderkey, l_linenumber,
+                       CASE WHEN l_linenumber >= 6 THEN NULL ELSE l_quantity END AS v
+                FROM uniq
+            )
+            SELECT l_orderkey, l_linenumber, round(v, {r}) AS v,
+                   round(last_value(v IGNORE NULLS) OVER (
+                       PARTITION BY l_orderkey ORDER BY l_linenumber
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), {r})
+                       AS v_last
+            FROM base
+        """,
+        "groupby_merge_sum": f"""
+            SELECT l_orderkey, l_linenumber, round(l_quantity, {r}) AS l_quantity,
+                   round(sum(l_quantity) OVER (PARTITION BY l_orderkey), {r})
+                       AS l_quantity_sum
+            FROM lineitem
         """,
         "expand_time_intermediate": """
             SELECT o_orderkey, o_orderdate, s.shift_n,

@@ -35,20 +35,34 @@ def main() -> None:
         except Exception as e:  # pragma: no cover - report and continue
             timings[name] = -1.0
             print(f"# bench error in {name}: {e}", file=sys.stderr)
+        # Drop any persisted frames a query leaked (e.g. the shared
+        # shingle cache inside dedup_minhash_lsh) so later queries
+        # aren't squeezed by storage memory they don't use.
+        spark.catalog.clearCache()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    # The driver captures only the last 2000 chars of stdout; a JSON line
+    # longer than that is truncated mid-line and unparseable. Report the
+    # slowest queries first and stop before the line would overflow;
+    # `value` still totals EVERY query (n_queries records the full count).
+    payload = {
+        "metric": "total_query_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "n_queries": len(timings),
+        "queries": {},
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    for name in sorted(timings, key=lambda n: -timings[n]):
+        payload["queries"][name] = timings[name]
+        if len(json.dumps(payload)) > 1800:
+            del payload["queries"][name]
+            break
+    payload["n_reported"] = len(payload["queries"])
+    line = json.dumps(payload)
+    assert len(line) <= 1900, f"bench JSON line too long: {len(line)}"
+    print(line)
 
 
 if __name__ == "__main__":

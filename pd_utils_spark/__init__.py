@@ -47,7 +47,8 @@ from pd_utils_spark.functions.datetime_utils import (
     us_trading_holidays,
     year_month_from_date,
 )
-from pd_utils_spark.plot import plot_multi_axis
+from pd_utils_spark.plot import axis_legend_labels, plot_multi_axis
+from pd_utils_spark.timer import estimate_time
 from pd_utils_spark.query import select_rows_by_condition_on_columns, sql
 from pd_utils_spark.sources.load import (
     df_types_dict,
