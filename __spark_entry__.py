@@ -25,18 +25,27 @@ from pd_utils_spark.extensions import text as pus_text
 from pd_utils_spark import streaming as pus_stream
 from pd_utils_spark.extensions import events as pus_events
 from pd_utils_spark.extensions import multimodal as pus_mm
+from pd_utils_spark.extensions import sampling as pus_sample
 
 _ROUND = 6
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) which the vectorized
-        # reader rejects; read as long and integer-divide to micros
-        # (double division would lose precision on ns epochs > 2^53)
+        # events.ts is parquet TIMESTAMP(NANOS). Spark <=4.0 rejects it
+        # in the vectorized reader unless the legacy conf reads it as a
+        # long (then integer-divide to micros — double division would
+        # lose precision on ns epochs > 2^53); Spark >=4.1 ignores the
+        # legacy conf and reads nanos natively as TIMESTAMP_NTZ
+        # (truncated to micros). Handle both so the same entry file runs
+        # on either: the data's nanos are micro-aligned, so the two
+        # paths produce identical instants (session tz is UTC).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-        return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(ev.dtypes)["ts"]
+        if ts_type == "bigint":
+            return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return ev.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -1099,6 +1108,64 @@ def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# --------------------------------------- sampling / splitting / mixing
+# (extensions.sampling: the deterministic dataset-construction layer a
+# training pipeline needs — md5-keyed so every decision is reproducible
+# and engine-portable; no rand(), no partitioning dependence)
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment of every document."""
+    d = _t(spark, sf_dir, "documents")
+    out = pus_sample.hash_split(
+        d, weights={"train": 0.75, "val": 0.125, "test": 0.125}, seed=1
+    )
+    return out.select("doc_id", "split")
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Bernoulli rates; langs absent from the map drop."""
+    d = _t(spark, sf_dir, "documents")
+    out = pus_sample.stratified_sample(
+        d, {"en": 0.5, "de": 0.25, "fr": 1.0}, strata="lang", seed=2
+    )
+    return out.select("doc_id", "lang", "source")
+
+
+def q_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebalance three sources to a 2:1:1 token mix, keeping the
+    scarcest source whole (counts aggregated once, broadcast back)."""
+    d = _t(spark, sf_dir, "documents")
+    out = pus_sample.interleave_sources(
+        d, {"src0": 0.5, "src1": 0.25, "src2": 0.25}, seed=0
+    )
+    return out.select("doc_id", "source")
+
+
+def q_sample_n_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly min(10, group size) docs per language by hash order."""
+    d = _t(spark, sf_dir, "documents")
+    out = pus_sample.sample_n_per_group(d, 10, by="lang", seed=3)
+    return out.select("doc_id", "lang")
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs sharing any 5-word-gram with the
+    held-out benchmark slice (doc_id % 97 == 0) are removed."""
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0).select("text")
+    out = pus_sample.decontaminate(d, bench, n=5)
+    return out.select("doc_id", "source")
+
+
+def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style packing index: docs laid out in hash order within 8
+    deterministic buckets and cut every 5000 chars."""
+    d = _t(spark, sf_dir, "documents")
+    out = pus_sample.pack_chunks(d, token_col="n_chars", budget=5000, buckets=8)
+    return out.select("doc_id", "bucket", "chunk_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_averages(spark, "/root/testdata/sf0.001")
@@ -1212,6 +1279,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "select_rows_and": q_select_rows_and,
         "left_merge_latest_numeric": q_left_merge_latest_numeric,
         "left_merge_latest_strkey": q_left_merge_latest_strkey,
+        "hash_split": q_hash_split,
+        "stratified_sample": q_stratified_sample,
+        "interleave_sources": q_interleave_sources,
+        "sample_n_per_group": q_sample_n_per_group,
+        "decontaminate": q_decontaminate,
+        "pack_chunks": q_pack_chunks,
     }
 
 
@@ -1242,6 +1315,25 @@ _EN_STOPS = ("the", "a", "and", "is", "not", "of", "to", "in")
 
 # universal-hash minhash pieces mirroring extensions.dedup
 _SQL_MH_BASE = "((('0x' || substr(md5({x}), 1, 15))::BIGINT) & 2147483647)"
+
+
+def _sql_frac(x: str, seed) -> str:
+    """DuckDB mirror of extensions.sampling.hash_fraction: md5 of
+    "<x>:<seed>" -> 31-bit int / 2^31."""
+    keyed = f"{x}::VARCHAR || ':{seed}'"
+    return f"({_SQL_MH_BASE.format(x=keyed)} / 2147483648.0)"
+
+
+def _sql_shingles_k(k: int) -> str:
+    """DuckDB mirror of extensions.dedup._shingle_set for arbitrary k
+    (the module-level _SQL_SHINGLES is the k=3 instance)."""
+    toks = _SQL_NORM_TOKS
+    return (
+        f"list_distinct(CASE WHEN len({toks}) >= {k} THEN "
+        f"list_transform(generate_series(1, len({toks}) - {k - 1}), "
+        f"i -> array_to_string({toks}[i:i+{k - 1}], ' ')) "
+        f"ELSE [{_SQL_NORM}] END)"
+    )
 
 
 def _sql_minhash_values() -> str:
@@ -2669,5 +2761,78 @@ def oracle_sql() -> dict[str, str]:
                               WHEN 'New York' THEN 'NY'
                               ELSE state END AS state
             FROM st
+        """,
+        "hash_split": f"""
+            SELECT doc_id,
+                   CASE WHEN {_sql_frac('doc_id', 1)} < 0.75::DOUBLE THEN 'train'
+                        WHEN {_sql_frac('doc_id', 1)} < 0.875::DOUBLE THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        """,
+        "stratified_sample": f"""
+            SELECT doc_id, lang, source
+            FROM documents
+            WHERE {_sql_frac('doc_id', 2)} <
+                  CASE WHEN lang = 'en' THEN 0.5::DOUBLE
+                       WHEN lang = 'de' THEN 0.25::DOUBLE
+                       WHEN lang = 'fr' THEN 1.0::DOUBLE
+                       ELSE 0.0::DOUBLE END
+        """,
+        "interleave_sources": f"""
+            WITH w(src, w) AS (VALUES ('src0', 0.5::DOUBLE),
+                                      ('src1', 0.25::DOUBLE),
+                                      ('src2', 0.25::DOUBLE)),
+            counts AS (
+                SELECT d.source AS src, w.w AS w, count(*)::BIGINT AS n
+                FROM documents d JOIN w ON d.source = w.src
+                GROUP BY 1, 2
+            ),
+            scale AS (SELECT min(n / w) AS s FROM counts),
+            rates AS (
+                SELECT src, least(1.0::DOUBLE, w * s / n) AS rate
+                FROM counts, scale
+            )
+            SELECT d.doc_id, d.source
+            FROM documents d JOIN rates r ON d.source = r.src
+            WHERE {_sql_frac('d.doc_id', 0)} < r.rate
+        """,
+        "sample_n_per_group": f"""
+            SELECT doc_id, lang FROM (
+                SELECT doc_id, lang,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY {_sql_frac('doc_id', 3)}, doc_id) AS rn
+                FROM documents)
+            WHERE rn <= 10
+        """,
+        "decontaminate": f"""
+            WITH bench AS (
+                SELECT DISTINCT md5(g) AS bh
+                FROM (SELECT unnest({_sql_shingles_k(5)}) AS g
+                      FROM documents WHERE doc_id % 97 = 0)
+            ),
+            contaminated AS (
+                SELECT DISTINCT c.doc_id
+                FROM (SELECT doc_id, unnest({_sql_shingles_k(5)}) AS g
+                      FROM documents) c
+                JOIN bench ON md5(c.g) = bench.bh
+            )
+            SELECT d.doc_id, d.source FROM documents d
+            WHERE d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+        """,
+        "pack_chunks": f"""
+            WITH base AS (
+                SELECT doc_id, n_chars,
+                       ({_SQL_MH_BASE.format(x='doc_id::VARCHAR')}) % 8 AS bucket,
+                       {_sql_frac('doc_id', 'pack')} AS frac
+                FROM documents
+            )
+            SELECT doc_id, bucket,
+                   CAST(floor(coalesce(
+                       sum(n_chars) OVER (
+                           PARTITION BY bucket ORDER BY frac, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) / 5000) AS BIGINT) AS chunk_id
+            FROM base
         """,
     }

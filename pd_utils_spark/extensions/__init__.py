@@ -24,6 +24,16 @@ from pd_utils_spark.extensions.events import (
     funnel_counts,
     top_k_per_group,
 )
+from pd_utils_spark.extensions.sampling import (
+    decontaminate,
+    hash_fraction,
+    hash_split,
+    interleave_sources,
+    ngram_hashes,
+    pack_chunks,
+    sample_n_per_group,
+    stratified_sample,
+)
 from pd_utils_spark.extensions.similarity import (
     ann_ivf_topk,
     label_centroids,

@@ -1,0 +1,306 @@
+"""Deterministic sampling, splitting, mixing, packing, and
+decontamination operators for training-data pipelines — beyond the
+reference surface (nickderobertis/pd-utils has no sampling operators).
+
+Every decision keys off an md5 content hash of a stable id — never
+``rand()`` — so results are bit-reproducible across runs, cluster
+sizes, partitionings, AND engines (the same math is expressible in
+DuckDB/Presto SQL, which is what makes these operators
+oracle-checkable). ``rand(seed)`` in Spark is seed-stable only for a
+fixed partitioning; repartition the input and the sample changes —
+useless for a 100 TB pipeline where partitioning is an execution
+detail.
+
+Scale design (the 100 TB posture):
+
+- ``hash_fraction`` / ``hash_split`` / ``stratified_sample`` are pure
+  projections/filters — zero shuffles, fully codegen, pushdown-safe.
+- ``interleave_sources`` aggregates one tiny (source, count) frame and
+  broadcast-joins it back — no driver round trip, no second scan
+  shuffle.
+- ``sample_n_per_group`` is one hash-partition shuffle on the group
+  keys (the minimum for an exact per-group count).
+- ``decontaminate`` explodes corpus n-grams but joins them against a
+  BROADCAST benchmark n-gram set, then broadcast-anti-joins the small
+  contaminated-id set back — corpus is never shuffled.
+- ``pack_chunks`` windows within hash-buckets, not globally: a global
+  order would serialize 100 TB through one partition; bucketed order
+  gives budget-sized chunks with bucket-count parallelism.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from pd_utils_spark.extensions.dedup import _shingle_set
+
+_HASH_DENOM = 1 << 31
+_HASH_MASK = _HASH_DENOM - 1
+
+
+def hash_fraction(col: Column | str, seed: int | str = 0) -> Column:
+    """Deterministic uniform fraction in [0, 1) from the md5 of
+    ``col`` and ``seed``: first 15 hex chars -> 60-bit int, masked to
+    31 bits, divided by 2^31 (the same md5->int base as
+    ``extensions.dedup``, so the identical expression exists in any
+    SQL engine: ``(('0x'||substr(md5(x||':'||seed),1,15))::BIGINT &
+    2147483647) / 2147483648.0``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    keyed = F.concat_ws(":", c.cast("string"), F.lit(str(seed)))
+    base = F.conv(F.substring(F.md5(keyed), 1, 15), 16, 10).cast("bigint")
+    return (base.bitwiseAND(F.lit(_HASH_MASK))) / F.lit(float(_HASH_DENOM))
+
+
+def hash_split(
+    df: DataFrame,
+    idcol: str = "doc_id",
+    weights: Mapping[str, float] | None = None,
+    seed: int | str = 0,
+    out: str = "split",
+) -> DataFrame:
+    """Assign every row a deterministic train/val/test-style split
+    label with the given weights (normalized to sum 1). A row's label
+    depends only on (id, seed) — stable under re-partitioning,
+    appends, and re-runs, which is the property a training pipeline
+    actually needs from a split (a doc must never migrate between
+    train and test across dataset versions).
+
+    Pure projection: no shuffle, no action.
+    """
+    weights = dict(weights or {"train": 0.98, "val": 0.01, "test": 0.01})
+    if not weights or any(w < 0 for w in weights.values()):
+        raise ValueError(f"weights must be non-negative and non-empty: {weights}")
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError("weights must sum to a positive value")
+    frac = hash_fraction(F.col(idcol), seed)
+    names = list(weights)
+    expr = F.lit(names[-1])
+    cum = 0.0
+    conds = []
+    for name in names[:-1]:
+        cum += weights[name] / total
+        conds.append((name, cum))
+    for name, threshold in reversed(conds):
+        expr = F.when(frac < F.lit(threshold), F.lit(name)).otherwise(expr)
+    return df.withColumn(out, expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    fraction: float | Mapping[str, float],
+    strata: str | None = None,
+    idcol: str = "doc_id",
+    seed: int | str = 0,
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep a row iff its hash
+    fraction falls below the (per-stratum) rate. With a Mapping,
+    ``strata`` names the column whose values select the rate (strata
+    absent from the map are dropped, like pandas
+    ``groupby().sample(frac=...)`` with explicit rates).
+
+    Pure filter — zero shuffles; the predicate sits right above the
+    scan so Catalyst can push the strata test into the reader.
+    """
+    frac = hash_fraction(F.col(idcol), seed)
+    if isinstance(fraction, Mapping):
+        if strata is None:
+            raise ValueError("strata column required when fraction is a Mapping")
+        rate = None
+        for value, f in fraction.items():
+            cond = F.col(strata) == F.lit(value)
+            rate = F.when(cond, F.lit(float(f))) if rate is None else rate.when(cond, F.lit(float(f)))
+        rate = rate.otherwise(F.lit(0.0))
+    else:
+        rate = F.lit(float(fraction))
+    return df.filter(frac < rate)
+
+
+def interleave_sources(
+    df: DataFrame,
+    target_weights: Mapping[str, float],
+    source_col: str = "source",
+    idcol: str = "doc_id",
+    seed: int | str = 0,
+) -> DataFrame:
+    """Downsample each source so the surviving mix matches
+    ``target_weights`` (in expectation), keeping as much data as the
+    scarcest source allows: with per-source counts ``n_s`` and weights
+    ``w_s``, the limiting scale is ``min_s(n_s / w_s)`` and each
+    source keeps ``w_s * scale / n_s`` of its rows. Sources not in the
+    map are dropped.
+
+    One tiny (source, count) aggregate broadcast-joined back — the
+    corpus itself is never shuffled and never leaves the executors.
+    """
+    if not target_weights:
+        raise ValueError("target_weights must be non-empty")
+    total = float(sum(target_weights.values()))
+    wmap = {k: v / total for k, v in target_weights.items()}
+    weight_expr = None
+    for value, w in wmap.items():
+        cond = F.col(source_col) == F.lit(value)
+        weight_expr = (
+            F.when(cond, F.lit(float(w)))
+            if weight_expr is None
+            else weight_expr.when(cond, F.lit(float(w)))
+        )
+    weight_expr = weight_expr.otherwise(F.lit(None).cast("double"))
+
+    counts = (
+        df.withColumn("__w__", weight_expr)
+        .filter(F.col("__w__").isNotNull())
+        .groupBy(F.col(source_col).alias("__src__"), F.col("__w__"))
+        .agg(F.count(F.lit(1)).alias("__n__"))
+    )
+    scale = counts.agg(F.min(F.col("__n__") / F.col("__w__")).alias("__scale__"))
+    rates = (
+        counts.crossJoin(F.broadcast(scale))
+        .select(
+            "__src__",
+            F.least(
+                F.lit(1.0), F.col("__w__") * F.col("__scale__") / F.col("__n__")
+            ).alias("__rate__"),
+        )
+    )
+    keep = hash_fraction(F.col(idcol), seed) < F.col("__rate__")
+    return (
+        df.join(F.broadcast(rates), df[source_col] == F.col("__src__"), "inner")
+        .filter(keep)
+        .drop("__src__", "__rate__")
+    )
+
+
+def sample_n_per_group(
+    df: DataFrame,
+    n: int,
+    by: str | Sequence[str],
+    idcol: str = "doc_id",
+    seed: int | str = 0,
+) -> DataFrame:
+    """Exactly ``min(n, group size)`` rows per group, chosen by hash
+    order (deterministic; changing ``seed`` rotates the selection).
+    The per-group balancing primitive for building evaluation sets and
+    balanced fine-tuning mixes.
+
+    One shuffle on the group keys; the window keeps ``n`` rows per
+    group past the filter.
+    """
+    if n <= 0:
+        raise ValueError(f"n must be positive: {n}")
+    byvars = [by] if isinstance(by, str) else list(by)
+    w = Window.partitionBy(*byvars).orderBy(
+        hash_fraction(F.col(idcol), seed), F.col(idcol)
+    )
+    return (
+        df.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") <= n)
+        .drop("__rn__")
+    )
+
+
+def ngram_hashes(
+    df: DataFrame,
+    textcol: str = "text",
+    idcol: str = "doc_id",
+    n: int = 13,
+    out: str = "ngram_hash",
+) -> DataFrame:
+    """(idcol, md5-of-each-distinct-word-n-gram) exploded — the
+    standard unit of benchmark decontamination (n=13 word-grams per
+    GPT-3/The Pile methodology). Documents shorter than ``n`` words
+    hash their whole normalized text, so short benchmark items still
+    match verbatim copies."""
+    grams = _shingle_set(F.col(textcol), n)
+    return df.select(
+        F.col(idcol), F.explode(grams).alias("__g__")
+    ).select(F.col(idcol), F.md5(F.col("__g__")).alias(out))
+
+
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    textcol: str = "text",
+    idcol: str = "doc_id",
+    benchmark_textcol: str | None = None,
+    n: int = 13,
+    mode: str = "remove",
+) -> DataFrame:
+    """Remove (or flag, ``mode='flag'``) training documents that share
+    any word ``n``-gram with an evaluation benchmark — the standard
+    guard against test-set leakage into pretraining data.
+
+    Scale shape: the benchmark n-gram set is tiny relative to the
+    corpus, so it is broadcast; the corpus n-gram explosion is scanned
+    map-side against it and only the matching doc ids (another tiny
+    set) are aggregated and broadcast back for the anti/flag join. The
+    corpus is never shuffled.
+    """
+    if mode not in ("remove", "flag"):
+        raise ValueError(f"mode must be 'remove' or 'flag': {mode!r}")
+    btext = benchmark_textcol or textcol
+    bench_grams = (
+        benchmark.select(F.explode(_shingle_set(F.col(btext), n)).alias("__g__"))
+        .select(F.md5(F.col("__g__")).alias("__bh__"))
+        .distinct()
+    )
+    corpus_grams = ngram_hashes(df, textcol=textcol, idcol=idcol, n=n, out="__ch__")
+    contaminated = (
+        corpus_grams.join(
+            F.broadcast(bench_grams), F.col("__ch__") == F.col("__bh__"), "inner"
+        )
+        .select(idcol)
+        .distinct()
+    )
+    if mode == "remove":
+        return df.join(F.broadcast(contaminated), on=idcol, how="left_anti")
+    return df.join(
+        F.broadcast(contaminated.withColumn("__hit__", F.lit(True))),
+        on=idcol,
+        how="left",
+    ).withColumn("contaminated", F.coalesce(F.col("__hit__"), F.lit(False))).drop("__hit__")
+
+
+def pack_chunks(
+    df: DataFrame,
+    token_col: str = "n_tokens",
+    budget: int = 2048,
+    idcol: str = "doc_id",
+    buckets: int = 64,
+    out: str = "chunk_id",
+) -> DataFrame:
+    """GPT-style sequence packing index: documents are laid out in a
+    deterministic hash order and cut into chunks of ``budget`` tokens;
+    each doc gets the chunk its FIRST token lands in
+    (``floor(exclusive-cumsum / budget)``). Downstream, a writer
+    groups by (bucket, chunk_id) to emit fixed-token-budget training
+    sequences.
+
+    A single global order would funnel the whole corpus through one
+    window partition, so docs are first sprayed into ``buckets``
+    deterministic hash-buckets and packed within each — chunk ids are
+    (bucket, local chunk), parallelism is ``buckets``, and the result
+    is still a pure function of the data. At 100 TB set ``buckets`` to
+    a few × total cores.
+    """
+    if budget <= 0 or buckets <= 0:
+        raise ValueError(f"budget and buckets must be positive: {budget}, {buckets}")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(idcol).cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        .bitwiseAND(F.lit(_HASH_MASK))
+        % F.lit(buckets)
+    ).alias("bucket")
+    w = Window.partitionBy("bucket").orderBy(
+        hash_fraction(F.col(idcol), "pack"), F.col(idcol)
+    )
+    cum_before = F.coalesce(
+        F.sum(F.col(token_col)).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    return df.withColumn("bucket", bucket).withColumn(
+        out, F.floor(cum_before / F.lit(budget))
+    )

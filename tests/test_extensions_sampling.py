@@ -1,0 +1,166 @@
+"""Golden tests for deterministic sampling/splitting/mixing operators
+(pd_utils_spark/extensions/sampling.py)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pd_utils_spark.extensions import sampling as S
+
+DOCS = pd.DataFrame(
+    {
+        "doc_id": list(range(200)),
+        "source": ["web"] * 120 + ["books"] * 60 + ["code"] * 20,
+        "n_tokens": [(7 * i) % 50 + 1 for i in range(200)],
+        "text": [f"document number {i} with some words" for i in range(200)],
+    }
+)
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(DOCS)
+
+
+class TestHashSplit:
+    def test_deterministic_and_partitioning_invariant(self, docs):
+        a = {r.doc_id: r.split for r in S.hash_split(docs, seed=1).collect()}
+        b = {
+            r.doc_id: r.split
+            for r in S.hash_split(docs.repartition(7), seed=1).collect()
+        }
+        assert a == b
+
+    def test_covers_all_rows_with_given_labels(self, docs):
+        out = S.hash_split(docs, weights={"train": 8, "val": 1, "test": 1}, seed=0)
+        counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+        assert sum(counts.values()) == 200
+        assert set(counts) <= {"train", "val", "test"}
+        assert counts["train"] > counts.get("val", 0)
+
+    def test_seed_changes_assignment(self, docs):
+        a = {r.doc_id: r.split for r in S.hash_split(docs, seed=0).collect()}
+        b = {r.doc_id: r.split for r in S.hash_split(docs, seed=99).collect()}
+        assert a != b
+
+    def test_bad_weights_raise(self, docs):
+        with pytest.raises(ValueError):
+            S.hash_split(docs, weights={"a": -1, "b": 2})
+
+
+class TestStratifiedSample:
+    def test_scalar_fraction_subset(self, docs):
+        kept = S.stratified_sample(docs, 0.5, seed=3).collect()
+        assert 0 < len(kept) < 200
+        # a kept row is kept again under the same seed (pure function)
+        again = S.stratified_sample(docs, 0.5, seed=3).collect()
+        assert sorted(r.doc_id for r in kept) == sorted(r.doc_id for r in again)
+
+    def test_per_stratum_rates(self, docs):
+        out = S.stratified_sample(
+            docs, {"web": 0.0, "books": 1.0}, strata="source", seed=0
+        )
+        got = out.groupBy("source").agg(F.count("*").alias("n")).collect()
+        by = {r.source: r.n for r in got}
+        assert by == {"books": 60}  # web rate 0, code absent from map -> dropped
+
+    def test_mapping_requires_strata(self, docs):
+        with pytest.raises(ValueError):
+            S.stratified_sample(docs, {"web": 0.5})
+
+
+class TestInterleaveSources:
+    def test_mix_approaches_target_and_scarce_source_kept_whole(self, docs):
+        out = S.interleave_sources(
+            docs, {"web": 1, "books": 1, "code": 1}, seed=0
+        )
+        by = {
+            r.source: r.n
+            for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+        }
+        # code is scarcest (20 rows at weight 1/3): kept in full
+        assert by["code"] == 20
+        # web/books downsampled toward ~20 each (hash-binomial tolerance)
+        assert by["web"] < 120 and by["books"] < 60
+        assert abs(by["web"] - 20) <= 12 and abs(by["books"] - 20) <= 12
+
+    def test_unlisted_sources_dropped(self, docs):
+        out = S.interleave_sources(docs, {"books": 1.0}, seed=0)
+        assert set(r.source for r in out.select("source").distinct().collect()) == {"books"}
+
+
+class TestSampleNPerGroup:
+    def test_exact_n(self, docs):
+        out = S.sample_n_per_group(docs, 5, by="source", seed=0)
+        by = {
+            r.source: r.n
+            for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+        }
+        assert by == {"web": 5, "books": 5, "code": 5}
+
+    def test_small_group_kept_whole(self, docs):
+        out = S.sample_n_per_group(docs, 1000, by="source", seed=0)
+        assert out.count() == 200
+
+
+class TestDecontaminate:
+    def test_overlapping_docs_removed(self, spark):
+        corpus = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": [0, 1, 2],
+                    "text": [
+                        "alpha beta gamma delta epsilon",
+                        "totally unrelated training text here",
+                        "zeta eta theta iota kappa",
+                    ],
+                }
+            )
+        )
+        bench = spark.createDataFrame(
+            pd.DataFrame({"text": ["alpha beta gamma delta epsilon and more"]})
+        )
+        kept = sorted(
+            r.doc_id for r in S.decontaminate(corpus, bench, n=3).collect()
+        )
+        assert kept == [1, 2]
+
+    def test_flag_mode_keeps_rows(self, spark):
+        corpus = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [0, 1], "text": ["a b c d", "e f g h"]})
+        )
+        bench = spark.createDataFrame(pd.DataFrame({"text": ["a b c d"]}))
+        out = {r.doc_id: r.contaminated for r in S.decontaminate(corpus, bench, n=3, mode="flag").collect()}
+        assert out == {0: True, 1: False}
+
+
+class TestPackChunks:
+    def test_chunks_respect_budget_layout(self, docs):
+        out = S.pack_chunks(docs, budget=100, buckets=4).collect()
+        # chunk of each doc = floor(exclusive cumsum / budget) within its bucket:
+        # verify by replaying the layout in python
+        rows = sorted(out, key=lambda r: (r.bucket, r.chunk_id))
+        from collections import defaultdict
+
+        per_bucket = defaultdict(list)
+        for r in out:
+            per_bucket[r.bucket].append(r)
+        total = 0
+        for b, rs in per_bucket.items():
+            # reconstruct hash order: chunk ids must be non-decreasing with
+            # exclusive cumsum — check totals instead of order internals
+            tokens = sum(r.n_tokens for r in rs)
+            max_chunk = max(r.chunk_id for r in rs)
+            assert max_chunk <= tokens // 100 + 1
+            total += len(rs)
+        assert total == 200
+
+    def test_deterministic_under_repartition(self, docs):
+        a = {(r.doc_id): (r.bucket, r.chunk_id) for r in S.pack_chunks(docs, budget=64).collect()}
+        b = {
+            (r.doc_id): (r.bucket, r.chunk_id)
+            for r in S.pack_chunks(docs.repartition(13), budget=64).collect()
+        }
+        assert a == b

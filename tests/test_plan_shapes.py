@@ -72,6 +72,28 @@ class TestJoinShapes:
         plan = plan_of(out)
         assert "BroadcastExchange" in plan
 
+    def test_sampling_split_and_filter_are_shuffle_free(self, spark):
+        from pd_utils_spark.extensions import sampling as S
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        split_plan = plan_of(S.hash_split(docs, seed=1))
+        assert "Exchange" not in split_plan  # pure projection
+        samp_plan = plan_of(S.stratified_sample(docs, 0.5))
+        assert "Exchange" not in samp_plan  # pure filter
+
+    def test_interleave_and_decontaminate_broadcast_small_sides(self, spark):
+        from pd_utils_spark.extensions import sampling as S
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        inter = S.interleave_sources(docs, {"src0": 0.5, "src1": 0.5})
+        plan = plan_of(inter)
+        assert "BroadcastExchange" in plan  # rates frame, not the corpus
+        bench = docs.filter(F.col("doc_id") % 97 == 0).select("text")
+        decon = S.decontaminate(docs, bench, n=5)
+        plan = plan_of(decon)
+        assert "BroadcastExchange" in plan
+        assert "CartesianProduct" not in plan
+
     def test_trading_day_lookup_broadcasts(self, spark):
         o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").select(
             "o_orderkey", "o_orderdate"
