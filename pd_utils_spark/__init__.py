@@ -57,5 +57,6 @@ from pd_utils_spark.sources.load import (
     read_file,
     to_copy_paste,
 )
+from pd_utils_spark.sources.sink import compact_small_files, write_partitioned
 
 __version__ = "0.1.0"

