@@ -1166,6 +1166,27 @@ def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "bucket", "chunk_id")
 
 
+def q_dataset_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dataset-release pipeline over the new construction
+    layer: exact dedup (min-id survivor) -> benchmark decontamination
+    (5-gram overlap vs the doc_id%97 holdout) -> deterministic
+    train/val/test split -> per-split accounting. One lazy Catalyst
+    plan; every stage is also expressed in the DuckDB oracle, so the
+    whole pipeline hash-matches end-to-end."""
+    d = _t(spark, sf_dir, "documents")
+    deduped = pus_dedup.exact_dedup(d)
+    bench = d.filter(F.col("doc_id") % 97 == 0).select("text")
+    clean = pus_sample.decontaminate(deduped, bench, n=5)
+    split = pus_sample.hash_split(
+        clean, weights={"train": 0.875, "val": 0.0625, "test": 0.0625}, seed=7
+    )
+    return split.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_chars").cast("bigint")).alias("total_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_averages(spark, "/root/testdata/sf0.001")
@@ -1285,6 +1306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_n_per_group": q_sample_n_per_group,
         "decontaminate": q_decontaminate,
         "pack_chunks": q_pack_chunks,
+        "dataset_release": q_dataset_release,
     }
 
 
@@ -2819,6 +2841,41 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT d.doc_id, d.source FROM documents d
             WHERE d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+        """,
+        "dataset_release": f"""
+            WITH deduped AS (
+                SELECT * FROM (
+                    SELECT d.*, row_number() OVER (
+                        PARTITION BY md5({_SQL_NORM}) ORDER BY doc_id) AS __rn
+                    FROM documents d)
+                WHERE __rn = 1
+            ),
+            bench AS (
+                SELECT DISTINCT md5(g) AS bh
+                FROM (SELECT unnest({_sql_shingles_k(5)}) AS g
+                      FROM documents WHERE doc_id % 97 = 0)
+            ),
+            contaminated AS (
+                SELECT DISTINCT c.doc_id
+                FROM (SELECT doc_id, unnest({_sql_shingles_k(5)}) AS g
+                      FROM deduped) c
+                JOIN bench ON md5(c.g) = bench.bh
+            ),
+            clean AS (
+                SELECT * FROM deduped
+                WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+            ),
+            split AS (
+                SELECT *,
+                       CASE WHEN {_sql_frac('doc_id', 7)} < 0.875::DOUBLE THEN 'train'
+                            WHEN {_sql_frac('doc_id', 7)} < 0.9375::DOUBLE THEN 'val'
+                            ELSE 'test' END AS split
+                FROM clean
+            )
+            SELECT split, count(*)::BIGINT AS n_docs,
+                   sum(n_chars)::BIGINT AS total_chars,
+                   count(DISTINCT lang)::BIGINT AS n_langs
+            FROM split GROUP BY split
         """,
         "pack_chunks": f"""
             WITH base AS (

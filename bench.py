@@ -37,8 +37,17 @@ def main() -> None:
             print(f"# bench error in {name}: {e}", file=sys.stderr)
         # Drop any persisted frames a query leaked (e.g. the shared
         # shingle cache inside dedup_minhash_lsh) so later queries
-        # aren't squeezed by storage memory they don't use.
+        # aren't squeezed by storage memory they don't use. Then nudge
+        # a driver GC: Spark's ContextCleaner reclaims shuffle files
+        # and broadcast state only when the driver GCs, and with a
+        # large heap that can be never — the accumulated state was
+        # measured to inflate late-session queries up to ~8x vs their
+        # isolated steady-state times.
         spark.catalog.clearCache()
+        try:
+            spark._jvm.System.gc()
+        except Exception:
+            pass
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
