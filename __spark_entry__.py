@@ -1166,6 +1166,15 @@ def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "bucket", "chunk_id")
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized packing: concatenated member text per chunk in
+    deterministic layout order, with doc/token accounting."""
+    d = _t(spark, sf_dir, "documents")
+    return pus_sample.pack_sequences(
+        d, token_col="n_chars", budget=5000, buckets=8, sep="\n"
+    )
+
+
 def q_dataset_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end dataset-release pipeline over the new construction
     layer: exact dedup (min-id survivor) -> benchmark decontamination
@@ -1306,6 +1315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_n_per_group": q_sample_n_per_group,
         "decontaminate": q_decontaminate,
         "pack_chunks": q_pack_chunks,
+        "pack_sequences": q_pack_sequences,
         "dataset_release": q_dataset_release,
     }
 
@@ -2841,6 +2851,27 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT d.doc_id, d.source FROM documents d
             WHERE d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+        """,
+        "pack_sequences": f"""
+            WITH base AS (
+                SELECT doc_id, text, n_chars,
+                       ({_SQL_MH_BASE.format(x='doc_id::VARCHAR')}) % 8 AS bucket,
+                       {_sql_frac('doc_id', 'pack')} AS frac
+                FROM documents
+            ),
+            packed AS (
+                SELECT *, CAST(floor(coalesce(
+                           sum(n_chars) OVER (
+                               PARTITION BY bucket ORDER BY frac, doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                           0) / 5000) AS BIGINT) AS chunk_id
+                FROM base
+            )
+            SELECT bucket, chunk_id,
+                   string_agg(text, chr(10) ORDER BY frac, doc_id) AS seq_text,
+                   count(*)::BIGINT AS n_docs,
+                   sum(n_chars)::BIGINT AS total_tokens
+            FROM packed GROUP BY bucket, chunk_id
         """,
         "dataset_release": f"""
             WITH deduped AS (

@@ -31,6 +31,7 @@ from pd_utils_spark.extensions.sampling import (
     interleave_sources,
     ngram_hashes,
     pack_chunks,
+    pack_sequences,
     sample_n_per_group,
     stratified_sample,
 )

@@ -304,3 +304,50 @@ def pack_chunks(
     return df.withColumn("bucket", bucket).withColumn(
         out, F.floor(cum_before / F.lit(budget))
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    textcol: str = "text",
+    token_col: str = "n_tokens",
+    budget: int = 2048,
+    idcol: str = "doc_id",
+    buckets: int = 64,
+    sep: str = "\n",
+) -> DataFrame:
+    """Materialize the ``pack_chunks`` layout into actual training
+    sequences: one row per (bucket, chunk_id) with the member docs'
+    text concatenated in layout order, plus doc and token counts.
+    Chunks overshoot ``budget`` by at most one straddling document —
+    the downstream tokenizer cuts at exact token boundaries; this
+    operator's job is the deterministic grouping.
+
+    One extra shuffle over ``pack_chunks`` (the groupBy on chunk
+    keys); the in-chunk order is reconstructed engine-portably by
+    sorting (hash-fraction, id) structs, never by relying on collected
+    row order.
+    """
+    packed = pack_chunks(
+        df, token_col=token_col, budget=budget, idcol=idcol, buckets=buckets
+    )
+    frac = hash_fraction(F.col(idcol), "pack")
+    member = F.struct(
+        frac.alias("__f__"), F.col(idcol).alias("__i__"), F.col(textcol).alias("__t__")
+    )
+    return (
+        packed.groupBy("bucket", "chunk_id")
+        .agg(
+            F.array_sort(F.collect_list(member)).alias("__m__"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col(token_col).cast("bigint")).alias("total_tokens"),
+        )
+        .select(
+            "bucket",
+            "chunk_id",
+            F.concat_ws(sep, F.transform(F.col("__m__"), lambda m: m["__t__"])).alias(
+                "seq_text"
+            ),
+            "n_docs",
+            "total_tokens",
+        )
+    )

@@ -164,3 +164,28 @@ class TestPackChunks:
             for r in S.pack_chunks(docs.repartition(13), budget=64).collect()
         }
         assert a == b
+
+
+class TestPackSequences:
+    def test_accounting_and_membership(self, docs):
+        seqs = S.pack_sequences(
+            docs, textcol="text", token_col="n_tokens", budget=100, buckets=4
+        ).collect()
+        assert sum(r.n_docs for r in seqs) == 200
+        assert sum(r.total_tokens for r in seqs) == sum(
+            (7 * i) % 50 + 1 for i in range(200)
+        )
+        for r in seqs:
+            assert len(r.seq_text.split("\n")) == r.n_docs
+
+    def test_order_matches_chunk_layout(self, docs):
+        chunks = S.pack_chunks(docs, token_col="n_tokens", budget=100, buckets=4)
+        seqs = {
+            (r.bucket, r.chunk_id): r.seq_text
+            for r in S.pack_sequences(
+                docs, token_col="n_tokens", budget=100, buckets=4
+            ).collect()
+        }
+        # every doc's text appears in the sequence of its assigned chunk
+        for r in chunks.collect():
+            assert f"document number {r.doc_id} " in seqs[(r.bucket, r.chunk_id)]
