@@ -1166,6 +1166,25 @@ def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "bucket", "chunk_id")
 
 
+def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition signals: most-frequent word / 2-gram token
+    fractions per document."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return pus_text.repetition_scores(d).select(
+        "doc_id", "top_word_frac", "top_bigram_frac"
+    )
+
+
+def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-based quality gate booleans per document."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = pus_text.gopher_quality_filter(d, min_tokens=10)
+    return out.select(
+        "doc_id", "ok_token_count", "ok_mean_token_len",
+        "ok_symbol_frac", "ok_stopwords", "passes_gopher",
+    )
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized packing: concatenated member text per chunk in
     deterministic layout order, with doc/token accounting."""
@@ -1317,6 +1336,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_chunks": q_pack_chunks,
         "pack_sequences": q_pack_sequences,
         "dataset_release": q_dataset_release,
+        "repetition_scores": q_repetition_scores,
+        "gopher_filter": q_gopher_filter,
     }
 
 
@@ -2851,6 +2872,62 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT d.doc_id, d.source FROM documents d
             WHERE d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+        """,
+        "repetition_scores": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest({_SQL_NORM_TOKS}) AS g
+                FROM documents WHERE length({_SQL_NORM}) > 0
+            ),
+            wc AS (SELECT doc_id, g, count(*) AS c FROM toks GROUP BY 1, 2),
+            wf AS (SELECT doc_id, round(max(c) / sum(c), {_ROUND}) AS top_word_frac
+                   FROM wc GROUP BY doc_id),
+            bts AS (
+                SELECT doc_id, unnest(
+                    CASE WHEN len({_SQL_NORM_TOKS}) >= 2 THEN
+                        list_transform(generate_series(1, len({_SQL_NORM_TOKS}) - 1),
+                                       i -> array_to_string({_SQL_NORM_TOKS}[i:i+1], ' '))
+                    ELSE [] END) AS g
+                FROM documents WHERE length({_SQL_NORM}) > 0
+            ),
+            bc AS (SELECT doc_id, g, count(*) AS c FROM bts GROUP BY 1, 2),
+            bf AS (SELECT doc_id, round(max(c) / sum(c), {_ROUND}) AS top_bigram_frac
+                   FROM bc GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(wf.top_word_frac, 0.0) AS top_word_frac,
+                   coalesce(bf.top_bigram_frac, 0.0) AS top_bigram_frac
+            FROM documents d
+            LEFT JOIN wf ON d.doc_id = wf.doc_id
+            LEFT JOIN bf ON d.doc_id = bf.doc_id
+        """,
+        "gopher_filter": f"""
+            WITH m AS (
+                SELECT doc_id,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len({_SQL_TOKS}) END AS n_tok,
+                       length(regexp_replace(text, '\\s+', '', 'g')) AS nonspace,
+                       length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS alnum,
+                       len(list_intersect(
+                           list_transform({_SQL_TOKS}, w -> lower(w)),
+                           {_sql_str_list(_EN_STOPS)})) AS stop_hits
+                FROM documents
+            ),
+            r AS (
+                SELECT doc_id, n_tok, stop_hits,
+                       CASE WHEN n_tok > 0 THEN nonspace / n_tok ELSE 0.0 END AS mean_len,
+                       CASE WHEN nonspace > 0 THEN (nonspace - alnum) / nonspace
+                            ELSE 0.0 END AS symbol_frac
+                FROM m
+            )
+            SELECT doc_id,
+                   (n_tok >= 10 AND n_tok <= 100000) AS ok_token_count,
+                   (mean_len >= 3.0 AND mean_len <= 10.0) AS ok_mean_token_len,
+                   (symbol_frac <= 0.1) AS ok_symbol_frac,
+                   (stop_hits >= 2) AS ok_stopwords,
+                   ((n_tok >= 10 AND n_tok <= 100000)
+                    AND (mean_len >= 3.0 AND mean_len <= 10.0)
+                    AND (symbol_frac <= 0.1)
+                    AND (stop_hits >= 2)) AS passes_gopher
+            FROM r
         """,
         "pack_sequences": f"""
             WITH base AS (

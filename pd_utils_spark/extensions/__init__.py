@@ -50,7 +50,9 @@ from pd_utils_spark.extensions.similarity import (
 from pd_utils_spark.extensions.text import (
     LANG_MARKERS,
     doc_fingerprint,
+    gopher_quality_filter,
     language_id,
+    repetition_scores,
     rolling_hash_fingerprints,
     text_quality,
     tf_idf,

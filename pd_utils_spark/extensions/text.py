@@ -147,6 +147,107 @@ def language_id(
     return scored.withColumn(out, pred).drop(*[f"__hits_{lang}" for lang in langs])
 
 
+def repetition_scores(
+    df: DataFrame,
+    textcol: str = "text",
+    idcol: str = "doc_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1):
+    ``top_word_frac`` / ``top_bigram_frac`` — the fraction of tokens
+    accounted for by the single most frequent (lowercased) word /
+    word-2-gram. High values flag boilerplate and degenerate repetition
+    loops, the classic pretraining-shard rejects.
+
+    Scale shape: LINEAR explode -> (doc, gram) partial-agg -> per-doc
+    max/sum, joined back on ``idcol`` — not the per-doc
+    ``transform(distinct, d -> count)`` HOF form, which is O(len²)
+    per document and dies on long docs. Docs with no tokens (or no
+    bigrams) get 0.0.
+    """
+    t = F.col(textcol)
+    norm = F.trim(F.regexp_replace(F.lower(t), r"\s+", " "))
+    toks = F.split(norm, " ")
+    n = F.size(toks)
+    has_text = F.length(norm) > 0
+
+    words = df.select(
+        F.col(idcol),
+        F.explode(F.when(has_text, toks).otherwise(F.array())).alias("__g__"),
+    )
+    bigrams = df.select(
+        F.col(idcol),
+        F.explode(
+            F.when(
+                has_text & (n >= 2),
+                F.transform(
+                    F.sequence(F.lit(1), n - 1),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+                ),
+            ).otherwise(F.array())
+        ).alias("__g__"),
+    )
+
+    def top_frac(grams: DataFrame, out: str) -> DataFrame:
+        counts = grams.groupBy(idcol, "__g__").agg(F.count(F.lit(1)).alias("__c__"))
+        return counts.groupBy(idcol).agg(
+            F.round(F.max("__c__") / F.sum("__c__"), round_to).alias(out)
+        )
+
+    out = (
+        df.join(top_frac(words, "top_word_frac"), on=idcol, how="left")
+        .join(top_frac(bigrams, "top_bigram_frac"), on=idcol, how="left")
+        .fillna({"top_word_frac": 0.0, "top_bigram_frac": 0.0})
+    )
+    return out
+
+
+def gopher_quality_filter(
+    df: DataFrame,
+    textcol: str = "text",
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    min_mean_token_len: float = 3.0,
+    max_mean_token_len: float = 10.0,
+    max_symbol_frac: float = 0.1,
+    min_stopword_hits: int = 2,
+    stopwords: tuple[str, ...] = LANG_MARKERS["en"],
+) -> DataFrame:
+    """Gopher rule-based document gate (Rae et al. 2021 §A1.1) as
+    boolean columns plus a combined ``passes_gopher``: token count in
+    range, mean token length in range, symbol fraction below threshold,
+    and at least ``min_stopword_hits`` distinct stopwords present.
+    Pure column expressions — zero shuffles, fully codegen; the
+    standard pre-dedup gate of an LLM data pipeline.
+    """
+    t = F.col(textcol)
+    toks = _tokens(t)
+    n_tok = _token_count(t)
+    nonspace = F.length(F.regexp_replace(t, r"\s+", ""))
+    alnum = F.length(F.regexp_replace(t, r"[^A-Za-z0-9]", ""))
+    mean_len = F.when(n_tok > 0, nonspace / n_tok).otherwise(F.lit(0.0))
+    symbol_frac = F.when(nonspace > 0, (nonspace - alnum) / nonspace).otherwise(
+        F.lit(0.0)
+    )
+    stop_arr = F.array(*[F.lit(s) for s in stopwords])
+    distinct_hits = F.size(
+        F.array_intersect(F.transform(toks, F.lower), stop_arr)
+    )
+    ok_len = (n_tok >= min_tokens) & (n_tok <= max_tokens)
+    ok_word = (mean_len >= min_mean_token_len) & (mean_len <= max_mean_token_len)
+    ok_symbol = symbol_frac <= max_symbol_frac
+    ok_stop = distinct_hits >= min_stopword_hits
+    return (
+        df.withColumn("ok_token_count", ok_len)
+        .withColumn("ok_mean_token_len", ok_word)
+        .withColumn("ok_symbol_frac", ok_symbol)
+        .withColumn("ok_stopwords", ok_stop)
+        .withColumn(
+            "passes_gopher", ok_len & ok_word & ok_symbol & ok_stop
+        )
+    )
+
+
 def doc_fingerprint(
     df: DataFrame, textcol: str = "text", out: str = "fingerprint", normalize: bool = True
 ) -> DataFrame:

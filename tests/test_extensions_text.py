@@ -108,3 +108,57 @@ class TestRollingHash:
         df = spark.createDataFrame(pd.DataFrame({"doc_id": [0], "text": ["a b c d e"]}))
         [row] = T.rolling_hash_fingerprints(df, k=5).collect()
         assert row.shingle_hashes == [hashlib.md5(b"a b c d e").hexdigest()]
+
+
+class TestRepetitionScores:
+    def test_fractions(self, spark):
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": [0, 1, 2],
+                    "text": [
+                        "spam spam spam eggs",       # top word 3/4, top bigram 2/3
+                        "all words differ here",     # 1/4, 1/3
+                        "",                          # no tokens -> 0.0
+                    ],
+                }
+            )
+        )
+        out = T.repetition_scores(df).toPandas().set_index("doc_id")
+        assert out.loc[0, "top_word_frac"] == 0.75
+        assert abs(out.loc[0, "top_bigram_frac"] - 2 / 3) < 1e-6
+        assert out.loc[1, "top_word_frac"] == 0.25
+        assert out.loc[2, "top_word_frac"] == 0.0
+        assert out.loc[2, "top_bigram_frac"] == 0.0
+
+    def test_single_token_doc_has_zero_bigram_frac(self, spark):
+        df = spark.createDataFrame(pd.DataFrame({"doc_id": [0], "text": ["word"]}))
+        out = T.repetition_scores(df).toPandas()
+        assert out.top_word_frac.iloc[0] == 1.0
+        assert out.top_bigram_frac.iloc[0] == 0.0
+
+
+class TestGopherFilter:
+    def test_gate_components(self, spark):
+        good = "the quick brown fox is not lazy and jumps over the dog " * 2
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": [0, 1, 2],
+                    "text": [
+                        good,                      # passes with min_tokens=10
+                        "shrt txt",                # too few tokens, no stopwords
+                        "@@@ ### $$$ %%% ^^^ &&& *** ((( ))) ___ +++ ===",  # symbols
+                    ],
+                }
+            )
+        )
+        out = (
+            T.gopher_quality_filter(df, min_tokens=10)
+            .toPandas()
+            .set_index("doc_id")
+        )
+        assert bool(out.loc[0, "passes_gopher"])
+        assert not bool(out.loc[1, "ok_token_count"])
+        assert not bool(out.loc[2, "ok_symbol_frac"])
+        assert not bool(out.loc[2, "passes_gopher"])
