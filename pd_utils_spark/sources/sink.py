@@ -33,6 +33,7 @@ def write_partitioned(
     file_format: str = "parquet",
     mode: str = "overwrite",
     max_records_per_file: Optional[int] = None,
+    tasks_per_partition: int = 1,
 ) -> None:
     """Write ``df`` as a ``partition_by``-directory layout, optionally
     sorting rows within each task partition (``sort_by``) so that
@@ -45,9 +46,24 @@ def write_partitioned(
     output is a small-file flood (tasks × partitions files).
     ``max_records_per_file`` caps file size from above; AQE coalescing
     handles the small end of the shuffle.
+
+    At 100 TB a hot partition value (e.g. today's date, the dominant
+    language) would serialize through ONE task; set
+    ``tasks_per_partition`` > 1 to salt the shuffle so each partition
+    directory is written by up to that many tasks (files per directory
+    scale with it — the small-file/parallelism dial). The salt only
+    spreads rows across writer tasks; it never appears in the output.
     """
     parts = [partition_by] if isinstance(partition_by, str) else list(partition_by)
-    out = df.repartition(*parts)
+    if tasks_per_partition < 1:
+        raise ValueError(f"tasks_per_partition must be >= 1: {tasks_per_partition}")
+    if tasks_per_partition == 1:
+        out = df.repartition(*parts)
+    else:
+        from pyspark.sql import functions as F
+
+        salt = F.pmod(F.xxhash64(*df.columns), F.lit(tasks_per_partition))
+        out = df.repartition(*[F.col(p) for p in parts], salt)
     if sort_by is not None:
         sorts = [sort_by] if isinstance(sort_by, str) else list(sort_by)
         out = out.sortWithinPartitions(*parts, *sorts)

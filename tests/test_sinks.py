@@ -52,6 +52,26 @@ class TestWritePartitioned:
             files = [f for f in os.listdir(d) if f.endswith(".parquet")]
             assert len(files) == 1, f"{d} has {len(files)} files"
 
+    def test_tasks_per_partition_spreads_hot_value(self, spark, outdir):
+        df = spark.createDataFrame(PDF)
+        path = f"{outdir}/docs_salted"
+        # AQE rightly coalesces tiny salted partitions (they're far
+        # below the advisory size); disable it here to observe the
+        # salt spread the 100-row fixture the way TB-scale data would
+        prev = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        try:
+            write_partitioned(df, path, partition_by="lang", tasks_per_partition=4)
+        finally:
+            spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prev)
+        en_files = [
+            f for f in os.listdir(f"{path}/lang=en") if f.endswith(".parquet")
+        ]
+        assert 1 < len(en_files) <= 4
+        back = spark.read.parquet(path)
+        assert back.count() == 100
+        assert "salt" not in back.columns and len(back.columns) == 3
+
     def test_max_records_per_file_splits(self, spark, outdir):
         df = spark.createDataFrame(PDF)
         path = f"{outdir}/docs2"
