@@ -2905,7 +2905,7 @@ def oracle_sql() -> dict[str, str]:
                        CASE WHEN length(trim(text)) = 0 THEN 0
                             ELSE len({_SQL_TOKS}) END AS n_tok,
                        length(regexp_replace(text, '\\s+', '', 'g')) AS nonspace,
-                       length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS alnum,
+                       length(regexp_replace(text, '[^\\p{{L}}\\p{{N}}]', '', 'g')) AS alnum,
                        len(list_intersect(
                            list_transform({_SQL_TOKS}, w -> lower(w)),
                            {_sql_str_list(_EN_STOPS)})) AS stop_hits
@@ -2945,7 +2945,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM base
             )
             SELECT bucket, chunk_id,
-                   string_agg(text, chr(10) ORDER BY frac, doc_id) AS seq_text,
+                   string_agg(coalesce(text, ''), chr(10) ORDER BY frac, doc_id) AS seq_text,
                    count(*)::BIGINT AS n_docs,
                    sum(n_chars)::BIGINT AS total_tokens
             FROM packed GROUP BY bucket, chunk_id

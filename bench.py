@@ -25,6 +25,13 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Untimed warmup: the first timed query otherwise absorbs JVM/codegen
+    # startup and executor spin-up (~3-4 s) that belongs to the session,
+    # not the query. Does not touch the benchmark data.
+    spark.range(1_000_000).selectExpr("sum(id)").write.format("noop").mode(
+        "overwrite"
+    ).save()
+
     timings: dict[str, float] = {}
     for name, fn in entry.queries().items():
         t0 = time.perf_counter()

@@ -41,17 +41,30 @@ _HASH_DENOM = 1 << 31
 _HASH_MASK = _HASH_DENOM - 1
 
 
+def _hash31(strcol: Column) -> Column:
+    """md5 -> first 15 hex chars -> 60-bit int -> low 31 bits; the
+    shared engine-portable hash base (same construction as
+    ``extensions.dedup``'s minhash base). NULL in, NULL out."""
+    return (
+        F.conv(F.substring(F.md5(strcol), 1, 15), 16, 10)
+        .cast("bigint")
+        .bitwiseAND(F.lit(_HASH_MASK))
+    )
+
+
 def hash_fraction(col: Column | str, seed: int | str = 0) -> Column:
     """Deterministic uniform fraction in [0, 1) from the md5 of
     ``col`` and ``seed``: first 15 hex chars -> 60-bit int, masked to
     31 bits, divided by 2^31 (the same md5->int base as
     ``extensions.dedup``, so the identical expression exists in any
     SQL engine: ``(('0x'||substr(md5(x||':'||seed),1,15))::BIGINT &
-    2147483647) / 2147483648.0``)."""
+    2147483647) / 2147483648.0``). A NULL id yields a NULL fraction —
+    matching the SQL mirror's null propagation — so null-id rows fall
+    out of samples and take the ELSE split label rather than silently
+    sharing one hash."""
     c = F.col(col) if isinstance(col, str) else col
-    keyed = F.concat_ws(":", c.cast("string"), F.lit(str(seed)))
-    base = F.conv(F.substring(F.md5(keyed), 1, 15), 16, 10).cast("bigint")
-    return (base.bitwiseAND(F.lit(_HASH_MASK))) / F.lit(float(_HASH_DENOM))
+    keyed = F.concat(c.cast("string"), F.lit(f":{seed}"))
+    return _hash31(keyed) / F.lit(float(_HASH_DENOM))
 
 
 def hash_split(
@@ -288,12 +301,7 @@ def pack_chunks(
     """
     if budget <= 0 or buckets <= 0:
         raise ValueError(f"budget and buckets must be positive: {budget}, {buckets}")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col(idcol).cast("string")), 1, 15), 16, 10)
-        .cast("bigint")
-        .bitwiseAND(F.lit(_HASH_MASK))
-        % F.lit(buckets)
-    ).alias("bucket")
+    bucket = (_hash31(F.col(idcol).cast("string")) % F.lit(buckets)).alias("bucket")
     w = Window.partitionBy("bucket").orderBy(
         hash_fraction(F.col(idcol), "pack"), F.col(idcol)
     )
@@ -331,8 +339,12 @@ def pack_sequences(
         df, token_col=token_col, budget=budget, idcol=idcol, buckets=buckets
     )
     frac = hash_fraction(F.col(idcol), "pack")
+    # null text -> empty segment (concat_ws would silently DROP the
+    # member, desynchronizing seq_text from n_docs/total_tokens)
     member = F.struct(
-        frac.alias("__f__"), F.col(idcol).alias("__i__"), F.col(textcol).alias("__t__")
+        frac.alias("__f__"),
+        F.col(idcol).alias("__i__"),
+        F.coalesce(F.col(textcol), F.lit("")).alias("__t__"),
     )
     return (
         packed.groupBy("bucket", "chunk_id")

@@ -165,8 +165,10 @@ def repetition_scores(
     per document and dies on long docs. Docs with no tokens (or no
     bigrams) get 0.0.
     """
+    from pd_utils_spark.extensions.dedup import _norm
+
     t = F.col(textcol)
-    norm = F.trim(F.regexp_replace(F.lower(t), r"\s+", " "))
+    norm = _norm(t)  # same normalization as the dedup family (oracle: _SQL_NORM)
     toks = F.split(norm, " ")
     n = F.size(toks)
     has_text = F.length(norm) > 0
@@ -224,7 +226,10 @@ def gopher_quality_filter(
     toks = _tokens(t)
     n_tok = _token_count(t)
     nonspace = F.length(F.regexp_replace(t, r"\s+", ""))
-    alnum = F.length(F.regexp_replace(t, r"[^A-Za-z0-9]", ""))
+    # Unicode letter/digit classes, NOT [A-Za-z0-9]: an ASCII-only
+    # class counts every umlaut/accent/CJK char as a "symbol" and
+    # rejects clean non-English text wholesale
+    alnum = F.length(F.regexp_replace(t, r"[^\p{L}\p{N}]", ""))
     mean_len = F.when(n_tok > 0, nonspace / n_tok).otherwise(F.lit(0.0))
     symbol_frac = F.when(nonspace > 0, (nonspace - alnum) / nonspace).otherwise(
         F.lit(0.0)

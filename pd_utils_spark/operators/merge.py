@@ -269,7 +269,13 @@ def _groupby_transform(
         if tail_parts:
             yield transform_block(pd.concat(tail_parts, ignore_index=True))
 
-    sort_cols = list(byvars) + ([ordervar] if ordervar is not None else [])
+    # nulls LAST in the in-group order: parity with the pandas
+    # sort_values(na_position='last') the grouped form used (Spark's
+    # default asc puts nulls first, which would silently shift every
+    # order-sensitive transform value in groups with null ordervar)
+    sort_cols = [F.col(b) for b in byvars] + (
+        [F.col(ordervar).asc_nulls_last()] if ordervar is not None else []
+    )
     prepared = df.repartition(*byvars).sortWithinPartitions(*sort_cols)
     return prepared.mapInPandas(process, schema=out_schema)
 

@@ -62,7 +62,12 @@ def write_partitioned(
     else:
         from pyspark.sql import functions as F
 
-        salt = F.pmod(F.xxhash64(*df.columns), F.lit(tasks_per_partition))
+        # Round-robin salt, not a row-content hash: duplicate-heavy hot
+        # partitions (the pre-dedup case this dial exists for) would
+        # hash identical rows to one salt value and still serialize
+        # through a single task. File-to-task assignment is allowed to
+        # vary run-to-run; file CONTENTS (the rows) do not.
+        salt = F.pmod(F.monotonically_increasing_id(), F.lit(tasks_per_partition))
         out = df.repartition(*[F.col(p) for p in parts], salt)
     if sort_by is not None:
         sorts = [sort_by] if isinstance(sort_by, str) else list(sort_by)
@@ -82,6 +87,26 @@ def _dir_bytes(path: str) -> int:
     return total
 
 
+def _partition_columns(path: str) -> list[str]:
+    """Hive-style partition columns of a layout, from the directory
+    names (``col=value``), outermost first."""
+    cols: list[str] = []
+    cur = path
+    while True:
+        subdirs = [
+            d
+            for d in os.listdir(cur)
+            if os.path.isdir(os.path.join(cur, d)) and "=" in d and not d.startswith(".")
+        ]
+        if not subdirs:
+            return cols
+        name = subdirs[0].split("=", 1)[0]
+        if not name or name in cols:
+            return cols
+        cols.append(name)
+        cur = os.path.join(cur, subdirs[0])
+
+
 def compact_small_files(
     spark: SparkSession,
     path: str,
@@ -89,11 +114,15 @@ def compact_small_files(
     file_format: str = "parquet",
 ) -> DataFrame:
     """Rewrite a (possibly small-file-flooded) dataset into
-    ``ceil(total_bytes / target_file_mb)`` files and return the
-    compacted frame. Reads the whole layout once, coalesces, and
-    writes to ``path + '.compact'`` (callers swap directories
-    atomically — never compact in place: a mid-rewrite failure must
-    not destroy the source).
+    ~``target_file_mb``-sized files and return the compacted frame.
+    Reads the whole layout once and writes to ``path + '.compact'``
+    (callers swap directories atomically — never compact in place: a
+    mid-rewrite failure must not destroy the source).
+
+    A Hive-partitioned layout (``col=value/`` directories) keeps its
+    partitioning: the partition columns are re-applied on the rewrite,
+    so downstream partition pruning survives compaction — flattening
+    the layout would silently turn pruned scans into full scans.
 
     Local-filesystem byte accounting; on object stores substitute the
     store's listing API for ``_dir_bytes`` (the Spark plan is
@@ -105,5 +134,17 @@ def compact_small_files(
     total = _dir_bytes(path)
     n_files = max(1, -(-total // (target_file_mb * 1024 * 1024)))
     out_path = path.rstrip("/") + ".compact"
-    df.coalesce(n_files).write.mode("overwrite").format(file_format).save(out_path)
+    part_cols = _partition_columns(path)
+    if part_cols:
+        from pyspark.sql import functions as F
+
+        salt = F.pmod(F.monotonically_increasing_id(), F.lit(n_files))
+        writer = (
+            df.repartition(*[F.col(c) for c in part_cols], salt)
+            .write.mode("overwrite")
+            .partitionBy(*part_cols)
+        )
+    else:
+        writer = df.coalesce(n_files).write.mode("overwrite")
+    writer.format(file_format).save(out_path)
     return spark.read.format(file_format).load(out_path)

@@ -189,3 +189,13 @@ class TestPackSequences:
         # every doc's text appears in the sequence of its assigned chunk
         for r in chunks.collect():
             assert f"document number {r.doc_id} " in seqs[(r.bucket, r.chunk_id)]
+
+
+class TestNullIdPropagation:
+    def test_null_id_gets_else_label_and_falls_out_of_samples(self, spark):
+        pdf = pd.DataFrame({"doc_id": [1.0, None], "x": [1, 2]})
+        df = spark.createDataFrame(pdf)
+        splits = {r.x: r.split for r in S.hash_split(df, idcol="doc_id", weights={"a": 1, "b": 1}).collect()}
+        assert splits[2] == "b"  # NULL fraction -> ELSE label, like the SQL CASE
+        kept = S.stratified_sample(df, 0.9999, idcol="doc_id").collect()
+        assert all(r.doc_id is not None for r in kept)  # NULL < rate is NULL -> dropped

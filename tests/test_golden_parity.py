@@ -821,3 +821,27 @@ class TestExpandTime:
             fx.df_datetime(spark), intermediate_periods=True, datevar="Date", freq="m", time=[1, 3]
         )
         assert out.count() == 36
+
+
+class TestTransformNullOrdervar:
+    def test_null_ordervar_rows_sort_last_like_pandas(self, spark):
+        """The mapInPandas rewrite must keep pandas' na_position='last'
+        for the in-group order (Spark default asc is nulls FIRST)."""
+        import pd_utils_spark as pus
+
+        pdf = pd.DataFrame(
+            {
+                "g": ["a", "a", "a"],
+                "t": [2.0, None, 1.0],
+                "x": [10.0, 100.0, 1.0],
+            }
+        )
+        out = pus.groupby_merge(
+            spark.createDataFrame(pdf), "g", "transform",
+            (lambda s: s.cumsum()), subset="x", ordervar="t",
+        ).toPandas().set_index("x")
+        # pandas order: t=1 (x=1), t=2 (x=10), t=NaN last (x=100)
+        ref = pdf.sort_values("t", na_position="last").x.cumsum()
+        assert out.loc[1.0, "x_transform"] == 1.0
+        assert out.loc[10.0, "x_transform"] == 11.0
+        assert out.loc[100.0, "x_transform"] == 111.0

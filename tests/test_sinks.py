@@ -109,3 +109,13 @@ class TestCompactSmallFiles:
     def test_bad_target_raises(self, spark, outdir):
         with pytest.raises(ValueError):
             compact_small_files(spark, outdir, target_file_mb=0)
+
+    def test_partitioned_layout_survives_compaction(self, spark, outdir):
+        path = f"{outdir}/part_flood"
+        write_partitioned(spark.createDataFrame(PDF), path, partition_by="lang")
+        out = compact_small_files(spark, path, target_file_mb=256)
+        assert out.count() == 100
+        subdirs = sorted(
+            os.path.basename(p) for p in glob.glob(f"{path}.compact/lang=*")
+        )
+        assert subdirs == ["lang=de", "lang=en", "lang=fr"]
