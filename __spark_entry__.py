@@ -1166,6 +1166,16 @@ def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "bucket", "chunk_id")
 
 
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 symmetric quantization codes + per-vector scale, exploded
+    to (vec_id, pos, q) rows for a hashable oracle comparison."""
+    e = _t(spark, sf_dir, "embeddings")
+    out = pus_sim.quantize_embeddings(e, bits=8)
+    return out.select(
+        "vec_id", F.posexplode("q_embedding").alias("pos", "q"), "q_scale"
+    ).select("vec_id", F.col("pos").cast("bigint").alias("pos"), "q", "q_scale")
+
+
 def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher repetition signals: most-frequent word / 2-gram token
     fractions per document."""
@@ -1338,6 +1348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_release": q_dataset_release,
         "repetition_scores": q_repetition_scores,
         "gopher_filter": q_gopher_filter,
+        "quantize_embeddings": q_quantize_embeddings,
     }
 
 
@@ -2872,6 +2883,20 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT d.doc_id, d.source FROM documents d
             WHERE d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+        """,
+        "quantize_embeddings": f"""
+            WITH s AS (
+                SELECT vec_id, embedding,
+                       list_max(list_transform(embedding, x -> abs(x::DOUBLE)))
+                           / 127.0 AS scale
+                FROM embeddings
+            )
+            SELECT vec_id, i - 1 AS pos,
+                   CASE WHEN scale > 0
+                        THEN CAST(round(embedding[i]::DOUBLE / scale) AS INTEGER)
+                        ELSE 0 END AS q,
+                   round(scale, 9) AS q_scale
+            FROM s, range(1, 65) t(i)
         """,
         "repetition_scores": f"""
             WITH toks AS (

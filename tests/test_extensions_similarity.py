@@ -153,3 +153,39 @@ class TestLSH:
             df, threshold=0.99, dims=3, max_bucket=None
         )
         assert uncapped.count() == 20 * 19 // 2
+
+
+class TestQuantizeEmbeddings:
+    def test_codes_and_roundtrip(self, spark):
+        import pandas as pd
+
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "vec_id": [0, 1],
+                    "embedding": [[1.0, -0.5, 0.25, 0.0], [0.0, 0.0, 0.0, 0.0]],
+                }
+            )
+        )
+        from pd_utils_spark.extensions.similarity import quantize_embeddings
+
+        out = {r.vec_id: r for r in quantize_embeddings(df, bits=8).collect()}
+        assert out[0].q_embedding == [127, -64, 32, 0]  # round(x / (1/127))
+        assert abs(out[0].q_scale - 1.0 / 127) < 1e-9
+        # dequantized max error bounded by scale/2
+        for q, x in zip(out[0].q_embedding, [1.0, -0.5, 0.25, 0.0]):
+            assert abs(q * (1.0 / 127) - x) <= (1.0 / 127) / 2 + 1e-12
+        assert out[1].q_embedding == [0, 0, 0, 0]  # zero vector -> scale 0
+        assert out[1].q_scale == 0.0
+
+    def test_bad_bits_raise(self, spark):
+        import pandas as pd
+        import pytest as pt
+
+        from pd_utils_spark.extensions.similarity import quantize_embeddings
+
+        df = spark.createDataFrame(
+            pd.DataFrame({"vec_id": [0], "embedding": [[1.0]]})
+        )
+        with pt.raises(ValueError):
+            quantize_embeddings(df, bits=1)
