@@ -321,3 +321,68 @@ class TestRealStreaming:
             assert totals == {"view": 17.0, "click": 3.0}
         finally:
             shutil.rmtree(src, ignore_errors=True)
+
+
+class TestStreamingDatasetGate:
+    """The dataset-construction layer is stateless column expressions,
+    so the same operators run UNCHANGED under Structured Streaming —
+    documents can be gated and split in-flight during ingestion."""
+
+    def test_gopher_gate_and_hash_split_on_stream(self, spark):
+        import time
+
+        from pd_utils_spark.extensions.sampling import hash_split
+        from pd_utils_spark.extensions.text import gopher_quality_filter
+
+        src = tempfile.mkdtemp(prefix="stream_docs_")
+        try:
+            with open(f"{src}/b1.json", "w") as f:
+                f.write(
+                    '{"doc_id": 1, "text": "the quick brown fox is not lazy and jumps over the dog again"}\n'
+                    '{"doc_id": 2, "text": "shrt"}\n'
+                )
+            schema = StructType(
+                [
+                    StructField("doc_id", DoubleType()),
+                    StructField("text", StringType()),
+                ]
+            )
+            stream = (
+                spark.readStream.format("json").schema(schema).load(src)
+            )
+            gated = gopher_quality_filter(stream, min_tokens=10)
+            out = hash_split(gated, idcol="doc_id", seed=5)
+            q = (
+                out.writeStream.format("memory")
+                .queryName("gate_stream")
+                .outputMode("append")
+                .start()
+            )
+            try:
+                deadline = time.time() + 60
+                rows = []
+                while time.time() < deadline:
+                    rows = spark.sql(
+                        "SELECT doc_id, passes_gopher, split FROM gate_stream"
+                    ).collect()
+                    if len(rows) == 2:
+                        break
+                    time.sleep(1)
+                got = {int(r.doc_id): (r.passes_gopher, r.split) for r in rows}
+                assert got[1][0] is True and got[2][0] is False
+                # split labels match the batch computation exactly
+                batch = {
+                    int(r.doc_id): r.split
+                    for r in hash_split(
+                        spark.createDataFrame(
+                            pd.DataFrame({"doc_id": [1.0, 2.0], "text": ["a", "b"]})
+                        ),
+                        idcol="doc_id",
+                        seed=5,
+                    ).collect()
+                }
+                assert got[1][1] == batch[1] and got[2][1] == batch[2]
+            finally:
+                q.stop()
+        finally:
+            shutil.rmtree(src, ignore_errors=True)
