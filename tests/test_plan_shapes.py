@@ -81,6 +81,20 @@ class TestJoinShapes:
         samp_plan = plan_of(S.stratified_sample(docs, 0.5))
         assert "Exchange" not in samp_plan  # pure filter
 
+    def test_quantize_embeddings_is_shuffle_free(self, spark):
+        from pd_utils_spark.extensions.similarity import quantize_embeddings
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        plan = plan_of(quantize_embeddings(emb))
+        assert "Exchange" not in plan  # pure projection over the scan
+
+    def test_dataset_release_has_no_cartesian(self, spark):
+        import __spark_entry__ as entry
+
+        plan = plan_of(entry.q_dataset_release(spark, "/root/testdata/sf0.001"))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastExchange" in plan  # bench grams + contaminated ids
+
     def test_interleave_and_decontaminate_broadcast_small_sides(self, spark):
         from pd_utils_spark.extensions import sampling as S
 
