@@ -1166,6 +1166,18 @@ def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "bucket", "chunk_id")
 
 
+def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line/page cleaning; the rebuilt text is md5'd so the full
+    cleaned content is hash-checked without hauling it around."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = pus_text.c4_line_filter(d)
+    return out.select(
+        "doc_id",
+        F.md5(F.col("clean_text")).alias("clean_hash"),
+        "n_lines_kept", "n_lines_total", "c4_page_ok",
+    )
+
+
 def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """int8 symmetric quantization codes + per-vector scale, exploded
     to (vec_id, pos, q) rows for a hashable oracle comparison."""
@@ -1349,6 +1361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_scores": q_repetition_scores,
         "gopher_filter": q_gopher_filter,
         "quantize_embeddings": q_quantize_embeddings,
+        "c4_line_filter": q_c4_line_filter,
     }
 
 
@@ -2883,6 +2896,27 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT d.doc_id, d.source FROM documents d
             WHERE d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+        """,
+        "c4_line_filter": f"""
+            WITH lines AS (
+                SELECT doc_id, text,
+                       regexp_split_to_array(text, '\\n') AS ls
+                FROM documents
+            ),
+            kept AS (
+                SELECT doc_id, text, ls,
+                       list_filter(ls, ln ->
+                           len(regexp_split_to_array(trim(ln), '\\s+')) >= 3
+                           AND regexp_matches(trim(ln), '[.!?"'']$')) AS ks
+                FROM lines
+            )
+            SELECT doc_id,
+                   md5(coalesce(array_to_string(ks, chr(10)), '')) AS clean_hash,
+                   len(ks)::INTEGER AS n_lines_kept,
+                   len(ls)::INTEGER AS n_lines_total,
+                   NOT (contains(lower(text), 'lorem ipsum')
+                        OR contains(text, '{{')) AS c4_page_ok
+            FROM kept
         """,
         "quantize_embeddings": f"""
             WITH s AS (

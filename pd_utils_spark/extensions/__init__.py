@@ -49,6 +49,7 @@ from pd_utils_spark.extensions.similarity import (
 )
 from pd_utils_spark.extensions.text import (
     LANG_MARKERS,
+    c4_line_filter,
     doc_fingerprint,
     gopher_quality_filter,
     language_id,

@@ -253,6 +253,54 @@ def gopher_quality_filter(
     )
 
 
+def c4_line_filter(
+    df: DataFrame,
+    textcol: str = "text",
+    out: str = "clean_text",
+    min_words_per_line: int = 3,
+    require_terminal_punct: bool = True,
+    banned_phrases: tuple[str, ...] = ("lorem ipsum",),
+    banned_chars: tuple[str, ...] = ("{",),
+) -> DataFrame:
+    """C4-style cleaning (Raffel et al. 2020 §2.2) as pure column
+    expressions: rebuild each document from only the lines that (a)
+    have at least ``min_words_per_line`` words and (b) end in terminal
+    punctuation, and flag whole documents containing banned phrases
+    (lorem ipsum placeholder text) or banned characters (curly braces
+    — code/markup leakage). New columns:
+
+    - ``<out>``: newline-joined surviving lines;
+    - ``n_lines_kept`` / ``n_lines_total``;
+    - ``c4_page_ok``: no banned phrase/char anywhere in the raw text.
+
+    Zero shuffles — split/filter/join run inside whole-stage codegen;
+    at 100 TB this is a map-only pass over the scan.
+    """
+    t = F.col(textcol)
+    lines = F.split(t, r"\n")
+    word_ok = lambda ln: F.size(F.split(F.trim(ln), r"\s+")) >= min_words_per_line
+
+    def line_ok(ln):
+        cond = word_ok(ln)
+        if require_terminal_punct:
+            cond = cond & F.trim(ln).rlike(r"[.!?\"']$")
+        return cond
+
+    kept = F.filter(lines, line_ok)
+    low = F.lower(t)
+    page_bad = F.lit(False)
+    for p in banned_phrases:
+        page_bad = page_bad | low.contains(p.lower())
+    for ch in banned_chars:
+        page_bad = page_bad | t.contains(ch)
+    return (
+        df.withColumn(out, F.array_join(kept, "\n"))
+        .withColumn("n_lines_kept", F.size(kept))
+        .withColumn("n_lines_total", F.size(lines))
+        .withColumn("c4_page_ok", ~page_bad)
+    )
+
+
 def doc_fingerprint(
     df: DataFrame, textcol: str = "text", out: str = "fingerprint", normalize: bool = True
 ) -> DataFrame:

@@ -162,3 +162,32 @@ class TestGopherFilter:
         assert not bool(out.loc[1, "ok_token_count"])
         assert not bool(out.loc[2, "ok_symbol_frac"])
         assert not bool(out.loc[2, "passes_gopher"])
+
+
+class TestC4LineFilter:
+    def test_line_and_page_rules(self, spark):
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": [0, 1, 2],
+                    "text": [
+                        "This line stays here.\nshort one\nAnother good line stays!\nno punct line at all",
+                        "Lorem Ipsum dolor sit amet.",
+                        "function f() { return 1; }",
+                    ],
+                }
+            )
+        )
+        out = T.c4_line_filter(df).toPandas().set_index("doc_id")
+        assert out.loc[0, "clean_text"] == "This line stays here.\nAnother good line stays!"
+        assert out.loc[0, "n_lines_kept"] == 2 and out.loc[0, "n_lines_total"] == 4
+        assert bool(out.loc[0, "c4_page_ok"])
+        assert not bool(out.loc[1, "c4_page_ok"])  # lorem ipsum
+        assert not bool(out.loc[2, "c4_page_ok"])  # curly brace
+
+    def test_no_terminal_punct_requirement(self, spark):
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [0], "text": ["three words here\nTwo words"]})
+        )
+        out = T.c4_line_filter(df, require_terminal_punct=False).toPandas()
+        assert out.clean_text.iloc[0] == "three words here"
