@@ -241,16 +241,20 @@ def decontaminate(
     benchmark_textcol: str | None = None,
     n: int = 13,
     mode: str = "remove",
+    broadcast_benchmark: bool = True,
 ) -> DataFrame:
     """Remove (or flag, ``mode='flag'``) training documents that share
     any word ``n``-gram with an evaluation benchmark — the standard
     guard against test-set leakage into pretraining data.
 
-    Scale shape: the benchmark n-gram set is tiny relative to the
-    corpus, so it is broadcast; the corpus n-gram explosion is scanned
-    map-side against it and only the matching doc ids (another tiny
-    set) are aggregated and broadcast back for the anti/flag join. The
-    corpus is never shuffled.
+    Scale shape: the benchmark n-gram set is normally tiny relative to
+    the corpus, so it is broadcast and the corpus n-gram explosion is
+    scanned map-side against it; only the matching doc ids (another
+    tiny set) are aggregated and broadcast back for the anti/flag
+    join — the corpus is never shuffled. For a benchmark too large to
+    broadcast (a full eval-suite union beyond executor memory), pass
+    ``broadcast_benchmark=False`` to let the gram match run as a
+    shuffled hash join on the gram hash instead.
     """
     if mode not in ("remove", "flag"):
         raise ValueError(f"mode must be 'remove' or 'flag': {mode!r}")
@@ -260,21 +264,28 @@ def decontaminate(
         .select(F.md5(F.col("__g__")).alias("__bh__"))
         .distinct()
     )
+    if broadcast_benchmark:
+        bench_grams = F.broadcast(bench_grams)
     corpus_grams = ngram_hashes(df, textcol=textcol, idcol=idcol, n=n, out="__ch__")
     contaminated = (
-        corpus_grams.join(
-            F.broadcast(bench_grams), F.col("__ch__") == F.col("__bh__"), "inner"
-        )
+        corpus_grams.join(bench_grams, F.col("__ch__") == F.col("__bh__"), "inner")
         .select(idcol)
         .distinct()
     )
+    if mode == "flag":
+        contaminated = contaminated.withColumn("__hit__", F.lit(True))
+    if broadcast_benchmark:
+        # contaminated ids are a subset of matched docs — same size
+        # class as the broadcastable benchmark; otherwise leave the
+        # join strategy to AQE (the set can be arbitrarily large)
+        contaminated = F.broadcast(contaminated)
     if mode == "remove":
-        return df.join(F.broadcast(contaminated), on=idcol, how="left_anti")
-    return df.join(
-        F.broadcast(contaminated.withColumn("__hit__", F.lit(True))),
-        on=idcol,
-        how="left",
-    ).withColumn("contaminated", F.coalesce(F.col("__hit__"), F.lit(False))).drop("__hit__")
+        return df.join(contaminated, on=idcol, how="left_anti")
+    return (
+        df.join(contaminated, on=idcol, how="left")
+        .withColumn("contaminated", F.coalesce(F.col("__hit__"), F.lit(False)))
+        .drop("__hit__")
+    )
 
 
 def pack_chunks(

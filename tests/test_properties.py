@@ -123,3 +123,39 @@ def test_minhash_identical_docs_identical_sigs(spark, texts):
     }
     for i in range(len(texts)):
         assert sigs[i] == sigs[i + 1000]
+
+
+ids = st.lists(st.integers(min_value=0, max_value=10_000), min_size=2, max_size=30, unique=True)
+weight_maps = st.dictionaries(
+    st.sampled_from(["a", "b", "c", "d"]),
+    st.floats(min_value=0.01, max_value=10, allow_nan=False),
+    min_size=1,
+    max_size=4,
+)
+
+
+@given(doc_ids=ids, weights=weight_maps, seed=st.integers(min_value=0, max_value=99))
+@settings(**SETTINGS)
+def test_hash_split_partitions_every_row(spark, doc_ids, weights, seed):
+    from pd_utils_spark.extensions import sampling as S
+
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": doc_ids}))
+    out = S.hash_split(df, weights=weights, seed=seed).toPandas()
+    # total preservation, labels drawn from the weight map, and
+    # assignment invariant under repartitioning
+    assert len(out) == len(doc_ids)
+    assert set(out.split) <= set(weights)
+    again = S.hash_split(df.repartition(3), weights=weights, seed=seed).toPandas()
+    assert dict(zip(out.doc_id, out.split)) == dict(zip(again.doc_id, again.split))
+
+
+@given(doc_ids=ids, frac=st.floats(min_value=0.0, max_value=1.0), seed=st.integers(min_value=0, max_value=99))
+@settings(**SETTINGS)
+def test_stratified_sample_is_monotone_in_fraction(spark, doc_ids, frac, seed):
+    from pd_utils_spark.extensions import sampling as S
+
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": doc_ids}))
+    kept = set(S.stratified_sample(df, frac, seed=seed).toPandas().doc_id)
+    kept_more = set(S.stratified_sample(df, min(1.0, frac + 0.3), seed=seed).toPandas().doc_id)
+    # a row kept at rate f is kept at every rate >= f (nested samples)
+    assert kept <= kept_more
