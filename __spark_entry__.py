@@ -1166,6 +1166,33 @@ def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "bucket", "chunk_id")
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingestion dedup: the doc_id >= 250 batch against the
+    doc_id < 250 historical corpus (content-fingerprint anti-join)."""
+    d = _t(spark, sf_dir, "documents")
+    batch = d.filter(F.col("doc_id") >= 250)
+    history = d.filter(F.col("doc_id") < 250)
+    out = pus_dedup.exact_dedup_against(batch, history)
+    return out.select("doc_id", "source")
+
+
+def q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source data-quality rollup composing the gate operators:
+    Gopher pass rate, C4 page-ok rate, mean repetition — the
+    monitoring query a pipeline runs per ingested shard."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    gated = pus_text.gopher_quality_filter(d, min_tokens=10)
+    c4 = pus_text.c4_line_filter(d).select("doc_id", "c4_page_ok")
+    rep = pus_text.repetition_scores(d).select("doc_id", "top_word_frac")
+    joined = gated.join(c4, on="doc_id").join(rep, on="doc_id")
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("passes_gopher").cast("bigint")).alias("n_gopher_pass"),
+        F.sum(F.col("c4_page_ok").cast("bigint")).alias("n_c4_ok"),
+        F.round(F.avg("top_word_frac"), _ROUND).alias("avg_top_word_frac"),
+    )
+
+
 def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 line/page cleaning; the rebuilt text is md5'd so the full
     cleaned content is hash-checked without hauling it around."""
@@ -1362,6 +1389,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_filter": q_gopher_filter,
         "quantize_embeddings": q_quantize_embeddings,
         "c4_line_filter": q_c4_line_filter,
+        "dedup_incremental": q_dedup_incremental,
+        "quality_report": q_quality_report,
     }
 
 
@@ -2896,6 +2925,55 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT d.doc_id, d.source FROM documents d
             WHERE d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+        """,
+        "dedup_incremental": f"""
+            WITH hist AS (
+                SELECT DISTINCT md5({_SQL_NORM}) AS fp
+                FROM documents WHERE doc_id < 250
+            )
+            SELECT doc_id, source FROM documents
+            WHERE doc_id >= 250
+              AND md5({_SQL_NORM}) NOT IN (SELECT fp FROM hist)
+        """,
+        "quality_report": f"""
+            WITH m AS (
+                SELECT doc_id, source,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len({_SQL_TOKS}) END AS n_tok,
+                       length(regexp_replace(text, '\\s+', '', 'g')) AS nonspace,
+                       length(regexp_replace(text, '[^\\p{{L}}\\p{{N}}]', '', 'g')) AS alnum,
+                       len(list_intersect(
+                           list_transform({_SQL_TOKS}, w -> lower(w)),
+                           {_sql_str_list(_EN_STOPS)})) AS stop_hits,
+                       NOT (contains(lower(text), 'lorem ipsum')
+                            OR contains(text, '{{')) AS c4_page_ok
+                FROM documents
+            ),
+            g AS (
+                SELECT doc_id, source, c4_page_ok,
+                       ((n_tok >= 10 AND n_tok <= 100000)
+                        AND (CASE WHEN n_tok > 0 THEN nonspace / n_tok ELSE 0.0 END
+                             BETWEEN 3.0 AND 10.0)
+                        AND (CASE WHEN nonspace > 0
+                                  THEN (nonspace - alnum) / nonspace
+                                  ELSE 0.0 END <= 0.1)
+                        AND (stop_hits >= 2)) AS passes_gopher
+                FROM m
+            ),
+            toks AS (
+                SELECT doc_id, unnest({_SQL_NORM_TOKS}) AS w
+                FROM documents WHERE length({_SQL_NORM}) > 0
+            ),
+            wc AS (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY 1, 2),
+            wf AS (SELECT doc_id, round(max(c) / sum(c), {_ROUND}) AS twf
+                   FROM wc GROUP BY doc_id)
+            SELECT g.source,
+                   count(*)::BIGINT AS n_docs,
+                   sum(CASE WHEN g.passes_gopher THEN 1 ELSE 0 END)::BIGINT AS n_gopher_pass,
+                   sum(CASE WHEN g.c4_page_ok THEN 1 ELSE 0 END)::BIGINT AS n_c4_ok,
+                   round(avg(coalesce(wf.twf, 0.0)), {_ROUND}) AS avg_top_word_frac
+            FROM g LEFT JOIN wf ON g.doc_id = wf.doc_id
+            GROUP BY g.source
         """,
         "c4_line_filter": f"""
             WITH lines AS (

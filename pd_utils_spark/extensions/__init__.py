@@ -10,6 +10,7 @@ from pd_utils_spark.extensions.approx import (
 from pd_utils_spark.extensions.dedup import (
     dedup_minhash_lsh,
     exact_dedup,
+    exact_dedup_against,
     hamming_distance,
     jaccard_pairs,
     jaccard_topk,

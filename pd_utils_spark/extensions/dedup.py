@@ -107,6 +107,37 @@ def exact_dedup(
     )
 
 
+def exact_dedup_against(
+    df: DataFrame,
+    history: DataFrame,
+    textcol: str = "text",
+    idcol: str = "doc_id",
+    history_textcol: str | None = None,
+    normalize: bool = True,
+) -> DataFrame:
+    """Incremental-ingestion dedup: drop rows of ``df`` whose
+    (normalized) content fingerprint already exists in ``history`` —
+    the batch-over-batch complement of ``exact_dedup`` (which dedups
+    WITHIN a frame). New batches are usually small next to the
+    historical corpus, so the HISTORY side stays un-collected: one
+    fingerprint projection per side and a left-anti hash join on the
+    fingerprint; at 100 TB persist the history fingerprints as a
+    bucketed table (``plans.skew.write_bucketed``) and the join runs
+    with zero additional Exchange on the history side.
+    """
+    htext = history_textcol or textcol
+
+    def fp(col: Column) -> Column:
+        return F.md5((_norm(col) if normalize else col).cast("string"))
+
+    hist = history.select(fp(F.col(htext)).alias("__fp__")).distinct()
+    return (
+        df.withColumn("__fp__", fp(F.col(textcol)))
+        .join(hist, on="__fp__", how="left_anti")
+        .drop("__fp__")
+    )
+
+
 def minhash_signature(
     df: DataFrame,
     textcol: str = "text",

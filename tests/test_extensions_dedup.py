@@ -115,3 +115,30 @@ class TestSimhash:
     def test_bits_validation(self, docs):
         with pytest.raises(ValueError, match="bits"):
             D.simhash(docs, bits=61)
+
+
+class TestExactDedupAgainst:
+    def test_batch_rows_matching_history_dropped(self, spark):
+        history = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [0, 1], "text": ["seen before", "also seen"]})
+        )
+        batch = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": [10, 11, 12],
+                    "text": ["Seen  before", "brand new content", "also seen"],
+                }
+            )
+        )
+        kept = sorted(r.doc_id for r in D.exact_dedup_against(batch, history).collect())
+        assert kept == [11]  # 10 matches after normalization, 12 exactly
+
+    def test_no_normalize_keeps_case_variant(self, spark):
+        history = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [0], "text": ["seen before"]})
+        )
+        batch = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [10], "text": ["Seen before"]})
+        )
+        kept = D.exact_dedup_against(batch, history, normalize=False).collect()
+        assert [r.doc_id for r in kept] == [10]
