@@ -968,9 +968,10 @@ def q_groupby_merge_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_reg_by_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-regressor per-group OLS (general-k sufficient-statistics
-    path). No closed-form SQL oracle for the batched pinv solve —
-    rows-only driver check; exactness covered in pytest vs numpy."""
+    """Two-regressor per-group OLS. The k=3 solve is an explicit
+    Cramer cofactor expansion over the normal-equation moments — the
+    same arithmetic the ANSI SQL oracle writes, so both engines agree
+    to the last ulp before rounding."""
     li = _t(spark, sf_dir, "lineitem").select(
         "l_suppkey", "l_quantity", "l_discount", "l_extendedprice"
     )
@@ -1865,6 +1866,32 @@ def oracle_sql() -> dict[str, str]:
                    round(CASE WHEN n >= 3 THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END, 4) AS coef_l_quantity,
                    cast(l_partkey AS varchar) AS l_partkey
             FROM m
+        """,
+        "reg_by_multi": """
+            WITH m AS (
+                SELECT l_suppkey,
+                       sum(1.0) AS a,
+                       sum(1.0 * l_quantity) AS b,
+                       sum(1.0 * l_discount) AS c,
+                       sum(l_quantity * l_quantity) AS d,
+                       sum(l_quantity * l_discount) AS e,
+                       sum(l_discount * l_discount) AS f,
+                       sum(1.0 * l_extendedprice) AS p,
+                       sum(l_quantity * l_extendedprice) AS q,
+                       sum(l_discount * l_extendedprice) AS r
+                FROM lineitem
+                WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+                  AND l_extendedprice IS NOT NULL
+                GROUP BY l_suppkey
+            ), det AS (
+                SELECT *, a*(d*f - e*e) - b*(b*f - e*c) + c*(b*e - d*c) AS dt
+                FROM m
+            )
+            SELECT round(CASE WHEN a >= 4 THEN (p*(d*f - e*e) - b*(q*f - e*r) + c*(q*e - d*r)) / dt END, 4) AS const,
+                   round(CASE WHEN a >= 4 THEN (a*(q*f - e*r) - p*(b*f - e*c) + c*(b*r - q*c)) / dt END, 4) AS coef_l_quantity,
+                   round(CASE WHEN a >= 4 THEN (a*(d*r - q*e) - b*(b*r - q*c) + p*(b*e - d*c)) / dt END, 4) AS coef_l_discount,
+                   cast(l_suppkey AS varchar) AS l_suppkey
+            FROM det
         """,
         "sql_interface": """
             SELECT l_returnflag, l_linestatus,

@@ -136,6 +136,24 @@ def reg_by(
                         [(sxx * sy - sx * sxy) / det, (n * sxy - sx * sy) / det],
                         axis=1,
                     )
+                elif k == 3:
+                    # explicit 3x3 Cramer cofactor expansion, same term
+                    # ordering an ANSI SQL oracle writes (symmetric
+                    # A=[[a,b,c],[b,d,e],[c,e,f]], rhs=(p,q,r))
+                    a = pdf["__xx_0_0__"].to_numpy(dtype=float)
+                    b = pdf["__xx_0_1__"].to_numpy(dtype=float)
+                    c = pdf["__xx_0_2__"].to_numpy(dtype=float)
+                    d = pdf["__xx_1_1__"].to_numpy(dtype=float)
+                    e = pdf["__xx_1_2__"].to_numpy(dtype=float)
+                    f = pdf["__xx_2_2__"].to_numpy(dtype=float)
+                    p = pdf["__xy_0__"].to_numpy(dtype=float)
+                    q = pdf["__xy_1__"].to_numpy(dtype=float)
+                    r = pdf["__xy_2__"].to_numpy(dtype=float)
+                    det = a * (d * f - e * e) - b * (b * f - e * c) + c * (b * e - d * c)
+                    b0 = (p * (d * f - e * e) - b * (q * f - e * r) + c * (q * e - d * r)) / det
+                    b1 = (a * (q * f - e * r) - p * (b * f - e * c) + c * (b * r - q * c)) / det
+                    b2 = (a * (d * r - q * e) - b * (b * r - q * c) + p * (b * e - d * c)) / det
+                    beta = np.stack([b0, b1, b2], axis=1)
                 elif k == 1:
                     beta = (
                         pdf["__xy_0__"].to_numpy(dtype=float)
