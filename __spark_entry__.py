@@ -431,6 +431,39 @@ def q_lsh_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_doubles(sim.select("id_a", "id_b", "jaccard"))
 
 
+def _verified_dup_pairs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(corpus, verified Jaccard>=0.5 near-dup pairs) with shingle sets
+    computed once and shared between the LSH and verification stages."""
+    from pyspark import StorageLevel
+
+    u = _docs_with_copies(spark, sf_dir)
+    sh = pus_dedup.shingle_sets(u, k=3).persist(StorageLevel.MEMORY_AND_DISK)
+    cands = pus_dedup.lsh_candidate_pairs(
+        u, k=3, num_hashes=12, bands=4, shingles=sh
+    )
+    sim = pus_dedup.jaccard_pairs(u, cands, k=3, shingles=sh).filter(
+        F.col("jaccard") >= 0.5
+    )
+    return u, sim.select("id_a", "id_b")
+
+
+def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters: LSH candidates -> Jaccard >= 0.5
+    pairs -> connected components (min-id representative), the closure
+    step the big corpus dedup recipes apply. Oracle: DuckDB recursive
+    transitive closure over the identical pair SQL."""
+    _, pairs = _verified_dup_pairs(spark, sf_dir)
+    comp = pus_dedup.connected_components(pairs)
+    return comp.select(F.col("id_a").alias("doc_id"), "component")
+
+
+def q_dedup_connected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Component-wise dedup: one min-id survivor per near-dup cluster
+    (vs dedup_minhash_lsh's pairwise rule)."""
+    u, pairs = _verified_dup_pairs(spark, sf_dir)
+    return pus_dedup.dedup_connected(u, pairs).select("doc_id")
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-dup dedup: LSH candidates -> Jaccard >= 0.5 ->
     drop docs with a smaller-id near-duplicate."""
@@ -1314,6 +1347,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "minhash_signature": q_minhash_signature,
         "lsh_jaccard_pairs": q_lsh_jaccard_pairs,
+        "connected_components": q_connected_components,
+        "dedup_connected": q_dedup_connected,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "jaccard_topk": q_jaccard_topk,
         "simhash": q_simhash,
@@ -2039,6 +2074,76 @@ def oracle_sql() -> dict[str, str]:
             JOIN sh sb ON sb.doc_id = p.id_b
             WHERE len(list_intersect(sa.s, sb.s))
                   / len(list_distinct(list_concat(sa.s, sb.s))) >= 0.5
+        """,
+        "connected_components": f"""
+            WITH RECURSIVE u AS ({_SQL_DOC_UNION}),
+            sh AS (
+                SELECT doc_id, {_SQL_SHINGLES} AS s FROM u
+            ), sig AS (
+                SELECT doc_id, s, {_sql_minhash_sig_list("s")} AS sg
+                FROM sh
+            ), bands AS (
+                SELECT doc_id, t.b AS band,
+                       md5(array_to_string(sg[t.b * 3 + 1 : t.b * 3 + 3], '|')) AS band_key
+                FROM sig, range(0, 4) t(b)
+            ), cand AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM bands a JOIN bands b
+                  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ), p AS (
+                SELECT c.id_a, c.id_b
+                FROM cand c
+                JOIN sh sa ON sa.doc_id = c.id_a
+                JOIN sh sb ON sb.doc_id = c.id_b
+                WHERE len(list_intersect(sa.s, sb.s))
+                      / len(list_distinct(list_concat(sa.s, sb.s))) >= 0.5
+            ), e AS (
+                SELECT id_a AS a, id_b AS b FROM p
+                UNION SELECT id_b, id_a FROM p
+            ), r(a, b) AS (
+                SELECT a, b FROM e
+                UNION
+                SELECT r.a, e.b FROM r JOIN e ON r.b = e.a
+            )
+            SELECT a AS doc_id, least(a, min(b)) AS component
+            FROM r GROUP BY a
+        """,
+        "dedup_connected": f"""
+            WITH RECURSIVE u AS ({_SQL_DOC_UNION}),
+            sh AS (
+                SELECT doc_id, {_SQL_SHINGLES} AS s FROM u
+            ), sig AS (
+                SELECT doc_id, s, {_sql_minhash_sig_list("s")} AS sg
+                FROM sh
+            ), bands AS (
+                SELECT doc_id, t.b AS band,
+                       md5(array_to_string(sg[t.b * 3 + 1 : t.b * 3 + 3], '|')) AS band_key
+                FROM sig, range(0, 4) t(b)
+            ), cand AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM bands a JOIN bands b
+                  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ), p AS (
+                SELECT c.id_a, c.id_b
+                FROM cand c
+                JOIN sh sa ON sa.doc_id = c.id_a
+                JOIN sh sb ON sb.doc_id = c.id_b
+                WHERE len(list_intersect(sa.s, sb.s))
+                      / len(list_distinct(list_concat(sa.s, sb.s))) >= 0.5
+            ), e AS (
+                SELECT id_a AS a, id_b AS b FROM p
+                UNION SELECT id_b, id_a FROM p
+            ), r(a, b) AS (
+                SELECT a, b FROM e
+                UNION
+                SELECT r.a, e.b FROM r JOIN e ON r.b = e.a
+            ), losers AS (
+                SELECT a FROM r GROUP BY a HAVING least(a, min(b)) <> a
+            )
+            SELECT doc_id FROM u
+            WHERE doc_id NOT IN (SELECT a FROM losers)
         """,
         "jaccard_topk": f"""
             WITH sh AS (

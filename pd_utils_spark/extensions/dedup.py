@@ -394,6 +394,112 @@ def dedup_minhash_lsh(
     return df.join(losers, idcol, "left_anti")
 
 
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    out: str = "component",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components of the undirected graph given as id pairs:
+    ``(node, component)`` for every node appearing in ``pairs``, where
+    ``component`` is the smallest node id in that node's component —
+    the canonical, engine-portable representative.
+
+    Near-duplicate pairs (LSH, SimHash, embedding buckets) form a
+    GRAPH; keeping one doc per *pair* under- or over-deletes on
+    chains (a~b, b~c but not a~c). The standard corpus-dedup recipe is
+    one survivor per connected component — this operator is that
+    missing closure step (compose: ``lsh_candidate_pairs`` →
+    ``jaccard_pairs`` filter → ``connected_components`` →
+    ``dedup_connected``).
+
+    Algorithm: min-label propagation with POINTER JUMPING. Each round
+    (a) every node takes the min label over itself and its neighbors
+    (one shuffle: edge join + groupBy), then (b) labels are replaced
+    by their label's label (one self-join) — path halving, so chains
+    converge in O(log n) rounds instead of O(n). Labels are
+    ``localCheckpoint``-ed per round to truncate lineage; convergence
+    is one ``limit(1).count()`` action on the changed-rows frame. At
+    100 TB the edge frame (near-dup pairs) is orders of magnitude
+    smaller than the corpus — the rounds shuffle pairs, never
+    documents.
+    """
+    a, b = F.col(src).alias("a"), F.col(dst).alias("b")
+    edges = pairs.select(a, b).filter(F.col("a") != F.col("b")).distinct()
+    sym = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
+
+    labels = sym.groupBy("a").agg(F.min("b").alias("__m__")).select(
+        F.col("a").alias("__id__"), F.least("a", "__m__").alias("__c__")
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        # (a) propagate: c(v) <- min(c(v), min_{u in N(v)} c(u))
+        nbr = (
+            sym.join(labels, sym["b"] == labels["__id__"])
+            .groupBy("a")
+            .agg(F.min("__c__").alias("__nc__"))
+        )
+        prop = (
+            labels.join(nbr, labels["__id__"] == nbr["a"], "left")
+            .select(
+                "__id__",
+                F.col("__c__").alias("__prev__"),
+                F.least("__c__", F.coalesce("__nc__", "__c__")).alias("__c__"),
+            )
+        )
+        # (b) pointer jump: c(v) <- c(c(v)) — halves label chains
+        jump = prop.alias("x").join(
+            labels.select(
+                F.col("__id__").alias("__j__"), F.col("__c__").alias("__jc__")
+            ).alias("y"),
+            F.col("x.__c__") == F.col("y.__j__"),
+            "left",
+        ).select(
+            F.col("x.__id__").alias("__id__"),
+            F.col("x.__prev__").alias("__prev__"),
+            F.least(
+                F.col("x.__c__"), F.coalesce(F.col("y.__jc__"), F.col("x.__c__"))
+            ).alias("__c__"),
+        ).localCheckpoint(eager=True)
+        changed = jump.filter(F.col("__c__") != F.col("__prev__")).limit(1).count()
+        labels = jump.select("__id__", "__c__")
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations"
+        )
+    return labels.select(F.col("__id__").alias(src), F.col("__c__").alias(out))
+
+
+def dedup_connected(
+    df: DataFrame,
+    pairs: DataFrame,
+    idcol: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Transitive near-dup deduplication: one survivor (the smallest
+    id) per connected component of the near-dup pair graph; docs in no
+    pair survive untouched. This is the transitive-closure variant of
+    ``dedup_minhash_lsh``'s pairwise min-id rule: on (1~3, 2~3) the
+    pairwise rule keeps {1, 2} (2 has no smaller near-dup), while the
+    component rule keeps only {1} — 2 and 3 share a cluster through 3.
+    Closure is what the big corpus pipelines (C4/Gopher-style MinHash
+    dedup) apply; pick pairwise when similarity must be direct
+    evidence. One CC run over the (small) pair frame + one left-anti
+    join on the corpus.
+    """
+    comp = connected_components(pairs, src, dst)
+    losers = comp.filter(F.col(src) != F.col("component")).select(
+        F.col(src).alias(idcol)
+    )
+    return df.join(losers, idcol, "left_anti")
+
+
 def simhash(
     df: DataFrame,
     textcol: str = "text",

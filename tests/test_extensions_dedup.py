@@ -142,3 +142,49 @@ class TestExactDedupAgainst:
         )
         kept = D.exact_dedup_against(batch, history, normalize=False).collect()
         assert [r.doc_id for r in kept] == [10]
+
+
+class TestConnectedComponents:
+    def _pairs(self, spark, edges):
+        return spark.createDataFrame(
+            pd.DataFrame({"id_a": [a for a, _ in edges], "id_b": [b for _, b in edges]})
+        )
+
+    def test_two_components_min_label(self, spark):
+        pairs = self._pairs(spark, [(1, 2), (2, 3), (10, 11)])
+        got = {
+            r.id_a: r.component for r in D.connected_components(pairs).collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    def test_chain_converges_logarithmically(self, spark):
+        # 100-node path: naive 1-hop propagation needs ~100 rounds;
+        # pointer jumping must close it within max_iter=12
+        pairs = self._pairs(spark, [(i, i + 1) for i in range(100)])
+        got = D.connected_components(pairs, max_iter=12).collect()
+        assert len(got) == 101
+        assert {r.component for r in got} == {0}
+
+    def test_direction_and_duplicate_edges_ignored(self, spark):
+        pairs = self._pairs(spark, [(5, 4), (4, 5), (5, 4), (6, 6)])
+        got = {r.id_a: r.component for r in D.connected_components(pairs).collect()}
+        # self-loop-only node 6 has no real edge -> not in output
+        assert got == {4: 4, 5: 4}
+
+    def test_nonconvergence_raises(self, spark):
+        pairs = self._pairs(spark, [(i, i + 1) for i in range(40)])
+        with pytest.raises(RuntimeError, match="converge"):
+            D.connected_components(pairs, max_iter=1)
+
+
+class TestDedupConnected:
+    def test_transitive_closure_vs_pairwise(self, spark):
+        docs = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1, 2, 3, 9], "text": ["a", "b", "c", "z"]})
+        )
+        # 1~3 and 2~3: pairwise min-id keeps {1, 2, 9}; closure keeps {1, 9}
+        pairs = spark.createDataFrame(
+            pd.DataFrame({"id_a": [1, 2], "id_b": [3, 3]})
+        )
+        kept = sorted(r.doc_id for r in D.dedup_connected(docs, pairs).collect())
+        assert kept == [1, 9]
