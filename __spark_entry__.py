@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 import pd_utils_spark as pus
 from pd_utils_spark.extensions import dedup as pus_dedup
 from pd_utils_spark.extensions import similarity as pus_sim
+from pd_utils_spark.extensions import pii as pus_pii
 from pd_utils_spark.extensions import text as pus_text
 from pd_utils_spark import streaming as pus_stream
 from pd_utils_spark.extensions import events as pus_events
@@ -361,6 +362,51 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
         "mean_token_len", "punct_ratio", "stopword_ratio", "quality_score",
     )
+
+
+def _docs_with_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with deterministic synthetic PII appended — known
+    emails/SSNs/phones/IPs so the scrub operators are actually
+    exercised (the synthetic corpus itself contains none)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id").cast("string")
+    return d.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), did, F.lit("@example.com"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(" ssn 123-45-6789")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 2 == 0, F.lit(" tel 555-867-5309")).otherwise(F.lit("")),
+            F.lit(" ip 10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".1"),
+        ),
+    )
+
+
+def q_pii_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs_with_pii(spark, sf_dir)
+    out = pus_pii.pii_signals(d)
+    return out.select(
+        "doc_id",
+        *[F.col(f"n_{k}").cast("bigint").alias(f"n_{k}")
+          for k in ("email", "ssn", "phone", "ipv4")],
+        F.col("n_pii_total").cast("bigint").alias("n_pii_total"),
+    )
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs_with_pii(spark, sf_dir)
+    out = pus_pii.redact_pii(d, out="text_redacted")
+    return out.select(
+        "doc_id", F.md5("text_redacted").alias("redacted_fingerprint")
+    )
+
+
+def q_pii_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivors after the strict drop rule: docs whose only PII is the
+    ubiquitous synthetic email+ip still exceed max_hits=2 when they
+    also carry an SSN or phone."""
+    d = _docs_with_pii(spark, sf_dir)
+    return pus_pii.drop_pii_documents(d, max_hits=2).select("doc_id")
 
 
 def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1338,6 +1384,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "select_rows": q_select_rows,
         "text_token_count": q_text_token_count,
         "text_quality": q_text_quality,
+        "pii_signals": q_pii_signals,
+        "pii_redact": q_pii_redact,
+        "pii_drop": q_pii_drop,
         "language_id": q_language_id,
         "doc_fingerprint": q_doc_fingerprint,
         "shingle_fingerprints": q_shingle_fingerprints,
@@ -1949,6 +1998,61 @@ def oracle_sql() -> dict[str, str]:
                         ELSE cast(list_sum(list_transform({_SQL_TOKS},
                              w -> cast(ceil(length(w) / 4.0) AS bigint))) AS bigint) END AS n_tokens_bpe
             FROM documents
+        """,
+        "pii_signals": r"""
+            WITH p AS (
+                SELECT doc_id,
+                       text || ' contact user' || cast(doc_id AS varchar) || '@example.com'
+                            || CASE WHEN doc_id % 3 = 0 THEN ' ssn 123-45-6789' ELSE '' END
+                            || CASE WHEN doc_id % 2 = 0 THEN ' tel 555-867-5309' ELSE '' END
+                            || ' ip 10.0.' || cast(doc_id % 256 AS varchar) || '.1' AS text
+                FROM documents
+            )
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+                   len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) AS n_ssn,
+                   len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS n_phone,
+                   len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+                   len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                   + len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b'))
+                   + len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b'))
+                   + len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_pii_total
+            FROM p
+        """,
+        "pii_redact": r"""
+            WITH p AS (
+                SELECT doc_id,
+                       text || ' contact user' || cast(doc_id AS varchar) || '@example.com'
+                            || CASE WHEN doc_id % 3 = 0 THEN ' ssn 123-45-6789' ELSE '' END
+                            || CASE WHEN doc_id % 2 = 0 THEN ' tel 555-867-5309' ELSE '' END
+                            || ' ip 10.0.' || cast(doc_id % 256 AS varchar) || '.1' AS text
+                FROM documents
+            )
+            SELECT doc_id,
+                   md5(regexp_replace(
+                       regexp_replace(
+                           regexp_replace(
+                               regexp_replace(text,
+                                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                               '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+                           '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS redacted_fingerprint
+            FROM p
+        """,
+        "pii_drop": r"""
+            WITH p AS (
+                SELECT doc_id,
+                       text || ' contact user' || cast(doc_id AS varchar) || '@example.com'
+                            || CASE WHEN doc_id % 3 = 0 THEN ' ssn 123-45-6789' ELSE '' END
+                            || CASE WHEN doc_id % 2 = 0 THEN ' tel 555-867-5309' ELSE '' END
+                            || ' ip 10.0.' || cast(doc_id % 256 AS varchar) || '.1' AS text
+                FROM documents
+            )
+            SELECT doc_id FROM p
+            WHERE len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                  + len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b'))
+                  + len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b'))
+                  + len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) <= 2
         """,
         "text_quality": f"""
             WITH t AS (

@@ -8,6 +8,8 @@ from pd_utils_spark.extensions.approx import (
     approx_group_stats_check,
 )
 from pd_utils_spark.extensions.dedup import (
+    connected_components,
+    dedup_connected,
     dedup_minhash_lsh,
     exact_dedup,
     exact_dedup_against,
@@ -24,6 +26,11 @@ from pd_utils_spark.extensions.events import (
     cohort_retention,
     funnel_counts,
     top_k_per_group,
+)
+from pd_utils_spark.extensions.pii import (
+    drop_pii_documents,
+    pii_signals,
+    redact_pii,
 )
 from pd_utils_spark.extensions.sampling import (
     decontaminate,
