@@ -96,11 +96,21 @@ def approx_group_stats_check(
     pct = str(q).replace("0.", "").ljust(2, "0")
     ad = f"{distinct_col}_approx_distinct"
     aq = f"{quantile_col}_q{pct}"
+    # ONE percentile buffer per group (array form), not three — the
+    # exact-percentile UDAF buffers every group value per call, so the
+    # 3-call form triples agg memory and GC pressure (measured 2-5x
+    # slower at sf0.1 with 2M-row groups).
     exact = df.groupBy(*byvars_l).agg(
         F.countDistinct(distinct_col).alias("n_distinct_exact"),
-        F.expr(f"percentile({quantile_col}, {q})").alias("q_exact"),
-        F.expr(f"percentile({quantile_col}, {q - rank_tol})").alias("__qlo__"),
-        F.expr(f"percentile({quantile_col}, {q + rank_tol})").alias("__qhi__"),
+        F.expr(
+            f"percentile({quantile_col}, array({q - rank_tol}, {q}, {q + rank_tol}))"
+        ).alias("__qs__"),
+    ).select(
+        *byvars_l,
+        "n_distinct_exact",
+        F.col("__qs__")[1].alias("q_exact"),
+        F.col("__qs__")[0].alias("__qlo__"),
+        F.col("__qs__")[2].alias("__qhi__"),
     )
     return exact.join(sk, byvars_l).select(
         *byvars_l,
