@@ -23,6 +23,7 @@ from pd_utils_spark.extensions import dedup as pus_dedup
 from pd_utils_spark.extensions import similarity as pus_sim
 from pd_utils_spark.extensions import pii as pus_pii
 from pd_utils_spark.extensions import text as pus_text
+from pd_utils_spark.extensions import web as pus_web
 from pd_utils_spark import streaming as pus_stream
 from pd_utils_spark.extensions import events as pus_events
 from pd_utils_spark.extensions import multimodal as pus_mm
@@ -407,6 +408,47 @@ def q_pii_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     also carry an SSN or phone."""
     d = _docs_with_pii(spark, sf_dir)
     return pus_pii.drop_pii_documents(d, max_hits=2).select("doc_id")
+
+
+def _docs_with_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with deterministic synthetic URLs appended (mixed
+    case, ports, paths; a tracker domain on every 5th doc) so the web
+    curation operators have real matches to chew on."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id").cast("string")
+    return d.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://Site"), (F.col("doc_id") % 20).cast("string"),
+            F.lit(".Example.org/p/"), did,
+            F.lit(" ref http://cdn.example.net:8080/x"),
+            F.when(
+                F.col("doc_id") % 5 == 0, F.lit(" via http://ads.example.com/track")
+            ).otherwise(F.lit("")),
+        ),
+    )
+
+
+def q_url_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs_with_urls(spark, sf_dir)
+    out = pus_web.url_signals(d)
+    return out.select(
+        "doc_id",
+        F.col("n_urls").cast("bigint").alias("n_urls"),
+        F.col("n_domains").cast("bigint").alias("n_domains"),
+    )
+
+
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs_with_urls(spark, sf_dir)
+    return pus_web.domain_stats(d).select("domain", "n_urls", "doc_freq")
+
+
+def q_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs_with_urls(spark, sf_dir)
+    out = pus_web.drop_blocklisted_domains(d, ["ads.example.com"])
+    return out.select("doc_id")
 
 
 def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1385,6 +1427,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_count": q_text_token_count,
         "text_quality": q_text_quality,
         "pii_signals": q_pii_signals,
+        "url_signals": q_url_signals,
+        "domain_stats": q_domain_stats,
+        "domain_blocklist": q_domain_blocklist,
         "pii_redact": q_pii_redact,
         "pii_drop": q_pii_drop,
         "language_id": q_language_id,
@@ -1998,6 +2043,54 @@ def oracle_sql() -> dict[str, str]:
                         ELSE cast(list_sum(list_transform({_SQL_TOKS},
                              w -> cast(ceil(length(w) / 4.0) AS bigint))) AS bigint) END AS n_tokens_bpe
             FROM documents
+        """,
+        "url_signals": r"""
+            WITH p AS (
+                SELECT doc_id, text || ' see https://Site' || cast(doc_id % 20 AS varchar)
+                            || '.Example.org/p/' || cast(doc_id AS varchar)
+                            || ' ref http://cdn.example.net:8080/x'
+                            || CASE WHEN doc_id % 5 = 0 THEN ' via http://ads.example.com/track' ELSE '' END AS text
+                FROM documents
+            )
+            SELECT doc_id,
+                   len(regexp_extract_all(text, 'https?://[^\s]+')) AS n_urls,
+                   len(list_distinct(list_transform(
+                       regexp_extract_all(text, 'https?://[^\s]+'),
+                       u -> lower(regexp_extract(u, 'https?://([^/\s:?#]+)', 1))))) AS n_domains
+            FROM p
+        """,
+        "domain_stats": r"""
+            WITH p AS (
+                SELECT doc_id, text || ' see https://Site' || cast(doc_id % 20 AS varchar)
+                            || '.Example.org/p/' || cast(doc_id AS varchar)
+                            || ' ref http://cdn.example.net:8080/x'
+                            || CASE WHEN doc_id % 5 = 0 THEN ' via http://ads.example.com/track' ELSE '' END AS text
+                FROM documents
+            ), ex AS (
+                SELECT doc_id,
+                       lower(regexp_extract(unnest(regexp_extract_all(text, 'https?://[^\s]+')),
+                                            'https?://([^/\s:?#]+)', 1)) AS domain
+                FROM p
+            )
+            SELECT domain, count(*) AS n_urls, count(DISTINCT doc_id) AS doc_freq
+            FROM ex WHERE length(domain) > 0
+            GROUP BY domain
+        """,
+        "domain_blocklist": r"""
+            WITH p AS (
+                SELECT doc_id, text || ' see https://Site' || cast(doc_id % 20 AS varchar)
+                            || '.Example.org/p/' || cast(doc_id AS varchar)
+                            || ' ref http://cdn.example.net:8080/x'
+                            || CASE WHEN doc_id % 5 = 0 THEN ' via http://ads.example.com/track' ELSE '' END AS text
+                FROM documents
+            ), ex AS (
+                SELECT doc_id,
+                       lower(regexp_extract(unnest(regexp_extract_all(text, 'https?://[^\s]+')),
+                                            'https?://([^/\s:?#]+)', 1)) AS domain
+                FROM p
+            )
+            SELECT doc_id FROM p
+            WHERE doc_id NOT IN (SELECT doc_id FROM ex WHERE domain = 'ads.example.com')
         """,
         "pii_signals": r"""
             WITH p AS (

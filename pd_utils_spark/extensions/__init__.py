@@ -32,6 +32,13 @@ from pd_utils_spark.extensions.pii import (
     pii_signals,
     redact_pii,
 )
+from pd_utils_spark.extensions.web import (
+    domain_of,
+    domain_stats,
+    drop_blocklisted_domains,
+    extract_urls,
+    url_signals,
+)
 from pd_utils_spark.extensions.sampling import (
     decontaminate,
     hash_fraction,

@@ -1,0 +1,62 @@
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from pd_utils_spark.extensions import web as W
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2, 3],
+                "text": [
+                    "read https://News.Example.org/a and https://news.example.org/b today",
+                    "mirror at http://cdn.example.net:8080/pkg?v=1#frag",
+                    "no links in this one",
+                    "spam via http://ads.example.com/track plus https://ok.example.io",
+                ],
+            }
+        )
+    )
+
+
+class TestExtractAndDomains:
+    def test_extract_urls(self, docs):
+        got = {r.doc_id: r.urls for r in W.extract_urls(docs).collect()}
+        assert got[0] == ["https://News.Example.org/a", "https://news.example.org/b"]
+        assert got[2] == []
+
+    def test_domain_lowercased_strips_port_path_query(self, docs):
+        got = {r.doc_id: (r.n_urls, r.n_domains) for r in W.url_signals(docs).collect()}
+        # doc 0: two URLs, one domain after lowercasing
+        assert got[0] == (2, 1)
+        assert got[1] == (1, 1)
+        assert got[2] == (0, 0)
+        assert got[3] == (2, 2)
+
+
+class TestDomainStats:
+    def test_counts_and_doc_freq(self, docs):
+        got = {r.domain: (r.n_urls, r.doc_freq) for r in W.domain_stats(docs).collect()}
+        assert got["news.example.org"] == (2, 1)
+        assert got["cdn.example.net"] == (1, 1)
+        assert got["ads.example.com"] == (1, 1)
+
+
+class TestBlocklist:
+    def test_list_blocklist_case_insensitive(self, docs):
+        kept = sorted(
+            r.doc_id
+            for r in W.drop_blocklisted_domains(docs, ["ADS.example.com"]).collect()
+        )
+        assert kept == [0, 1, 2]
+
+    def test_frame_blocklist(self, spark, docs):
+        bl = spark.createDataFrame(pd.DataFrame({"domain": ["news.example.org"]}))
+        kept = sorted(
+            r.doc_id for r in W.drop_blocklisted_domains(docs, bl).collect()
+        )
+        assert kept == [1, 2, 3]
