@@ -27,6 +27,7 @@ from pd_utils_spark.extensions import web as pus_web
 from pd_utils_spark import streaming as pus_stream
 from pd_utils_spark.extensions import events as pus_events
 from pd_utils_spark.extensions import multimodal as pus_mm
+from pd_utils_spark.extensions import profile as pus_profile
 from pd_utils_spark.extensions import sampling as pus_sample
 
 _ROUND = 6
@@ -449,6 +450,38 @@ def q_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs_with_urls(spark, sf_dir)
     out = pus_web.drop_blocklisted_domains(d, ["ads.example.com"])
     return out.select("doc_id")
+
+
+def q_numeric_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-bin equi-width histogram over l_extendedprice with
+    observed-min/max bounds derived in-plan (no driver action)."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = pus_profile.numeric_histogram(li, "l_extendedprice", bins=20)
+    return out.select(
+        "bucket",
+        F.round("bucket_lo", 4).alias("bucket_lo"),
+        F.round("bucket_hi", 4).alias("bucket_hi"),
+        "count",
+    )
+
+
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass distributed describe over a mixed-type column set."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = pus_profile.column_profile(
+        li, ["l_quantity", "l_returnflag", "l_shipdate"]
+    )
+    return out.select(
+        "column", "n", "n_null", "n_distinct", "min", "max",
+        F.round("mean", 4).alias("mean"), F.round("std", 4).alias("std"),
+    )
+
+
+def q_token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return pus_profile.token_length_histogram(d, bucket_size=20).select(
+        "bucket_lo", "n_docs", "n_tokens_total"
+    )
 
 
 def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1428,6 +1461,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "pii_signals": q_pii_signals,
         "url_signals": q_url_signals,
+        "numeric_histogram": q_numeric_histogram,
+        "column_profile": q_column_profile,
+        "token_length_histogram": q_token_length_histogram,
         "domain_stats": q_domain_stats,
         "domain_blocklist": q_domain_blocklist,
         "pii_redact": q_pii_redact,
@@ -2043,6 +2079,58 @@ def oracle_sql() -> dict[str, str]:
                         ELSE cast(list_sum(list_transform({_SQL_TOKS},
                              w -> cast(ceil(length(w) / 4.0) AS bigint))) AS bigint) END AS n_tokens_bpe
             FROM documents
+        """,
+        "numeric_histogram": """
+            WITH b AS (
+                SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+                FROM lineitem WHERE l_extendedprice IS NOT NULL
+            ), c AS (
+                SELECT least(19, cast(floor((l_extendedprice - lo) / (hi - lo) * 20) AS int)) AS bucket,
+                       count(*) AS count
+                FROM lineitem, b
+                WHERE l_extendedprice IS NOT NULL AND l_extendedprice BETWEEN lo AND hi
+                GROUP BY 1
+            )
+            SELECT cast(t.i AS int) AS bucket,
+                   round(lo + t.i * ((hi - lo) / 20), 4) AS bucket_lo,
+                   round(lo + (t.i + 1) * ((hi - lo) / 20), 4) AS bucket_hi,
+                   cast(coalesce(c.count, 0) AS bigint) AS count
+            FROM range(0, 20) t(i) CROSS JOIN b LEFT JOIN c ON c.bucket = t.i
+        """,
+        "column_profile": """
+            SELECT 'l_quantity' AS column, count(*) AS n,
+                   cast(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS bigint) AS n_null,
+                   count(DISTINCT l_quantity) AS n_distinct,
+                   cast(min(l_quantity) AS varchar) AS min,
+                   cast(max(l_quantity) AS varchar) AS max,
+                   round(avg(l_quantity), 4) AS mean,
+                   round(stddev_samp(l_quantity), 4) AS std
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_returnflag', count(*),
+                   cast(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS bigint),
+                   count(DISTINCT l_returnflag),
+                   cast(min(l_returnflag) AS varchar), cast(max(l_returnflag) AS varchar),
+                   cast(NULL AS double), cast(NULL AS double)
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_shipdate', count(*),
+                   cast(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS bigint),
+                   count(DISTINCT l_shipdate),
+                   cast(min(l_shipdate) AS varchar), cast(max(l_shipdate) AS varchar),
+                   cast(NULL AS double), cast(NULL AS double)
+            FROM lineitem
+        """,
+        "token_length_histogram": f"""
+            WITH n AS (
+                SELECT CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len({_SQL_TOKS}) END AS nt
+                FROM documents
+            )
+            SELECT cast(floor(nt / 20) * 20 AS bigint) AS bucket_lo,
+                   count(*) AS n_docs,
+                   cast(sum(nt) AS bigint) AS n_tokens_total
+            FROM n GROUP BY 1
         """,
         "url_signals": r"""
             WITH p AS (

@@ -39,6 +39,11 @@ from pd_utils_spark.extensions.web import (
     extract_urls,
     url_signals,
 )
+from pd_utils_spark.extensions.profile import (
+    column_profile,
+    numeric_histogram,
+    token_length_histogram,
+)
 from pd_utils_spark.extensions.sampling import (
     decontaminate,
     hash_fraction,

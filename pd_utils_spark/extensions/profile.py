@@ -1,0 +1,166 @@
+"""Dataset profiling for large-scale pipelines: numeric histograms,
+per-column summary profiles, and token-length histograms (the input
+to sequence-packing batch-shape planning).
+
+Scale shape: every operator is one (or two chained) aggregation
+passes with map-side partial aggregation — shuffle volume is
+O(buckets) or O(columns), never O(rows). Range bounds needed by the
+histogram are computed as a one-row aggregate cross-joined back into
+the plan (no ``.collect()`` round trip, mirroring the portfolio
+cutoff design in ``operators/port.py``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pd_utils_spark.extensions.text import _token_count
+
+
+def numeric_histogram(
+    df: DataFrame,
+    col: str,
+    bins: int = 10,
+    lo: float | None = None,
+    hi: float | None = None,
+    include_empty: bool = True,
+) -> DataFrame:
+    """Equi-width histogram of a numeric column: one row per bucket
+    with ``bucket`` (0-based), ``bucket_lo``/``bucket_hi`` bounds and
+    ``count``. Values at the upper edge land in the last bucket (the
+    classic closed-last-bucket rule); nulls and NaNs are excluded.
+
+    ``lo``/``hi`` default to the observed min/max (computed as a
+    one-row aggregate joined back — no driver action). With
+    ``include_empty`` every bucket appears even at count 0 (broadcast
+    join against ``spark.range(bins)``).
+    """
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1: {bins}")
+    c = F.col(col).cast("double")
+    base = df.filter(c.isNotNull() & ~F.isnan(c))
+    if lo is None or hi is None:
+        bounds = base.agg(
+            F.min(c).alias("__lo__"), F.max(c).alias("__hi__")
+        )
+        if lo is not None:
+            bounds = bounds.withColumn("__lo__", F.lit(float(lo)))
+        if hi is not None:
+            bounds = bounds.withColumn("__hi__", F.lit(float(hi)))
+        base = base.crossJoin(F.broadcast(bounds))
+    else:
+        base = base.withColumn("__lo__", F.lit(float(lo))).withColumn(
+            "__hi__", F.lit(float(hi))
+        )
+    width_frac = (c - F.col("__lo__")) / (F.col("__hi__") - F.col("__lo__"))
+    bucket = F.when(
+        F.col("__hi__") == F.col("__lo__"), F.lit(0)
+    ).otherwise(
+        F.least(F.lit(bins - 1), F.floor(width_frac * bins).cast("int"))
+    )
+    counted = (
+        base.filter(c.between(F.col("__lo__"), F.col("__hi__")))
+        .withColumn("__b__", bucket)
+        .groupBy("__b__")
+        .agg(
+            F.count(F.lit(1)).alias("count"),
+            F.first("__lo__").alias("__lo__"),
+            F.first("__hi__").alias("__hi__"),
+        )
+    )
+    if include_empty:
+        spark = df.sparkSession
+        allb = F.broadcast(spark.range(bins).select(F.col("id").cast("int").alias("bucket")))
+        onerow = F.broadcast(
+            base.agg(F.first("__lo__").alias("__lo__"), F.first("__hi__").alias("__hi__"))
+        )
+        counted = allb.crossJoin(onerow).join(
+            counted.withColumnRenamed("__b__", "bucket").drop("__lo__", "__hi__"),
+            "bucket",
+            "left",
+        ).withColumn("count", F.coalesce("count", F.lit(0)))
+    else:
+        counted = counted.withColumnRenamed("__b__", "bucket")
+    w = (F.col("__hi__") - F.col("__lo__")) / bins
+    return counted.select(
+        "bucket",
+        (F.col("__lo__") + F.col("bucket") * w).alias("bucket_lo"),
+        (F.col("__lo__") + (F.col("bucket") + 1) * w).alias("bucket_hi"),
+        "count",
+    )
+
+
+def column_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Long-format per-column profile: (column, n, n_null, n_distinct,
+    min, max, mean, std) — a distributed ``describe`` that runs as ONE
+    aggregation pass over all columns (column-count rows out).
+    Numeric stats are null for non-numeric columns; min/max are
+    casted-to-string for portability."""
+    numeric = {
+        name for name, dtype in df.dtypes
+        if name in cols
+        and (
+            dtype in ("tinyint", "smallint", "int", "bigint", "float", "double")
+            or dtype.startswith("decimal")
+        )
+    }
+    aggs = []
+    for c in cols:
+        col = F.col(c)
+        aggs += [
+            F.count(F.lit(1)).alias(f"__n_{c}__"),
+            F.sum(col.isNull().cast("long")).alias(f"__nn_{c}__"),
+            F.countDistinct(col).alias(f"__nd_{c}__"),
+            F.min(col).cast("string").alias(f"__min_{c}__"),
+            F.max(col).cast("string").alias(f"__max_{c}__"),
+        ]
+        if c in numeric:
+            aggs += [
+                F.avg(col.cast("double")).alias(f"__mean_{c}__"),
+                F.stddev_samp(col.cast("double")).alias(f"__std_{c}__"),
+            ]
+    one = df.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col(f"__n_{c}__").alias("n"),
+            F.col(f"__nn_{c}__").alias("n_null"),
+            F.col(f"__nd_{c}__").alias("n_distinct"),
+            F.col(f"__min_{c}__").alias("min"),
+            F.col(f"__max_{c}__").alias("max"),
+            (F.col(f"__mean_{c}__") if c in numeric else F.lit(None).cast("double")).alias("mean"),
+            (F.col(f"__std_{c}__") if c in numeric else F.lit(None).cast("double")).alias("std"),
+        )
+        for c in cols
+    ]
+    return one.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
+
+
+def token_length_histogram(
+    df: DataFrame,
+    textcol: str = "text",
+    bucket_size: int = 100,
+) -> DataFrame:
+    """Documents and total tokens per token-count bucket
+    (``bucket_lo`` = inclusive lower edge, multiples of
+    ``bucket_size``) — the planning input for sequence packing: how
+    many sequences of each length class a corpus yields, and where
+    the token mass sits."""
+    if bucket_size < 1:
+        raise ValueError(f"bucket_size must be >= 1: {bucket_size}")
+    n = _token_count(F.col(textcol))
+    return (
+        df.withColumn(
+            "bucket_lo",
+            (F.floor(n / bucket_size) * bucket_size).cast("bigint"),
+        )
+        .withColumn("__n__", n)
+        .groupBy("bucket_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__n__").alias("n_tokens_total"),
+        )
+    )

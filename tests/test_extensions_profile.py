@@ -1,0 +1,79 @@
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+
+from pd_utils_spark.extensions import profile as PR
+
+
+class TestNumericHistogram:
+    def test_buckets_edges_and_counts(self, spark):
+        df = spark.createDataFrame(
+            pd.DataFrame({"x": [0.0, 1.0, 2.0, 3.0, 4.0, 10.0]})
+        )
+        got = {
+            r.bucket: r for r in PR.numeric_histogram(df, "x", bins=5).collect()
+        }
+        assert len(got) == 5
+        # width 2: [0,2) -> 0,1 ; [2,4) -> 2,3 ; upper edge 10 closes last bucket
+        assert got[0]["count"] == 2 and got[1]["count"] == 2
+        assert got[4]["count"] == 1  # x=10 lands in last bucket (closed edge)
+        assert got[0].bucket_lo == 0.0 and got[4].bucket_hi == 10.0
+
+    def test_explicit_bounds_exclude_outliers(self, spark):
+        df = spark.createDataFrame(pd.DataFrame({"x": [1.0, 5.0, 100.0]}))
+        got = PR.numeric_histogram(df, "x", bins=2, lo=0.0, hi=10.0).collect()
+        assert sum(r["count"] for r in got) == 2  # 100 outside [0, 10]
+
+    def test_nan_and_null_excluded(self, spark):
+        df = spark.createDataFrame(
+            pd.DataFrame({"x": [1.0, float("nan"), None, 3.0]})
+        )
+        got = PR.numeric_histogram(df, "x", bins=2).collect()
+        assert sum(r["count"] for r in got) == 2
+
+    def test_empty_buckets_present_and_droppable(self, spark):
+        df = spark.createDataFrame(pd.DataFrame({"x": [0.0, 10.0]}))
+        full = PR.numeric_histogram(df, "x", bins=10).collect()
+        assert len(full) == 10 and sum(r["count"] == 0 for r in full) == 8
+        sparse = PR.numeric_histogram(df, "x", bins=10, include_empty=False).collect()
+        assert len(sparse) == 2
+
+    def test_bins_validation(self, spark):
+        df = spark.createDataFrame(pd.DataFrame({"x": [1.0]}))
+        with pytest.raises(ValueError, match="bins"):
+            PR.numeric_histogram(df, "x", bins=0)
+
+
+class TestColumnProfile:
+    def test_mixed_types_one_pass(self, spark):
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "a": [1.0, 2.0, None, 4.0],
+                    "s": ["x", "y", "y", None],
+                }
+            )
+        )
+        got = {r.column: r for r in PR.column_profile(df, ["a", "s"]).collect()}
+        assert got["a"].n == 4 and got["a"].n_null == 1 and got["a"].n_distinct == 3
+        assert got["a"].min == "1.0" and got["a"].max == "4.0"
+        assert math.isclose(got["a"].mean, 7 / 3, rel_tol=1e-9)
+        assert got["s"].n_distinct == 2 and got["s"].mean is None
+
+
+class TestTokenLengthHistogram:
+    def test_bucketing_and_totals(self, spark):
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {"text": ["one two three", "a b", "", " ".join(["w"] * 12)]}
+            )
+        )
+        got = {
+            r.bucket_lo: r
+            for r in PR.token_length_histogram(df, bucket_size=10).collect()
+        }
+        assert got[0].n_docs == 3 and got[0].n_tokens_total == 5  # 3 + 2 + 0
+        assert got[10].n_docs == 1 and got[10].n_tokens_total == 12
