@@ -692,6 +692,18 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_doubles(out)
 
 
+def q_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: LSH-bucketed cosine>=0.99 pairs
+    -> connected components -> min-id survivor per cluster. Oracle:
+    the same pair SQL closed with a recursive CTE."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    u = emb.unionByName(
+        emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    )
+    out = pus_sim.dedup_embeddings(u, threshold=0.99, planes=8, dims=64)
+    return out.select("vec_id")
+
+
 def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     out = pus_stream.tumbling_window_agg(
@@ -1488,6 +1500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_dup": q_embedding_near_dup,
+        "dedup_embeddings": q_dedup_embeddings,
         "label_centroids": q_label_centroids,
         "tumbling_window": q_tumbling_window,
         "sliding_window": q_sliding_window,
@@ -2617,6 +2630,33 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id_a, id_b, round(cosine, {r}) AS cosine
             FROM pairs WHERE cosine >= 0.99
+        """,
+        "dedup_embeddings": f"""
+            WITH RECURSIVE u AS (
+                SELECT vec_id, embedding FROM embeddings
+                UNION ALL
+                SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings
+            ), sigs AS (
+                SELECT vec_id, embedding,
+                       {_sql_hyperplane_sig("embedding", 8)} AS sig
+                FROM u
+            ), p AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM sigs a JOIN sigs b
+                  ON a.sig = b.sig AND a.vec_id < b.vec_id
+                WHERE {_sql_cosine("a.embedding", "b.embedding")} >= 0.99
+            ), e AS (
+                SELECT id_a AS a, id_b AS b FROM p
+                UNION SELECT id_b, id_a FROM p
+            ), r(a, b) AS (
+                SELECT a, b FROM e
+                UNION
+                SELECT r.a, e.b FROM r JOIN e ON r.b = e.a
+            ), losers AS (
+                SELECT a FROM r GROUP BY a HAVING least(a, min(b)) <> a
+            )
+            SELECT vec_id FROM u
+            WHERE vec_id NOT IN (SELECT a FROM losers)
         """,
         "range_join": """
             WITH bounds AS (

@@ -56,6 +56,7 @@ from pd_utils_spark.extensions.sampling import (
     stratified_sample,
 )
 from pd_utils_spark.extensions.similarity import (
+    dedup_embeddings,
     ann_ivf_topk,
     label_centroids,
     ann_lsh_topk,

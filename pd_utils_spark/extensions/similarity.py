@@ -417,3 +417,31 @@ def embedding_near_dup_pairs(
         .filter(F.col(out_sim) >= threshold)
     )
     return pairs
+
+def dedup_embeddings(
+    df: DataFrame,
+    threshold: float = 0.99,
+    planes: int = 8,
+    dims: int | None = None,
+    idcol: str = "vec_id",
+    veccol: str = "embedding",
+    max_bucket: int | None = 100_000,
+) -> DataFrame:
+    """Semantic (embedding-space) deduplication, SemDeDup-style: keep
+    one representative (smallest id) per cluster of near-identical
+    vectors. Candidates come from shared hyperplane-LSH signatures
+    (the scale-safe analogue of SemDeDup's k-means cells — bucket
+    membership is a pure function of the vector, so the whole
+    pipeline is deterministic and oracle-checkable), verified by exact
+    cosine >= ``threshold``, then closed transitively with
+    ``connected_components`` so chains collapse to a single survivor.
+    The corpus is touched by one signature scan and one final
+    left-anti join; the iterative closure runs on the (tiny) verified
+    pair graph only.
+    """
+    from pd_utils_spark.extensions.dedup import dedup_connected
+
+    pairs = embedding_near_dup_pairs(
+        df, threshold, planes, dims, idcol, veccol, max_bucket=max_bucket
+    )
+    return dedup_connected(df, pairs.select("id_a", "id_b"), idcol=idcol)

@@ -189,3 +189,22 @@ class TestQuantizeEmbeddings:
         )
         with pt.raises(ValueError):
             quantize_embeddings(df, bits=1)
+
+
+class TestDedupEmbeddings:
+    def test_one_survivor_per_duplicate_cluster(self, spark):
+        import pandas as pd
+
+        base = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0], [0.0, 0.0, 1.0, 0.0]]
+        rows = []
+        for i, v in enumerate(base):
+            rows.append((i, v))
+            rows.append((i + 10, v))  # exact duplicate -> same LSH bucket
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        from pd_utils_spark.extensions.similarity import dedup_embeddings
+
+        kept = sorted(
+            r.vec_id
+            for r in dedup_embeddings(df, threshold=0.99, planes=6, dims=4).collect()
+        )
+        assert kept == [0, 1, 2]
