@@ -704,6 +704,30 @@ def q_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id")
 
 
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~500-token slice per source: docs in md5-hash
+    order, taken while the running token total is under budget."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    out = pus_sample.take_token_budget(d, budget=500, byvars="source")
+    return out.select("doc_id", "source")
+
+
+def q_dedup_minhash_against(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup dedup: the doc_id%3 batch against the
+    doc_id%2 history (ids shifted +100000 on the batch side); docs in
+    both slices are exact dups and must drop, near-dups at Jaccard
+    >= 0.5 likewise."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    hist = d.filter(F.col("doc_id") % 2 == 0)
+    batch = d.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    out = pus_dedup.dedup_minhash_against(
+        batch, hist, k=3, num_hashes=12, bands=4, threshold=0.5
+    )
+    return out.select("doc_id")
+
+
 def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     out = pus_stream.tumbling_window_agg(
@@ -1487,6 +1511,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocabulary": q_vocabulary,
         "tf_idf": q_tf_idf,
         "dedup_exact": q_dedup_exact,
+        "token_budget": q_token_budget,
+        "dedup_minhash_against": q_dedup_minhash_against,
         "minhash_signature": q_minhash_signature,
         "lsh_jaccard_pairs": q_lsh_jaccard_pairs,
         "connected_components": q_connected_components,
@@ -2337,6 +2363,57 @@ def oracle_sql() -> dict[str, str]:
             WITH u AS ({_SQL_DOC_UNION})
             SELECT min(doc_id) AS doc_id
             FROM u GROUP BY md5({_SQL_NORM})
+        """,
+        "token_budget": f"""
+            WITH n AS (
+                SELECT doc_id, source,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len({_SQL_TOKS}) END AS nt,
+                       {_sql_frac('doc_id', 0)} AS frac
+                FROM documents
+            ), c AS (
+                SELECT doc_id, source,
+                       coalesce(sum(nt) OVER (PARTITION BY source ORDER BY frac, doc_id
+                                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                                0) AS before
+                FROM n
+            )
+            SELECT doc_id, source FROM c WHERE before < 500
+        """,
+        "dedup_minhash_against": f"""
+            WITH hist AS (
+                SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+            ), batch AS (
+                SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 3 = 0
+            ), shb AS (
+                SELECT doc_id, {_SQL_SHINGLES} AS s FROM batch
+            ), shh AS (
+                SELECT doc_id, {_SQL_SHINGLES} AS s FROM hist
+            ), sgb AS (
+                SELECT doc_id, s, {_sql_minhash_sig_list("s")} AS sg FROM shb
+            ), sgh AS (
+                SELECT doc_id, s, {_sql_minhash_sig_list("s")} AS sg FROM shh
+            ), bb AS (
+                SELECT doc_id, t.b AS band,
+                       md5(array_to_string(sg[t.b * 3 + 1 : t.b * 3 + 3], '|')) AS band_key
+                FROM sgb, range(0, 4) t(b)
+            ), bh AS (
+                SELECT doc_id, t.b AS band,
+                       md5(array_to_string(sg[t.b * 3 + 1 : t.b * 3 + 3], '|')) AS band_key
+                FROM sgh, range(0, 4) t(b)
+            ), cand AS (
+                SELECT DISTINCT bb.doc_id AS bid, bh.doc_id AS hid
+                FROM bb JOIN bh ON bb.band = bh.band AND bb.band_key = bh.band_key
+            ), hits AS (
+                SELECT DISTINCT c.bid
+                FROM cand c
+                JOIN shb sa ON sa.doc_id = c.bid
+                JOIN shh sb ON sb.doc_id = c.hid
+                WHERE len(list_intersect(sa.s, sb.s))
+                      / len(list_distinct(list_concat(sa.s, sb.s))) >= 0.5
+            )
+            SELECT doc_id FROM batch
+            WHERE doc_id NOT IN (SELECT bid FROM hits)
         """,
         "minhash_signature": f"""
             WITH sh AS (

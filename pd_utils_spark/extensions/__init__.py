@@ -9,6 +9,7 @@ from pd_utils_spark.extensions.approx import (
 )
 from pd_utils_spark.extensions.dedup import (
     connected_components,
+    dedup_minhash_against,
     dedup_connected,
     dedup_minhash_lsh,
     exact_dedup,
@@ -54,6 +55,7 @@ from pd_utils_spark.extensions.sampling import (
     pack_sequences,
     sample_n_per_group,
     stratified_sample,
+    take_token_budget,
 )
 from pd_utils_spark.extensions.similarity import (
     dedup_embeddings,

@@ -394,6 +394,79 @@ def dedup_minhash_lsh(
     return df.join(losers, idcol, "left_anti")
 
 
+def dedup_minhash_against(
+    df: DataFrame,
+    history: DataFrame,
+    textcol: str = "text",
+    idcol: str = "doc_id",
+    history_textcol: str | None = None,
+    k: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.8,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Incremental near-dup dedup: drop rows of ``df`` whose n-gram
+    Jaccard with ANY ``history`` document reaches ``threshold``, with
+    candidates from MinHash-LSH band collisions ACROSS the two frames
+    — the batch-over-corpus complement of ``dedup_minhash_lsh`` (and
+    the near-dup sibling of ``exact_dedup_against``).
+
+    Scale shape: each side is banded independently and the candidate
+    join runs on (band, band_key) — a plain equi-join, so when the
+    history band table is persisted as a bucketed table
+    (``plans.skew.write_bucketed`` on the band columns) a daily
+    ingestion batch joins against 100 TB of history with no history
+    shuffle. ``max_bucket`` caps pathological band buckets on BOTH
+    sides before they meet (boilerplate floods).
+    """
+    if num_hashes % bands != 0:
+        raise ValueError(f"num_hashes={num_hashes} not divisible by bands={bands}")
+    htext = history_textcol or textcol
+    bsh = shingle_sets(df, textcol, idcol, k)
+    hsh = shingle_sets(history, htext, idcol, k)
+    bsig = _minhash_sig_table(bsh, idcol, num_hashes).withColumnRenamed("__mh_id__", idcol)
+    hsig = _minhash_sig_table(hsh, idcol, num_hashes).withColumnRenamed("__mh_id__", idcol)
+    bkeys = lsh_band_keys(bsig, bands=bands).select(
+        F.col(idcol).alias("__bid__"), "band", "band_key"
+    )
+    hkeys = lsh_band_keys(hsig, bands=bands).select(
+        F.col(idcol).alias("__hid__"), "band", "band_key"
+    )
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        for name, frame in (("__bid__", bkeys), ("__hid__", hkeys)):
+            w = Window.partitionBy("band", "band_key")
+            capped = frame.withColumn("__n__", F.count("*").over(w)).filter(
+                F.col("__n__") <= max_bucket
+            ).drop("__n__")
+            if name == "__bid__":
+                bkeys = capped
+            else:
+                hkeys = capped
+    cand = bkeys.join(hkeys, ["band", "band_key"]).select("__bid__", "__hid__").distinct()
+    j = (
+        cand.join(
+            bsh.select(F.col(idcol).alias("__bid__"), F.col("shingles").alias("__sa__")),
+            "__bid__",
+        )
+        .join(
+            hsh.select(F.col(idcol).alias("__hid__"), F.col("shingles").alias("__sb__")),
+            "__hid__",
+        )
+        .withColumn(
+            "__j__",
+            F.size(F.array_intersect("__sa__", "__sb__"))
+            / F.size(F.array_union("__sa__", "__sb__")),
+        )
+    )
+    hits = j.filter(F.col("__j__") >= threshold).select(
+        F.col("__bid__").alias(idcol)
+    ).distinct()
+    return df.join(hits, idcol, "left_anti")
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "id_a",

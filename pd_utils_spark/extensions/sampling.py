@@ -36,6 +36,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from pd_utils_spark.extensions.dedup import _shingle_set
+from pd_utils_spark.utils import to_list
 
 _HASH_DENOM = 1 << 31
 _HASH_MASK = _HASH_DENOM - 1
@@ -374,3 +375,44 @@ def pack_sequences(
             "total_tokens",
         )
     )
+
+def take_token_budget(
+    df: DataFrame,
+    budget: int,
+    textcol: str = "text",
+    byvars: str | None = None,
+    idcol: str = "doc_id",
+    seed: int | str = 0,
+) -> DataFrame:
+    """Select a deterministic ~``budget``-token slice of the corpus
+    (optionally per ``byvars`` group, e.g. a per-source budget): docs
+    are laid out in md5-hash order (an unbiased deterministic shuffle)
+    and taken until the running whitespace-token total reaches the
+    budget. A doc is kept iff the token count BEFORE it is under
+    budget, so the cut lands one doc past the line (standard "fill to
+    budget" semantics — the slice always reaches >= budget when the
+    group has enough tokens).
+
+    This is the "sample 100B tokens with this mixture" primitive of a
+    pretraining data build. One window pass: hash order is computed
+    row-locally, the running sum is a single sort-based window per
+    group — shuffle keyed on ``byvars`` (or a single global ordering
+    when ``byvars`` is None, which at 100 TB you should avoid in
+    favor of per-source budgets).
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0: {budget}")
+    from pd_utils_spark.extensions.text import _token_count
+
+    order = hash_fraction(F.col(idcol), seed)
+    w = Window.partitionBy(*(to_list(byvars) if byvars else []))
+    w = w.orderBy(order.asc(), F.col(idcol).asc())
+    running_before = F.sum(_token_count(F.col(textcol))).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        df.withColumn("__before__", F.coalesce(running_before, F.lit(0)))
+        .filter(F.col("__before__") < budget)
+        .drop("__before__")
+    )
+

@@ -188,3 +188,43 @@ class TestDedupConnected:
         )
         kept = sorted(r.doc_id for r in D.dedup_connected(docs, pairs).collect())
         assert kept == [1, 9]
+
+
+class TestDedupMinhashAgainst:
+    def test_batch_near_dups_of_history_dropped(self, spark):
+        hist = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": [0, 1],
+                    "text": [
+                        "the quick brown fox jumps over the lazy dog again",
+                        "completely different historical content here",
+                    ],
+                }
+            )
+        )
+        batch = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": [10, 11, 12],
+                    "text": [
+                        "the quick brown fox jumps over the lazy dog again",  # exact
+                        "the quick brown fox jumps over the lazy cat again",  # near
+                        "brand new content sharing nothing with history",
+                    ],
+                }
+            )
+        )
+        kept = sorted(
+            r.doc_id
+            for r in D.dedup_minhash_against(
+                batch, hist, k=3, num_hashes=12, bands=6, threshold=0.5
+            ).collect()
+        )
+        assert 10 not in kept  # exact dup must drop
+        assert 12 in kept  # novel doc survives
+
+    def test_bands_validation(self, spark):
+        df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "text": ["x"]}))
+        with pytest.raises(ValueError, match="divisible"):
+            D.dedup_minhash_against(df, df, num_hashes=12, bands=5)

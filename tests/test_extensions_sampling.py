@@ -199,3 +199,60 @@ class TestNullIdPropagation:
         assert splits[2] == "b"  # NULL fraction -> ELSE label, like the SQL CASE
         kept = S.stratified_sample(df, 0.9999, idcol="doc_id").collect()
         assert all(r.doc_id is not None for r in kept)  # NULL < rate is NULL -> dropped
+
+
+class TestTakeTokenBudget:
+    def test_budget_cut_is_deterministic_and_reaches_budget(self, spark):
+        import pandas as pd
+        from pd_utils_spark.extensions.sampling import take_token_budget
+
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": list(range(20)),
+                    "text": ["word " * 10] * 20,  # 10 tokens each
+                }
+            )
+        )
+        out = take_token_budget(df, budget=35, textcol="text")
+        ids1 = sorted(r.doc_id for r in out.collect())
+        # 10 tokens/doc: kept while before < 35 -> exactly 4 docs (40 tokens)
+        assert len(ids1) == 4
+        ids2 = sorted(
+            r.doc_id
+            for r in take_token_budget(
+                df.repartition(7), budget=35, textcol="text"
+            ).collect()
+        )
+        assert ids1 == ids2  # partitioning-independent
+
+    def test_per_group_budget(self, spark):
+        import pandas as pd
+        from pd_utils_spark.extensions.sampling import take_token_budget
+
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": list(range(10)),
+                    "source": ["a"] * 5 + ["b"] * 5,
+                    "text": ["t t t t"] * 10,  # 4 tokens each
+                }
+            )
+        )
+        out = take_token_budget(df, budget=6, byvars="source").collect()
+        by_src = {}
+        for r in out:
+            by_src.setdefault(r.source, []).append(r.doc_id)
+        assert len(by_src["a"]) == 2 and len(by_src["b"]) == 2
+
+    def test_budget_zero_and_validation(self, spark):
+        import pandas as pd
+        import pytest as _pytest
+        from pd_utils_spark.extensions.sampling import take_token_budget
+
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1], "text": ["x"]})
+        )
+        assert take_token_budget(df, budget=0).count() == 0
+        with _pytest.raises(ValueError, match="budget"):
+            take_token_budget(df, budget=-1)
