@@ -120,3 +120,50 @@ class TestJoinShapes:
         plan = plan_of(out)
         assert plan.count("BroadcastExchange") >= 2  # asof map + target lookup
         assert "CartesianProduct" not in plan
+
+
+class TestCurationPlanShapes:
+    def test_pii_and_url_signals_are_shuffle_free(self, spark):
+        from pd_utils_spark.extensions import pii as P
+        from pd_utils_spark.extensions import web as W
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        assert "Exchange" not in plan_of(P.pii_signals(docs))
+        assert "Exchange" not in plan_of(P.redact_pii(docs))
+        assert "Exchange" not in plan_of(W.url_signals(docs))
+
+    def test_domain_blocklist_broadcasts_both_small_sides(self, spark):
+        from pd_utils_spark.extensions import web as W
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = plan_of(W.drop_blocklisted_domains(docs, ["ads.example.com"]))
+        assert "BroadcastExchange" in plan  # blocklist + hit ids
+        assert "CartesianProduct" not in plan
+
+    def test_numeric_histogram_has_no_driver_action_and_broadcasts(self, spark):
+        from pd_utils_spark.extensions import profile as PR
+
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        # plan construction must not trigger a job (no .collect/.first)
+        plan = plan_of(PR.numeric_histogram(li, "l_extendedprice", bins=10))
+        assert "BroadcastExchange" in plan  # bounds row + bucket dimension
+        assert "CartesianProduct" not in plan
+
+    def test_token_budget_single_window_exchange(self, spark):
+        from pd_utils_spark.extensions import sampling as S
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = plan_of(S.take_token_budget(docs, budget=500, byvars="source"))
+        # one hash-partition exchange for the per-source window, no more
+        assert plan.count("+- Exchange") == 1
+        assert "hashpartitioning(source" in plan
+
+    def test_dedup_minhash_against_joins_on_band_keys(self, spark):
+        from pd_utils_spark.extensions import dedup as D
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        hist = docs.filter(F.col("doc_id") % 2 == 0)
+        batch = docs.filter(F.col("doc_id") % 3 == 0)
+        plan = plan_of(D.dedup_minhash_against(batch, hist, bands=4))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan

@@ -386,3 +386,56 @@ class TestStreamingDatasetGate:
                 q.stop()
         finally:
             shutil.rmtree(src, ignore_errors=True)
+
+
+class TestStreamingPIIRedaction:
+    """PII scrubbing and URL signals are stateless column expressions —
+    they run UNCHANGED under Structured Streaming, so ingestion can
+    redact in-flight before anything lands on disk."""
+
+    def test_redact_and_url_signals_on_stream(self, spark):
+        import time
+
+        from pd_utils_spark.extensions.pii import pii_signals, redact_pii
+        from pd_utils_spark.extensions.web import url_signals
+
+        src = tempfile.mkdtemp(prefix="stream_pii_")
+        try:
+            with open(f"{src}/b1.json", "w") as f:
+                f.write(
+                    '{"doc_id": 1, "text": "mail bob@example.com at https://a.example.org/x"}\n'
+                    '{"doc_id": 2, "text": "nothing sensitive here"}\n'
+                )
+            schema = StructType(
+                [
+                    StructField("doc_id", DoubleType()),
+                    StructField("text", StringType()),
+                ]
+            )
+            stream = spark.readStream.format("json").schema(schema).load(src)
+            out = url_signals(pii_signals(redact_pii(stream)))
+            q = (
+                out.writeStream.format("memory")
+                .queryName("pii_stream")
+                .outputMode("append")
+                .start()
+            )
+            try:
+                deadline = time.time() + 60
+                rows = []
+                while time.time() < deadline:
+                    rows = spark.sql(
+                        "SELECT doc_id, text, n_pii_total, n_urls FROM pii_stream"
+                    ).collect()
+                    if len(rows) == 2:
+                        break
+                    time.sleep(1)
+                got = {int(r.doc_id): r for r in rows}
+                assert "<EMAIL>" in got[1].text and "@" not in got[1].text
+                assert got[1].n_pii_total == 0  # counted AFTER redaction
+                assert got[1].n_urls == 1
+                assert got[2].text == "nothing sensitive here"
+            finally:
+                q.stop()
+        finally:
+            shutil.rmtree(src, ignore_errors=True)
