@@ -159,3 +159,107 @@ def test_stratified_sample_is_monotone_in_fraction(spark, doc_ids, frac, seed):
     kept_more = set(S.stratified_sample(df, min(1.0, frac + 0.3), seed=seed).toPandas().doc_id)
     # a row kept at rate f is kept at every rate >= f (nested samples)
     assert kept <= kept_more
+
+
+# ---------------------------------------------------------------- round 2 ops
+
+edge_lists = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=15), st.integers(min_value=0, max_value=15)),
+    min_size=1,
+    max_size=20,
+)
+
+
+def _union_find_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical min label per node
+    return {x: find(x) for x in parent}
+
+
+@given(edges=edge_lists)
+@settings(**SETTINGS)
+def test_connected_components_matches_union_find(spark, edges):
+    real = [(a, b) for a, b in edges if a != b]
+    if not real:
+        return
+    pairs = spark.createDataFrame(pd.DataFrame(real, columns=["id_a", "id_b"]))
+    got = {r.id_a: r.component for r in D.connected_components(pairs).collect()}
+    want = _union_find_components(real)
+    assert got == want
+
+
+@given(
+    xs=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=64),
+        min_size=1,
+        max_size=30,
+    ),
+    bins=st.integers(min_value=1, max_value=12),
+)
+@settings(**SETTINGS)
+def test_numeric_histogram_preserves_mass(spark, xs, bins):
+    from pd_utils_spark.extensions.profile import numeric_histogram
+
+    df = spark.createDataFrame(pd.DataFrame({"x": xs}))
+    rows = numeric_histogram(df, "x", bins=bins).collect()
+    assert len(rows) == bins
+    assert sum(r["count"] for r in rows) == len(xs)  # every value lands once
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(
+                whitelist_categories=("Lu", "Ll", "Nd"), whitelist_characters=" .@-:/"
+            ),
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(**SETTINGS)
+def test_redact_pii_idempotent(spark, texts):
+    from pd_utils_spark.extensions.pii import redact_pii
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    once = redact_pii(df)
+    twice = redact_pii(once)
+    a = {r.doc_id: r.text for r in once.collect()}
+    b = {r.doc_id: r.text for r in twice.collect()}
+    assert a == b  # placeholders are fixed points of the cascade
+
+
+@given(
+    budget_small=st.integers(min_value=0, max_value=20),
+    extra=st.integers(min_value=0, max_value=40),
+)
+@settings(**SETTINGS)
+def test_take_token_budget_monotone(spark, budget_small, extra):
+    from pd_utils_spark.extensions.sampling import take_token_budget
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": range(12), "text": ["tok tok tok"] * 12}  # 3 tokens each
+        )
+    )
+    small = {r.doc_id for r in take_token_budget(df, budget=budget_small).collect()}
+    big = {
+        r.doc_id
+        for r in take_token_budget(df, budget=budget_small + extra).collect()
+    }
+    assert small <= big  # growing the budget never evicts a doc
