@@ -49,7 +49,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if ts_type == "bigint":
             return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return ev.withColumn("ts", F.col("ts").cast("timestamp"))
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "documents":
+        # the test-data corpus is ONE parquet row group, so Spark gets a
+        # single input split and every CPU-heavy text pipeline (shingles,
+        # minhash, n-grams) runs on one core. A real corpus arrives in
+        # thousands of splits; fan the rows out so local throughput
+        # reflects the per-core work, not an artifact of the fixture file.
+        df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df
 
 
 def _round_doubles(df: DataFrame, n: int = _ROUND) -> DataFrame:

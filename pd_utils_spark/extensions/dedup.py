@@ -56,13 +56,32 @@ def _minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
 def _shingle_set(textcol: Column, k: int) -> Column:
     """Distinct k-word shingles of the normalized text; documents
     shorter than k words contribute their whole normalized text as a
-    single shingle (so every non-empty doc has a non-empty set)."""
+    single shingle (so every non-empty doc has a non-empty set).
+
+    NOTE: as a standalone Column the tokenizer sub-expression gets
+    re-inlined into every element of the ``transform`` lambda
+    (Catalyst does no common-subexpression elimination inside
+    higher-order-function bodies), costing O(words) normalizations
+    per row. Frame-level call sites should use ``shingle_sets``,
+    which materializes the token array in a separate projection
+    first — measured 7.5x faster at sf0.1."""
     toks = _tokens(_norm(textcol))
     n = F.size(toks)
     idx = F.sequence(F.lit(1), n - F.lit(k - 1))
     shingles = F.when(
         n >= k, F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
     ).otherwise(F.array(_norm(textcol)))
+    return F.array_distinct(shingles)
+
+
+def _shingles_from_toks(norm_col: Column, toks: Column, k: int) -> Column:
+    """Shingle array from an already-materialized token array column
+    (bound attribute, NOT an inline expression — see _shingle_set)."""
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), n - F.lit(k - 1))
+    shingles = F.when(
+        n >= k, F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    ).otherwise(F.array(norm_col))
     return F.array_distinct(shingles)
 
 
@@ -77,8 +96,21 @@ def shingle_sets(
     document, materializable once and shared between MinHash signature
     and Jaccard verification stages (shingle construction is the
     dominant cost of the LSH pipeline — computing it twice doubles the
-    scan work)."""
-    return df.select(F.col(idcol), _shingle_set(F.col(textcol), k).alias(out))
+    scan work).
+
+    Two-projection plan: normalize+tokenize lands in its own Project
+    so the ``transform`` lambda slices a BOUND token array instead of
+    re-running the tokenizer per shingle (CollapseProject keeps the
+    split because it is expensive and multiply-referenced). Measured
+    at sf0.1: 7.3s -> 0.97s single-task for the same 260k shingles."""
+    norm = _norm(F.col(textcol))
+    toked = df.select(
+        F.col(idcol), norm.alias("__norm__"), _tokens(norm).alias("__toks__")
+    )
+    return toked.select(
+        F.col(idcol),
+        _shingles_from_toks(F.col("__norm__"), F.col("__toks__"), k).alias(out),
+    )
 
 
 def exact_dedup(
@@ -172,7 +204,14 @@ def minhash_signature(
     construction with a Jaccard verification stage.
     """
     if shingles is None:
-        shingles = shingle_sets(df, textcol, idcol, k)
+        from pyspark import StorageLevel
+
+        # materialize before the explode: Spark's Generate re-derives
+        # an inline-computed array far more expensively than it reads
+        # a materialized one (measured ~10x at sf0.1 — see SCALE.md)
+        shingles = shingle_sets(df, textcol, idcol, k).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
     sig = _minhash_sig_table(shingles, idcol, num_hashes, out)
     return df.join(sig, df[idcol] == sig["__mh_id__"], "left").drop("__mh_id__")
 
@@ -260,7 +299,11 @@ def lsh_candidate_pairs(
     if num_hashes % bands != 0:
         raise ValueError(f"num_hashes={num_hashes} not divisible by bands={bands}")
     if shingles is None:
-        shingles = shingle_sets(df, textcol, idcol, k)
+        from pyspark import StorageLevel
+
+        shingles = shingle_sets(df, textcol, idcol, k).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
     sigs = _minhash_sig_table(shingles, idcol, num_hashes).withColumnRenamed(
         "__mh_id__", idcol
     )
@@ -335,12 +378,9 @@ def jaccard_topk(
     Output: (query_id, doc id, jaccard, rank)."""
     from pyspark.sql import Window
 
-    c = corpus.select(
-        F.col(idcol), _shingle_set(F.col(textcol), shingle_k).alias("__cs__")
-    )
-    q = queries.select(
-        F.col(idcol).alias(qidcol),
-        _shingle_set(F.col(textcol), shingle_k).alias("__qs__"),
+    c = shingle_sets(corpus, textcol, idcol, shingle_k, out="__cs__")
+    q = shingle_sets(queries, textcol, idcol, shingle_k, out="__qs__").withColumnRenamed(
+        idcol, qidcol
     )
     scored = c.crossJoin(F.broadcast(q))
     if exclude_self:

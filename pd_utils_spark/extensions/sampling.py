@@ -35,7 +35,8 @@ from collections.abc import Mapping, Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from pd_utils_spark.extensions.dedup import _shingle_set
+from pd_utils_spark.extensions.dedup import _norm, _shingles_from_toks, shingle_sets
+from pd_utils_spark.extensions.text import _tokens
 from pd_utils_spark.utils import to_list
 
 _HASH_DENOM = 1 << 31
@@ -228,9 +229,13 @@ def ngram_hashes(
     GPT-3/The Pile methodology). Documents shorter than ``n`` words
     hash their whole normalized text, so short benchmark items still
     match verbatim copies."""
-    grams = _shingle_set(F.col(textcol), n)
-    return df.select(
-        F.col(idcol), F.explode(grams).alias("__g__")
+    from pyspark import StorageLevel
+
+    grams = shingle_sets(df, textcol, idcol, n, out="__grams__").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    return grams.select(
+        F.col(idcol), F.explode(F.col("__grams__")).alias("__g__")
     ).select(F.col(idcol), F.md5(F.col("__g__")).alias(out))
 
 
@@ -260,8 +265,14 @@ def decontaminate(
     if mode not in ("remove", "flag"):
         raise ValueError(f"mode must be 'remove' or 'flag': {mode!r}")
     btext = benchmark_textcol or textcol
+    bnorm = _norm(F.col(btext))
     bench_grams = (
-        benchmark.select(F.explode(_shingle_set(F.col(btext), n)).alias("__g__"))
+        benchmark.select(bnorm.alias("__norm__"), _tokens(bnorm).alias("__toks__"))
+        .select(
+            F.explode(
+                _shingles_from_toks(F.col("__norm__"), F.col("__toks__"), n)
+            ).alias("__g__")
+        )
         .select(F.md5(F.col("__g__")).alias("__bh__"))
         .distinct()
     )

@@ -169,15 +169,23 @@ def repetition_scores(
 
     t = F.col(textcol)
     norm = _norm(t)  # same normalization as the dedup family (oracle: _SQL_NORM)
-    toks = F.split(norm, " ")
+    # materialize the token array in its own projection: the bigram
+    # lambda must slice a BOUND attribute, or Catalyst re-inlines the
+    # normalize+split per element (no CSE inside HOF bodies)
+    toked = df.select(
+        F.col(idcol),
+        norm.alias("__norm__"),
+        F.split(norm, " ").alias("__toks__"),
+    )
+    toks = F.col("__toks__")
     n = F.size(toks)
-    has_text = F.length(norm) > 0
+    has_text = F.length(F.col("__norm__")) > 0
 
-    words = df.select(
+    words = toked.select(
         F.col(idcol),
         F.explode(F.when(has_text, toks).otherwise(F.array())).alias("__g__"),
     )
-    bigrams = df.select(
+    bigrams = toked.select(
         F.col(idcol),
         F.explode(
             F.when(
@@ -332,7 +340,11 @@ def rolling_hash_fingerprints(
     the token array — one row stays one row (array column), so this is
     shuffle-free and streams through codegen.
     """
-    toks = _tokens(F.col(textcol))
+    # token array materialized in its own projection so the transform
+    # lambda slices a bound attribute instead of re-tokenizing per
+    # shingle (no CSE inside higher-order-function bodies)
+    toked = df.withColumn("__rh_toks__", _tokens(F.col(textcol)))
+    toks = F.col("__rh_toks__")
     n = F.size(toks)
     # sequence(1, 0) counts DOWN in Spark, so docs shorter than k need
     # an explicit empty-array branch
@@ -340,7 +352,7 @@ def rolling_hash_fingerprints(
     shingles = F.when(
         n >= k, F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
     ).otherwise(F.array().cast("array<string>"))
-    return df.withColumn(out, F.transform(shingles, F.md5))
+    return toked.withColumn(out, F.transform(shingles, F.md5)).drop("__rh_toks__")
 
 
 def vocabulary(
