@@ -641,9 +641,14 @@ def simhash(
     """
     if not 1 <= bits <= 60:
         raise ValueError("bits must be in [1, 60]")
-    toks = _tokens(_norm(F.col(textcol)))
+    # tokens materialized in their own projection before the explode —
+    # Generate re-derives inline-computed arrays (see SCALE.md)
+    toked = df.select(
+        F.col(idcol).alias("__sh_id__"),
+        _tokens(_norm(F.col(textcol))).alias("__sh_toks__"),
+    )
     ex = (
-        df.select(F.col(idcol).alias("__sh_id__"), F.explode(toks).alias("__w__"))
+        toked.select("__sh_id__", F.explode("__sh_toks__").alias("__w__"))
         .filter(F.length("__w__") > 0)
         .withColumn(
             "__h__",
