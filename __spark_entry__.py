@@ -508,6 +508,14 @@ def q_shingle_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.explode("shingle_hashes").alias("shingle_hash"))
 
 
+def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprints: min-hash of each 4-window over
+    5-gram rolling hashes, deduplicated per doc."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = pus_text.winnowing_fingerprints(d, k=5, window=4)
+    return out.select("doc_id", F.explode("winnow_hashes").alias("winnow_hash"))
+
+
 def q_approx_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates (HLL++ distinct, t-digest quantiles) with a
     HARD oracle signal: exact stats (DuckDB-matchable) plus booleans
@@ -1515,6 +1523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": q_language_id,
         "doc_fingerprint": q_doc_fingerprint,
         "shingle_fingerprints": q_shingle_fingerprints,
+        "winnowing": q_winnowing,
         "approx_group_stats": q_approx_group_stats,
         "vocabulary": q_vocabulary,
         "tf_idf": q_tf_idf,
@@ -2335,6 +2344,28 @@ def oracle_sql() -> dict[str, str]:
                                       i -> array_to_string(w[i:i+4], ' ')),
                        s -> md5(s))) AS shingle_hash
             FROM toks
+        """,
+        "winnowing": f"""
+            WITH toks AS (
+                SELECT doc_id, {_SQL_TOKS} AS w FROM documents
+            ), h AS (
+                SELECT doc_id,
+                       list_transform(
+                           list_transform(generate_series(1, greatest(len(w) - 4, 0)),
+                                          i -> array_to_string(w[i:i+4], ' ')),
+                           s -> md5(s)) AS hs
+                FROM toks
+            ), p AS (
+                SELECT doc_id,
+                       CASE WHEN len(hs) >= 4 THEN
+                                list_distinct(list_transform(
+                                    generate_series(1, len(hs) - 3),
+                                    i -> list_min(hs[i:i+3])))
+                            WHEN len(hs) > 0 THEN [list_min(hs)]
+                            ELSE [] END AS ws
+                FROM h
+            )
+            SELECT doc_id, unnest(ws) AS winnow_hash FROM p
         """,
         "vocabulary": """
             WITH tok AS (

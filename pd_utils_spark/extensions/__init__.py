@@ -83,4 +83,5 @@ from pd_utils_spark.extensions.text import (
     token_count,
     token_count_bpe,
     vocabulary,
+    winnowing_fingerprints,
 )

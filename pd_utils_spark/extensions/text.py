@@ -355,6 +355,46 @@ def rolling_hash_fingerprints(
     return toked.withColumn(out, F.transform(shingles, F.md5)).drop("__rh_toks__")
 
 
+def winnowing_fingerprints(
+    df: DataFrame,
+    textcol: str = "text",
+    k: int = 5,
+    window: int = 4,
+    idcol: str = "doc_id",
+    out: str = "winnow_hashes",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD 2003 — the MOSS algorithm): over the sequence of k-gram
+    rolling hashes, keep the MINIMUM hash of every window of
+    ``window`` consecutive hashes, deduplicated. Guarantees any match
+    of length >= window + k - 1 tokens shares a fingerprint, while
+    storing ~2/(window+1) of the hashes — the standard
+    position-robust containment/plagiarism fingerprint.
+
+    Documents with fewer than ``window`` k-grams (but at least one)
+    contribute the min of all their hashes; shorter-than-k docs get an
+    empty array. Row-local array math on BOUND attributes — no
+    shuffle, no UDF; O(n * window) comparisons per doc.
+    """
+    if window < 1:
+        raise ValueError(f"window must be >= 1: {window}")
+    hashed = rolling_hash_fingerprints(df, textcol, k, out="__wh__")
+    h = F.col("__wh__")
+    n = F.size(h)
+    idx = F.sequence(F.lit(1), n - F.lit(window - 1))
+    picked = (
+        F.when(n == 0, F.array().cast("array<string>"))
+        .when(
+            n >= window,
+            F.array_distinct(
+                F.transform(idx, lambda i: F.array_min(F.slice(h, i, window)))
+            ),
+        )
+        .otherwise(F.array(F.array_min(h)))
+    )
+    return hashed.withColumn(out, picked).drop("__wh__")
+
+
 def vocabulary(
     df: DataFrame,
     textcol: str = "text",

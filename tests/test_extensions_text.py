@@ -191,3 +191,64 @@ class TestC4LineFilter:
         )
         out = T.c4_line_filter(df, require_terminal_punct=False).toPandas()
         assert out.clean_text.iloc[0] == "three words here"
+
+
+class TestWinnowing:
+    def test_guarantee_and_density(self, spark):
+        import hashlib
+
+        import pandas as pd
+        from pd_utils_spark.extensions.text import winnowing_fingerprints
+
+        text = "a b c d e f g h i j k l m n o p"
+        df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "text": [text]}))
+        row = winnowing_fingerprints(df, k=5, window=4).collect()[0]
+        toks = text.split()
+        grams = [" ".join(toks[i : i + 5]) for i in range(len(toks) - 4)]
+        hashes = [hashlib.md5(g.encode()).hexdigest() for g in grams]
+        want = sorted(
+            {min(hashes[i : i + 4]) for i in range(len(hashes) - 3)}
+        )
+        assert sorted(row.winnow_hashes) == want
+        # winnowing keeps a strict subset of the k-gram hashes
+        assert 0 < len(row.winnow_hashes) < len(hashes)
+
+    def test_short_docs(self, spark):
+        import pandas as pd
+        from pd_utils_spark.extensions.text import winnowing_fingerprints
+
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": [1, 2, 3],
+                    "text": [
+                        "a b c d e f",  # 2 k-grams < window -> min of all
+                        "a b c",  # shorter than k -> empty
+                        "",
+                    ],
+                }
+            )
+        )
+        got = {r.doc_id: r.winnow_hashes for r in winnowing_fingerprints(df, k=5, window=4).collect()}
+        assert len(got[1]) == 1
+        assert got[2] == [] and got[3] == []
+
+    def test_shared_run_shares_a_fingerprint(self, spark):
+        import pandas as pd
+        from pd_utils_spark.extensions.text import winnowing_fingerprints
+
+        shared = "the common stolen passage appears verbatim here today"
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": [1, 2],
+                    "text": [
+                        "intro words before " + shared,
+                        shared + " trailing epilogue of other words",
+                    ],
+                }
+            )
+        )
+        got = {r.doc_id: set(r.winnow_hashes) for r in winnowing_fingerprints(df, k=5, window=4).collect()}
+        # match length >= window + k - 1 = 8 tokens guarantees overlap
+        assert got[1] & got[2]
