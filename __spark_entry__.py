@@ -541,6 +541,22 @@ def q_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pus_text.tf_idf(d, round_to=_ROUND)
 
 
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    q = d.filter(F.col("doc_id") < 3).withColumnRenamed("doc_id", "query_id")
+    return pus_text.bm25_topk(d, q, k=5, round_to=4)
+
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return pus_text.unigram_logprob(d, round_to=4)
+
+
+def q_source_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("source", "text")
+    return pus_text.source_kl_drift(d, round_to=6)
+
+
 def _docs_with_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents unioned with an id-shifted copy of itself — a corpus
     with known duplicates for exercising dedup operators."""
@@ -1527,6 +1543,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_group_stats": q_approx_group_stats,
         "vocabulary": q_vocabulary,
         "tf_idf": q_tf_idf,
+        "bm25_topk": q_bm25_topk,
+        "unigram_logprob": q_unigram_logprob,
+        "source_kl_drift": q_source_kl_drift,
         "dedup_exact": q_dedup_exact,
         "token_budget": q_token_budget,
         "dedup_minhash_against": q_dedup_minhash_against,
@@ -2397,6 +2416,85 @@ def oracle_sql() -> dict[str, str]:
                    round(ln(nd.n / df.df), {r}) AS idf,
                    round((tc.tc / dl.dl) * ln(nd.n / df.df), {r}) AS tfidf
             FROM tc JOIN dl USING (doc_id) JOIN df USING (token) CROSS JOIN nd
+        """,
+        "bm25_topk": """
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+                FROM documents
+            ), tc AS (
+                SELECT doc_id, token, count(*) AS tc
+                FROM tok WHERE length(token) > 0 GROUP BY 1, 2
+            ), dl AS (
+                SELECT doc_id, count(*) AS dl
+                FROM tok WHERE length(token) > 0 GROUP BY 1
+            ), dfq AS (
+                SELECT token, count(*) AS df FROM tc GROUP BY 1
+            ), st AS (
+                SELECT cast(count(*) AS double) AS n, avg(dl) AS avgdl FROM dl
+            ), qt AS (
+                SELECT DISTINCT doc_id AS query_id, token
+                FROM tok WHERE doc_id < 3 AND length(token) > 0
+            ), contrib AS (
+                SELECT qt.query_id, tc.doc_id,
+                       ln(1 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5))
+                       * tc.tc * (1.2 + 1)
+                       / (tc.tc + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) AS c
+                FROM tc JOIN qt USING (token)
+                JOIN dl ON tc.doc_id = dl.doc_id
+                CROSS JOIN st
+                JOIN dfq ON tc.token = dfq.token
+            ), s AS (
+                SELECT query_id, doc_id, round(sum(c), 4) AS score
+                FROM contrib GROUP BY 1, 2
+            ), ranked AS (
+                SELECT query_id, doc_id, score,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY score DESC, doc_id) AS rank
+                FROM s
+            )
+            SELECT query_id, doc_id, score, cast(rank AS int) AS rank
+            FROM ranked WHERE rank <= 5
+        """,
+        "unigram_logprob": """
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+                FROM documents
+            ), t AS (
+                SELECT doc_id, token FROM tok WHERE length(token) > 0
+            ), lm AS (
+                SELECT token, count(*) AS tc FROM t GROUP BY 1
+            ), tot AS (
+                SELECT cast(sum(tc) AS double) AS tot FROM lm
+            )
+            SELECT doc_id, count(*) AS n_tokens,
+                   round(avg(ln(lm.tc / tot.tot)), 4) AS logprob_mean,
+                   round(exp(-avg(ln(lm.tc / tot.tot))), 4) AS perplexity
+            FROM t JOIN lm USING (token) CROSS JOIN tot
+            GROUP BY doc_id
+        """,
+        "source_kl_drift": """
+            WITH tok AS (
+                SELECT source,
+                       unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+                FROM documents
+            ), st AS (
+                SELECT source, token, count(*) AS stc
+                FROM tok WHERE length(token) > 0 GROUP BY 1, 2
+            ), stot AS (
+                SELECT source, cast(sum(stc) AS double) AS stot FROM st GROUP BY 1
+            ), ct AS (
+                SELECT token, sum(stc) AS ctc FROM st GROUP BY 1
+            ), ctot AS (
+                SELECT cast(sum(ctc) AS double) AS ctot FROM ct
+            )
+            SELECT st.source, cast(sum(st.stc) AS bigint) AS n_tokens,
+                   round(sum((st.stc / stot.stot)
+                             * ln((st.stc / stot.stot) / (ct.ctc / ctot.ctot))),
+                         6) AS kl_divergence
+            FROM st JOIN stot USING (source) JOIN ct USING (token) CROSS JOIN ctot
+            GROUP BY st.source
         """,
         "dedup_exact": f"""
             WITH u AS ({_SQL_DOC_UNION})

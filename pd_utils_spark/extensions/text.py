@@ -462,3 +462,179 @@ def tf_idf(
         for c in ("tf", "idf", "tfidf"):
             out = out.withColumn(c, F.round(c, round_to))
     return out
+
+
+def bm25_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    textcol: str = "text",
+    idcol: str = "doc_id",
+    query_idcol: str = "query_id",
+    query_textcol: str = "text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    lowercase: bool = True,
+    round_to: int | None = None,
+) -> DataFrame:
+    """BM25 lexical retrieval: top-``k`` corpus docs per query row.
+
+    Okapi BM25 with the Lucene-style non-negative idf
+    ``ln(1 + (N - df + 0.5) / (df + 0.5))``; score(q, d) =
+    sum over distinct query tokens t of
+    ``idf(t) * tc * (k1 + 1) / (tc + k1 * (1 - b + b * dl/avgdl))``.
+
+    Plan (100 TB posture): corpus tokenize -> one (doc, token) hash
+    aggregate (partial-agg first); per-token doc-freq is a second small
+    aggregate broadcast back; N and avgdl ride a one-row aggregate
+    cross-joined (no driver round trip). The DISTINCT query-token frame
+    is broadcast, so the scoring join is map-side against the posting
+    aggregate; final per-(query, doc) sum is one shuffle keyed by
+    (query, doc) and the top-k is a per-query window. Documents that
+    share no token with a query score 0 and are absent — standard
+    inverted-index semantics.
+
+    Ties (same rounded score) break on ascending doc id, so top-k is
+    deterministic; pass ``round_to`` when hash-matching an oracle.
+    """
+    t = F.col(textcol)
+    toks = _tokens(F.lower(t) if lowercase else t)
+    ex = corpus.select(F.col(idcol), F.explode(toks).alias("token")).filter(
+        F.length("token") > 0
+    )
+    term_counts = ex.groupBy(idcol, "token").agg(F.count("*").alias("tc"))
+    doc_lens = ex.groupBy(idcol).agg(F.count("*").alias("dl"))
+    doc_freq = term_counts.groupBy("token").agg(F.count("*").alias("df"))
+    stats = doc_lens.agg(
+        F.count("*").cast("double").alias("__n__"),
+        F.avg("dl").alias("__avgdl__"),
+    )
+    qt = F.col(query_textcol)
+    qtoks = _tokens(F.lower(qt) if lowercase else qt)
+    qterms = (
+        queries.select(F.col(query_idcol), F.explode(qtoks).alias("token"))
+        .filter(F.length("token") > 0)
+        .distinct()
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("__n__") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf_part = (F.col("tc") * (k1 + 1)) / (
+        F.col("tc") + k1 * (1 - b + b * F.col("dl") / F.col("__avgdl__"))
+    )
+    contrib = (
+        term_counts.join(F.broadcast(qterms), "token")
+        .join(doc_lens, idcol)
+        .crossJoin(F.broadcast(stats))
+        .join(F.broadcast(doc_freq), "token")
+        .select(query_idcol, idcol, (idf * tf_part).alias("__c__"))
+    )
+    scores = contrib.groupBy(query_idcol, idcol).agg(F.sum("__c__").alias("score"))
+    if round_to is not None:
+        scores = scores.withColumn("score", F.round("score", round_to))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_idcol).orderBy(F.desc("score"), F.col(idcol))
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_idcol, idcol, "score", "rank")
+    )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    textcol: str = "text",
+    idcol: str = "doc_id",
+    lowercase: bool = True,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram LM — the classic cheap fluency/quality signal (documents of
+    rare gibberish tokens score very negative; boilerplate scores high).
+
+    ``p(t) = count(t) / total_tokens`` over the whole corpus (MLE, no
+    smoothing — every scored token appears at least once by
+    construction); output per doc: ``n_tokens``, ``logprob_mean`` =
+    mean over the doc's tokens of ``ln p(t)``, and ``perplexity`` =
+    ``exp(-logprob_mean)``. Empty documents are dropped (no tokens to
+    score).
+
+    Plan: one explode, one (token) hash aggregate for the LM (partial
+    agg; vocabulary-sized result broadcast back), corpus total via a
+    one-row aggregate cross-joined, then one per-doc aggregate — two
+    shuffles total, both keyed well below row count at 100 TB.
+    """
+    t = F.col(textcol)
+    toks = _tokens(F.lower(t) if lowercase else t)
+    ex = df.select(F.col(idcol), F.explode(toks).alias("token")).filter(
+        F.length("token") > 0
+    )
+    lm = ex.groupBy("token").agg(F.count("*").alias("__tc__"))
+    total = lm.agg(F.sum("__tc__").cast("double").alias("__tot__"))
+    scored = (
+        ex.join(F.broadcast(lm), "token")
+        .crossJoin(F.broadcast(total))
+        .select(idcol, F.log(F.col("__tc__") / F.col("__tot__")).alias("__lp__"))
+    )
+    out = scored.groupBy(idcol).agg(
+        F.count("*").alias("n_tokens"),
+        F.avg("__lp__").alias("logprob_mean"),
+    )
+    out = out.withColumn("perplexity", F.exp(-F.col("logprob_mean")))
+    if round_to is not None:
+        for c in ("logprob_mean", "perplexity"):
+            out = out.withColumn(c, F.round(c, round_to))
+    return out
+
+
+def source_kl_drift(
+    df: DataFrame,
+    textcol: str = "text",
+    sourcecol: str = "source",
+    lowercase: bool = True,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Per-source distribution drift: KL(P_source || P_corpus) over
+    unigram token distributions. The standard mixing-monitor signal for
+    multi-source corpora — a source whose token distribution wanders
+    from the blended corpus (scraped spam, encoding breakage, a new
+    domain) shows up as a KL jump.
+
+    ``KL = sum_t P_s(t) * ln(P_s(t) / Q(t))`` with MLE probabilities;
+    every source token appears in the corpus by construction, so Q(t)
+    is never zero and KL is finite. Output: one row per source with
+    ``n_tokens`` and ``kl_divergence``.
+
+    Plan: one explode -> one (source, token) hash aggregate; the
+    corpus distribution is a second aggregate over *that* (token-
+    cardinality input, not row count); totals ride one-row / per-source
+    broadcast joins. Everything downstream of the first aggregate is
+    vocabulary-sized — at 100 TB the explode+partial-agg scan is the
+    only full-data pass.
+    """
+    t = F.col(textcol)
+    toks = _tokens(F.lower(t) if lowercase else t)
+    ex = df.select(F.col(sourcecol), F.explode(toks).alias("token")).filter(
+        F.length("token") > 0
+    )
+    st = ex.groupBy(sourcecol, "token").agg(F.count("*").alias("__stc__"))
+    stot = st.groupBy(sourcecol).agg(F.sum("__stc__").cast("double").alias("__stot__"))
+    ct = st.groupBy("token").agg(F.sum("__stc__").alias("__ctc__"))
+    ctot = ct.agg(F.sum("__ctc__").cast("double").alias("__ctot__"))
+    p = F.col("__stc__") / F.col("__stot__")
+    q = F.col("__ctc__") / F.col("__ctot__")
+    out = (
+        st.join(F.broadcast(stot), sourcecol)
+        .join(F.broadcast(ct), "token")
+        .crossJoin(F.broadcast(ctot))
+        .groupBy(sourcecol)
+        .agg(
+            F.sum("__stc__").alias("n_tokens"),
+            F.sum(p * F.log(p / q)).alias("kl_divergence"),
+        )
+    )
+    if round_to is not None:
+        out = out.withColumn("kl_divergence", F.round("kl_divergence", round_to))
+    return out

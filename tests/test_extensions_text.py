@@ -252,3 +252,120 @@ class TestWinnowing:
         got = {r.doc_id: set(r.winnow_hashes) for r in winnowing_fingerprints(df, k=5, window=4).collect()}
         # match length >= window + k - 1 = 8 tokens guarantees overlap
         assert got[1] & got[2]
+
+
+class TestBM25TopK:
+    def _expected(self, corpus, query_tokens, k1=1.2, b=0.75):
+        # independent eager reimplementation of Okapi BM25 (Lucene idf)
+        import math
+
+        toks = {i: t.lower().split() for i, t in corpus.items()}
+        n = len(toks)
+        avgdl = sum(len(v) for v in toks.values()) / n
+        df = {}
+        for v in toks.values():
+            for t in set(v):
+                df[t] = df.get(t, 0) + 1
+        scores = {}
+        for i, v in toks.items():
+            s = 0.0
+            for t in set(query_tokens):
+                tc = v.count(t)
+                if tc == 0:
+                    continue
+                idf = math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5))
+                s += idf * tc * (k1 + 1) / (tc + k1 * (1 - b + b * len(v) / avgdl))
+            if s != 0.0:
+                scores[i] = round(s, 4)
+        return scores
+
+    def test_matches_eager_reference(self, spark):
+        corpus = {
+            0: "the cat sat on the mat",
+            1: "the dog sat",
+            2: "a bird flew over the mat",
+            3: "unrelated words entirely",
+        }
+        cdf = spark.createDataFrame(
+            pd.DataFrame({"doc_id": list(corpus), "text": list(corpus.values())})
+        )
+        qdf = spark.createDataFrame(
+            pd.DataFrame({"query_id": [7], "text": ["cat on mat"]})
+        )
+        out = T.bm25_topk(cdf, qdf, k=10, round_to=4).toPandas()
+        expect = self._expected(corpus, ["cat", "on", "mat"])
+        got = dict(zip(out["doc_id"], out["score"]))
+        assert got == expect  # doc 3 shares no token -> absent
+        # ranks follow score desc, doc_id asc
+        ranked = out.sort_values("rank")
+        assert list(ranked["doc_id"]) == sorted(
+            expect, key=lambda d: (-expect[d], d)
+        )
+
+    def test_topk_cut(self, spark):
+        corpus = {i: f"common w{i}" for i in range(6)}
+        cdf = spark.createDataFrame(
+            pd.DataFrame({"doc_id": list(corpus), "text": list(corpus.values())})
+        )
+        qdf = spark.createDataFrame(
+            pd.DataFrame({"query_id": [0], "text": ["common"]})
+        )
+        out = T.bm25_topk(cdf, qdf, k=3, round_to=4).toPandas()
+        # equal scores -> tie broken by ascending doc_id
+        assert sorted(out["doc_id"]) == [0, 1, 2]
+        assert len(out) == 3
+
+
+class TestUnigramLogprob:
+    def test_mle_probabilities(self, spark):
+        import math
+
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [0, 1, 2], "text": ["a a", "a b", ""]})
+        )
+        out = (
+            T.unigram_logprob(df, round_to=6)
+            .toPandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        # counts: a=3, b=1, total=4
+        lp0 = math.log(0.75)
+        lp1 = (math.log(0.75) + math.log(0.25)) / 2
+        assert list(out.index) == [0, 1]  # empty doc dropped
+        assert out.loc[0, "n_tokens"] == 2
+        assert out.loc[1, "n_tokens"] == 2
+        assert abs(out.loc[0, "logprob_mean"] - round(lp0, 6)) < 1e-9
+        assert abs(out.loc[1, "logprob_mean"] - round(lp1, 6)) < 1e-9
+        assert abs(out.loc[0, "perplexity"] - round(math.exp(-lp0), 6)) < 1e-9
+
+
+class TestSourceKLDrift:
+    def test_hand_computed(self, spark):
+        import math
+
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {"source": ["A", "B"], "text": ["a a b", "b b"]}
+            )
+        )
+        out = (
+            T.source_kl_drift(df, round_to=9)
+            .toPandas()
+            .set_index("source")
+            .sort_index()
+        )
+        # corpus: a=2, b=3, total 5 -> Q(a)=0.4, Q(b)=0.6
+        kl_a = (2 / 3) * math.log((2 / 3) / 0.4) + (1 / 3) * math.log((1 / 3) / 0.6)
+        kl_b = 1.0 * math.log(1.0 / 0.6)
+        assert out.loc["A", "n_tokens"] == 3
+        assert out.loc["B", "n_tokens"] == 2
+        assert abs(out.loc["A", "kl_divergence"] - kl_a) < 1e-8
+        assert abs(out.loc["B", "kl_divergence"] - kl_b) < 1e-8
+
+    def test_identical_sources_zero(self, spark):
+        df = spark.createDataFrame(
+            pd.DataFrame({"source": ["A", "B"], "text": ["x y z", "x y z"]})
+        )
+        out = T.source_kl_drift(df, round_to=9).toPandas()
+        assert (out["kl_divergence"].abs() < 1e-9).all()
