@@ -511,8 +511,10 @@ def q_shingle_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (MOSS) fingerprints: min-hash of each 4-window over
     5-gram rolling hashes, deduplicated per doc."""
+    from pd_utils_spark.utils import plan_barrier
+
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    out = pus_text.winnowing_fingerprints(d, k=5, window=4)
+    out = plan_barrier(pus_text.winnowing_fingerprints(d, k=5, window=4))
     return out.select("doc_id", F.explode("winnow_hashes").alias("winnow_hash"))
 
 

@@ -38,3 +38,32 @@ def numeric_cols(df: DataFrame, exclude: list[str] | None = None) -> list[str]:
 def quote(col: str) -> str:
     """Backtick-quote a column name for use in SQL expressions."""
     return "`" + col.replace("`", "``") + "`"
+
+
+_BARRIER_COUNT = [0]
+
+
+def plan_barrier(df: DataFrame, name: str | None = None) -> DataFrame:
+    """Optimizer barrier: force the columns of ``df`` to be computed in
+    their own projection instead of being inlined into the consumer.
+
+    Catalyst's CollapseProject folds adjacent projections, so an
+    expensive array expression consumed by ``explode`` becomes the
+    Generate operator's inline child — and Generate re-evaluates an
+    inline collection far more expensively than it reads a bound
+    attribute (measured 17.5 s vs 1.9 s on the winnowing fingerprint
+    explode at sf0.01; same pathology SCALE.md documents for the
+    shingle family). Inserting a ``CollectMetrics`` node (via
+    ``DataFrame.observe`` with a trivial count) blocks the collapse at
+    zero runtime cost: no shuffle, no caching, constant memory — unlike
+    a ``persist``, nothing must be evicted later.
+
+    Use between building an expensive array column and exploding it,
+    when the array is consumed exactly once (use ``persist`` instead
+    when several stages share the computed frame).
+    """
+    from pyspark.sql import functions as F
+
+    _BARRIER_COUNT[0] += 1
+    label = name or f"__plan_barrier_{_BARRIER_COUNT[0]}__"
+    return df.observe(label, F.count(F.lit(1)))

@@ -167,3 +167,29 @@ class TestCurationPlanShapes:
         plan = plan_of(D.dedup_minhash_against(batch, hist, bands=4))
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestPlanBarrier:
+    def test_winnowing_explode_reads_bound_attribute(self, spark):
+        """q_winnowing must explode a materialized array: the Generate
+        node's input is an attribute computed behind a CollectMetrics
+        barrier, never the inline winnow expression (Generate re-derives
+        inline collections — measured 34x slower at sf0.1)."""
+        import __spark_entry__ as entry
+
+        df = entry.queries()["winnowing"](spark, "/root/testdata/sf0.001")
+        plan = plan_of(df)
+        assert "CollectMetrics" in plan
+        # the Generate argument is a bare attribute reference
+        # (explode(winnow_hashes#N)), not a CASE WHEN / transform expr
+        gen = [seg for seg in plan.split("\n\n") if "Arguments: explode" in seg]
+        assert gen and "CASE WHEN" not in gen[0] and "transform(" not in gen[0]
+
+    def test_plan_barrier_blocks_collapse(self, spark):
+        from pd_utils_spark.utils import plan_barrier
+
+        base = spark.range(10).withColumn(
+            "arr", F.sequence(F.lit(1), (F.col("id") % 5 + 1).cast("int"))
+        )
+        plan = plan_of(plan_barrier(base).select(F.explode("arr")))
+        assert "CollectMetrics" in plan
