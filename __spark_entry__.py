@@ -559,6 +559,11 @@ def q_source_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pus_text.source_kl_drift(d, round_to=6)
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return pus_text.chunk_documents(d, chunk_tokens=32, stride=24)
+
+
 def _docs_with_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents unioned with an id-shifted copy of itself — a corpus
     with known duplicates for exercising dedup operators."""
@@ -1548,6 +1553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "unigram_logprob": q_unigram_logprob,
         "source_kl_drift": q_source_kl_drift,
+        "chunk_documents": q_chunk_documents,
         "dedup_exact": q_dedup_exact,
         "token_budget": q_token_budget,
         "dedup_minhash_against": q_dedup_minhash_against,
@@ -2497,6 +2503,26 @@ def oracle_sql() -> dict[str, str]:
                          6) AS kl_divergence
             FROM st JOIN stot USING (source) JOIN ct USING (token) CROSS JOIN ctot
             GROUP BY st.source
+        """,
+        "chunk_documents": """
+            WITH tok AS (
+                SELECT doc_id,
+                       CASE WHEN length(trim(text)) = 0 THEN []
+                            ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+                FROM documents
+            ), w AS (
+                SELECT doc_id, toks, len(toks) AS n,
+                       unnest(generate_series(
+                           0, cast(ceil(greatest(len(toks) - 32, 0) / 24.0) AS int)
+                       )) AS chunk_index
+                FROM tok WHERE len(toks) > 0
+            )
+            SELECT doc_id, cast(chunk_index AS int) AS chunk_index,
+                   array_to_string(toks[chunk_index * 24 + 1 : chunk_index * 24 + 32],
+                                   ' ') AS chunk_text,
+                   cast(least(32, n - (chunk_index * 24 + 1) + 1) AS int)
+                       AS n_chunk_tokens
+            FROM w
         """,
         "dedup_exact": f"""
             WITH u AS ({_SQL_DOC_UNION})

@@ -638,3 +638,71 @@ def source_kl_drift(
     if round_to is not None:
         out = out.withColumn("kl_divergence", F.round("kl_divergence", round_to))
     return out
+
+
+def chunk_documents(
+    df: DataFrame,
+    textcol: str = "text",
+    idcol: str = "doc_id",
+    chunk_tokens: int = 128,
+    stride: int | None = None,
+    out_text: str = "chunk_text",
+) -> DataFrame:
+    """Sliding-window document chunking (context-window prep for
+    training / RAG indexing): split each document's token sequence into
+    windows of ``chunk_tokens``, advancing ``stride`` tokens per window
+    (``stride == chunk_tokens`` -> disjoint chunks; smaller stride ->
+    overlapping chunks, the HF ``return_overflowing_tokens``
+    convention). Every token is covered; the final window may be
+    shorter. Empty documents produce no rows.
+
+    Output: (idcol, ``chunk_index`` 0-based, ``out_text``,
+    ``n_chunk_tokens``).
+
+    Plan shape: the token array is materialized once in its own
+    projection (bound attribute), then the ONLY thing exploded is the
+    cheap window-start index sequence — the chunk text is sliced AFTER
+    the explode, one slice per output row. This sidesteps the
+    Generate-re-derives-inline-collections trap (SCALE.md): no
+    expensive array of chunk strings is ever built pre-explode, and the
+    whole thing is row-local — no shuffle, no UDF, linear in output
+    tokens.
+    """
+    if chunk_tokens < 1:
+        raise ValueError(f"chunk_tokens must be >= 1: {chunk_tokens}")
+    stride = chunk_tokens if stride is None else stride
+    if not 1 <= stride <= chunk_tokens:
+        raise ValueError(
+            f"stride must be in [1, chunk_tokens={chunk_tokens}]: {stride}"
+        )
+    t = F.col(textcol)
+    toked = df.withColumn(
+        "__ck_toks__",
+        F.when(F.length(F.trim(t)) == 0, F.array().cast("array<string>")).otherwise(
+            _tokens(t)
+        ),
+    )
+    toks = F.col("__ck_toks__")
+    n = F.size(toks)
+    # number of windows = 1 + ceil(max(0, n - chunk) / stride); emit the
+    # 0-based window index and derive everything else per output row
+    n_extra = F.ceil(F.greatest(n - chunk_tokens, F.lit(0)) / F.lit(stride)).cast(
+        "int"
+    )
+    idx = F.when(n > 0, F.sequence(F.lit(0), n_extra)).otherwise(
+        F.array().cast("array<int>")
+    )
+    ex = toked.select(
+        F.col(idcol), toks.alias("__ck_toks__"), F.explode(idx).alias("chunk_index")
+    )
+    start = F.col("chunk_index") * stride + 1
+    return ex.select(
+        idcol,
+        "chunk_index",
+        F.concat_ws(" ", F.slice(F.col("__ck_toks__"), start, chunk_tokens)).alias(
+            out_text
+        ),
+        F.least(
+            F.lit(chunk_tokens), F.size("__ck_toks__") - start + 1
+        ).alias("n_chunk_tokens"),
+    )

@@ -369,3 +369,49 @@ class TestSourceKLDrift:
         )
         out = T.source_kl_drift(df, round_to=9).toPandas()
         assert (out["kl_divergence"].abs() < 1e-9).all()
+
+
+class TestChunkDocuments:
+    def test_overlapping_windows_cover_all_tokens(self, spark):
+        text = " ".join(f"t{i}" for i in range(1, 11))  # 10 tokens
+        df = spark.createDataFrame(pd.DataFrame({"doc_id": [0], "text": [text]}))
+        out = (
+            T.chunk_documents(df, chunk_tokens=4, stride=3)
+            .toPandas()
+            .sort_values("chunk_index")
+        )
+        # n=10, extra=ceil(6/3)=2 -> starts 1, 4, 7
+        assert list(out["chunk_index"]) == [0, 1, 2]
+        assert list(out["chunk_text"]) == [
+            "t1 t2 t3 t4",
+            "t4 t5 t6 t7",
+            "t7 t8 t9 t10",
+        ]
+        assert list(out["n_chunk_tokens"]) == [4, 4, 4]
+
+    def test_short_final_chunk_and_edge_cases(self, spark):
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": [0, 1, 2],
+                    "text": [" ".join(f"t{i}" for i in range(1, 11)), "solo", ""],
+                }
+            )
+        )
+        out = T.chunk_documents(df, chunk_tokens=4, stride=4).toPandas()
+        d0 = out[out.doc_id == 0].sort_values("chunk_index")
+        # disjoint: starts 1, 5, 9 -> sizes 4, 4, 2
+        assert list(d0["n_chunk_tokens"]) == [4, 4, 2]
+        assert list(d0["chunk_text"])[-1] == "t9 t10"
+        d1 = out[out.doc_id == 1]
+        assert list(d1["chunk_text"]) == ["solo"]
+        assert len(out[out.doc_id == 2]) == 0  # empty doc -> no chunks
+
+    def test_stride_validation(self, spark):
+        df = spark.createDataFrame(pd.DataFrame({"doc_id": [0], "text": ["a"]}))
+        import pytest
+
+        with pytest.raises(ValueError):
+            T.chunk_documents(df, chunk_tokens=4, stride=5)
+        with pytest.raises(ValueError):
+            T.chunk_documents(df, chunk_tokens=0)
