@@ -564,6 +564,22 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pus_text.chunk_documents(d, chunk_tokens=32, stride=24)
 
 
+def q_flag_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
+    )
+    return pus.flag_outliers(
+        li, subset="l_extendedprice", byvars="l_returnflag", method="mad"
+    )
+
+
+def q_flag_outliers_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    return pus.flag_outliers(li, subset="l_extendedprice", method="iqr", threshold=1.0)
+
+
 def _docs_with_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents unioned with an id-shifted copy of itself — a corpus
     with known duplicates for exercising dedup operators."""
@@ -1554,6 +1570,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": q_unigram_logprob,
         "source_kl_drift": q_source_kl_drift,
         "chunk_documents": q_chunk_documents,
+        "flag_outliers_mad": q_flag_outliers_mad,
+        "flag_outliers_iqr": q_flag_outliers_iqr,
         "dedup_exact": q_dedup_exact,
         "token_budget": q_token_budget,
         "dedup_minhash_against": q_dedup_minhash_against,
@@ -2503,6 +2521,35 @@ def oracle_sql() -> dict[str, str]:
                          6) AS kl_divergence
             FROM st JOIN stot USING (source) JOIN ct USING (token) CROSS JOIN ctot
             GROUP BY st.source
+        """,
+        "flag_outliers_mad": """
+            WITH med AS (
+                SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
+                       quantile_cont(cast(l_extendedprice AS double), 0.5)
+                           OVER (PARTITION BY l_returnflag) AS med
+                FROM lineitem
+            ), dev AS (
+                SELECT *, abs(cast(l_extendedprice AS double) - med) AS dev FROM med
+            ), m2 AS (
+                SELECT *, quantile_cont(dev, 0.5)
+                              OVER (PARTITION BY l_returnflag) AS mad
+                FROM dev
+            )
+            SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
+                   dev > 3.0 * 1.4826 * mad AS l_extendedprice_outlier
+            FROM m2
+        """,
+        "flag_outliers_iqr": """
+            WITH q AS (
+                SELECT quantile_cont(cast(l_extendedprice AS double), 0.25) AS q1,
+                       quantile_cont(cast(l_extendedprice AS double), 0.75) AS q3
+                FROM lineitem
+            )
+            SELECT l_orderkey, l_linenumber, l_extendedprice,
+                   (cast(l_extendedprice AS double) < q1 - 1.0 * (q3 - q1))
+                   OR (cast(l_extendedprice AS double) > q3 + 1.0 * (q3 - q1))
+                       AS l_extendedprice_outlier
+            FROM lineitem CROSS JOIN q
         """,
         "chunk_documents": """
             WITH tok AS (

@@ -17,6 +17,7 @@ from pd_utils_spark.operators.merge import (
 )
 from pd_utils_spark.operators.transform import (
     averages,
+    flag_outliers,
     join_col_strings,
     long_to_wide,
     state_abbrev,

@@ -326,3 +326,132 @@ def join_col_strings(df: DataFrame, cols: Union[str, list[str]], out_col: str = 
     cols = to_list(cols)
     parts = [F.coalesce(F.col(c).cast("string"), F.lit("nan")) for c in cols]
     return df.withColumn(out_col, F.concat_ws("_", *parts))
+
+
+def flag_outliers(
+    df: DataFrame,
+    subset: Optional[Union[str, list[str]]] = None,
+    byvars: Optional[Union[str, list[str]]] = None,
+    method: str = "zscore",
+    threshold: float = 3.0,
+    suffix: str = "_outlier",
+) -> DataFrame:
+    """Per-(group) outlier flags — the detection sibling of
+    ``winsorize`` (which clips): adds ``<col><suffix>`` boolean columns
+    without changing any value.
+
+    Methods (``threshold`` is the multiplier in each rule):
+
+    - ``'zscore'``: ``|x - mean| > threshold * stddev`` (sample stddev)
+    - ``'mad'``: ``|x - median| > threshold * 1.4826 * MAD`` where MAD
+      is the median absolute deviation (1.4826 makes MAD a consistent
+      sigma estimator for normal data — the robust z-score)
+    - ``'iqr'``: outside ``[q1 - threshold*iqr, q3 + threshold*iqr]``
+      (pass ``threshold=1.5`` for the Tukey fence)
+
+    Quantiles are exact ``percentile`` (linear interpolation) for
+    oracle equality, like ``winsorize``. Null inputs and undefined
+    scales (single-row groups have null stddev/zero MAD information)
+    propagate as null flags — both engines agree on this naturally.
+
+    Plan: grouped = window aggregates sharing ONE hash-partition
+    exchange on ``byvars`` (the mad/iqr second pass reuses the same
+    partitioning, so still a single shuffle); global = one-row
+    aggregates broadcast-cross-joined back, never a single-partition
+    window and never a driver round trip.
+    """
+    if method not in ("zscore", "mad", "iqr"):
+        raise ValueError(f"method must be zscore/mad/iqr: {method!r}")
+    byvars_l = to_list(byvars)
+    cols = to_list(subset) if subset is not None else numeric_cols(df, exclude=byvars_l)
+
+    def zscore_stats(c):
+        return {
+            "center": F.avg(F.col(c).cast("double")),
+            "scale": F.stddev_samp(F.col(c).cast("double")),
+        }
+
+    out = df
+    if byvars_l:
+        w = Window.partitionBy(*byvars_l)
+        for c in cols:
+            x = F.col(c).cast("double")
+            if method == "zscore":
+                flag = F.abs(x - F.avg(x).over(w)) > threshold * F.stddev_samp(x).over(w)
+            elif method == "mad":
+                med = F.expr(f"percentile(cast({quote(c)} as double), 0.5)").over(w)
+                out = out.withColumn("__med_" + c, med)
+                dev = F.abs(x - F.col("__med_" + c))
+                out = out.withColumn("__dev_" + c, dev)
+                mad = F.expr(f"percentile(__dev_{c}, 0.5)").over(w)
+                flag = F.col("__dev_" + c) > threshold * 1.4826 * mad
+            else:  # iqr
+                q1 = F.expr(f"percentile(cast({quote(c)} as double), 0.25)").over(w)
+                q3 = F.expr(f"percentile(cast({quote(c)} as double), 0.75)").over(w)
+                out = out.withColumn("__q1_" + c, q1).withColumn("__q3_" + c, q3)
+                iqr = F.col("__q3_" + c) - F.col("__q1_" + c)
+                flag = (x < F.col("__q1_" + c) - threshold * iqr) | (
+                    x > F.col("__q3_" + c) + threshold * iqr
+                )
+            out = out.withColumn(c + suffix, flag)
+        return out.select(*df.columns, *[c + suffix for c in cols])
+
+    # global: one-row aggregate(s), broadcast cross join — no
+    # single-partition window, no driver action
+    if method == "zscore":
+        aggs = []
+        for c in cols:
+            x = F.col(c).cast("double")
+            aggs += [F.avg(x).alias("__ctr_" + c), F.stddev_samp(x).alias("__scl_" + c)]
+        out = df.crossJoin(F.broadcast(df.agg(*aggs)))
+        for c in cols:
+            x = F.col(c).cast("double")
+            out = out.withColumn(
+                c + suffix,
+                F.abs(x - F.col("__ctr_" + c)) > threshold * F.col("__scl_" + c),
+            )
+    elif method == "mad":
+        meds = df.agg(
+            *[
+                F.expr(f"percentile(cast({quote(c)} as double), 0.5)").alias("__med_" + c)
+                for c in cols
+            ]
+        )
+        out = df.crossJoin(F.broadcast(meds))
+        mads = out.agg(
+            *[
+                F.expr(
+                    f"percentile(abs(cast({quote(c)} as double) - __med_{c}), 0.5)"
+                ).alias("__mad_" + c)
+                for c in cols
+            ]
+        )
+        out = out.crossJoin(F.broadcast(mads))
+        for c in cols:
+            x = F.col(c).cast("double")
+            out = out.withColumn(
+                c + suffix,
+                F.abs(x - F.col("__med_" + c))
+                > threshold * 1.4826 * F.col("__mad_" + c),
+            )
+    else:  # iqr
+        qs = df.agg(
+            *[
+                F.expr(f"percentile(cast({quote(c)} as double), 0.25)").alias("__q1_" + c)
+                for c in cols
+            ],
+            *[
+                F.expr(f"percentile(cast({quote(c)} as double), 0.75)").alias("__q3_" + c)
+                for c in cols
+            ],
+        )
+        out = df.crossJoin(F.broadcast(qs))
+        for c in cols:
+            x = F.col(c).cast("double")
+            iqr = F.col("__q3_" + c) - F.col("__q1_" + c)
+            out = out.withColumn(
+                c + suffix,
+                (x < F.col("__q1_" + c) - threshold * iqr)
+                | (x > F.col("__q3_" + c) + threshold * iqr),
+            )
+    return out.select(*df.columns, *[c + suffix for c in cols])

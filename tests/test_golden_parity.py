@@ -845,3 +845,66 @@ class TestTransformNullOrdervar:
         assert out.loc[1.0, "x_transform"] == 1.0
         assert out.loc[10.0, "x_transform"] == 11.0
         assert out.loc[100.0, "x_transform"] == 111.0
+
+
+class TestFlagOutliers:
+    """flag_outliers is an extension (no reference counterpart — the
+    detection sibling of winsorize); golden values computed with an
+    independent eager pandas implementation."""
+
+    data = pd.DataFrame(
+        {
+            "g": ["a"] * 6 + ["b"] * 5,
+            "x": [1.0, 2.0, 3.0, 4.0, 5.0, 100.0, 10.0, 10.0, 10.0, 10.0, -50.0],
+        }
+    )
+
+    def test_zscore_grouped(self, spark):
+        out = (
+            pus.flag_outliers(
+                spark.createDataFrame(self.data), subset="x", byvars="g",
+                method="zscore", threshold=1.5,
+            )
+            .toPandas()
+        )
+        exp = self.data.groupby("g")["x"].transform(
+            lambda s: (s - s.mean()).abs() > 1.5 * s.std()
+        )
+        assert list(out.sort_values(["g", "x"])["x_outlier"]) == list(
+            exp[self.data.sort_values(["g", "x"]).index]
+        )
+
+    def test_mad_grouped(self, spark):
+        out = (
+            pus.flag_outliers(
+                spark.createDataFrame(self.data), subset="x", byvars="g", method="mad"
+            )
+            .toPandas()
+            .sort_values(["g", "x"])
+        )
+
+        def mad_flags(s):
+            med = s.median()
+            mad = (s - med).abs().median()
+            return (s - med).abs() > 3.0 * 1.4826 * mad
+
+        exp = self.data.groupby("g")["x"].transform(mad_flags)
+        assert list(out["x_outlier"]) == list(exp[self.data.sort_values(["g", "x"]).index])
+
+    def test_iqr_global(self, spark):
+        out = (
+            pus.flag_outliers(
+                spark.createDataFrame(self.data), subset="x", method="iqr",
+                threshold=1.5,
+            )
+            .toPandas()
+            .sort_values("x")
+        )
+        s = self.data["x"]
+        q1, q3 = s.quantile(0.25), s.quantile(0.75)
+        exp = (s < q1 - 1.5 * (q3 - q1)) | (s > q3 + 1.5 * (q3 - q1))
+        assert list(out["x_outlier"]) == list(exp[self.data.sort_values("x").index])
+
+    def test_bad_method_raises(self, spark):
+        with pytest.raises(ValueError):
+            pus.flag_outliers(spark.createDataFrame(self.data), method="tukey")
