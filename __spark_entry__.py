@@ -866,6 +866,29 @@ def q_cohort_retention_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pus_events.cohort_retention(ev, period="month")
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based batch sessionization (30-min gap) rolled to per-session
+    stats — the row-labeling complement of the streaming session
+    window."""
+    ev = _t(spark, sf_dir, "events")
+    out = pus_events.session_stats(
+        ev, "user_id", "ts", gap_seconds=1800, tiebreak="event_id"
+    )
+    return out
+
+
+def q_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour per-user rolling mean/sum/count of event value —
+    evaluated as ONE bounded RANGE window pass (O(n) moving aggregate),
+    the rolling sibling of the reference's cumulate."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    out = pus_events.rolling_stats(
+        ev, "value", "ts", byvars="user_id", window_seconds=3600,
+        stats=("avg", "sum", "count"),
+    )
+    return _round_doubles(out.drop("value"))
+
+
 def q_top_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
     out = pus_events.top_k_per_group(
@@ -1598,6 +1621,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_rollup": q_time_rollup,
         "funnel": q_funnel,
         "cohort_retention": q_cohort_retention,
+        "sessionize": q_sessionize,
+        "rolling_stats": q_rolling_stats,
         "cohort_retention_monthly": q_cohort_retention_monthly,
         "top_k_per_group": q_top_k_per_group,
         "media_byte_features": q_media_byte_features,
@@ -3072,6 +3097,36 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), {r}) AS value_sum,
                    count(event_id) AS event_id_count
             FROM s GROUP BY user_id, sid
+        """,
+        "sessionize": """
+            WITH m AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                              OR floor(epoch(ts))::BIGINT
+                                 - floor(epoch(lag(ts) OVER w))::BIGINT > 1800
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+                SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                           ROWS UNBOUNDED PRECEDING) AS session_index
+                FROM m
+            )
+            SELECT user_id, session_index::BIGINT AS session_index,
+                   count(*) AS n_events,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   floor(epoch(max(ts)))::BIGINT - floor(epoch(min(ts)))::BIGINT
+                       AS duration_seconds
+            FROM s GROUP BY user_id, session_index
+        """,
+        "rolling_stats": f"""
+            SELECT event_id, user_id, ts,
+                   round(avg(value) OVER w, {r}) AS value_roll_avg,
+                   round(sum(value) OVER w, {r}) AS value_roll_sum,
+                   count(value) OVER w AS value_roll_count
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY floor(epoch(ts))::BIGINT
+                         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
         """,
         "events_json_props": f"""
             SELECT event_type,

@@ -545,10 +545,20 @@ def connected_components(
     documents.
     """
     a, b = F.col(src).alias("a"), F.col(dst).alias("b")
-    edges = pairs.select(a, b).filter(F.col("a") != F.col("b")).distinct()
+    # Materialize the edge list BEFORE the symmetrizing union: the union
+    # references `edges` twice, and an un-materialized self-union makes
+    # Spark execute the caller's (possibly very expensive — LSH+Jaccard)
+    # pair pipeline once PER BRANCH. Measured at sf0.1: checkpointing
+    # first halves the end-to-end connected_components query (~24s->12s).
+    edges = (
+        pairs.select(a, b)
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     sym = edges.unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint(eager=True)
+    )
 
     labels = sym.groupBy("a").agg(F.min("b").alias("__m__")).select(
         F.col("a").alias("__id__"), F.least("a", "__m__").alias("__c__")
@@ -642,10 +652,17 @@ def simhash(
     if not 1 <= bits <= 60:
         raise ValueError("bits must be in [1, 60]")
     # tokens materialized in their own projection before the explode —
-    # Generate re-derives inline-computed arrays (see SCALE.md)
-    toked = df.select(
-        F.col(idcol).alias("__sh_id__"),
-        _tokens(_norm(F.col(textcol))).alias("__sh_toks__"),
+    # Generate re-derives inline-computed arrays (see SCALE.md). The
+    # barrier also stops InferFiltersFromGenerate's size()>0 guard from
+    # re-deriving the tokenizer a second time inside a pre-Generate
+    # Filter (visible as split(...) inside the Filter condition).
+    from pd_utils_spark.utils import plan_barrier
+
+    toked = plan_barrier(
+        df.select(
+            F.col(idcol).alias("__sh_id__"),
+            _tokens(_norm(F.col(textcol))).alias("__sh_toks__"),
+        )
     )
     ex = (
         toked.select("__sh_id__", F.explode("__sh_toks__").alias("__w__"))
@@ -712,20 +729,30 @@ def simhash_near_dup_pairs(
     sh = simhash(df.select(idcol, textcol), textcol, bits, idcol=idcol).select(
         idcol, "simhash"
     )
-    parts = []
-    for bI in range(blocks):
-        mask = ((1 << width) - 1) << (bI * width)
-        parts.append(
-            sh.select(
-                idcol,
-                "simhash",
+    # ONE explode pass over (block, block_val) structs computed from the
+    # BOUND simhash column — cheap integer masks per row. The previous
+    # union-of-`blocks`-projections form re-executed the entire simhash
+    # aggregation once per branch (a union cannot reuse sibling plans;
+    # measured ~2.5x slower end-to-end at sf0.1).
+    block_structs = F.array(
+        *[
+            F.struct(
                 F.lit(bI).alias("block"),
-                F.col("simhash").bitwiseAND(F.lit(mask)).alias("block_val"),
+                F.col("simhash")
+                .bitwiseAND(F.lit(((1 << width) - 1) << (bI * width)))
+                .alias("block_val"),
             )
-        )
-    keyed = parts[0]
-    for p in parts[1:]:
-        keyed = keyed.unionByName(p)
+            for bI in range(blocks)
+        ]
+    )
+    keyed = sh.select(
+        idcol, "simhash", F.explode(block_structs).alias("__bk__")
+    ).select(
+        idcol,
+        "simhash",
+        F.col("__bk__.block").alias("block"),
+        F.col("__bk__.block_val").alias("block_val"),
+    )
     if max_bucket is not None:
         from pyspark.sql import Window
 
@@ -735,6 +762,13 @@ def simhash_near_dup_pairs(
             .filter(F.col("__n__") <= max_bucket)
             .drop("__n__")
         )
+    # Materialize before the self-join: the join sides are separate plan
+    # subtrees (broadcast one side under AQE), so without this the whole
+    # simhash aggregation + bucket-cap window executes once PER SIDE
+    # (verified in the physical plan; same re-execution pathology as the
+    # union it replaced). The keyed frame is tiny — one row per
+    # (doc, block).
+    keyed = keyed.localCheckpoint(eager=True)
     a, b = keyed.alias("a"), keyed.alias("b")
     cand = (
         a.join(

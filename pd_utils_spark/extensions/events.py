@@ -107,6 +107,114 @@ def cohort_retention(
     return out
 
 
+def sessionize(
+    df: DataFrame,
+    usercol: str = "user_id",
+    tscol: str = "ts",
+    gap_seconds: int = 1800,
+    tiebreak: str | Sequence[str] | None = None,
+    out: str = "session_index",
+) -> DataFrame:
+    """Gap-based batch sessionization: within each user, a new session
+    starts whenever the time since the previous event exceeds
+    ``gap_seconds``. Adds ``out`` = 1-based session number per user
+    (deterministic given a ``tiebreak`` for equal timestamps).
+
+    Classic lag-then-running-sum formulation: ONE shuffle on the user
+    key serves both the lag and the cumulative sum (same window
+    partitioning -> a single Exchange + sort in the plan). Contrast
+    with ``streaming.session_window_agg`` (the streaming/state-store
+    form): this one labels every ROW with its session, which the
+    window-agg form cannot do.
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(tscol)] + [F.col(c) for c in to_list(tiebreak)]
+    w = Window.partitionBy(usercol).orderBy(*order)
+    prev = F.lag(F.col(tscol)).over(w)
+    is_new = (
+        prev.isNull()
+        | ((F.col(tscol).cast("long") - prev.cast("long")) > gap_seconds)
+    ).cast("bigint")
+    return df.withColumn(
+        out,
+        F.sum(is_new).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+
+
+def session_stats(
+    df: DataFrame,
+    usercol: str = "user_id",
+    tscol: str = "ts",
+    gap_seconds: int = 1800,
+    tiebreak: str | Sequence[str] | None = None,
+) -> DataFrame:
+    """Per-session summary built on :func:`sessionize`: (user,
+    session_index, n_events, session_start, session_end,
+    duration_seconds). The group-by keys are a superset of the
+    sessionize window's partition key, so the aggregation reuses the
+    existing hash partitioning (no second full shuffle of the event
+    rows beyond the hash agg's own exchange on the finer key)."""
+    s = sessionize(df, usercol, tscol, gap_seconds, tiebreak)
+    return s.groupBy(usercol, "session_index").agg(
+        F.count("*").alias("n_events"),
+        F.min(tscol).alias("session_start"),
+        F.max(tscol).alias("session_end"),
+        (F.max(F.col(tscol).cast("long")) - F.min(F.col(tscol).cast("long"))).alias(
+            "duration_seconds"
+        ),
+    )
+
+
+def rolling_stats(
+    df: DataFrame,
+    valuecol: str,
+    tscol: str = "ts",
+    byvars: str | Sequence[str] | None = None,
+    window_seconds: int = 3600,
+    stats: Sequence[str] = ("avg", "sum", "min", "max", "count"),
+) -> DataFrame:
+    """Trailing time-window statistics per row: for each row, ``stats``
+    of ``valuecol`` over rows of the same ``byvars`` group whose
+    timestamp lies in ``[ts - window_seconds, ts]`` (inclusive both
+    ends — the ANSI RANGE frame). Adds ``{valuecol}_roll_{stat}``.
+
+    A RANGE window over the epoch-second ordering — evaluated in one
+    pass per group with a sliding frame (Spark's bounded-preceding
+    RANGE frame keeps a moving aggregate; work is O(n) per group, not
+    O(n * frame)). One shuffle on ``byvars``. The rolling sibling of
+    the reference's cumulative ``cumulate`` (pd_utils/cum.py), which
+    has no trailing-window form.
+    """
+    from pyspark.sql import Window
+
+    allowed = {"avg", "sum", "min", "max", "count"}
+    bad = set(stats) - allowed
+    if bad:
+        raise ValueError(f"unsupported stats {sorted(bad)}; allowed {sorted(allowed)}")
+    by = to_list(byvars)
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(tscol).cast("long"))
+        .rangeBetween(-window_seconds, 0)
+    )
+    v = F.col(valuecol)
+    exprs = {
+        "avg": F.avg(v),
+        "sum": F.sum(v),
+        "min": F.min(v),
+        "max": F.max(v),
+        "count": F.count(v),
+    }
+    out = df
+    cols = [
+        exprs[s].over(w).alias(f"{valuecol}_roll_{s}") for s in stats
+    ]
+    return out.select("*", *cols)
+
+
 def top_k_per_group(
     df: DataFrame,
     keys: str | Sequence[str],

@@ -104,3 +104,81 @@ class TestTopK:
         out = E.top_k_per_group(df, "g", "v", k=2, tiebreak="id").collect()
         got = {(r.g, r.rank): r.id for r in out}
         assert got == {(1, 1): 10, (1, 2): 11, (2, 1): 13}
+
+
+class TestSessionize:
+    def test_gap_sessions(self, ev):
+        out = {
+            (r.user_id, r.ts.isoformat()): r.session_index
+            for r in E.sessionize(ev, gap_seconds=600).collect()
+        }
+        # u1: 10:00, 10:05, 10:10 all within 10-min gaps -> one session
+        assert out[(1, "2024-01-01T10:00:00")] == 1
+        assert out[(1, "2024-01-01T10:10:00")] == 1
+        # u2: 09:00 then 09:30 -> 30-min gap > 600s -> new session
+        assert out[(2, "2024-01-02T09:00:00")] == 1
+        assert out[(2, "2024-01-02T09:30:00")] == 2
+
+    def test_session_stats(self, ev):
+        rows = {
+            (r.user_id, r.session_index): r
+            for r in E.session_stats(ev, gap_seconds=1800).collect()
+        }
+        # u3: 12:00, 12:30, 13:00 with 30-min gaps == gap_seconds -> one session
+        r3 = rows[(3, 1)]
+        assert r3.n_events == 3
+        assert r3.duration_seconds == 3600
+        # u1 one session of 3; u2 one session of 2 (30-min gap == limit)
+        assert rows[(1, 1)].n_events == 3
+        assert rows[(2, 1)].n_events == 2
+
+    def test_strict_gap_splits(self, ev):
+        rows = {
+            (r.user_id, r.session_index): r.n_events
+            for r in E.session_stats(ev, gap_seconds=1799).collect()
+        }
+        assert rows[(2, 1)] == 1 and rows[(2, 2)] == 1
+
+
+class TestRollingStats:
+    def test_trailing_window(self, spark):
+        import pandas as pd
+
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "g": ["a"] * 4,
+                    "ts": pd.to_datetime(
+                        [
+                            "2024-01-01 10:00:00",
+                            "2024-01-01 10:30:00",
+                            "2024-01-01 11:15:00",
+                            "2024-01-01 13:00:00",
+                        ]
+                    ),
+                    "v": [1.0, 2.0, 3.0, 4.0],
+                }
+            )
+        )
+        out = {
+            r.ts.isoformat(): (r.v_roll_sum, r.v_roll_count)
+            for r in E.rolling_stats(
+                df, "v", "ts", byvars="g", window_seconds=3600,
+                stats=("sum", "count"),
+            ).collect()
+        }
+        assert out["2024-01-01T10:00:00"] == (1.0, 1)
+        assert out["2024-01-01T10:30:00"] == (3.0, 2)
+        # 11:15 window [10:15, 11:15] -> rows at 10:30 and 11:15
+        assert out["2024-01-01T11:15:00"] == (5.0, 2)
+        # 13:00 window [12:00, 13:00] -> itself only
+        assert out["2024-01-01T13:00:00"] == (4.0, 1)
+
+    def test_bad_stat_rejected(self, spark):
+        import pandas as pd
+
+        df = spark.createDataFrame(
+            pd.DataFrame({"g": ["a"], "ts": pd.to_datetime(["2024-01-01"]), "v": [1.0]})
+        )
+        with pytest.raises(ValueError, match="unsupported"):
+            E.rolling_stats(df, "v", "ts", stats=("median",))
