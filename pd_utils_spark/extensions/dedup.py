@@ -315,6 +315,11 @@ def lsh_candidate_pairs(
         keyed = keyed.withColumn("__n__", F.count("*").over(w)).filter(
             F.col("__n__") <= max_bucket
         ).drop("__n__")
+    # Materialize before the self-join: the sides are separate subtrees
+    # (one is broadcast under AQE, so ReuseExchange cannot dedupe them)
+    # and an un-materialized keyed frame executes the minhash signature
+    # aggregation + banding once PER SIDE. One row per (doc, band).
+    keyed = keyed.localCheckpoint(eager=True)
     a = keyed.alias("a")
     b = keyed.alias("b")
     return (

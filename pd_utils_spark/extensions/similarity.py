@@ -401,6 +401,11 @@ def embedding_near_dup_pairs(
             .filter(F.col("__n__") <= max_bucket)
             .drop("__n__")
         )
+    # Materialize before the self-join: the sides are separate plan
+    # subtrees (one gets broadcast under AQE), so an un-materialized sig
+    # frame executes the planes x dims signature projection and the
+    # bucket-cap window once PER SIDE.
+    sig = sig.localCheckpoint(eager=True)
     a = sig.alias("a")
     b = sig.alias("b")
     pairs = (
