@@ -1076,6 +1076,63 @@ def q_sql_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sql_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume) shape: six-table star join with
+    a region filter — Catalyst broadcast-joins the three tiny dims
+    (region, nation, supplier) and shuffle-joins the two fact tables,
+    exactly the physical split a 100 TB run needs."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return pus.sql(
+        [li, o, c, s, n, r],
+        """
+        SELECT n.n_name,
+               round(sum(li.l_extendedprice * (1 - li.l_discount)), 4) AS revenue
+        FROM li_t li
+        JOIN o_t o ON li.l_orderkey = o.o_orderkey
+        JOIN c_t c ON o.o_custkey = c.c_custkey
+        JOIN s_t s ON li.l_suppkey = s.s_suppkey
+                  AND c.c_nationkey = s.s_nationkey
+        JOIN n_t n ON s.s_nationkey = n.n_nationkey
+        JOIN r_t r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+          AND o.o_orderdate >= DATE '1996-01-01'
+          AND o.o_orderdate < DATE '1997-01-01'
+        GROUP BY n.n_name
+        """,
+    )
+
+
+def q_sql_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting) shape: revenue lost to
+    returns per customer over a quarter; fact-fact join plus a
+    broadcast nation dim."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return pus.sql(
+        [li, o, c, n],
+        """
+        SELECT c.c_custkey, c.c_name,
+               round(sum(li.l_extendedprice * (1 - li.l_discount)), 4) AS revenue,
+               round(c.c_acctbal, 4) AS c_acctbal, n.n_name
+        FROM li_t li
+        JOIN o_t o ON li.l_orderkey = o.o_orderkey
+        JOIN c_t c ON o.o_custkey = c.c_custkey
+        JOIN n_t n ON c.c_nationkey = n.n_nationkey
+        WHERE o.o_orderdate >= DATE '1996-10-01'
+          AND o.o_orderdate < DATE '1997-01-01'
+          AND li.l_returnflag = 'R'
+        GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+        """,
+    )
+
+
 def q_apply_func_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
 
@@ -1392,6 +1449,17 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "split")
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted deterministic sample (A-ES keys, distributed
+    top-n): longer documents proportionally likelier, yet the draw is
+    a pure function of (doc_id, seed)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = pus_sample.weighted_sample(
+        d.withColumn("w", F.length("text")), n=50, weightcol="w", seed=7
+    )
+    return out.select("doc_id")
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language Bernoulli rates; langs absent from the map drop."""
     d = _t(spark, sf_dir, "documents")
@@ -1640,6 +1708,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "groupby_merge_median": q_groupby_merge_median,
         "sql_join": q_sql_join,
         "sql_tpch_q3": q_sql_tpch_q3,
+        "sql_tpch_q5": q_sql_tpch_q5,
+        "sql_tpch_q10": q_sql_tpch_q10,
         "apply_func_unique": q_apply_func_unique,
         "reg_by_stderr": q_reg_by_stderr,
         "fillna_str_first": q_fillna_str_first,
@@ -1671,6 +1741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "left_merge_latest_strkey": q_left_merge_latest_strkey,
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
+        "weighted_sample": q_weighted_sample,
         "interleave_sources": q_interleave_sources,
         "sample_n_per_group": q_sample_n_per_group,
         "decontaminate": q_decontaminate,
@@ -3318,6 +3389,34 @@ def oracle_sql() -> dict[str, str]:
             WHERE o.o_orderstatus = 'F'
             GROUP BY o.o_orderpriority
         """,
+        "sql_tpch_q5": """
+            SELECT n.n_name,
+                   round(sum(li.l_extendedprice * (1 - li.l_discount)), 4) AS revenue
+            FROM lineitem li
+            JOIN orders o ON li.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON li.l_suppkey = s.s_suppkey
+                           AND c.c_nationkey = s.s_nationkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name = 'ASIA'
+              AND o.o_orderdate >= DATE '1996-01-01'
+              AND o.o_orderdate < DATE '1997-01-01'
+            GROUP BY n.n_name
+        """,
+        "sql_tpch_q10": """
+            SELECT c.c_custkey, c.c_name,
+                   round(sum(li.l_extendedprice * (1 - li.l_discount)), 4) AS revenue,
+                   round(c.c_acctbal, 4) AS c_acctbal, n.n_name
+            FROM lineitem li
+            JOIN orders o ON li.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE o.o_orderdate >= DATE '1996-10-01'
+              AND o.o_orderdate < DATE '1997-01-01'
+              AND li.l_returnflag = 'R'
+            GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+        """,
         "sql_tpch_q3": """
             SELECT li.l_orderkey,
                    round(sum(li.l_extendedprice * (1 - li.l_discount)), 4) AS revenue,
@@ -3668,6 +3767,16 @@ def oracle_sql() -> dict[str, str]:
                               WHEN 'New York' THEN 'NY'
                               ELSE state END AS state
             FROM st
+        """,
+        "weighted_sample": f"""
+            SELECT doc_id FROM (
+                SELECT doc_id,
+                       pow({_sql_frac('doc_id', 7)}, 1.0 / length(text)) AS k
+                FROM documents
+                WHERE length(text) > 0
+                ORDER BY k DESC, doc_id
+                LIMIT 50
+            )
         """,
         "hash_split": f"""
             SELECT doc_id,

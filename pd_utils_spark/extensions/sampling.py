@@ -134,6 +134,42 @@ def stratified_sample(
     return df.filter(frac < rate)
 
 
+def weighted_sample(
+    df: DataFrame,
+    n: int,
+    weightcol: str,
+    idcol: str = "doc_id",
+    seed: int | str = 0,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (the
+    Efraimidis–Spirakis A-ES scheme): every row gets the key
+    ``u ** (1/w)`` with ``u`` = :func:`hash_fraction` of (id, seed)
+    and ``w`` its weight; the ``n`` largest keys are the sample, so a
+    row's inclusion chance scales with its weight while the whole
+    draw stays a pure function of (data, seed) — re-runs, appends and
+    repartitioning cannot change who was sampled.
+
+    Rows with null or non-positive weight are excluded (A-ES is
+    undefined there). Scale shape: one projection + a distributed
+    top-n (``TakeOrderedAndProject`` — each partition keeps its local
+    n, the driver merges; no global sort, no full shuffle), so it
+    holds at any corpus size for the small n a sampling step wants.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    w = F.col(weightcol).cast("double")
+    u = hash_fraction(F.col(idcol), seed)
+    key = F.pow(u, F.lit(1.0) / w)
+    return (
+        df.filter(w > 0)
+        .withColumn("__wkey__", key)
+        .filter(F.col("__wkey__").isNotNull())
+        .orderBy(F.desc("__wkey__"), F.col(idcol))
+        .limit(n)
+        .drop("__wkey__")
+    )
+
+
 def interleave_sources(
     df: DataFrame,
     target_weights: Mapping[str, float],

@@ -256,3 +256,49 @@ class TestTakeTokenBudget:
         assert take_token_budget(df, budget=0).count() == 0
         with _pytest.raises(ValueError, match="budget"):
             take_token_budget(df, budget=-1)
+
+
+class TestWeightedSample:
+    def test_deterministic_and_sized(self, spark):
+        import pandas as pd
+        from pd_utils_spark.extensions.sampling import weighted_sample
+
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": list(range(100)), "w": [1.0] * 100})
+        )
+        a = sorted(r.doc_id for r in weighted_sample(df, 10, "w", seed=3).collect())
+        b = sorted(r.doc_id for r in weighted_sample(df, 10, "w", seed=3).collect())
+        assert a == b and len(a) == 10
+        c = sorted(r.doc_id for r in weighted_sample(df, 10, "w", seed=4).collect())
+        assert a != c  # a different seed draws a different sample
+
+    def test_weight_bias(self, spark):
+        import pandas as pd
+        from pd_utils_spark.extensions.sampling import weighted_sample
+
+        # 50 heavy rows (w=100) vs 150 light rows (w=1): a 30-row draw
+        # should be dominated by heavy rows (each heavy row's key
+        # u^(1/100) ~ 1 while light keys are spread over [0, 1))
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": list(range(200)),
+                    "w": [100.0] * 50 + [1.0] * 150,
+                }
+            )
+        )
+        picked = [r.doc_id for r in weighted_sample(df, 30, "w", seed=0).collect()]
+        heavy = sum(1 for d in picked if d < 50)
+        assert heavy >= 25
+
+    def test_null_and_nonpositive_weights_excluded(self, spark):
+        import pandas as pd
+        import pytest as _pytest
+        from pd_utils_spark.extensions.sampling import weighted_sample
+
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1, 2, 3], "w": [0.0, -1.0, None]})
+        )
+        assert weighted_sample(df, 3, "w").count() == 0
+        with _pytest.raises(ValueError, match="n must"):
+            weighted_sample(df, 0, "w")
