@@ -1,0 +1,109 @@
+"""Physical-layout operators: multi-dimensional Z-order (Morton)
+clustering for data-skipping.
+
+Parquet readers prune row groups with min/max statistics, but the
+stats only help when each file covers a NARROW range of the filter
+column. Sorting by one column gives perfect pruning on that column
+and none on others; interleaving the bits of several columns' ranks
+(the Z-order curve) gives every clustered column locality at once, so
+a selective filter on ANY of them skips most files. This is the same
+layout trick Delta/Iceberg expose as OPTIMIZE ZORDER BY, built here
+from plain DataFrame expressions (engine extension; the reference
+pandas library has no storage-layout surface).
+
+Scale shape: one tiny min/max aggregate broadcast back onto the frame
+(no driver action, no collect), one pure-integer projection for the
+key, and one range repartition + in-partition sort for the write —
+the single full shuffle any clustering write must pay.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pd_utils_spark.utils import to_list
+
+
+def _quantize(col: Column, cmin: Column, cmax: Column, levels: int) -> Column:
+    """Linear map of ``col`` into [0, levels-1] given broadcast
+    min/max bounds; degenerate (min == max) and null values land in
+    bucket 0 so every row keeps a defined key."""
+    span = cmax - cmin
+    q = F.floor((col - cmin) / span * levels).cast("bigint")
+    q = F.least(F.greatest(q, F.lit(0)), F.lit(levels - 1))
+    return F.coalesce(F.when(span > 0, q), F.lit(0))
+
+
+def zorder_key(
+    df: DataFrame,
+    cols: str | Sequence[str],
+    bits: int = 8,
+    out: str = "zorder",
+) -> DataFrame:
+    """Add a Morton (Z-order) key interleaving the bit patterns of the
+    given numeric columns' quantized ranks: column i contributes bit b
+    of its ``bits``-wide bucket index to output bit ``b * ncols + i``.
+    Rows close in the key are close in EVERY clustered dimension.
+
+    Bounds come from one min/max aggregate joined back via a broadcast
+    single-row cross join — no driver action; the whole key is a lazy
+    integer projection, so it composes into write pipelines.
+    """
+    cols_l = to_list(cols)
+    if not cols_l:
+        raise ValueError("cols must be non-empty")
+    if bits < 1 or bits * len(cols_l) > 62:
+        raise ValueError(
+            f"bits * len(cols) must fit a signed 64-bit key, got "
+            f"{bits} * {len(cols_l)}"
+        )
+    levels = 1 << bits
+    aggs = []
+    for c in cols_l:
+        cd = F.col(c).cast("double")
+        aggs += [
+            F.min(cd).alias(f"__zmin_{c}__"),
+            F.max(cd).alias(f"__zmax_{c}__"),
+        ]
+    bounds = df.agg(*aggs)
+    with_bounds = df.crossJoin(F.broadcast(bounds))
+    key = F.lit(0).cast("bigint")
+    n = len(cols_l)
+    for i, c in enumerate(cols_l):
+        q = _quantize(
+            F.col(c).cast("double"),
+            F.col(f"__zmin_{c}__"),
+            F.col(f"__zmax_{c}__"),
+            levels,
+        )
+        for b in range(bits):
+            key = key + F.shiftleft(
+                F.shiftright(q, b).bitwiseAND(F.lit(1)), b * n + i
+            )
+    return with_bounds.withColumn(out, key).drop(
+        *[f"__zmin_{c}__" for c in cols_l], *[f"__zmax_{c}__" for c in cols_l]
+    )
+
+
+def zorder_by(
+    df: DataFrame,
+    cols: str | Sequence[str],
+    bits: int = 8,
+    num_files: int | None = None,
+) -> DataFrame:
+    """Cluster the frame along the Z-order curve of ``cols``: range
+    repartition on the Morton key (``num_files`` output partitions)
+    and sort within each partition, so a subsequent parquet write
+    emits files whose min/max spans are narrow in every clustered
+    column. Returns the clustered frame ready for ``.write``.
+    """
+    keyed = zorder_key(df, cols, bits)
+    parts = num_files or df.sparkSession.sparkContext.defaultParallelism
+    return (
+        keyed.repartitionByRange(parts, F.col("zorder"))
+        .sortWithinPartitions("zorder")
+        .drop("zorder")
+    )
