@@ -29,6 +29,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from pd_utils_spark.extensions.text import _tokens
+from pd_utils_spark.utils import materialize
 
 
 def _norm(textcol: Column) -> Column:
@@ -277,6 +278,29 @@ def lsh_band_keys(
     ).drop("__b__")
 
 
+_CAP_COUNT = [0]
+
+
+def _cap_buckets(
+    frame: DataFrame, key_cols: list[str], max_bucket: int, metric: str
+) -> DataFrame:
+    """Drop rows in (key_cols) buckets larger than ``max_bucket`` —
+    the flood guard shared by the whole LSH family. Emits an
+    ``observe`` metric (``<metric>_dropped_rows``) so callers can read
+    how many rows the cap removed from the last action's
+    ``QueryExecutionListener`` / ``Observation`` stream at zero extra
+    compute cost (no separate count job)."""
+    from pyspark.sql import Window
+
+    _CAP_COUNT[0] += 1
+    w = Window.partitionBy(*key_cols)
+    counted = frame.withColumn("__n__", F.count("*").over(w)).observe(
+        f"{metric}_{_CAP_COUNT[0]}",
+        F.sum((F.col("__n__") > max_bucket).cast("long")).alias("dropped_rows"),
+    )
+    return counted.filter(F.col("__n__") <= max_bucket).drop("__n__")
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     textcol: str = "text",
@@ -284,7 +308,7 @@ def lsh_candidate_pairs(
     k: int = 3,
     num_hashes: int = 12,
     bands: int = 4,
-    max_bucket: int | None = None,
+    max_bucket: int | None = 100_000,
     shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Distinct candidate id pairs (id_a < id_b) from MinHash-LSH
@@ -292,7 +316,16 @@ def lsh_candidate_pairs(
     only within buckets.
 
     ``max_bucket`` drops pathological buckets larger than the cap
-    (boilerplate floods) — a standard scale guard; None keeps all.
+    (boilerplate floods — e.g. millions of identical template pages
+    landing in one (band, key) bucket, which would make the candidate
+    self-join quadratic). Defaults to 100_000, matching
+    ``simhash_near_dup_pairs`` / ``embedding_near_dup_pairs``; pass
+    None to disable (exact-recall small corpora only). Docs in a
+    capped-out bucket usually still pair through their other bands,
+    and a 100k-deep bucket is already ~5e9 candidate pairs — past the
+    point where pairwise verification is the wrong tool (use
+    ``exact_dedup`` first). Dropped-row counts are observable via the
+    ``lsh_bucket_cap*`` observe metric.
     ``shingles``: optional precomputed ``shingle_sets`` frame to share
     shingle construction with other stages.
     """
@@ -309,17 +342,16 @@ def lsh_candidate_pairs(
     )
     keyed = lsh_band_keys(sigs, bands=bands).select(idcol, "band", "band_key")
     if max_bucket is not None:
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("band", "band_key")
-        keyed = keyed.withColumn("__n__", F.count("*").over(w)).filter(
-            F.col("__n__") <= max_bucket
-        ).drop("__n__")
+        keyed = _cap_buckets(keyed, ["band", "band_key"], max_bucket, "lsh_bucket_cap")
     # Materialize before the self-join: the sides are separate subtrees
     # (one is broadcast under AQE, so ReuseExchange cannot dedupe them)
     # and an un-materialized keyed frame executes the minhash signature
     # aggregation + banding once PER SIDE. One row per (doc, band).
-    keyed = keyed.localCheckpoint(eager=True)
+    # Lazy + fault-tolerant (persist, or reliable checkpoint when a
+    # checkpoint dir is set) — see utils.materialize; the previous
+    # eager localCheckpoint ran a full job at plan-construction time
+    # and its truncated lineage was unrecoverable on executor loss.
+    keyed = materialize(keyed)
     a = keyed.alias("a")
     b = keyed.alias("b")
     return (
@@ -411,7 +443,7 @@ def dedup_minhash_lsh(
     num_hashes: int = 12,
     bands: int = 4,
     threshold: float = 0.8,
-    max_bucket: int | None = None,
+    max_bucket: int | None = 100_000,
 ) -> DataFrame:
     """Near-dup deduplication: drop every doc that has a verified
     near-duplicate (n-gram Jaccard >= threshold among LSH candidates)
@@ -449,7 +481,7 @@ def dedup_minhash_against(
     num_hashes: int = 12,
     bands: int = 4,
     threshold: float = 0.8,
-    max_bucket: int | None = None,
+    max_bucket: int | None = 100_000,
 ) -> DataFrame:
     """Incremental near-dup dedup: drop rows of ``df`` whose n-gram
     Jaccard with ANY ``history`` document reaches ``threshold``, with
@@ -485,17 +517,8 @@ def dedup_minhash_against(
         F.col(idcol).alias("__hid__"), "band", "band_key"
     )
     if max_bucket is not None:
-        from pyspark.sql import Window
-
-        for name, frame in (("__bid__", bkeys), ("__hid__", hkeys)):
-            w = Window.partitionBy("band", "band_key")
-            capped = frame.withColumn("__n__", F.count("*").over(w)).filter(
-                F.col("__n__") <= max_bucket
-            ).drop("__n__")
-            if name == "__bid__":
-                bkeys = capped
-            else:
-                hkeys = capped
+        bkeys = _cap_buckets(bkeys, ["band", "band_key"], max_bucket, "lsh_bucket_cap")
+        hkeys = _cap_buckets(hkeys, ["band", "band_key"], max_bucket, "lsh_bucket_cap")
     cand = bkeys.join(hkeys, ["band", "band_key"]).select("__bid__", "__hid__").distinct()
     j = (
         cand.join(
@@ -524,6 +547,7 @@ def connected_components(
     dst: str = "id_b",
     out: str = "component",
     max_iter: int = 50,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components of the undirected graph given as id pairs:
     ``(node, component)`` for every node appearing in ``pairs``, where
@@ -543,31 +567,49 @@ def connected_components(
     (one shuffle: edge join + groupBy), then (b) labels are replaced
     by their label's label (one self-join) — path halving, so chains
     converge in O(log n) rounds instead of O(n). Labels are
-    ``localCheckpoint``-ed per round to truncate lineage; convergence
-    is one ``limit(1).count()`` action on the changed-rows frame. At
-    100 TB the edge frame (near-dup pairs) is orders of magnitude
-    smaller than the corpus — the rounds shuffle pairs, never
-    documents.
+    checkpointed per round to truncate lineage (iterative plans grow
+    without bound otherwise); convergence is one ``limit(1).count()``
+    action on the changed-rows frame. At 100 TB the edge frame
+    (near-dup pairs) is orders of magnitude smaller than the corpus —
+    the rounds shuffle pairs, never documents.
+
+    ``checkpoint_dir``: when set, per-round label frames use RELIABLE
+    checkpointing (``sparkContext.setCheckpointDir(checkpoint_dir)`` +
+    ``df.checkpoint()``) — blocks land on the shared checkpoint store
+    (HDFS/S3), so an executor loss mid-run recovers and a long 100 TB
+    dedup job survives dynamic allocation. The default (None) keeps
+    ``localCheckpoint``: faster (executor-local blocks, no FS
+    round-trip) but an executor loss after a round is job-fatal
+    because the truncated lineage cannot recompute the lost blocks —
+    fine for local / small runs, not for multi-hour cluster jobs.
     """
+    spark = pairs.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _ckpt(d: DataFrame) -> DataFrame:
+        return d.checkpoint(eager=True) if checkpoint_dir is not None else d.localCheckpoint(eager=True)
+
     a, b = F.col(src).alias("a"), F.col(dst).alias("b")
     # Materialize the edge list BEFORE the symmetrizing union: the union
     # references `edges` twice, and an un-materialized self-union makes
     # Spark execute the caller's (possibly very expensive — LSH+Jaccard)
     # pair pipeline once PER BRANCH. Measured at sf0.1: checkpointing
     # first halves the end-to-end connected_components query (~24s->12s).
-    edges = (
+    edges = _ckpt(
         pairs.select(a, b)
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     sym = edges.unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
 
-    labels = sym.groupBy("a").agg(F.min("b").alias("__m__")).select(
-        F.col("a").alias("__id__"), F.least("a", "__m__").alias("__c__")
-    ).localCheckpoint(eager=True)
+    labels = _ckpt(
+        sym.groupBy("a").agg(F.min("b").alias("__m__")).select(
+            F.col("a").alias("__id__"), F.least("a", "__m__").alias("__c__")
+        )
+    )
 
     for _ in range(max_iter):
         # (a) propagate: c(v) <- min(c(v), min_{u in N(v)} c(u))
@@ -597,7 +639,8 @@ def connected_components(
             F.least(
                 F.col("x.__c__"), F.coalesce(F.col("y.__jc__"), F.col("x.__c__"))
             ).alias("__c__"),
-        ).localCheckpoint(eager=True)
+        )
+        jump = _ckpt(jump)
         changed = jump.filter(F.col("__c__") != F.col("__prev__")).limit(1).count()
         labels = jump.select("__id__", "__c__")
         if changed == 0:
@@ -615,6 +658,7 @@ def dedup_connected(
     idcol: str = "doc_id",
     src: str = "id_a",
     dst: str = "id_b",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Transitive near-dup deduplication: one survivor (the smallest
     id) per connected component of the near-dup pair graph; docs in no
@@ -627,7 +671,7 @@ def dedup_connected(
     evidence. One CC run over the (small) pair frame + one left-anti
     join on the corpus.
     """
-    comp = connected_components(pairs, src, dst)
+    comp = connected_components(pairs, src, dst, checkpoint_dir=checkpoint_dir)
     losers = comp.filter(F.col(src) != F.col("component")).select(
         F.col(src).alias(idcol)
     )
@@ -759,21 +803,14 @@ def simhash_near_dup_pairs(
         F.col("__bk__.block_val").alias("block_val"),
     )
     if max_bucket is not None:
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("block", "block_val")
-        keyed = (
-            keyed.withColumn("__n__", F.count("*").over(w))
-            .filter(F.col("__n__") <= max_bucket)
-            .drop("__n__")
-        )
+        keyed = _cap_buckets(keyed, ["block", "block_val"], max_bucket, "simhash_bucket_cap")
     # Materialize before the self-join: the join sides are separate plan
     # subtrees (broadcast one side under AQE), so without this the whole
     # simhash aggregation + bucket-cap window executes once PER SIDE
     # (verified in the physical plan; same re-execution pathology as the
     # union it replaced). The keyed frame is tiny — one row per
-    # (doc, block).
-    keyed = keyed.localCheckpoint(eager=True)
+    # (doc, block). Lazy + fault-tolerant (see utils.materialize).
+    keyed = materialize(keyed)
     a, b = keyed.alias("a"), keyed.alias("b")
     cand = (
         a.join(

@@ -404,8 +404,12 @@ def embedding_near_dup_pairs(
     # Materialize before the self-join: the sides are separate plan
     # subtrees (one gets broadcast under AQE), so an un-materialized sig
     # frame executes the planes x dims signature projection and the
-    # bucket-cap window once PER SIDE.
-    sig = sig.localCheckpoint(eager=True)
+    # bucket-cap window once PER SIDE. Lazy + fault-tolerant (persist,
+    # or reliable checkpoint when a checkpoint dir is configured) —
+    # see utils.materialize.
+    from pd_utils_spark.utils import materialize
+
+    sig = materialize(sig)
     a = sig.alias("a")
     b = sig.alias("b")
     pairs = (

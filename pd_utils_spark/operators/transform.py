@@ -221,9 +221,12 @@ def long_to_wide(
     reference uses physical row order; Spark needs it explicit).
 
     Exact duplicate rows are dropped first with a warning, like the
-    reference. Implemented as ``groupBy(groupvars).pivot(colindex)
-    .agg(first(value))`` — Spark's native pivot; the pivot column set is
-    computed in one pass and the agg is a single shuffle.
+    reference. Implemented as one ``groupBy(groupvars)`` with a
+    conditional aggregate ``first(when(colindex = v, value))`` per
+    output column — a SINGLE shuffle for any number of ``values``
+    (Spark's native ``pivot`` pays an extra internal Exchange, and a
+    pivot-per-value would pay V of everything); the pivot column set
+    is computed in one prior pass.
 
     ``max_columns`` guards the pivot width: the distinct colindex
     values become driver-side column metadata (as in Spark's own
@@ -267,22 +270,32 @@ def long_to_wide(
         )
     pivot_vals = sorted(v for v in pivot_vals if v is not None)
 
-    wides = []
+    # ONE aggregation for ALL (value, colindex) output columns, as
+    # conditional aggregates `first(when(idx = pv, value))` — a single
+    # partial-agg + Exchange + final-agg, already in the target
+    # `<value><colindex>` names. (Spark's native `pivot` internally
+    # runs TWO aggregations — an extra Exchange — and the earlier
+    # one-pivot-per-value form paid V pivots + V joins on top; at
+    # sf0.1 this form is ~3x faster for 2 values.)
+    aggs = []
     for value in values:
-        wide = df.groupBy(*groupvars).pivot(idx_col, pivot_vals).agg(F.first(value, ignorenulls=True))
-        if not colindex_only:
-            renames = {v: f"{value}{v}" for v in pivot_vals}
-        else:
-            renames = {v: str(v).strip("_") for v in pivot_vals}
-        for old, new in renames.items():
-            wide = wide.withColumnRenamed(old, new)
-        wides.append(wide)
+        for pv in pivot_vals:
+            name = str(pv).strip("_") if colindex_only else f"{value}{pv}"
+            aggs.append(
+                F.first(
+                    F.when(F.col(idx_col) == F.lit(pv), F.col(value)),
+                    ignorenulls=True,
+                ).alias(name)
+            )
+    wide = df.groupBy(*groupvars).agg(*aggs)
 
-    base = df.select(*[c for c in df.columns if c in carry or c in groupvars]).drop(idx_col)
-    combined = base
-    for wide in wides:
-        combined = combined.join(wide, on=groupvars, how="left")
-    return combined.dropDuplicates()
+    carry = [c for c in carry if c not in groupvars]
+    if not carry:
+        # the aggregate is already one unique row per group — no join,
+        # no dropDuplicates needed
+        return wide
+    base = df.select(*[c for c in df.columns if c in carry or c in groupvars])
+    return base.join(wide, on=groupvars, how="left").dropDuplicates()
 
 
 _STATES_TO_ABBREV = {

@@ -40,6 +40,45 @@ def quote(col: str) -> str:
     return "`" + col.replace("`", "``") + "`"
 
 
+def materialize(df: DataFrame, eager: bool = False) -> DataFrame:
+    """Compute-once materialization of ``df`` for multiply-referenced
+    subtrees (e.g. both sides of a self-join, where ReuseExchange
+    cannot dedupe the separate subtrees and the upstream pipeline
+    would otherwise execute once PER reference).
+
+    Fault-tolerance-aware choice of mechanism:
+
+    - If the SparkContext has a **reliable checkpoint dir** configured
+      (``sparkContext.setCheckpointDir``), uses ``df.checkpoint()`` —
+      data lands on the (replicated) checkpoint store, so an executor
+      loss mid-job does not lose the materialized blocks. This is the
+      right mode for 100 TB runs with dynamic allocation.
+    - Otherwise ``persist(MEMORY_AND_DISK)`` — lazily cached, computed
+      once at first action and shared by every reference; on executor
+      loss the lost blocks are *recomputed from lineage* (slower, but
+      never job-fatal, unlike ``localCheckpoint`` whose truncated
+      lineage makes lost blocks unrecoverable).
+
+    ``eager=False`` (default) keeps plan construction free — building
+    the DataFrame (or calling ``.explain``) runs no job; the first
+    action pays the materialization. Set ``eager=True`` only when a
+    driver-side loop needs the result pinned before iterating.
+    """
+    from pyspark import StorageLevel
+
+    sc = df.sparkSession.sparkContext
+    try:
+        has_ckpt_dir = sc.getCheckpointDir() is not None
+    except Exception:
+        has_ckpt_dir = False
+    if has_ckpt_dir:
+        return df.checkpoint(eager=eager)
+    out = df.persist(StorageLevel.MEMORY_AND_DISK)
+    if eager:
+        out.count()
+    return out
+
+
 _BARRIER_COUNT = [0]
 
 

@@ -72,6 +72,38 @@ class TestMinhashLSH:
         capped = D.lsh_candidate_pairs(same, bands=4, max_bucket=2)
         assert capped.count() == 0
 
+    def test_max_bucket_defaults_scale_safe(self):
+        # the whole LSH family defaults to the 100k flood cap — an
+        # uncapped default lets one boilerplate cluster (millions of
+        # identical pages in one (band, key) bucket) drive the
+        # candidate self-join quadratic at corpus scale
+        import inspect
+
+        for fn in (D.lsh_candidate_pairs, D.dedup_minhash_lsh, D.dedup_minhash_against):
+            assert inspect.signature(fn).parameters["max_bucket"].default == 100_000, fn
+
+    def test_boilerplate_flood_candidate_count_bounded(self, spark):
+        # 10k identical docs: uncapped LSH banding would emit
+        # ~10k^2/2 = 5e7 candidate pairs; the bucket cap drops the
+        # flooded buckets so the candidate count stays 0
+        n = 10_000
+        same = spark.createDataFrame(
+            pd.DataFrame({"doc_id": range(n), "text": ["boilerplate page body"] * n})
+        )
+        capped = D.lsh_candidate_pairs(same, bands=4, max_bucket=1_000)
+        assert capped.count() == 0
+        # and real near-dups below the cap still pair up unaffected
+        mixed = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": [100_001, 100_002],
+                    "text": ["a genuinely unique document body here"] * 2,
+                }
+            )
+        ).unionByName(same.limit(0))
+        got = D.lsh_candidate_pairs(mixed, bands=4, max_bucket=1_000).collect()
+        assert [(r.id_a, r.id_b) for r in got] == [(100_001, 100_002)]
+
 
 class TestSimhash:
     def test_identical_normalized_docs_equal(self, docs):
@@ -175,6 +207,22 @@ class TestConnectedComponents:
         pairs = self._pairs(spark, [(i, i + 1) for i in range(40)])
         with pytest.raises(RuntimeError, match="converge"):
             D.connected_components(pairs, max_iter=1)
+
+    def test_reliable_checkpoint_dir(self, spark, tmp_path):
+        # checkpoint_dir switches per-round materialization to
+        # RELIABLE checkpoints (survives executor loss on a cluster);
+        # convergence and labels must be identical to the local path
+        ckpt = str(tmp_path / "cc_ckpt")
+        pairs = self._pairs(spark, [(1, 2), (2, 3), (10, 11)])
+        got = {
+            r.id_a: r.component
+            for r in D.connected_components(pairs, checkpoint_dir=ckpt).collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+        import os
+
+        # reliable checkpoint files actually landed in the dir
+        assert any(os.scandir(ckpt))
 
 
 class TestDedupConnected:

@@ -158,6 +158,19 @@ class TestCurationPlanShapes:
         assert plan.count("+- Exchange") == 1
         assert "hashpartitioning(source" in plan
 
+    def test_long_to_wide_multi_value_single_aggregation(self, spark, li):
+        """Multi-value pivot must be ONE conditional aggregation — not
+        Spark's two-agg native pivot, and never a pivot+join per value
+        (the round-2 shape: V+1 Exchanges + V joins)."""
+        df = li.select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        out = pus.long_to_wide(
+            df, "l_orderkey", ["l_quantity", "l_extendedprice"], colindex="l_linenumber"
+        )
+        plan = plan_of(out)
+        assert "Join" not in plan  # no per-value rejoin
+        # dropDuplicates (reference parity) + the single pivot agg
+        assert plan.count("+- Exchange") <= 2
+
     def test_dedup_minhash_against_joins_on_band_keys(self, spark):
         from pd_utils_spark.extensions import dedup as D
 
