@@ -592,6 +592,48 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pus_dedup.exact_dedup(u).select("doc_id")
 
 
+def _docs_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic multi-line corpus for line-level dedup: each doc gets
+    a per-source header line, its body, and a global footer line; docs
+    with doc_id % 5 == 0 also appear as an id-shifted copy (duplicated
+    bodies). Headers repeat across a source, the footer across the
+    whole corpus, bodies repeat only for the copied docs."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    dup = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "source", "text"
+    )
+    return d.unionByName(dup).select(
+        "doc_id",
+        F.concat(
+            F.lit("header for "),
+            F.col("source"),
+            F.lit("\n"),
+            F.col("text"),
+            F.lit("\nshared global footer line"),
+        ).alias("text"),
+    )
+
+
+def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level (C4-style boilerplate) dedup: lines appearing in >1
+    doc are removed from every doc; rebuilt text is md5'd so the full
+    surviving content is hash-checked without hauling it around."""
+    aug = _docs_multiline(spark, sf_dir)
+    out = pus_dedup.dedup_lines(aug)
+    return out.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("dedup_hash"),
+        F.size(F.split(F.col("text"), "\n")).alias("n_lines"),
+    )
+
+
+def q_repeated_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate diagnostic: distinct normalized lines with document
+    frequency >= 2 (what dedup_lines would remove)."""
+    aug = _docs_multiline(spark, sf_dir)
+    return pus_dedup.repeated_lines(aug, min_docs=2)
+
+
 def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     sig = pus_dedup.minhash_signature(d, k=3, num_hashes=12)
@@ -1664,6 +1706,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flag_outliers_mad": q_flag_outliers_mad,
         "flag_outliers_iqr": q_flag_outliers_iqr,
         "dedup_exact": q_dedup_exact,
+        "dedup_lines": q_dedup_lines,
+        "repeated_lines": q_repeated_lines,
         "token_budget": q_token_budget,
         "dedup_minhash_against": q_dedup_minhash_against,
         "minhash_signature": q_minhash_signature,
@@ -1779,6 +1823,16 @@ _SQL_SHINGLES = (
 _SQL_DOC_UNION = (
     "SELECT doc_id, text FROM documents "
     "UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents"
+)
+# mirrors _docs_multiline: per-source header + body + global footer,
+# with id-shifted copies of every 5th doc (duplicated bodies)
+_SQL_DOCS_MULTILINE = (
+    "SELECT doc_id, 'header for ' || source || chr(10) || text || chr(10) || "
+    "'shared global footer line' AS text FROM documents "
+    "UNION ALL "
+    "SELECT doc_id + 100000 AS doc_id, 'header for ' || source || chr(10) || text "
+    "|| chr(10) || 'shared global footer line' AS text FROM documents "
+    "WHERE doc_id % 5 = 0"
 )
 _EN_STOPS = ("the", "a", "and", "is", "not", "of", "to", "in")
 
@@ -2671,6 +2725,54 @@ def oracle_sql() -> dict[str, str]:
             WITH u AS ({_SQL_DOC_UNION})
             SELECT min(doc_id) AS doc_id
             FROM u GROUP BY md5({_SQL_NORM})
+        """,
+        "dedup_lines": f"""
+            WITH aug AS ({_SQL_DOCS_MULTILINE}),
+            split AS (
+                SELECT doc_id, regexp_split_to_array(text, chr(10)) AS ls FROM aug
+            ),
+            lines AS (
+                SELECT doc_id, unnest(ls) AS line,
+                       generate_subscripts(ls, 1) AS pos
+                FROM split
+            ),
+            norm AS (
+                SELECT doc_id, pos, line,
+                       md5(trim(regexp_replace(lower(line), '\\s+', ' ', 'g'))) AS fp
+                FROM lines
+            ),
+            bad AS (
+                SELECT fp FROM (
+                    SELECT fp, count(DISTINCT doc_id) AS nd FROM norm GROUP BY fp
+                ) WHERE nd > 1
+            ),
+            kept AS (
+                SELECT n.doc_id, n.pos, n.line
+                FROM norm n LEFT JOIN bad b USING (fp) WHERE b.fp IS NULL
+            ),
+            rebuilt AS (
+                SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS t
+                FROM kept GROUP BY doc_id
+            )
+            SELECT a.doc_id, md5(coalesce(r.t, '')) AS dedup_hash,
+                   len(regexp_split_to_array(coalesce(r.t, ''), chr(10)))::INT
+                       AS n_lines
+            FROM aug a LEFT JOIN rebuilt r USING (doc_id)
+        """,
+        "repeated_lines": f"""
+            WITH aug AS ({_SQL_DOCS_MULTILINE}),
+            split AS (
+                SELECT doc_id, regexp_split_to_array(text, chr(10)) AS ls FROM aug
+            ),
+            lines AS (SELECT doc_id, unnest(ls) AS line FROM split),
+            norm AS (
+                SELECT doc_id,
+                       trim(regexp_replace(lower(line), '\\s+', ' ', 'g')) AS nl
+                FROM lines
+            ),
+            freq AS (SELECT nl, count(DISTINCT doc_id) AS n_docs FROM norm GROUP BY nl)
+            SELECT nl AS line, n_docs FROM freq WHERE n_docs >= 2
+            ORDER BY n_docs DESC, line
         """,
         "token_budget": f"""
             WITH n AS (

@@ -541,6 +541,113 @@ def dedup_minhash_against(
     return df.join(hits, idcol, "left_anti")
 
 
+def dedup_lines(
+    df: DataFrame,
+    textcol: str = "text",
+    idcol: str = "doc_id",
+    max_docs: int = 1,
+    min_chars: int = 0,
+    normalize: bool = True,
+    sep: str = "\n",
+) -> DataFrame:
+    """Line/paragraph-level deduplication: remove every line whose
+    (normalized) content appears in MORE than ``max_docs`` distinct
+    documents, then reassemble each document from its surviving lines
+    in original order — the C4/RefinedWeb-style repeated-boilerplate
+    removal that whole-document dedup cannot express (nav bars, cookie
+    banners, license footers repeat across docs whose bodies differ).
+
+    - ``max_docs=1``: a line may appear in only one document; any line
+      shared across documents is removed from ALL of them (the strict
+      C4 rule is "three-sentence span seen before"; the unit here is
+      the line/paragraph, the granularity corpus pipelines typically
+      use for web text).
+    - ``min_chars``: lines whose normalized form is shorter than this
+      are exempt (always kept) — protects blank lines and short
+      separators from being treated as cross-doc duplicates.
+    - Documents whose every line is removed keep an empty string.
+
+    Scale shape: split+posexplode is map-only; the doc-frequency count
+    is one distinct + one partial-agg on the line fingerprint; the
+    over-threshold fingerprint set (repeated boilerplate only — far
+    smaller than the distinct-line universe) anti-joins back (AQE
+    broadcasts it when small); reassembly is one groupBy(id) with
+    ``array_sort(collect_list(struct(pos, line)))``. Nothing is ever
+    all-pairs and no driver action runs.
+    """
+    t = F.col(textcol)
+    lines = df.select(
+        F.col(idcol), F.posexplode_outer(F.split(t, sep)).alias("__pos__", "__line__")
+    )
+    norm = _norm(F.col("__line__")) if normalize else F.col("__line__")
+    lines = lines.withColumn("__fp__", F.md5(norm.cast("string"))).withColumn(
+        "__exempt__", F.length(norm) < min_chars
+    )
+    bad = (
+        lines.filter(~F.col("__exempt__"))
+        .select("__fp__", idcol)
+        .distinct()
+        .groupBy("__fp__")
+        .agg(F.count("*").alias("__nd__"))
+        .filter(F.col("__nd__") > max_docs)
+        .select("__fp__")
+    )
+    kept = lines.join(bad, "__fp__", "left_anti")
+    rebuilt = kept.groupBy(idcol).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos__", "__line__"))),
+                lambda s: s["__line__"],
+            ),
+            sep,
+        ).alias("__rebuilt__")
+    )
+    joined = df.join(rebuilt, idcol, "left")
+    return joined.select(
+        *[
+            F.coalesce(F.col("__rebuilt__"), F.lit("")).alias(c)
+            if c == textcol
+            else F.col(c)
+            for c in df.columns
+        ]
+    )
+
+
+def repeated_lines(
+    df: DataFrame,
+    textcol: str = "text",
+    idcol: str = "doc_id",
+    min_docs: int = 2,
+    min_chars: int = 0,
+    normalize: bool = True,
+    sep: str = "\n",
+) -> DataFrame:
+    """Diagnostic companion to ``dedup_lines``: the distinct lines
+    appearing in at least ``min_docs`` documents, with their document
+    frequency — ``(line, n_docs)``, highest frequency first. Surfaces
+    WHAT the boilerplate is before committing to removal (tune
+    ``max_docs`` / blocklists from this). Same map-side explode + one
+    count aggregation; output is the (small) repeated-line set only.
+    """
+    t = F.col(textcol)
+    lines = df.select(
+        F.col(idcol), F.explode_outer(F.split(t, sep)).alias("__line__")
+    )
+    norm = _norm(F.col("__line__")) if normalize else F.col("__line__")
+    lines = lines.withColumn("__norm__", norm).filter(
+        F.length("__norm__") >= min_chars
+    )
+    return (
+        lines.select("__norm__", idcol)
+        .distinct()
+        .groupBy("__norm__")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select(F.col("__norm__").alias("line"), "n_docs")
+        .orderBy(F.desc("n_docs"), "line")
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "id_a",

@@ -176,6 +176,73 @@ class TestExactDedupAgainst:
         assert [r.doc_id for r in kept] == [10]
 
 
+class TestDedupLines:
+    DOCS = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "src": ["a", "b", "c"],
+            "text": [
+                "unique body one\nCopyright Footer 2024\nmore unique text",
+                "unique body two\ncopyright  footer 2024",
+                "totally standalone document",
+            ],
+        }
+    )
+
+    def test_shared_line_removed_from_all_docs(self, spark):
+        df = spark.createDataFrame(self.DOCS)
+        got = {r.doc_id: r.text for r in D.dedup_lines(df).collect()}
+        # the footer (normalization-equal in docs 1 and 2) is gone everywhere
+        assert got[1] == "unique body one\nmore unique text"
+        assert got[2] == "unique body two"
+        assert got[3] == "totally standalone document"
+
+    def test_other_columns_and_order_preserved(self, spark):
+        df = spark.createDataFrame(self.DOCS)
+        out = D.dedup_lines(df)
+        assert out.columns == ["doc_id", "src", "text"]
+        assert {r.src for r in out.collect()} == {"a", "b", "c"}
+
+    def test_all_lines_removed_leaves_empty_string(self, spark):
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1, 2], "text": ["same line", "same line"]})
+        )
+        got = {r.doc_id: r.text for r in D.dedup_lines(df).collect()}
+        assert got == {1: "", 2: ""}
+
+    def test_max_docs_threshold(self, spark):
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1, 2, 3], "text": ["twice\nx", "twice\ny", "z"]})
+        )
+        # allowed in up to 2 docs -> kept
+        got = {r.doc_id: r.text for r in D.dedup_lines(df, max_docs=2).collect()}
+        assert got[1] == "twice\nx" and got[2] == "twice\ny"
+
+    def test_min_chars_exempts_short_lines(self, spark):
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1, 2], "text": ["a\n---\nbody one", "b\n---\nbody two"]})
+        )
+        # '---' repeats across docs but is exempt below min_chars
+        got = {r.doc_id: r.text for r in D.dedup_lines(df, min_chars=5).collect()}
+        assert got[1] == "a\n---\nbody one"
+        # without the exemption it is removed
+        got2 = {r.doc_id: r.text for r in D.dedup_lines(df).collect()}
+        assert got2[1] == "a\nbody one"
+
+    def test_within_doc_repeat_not_cross_doc(self, spark):
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1, 2], "text": ["rep\nrep\nbody", "other"]})
+        )
+        # 'rep' appears twice but only in ONE doc -> doc frequency 1 -> kept
+        got = {r.doc_id: r.text for r in D.dedup_lines(df).collect()}
+        assert got[1] == "rep\nrep\nbody"
+
+    def test_repeated_lines_diagnostic(self, spark):
+        df = spark.createDataFrame(self.DOCS)
+        got = D.repeated_lines(df).collect()
+        assert [(r.line, r.n_docs) for r in got] == [("copyright footer 2024", 2)]
+
+
 class TestConnectedComponents:
     def _pairs(self, spark, edges):
         return spark.createDataFrame(
