@@ -951,6 +951,29 @@ def q_media_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decode_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end: spec-valid BMP headers are
+    synthesized in-engine (unhex of little-endian header fields, dims
+    derived from doc_id), then decode_image's dependency-free header
+    parser recovers width/height/channels from the bytes. The oracle
+    computes the expected dims from doc_id arithmetic — the query only
+    matches if the byte construction AND the binary parse are both
+    correct."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    w = (F.col("doc_id") % 200 + 1).cast("int")
+    h = (F.col("doc_id") % 100 + 1).cast("int")
+    hexpart = F.concat(
+        F.lit("424d"),               # 'BM'
+        F.lit("00000000" "00000000" "36000000" "28000000"),
+        F.lpad(F.hex(w), 2, "0"), F.lit("000000"),   # width  (LE int32, < 256)
+        F.lpad(F.hex(h), 2, "0"), F.lit("000000"),   # height (LE int32, < 256)
+        F.lit("0100"), F.lit("1800"),                # planes=1, bpp=24
+    )
+    media = d.select("doc_id", F.unhex(hexpart).alias("data"))
+    out = pus_mm.decode_image(media)
+    return out.select("doc_id", "width", "height", "channels", "img_format")
+
+
 def q_cumulate_multivar(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _li_two_vals(spark, sf_dir)
     out = pus.cumulate(
@@ -1738,6 +1761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention_monthly": q_cohort_retention_monthly,
         "top_k_per_group": q_top_k_per_group,
         "media_byte_features": q_media_byte_features,
+        "decode_image": q_decode_image,
         "cumulate_first": q_cumulate_first,
         "cumulate_multivar": q_cumulate_multivar,
         "var_change_lag2": q_var_change_lag2,
@@ -2725,6 +2749,14 @@ def oracle_sql() -> dict[str, str]:
             WITH u AS ({_SQL_DOC_UNION})
             SELECT min(doc_id) AS doc_id
             FROM u GROUP BY md5({_SQL_NORM})
+        """,
+        "decode_image": """
+            SELECT doc_id,
+                   CAST(doc_id % 200 + 1 AS INT) AS width,
+                   CAST(doc_id % 100 + 1 AS INT) AS height,
+                   CAST(3 AS INT) AS channels,
+                   'bmp' AS img_format
+            FROM documents
         """,
         "dedup_lines": f"""
             WITH aug AS ({_SQL_DOCS_MULTILINE}),

@@ -2,15 +2,17 @@
 pipelines: opaque ``binary`` payload columns with typed metadata,
 processed by Arrow-batched pandas kernels over ``mapInPandas``.
 
-The actual media codecs (PIL/libav/etc.) are NOT available in this
-environment, so the decode kernels are explicitly STUBBED:
+Codec policy (environments differ in what is installed):
 
-- ``decode_image`` / ``resize_images`` raise ``NotImplementedError``
-  unless a real decoder import succeeds, OR run a clearly-marked
-  deterministic fake (``fake=True``) that derives plausible
-  dimensions from the payload bytes — enough to exercise the real
-  Spark plumbing (schema evolution, Arrow batch shapes, partition
-  behavior) end-to-end.
+- ``decode_image`` is REAL by default: Pillow when importable on the
+  executors (any PIL-supported format), else a dependency-free
+  container-header parser for PNG/GIF/BMP/JPEG — width/height/
+  channels are fixed header fields, exact without a pixel codec.
+  Unrecognized payloads yield NULLs, never task failures.
+- ``resize_images``'s real path needs an actual pixel codec, so it
+  requires Pillow (clear ``NotImplementedError`` on the driver when
+  absent); ``fake=True`` keeps a deterministic hash kernel for
+  codec-less CI.
 - Byte-level feature extraction (``byte_features``) is REAL — byte
   histograms/entropy need no codec and are genuine content signals
   (format detection, corruption screening, dedup pre-filter).
@@ -67,41 +69,138 @@ def _fake_image_dims(data: bytes) -> tuple[int, int, int]:
     return 16 + h[0] % 64, 16 + h[1] % 64, 1 + h[2] % 4
 
 
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _parse_image_header(raw: bytes):
+    """REAL, dependency-free image-container header parse: (width,
+    height, channels, format) for PNG / GIF / BMP / JPEG payloads, or
+    None when the bytes are not a recognized image. Dimensions and
+    channel counts live in fixed header fields of each container —
+    no pixel codec is needed to read them, so this path is exact on
+    real image bytes even in codec-less environments."""
+    if raw[:8] == b"\x89PNG\r\n\x1a\n" and len(raw) >= 26:
+        return (
+            int.from_bytes(raw[16:20], "big"),
+            int.from_bytes(raw[20:24], "big"),
+            _PNG_CHANNELS.get(raw[25]),
+            "png",
+        )
+    if raw[:6] in (b"GIF87a", b"GIF89a") and len(raw) >= 10:
+        return (
+            int.from_bytes(raw[6:8], "little"),
+            int.from_bytes(raw[8:10], "little"),
+            3,
+            "gif",
+        )
+    if raw[:2] == b"BM" and len(raw) >= 30:
+        bpp = int.from_bytes(raw[28:30], "little")
+        return (
+            int.from_bytes(raw[18:22], "little", signed=True),
+            abs(int.from_bytes(raw[22:26], "little", signed=True)),
+            max(1, bpp // 8),
+            "bmp",
+        )
+    if raw[:2] == b"\xff\xd8":
+        i = 2
+        while i + 9 < len(raw) and raw[i] == 0xFF:
+            marker = raw[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                return (
+                    int.from_bytes(raw[i + 7 : i + 9], "big"),
+                    int.from_bytes(raw[i + 5 : i + 7], "big"),
+                    raw[i + 9],
+                    "jpeg",
+                )
+            i += 2 + int.from_bytes(raw[i + 2 : i + 4], "big")
+    return None
+
+
 def decode_image(
     df: DataFrame,
     datacol: str = "data",
     fake: bool = False,
 ) -> DataFrame:
-    """Attach (width, height, channels) decoded from the binary
-    payload via ``mapInPandas``. STUB: only the deterministic fake
-    kernel is implemented — ``fake=False`` ALWAYS raises (even if a
-    codec library happens to be importable, a fake result must never
-    masquerade as a real decode); a real codec kernel would slot into
-    the same mapInPandas shape."""
-    if not fake:
-        raise NotImplementedError(
-            "decode_image is a stub: only the deterministic fake kernel "
-            "exists (pass fake=True for plumbing test mode); a real codec "
-            "kernel is not implemented in this environment"
-        )
+    """Attach (width, height, channels, img_format) decoded from the
+    binary payload via an Arrow-batched ``mapInPandas`` kernel.
 
+    Real path (``fake=False``, default): if Pillow is importable on
+    the executors it decodes every format PIL supports; otherwise the
+    dependency-free container-header parser handles PNG/GIF/BMP/JPEG
+    (dimensions and channel counts are header fields — exact without
+    a pixel codec). Unrecognized payloads yield NULL columns rather
+    than failing the job — at 100 TB a corrupt payload must never
+    kill a task; filter on ``img_format IS NULL`` to quarantine.
+
+    ``fake=True`` keeps the deterministic hash-derived fake kernel
+    (``img_format='fake'``) for plumbing tests that need stable dims
+    on arbitrary non-image bytes.
+    """
     out_schema = StructType(
         df.schema.fields
         + [
             StructField("width", IntegerType()),
             StructField("height", IntegerType()),
             StructField("channels", IntegerType()),
+            StructField("img_format", StringType()),
         ]
     )
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            dims = [_fake_image_dims(d if d is not None else b"") for d in pdf[datacol]]
-            pdf = pdf.copy()
-            pdf["width"] = [d[0] for d in dims]
-            pdf["height"] = [d[1] for d in dims]
-            pdf["channels"] = [d[2] for d in dims]
-            yield pdf
+    if fake:
+
+        def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                dims = [
+                    _fake_image_dims(d if d is not None else b"") for d in pdf[datacol]
+                ]
+                pdf = pdf.copy()
+                pdf["width"] = [d[0] for d in dims]
+                pdf["height"] = [d[1] for d in dims]
+                pdf["channels"] = [d[2] for d in dims]
+                pdf["img_format"] = "fake"
+                yield pdf
+
+    else:
+
+        def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            try:  # optional import, evaluated on the executor
+                import io
+
+                from PIL import Image  # type: ignore
+
+                def parse(raw: bytes):
+                    try:
+                        with Image.open(io.BytesIO(raw)) as img:
+                            return (
+                                img.width,
+                                img.height,
+                                len(img.getbands()),
+                                (img.format or "").lower() or None,
+                            )
+                    except Exception:
+                        return _parse_image_header(raw)
+
+            except ImportError:
+                parse = _parse_image_header
+
+            for pdf in batches:
+                ws, hs, cs, fs = [], [], [], []
+                for d in pdf[datacol]:
+                    got = parse(bytes(d) if d is not None else b"")
+                    w, h, c, fmt = got if got is not None else (None,) * 4
+                    ws.append(w)
+                    hs.append(h)
+                    cs.append(c)
+                    fs.append(fmt)
+                pdf = pdf.copy()
+                pdf["width"] = pd.array(ws, dtype="Int32")
+                pdf["height"] = pd.array(hs, dtype="Int32")
+                pdf["channels"] = pd.array(cs, dtype="Int32")
+                pdf["img_format"] = fs
+                yield pdf
 
     return df.mapInPandas(kernel, out_schema)
 
@@ -162,28 +261,63 @@ def resize_images(
     height: int,
     datacol: str = "data",
     fake: bool = False,
+    out_format: str = "PNG",
 ) -> DataFrame:
-    """Resize payloads to (width, height). STUB: only the fake path
-    exists — it re-hashes the payload with the target dims so output
-    bytes are deterministic and size-bounded, exercising the
-    binary-in/binary-out Arrow round trip. ``fake=False`` ALWAYS
-    raises (a fake result must never masquerade as a real resize)."""
-    if not fake:
+    """Resize payloads to (width, height), re-encoded as
+    ``out_format``. The real path (``fake=False``) decodes, resizes
+    (bilinear) and re-encodes each payload with Pillow inside the
+    Arrow-batched kernel — pixel resampling genuinely requires a
+    codec, so it raises ``NotImplementedError`` up front when Pillow
+    is not importable (checked on the driver for a clear error before
+    any job runs). Payloads Pillow cannot open pass through as NULL
+    (corrupt inputs must never kill a 100 TB job).
+
+    ``fake=True``: deterministic hash kernel (payload + target dims ->
+    16 bytes) for codec-less environments — exercises the
+    binary-in/binary-out Arrow round trip with stable outputs.
+    """
+    if fake:
+
+        def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                pdf = pdf.copy()
+                pdf[datacol] = [
+                    hashlib.md5(
+                        (bytes(d) if d is not None else b"")
+                        + f"{width}x{height}".encode()
+                    ).digest()
+                    for d in pdf[datacol]
+                ]
+                yield pdf
+
+        return df.mapInPandas(kernel, df.schema)
+
+    try:
+        import PIL  # noqa: F401  — driver-side availability check
+    except ImportError as exc:
         raise NotImplementedError(
-            "resize_images is a stub: only the deterministic fake kernel "
-            "exists (pass fake=True); a real codec kernel is not "
-            "implemented in this environment"
-        )
+            "resize_images requires Pillow for the real resample path "
+            "(pip install Pillow), or pass fake=True for the "
+            "deterministic codec-less kernel"
+        ) from exc
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        from PIL import Image
+
         for pdf in batches:
+            out = []
+            for d in pdf[datacol]:
+                try:
+                    with Image.open(io.BytesIO(bytes(d))) as img:
+                        buf = io.BytesIO()
+                        img.resize((width, height)).save(buf, format=out_format)
+                        out.append(buf.getvalue())
+                except Exception:
+                    out.append(None)
             pdf = pdf.copy()
-            pdf[datacol] = [
-                hashlib.md5(
-                    (bytes(d) if d is not None else b"") + f"{width}x{height}".encode()
-                ).digest()
-                for d in pdf[datacol]
-            ]
+            pdf[datacol] = out
             yield pdf
 
     return df.mapInPandas(kernel, df.schema)
