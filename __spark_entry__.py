@@ -1198,6 +1198,60 @@ def q_sql_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sql_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 (pricing summary report) through the sql() escape
+    hatch — the canonical wide-aggregate scan: 8 aggregates over one
+    filtered pass of lineitem, all map-side partial-aggregated; the
+    shuffle carries 4 groups x 8 partials."""
+    li = _t(spark, sf_dir, "lineitem")
+    return pus.sql(
+        [li],
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 4) AS sum_qty,
+               round(sum(l_extendedprice), 4) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4)
+                   AS sum_charge,
+               round(avg(l_quantity), 4) AS avg_qty,
+               round(avg(l_extendedprice), 4) AS avg_price,
+               round(avg(l_discount), 4) AS avg_disc,
+               count(*) AS count_order
+        FROM li_t
+        WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        """,
+    )
+
+
+def q_sql_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customer): HAVING subquery + top-N —
+    the aggregate-filter-semijoin-order path. The HAVING aggregate
+    runs over lineitem once; its (small) passing-orderkey set
+    semi-joins the fact tables (broadcast under AQE)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return pus.sql(
+        [c, o, li],
+        """
+        SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+               round(o.o_totalprice, 4) AS o_totalprice,
+               round(sum(li.l_quantity), 4) AS sum_qty
+        FROM c_t c
+        JOIN o_t o ON c.c_custkey = o.o_custkey
+        JOIN li_t li ON o.o_orderkey = li.l_orderkey
+        WHERE o.o_orderkey IN (
+            SELECT l_orderkey FROM li_t GROUP BY l_orderkey
+            HAVING sum(l_quantity) > 250
+        )
+        GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+        ORDER BY o_totalprice DESC, o.o_orderkey
+        LIMIT 100
+        """,
+    )
+
+
 def q_apply_func_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
 
@@ -1776,7 +1830,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "groupby_merge_median": q_groupby_merge_median,
         "sql_join": q_sql_join,
         "sql_tpch_q3": q_sql_tpch_q3,
+        "sql_tpch_q1": q_sql_tpch_q1,
         "sql_tpch_q5": q_sql_tpch_q5,
+        "sql_tpch_q18": q_sql_tpch_q18,
         "sql_tpch_q10": q_sql_tpch_q10,
         "apply_func_unique": q_apply_func_unique,
         "reg_by_stderr": q_reg_by_stderr,
@@ -3522,6 +3578,38 @@ def oracle_sql() -> dict[str, str]:
             JOIN orders o ON li.l_orderkey = o.o_orderkey
             WHERE o.o_orderstatus = 'F'
             GROUP BY o.o_orderpriority
+        """,
+        "sql_tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   round(sum(l_extendedprice), 4) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4)
+                       AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4)
+                       AS sum_charge,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_extendedprice), 4) AS avg_price,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "sql_tpch_q18": """
+            SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+                   round(o.o_totalprice, 4) AS o_totalprice,
+                   round(sum(li.l_quantity), 4) AS sum_qty
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem li ON o.o_orderkey = li.l_orderkey
+            WHERE o.o_orderkey IN (
+                SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+                HAVING sum(l_quantity) > 250
+            )
+            GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+                     o.o_totalprice
+            ORDER BY o_totalprice DESC, o.o_orderkey
+            LIMIT 100
         """,
         "sql_tpch_q5": """
             SELECT n.n_name,

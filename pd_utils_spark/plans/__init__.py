@@ -1,4 +1,5 @@
-"""Physical-plan toolkit: explicit skew mitigation and bucketed
-co-location (SCALE.md)."""
+"""Physical-plan toolkit: explicit skew mitigation, bucketed
+co-location, and Z-order storage layout (SCALE.md)."""
 
+from pd_utils_spark.plans.layout import zorder_by, zorder_key, zorder_write
 from pd_utils_spark.plans.skew import salted_groupby_agg, salted_join, write_bucketed

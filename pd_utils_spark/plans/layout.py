@@ -107,3 +107,29 @@ def zorder_by(
         .sortWithinPartitions("zorder")
         .drop("zorder")
     )
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cols: str | Sequence[str],
+    bits: int = 8,
+    num_files: int | None = None,
+    mode: str = "overwrite",
+    format: str = "parquet",
+    **options,
+) -> None:
+    """Write ``df`` Z-order-clustered on ``cols`` — the storage half
+    of the layout module (the OPTIMIZE ZORDER BY write path): range
+    repartition on the Morton key into ``num_files`` files, sort
+    within each, write. Each output file then covers a narrow
+    min/max span in EVERY clustered column, so parquet footer
+    statistics let any reader (Spark row-group pruning, DuckDB,
+    Trino) skip most files on a selective filter over any of them —
+    ``tests/test_plans_layout.py`` proves the skip rate on footer
+    stats directly. One full shuffle (the minimum any clustering
+    write pays); no driver action.
+    """
+    zorder_by(df, cols, bits, num_files).write.format(format).mode(mode).options(
+        **options
+    ).save(path)
