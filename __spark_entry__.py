@@ -3361,22 +3361,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sessionize": """
             WITH m AS (
-                SELECT user_id, ts,
+                SELECT user_id, ts, event_id,
                        CASE WHEN lag(ts) OVER w IS NULL
-                              OR floor(epoch(ts))::BIGINT
-                                 - floor(epoch(lag(ts) OVER w))::BIGINT > 1800
+                              OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                 > 1800 * 1000000
                             THEN 1 ELSE 0 END AS new_s
                 FROM events
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ), s AS (
-                SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                -- the running sum shares the SAME deterministic
+                -- (ts, event_id) ordering as the lag window, so ties
+                -- cannot split a session boundary nondeterministically
+                SELECT *, sum(new_s) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id
                                            ROWS UNBOUNDED PRECEDING) AS session_index
                 FROM m
             )
             SELECT user_id, session_index::BIGINT AS session_index,
                    count(*) AS n_events,
                    min(ts) AS session_start, max(ts) AS session_end,
-                   floor(epoch(max(ts)))::BIGINT - floor(epoch(min(ts)))::BIGINT
+                   (epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0
                        AS duration_seconds
             FROM s GROUP BY user_id, session_index
         """,
@@ -3386,8 +3390,8 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value) OVER w, {r}) AS value_roll_sum,
                    count(value) OVER w AS value_roll_count
             FROM events
-            WINDOW w AS (PARTITION BY user_id ORDER BY floor(epoch(ts))::BIGINT
-                         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
         """,
         "events_json_props": f"""
             SELECT event_type,

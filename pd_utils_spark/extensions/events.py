@@ -8,7 +8,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from pd_utils_spark.utils import to_list
@@ -107,6 +107,14 @@ def cohort_retention(
     return out
 
 
+def _epoch_us(col: Column) -> Column:
+    """Microsecond epoch of a timestamp column (TIMESTAMP or
+    TIMESTAMP_NTZ — NTZ is interpreted in the session timezone, which
+    ``session.get_spark`` pins to UTC). Sub-second precision is
+    preserved, unlike ``cast('long')`` which floors to whole seconds."""
+    return F.unix_micros(col.cast("timestamp"))
+
+
 def sessionize(
     df: DataFrame,
     usercol: str = "user_id",
@@ -126,15 +134,20 @@ def sessionize(
     with ``streaming.session_window_agg`` (the streaming/state-store
     form): this one labels every ROW with its session, which the
     window-agg form cannot do.
+
+    Gaps compare at MICROSECOND precision (``unix_micros``), so a
+    true gap of 1800.9 s with ``gap_seconds=1800`` does start a new
+    session — whole-second epoch truncation would silently glue such
+    sessions together on sub-second event streams.
     """
     from pyspark.sql import Window
 
     order = [F.col(tscol)] + [F.col(c) for c in to_list(tiebreak)]
     w = Window.partitionBy(usercol).orderBy(*order)
-    prev = F.lag(F.col(tscol)).over(w)
+    eus = _epoch_us(F.col(tscol))
+    prev = F.lag(eus).over(w)
     is_new = (
-        prev.isNull()
-        | ((F.col(tscol).cast("long") - prev.cast("long")) > gap_seconds)
+        prev.isNull() | ((eus - prev) > F.lit(int(gap_seconds * 1_000_000)))
     ).cast("bigint")
     return df.withColumn(
         out,
@@ -158,13 +171,12 @@ def session_stats(
     existing hash partitioning (no second full shuffle of the event
     rows beyond the hash agg's own exchange on the finer key)."""
     s = sessionize(df, usercol, tscol, gap_seconds, tiebreak)
+    eus = _epoch_us(F.col(tscol))
     return s.groupBy(usercol, "session_index").agg(
         F.count("*").alias("n_events"),
         F.min(tscol).alias("session_start"),
         F.max(tscol).alias("session_end"),
-        (F.max(F.col(tscol).cast("long")) - F.min(F.col(tscol).cast("long"))).alias(
-            "duration_seconds"
-        ),
+        ((F.max(eus) - F.min(eus)) / F.lit(1_000_000.0)).alias("duration_seconds"),
     )
 
 
@@ -181,12 +193,15 @@ def rolling_stats(
     timestamp lies in ``[ts - window_seconds, ts]`` (inclusive both
     ends — the ANSI RANGE frame). Adds ``{valuecol}_roll_{stat}``.
 
-    A RANGE window over the epoch-second ordering — evaluated in one
-    pass per group with a sliding frame (Spark's bounded-preceding
+    A RANGE window over the MICROSECOND-epoch ordering — evaluated in
+    one pass per group with a sliding frame (Spark's bounded-preceding
     RANGE frame keeps a moving aggregate; work is O(n) per group, not
-    O(n * frame)). One shuffle on ``byvars``. The rolling sibling of
-    the reference's cumulative ``cumulate`` (pd_utils/cum.py), which
-    has no trailing-window form.
+    O(n * frame)). The frame is exactly ``[ts - window_seconds, ts]``
+    at microsecond precision (whole-second epoch ordering would
+    silently widen it to ``[floor(ts) - w, floor(ts)]`` on sub-second
+    streams). One shuffle on ``byvars``. The rolling sibling of the
+    reference's cumulative ``cumulate`` (pd_utils/cum.py), which has
+    no trailing-window form.
     """
     from pyspark.sql import Window
 
@@ -197,8 +212,8 @@ def rolling_stats(
     by = to_list(byvars)
     w = (
         Window.partitionBy(*by)
-        .orderBy(F.col(tscol).cast("long"))
-        .rangeBetween(-window_seconds, 0)
+        .orderBy(_epoch_us(F.col(tscol)))
+        .rangeBetween(-int(window_seconds * 1_000_000), 0)
     )
     v = F.col(valuecol)
     exprs = {

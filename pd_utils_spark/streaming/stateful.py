@@ -53,6 +53,72 @@ def streaming_exact_dedup(
     return deduped.drop("__fp__")
 
 
+def streaming_sessionize(
+    sdf: DataFrame,
+    usercol: str = "user_id",
+    tscol: str = "ts",
+    gap_seconds: int = 1800,
+    tiebreak: str | Sequence[str] | None = None,
+    out: str = "session_index",
+) -> DataFrame:
+    """Streaming row-labeling sessionization: every event row gets its
+    1-based per-user ``session_index``, with the (last event time,
+    current session number) pair carried across micro-batches in the
+    state store — the streaming twin of ``extensions.events.sessionize``
+    (same gap rule, microsecond precision). Spark's own
+    ``session_window`` aggregation can only emit per-SESSION aggregate
+    rows; labeling each event requires custom state, which is exactly
+    what ``applyInPandasWithState`` exists for.
+
+    State per user = two longs (O(1) — never a row buffer). Rows are
+    ordered by (ts, tiebreak) WITHIN each micro-batch; with in-order
+    arrival across batches the labels are identical to the batch
+    operator (asserted by the batch==stream equivalence test). Late
+    events older than the user's last seen timestamp cannot retract an
+    already-emitted boundary — inherent to any single-pass labeler;
+    bound disorder upstream with a watermark + ``session_window`` if
+    retraction matters more than labels.
+    """
+    gap_us = int(gap_seconds * 1_000_000)
+    order_cols = [tscol] + to_list(tiebreak)
+    fields = ", ".join(f"`{n}` {t}" for n, t in sdf.dtypes)
+    out_schema = f"{fields}, `{out}` bigint"
+    state_schema = "last_us bigint, sess bigint"
+
+    def label(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            last_us, sess = state.get
+        else:
+            last_us, sess = None, 0
+        any_rows = False
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            any_rows = True
+            pdf = pdf.sort_values(order_cols, kind="mergesort")
+            ts_us = (
+                pdf[tscol].to_numpy().astype("datetime64[us]").astype("int64")
+            )
+            idxs = []
+            for t in ts_us:
+                t = int(t)
+                if last_us is None or t - last_us > gap_us:
+                    sess += 1
+                last_us = t
+                idxs.append(sess)
+            pdf = pdf.copy()
+            pdf[out] = idxs
+            yield pdf
+        if any_rows:
+            state.update((last_us, sess))
+
+    return sdf.groupBy(usercol).applyInPandasWithState(
+        label, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def stateful_running_agg(
     sdf: DataFrame,
     keys: str | Sequence[str],

@@ -136,6 +136,91 @@ class TestStatefulStreaming:
             shutil.rmtree(src, ignore_errors=True)
 
 
+class TestStreamingSessionize:
+    def test_labels_match_batch_and_state_spans_batches(self, spark):
+        """Row-level session labels on a stream must equal the batch
+        sessionize labels on the same (in-order) events — including a
+        session boundary that falls BETWEEN micro-batches, which only
+        works if (last_ts, session_index) survives in the state store."""
+        import time
+
+        from pyspark.sql.types import LongType
+
+        from pd_utils_spark.extensions import events as EV
+
+        src = tempfile.mkdtemp(prefix="sess_src_")
+        try:
+            schema = StructType(
+                [
+                    StructField("user_id", LongType()),
+                    StructField("ts", TimestampType()),
+                    StructField("event_id", LongType()),
+                ]
+            )
+            b1 = [
+                {"user_id": 1, "ts": "2024-01-01T00:00:00", "event_id": 1},
+                {"user_id": 1, "ts": "2024-01-01T00:10:00", "event_id": 2},
+                {"user_id": 2, "ts": "2024-01-01T00:00:00", "event_id": 3},
+            ]
+            # 2h after batch 1 -> boundary BETWEEN batches for user 1
+            b2 = [
+                {"user_id": 1, "ts": "2024-01-01T02:10:00", "event_id": 4},
+                {"user_id": 2, "ts": "2024-01-01T00:20:00", "event_id": 5},
+            ]
+            with open(f"{src}/b1.json", "w") as f:
+                f.write("\n".join(json.dumps(r) for r in b1))
+            stream = (
+                spark.readStream.format("json")
+                .schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .load(src)
+            )
+            out = W.streaming_sessionize(
+                stream, "user_id", "ts", gap_seconds=1800, tiebreak="event_id"
+            )
+            q = (
+                out.writeStream.format("memory")
+                .queryName("sess_test")
+                .outputMode("append")
+                .trigger(processingTime="1 second")
+                .start()
+            )
+            try:
+                deadline = time.time() + 60
+                while time.time() < deadline:
+                    if spark.sql("SELECT * FROM sess_test").count() >= 3:
+                        break
+                    time.sleep(1)
+                with open(f"{src}/b2.json", "w") as f:
+                    f.write("\n".join(json.dumps(r) for r in b2))
+                while time.time() < deadline:
+                    if spark.sql("SELECT * FROM sess_test").count() >= 5:
+                        break
+                    time.sleep(1)
+                got = {
+                    r.event_id: r.session_index
+                    for r in spark.sql("SELECT * FROM sess_test").collect()
+                }
+            finally:
+                q.stop()
+            # batch twin over the full event set
+            all_rows = pd.DataFrame(b1 + b2)
+            all_rows["ts"] = pd.to_datetime(all_rows["ts"])
+            batch = EV.sessionize(
+                spark.createDataFrame(all_rows),
+                "user_id",
+                "ts",
+                gap_seconds=1800,
+                tiebreak="event_id",
+            )
+            expect = {r.event_id: r.session_index for r in batch.collect()}
+            assert got == expect
+            # and the cross-batch boundary actually produced session 2
+            assert got[4] == 2
+        finally:
+            shutil.rmtree(src, ignore_errors=True)
+
+
 class TestWatermarkLateData:
     def test_late_event_beyond_watermark_dropped(self, spark):
         import time
