@@ -1198,6 +1198,26 @@ def q_sql_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_canonical_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization end-to-end on synthesized messy URLs
+    (case-varied host, default port, tracking params, unsorted params,
+    fragment — all derived from doc_id). The oracle computes the
+    expected canonical string by ARITHMETIC, so the query only matches
+    if every normalization step is right."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    url = F.concat(
+        F.lit("https://Example.COM:443/p"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("/?utm_source=s"),
+        F.col("doc_id").cast("string"),
+        F.lit("&b="),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit("&a=1#sec"),
+        F.col("doc_id").cast("string"),
+    )
+    return pus_web.canonicalize_urls(d.withColumn("url", url))
+
+
 def q_sql_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 (pricing summary report) through the sql() escape
     hatch — the canonical wide-aggregate scan: 8 aggregates over one
@@ -1248,6 +1268,71 @@ def q_sql_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
         ORDER BY o_totalprice DESC, o.o_orderkey
         LIMIT 100
+        """,
+    )
+
+
+def q_sql_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecast revenue change): pure filter+aggregate — the
+    predicate-pushdown showcase (all three filters reach the parquet
+    scan; the aggregate is one partial+final pass)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return pus.sql(
+        [li],
+        """
+        SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+        FROM li_t
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+        """,
+    )
+
+
+def q_sql_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping-mode priority) SHAPE, adapted to the slim
+    synthetic schema (no l_shipmode/commitdate/receiptdate): two
+    conditional counts by category after a fact-fact join, with the
+    late-shipment predicate expressed on shipdate vs orderdate."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    return pus.sql(
+        [o, li],
+        """
+        SELECT li.l_returnflag,
+               sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS low_line_count
+        FROM o_t o
+        JOIN li_t li ON o.o_orderkey = li.l_orderkey
+        WHERE li.l_shipdate > o.o_orderdate
+          AND li.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND li.l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY li.l_returnflag
+        """,
+    )
+
+
+def q_sql_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): conditional revenue ratio over a
+    lineitem-part join for one month — part is broadcast, the ratio is
+    one aggregate pass."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    return pus.sql(
+        [li, p],
+        """
+        SELECT round(100.00 * sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                                       THEN li.l_extendedprice * (1 - li.l_discount)
+                                       ELSE 0 END)
+                     / sum(li.l_extendedprice * (1 - li.l_discount)), 4)
+                   AS promo_revenue
+        FROM li_t li
+        JOIN p_t p ON li.l_partkey = p.p_partkey
+        WHERE li.l_shipdate >= TIMESTAMP '1996-09-01'
+          AND li.l_shipdate < TIMESTAMP '1996-10-01'
         """,
     )
 
@@ -1832,7 +1917,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_tpch_q3": q_sql_tpch_q3,
         "sql_tpch_q1": q_sql_tpch_q1,
         "sql_tpch_q5": q_sql_tpch_q5,
+        "sql_tpch_q6": q_sql_tpch_q6,
+        "sql_tpch_q12": q_sql_tpch_q12,
+        "sql_tpch_q14": q_sql_tpch_q14,
         "sql_tpch_q18": q_sql_tpch_q18,
+        "canonical_urls": q_canonical_urls,
         "sql_tpch_q10": q_sql_tpch_q10,
         "apply_func_unique": q_apply_func_unique,
         "reg_by_stderr": q_reg_by_stderr,
@@ -3598,6 +3687,47 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "sql_tpch_q6": """
+            SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
+        """,
+        "sql_tpch_q12": """
+            SELECT li.l_returnflag,
+                   sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS high_line_count,
+                   sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS low_line_count
+            FROM orders o
+            JOIN lineitem li ON o.o_orderkey = li.l_orderkey
+            WHERE li.l_shipdate > o.o_orderdate
+              AND li.l_shipdate >= TIMESTAMP '1996-01-01'
+              AND li.l_shipdate < TIMESTAMP '1997-01-01'
+            GROUP BY li.l_returnflag
+        """,
+        "sql_tpch_q14": """
+            SELECT round(100.00 * sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                                           THEN li.l_extendedprice * (1 - li.l_discount)
+                                           ELSE 0 END)
+                         / sum(li.l_extendedprice * (1 - li.l_discount)), 4)
+                       AS promo_revenue
+            FROM lineitem li
+            JOIN part p ON li.l_partkey = p.p_partkey
+            WHERE li.l_shipdate >= TIMESTAMP '1996-09-01'
+              AND li.l_shipdate < TIMESTAMP '1996-10-01'
+        """,
+        "canonical_urls": """
+            SELECT doc_id,
+                   'https://Example.COM:443/p' || (doc_id % 7) || '/?utm_source=s'
+                       || doc_id || '&b=' || (doc_id % 3) || '&a=1#sec' || doc_id
+                       AS url,
+                   'https://example.com/p' || (doc_id % 7) || '?a=1&b='
+                       || (doc_id % 3) AS canonical_url
+            FROM documents
         """,
         "sql_tpch_q18": """
             SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,

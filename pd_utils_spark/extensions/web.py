@@ -39,6 +39,70 @@ def domain_of(url: Column | str) -> Column:
     return F.lower(F.regexp_extract(c, _HOST_PATTERN, 1))
 
 
+#: query parameters stripped by canonical_url — tracking/attribution
+#: noise that makes otherwise-identical pages look distinct (the #1
+#: cause of spurious URL-level duplicates in web corpora)
+TRACKING_PARAM_PATTERN = r"^(utm_[^=]*|gclid|fbclid|msclkid|mc_eid|ref)(=|$)"
+
+
+def canonical_url(url: Column | str) -> Column:
+    """Canonical form of an http(s) URL, as pure column expressions:
+
+    - scheme and host lower-cased;
+    - default ports dropped (``:80`` for http, ``:443`` for https);
+    - fragment removed;
+    - tracking parameters removed (``TRACKING_PARAM_PATTERN``:
+      utm_*, gclid, fbclid, msclkid, mc_eid, ref);
+    - remaining query parameters sorted (order-insensitive dedup key);
+    - single trailing slash stripped from the path.
+
+    Non-http(s) strings pass through unchanged. URL-level dedup on the
+    canonical form collapses the tracking-link explosion that URL
+    exact-match misses; zero shuffle, zero UDF (JVM regex + array
+    expressions), and the same regex subset runs in SQL engines so the
+    oracle hash-matches.
+    """
+    c = F.col(url) if isinstance(url, str) else url
+    # (?i) covers scheme-case variants (HTTPS://…); supported by both
+    # Java regex and RE2, staying inside the portable dialect
+    scheme = F.lower(F.regexp_extract(c, r"(?i)^(https?)://", 1))
+    host = F.lower(F.regexp_extract(c, r"(?i)^https?://([^/\s:?#]+)", 1))
+    port = F.regexp_extract(c, r"(?i)^https?://[^/\s:?#]+:(\d+)", 1)
+    path = F.regexp_extract(c, r"(?i)^https?://[^/\s?#]+([^\s?#]*)", 1)
+    query = F.regexp_extract(c, r"^[^\s#?]*\?([^\s#]*)", 1)
+
+    default_port = F.when(scheme == "http", F.lit("80")).otherwise(F.lit("443"))
+    hostport = F.concat(
+        host,
+        F.when((port != "") & (port != default_port), F.concat(F.lit(":"), port))
+        .otherwise(F.lit("")),
+    )
+    path_norm = F.regexp_replace(path, r"/$", "")
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_PATTERN),
+    )
+    qstr = F.array_join(F.array_sort(params), "&")
+    built = F.concat(
+        scheme,
+        F.lit("://"),
+        hostport,
+        path_norm,
+        F.when(qstr != "", F.concat(F.lit("?"), qstr)).otherwise(F.lit("")),
+    )
+    return F.when(scheme == "", c).otherwise(built)
+
+
+def canonicalize_urls(
+    df: DataFrame, urlcol: str = "url", out: str = "canonical_url"
+) -> DataFrame:
+    """Frame form of :func:`canonical_url`: adds ``out`` alongside the
+    raw URL column. Compose with ``extract_urls`` + ``explode`` for
+    in-text URLs, or run directly on a crawl-frontier URL column; the
+    canonical string is the dedup/join key for URL-level pipelines."""
+    return df.withColumn(out, canonical_url(F.col(urlcol)))
+
+
 def url_signals(
     df: DataFrame, textcol: str = "text", prefix: str = ""
 ) -> DataFrame:

@@ -60,3 +60,41 @@ class TestBlocklist:
             r.doc_id for r in W.drop_blocklisted_domains(docs, bl).collect()
         )
         assert kept == [1, 2, 3]
+
+
+class TestCanonicalUrl:
+    def _canon(self, spark, urls):
+        df = spark.createDataFrame(pd.DataFrame({"url": urls}))
+        return [r.canonical_url for r in W.canonicalize_urls(df).collect()]
+
+    def test_case_port_fragment_and_tracking(self, spark):
+        got = self._canon(
+            spark,
+            ["HTTPS://Example.COM:443/Path/?utm_source=x&b=2&a=1#frag"],
+        )
+        # scheme/host lowered, default port dropped, trailing slash and
+        # fragment gone, utm_* stripped, remaining params sorted.
+        # NOTE the PATH case is preserved — paths are case-sensitive.
+        assert got == ["https://example.com/Path?a=1&b=2"]
+
+    def test_http_default_port_and_nondefault_kept(self, spark):
+        got = self._canon(
+            spark, ["http://a.com:80/x", "http://a.com:8080/x", "https://a.com:80/x"]
+        )
+        assert got == ["http://a.com/x", "http://a.com:8080/x", "https://a.com:80/x"]
+
+    def test_all_params_tracking_drops_query_entirely(self, spark):
+        got = self._canon(spark, ["https://a.com/p?utm_medium=m&gclid=123&ref=home"])
+        assert got == ["https://a.com/p"]
+
+    def test_non_url_passes_through(self, spark):
+        got = self._canon(spark, ["not a url", "ftp://x.com/y"])
+        assert got == ["not a url", "ftp://x.com/y"]
+
+    def test_tracking_link_variants_collapse_to_one_key(self, spark):
+        variants = [
+            "https://news.site/article?utm_source=tw",
+            "https://NEWS.site/article/?fbclid=abc",
+            "https://news.site:443/article#comments",
+        ]
+        assert len(set(self._canon(spark, variants))) == 1
