@@ -1198,6 +1198,32 @@ def q_sql_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster sizes: the LSH->Jaccard pair graph's connected
+    components aggregated to (component, cluster_size) — what a corpus
+    owner inspects before committing to transitive dedup."""
+    _, pairs = _verified_dup_pairs(spark, sf_dir)
+    comp = pus_dedup.connected_components(pairs)
+    return comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
+
+
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature rebalancing (alpha=0.5): surviving per-source counts
+    proportional to sqrt(n_s), scaled to keep all of the smallest
+    source — the standard LLM multi-source mixing rule. The synthetic
+    sources are uniform, so the query first skews them 70/20/10 by
+    doc_id arithmetic; the head source must be tempered hardest."""
+    mod = F.col("doc_id") % 10
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(mod < 7, F.lit("head"))
+        .when(mod < 9, F.lit("mid"))
+        .otherwise(F.lit("tail"))
+        .alias("source"),
+    )
+    return pus_sample.temperature_mix(d, alpha=0.5, seed=3)
+
+
 def q_canonical_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization end-to-end on synthesized messy URLs
     (case-varied host, default port, tracking params, unsorted params,
@@ -1922,6 +1948,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_tpch_q14": q_sql_tpch_q14,
         "sql_tpch_q18": q_sql_tpch_q18,
         "canonical_urls": q_canonical_urls,
+        "dedup_cluster_stats": q_dedup_cluster_stats,
+        "temperature_mix": q_temperature_mix,
         "sql_tpch_q10": q_sql_tpch_q10,
         "apply_func_unique": q_apply_func_unique,
         "reg_by_stderr": q_reg_by_stderr,
@@ -2106,7 +2134,7 @@ def oracle_sql() -> dict[str, str]:
         "WHEN n_nationkey % 4 = 2 THEN 'New York' "
         "ELSE 'Atlantis' END"
     )
-    return {
+    d = {
         "averages": f"""
             SELECT l_returnflag,
                    round(avg(l_extendedprice), {r}) AS l_extendedprice,
@@ -3720,6 +3748,21 @@ def oracle_sql() -> dict[str, str]:
             WHERE li.l_shipdate >= TIMESTAMP '1996-09-01'
               AND li.l_shipdate < TIMESTAMP '1996-10-01'
         """,
+        "temperature_mix": f"""
+            WITH skew AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 10 < 7 THEN 'head'
+                            WHEN doc_id % 10 < 9 THEN 'mid'
+                            ELSE 'tail' END AS source
+                FROM documents
+            ),
+            c AS (SELECT source, count(*) AS n FROM skew GROUP BY source),
+            m AS (SELECT min(n) AS n_min FROM c),
+            r AS (SELECT source, pow(n_min::DOUBLE / n, 0.5) AS rate FROM c, m)
+            SELECT d.doc_id, d.source
+            FROM skew d JOIN r USING (source)
+            WHERE {_sql_frac('doc_id', 3)} < r.rate
+        """,
         "canonical_urls": """
             SELECT doc_id,
                    'https://Example.COM:443/p' || (doc_id % 7) || '/?utm_source=s'
@@ -4404,3 +4447,18 @@ def oracle_sql() -> dict[str, str]:
             FROM base
         """,
     }
+    # cluster-size stats share the connected_components CTE chain —
+    # derived from that entry so the two oracles cannot drift apart
+    cc = d["connected_components"]
+    prefix = cc.rsplit("SELECT a AS doc_id", 1)[0]
+    d["dedup_cluster_stats"] = (
+        prefix
+        + """, comp AS (
+                SELECT a AS doc_id, least(a, min(b)) AS component
+                FROM r GROUP BY a
+            )
+            SELECT component, count(*) AS cluster_size
+            FROM comp GROUP BY component
+        """
+    )
+    return d

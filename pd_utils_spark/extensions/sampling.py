@@ -225,6 +225,50 @@ def interleave_sources(
     )
 
 
+def temperature_mix(
+    df: DataFrame,
+    alpha: float = 0.5,
+    source_col: str = "source",
+    idcol: str = "doc_id",
+    seed: int | str = 0,
+) -> DataFrame:
+    """Temperature-based source rebalancing: downsample each source so
+    surviving counts are proportional to ``n_s ** alpha`` — the
+    standard LLM-corpus reweighting (multilingual/LM mixing a la
+    GPT-3/PaLM data recipes) that flattens the head without starving
+    the tail. ``alpha=1`` keeps the natural distribution (no rows
+    dropped); ``alpha=0`` equalizes every source down to the smallest;
+    between, larger sources are tempered by ``(n_min / n_s)**(1-alpha)``
+    (the scaling that keeps ALL of the smallest source, so no source
+    ever needs upsampling/duplication).
+
+    Deterministic: the keep decision is :func:`hash_fraction` of
+    (id, seed) against the per-source rate — bit-reproducible across
+    runs, partitionings and engines. Scale shape: one tiny (source,
+    count) aggregate + a one-row min, broadcast back; the corpus is
+    never shuffled (same plan as :func:`interleave_sources`, which
+    takes explicit target weights instead of deriving them).
+    """
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    counts = df.groupBy(F.col(source_col).alias("__src__")).agg(
+        F.count(F.lit(1)).alias("__n__")
+    )
+    nmin = counts.agg(F.min("__n__").alias("__nmin__"))
+    rates = counts.crossJoin(F.broadcast(nmin)).select(
+        "__src__",
+        F.pow(F.col("__nmin__") / F.col("__n__"), F.lit(1.0 - alpha)).alias(
+            "__rate__"
+        ),
+    )
+    keep = hash_fraction(F.col(idcol), seed) < F.col("__rate__")
+    return (
+        df.join(F.broadcast(rates), df[source_col] == F.col("__src__"), "inner")
+        .filter(keep)
+        .drop("__src__", "__rate__")
+    )
+
+
 def sample_n_per_group(
     df: DataFrame,
     n: int,

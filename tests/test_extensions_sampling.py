@@ -302,3 +302,52 @@ class TestWeightedSample:
         assert weighted_sample(df, 3, "w").count() == 0
         with _pytest.raises(ValueError, match="n must"):
             weighted_sample(df, 0, "w")
+
+
+class TestTemperatureMix:
+    def _skewed(self, spark):
+        import pandas as pd
+
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": list(range(500)),
+                    "source": ["head"] * 400 + ["tail"] * 100,
+                }
+            )
+        )
+
+    def test_alpha_one_keeps_everything(self, spark):
+        from pd_utils_spark.extensions.sampling import temperature_mix
+
+        assert temperature_mix(self._skewed(spark), alpha=1.0).count() == 500
+
+    def test_alpha_zero_equalizes_toward_smallest(self, spark):
+        from pd_utils_spark.extensions.sampling import temperature_mix
+
+        out = temperature_mix(self._skewed(spark), alpha=0.0).toPandas()
+        by = out.groupby("source").size()
+        # smallest source keeps everything; head tempered to ~n_min
+        assert by["tail"] == 100
+        assert 60 <= by["head"] <= 140
+
+    def test_intermediate_alpha_monotone_and_deterministic(self, spark):
+        from pd_utils_spark.extensions.sampling import temperature_mix
+
+        df = self._skewed(spark)
+        n0 = temperature_mix(df, alpha=0.0).count()
+        n5 = temperature_mix(df, alpha=0.5).count()
+        n1 = temperature_mix(df, alpha=1.0).count()
+        assert n0 < n5 < n1
+        # bit-reproducible: same (data, alpha, seed) -> same rows
+        a = sorted(r.doc_id for r in temperature_mix(df, alpha=0.5, seed=9).collect())
+        b = sorted(r.doc_id for r in temperature_mix(df, alpha=0.5, seed=9).collect())
+        assert a == b
+
+    def test_alpha_validated(self, spark):
+        import pytest as _pytest
+
+        from pd_utils_spark.extensions.sampling import temperature_mix
+
+        with _pytest.raises(ValueError, match="alpha"):
+            temperature_mix(self._skewed(spark), alpha=1.5)
