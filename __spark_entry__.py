@@ -1198,6 +1198,18 @@ def q_sql_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@10 of the multiprobe hyperplane-LSH ANN against
+    the brute-force ground truth, per query — the ANN quality dial.
+    Oracle: the same computation composed from the two existing
+    (hash-matched) oracle SQL texts, so all three stay in lockstep."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = pus_sim.brute_force_topk(emb, q, k=10)
+    approx = pus_sim.ann_lsh_topk(emb, q, k=10, planes=6, dims=64, multiprobe=1)
+    return pus_sim.topk_recall(approx, exact)
+
+
 def q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster sizes: the LSH->Jaccard pair graph's connected
     components aggregated to (component, cluster_size) — what a corpus
@@ -1949,6 +1961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_tpch_q18": q_sql_tpch_q18,
         "canonical_urls": q_canonical_urls,
         "dedup_cluster_stats": q_dedup_cluster_stats,
+        "ann_recall": q_ann_recall,
         "temperature_mix": q_temperature_mix,
         "sql_tpch_q10": q_sql_tpch_q10,
         "apply_func_unique": q_apply_func_unique,
@@ -4461,4 +4474,15 @@ def oracle_sql() -> dict[str, str]:
             FROM comp GROUP BY component
         """
     )
+    # recall@k of the ANN path vs brute force, composed from the two
+    # existing oracle texts so approx/exact/recall stay in lockstep
+    d["ann_recall"] = f"""
+        WITH exact AS ({d['cosine_topk']}),
+        approx AS ({d['ann_lsh_multiprobe']})
+        SELECT e.query_id,
+               count(a.vec_id)::DOUBLE / count(*) AS recall
+        FROM exact e LEFT JOIN approx a
+          ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+        GROUP BY e.query_id
+    """
     return d

@@ -340,6 +340,38 @@ def quantize_embeddings(
     )
 
 
+def topk_recall(
+    approx: DataFrame,
+    exact: DataFrame,
+    qidcol: str = "query_id",
+    idcol: str = "vec_id",
+    out: str = "recall",
+) -> DataFrame:
+    """Per-query recall of an approximate top-k result against exact
+    ground truth: ``|approx ∩ exact| / |exact|`` for each query — the
+    quality dial every ANN deployment needs next to its speedup
+    (tune ``planes``/``multiprobe``/``nprobe`` until measured recall
+    clears the bar, on a sampled query set at corpus scale).
+
+    Both inputs are (qidcol, idcol, ...) top-k frames (e.g.
+    ``ann_lsh_topk`` vs ``brute_force_topk``). Two small aggregates +
+    one semi-join on the k-sized result frames — never touches the
+    corpus; cost is O(queries x k).
+    """
+    a = approx.select(qidcol, idcol)
+    e = exact.select(qidcol, idcol)
+    hits = (
+        e.join(a, [qidcol, idcol], "left_semi")
+        .groupBy(qidcol)
+        .agg(F.count(F.lit(1)).alias("__hits__"))
+    )
+    totals = e.groupBy(qidcol).agg(F.count(F.lit(1)).alias("__k__"))
+    return totals.join(hits, qidcol, "left").select(
+        qidcol,
+        (F.coalesce(F.col("__hits__"), F.lit(0)) / F.col("__k__")).alias(out),
+    )
+
+
 def label_centroids(
     df: DataFrame,
     labelcol: str = "label",

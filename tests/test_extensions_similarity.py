@@ -208,3 +208,31 @@ class TestDedupEmbeddings:
             for r in dedup_embeddings(df, threshold=0.99, planes=6, dims=4).collect()
         )
         assert kept == [0, 1, 2]
+
+
+class TestTopkRecall:
+    def test_recall_fractions(self, spark):
+        import pandas as pd
+
+        from pd_utils_spark.extensions.similarity import topk_recall
+
+        exact = spark.createDataFrame(
+            pd.DataFrame({"query_id": [1, 1, 2, 2], "vec_id": [10, 11, 20, 21]})
+        )
+        approx = spark.createDataFrame(
+            # q1 finds one of two; q2 finds none (plus a spurious hit)
+            pd.DataFrame({"query_id": [1, 1, 2], "vec_id": [10, 99, 98]})
+        )
+        got = {r.query_id: r.recall for r in topk_recall(approx, exact).collect()}
+        assert got == {1: 0.5, 2: 0.0}
+
+    def test_perfect_recall_against_self(self, spark):
+        import pandas as pd
+
+        from pd_utils_spark.extensions.similarity import topk_recall
+
+        e = spark.createDataFrame(
+            pd.DataFrame({"query_id": [1, 1, 1], "vec_id": [5, 6, 7]})
+        )
+        got = topk_recall(e, e).collect()
+        assert [r.recall for r in got] == [1.0]
