@@ -1198,6 +1198,16 @@ def q_sql_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group percentile_cont at three probs in ONE
+    aggregation pass (multi-prob array form), long output."""
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    out = pus_profile.group_quantiles(
+        li, "l_extendedprice", probs=(0.1, 0.5, 0.9), byvars="l_returnflag"
+    )
+    return _round_doubles(out)
+
+
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Measured recall@10 of the multiprobe hyperplane-LSH ANN against
     the brute-force ground truth, per query — the ANN quality dial.
@@ -1962,6 +1972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_urls": q_canonical_urls,
         "dedup_cluster_stats": q_dedup_cluster_stats,
         "ann_recall": q_ann_recall,
+        "group_quantiles": q_group_quantiles,
         "temperature_mix": q_temperature_mix,
         "sql_tpch_q10": q_sql_tpch_q10,
         "apply_func_unique": q_apply_func_unique,
@@ -3760,6 +3771,19 @@ def oracle_sql() -> dict[str, str]:
             JOIN part p ON li.l_partkey = p.p_partkey
             WHERE li.l_shipdate >= TIMESTAMP '1996-09-01'
               AND li.l_shipdate < TIMESTAMP '1996-10-01'
+        """,
+        "group_quantiles": f"""
+            SELECT l_returnflag, 0.1 AS prob,
+                   round(quantile_cont(l_extendedprice, 0.1), {r}) AS value
+            FROM lineitem GROUP BY l_returnflag
+            UNION ALL
+            SELECT l_returnflag, 0.5 AS prob,
+                   round(quantile_cont(l_extendedprice, 0.5), {r}) AS value
+            FROM lineitem GROUP BY l_returnflag
+            UNION ALL
+            SELECT l_returnflag, 0.9 AS prob,
+                   round(quantile_cont(l_extendedprice, 0.9), {r}) AS value
+            FROM lineitem GROUP BY l_returnflag
         """,
         "temperature_mix": f"""
             WITH skew AS (

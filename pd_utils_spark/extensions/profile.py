@@ -139,6 +139,46 @@ def column_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     return one.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
 
 
+def group_quantiles(
+    df: DataFrame,
+    valuecol: str,
+    probs: Sequence[float] = (0.25, 0.5, 0.75),
+    byvars: str | Sequence[str] | None = None,
+    approx: bool = False,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Per-group quantiles in long format: one row per (group, prob)
+    with the linearly-interpolated quantile ``value`` (ANSI
+    ``percentile_cont`` semantics — matches DuckDB's
+    ``quantile_cont``, so results are oracle-checkable bit-for-bit).
+
+    ``approx=True`` switches to ``percentile_approx`` (t-digest-style
+    bounded-memory sketch, ``accuracy`` controls the error bound) —
+    the 100 TB default, since exact percentiles buffer each group's
+    values; the exact path is right for bounded group sizes or when
+    the number matters more than the memory. Either way ONE
+    aggregation pass computes every requested prob (the multi-prob
+    array form), not one pass per prob.
+    """
+    from pd_utils_spark.utils import to_list
+
+    if not probs or any(not 0.0 <= p <= 1.0 for p in probs):
+        raise ValueError(f"probs must be non-empty fractions in [0, 1]: {probs}")
+    by = to_list(byvars)
+    v = F.col(valuecol).cast("double")
+    prob_arr = F.array(*[F.lit(float(p)) for p in probs])
+    if approx:
+        q = F.percentile_approx(v, [float(p) for p in probs], accuracy)
+    else:
+        q = F.percentile(v, prob_arr)
+    agg = df.groupBy(*by).agg(q.alias("__qs__"))
+    return (
+        agg.select(*by, F.posexplode("__qs__").alias("__i__", "value"))
+        .withColumn("prob", F.element_at(prob_arr, F.col("__i__") + 1))
+        .select(*by, "prob", "value")
+    )
+
+
 def token_length_histogram(
     df: DataFrame,
     textcol: str = "text",

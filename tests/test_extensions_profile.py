@@ -77,3 +77,45 @@ class TestTokenLengthHistogram:
         }
         assert got[0].n_docs == 3 and got[0].n_tokens_total == 5  # 3 + 2 + 0
         assert got[10].n_docs == 1 and got[10].n_tokens_total == 12
+
+
+class TestGroupQuantiles:
+    def test_exact_interpolated_values(self, spark):
+        import pandas as pd
+
+        from pd_utils_spark.extensions.profile import group_quantiles
+
+        df = spark.createDataFrame(
+            pd.DataFrame({"g": ["a"] * 5, "v": [1.0, 2.0, 3.0, 4.0, 5.0]})
+        )
+        got = {r.prob: r.value for r in group_quantiles(df, "v", (0.0, 0.5, 1.0), "g").collect()}
+        assert got == {0.0: 1.0, 0.5: 3.0, 1.0: 5.0}
+        # interpolation between order stats (percentile_cont semantics)
+        q = {r.prob: r.value for r in group_quantiles(df, "v", (0.25,), "g").collect()}
+        assert q[0.25] == 2.0
+
+    def test_grouped_and_global(self, spark):
+        import pandas as pd
+
+        from pd_utils_spark.extensions.profile import group_quantiles
+
+        df = spark.createDataFrame(
+            pd.DataFrame({"g": ["a"] * 3 + ["b"] * 3, "v": [1.0, 2.0, 3.0, 10.0, 20.0, 30.0]})
+        )
+        got = {(r.g, r.prob): r.value for r in group_quantiles(df, "v", (0.5,), "g").collect()}
+        assert got == {("a", 0.5): 2.0, ("b", 0.5): 20.0}
+        # byvars=None -> one global row per prob
+        g = group_quantiles(df, "v", (0.5,)).collect()
+        assert len(g) == 1 and g[0].value == 6.5
+
+    def test_approx_within_bound_and_validation(self, spark):
+        import pytest as _pytest
+
+        from pd_utils_spark.extensions.profile import group_quantiles
+
+        df = spark.range(10_000).selectExpr("cast(id AS double) AS v")
+        exact = group_quantiles(df, "v", (0.5,)).collect()[0].value
+        approx = group_quantiles(df, "v", (0.5,), approx=True).collect()[0].value
+        assert abs(approx - exact) <= 10_000 / 10_000 * 100  # loose sanity bound
+        with _pytest.raises(ValueError, match="probs"):
+            group_quantiles(df, "v", (1.5,))
