@@ -2,4 +2,9 @@
 co-location, and Z-order storage layout (SCALE.md)."""
 
 from pd_utils_spark.plans.layout import zorder_by, zorder_key, zorder_write
-from pd_utils_spark.plans.skew import salted_groupby_agg, salted_join, write_bucketed
+from pd_utils_spark.plans.skew import (
+    key_skew_report,
+    salted_groupby_agg,
+    salted_join,
+    write_bucketed,
+)

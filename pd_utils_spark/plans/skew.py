@@ -111,6 +111,42 @@ def salted_join(
     return out.drop("__salt__")
 
 
+def key_skew_report(
+    df: DataFrame,
+    keys: str | Sequence[str],
+    top: int = 20,
+) -> DataFrame:
+    """Skew diagnostic for a prospective shuffle key: the ``top``
+    heaviest key values with their row count, share of all rows, and
+    the ratio to a perfectly uniform key (``count * n_distinct /
+    n_rows`` — 1.0 means balanced, 100 means that key's reducer gets
+    100x the average partition). Run this BEFORE a big groupBy/join on
+    a new key: a ratio in the hundreds says salt the aggregation
+    (``salted_groupby_agg``), split the join (``salted_join``), or cap
+    the flood (``max_bucket``) — after the 10-hour straggler it is
+    too late. Two aggregation passes over just the key columns
+    (column-pruned scan) + a broadcast one-row total."""
+    keys_l = to_list(keys)
+    counts = df.groupBy(*keys_l).agg(F.count(F.lit(1)).alias("key_count"))
+    totals = counts.agg(
+        F.sum("key_count").alias("__rows__"),
+        F.count(F.lit(1)).alias("__nkeys__"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            *keys_l,
+            "key_count",
+            (F.col("key_count") / F.col("__rows__")).alias("row_share"),
+            (F.col("key_count") * F.col("__nkeys__") / F.col("__rows__")).alias(
+                "skew_ratio"
+            ),
+        )
+        .orderBy(F.desc("key_count"), *keys_l)
+        .limit(top)
+    )
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

@@ -89,3 +89,28 @@ class TestBucketedJoin:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
             spark.sql("DROP TABLE IF EXISTS tb_li")
             spark.sql("DROP TABLE IF EXISTS tb_o")
+
+
+class TestKeySkewReport:
+    def test_ratios_and_ordering(self, spark):
+        import pandas as pd
+
+        from pd_utils_spark.plans import key_skew_report
+
+        # 4 keys over 100 rows: one hot key with 70, three with 10
+        df = spark.createDataFrame(
+            pd.DataFrame({"k": ["hot"] * 70 + ["a"] * 10 + ["b"] * 10 + ["c"] * 10})
+        )
+        got = key_skew_report(df, "k", top=2).collect()
+        assert got[0].k == "hot" and got[0].key_count == 70
+        assert got[0].row_share == 0.7
+        assert got[0].skew_ratio == 70 * 4 / 100  # 2.8x a uniform key
+        assert len(got) == 2
+
+    def test_uniform_key_ratio_one(self, spark):
+        from pd_utils_spark.plans import key_skew_report
+        from pyspark.sql import functions as F
+
+        df = spark.range(100).select((F.col("id") % 10).alias("k"))
+        rows = key_skew_report(df, "k", top=10).collect()
+        assert all(r.skew_ratio == 1.0 for r in rows)

@@ -263,3 +263,35 @@ def test_take_token_budget_monotone(spark, budget_small, extra):
         for r in take_token_budget(df, budget=budget_small + extra).collect()
     }
     assert small <= big  # growing the budget never evicts a doc
+
+
+multiline_texts = st.lists(
+    st.lists(st.text(alphabet="xy z", min_size=0, max_size=8), min_size=1, max_size=4).map(
+        "\n".join
+    ),
+    min_size=2,
+    max_size=6,
+)
+
+
+@given(texts=multiline_texts)
+@settings(**SETTINGS)
+def test_dedup_lines_idempotent_and_subset(spark, texts):
+    """dedup_lines is idempotent (after removal every surviving line
+    appears in <= max_docs docs, so a second pass is a no-op) and each
+    output doc's lines are a subsequence of its input lines."""
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    df = spark.createDataFrame(pdf)
+    once = D.dedup_lines(df)
+    once_pd = once.toPandas().set_index("doc_id").sort_index()
+    twice_pd = D.dedup_lines(once).toPandas().set_index("doc_id").sort_index()
+    assert (once_pd.text == twice_pd.text).all()
+    norm = lambda s: " ".join(s.lower().split())
+    for i, original in enumerate(texts):
+        kept = once_pd.loc[i, "text"]
+        if kept == "":
+            continue
+        # subsequence check on normalized lines
+        orig_lines = [norm(l) for l in original.split("\n")]
+        it = iter(orig_lines)
+        assert all(norm(l) in it for l in kept.split("\n"))
