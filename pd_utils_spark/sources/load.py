@@ -22,14 +22,27 @@ _EXT_READERS = {
     ".tsv": lambda spark, path, **kw: spark.read.csv(
         path, sep="\t", header=kw.pop("header", True), inferSchema=kw.pop("inferSchema", True), **kw
     ),
+    ".txt": lambda spark, path, **kw: spark.read.text(path, **kw),
+    ".jsonl": lambda spark, path, **kw: spark.read.json(path, **kw),
 }
+
+#: transparent-compression suffixes: Spark's text-based readers
+#: decompress these per file, so dispatch keys on the inner extension
+_COMPRESSION_SUFFIXES = (".gz", ".bz2", ".zst", ".lz4", ".deflate", ".snappy")
 
 
 def read_file(spark: SparkSession, filepath: str, **kwargs) -> DataFrame:
     """Extension-dispatched loader (reference:
     pd_utils/optimize/load/__init__.py:6-22 — CSV only there; parquet /
-    json / orc / tsv added as the natural Spark surface)."""
-    ext = os.path.splitext(filepath)[1].lower()
+    json / jsonl / orc / tsv / txt added as the natural Spark surface).
+    Compressed text files (``.csv.gz``, ``.jsonl.zst``, ...) dispatch
+    on the inner extension — Spark's readers decompress transparently."""
+    name = filepath.lower()
+    for suffix in _COMPRESSION_SUFFIXES:
+        if name.endswith(suffix):
+            name = name[: -len(suffix)]
+            break
+    ext = os.path.splitext(name)[1]
     if ext not in _EXT_READERS:
         raise NotImplementedError(f"no reader registered for extension {ext!r}")
     return _EXT_READERS[ext](spark, filepath, **kwargs)

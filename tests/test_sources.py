@@ -116,3 +116,42 @@ class TestToCopyPaste:
         rebuilt = eval(s, {"pd": pd})  # the emitted literal is valid code
         assert sorted(rebuilt.a) == [1, 2]
         assert list(rebuilt.columns) == ["a", "b", "c"]
+
+
+class TestReadFileNewExtensions:
+    def test_txt_reader(self, spark, tmp_path):
+        from pd_utils_spark.sources.load import read_file
+
+        p = tmp_path / "lines.txt"
+        p.write_text("alpha\nbeta\n")
+        out = read_file(spark, str(p))
+        assert out.columns == ["value"]
+        assert sorted(r.value for r in out.collect()) == ["alpha", "beta"]
+
+    def test_jsonl_reader(self, spark, tmp_path):
+        from pd_utils_spark.sources.load import read_file
+
+        p = tmp_path / "rows.jsonl"
+        p.write_text('{"a": 1}\n{"a": 2}\n')
+        out = read_file(spark, str(p))
+        assert sorted(r.a for r in out.collect()) == [1, 2]
+
+    def test_gzipped_csv_dispatches_on_inner_extension(self, spark, tmp_path):
+        import gzip
+
+        from pd_utils_spark.sources.load import read_file
+
+        p = tmp_path / "data.csv.gz"
+        with gzip.open(p, "wt") as f:
+            f.write("x,y\n1,a\n2,b\n")
+        out = read_file(spark, str(p))
+        assert out.columns == ["x", "y"]
+        assert out.count() == 2
+
+    def test_unknown_extension_raises(self, spark):
+        import pytest as _pytest
+
+        from pd_utils_spark.sources.load import read_file
+
+        with _pytest.raises(NotImplementedError, match="xyz"):
+            read_file(spark, "file.xyz")
