@@ -4,6 +4,7 @@ extension; the reference is batch-only)."""
 from pd_utils_spark.streaming.stateful import (
     stateful_running_agg,
     streaming_exact_dedup,
+    streaming_minhash_dedup,
     streaming_sessionize,
 )
 from pd_utils_spark.streaming.windows import (

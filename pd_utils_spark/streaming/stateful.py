@@ -119,6 +119,77 @@ def streaming_sessionize(
     )
 
 
+def streaming_minhash_dedup(
+    sdf: DataFrame,
+    output_dir: str,
+    history_dir: str,
+    checkpoint_dir: str,
+    textcol: str = "text",
+    idcol: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.8,
+    max_bucket: int | None = 100_000,
+):
+    """Streaming NEAR-dup deduplication: each micro-batch is deduped
+    within itself (``dedup_minhash_lsh``) and against everything that
+    survived before it (``dedup_minhash_against`` vs the accumulated
+    history), then survivors append to ``output_dir`` and their
+    (id, text) to ``history_dir`` — the ingestion-time MinHash dedup
+    recipe, via ``foreachBatch`` (LSH banding needs whole-relation
+    joins per batch, which the per-key state store cannot express;
+    foreachBatch is Spark's sanctioned batch-join-in-a-stream hook).
+
+    Exactly-once caveat: foreachBatch gives at-least-once output — on
+    a retried batch the parquet appends can duplicate. The history
+    re-read makes that SAFE for dedup correctness (a replayed doc is
+    near-dup of its own first write and gets dropped), and downstream
+    readers of ``output_dir`` can finish with ``exact_dedup`` on id.
+    At scale, persist the history as a bucketed table on the band
+    columns so each batch joins 100 TB of history with no history
+    shuffle (see ``dedup_minhash_against``'s scale notes).
+
+    Returns the started ``StreamingQuery``.
+    """
+    from pd_utils_spark.extensions.dedup import (
+        dedup_minhash_against,
+        dedup_minhash_lsh,
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        survivors = dedup_minhash_lsh(
+            batch_df, textcol, idcol, k, num_hashes, bands, threshold, max_bucket
+        )
+        try:
+            history = spark.read.parquet(history_dir)
+            has_history = True
+        except Exception:  # first batch: no history yet
+            has_history = False
+        if has_history:
+            survivors = dedup_minhash_against(
+                survivors,
+                history,
+                textcol=textcol,
+                idcol=idcol,
+                k=k,
+                num_hashes=num_hashes,
+                bands=bands,
+                threshold=threshold,
+                max_bucket=max_bucket,
+            )
+        survivors = survivors.localCheckpoint(eager=True)  # write twice below
+        survivors.write.mode("append").parquet(output_dir)
+        survivors.select(idcol, textcol).write.mode("append").parquet(history_dir)
+
+    return (
+        sdf.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 def stateful_running_agg(
     sdf: DataFrame,
     keys: str | Sequence[str],

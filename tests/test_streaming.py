@@ -221,6 +221,68 @@ class TestStreamingSessionize:
             shutil.rmtree(src, ignore_errors=True)
 
 
+class TestStreamingMinhashDedup:
+    def test_near_dups_dropped_within_and_across_batches(self, spark):
+        """foreachBatch near-dup dedup: batch 1's internal near-dup pair
+        keeps one survivor; batch 2's near-dup OF A BATCH-1 DOC drops
+        (history round-trip), while batch 2's novel doc survives."""
+        import time
+
+        from pyspark.sql.types import LongType, StringType
+
+        base = tempfile.mkdtemp(prefix="mh_stream_")
+        src, outd, hist, ckpt = (f"{base}/{d}" for d in ("src", "out", "hist", "ckpt"))
+        import os
+
+        os.makedirs(src)
+        try:
+            schema = StructType(
+                [StructField("doc_id", LongType()), StructField("text", StringType())]
+            )
+            b1 = [
+                {"doc_id": 1, "text": "the quick brown fox jumps over the lazy dog today"},
+                {"doc_id": 2, "text": "the quick brown fox jumps over the lazy dog today"},
+                {"doc_id": 3, "text": "completely different first batch content here now"},
+            ]
+            b2 = [
+                # near-dup of doc 1 (one word changed) -> must drop
+                {"doc_id": 10, "text": "the quick brown fox jumps over the lazy cat today"},
+                {"doc_id": 11, "text": "brand new second batch content sharing nothing at all"},
+            ]
+            with open(f"{src}/b1.json", "w") as f:
+                f.write("\n".join(json.dumps(r) for r in b1))
+            stream = (
+                spark.readStream.format("json")
+                .schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .load(src)
+            )
+            q = W.streaming_minhash_dedup(
+                stream, outd, hist, ckpt, k=3, num_hashes=12, bands=6, threshold=0.5
+            )
+            try:
+                deadline = time.time() + 90
+                def ids():
+                    try:
+                        return sorted(
+                            r.doc_id for r in spark.read.parquet(outd).collect()
+                        )
+                    except Exception:
+                        return []
+                while time.time() < deadline and len(ids()) < 2:
+                    time.sleep(1)
+                assert ids() == [1, 3]  # within-batch near-dup 2 dropped
+                with open(f"{src}/b2.json", "w") as f:
+                    f.write("\n".join(json.dumps(r) for r in b2))
+                while time.time() < deadline and len(ids()) < 3:
+                    time.sleep(1)
+                assert ids() == [1, 3, 11]  # 10 dropped vs history, 11 kept
+            finally:
+                q.stop()
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+
+
 class TestWatermarkLateData:
     def test_late_event_beyond_watermark_dropped(self, spark):
         import time
