@@ -182,6 +182,54 @@ class TestCurationPlanShapes:
         assert "BroadcastNestedLoopJoin" not in plan
 
 
+class TestRound3PlanShapes:
+    def test_canonicalize_urls_is_shuffle_free(self, spark):
+        from pd_utils_spark.extensions import web as W
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        df = docs.selectExpr("doc_id", "concat('https://Ex.com/?utm_source=', doc_id) AS url")
+        assert "Exchange" not in plan_of(W.canonicalize_urls(df))
+
+    def test_temperature_mix_broadcasts_rates_never_shuffles_corpus(self, spark):
+        from pd_utils_spark.extensions import sampling as S
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = plan_of(S.temperature_mix(docs, alpha=0.5))
+        assert "BroadcastExchange" in plan  # (source, count) rates frame
+        assert "CartesianProduct" not in plan
+        # the only non-broadcast Exchange belongs to the tiny counts
+        # aggregate, keyed on source — never the corpus rows
+        assert "hashpartitioning(source" in plan
+
+    def test_group_quantiles_single_aggregation(self, spark, li):
+        from pd_utils_spark.extensions.profile import group_quantiles
+
+        out = group_quantiles(
+            li.select("l_returnflag", "l_extendedprice"),
+            "l_extendedprice",
+            (0.1, 0.5, 0.9),
+            "l_returnflag",
+        )
+        plan = plan_of(out)
+        # one partial+final percentile aggregation for ALL probs
+        assert plan.count("+- Exchange") == 1
+
+    def test_dedup_lines_no_cartesian_and_pruned_scan(self, spark):
+        from pd_utils_spark.extensions import dedup as D
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = plan_of(D.dedup_lines(docs.select("doc_id", "text")))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_zorder_key_no_driver_job_and_broadcast_bounds(self, spark, li):
+        from pd_utils_spark.plans import zorder_key
+
+        plan = plan_of(zorder_key(li, ["l_quantity", "l_extendedprice"], bits=8))
+        assert "BroadcastExchange" in plan
+        assert "CartesianProduct" not in plan
+
+
 class TestPlanBarrier:
     def test_winnowing_explode_reads_bound_attribute(self, spark):
         """q_winnowing must explode a materialized array: the Generate
