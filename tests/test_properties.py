@@ -295,3 +295,28 @@ def test_dedup_lines_idempotent_and_subset(spark, texts):
         orig_lines = [norm(l) for l in original.split("\n")]
         it = iter(orig_lines)
         assert all(norm(l) in it for l in kept.split("\n"))
+
+
+url_texts = st.lists(
+    st.from_regex(
+        r"https?://[A-Za-z][A-Za-z0-9.]{0,10}(:[0-9]{1,4})?(/[A-Za-z0-9/]{0,8})?"
+        r"(\?[a-z]{1,4}=[a-z0-9]{0,3}(&[a-z_]{1,6}=[a-z0-9]{0,3}){0,2})?(#[a-z]{0,4})?",
+        fullmatch=True,
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(urls=url_texts)
+@settings(**SETTINGS)
+def test_canonical_url_idempotent(spark, urls):
+    """canonical_url is a normal form: applying it twice equals once."""
+    from pd_utils_spark.extensions import web as W
+
+    df = spark.createDataFrame(pd.DataFrame({"url": urls}))
+    once = W.canonicalize_urls(df).select(
+        F.col("canonical_url").alias("url")
+    )
+    twice = W.canonicalize_urls(once).toPandas()
+    assert (twice.url == twice.canonical_url).all()
