@@ -110,22 +110,52 @@ def winsorize(
     if byvars_l:
         w = Window.partitionBy(*byvars_l)
         out = df
+        # ALL columns' top percentiles share one window spec, so they
+        # evaluate in a single WindowExec buffer pass; the top-clipped
+        # projections land together; then all bottom percentiles run as
+        # a second single pass. 2 partition buffers total for any
+        # column count (the per-column interleaving this replaces paid
+        # 2 WindowExecs PER column). Still one Exchange.
+        if top:
+            out = out.select(
+                "*",
+                *[
+                    F.expr(f"percentile({quote(c)}, {top_pct})")
+                    .over(w)
+                    .alias("__hi_" + c)
+                    for c in cols
+                ],
+            )
+            out = out.select(
+                "*",
+                *[
+                    F.when(
+                        F.col(c).cast("double") > F.col("__hi_" + c),
+                        F.col("__hi_" + c),
+                    )
+                    .otherwise(F.col(c).cast("double"))
+                    .alias("__tc_" + c)
+                    for c in cols
+                ],
+            )
+        if bot:
+            src = {c: ("__tc_" + c) if top else c for c in cols}
+            out = out.select(
+                "*",
+                *[
+                    F.expr(f"percentile(cast({quote(src[c])} as double), {bot_pct})")
+                    .over(w)
+                    .alias("__lo_" + c)
+                    for c in cols
+                ],
+            )
+        final = []
         for c in cols:
-            cc = F.col(c).cast("double")
-            if top:
-                hi = F.expr(f"percentile({quote(c)}, {top_pct})").over(w)
-                out = out.withColumn("__hi_" + c, hi)
-                cc = F.when(F.col(c).cast("double") > F.col("__hi_" + c), F.col("__hi_" + c)).otherwise(
-                    F.col(c).cast("double")
-                )
-                out = out.withColumn("__tc_" + c, cc)
-                cc = F.col("__tc_" + c)
+            cc = F.col("__tc_" + c) if top else F.col(c).cast("double")
             if bot:
-                src = ("__tc_" + c) if top else c
-                lo = F.expr(f"percentile(cast({quote(src)} as double), {bot_pct})").over(w)
-                out = out.withColumn("__lo_" + c, lo)
                 cc = F.when(cc < F.col("__lo_" + c), F.col("__lo_" + c)).otherwise(cc)
-            out = out.withColumn("__w_" + c, cc)
+            final.append(cc.alias("__w_" + c))
+        out = out.select(*df.columns, *final)
         out = out.select(*[("__w_" + c) if c in cols else c for c in df.columns])
         for c in cols:
             out = out.withColumnRenamed("__w_" + c, c)

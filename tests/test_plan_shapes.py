@@ -222,6 +222,22 @@ class TestRound3PlanShapes:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
 
+    def test_winsorize_multicol_two_window_passes(self, spark, li):
+        """Multi-column by-group winsorize must buffer each partition
+        exactly TWICE (all top percentiles in one WindowExec, all
+        bottoms in a second) — not 2 passes per column."""
+        import re
+
+        out = pus.winsorize(
+            li,
+            0.01,
+            subset=["l_quantity", "l_extendedprice", "l_discount"],
+            byvars="l_returnflag",
+        )
+        plan = plan_of(out)
+        assert len(re.findall(r"\(\d+\) Window", plan)) == 2
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
     def test_zorder_key_no_driver_job_and_broadcast_bounds(self, spark, li):
         from pd_utils_spark.plans import zorder_key
 
