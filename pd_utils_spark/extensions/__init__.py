@@ -11,10 +11,12 @@ from pd_utils_spark.extensions.dedup import (
     connected_components,
     dedup_minhash_against,
     dedup_connected,
+    dedup_lines,
     dedup_minhash_lsh,
     exact_dedup,
     exact_dedup_against,
     hamming_distance,
+    repeated_lines,
     jaccard_pairs,
     jaccard_topk,
     lsh_candidate_pairs,
@@ -26,6 +28,9 @@ from pd_utils_spark.extensions.dedup import (
 from pd_utils_spark.extensions.events import (
     cohort_retention,
     funnel_counts,
+    rolling_stats,
+    session_stats,
+    sessionize,
     top_k_per_group,
 )
 from pd_utils_spark.extensions.pii import (
@@ -34,6 +39,8 @@ from pd_utils_spark.extensions.pii import (
     redact_pii,
 )
 from pd_utils_spark.extensions.web import (
+    canonical_url,
+    canonicalize_urls,
     domain_of,
     domain_stats,
     drop_blocklisted_domains,
@@ -42,6 +49,7 @@ from pd_utils_spark.extensions.web import (
 )
 from pd_utils_spark.extensions.profile import (
     column_profile,
+    group_quantiles,
     numeric_histogram,
     token_length_histogram,
 )
@@ -56,6 +64,8 @@ from pd_utils_spark.extensions.sampling import (
     sample_n_per_group,
     stratified_sample,
     take_token_budget,
+    temperature_mix,
+    weighted_sample,
 )
 from pd_utils_spark.extensions.similarity import (
     dedup_embeddings,
@@ -69,6 +79,8 @@ from pd_utils_spark.extensions.similarity import (
     ivf_assign,
     ivf_centroid_table,
     ivf_probe_topk,
+    quantize_embeddings,
+    topk_recall,
 )
 from pd_utils_spark.extensions.text import (
     LANG_MARKERS,
@@ -80,6 +92,7 @@ from pd_utils_spark.extensions.text import (
     rolling_hash_fingerprints,
     text_quality,
     tf_idf,
+    chunk_documents,
     token_count,
     token_count_bpe,
     vocabulary,
