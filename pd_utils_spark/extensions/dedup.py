@@ -575,9 +575,13 @@ def dedup_lines(
     ``array_sort(collect_list(struct(pos, line)))``. Nothing is ever
     all-pairs and no driver action runs.
     """
+    import re as _re
+
     t = F.col(textcol)
+    # sep is a LITERAL separator (regex-escaped for Spark's split)
     lines = df.select(
-        F.col(idcol), F.posexplode_outer(F.split(t, sep)).alias("__pos__", "__line__")
+        F.col(idcol),
+        F.posexplode_outer(F.split(t, _re.escape(sep))).alias("__pos__", "__line__"),
     )
     norm = _norm(F.col("__line__")) if normalize else F.col("__line__")
     lines = lines.withColumn("__fp__", F.md5(norm.cast("string"))).withColumn(
@@ -629,9 +633,11 @@ def repeated_lines(
     ``max_docs`` / blocklists from this). Same map-side explode + one
     count aggregation; output is the (small) repeated-line set only.
     """
+    import re as _re
+
     t = F.col(textcol)
     lines = df.select(
-        F.col(idcol), F.explode_outer(F.split(t, sep)).alias("__line__")
+        F.col(idcol), F.explode_outer(F.split(t, _re.escape(sep))).alias("__line__")
     )
     norm = _norm(F.col("__line__")) if normalize else F.col("__line__")
     lines = lines.withColumn("__norm__", norm).filter(
