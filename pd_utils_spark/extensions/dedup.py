@@ -249,6 +249,51 @@ def _minhash_sig_table(
     )
 
 
+def lsh_plan(
+    threshold: float,
+    num_hashes_max: int = 256,
+) -> dict:
+    """Choose (num_hashes, bands, rows_per_band) for a target Jaccard
+    ``threshold`` — the standard S-curve rule: with b bands of r rows
+    the collision probability of a pair at similarity s is
+    ``1 - (1 - s^r)^b``, and the curve's steepest point sits near
+    ``(1/b)^(1/r)``. This helper scans factorizations up to
+    ``num_hashes_max`` total hashes and returns the plan whose
+    threshold estimate lands closest to the target, plus the predicted
+    collision probabilities at s = threshold ± 0.1 so the caller can
+    see the false-positive/false-negative tradeoff before paying for a
+    corpus-scale run. Driver-side arithmetic only — run it BEFORE
+    ``lsh_candidate_pairs`` to pick ``num_hashes``/``bands`` instead
+    of hand-tuning.
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1): {threshold}")
+    best = None
+    for r in range(1, 33):
+        for b in range(1, num_hashes_max // r + 1):
+            est = (1.0 / b) ** (1.0 / r)
+            score = abs(est - threshold)
+            # prefer fewer total hashes on ties (cheaper signatures)
+            key = (score, b * r)
+            if best is None or key < best[0]:
+                def p(s: float) -> float:
+                    return 1.0 - (1.0 - s**r) ** b
+
+                best = (
+                    key,
+                    {
+                        "num_hashes": b * r,
+                        "bands": b,
+                        "rows_per_band": r,
+                        "threshold_estimate": est,
+                        "p_at_threshold": p(threshold),
+                        "p_below": p(max(threshold - 0.1, 0.0)),
+                        "p_above": p(min(threshold + 0.1, 1.0)),
+                    },
+                )
+    return best[1]
+
+
 def lsh_band_keys(
     df: DataFrame,
     sigcol: str = "minhash_sig",

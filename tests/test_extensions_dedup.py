@@ -343,3 +343,31 @@ class TestDedupMinhashAgainst:
         df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "text": ["x"]}))
         with pytest.raises(ValueError, match="divisible"):
             D.dedup_minhash_against(df, df, num_hashes=12, bands=5)
+
+
+class TestLshPlan:
+    def test_scurve_plan_near_target(self):
+        plan = D.lsh_plan(0.8)
+        assert abs(plan["threshold_estimate"] - 0.8) < 0.05
+        assert plan["num_hashes"] == plan["bands"] * plan["rows_per_band"]
+        assert plan["num_hashes"] <= 256
+        # steep S-curve: pairs above the threshold collide far more
+        # often than pairs below it
+        assert plan["p_above"] > plan["p_at_threshold"] > plan["p_below"]
+        assert plan["p_above"] > 0.9
+        assert plan["p_below"] < 0.5
+
+    def test_plan_parameters_work_end_to_end(self, spark):
+        plan = D.lsh_plan(0.5, num_hashes_max=24)
+        df = spark.createDataFrame(DOCS)
+        cands = D.lsh_candidate_pairs(
+            df, num_hashes=plan["num_hashes"], bands=plan["bands"]
+        )
+        got = {(r.id_a, r.id_b) for r in cands.collect()}
+        assert (0, 1) in got  # exact dup must collide under any plan
+
+    def test_threshold_validated(self):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="threshold"):
+            D.lsh_plan(1.0)
