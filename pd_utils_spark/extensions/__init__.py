@@ -20,6 +20,7 @@ from pd_utils_spark.extensions.dedup import (
     jaccard_pairs,
     jaccard_topk,
     lsh_candidate_pairs,
+    lsh_plan,
     minhash_signature,
     shingle_sets,
     simhash,
