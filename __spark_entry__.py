@@ -1220,6 +1220,20 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pus_sim.topk_recall(approx, exact)
 
 
+def q_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-doc duplicated-3-gram fraction over a corpus where every
+    5th doc has an id-shifted copy: copied docs score 1.0, originals
+    of copies 1.0, the rest near 0 — the RefinedWeb-style boilerplate
+    content signal."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    u = d.unionByName(dup)
+    out = pus_dedup.duplicated_ngram_fraction(u, n=3)
+    return _round_doubles(out.select("doc_id", "dup_ngram_frac"))
+
+
 def q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster sizes: the LSH->Jaccard pair graph's connected
     components aggregated to (component, cluster_size) — what a corpus
@@ -1973,6 +1987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_stats": q_dedup_cluster_stats,
         "ann_recall": q_ann_recall,
         "group_quantiles": q_group_quantiles,
+        "dup_ngram_fraction": q_dup_ngram_fraction,
         "temperature_mix": q_temperature_mix,
         "sql_tpch_q10": q_sql_tpch_q10,
         "apply_func_unique": q_apply_func_unique,
@@ -3771,6 +3786,25 @@ def oracle_sql() -> dict[str, str]:
             JOIN part p ON li.l_partkey = p.p_partkey
             WHERE li.l_shipdate >= TIMESTAMP '1996-09-01'
               AND li.l_shipdate < TIMESTAMP '1996-10-01'
+        """,
+        "dup_ngram_fraction": f"""
+            WITH u AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 100000 AS doc_id, text FROM documents
+                WHERE doc_id % 5 = 0
+            ),
+            sh AS (SELECT doc_id, {_SQL_SHINGLES} AS s FROM u),
+            ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+            dfq AS (SELECT g, count(*) AS dfc FROM ex GROUP BY g),
+            per AS (
+                SELECT doc_id,
+                       sum(CASE WHEN dfc >= 2 THEN 1 ELSE 0 END)::DOUBLE
+                           / count(*) AS f
+                FROM ex JOIN dfq USING (g) GROUP BY doc_id
+            )
+            SELECT u.doc_id, round(coalesce(p.f, 0.0), {r}) AS dup_ngram_frac
+            FROM u LEFT JOIN per p USING (doc_id)
         """,
         "group_quantiles": f"""
             SELECT l_returnflag, 0.1 AS prob,

@@ -13,6 +13,7 @@ from pd_utils_spark.extensions.dedup import (
     dedup_connected,
     dedup_lines,
     dedup_minhash_lsh,
+    duplicated_ngram_fraction,
     exact_dedup,
     exact_dedup_against,
     hamming_distance,

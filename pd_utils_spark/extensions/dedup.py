@@ -586,6 +586,49 @@ def dedup_minhash_against(
     return df.join(hits, idcol, "left_anti")
 
 
+def duplicated_ngram_fraction(
+    df: DataFrame,
+    n: int = 8,
+    textcol: str = "text",
+    idcol: str = "doc_id",
+    min_docs: int = 2,
+    out: str = "dup_ngram_frac",
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """CROSS-document duplication signal: for each doc, the fraction
+    of its distinct word n-grams that also appear in at least
+    ``min_docs`` documents (itself included) — the RefinedWeb/Gopher
+    family's "duplicated n-gram" content filter at corpus granularity
+    (``repetition_scores`` measures repetition WITHIN one doc; this
+    measures how much of a doc is boilerplate shared ACROSS docs —
+    near 1.0 means the doc is mostly template text even if no single
+    whole-doc near-dup exists). Filter on ``out`` to drop them.
+
+    Scale shape: shingle explode (map-side), one partial-agg count on
+    the n-gram, one join back on the n-gram key, one per-doc
+    aggregation — everything linear, nothing all-pairs; the n-gram
+    doc-frequency table is the same asset `decontaminate` builds for
+    benchmarks. ``shingles``: optional precomputed ``shingle_sets``.
+    """
+    if shingles is None:
+        shingles = shingle_sets(df, textcol, idcol, n)
+    ex = shingles.select(F.col(idcol), F.explode("shingles").alias("__g__"))
+    dfreq = ex.groupBy("__g__").agg(F.count(F.lit(1)).alias("__df__"))
+    per_doc = (
+        ex.join(dfreq, "__g__")
+        .groupBy(idcol)
+        .agg(
+            (
+                F.sum((F.col("__df__") >= min_docs).cast("long"))
+                / F.count(F.lit(1))
+            ).alias(out)
+        )
+    )
+    return df.join(per_doc, idcol, "left").withColumn(
+        out, F.coalesce(F.col(out), F.lit(0.0))
+    )
+
+
 def dedup_lines(
     df: DataFrame,
     textcol: str = "text",

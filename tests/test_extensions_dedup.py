@@ -371,3 +371,46 @@ class TestLshPlan:
 
         with _pytest.raises(ValueError, match="threshold"):
             D.lsh_plan(1.0)
+
+
+class TestDuplicatedNgramFraction:
+    def test_copied_docs_score_one_and_unique_score_zero(self, spark):
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": [1, 2, 3],
+                    "text": [
+                        "alpha beta gamma delta epsilon",
+                        "alpha beta gamma delta epsilon",  # full copy of 1
+                        "zeta eta theta iota kappa",       # shares nothing
+                    ],
+                }
+            )
+        )
+        got = {
+            r.doc_id: r.dup_ngram_frac
+            for r in D.duplicated_ngram_fraction(df, n=3).collect()
+        }
+        assert got[1] == 1.0 and got[2] == 1.0
+        assert got[3] == 0.0
+
+    def test_partial_overlap_fraction(self, spark):
+        # doc 2 shares its first 3-gram with doc 1 only
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": [1, 2],
+                    "text": [
+                        "shared one two",
+                        "shared one two unique tail words here",
+                    ],
+                }
+            )
+        )
+        got = {
+            r.doc_id: r.dup_ngram_frac
+            for r in D.duplicated_ngram_fraction(df, n=3).collect()
+        }
+        assert got[1] == 1.0  # its only 3-gram is shared
+        # doc 2 has 5 distinct 3-grams, 1 shared
+        assert got[2] == pytest.approx(1 / 5)
