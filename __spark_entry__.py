@@ -1220,6 +1220,35 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pus_sim.topk_recall(approx, exact)
 
 
+def q_binary_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-slice classifier metrics with exact rank-sum AUC (average
+    ranks on ties) — label = returned flag, score = discount, sliced
+    by linestatus. One rank window + one aggregation."""
+    from pd_utils_spark.extensions import metrics as pus_metrics
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_linestatus",
+        (F.col("l_returnflag") == "R").alias("y"),
+        F.col("l_discount").alias("s"),
+    )
+    out = pus_metrics.binary_metrics(li, "y", "s", byvars="l_linestatus", threshold=0.05)
+    return _round_doubles(out)
+
+
+def q_calibration_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table: 10 equal-width score bins with count, mean
+    score, and empirical positive rate per linestatus slice."""
+    from pd_utils_spark.extensions import metrics as pus_metrics
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_linestatus",
+        (F.col("l_returnflag") == "R").alias("y"),
+        F.col("l_discount").alias("s"),
+    )
+    out = pus_metrics.calibration_table(li, "y", "s", bins=10, byvars="l_linestatus")
+    return _round_doubles(out)
+
+
 def q_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-doc duplicated-3-gram fraction over a corpus where every
     5th doc has an id-shifted copy: copied docs score 1.0, originals
@@ -1988,6 +2017,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": q_ann_recall,
         "group_quantiles": q_group_quantiles,
         "dup_ngram_fraction": q_dup_ngram_fraction,
+        "binary_metrics": q_binary_metrics,
+        "calibration_table": q_calibration_table,
         "temperature_mix": q_temperature_mix,
         "sql_tpch_q10": q_sql_tpch_q10,
         "apply_func_unique": q_apply_func_unique,
@@ -3786,6 +3817,53 @@ def oracle_sql() -> dict[str, str]:
             JOIN part p ON li.l_partkey = p.p_partkey
             WHERE li.l_shipdate >= TIMESTAMP '1996-09-01'
               AND li.l_shipdate < TIMESTAMP '1996-10-01'
+        """,
+        "binary_metrics": f"""
+            WITH base AS (
+                SELECT l_linestatus AS g,
+                       CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y,
+                       l_discount AS s
+                FROM lineitem
+            ), ranked AS (
+                SELECT g, y, s,
+                       rank() OVER (PARTITION BY g ORDER BY s)
+                         + (count(*) OVER (PARTITION BY g, s) - 1) / 2.0 AS r
+                FROM base
+            ), a AS (
+                SELECT g,
+                       sum(CASE WHEN s >= 0.05 AND y = 1 THEN 1 ELSE 0 END)::BIGINT AS tp,
+                       sum(CASE WHEN s >= 0.05 AND y = 0 THEN 1 ELSE 0 END)::BIGINT AS fp,
+                       sum(CASE WHEN s < 0.05 AND y = 0 THEN 1 ELSE 0 END)::BIGINT AS tn,
+                       sum(CASE WHEN s < 0.05 AND y = 1 THEN 1 ELSE 0 END)::BIGINT AS fn,
+                       sum(CASE WHEN y = 1 THEN r END) AS rpos,
+                       sum(CASE WHEN y = 1 THEN 1 ELSE 0 END)::BIGINT AS npos,
+                       sum(CASE WHEN y = 0 THEN 1 ELSE 0 END)::BIGINT AS nneg
+                FROM ranked GROUP BY g
+            )
+            SELECT g AS l_linestatus, tp, fp, tn, fn,
+                   CASE WHEN tp + fp > 0
+                        THEN round(tp::DOUBLE / (tp + fp), {r}) END AS precision,
+                   CASE WHEN tp + fn > 0
+                        THEN round(tp::DOUBLE / (tp + fn), {r}) END AS recall,
+                   CASE WHEN tp + fp > 0 AND tp + fn > 0
+                            AND tp::DOUBLE / (tp + fp) + tp::DOUBLE / (tp + fn) > 0
+                        THEN round(2 * (tp::DOUBLE / (tp + fp)) * (tp::DOUBLE / (tp + fn))
+                                   / (tp::DOUBLE / (tp + fp) + tp::DOUBLE / (tp + fn)),
+                                   {r}) END AS f1,
+                   CASE WHEN npos > 0 AND nneg > 0
+                        THEN round((rpos - npos * (npos + 1) / 2.0)
+                                   / (npos::DOUBLE * nneg), {r}) END AS auc
+            FROM a
+        """,
+        "calibration_table": f"""
+            SELECT l_linestatus,
+                   least(greatest(floor(l_discount * 10)::INT, 0), 9) AS bin,
+                   count(*) AS n,
+                   round(avg(l_discount), {r}) AS mean_score,
+                   round(avg(CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END), {r})
+                       AS positive_rate
+            FROM lineitem
+            GROUP BY l_linestatus, least(greatest(floor(l_discount * 10)::INT, 0), 9)
         """,
         "dup_ngram_fraction": f"""
             WITH u AS (

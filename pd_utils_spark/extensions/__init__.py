@@ -35,6 +35,10 @@ from pd_utils_spark.extensions.events import (
     sessionize,
     top_k_per_group,
 )
+from pd_utils_spark.extensions.metrics import (
+    binary_metrics,
+    calibration_table,
+)
 from pd_utils_spark.extensions.pii import (
     drop_pii_documents,
     pii_signals,

@@ -1,0 +1,125 @@
+"""Model-evaluation metrics over DataFrames — the scoring half of a
+training-data pipeline (classifier-based quality filters, dedup
+verifiers, language-ID models all need per-slice metrics at corpus
+scale). Engine extension: the reference pandas library has no
+evaluation surface.
+
+Everything is exact and oracle-checkable: threshold metrics are
+conditional aggregates; AUC is the rank-sum (Mann-Whitney U) form with
+average ranks for ties — a window + one aggregation, no sorting
+collect, no sampling. One shuffle per metric frame.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pd_utils_spark.utils import to_list
+
+
+def binary_metrics(
+    df: DataFrame,
+    labelcol: str,
+    scorecol: str,
+    byvars: str | Sequence[str] | None = None,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Per-group binary classification metrics: confusion counts at
+    ``threshold`` (``tp/fp/tn/fn``), ``precision``/``recall``/``f1``
+    (null when undefined), and exact ``auc``.
+
+    AUC uses the rank-sum identity ``AUC = (R_pos - n_pos(n_pos+1)/2)
+    / (n_pos * n_neg)`` with AVERAGE ranks for tied scores (the
+    Mann-Whitney convention — matches sklearn's ``roc_auc_score`` on
+    ties); null when a group has no positives or no negatives.
+
+    Scale shape: one rank window over (group, score) + one hash
+    aggregation — the O(n log n) sort lives inside the window's
+    per-partition sort, nothing is collected, and groups evaluate
+    independently. Labels may be boolean or 0/1 numeric.
+    """
+    by = to_list(byvars)
+    score = F.col(scorecol).cast("double")
+    label = F.col(labelcol).cast("double")
+
+    wg = Window.partitionBy(*by).orderBy(score)
+    wt = Window.partitionBy(*(by + [scorecol]))
+    # average rank within the group ordering, ties share (min+max)/2
+    r_avg = F.rank().over(wg) + (F.count(F.lit(1)).over(wt) - 1) / 2
+
+    ranked = df.select(
+        *by,
+        label.alias("__y__"),
+        score.alias("__s__"),
+        r_avg.alias("__r__"),
+    )
+    pred_pos = F.col("__s__") >= F.lit(float(threshold))
+    agg = ranked.groupBy(*by).agg(
+        F.sum((pred_pos & (F.col("__y__") == 1)).cast("long")).alias("tp"),
+        F.sum((pred_pos & (F.col("__y__") == 0)).cast("long")).alias("fp"),
+        F.sum((~pred_pos & (F.col("__y__") == 0)).cast("long")).alias("tn"),
+        F.sum((~pred_pos & (F.col("__y__") == 1)).cast("long")).alias("fn"),
+        F.sum(F.when(F.col("__y__") == 1, F.col("__r__"))).alias("__rpos__"),
+        F.sum((F.col("__y__") == 1).cast("long")).alias("__npos__"),
+        F.sum((F.col("__y__") == 0).cast("long")).alias("__nneg__"),
+    )
+    npos, nneg = F.col("__npos__"), F.col("__nneg__")
+    precision = F.when(
+        F.col("tp") + F.col("fp") > 0, F.col("tp") / (F.col("tp") + F.col("fp"))
+    )
+    recall = F.when(
+        F.col("tp") + F.col("fn") > 0, F.col("tp") / (F.col("tp") + F.col("fn"))
+    )
+    f1 = F.when(
+        precision.isNotNull() & recall.isNotNull() & (precision + recall > 0),
+        2 * precision * recall / (precision + recall),
+    )
+    auc = F.when(
+        (npos > 0) & (nneg > 0),
+        (F.col("__rpos__") - npos * (npos + 1) / 2) / (npos * nneg),
+    )
+    return agg.select(
+        *by,
+        "tp",
+        "fp",
+        "tn",
+        "fn",
+        precision.alias("precision"),
+        recall.alias("recall"),
+        f1.alias("f1"),
+        auc.alias("auc"),
+    )
+
+
+def calibration_table(
+    df: DataFrame,
+    labelcol: str,
+    scorecol: str,
+    bins: int = 10,
+    byvars: str | Sequence[str] | None = None,
+) -> DataFrame:
+    """Reliability/calibration table: scores bucketed into ``bins``
+    equal-width [0, 1] bins with per-bin count, mean predicted score,
+    and empirical positive rate — the input to a calibration curve or
+    an ECE computation. One aggregation; scores outside [0, 1] clamp
+    into the edge bins so no row silently drops."""
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    by = to_list(byvars)
+    s = F.col(scorecol).cast("double")
+    b = F.least(
+        F.greatest(F.floor(s * bins).cast("int"), F.lit(0)), F.lit(bins - 1)
+    )
+    return (
+        df.select(*by, b.alias("bin"), s.alias("__s__"),
+                  F.col(labelcol).cast("double").alias("__y__"))
+        .groupBy(*by, "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("__s__").alias("mean_score"),
+            F.avg("__y__").alias("positive_rate"),
+        )
+    )

@@ -1,0 +1,87 @@
+"""Tests for evaluation metrics (pd_utils_spark/extensions/metrics.py):
+confusion counts, precision/recall/F1 null conventions, rank-sum AUC
+(incl. tie handling, verified against hand-computed Mann-Whitney), and
+the calibration table."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from pd_utils_spark.extensions.metrics import binary_metrics, calibration_table
+
+
+class TestBinaryMetrics:
+    def test_confusion_and_prf(self, spark):
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "y": [1, 1, 0, 0, 1, 0],
+                    "s": [0.9, 0.4, 0.8, 0.2, 0.7, 0.1],
+                }
+            )
+        )
+        r = binary_metrics(df, "y", "s", threshold=0.5).collect()[0]
+        assert (r.tp, r.fp, r.tn, r.fn) == (2, 1, 2, 1)
+        assert r.precision == pytest.approx(2 / 3)
+        assert r.recall == pytest.approx(2 / 3)
+        assert r.f1 == pytest.approx(2 / 3)
+
+    def test_auc_perfect_and_random_and_ties(self, spark):
+        perfect = spark.createDataFrame(
+            pd.DataFrame({"y": [0, 0, 1, 1], "s": [0.1, 0.2, 0.8, 0.9]})
+        )
+        assert binary_metrics(perfect, "y", "s").collect()[0].auc == 1.0
+        inverted = spark.createDataFrame(
+            pd.DataFrame({"y": [1, 1, 0, 0], "s": [0.1, 0.2, 0.8, 0.9]})
+        )
+        assert binary_metrics(inverted, "y", "s").collect()[0].auc == 0.0
+        # all-tied scores -> AUC exactly 0.5 (average ranks)
+        tied = spark.createDataFrame(
+            pd.DataFrame({"y": [1, 0, 1, 0], "s": [0.5, 0.5, 0.5, 0.5]})
+        )
+        assert binary_metrics(tied, "y", "s").collect()[0].auc == 0.5
+        # hand-computed mixed case with a tie:
+        # y: 1 0 1 0, s: 0.9 0.9 0.3 0.1 -> sklearn roc_auc_score = 0.625
+        mixed = spark.createDataFrame(
+            pd.DataFrame({"y": [1, 0, 1, 0], "s": [0.9, 0.9, 0.3, 0.1]})
+        )
+        assert binary_metrics(mixed, "y", "s").collect()[0].auc == pytest.approx(0.625)
+
+    def test_degenerate_groups_null_metrics(self, spark):
+        df = spark.createDataFrame(
+            pd.DataFrame({"g": ["p", "p", "n"], "y": [1, 1, 0], "s": [0.9, 0.8, 0.1]})
+        )
+        got = {r.g: r for r in binary_metrics(df, "y", "s", byvars="g").collect()}
+        assert got["p"].auc is None  # no negatives
+        assert got["n"].auc is None  # no positives
+        assert got["n"].recall is None  # no actual positives
+
+    def test_boolean_labels_accepted(self, spark):
+        df = spark.createDataFrame(
+            pd.DataFrame({"y": [True, False], "s": [0.9, 0.1]})
+        )
+        r = binary_metrics(df, "y", "s").collect()[0]
+        assert r.tp == 1 and r.tn == 1 and r.auc == 1.0
+
+
+class TestCalibrationTable:
+    def test_bins_and_rates(self, spark):
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "y": [1, 0, 1, 1, 0, 1],
+                    "s": [0.05, 0.08, 0.95, 0.92, 0.55, 1.0],
+                }
+            )
+        )
+        got = {r.bin: r for r in calibration_table(df, "y", "s", bins=10).collect()}
+        assert got[0].n == 2 and got[0].positive_rate == 0.5
+        assert got[5].n == 1 and got[5].positive_rate == 0.0
+        # s=1.0 clamps into the top bin
+        assert got[9].n == 3 and got[9].positive_rate == pytest.approx(1.0)
+
+    def test_bins_validated(self, spark):
+        df = spark.createDataFrame(pd.DataFrame({"y": [1], "s": [0.5]}))
+        with pytest.raises(ValueError, match="bins"):
+            calibration_table(df, "y", "s", bins=0)
