@@ -1249,6 +1249,34 @@ def q_calibration_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_doubles(out)
 
 
+def q_regression_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group regression scoring (n, MAE, RMSE, R2) in one
+    aggregation pass: price predicted as 1000x quantity."""
+    from pd_utils_spark.extensions import metrics as pus_metrics
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("y"),
+        (F.col("l_quantity") * 1000).alias("p"),
+    )
+    out = pus_metrics.regression_metrics(li, "y", "p", byvars="l_returnflag")
+    return _round_doubles(out)
+
+
+def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@5 per order: items ranked by discount, graded relevance =
+    line number — two rank windows sharing one exchange + one agg."""
+    from pd_utils_spark.extensions import metrics as pus_metrics
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_discount"
+    )
+    out = pus_metrics.ndcg_at_k(
+        li, "l_linenumber", "l_discount", "l_orderkey", k=5, tiebreak="l_linenumber"
+    )
+    return _round_doubles(out)
+
+
 def q_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-doc duplicated-3-gram fraction over a corpus where every
     5th doc has an id-shifted copy: copied docs score 1.0, originals
@@ -2019,6 +2047,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_ngram_fraction": q_dup_ngram_fraction,
         "binary_metrics": q_binary_metrics,
         "calibration_table": q_calibration_table,
+        "regression_metrics": q_regression_metrics,
+        "ndcg": q_ndcg,
         "temperature_mix": q_temperature_mix,
         "sql_tpch_q10": q_sql_tpch_q10,
         "apply_func_unique": q_apply_func_unique,
@@ -3817,6 +3847,39 @@ def oracle_sql() -> dict[str, str]:
             JOIN part p ON li.l_partkey = p.p_partkey
             WHERE li.l_shipdate >= TIMESTAMP '1996-09-01'
               AND li.l_shipdate < TIMESTAMP '1996-10-01'
+        """,
+        "regression_metrics": f"""
+            WITH b AS (
+                SELECT l_returnflag AS g, l_extendedprice AS y,
+                       l_quantity * 1000 AS p
+                FROM lineitem
+            )
+            SELECT g AS l_returnflag, count(*) AS n,
+                   round(avg(abs(y - p)), {r}) AS mae,
+                   round(sqrt(avg((y - p) * (y - p))), {r}) AS rmse,
+                   CASE WHEN sum(y * y) - sum(y) * sum(y) / count(*) > 0
+                        THEN round(1 - sum((y - p) * (y - p))
+                                   / (sum(y * y) - sum(y) * sum(y) / count(*)),
+                                   {r}) END AS r2
+            FROM b GROUP BY g
+        """,
+        "ndcg": f"""
+            WITH ranked AS (
+                SELECT l_orderkey,
+                       pow(2, least(greatest(l_linenumber, 0), 62)) - 1 AS g,
+                       row_number() OVER (PARTITION BY l_orderkey
+                                          ORDER BY l_discount DESC, l_linenumber)
+                           AS rp,
+                       row_number() OVER (PARTITION BY l_orderkey
+                                          ORDER BY least(greatest(l_linenumber, 0), 62)
+                                              DESC, l_linenumber) AS ri
+                FROM lineitem
+            )
+            SELECT l_orderkey,
+                   round(sum(CASE WHEN rp <= 5 THEN g / log2(rp + 1) END)
+                         / sum(CASE WHEN ri <= 5 THEN g / log2(ri + 1) END),
+                         {r}) AS ndcg
+            FROM ranked GROUP BY l_orderkey
         """,
         "binary_metrics": f"""
             WITH base AS (

@@ -38,6 +38,8 @@ from pd_utils_spark.extensions.events import (
 from pd_utils_spark.extensions.metrics import (
     binary_metrics,
     calibration_table,
+    ndcg_at_k,
+    regression_metrics,
 )
 from pd_utils_spark.extensions.pii import (
     drop_pii_documents,

@@ -94,6 +94,81 @@ def binary_metrics(
     )
 
 
+def regression_metrics(
+    df: DataFrame,
+    ycol: str,
+    predcol: str,
+    byvars: str | Sequence[str] | None = None,
+) -> DataFrame:
+    """Per-group regression metrics: ``n``, ``mae``, ``rmse``, ``r2``
+    (null when the group's target variance is zero). ONE aggregation
+    pass — R² uses the algebraic identity ``SST = Σy² - n·ȳ²`` so no
+    second pass over the data is needed; complements ``reg_by`` (which
+    FITS models) with the scoring half."""
+    by = to_list(byvars)
+    y = F.col(ycol).cast("double")
+    p = F.col(predcol).cast("double")
+    e = y - p
+    agg = df.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.abs(e)).alias("mae"),
+        F.sqrt(F.avg(e * e)).alias("rmse"),
+        F.sum(e * e).alias("__sse__"),
+        F.sum(y * y).alias("__syy__"),
+        F.sum(y).alias("__sy__"),
+    )
+    sst = F.col("__syy__") - F.col("__sy__") * F.col("__sy__") / F.col("n")
+    r2 = F.when(sst > 0, 1 - F.col("__sse__") / sst)
+    return agg.select(*by, "n", "mae", "rmse", r2.alias("r2"))
+
+
+def ndcg_at_k(
+    df: DataFrame,
+    relcol: str,
+    scorecol: str,
+    qidcol: str = "query_id",
+    k: int = 10,
+    tiebreak: str | Sequence[str] | None = None,
+) -> DataFrame:
+    """NDCG@k per query: rank items by predicted ``scorecol``
+    (descending, with a deterministic ``tiebreak``), take the top k,
+    and compute ``DCG = Σ (2^rel - 1) / log2(rank + 1)`` normalized by
+    the ideal DCG (items ranked by true relevance). Null when the
+    query has no positive relevance (IDCG = 0). The standard graded
+    ranking metric for the similarity/ANN surface (``topk_recall`` is
+    its binary cousin).
+
+    Two rank windows sharing one hash-partition exchange on the query
+    id + one aggregation; relevance is capped into [0, 62] so the
+    ``2^rel`` gain fits a double without overflow surprises.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    by = [qidcol]
+    tb = [F.col(c) for c in to_list(tiebreak)]
+    rel = F.least(F.greatest(F.col(relcol).cast("double"), F.lit(0.0)), F.lit(62.0))
+    gain = F.pow(F.lit(2.0), rel) - 1
+    w_pred = Window.partitionBy(*by).orderBy(F.desc(scorecol), *tb)
+    w_ideal = Window.partitionBy(*by).orderBy(F.desc(rel), *tb)
+    ranked = df.select(
+        *by,
+        gain.alias("__g__"),
+        F.row_number().over(w_pred).alias("__rp__"),
+        F.row_number().over(w_ideal).alias("__ri__"),
+    )
+    disc = lambda r: F.log2(r.cast("double") + 1)
+    agg = ranked.groupBy(*by).agg(
+        F.sum(
+            F.when(F.col("__rp__") <= k, F.col("__g__") / disc(F.col("__rp__")))
+        ).alias("__dcg__"),
+        F.sum(
+            F.when(F.col("__ri__") <= k, F.col("__g__") / disc(F.col("__ri__")))
+        ).alias("__idcg__"),
+    )
+    ndcg = F.when(F.col("__idcg__") > 0, F.col("__dcg__") / F.col("__idcg__"))
+    return agg.select(*by, ndcg.alias("ndcg"))
+
+
 def calibration_table(
     df: DataFrame,
     labelcol: str,

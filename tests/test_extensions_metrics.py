@@ -85,3 +85,76 @@ class TestCalibrationTable:
         df = spark.createDataFrame(pd.DataFrame({"y": [1], "s": [0.5]}))
         with pytest.raises(ValueError, match="bins"):
             calibration_table(df, "y", "s", bins=0)
+
+
+class TestRegressionMetrics:
+    def test_exact_values(self, spark):
+        from pd_utils_spark.extensions.metrics import regression_metrics
+
+        df = spark.createDataFrame(
+            pd.DataFrame({"y": [1.0, 2.0, 3.0], "p": [1.0, 2.0, 5.0]})
+        )
+        r = regression_metrics(df, "y", "p").collect()[0]
+        assert r.n == 3
+        assert r.mae == pytest.approx(2 / 3)
+        assert r.rmse == pytest.approx((4 / 3) ** 0.5)
+        # SST = 2, SSE = 4 -> r2 = -1 (worse than the mean predictor)
+        assert r.r2 == pytest.approx(-1.0)
+
+    def test_perfect_and_degenerate(self, spark):
+        from pd_utils_spark.extensions.metrics import regression_metrics
+
+        perfect = spark.createDataFrame(
+            pd.DataFrame({"g": ["a"] * 3, "y": [1.0, 2.0, 3.0], "p": [1.0, 2.0, 3.0]})
+        )
+        r = regression_metrics(perfect, "y", "p", byvars="g").collect()[0]
+        assert r.r2 == pytest.approx(1.0) and r.rmse == 0.0
+        const = spark.createDataFrame(
+            pd.DataFrame({"y": [5.0, 5.0], "p": [4.0, 6.0]})
+        )
+        assert regression_metrics(const, "y", "p").collect()[0].r2 is None
+
+
+class TestNdcg:
+    def test_perfect_and_inverted_ranking(self, spark):
+        from pd_utils_spark.extensions.metrics import ndcg_at_k
+
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "q": [1, 1, 1],
+                    "item": [1, 2, 3],
+                    "rel": [3, 2, 0],
+                    "score": [0.9, 0.5, 0.1],
+                }
+            )
+        )
+        assert ndcg_at_k(df, "rel", "score", "q", k=3, tiebreak="item").collect()[0].ndcg == pytest.approx(1.0)
+        inv = df.withColumn("score", 1 - df.score)
+        got = ndcg_at_k(inv, "rel", "score", "q", k=3, tiebreak="item").collect()[0].ndcg
+        # hand-computed: DCG = 0/1 + 3/log2(3) + 7/2, IDCG = 7 + 3/log2(3)
+        import math
+
+        dcg = 3 / math.log2(3) + 7 / 2
+        idcg = 7 + 3 / math.log2(3)
+        assert got == pytest.approx(dcg / idcg)
+
+    def test_no_relevant_items_null(self, spark):
+        from pd_utils_spark.extensions.metrics import ndcg_at_k
+
+        df = spark.createDataFrame(
+            pd.DataFrame({"q": [1, 1], "item": [1, 2], "rel": [0, 0], "score": [0.9, 0.1]})
+        )
+        assert ndcg_at_k(df, "rel", "score", "q", tiebreak="item").collect()[0].ndcg is None
+
+    def test_k_truncation(self, spark):
+        from pd_utils_spark.extensions.metrics import ndcg_at_k
+
+        # relevant item ranked below k -> DCG 0 -> ndcg 0
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {"q": [1, 1], "item": [1, 2], "rel": [0, 1], "score": [0.9, 0.1]}
+            )
+        )
+        r = ndcg_at_k(df, "rel", "score", "q", k=1, tiebreak="item").collect()[0]
+        assert r.ndcg == 0.0
