@@ -1220,6 +1220,36 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pus_sim.topk_recall(approx, exact)
 
 
+def q_left_merge_soonest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (direction='forward'): smallest right key >=
+    left key within the equi group, bounded lookahead."""
+    o = _t(spark, sf_dir, "orders")
+    left = o.select("o_custkey", "o_orderkey")
+    right = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_custkey", F.col("o_orderkey").alias("r_key"), F.col("o_totalprice").alias("payload")
+    )
+    out = pus.left_merge_soonest(
+        left, right, on="o_custkey", left_datevar="o_orderkey",
+        right_datevar="r_key", max_offset=1000,
+    )
+    return _round_doubles(out)
+
+
+def q_left_merge_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join: closest right key either side, backward
+    preferred on distance ties (pandas merge_asof convention)."""
+    o = _t(spark, sf_dir, "orders")
+    left = o.select("o_custkey", "o_orderkey")
+    right = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_custkey", F.col("o_orderkey").alias("r_key"), F.col("o_totalprice").alias("payload")
+    )
+    out = pus.left_merge_nearest(
+        left, right, on="o_custkey", left_datevar="o_orderkey",
+        right_datevar="r_key", max_offset=1000,
+    )
+    return _round_doubles(out)
+
+
 def q_binary_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-slice classifier metrics with exact rank-sum AUC (average
     ranks on ties) — label = returned flag, score = discount, sliced
@@ -2049,6 +2079,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calibration_table": q_calibration_table,
         "regression_metrics": q_regression_metrics,
         "ndcg": q_ndcg,
+        "left_merge_soonest": q_left_merge_soonest,
+        "left_merge_nearest": q_left_merge_nearest,
         "temperature_mix": q_temperature_mix,
         "sql_tpch_q10": q_sql_tpch_q10,
         "apply_func_unique": q_apply_func_unique,
@@ -4236,6 +4268,42 @@ def oracle_sql() -> dict[str, str]:
              AND r.r_key = (SELECT max(r2.r_key) FROM r r2
                             WHERE r2.o_custkey = l.o_custkey AND r2.r_key <= l.o_orderkey
                               AND r2.r_key >= l.o_orderkey - 1000)
+        """,
+        "left_merge_soonest": f"""
+            WITH l AS (SELECT o_custkey, o_orderkey FROM orders),
+            r AS (
+                SELECT o_custkey, o_orderkey AS r_key, o_totalprice AS payload
+                FROM orders WHERE o_orderkey % 3 = 0
+            )
+            SELECT l.o_custkey, l.o_orderkey, r.r_key, round(r.payload, {r}) AS payload
+            FROM l LEFT JOIN r
+              ON l.o_custkey = r.o_custkey AND r.r_key >= l.o_orderkey
+             AND r.r_key <= l.o_orderkey + 1000
+             AND r.r_key = (SELECT min(r2.r_key) FROM r r2
+                            WHERE r2.o_custkey = l.o_custkey AND r2.r_key >= l.o_orderkey
+                              AND r2.r_key <= l.o_orderkey + 1000)
+        """,
+        "left_merge_nearest": f"""
+            WITH l AS (SELECT o_custkey, o_orderkey FROM orders),
+            r AS (
+                SELECT o_custkey, o_orderkey AS r_key, o_totalprice AS payload
+                FROM orders WHERE o_orderkey % 3 = 0
+            ),
+            scored AS (
+                SELECT l.o_custkey, l.o_orderkey, r.r_key, r.payload,
+                       abs(l.o_orderkey - r.r_key) AS dist,
+                       CASE WHEN r.r_key <= l.o_orderkey THEN 0 ELSE 1 END AS side
+                FROM l JOIN r ON l.o_custkey = r.o_custkey
+                WHERE abs(l.o_orderkey - r.r_key) <= 1000
+            ),
+            best AS (
+                SELECT *, rank() OVER (PARTITION BY o_custkey, o_orderkey
+                                       ORDER BY dist, side) AS rk
+                FROM scored
+            )
+            SELECT l.o_custkey, l.o_orderkey, b.r_key, round(b.payload, {r}) AS payload
+            FROM l LEFT JOIN (SELECT * FROM best WHERE rk = 1) b
+              ON l.o_custkey = b.o_custkey AND l.o_orderkey = b.o_orderkey
         """,
         "training_pipeline": f"""
             WITH q AS (

@@ -13,6 +13,8 @@ from pd_utils_spark.operators.merge import (
     groupby_index,
     groupby_merge,
     left_merge_latest,
+    left_merge_nearest,
+    left_merge_soonest,
     range_join,
 )
 from pd_utils_spark.operators.transform import (

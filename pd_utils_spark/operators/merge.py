@@ -369,6 +369,116 @@ def apply_func_to_unique_and_merge(
     return df.join(F.broadcast(uniq), on=col, how="left")
 
 
+def _asof_candidates(df, df2, on, left_datevar, right_datevar):
+    """Shared as-of prep: rename a clashing right date column to
+    ``<name>_y``, build the distinct-left x right equi-join frame.
+    Returns (df2', right_datevar', payload_cols, joined)."""
+    rename = left_datevar == right_datevar
+    if rename:
+        df2 = df2.withColumnRenamed(right_datevar, right_datevar + "_y")
+        right_datevar = right_datevar + "_y"
+    payload_cols = [c for c in df2.columns if c not in on]
+    lefts = df.select(*on, left_datevar).distinct()
+    many = lefts.join(df2, on=on, how="inner")
+    return df2, right_datevar, payload_cols, many
+
+
+def left_merge_soonest(
+    df: DataFrame,
+    df2: DataFrame,
+    on: Union[str, list[str]],
+    left_datevar: str = "Date",
+    right_datevar: str = "Date",
+    max_offset=None,
+) -> DataFrame:
+    """FORWARD as-of left join: for each left row attach the right
+    row(s) with the SMALLEST ``right_datevar >= left_datevar`` within
+    the equi-key ``on`` — the ``direction='forward'`` complement of
+    :func:`left_merge_latest` (pandas ``merge_asof`` exposes all three
+    directions; the reference only ships backward). ``max_offset``
+    bounds the lookahead. Ties at the min date keep all rows; all-null
+    keys keep the left row with null payload.
+
+    Plan shape matches ``left_merge_latest`` with the theta filter and
+    extreme flipped; the best rows come from a rank-1 window over the
+    shared (keys, left date) partitioning — equi keys stay in the join
+    condition, never a nested loop.
+    """
+    from pyspark.sql import Window
+
+    on = to_list(on)
+    df2, right_datevar, payload_cols, many = _asof_candidates(
+        df, df2, on, left_datevar, right_datevar
+    )
+    ge = many.filter(F.col(right_datevar) >= F.col(left_datevar))
+    if max_offset is not None:
+        ge = ge.filter(
+            F.col(right_datevar) <= F.col(left_datevar) + F.lit(max_offset)
+        )
+    w = Window.partitionBy(*on, left_datevar).orderBy(F.col(right_datevar))
+    best = ge.withColumn("__rk__", F.rank().over(w)).filter(F.col("__rk__") == 1)
+    ordered = on + [left_datevar, right_datevar] + [
+        c for c in payload_cols if c != right_datevar
+    ]
+    return df.join(best.select(*ordered), on=on + [left_datevar], how="left")
+
+
+def left_merge_nearest(
+    df: DataFrame,
+    df2: DataFrame,
+    on: Union[str, list[str]],
+    left_datevar: str = "Date",
+    right_datevar: str = "Date",
+    max_offset=None,
+) -> DataFrame:
+    """NEAREST as-of left join: attach the right row(s) whose date is
+    closest to the left date in EITHER direction within the equi-key
+    ``on``; on a distance tie the BACKWARD row wins (pandas
+    ``merge_asof(direction='nearest')`` convention). ``max_offset``
+    bounds the distance both ways. Ties at the same distance and side
+    keep all rows.
+
+    Distance is computed on the raw values for numerics and on
+    microsecond epochs for timestamps, so sub-second differences order
+    correctly. Same single-window plan shape as the other directions.
+    """
+    from pyspark.sql import Window
+
+    on = to_list(on)
+    df2, right_datevar, payload_cols, many = _asof_candidates(
+        df, df2, on, left_datevar, right_datevar
+    )
+    ltype = dict(df.dtypes)[left_datevar]
+    if ltype.startswith("timestamp") or ltype == "date":
+        l_num = F.unix_micros(F.col(left_datevar).cast("timestamp"))
+        r_num = F.unix_micros(F.col(right_datevar).cast("timestamp"))
+    else:
+        l_num = F.col(left_datevar).cast("double")
+        r_num = F.col(right_datevar).cast("double")
+    dist = F.abs(l_num - r_num)
+    scored = many.withColumn("__dist__", dist).withColumn(
+        "__side__", F.when(F.col(right_datevar) <= F.col(left_datevar), 0).otherwise(1)
+    )
+    if max_offset is not None:
+        if isinstance(max_offset, (int, float)):
+            scored = scored.filter(F.col("__dist__") <= F.lit(float(max_offset)))
+        else:  # timedelta / INTERVAL: compare in the date domain
+            scored = scored.filter(
+                (F.col(right_datevar) >= F.col(left_datevar) - F.lit(max_offset))
+                & (F.col(right_datevar) <= F.col(left_datevar) + F.lit(max_offset))
+            )
+    w = Window.partitionBy(*on, left_datevar).orderBy("__dist__", "__side__")
+    best = (
+        scored.withColumn("__rk__", F.rank().over(w))
+        .filter(F.col("__rk__") == 1)
+        .drop("__dist__", "__side__", "__rk__")
+    )
+    ordered = on + [left_datevar, right_datevar] + [
+        c for c in payload_cols if c != right_datevar
+    ]
+    return df.join(best.select(*ordered), on=on + [left_datevar], how="left")
+
+
 def left_merge_latest(
     df: DataFrame,
     df2: DataFrame,

@@ -908,3 +908,117 @@ class TestFlagOutliers:
     def test_bad_method_raises(self, spark):
         with pytest.raises(ValueError):
             pus.flag_outliers(spark.createDataFrame(self.data), method="tukey")
+
+
+class TestAsofDirections:
+    """left_merge_soonest / left_merge_nearest verified directly
+    against pandas merge_asof (the semantics oracle for all three
+    as-of directions)."""
+
+    def _frames(self, spark):
+        import numpy as np
+
+        rng = np.random.RandomState(7)
+        left = pd.DataFrame(
+            {
+                "id": rng.randint(0, 5, 40),
+                "t": rng.choice(np.arange(0, 200, 3), 40, replace=False).astype("int64"),
+            }
+        )
+        right = pd.DataFrame(
+            {
+                "id": rng.randint(0, 5, 25),
+                "t": rng.choice(np.arange(1, 200, 7), 25, replace=False).astype("int64"),
+            }
+        )
+        right["val"] = right.t * 10.0
+        return left, right
+
+    def _pandas_asof(self, left, right, direction, tolerance=None):
+        out = pd.merge_asof(
+            left.sort_values("t"),
+            right.sort_values("t").rename(columns={"t": "t_y"}),
+            left_on="t",
+            right_on="t_y",
+            by="id",
+            direction=direction,
+            tolerance=tolerance,
+        )
+        return out.sort_values(["id", "t"]).reset_index(drop=True)
+
+    def test_forward_matches_pandas(self, spark):
+        left, right = self._frames(spark)
+        got = (
+            pus.left_merge_soonest(
+                spark.createDataFrame(left),
+                spark.createDataFrame(right),
+                on="id",
+                left_datevar="t",
+                right_datevar="t",
+            )
+            .toPandas()
+            .sort_values(["id", "t"])
+            .reset_index(drop=True)
+        )
+        expect = self._pandas_asof(left, right, "forward")
+        pd.testing.assert_frame_equal(
+            got[["id", "t", "t_y", "val"]], expect[["id", "t", "t_y", "val"]],
+            check_dtype=False,
+        )
+
+    def test_nearest_matches_pandas(self, spark):
+        left, right = self._frames(spark)
+        got = (
+            pus.left_merge_nearest(
+                spark.createDataFrame(left),
+                spark.createDataFrame(right),
+                on="id",
+                left_datevar="t",
+                right_datevar="t",
+            )
+            .toPandas()
+            .sort_values(["id", "t"])
+            .reset_index(drop=True)
+        )
+        expect = self._pandas_asof(left, right, "nearest")
+        pd.testing.assert_frame_equal(
+            got[["id", "t", "t_y", "val"]], expect[["id", "t", "t_y", "val"]],
+            check_dtype=False,
+        )
+
+    def test_nearest_tie_prefers_backward(self, spark):
+        left = spark.createDataFrame(pd.DataFrame({"id": [1], "t": [10]}))
+        right = spark.createDataFrame(
+            pd.DataFrame({"id": [1, 1], "t": [8, 12], "val": [1.0, 2.0]})
+        )
+        got = pus.left_merge_nearest(left, right, on="id", left_datevar="t", right_datevar="t").collect()
+        assert len(got) == 1 and got[0].val == 1.0  # dist 2 both ways -> backward
+
+    def test_max_offset_bounds_both_directions(self, spark):
+        left, right = self._frames(spark)
+        got = (
+            pus.left_merge_soonest(
+                spark.createDataFrame(left),
+                spark.createDataFrame(right),
+                on="id", left_datevar="t", right_datevar="t", max_offset=10,
+            )
+            .toPandas().sort_values(["id", "t"]).reset_index(drop=True)
+        )
+        expect = self._pandas_asof(left, right, "forward", tolerance=10)
+        pd.testing.assert_frame_equal(
+            got[["id", "t", "t_y", "val"]], expect[["id", "t", "t_y", "val"]],
+            check_dtype=False,
+        )
+        gotn = (
+            pus.left_merge_nearest(
+                spark.createDataFrame(left),
+                spark.createDataFrame(right),
+                on="id", left_datevar="t", right_datevar="t", max_offset=10,
+            )
+            .toPandas().sort_values(["id", "t"]).reset_index(drop=True)
+        )
+        expectn = self._pandas_asof(left, right, "nearest", tolerance=10)
+        pd.testing.assert_frame_equal(
+            gotn[["id", "t", "t_y", "val"]], expectn[["id", "t", "t_y", "val"]],
+            check_dtype=False,
+        )
