@@ -1220,6 +1220,42 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pus_sim.topk_recall(approx, exact)
 
 
+def q_wide_to_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """melt (inverse of long_to_wide): zero-shuffle Expand over the
+    scan — each row fans out map-side to one row per value column."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    out = pus.wide_to_long(
+        li, ["l_orderkey", "l_linenumber"], ["l_quantity", "l_extendedprice"]
+    )
+    return _round_doubles(out)
+
+
+def q_long_to_wide_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pivot_table-style aggregating pivot (aggfunc='sum') — same
+    single conditional aggregation as the first() pivot."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_quantity"
+    )
+    out = pus.long_to_wide(
+        li, "l_returnflag", "l_quantity", colindex="l_linestatus", aggfunc="sum"
+    )
+    return _round_doubles(out)
+
+
+def q_group_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group percentage rank (pandas rank(pct=True) semantics,
+    average ties) — one window exchange."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
+    )
+    out = pus.group_rank(
+        li, "l_extendedprice", byvars="l_returnflag", method="average", pct=True
+    )
+    return _round_doubles(out)
+
+
 def q_left_merge_soonest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FORWARD as-of join (direction='forward'): smallest right key >=
     left key within the equi group, bounded lookahead."""
@@ -2081,6 +2117,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ndcg": q_ndcg,
         "left_merge_soonest": q_left_merge_soonest,
         "left_merge_nearest": q_left_merge_nearest,
+        "wide_to_long": q_wide_to_long,
+        "long_to_wide_sum": q_long_to_wide_sum,
+        "group_rank": q_group_rank,
         "temperature_mix": q_temperature_mix,
         "sql_tpch_q10": q_sql_tpch_q10,
         "apply_func_unique": q_apply_func_unique,
@@ -4268,6 +4307,37 @@ def oracle_sql() -> dict[str, str]:
              AND r.r_key = (SELECT max(r2.r_key) FROM r r2
                             WHERE r2.o_custkey = l.o_custkey AND r2.r_key <= l.o_orderkey
                               AND r2.r_key >= l.o_orderkey - 1000)
+        """,
+        "wide_to_long": f"""
+            SELECT l_orderkey, l_linenumber, 'l_quantity' AS variable,
+                   round(l_quantity, {r}) AS value
+            FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_extendedprice' AS variable,
+                   round(l_extendedprice, {r}) AS value
+            FROM lineitem
+        """,
+        "long_to_wide_sum": f"""
+            WITH d AS (
+                SELECT DISTINCT l_returnflag, l_linestatus, l_quantity FROM lineitem
+            )
+            SELECT l_returnflag,
+                   round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), {r})
+                       AS "l_quantityF",
+                   round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), {r})
+                       AS "l_quantityO"
+            FROM d GROUP BY l_returnflag
+        """,
+        "group_rank": f"""
+            SELECT l_orderkey, l_linenumber, l_returnflag,
+                   round(l_extendedprice, {r}) AS l_extendedprice,
+                   round((rank() OVER w
+                          + (count(l_extendedprice) OVER (
+                                PARTITION BY l_returnflag, l_extendedprice) - 1) / 2.0)
+                         / count(l_extendedprice) OVER (PARTITION BY l_returnflag),
+                         {r}) AS l_extendedprice_rank
+            FROM lineitem
+            WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_extendedprice)
         """,
         "left_merge_soonest": f"""
             WITH l AS (SELECT o_custkey, o_orderkey FROM orders),

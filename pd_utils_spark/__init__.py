@@ -21,7 +21,9 @@ from pd_utils_spark.operators.transform import (
     averages,
     flag_outliers,
     join_col_strings,
+    group_rank,
     long_to_wide,
+    wide_to_long,
     state_abbrev,
     var_change_by_groups,
     winsorize,

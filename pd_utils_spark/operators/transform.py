@@ -239,6 +239,7 @@ def long_to_wide(
     colindex_only: bool = False,
     ordervar: Optional[str] = None,
     max_columns: int = 10_000,
+    aggfunc: str = "first",
 ) -> DataFrame:
     """Long -> wide pivot (reference: pd_utils/transform.py:11-107).
 
@@ -257,6 +258,10 @@ def long_to_wide(
     (Spark's native ``pivot`` pays an extra internal Exchange, and a
     pivot-per-value would pay V of everything); the pivot column set
     is computed in one prior pass.
+
+    ``aggfunc`` extends the reference's ``first`` to pandas
+    ``pivot_table`` aggregations (sum/mean/min/max/count) with no plan
+    change — still the single conditional aggregation.
 
     ``max_columns`` guards the pivot width: the distinct colindex
     values become driver-side column metadata (as in Spark's own
@@ -307,15 +312,24 @@ def long_to_wide(
     # runs TWO aggregations — an extra Exchange — and the earlier
     # one-pivot-per-value form paid V pivots + V joins on top; at
     # sf0.1 this form is ~3x faster for 2 values.)
+    agg_fns = {
+        "first": lambda c: F.first(c, ignorenulls=True),
+        "sum": F.sum,
+        "mean": F.avg,
+        "avg": F.avg,
+        "min": F.min,
+        "max": F.max,
+        "count": F.count,
+    }
+    if aggfunc not in agg_fns:
+        raise ValueError(f"aggfunc must be one of {sorted(agg_fns)}: {aggfunc!r}")
+    fn = agg_fns[aggfunc]
     aggs = []
     for value in values:
         for pv in pivot_vals:
             name = str(pv).strip("_") if colindex_only else f"{value}{pv}"
             aggs.append(
-                F.first(
-                    F.when(F.col(idx_col) == F.lit(pv), F.col(value)),
-                    ignorenulls=True,
-                ).alias(name)
+                fn(F.when(F.col(idx_col) == F.lit(pv), F.col(value))).alias(name)
             )
     wide = df.groupBy(*groupvars).agg(*aggs)
 
@@ -326,6 +340,83 @@ def long_to_wide(
         return wide
     base = df.select(*[c for c in df.columns if c in carry or c in groupvars])
     return base.join(wide, on=groupvars, how="left").dropDuplicates()
+
+
+def wide_to_long(
+    df: DataFrame,
+    id_vars: Union[str, list[str]],
+    value_vars: Optional[Union[str, list[str]]] = None,
+    var_name: str = "variable",
+    value_name: str = "value",
+) -> DataFrame:
+    """Wide -> long melt, the inverse of :func:`long_to_wide` (pandas
+    ``melt``; the reference ships only the wide direction). One row
+    per (id row, value column); ``value_vars`` defaults to every
+    non-id column. Implemented on Spark's native ``unpivot`` — a
+    zero-shuffle Expand over the scan (each input row fans out to
+    ``len(value_vars)`` output rows map-side; nothing is exchanged).
+
+    Value columns are cast to a common type by ``unpivot``; mixing
+    incompatible types (string + numeric) raises — cast explicitly
+    first, as pandas users do with ``astype``.
+    """
+    id_l = to_list(id_vars)
+    val_l = to_list(value_vars) if value_vars is not None else [
+        c for c in df.columns if c not in id_l
+    ]
+    if not val_l:
+        raise ValueError("no value_vars to melt")
+    return df.unpivot(id_l, val_l, var_name, value_name)
+
+
+def group_rank(
+    df: DataFrame,
+    col: str,
+    byvars: Optional[Union[str, list[str]]] = None,
+    method: str = "average",
+    pct: bool = False,
+    ascending: bool = True,
+    out: Optional[str] = None,
+) -> DataFrame:
+    """Per-group rank transform of ``col`` (pandas ``Series.rank``
+    semantics): ``method`` in ``average`` (ties share the mean of
+    their min/max ranks), ``min``, ``max``, ``dense``; ``pct=True``
+    divides by the group's non-null count (pandas' percentage rank).
+    Null values receive null ranks and do not consume rank positions.
+    Adds ``<col>_rank`` (or ``out``).
+
+    One window sharing a single hash-partition exchange on ``byvars``
+    (the tie-count runs over the (byvars, col) sub-partition of the
+    same exchange — no second shuffle). The feature-engineering
+    staple: rank/quantile-normalize a signal within each date or
+    group before cross-sectional use.
+    """
+    by = to_list(byvars)
+    v = F.col(col)
+    order = v.asc_nulls_last() if ascending else v.desc_nulls_last()
+    wg = Window.partitionBy(*by).orderBy(order)
+    wt = Window.partitionBy(*(by + [col]))
+    ties = F.count(v).over(wt)
+    if method == "average":
+        r = F.rank().over(wg) + (ties - 1) / 2
+    elif method == "min":
+        r = F.rank().over(wg).cast("double")
+    elif method == "max":
+        r = (F.rank().over(wg) + ties - 1).cast("double")
+    elif method == "dense":
+        r = F.dense_rank().over(wg).cast("double")
+    else:
+        raise ValueError(f"method must be average/min/max/dense: {method!r}")
+    if pct:
+        wb = Window.partitionBy(*by)
+        if method == "dense":
+            # pandas divides dense ranks by the DISTINCT value count
+            n = F.size(F.collect_set(v).over(wb))
+        else:
+            n = F.count(v).over(wb)
+        r = r / n
+    name = out or f"{col}_rank"
+    return df.withColumn(name, F.when(v.isNotNull(), r))
 
 
 _STATES_TO_ABBREV = {

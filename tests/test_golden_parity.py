@@ -1022,3 +1022,99 @@ class TestAsofDirections:
             gotn[["id", "t", "t_y", "val"]], expectn[["id", "t", "t_y", "val"]],
             check_dtype=False,
         )
+
+
+class TestWideToLong:
+    def test_melt_basic(self, spark):
+        df = spark.createDataFrame(
+            pd.DataFrame({"id": [1, 2], "a": [10.0, 20.0], "b": [1.0, 2.0]})
+        )
+        got = (
+            pus.wide_to_long(df, "id")
+            .toPandas()
+            .sort_values(["id", "variable"])
+            .reset_index(drop=True)
+        )
+        expect = (
+            pd.DataFrame({"id": [1, 2], "a": [10.0, 20.0], "b": [1.0, 2.0]})
+            .melt(id_vars="id")
+            .sort_values(["id", "variable"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, expect, check_dtype=False)
+
+    def test_round_trips_with_long_to_wide(self, spark):
+        wide = spark.createDataFrame(
+            pd.DataFrame({"id": [1, 2], "x1": [5.0, 6.0], "x2": [7.0, 8.0]})
+        )
+        long = pus.wide_to_long(wide, "id", ["x1", "x2"])
+        back = pus.long_to_wide(long, "id", "value", colindex="variable", colindex_only=True)
+        got = back.toPandas().sort_values("id").reset_index(drop=True)
+        assert sorted(got.columns) == ["id", "x1", "x2"]
+        assert got.x1.tolist() == [5.0, 6.0] and got.x2.tolist() == [7.0, 8.0]
+
+    def test_no_value_vars_raises(self, spark):
+        df = spark.createDataFrame(pd.DataFrame({"id": [1]}))
+        with pytest.raises(ValueError, match="value_vars"):
+            pus.wide_to_long(df, "id")
+
+
+class TestLongToWideAggfunc:
+    def test_pivot_table_sum(self, spark):
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {"g": ["a", "a", "b"], "k": ["x", "x", "y"], "v": [1.0, 2.0, 5.0]}
+            )
+        )
+        got = (
+            pus.long_to_wide(df, "g", "v", colindex="k", aggfunc="sum")
+            .toPandas()
+            .set_index("g")
+            .sort_index()
+        )
+        assert got.loc["a", "vx"] == 3.0
+        assert got.loc["b", "vy"] == 5.0
+        assert pd.isna(got.loc["a", "vy"])
+
+    def test_invalid_aggfunc(self, spark):
+        df = spark.createDataFrame(pd.DataFrame({"g": ["a"], "k": ["x"], "v": [1.0]}))
+        with pytest.raises(ValueError, match="aggfunc"):
+            pus.long_to_wide(df, "g", "v", colindex="k", aggfunc="median")
+
+
+class TestGroupRank:
+    def _df(self):
+        return pd.DataFrame(
+            {
+                "g": ["a"] * 5 + ["b"] * 3,
+                "v": [3.0, 1.0, 3.0, 2.0, None, 10.0, 10.0, 5.0],
+            }
+        )
+
+    @pytest.mark.parametrize("method", ["average", "min", "max", "dense"])
+    @pytest.mark.parametrize("pct", [False, True])
+    def test_matches_pandas_rank(self, spark, method, pct):
+        pdf = self._df()
+        got = (
+            pus.group_rank(spark.createDataFrame(pdf), "v", byvars="g", method=method, pct=pct)
+            .toPandas()
+            .sort_values(["g", "v"], na_position="last")
+            .reset_index(drop=True)
+        )
+        pdf = pdf.copy()
+        pdf["v_rank"] = pdf.groupby("g").v.rank(method=method, pct=pct)
+        expect = pdf.sort_values(["g", "v"], na_position="last").reset_index(drop=True)
+        pd.testing.assert_series_equal(got.v_rank, expect.v_rank, check_dtype=False)
+
+    def test_descending(self, spark):
+        pdf = self._df()
+        got = (
+            pus.group_rank(spark.createDataFrame(pdf), "v", byvars="g", ascending=False)
+            .toPandas()
+            .sort_values(["g", "v"], na_position="last")
+            .reset_index(drop=True)
+        )
+        pdf = pdf.copy()
+        pdf["v_rank"] = pdf.groupby("g").v.rank(ascending=False)
+        expect = pdf.sort_values(["g", "v"], na_position="last").reset_index(drop=True)
+        pd.testing.assert_series_equal(got.v_rank, expect.v_rank, check_dtype=False)
