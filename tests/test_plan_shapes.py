@@ -238,6 +238,36 @@ class TestRound3PlanShapes:
         assert len(re.findall(r"\(\d+\) Window", plan)) == 2
         assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
 
+    def test_metrics_and_rank_share_one_exchange(self, spark, li):
+        """binary_metrics (rank window + agg), ndcg (two windows +
+        agg) and group_rank (window) all partition on the same keys
+        end-to-end — exactly ONE hash-partition Exchange each."""
+        import re
+
+        from pd_utils_spark.extensions.metrics import binary_metrics, ndcg_at_k
+
+        df = li.select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_returnflag",
+            (F.col("l_returnflag") == "R").alias("y"),
+            F.col("l_discount").alias("s"),
+            "l_extendedprice",
+        )
+        for out in (
+            binary_metrics(df, "y", "s", byvars="l_returnflag"),
+            ndcg_at_k(df, "l_linenumber", "s", "l_orderkey", k=5, tiebreak="l_linenumber"),
+            pus.group_rank(df, "l_extendedprice", byvars="l_returnflag", pct=True),
+        ):
+            plan = plan_of(out)
+            assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan[:500]
+
+    def test_wide_to_long_is_shuffle_free(self, spark, li):
+        out = pus.wide_to_long(
+            li.select("l_orderkey", "l_quantity", "l_extendedprice"), "l_orderkey"
+        )
+        assert "Exchange" not in plan_of(out)  # map-side Expand only
+
     def test_zorder_key_no_driver_job_and_broadcast_bounds(self, spark, li):
         from pd_utils_spark.plans import zorder_key
 
