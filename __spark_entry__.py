@@ -4007,13 +4007,16 @@ def oracle_sql() -> dict[str, str]:
                 WHERE doc_id % 5 = 0
             ),
             sh AS (SELECT doc_id, {_SQL_SHINGLES} AS s FROM u),
-            ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
-            dfq AS (SELECT g, count(*) AS dfc FROM ex GROUP BY g),
+            ex AS (
+                SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS gh
+                FROM (SELECT doc_id, unnest(s) AS g FROM sh)
+            ),
+            dfq AS (SELECT gh, count(*) AS dfc FROM ex GROUP BY gh),
             per AS (
                 SELECT doc_id,
                        sum(CASE WHEN dfc >= 2 THEN 1 ELSE 0 END)::DOUBLE
                            / count(*) AS f
-                FROM ex JOIN dfq USING (g) GROUP BY doc_id
+                FROM ex JOIN dfq USING (gh) GROUP BY doc_id
             )
             SELECT u.doc_id, round(coalesce(p.f, 0.0), {r}) AS dup_ngram_frac
             FROM u LEFT JOIN per p USING (doc_id)

@@ -604,25 +604,39 @@ def duplicated_ngram_fraction(
     near 1.0 means the doc is mostly template text even if no single
     whole-doc near-dup exists). Filter on ``out`` to drop them.
 
-    Scale shape: shingle explode (map-side), one partial-agg count on
-    the n-gram, one join back on the n-gram key, one per-doc
-    aggregation — everything linear, nothing all-pairs; the n-gram
-    doc-frequency table is the same asset `decontaminate` builds for
-    benchmarks. ``shingles``: optional precomputed ``shingle_sets``.
+    Scale shape: n-grams are md5-hashed to 60-bit LONGS inside the
+    shingle array (one projection, behind a plan barrier so Generate
+    reads a bound array), so the explode, the doc-frequency count
+    window and the per-doc aggregation all shuffle/sort 8-byte keys
+    instead of multi-word strings — the dominant cost of any
+    gram-granularity operator is shuffle bytes. The hash is the
+    engine-portable md5 construction, so the SQL oracle computes the
+    IDENTICAL keys and results hash-match even at the (astronomically
+    rare) 60-bit collision. Two shuffles, everything linear, nothing
+    all-pairs. ``shingles``: optional precomputed ``shingle_sets``.
     """
+    from pyspark.sql import Window
+
+    from pd_utils_spark.utils import plan_barrier
+
     if shingles is None:
         shingles = shingle_sets(df, textcol, idcol, n)
-    ex = shingles.select(F.col(idcol), F.explode("shingles").alias("__g__"))
-    dfreq = ex.groupBy("__g__").agg(F.count(F.lit(1)).alias("__df__"))
-    per_doc = (
-        ex.join(dfreq, "__g__")
-        .groupBy(idcol)
-        .agg(
-            (
-                F.sum((F.col("__df__") >= min_docs).cast("long"))
-                / F.count(F.lit(1))
-            ).alias(out)
+    hashed = plan_barrier(
+        shingles.select(
+            F.col(idcol),
+            F.transform(
+                F.col("shingles"),
+                lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("bigint"),
+            ).alias("__gh__"),
         )
+    )
+    ex = hashed.select(F.col(idcol), F.explode("__gh__").alias("__g__"))
+    wg = Window.partitionBy("__g__")
+    flagged = ex.withColumn("__df__", F.count(F.lit(1)).over(wg))
+    per_doc = flagged.groupBy(idcol).agg(
+        (
+            F.sum((F.col("__df__") >= min_docs).cast("long")) / F.count(F.lit(1))
+        ).alias(out)
     )
     return df.join(per_doc, idcol, "left").withColumn(
         out, F.coalesce(F.col(out), F.lit(0.0))
