@@ -3114,7 +3114,9 @@ def oracle_sql() -> dict[str, str]:
             ),
             norm AS (
                 SELECT doc_id, pos, line,
-                       md5(trim(regexp_replace(lower(line), '\\s+', ' ', 'g'))) AS fp
+                       ('0x' || substr(
+                           md5(trim(regexp_replace(lower(line), '\\s+', ' ', 'g'))),
+                           1, 15))::BIGINT AS fp
                 FROM lines
             ),
             bad AS (

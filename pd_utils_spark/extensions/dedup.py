@@ -686,7 +686,10 @@ def dedup_lines(
         F.posexplode_outer(F.split(t, _re.escape(sep))).alias("__pos__", "__line__"),
     )
     norm = _norm(F.col("__line__")) if normalize else F.col("__line__")
-    lines = lines.withColumn("__fp__", F.md5(norm.cast("string"))).withColumn(
+    # 60-bit engine-portable fingerprint (long, not the md5 hex string)
+    # — the frequency count and anti-join shuffle 8-byte keys
+    fp = F.conv(F.substring(F.md5(norm.cast("string")), 1, 15), 16, 10).cast("bigint")
+    lines = lines.withColumn("__fp__", fp).withColumn(
         "__exempt__", F.length(norm) < min_chars
     )
     bad = (
