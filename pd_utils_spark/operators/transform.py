@@ -569,23 +569,26 @@ def flag_outliers(
                 > threshold * 1.4826 * F.col("__mad_" + c),
             )
     else:  # iqr
+        # ONE array-percentile buffer per column (percentile is an
+        # ObjectHashAggregate that holds every value — two scalar
+        # percentile calls would buffer and merge the column twice)
         qs = df.agg(
             *[
-                F.expr(f"percentile(cast({quote(c)} as double), 0.25)").alias("__q1_" + c)
+                F.expr(
+                    f"percentile(cast({quote(c)} as double), array(0.25, 0.75))"
+                ).alias("__q_" + c)
                 for c in cols
-            ],
-            *[
-                F.expr(f"percentile(cast({quote(c)} as double), 0.75)").alias("__q3_" + c)
-                for c in cols
-            ],
+            ]
         )
         out = df.crossJoin(F.broadcast(qs))
         for c in cols:
             x = F.col(c).cast("double")
-            iqr = F.col("__q3_" + c) - F.col("__q1_" + c)
+            q1 = F.element_at(F.col("__q_" + c), 1)
+            q3 = F.element_at(F.col("__q_" + c), 2)
+            iqr = q3 - q1
             out = out.withColumn(
                 c + suffix,
-                (x < F.col("__q1_" + c) - threshold * iqr)
-                | (x > F.col("__q3_" + c) + threshold * iqr),
+                (x < q1 - threshold * iqr) | (x > q3 + threshold * iqr),
             )
+        out = out.drop(*["__q_" + c for c in cols])
     return out.select(*df.columns, *[c + suffix for c in cols])
