@@ -1220,6 +1220,17 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pus_sim.topk_recall(approx, exact)
 
 
+def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-benchmark-item leakage audit (the measuring twin of
+    decontaminate): benchmark = every 97th doc, corpus = the rest, so
+    fractions reflect true cross-document overlap only."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    out = pus_sample.contamination_report(corpus, bench, n=5)
+    return _round_doubles(out)
+
+
 def q_wide_to_long(spark: SparkSession, sf_dir: str) -> DataFrame:
     """melt (inverse of long_to_wide): zero-shuffle Expand over the
     scan — each row fans out map-side to one row per value column."""
@@ -2118,6 +2129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "left_merge_soonest": q_left_merge_soonest,
         "left_merge_nearest": q_left_merge_nearest,
         "wide_to_long": q_wide_to_long,
+        "contamination_report": q_contamination_report,
         "long_to_wide_sum": q_long_to_wide_sum,
         "group_rank": q_group_rank,
         "temperature_mix": q_temperature_mix,
@@ -4589,6 +4601,32 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT d.doc_id, d.source FROM documents d
             WHERE d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+        """,
+        "contamination_report": f"""
+            WITH bench AS (
+                SELECT doc_id AS bench_id, md5(g) AS h
+                FROM (SELECT doc_id, unnest({_sql_shingles_k(5)}) AS g
+                      FROM documents WHERE doc_id % 97 = 0)
+            ),
+            btot AS (SELECT bench_id, count(*) AS n_grams FROM bench GROUP BY bench_id),
+            corp AS (
+                SELECT doc_id, md5(g) AS h
+                FROM (SELECT doc_id, unnest({_sql_shingles_k(5)}) AS g
+                      FROM documents WHERE doc_id % 97 <> 0)
+            ),
+            hits AS (
+                SELECT b.bench_id,
+                       count(DISTINCT b.h) AS n_matched,
+                       count(DISTINCT c.doc_id) AS n_corpus_docs
+                FROM bench b JOIN corp c ON b.h = c.h
+                GROUP BY b.bench_id
+            )
+            SELECT t.bench_id AS doc_id, t.n_grams,
+                   coalesce(h.n_matched, 0)::BIGINT AS n_matched,
+                   round(coalesce(h.n_matched, 0)::DOUBLE / t.n_grams, {r})
+                       AS match_frac,
+                   coalesce(h.n_corpus_docs, 0)::BIGINT AS n_corpus_docs
+            FROM btot t LEFT JOIN hits h USING (bench_id)
         """,
         "dedup_incremental": f"""
             WITH hist AS (

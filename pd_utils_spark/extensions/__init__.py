@@ -62,6 +62,7 @@ from pd_utils_spark.extensions.profile import (
     token_length_histogram,
 )
 from pd_utils_spark.extensions.sampling import (
+    contamination_report,
     decontaminate,
     hash_fraction,
     hash_split,

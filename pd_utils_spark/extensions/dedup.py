@@ -127,9 +127,16 @@ def exact_dedup(
     The min-id survivor rule (rather than "first") makes the result a
     pure function of the data — required for reproducible pipelines
     and for oracle checking.
+
+    A BINARY ``textcol`` (image/audio payloads from the multimodal
+    surface) fingerprints the raw bytes directly — ``normalize`` does
+    not apply to bytes.
     """
     t = F.col(textcol)
-    fp = F.md5((_norm(t) if normalize else t).cast("string"))
+    if dict(df.dtypes).get(textcol) == "binary":
+        fp = F.md5(t)
+    else:
+        fp = F.md5((_norm(t) if normalize else t).cast("string"))
     from pyspark.sql import Window
 
     w = Window.partitionBy(fp).orderBy(F.col(idcol))

@@ -380,6 +380,57 @@ def decontaminate(
     )
 
 
+def contamination_report(
+    df: DataFrame,
+    benchmark: DataFrame,
+    textcol: str = "text",
+    idcol: str = "doc_id",
+    benchmark_textcol: str | None = None,
+    benchmark_idcol: str | None = None,
+    n: int = 13,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Contamination MEASUREMENT (the audit twin of
+    :func:`decontaminate`, which removes): for each benchmark item,
+    how much of it leaks into the training corpus — ``n_grams`` (its
+    distinct word n-grams), ``n_matched`` (how many appear anywhere in
+    the corpus), ``match_frac``, and ``n_corpus_docs`` (distinct
+    corpus documents sharing at least one gram). This is what an eval
+    team reports per benchmark before trusting scores; filtering alone
+    hides HOW contaminated each item was.
+
+    Same scale shape as decontaminate with the aggregation flipped to
+    the benchmark side: benchmark grams broadcast, corpus grams
+    scanned map-side, per-item stats aggregated over the (tiny) match
+    set — the corpus is never shuffled.
+    """
+    btext = benchmark_textcol or textcol
+    bid = benchmark_idcol or idcol
+    bgrams = ngram_hashes(benchmark, btext, bid, n, out="__bh__").select(
+        F.col(bid).alias("__bid__"), "__bh__"
+    )
+    totals = bgrams.groupBy("__bid__").agg(F.count(F.lit(1)).alias("n_grams"))
+    cg = ngram_hashes(df, textcol, idcol, n, out="__ch__")
+    b = F.broadcast(bgrams) if broadcast_benchmark else bgrams
+    hits = (
+        cg.join(b, cg["__ch__"] == b["__bh__"])
+        .groupBy("__bid__")
+        .agg(
+            F.countDistinct("__bh__").alias("n_matched"),
+            F.countDistinct(idcol).alias("n_corpus_docs"),
+        )
+    )
+    return totals.join(hits, "__bid__", "left").select(
+        F.col("__bid__").alias(bid),
+        F.col("n_grams"),
+        F.coalesce(F.col("n_matched"), F.lit(0)).alias("n_matched"),
+        (F.coalesce(F.col("n_matched"), F.lit(0)) / F.col("n_grams")).alias(
+            "match_frac"
+        ),
+        F.coalesce(F.col("n_corpus_docs"), F.lit(0)).alias("n_corpus_docs"),
+    )
+
+
 def pack_chunks(
     df: DataFrame,
     token_col: str = "n_tokens",

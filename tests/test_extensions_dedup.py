@@ -414,3 +414,19 @@ class TestDuplicatedNgramFraction:
         assert got[1] == 1.0  # its only 3-gram is shared
         # doc 2 has 5 distinct 3-grams, 1 shared
         assert got[2] == pytest.approx(1 / 5)
+
+
+class TestBinaryExactDedup:
+    def test_binary_payload_dedup(self, spark):
+        import pandas as pd
+
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": [1, 2, 3],
+                    "data": [b"\x00\x01\x02", b"\x00\x01\x02", b"\xff"],
+                }
+            )
+        )
+        kept = sorted(r.doc_id for r in D.exact_dedup(df, textcol="data").collect())
+        assert kept == [1, 3]

@@ -351,3 +351,56 @@ class TestTemperatureMix:
 
         with _pytest.raises(ValueError, match="alpha"):
             temperature_mix(self._skewed(spark), alpha=1.5)
+
+
+class TestContaminationReport:
+    def test_per_item_fractions(self, spark):
+        import pandas as pd
+
+        from pd_utils_spark.extensions.sampling import contamination_report
+
+        corpus = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": [1, 2],
+                    "text": [
+                        "alpha beta gamma delta epsilon zeta",
+                        "nothing in common here at all",
+                    ],
+                }
+            )
+        )
+        bench = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": [100, 101],
+                    "text": [
+                        "alpha beta gamma delta",  # 2 of 2 3-grams leak
+                        "totally novel benchmark item",
+                    ],
+                }
+            )
+        )
+        got = {
+            r.doc_id: r
+            for r in contamination_report(corpus, bench, n=3).collect()
+        }
+        assert got[100].n_grams == 2 and got[100].n_matched == 2
+        assert got[100].match_frac == 1.0 and got[100].n_corpus_docs == 1
+        assert got[101].n_matched == 0 and got[101].match_frac == 0.0
+
+    def test_partial_leak(self, spark):
+        import pandas as pd
+
+        from pd_utils_spark.extensions.sampling import contamination_report
+
+        corpus = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1], "text": ["alpha beta gamma x y z"]})
+        )
+        bench = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [9], "text": ["alpha beta gamma totally new tail"]})
+        )
+        r = contamination_report(corpus, bench, n=3).collect()[0]
+        # bench has 4 distinct 3-grams, exactly 1 appears in the corpus
+        assert r.n_grams == 4 and r.n_matched == 1
+        assert r.match_frac == 0.25
