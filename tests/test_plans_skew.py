@@ -114,3 +114,79 @@ class TestKeySkewReport:
         df = spark.range(100).select((F.col("id") % 10).alias("k"))
         rows = key_skew_report(df, "k", top=10).collect()
         assert all(r.skew_ratio == 1.0 for r in rows)
+
+
+class TestBucketedHistoryDedup:
+    def test_banded_history_joins_without_history_shuffle(self, spark):
+        """Substantiates the dedup_minhash_against scale claim: when the
+        history's LSH band table is persisted bucketed on (band,
+        band_key), the daily batch joins against it with NO exchange on
+        the history side — shuffle once at write, never per batch."""
+        import contextlib
+        import io
+
+        import pandas as pd
+
+        from pd_utils_spark.extensions import dedup as D
+        from pd_utils_spark.plans import write_bucketed
+
+        hist = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": range(20),
+                    "text": [f"historical document body number {i} with words" for i in range(20)],
+                }
+            )
+        )
+        hsig = D.minhash_signature(hist, num_hashes=12).select("doc_id", "minhash_sig")
+        hkeys = D.lsh_band_keys(hsig, bands=4).select("doc_id", "band", "band_key")
+        write_bucketed(hkeys, "hist_bands", ["band", "band_key"], buckets=8,
+                       sort_by=["band", "band_key"])
+        try:
+            bkeys = D.lsh_band_keys(
+                D.minhash_signature(
+                    spark.createDataFrame(
+                        pd.DataFrame({"doc_id": [100], "text": ["historical document body number 3 with words"]})
+                    ),
+                    num_hashes=12,
+                ).select("doc_id", "minhash_sig"),
+                bands=4,
+            ).select(F.col("doc_id").alias("bid"), "band", "band_key")
+            # force a shuffle join so the bucketed side's exemption shows
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            try:
+                import re
+
+                def n_exchanges(frame):
+                    buf = io.StringIO()
+                    with contextlib.redirect_stdout(buf):
+                        frame.explain("formatted")
+                    return len(re.findall(r"\(\d+\) Exchange", buf.getvalue())), buf.getvalue()
+
+                batch = bkeys.repartition(8, "band", "band_key")
+                joined = spark.table("hist_bands").join(batch, ["band", "band_key"])
+                _, plan = n_exchanges(joined)
+                # the bucketed read really is bucket-aware
+                assert "Bucketed: true" in plan
+                # the HISTORY branch (the join tree's ':'-continued left
+                # child) is Sort-over-Scan only — zero Exchange; every
+                # Exchange in the plan belongs to the batch side
+                tree = plan.split("\n\n")[0].splitlines()
+                start = next(
+                    i for i, ln in enumerate(tree) if ln.lstrip().startswith(":- ")
+                )
+                indent = len(tree[start]) - len(tree[start].lstrip())
+                left_branch = [tree[start]]
+                for ln in tree[start + 1 :]:
+                    if len(ln) > indent and ln[indent] == ":":
+                        left_branch.append(ln)
+                    else:
+                        break
+                assert not any("Exchange" in ln for ln in left_branch), left_branch
+                assert any("Scan" in ln for ln in left_branch), left_branch
+                # and the collision is actually found
+                assert joined.filter(F.col("doc_id") == 3).count() > 0
+            finally:
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        finally:
+            spark.sql("DROP TABLE IF EXISTS hist_bands")
