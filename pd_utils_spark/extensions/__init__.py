@@ -97,6 +97,7 @@ from pd_utils_spark.extensions.text import (
     doc_fingerprint,
     gopher_quality_filter,
     language_id,
+    normalize_text,
     repetition_scores,
     rolling_hash_fingerprints,
     text_quality,

@@ -43,6 +43,39 @@ def _token_count(textcol: Column) -> Column:
     )
 
 
+def normalize_text(
+    df: DataFrame,
+    textcol: str = "text",
+    out: str | None = None,
+    lowercase: bool = True,
+    collapse_whitespace: bool = True,
+    strip_control: bool = True,
+    strip_punct: bool = False,
+) -> DataFrame:
+    """Text normalization as a public operator (the same construction
+    every dedup/fingerprint operator applies internally): optional
+    lowercase, control-character removal, punctuation removal, and
+    whitespace-run collapse + trim — in that order, as pure column
+    expressions (zero shuffle, engine-portable regex). Writes ``out``
+    (default: in place).
+
+    Normalize ONCE up front and feed the normalized column to the
+    whole pipeline when several gram/fingerprint stages run over the
+    same corpus — repeating the regex work per stage is pure waste at
+    100 TB.
+    """
+    c = F.col(textcol)
+    if lowercase:
+        c = F.lower(c)
+    if strip_control:
+        c = F.regexp_replace(c, r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "")
+    if strip_punct:
+        c = F.regexp_replace(c, PUNCT_CLASS, "")
+    if collapse_whitespace:
+        c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return df.withColumn(out or textcol, c)
+
+
 def token_count(df: DataFrame, textcol: str = "text", out: str = "n_tokens") -> DataFrame:
     """Whitespace token count per document (0 for empty/blank text).
 

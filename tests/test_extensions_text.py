@@ -415,3 +415,25 @@ class TestChunkDocuments:
             T.chunk_documents(df, chunk_tokens=4, stride=5)
         with pytest.raises(ValueError):
             T.chunk_documents(df, chunk_tokens=0)
+
+
+class TestNormalizeText:
+    def test_all_steps(self, spark):
+        import pandas as pd
+
+        from pd_utils_spark.extensions.text import normalize_text
+
+        df = spark.createDataFrame(
+            pd.DataFrame({"text": ["  Hello,\x07  WORLD!?\n\ttabs  "]})
+        )
+        got = normalize_text(df, strip_punct=True).collect()[0].text
+        assert got == "hello world tabs"
+
+    def test_selective_flags_and_out_column(self, spark):
+        import pandas as pd
+
+        from pd_utils_spark.extensions.text import normalize_text
+
+        df = spark.createDataFrame(pd.DataFrame({"text": ["A  B"]}))
+        r = normalize_text(df, lowercase=False, out="norm").collect()[0]
+        assert r.text == "A  B" and r.norm == "A B"
