@@ -1220,6 +1220,32 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pus_sim.topk_recall(approx, exact)
 
 
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-3 capstone composition: multiline corpus -> line-level
+    boilerplate dedup -> token-count gate -> temperature source
+    rebalancing -> deterministic train/val split -> per-(source,
+    split) stats. One lazy Catalyst plan end-to-end; every stage is an
+    operator with its own hash-matched oracle, and the whole chain is
+    oracle-checked again here."""
+    aug = _docs_multiline(spark, sf_dir)
+    deduped = pus_dedup.dedup_lines(aug)
+    mod = F.col("doc_id") % 10
+    d = deduped.withColumn(
+        "source",
+        F.when(mod < 7, F.lit("head"))
+        .when(mod < 9, F.lit("mid"))
+        .otherwise(F.lit("tail")),
+    )
+    d = pus_text.token_count(d)
+    d = d.filter(F.col("n_tokens") >= 5)
+    d = pus_sample.temperature_mix(d, alpha=0.5, seed=11)
+    d = pus_sample.hash_split(d, weights={"train": 0.9, "val": 0.1}, seed=12)
+    return d.groupBy("source", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
 def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-benchmark-item leakage audit (the measuring twin of
     decontaminate): benchmark = every 97th doc, corpus = the rest, so
@@ -2130,6 +2156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "left_merge_nearest": q_left_merge_nearest,
         "wide_to_long": q_wide_to_long,
         "contamination_report": q_contamination_report,
+        "curation_pipeline": q_curation_pipeline,
         "long_to_wide_sum": q_long_to_wide_sum,
         "group_rank": q_group_rank,
         "temperature_mix": q_temperature_mix,
@@ -4601,6 +4628,66 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT d.doc_id, d.source FROM documents d
             WHERE d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+        """,
+        "curation_pipeline": f"""
+            WITH aug AS ({_SQL_DOCS_MULTILINE}),
+            split_l AS (
+                SELECT doc_id, regexp_split_to_array(text, chr(10)) AS ls FROM aug
+            ),
+            lines AS (
+                SELECT doc_id, unnest(ls) AS line,
+                       generate_subscripts(ls, 1) AS pos
+                FROM split_l
+            ),
+            norm AS (
+                SELECT doc_id, pos, line,
+                       ('0x' || substr(
+                           md5(trim(regexp_replace(lower(line), '\\s+', ' ', 'g'))),
+                           1, 15))::BIGINT AS fp
+                FROM lines
+            ),
+            bad AS (
+                SELECT fp FROM (
+                    SELECT fp, count(DISTINCT doc_id) AS nd FROM norm GROUP BY fp
+                ) WHERE nd > 1
+            ),
+            kept AS (
+                SELECT n.doc_id, n.pos, n.line
+                FROM norm n LEFT JOIN bad b USING (fp) WHERE b.fp IS NULL
+            ),
+            rebuilt AS (
+                SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS t
+                FROM kept GROUP BY doc_id
+            ),
+            docs2 AS (
+                SELECT a.doc_id, coalesce(r.t, '') AS t,
+                       CASE WHEN a.doc_id % 10 < 7 THEN 'head'
+                            WHEN a.doc_id % 10 < 9 THEN 'mid'
+                            ELSE 'tail' END AS source
+                FROM aug a LEFT JOIN rebuilt r USING (doc_id)
+            ),
+            tok AS (
+                SELECT *, CASE WHEN length(trim(t)) = 0 THEN 0
+                               ELSE len(regexp_split_to_array(trim(t), '\\s+'))
+                          END AS n_tokens
+                FROM docs2
+            ),
+            gated AS (SELECT * FROM tok WHERE n_tokens >= 5),
+            c AS (SELECT source, count(*) AS n FROM gated GROUP BY source),
+            m AS (SELECT min(n) AS n_min FROM c),
+            rates AS (SELECT source, pow(n_min::DOUBLE / n, 0.5) AS rate FROM c, m),
+            mixed AS (
+                SELECT g.* FROM gated g JOIN rates USING (source)
+                WHERE {_sql_frac('doc_id', 11)} < rates.rate
+            ),
+            labeled AS (
+                SELECT *, CASE WHEN {_sql_frac('doc_id', 12)} < 0.9
+                               THEN 'train' ELSE 'val' END AS split
+                FROM mixed
+            )
+            SELECT source, split, count(*) AS n_docs,
+                   sum(n_tokens)::BIGINT AS total_tokens
+            FROM labeled GROUP BY source, split
         """,
         "contamination_report": f"""
             WITH bench AS (
