@@ -1494,6 +1494,51 @@ def q_sql_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sql_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order priority checking) SHAPE, adapted to the slim
+    schema (no commit/receipt dates): orders in a quarter with at
+    least one line shipped after the order date, counted by priority —
+    the EXISTS-correlated-subquery path (Catalyst plans a semi join)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    return pus.sql(
+        [o, li],
+        """
+        SELECT o.o_orderpriority, count(*) AS order_count
+        FROM o_t o
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1996-04-01'
+          AND EXISTS (
+              SELECT 1 FROM li_t l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+          )
+        GROUP BY o.o_orderpriority
+        """,
+    )
+
+
+def q_sql_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer distribution): two-level aggregation over a
+    filtered LEFT join — customers with zero orders must appear in the
+    c_count=0 bucket, exercising the outer-join-then-agg path."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return pus.sql(
+        [c, o],
+        """
+        SELECT c_count, count(*) AS custdist
+        FROM (
+            SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+            FROM c_t c
+            LEFT JOIN o_t o ON c.c_custkey = o.o_custkey
+                           AND o.o_orderpriority <> '1-URGENT'
+            GROUP BY c.c_custkey
+        )
+        GROUP BY c_count
+        """,
+    )
+
+
 def q_sql_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 (forecast revenue change): pure filter+aggregate — the
     predicate-pushdown showcase (all three filters reach the parquet
@@ -2139,7 +2184,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_tpch_q3": q_sql_tpch_q3,
         "sql_tpch_q1": q_sql_tpch_q1,
         "sql_tpch_q5": q_sql_tpch_q5,
+        "sql_tpch_q4": q_sql_tpch_q4,
         "sql_tpch_q6": q_sql_tpch_q6,
+        "sql_tpch_q13": q_sql_tpch_q13,
         "sql_tpch_q12": q_sql_tpch_q12,
         "sql_tpch_q14": q_sql_tpch_q14,
         "sql_tpch_q18": q_sql_tpch_q18,
@@ -3927,6 +3974,29 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "sql_tpch_q4": """
+            SELECT o.o_orderpriority, count(*) AS order_count
+            FROM orders o
+            WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1996-04-01'
+              AND EXISTS (
+                  SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate
+              )
+            GROUP BY o.o_orderpriority
+        """,
+        "sql_tpch_q13": """
+            SELECT c_count, count(*) AS custdist
+            FROM (
+                SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+                FROM customer c
+                LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                               AND o.o_orderpriority <> '1-URGENT'
+                GROUP BY c.c_custkey
+            )
+            GROUP BY c_count
         """,
         "sql_tpch_q6": """
             SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
