@@ -1220,6 +1220,19 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pus_sim.topk_recall(approx, exact)
 
 
+def q_rolling_row_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas rolling(3) row-count window per order with warm-up
+    nulls — one bounded-frame window pass."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    out = pus_events.rolling_row_stats(
+        li, "l_extendedprice", 3, ordervar="l_linenumber", byvars="l_orderkey",
+        stats=("avg", "sum"),
+    )
+    return _round_doubles(out)
+
+
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-3 capstone composition: multiline corpus -> line-level
     boilerplate dedup -> token-count gate -> temperature source
@@ -2204,6 +2217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wide_to_long": q_wide_to_long,
         "contamination_report": q_contamination_report,
         "curation_pipeline": q_curation_pipeline,
+        "rolling_row_stats": q_rolling_row_stats,
         "long_to_wide_sum": q_long_to_wide_sum,
         "group_rank": q_group_rank,
         "temperature_mix": q_temperature_mix,
@@ -4698,6 +4712,19 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT d.doc_id, d.source FROM documents d
             WHERE d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+        """,
+        "rolling_row_stats": f"""
+            SELECT l_orderkey, l_linenumber,
+                   round(l_extendedprice, {r}) AS l_extendedprice,
+                   round(CASE WHEN count(l_extendedprice) OVER w >= 3
+                              THEN avg(l_extendedprice) OVER w END, {r})
+                       AS l_extendedprice_roll3_avg,
+                   round(CASE WHEN count(l_extendedprice) OVER w >= 3
+                              THEN sum(l_extendedprice) OVER w END, {r})
+                       AS l_extendedprice_roll3_sum
+            FROM lineitem
+            WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
         """,
         "curation_pipeline": f"""
             WITH aug AS ({_SQL_DOCS_MULTILINE}),

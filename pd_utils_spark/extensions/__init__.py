@@ -30,6 +30,7 @@ from pd_utils_spark.extensions.dedup import (
 from pd_utils_spark.extensions.events import (
     cohort_retention,
     funnel_counts,
+    rolling_row_stats,
     rolling_stats,
     session_stats,
     sessionize,

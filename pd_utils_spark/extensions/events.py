@@ -230,6 +230,53 @@ def rolling_stats(
     return out.select("*", *cols)
 
 
+def rolling_row_stats(
+    df: DataFrame,
+    valuecol: str,
+    n: int,
+    ordervar: str | Sequence[str],
+    byvars: str | Sequence[str] | None = None,
+    stats: Sequence[str] = ("avg", "sum", "min", "max"),
+    min_periods: int | None = None,
+) -> DataFrame:
+    """ROW-count rolling statistics (pandas ``rolling(n)`` semantics):
+    for each row, ``stats`` of ``valuecol`` over the previous ``n``
+    rows (inclusive) of the same group in ``ordervar`` order. Rows
+    with fewer than ``min_periods`` (default ``n``) observations in
+    the frame get null — exactly pandas' warm-up behavior. Adds
+    ``{valuecol}_roll{n}_{stat}``.
+
+    The rows-based sibling of :func:`rolling_stats` (which frames by
+    TIME range): use this one for "last 20 observations" signals
+    (moving averages over trading days, lag features), the time one
+    for "last hour". Same single-shuffle bounded-frame plan — Spark
+    keeps a moving aggregate, O(rows) per group.
+    """
+    from pyspark.sql import Window
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    allowed = {"avg", "sum", "min", "max"}
+    bad = set(stats) - allowed
+    if bad:
+        raise ValueError(f"unsupported stats {sorted(bad)}; allowed {sorted(allowed)}")
+    mp = n if min_periods is None else min_periods
+    by = to_list(byvars)
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(*[F.col(c) for c in to_list(ordervar)])
+        .rowsBetween(-(n - 1), 0)
+    )
+    v = F.col(valuecol)
+    exprs = {"avg": F.avg(v), "sum": F.sum(v), "min": F.min(v), "max": F.max(v)}
+    enough = F.count(v).over(w) >= mp
+    cols = [
+        F.when(enough, exprs[s].over(w)).alias(f"{valuecol}_roll{n}_{s}")
+        for s in stats
+    ]
+    return df.select("*", *cols)
+
+
 def top_k_per_group(
     df: DataFrame,
     keys: str | Sequence[str],

@@ -182,3 +182,57 @@ class TestRollingStats:
         )
         with pytest.raises(ValueError, match="unsupported"):
             E.rolling_stats(df, "v", "ts", stats=("median",))
+
+
+class TestRollingRowStats:
+    def test_matches_pandas_rolling(self, spark):
+        import pandas as pd
+
+        from pd_utils_spark.extensions.events import rolling_row_stats
+
+        pdf = pd.DataFrame(
+            {
+                "g": ["a"] * 5 + ["b"] * 3,
+                "t": [1, 2, 3, 4, 5, 1, 2, 3],
+                "v": [1.0, 2.0, 4.0, 8.0, 16.0, 10.0, 20.0, 30.0],
+            }
+        )
+        got = (
+            rolling_row_stats(spark.createDataFrame(pdf), "v", 3, "t", byvars="g")
+            .toPandas()
+            .sort_values(["g", "t"])
+            .reset_index(drop=True)
+        )
+        expect = pdf.sort_values(["g", "t"]).reset_index(drop=True)
+        roll = expect.groupby("g").v.rolling(3).agg(["mean", "sum"]).reset_index(drop=True)
+        pd.testing.assert_series_equal(
+            got.v_roll3_avg, roll["mean"].rename("v_roll3_avg"), check_dtype=False
+        )
+        pd.testing.assert_series_equal(
+            got.v_roll3_sum, roll["sum"].rename("v_roll3_sum"), check_dtype=False
+        )
+
+    def test_min_periods_one_fills_warmup(self, spark):
+        import pandas as pd
+
+        from pd_utils_spark.extensions.events import rolling_row_stats
+
+        pdf = pd.DataFrame({"t": [1, 2, 3], "v": [2.0, 4.0, 6.0]})
+        got = (
+            rolling_row_stats(spark.createDataFrame(pdf), "v", 2, "t", min_periods=1)
+            .toPandas()
+            .sort_values("t")
+        )
+        assert got.v_roll2_avg.tolist() == [2.0, 3.0, 5.0]
+
+    def test_validation(self, spark):
+        import pandas as pd
+        import pytest as _pytest
+
+        from pd_utils_spark.extensions.events import rolling_row_stats
+
+        df = spark.createDataFrame(pd.DataFrame({"t": [1], "v": [1.0]}))
+        with _pytest.raises(ValueError, match="n must"):
+            rolling_row_stats(df, "v", 0, "t")
+        with _pytest.raises(ValueError, match="unsupported"):
+            rolling_row_stats(df, "v", 2, "t", stats=("median",))
