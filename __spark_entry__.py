@@ -1226,8 +1226,11 @@ def q_rolling_row_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_extendedprice"
     )
+    # lineitem carries duplicate (orderkey, linenumber) rows, so the
+    # value joins the ordering — ROWS frames need a total order
     out = pus_events.rolling_row_stats(
-        li, "l_extendedprice", 3, ordervar="l_linenumber", byvars="l_orderkey",
+        li, "l_extendedprice", 3,
+        ordervar=["l_linenumber", "l_extendedprice"], byvars="l_orderkey",
         stats=("avg", "sum"),
     )
     return _round_doubles(out)
@@ -4723,7 +4726,8 @@ def oracle_sql() -> dict[str, str]:
                               THEN sum(l_extendedprice) OVER w END, {r})
                        AS l_extendedprice_roll3_sum
             FROM lineitem
-            WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber
+            WINDOW w AS (PARTITION BY l_orderkey
+                         ORDER BY l_linenumber, l_extendedprice
                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
         """,
         "curation_pipeline": f"""
