@@ -1482,6 +1482,31 @@ def q_sql_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sql_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier) shape: quarterly revenue per supplier
+    with a scalar-subquery max — the aggregate-of-aggregate path."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    return pus.sql(
+        [li, s],
+        """
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4)
+                       AS total_revenue
+            FROM li_t
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name, r.total_revenue
+        FROM s_t s
+        JOIN revenue r ON s.s_suppkey = r.supplier_no
+        WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+        """,
+    )
+
+
 def q_sql_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 (large-volume customer): HAVING subquery + top-N —
     the aggregate-filter-semijoin-order path. The HAVING aggregate
@@ -2205,6 +2230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_tpch_q13": q_sql_tpch_q13,
         "sql_tpch_q12": q_sql_tpch_q12,
         "sql_tpch_q14": q_sql_tpch_q14,
+        "sql_tpch_q15": q_sql_tpch_q15,
         "sql_tpch_q18": q_sql_tpch_q18,
         "canonical_urls": q_canonical_urls,
         "dedup_cluster_stats": q_dedup_cluster_stats,
@@ -4185,6 +4211,21 @@ def oracle_sql() -> dict[str, str]:
                    'https://example.com/p' || (doc_id % 7) || '?a=1&b='
                        || (doc_id % 3) AS canonical_url
             FROM documents
+        """,
+        "sql_tpch_q15": """
+            WITH revenue AS (
+                SELECT l_suppkey AS supplier_no,
+                       round(sum(l_extendedprice * (1 - l_discount)), 4)
+                           AS total_revenue
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1996-04-01'
+                GROUP BY l_suppkey
+            )
+            SELECT s.s_suppkey, s.s_name, r.total_revenue
+            FROM supplier s
+            JOIN revenue r ON s.s_suppkey = r.supplier_no
+            WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
         """,
         "sql_tpch_q18": """
             SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
