@@ -3243,6 +3243,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             norm AS (
                 SELECT doc_id, pos, line,
+                       trim(regexp_replace(lower(line), '\\s+', ' ', 'g')) AS nl,
                        ('0x' || substr(
                            md5(trim(regexp_replace(lower(line), '\\s+', ' ', 'g'))),
                            1, 15))::BIGINT AS fp
@@ -3250,7 +3251,8 @@ def oracle_sql() -> dict[str, str]:
             ),
             bad AS (
                 SELECT fp FROM (
-                    SELECT fp, count(DISTINCT doc_id) AS nd FROM norm GROUP BY fp
+                    SELECT fp, count(DISTINCT doc_id) AS nd FROM norm
+                    WHERE length(nl) >= 1 GROUP BY fp
                 ) WHERE nd > 1
             ),
             kept AS (
@@ -3277,7 +3279,8 @@ def oracle_sql() -> dict[str, str]:
                        trim(regexp_replace(lower(line), '\\s+', ' ', 'g')) AS nl
                 FROM lines
             ),
-            freq AS (SELECT nl, count(DISTINCT doc_id) AS n_docs FROM norm GROUP BY nl)
+            freq AS (SELECT nl, count(DISTINCT doc_id) AS n_docs FROM norm
+                     WHERE length(nl) >= 1 GROUP BY nl)
             SELECT nl AS line, n_docs FROM freq WHERE n_docs >= 2
             ORDER BY n_docs DESC, line
         """,
@@ -4783,6 +4786,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             norm AS (
                 SELECT doc_id, pos, line,
+                       trim(regexp_replace(lower(line), '\\s+', ' ', 'g')) AS nl,
                        ('0x' || substr(
                            md5(trim(regexp_replace(lower(line), '\\s+', ' ', 'g'))),
                            1, 15))::BIGINT AS fp
@@ -4790,7 +4794,8 @@ def oracle_sql() -> dict[str, str]:
             ),
             bad AS (
                 SELECT fp FROM (
-                    SELECT fp, count(DISTINCT doc_id) AS nd FROM norm GROUP BY fp
+                    SELECT fp, count(DISTINCT doc_id) AS nd FROM norm
+                    WHERE length(nl) >= 1 GROUP BY fp
                 ) WHERE nd > 1
             ),
             kept AS (

@@ -672,8 +672,11 @@ def dedup_lines(
       the line/paragraph, the granularity corpus pipelines typically
       use for web text).
     - ``min_chars``: lines whose normalized form is shorter than this
-      are exempt (always kept) — protects blank lines and short
-      separators from being treated as cross-doc duplicates.
+      are exempt (always kept). Empty-after-normalization lines are
+      ALWAYS exempt regardless of ``min_chars`` — blank lines carry no
+      content, and deduplicating them breaks idempotence (a rebuilt
+      empty document would otherwise contribute a phantom empty line
+      on a second pass).
     - Documents whose every line is removed keep an empty string.
 
     Scale shape: split+posexplode is map-only; the doc-frequency count
@@ -696,8 +699,10 @@ def dedup_lines(
     # 60-bit engine-portable fingerprint (long, not the md5 hex string)
     # — the frequency count and anti-join shuffle 8-byte keys
     fp = F.conv(F.substring(F.md5(norm.cast("string")), 1, 15), 16, 10).cast("bigint")
+    # floor of 1: empty normalized lines are unconditionally exempt
+    # (idempotence — see docstring)
     lines = lines.withColumn("__fp__", fp).withColumn(
-        "__exempt__", F.length(norm) < min_chars
+        "__exempt__", F.length(norm) < F.greatest(F.lit(1), F.lit(min_chars))
     )
     bad = (
         lines.filter(~F.col("__exempt__"))
@@ -752,8 +757,9 @@ def repeated_lines(
         F.col(idcol), F.explode_outer(F.split(t, _re.escape(sep))).alias("__line__")
     )
     norm = _norm(F.col("__line__")) if normalize else F.col("__line__")
+    # same floor as dedup_lines: empty normalized lines never count
     lines = lines.withColumn("__norm__", norm).filter(
-        F.length("__norm__") >= min_chars
+        F.length("__norm__") >= F.greatest(F.lit(1), F.lit(min_chars))
     )
     return (
         lines.select("__norm__", idcol)
@@ -807,14 +813,40 @@ def connected_components(
     round-trip) but an executor loss after a round is job-fatal
     because the truncated lineage cannot recompute the lost blocks —
     fine for local / small runs, not for multi-hour cluster jobs.
+    The SparkContext's checkpoint dir (a session-global setting) is
+    restored to its prior value on exit, so the call does not silently
+    switch unrelated later checkpoint users into a different mode;
+    every checkpoint this run wrote is already eagerly materialized
+    before the restore, so the returned frame stays valid.
     """
     spark = pairs.sparkSession
+    prev_ckpt_dir = None
     if checkpoint_dir is not None:
+        try:
+            prev_ckpt_dir = spark.sparkContext.getCheckpointDir()
+        except Exception:
+            prev_ckpt_dir = None
         spark.sparkContext.setCheckpointDir(checkpoint_dir)
 
     def _ckpt(d: DataFrame) -> DataFrame:
         return d.checkpoint(eager=True) if checkpoint_dir is not None else d.localCheckpoint(eager=True)
 
+    try:
+        return _cc_run(pairs, src, dst, out, max_iter, _ckpt)
+    finally:
+        if checkpoint_dir is not None and prev_ckpt_dir != checkpoint_dir:
+            # restore the session-global checkpoint dir (None -> unset
+            # is not expressible via the public API; fall back to the
+            # underlying conf so materialize() sees the prior state)
+            if prev_ckpt_dir is not None:
+                spark.sparkContext.setCheckpointDir(prev_ckpt_dir)
+            else:
+                jsc = spark.sparkContext._jsc.sc()
+                none = spark.sparkContext._jvm.scala.Option.apply(None)
+                getattr(jsc, "checkpointDir_$eq")(none)
+
+
+def _cc_run(pairs, src, dst, out, max_iter, _ckpt):
     a, b = F.col(src).alias("a"), F.col(dst).alias("b")
     # Materialize the edge list BEFORE the symmetrizing union: the union
     # references `edges` twice, and an un-materialized self-union makes

@@ -248,6 +248,10 @@ def temperature_mix(
     count) aggregate + a one-row min, broadcast back; the corpus is
     never shuffled (same plan as :func:`interleave_sources`, which
     takes explicit target weights instead of deriving them).
+
+    Rows with a NULL ``source_col`` are treated as their own source
+    (groupBy already counts NULL as a group; the rejoin is null-safe)
+    — so ``alpha=1`` really does keep every row, NULL sources included.
     """
     if not 0.0 <= alpha <= 1.0:
         raise ValueError(f"alpha must be in [0, 1], got {alpha}")
@@ -263,7 +267,11 @@ def temperature_mix(
     )
     keep = hash_fraction(F.col(idcol), seed) < F.col("__rate__")
     return (
-        df.join(F.broadcast(rates), df[source_col] == F.col("__src__"), "inner")
+        df.join(
+            F.broadcast(rates),
+            df[source_col].eqNullSafe(F.col("__src__")),
+            "inner",
+        )
         .filter(keep)
         .drop("__src__", "__rate__")
     )

@@ -92,27 +92,30 @@ def streaming_sessionize(
             last_us, sess = state.get
         else:
             last_us, sess = None, 0
-        any_rows = False
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            any_rows = True
-            pdf = pdf.sort_values(order_cols, kind="mergesort")
-            ts_us = (
-                pdf[tscol].to_numpy().astype("datetime64[us]").astype("int64")
-            )
-            idxs = []
-            for t in ts_us:
-                t = int(t)
-                if last_us is None or t - last_us > gap_us:
-                    sess += 1
-                last_us = t
-                idxs.append(sess)
-            pdf = pdf.copy()
-            pdf[out] = idxs
-            yield pdf
-        if any_rows:
-            state.update((last_us, sess))
+        # applyInPandasWithState splits a large group across multiple
+        # Arrow chunks (~10k rows each) with no global order guarantee,
+        # so the whole batch's rows for this key must be concatenated
+        # and sorted ONCE before labeling — sorting each chunk
+        # independently would mislabel keys larger than one chunk.
+        # State stays O(1); the transient buffer is one key's rows in
+        # one micro-batch, which micro-batch sizing already bounds.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        ts_us = pdf[tscol].to_numpy().astype("datetime64[us]").astype("int64")
+        idxs = []
+        for t in ts_us:
+            t = int(t)
+            if last_us is None or t - last_us > gap_us:
+                sess += 1
+            last_us = t
+            idxs.append(sess)
+        pdf = pdf.copy()
+        pdf[out] = idxs
+        yield pdf
+        state.update((last_us, sess))
 
     return sdf.groupBy(usercol).applyInPandasWithState(
         label, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
@@ -162,12 +165,17 @@ def streaming_minhash_dedup(
         survivors = dedup_minhash_lsh(
             batch_df, textcol, idcol, k, num_hashes, bands, threshold, max_bucket
         )
-        try:
-            history = spark.read.parquet(history_dir)
-            has_history = True
-        except Exception:  # first batch: no history yet
-            has_history = False
+        # Explicit existence check (Hadoop FS), NOT a bare try/except
+        # around the read: a transient storage/permission error must
+        # fail the batch so the stream retries it — silently treating
+        # it as "no history" would permanently admit near-duplicates.
+        jvm = spark.sparkContext._jvm
+        jsc = spark.sparkContext._jsc
+        path = jvm.org.apache.hadoop.fs.Path(history_dir)
+        fs = path.getFileSystem(jsc.hadoopConfiguration())
+        has_history = fs.exists(path)
         if has_history:
+            history = spark.read.parquet(history_dir)
             survivors = dedup_minhash_against(
                 survivors,
                 history,

@@ -49,10 +49,17 @@ def materialize(df: DataFrame, eager: bool = False) -> DataFrame:
     Fault-tolerance-aware choice of mechanism:
 
     - If the SparkContext has a **reliable checkpoint dir** configured
-      (``sparkContext.setCheckpointDir``), uses ``df.checkpoint()`` —
-      data lands on the (replicated) checkpoint store, so an executor
-      loss mid-job does not lose the materialized blocks. This is the
-      right mode for 100 TB runs with dynamic allocation.
+      (``sparkContext.setCheckpointDir``), uses ``persist`` THEN
+      ``df.checkpoint()`` — data lands on the (replicated) checkpoint
+      store, so an executor loss mid-job does not lose the materialized
+      blocks. This is the right mode for 100 TB runs with dynamic
+      allocation. The persist matters: a lazy checkpoint alone writes
+      its data only after the first job completes (recomputing the
+      subtree to do so), so the first action — typically the self-join
+      this call guards — would still execute the subtree once per join
+      side plus once for the checkpoint write. With the persist
+      underneath, the first action computes the subtree exactly once;
+      the checkpoint write then reads cached blocks.
     - Otherwise ``persist(MEMORY_AND_DISK)`` — lazily cached, computed
       once at first action and shared by every reference; on executor
       loss the lost blocks are *recomputed from lineage* (slower, but
@@ -72,6 +79,9 @@ def materialize(df: DataFrame, eager: bool = False) -> DataFrame:
     except Exception:
         has_ckpt_dir = False
     if has_ckpt_dir:
+        # persist first so the first action computes the subtree once
+        # (see docstring); the checkpoint write then reads the cache.
+        df.persist(StorageLevel.MEMORY_AND_DISK)
         return df.checkpoint(eager=eager)
     out = df.persist(StorageLevel.MEMORY_AND_DISK)
     if eager:

@@ -352,6 +352,28 @@ class TestTemperatureMix:
         with _pytest.raises(ValueError, match="alpha"):
             temperature_mix(self._skewed(spark), alpha=1.5)
 
+    def test_null_source_rows_survive(self, spark):
+        """NULL sources form their own group (null-safe rejoin):
+        alpha=1 keeps EVERY row, NULL-source rows included."""
+        import pandas as pd
+
+        from pd_utils_spark.extensions.sampling import temperature_mix
+
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": list(range(300)),
+                    "source": ["a"] * 200 + ["b"] * 80 + [None] * 20,
+                }
+            )
+        )
+        full = temperature_mix(df, alpha=1.0).toPandas()
+        assert len(full) == 300
+        assert full["source"].isna().sum() == 20
+        # alpha=0: NULL group is the smallest (20) and keeps everything
+        eq = temperature_mix(df, alpha=0.0).toPandas()
+        assert eq["source"].isna().sum() == 20
+
 
 class TestContaminationReport:
     def test_per_item_fractions(self, spark):

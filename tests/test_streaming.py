@@ -221,6 +221,87 @@ class TestStreamingSessionize:
             shutil.rmtree(src, ignore_errors=True)
 
 
+class TestStreamingSessionizeChunked:
+    def test_key_larger_than_one_arrow_chunk_labels_correctly(self, spark):
+        """applyInPandasWithState splits big groups across Arrow chunks
+        with no global order; the labeler must concat+sort the whole
+        iterator before labeling. Force tiny chunks (maxRecordsPerBatch=8)
+        and feed 40 reverse-ordered rows for ONE key in ONE micro-batch —
+        per-chunk sorting would mislabel; whole-group sorting matches the
+        batch sessionize twin."""
+        import time
+
+        from pyspark.sql.types import LongType
+
+        from pd_utils_spark.extensions import events as EV
+
+        src = tempfile.mkdtemp(prefix="sess_chunk_")
+        prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "8")
+        try:
+            schema = StructType(
+                [
+                    StructField("user_id", LongType()),
+                    StructField("ts", TimestampType()),
+                    StructField("event_id", LongType()),
+                ]
+            )
+            # 40 events, 10-minute strides with a >30m session break
+            # every 4th event; written in REVERSE time order so chunk
+            # boundaries see out-of-order timestamps.
+            base = pd.Timestamp("2024-01-01")
+            rows = []
+            t = base
+            for i in range(40):
+                t = t + pd.Timedelta(minutes=50 if i % 4 == 0 else 10)
+                rows.append({"user_id": 1, "ts": t.isoformat(), "event_id": i})
+            with open(f"{src}/b1.json", "w") as f:
+                f.write("\n".join(json.dumps(r) for r in reversed(rows)))
+            stream = (
+                spark.readStream.format("json").schema(schema).load(src)
+            )
+            out = W.streaming_sessionize(
+                stream, "user_id", "ts", gap_seconds=1800, tiebreak="event_id"
+            )
+            q = (
+                out.writeStream.format("memory")
+                .queryName("sess_chunk")
+                .outputMode("append")
+                .trigger(processingTime="1 second")
+                .start()
+            )
+            try:
+                deadline = time.time() + 60
+                while time.time() < deadline:
+                    if spark.sql("SELECT * FROM sess_chunk").count() >= 40:
+                        break
+                    time.sleep(1)
+                got = {
+                    r.event_id: r.session_index
+                    for r in spark.sql("SELECT * FROM sess_chunk").collect()
+                }
+            finally:
+                q.stop()
+            pdf = pd.DataFrame(rows)
+            pdf["ts"] = pd.to_datetime(pdf["ts"])
+            batch = EV.sessionize(
+                spark.createDataFrame(pdf),
+                "user_id",
+                "ts",
+                gap_seconds=1800,
+                tiebreak="event_id",
+            )
+            expect = {r.event_id: r.session_index for r in batch.collect()}
+            assert got == expect
+            assert max(got.values()) == 10  # 10 sessions, not 1
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+            else:
+                spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+            shutil.rmtree(src, ignore_errors=True)
+
+
 class TestStreamingMinhashDedup:
     def test_near_dups_dropped_within_and_across_batches(self, spark):
         """foreachBatch near-dup dedup: batch 1's internal near-dup pair
