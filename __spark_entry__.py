@@ -941,8 +941,9 @@ def q_top_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_media_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: documents text -> binary payload ->
-    Arrow-batched byte features via mapInPandas. No oracle_sql entry
-    (pandas-UDF kernel; the driver records a rows-only check)."""
+    Arrow-batched byte features via mapInPandas. Hash-checked oracle:
+    DuckDB recomputes n_bytes + Shannon byte entropy over the same
+    utf-8 payload via hex-string byte slicing."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     media = pus_mm.text_to_media(d)
     out = pus_mm.byte_features(media)
@@ -1503,6 +1504,29 @@ def q_sql_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM s_t s
         JOIN revenue r ON s.s_suppkey = r.supplier_no
         WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+        """,
+    )
+
+
+def q_sql_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue) SHAPE, adapted to the
+    slim schema (p_size filter instead of p_container): the CORRELATED
+    scalar subquery per outer row — Catalyst must decorrelate it into
+    an aggregate + join (no per-row re-execution); the plan lock in
+    tests/test_plan_shapes.py asserts exactly that."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    return pus.sql(
+        [li, p],
+        """
+        SELECT round(sum(l.l_extendedprice) / 7.0, 4) AS avg_yearly,
+               count(*) AS n_small_qty_lines
+        FROM li_t l JOIN p_t p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#13' AND p.p_size < 15
+          AND l.l_quantity < (
+              SELECT 0.2 * avg(l2.l_quantity) FROM li_t l2
+              WHERE l2.l_partkey = p.p_partkey
+          )
         """,
     )
 
@@ -2231,6 +2255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_tpch_q12": q_sql_tpch_q12,
         "sql_tpch_q14": q_sql_tpch_q14,
         "sql_tpch_q15": q_sql_tpch_q15,
+        "sql_tpch_q17": q_sql_tpch_q17,
         "sql_tpch_q18": q_sql_tpch_q18,
         "canonical_urls": q_canonical_urls,
         "dedup_cluster_stats": q_dedup_cluster_stats,
@@ -3231,6 +3256,29 @@ def oracle_sql() -> dict[str, str]:
                    'bmp' AS img_format
             FROM documents
         """,
+        "media_byte_features": """
+            WITH b AS (
+                SELECT doc_id, hex(encode(coalesce(text, ''))) AS hx,
+                       octet_length(encode(coalesce(text, ''))) AS n
+                FROM documents
+            ),
+            bytes AS (
+                SELECT doc_id, n,
+                       substring(hx, 2 * unnest(range(1, n + 1)) - 1, 2) AS byte
+                FROM b
+            ),
+            cnt AS (
+                SELECT doc_id, n, byte, count(*)::DOUBLE AS c
+                FROM bytes GROUP BY doc_id, n, byte
+            ),
+            ent AS (
+                SELECT doc_id, -sum((c / n) * log2(c / n)) AS e
+                FROM cnt GROUP BY doc_id, n
+            )
+            SELECT b.doc_id AS media_id, b.n::BIGINT AS n_bytes,
+                   round(coalesce(ent.e, 0.0), 6) AS byte_entropy
+            FROM b LEFT JOIN ent USING (doc_id)
+        """,
         "dedup_lines": f"""
             WITH aug AS ({_SQL_DOCS_MULTILINE}),
             split AS (
@@ -4229,6 +4277,16 @@ def oracle_sql() -> dict[str, str]:
             FROM supplier s
             JOIN revenue r ON s.s_suppkey = r.supplier_no
             WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+        """,
+        "sql_tpch_q17": """
+            SELECT round(sum(l.l_extendedprice) / 7.0, 4) AS avg_yearly,
+                   count(*)::BIGINT AS n_small_qty_lines
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE p.p_brand = 'Brand#13' AND p.p_size < 15
+              AND l.l_quantity < (
+                  SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+                  WHERE l2.l_partkey = p.p_partkey
+              )
         """,
         "sql_tpch_q18": """
             SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,

@@ -30,20 +30,17 @@ def estimate_time(
     :param output: False to suppress the progress line
     :return: estimated wall-clock finish time
     """
-    avg_time = (timeit.default_timer() - start_time) / (i + 1)
-    loops_left = length - (i + 1)
-    est_time_remaining = avg_time * loops_left
+    done = i + 1
+    per_loop = (timeit.default_timer() - start_time) / done
+    remaining_sec = per_loop * (length - done)
     est_finish_time = datetime.datetime.now() + datetime.timedelta(
-        seconds=est_time_remaining
+        seconds=remaining_sec
     )
 
     if output:
-        print(
-            "Estimated finish time: {}. Completed {}/{}, ({:.0%})".format(
-                est_finish_time, i, length, i / length
-            ),
-            end="\r",
-        )
+        pct = i / length
+        msg = f"Completed {i}/{length} ({pct:.0%}) — ETA {est_finish_time}"
+        print(msg, end="\r")
         sys.stdout.flush()
 
     return est_finish_time

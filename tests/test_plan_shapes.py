@@ -51,6 +51,22 @@ class TestPushdownAndPruning:
         assert "hashpartitioning(l_returnflag" in plan
 
 
+class TestCorrelatedSubquery:
+    def test_tpch_q17_decorrelates_to_agg_join(self, spark):
+        """The correlated scalar subquery (per-part avg quantity) must
+        be rewritten by Catalyst into an aggregate joined back on the
+        correlation key — NOT executed per outer row."""
+        import __spark_entry__ as entry
+
+        df = entry.queries()["sql_tpch_q17"](spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # the per-part average appears as a join condition on an
+        # aggregated build side; no scalar-subquery node survives
+        assert "avg(l_quantity)" in plan
+        assert "Subquery" not in plan
+        assert plan.count("HashAggregate") >= 2
+
+
 class TestJoinShapes:
     def test_asof_join_keeps_equi_keys(self, spark):
         ev = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
