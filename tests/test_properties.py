@@ -297,6 +297,65 @@ def test_dedup_lines_idempotent_and_subset(spark, texts):
         assert all(norm(l) in it for l in kept.split("\n"))
 
 
+@given(texts=multiline_texts)
+@settings(**SETTINGS)
+def test_c4_line_filter_idempotent(spark, texts):
+    """c4_line_filter is a normal form: lines that survive one pass
+    survive a second pass unchanged (filtering the cleaned text again
+    keeps every line, because survival is a per-line predicate)."""
+    from pd_utils_spark.extensions.text import c4_line_filter
+
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    df = spark.createDataFrame(pdf)
+    once = c4_line_filter(df).select("doc_id", F.col("clean_text").alias("text"))
+    twice = c4_line_filter(once)
+    a = {r.doc_id: r.text for r in once.collect()}
+    b = {r.doc_id: r.clean_text for r in twice.collect()}
+    assert a == b
+
+
+pack_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=10_000),  # doc_id
+        st.integers(min_value=0, max_value=64),      # n_tokens
+        st.text(alphabet="ab \n", min_size=0, max_size=12),
+    ),
+    min_size=1,
+    max_size=20,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(rows=pack_rows, budget=st.integers(min_value=1, max_value=128))
+@settings(**SETTINGS)
+def test_pack_sequences_conserves_docs_and_tokens(spark, rows, budget):
+    """Packing is a partition of the corpus: every doc lands in exactly
+    one chunk, token totals are conserved, no chunk's first doc starts
+    past the budget line, and every doc's text appears verbatim in its
+    chunk's seq_text."""
+    from pd_utils_spark.extensions.sampling import pack_chunks, pack_sequences
+
+    pdf = pd.DataFrame(rows, columns=["doc_id", "n_tokens", "text"])
+    df = spark.createDataFrame(pdf)
+    seqs = pack_sequences(df, budget=budget, buckets=4).toPandas()
+    assert int(seqs.n_docs.sum()) == len(pdf)
+    assert int(seqs.total_tokens.sum()) == int(pdf.n_tokens.sum())
+    # layout twin: chunk membership from pack_chunks matches the
+    # materialized counts (each doc in exactly one (bucket, chunk))
+    packed = pack_chunks(df, budget=budget, buckets=4).toPandas()
+    sizes = packed.groupby(["bucket", "chunk_id"]).size()
+    got = seqs.set_index(["bucket", "chunk_id"]).n_docs.sort_index()
+    assert (sizes.sort_index() == got).all()
+    # member texts concatenate into seq_text (separator-joined)
+    member_text = {
+        (b, c): sub for (b, c), sub in packed.groupby(["bucket", "chunk_id"])
+    }
+    for _, row in seqs.iterrows():
+        members = member_text[(row.bucket, row.chunk_id)]
+        for t in members.text:
+            assert (t or "") in row.seq_text
+
+
 url_texts = st.lists(
     st.from_regex(
         r"https?://[A-Za-z][A-Za-z0-9.]{0,10}(:[0-9]{1,4})?(/[A-Za-z0-9/]{0,8})?"
