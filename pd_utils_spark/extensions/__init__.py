@@ -23,6 +23,7 @@ from pd_utils_spark.extensions.dedup import (
     lsh_candidate_pairs,
     lsh_plan,
     minhash_signature,
+    near_dup_analysis,
     shingle_sets,
     simhash,
     simhash_near_dup_pairs,

@@ -935,6 +935,63 @@ def dedup_connected(
     return df.join(losers, idcol, "left_anti")
 
 
+def near_dup_analysis(
+    df: DataFrame,
+    textcol: str = "text",
+    idcol: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.8,
+    max_bucket: int | None = 100_000,
+    checkpoint_dir: str | None = None,
+) -> dict[str, DataFrame]:
+    """One-pass near-dup ANALYSIS bundle: build the verified pair
+    graph ONCE, run connected components ONCE, and hand back every
+    view a dedup decision needs:
+
+    - ``pairs``: verified (id_a, id_b, jaccard >= threshold) edges;
+    - ``components``: (id_a, component) min-id labels;
+    - ``cluster_stats``: (component, cluster_size), largest first;
+    - ``deduped``: the corpus with one min-id survivor per component.
+
+    Why this exists: the consumers share two expensive intermediates —
+    the LSH+Jaccard pair pipeline and the iterative CC labels. Run as
+    separate queries each rebuilds both; sharing them measured 0.44×
+    the independent total at sf0.1 (14.6 s -> 6.4 s for the
+    components/deduped/cluster_stats trio — see SCALE.md round 4).
+    The pair frame is persisted (memory-and-disk, lineage kept) and
+    the CC labels are already materialized by the per-round
+    checkpoints, so every returned frame is compute-once. Call
+    ``spark.catalog.clearCache()`` (or unpersist) when done.
+    """
+    from pyspark import StorageLevel
+
+    sh = shingle_sets(df, textcol, idcol, k).persist(StorageLevel.MEMORY_AND_DISK)
+    cands = lsh_candidate_pairs(
+        df, textcol, idcol, k, num_hashes, bands, max_bucket, shingles=sh
+    )
+    pairs = (
+        jaccard_pairs(df, cands, textcol, idcol, k, shingles=sh)
+        .filter(F.col("jaccard") >= threshold)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    comp = connected_components(
+        pairs.select("id_a", "id_b"), checkpoint_dir=checkpoint_dir
+    )
+    losers = comp.filter(F.col("id_a") != F.col("component")).select(
+        F.col("id_a").alias(idcol)
+    )
+    return {
+        "pairs": pairs,
+        "components": comp,
+        "cluster_stats": comp.groupBy("component")
+        .agg(F.count("*").alias("cluster_size"))
+        .orderBy(F.desc("cluster_size"), "component"),
+        "deduped": df.join(losers, idcol, "left_anti"),
+    }
+
+
 def simhash(
     df: DataFrame,
     textcol: str = "text",

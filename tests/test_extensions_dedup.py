@@ -305,6 +305,46 @@ class TestDedupConnected:
         assert kept == [1, 9]
 
 
+class TestNearDupAnalysis:
+    def test_bundle_views_consistent_with_independent_paths(self, spark):
+        docs = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": [1, 2, 3, 9],
+                    "text": [
+                        "the quick brown fox jumps over the lazy dog today",
+                        "the quick brown fox jumps over the lazy cat today",
+                        "the quick brown fox leaps over the lazy cat today",
+                        "entirely unrelated content with no shared phrases",
+                    ],
+                }
+            )
+        )
+        out = D.near_dup_analysis(
+            docs, k=3, num_hashes=24, bands=12, threshold=0.3
+        )
+        comp = {r.id_a: r.component for r in out["components"].collect()}
+        # 1~2~3 chain clusters under min-id 1
+        assert comp[1] == comp[2] == comp[3] == 1
+        kept = sorted(r.doc_id for r in out["deduped"].collect())
+        assert kept == [1, 9]
+        stats = {r.component: r.cluster_size for r in out["cluster_stats"].collect()}
+        assert stats == {1: 3}
+        # pair edges agree with the standalone pipeline
+        from pyspark.sql import functions as SF
+
+        cands = D.lsh_candidate_pairs(docs, k=3, num_hashes=24, bands=12)
+        indep = (
+            D.jaccard_pairs(docs, cands, k=3)
+            .filter(SF.col("jaccard") >= 0.3)
+            .select("id_a", "id_b")
+        )
+        a = {(r.id_a, r.id_b) for r in out["pairs"].select("id_a", "id_b").collect()}
+        b = {(r.id_a, r.id_b) for r in indep.collect()}
+        assert a == b
+        spark.catalog.clearCache()
+
+
 class TestDedupMinhashAgainst:
     def test_batch_near_dups_of_history_dropped(self, spark):
         hist = spark.createDataFrame(
