@@ -1531,6 +1531,59 @@ def q_sql_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sql_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue) SHAPE, adapted to the slim
+    schema (p_size bands instead of container/shipmode): a DISJUNCTION
+    of conjunctive band predicates across both join sides — the shape
+    that tests OR-of-ANDs pushdown and join-condition hoisting (the
+    common p_partkey = l_partkey factor must still drive the join)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    return pus.sql(
+        [li, p],
+        """
+        SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+                   AS revenue,
+               count(*) AS n_lines
+        FROM li_t l JOIN p_t p ON p.p_partkey = l.l_partkey
+        WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+               AND l.l_quantity BETWEEN 1 AND 11)
+           OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+               AND l.l_quantity BETWEEN 10 AND 20)
+           OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+               AND l.l_quantity BETWEEN 20 AND 30)
+        """,
+    )
+
+
+def q_sql_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity) SHAPE, adapted to the slim
+    schema (custkey mod 7 stands in for the phone country code; the
+    anti-join predicate is "no order above 400k" since every synthetic
+    customer has orders): scalar avg subquery + NOT EXISTS anti join +
+    group-agg — the last untested SQL family combination."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return pus.sql(
+        [c, o],
+        """
+        SELECT CAST(c.c_custkey % 7 AS INT) AS cntry_grp,
+               count(*) AS numcust,
+               round(sum(c.c_acctbal), 4) AS totacctbal
+        FROM c_t c
+        WHERE c.c_acctbal > (
+                SELECT avg(c2.c_acctbal) FROM c_t c2 WHERE c2.c_acctbal > 0.0
+              )
+          AND NOT EXISTS (
+                SELECT 1 FROM o_t o
+                WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+              )
+        GROUP BY CAST(c.c_custkey % 7 AS INT)
+        ORDER BY cntry_grp
+        """,
+    )
+
+
 def q_sql_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 (large-volume customer): HAVING subquery + top-N —
     the aggregate-filter-semijoin-order path. The HAVING aggregate
@@ -2257,6 +2310,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_tpch_q15": q_sql_tpch_q15,
         "sql_tpch_q17": q_sql_tpch_q17,
         "sql_tpch_q18": q_sql_tpch_q18,
+        "sql_tpch_q19": q_sql_tpch_q19,
+        "sql_tpch_q22": q_sql_tpch_q22,
         "canonical_urls": q_canonical_urls,
         "dedup_cluster_stats": q_dedup_cluster_stats,
         "ann_recall": q_ann_recall,
@@ -4287,6 +4342,34 @@ def oracle_sql() -> dict[str, str]:
                   SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
                   WHERE l2.l_partkey = p.p_partkey
               )
+        """,
+        "sql_tpch_q19": """
+            SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+                       AS revenue,
+                   count(*)::BIGINT AS n_lines
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+                   AND l.l_quantity BETWEEN 1 AND 11)
+               OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+                   AND l.l_quantity BETWEEN 10 AND 20)
+               OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+                   AND l.l_quantity BETWEEN 20 AND 30)
+        """,
+        "sql_tpch_q22": """
+            SELECT CAST(c.c_custkey % 7 AS INT) AS cntry_grp,
+                   count(*)::BIGINT AS numcust,
+                   round(sum(c.c_acctbal), 4) AS totacctbal
+            FROM customer c
+            WHERE c.c_acctbal > (
+                    SELECT avg(c2.c_acctbal) FROM customer c2
+                    WHERE c2.c_acctbal > 0.0
+                  )
+              AND NOT EXISTS (
+                    SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+                  )
+            GROUP BY CAST(c.c_custkey % 7 AS INT)
+            ORDER BY cntry_grp
         """,
         "sql_tpch_q18": """
             SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
