@@ -111,6 +111,19 @@ def q_groupby_transform_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_doubles(out)
 
 
+def q_groupby_cumsum_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same running sum as groupby_transform_cumsum but through the
+    NATIVE bounded-window fast path (func_str='cumsum') — no Python in
+    the row path; the two queries share an oracle shape so the bench
+    shows the pandas-callable vs native-window cost side by side."""
+    li = _li_unique_lines(spark, sf_dir, "l_quantity", F.max)
+    out = pus.groupby_merge(
+        li, "l_orderkey", "cumsum",
+        subset="l_quantity", ordervar="l_linenumber",
+    )
+    return _round_doubles(out)
+
+
 def q_groupby_transform_str(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String-valued transform callable — exercises output_type
     propagation (the reference keeps the callable's dtype; Spark
@@ -2202,6 +2215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "groupby_merge_std": q_groupby_merge_std,
         "groupby_transform_demean": q_groupby_transform_demean,
         "groupby_transform_cumsum": q_groupby_transform_cumsum,
+        "groupby_cumsum_native": q_groupby_cumsum_native,
         "groupby_transform_str": q_groupby_transform_str,
         "groupby_index": q_groupby_index,
         "winsorize": q_winsorize,
@@ -2547,6 +2561,17 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l_quantity) OVER (
                        PARTITION BY l_orderkey ORDER BY l_linenumber
                        ROWS UNBOUNDED PRECEDING), {r}) AS l_quantity_transform
+            FROM uniq
+        """,
+        "groupby_cumsum_native": f"""
+            WITH uniq AS (
+                SELECT l_orderkey, l_linenumber, max(l_quantity) AS l_quantity
+                FROM lineitem GROUP BY 1, 2
+            )
+            SELECT l_orderkey, l_linenumber, round(l_quantity, {r}) AS l_quantity,
+                   round(sum(l_quantity) OVER (
+                       PARTITION BY l_orderkey ORDER BY l_linenumber
+                       ROWS UNBOUNDED PRECEDING), {r}) AS l_quantity_cumsum
             FROM uniq
         """,
         "groupby_transform_str": """

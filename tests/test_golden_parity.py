@@ -123,6 +123,29 @@ class TestGroupbyMerge:
         expect["RET_std"] = [0.012909944487358068] * 12
         assert_df_equal(out, expect)
 
+    def test_native_cumsum_matches_pandas_groupby(self, spark):
+        """Native running-window path == pandas groupby cumsum,
+        including NaN rows (null stays null, skipped in the total)."""
+        pdf = pd.DataFrame(
+            {
+                "g": ["a", "a", "a", "b", "b", None],
+                "i": [1, 2, 3, 1, 2, 1],
+                "x": [1.0, nan, 2.0, 5.0, 7.0, 9.0],
+            }
+        )
+        out = pus.groupby_merge(
+            spark.createDataFrame(pdf), "g", "cumsum", subset="x", ordervar="i"
+        )
+        expect = pdf.copy()
+        expect["x_cumsum"] = pdf.groupby("g", dropna=False).x.cumsum()
+        assert_df_equal(out, expect, sort_cols=["g", "i"])
+
+    def test_cumsum_requires_ordervar(self, spark):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="ordervar"):
+            pus.groupby_merge(fx.df(spark), "PERMNO", "cumsum", subset="RET")
+
     def test_nan_byvar_transform(self, spark):
         out = pus.groupby_merge(fx.df_nan_byvar(spark), "byvar", "transform", (lambda x: x))
         expect = pd.DataFrame(
