@@ -1450,6 +1450,32 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pus_sample.temperature_mix(d, alpha=0.5, seed=3)
 
 
+def q_filter_top_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-selection primitive: keep the top 25% of docs per
+    source by a deterministic score (text length; ties break on
+    doc_id) — the classifier-threshold step of a curation pipeline,
+    exact per-group ceil(frac*n) contract."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.length("text").alias("score")
+    )
+    out = pus_sample.filter_top_fraction(d, "score", 0.25, by="source")
+    return out.select("doc_id", "source", "score")
+
+
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source shingle-overlap matrix on a corpus where a
+    synthetic 'mirror' source re-hosts every 3rd doc: the mirror pair
+    rows must show high containment, the organic pairs low — the
+    pre-dedup corpus diagnostic."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    mirror = d.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id", F.lit("mirror").alias("source"), "text"
+    )
+    aug = d.unionByName(mirror)
+    out = pus_dedup.source_overlap(aug, "source", "text", k=3)
+    return _round_doubles(out)
+
+
 def q_canonical_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization end-to-end on synthesized messy URLs
     (case-varied host, default port, tracking params, unsorted params,
@@ -2327,6 +2353,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_tpch_q19": q_sql_tpch_q19,
         "sql_tpch_q22": q_sql_tpch_q22,
         "canonical_urls": q_canonical_urls,
+        "filter_top_fraction": q_filter_top_fraction,
+        "source_overlap": q_source_overlap,
         "dedup_cluster_stats": q_dedup_cluster_stats,
         "ann_recall": q_ann_recall,
         "group_quantiles": q_group_quantiles,
@@ -4333,6 +4361,52 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.source
             FROM skew d JOIN r USING (source)
             WHERE {_sql_frac('doc_id', 3)} < r.rate
+        """,
+        "filter_top_fraction": """
+            WITH s AS (
+                SELECT doc_id, source, length(text)::INT AS score
+                FROM documents
+            ), r AS (
+                SELECT doc_id, source, score,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY score DESC, doc_id) AS rn,
+                       count(*) OVER (PARTITION BY source) AS n
+                FROM s
+            )
+            SELECT doc_id, source, score
+            FROM r WHERE rn <= ceil(n * 0.25)
+        """,
+        "source_overlap": f"""
+            WITH aug AS (
+                SELECT doc_id, source, text FROM documents
+                UNION ALL
+                SELECT doc_id, 'mirror' AS source, text FROM documents
+                WHERE doc_id % 3 = 0
+            ),
+            sh AS (
+                SELECT source, unnest({_SQL_SHINGLES}) AS g FROM aug
+            ),
+            fps AS (
+                SELECT DISTINCT source,
+                       ('0x' || substr(md5(g), 1, 15))::BIGINT AS fp
+                FROM sh
+            ),
+            counts AS (SELECT source, count(*) AS n FROM fps GROUP BY source),
+            shared AS (
+                SELECT a.source AS source_a, b.source AS source_b,
+                       count(*) AS n_shared
+                FROM fps a JOIN fps b
+                  ON a.fp = b.fp AND a.source < b.source
+                GROUP BY 1, 2
+            )
+            SELECT source_a, source_b, n_shared, ca.n AS n_a, cb.n AS n_b,
+                   round(n_shared::DOUBLE
+                         / (ca.n + cb.n - n_shared), 6) AS jaccard,
+                   round(n_shared::DOUBLE / least(ca.n, cb.n), 6)
+                       AS containment
+            FROM shared
+            JOIN counts ca ON ca.source = shared.source_a
+            JOIN counts cb ON cb.source = shared.source_b
         """,
         "canonical_urls": """
             SELECT doc_id,

@@ -27,6 +27,7 @@ from pd_utils_spark.extensions.dedup import (
     shingle_sets,
     simhash,
     simhash_near_dup_pairs,
+    source_overlap,
 )
 from pd_utils_spark.extensions.events import (
     cohort_retention,
@@ -66,6 +67,7 @@ from pd_utils_spark.extensions.profile import (
 from pd_utils_spark.extensions.sampling import (
     contamination_report,
     decontaminate,
+    filter_top_fraction,
     hash_fraction,
     hash_split,
     interleave_sources,

@@ -935,6 +935,81 @@ def dedup_connected(
     return df.join(losers, idcol, "left_anti")
 
 
+def source_overlap(
+    df: DataFrame,
+    source_col: str = "source",
+    textcol: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Pairwise content overlap between sources at k-word-shingle
+    granularity: for every unordered source pair (a < b),
+
+    - ``n_shared``: distinct shingle fingerprints present in BOTH;
+    - ``n_a`` / ``n_b``: each side's distinct-fingerprint count;
+    - ``jaccard``: n_shared / (n_a + n_b - n_shared);
+    - ``containment``: n_shared / min(n_a, n_b).
+
+    The corpus-planning diagnostic before cross-source dedup: high
+    containment says one source is largely a subset of another
+    (CommonCrawl dumps, re-crawls, mirror sites) and dedup order
+    matters; near-zero overlap says per-source dedup suffices.
+
+    Scale shape: shingles hash to 60-bit longs BEFORE the distinct
+    (8-byte shuffle keys — the SCALE.md gram lesson), the per-source
+    distinct is one partial-agg shuffle, and the self-join fans out on
+    fp with at most n_sources matches per fingerprint — never
+    all-pairs over documents. Output is s*(s-1)/2 rows.
+    """
+    norm = _norm(F.col(textcol))
+    toked = df.select(
+        F.col(source_col).alias("__src__"),
+        norm.alias("__norm__"),
+        _tokens(norm).alias("__toks__"),
+    )
+    sh = toked.select(
+        "__src__",
+        F.explode(
+            _shingles_from_toks(F.col("__norm__"), F.col("__toks__"), k)
+        ).alias("__g__"),
+    )
+    fp = F.conv(F.substring(F.md5(F.col("__g__")), 1, 15), 16, 10).cast("bigint")
+    pairs = sh.select("__src__", fp.alias("__fp__")).distinct()
+    counts = pairs.groupBy("__src__").agg(F.count("*").alias("__n__"))
+    a, b = pairs.alias("a"), pairs.alias("b")
+    shared = (
+        a.join(b, F.col("a.__fp__") == F.col("b.__fp__"))
+        .filter(F.col("a.__src__") < F.col("b.__src__"))
+        .groupBy(
+            F.col("a.__src__").alias("source_a"),
+            F.col("b.__src__").alias("source_b"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    ca = counts.select(
+        F.col("__src__").alias("source_a"), F.col("__n__").alias("n_a")
+    )
+    cb = counts.select(
+        F.col("__src__").alias("source_b"), F.col("__n__").alias("n_b")
+    )
+    return (
+        shared.join(F.broadcast(ca), "source_a")
+        .join(F.broadcast(cb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+            ).alias("jaccard"),
+            (F.col("n_shared") / F.least("n_a", "n_b")).alias("containment"),
+        )
+        .orderBy(F.desc("jaccard"), "source_a", "source_b")
+    )
+
+
 def near_dup_analysis(
     df: DataFrame,
     textcol: str = "text",

@@ -277,6 +277,44 @@ def temperature_mix(
     )
 
 
+def filter_top_fraction(
+    df: DataFrame,
+    score_col: str,
+    frac: float,
+    by: str | Sequence[str] | None = None,
+    idcol: str = "doc_id",
+    ascending: bool = False,
+) -> DataFrame:
+    """Keep the top ``frac`` of rows by ``score_col`` — per ``by``
+    group when given, globally otherwise. The quality-classifier
+    selection step of a curation pipeline ("keep the best 20% per
+    source by model score"), made exact and deterministic: rows rank
+    by (score, id) so ties break reproducibly, and each group keeps
+    ``ceil(frac * group_size)`` rows — a group with any rows always
+    keeps at least one (the standard top-q%% contract; ``frac=0``
+    keeps nothing).
+
+    One shuffle on the group keys (or one global sort partition when
+    ``by`` is None — avoid the global form at 100 TB exactly like
+    ``take_token_budget``; rank per source/shard instead).
+    """
+    if not 0.0 <= frac <= 1.0:
+        raise ValueError(f"frac must be in [0, 1], got {frac}")
+    byvars = to_list(by) if by is not None else []
+    order = [
+        F.col(score_col).asc() if ascending else F.col(score_col).desc(),
+        F.col(idcol).asc(),
+    ]
+    w = Window.partitionBy(*byvars).orderBy(*order)
+    wc = Window.partitionBy(*byvars)
+    return (
+        df.withColumn("__rn__", F.row_number().over(w))
+        .withColumn("__n__", F.count(F.lit(1)).over(wc))
+        .filter(F.col("__rn__") <= F.ceil(F.col("__n__") * F.lit(float(frac))))
+        .drop("__rn__", "__n__")
+    )
+
+
 def sample_n_per_group(
     df: DataFrame,
     n: int,

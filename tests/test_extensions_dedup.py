@@ -305,6 +305,44 @@ class TestDedupConnected:
         assert kept == [1, 9]
 
 
+class TestSourceOverlap:
+    def test_mirror_source_shows_full_containment(self, spark):
+        docs = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": [1, 2, 3],
+                    "source": ["a", "a", "b"],
+                    "text": [
+                        "alpha beta gamma delta epsilon",
+                        "zeta eta theta iota kappa",
+                        "alpha beta gamma delta epsilon",  # b mirrors doc 1
+                    ],
+                }
+            )
+        )
+        out = {
+            (r.source_a, r.source_b): r
+            for r in D.source_overlap(docs, k=3).collect()
+        }
+        r = out[("a", "b")]
+        # b's 3 shingles are all inside a's 6 -> containment 1.0
+        assert r.n_b == 3 and r.n_a == 6 and r.n_shared == 3
+        assert r.containment == pytest.approx(1.0)
+        assert r.jaccard == pytest.approx(3 / 6)
+
+    def test_disjoint_sources_absent(self, spark):
+        docs = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": [1, 2],
+                    "source": ["a", "b"],
+                    "text": ["one two three four", "five six seven eight"],
+                }
+            )
+        )
+        assert D.source_overlap(docs, k=3).count() == 0
+
+
 class TestNearDupAnalysis:
     def test_bundle_views_consistent_with_independent_paths(self, spark):
         docs = spark.createDataFrame(

@@ -304,6 +304,47 @@ class TestWeightedSample:
             weighted_sample(df, 0, "w")
 
 
+class TestFilterTopFraction:
+    def _scored(self, spark):
+        import pandas as pd
+
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": range(10),
+                    "g": ["a"] * 6 + ["b"] * 4,
+                    "score": [5.0, 3.0, 9.0, 1.0, 7.0, 7.0, 2.0, 8.0, 8.0, 4.0],
+                }
+            )
+        )
+
+    def test_per_group_ceil_contract(self, spark):
+        from pd_utils_spark.extensions.sampling import filter_top_fraction
+
+        out = filter_top_fraction(self._scored(spark), "score", 0.5, by="g").toPandas()
+        by = out.groupby("g").size()
+        assert by["a"] == 3 and by["b"] == 2  # ceil(6*.5), ceil(4*.5)
+        # the kept rows really are the top scores (ties -> smaller id)
+        a = set(out[out.g == "a"].doc_id)
+        assert a == {2, 4, 5}  # scores 9, 7, 7
+        b = set(out[out.g == "b"].doc_id)
+        assert b == {7, 8}  # scores 8, 8 (tie kept over 4)
+
+    def test_global_and_edges(self, spark):
+        import pytest as _pytest
+
+        from pd_utils_spark.extensions.sampling import filter_top_fraction
+
+        df = self._scored(spark)
+        assert filter_top_fraction(df, "score", 1.0).count() == 10
+        assert filter_top_fraction(df, "score", 0.0).count() == 0
+        # ascending keeps the LOWEST scores
+        low = filter_top_fraction(df, "score", 0.1, ascending=True).toPandas()
+        assert set(low.doc_id) == {3}  # score 1.0
+        with _pytest.raises(ValueError, match="frac"):
+            filter_top_fraction(df, "score", 1.5)
+
+
 class TestTemperatureMix:
     def _skewed(self, spark):
         import pandas as pd
