@@ -100,6 +100,17 @@ def q_groupby_transform_demean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_doubles(out)
 
 
+def q_groupby_zscore_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-group z-score through the native window fast path
+    (func_str='zscore', ddof=1) — the pandas-transform classic with no
+    Python in the row path."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
+    out = pus.groupby_merge(li, "l_returnflag", "zscore", subset="l_quantity")
+    return _round_doubles(out)
+
+
 def q_groupby_transform_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive transform callable (running sum) — exercises
     the ordered applyInPandas path against a window-sum oracle."""
@@ -2242,6 +2253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "groupby_transform_demean": q_groupby_transform_demean,
         "groupby_transform_cumsum": q_groupby_transform_cumsum,
         "groupby_cumsum_native": q_groupby_cumsum_native,
+        "groupby_zscore_native": q_groupby_zscore_native,
         "groupby_transform_str": q_groupby_transform_str,
         "groupby_index": q_groupby_index,
         "winsorize": q_winsorize,
@@ -2578,6 +2590,16 @@ def oracle_sql() -> dict[str, str]:
         "groupby_transform_demean": f"""
             SELECT l_orderkey, l_linenumber, l_returnflag, round(l_quantity, {r}) AS l_quantity,
                    round(l_quantity - avg(l_quantity) OVER (PARTITION BY l_returnflag), {r}) AS l_quantity_transform
+            FROM lineitem
+        """,
+        "groupby_zscore_native": f"""
+            SELECT l_orderkey, l_linenumber, l_returnflag,
+                   round(l_quantity, {r}) AS l_quantity,
+                   round((l_quantity - avg(l_quantity)
+                              OVER (PARTITION BY l_returnflag))
+                         / stddev_samp(l_quantity)
+                              OVER (PARTITION BY l_returnflag), {r})
+                       AS l_quantity_zscore
             FROM lineitem
         """,
         "groupby_transform_cumsum": f"""

@@ -56,6 +56,16 @@ _RUNNING_FUNCS: dict[str, Callable[[str], Column]] = {
     "cummean": F.avg,
 }
 
+# Whole-group normalization transforms with a native window fast path
+# (no ordervar needed — frame is the whole partition). pandas spells
+# these transform(lambda s: s - s.mean()) etc.; ddof=1 std to match
+# pandas' default.
+_NORMALIZE_FUNCS: dict[str, Callable[[str], Column]] = {
+    "demean": lambda c, w: F.col(c) - F.avg(c).over(w),
+    "zscore": lambda c, w: (F.col(c) - F.avg(c).over(w))
+    / F.stddev_samp(c).over(w),
+}
+
 
 def groupby_merge(
     df: DataFrame,
@@ -85,6 +95,8 @@ def groupby_merge(
     transform callable when the function is one of the classics
     (measured 3.4× faster at sf0.1; SCALE.md round 4). Null inputs
     stay null and are skipped by the running total, matching pandas.
+    ``demean``/``zscore`` are the whole-group cousins (no ordervar;
+    ddof=1 std, pandas default) — one unordered window, no Python.
 
     Transform path (``func_str='transform'``, ``func_args[0]`` a callable
     ``pd.Series -> sequence``): runs per group via ``applyInPandas``
@@ -140,11 +152,24 @@ def groupby_merge(
                 F.col(c).isNull(), F.lit(None)
             ).otherwise(agg(c).over(w))
             out = out.withColumn(f"{c}_{func_str}", expr)
+    elif func_str in _NORMALIZE_FUNCS:
+        # whole-group normalization fast path: one unordered window,
+        # nulls excluded from the group moments and staying null in
+        # the output (pandas transform semantics)
+        w = Window.partitionBy(*byvars)
+        fn = _NORMALIZE_FUNCS[func_str]
+        out = df
+        for c in subset:
+            out = out.withColumn(f"{c}_{func_str}", fn(c, w))
     else:
         if func_str not in _AGG_FUNCS:
             raise ValueError(
                 f"unknown aggregate {func_str!r}; valid: "
-                + ", ".join(sorted(_AGG_FUNCS) + sorted(_RUNNING_FUNCS))
+                + ", ".join(
+                    sorted(_AGG_FUNCS)
+                    + sorted(_RUNNING_FUNCS)
+                    + sorted(_NORMALIZE_FUNCS)
+                )
                 + ", transform"
             )
         agg = _AGG_FUNCS[func_str]

@@ -140,6 +140,20 @@ class TestGroupbyMerge:
         expect["x_cumsum"] = pdf.groupby("g", dropna=False).x.cumsum()
         assert_df_equal(out, expect, sort_cols=["g", "i"])
 
+    def test_native_zscore_matches_pandas_transform(self, spark):
+        pdf = pd.DataFrame(
+            {
+                "g": ["a"] * 4 + ["b"] * 3,
+                "x": [1.0, 2.0, nan, 4.0, 10.0, 20.0, 30.0],
+            }
+        )
+        out = pus.groupby_merge(spark.createDataFrame(pdf), "g", "zscore", subset="x")
+        expect = pdf.copy()
+        expect["x_zscore"] = pdf.groupby("g").x.transform(
+            lambda s: (s - s.mean()) / s.std()
+        )
+        assert_df_equal(out, expect, sort_cols=["g", "x"])
+
     def test_cumsum_requires_ordervar(self, spark):
         import pytest as _pytest
 
