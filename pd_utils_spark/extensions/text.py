@@ -371,8 +371,16 @@ def rolling_hash_fingerprints(
 
     Shingles are built JVM-side with ``transform(sequence(...))`` over
     the token array — one row stays one row (array column), so this is
-    shuffle-free and streams through codegen.
+    shuffle-free and streams through codegen. The result sits behind a
+    ``plan_barrier``: consumers almost always ``explode`` it, and
+    without the barrier CollapseProject inlines the whole
+    tokenize+shingle+md5 expression into the Generate operator, which
+    re-evaluates it per OUTPUT row (measured 3.1 s -> 0.5 s at sf0.1
+    for the exploded form — same pathology as SCALE.md's winnowing
+    note).
     """
+    from pd_utils_spark.utils import plan_barrier
+
     # token array materialized in its own projection so the transform
     # lambda slices a bound attribute instead of re-tokenizing per
     # shingle (no CSE inside higher-order-function bodies)
@@ -385,7 +393,9 @@ def rolling_hash_fingerprints(
     shingles = F.when(
         n >= k, F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
     ).otherwise(F.array().cast("array<string>"))
-    return toked.withColumn(out, F.transform(shingles, F.md5)).drop("__rh_toks__")
+    return plan_barrier(
+        toked.withColumn(out, F.transform(shingles, F.md5)).drop("__rh_toks__")
+    )
 
 
 def winnowing_fingerprints(
