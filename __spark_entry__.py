@@ -1558,6 +1558,77 @@ def q_sql_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sql_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): 5-way join with a disjunctive
+    nation-pair filter and ship-year extraction — the deep star-join +
+    derived-grouping-column path. The two nation dims broadcast; the
+    pair predicate must survive into the join, not devolve to a
+    cross product."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return pus.sql(
+        [s, li, o, c, n],
+        """
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               year(l.l_shipdate) AS l_year,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+                   AS revenue
+        FROM s_t s JOIN li_t l ON s.s_suppkey = l.l_suppkey
+        JOIN o_t o ON o.o_orderkey = l.l_orderkey
+        JOIN c_t c ON c.c_custkey = o.o_custkey
+        JOIN n_t n1 ON n1.n_nationkey = s.s_nationkey
+        JOIN n_t n2 ON n2.n_nationkey = c.c_nationkey
+        WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+            OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+          AND l.l_shipdate BETWEEN TIMESTAMP '1996-01-01'
+                               AND TIMESTAMP '1997-12-31'
+        GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+        ORDER BY supp_nation, cust_nation, l_year
+        """,
+    )
+
+
+def q_sql_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): 7-way star join + conditional
+    share aggregate (sum(CASE)/sum) over a derived year column — the
+    widest join tree in the set; every dim side must broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    p = _t(spark, sf_dir, "part")
+    return pus.sql(
+        [p, li, s, o, c, n, r],
+        """
+        SELECT o_year,
+               round(sum(CASE WHEN supp_nation = 'NATION_3'
+                              THEN volume ELSE 0 END) / sum(volume), 6)
+                   AS mkt_share
+        FROM (
+          SELECT year(o.o_orderdate) AS o_year,
+                 l.l_extendedprice * (1 - l.l_discount) AS volume,
+                 n2.n_name AS supp_nation
+          FROM p_t p JOIN li_t l ON p.p_partkey = l.l_partkey
+          JOIN s_t s ON s.s_suppkey = l.l_suppkey
+          JOIN o_t o ON o.o_orderkey = l.l_orderkey
+          JOIN c_t c ON c.c_custkey = o.o_custkey
+          JOIN n_t n1 ON n1.n_nationkey = c.c_nationkey
+          JOIN r_t r ON r.r_regionkey = n1.n_regionkey
+          JOIN n_t n2 ON n2.n_nationkey = s.s_nationkey
+          WHERE r.r_name = 'EUROPE' AND p.p_type = 'ECONOMY'
+            AND o.o_orderdate BETWEEN TIMESTAMP '1996-01-01'
+                                  AND TIMESTAMP '1997-12-31'
+        ) all_nations
+        GROUP BY o_year ORDER BY o_year
+        """,
+    )
+
+
 def q_sql_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 (small-quantity-order revenue) SHAPE, adapted to the
     slim schema (p_size filter instead of p_container): the CORRELATED
@@ -2360,6 +2431,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_tpch_q12": q_sql_tpch_q12,
         "sql_tpch_q14": q_sql_tpch_q14,
         "sql_tpch_q15": q_sql_tpch_q15,
+        "sql_tpch_q7": q_sql_tpch_q7,
+        "sql_tpch_q8": q_sql_tpch_q8,
         "sql_tpch_q17": q_sql_tpch_q17,
         "sql_tpch_q18": q_sql_tpch_q18,
         "sql_tpch_q19": q_sql_tpch_q19,
@@ -4453,6 +4526,44 @@ def oracle_sql() -> dict[str, str]:
             FROM supplier s
             JOIN revenue r ON s.s_suppkey = r.supplier_no
             WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+        """,
+        "sql_tpch_q7": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   year(l.l_shipdate) AS l_year,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+                       AS revenue
+            FROM supplier s JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+            JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+            WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+                OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+              AND l.l_shipdate BETWEEN TIMESTAMP '1996-01-01'
+                                   AND TIMESTAMP '1997-12-31'
+            GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        "sql_tpch_q8": """
+            SELECT o_year,
+                   round(sum(CASE WHEN supp_nation = 'NATION_3'
+                                  THEN volume ELSE 0 END)
+                         / sum(volume), 6) AS mkt_share
+            FROM (
+              SELECT year(o.o_orderdate) AS o_year,
+                     l.l_extendedprice * (1 - l.l_discount) AS volume,
+                     n2.n_name AS supp_nation
+              FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+              JOIN supplier s ON s.s_suppkey = l.l_suppkey
+              JOIN orders o ON o.o_orderkey = l.l_orderkey
+              JOIN customer c ON c.c_custkey = o.o_custkey
+              JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+              JOIN region r ON r.r_regionkey = n1.n_regionkey
+              JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+              WHERE r.r_name = 'EUROPE' AND p.p_type = 'ECONOMY'
+                AND o.o_orderdate BETWEEN TIMESTAMP '1996-01-01'
+                                      AND TIMESTAMP '1997-12-31'
+            ) all_nations
+            GROUP BY o_year ORDER BY o_year
         """,
         "sql_tpch_q17": """
             SELECT round(sum(l.l_extendedprice) / 7.0, 4) AS avg_yearly,

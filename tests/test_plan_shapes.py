@@ -51,6 +51,22 @@ class TestPushdownAndPruning:
         assert "hashpartitioning(l_returnflag" in plan
 
 
+class TestExplodeBarriers:
+    def test_rolling_hash_fingerprints_barriered(self, spark):
+        """The shingle+md5 array must stay behind a plan barrier so an
+        explode consumer reads a bound attribute instead of
+        re-evaluating the array per output row (10× at sf0.1,
+        SCALE.md round 4)."""
+        from pd_utils_spark.extensions.text import rolling_hash_fingerprints
+
+        d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        out = rolling_hash_fingerprints(d.select("doc_id", "text"), k=5).select(
+            "doc_id", F.explode("shingle_hashes")
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CollectMetrics" in plan  # the barrier survived optimization
+
+
 class TestCorrelatedSubquery:
     def test_tpch_q17_decorrelates_to_agg_join(self, spark):
         """The correlated scalar subquery (per-part avg quantity) must
