@@ -1629,6 +1629,42 @@ def q_sql_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sql_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting) SHAPE, adapted to
+    the slim schema ("late" = shipped >60 days after order date since
+    there are no commit/receipt dates): EXISTS + NOT EXISTS both
+    correlated on the SAME fact table, the NOT EXISTS additionally
+    referencing an outer column from a different table (o_orderdate) —
+    the hardest decorrelation shape in the TPC-H set (semi + anti join
+    on lineitem against itself)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    return pus.sql(
+        [s, li, o],
+        """
+        SELECT s.s_name, count(*) AS numwait
+        FROM s_t s
+        JOIN li_t l1 ON s.s_suppkey = l1.l_suppkey
+        JOIN o_t o ON o.o_orderkey = l1.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+          AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+          AND EXISTS (
+            SELECT 1 FROM li_t l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+            SELECT 1 FROM li_t l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+          )
+        GROUP BY s.s_name ORDER BY numwait DESC, s.s_name LIMIT 20
+        """,
+    )
+
+
 def q_sql_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 (small-quantity-order revenue) SHAPE, adapted to the
     slim schema (p_size filter instead of p_container): the CORRELATED
@@ -2434,6 +2470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_tpch_q7": q_sql_tpch_q7,
         "sql_tpch_q8": q_sql_tpch_q8,
         "sql_tpch_q17": q_sql_tpch_q17,
+        "sql_tpch_q21": q_sql_tpch_q21,
         "sql_tpch_q18": q_sql_tpch_q18,
         "sql_tpch_q19": q_sql_tpch_q19,
         "sql_tpch_q22": q_sql_tpch_q22,
@@ -4586,6 +4623,26 @@ def oracle_sql() -> dict[str, str]:
                    AND l.l_quantity BETWEEN 10 AND 20)
                OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
                    AND l.l_quantity BETWEEN 20 AND 30)
+        """,
+        "sql_tpch_q21": """
+            SELECT s.s_name, count(*)::BIGINT AS numwait
+            FROM supplier s
+            JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+            JOIN orders o ON o.o_orderkey = l1.l_orderkey
+            WHERE o.o_orderstatus = 'F'
+              AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+              AND EXISTS (
+                SELECT 1 FROM lineitem l2
+                WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey
+              )
+              AND NOT EXISTS (
+                SELECT 1 FROM lineitem l3
+                WHERE l3.l_orderkey = l1.l_orderkey
+                  AND l3.l_suppkey <> l1.l_suppkey
+                  AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+              )
+            GROUP BY s.s_name ORDER BY numwait DESC, s.s_name LIMIT 20
         """,
         "sql_tpch_q22": """
             SELECT CAST(c.c_custkey % 7 AS INT) AS cntry_grp,
