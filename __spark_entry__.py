@@ -2195,6 +2195,12 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "split")
 
 
+def q_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-fold assignment of every document."""
+    d = _t(spark, sf_dir, "documents")
+    return pus_sample.kfold_split(d, k=5, seed=2).select("doc_id", "fold")
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-weighted deterministic sample (A-ES keys, distributed
     top-n): longer documents proportionally likelier, yet the draw is
@@ -2525,6 +2531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "left_merge_latest_numeric": q_left_merge_latest_numeric,
         "left_merge_latest_strkey": q_left_merge_latest_strkey,
         "hash_split": q_hash_split,
+        "kfold_split": q_kfold_split,
         "stratified_sample": q_stratified_sample,
         "weighted_sample": q_weighted_sample,
         "interleave_sources": q_interleave_sources,
@@ -5137,6 +5144,11 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN {_sql_frac('doc_id', 1)} < 0.75::DOUBLE THEN 'train'
                         WHEN {_sql_frac('doc_id', 1)} < 0.875::DOUBLE THEN 'val'
                         ELSE 'test' END AS split
+            FROM documents
+        """,
+        "kfold_split": f"""
+            SELECT doc_id,
+                   least(floor({_sql_frac('doc_id', 2)} * 5), 4)::INT AS fold
             FROM documents
         """,
         "stratified_sample": f"""

@@ -71,6 +71,7 @@ from pd_utils_spark.extensions.sampling import (
     hash_fraction,
     hash_split,
     interleave_sources,
+    kfold_split,
     ngram_hashes,
     pack_chunks,
     pack_sequences,

@@ -104,6 +104,28 @@ def hash_split(
     return df.withColumn(out, expr)
 
 
+def kfold_split(
+    df: DataFrame,
+    k: int = 5,
+    idcol: str = "doc_id",
+    seed: int | str = 0,
+    out: str = "fold",
+) -> DataFrame:
+    """Assign every row a deterministic cross-validation fold in
+    [0, k): ``floor(hash_fraction(id, seed) * k)``. Like
+    :func:`hash_split`, a row's fold depends only on (id, seed) —
+    stable under re-partitioning, appends, and re-runs, so fold i's
+    eval set never leaks into fold i's training set across dataset
+    versions. Pure projection: no shuffle, no action.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2: {k}")
+    frac = hash_fraction(F.col(idcol), seed)
+    return df.withColumn(
+        out, F.least(F.floor(frac * k), F.lit(k - 1)).cast("int")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     fraction: float | Mapping[str, float],

@@ -304,6 +304,30 @@ class TestWeightedSample:
             weighted_sample(df, 0, "w")
 
 
+class TestKfoldSplit:
+    def test_partition_and_determinism(self, spark):
+        import pandas as pd
+        import pytest as _pytest
+
+        from pd_utils_spark.extensions.sampling import kfold_split
+
+        df = spark.createDataFrame(pd.DataFrame({"doc_id": range(500)}))
+        out = kfold_split(df, k=5, seed=1).toPandas()
+        assert len(out) == 500
+        assert set(out.fold) == {0, 1, 2, 3, 4}
+        by = out.groupby("fold").size()
+        assert by.min() > 50  # roughly balanced
+        # same (id, seed) -> same fold; different seed reshuffles
+        again = kfold_split(df, k=5, seed=1).toPandas()
+        assert (out.sort_values("doc_id").fold.values
+                == again.sort_values("doc_id").fold.values).all()
+        other = kfold_split(df, k=5, seed=9).toPandas()
+        assert (out.sort_values("doc_id").fold.values
+                != other.sort_values("doc_id").fold.values).any()
+        with _pytest.raises(ValueError, match="k must"):
+            kfold_split(df, k=1)
+
+
 class TestFilterTopFraction:
     def _scored(self, spark):
         import pandas as pd

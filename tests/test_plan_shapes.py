@@ -51,6 +51,44 @@ class TestPushdownAndPruning:
         assert "hashpartitioning(l_returnflag" in plan
 
 
+class TestMaterialize:
+    def test_persist_mode_computes_once(self, spark):
+        from pd_utils_spark.utils import materialize
+
+        df = materialize(spark.range(100).selectExpr("id", "id * 2 AS y"))
+        try:
+            assert df.storageLevel.useMemory or df.storageLevel.useDisk
+        finally:
+            df.unpersist()
+
+    def test_checkpoint_mode_persists_underneath(self, spark):
+        """With a checkpoint dir set, materialize must persist BEFORE
+        the lazy checkpoint: a bare lazy checkpoint recomputes the
+        subtree once per reference of the first action plus once for
+        the checkpoint write (the re-execution pathology it exists to
+        prevent)."""
+        import tempfile
+
+        from pd_utils_spark.utils import materialize
+
+        sc = spark.sparkContext
+        with tempfile.TemporaryDirectory() as d:
+            sc.setCheckpointDir(d)
+            try:
+                base = spark.range(50).selectExpr("id", "id * 3 AS y")
+                out = materialize(base)
+                # the pre-checkpoint frame carries the persist
+                assert (
+                    base.storageLevel.useMemory or base.storageLevel.useDisk
+                )
+                assert out.count() == 50  # checkpoint materializes fine
+            finally:
+                base.unpersist()
+                jsc = sc._jsc.sc()
+                none = sc._jvm.scala.Option.apply(None)
+                getattr(jsc, "checkpointDir_$eq")(none)
+
+
 class TestExplodeBarriers:
     def test_rolling_hash_fingerprints_barriered(self, spark):
         """The shingle+md5 array must stay behind a plan barrier so an
