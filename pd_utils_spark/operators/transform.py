@@ -73,6 +73,7 @@ def winsorize(
     byvars: Optional[Union[str, list[str]]] = None,
     bot: bool = True,
     top: bool = True,
+    exact: bool = True,
 ) -> DataFrame:
     """Clip values at (group) quantiles (reference:
     pd_utils/transform.py:167-232).
@@ -91,11 +92,19 @@ def winsorize(
 
     Per-group (``byvars``): one window aggregate per clipped column —
     single shuffle on byvars; the exact percentile buffers each
-    partition, acceptable when groups fit in an executor (at extreme
-    scale switch to ``percentile_approx``). Global: a tiny one-row
-    aggregate broadcast-cross-joined back — no driver round trip.
+    partition, acceptable when groups fit in an executor. Global: a
+    tiny one-row aggregate broadcast-cross-joined back — no driver
+    round trip.
+
+    ``exact=False`` is the extreme-scale knob: ``percentile_approx``
+    (t-digest, accuracy 10000) replaces ``percentile`` — constant
+    memory per group instead of buffering every value, at the cost of
+    approximate cut points (reference/oracle parity requires
+    ``exact=True``, the default; SCALE.md round 4 has the measured
+    trade).
     """
     assert bot or top
+    pfn = "percentile" if exact else "percentile_approx"
     if isinstance(pct, float):
         bot_pct, top_pct = pct, 1 - pct
     else:
@@ -120,7 +129,7 @@ def winsorize(
             out = out.select(
                 "*",
                 *[
-                    F.expr(f"percentile({quote(c)}, {top_pct})")
+                    F.expr(f"{pfn}({quote(c)}, {top_pct})")
                     .over(w)
                     .alias("__hi_" + c)
                     for c in cols
@@ -143,7 +152,7 @@ def winsorize(
             out = out.select(
                 "*",
                 *[
-                    F.expr(f"percentile(cast({quote(src[c])} as double), {bot_pct})")
+                    F.expr(f"{pfn}(cast({quote(src[c])} as double), {bot_pct})")
                     .over(w)
                     .alias("__lo_" + c)
                     for c in cols
@@ -165,7 +174,7 @@ def winsorize(
     out = df
     if top:
         hi_row = df.agg(
-            *[F.expr(f"percentile({quote(c)}, {top_pct})").alias("__hi_" + c) for c in cols]
+            *[F.expr(f"{pfn}({quote(c)}, {top_pct})").alias("__hi_" + c) for c in cols]
         )
         out = out.crossJoin(F.broadcast(hi_row))
         for c in cols:
@@ -179,7 +188,7 @@ def winsorize(
     if bot:
         lo_row = out.agg(
             *[
-                F.expr(f"percentile(cast({quote(src[c])} as double), {bot_pct})").alias("__lo_" + c)
+                F.expr(f"{pfn}(cast({quote(src[c])} as double), {bot_pct})").alias("__lo_" + c)
                 for c in cols
             ]
         )
