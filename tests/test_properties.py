@@ -41,6 +41,22 @@ def test_winsorize_bounds_and_shape(spark, rows, pct):
         assert sub.x.max() <= raw.max() + 1e-9
 
 
+@given(rows=frames, pct=st.floats(min_value=0.01, max_value=0.3))
+@settings(**SETTINGS)
+def test_winsorize_approx_bounds_and_shape(spark, rows, pct):
+    """The exact=False (percentile_approx) knob keeps the winsorize
+    contract: row count preserved, values within each group's raw
+    range (the cut points are approximate, the clipping is not)."""
+    pdf = pd.DataFrame(rows, columns=["g", "x"])
+    df = spark.createDataFrame(pdf)
+    out = pus.winsorize(df, pct, subset="x", byvars="g", exact=False).toPandas()
+    assert len(out) == len(pdf)
+    for g, sub in out.groupby("g"):
+        raw = pdf[pdf.g == g].x
+        assert sub.x.min() >= raw.min() - 1e-9
+        assert sub.x.max() <= raw.max() + 1e-9
+
+
 @given(rows=frames, ngroups=st.integers(min_value=2, max_value=5))
 @settings(**SETTINGS)
 def test_portfolio_range_and_monotonicity(spark, rows, ngroups):
