@@ -509,6 +509,16 @@ def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed long-form pairwise Pearson matrix — one aggregation
+    pass for all 6 pairs of 4 lineitem measures."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = pus_profile.corr_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+    return out.select("col_a", "col_b", F.round("corr", 6).alias("corr"))
+
+
 def q_token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return pus_profile.token_length_histogram(d, bucket_size=20).select(
@@ -2399,6 +2409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_signals": q_url_signals,
         "numeric_histogram": q_numeric_histogram,
         "column_profile": q_column_profile,
+        "corr_matrix": q_corr_matrix,
         "token_length_histogram": q_token_length_histogram,
         "domain_stats": q_domain_stats,
         "domain_blocklist": q_domain_blocklist,
@@ -3116,6 +3127,23 @@ def oracle_sql() -> dict[str, str]:
                    round(lo + (t.i + 1) * ((hi - lo) / 20), 4) AS bucket_hi,
                    cast(coalesce(c.count, 0) AS bigint) AS count
             FROM range(0, 20) t(i) CROSS JOIN b LEFT JOIN c ON c.bucket = t.i
+        """,
+        "corr_matrix": """
+            WITH pairs(col_a, col_b, c) AS (
+                SELECT 'l_quantity', 'l_extendedprice',
+                       corr(l_quantity, l_extendedprice) FROM lineitem
+                UNION ALL SELECT 'l_quantity', 'l_discount',
+                       corr(l_quantity, l_discount) FROM lineitem
+                UNION ALL SELECT 'l_quantity', 'l_tax',
+                       corr(l_quantity, l_tax) FROM lineitem
+                UNION ALL SELECT 'l_extendedprice', 'l_discount',
+                       corr(l_extendedprice, l_discount) FROM lineitem
+                UNION ALL SELECT 'l_extendedprice', 'l_tax',
+                       corr(l_extendedprice, l_tax) FROM lineitem
+                UNION ALL SELECT 'l_discount', 'l_tax',
+                       corr(l_discount, l_tax) FROM lineitem
+            )
+            SELECT col_a, col_b, round(c, 6) AS corr FROM pairs
         """,
         "column_profile": """
             SELECT 'l_quantity' AS column, count(*) AS n,

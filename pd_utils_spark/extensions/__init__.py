@@ -60,6 +60,7 @@ from pd_utils_spark.extensions.web import (
 )
 from pd_utils_spark.extensions.profile import (
     column_profile,
+    corr_matrix,
     group_quantiles,
     numeric_histogram,
     token_length_histogram,

@@ -139,6 +139,38 @@ def column_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     return one.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
 
 
+def corr_matrix(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Long-format pairwise Pearson correlation of ``cols``:
+    (col_a, col_b, corr) for every unordered pair a < b, computed as
+    ONE aggregation pass (k*(k-1)/2 ``F.corr`` aggregates share the
+    single scan — no per-pair jobs, nothing collected). The
+    distributed, composable cousin of the reference's presentation-
+    oriented ``formatted_corr_df`` (which collects a k×k display
+    frame); use this one inside pipelines at scale.
+    """
+    cols = list(cols)
+    if len(cols) < 2:
+        raise ValueError(f"need at least 2 columns, got {cols}")
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    one = df.agg(
+        *[
+            F.corr(F.col(a).cast("double"), F.col(b).cast("double")).alias(
+                f"__c_{i}__"
+            )
+            for i, (a, b) in enumerate(pairs)
+        ]
+    )
+    rows = [
+        F.struct(
+            F.lit(a).alias("col_a"),
+            F.lit(b).alias("col_b"),
+            F.col(f"__c_{i}__").alias("corr"),
+        )
+        for i, (a, b) in enumerate(pairs)
+    ]
+    return one.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
+
+
 def group_quantiles(
     df: DataFrame,
     valuecol: str,

@@ -119,3 +119,33 @@ class TestGroupQuantiles:
         assert abs(approx - exact) <= 10_000 / 10_000 * 100  # loose sanity bound
         with _pytest.raises(ValueError, match="probs"):
             group_quantiles(df, "v", (1.5,))
+
+
+class TestCorrMatrix:
+    def test_pairs_and_values(self, spark):
+        import numpy as np
+        import pandas as pd
+        import pytest as _pytest
+
+        from pd_utils_spark.extensions.profile import corr_matrix
+
+        rng = np.random.RandomState(7)
+        pdf = pd.DataFrame(
+            {
+                "x": rng.randn(200),
+                "z": rng.randn(200),
+            }
+        )
+        pdf["y"] = 2 * pdf.x + 0.1 * rng.randn(200)  # strongly correlated
+        out = {
+            (r.col_a, r.col_b): r.corr
+            for r in corr_matrix(
+                spark.createDataFrame(pdf), ["x", "y", "z"]
+            ).collect()
+        }
+        assert set(out) == {("x", "y"), ("x", "z"), ("y", "z")}
+        expect = pdf.corr()
+        for (a, b), v in out.items():
+            assert v == _pytest.approx(expect.loc[a, b], abs=1e-9)
+        with _pytest.raises(ValueError, match="at least 2"):
+            corr_matrix(spark.createDataFrame(pdf), ["x"])
