@@ -677,9 +677,19 @@ def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lsh_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
     u = _docs_with_copies(spark, sf_dir)
-    cands = pus_dedup.lsh_candidate_pairs(u, k=3, num_hashes=12, bands=4)
-    sim = pus_dedup.jaccard_pairs(u, cands, k=3).filter(F.col("jaccard") >= 0.5)
+    # shingle sets computed ONCE and shared between the LSH and
+    # verification stages (same pattern as _verified_dup_pairs —
+    # without it the tokenize+shingle pipeline runs twice)
+    sh = pus_dedup.shingle_sets(u, k=3).persist(StorageLevel.MEMORY_AND_DISK)
+    cands = pus_dedup.lsh_candidate_pairs(
+        u, k=3, num_hashes=12, bands=4, shingles=sh
+    )
+    sim = pus_dedup.jaccard_pairs(u, cands, k=3, shingles=sh).filter(
+        F.col("jaccard") >= 0.5
+    )
     return _round_doubles(sim.select("id_a", "id_b", "jaccard"))
 
 
