@@ -204,7 +204,10 @@ def interleave_sources(
     scarcest source allows: with per-source counts ``n_s`` and weights
     ``w_s``, the limiting scale is ``min_s(n_s / w_s)`` and each
     source keeps ``w_s * scale / n_s`` of its rows. Sources not in the
-    map are dropped.
+    map are dropped — and so are rows with a NULL ``source_col``
+    (an unnamed source can't appear in ``target_weights``; use
+    :func:`temperature_mix` when NULL sources must survive as their
+    own group).
 
     One tiny (source, count) aggregate broadcast-joined back — the
     corpus itself is never shuffled and never leaves the executors.
