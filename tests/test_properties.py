@@ -372,6 +372,33 @@ def test_pack_sequences_conserves_docs_and_tokens(spark, rows, budget):
             assert (t or "") in row.seq_text
 
 
+@given(
+    frac1=st.floats(min_value=0.0, max_value=1.0),
+    extra=st.floats(min_value=0.0, max_value=1.0),
+)
+@settings(**SETTINGS)
+def test_filter_top_fraction_monotone(spark, frac1, extra):
+    """Growing frac never evicts a selected row (the per-group rank
+    cut only moves down), and the keep-count honors ceil(frac * n)."""
+    import math
+
+    from pd_utils_spark.extensions.sampling import filter_top_fraction
+
+    frac2 = min(1.0, frac1 + extra)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(12),
+            "g": ["a"] * 7 + ["b"] * 5,
+            "score": [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0, 5.0, 3.0, 5.0, 8.0],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    small = {r.doc_id for r in filter_top_fraction(df, "score", frac1, by="g").collect()}
+    big = {r.doc_id for r in filter_top_fraction(df, "score", frac2, by="g").collect()}
+    assert small <= big
+    assert len(small) == math.ceil(frac1 * 7) + math.ceil(frac1 * 5)
+
+
 url_texts = st.lists(
     st.from_regex(
         r"https?://[A-Za-z][A-Za-z0-9.]{0,10}(:[0-9]{1,4})?(/[A-Za-z0-9/]{0,8})?"
