@@ -60,6 +60,7 @@ def streaming_sessionize(
     gap_seconds: int = 1800,
     tiebreak: str | Sequence[str] | None = None,
     out: str = "session_index",
+    state_ttl_seconds: int | None = None,
 ) -> DataFrame:
     """Streaming row-labeling sessionization: every event row gets its
     1-based per-user ``session_index``, with the (last event time,
@@ -78,16 +79,28 @@ def streaming_sessionize(
     already-emitted boundary — inherent to any single-pass labeler;
     bound disorder upstream with a watermark + ``session_window`` if
     retraction matters more than labels.
+
+    ``state_ttl_seconds``: processing-time TTL for idle users —
+    essential on an unbounded user space, where NoTimeout state grows
+    with every user EVER seen. A user evicted after the TTL restarts
+    at session 1 on return; pick a TTL comfortably above
+    ``gap_seconds`` so only genuinely-abandoned users are evicted
+    (a returning user past the gap would have started a new session
+    anyway — only the session NUMBERING restarts).
     """
     gap_us = int(gap_seconds * 1_000_000)
     order_cols = [tscol] + to_list(tiebreak)
     fields = ", ".join(f"`{n}` {t}" for n, t in sdf.dtypes)
     out_schema = f"{fields}, `{out}` bigint"
     state_schema = "last_us bigint, sess bigint"
+    with_ttl = state_ttl_seconds is not None
 
     def label(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if with_ttl and state.hasTimedOut:
+            state.remove()  # idle past the TTL; next event restarts at 1
+            return
         if state.exists:
             last_us, sess = state.get
         else:
@@ -116,9 +129,16 @@ def streaming_sessionize(
         pdf[out] = idxs
         yield pdf
         state.update((last_us, sess))
+        if with_ttl:
+            state.setTimeoutDuration(int(state_ttl_seconds) * 1000)
 
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if with_ttl
+        else GroupStateTimeout.NoTimeout
+    )
     return sdf.groupBy(usercol).applyInPandasWithState(
-        label, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        label, out_schema, state_schema, "append", timeout_conf
     )
 
 
@@ -203,6 +223,7 @@ def stateful_running_agg(
     keys: str | Sequence[str],
     value_col: str = "value",
     timeout: str = "NoTimeout",
+    timeout_duration_ms: int = 3_600_000,
 ) -> DataFrame:
     """Running (sum, count, mean) per key, updated each micro-batch and
     carried across batches in the state store — the canonical custom
@@ -213,6 +234,13 @@ def stateful_running_agg(
     ``keys..., running_sum, running_count, running_mean``.
     State per key = two scalars — O(1), partition-local, shuffle only
     on the grouping keys.
+
+    ``timeout='ProcessingTimeTimeout'`` evicts a key's totals after
+    ``timeout_duration_ms`` of processing-time inactivity (reset on
+    every batch that touches the key) — the state-store TTL that keeps
+    per-key state O(active keys) instead of O(all keys ever seen) on
+    an unbounded key space. An evicted key that reappears restarts
+    from zero.
     """
     keys_l = to_list(keys)
     key_fields = ", ".join(
@@ -222,10 +250,15 @@ def stateful_running_agg(
         f"{key_fields}, running_sum double, running_count bigint, running_mean double"
     )
     state_schema = "total double, cnt bigint"
+    with_ttl = timeout != "NoTimeout"
 
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if with_ttl and state.hasTimedOut:
+            # idle past the TTL: evict and emit nothing
+            state.remove()
+            return
         if state.exists:
             total, cnt = state.get
         else:
@@ -235,6 +268,8 @@ def stateful_running_agg(
             total += float(vals.sum())
             cnt += int(len(vals))
         state.update((total, cnt))
+        if with_ttl:
+            state.setTimeoutDuration(timeout_duration_ms)
         row = {k: key[i] for i, k in enumerate(keys_l)}
         row["running_sum"] = total
         row["running_count"] = cnt

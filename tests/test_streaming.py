@@ -302,6 +302,91 @@ class TestStreamingSessionizeChunked:
             shutil.rmtree(src, ignore_errors=True)
 
 
+class TestStreamingSessionizeTTL:
+    def test_idle_user_state_evicted_and_renumbered(self, spark):
+        """With state_ttl_seconds set, a user idle past the TTL is
+        evicted (by a later batch containing OTHER users' data) and
+        restarts at session 1 on return — even when the return event
+        is within gap_seconds of their last event, proving the state
+        really was dropped rather than continued."""
+        import time
+
+        from pyspark.sql.types import LongType
+
+        src = tempfile.mkdtemp(prefix="sess_ttl_")
+        try:
+            schema = StructType(
+                [
+                    StructField("user_id", LongType()),
+                    StructField("ts", TimestampType()),
+                    StructField("event_id", LongType()),
+                ]
+            )
+            stream = (
+                spark.readStream.format("json")
+                .schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .load(src)
+            )
+            out = W.streaming_sessionize(
+                stream, "user_id", "ts", gap_seconds=3600,
+                tiebreak="event_id", state_ttl_seconds=3,
+            )
+            q = (
+                out.writeStream.format("memory")
+                .queryName("sess_ttl")
+                .outputMode("append")
+                .trigger(processingTime="1 second")
+                .start()
+            )
+
+            def write_batch(name, rows):
+                with open(f"{src}/{name}.json", "w") as f:
+                    f.write("\n".join(json.dumps(r) for r in rows))
+
+            def wait_rows(n, deadline):
+                while time.time() < deadline:
+                    if spark.sql("SELECT * FROM sess_ttl").count() >= n:
+                        return
+                    time.sleep(0.5)
+
+            try:
+                deadline = time.time() + 120
+                # b1: user 1 reaches SESSION 2 (2h gap between events)
+                write_batch("b1", [
+                    {"user_id": 1, "ts": "2024-01-01T00:00:00", "event_id": 1},
+                    {"user_id": 1, "ts": "2024-01-01T02:00:00", "event_id": 2},
+                ])
+                wait_rows(2, deadline)
+                time.sleep(5)  # let user 1's state pass the 3s TTL
+                # b2: only user 2 — triggers user 1's timeout eviction
+                write_batch("b2", [
+                    {"user_id": 2, "ts": "2024-01-01T00:00:30", "event_id": 3},
+                ])
+                wait_rows(3, deadline)
+                time.sleep(2)  # give the eviction batch time to commit
+                # b3: user 1 returns at 02:10 — within gap_seconds of
+                # their 02:00 event, so SURVIVING state would label it
+                # session 2 (continuation); evicted state restarts at 1.
+                write_batch("b3", [
+                    {"user_id": 1, "ts": "2024-01-01T02:10:00", "event_id": 4},
+                ])
+                wait_rows(4, deadline)
+                got = {
+                    r.event_id: r.session_index
+                    for r in spark.sql("SELECT * FROM sess_ttl").collect()
+                }
+            finally:
+                q.stop()
+            assert got[1] == 1 and got[2] == 2 and got[3] == 1
+            # the distinguishing assertion: state was evicted, so the
+            # within-gap return restarts numbering at 1 (a surviving
+            # state would have labeled it 2)
+            assert got[4] == 1
+        finally:
+            shutil.rmtree(src, ignore_errors=True)
+
+
 class TestStreamingMinhashDedup:
     def test_near_dups_dropped_within_and_across_batches(self, spark):
         """foreachBatch near-dup dedup: batch 1's internal near-dup pair
