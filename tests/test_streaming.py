@@ -135,6 +135,51 @@ class TestStatefulStreaming:
         finally:
             shutil.rmtree(src, ignore_errors=True)
 
+    def test_running_agg_with_ttl_runs(self, spark):
+        """ProcessingTimeTimeout mode must actually run (it previously
+        lacked the setTimeoutDuration call that mode requires) and
+        produce the same totals while batches stay within the TTL."""
+        import time
+
+        from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+        src = tempfile.mkdtemp(prefix="state_ttl_src_")
+        try:
+            schema = StructType(
+                [StructField("user_id", LongType()), StructField("value", DoubleType())]
+            )
+            with open(f"{src}/b1.json", "w") as f:
+                f.write('{"user_id": 7, "value": 5.0}\n{"user_id": 7, "value": 7.0}\n')
+            stream = (
+                spark.readStream.format("json").schema(schema).load(src)
+            )
+            out = W.stateful_running_agg(
+                stream, "user_id", "value",
+                timeout="ProcessingTimeTimeout", timeout_duration_ms=60_000,
+            )
+            q = (
+                out.writeStream.format("memory")
+                .queryName("state_ttl_test")
+                .outputMode("update")
+                .trigger(processingTime="1 second")
+                .start()
+            )
+            try:
+                deadline = time.time() + 60
+                rows = []
+                while time.time() < deadline:
+                    rows = spark.sql(
+                        "SELECT running_sum FROM state_ttl_test WHERE user_id = 7"
+                    ).collect()
+                    if rows:
+                        break
+                    time.sleep(1)
+                assert rows and rows[0].running_sum == 12.0
+            finally:
+                q.stop()
+        finally:
+            shutil.rmtree(src, ignore_errors=True)
+
 
 class TestStreamingSessionize:
     def test_labels_match_batch_and_state_spans_batches(self, spark):
