@@ -375,7 +375,17 @@ def wide_to_long(
     ]
     if not val_l:
         raise ValueError("no value_vars to melt")
-    return df.unpivot(id_l, val_l, var_name, value_name)
+    # names go through quote(): unpivot parses bare strings as (maybe
+    # nested) attribute paths, so a pivot-generated column like
+    # "ret1.5" would otherwise resolve as field `5` of column `ret1`
+    # and fail — found by the pivot/melt round-trip property test
+    melted = df.unpivot(
+        [F.col(quote(c)) for c in id_l],
+        [F.col(quote(c)) for c in val_l],
+        var_name,
+        value_name,
+    )
+    return melted
 
 
 def group_rank(

@@ -154,6 +154,24 @@ class TestGroupbyMerge:
         )
         assert_df_equal(out, expect, sort_cols=["g", "x"])
 
+    def test_native_cumprod_cummax_match_pandas(self, spark):
+        pdf = pd.DataFrame(
+            {
+                "g": ["a"] * 4 + ["b"] * 3,
+                "i": [1, 2, 3, 4, 1, 2, 3],
+                "x": [1.5, 2.0, nan, 0.5, 3.0, 1.0, 2.0],
+            }
+        )
+        df = spark.createDataFrame(pdf)
+        out_p = pus.groupby_merge(df, "g", "cumprod", subset="x", ordervar="i")
+        out_m = pus.groupby_merge(df, "g", "cummax", subset="x", ordervar="i")
+        expect = pdf.copy()
+        expect["x_cumprod"] = pdf.groupby("g").x.cumprod()
+        assert_df_equal(out_p, expect, sort_cols=["g", "i"])
+        expect = pdf.copy()
+        expect["x_cummax"] = pdf.groupby("g").x.cummax()
+        assert_df_equal(out_m, expect, sort_cols=["g", "i"])
+
     def test_cumsum_requires_ordervar(self, spark):
         import pytest as _pytest
 
@@ -1094,6 +1112,18 @@ class TestWideToLong:
         df = spark.createDataFrame(pd.DataFrame({"id": [1]}))
         with pytest.raises(ValueError, match="value_vars"):
             pus.wide_to_long(df, "id")
+
+    def test_melt_dotted_column_names(self, spark):
+        """Pivoting a float colindex generates columns like 'ret1.5';
+        melt must treat the whole name as one column, not a nested
+        `ret1`.`5` field path (regression: found by the pivot/melt
+        round-trip property test)."""
+        df = spark.createDataFrame(
+            pd.DataFrame({"id": [1, 2], "ret1.5": [5.0, 6.0], "ret2.5": [7.0, 8.0]})
+        )
+        got = pus.wide_to_long(df, "id").toPandas()
+        assert set(got.variable) == {"ret1.5", "ret2.5"}
+        assert len(got) == 4
 
 
 class TestLongToWideAggfunc:

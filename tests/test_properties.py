@@ -372,6 +372,27 @@ def test_pack_sequences_conserves_docs_and_tokens(spark, rows, budget):
             assert (t or "") in row.seq_text
 
 
+@given(rows=frames)
+@settings(**SETTINGS)
+def test_pivot_melt_roundtrip(spark, rows):
+    """wide_to_long(long_to_wide(df)) recovers the original long rows
+    (for unique (id, colindex) pairs): pivot and melt are inverses up
+    to the NULL rows melt emits for absent cells."""
+    pdf = pd.DataFrame(rows, columns=["g", "x"])
+    pdf = pdf.assign(k=[f"c{i % 3}" for i in range(len(pdf))])
+    pdf = pdf.drop_duplicates(["g", "k"])  # one value per pivot cell
+    df = spark.createDataFrame(pdf)
+    wide = pus.long_to_wide(df, "g", "x", colindex="k", colindex_only=True)
+    back = pus.wide_to_long(wide, "g", var_name="k", value_name="x")
+    got = {
+        (r.g, r.k): r.x for r in back.collect() if r.x is not None
+    }
+    expect = {(r.g, r.k): r.x for r in pdf.itertuples(index=False)}
+    assert set(got) == set(expect)
+    for key, v in expect.items():
+        assert got[key] == pytest.approx(v)
+
+
 @given(
     frac1=st.floats(min_value=0.0, max_value=1.0),
     extra=st.floats(min_value=0.0, max_value=1.0),
