@@ -374,6 +374,30 @@ def test_pack_sequences_conserves_docs_and_tokens(spark, rows, budget):
 
 @given(rows=frames)
 @settings(**SETTINGS)
+def test_add_missing_group_rows_complete_and_idempotent(spark, rows):
+    """After completion every (group, period) combination exists
+    exactly once, and a second application is a no-op (the grid is
+    already complete, ffill finds nothing new to fill)."""
+    pdf = pd.DataFrame(rows, columns=["g", "x"])
+    pdf["p"] = [i % 3 for i in range(len(pdf))]
+    pdf = pdf.drop_duplicates(["g", "p"])
+    df = spark.createDataFrame(pdf[["g", "p", "x"]])
+    once = pus.add_missing_group_rows(df, ["g"], ["p"])
+    once_pd = once.toPandas().sort_values(["g", "p"]).reset_index(drop=True)
+    n_g, n_p = pdf.g.nunique(), pdf.p.nunique()
+    assert len(once_pd) == n_g * n_p
+    assert not once_pd.duplicated(["g", "p"]).any()
+    twice_pd = (
+        pus.add_missing_group_rows(once, ["g"], ["p"])
+        .toPandas()
+        .sort_values(["g", "p"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(once_pd, twice_pd)
+
+
+@given(rows=frames)
+@settings(**SETTINGS)
 def test_pivot_melt_roundtrip(spark, rows):
     """wide_to_long(long_to_wide(df)) recovers the original long rows
     (for unique (id, colindex) pairs): pivot and melt are inverses up
