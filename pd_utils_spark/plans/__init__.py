@@ -3,6 +3,7 @@ co-location, and Z-order storage layout (SCALE.md)."""
 
 from pd_utils_spark.plans.layout import zorder_by, zorder_key, zorder_write
 from pd_utils_spark.plans.skew import (
+    hot_key_join,
     key_skew_report,
     salted_groupby_agg,
     salted_join,

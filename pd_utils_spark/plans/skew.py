@@ -111,6 +111,53 @@ def salted_join(
     return out.drop("__salt__")
 
 
+def hot_key_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    hot_threshold: int = 1_000_000,
+    how: str = "inner",
+) -> DataFrame:
+    """Two-path skew join: keys whose LEFT-side row count exceeds
+    ``hot_threshold`` take a broadcast path (only the HOT keys' right
+    rows are broadcast — typically a handful of rows even when the
+    full right side is far too big to broadcast); every other key
+    takes the normal shuffle join. The union is the exact join result.
+
+    This beats ``salted_join`` when hot keys are few: nothing is
+    replicated ``salt`` times — the hot path is a map-side hash join
+    (no shuffle at all for the skewed rows, no sort of the hot key),
+    and the cold path shuffles a now-skewless relation. The cost is
+    one extra aggregation over the left key columns (column-pruned
+    scan) to find the hot set.
+
+    ``how`` supports 'inner' and 'left' (the paths partition the LEFT
+    rows, so left-outer semantics compose; right/full-outer would need
+    unmatched-right bookkeeping across paths).
+    """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"hot_key_join supports how='inner'/'left' only, got {how!r}"
+        )
+    on_l = to_list(on)
+    hot = (
+        left.groupBy(*on_l)
+        .agg(F.count(F.lit(1)).alias("__n__"))
+        .filter(F.col("__n__") > hot_threshold)
+        .select(*on_l)
+    )
+    # the hot-key set is small by construction (each key has >threshold
+    # rows, so there are at most n_rows/threshold of them) — broadcast
+    # it for the semi/anti splits and the right-side filter
+    hot_b = F.broadcast(hot)
+    cold_left = left.join(hot_b, on_l, "left_anti")
+    hot_left = left.join(hot_b, on_l, "left_semi")
+    hot_right = F.broadcast(right.join(hot_b, on_l, "left_semi"))
+    cold = cold_left.join(right, on_l, how)
+    hot_res = hot_left.join(hot_right, on_l, how)
+    return cold.unionByName(hot_res)
+
+
 def key_skew_report(
     df: DataFrame,
     keys: str | Sequence[str],

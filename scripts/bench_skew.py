@@ -32,7 +32,7 @@ sys.path.insert(0, "/root/repo")
 
 from pyspark.sql import functions as F
 
-from pd_utils_spark.plans.skew import salted_groupby_agg, salted_join
+from pd_utils_spark.plans.skew import hot_key_join, salted_groupby_agg, salted_join
 from pd_utils_spark.session import get_spark
 
 
@@ -130,6 +130,13 @@ def main():
         timed(
             "join_salted",
             lambda: salted_join(fact, dim, "key", salt=8)
+            .select("id", "payload", "value")
+            .count(),
+            results,
+        )
+        timed(
+            "join_hotkey",
+            lambda: hot_key_join(fact, dim, "key", hot_threshold=1_000_000)
             .select("id", "payload", "value")
             .count(),
             results,

@@ -190,3 +190,58 @@ class TestBucketedHistoryDedup:
                 spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         finally:
             spark.sql("DROP TABLE IF EXISTS hist_bands")
+
+
+class TestHotKeyJoin:
+    def _data(self, spark):
+        import pandas as pd
+
+        left = pd.DataFrame(
+            {
+                "k": [0] * 50 + [1, 2, 3] * 5,
+                "v": range(65),
+            }
+        )
+        right = pd.DataFrame({"k": [0, 1, 2, 9], "payload": ["a", "b", "c", "z"]})
+        return spark.createDataFrame(left), spark.createDataFrame(right)
+
+    def test_result_equals_plain_join(self, spark):
+        from pd_utils_spark.plans.skew import hot_key_join
+
+        left, right = self._data(spark)
+        for how in ("inner", "left"):
+            got = (
+                hot_key_join(left, right, "k", hot_threshold=10, how=how)
+                .toPandas()
+                .sort_values(["k", "v"])
+                .reset_index(drop=True)
+            )
+            expect = (
+                left.join(right, "k", how)
+                .toPandas()
+                .sort_values(["k", "v"])
+                .reset_index(drop=True)
+            )
+            import pandas as pd
+
+            pd.testing.assert_frame_equal(
+                got[sorted(got.columns)], expect[sorted(expect.columns)]
+            )
+
+    def test_hot_path_is_broadcast(self, spark):
+        from pd_utils_spark.plans.skew import hot_key_join
+
+        left, right = self._data(spark)
+        out = hot_key_join(left, right, "k", hot_threshold=10)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # the hot branch joins against an explicitly broadcast right
+        assert "BroadcastHashJoin" in plan
+
+    def test_rejects_outer(self, spark):
+        import pytest as _pytest
+
+        from pd_utils_spark.plans.skew import hot_key_join
+
+        left, right = self._data(spark)
+        with _pytest.raises(ValueError, match="inner"):
+            hot_key_join(left, right, "k", how="full")
