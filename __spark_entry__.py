@@ -2221,6 +2221,26 @@ def q_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pus_sample.kfold_split(d, k=5, seed=2).select("doc_id", "fold")
 
 
+def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked edit-distance record linkage: each supplier name gets a
+    deterministic one-char typo appended, then fuzzy_join links every
+    dirty name back to its clean original at distance 1 through a
+    10-char prefix block — the query only matches if normalization,
+    blocking, AND the Levenshtein filter agree across engines."""
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    dirty = s.select(
+        F.col("s_suppkey").alias("dirty_key"),
+        F.concat(
+            F.lower("s_name"),
+            F.chr(F.lit(97) + (F.col("s_suppkey") % 26).cast("int")),
+        ).alias("dirty_name"),
+    )
+    out = pus.fuzzy_join(
+        dirty, s, "dirty_name", "s_name", max_distance=1, block_len=10
+    )
+    return out.select("dirty_key", "s_suppkey", "edit_distance")
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-weighted deterministic sample (A-ES keys, distributed
     top-n): longer documents proportionally likelier, yet the draw is
@@ -2553,6 +2573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "left_merge_latest_strkey": q_left_merge_latest_strkey,
         "hash_split": q_hash_split,
         "kfold_split": q_kfold_split,
+        "fuzzy_join": q_fuzzy_join,
         "stratified_sample": q_stratified_sample,
         "weighted_sample": q_weighted_sample,
         "interleave_sources": q_interleave_sources,
@@ -5183,6 +5204,29 @@ def oracle_sql() -> dict[str, str]:
                         WHEN {_sql_frac('doc_id', 1)} < 0.875::DOUBLE THEN 'val'
                         ELSE 'test' END AS split
             FROM documents
+        """,
+        "fuzzy_join": """
+            WITH dirty AS (
+                SELECT s_suppkey AS dirty_key,
+                       lower(s_name) || chr(97 + (s_suppkey % 26)::INT)
+                           AS dirty_name
+                FROM supplier
+            ),
+            cand AS (
+                SELECT d.dirty_key, s.s_suppkey,
+                       levenshtein(
+                           trim(regexp_replace(lower(d.dirty_name),
+                                               '\s+', ' ', 'g')),
+                           trim(regexp_replace(lower(s.s_name),
+                                               '\s+', ' ', 'g'))) AS ed
+                FROM dirty d JOIN supplier s
+                  ON substr(trim(regexp_replace(lower(d.dirty_name),
+                                                '\s+', ' ', 'g')), 1, 10)
+                   = substr(trim(regexp_replace(lower(s.s_name),
+                                                '\s+', ' ', 'g')), 1, 10)
+            )
+            SELECT dirty_key, s_suppkey, ed::INT AS edit_distance
+            FROM cand WHERE ed <= 1
         """,
         "kfold_split": f"""
             SELECT doc_id,

@@ -10,6 +10,7 @@ file:line each operator mirrors.
 from pd_utils_spark.session import get_spark
 from pd_utils_spark.operators.merge import (
     apply_func_to_unique_and_merge,
+    fuzzy_join,
     groupby_index,
     groupby_merge,
     left_merge_latest,

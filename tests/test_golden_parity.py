@@ -1185,3 +1185,35 @@ class TestGroupRank:
         pdf["v_rank"] = pdf.groupby("g").v.rank(ascending=False)
         expect = pdf.sort_values(["g", "v"], na_position="last").reset_index(drop=True)
         pd.testing.assert_series_equal(got.v_rank, expect.v_rank, check_dtype=False)
+
+
+class TestFuzzyJoin:
+    def test_prefix_block_links_typos(self, spark):
+        left = spark.createDataFrame(
+            pd.DataFrame({"lid": [1, 2, 3], "name": ["Acme Corp", "acme  corpX", "Zenith"]})
+        )
+        right = spark.createDataFrame(
+            pd.DataFrame({"rid": [10, 11], "name": ["acme corp", "zenith ltd"]})
+        )
+        out = pus.fuzzy_join(left, right, "name", max_distance=1, block_len=2)
+        pairs = {(r.lid, r.rid, r.edit_distance) for r in out.collect()}
+        # 1 exact (normalized), 2 one-edit; "Zenith" vs "zenith ltd" is 4 edits
+        assert pairs == {(1, 10, 0), (2, 10, 1)}
+
+    def test_soundex_block_survives_vowel_typos(self, spark):
+        left = spark.createDataFrame(pd.DataFrame({"lid": [1], "name": ["Jon Smith"]}))
+        right = spark.createDataFrame(pd.DataFrame({"rid": [9], "name": ["Jan Smith"]}))
+        # prefix block of 3 misses ("jon" vs "jan"); soundex matches
+        assert (
+            pus.fuzzy_join(left, right, "name", max_distance=1, block="prefix", block_len=3).count()
+            == 0
+        )
+        out = pus.fuzzy_join(left, right, "name", max_distance=1, block="soundex")
+        assert [(r.lid, r.rid) for r in out.collect()] == [(1, 9)]
+
+    def test_none_block_exact_recall(self, spark):
+        left = spark.createDataFrame(pd.DataFrame({"lid": [1], "name": ["xbcd"]}))
+        right = spark.createDataFrame(pd.DataFrame({"rid": [2], "name": ["abcd"]}))
+        assert pus.fuzzy_join(left, right, "name", block="none").count() == 1
+        with pytest.raises(ValueError, match="block"):
+            pus.fuzzy_join(left, right, "name", block="bogus")
