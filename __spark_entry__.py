@@ -542,6 +542,25 @@ def q_shingle_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.explode("shingle_hashes").alias("shingle_hash"))
 
 
+def q_winnow_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-robust substring-containment pairs: every 4th doc gets
+    a wrapped copy (intro + body + outro) at doc_id+100000; winnowing
+    fingerprints must link each original to its wrapper with high
+    containment — the partial-copy case whole-set MinHash dilutes."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    wrapped = d.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(
+            F.lit("intro paragraph before the body "),
+            F.col("text"),
+            F.lit(" and a closing remark after the body ends"),
+        ).alias("text"),
+    )
+    aug = d.unionByName(wrapped)
+    out = pus_dedup.winnow_containment_pairs(aug, min_shared=2)
+    return _round_doubles(out)
+
+
 def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (MOSS) fingerprints: min-hash of each 4-window over
     5-gram rolling hashes, deduplicated per doc."""
@@ -2449,6 +2468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "shingle_fingerprints": q_shingle_fingerprints,
         "winnowing": q_winnowing,
+        "winnow_containment": q_winnow_containment,
         "approx_group_stats": q_approx_group_stats,
         "vocabulary": q_vocabulary,
         "tf_idf": q_tf_idf,
@@ -3367,6 +3387,52 @@ def oracle_sql() -> dict[str, str]:
                                       i -> array_to_string(w[i:i+4], ' ')),
                        s -> md5(s))) AS shingle_hash
             FROM toks
+        """,
+        "winnow_containment": f"""
+            WITH aug AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 100000 AS doc_id,
+                       'intro paragraph before the body ' || text ||
+                       ' and a closing remark after the body ends' AS text
+                FROM documents WHERE doc_id % 4 = 0
+            ),
+            toks AS (
+                SELECT doc_id, {_SQL_TOKS} AS w FROM aug
+            ), h AS (
+                SELECT doc_id,
+                       list_transform(
+                           list_transform(generate_series(1, greatest(len(w) - 4, 0)),
+                                          i -> array_to_string(w[i:i+4], ' ')),
+                           s -> md5(s)) AS hs
+                FROM toks
+            ), p AS (
+                SELECT doc_id,
+                       CASE WHEN len(hs) >= 4 THEN
+                                list_distinct(list_transform(
+                                    generate_series(1, len(hs) - 3),
+                                    i -> list_min(hs[i:i+3])))
+                            WHEN len(hs) > 0 THEN [list_min(hs)]
+                            ELSE [] END AS ws
+                FROM h
+            ),
+            fps AS (
+                SELECT DISTINCT doc_id,
+                       ('0x' || substr(unnest(ws), 1, 15))::BIGINT AS fp
+                FROM p
+            ),
+            counts AS (SELECT doc_id, count(*) AS nfp FROM fps GROUP BY doc_id),
+            shared AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+                FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+                GROUP BY 1, 2 HAVING count(*) >= 2
+            )
+            SELECT id_a, id_b, n_shared,
+                   round(n_shared::DOUBLE / least(ca.nfp, cb.nfp), 6)
+                       AS containment
+            FROM shared
+            JOIN counts ca ON ca.doc_id = shared.id_a
+            JOIN counts cb ON cb.doc_id = shared.id_b
         """,
         "winnowing": f"""
             WITH toks AS (

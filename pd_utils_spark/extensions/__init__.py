@@ -28,6 +28,7 @@ from pd_utils_spark.extensions.dedup import (
     simhash,
     simhash_near_dup_pairs,
     source_overlap,
+    winnow_containment_pairs,
 )
 from pd_utils_spark.extensions.events import (
     cohort_retention,

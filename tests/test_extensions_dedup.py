@@ -508,3 +508,31 @@ class TestBinaryExactDedup:
         )
         kept = sorted(r.doc_id for r in D.exact_dedup(df, textcol="data").collect())
         assert kept == [1, 3]
+
+
+class TestWinnowContainment:
+    def test_embedded_copy_detected_with_full_containment(self, spark):
+        base = (
+            "the quick brown fox jumps over the lazy dog while rain "
+            "falls on the quiet town square"
+        )
+        docs = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": [1, 2, 3],
+                    "text": [
+                        base,
+                        "completely different words about machine learning "
+                        "pipelines and tokenizers everywhere today",
+                        "INTRO paragraph here first " + base
+                        + " and a closing remark afterwards",
+                    ],
+                }
+            )
+        )
+        out = D.winnow_containment_pairs(docs, min_shared=1).collect()
+        pairs = {(r.id_a, r.id_b): (r.n_shared, r.containment) for r in out}
+        assert set(pairs) == {(1, 3)}  # doc 2 unrelated
+        n_shared, containment = pairs[(1, 3)]
+        assert containment == 1.0  # doc 1's fingerprints all inside doc 3
+        assert n_shared >= 1
