@@ -797,6 +797,67 @@ def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_doubles(out)
 
 
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with a HARD oracle signal: per query,
+    (a) raw ADC top-10 recall vs the exact brute-force truth must
+    clear 0.2 (measured ~0.6 on this synthetic worst-case data —
+    random vectors have no cluster structure for PQ to exploit), and
+    (b) the standard PQ pipeline — ADC top-100 candidates, then exact
+    rerank of just those 100 — must recover >= 8 of the true top-10.
+    The codes are 16 bytes per 64-dim vector (16x compression); the
+    fit is a deterministic hash-ordered sample, so results are
+    reproducible across partitionings."""
+    emb = _t(spark, sf_dir, "embeddings")
+    nrm = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: x / pus_sim.norm(F.col("embedding"))
+        ).alias("embedding"),
+    )
+    nrm = nrm.persist()
+    cb = pus_sim.pq_fit(nrm, m=16, ncodes=32, sample=1024)
+    enc = pus_sim.pq_encode(nrm, cb)
+    cbdf = pus_sim.pq_codebook_table(cb, spark)
+    q = nrm.filter(F.col("vec_id") < 5)
+    k = 10
+    truth = pus_sim.brute_force_topk(nrm, q, k=k)
+    adc10 = pus_sim.pq_adc_topk(enc, cbdf, q, k=k)
+    cand = pus_sim.pq_adc_topk(enc, cbdf, q, k=100)
+    # exact rerank of the ADC candidate set only
+    rer = (
+        cand.join(nrm.select(F.col("vec_id"), F.col("embedding").alias("__cv__")), "vec_id")
+        .join(
+            q.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qv__")),
+            "query_id",
+        )
+        .withColumn("__sim__", pus_sim.cosine(F.col("__qv__"), F.col("__cv__")))
+    )
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("query_id").orderBy(F.desc("__sim__"), F.col("vec_id"))
+    rer10 = rer.withColumn("__rk__", F.row_number().over(w)).filter(
+        F.col("__rk__") <= k
+    )
+    hits_a = adc10.join(truth, ["query_id", "vec_id"]).groupBy("query_id").agg(
+        F.count("*").alias("__h__")
+    )
+    hits_r = rer10.join(truth, ["query_id", "vec_id"]).groupBy("query_id").agg(
+        F.count("*").alias("__hr__")
+    )
+    qids = q.select(F.col("vec_id").alias("query_id"))
+    return (
+        qids.join(hits_a, "query_id", "left")
+        .join(hits_r, "query_id", "left")
+        .select(
+            "query_id",
+            F.lit(k).alias("k"),
+            (F.coalesce(F.col("__h__"), F.lit(0)) >= 2).alias("adc_recall_ok"),
+            (F.coalesce(F.col("__hr__"), F.lit(0)) >= 8).alias("rerank_ok"),
+        )
+        .orderBy("query_id")
+    )
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (KMeans coarse quantizer) ANN with a HARD oracle signal:
     per query, recall@10 vs the hash-matched brute-force truth must
@@ -2546,6 +2607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": q_source_overlap,
         "dedup_cluster_stats": q_dedup_cluster_stats,
         "ann_recall": q_ann_recall,
+        "ann_pq_topk": q_ann_pq_topk,
         "group_quantiles": q_group_quantiles,
         "dup_ngram_fraction": q_dup_ngram_fraction,
         "binary_metrics": q_binary_metrics,
@@ -3965,6 +4027,11 @@ def oracle_sql() -> dict[str, str]:
         # Spark computes real recall@k / exhaustive-probe equality vs the
         # (hash-matched) brute-force truth; the oracle pins the asserted
         # outcome. A broken IVF path flips a boolean -> hash mismatch.
+        "ann_pq_topk": """
+            SELECT vec_id AS query_id, 10 AS k,
+                   TRUE AS adc_recall_ok, TRUE AS rerank_ok
+            FROM embeddings WHERE vec_id < 5
+        """,
         "ann_ivf_topk": """
             SELECT vec_id AS query_id, 10 AS k,
                    TRUE AS recall_ok, TRUE AS exhaustive_ok

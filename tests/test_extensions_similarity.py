@@ -236,3 +236,72 @@ class TestTopkRecall:
         )
         got = topk_recall(e, e).collect()
         assert [r.recall for r in got] == [1.0]
+
+
+class TestProductQuantization:
+    def _vecs(self, spark, n=200, d=16, seed=3):
+        import numpy as np
+        import pandas as pd
+
+        rng = np.random.RandomState(seed)
+        X = rng.randn(n, d)
+        X /= np.linalg.norm(X, axis=1, keepdims=True)
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {"vec_id": range(n), "embedding": [list(map(float, r)) for r in X]}
+            )
+        )
+
+    def test_fit_deterministic_and_shapes(self, spark):
+        from pd_utils_spark.extensions.similarity import pq_fit
+
+        df = self._vecs(spark)
+        cb1 = pq_fit(df, m=4, ncodes=8, sample=128)
+        cb2 = pq_fit(df.repartition(7), m=4, ncodes=8, sample=128)
+        assert cb1 == cb2  # hash-ordered sample: partitioning-invariant
+        assert len(cb1) == 4 and len(cb1[0]) == 8 and len(cb1[0][0]) == 4
+
+    def test_encode_codes_in_range_and_nearest(self, spark):
+        import numpy as np
+
+        from pd_utils_spark.extensions.similarity import pq_encode, pq_fit
+
+        df = self._vecs(spark)
+        cb = pq_fit(df, m=4, ncodes=8, sample=128)
+        enc = {r.vec_id: r.pq_codes for r in pq_encode(df, cb).collect()}
+        assert len(enc) == 200
+        assert all(len(c) == 4 and all(0 <= x < 8 for x in c) for c in enc.values())
+        # spot-check: code 0 of vec 0 really is the nearest centroid
+        v0 = np.array(df.filter("vec_id = 0").collect()[0].embedding)
+        C = np.array(cb[0])
+        expect = ((v0[:4] - C) ** 2).sum(axis=1).argmin()
+        assert enc[0][0] == expect
+
+    def test_adc_pipeline_recovers_neighbors(self, spark):
+        from pd_utils_spark.extensions.similarity import (
+            brute_force_topk,
+            pq_adc_topk,
+            pq_codebook_table,
+            pq_encode,
+            pq_fit,
+        )
+
+        df = self._vecs(spark)
+        cb = pq_fit(df, m=8, ncodes=16, sample=200)
+        enc = pq_encode(df, cb)
+        cbdf = pq_codebook_table(cb, spark)
+        q = df.filter("vec_id < 3")
+        truth = brute_force_topk(df, q, k=5)
+        cand = pq_adc_topk(enc, cbdf, q, k=50)
+        # true top-5 should sit inside the ADC top-50 candidates
+        hits = cand.join(truth, ["query_id", "vec_id"]).count()
+        assert hits >= 10  # >= 2/3 of 15 truth pairs
+
+    def test_fit_validation(self, spark):
+        import pytest as _pytest
+
+        from pd_utils_spark.extensions.similarity import pq_fit
+
+        df = self._vecs(spark, d=10)
+        with _pytest.raises(ValueError, match="divisible"):
+            pq_fit(df, m=4, ncodes=8, sample=64)
