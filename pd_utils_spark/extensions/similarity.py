@@ -663,3 +663,82 @@ def pq_adc_topk(
         .filter(F.col("__rk__") <= k)
         .drop("__rk__")
     )
+
+
+def ann_ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    ncodes: int = 16,
+    seed: int = 42,
+    sample: int = 2048,
+    idcol: str = "vec_id",
+    veccol: str = "embedding",
+    qidcol: str = "query_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF-PQ: the billion-vector index shape — an IVF coarse
+    quantizer restricts each query to ``nprobe`` cells, and the
+    candidates in those cells are scored from their PQ CODES via
+    asymmetric distance (the full-precision corpus vectors are never
+    read at probe time). This is the FAISS ``IVFx,PQy`` composition on
+    Spark primitives: at 100 TB the scan reads m-byte code columns
+    (16-32× less IO than the float vectors), the probe join is an
+    equi-join on cell id, and the ADC lookup table is a broadcast of
+    ``Q x m x ncodes`` tiny rows.
+
+    Returns ``(query_id, vec_id, adc_dot)``, ``k`` rows per query.
+    Compose with an exact rerank over the returned ids (reading full
+    vectors for just ``k`` candidates) when exact ordering matters —
+    see ``q_ann_pq_topk`` for the measured rerank-recovery harness.
+    """
+    from pyspark.sql import Window
+
+    assigned, model = ivf_assign(corpus.select(idcol, veccol), veccol, nlist, seed)
+    cent_df = ivf_centroid_table(model, corpus.sparkSession)
+    cb = pq_fit(corpus, veccol, idcol, m=m, ncodes=ncodes, sample=sample)
+    enc = pq_encode(corpus, cb, veccol, idcol)
+    codes_with_cell = assigned.select(idcol, "cell").join(enc, idcol)
+
+    q = queries.select(
+        F.col(idcol).alias(qidcol), F.col(veccol).alias("__qvec__")
+    )
+    qc = q.crossJoin(F.broadcast(cent_df)).withColumn(
+        "__csim__", cosine(F.col("__qvec__"), F.col("centroid"))
+    )
+    w = Window.partitionBy(qidcol).orderBy(F.desc("__csim__"), F.col("cell"))
+    probes = (
+        qc.withColumn("__pr__", F.row_number().over(w))
+        .filter(F.col("__pr__") <= nprobe)
+        .select(qidcol, "cell")
+    )
+    # per-query ADC lookup table (tiny; broadcast)
+    cbdf = pq_codebook_table(cb, corpus.sparkSession)
+    dsub = F.size(F.col("centroid"))
+    lut = q.crossJoin(F.broadcast(cbdf)).select(
+        qidcol,
+        "j",
+        "code",
+        dot(
+            F.slice(F.col("__qvec__"), F.col("j") * dsub + 1, dsub),
+            F.col("centroid"),
+        ).alias("__pdot__"),
+    )
+    cands = codes_with_cell.join(F.broadcast(probes), "cell")
+    if exclude_self:
+        cands = cands.filter(F.col(idcol) != F.col(qidcol))
+    scored = (
+        cands.select(qidcol, idcol, F.posexplode("pq_codes").alias("j", "code"))
+        .join(F.broadcast(lut), [qidcol, "j", "code"])
+        .groupBy(qidcol, idcol)
+        .agg(F.sum("__pdot__").alias("adc_dot"))
+    )
+    wr = Window.partitionBy(qidcol).orderBy(F.desc("adc_dot"), F.col(idcol))
+    return (
+        scored.withColumn("__rk__", F.row_number().over(wr))
+        .filter(F.col("__rk__") <= k)
+        .drop("__rk__")
+    )

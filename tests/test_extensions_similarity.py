@@ -305,3 +305,21 @@ class TestProductQuantization:
         df = self._vecs(spark, d=10)
         with _pytest.raises(ValueError, match="divisible"):
             pq_fit(df, m=4, ncodes=8, sample=64)
+
+    def test_ivf_pq_composition_recall(self, spark):
+        from pd_utils_spark.extensions.similarity import (
+            ann_ivf_pq_topk,
+            brute_force_topk,
+        )
+
+        df = self._vecs(spark, n=300, d=16)
+        q = df.filter("vec_id < 3")
+        out = ann_ivf_pq_topk(
+            df, q, k=10, nlist=4, nprobe=4, m=8, ncodes=16, sample=300
+        )
+        # k rows per query, ADC-descending
+        counts = out.groupBy("query_id").count().collect()
+        assert all(r["count"] == 10 for r in counts)
+        truth = brute_force_topk(df, q, k=10)
+        hits = out.join(truth, ["query_id", "vec_id"]).count()
+        assert hits >= 8  # nprobe=nlist: only PQ error remains
