@@ -1032,6 +1032,17 @@ def q_cohort_retention_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pus_events.cohort_retention(ev, period="month")
 
 
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common in-session journeys: frequency of every 3-step
+    event-type sequence within a session (30-min gap) — order matters
+    inside the session, so this is sessionize + ordered collect +
+    JVM-side n-gram slide, not a plain aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    return pus_events.session_paths(
+        ev, "user_id", "ts", "event_type", n=3, tiebreak="event_id"
+    )
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based batch sessionization (30-min gap) rolled to per-session
     stats — the row-labeling complement of the streaming session
@@ -2568,6 +2579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "cohort_retention": q_cohort_retention,
         "sessionize": q_sessionize,
+        "session_paths": q_session_paths,
         "rolling_stats": q_rolling_stats,
         "cohort_retention_monthly": q_cohort_retention_monthly,
         "top_k_per_group": q_top_k_per_group,
@@ -4267,6 +4279,38 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), {r}) AS value_sum,
                    count(event_id) AS event_id_count
             FROM s GROUP BY user_id, sid
+        """,
+        "session_paths": """
+            WITH m AS (
+                SELECT user_id, ts, event_id, event_type,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                              OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                 > 1800 * 1000000
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+                SELECT *, sum(new_s) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id
+                                           ROWS UNBOUNDED PRECEDING)
+                              AS session_index
+                FROM m
+            ), per AS (
+                SELECT user_id, session_index,
+                       list(event_type ORDER BY ts, event_id) AS types
+                FROM s GROUP BY user_id, session_index
+            ), grams AS (
+                SELECT user_id, session_index,
+                       unnest(CASE WHEN len(types) >= 3 THEN
+                               list_transform(
+                                   generate_series(1, len(types) - 2),
+                                   i -> array_to_string(types[i:i+2], '>'))
+                              ELSE [] END) AS path
+                FROM per
+            )
+            SELECT path, count(*) AS n_occurrences,
+                   count(DISTINCT (user_id, session_index)) AS n_sessions
+            FROM grams GROUP BY path
         """,
         "sessionize": """
             WITH m AS (

@@ -180,6 +180,61 @@ def session_stats(
     )
 
 
+def session_paths(
+    df: DataFrame,
+    usercol: str = "user_id",
+    tscol: str = "ts",
+    typecol: str = "event_type",
+    n: int = 3,
+    gap_seconds: int = 1800,
+    tiebreak: str | Sequence[str] | None = None,
+    min_count: int = 1,
+) -> DataFrame:
+    """Top event-type paths: the frequency of every length-``n``
+    consecutive event-type sequence WITHIN a session, across all
+    sessions — ``(path, n_occurrences, n_sessions)``, most frequent
+    first. The product-analytics "common journeys" query (what do
+    users do right before converting/churning), inexpressible as a
+    plain aggregate because order inside the session matters.
+
+    Plan: sessionize (one shuffle on the user key), collect each
+    session's ordered type array (same partitioning — no extra
+    Exchange), slide an ``n``-window over it JVM-side
+    (``transform(sequence(...))`` over the bound array — the shingle
+    construction pattern), explode, and count. Path strings join types
+    with ``>``; sessions shorter than ``n`` contribute nothing.
+    """
+    labeled = sessionize(df, usercol, tscol, gap_seconds, tiebreak)
+    order = F.struct(
+        F.col(tscol), *[F.col(c) for c in to_list(tiebreak)]
+    )
+    per_session = labeled.groupBy(usercol, "session_index").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(order.alias("o"), F.col(typecol).alias("t")))),
+            lambda s: s["t"],
+        ).alias("__types__")
+    )
+    t = F.col("__types__")
+    sz = F.size(t)
+    idx = F.sequence(F.lit(1), sz - F.lit(n - 1))
+    grams = F.when(
+        sz >= n,
+        F.transform(idx, lambda i: F.concat_ws(">", F.slice(t, i, n))),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = per_session.select(
+        usercol, "session_index", F.explode(grams).alias("path")
+    )
+    return (
+        ex.groupBy("path")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct(usercol, "session_index").alias("n_sessions"),
+        )
+        .filter(F.col("n_occurrences") >= min_count)
+        .orderBy(F.desc("n_occurrences"), "path")
+    )
+
+
 def rolling_stats(
     df: DataFrame,
     valuecol: str,

@@ -236,3 +236,49 @@ class TestRollingRowStats:
             rolling_row_stats(df, "v", 0, "t")
         with _pytest.raises(ValueError, match="unsupported"):
             rolling_row_stats(df, "v", 2, "t", stats=("median",))
+
+
+class TestSessionPaths:
+    def test_ordered_paths_counted_across_sessions(self, spark):
+        import pandas as pd
+
+        from pd_utils_spark.extensions.events import session_paths
+
+        ev = pd.DataFrame(
+            {
+                "user_id": [1, 1, 1, 1, 2, 2, 2],
+                "ts": pd.to_datetime(
+                    [
+                        "2024-01-01 00:00", "2024-01-01 00:05",
+                        "2024-01-01 00:10", "2024-01-01 05:00",  # new session
+                        "2024-01-01 00:00", "2024-01-01 00:04",
+                        "2024-01-01 00:08",
+                    ]
+                ),
+                "event_type": ["view", "cart", "buy", "view",
+                               "view", "cart", "buy"],
+                "event_id": [1, 2, 3, 4, 5, 6, 7],
+            }
+        )
+        out = session_paths(
+            spark.createDataFrame(ev), n=3, tiebreak="event_id"
+        ).collect()
+        got = {r.path: (r.n_occurrences, r.n_sessions) for r in out}
+        # both users' first sessions follow view>cart>buy; user 1's
+        # second session (1 event) contributes nothing
+        assert got == {"view>cart>buy": (2, 2)}
+
+    def test_short_sessions_silent(self, spark):
+        import pandas as pd
+
+        from pd_utils_spark.extensions.events import session_paths
+
+        ev = pd.DataFrame(
+            {
+                "user_id": [1, 1],
+                "ts": pd.to_datetime(["2024-01-01 00:00", "2024-01-01 00:01"]),
+                "event_type": ["a", "b"],
+                "event_id": [1, 2],
+            }
+        )
+        assert session_paths(spark.createDataFrame(ev), n=3).count() == 0
