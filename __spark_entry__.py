@@ -1504,6 +1504,23 @@ def q_calibration_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_doubles(out)
 
 
+def q_multiclass_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class confusion metrics on a synthetic classifier over the
+    embeddings labels: pred = true label, except every 3rd vector
+    shifts one class up — so each class's fp/fn structure is exact
+    arithmetic the oracle reproduces."""
+    from pd_utils_spark.extensions import metrics as pus_metrics
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "label")
+    nlab = 10
+    pred = F.when(
+        F.col("vec_id") % 3 == 0, (F.col("label") + 1) % nlab
+    ).otherwise(F.col("label"))
+    d = emb.select(F.col("label").alias("y"), pred.alias("yhat"))
+    out = pus_metrics.multiclass_metrics(d, "y", "yhat")
+    return _round_doubles(out)
+
+
 def q_regression_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group regression scoring (n, MAE, RMSE, R2) in one
     aggregation pass: price predicted as 1000x quantity."""
@@ -2625,6 +2642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binary_metrics": q_binary_metrics,
         "calibration_table": q_calibration_table,
         "regression_metrics": q_regression_metrics,
+        "multiclass_metrics": q_multiclass_metrics,
         "ndcg": q_ndcg,
         "left_merge_soonest": q_left_merge_soonest,
         "left_merge_nearest": q_left_merge_nearest,
@@ -4606,6 +4624,39 @@ def oracle_sql() -> dict[str, str]:
             JOIN part p ON li.l_partkey = p.p_partkey
             WHERE li.l_shipdate >= TIMESTAMP '1996-09-01'
               AND li.l_shipdate < TIMESTAMP '1996-10-01'
+        """,
+        "multiclass_metrics": """
+            WITH d AS (
+                SELECT label AS y,
+                       CASE WHEN vec_id % 3 = 0 THEN (label + 1) % 10
+                            ELSE label END AS yhat
+                FROM embeddings
+            ),
+            pairs AS (
+                SELECT y, yhat, count(*) AS n FROM d GROUP BY y, yhat
+            ),
+            tp AS (SELECT y AS class, n AS tp FROM pairs WHERE y = yhat),
+            tt AS (SELECT y AS class, sum(n) AS support FROM pairs GROUP BY y),
+            pt AS (SELECT yhat AS class, sum(n) AS n_pred FROM pairs GROUP BY yhat)
+            SELECT coalesce(tt.class, pt.class) AS class,
+                   coalesce(support, 0) AS support,
+                   coalesce(tp, 0) AS tp,
+                   coalesce(n_pred, 0) - coalesce(tp, 0) AS fp,
+                   coalesce(support, 0) - coalesce(tp, 0) AS fn,
+                   round(CASE WHEN coalesce(n_pred, 0) > 0
+                              THEN coalesce(tp, 0)::DOUBLE / n_pred END, 6)
+                       AS precision,
+                   round(CASE WHEN coalesce(support, 0) > 0
+                              THEN coalesce(tp, 0)::DOUBLE / support END, 6)
+                       AS recall,
+                   round(CASE WHEN coalesce(n_pred, 0) > 0
+                               AND coalesce(support, 0) > 0
+                               AND (coalesce(tp, 0)::DOUBLE / n_pred
+                                    + coalesce(tp, 0)::DOUBLE / support) > 0
+                              THEN 2 * (tp::DOUBLE / n_pred) * (tp::DOUBLE / support)
+                                   / (tp::DOUBLE / n_pred + tp::DOUBLE / support)
+                         END, 6) AS f1
+            FROM tt FULL JOIN pt USING (class) LEFT JOIN tp USING (class)
         """,
         "regression_metrics": f"""
             WITH b AS (

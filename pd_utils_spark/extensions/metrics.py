@@ -198,3 +198,65 @@ def calibration_table(
             F.avg("__y__").alias("positive_rate"),
         )
     )
+
+
+def multiclass_metrics(
+    df: DataFrame,
+    labelcol: str,
+    predcol: str,
+) -> DataFrame:
+    """Per-class multiclass metrics from (true, predicted) label
+    pairs: one row per class appearing in EITHER column, with
+    ``support`` (true count), ``tp``/``fp``/``fn``,
+    ``precision``/``recall``/``f1`` (null when undefined — a class
+    never predicted has null precision, a class never true has null
+    recall), sorted by support descending. Macro/micro averages are
+    one trivial aggregate over this output; the per-class view is the
+    actionable one (which classes the model confuses).
+
+    Scale shape: ONE hash aggregation over (true, pred) — the
+    confusion matrix is at most ``n_classes^2`` tiny rows — and the
+    per-class rollup happens on that small frame; the raw predictions
+    are scanned once and never shuffled wider than the matrix.
+    """
+    pairs = (
+        df.select(
+            F.col(labelcol).alias("__t__"), F.col(predcol).alias("__p__")
+        )
+        .groupBy("__t__", "__p__")
+        .agg(F.count("*").alias("__n__"))
+    )
+    tp = pairs.filter(F.col("__t__") == F.col("__p__")).select(
+        F.col("__t__").alias("class"), F.col("__n__").alias("tp")
+    )
+    true_tot = pairs.groupBy(F.col("__t__").alias("class")).agg(
+        F.sum("__n__").alias("support")
+    )
+    pred_tot = pairs.groupBy(F.col("__p__").alias("class")).agg(
+        F.sum("__n__").alias("n_pred")
+    )
+    out = (
+        true_tot.join(pred_tot, "class", "full")
+        .join(tp, "class", "left")
+        .select(
+            "class",
+            F.coalesce("support", F.lit(0)).alias("support"),
+            F.coalesce("tp", F.lit(0)).alias("tp"),
+            (F.coalesce("n_pred", F.lit(0)) - F.coalesce("tp", F.lit(0))).alias("fp"),
+            (F.coalesce("support", F.lit(0)) - F.coalesce("tp", F.lit(0))).alias("fn"),
+            F.coalesce("n_pred", F.lit(0)).alias("__np__"),
+        )
+    )
+    prec = F.when(F.col("__np__") > 0, F.col("tp") / F.col("__np__"))
+    rec = F.when(F.col("support") > 0, F.col("tp") / F.col("support"))
+    f1 = F.when(
+        prec.isNotNull() & rec.isNotNull() & ((prec + rec) > 0),
+        2 * prec * rec / (prec + rec),
+    )
+    return (
+        out.select(
+            "class", "support", "tp", "fp", "fn",
+            prec.alias("precision"), rec.alias("recall"), f1.alias("f1"),
+        )
+        .orderBy(F.desc("support"), "class")
+    )

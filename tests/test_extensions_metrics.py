@@ -158,3 +158,41 @@ class TestNdcg:
         )
         r = ndcg_at_k(df, "rel", "score", "q", k=1, tiebreak="item").collect()[0]
         assert r.ndcg == 0.0
+
+
+class TestMulticlassMetrics:
+    def test_per_class_confusion_vs_sklearn_math(self, spark):
+        import pandas as pd
+
+        from pd_utils_spark.extensions.metrics import multiclass_metrics
+
+        d = pd.DataFrame(
+            {
+                "y":    ["a", "a", "a", "b", "b", "c"],
+                "yhat": ["a", "b", "a", "b", "c", "a"],
+            }
+        )
+        out = {r["class"]: r for r in multiclass_metrics(
+            spark.createDataFrame(d), "y", "yhat").collect()}
+        a = out["a"]
+        assert (a.support, a.tp, a.fp, a.fn) == (3, 2, 1, 1)
+        assert a.precision == pytest.approx(2 / 3)
+        assert a.recall == pytest.approx(2 / 3)
+        assert a.f1 == pytest.approx(2 / 3)
+        b = out["b"]
+        assert (b.support, b.tp, b.fp, b.fn) == (2, 1, 1, 1)
+        c = out["c"]
+        assert (c.support, c.tp, c.fp, c.fn) == (1, 0, 1, 1)
+        assert c.precision == 0.0 and c.recall == 0.0 and c.f1 is None
+
+    def test_class_only_predicted(self, spark):
+        import pandas as pd
+
+        from pd_utils_spark.extensions.metrics import multiclass_metrics
+
+        d = pd.DataFrame({"y": ["a", "a"], "yhat": ["a", "z"]})
+        out = {r["class"]: r for r in multiclass_metrics(
+            spark.createDataFrame(d), "y", "yhat").collect()}
+        z = out["z"]
+        assert z.support == 0 and z.fp == 1
+        assert z.recall is None  # never true -> undefined recall
