@@ -1757,6 +1757,45 @@ def q_sql_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sql_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ROLLUP with grouping() flags — the multi-granularity
+    aggregate family (subtotals + grand total in one pass via the
+    Expand operator), the one GROUP BY extension the TPC-H set does
+    not exercise."""
+    li = _t(spark, sf_dir, "lineitem")
+    return pus.sql(
+        [li],
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS INT) AS g_rf,
+               CAST(grouping(l_linestatus) AS INT) AS g_ls,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+               count(*) AS n
+        FROM li_t
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+    )
+
+
+def q_sql_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY CUBE: every grouping-set combination (including the
+    column-swapped subtotals ROLLUP omits) — 4 grouping sets in one
+    Expand pass."""
+    o = _t(spark, sf_dir, "orders")
+    return pus.sql(
+        [o],
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) AS INT) AS g_st,
+               CAST(grouping(o_orderpriority) AS INT) AS g_pr,
+               round(sum(o_totalprice), 4) AS total,
+               count(*) AS n
+        FROM o_t
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+    )
+
+
 def q_sql_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 (suppliers who kept orders waiting) SHAPE, adapted to
     the slim schema ("late" = shipped >60 days after order date since
@@ -2628,6 +2667,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_tpch_q8": q_sql_tpch_q8,
         "sql_tpch_q17": q_sql_tpch_q17,
         "sql_tpch_q21": q_sql_tpch_q21,
+        "sql_rollup": q_sql_rollup,
+        "sql_cube": q_sql_cube,
         "sql_tpch_q18": q_sql_tpch_q18,
         "sql_tpch_q19": q_sql_tpch_q19,
         "sql_tpch_q22": q_sql_tpch_q22,
@@ -4917,6 +4958,25 @@ def oracle_sql() -> dict[str, str]:
                    AND l.l_quantity BETWEEN 10 AND 20)
                OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
                    AND l.l_quantity BETWEEN 20 AND 30)
+        """,
+        "sql_rollup": """
+            SELECT l_returnflag, l_linestatus,
+                   grouping(l_returnflag)::INT AS g_rf,
+                   grouping(l_linestatus)::INT AS g_ls,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4)
+                       AS revenue,
+                   count(*)::BIGINT AS n
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "sql_cube": """
+            SELECT o_orderstatus, o_orderpriority,
+                   grouping(o_orderstatus)::INT AS g_st,
+                   grouping(o_orderpriority)::INT AS g_pr,
+                   round(sum(o_totalprice), 4) AS total,
+                   count(*)::BIGINT AS n
+            FROM orders
+            GROUP BY CUBE (o_orderstatus, o_orderpriority)
         """,
         "sql_tpch_q21": """
             SELECT s.s_name, count(*)::BIGINT AS numwait
