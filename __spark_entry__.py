@@ -1504,6 +1504,23 @@ def q_calibration_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_doubles(out)
 
 
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift matrix between 4 synthetic sources
+    (label % 4): pairwise cosine of per-source centroid vectors —
+    the semantic complement of token-space source_kl_drift."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        (F.col("label") % 4).cast("int").alias("source"), "embedding"
+    )
+    out = pus_sim.embedding_drift(emb, "source")
+    return _round_doubles(
+        out.select(
+            F.col("group_a").cast("int").alias("group_a"),
+            F.col("group_b").cast("int").alias("group_b"),
+            "centroid_cosine",
+        )
+    )
+
+
 def q_multiclass_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-class confusion metrics on a synthetic classifier over the
     embeddings labels: pred = true label, except every 3rd vector
@@ -2684,6 +2701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calibration_table": q_calibration_table,
         "regression_metrics": q_regression_metrics,
         "multiclass_metrics": q_multiclass_metrics,
+        "embedding_drift": q_embedding_drift,
         "ndcg": q_ndcg,
         "left_merge_soonest": q_left_merge_soonest,
         "left_merge_nearest": q_left_merge_nearest,
@@ -4665,6 +4683,25 @@ def oracle_sql() -> dict[str, str]:
             JOIN part p ON li.l_partkey = p.p_partkey
             WHERE li.l_shipdate >= TIMESTAMP '1996-09-01'
               AND li.l_shipdate < TIMESTAMP '1996-10-01'
+        """,
+        "embedding_drift": """
+            WITH ex AS (
+                SELECT (label % 4)::INT AS g, unnest(embedding) AS v,
+                       generate_subscripts(embedding, 1) AS d
+                FROM embeddings
+            ),
+            cent AS (SELECT g, d, avg(v) AS m FROM ex GROUP BY g, d),
+            dots AS (
+                SELECT a.g AS group_a, b.g AS group_b,
+                       sum(a.m * b.m) AS ab,
+                       sum(a.m * a.m) AS aa,
+                       sum(b.m * b.m) AS bb
+                FROM cent a JOIN cent b ON a.d = b.d AND a.g < b.g
+                GROUP BY 1, 2
+            )
+            SELECT group_a, group_b,
+                   round(ab / (sqrt(aa) * sqrt(bb)), 6) AS centroid_cosine
+            FROM dots
         """,
         "multiclass_metrics": """
             WITH d AS (

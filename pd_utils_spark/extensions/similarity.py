@@ -400,6 +400,40 @@ def label_centroids(
     )
 
 
+def embedding_drift(
+    df: DataFrame,
+    groupcol: str = "source",
+    veccol: str = "embedding",
+) -> DataFrame:
+    """Embedding-space drift between groups: the pairwise cosine
+    similarity of per-group centroid vectors — ``(group_a, group_b,
+    centroid_cosine)`` for every unordered pair, lowest similarity
+    (highest drift) first. The semantic complement of the token-space
+    ``source_kl_drift``: two sources can share vocabulary yet embed
+    differently (translated text, paraphrase mills) or vice versa.
+
+    Scale shape: per-group centroids via one |groups| x dims
+    aggregation (``label_centroids``), then an all-pairs join over the
+    tiny centroid frame only — the corpus is touched once.
+    """
+    cents = label_centroids(df, groupcol, veccol, out="__c__")
+    a = cents.select(
+        F.col(groupcol).alias("group_a"), F.col("__c__").alias("__ca__")
+    )
+    b = cents.select(
+        F.col(groupcol).alias("group_b"), F.col("__c__").alias("__cb__")
+    )
+    return (
+        a.join(F.broadcast(b), F.col("group_a") < F.col("group_b"))
+        .select(
+            "group_a",
+            "group_b",
+            cosine(F.col("__ca__"), F.col("__cb__")).alias("centroid_cosine"),
+        )
+        .orderBy("centroid_cosine", "group_a", "group_b")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.99,

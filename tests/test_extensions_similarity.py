@@ -323,3 +323,27 @@ class TestProductQuantization:
         truth = brute_force_topk(df, q, k=10)
         hits = out.join(truth, ["query_id", "vec_id"]).count()
         assert hits >= 8  # nprobe=nlist: only PQ error remains
+
+
+class TestEmbeddingDrift:
+    def test_close_and_orthogonal_groups(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        from pd_utils_spark.extensions.similarity import embedding_drift
+
+        rng = np.random.RandomState(0)
+        rows = []
+        for g, mu in (("a", [1, 0, 0, 0]), ("b", [1, 0.1, 0, 0]), ("c", [0, 0, 1, 0])):
+            for _ in range(30):
+                rows.append(
+                    (g, [float(x) for x in (np.array(mu) + 0.01 * rng.randn(4))])
+                )
+        df = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["source", "embedding"])
+        )
+        out = {(r.group_a, r.group_b): r.centroid_cosine
+               for r in embedding_drift(df).collect()}
+        assert out[("a", "b")] > 0.99       # near-identical sources
+        assert abs(out[("a", "c")]) < 0.05  # orthogonal
+        assert abs(out[("b", "c")]) < 0.05
