@@ -2400,7 +2400,7 @@ def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dirty_name"),
     )
     out = pus.fuzzy_join(
-        dirty, s, "dirty_name", "s_name", max_distance=1, block_len=10
+        dirty, s, "dirty_name", "s_name", max_distance=1, block_len=16
     )
     return out.select("dirty_key", "s_suppkey", "edit_distance")
 
@@ -5546,9 +5546,9 @@ def oracle_sql() -> dict[str, str]:
                                                '\s+', ' ', 'g'))) AS ed
                 FROM dirty d JOIN supplier s
                   ON substr(trim(regexp_replace(lower(d.dirty_name),
-                                                '\s+', ' ', 'g')), 1, 10)
+                                                '\s+', ' ', 'g')), 1, 16)
                    = substr(trim(regexp_replace(lower(s.s_name),
-                                                '\s+', ' ', 'g')), 1, 10)
+                                                '\s+', ' ', 'g')), 1, 16)
             )
             SELECT dirty_key, s_suppkey, ed::INT AS edit_distance
             FROM cand WHERE ed <= 1
