@@ -1504,6 +1504,21 @@ def q_calibration_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_doubles(out)
 
 
+def q_token_weight_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style linear quality scoring against a fixed
+    (token, weight) vocabulary — sigmoid(bias + sum of token weights),
+    with the OOV-hit count that tells you when the score is
+    meaningless."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    w = spark.createDataFrame(
+        [("the", 0.5), ("a", 0.3), ("and", 0.2), ("of", 0.4),
+         ("data", -0.6), ("model", -0.8), ("token", -1.0)],
+        "token string, weight double",
+    )
+    out = pus_text.token_weight_score(d, w, bias=-0.5)
+    return _round_doubles(out.select("doc_id", "n_scored_tokens", "quality_score"))
+
+
 def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space drift matrix between 4 synthetic sources
     (label % 4): pairwise cosine of per-source centroid vectors —
@@ -2702,6 +2717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regression_metrics": q_regression_metrics,
         "multiclass_metrics": q_multiclass_metrics,
         "embedding_drift": q_embedding_drift,
+        "token_weight_score": q_token_weight_score,
         "ndcg": q_ndcg,
         "left_merge_soonest": q_left_merge_soonest,
         "left_merge_nearest": q_left_merge_nearest,
@@ -4683,6 +4699,30 @@ def oracle_sql() -> dict[str, str]:
             JOIN part p ON li.l_partkey = p.p_partkey
             WHERE li.l_shipdate >= TIMESTAMP '1996-09-01'
               AND li.l_shipdate < TIMESTAMP '1996-10-01'
+        """,
+        "token_weight_score": """
+            WITH w(token, weight) AS (
+                VALUES ('the', 0.5), ('a', 0.3), ('and', 0.2), ('of', 0.4),
+                       ('data', -0.6), ('model', -0.8), ('token', -1.0)
+            ),
+            ex AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                           AS token
+                FROM documents
+            ),
+            agg AS (
+                SELECT e.doc_id,
+                       sum(coalesce(w.weight, 0.0)) AS s,
+                       count(w.weight) AS n_scored_tokens
+                FROM ex e LEFT JOIN w USING (token)
+                GROUP BY e.doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(a.n_scored_tokens, 0) AS n_scored_tokens,
+                   round(1.0 / (1.0 + exp(-(-0.5 + coalesce(a.s, 0.0)))), 6)
+                       AS quality_score
+            FROM documents d LEFT JOIN agg a USING (doc_id)
         """,
         "embedding_drift": """
             WITH ex AS (

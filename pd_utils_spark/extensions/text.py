@@ -435,7 +435,13 @@ def winnowing_fingerprints(
         )
         .otherwise(F.array(F.array_min(h)))
     )
-    return hashed.withColumn(out, picked).drop("__wh__")
+    # barrier for the same reason as rolling_hash_fingerprints: an
+    # explode consumer must read the picked array as a bound
+    # attribute, not re-evaluate the min-over-window transform per
+    # output row
+    from pd_utils_spark.utils import plan_barrier
+
+    return plan_barrier(hashed.withColumn(out, picked).drop("__wh__"))
 
 
 def vocabulary(
@@ -630,6 +636,50 @@ def unigram_logprob(
         for c in ("logprob_mean", "perplexity"):
             out = out.withColumn(c, F.round(c, round_to))
     return out
+
+
+def token_weight_score(
+    df: DataFrame,
+    weights: DataFrame,
+    textcol: str = "text",
+    idcol: str = "doc_id",
+    bias: float = 0.0,
+    lowercase: bool = True,
+    out: str = "quality_score",
+) -> DataFrame:
+    """Linear bag-of-tokens classifier scoring — the fastText-style
+    quality filter (wiki-vs-CommonCrawl) as a pure relational plan:
+    each document's score is ``sigmoid(bias + sum of its tokens'
+    weights)`` given a ``(token, weight)`` frame (trained offline,
+    loaded as data — the engine scores, it does not train). Tokens
+    absent from the table contribute 0 (out-of-vocabulary). Adds
+    ``out`` plus ``n_scored_tokens`` (how many tokens hit the
+    vocabulary — a low hit count means the score is meaningless for
+    that doc). Rows with no tokens at all score ``sigmoid(bias)``.
+
+    Plan: one explode + one broadcast join against the weight table
+    (a trained vocabulary is ~100k-1M rows — broadcast territory) +
+    one per-doc aggregate; the corpus shuffles once on the doc id.
+    Compose with :func:`filter_top_fraction` for "keep the best q% by
+    classifier score".
+    """
+    t = F.col(textcol)
+    toks = _tokens(F.lower(t) if lowercase else t)
+    ex = df.select(F.col(idcol), F.explode_outer(toks).alias("token"))
+    scored = ex.join(F.broadcast(weights), "token", "left")
+    agg = scored.groupBy(idcol).agg(
+        F.sum(F.coalesce(F.col("weight"), F.lit(0.0))).alias("__s__"),
+        F.count(F.col("weight")).alias("n_scored_tokens"),
+    )
+    z = F.lit(float(bias)) + F.coalesce(F.col("__s__"), F.lit(0.0))
+    return (
+        df.join(agg, idcol, "left")
+        .withColumn(
+            "n_scored_tokens", F.coalesce("n_scored_tokens", F.lit(0))
+        )
+        .withColumn(out, F.lit(1.0) / (F.lit(1.0) + F.exp(-z)))
+        .drop("__s__")
+    )
 
 
 def source_kl_drift(

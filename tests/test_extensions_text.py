@@ -437,3 +437,55 @@ class TestNormalizeText:
         df = spark.createDataFrame(pd.DataFrame({"text": ["A  B"]}))
         r = normalize_text(df, lowercase=False, out="norm").collect()[0]
         assert r.text == "A  B" and r.norm == "A B"
+
+
+class TestTokenWeightScore:
+    def test_sigmoid_of_weight_sum(self, spark):
+        import math
+
+        import pandas as pd
+        import pytest
+
+        from pd_utils_spark.extensions.text import token_weight_score
+
+        docs = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": [1, 2, 3],
+                    "text": ["good great excellent", "spam junk spam", ""],
+                }
+            )
+        )
+        w = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "token": ["good", "great", "excellent", "spam", "junk"],
+                    "weight": [1.0, 1.5, 2.0, -2.0, -1.0],
+                }
+            )
+        )
+        out = {r.doc_id: r for r in token_weight_score(docs, w).collect()}
+        sig = lambda z: 1 / (1 + math.exp(-z))
+        assert out[1].quality_score == pytest.approx(sig(4.5))
+        assert out[1].n_scored_tokens == 3
+        assert out[2].quality_score == pytest.approx(sig(-5.0))
+        assert out[3].quality_score == pytest.approx(0.5)  # no tokens
+        assert out[3].n_scored_tokens == 0
+
+    def test_bias_and_oov(self, spark):
+        import math
+
+        import pandas as pd
+        import pytest
+
+        from pd_utils_spark.extensions.text import token_weight_score
+
+        docs = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1], "text": ["totally unknown words"]})
+        )
+        w = spark.createDataFrame(
+            pd.DataFrame({"token": ["x"], "weight": [9.9]})
+        )
+        r = token_weight_score(docs, w, bias=2.0).collect()[0]
+        assert r.n_scored_tokens == 0  # all OOV
+        assert r.quality_score == pytest.approx(1 / (1 + math.exp(-2.0)))
