@@ -133,3 +133,42 @@ def zorder_write(
     zorder_by(df, cols, bits, num_files).write.format(format).mode(mode).options(
         **options
     ).save(path)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: str | Sequence[str],
+    files_per_partition: int = 1,
+    mode: str = "overwrite",
+    format: str = "parquet",
+    **options,
+) -> None:
+    """Hive-partitioned write WITHOUT the small-files explosion: the
+    naive ``df.write.partitionBy(cols)`` makes every TASK write one
+    file into every partition directory it holds rows for — at 100 TB
+    with 10k tasks x 1k partition values that is up to 10M tiny
+    files, the classic lake-killer. Here rows are first repartitioned
+    BY the partition columns (plus a bounded salt when
+    ``files_per_partition > 1``), so each partition directory receives
+    exactly ``files_per_partition`` files regardless of upstream
+    parallelism.
+
+    One shuffle on the partition keys — the minimum any clustered
+    write pays — then a map-side write. Skewed partition values get
+    ``files_per_partition`` writers instead of one (the salt), which
+    is also the knob for partitions too big for a single file.
+    """
+    cols = to_list(partition_by)
+    keys = [F.col(c) for c in cols]
+    if files_per_partition > 1:
+        salt = F.pmod(
+            F.xxhash64(*[F.col(c) for c in df.columns]),
+            F.lit(files_per_partition),
+        )
+        out = df.repartition(*(keys + [salt]))
+    else:
+        out = df.repartition(*keys)
+    out.write.format(format).mode(mode).partitionBy(*cols).options(
+        **options
+    ).save(path)

@@ -132,3 +132,40 @@ class TestZorderByAndWrite:
         back = spark.read.parquet(zpath)
         assert back.count() == 64 * 64
         assert back.filter("x = 5").count() == 64
+
+
+class TestWritePartitioned:
+    def test_one_file_per_partition_dir(self, spark, tmp_path):
+        import glob
+        import os
+
+        from pd_utils_spark.plans.layout import write_partitioned
+
+        df = (
+            spark.range(10_000)
+            .selectExpr("id", "id % 5 AS part", "id * 2 AS v")
+            .repartition(16)  # many upstream tasks: the naive write
+            # would emit up to 16 files per partition dir
+        )
+        out = str(tmp_path / "p1")
+        write_partitioned(df, out, "part")
+        for d in glob.glob(os.path.join(out, "part=*")):
+            files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+            assert len(files) == 1, (d, files)
+        back = spark.read.parquet(out)
+        assert back.count() == 10_000
+        assert back.select("part").distinct().count() == 5
+
+    def test_files_per_partition_salt(self, spark, tmp_path):
+        import glob
+        import os
+
+        from pd_utils_spark.plans.layout import write_partitioned
+
+        df = spark.range(10_000).selectExpr("id", "id % 2 AS part")
+        out = str(tmp_path / "p2")
+        write_partitioned(df, out, "part", files_per_partition=3)
+        for d in glob.glob(os.path.join(out, "part=*")):
+            files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+            assert 1 <= len(files) <= 3, (d, files)
+        assert spark.read.parquet(out).count() == 10_000
