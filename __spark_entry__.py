@@ -1504,6 +1504,28 @@ def q_calibration_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_doubles(out)
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-authority PageRank on a deterministic synthetic link
+    graph (50 domains, two arithmetic out-links each): 10 synchronous
+    damped iterations, hash-matched against a 10-step unrolled
+    recursive oracle — the iterative-join family beyond connected
+    components."""
+    from pd_utils_spark.extensions.graph import pagerank
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    e1 = d.select(
+        (F.col("doc_id") % 50).alias("src"),
+        ((F.col("doc_id") * 2 + 1) % 50).alias("dst"),
+    )
+    e2 = d.select(
+        (F.col("doc_id") % 50).alias("src"),
+        ((F.col("doc_id") * 3 + 7) % 50).alias("dst"),
+    )
+    edges = e1.unionByName(e2).distinct()
+    out = pagerank(edges, iters=10, damping=0.85)
+    return out.select("node", F.round("rank", 6).alias("rank"))
+
+
 def q_token_weight_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fastText-style linear quality scoring against a fixed
     (token, weight) vocabulary — sigmoid(bias + sum of token weights),
@@ -2718,6 +2740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multiclass_metrics": q_multiclass_metrics,
         "embedding_drift": q_embedding_drift,
         "token_weight_score": q_token_weight_score,
+        "pagerank": q_pagerank,
         "ndcg": q_ndcg,
         "left_merge_soonest": q_left_merge_soonest,
         "left_merge_nearest": q_left_merge_nearest,
@@ -4699,6 +4722,121 @@ def oracle_sql() -> dict[str, str]:
             JOIN part p ON li.l_partkey = p.p_partkey
             WHERE li.l_shipdate >= TIMESTAMP '1996-09-01'
               AND li.l_shipdate < TIMESTAMP '1996-10-01'
+        """,
+        "pagerank": """
+            WITH edges AS (
+                SELECT DISTINCT doc_id % 50 AS s, (doc_id * 2 + 1) % 50 AS d
+                FROM documents
+                UNION
+                SELECT DISTINCT doc_id % 50 AS s, (doc_id * 3 + 7) % 50 AS d
+                FROM documents
+            ),
+            nodes AS (SELECT DISTINCT s AS n FROM edges
+                      UNION SELECT DISTINCT d FROM edges),
+            nn AS (SELECT count(*)::DOUBLE AS c FROM nodes),
+            deg AS (SELECT s, count(*)::DOUBLE AS deg FROM edges GROUP BY s),
+            pr0 AS (SELECT n, 1.0 / (SELECT c FROM nn) AS r FROM nodes),
+            pr1 AS (
+                SELECT nd.n,
+                       (1 - 0.85) / (SELECT c FROM nn)
+                       + 0.85 * coalesce(sum(p.r / dg.deg), 0.0) AS r
+                FROM nodes nd
+                LEFT JOIN edges e ON e.d = nd.n
+                LEFT JOIN pr0 p ON p.n = e.s
+                LEFT JOIN deg dg ON dg.s = e.s
+                GROUP BY nd.n
+            ),
+            pr2 AS (
+                SELECT nd.n,
+                       (1 - 0.85) / (SELECT c FROM nn)
+                       + 0.85 * coalesce(sum(p.r / dg.deg), 0.0) AS r
+                FROM nodes nd
+                LEFT JOIN edges e ON e.d = nd.n
+                LEFT JOIN pr1 p ON p.n = e.s
+                LEFT JOIN deg dg ON dg.s = e.s
+                GROUP BY nd.n
+            ),
+            pr3 AS (
+                SELECT nd.n,
+                       (1 - 0.85) / (SELECT c FROM nn)
+                       + 0.85 * coalesce(sum(p.r / dg.deg), 0.0) AS r
+                FROM nodes nd
+                LEFT JOIN edges e ON e.d = nd.n
+                LEFT JOIN pr2 p ON p.n = e.s
+                LEFT JOIN deg dg ON dg.s = e.s
+                GROUP BY nd.n
+            ),
+            pr4 AS (
+                SELECT nd.n,
+                       (1 - 0.85) / (SELECT c FROM nn)
+                       + 0.85 * coalesce(sum(p.r / dg.deg), 0.0) AS r
+                FROM nodes nd
+                LEFT JOIN edges e ON e.d = nd.n
+                LEFT JOIN pr3 p ON p.n = e.s
+                LEFT JOIN deg dg ON dg.s = e.s
+                GROUP BY nd.n
+            ),
+            pr5 AS (
+                SELECT nd.n,
+                       (1 - 0.85) / (SELECT c FROM nn)
+                       + 0.85 * coalesce(sum(p.r / dg.deg), 0.0) AS r
+                FROM nodes nd
+                LEFT JOIN edges e ON e.d = nd.n
+                LEFT JOIN pr4 p ON p.n = e.s
+                LEFT JOIN deg dg ON dg.s = e.s
+                GROUP BY nd.n
+            ),
+            pr6 AS (
+                SELECT nd.n,
+                       (1 - 0.85) / (SELECT c FROM nn)
+                       + 0.85 * coalesce(sum(p.r / dg.deg), 0.0) AS r
+                FROM nodes nd
+                LEFT JOIN edges e ON e.d = nd.n
+                LEFT JOIN pr5 p ON p.n = e.s
+                LEFT JOIN deg dg ON dg.s = e.s
+                GROUP BY nd.n
+            ),
+            pr7 AS (
+                SELECT nd.n,
+                       (1 - 0.85) / (SELECT c FROM nn)
+                       + 0.85 * coalesce(sum(p.r / dg.deg), 0.0) AS r
+                FROM nodes nd
+                LEFT JOIN edges e ON e.d = nd.n
+                LEFT JOIN pr6 p ON p.n = e.s
+                LEFT JOIN deg dg ON dg.s = e.s
+                GROUP BY nd.n
+            ),
+            pr8 AS (
+                SELECT nd.n,
+                       (1 - 0.85) / (SELECT c FROM nn)
+                       + 0.85 * coalesce(sum(p.r / dg.deg), 0.0) AS r
+                FROM nodes nd
+                LEFT JOIN edges e ON e.d = nd.n
+                LEFT JOIN pr7 p ON p.n = e.s
+                LEFT JOIN deg dg ON dg.s = e.s
+                GROUP BY nd.n
+            ),
+            pr9 AS (
+                SELECT nd.n,
+                       (1 - 0.85) / (SELECT c FROM nn)
+                       + 0.85 * coalesce(sum(p.r / dg.deg), 0.0) AS r
+                FROM nodes nd
+                LEFT JOIN edges e ON e.d = nd.n
+                LEFT JOIN pr8 p ON p.n = e.s
+                LEFT JOIN deg dg ON dg.s = e.s
+                GROUP BY nd.n
+            ),
+            pr10 AS (
+                SELECT nd.n,
+                       (1 - 0.85) / (SELECT c FROM nn)
+                       + 0.85 * coalesce(sum(p.r / dg.deg), 0.0) AS r
+                FROM nodes nd
+                LEFT JOIN edges e ON e.d = nd.n
+                LEFT JOIN pr9 p ON p.n = e.s
+                LEFT JOIN deg dg ON dg.s = e.s
+                GROUP BY nd.n
+            )
+            SELECT n AS node, round(r, 6) AS rank FROM pr10
         """,
         "token_weight_score": """
             WITH w(token, weight) AS (
