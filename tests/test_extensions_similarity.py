@@ -347,3 +347,52 @@ class TestEmbeddingDrift:
         assert out[("a", "b")] > 0.99       # near-identical sources
         assert abs(out[("a", "c")]) < 0.05  # orthogonal
         assert abs(out[("b", "c")]) < 0.05
+
+
+class TestPCA:
+    def test_projection_matches_numpy_svd(self, spark):
+        import numpy as np
+        import pandas as pd
+        import pytest as _pytest
+
+        from pd_utils_spark.extensions.similarity import pca_fit, pca_project
+
+        rng = np.random.RandomState(0)
+        X = rng.randn(400, 6) @ np.diag([5, 3, 1, 0.5, 0.1, 0.05])
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {"vec_id": range(400), "embedding": [list(map(float, r)) for r in X]}
+            )
+        )
+        comps, mean, ev = pca_fit(df, k=3)
+        C = np.array(comps)
+        assert np.allclose(C @ C.T, np.eye(3), atol=1e-8)  # orthonormal
+        assert ev[0] > ev[1] > ev[2]
+        P = np.array(
+            [r.pca for r in pca_project(df, comps, mean).orderBy("vec_id").collect()]
+        )
+        Xc = X - X.mean(0)
+        _, _, Vt = np.linalg.svd(Xc, full_matrices=False)
+        for j in range(3):
+            c = Vt[j]
+            if c[np.abs(c).argmax()] < 0:
+                c = -c
+            ref = Xc @ c
+            # identical up to numerical noise (same sign convention)
+            assert abs(np.corrcoef(P[:, j], ref)[0, 1]) == _pytest.approx(1.0, abs=1e-9)
+
+    def test_sign_fix_partitioning_invariant(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        from pd_utils_spark.extensions.similarity import pca_fit
+
+        rng = np.random.RandomState(1)
+        X = rng.randn(200, 4)
+        pdf = pd.DataFrame(
+            {"vec_id": range(200), "embedding": [list(map(float, r)) for r in X]}
+        )
+        c1, m1, _ = pca_fit(spark.createDataFrame(pdf), k=2)
+        c2, m2, _ = pca_fit(spark.createDataFrame(pdf).repartition(7), k=2)
+        assert np.allclose(np.array(c1), np.array(c2), atol=1e-9)
+        assert np.allclose(np.array(m1), np.array(m2), atol=1e-12)
