@@ -54,7 +54,8 @@ def canonical_url(url: Column | str) -> Column:
     - tracking parameters removed (``TRACKING_PARAM_PATTERN``:
       utm_*, gclid, fbclid, msclkid, mc_eid, ref);
     - remaining query parameters sorted (order-insensitive dedup key);
-    - single trailing slash stripped from the path.
+    - trailing slashes stripped from the path (all of them —
+      one pass reaches the fixed point).
 
     Non-http(s) strings pass through unchanged. URL-level dedup on the
     canonical form collapses the tracking-link explosion that URL
@@ -77,7 +78,9 @@ def canonical_url(url: Column | str) -> Column:
         F.when((port != "") & (port != default_port), F.concat(F.lit(":"), port))
         .otherwise(F.lit("")),
     )
-    path_norm = F.regexp_replace(path, r"/$", "")
+    # ALL trailing slashes, not one: "//" must not need a second
+    # pass (idempotence — property-tested)
+    path_norm = F.regexp_replace(path, r"/+$", "")
     params = F.filter(
         F.split(query, "&"),
         lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_PATTERN),
