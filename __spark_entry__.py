@@ -1504,6 +1504,30 @@ def q_calibration_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_doubles(out)
 
 
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities on the same synthetic 50-domain link
+    graph as pagerank — 10 L2-normalized rounds, hash-matched against
+    the unrolled oracle; the hub/authority split is the link-farm
+    separation signal PageRank alone conflates."""
+    from pd_utils_spark.extensions.graph import hits
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    e1 = d.select(
+        (F.col("doc_id") % 50).alias("src"),
+        ((F.col("doc_id") * 2 + 1) % 50).alias("dst"),
+    )
+    e2 = d.select(
+        (F.col("doc_id") % 50).alias("src"),
+        ((F.col("doc_id") * 3 + 7) % 50).alias("dst"),
+    )
+    edges = e1.unionByName(e2).distinct()
+    out = hits(edges, iters=10)
+    return out.select(
+        "node", F.round("hub", 6).alias("hub"),
+        F.round("authority", 6).alias("authority"),
+    )
+
+
 def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding PCA with HARD invariants computed for real on Spark
     and pinned in the oracle (eigendecomposition is not expressible in
@@ -2789,6 +2813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_weight_score": q_token_weight_score,
         "pagerank": q_pagerank,
         "pca_project": q_pca_project,
+        "hits": q_hits,
         "ndcg": q_ndcg,
         "left_merge_soonest": q_left_merge_soonest,
         "left_merge_nearest": q_left_merge_nearest,
@@ -4770,6 +4795,281 @@ def oracle_sql() -> dict[str, str]:
             JOIN part p ON li.l_partkey = p.p_partkey
             WHERE li.l_shipdate >= TIMESTAMP '1996-09-01'
               AND li.l_shipdate < TIMESTAMP '1996-10-01'
+        """,
+        "hits": """
+            WITH edges AS MATERIALIZED (
+                SELECT DISTINCT doc_id % 50 AS s, (doc_id * 2 + 1) % 50 AS d
+                FROM documents
+                UNION
+                SELECT DISTINCT doc_id % 50 AS s, (doc_id * 3 + 7) % 50 AS d
+                FROM documents
+            ),
+            nodes AS MATERIALIZED (SELECT DISTINCT s AS n FROM edges
+                      UNION SELECT DISTINCT d FROM edges),
+            h0 AS MATERIALIZED (SELECT n, 1.0 AS h FROM nodes),
+            a1r AS MATERIALIZED (
+                SELECT nd.n, coalesce(sum(p.h), 0.0) AS a
+                FROM nodes nd
+                LEFT JOIN edges e ON e.d = nd.n
+                LEFT JOIN h0 p ON p.n = e.s
+                GROUP BY nd.n
+            ),
+            a1 AS MATERIALIZED (
+                SELECT n, CASE WHEN (SELECT sqrt(sum(a*a)) FROM a1r) > 0
+                               THEN a / (SELECT sqrt(sum(a*a)) FROM a1r)
+                               ELSE 0.0 END AS a
+                FROM a1r
+            ),
+            h1r AS MATERIALIZED (
+                SELECT nd.n, coalesce(sum(p.a), 0.0) AS h
+                FROM nodes nd
+                LEFT JOIN edges e ON e.s = nd.n
+                LEFT JOIN a1 p ON p.n = e.d
+                GROUP BY nd.n
+            ),
+            h1 AS MATERIALIZED (
+                SELECT n, CASE WHEN (SELECT sqrt(sum(h*h)) FROM h1r) > 0
+                               THEN h / (SELECT sqrt(sum(h*h)) FROM h1r)
+                               ELSE 0.0 END AS h
+                FROM h1r
+            ),
+            a2r AS MATERIALIZED (
+                SELECT nd.n, coalesce(sum(p.h), 0.0) AS a
+                FROM nodes nd
+                LEFT JOIN edges e ON e.d = nd.n
+                LEFT JOIN h1 p ON p.n = e.s
+                GROUP BY nd.n
+            ),
+            a2 AS MATERIALIZED (
+                SELECT n, CASE WHEN (SELECT sqrt(sum(a*a)) FROM a2r) > 0
+                               THEN a / (SELECT sqrt(sum(a*a)) FROM a2r)
+                               ELSE 0.0 END AS a
+                FROM a2r
+            ),
+            h2r AS MATERIALIZED (
+                SELECT nd.n, coalesce(sum(p.a), 0.0) AS h
+                FROM nodes nd
+                LEFT JOIN edges e ON e.s = nd.n
+                LEFT JOIN a2 p ON p.n = e.d
+                GROUP BY nd.n
+            ),
+            h2 AS MATERIALIZED (
+                SELECT n, CASE WHEN (SELECT sqrt(sum(h*h)) FROM h2r) > 0
+                               THEN h / (SELECT sqrt(sum(h*h)) FROM h2r)
+                               ELSE 0.0 END AS h
+                FROM h2r
+            ),
+            a3r AS MATERIALIZED (
+                SELECT nd.n, coalesce(sum(p.h), 0.0) AS a
+                FROM nodes nd
+                LEFT JOIN edges e ON e.d = nd.n
+                LEFT JOIN h2 p ON p.n = e.s
+                GROUP BY nd.n
+            ),
+            a3 AS MATERIALIZED (
+                SELECT n, CASE WHEN (SELECT sqrt(sum(a*a)) FROM a3r) > 0
+                               THEN a / (SELECT sqrt(sum(a*a)) FROM a3r)
+                               ELSE 0.0 END AS a
+                FROM a3r
+            ),
+            h3r AS MATERIALIZED (
+                SELECT nd.n, coalesce(sum(p.a), 0.0) AS h
+                FROM nodes nd
+                LEFT JOIN edges e ON e.s = nd.n
+                LEFT JOIN a3 p ON p.n = e.d
+                GROUP BY nd.n
+            ),
+            h3 AS MATERIALIZED (
+                SELECT n, CASE WHEN (SELECT sqrt(sum(h*h)) FROM h3r) > 0
+                               THEN h / (SELECT sqrt(sum(h*h)) FROM h3r)
+                               ELSE 0.0 END AS h
+                FROM h3r
+            ),
+            a4r AS MATERIALIZED (
+                SELECT nd.n, coalesce(sum(p.h), 0.0) AS a
+                FROM nodes nd
+                LEFT JOIN edges e ON e.d = nd.n
+                LEFT JOIN h3 p ON p.n = e.s
+                GROUP BY nd.n
+            ),
+            a4 AS MATERIALIZED (
+                SELECT n, CASE WHEN (SELECT sqrt(sum(a*a)) FROM a4r) > 0
+                               THEN a / (SELECT sqrt(sum(a*a)) FROM a4r)
+                               ELSE 0.0 END AS a
+                FROM a4r
+            ),
+            h4r AS MATERIALIZED (
+                SELECT nd.n, coalesce(sum(p.a), 0.0) AS h
+                FROM nodes nd
+                LEFT JOIN edges e ON e.s = nd.n
+                LEFT JOIN a4 p ON p.n = e.d
+                GROUP BY nd.n
+            ),
+            h4 AS MATERIALIZED (
+                SELECT n, CASE WHEN (SELECT sqrt(sum(h*h)) FROM h4r) > 0
+                               THEN h / (SELECT sqrt(sum(h*h)) FROM h4r)
+                               ELSE 0.0 END AS h
+                FROM h4r
+            ),
+            a5r AS MATERIALIZED (
+                SELECT nd.n, coalesce(sum(p.h), 0.0) AS a
+                FROM nodes nd
+                LEFT JOIN edges e ON e.d = nd.n
+                LEFT JOIN h4 p ON p.n = e.s
+                GROUP BY nd.n
+            ),
+            a5 AS MATERIALIZED (
+                SELECT n, CASE WHEN (SELECT sqrt(sum(a*a)) FROM a5r) > 0
+                               THEN a / (SELECT sqrt(sum(a*a)) FROM a5r)
+                               ELSE 0.0 END AS a
+                FROM a5r
+            ),
+            h5r AS MATERIALIZED (
+                SELECT nd.n, coalesce(sum(p.a), 0.0) AS h
+                FROM nodes nd
+                LEFT JOIN edges e ON e.s = nd.n
+                LEFT JOIN a5 p ON p.n = e.d
+                GROUP BY nd.n
+            ),
+            h5 AS MATERIALIZED (
+                SELECT n, CASE WHEN (SELECT sqrt(sum(h*h)) FROM h5r) > 0
+                               THEN h / (SELECT sqrt(sum(h*h)) FROM h5r)
+                               ELSE 0.0 END AS h
+                FROM h5r
+            ),
+            a6r AS MATERIALIZED (
+                SELECT nd.n, coalesce(sum(p.h), 0.0) AS a
+                FROM nodes nd
+                LEFT JOIN edges e ON e.d = nd.n
+                LEFT JOIN h5 p ON p.n = e.s
+                GROUP BY nd.n
+            ),
+            a6 AS MATERIALIZED (
+                SELECT n, CASE WHEN (SELECT sqrt(sum(a*a)) FROM a6r) > 0
+                               THEN a / (SELECT sqrt(sum(a*a)) FROM a6r)
+                               ELSE 0.0 END AS a
+                FROM a6r
+            ),
+            h6r AS MATERIALIZED (
+                SELECT nd.n, coalesce(sum(p.a), 0.0) AS h
+                FROM nodes nd
+                LEFT JOIN edges e ON e.s = nd.n
+                LEFT JOIN a6 p ON p.n = e.d
+                GROUP BY nd.n
+            ),
+            h6 AS MATERIALIZED (
+                SELECT n, CASE WHEN (SELECT sqrt(sum(h*h)) FROM h6r) > 0
+                               THEN h / (SELECT sqrt(sum(h*h)) FROM h6r)
+                               ELSE 0.0 END AS h
+                FROM h6r
+            ),
+            a7r AS MATERIALIZED (
+                SELECT nd.n, coalesce(sum(p.h), 0.0) AS a
+                FROM nodes nd
+                LEFT JOIN edges e ON e.d = nd.n
+                LEFT JOIN h6 p ON p.n = e.s
+                GROUP BY nd.n
+            ),
+            a7 AS MATERIALIZED (
+                SELECT n, CASE WHEN (SELECT sqrt(sum(a*a)) FROM a7r) > 0
+                               THEN a / (SELECT sqrt(sum(a*a)) FROM a7r)
+                               ELSE 0.0 END AS a
+                FROM a7r
+            ),
+            h7r AS MATERIALIZED (
+                SELECT nd.n, coalesce(sum(p.a), 0.0) AS h
+                FROM nodes nd
+                LEFT JOIN edges e ON e.s = nd.n
+                LEFT JOIN a7 p ON p.n = e.d
+                GROUP BY nd.n
+            ),
+            h7 AS MATERIALIZED (
+                SELECT n, CASE WHEN (SELECT sqrt(sum(h*h)) FROM h7r) > 0
+                               THEN h / (SELECT sqrt(sum(h*h)) FROM h7r)
+                               ELSE 0.0 END AS h
+                FROM h7r
+            ),
+            a8r AS MATERIALIZED (
+                SELECT nd.n, coalesce(sum(p.h), 0.0) AS a
+                FROM nodes nd
+                LEFT JOIN edges e ON e.d = nd.n
+                LEFT JOIN h7 p ON p.n = e.s
+                GROUP BY nd.n
+            ),
+            a8 AS MATERIALIZED (
+                SELECT n, CASE WHEN (SELECT sqrt(sum(a*a)) FROM a8r) > 0
+                               THEN a / (SELECT sqrt(sum(a*a)) FROM a8r)
+                               ELSE 0.0 END AS a
+                FROM a8r
+            ),
+            h8r AS MATERIALIZED (
+                SELECT nd.n, coalesce(sum(p.a), 0.0) AS h
+                FROM nodes nd
+                LEFT JOIN edges e ON e.s = nd.n
+                LEFT JOIN a8 p ON p.n = e.d
+                GROUP BY nd.n
+            ),
+            h8 AS MATERIALIZED (
+                SELECT n, CASE WHEN (SELECT sqrt(sum(h*h)) FROM h8r) > 0
+                               THEN h / (SELECT sqrt(sum(h*h)) FROM h8r)
+                               ELSE 0.0 END AS h
+                FROM h8r
+            ),
+            a9r AS MATERIALIZED (
+                SELECT nd.n, coalesce(sum(p.h), 0.0) AS a
+                FROM nodes nd
+                LEFT JOIN edges e ON e.d = nd.n
+                LEFT JOIN h8 p ON p.n = e.s
+                GROUP BY nd.n
+            ),
+            a9 AS MATERIALIZED (
+                SELECT n, CASE WHEN (SELECT sqrt(sum(a*a)) FROM a9r) > 0
+                               THEN a / (SELECT sqrt(sum(a*a)) FROM a9r)
+                               ELSE 0.0 END AS a
+                FROM a9r
+            ),
+            h9r AS MATERIALIZED (
+                SELECT nd.n, coalesce(sum(p.a), 0.0) AS h
+                FROM nodes nd
+                LEFT JOIN edges e ON e.s = nd.n
+                LEFT JOIN a9 p ON p.n = e.d
+                GROUP BY nd.n
+            ),
+            h9 AS MATERIALIZED (
+                SELECT n, CASE WHEN (SELECT sqrt(sum(h*h)) FROM h9r) > 0
+                               THEN h / (SELECT sqrt(sum(h*h)) FROM h9r)
+                               ELSE 0.0 END AS h
+                FROM h9r
+            ),
+            a10r AS MATERIALIZED (
+                SELECT nd.n, coalesce(sum(p.h), 0.0) AS a
+                FROM nodes nd
+                LEFT JOIN edges e ON e.d = nd.n
+                LEFT JOIN h9 p ON p.n = e.s
+                GROUP BY nd.n
+            ),
+            a10 AS MATERIALIZED (
+                SELECT n, CASE WHEN (SELECT sqrt(sum(a*a)) FROM a10r) > 0
+                               THEN a / (SELECT sqrt(sum(a*a)) FROM a10r)
+                               ELSE 0.0 END AS a
+                FROM a10r
+            ),
+            h10r AS MATERIALIZED (
+                SELECT nd.n, coalesce(sum(p.a), 0.0) AS h
+                FROM nodes nd
+                LEFT JOIN edges e ON e.s = nd.n
+                LEFT JOIN a10 p ON p.n = e.d
+                GROUP BY nd.n
+            ),
+            h10 AS MATERIALIZED (
+                SELECT n, CASE WHEN (SELECT sqrt(sum(h*h)) FROM h10r) > 0
+                               THEN h / (SELECT sqrt(sum(h*h)) FROM h10r)
+                               ELSE 0.0 END AS h
+                FROM h10r
+            )
+            SELECT h10.n AS node, round(h10.h, 6) AS hub,
+                   round(a10.a, 6) AS authority
+            FROM h10 JOIN a10 ON a10.n = h10.n
         """,
         "pca_project": """
             SELECT j AS component,

@@ -38,3 +38,36 @@ class TestPagerank:
             pagerank(e, damping=1.5)
         with pytest.raises(ValueError, match="iters"):
             pagerank(e, iters=0)
+
+
+class TestHits:
+    def test_matches_dense_reference(self, spark):
+        from pd_utils_spark.extensions.graph import hits
+
+        edges = [(1, 3), (2, 3), (1, 4), (3, 4)]
+        e = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
+        got = {r.node: (r.hub, r.authority) for r in hits(e, iters=15).collect()}
+        nodes = [1, 2, 3, 4]
+        idx = {n: i for i, n in enumerate(nodes)}
+        A = np.zeros((4, 4))
+        for s, t in edges:
+            A[idx[s], idx[t]] = 1
+        h = np.ones(4)
+        for _ in range(15):
+            a = A.T @ h
+            a /= np.linalg.norm(a)
+            h = A @ a
+            h /= np.linalg.norm(h)
+        for n in nodes:
+            assert got[n][0] == pytest.approx(h[idx[n]], abs=1e-9)
+            assert got[n][1] == pytest.approx(a[idx[n]], abs=1e-9)
+        # the hub/authority separation: 1 is the top hub, 4 pure authority
+        assert got[1][0] > got[2][0] > got[4][0]
+        assert got[4][1] > got[1][1]
+
+    def test_hits_validation(self, spark):
+        from pd_utils_spark.extensions.graph import hits
+
+        e = spark.createDataFrame(pd.DataFrame({"src": [1], "dst": [2]}))
+        with pytest.raises(ValueError, match="iters"):
+            hits(e, iters=0)
