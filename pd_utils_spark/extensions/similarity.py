@@ -827,12 +827,32 @@ def pca_project(
     mean: list,
     veccol: str = "embedding",
     out: str = "pca",
+    explained_variance: list | None = None,
+    whiten: bool = False,
+    total_variance: float | None = None,
 ) -> DataFrame:
     """Project vectors onto a fitted PCA basis: ``out[j] = (x - mean)
     . components[j]``. Pure column expressions with the basis inlined
     (k dot products per row — JVM-side, no UDF, map-only); the fitted
     basis is O(k*d) floats, trivially shippable to any engine.
+
+    ``whiten=True`` divides each component by its standard deviation
+    (``sqrt(explained_variance[j] * total_variance)``) so projected
+    components have unit variance — the preprocessing many
+    similarity/clustering steps assume. Requires ``explained_variance``
+    (from :func:`pca_fit`) and ``total_variance`` (sum of per-dim
+    sample variances of the fit corpus).
     """
+    scales = [1.0] * len(components)
+    if whiten:
+        if explained_variance is None or total_variance is None:
+            raise ValueError(
+                "whiten=True needs explained_variance and total_variance"
+            )
+        scales = [
+            1.0 / (ev * total_variance) ** 0.5 if ev * total_variance > 0 else 0.0
+            for ev in explained_variance
+        ]
     v = F.col(veccol)
     centered = F.zip_with(
         v,
@@ -840,14 +860,17 @@ def pca_project(
         lambda x, m_: x.cast("double") - m_,
     )
     cols = [
-        F.aggregate(
-            F.zip_with(
-                centered,
-                F.array(*[F.lit(float(x)) for x in comp]),
-                lambda x, c_: x * c_,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        (
+            F.aggregate(
+                F.zip_with(
+                    centered,
+                    F.array(*[F.lit(float(x)) for x in comp]),
+                    lambda x, c_: x * c_,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            * F.lit(float(scales[j]))
         ).alias(f"__pc{j}__")
         for j, comp in enumerate(components)
     ]

@@ -396,3 +396,33 @@ class TestPCA:
         c2, m2, _ = pca_fit(spark.createDataFrame(pdf).repartition(7), k=2)
         assert np.allclose(np.array(c1), np.array(c2), atol=1e-9)
         assert np.allclose(np.array(m1), np.array(m2), atol=1e-12)
+
+    def test_whiten_unit_variance(self, spark):
+        import numpy as np
+        import pandas as pd
+        import pytest as _pytest
+
+        from pd_utils_spark.extensions.similarity import pca_fit, pca_project
+
+        rng = np.random.RandomState(2)
+        X = rng.randn(500, 4) @ np.diag([4, 2, 1, 0.5])
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {"vec_id": range(500), "embedding": [list(map(float, r)) for r in X]}
+            )
+        )
+        comps, mean, ev = pca_fit(df, k=2)
+        tv = float(np.var(X - X.mean(0), axis=0, ddof=1).sum())
+        P = np.array(
+            [
+                r.pca
+                for r in pca_project(
+                    df, comps, mean,
+                    explained_variance=ev, whiten=True, total_variance=tv,
+                ).collect()
+            ]
+        )
+        assert np.var(P[:, 0], ddof=1) == _pytest.approx(1.0, rel=1e-6)
+        assert np.var(P[:, 1], ddof=1) == _pytest.approx(1.0, rel=1e-6)
+        with _pytest.raises(ValueError, match="whiten"):
+            pca_project(df, comps, mean, whiten=True)
