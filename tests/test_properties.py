@@ -372,6 +372,35 @@ def test_pack_sequences_conserves_docs_and_tokens(spark, rows, budget):
             assert (t or "") in row.seq_text
 
 
+edge_pairs = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=8), st.integers(min_value=0, max_value=8)),
+    min_size=1,
+    max_size=20,
+).map(lambda es: [(s, t) for s, t in es if s != t])
+
+
+@given(edges=edge_pairs.filter(lambda es: len(es) > 0))
+@settings(**SETTINGS)
+def test_pagerank_mass_and_positivity(spark, edges):
+    """On a graph where every node has an outgoing edge, rank mass is
+    conserved (sums to 1); ranks are always positive and bounded."""
+    from pd_utils_spark.extensions.graph import pagerank
+
+    # close the graph: give sink nodes a self-loop-free out-edge so
+    # the no-dangling conservation property applies
+    nodes = sorted({n for p in edges for n in p})
+    srcs = {s for s, _ in edges}
+    for n in nodes:
+        if n not in srcs:
+            edges = edges + [(n, nodes[0] if n != nodes[0] else nodes[-1])]
+    if any(s == t for s, t in edges):
+        edges = [(s, t) for s, t in edges if s != t]
+    e = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]).drop_duplicates())
+    ranks = {r.node: r.rank for r in pagerank(e, iters=8).collect()}
+    assert all(v > 0 for v in ranks.values())
+    assert sum(ranks.values()) == pytest.approx(1.0, abs=1e-9)
+
+
 @given(rows=frames)
 @settings(**SETTINGS)
 def test_add_missing_group_rows_complete_and_idempotent(spark, rows):
