@@ -105,6 +105,28 @@ class TestExplodeBarriers:
         assert "CollectMetrics" in plan  # the barrier survived optimization
 
 
+class TestPQEncodeShape:
+    def test_encode_is_explode_join_not_expression_tree(self, spark):
+        """pq_encode must stay in the explode + broadcast-join form —
+        the m*ncodes inline-expression form exceeds codegen limits and
+        runs interpreted (27.5 s vs 6.3 s at sf0.1, SCALE.md round 4)."""
+        from pd_utils_spark.extensions.similarity import pq_encode
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        cb = [[[0.0] * 8 for _ in range(16)] for _ in range(8)]
+        plan = (
+            pq_encode(emb, cb)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Generate posexplode" in plan  # subvector fan-out
+        assert "BroadcastHashJoin" in plan    # codebook join
+        # the distance argmin is an aggregation, not a 512-expression
+        # projection
+        assert "min(" in plan
+
+
 class TestCorrelatedSubquery:
     def test_tpch_q17_decorrelates_to_agg_join(self, spark):
         """The correlated scalar subquery (per-part avg quantity) must
