@@ -1612,6 +1612,32 @@ def q_token_weight_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_doubles(out.select("doc_id", "n_scored_tokens", "quality_score"))
 
 
+def q_quality_selection_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4 capstone: classifier scoring -> per-source top-40%%
+    selection -> deterministic 5-fold assignment -> per-(source, fold)
+    stats. Chains token_weight_score, filter_top_fraction, and
+    kfold_split — one lazy Catalyst plan; every stage also has its own
+    hash-matched oracle."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    # INTEGER-valued weights: per-doc weight sums are then exact in
+    # double arithmetic regardless of summation order, so the ranking
+    # (sigmoid is monotone in the sum) is bit-identical across engines
+    w = spark.createDataFrame(
+        [("the", 2.0), ("a", 1.0), ("and", 1.0), ("of", 2.0),
+         ("data", -3.0), ("model", -4.0), ("token", -5.0)],
+        "token string, weight double",
+    )
+    scored = pus_text.token_weight_score(d, w, bias=-1.0)
+    kept = pus_sample.filter_top_fraction(
+        scored, "quality_score", 0.4, by="source"
+    )
+    folded = pus_sample.kfold_split(kept, k=5, seed=4)
+    return folded.groupBy("source", "fold").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("quality_score"), 6).alias("avg_score"),
+    )
+
+
 def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space drift matrix between 4 synthetic sources
     (label % 4): pairwise cosine of per-source centroid vectors —
@@ -2810,6 +2836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regression_metrics": q_regression_metrics,
         "multiclass_metrics": q_multiclass_metrics,
         "embedding_drift": q_embedding_drift,
+        "quality_selection_pipeline": q_quality_selection_pipeline,
         "token_weight_score": q_token_weight_score,
         "pagerank": q_pagerank,
         "pca_project": q_pca_project,
@@ -5216,6 +5243,48 @@ def oracle_sql() -> dict[str, str]:
                    round(1.0 / (1.0 + exp(-(-0.5 + coalesce(a.s, 0.0)))), 6)
                        AS quality_score
             FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+        "quality_selection_pipeline": """
+            WITH w(token, weight) AS (
+                VALUES ('the', 2.0), ('a', 1.0), ('and', 1.0), ('of', 2.0),
+                       ('data', -3.0), ('model', -4.0), ('token', -5.0)
+            ),
+            ex AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                           AS token
+                FROM documents
+            ),
+            agg AS (
+                SELECT e.doc_id, sum(coalesce(w.weight, 0.0)) AS s
+                FROM ex e LEFT JOIN w USING (token)
+                GROUP BY e.doc_id
+            ),
+            scored AS (
+                SELECT d.doc_id, d.source,
+                       1.0 / (1.0 + exp(-(-1.0 + coalesce(a.s, 0.0))))
+                           AS quality_score
+                FROM documents d LEFT JOIN agg a USING (doc_id)
+            ),
+            ranked AS (
+                SELECT *,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY quality_score DESC, doc_id)
+                           AS rn,
+                       count(*) OVER (PARTITION BY source) AS n
+                FROM scored
+            ),
+            kept AS (
+                SELECT doc_id, source, quality_score
+                FROM ranked WHERE rn <= ceil(n * 0.4)
+            ),
+            folded AS (
+                SELECT *, least(floor((((('0x' || substr(md5(doc_id::VARCHAR || ':4'), 1, 15))::BIGINT) & 2147483647) / 2147483648.0) * 5), 4)::INT AS fold
+                FROM kept
+            )
+            SELECT source, fold, count(*) AS n_docs,
+                   round(avg(quality_score), 6) AS avg_score
+            FROM folded GROUP BY source, fold
         """,
         "embedding_drift": """
             WITH ex AS (
