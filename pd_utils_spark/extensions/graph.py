@@ -128,6 +128,15 @@ def hits(
     )
 
     def _l2norm(df, col):
+        # EAGER checkpoint before the norm: the crossJoin references
+        # `df` twice (the one-row aggregate AND the output rows), so
+        # the frame must be materialized or each round recomputes per
+        # reference, compounding (measured 11.7 s on the 10-round
+        # bench query vs 7.7 s eager). Lazy persist is NOT a
+        # substitute here: without lineage truncation the nested
+        # 10-round plan re-enters Catalyst per reference and
+        # optimization time itself explodes (measured minutes).
+        df = df.localCheckpoint(eager=True)
         nrm = df.agg(F.sqrt(F.sum(F.col(col) * F.col(col))).alias("__nrm__"))
         return df.crossJoin(F.broadcast(nrm)).select(
             "__n__",
@@ -155,8 +164,7 @@ def hits(
         hub = nodes.select("__n__").join(hub, "__n__", "left").select(
             "__n__", F.coalesce("__h__", F.lit(0.0)).alias("__h__")
         )
-        hub = _l2norm(hub, "__h__").localCheckpoint(eager=False)
-        auth = auth.localCheckpoint(eager=False)
+        hub = _l2norm(hub, "__h__")
         last_auth = auth
     return (
         nodes.join(hub, "__n__", "left")
