@@ -1507,7 +1507,7 @@ def q_calibration_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS hubs/authorities on the same synthetic 50-domain link
     graph as pagerank — 10 L2-normalized rounds, hash-matched against
-    the unrolled oracle; the hub/authority split is the link-farm
+    the unrolled oracle (5 L2-normalized rounds); the hub/authority split is the link-farm
     separation signal PageRank alone conflates."""
     from pd_utils_spark.extensions.graph import hits
 
@@ -1521,7 +1521,7 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("doc_id") * 3 + 7) % 50).alias("dst"),
     )
     edges = e1.unionByName(e2).distinct()
-    out = hits(edges, iters=10)
+    out = hits(edges, iters=5)
     return out.select(
         "node", F.round("hub", 6).alias("hub"),
         F.round("authority", 6).alias("authority"),
@@ -4963,140 +4963,10 @@ def oracle_sql() -> dict[str, str]:
                                THEN h / (SELECT sqrt(sum(h*h)) FROM h5r)
                                ELSE 0.0 END AS h
                 FROM h5r
-            ),
-            a6r AS MATERIALIZED (
-                SELECT nd.n, coalesce(sum(p.h), 0.0) AS a
-                FROM nodes nd
-                LEFT JOIN edges e ON e.d = nd.n
-                LEFT JOIN h5 p ON p.n = e.s
-                GROUP BY nd.n
-            ),
-            a6 AS MATERIALIZED (
-                SELECT n, CASE WHEN (SELECT sqrt(sum(a*a)) FROM a6r) > 0
-                               THEN a / (SELECT sqrt(sum(a*a)) FROM a6r)
-                               ELSE 0.0 END AS a
-                FROM a6r
-            ),
-            h6r AS MATERIALIZED (
-                SELECT nd.n, coalesce(sum(p.a), 0.0) AS h
-                FROM nodes nd
-                LEFT JOIN edges e ON e.s = nd.n
-                LEFT JOIN a6 p ON p.n = e.d
-                GROUP BY nd.n
-            ),
-            h6 AS MATERIALIZED (
-                SELECT n, CASE WHEN (SELECT sqrt(sum(h*h)) FROM h6r) > 0
-                               THEN h / (SELECT sqrt(sum(h*h)) FROM h6r)
-                               ELSE 0.0 END AS h
-                FROM h6r
-            ),
-            a7r AS MATERIALIZED (
-                SELECT nd.n, coalesce(sum(p.h), 0.0) AS a
-                FROM nodes nd
-                LEFT JOIN edges e ON e.d = nd.n
-                LEFT JOIN h6 p ON p.n = e.s
-                GROUP BY nd.n
-            ),
-            a7 AS MATERIALIZED (
-                SELECT n, CASE WHEN (SELECT sqrt(sum(a*a)) FROM a7r) > 0
-                               THEN a / (SELECT sqrt(sum(a*a)) FROM a7r)
-                               ELSE 0.0 END AS a
-                FROM a7r
-            ),
-            h7r AS MATERIALIZED (
-                SELECT nd.n, coalesce(sum(p.a), 0.0) AS h
-                FROM nodes nd
-                LEFT JOIN edges e ON e.s = nd.n
-                LEFT JOIN a7 p ON p.n = e.d
-                GROUP BY nd.n
-            ),
-            h7 AS MATERIALIZED (
-                SELECT n, CASE WHEN (SELECT sqrt(sum(h*h)) FROM h7r) > 0
-                               THEN h / (SELECT sqrt(sum(h*h)) FROM h7r)
-                               ELSE 0.0 END AS h
-                FROM h7r
-            ),
-            a8r AS MATERIALIZED (
-                SELECT nd.n, coalesce(sum(p.h), 0.0) AS a
-                FROM nodes nd
-                LEFT JOIN edges e ON e.d = nd.n
-                LEFT JOIN h7 p ON p.n = e.s
-                GROUP BY nd.n
-            ),
-            a8 AS MATERIALIZED (
-                SELECT n, CASE WHEN (SELECT sqrt(sum(a*a)) FROM a8r) > 0
-                               THEN a / (SELECT sqrt(sum(a*a)) FROM a8r)
-                               ELSE 0.0 END AS a
-                FROM a8r
-            ),
-            h8r AS MATERIALIZED (
-                SELECT nd.n, coalesce(sum(p.a), 0.0) AS h
-                FROM nodes nd
-                LEFT JOIN edges e ON e.s = nd.n
-                LEFT JOIN a8 p ON p.n = e.d
-                GROUP BY nd.n
-            ),
-            h8 AS MATERIALIZED (
-                SELECT n, CASE WHEN (SELECT sqrt(sum(h*h)) FROM h8r) > 0
-                               THEN h / (SELECT sqrt(sum(h*h)) FROM h8r)
-                               ELSE 0.0 END AS h
-                FROM h8r
-            ),
-            a9r AS MATERIALIZED (
-                SELECT nd.n, coalesce(sum(p.h), 0.0) AS a
-                FROM nodes nd
-                LEFT JOIN edges e ON e.d = nd.n
-                LEFT JOIN h8 p ON p.n = e.s
-                GROUP BY nd.n
-            ),
-            a9 AS MATERIALIZED (
-                SELECT n, CASE WHEN (SELECT sqrt(sum(a*a)) FROM a9r) > 0
-                               THEN a / (SELECT sqrt(sum(a*a)) FROM a9r)
-                               ELSE 0.0 END AS a
-                FROM a9r
-            ),
-            h9r AS MATERIALIZED (
-                SELECT nd.n, coalesce(sum(p.a), 0.0) AS h
-                FROM nodes nd
-                LEFT JOIN edges e ON e.s = nd.n
-                LEFT JOIN a9 p ON p.n = e.d
-                GROUP BY nd.n
-            ),
-            h9 AS MATERIALIZED (
-                SELECT n, CASE WHEN (SELECT sqrt(sum(h*h)) FROM h9r) > 0
-                               THEN h / (SELECT sqrt(sum(h*h)) FROM h9r)
-                               ELSE 0.0 END AS h
-                FROM h9r
-            ),
-            a10r AS MATERIALIZED (
-                SELECT nd.n, coalesce(sum(p.h), 0.0) AS a
-                FROM nodes nd
-                LEFT JOIN edges e ON e.d = nd.n
-                LEFT JOIN h9 p ON p.n = e.s
-                GROUP BY nd.n
-            ),
-            a10 AS MATERIALIZED (
-                SELECT n, CASE WHEN (SELECT sqrt(sum(a*a)) FROM a10r) > 0
-                               THEN a / (SELECT sqrt(sum(a*a)) FROM a10r)
-                               ELSE 0.0 END AS a
-                FROM a10r
-            ),
-            h10r AS MATERIALIZED (
-                SELECT nd.n, coalesce(sum(p.a), 0.0) AS h
-                FROM nodes nd
-                LEFT JOIN edges e ON e.s = nd.n
-                LEFT JOIN a10 p ON p.n = e.d
-                GROUP BY nd.n
-            ),
-            h10 AS MATERIALIZED (
-                SELECT n, CASE WHEN (SELECT sqrt(sum(h*h)) FROM h10r) > 0
-                               THEN h / (SELECT sqrt(sum(h*h)) FROM h10r)
-                               ELSE 0.0 END AS h
-                FROM h10r
             )
-            SELECT h10.n AS node, round(h10.h, 6) AS hub,
-                   round(a10.a, 6) AS authority
-            FROM h10 JOIN a10 ON a10.n = h10.n
+            SELECT h5.n AS node, round(h5.h, 6) AS hub,
+                   round(a5.a, 6) AS authority
+            FROM h5 JOIN a5 ON a5.n = h5.n
         """,
         "pca_project": """
             SELECT j AS component,
