@@ -65,6 +65,18 @@ class TestHits:
         assert got[1][0] > got[2][0] > got[4][0]
         assert got[4][1] > got[1][1]
 
+    def test_hits_scores_unit_norm(self, spark):
+        from pd_utils_spark.extensions.graph import hits
+
+        e = spark.createDataFrame(
+            pd.DataFrame({"src": [1, 2, 3, 4, 1], "dst": [2, 3, 4, 1, 3]})
+        )
+        rows = hits(e, iters=6).collect()
+        hub_ss = sum(r.hub**2 for r in rows)
+        auth_ss = sum(r.authority**2 for r in rows)
+        assert hub_ss == pytest.approx(1.0, abs=1e-9)
+        assert auth_ss == pytest.approx(1.0, abs=1e-9)
+
     def test_hits_validation(self, spark):
         from pd_utils_spark.extensions.graph import hits
 
