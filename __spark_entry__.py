@@ -1032,6 +1032,20 @@ def q_cohort_retention_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pus_events.cohort_retention(ev, period="month")
 
 
+def q_suppress_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst suppression on the event stream: per (user, event_type),
+    chains of events each within 120s of their predecessor collapse to
+    the chain's first event — double-fire/retry dedup."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    out = pus_events.suppress_repeats(
+        ev, ["user_id", "event_type"], "ts",
+        within_seconds=120, tiebreak="event_id",
+    )
+    return out.select("event_id", "user_id", "event_type")
+
+
 def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Common in-session journeys: frequency of every 3-step
     event-type sequence within a session (30-min gap) — order matters
@@ -2787,6 +2801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "sessionize": q_sessionize,
         "session_paths": q_session_paths,
+        "suppress_repeats": q_suppress_repeats,
         "rolling_stats": q_rolling_stats,
         "cohort_retention_monthly": q_cohort_retention_monthly,
         "top_k_per_group": q_top_k_per_group,
@@ -4495,6 +4510,29 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), {r}) AS value_sum,
                    count(event_id) AS event_id_count
             FROM s GROUP BY user_id, sid
+        """,
+        "suppress_repeats": """
+            WITH m AS (
+                SELECT event_id, user_id, event_type, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                              OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                 > 120 * 1000000
+                            THEN 1 ELSE 0 END AS new_b
+                FROM events
+                WINDOW w AS (PARTITION BY user_id, event_type
+                             ORDER BY ts, event_id)
+            ), b AS (
+                SELECT *, sum(new_b) OVER (PARTITION BY user_id, event_type
+                                           ORDER BY ts, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS burst
+                FROM m
+            ), r AS (
+                SELECT *, row_number() OVER (PARTITION BY user_id, event_type,
+                                                          burst
+                                             ORDER BY ts, event_id) AS fib
+                FROM b
+            )
+            SELECT event_id, user_id, event_type FROM r WHERE fib = 1
         """,
         "session_paths": """
             WITH m AS (

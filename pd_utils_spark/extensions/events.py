@@ -180,6 +180,57 @@ def session_stats(
     )
 
 
+def suppress_repeats(
+    df: DataFrame,
+    keys: str | Sequence[str],
+    tscol: str = "ts",
+    within_seconds: float = 10.0,
+    tiebreak: str | Sequence[str] | None = None,
+) -> DataFrame:
+    """Drop repeated events: a row is suppressed when the PREVIOUS
+    surviving row with the same ``keys`` is within ``within_seconds``
+    — double-click / retry / at-least-once-delivery suppression, the
+    event-stream cousin of exact dedup (which has no time bound).
+
+    Semantics (burst rule): within each key, events sorted by
+    (ts, tiebreak) split into BURSTS wherever the gap since the
+    previous event exceeds the threshold; each burst keeps only its
+    first event. A chain of events each within ``within_seconds`` of
+    its predecessor therefore collapses to ONE survivor no matter how
+    long the chain runs — the session-window dedup rule (identical to
+    ``sessionize(gap_seconds=within_seconds)`` + first-row-per-
+    session). This is deliberately NOT the "gap since last survivor"
+    greedy (which re-admits an event every threshold seconds inside a
+    continuous burst and needs a sequential scan); for retry storms
+    the burst rule is what you want. One window pass at microsecond
+    precision, one shuffle on the keys.
+    """
+    from pyspark.sql import Window
+
+    keys_l = to_list(keys)
+    order = [F.col(tscol)] + [F.col(c) for c in to_list(tiebreak)]
+    w = Window.partitionBy(*keys_l).orderBy(*order)
+    eus = _epoch_us(F.col(tscol))
+    prev = F.lag(eus).over(w)
+    gap_us = int(within_seconds * 1_000_000)
+    new_burst = (
+        F.when(prev.isNull() | ((eus - prev) > gap_us), F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    burst = F.sum(new_burst).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    first_in_burst = F.row_number().over(
+        Window.partitionBy(*keys_l, "__burst__").orderBy(*order)
+    )
+    return (
+        df.withColumn("__burst__", burst)
+        .withColumn("__fib__", first_in_burst)
+        .filter(F.col("__fib__") == 1)
+        .drop("__burst__", "__fib__")
+    )
+
+
 def session_paths(
     df: DataFrame,
     usercol: str = "user_id",

@@ -282,3 +282,50 @@ class TestSessionPaths:
             }
         )
         assert session_paths(spark.createDataFrame(ev), n=3).count() == 0
+
+
+class TestSuppressRepeats:
+    def test_burst_collapses_to_first(self, spark):
+        import pandas as pd
+
+        from pd_utils_spark.extensions.events import suppress_repeats
+
+        ev = pd.DataFrame(
+            {
+                "user_id": [1] * 5 + [2],
+                "ts": pd.to_datetime(
+                    [
+                        "2024-01-01 00:00:00", "2024-01-01 00:00:06",
+                        "2024-01-01 00:00:12",  # chain: each within 10s
+                        "2024-01-01 00:00:30", "2024-01-01 00:00:31",
+                        "2024-01-01 00:00:00",
+                    ]
+                ),
+                "event_id": [1, 2, 3, 4, 5, 6],
+            }
+        )
+        out = sorted(
+            r.event_id
+            for r in suppress_repeats(
+                spark.createDataFrame(ev), "user_id",
+                within_seconds=10, tiebreak="event_id",
+            ).collect()
+        )
+        # 2,3 ride the chain from 1; 5 is 1s after 4; user 2 untouched
+        assert out == [1, 4, 6]
+
+    def test_no_repeats_noop(self, spark):
+        import pandas as pd
+
+        from pd_utils_spark.extensions.events import suppress_repeats
+
+        ev = pd.DataFrame(
+            {
+                "user_id": [1, 1],
+                "ts": pd.to_datetime(["2024-01-01 00:00", "2024-01-01 01:00"]),
+                "event_id": [1, 2],
+            }
+        )
+        assert suppress_repeats(
+            spark.createDataFrame(ev), "user_id", within_seconds=10
+        ).count() == 2
