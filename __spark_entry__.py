@@ -1669,6 +1669,21 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multiclass_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Macro/micro rollup of the synthetic-classifier confusion — the
+    two-row summary over the same matrix aggregation."""
+    from pd_utils_spark.extensions import metrics as pus_metrics
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "label")
+    nlab = 10
+    pred = F.when(
+        F.col("vec_id") % 3 == 0, (F.col("label") + 1) % nlab
+    ).otherwise(F.col("label"))
+    d = emb.select(F.col("label").alias("y"), pred.alias("yhat"))
+    out = pus_metrics.multiclass_summary(d, "y", "yhat")
+    return _round_doubles(out)
+
+
 def q_multiclass_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-class confusion metrics on a synthetic classifier over the
     embeddings labels: pred = true label, except every 3rd vector
@@ -2850,6 +2865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calibration_table": q_calibration_table,
         "regression_metrics": q_regression_metrics,
         "multiclass_metrics": q_multiclass_metrics,
+        "multiclass_summary": q_multiclass_summary,
         "embedding_drift": q_embedding_drift,
         "quality_selection_pipeline": q_quality_selection_pipeline,
         "token_weight_score": q_token_weight_score,
@@ -5212,6 +5228,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT group_a, group_b,
                    round(ab / (sqrt(aa) * sqrt(bb)), 6) AS centroid_cosine
             FROM dots
+        """,
+        "multiclass_summary": """
+            WITH d AS (
+                SELECT label AS y,
+                       CASE WHEN vec_id % 3 = 0 THEN (label + 1) % 10
+                            ELSE label END AS yhat
+                FROM embeddings
+            ),
+            pairs AS (SELECT y, yhat, count(*) AS n FROM d GROUP BY y, yhat),
+            tp AS (SELECT y AS class, n AS tp FROM pairs WHERE y = yhat),
+            tt AS (SELECT y AS class, sum(n) AS support FROM pairs GROUP BY y),
+            pt AS (SELECT yhat AS class, sum(n) AS n_pred FROM pairs GROUP BY yhat),
+            per AS (
+                SELECT coalesce(tt.class, pt.class) AS class,
+                       coalesce(support, 0) AS support,
+                       coalesce(tp, 0) AS tp,
+                       coalesce(n_pred, 0) - coalesce(tp, 0) AS fp,
+                       coalesce(support, 0) - coalesce(tp, 0) AS fn,
+                       CASE WHEN coalesce(n_pred, 0) > 0
+                            THEN coalesce(tp, 0)::DOUBLE / n_pred ELSE 0.0 END AS p,
+                       CASE WHEN coalesce(support, 0) > 0
+                            THEN coalesce(tp, 0)::DOUBLE / support ELSE 0.0 END AS r
+                FROM tt FULL JOIN pt USING (class) LEFT JOIN tp USING (class)
+                WHERE coalesce(support, 0) > 0
+            ),
+            perf AS (
+                SELECT *, CASE WHEN p + r > 0 THEN 2 * p * r / (p + r)
+                               ELSE 0.0 END AS f1
+                FROM per
+            )
+            SELECT 'macro' AS avg,
+                   round(sum(tp)::DOUBLE / sum(support), 6) AS accuracy,
+                   round(avg(p), 6) AS precision,
+                   round(avg(r), 6) AS recall,
+                   round(avg(f1), 6) AS f1
+            FROM perf
+            UNION ALL
+            SELECT 'micro',
+                   round(sum(tp)::DOUBLE / sum(support), 6),
+                   round(sum(tp)::DOUBLE / (sum(tp) + sum(fp)), 6),
+                   round(sum(tp)::DOUBLE / (sum(tp) + sum(fn)), 6),
+                   round(2.0 * sum(tp) / (2 * sum(tp) + sum(fp) + sum(fn)), 6)
+            FROM perf
         """,
         "multiclass_metrics": """
             WITH d AS (

@@ -260,3 +260,41 @@ def multiclass_metrics(
         )
         .orderBy(F.desc("support"), "class")
     )
+
+
+def multiclass_summary(
+    df: DataFrame,
+    labelcol: str,
+    predcol: str,
+) -> DataFrame:
+    """Macro and micro averages over :func:`multiclass_metrics`: one
+    row per averaging mode with accuracy, precision, recall, F1.
+    Macro = unweighted mean of per-class metrics over classes with
+    support, counting a class's undefined precision/recall/F1 as 0
+    (sklearn's ``zero_division=0`` convention); micro = global counts
+    (equals accuracy for single-label classification). Same single
+    confusion-matrix aggregation as the per-class view — the raw
+    predictions are scanned once.
+    """
+    per = multiclass_metrics(df, labelcol, predcol).filter(
+        F.col("support") > 0
+    )
+    z = lambda c: F.coalesce(F.col(c), F.lit(0.0))
+    macro = per.agg(
+        F.lit("macro").alias("avg"),
+        (F.sum("tp") / F.sum("support")).alias("accuracy"),
+        F.avg(z("precision")).alias("precision"),
+        F.avg(z("recall")).alias("recall"),
+        F.avg(z("f1")).alias("f1"),
+    )
+    micro = per.agg(
+        F.lit("micro").alias("avg"),
+        (F.sum("tp") / F.sum("support")).alias("accuracy"),
+        (F.sum("tp") / (F.sum("tp") + F.sum("fp"))).alias("precision"),
+        (F.sum("tp") / (F.sum("tp") + F.sum("fn"))).alias("recall"),
+        (
+            2 * F.sum("tp")
+            / (2 * F.sum("tp") + F.sum("fp") + F.sum("fn"))
+        ).alias("f1"),
+    )
+    return macro.unionByName(micro)

@@ -196,3 +196,28 @@ class TestMulticlassMetrics:
         z = out["z"]
         assert z.support == 0 and z.fp == 1
         assert z.recall is None  # never true -> undefined recall
+
+
+class TestMulticlassSummary:
+    def test_macro_micro_hand_computed(self, spark):
+        import pandas as pd
+
+        from pd_utils_spark.extensions.metrics import multiclass_summary
+
+        d = pd.DataFrame(
+            {"y": ["a", "a", "a", "b", "b", "c"],
+             "yhat": ["a", "b", "a", "b", "c", "a"]}
+        )
+        out = {r.avg: r for r in multiclass_summary(
+            spark.createDataFrame(d), "y", "yhat").collect()}
+        # per-class: a (2/3, 2/3, 2/3), b (1/2, 1/2, 1/2), c (0, 0, f1->0)
+        m = out["macro"]
+        assert m.accuracy == pytest.approx(0.5)
+        assert m.precision == pytest.approx((2/3 + 1/2 + 0) / 3)
+        assert m.recall == pytest.approx((2/3 + 1/2 + 0) / 3)
+        assert m.f1 == pytest.approx((2/3 + 1/2 + 0) / 3)
+        mi = out["micro"]
+        # single-label: micro p = r = f1 = accuracy
+        assert mi.precision == pytest.approx(0.5)
+        assert mi.recall == pytest.approx(0.5)
+        assert mi.f1 == pytest.approx(0.5)
