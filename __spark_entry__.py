@@ -2167,6 +2167,187 @@ def q_sql_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sql_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier) SHAPE, adapted to the slim
+    schema (no partsupp table: a lineitem rollup ``ps`` with
+    supplycost = min unit price per (part, supplier) stands in): the
+    CORRELATED MIN over a 4-way join — per outer part, the scalar
+    subquery re-joins ps/supplier/nation/region to find the regional
+    minimum cost. Catalyst must decorrelate this into one aggregate +
+    join (plan lock in tests/test_plan_shapes.py), not re-run the
+    4-way join per part."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    # CROSS JOIN + WHERE (TPC-H comma-join semantics; Catalyst rewrites
+    # to equi-joins) keeps every real table name ahead of the CTE name
+    # in pus.sql's positional FROM/JOIN binding.
+    return pus.sql(
+        [li, p, s, n, r],
+        """
+        WITH ps AS (
+            SELECT l_partkey, l_suppkey,
+                   min(l_extendedprice / l_quantity) AS ps_supplycost
+            FROM li_t GROUP BY l_partkey, l_suppkey
+        )
+        SELECT s.s_acctbal, s.s_name, n.n_name AS nation, p.p_partkey,
+               round(ps.ps_supplycost, 4) AS ps_supplycost
+        FROM p_t p CROSS JOIN s_t s CROSS JOIN n_t n CROSS JOIN r_t r
+             CROSS JOIN ps
+        WHERE p.p_partkey = ps.l_partkey
+          AND s.s_suppkey = ps.l_suppkey
+          AND s.s_nationkey = n.n_nationkey
+          AND n.n_regionkey = r.r_regionkey
+          AND p.p_size = 15
+          AND r.r_name = 'EUROPE'
+          AND ps.ps_supplycost = (
+              SELECT min(ps2.ps_supplycost)
+              FROM ps ps2 CROSS JOIN s_t s2 CROSS JOIN n_t n2
+                   CROSS JOIN r_t r2
+              WHERE ps2.l_partkey = p.p_partkey
+                AND s2.s_suppkey = ps2.l_suppkey
+                AND s2.s_nationkey = n2.n_nationkey
+                AND n2.n_regionkey = r2.r_regionkey
+                AND r2.r_name = 'EUROPE'
+          )
+        ORDER BY s.s_acctbal DESC, nation, s.s_name, p.p_partkey
+        LIMIT 100
+        """,
+    )
+
+
+def q_sql_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit by nation and year) SHAPE,
+    adapted to the slim schema (supplycost := 0.4 * p_retailprice —
+    partsupp is absent): the 5-way fact-to-dims join with an
+    arithmetic measure spanning two tables, grouped on a derived
+    year — the classic star-join + derived-column rollup."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    return pus.sql(
+        [li, p, s, o, n],
+        """
+        SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)
+                         - 0.4 * p.p_retailprice * l.l_quantity), 4)
+                   AS sum_profit
+        FROM li_t l
+        JOIN p_t p ON p.p_partkey = l.l_partkey
+        JOIN s_t s ON s.s_suppkey = l.l_suppkey
+        JOIN o_t o ON o.o_orderkey = l.l_orderkey
+        JOIN n_t n ON n.n_nationkey = s.s_nationkey
+        WHERE p.p_name LIKE '%gear%'
+        GROUP BY n.n_name, year(o.o_orderdate)
+        ORDER BY nation, o_year DESC
+        """,
+    )
+
+
+def q_sql_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock identification) SHAPE, adapted to
+    the slim schema (value := lineitem extended price for suppliers of
+    one nation — partsupp is absent): group-agg filtered by a SCALAR
+    GLOBAL-AGGREGATE subquery over the same derived relation — the
+    HAVING-vs-global-total shape. The CTE is evaluated once per side;
+    the threshold comparison must not re-scan per group."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return pus.sql(
+        [li, s, n],
+        """
+        WITH ps AS (
+            SELECT l.l_partkey, l.l_extendedprice AS cost
+            FROM li_t l
+            JOIN s_t s ON s.s_suppkey = l.l_suppkey
+            JOIN n_t n ON n.n_nationkey = s.s_nationkey
+            WHERE n.n_name = 'NATION_9'
+        )
+        SELECT l_partkey AS ps_partkey, round(sum(cost), 4) AS value
+        FROM ps
+        GROUP BY l_partkey
+        HAVING sum(cost) > (SELECT sum(cost) * 0.001 FROM ps)
+        ORDER BY value DESC, ps_partkey
+        """,
+    )
+
+
+def q_sql_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship) SHAPE, adapted to the
+    slim schema (lineitem links parts to suppliers; the complaint
+    exclusion is s_acctbal < 0 since s_comment is absent): NOT IN
+    subquery (null-aware anti join) + count(DISTINCT) over a
+    multi-attribute group — the anti-join + distinct-agg combination."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    return pus.sql(
+        [li, p, s],
+        """
+        SELECT p.p_brand, p.p_type, p.p_size,
+               count(DISTINCT l.l_suppkey) AS supplier_cnt
+        FROM li_t l JOIN p_t p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand <> 'Brand#13'
+          AND p.p_type NOT LIKE 'MEDIUM%'
+          AND p.p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+          AND l.l_suppkey NOT IN (
+              SELECT s_suppkey FROM s_t WHERE s_acctbal < 0
+          )
+        GROUP BY p.p_brand, p.p_type, p.p_size
+        ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+        """,
+    )
+
+
+def q_sql_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion) SHAPE, adapted to the slim
+    schema (availqty := total shipped quantity per (part, supplier)
+    from lineitem — partsupp is absent): the NESTED IN with a
+    CORRELATED SCALAR aggregate — suppliers IN (pairs whose partkey IN
+    a name-filtered part set AND whose availqty exceeds a correlated
+    half-sum of recent shipments). The deepest decorrelation shape in
+    TPC-H; Catalyst must turn all three levels into joins (plan lock
+    in tests/test_plan_shapes.py).
+
+    The 4th frame is a positional placeholder: pus.sql binds frames to
+    FROM/JOIN names in first-appearance order (li_t, s_t, n_t, ps,
+    p_t) and the CTE name ``ps`` shadows whatever view lands on it."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    p = _t(spark, sf_dir, "part")
+    return pus.sql(
+        [li, s, n, li, p],
+        """
+        WITH ps AS (
+            SELECT l_partkey, l_suppkey, sum(l_quantity) AS availqty
+            FROM li_t GROUP BY l_partkey, l_suppkey
+        )
+        SELECT s.s_name, round(s.s_acctbal, 4) AS s_acctbal
+        FROM s_t s JOIN n_t n ON n.n_nationkey = s.s_nationkey
+        WHERE n.n_name = 'NATION_9'
+          AND s.s_suppkey IN (
+              SELECT ps.l_suppkey FROM ps
+              WHERE ps.l_partkey IN (
+                  SELECT p_partkey FROM p_t WHERE p_name LIKE 'red%'
+              )
+              AND ps.availqty > (
+                  SELECT 0.5 * sum(l2.l_quantity) FROM li_t l2
+                  WHERE l2.l_partkey = ps.l_partkey
+                    AND l2.l_suppkey = ps.l_suppkey
+                    AND l2.l_shipdate >= TIMESTAMP '1998-01-01'
+              )
+          )
+        ORDER BY s.s_name
+        """,
+    )
+
+
 def q_sql_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 (large-volume customer): HAVING subquery + top-N —
     the aggregate-filter-semijoin-order path. The HAVING aggregate
@@ -2932,6 +3113,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_tpch_q18": q_sql_tpch_q18,
         "sql_tpch_q19": q_sql_tpch_q19,
         "sql_tpch_q22": q_sql_tpch_q22,
+        "sql_tpch_q2": q_sql_tpch_q2,
+        "sql_tpch_q9": q_sql_tpch_q9,
+        "sql_tpch_q11": q_sql_tpch_q11,
+        "sql_tpch_q16": q_sql_tpch_q16,
+        "sql_tpch_q20": q_sql_tpch_q20,
         "canonical_urls": q_canonical_urls,
         "filter_top_fraction": q_filter_top_fraction,
         "source_overlap": q_source_overlap,
@@ -5567,6 +5753,99 @@ def oracle_sql() -> dict[str, str]:
                   )
             GROUP BY CAST(c.c_custkey % 7 AS INT)
             ORDER BY cntry_grp
+        """,
+        "sql_tpch_q2": """
+            WITH ps AS (
+                SELECT l_partkey, l_suppkey,
+                       min(l_extendedprice / l_quantity) AS ps_supplycost
+                FROM lineitem GROUP BY l_partkey, l_suppkey
+            )
+            SELECT s.s_acctbal, s.s_name, n.n_name AS nation, p.p_partkey,
+                   round(ps.ps_supplycost, 4) AS ps_supplycost
+            FROM part p, supplier s, nation n, region r, ps
+            WHERE p.p_partkey = ps.l_partkey
+              AND s.s_suppkey = ps.l_suppkey
+              AND s.s_nationkey = n.n_nationkey
+              AND n.n_regionkey = r.r_regionkey
+              AND p.p_size = 15
+              AND r.r_name = 'EUROPE'
+              AND ps.ps_supplycost = (
+                  SELECT min(ps2.ps_supplycost)
+                  FROM ps ps2, supplier s2, nation n2, region r2
+                  WHERE ps2.l_partkey = p.p_partkey
+                    AND s2.s_suppkey = ps2.l_suppkey
+                    AND s2.s_nationkey = n2.n_nationkey
+                    AND n2.n_regionkey = r2.r_regionkey
+                    AND r2.r_name = 'EUROPE'
+              )
+            ORDER BY s.s_acctbal DESC, nation, s.s_name, p.p_partkey
+            LIMIT 100
+        """,
+        "sql_tpch_q9": """
+            SELECT n.n_name AS nation,
+                   CAST(year(o.o_orderdate) AS INT) AS o_year,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)
+                             - 0.4 * p.p_retailprice * l.l_quantity), 4)
+                       AS sum_profit
+            FROM lineitem l, part p, supplier s, orders o, nation n
+            WHERE s.s_suppkey = l.l_suppkey
+              AND p.p_partkey = l.l_partkey
+              AND o.o_orderkey = l.l_orderkey
+              AND s.s_nationkey = n.n_nationkey
+              AND p.p_name LIKE '%gear%'
+            GROUP BY n.n_name, year(o.o_orderdate)
+            ORDER BY nation, o_year DESC
+        """,
+        "sql_tpch_q11": """
+            WITH ps AS (
+                SELECT l.l_partkey, l.l_extendedprice AS cost
+                FROM lineitem l, supplier s, nation n
+                WHERE s.s_suppkey = l.l_suppkey
+                  AND s.s_nationkey = n.n_nationkey
+                  AND n.n_name = 'NATION_9'
+            )
+            SELECT l_partkey AS ps_partkey, round(sum(cost), 4) AS value
+            FROM ps
+            GROUP BY l_partkey
+            HAVING sum(cost) > (SELECT sum(cost) * 0.001 FROM ps)
+            ORDER BY value DESC, ps_partkey
+        """,
+        "sql_tpch_q16": """
+            SELECT p.p_brand, p.p_type, p.p_size,
+                   count(DISTINCT l.l_suppkey) AS supplier_cnt
+            FROM lineitem l, part p
+            WHERE p.p_partkey = l.l_partkey
+              AND p.p_brand <> 'Brand#13'
+              AND p.p_type NOT LIKE 'MEDIUM%'
+              AND p.p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+              AND l.l_suppkey NOT IN (
+                  SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+              )
+            GROUP BY p.p_brand, p.p_type, p.p_size
+            ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+        """,
+        "sql_tpch_q20": """
+            WITH ps AS (
+                SELECT l_partkey, l_suppkey, sum(l_quantity) AS availqty
+                FROM lineitem GROUP BY l_partkey, l_suppkey
+            )
+            SELECT s.s_name, round(s.s_acctbal, 4) AS s_acctbal
+            FROM supplier s, nation n
+            WHERE s.s_nationkey = n.n_nationkey
+              AND n.n_name = 'NATION_9'
+              AND s.s_suppkey IN (
+                  SELECT ps.l_suppkey FROM ps
+                  WHERE ps.l_partkey IN (
+                      SELECT p_partkey FROM part WHERE p_name LIKE 'red%'
+                  )
+                  AND ps.availqty > (
+                      SELECT 0.5 * sum(l2.l_quantity) FROM lineitem l2
+                      WHERE l2.l_partkey = ps.l_partkey
+                        AND l2.l_suppkey = ps.l_suppkey
+                        AND l2.l_shipdate >= TIMESTAMP '1998-01-01'
+                  )
+              )
+            ORDER BY s.s_name
         """,
         "sql_tpch_q18": """
             SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,

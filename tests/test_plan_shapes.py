@@ -142,6 +142,34 @@ class TestCorrelatedSubquery:
         assert "Subquery" not in plan
         assert plan.count("HashAggregate") >= 2
 
+    def test_tpch_q2_decorrelates_to_agg_join(self, spark):
+        """Q2's correlated MIN over the 4-way ps/supplier/nation/region
+        join must decorrelate into one aggregated min-cost side joined
+        back on the part key — not a per-part re-execution of the
+        4-way join — and the comma-join rewrite must leave no
+        cartesian product behind."""
+        import __spark_entry__ as entry
+
+        df = entry.queries()["sql_tpch_q2"](spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "min(ps_supplycost" in plan
+        assert "Subquery" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_tpch_q20_decorrelates_all_three_levels(self, spark):
+        """Q20's nested IN with a correlated scalar half-sum must
+        lower to semi joins + an aggregate join: no surviving subquery
+        nodes, no cartesian products, and the correlated sum appears
+        as an aggregated join side."""
+        import __spark_entry__ as entry
+
+        df = entry.queries()["sql_tpch_q20"](spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "sum(l_quantity" in plan
+        assert "Subquery" not in plan
+        assert "CartesianProduct" not in plan
+        assert "LeftSemi" in plan
+
 
 class TestJoinShapes:
     def test_asof_join_keeps_equi_keys(self, spark):
