@@ -1076,6 +1076,56 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization driven through the STRUCTURED
+    STREAMING engine end-to-end: the events parquet is consumed via
+    readStream, labeled by streaming_sessionize (applyInPandasWithState
+    — per-user (last_ts, session) state in the state store), landed in
+    a memory sink with Trigger.AvailableNow, then rolled to the same
+    per-session stats as the batch ``sessionize`` query and
+    hash-matched against the SAME DuckDB oracle. The fixture is one
+    parquet file, so the run is one micro-batch; multi-batch
+    equivalence (state carried across batches, TTL eviction) is
+    property-locked in tests/test_streaming.py."""
+    from pd_utils_spark.streaming.stateful import streaming_sessionize
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # FileStreamSource wants a directory; glob-filter down to the one
+    # events file inside the sf dir
+    sdf = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .select("user_id", "ts", "event_id")
+    )
+    labeled = streaming_sessionize(
+        sdf, "user_id", "ts", gap_seconds=1800, tiebreak="event_id"
+    )
+    name = "streaming_sessionize_sink"
+    q = (
+        labeled.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    eus = F.unix_micros(F.col("ts"))
+    return (
+        spark.table(name)
+        .groupBy("user_id", "session_index")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            ((F.max(eus) - F.min(eus)) / F.lit(1_000_000.0)).alias(
+                "duration_seconds"
+            ),
+        )
+    )
+
+
 def q_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 1-hour per-user rolling mean/sum/count of event value —
     evaluated as ONE bounded RANGE window pass (O(n) moving aggregate),
@@ -3075,6 +3125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "cohort_retention": q_cohort_retention,
         "sessionize": q_sessionize,
+        "streaming_sessionize": q_streaming_sessionize,
         "session_paths": q_session_paths,
         "suppress_repeats": q_suppress_repeats,
         "rolling_stats": q_rolling_stats,
@@ -6744,4 +6795,8 @@ def oracle_sql() -> dict[str, str]:
           ON e.query_id = a.query_id AND e.vec_id = a.vec_id
         GROUP BY e.query_id
     """
+    # the stream-driven sessionization must reproduce the batch result
+    # exactly, so it shares the batch oracle verbatim (same gap rule,
+    # same tiebreak, same per-session rollup columns)
+    d["streaming_sessionize"] = d["sessionize"]
     return d
