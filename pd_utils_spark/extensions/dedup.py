@@ -837,13 +837,20 @@ def connected_components(
         if checkpoint_dir is not None and prev_ckpt_dir != checkpoint_dir:
             # restore the session-global checkpoint dir (None -> unset
             # is not expressible via the public API; fall back to the
-            # underlying conf so materialize() sees the prior state)
-            if prev_ckpt_dir is not None:
-                spark.sparkContext.setCheckpointDir(prev_ckpt_dir)
-            else:
-                jsc = spark.sparkContext._jsc.sc()
-                none = spark.sparkContext._jvm.scala.Option.apply(None)
-                getattr(jsc, "checkpointDir_$eq")(none)
+            # underlying JVM accessor so materialize() sees the prior
+            # state). Best-effort: the restore must NEVER mask an
+            # already-computed result, and the private accessor could
+            # change across Spark versions — a failed unset merely
+            # leaves the session checkpoint dir set to checkpoint_dir.
+            try:
+                if prev_ckpt_dir is not None:
+                    spark.sparkContext.setCheckpointDir(prev_ckpt_dir)
+                else:
+                    jsc = spark.sparkContext._jsc.sc()
+                    none = spark.sparkContext._jvm.scala.Option.apply(None)
+                    getattr(jsc, "checkpointDir_$eq")(none)
+            except Exception:
+                pass
 
 
 def _cc_run(pairs, src, dst, out, max_iter, _ckpt):
@@ -963,6 +970,8 @@ def winnow_containment_pairs(
     with an observe metric (ubiquitous boilerplate fingerprints would
     otherwise fan out O(B^2)), and the pair count is one equi-self-join
     on the fingerprint + one aggregation — never all-pairs over docs.
+    Per-doc fingerprint counts are taken AFTER the cap so n_shared and
+    the containment denominator describe the same surviving set.
     """
     from pd_utils_spark.extensions.text import winnowing_fingerprints
 
@@ -973,9 +982,14 @@ def winnow_containment_pairs(
         .select(F.col(idcol), fp.alias("__fp__"))
         .distinct()
     )
-    counts = ex.groupBy(idcol).agg(F.count("*").alias("__nfp__"))
     if max_bucket is not None:
         ex = _cap_buckets(ex, ["__fp__"], max_bucket, "winnow_cap")
+    # per-doc counts come from the CAPPED frame so numerator and
+    # denominator are consistent: a boilerplate-heavy contained doc
+    # can still reach containment = 1.0 on its surviving fingerprints
+    # (counting pre-cap would deflate containment and silently sink
+    # pairs below min_shared)
+    counts = ex.groupBy(idcol).agg(F.count("*").alias("__nfp__"))
     a = ex.select(F.col(idcol).alias("id_a"), "__fp__")
     b = ex.select(F.col(idcol).alias("id_b"), "__fp__")
     shared = (

@@ -432,6 +432,7 @@ def fuzzy_join(
     block_len: int = 2,
     normalize: bool = True,
     out: str = "edit_distance",
+    suffix: str = "_right",
 ) -> DataFrame:
     """Blocked edit-distance record linkage: pair left and right rows
     whose (normalized) strings are within ``max_distance`` Levenshtein
@@ -451,9 +452,14 @@ def fuzzy_join(
       a small (broadcastable) right side.
 
     Output: the left columns, matching right columns, and ``out`` =
-    the edit distance (0 = exact after normalization). Inner-join
-    semantics: unmatched rows drop (wrap with a left join on the
-    result keys for keep-all linkage).
+    the edit distance (0 = exact after normalization). Right-side
+    columns whose names collide with a left column are renamed with
+    ``suffix`` (pandas-merge style) so the result is always
+    selectable — without this, joining two frames that share ANY
+    non-key column name yields ambiguous duplicates that fail on the
+    first downstream select. Inner-join semantics: unmatched rows
+    drop (wrap with a left join on the result keys for keep-all
+    linkage).
 
     Scale shape: one equi-join on the block key (hash-partitioned,
     8-40 byte keys) + the Levenshtein filter evaluated only on
@@ -465,6 +471,19 @@ def fuzzy_join(
     if block not in ("prefix", "soundex", "none"):
         raise ValueError(f"block must be prefix/soundex/none, got {block!r}")
     right_on = right_on or left_on
+    shared = [c for c in right.columns if c in set(left.columns)]
+    if shared:
+        if not suffix:
+            raise ValueError(
+                f"left and right share columns {shared} and suffix is "
+                "empty; pass a non-empty suffix or disjoint schemas"
+            )
+        renamed = {c: c + suffix for c in shared}
+        clash = [n for n in renamed.values() if n in set(left.columns) | set(right.columns)]
+        if clash:
+            raise ValueError(f"suffixed names {clash} still collide")
+        right = right.withColumnsRenamed(renamed)
+        right_on = renamed.get(right_on, right_on)
     lnorm = F.col(left_on)
     rnorm = F.col(right_on)
     if normalize:

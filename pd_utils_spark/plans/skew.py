@@ -117,6 +117,7 @@ def hot_key_join(
     on: str | Sequence[str],
     hot_threshold: int = 1_000_000,
     how: str = "inner",
+    max_broadcast_rows: int = 2_000_000,
 ) -> DataFrame:
     """Two-path skew join: keys whose LEFT-side row count exceeds
     ``hot_threshold`` take a broadcast path (only the HOT keys' right
@@ -134,6 +135,15 @@ def hot_key_join(
     ``how`` supports 'inner' and 'left' (the paths partition the LEFT
     rows, so left-outer semantics compose; right/full-outer would need
     unmatched-right bookkeeping across paths).
+
+    Broadcast safety: a key hot on the LEFT is often hot on the RIGHT
+    too (the common real-skew case), and force-broadcasting millions
+    of right rows OOMs the driver/executors instead of degrading. The
+    hot-key right rows are therefore COUNTED first (one column-pruned
+    job) and, above ``max_broadcast_rows``, the join falls back to
+    :func:`salted_join` — graceful degradation instead of a crash. The
+    count also short-circuits: zero hot keys -> plain shuffle join
+    with no union overhead.
     """
     if how not in ("inner", "left", "left_outer", "leftouter"):
         raise ValueError(
@@ -149,10 +159,20 @@ def hot_key_join(
     # the hot-key set is small by construction (each key has >threshold
     # rows, so there are at most n_rows/threshold of them) — broadcast
     # it for the semi/anti splits and the right-side filter
-    hot_b = F.broadcast(hot)
+    hot_b = F.broadcast(hot.persist())
+    hot_right_plan = right.join(hot_b, on_l, "left_semi")
+    hot_right_rows = hot_right_plan.count()
+    if hot_right_rows > max_broadcast_rows:
+        # right side of the hot keys is itself too big to broadcast:
+        # replicate-and-salt handles two-sided skew without collecting
+        hot.unpersist()
+        return salted_join(left, right, on=on_l, how=how)
+    if hot_right_rows == 0:
+        hot.unpersist()
+        return left.join(right, on_l, how)
     cold_left = left.join(hot_b, on_l, "left_anti")
     hot_left = left.join(hot_b, on_l, "left_semi")
-    hot_right = F.broadcast(right.join(hot_b, on_l, "left_semi"))
+    hot_right = F.broadcast(hot_right_plan)
     cold = cold_left.join(right, on_l, how)
     hot_res = hot_left.join(hot_right, on_l, how)
     return cold.unionByName(hot_res)

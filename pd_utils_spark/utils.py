@@ -82,7 +82,17 @@ def materialize(df: DataFrame, eager: bool = False) -> DataFrame:
         # persist first so the first action computes the subtree once
         # (see docstring); the checkpoint write then reads the cache.
         df.persist(StorageLevel.MEMORY_AND_DISK)
-        return df.checkpoint(eager=eager)
+        out = df.checkpoint(eager=eager)
+        if eager:
+            # the checkpoint files now supersede the cache; drop it so
+            # repeated materialize() calls don't pin redundant copies
+            # for the rest of the session
+            df.unpersist()
+        # lazy: the cache must survive until the caller's first action
+        # materializes the checkpoint; callers doing many lazy
+        # checkpoints should unpersist the source afterwards (or
+        # spark.catalog.clearCache()) to reclaim the superseded blocks
+        return out
     out = df.persist(StorageLevel.MEMORY_AND_DISK)
     if eager:
         out.count()

@@ -536,3 +536,39 @@ class TestWinnowContainment:
         n_shared, containment = pairs[(1, 3)]
         assert containment == 1.0  # doc 1's fingerprints all inside doc 3
         assert n_shared >= 1
+
+    def test_cap_keeps_numerator_and_denominator_consistent(self, spark):
+        """With a bucket cap low enough to drop boilerplate
+        fingerprints, the per-doc counts must come from the CAPPED
+        frame: a contained doc whose surviving fingerprints all appear
+        in its container still scores containment = 1.0 (pre-cap
+        counting would deflate it below 1 and could sink the pair
+        under min_shared entirely)."""
+        boiler = "copyright two thousand twenty four all rights reserved "
+        uniq = "zebra quill xylophone jigsaw kumquat vortex banjo prism "
+        docs = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": list(range(1, 9)),
+                    "text": [
+                        # 1 is fully contained in 2; both carry the
+                        # boilerplate run shared by every doc
+                        boiler + uniq,
+                        boiler + uniq + "plus an extra closing sentence here",
+                    ]
+                    + [
+                        boiler + f"filler number {i} words differ entirely "
+                        f"alpha beta gamma delta epsilon {i}"
+                        for i in range(6)
+                    ],
+                }
+            )
+        )
+        # cap of 4 drops the boilerplate fingerprints (present in all 8
+        # docs) but keeps the unique run shared only by docs 1 and 2
+        out = D.winnow_containment_pairs(
+            docs, min_shared=1, max_bucket=4
+        ).collect()
+        pairs = {(r.id_a, r.id_b): r.containment for r in out}
+        assert (1, 2) in pairs
+        assert pairs[(1, 2)] == 1.0

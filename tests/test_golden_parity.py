@@ -1217,3 +1217,25 @@ class TestFuzzyJoin:
         assert pus.fuzzy_join(left, right, "name", block="none").count() == 1
         with pytest.raises(ValueError, match="block"):
             pus.fuzzy_join(left, right, "name", block="bogus")
+
+    def test_shared_columns_suffixed_and_selectable(self, spark):
+        """Shared non-key columns must come back suffixed so every
+        output column is unambiguous — including the join column
+        itself when both sides use the same name."""
+        left = spark.createDataFrame(
+            pd.DataFrame({"lid": [1], "name": ["acme"], "city": ["nyc"]})
+        )
+        right = spark.createDataFrame(
+            pd.DataFrame({"rid": [2], "name": ["acme"], "city": ["sfo"]})
+        )
+        out = pus.fuzzy_join(left, right, "name", max_distance=0)
+        assert set(out.columns) == {
+            "lid", "name", "city", "rid", "name_right", "city_right",
+            "edit_distance",
+        }
+        row = out.select("city", "city_right", "name", "name_right").first()
+        assert (row.city, row.city_right) == ("nyc", "sfo")
+        # empty suffix with a collision must raise early, not produce
+        # an ambiguous frame
+        with pytest.raises(ValueError, match="share columns"):
+            pus.fuzzy_join(left, right, "name", suffix="")

@@ -245,3 +245,40 @@ class TestHotKeyJoin:
         left, right = self._data(spark)
         with _pytest.raises(ValueError, match="inner"):
             hot_key_join(left, right, "k", how="full")
+
+    def test_two_sided_skew_falls_back_to_salted(self, spark):
+        """When the hot keys' RIGHT rows exceed max_broadcast_rows the
+        join must degrade to salted_join (same result) instead of
+        force-broadcasting an unbounded right side."""
+        import pandas as pd
+
+        from pd_utils_spark.plans.skew import hot_key_join
+
+        left = spark.createDataFrame(
+            pd.DataFrame({"k": [0] * 50 + [1] * 5, "v": range(55)})
+        )
+        # key 0 is hot on BOTH sides
+        right = spark.createDataFrame(
+            pd.DataFrame({"k": [0] * 30 + [1], "payload": range(31)})
+        )
+        for how in ("inner", "left"):
+            out = hot_key_join(
+                left, right, "k", hot_threshold=10, how=how,
+                max_broadcast_rows=5,
+            )
+            plan = out._jdf.queryExecution().executedPlan().toString()
+            # the salted fallback replicates the right side over salts
+            assert "__salt__" not in out.columns
+            assert "Generate explode" in plan or "explode" in plan
+            got = out.groupBy().count().first()[0]
+            expect = left.join(right, "k", how).count()
+            assert got == expect
+
+    def test_no_hot_keys_short_circuits_to_plain_join(self, spark):
+        from pd_utils_spark.plans.skew import hot_key_join
+
+        left, right = self._data(spark)
+        out = hot_key_join(left, right, "k", hot_threshold=10_000)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Union" not in plan
+        assert out.count() == left.join(right, "k", "inner").count()
