@@ -1872,6 +1872,30 @@ def q_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_doubles(out.select("doc_id", "dup_ngram_frac"))
 
 
+def q_near_dup_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared-intermediate near-dup BUNDLE verified as a whole:
+    near_dup_analysis builds the LSH->Jaccard pair graph and its
+    connected components ONCE and exposes pairs/components/
+    cluster_stats/deduped views. The bundle is the documented fast
+    path for real pipelines (measured 0.44x vs running its members
+    separately, SCALE.md round 4) — this query closes the gap between
+    'measured faster' and 'verified correct' by hash-matching its
+    (n_pairs, n_components, n_survivors) summary against the same
+    recursive-CTE closure oracle its member queries use."""
+    u = _docs_with_copies(spark, sf_dir)
+    b = pus_dedup.near_dup_analysis(
+        u, k=3, num_hashes=12, bands=4, threshold=0.5
+    )
+    n_pairs = b["pairs"].agg(F.count("*").alias("n_pairs"))
+    n_comp = b["components"].agg(
+        F.countDistinct("component").alias("n_components")
+    )
+    n_surv = b["deduped"].agg(F.count("*").alias("n_survivors"))
+    return n_pairs.crossJoin(F.broadcast(n_comp)).crossJoin(
+        F.broadcast(n_surv)
+    )
+
+
 def q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster sizes: the LSH->Jaccard pair graph's connected
     components aggregated to (component, cluster_size) — what a corpus
@@ -3173,6 +3197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_top_fraction": q_filter_top_fraction,
         "source_overlap": q_source_overlap,
         "dedup_cluster_stats": q_dedup_cluster_stats,
+        "near_dup_analysis": q_near_dup_analysis,
         "ann_recall": q_ann_recall,
         "ann_pq_topk": q_ann_pq_topk,
         "group_quantiles": q_group_quantiles,
@@ -6782,6 +6807,23 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT component, count(*) AS cluster_size
             FROM comp GROUP BY component
+        """
+    )
+    # the near-dup bundle's summary is derived from the SAME closure
+    # chain: n_pairs from the verified pair CTE, n_components over the
+    # min-id labels, n_survivors = corpus minus losers
+    d["near_dup_analysis"] = (
+        prefix
+        + """, comp AS (
+                SELECT a AS doc_id, least(a, min(b)) AS component
+                FROM r GROUP BY a
+            )
+            SELECT (SELECT count(*) FROM p) AS n_pairs,
+                   (SELECT count(DISTINCT component) FROM comp)
+                       AS n_components,
+                   (SELECT count(*) FROM u)
+                     - (SELECT count(*) FROM comp WHERE component <> doc_id)
+                       AS n_survivors
         """
     )
     # recall@k of the ANN path vs brute force, composed from the two

@@ -20,6 +20,7 @@ def pagerank(
     damping: float = 0.85,
     iters: int = 10,
     out: str = "rank",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """PageRank over a directed edge list — ``(node, rank)`` for every
     node appearing as source or destination, after exactly ``iters``
@@ -37,18 +38,41 @@ def pagerank(
     Scale shape: the per-round work is ONE equi-join of the rank
     frame with the (pre-aggregated, persisted) edge+outdegree frame
     and ONE aggregation on the destination — both shuffle the EDGE
-    list, never anything document-sized. Rounds checkpoint
-    (``localCheckpoint``; wrap the call with a reliable checkpoint dir
-    via ``sparkContext.setCheckpointDir`` + ``materialize`` patterns
-    for multi-hour jobs) so the plan does not grow with iterations.
-    A fixed iteration count (not a convergence test) keeps the
-    per-round driver action count at zero.
+    list, never anything document-sized. Rounds checkpoint so the
+    plan does not grow with iterations; a fixed iteration count (not
+    a convergence test) keeps the per-round driver action count at
+    zero in the default mode.
+
+    ``checkpoint_dir``: by default rounds use ``localCheckpoint`` —
+    fastest, but executor loss mid-run is job-fatal because the
+    truncated lineage lives in executor memory. Pass a reliable
+    (HDFS/S3) directory for multi-hour cluster runs: rounds then use
+    eager ``checkpoint`` writes to stable storage (one extra action
+    per round — the price of surviving executor loss), matching
+    ``connected_components``' contract; the session checkpoint dir is
+    restored (best-effort) on return.
     """
     if not 0.0 < damping < 1.0:
         raise ValueError(f"damping must be in (0, 1): {damping}")
     if iters < 1:
         raise ValueError(f"iters must be >= 1: {iters}")
     from pyspark import StorageLevel
+
+    spark = edges.sparkSession
+    reliable = checkpoint_dir is not None
+    prev_ckpt_dir = None
+    if reliable:
+        try:
+            prev_ckpt_dir = spark.sparkContext.getCheckpointDir()
+        except Exception:
+            prev_ckpt_dir = None
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _ckpt(d: DataFrame) -> DataFrame:
+        # reliable mode materializes each round to stable storage
+        # (eager also guarantees the final frame is written before the
+        # session dir is restored below)
+        return d.checkpoint(eager=True) if reliable else d.localCheckpoint(eager=False)
 
     e = edges.select(F.col(src).alias("__s__"), F.col(dst).alias("__d__"))
     nodes = (
@@ -65,29 +89,41 @@ def pagerank(
     )
     base = (1.0 - damping) / n_nodes
     ranks = nodes.select("__n__", F.lit(1.0 / n_nodes).alias("__r__"))
-    for _ in range(iters):
-        contrib = (
-            contrib_edges.join(
-                ranks, contrib_edges["__s__"] == ranks["__n__"]
+    try:
+        for _ in range(iters):
+            contrib = (
+                contrib_edges.join(
+                    ranks, contrib_edges["__s__"] == ranks["__n__"]
+                )
+                .select(
+                    F.col("__d__").alias("__n__"),
+                    (F.col("__r__") / F.col("__deg__")).alias("__c__"),
+                )
+                .groupBy("__n__")
+                .agg(F.sum("__c__").alias("__in__"))
             )
-            .select(
-                F.col("__d__").alias("__n__"),
-                (F.col("__r__") / F.col("__deg__")).alias("__c__"),
+            ranks = _ckpt(
+                nodes.join(contrib, "__n__", "left")
+                .select(
+                    "__n__",
+                    (
+                        F.lit(base)
+                        + F.lit(damping) * F.coalesce("__in__", F.lit(0.0))
+                    ).alias("__r__"),
+                )
             )
-            .groupBy("__n__")
-            .agg(F.sum("__c__").alias("__in__"))
-        )
-        ranks = (
-            nodes.join(contrib, "__n__", "left")
-            .select(
-                "__n__",
-                (
-                    F.lit(base)
-                    + F.lit(damping) * F.coalesce("__in__", F.lit(0.0))
-                ).alias("__r__"),
-            )
-            .localCheckpoint(eager=False)
-        )
+    finally:
+        if reliable and prev_ckpt_dir != checkpoint_dir:
+            # best-effort restore — must never mask the computed result
+            try:
+                if prev_ckpt_dir is not None:
+                    spark.sparkContext.setCheckpointDir(prev_ckpt_dir)
+                else:
+                    jsc = spark.sparkContext._jsc.sc()
+                    none = spark.sparkContext._jvm.scala.Option.apply(None)
+                    getattr(jsc, "checkpointDir_$eq")(none)
+            except Exception:
+                pass
     return ranks.select(F.col("__n__").alias("node"), F.col("__r__").alias(out))
 
 

@@ -39,6 +39,34 @@ class TestPagerank:
         with pytest.raises(ValueError, match="iters"):
             pagerank(e, iters=0)
 
+    def test_reliable_checkpoint_dir_identical_result(self, spark, tmp_path):
+        """The reliable-checkpoint path (eager checkpoint to a real
+        directory, the cluster recommendation for multi-hour runs)
+        must produce bit-identical ranks to the default localCheckpoint
+        path, write checkpoint files, and restore the session
+        checkpoint dir afterwards."""
+        edges = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 1), (4, 3)]
+        e = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
+        try:
+            prev = spark.sparkContext.getCheckpointDir()
+        except Exception:
+            prev = None
+        default = {r.node: r.rank for r in pagerank(e, iters=8).collect()}
+        ckdir = str(tmp_path / "pr_ckpt")
+        reliable = {
+            r.node: r.rank
+            for r in pagerank(e, iters=8, checkpoint_dir=ckdir).collect()
+        }
+        assert reliable == default
+        import os
+
+        assert any(os.scandir(ckdir))  # rounds really wrote to disk
+        try:
+            after = spark.sparkContext.getCheckpointDir()
+        except Exception:
+            after = None
+        assert after == prev
+
 
 class TestHits:
     def test_matches_dense_reference(self, spark):

@@ -496,3 +496,75 @@ def test_canonical_url_idempotent(spark, urls):
     )
     twice = W.canonicalize_urls(once).toPandas()
     assert (twice.url == twice.canonical_url).all()
+
+
+event_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),      # key
+        st.integers(min_value=0, max_value=120),    # ts offset seconds
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(rows=event_rows, within=st.integers(min_value=1, max_value=40))
+@settings(**SETTINGS)
+def test_suppress_repeats_idempotent(spark, rows, within):
+    """Suppressing an already-suppressed stream is identity. Under the
+    burst rule this is NOT obvious: survivors are burst-firsts, and
+    the proof rests on consecutive survivors being separated by more
+    than the threshold (first(k+1) - first(k) >= first(k+1) -
+    last(k) > within). A greedy 'gap since last survivor' variant
+    would also be idempotent, but a buggy hybrid (e.g. burst labels
+    recomputed over surviving rows with stale lags) is not — this
+    pins the contract."""
+    from pd_utils_spark.extensions import events as E
+
+    pdf = pd.DataFrame(rows, columns=["k", "off"])
+    pdf["event_id"] = range(len(pdf))
+    pdf["ts"] = pd.Timestamp("2024-01-01") + pd.to_timedelta(pdf.off, unit="s")
+    df = spark.createDataFrame(pdf[["k", "event_id", "ts"]])
+    once = E.suppress_repeats(
+        df, "k", "ts", within_seconds=within, tiebreak="event_id"
+    )
+    twice = E.suppress_repeats(
+        once, "k", "ts", within_seconds=within, tiebreak="event_id"
+    )
+    o = sorted(map(tuple, once.toPandas().itertuples(index=False)))
+    t = sorted(map(tuple, twice.toPandas().itertuples(index=False)))
+    assert o == t
+
+
+@given(
+    counts=st.lists(st.integers(min_value=1, max_value=8), min_size=1, max_size=5),
+    n=st.integers(min_value=1, max_value=4),
+)
+@settings(**SETTINGS)
+def test_session_paths_count_conservation(spark, counts, n):
+    """On a gap-free fixture (every user's events 1 s apart -> exactly
+    one session per user), the total path occurrences must equal
+    sum over users of max(0, len - n + 1) and every path's n_sessions
+    is bounded by the user count — the sliding-window conservation law
+    that catches off-by-one slicing or dropped tail windows."""
+    from pd_utils_spark.extensions import events as E
+
+    recs = []
+    eid = 0
+    for u, cnt in enumerate(counts):
+        for i in range(cnt):
+            recs.append(
+                (u, eid, pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=i),
+                 f"t{eid % 3}")
+            )
+            eid += 1
+    pdf = pd.DataFrame(recs, columns=["user_id", "event_id", "ts", "event_type"])
+    df = spark.createDataFrame(pdf)
+    out = E.session_paths(
+        df, "user_id", "ts", "event_type", n=n, gap_seconds=1800,
+        tiebreak="event_id",
+    ).toPandas()
+    expect_total = sum(max(0, c - n + 1) for c in counts)
+    assert out.n_occurrences.sum() == expect_total
+    assert (out.n_sessions <= len(counts)).all()
+    assert (out.n_sessions >= 1).all() if len(out) else True
