@@ -9,9 +9,8 @@ Python loop (e.g. over a list of partitions/dates being submitted).
 
 from __future__ import annotations
 
-import datetime
-import sys
-import timeit
+import time
+from datetime import datetime, timedelta
 
 
 def estimate_time(
@@ -19,28 +18,28 @@ def estimate_time(
     i: int,
     start_time: float,
     output: bool = True,
-) -> datetime.datetime:
+) -> datetime:
     """Estimate when a loop will finish; call at the end of each
-    iteration with ``start_time = timeit.default_timer()`` taken before
-    the loop (reference: pd_utils/timer.py:6-45).
+    iteration with ``start_time = timeit.default_timer()`` (equivalently
+    ``time.perf_counter()``) taken before the loop
+    (reference: pd_utils/timer.py:6-45).
 
     :param length: total number of iterations
     :param i: current zero-based iteration index
-    :param start_time: ``timeit.default_timer()`` value from before the loop
+    :param start_time: ``time.perf_counter()`` value from before the loop
     :param output: False to suppress the progress line
     :return: estimated wall-clock finish time
     """
     done = i + 1
-    per_loop = (timeit.default_timer() - start_time) / done
-    remaining_sec = per_loop * (length - done)
-    est_finish_time = datetime.datetime.now() + datetime.timedelta(
-        seconds=remaining_sec
-    )
+    elapsed = time.perf_counter() - start_time
+    # elapsed * (length/done - 1) == per-iteration mean * iterations left
+    eta = datetime.now() + timedelta(seconds=elapsed * (length / done - 1.0))
 
     if output:
-        pct = i / length
-        msg = f"Completed {i}/{length} ({pct:.0%}) — ETA {est_finish_time}"
-        print(msg, end="\r")
-        sys.stdout.flush()
+        print(
+            f"Completed {i}/{length} ({i / length:.0%}) — ETA {eta}",
+            end="\r",
+            flush=True,
+        )
 
-    return est_finish_time
+    return eta

@@ -99,6 +99,31 @@ def materialize(df: DataFrame, eager: bool = False) -> DataFrame:
     return out
 
 
+def observed_metrics(df: DataFrame) -> dict[str, dict]:
+    """Observed metrics of ``df``'s LAST executed action, as
+    ``{metric_name: {field: value}}`` — the reader side of
+    ``DataFrame.observe(name, ...)`` (which the flood caps and plan
+    barriers emit). Metrics exist only AFTER an action has run on this
+    exact DataFrame; an un-executed frame returns ``{}``.
+
+    This is how callers audit what a ``max_bucket`` cap dropped
+    without paying a separate count job: collect the result, then read
+    ``observed_metrics(result)["lsh_bucket_cap_1"]["dropped_rows"]``.
+    """
+    out: dict[str, dict] = {}
+    it = df._jdf.queryExecution().observedMetrics().iterator()
+    while it.hasNext():
+        entry = it.next()
+        row = entry._2()
+        schema = row.schema()
+        fields = {
+            schema.fields()[i].name(): row.get(i)
+            for i in range(row.length())
+        }
+        out[entry._1()] = fields
+    return out
+
+
 _BARRIER_COUNT = [0]
 
 

@@ -510,6 +510,62 @@ class TestBinaryExactDedup:
         assert kept == [1, 3]
 
 
+class TestFloodCapObservability:
+    def test_lsh_cap_drops_are_logged_and_recall_preserved(self, spark):
+        """Corpus-level flood-cap evidence: a boilerplate flood (every
+        band of 30 identical docs lands in one bucket) is dropped by
+        max_bucket, the drop count is READABLE from the observe metric
+        (docs x bands rows), and the genuinely-near-dup pair outside
+        the flood still pairs — the recall the cap is allowed to cost
+        is the flood itself, nothing else. Mirrors the
+        scripts/bench_dedup_skew.py lanes recorded in SCALE.md."""
+        from pd_utils_spark.utils import observed_metrics
+
+        boiler = (
+            "identical boilerplate template page with the same words "
+            "everywhere " * 3
+        )
+        rows = [{"doc_id": i, "text": boiler} for i in range(30)]
+        rows += [
+            {"doc_id": 100, "text": "a genuinely unique pelican document "
+                                    "about nesting habits near rivers"},
+            {"doc_id": 101, "text": "a genuinely unique pelican document "
+                                    "about nesting habits near lakes"},
+        ]
+        df = spark.createDataFrame(pd.DataFrame(rows))
+        out = D.lsh_candidate_pairs(df, max_bucket=10)
+        pairs = {(r.id_a, r.id_b) for r in out.collect()}
+        assert pairs == {(100, 101)}  # flood gone, true pair kept
+        caps = {
+            name: m["dropped_rows"]
+            for name, m in observed_metrics(out).items()
+            if name.startswith("lsh_bucket_cap")
+        }
+        assert caps, "cap metric missing from the executed plan"
+        # 30 flooded docs x 4 bands, every band bucket over the cap
+        assert sum(caps.values()) == 120
+
+    def test_uncapped_flood_pairs_quadratically(self, spark):
+        """Sanity floor for the SCALE.md numbers: with the cap
+        disabled the same flood produces all C(30,2) boilerplate pairs
+        plus the true pair — the quadratic blow-up the cap exists to
+        stop."""
+        boiler = (
+            "identical boilerplate template page with the same words "
+            "everywhere " * 3
+        )
+        rows = [{"doc_id": i, "text": boiler} for i in range(30)]
+        rows += [
+            {"doc_id": 100, "text": "a genuinely unique pelican document "
+                                    "about nesting habits near rivers"},
+            {"doc_id": 101, "text": "a genuinely unique pelican document "
+                                    "about nesting habits near lakes"},
+        ]
+        df = spark.createDataFrame(pd.DataFrame(rows))
+        out = D.lsh_candidate_pairs(df, max_bucket=None)
+        assert out.count() == 30 * 29 // 2 + 1
+
+
 class TestWinnowContainment:
     def test_embedded_copy_detected_with_full_containment(self, spark):
         base = (
