@@ -1126,6 +1126,60 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom stateful operator driven through the STREAMING
+    engine and hash-checked against a batch oracle: per-user running
+    (sum, count, mean) of event value via applyInPandasWithState
+    (update mode, two-scalar state per key), one AvailableNow pass
+    over the events parquet, latest emitted row per key == the
+    batch per-user aggregate. Complements streaming_sessionize: that
+    one checks custom ROW-LABELING state, this one checks custom
+    AGGREGATING state."""
+    from pyspark.sql import Window
+
+    from pd_utils_spark.streaming.stateful import stateful_running_agg
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    sdf = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select("user_id", "value")
+    )
+    agg = stateful_running_agg(sdf, "user_id", "value")
+    name = "streaming_running_agg_sink"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # latest emitted row per key (running_count is monotone per key,
+    # so max-count row == final state even across multiple batches)
+    # event values are 2-decimal, so round(sum, 2) reconstructs the
+    # decimal-exact total on BOTH engines (pandas vs DuckDB summation
+    # order differs by ulps, never by 0.005); the mean is then derived
+    # by IEEE division of identical doubles — no quotient rounding,
+    # which on this data would sit on exact decimal midpoints
+    # (power-of-2 counts x 2-decimal values) and flip per engine.
+    w = Window.partitionBy("user_id").orderBy(F.desc("running_count"))
+    return (
+        spark.table(name)
+        .withColumn("__rk__", F.row_number().over(w))
+        .filter(F.col("__rk__") == 1)
+        .select(
+            "user_id",
+            F.round("running_sum", 2).alias("running_sum"),
+            "running_count",
+            (F.round("running_sum", 2) / F.col("running_count")).alias(
+                "running_mean"
+            ),
+        )
+    )
+
+
 def q_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 1-hour per-user rolling mean/sum/count of event value —
     evaluated as ONE bounded RANGE window pass (O(n) moving aggregate),
@@ -3150,6 +3204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "sessionize": q_sessionize,
         "streaming_sessionize": q_streaming_sessionize,
+        "streaming_running_agg": q_streaming_running_agg,
         "session_paths": q_session_paths,
         "suppress_repeats": q_suppress_repeats,
         "rolling_stats": q_rolling_stats,
@@ -6841,4 +6896,15 @@ def oracle_sql() -> dict[str, str]:
     # exactly, so it shares the batch oracle verbatim (same gap rule,
     # same tiebreak, same per-session rollup columns)
     d["streaming_sessionize"] = d["sessionize"]
+    # the stream's final per-key state must equal the batch aggregate;
+    # sum is rounded to its decimal-exact 2 dp and the mean derived by
+    # identical IEEE division (see q_streaming_running_agg)
+    d["streaming_running_agg"] = """
+        SELECT user_id,
+               round(sum(value), 2) AS running_sum,
+               count(value) AS running_count,
+               round(sum(value), 2) / count(value) AS running_mean
+        FROM events
+        GROUP BY user_id
+    """
     return d
