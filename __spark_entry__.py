@@ -572,16 +572,20 @@ def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_approx_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch aggregates (HLL++ distinct, t-digest quantiles) with a
-    HARD oracle signal: exact stats (DuckDB-matchable) plus booleans
-    asserting each sketch is within its documented error bound — a
-    broken sketch flips a boolean and fails the hash."""
+    """Sketch aggregates (HLL++ distinct, t-digest quantiles): exact
+    stats (DuckDB-matchable) plus the raw HLL++ estimate with its
+    literal VALUE pinned in the oracle (the estimate is deterministic
+    — HLL registers max-merge, order-insensitive — verified stable
+    across shuffle-partition settings), so the sketch itself is
+    certified, not a boolean computed about it. The quantile sketch
+    keeps its error-bound boolean only: GK/t-digest merges are
+    partition-order-sensitive, so its exact value is not pinnable."""
     from pd_utils_spark.extensions.approx import approx_group_stats_check
 
     li = _t(spark, sf_dir, "lineitem")
     out = approx_group_stats_check(
         li, "l_returnflag", distinct_col="l_orderkey",
-        quantile_col="l_extendedprice", q=0.5,
+        quantile_col="l_extendedprice", q=0.5, keep_estimates=True,
     )
     return _round_doubles(out)
 
@@ -4697,12 +4701,19 @@ def oracle_sql() -> dict[str, str]:
                 (3, 10, 9, 10), (4, 10, 5, 10)
             ) AS t(query_id, k, approx_hits, exhaustive_hits)
         """,
-        # Exact stats are computed on both engines; the within-bound
-        # booleans are computed for real on Spark (sketch vs exact) and
-        # pinned TRUE in the oracle.
+        # Exact stats are computed on both engines; the HLL++ estimate
+        # is deterministic (register max-merge is order-insensitive,
+        # verified stable across shuffle-partition settings) so its
+        # VALUE is pinned per group — a broken sketch changes the
+        # number, not just a self-computed boolean. The quantile
+        # sketch's merge is partition-order-sensitive, so it keeps the
+        # (Spark-computed) error-bound boolean only.
         "approx_group_stats": f"""
             SELECT l_returnflag,
                    count(DISTINCT l_orderkey) AS n_distinct_exact,
+                   CASE l_returnflag WHEN 'A' THEN 11114
+                                     WHEN 'N' THEN 10109
+                                     ELSE 11377 END AS n_distinct_approx,
                    round(quantile_cont(l_extendedprice, 0.5), {r}) AS q_exact,
                    TRUE AS distinct_within_bound,
                    TRUE AS quantile_within_bound

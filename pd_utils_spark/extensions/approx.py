@@ -65,6 +65,7 @@ def approx_group_stats_check(
     accuracy: int = 10_000,
     distinct_tol_sigma: float = 3.0,
     rank_tol: float = 0.01,
+    keep_estimates: bool = False,
 ) -> DataFrame:
     """Per-group EXACT stats plus booleans asserting the sketches of
     ``approx_group_stats`` sit within their documented error bounds:
@@ -82,6 +83,14 @@ def approx_group_stats_check(
 
     A broken sketch (or a broken exact aggregate) flips a boolean and
     fails the hash — this is the oracle harness for the approx path.
+
+    ``keep_estimates``: also return the raw HLL++ estimate
+    (``n_distinct_approx``). The estimate is DETERMINISTIC across
+    partitionings (HLL registers are max-merged — order-insensitive),
+    so an external oracle can pin its literal value, certifying the
+    sketch itself rather than a boolean computed about it. The
+    t-digest/GK quantile stays boolean-bounded only: its merge is
+    partition-order-sensitive, so its exact value is not pinnable.
     """
     byvars_l = to_list(byvars)
     sk = approx_group_stats(
@@ -112,10 +121,10 @@ def approx_group_stats_check(
         F.col("__qs__")[0].alias("__qlo__"),
         F.col("__qs__")[2].alias("__qhi__"),
     )
-    return exact.join(sk, byvars_l).select(
+    cols = [
         *byvars_l,
-        "n_distinct_exact",
-        "q_exact",
+        F.col("n_distinct_exact"),
+        F.col("q_exact"),
         (
             F.abs(F.col(ad) - F.col("n_distinct_exact"))
             <= F.lit(distinct_tol_sigma * rsd) * F.col("n_distinct_exact")
@@ -123,4 +132,7 @@ def approx_group_stats_check(
         F.col(aq).between(F.col("__qlo__"), F.col("__qhi__")).alias(
             "quantile_within_bound"
         ),
-    )
+    ]
+    if keep_estimates:
+        cols.insert(len(byvars_l) + 1, F.col(ad).alias("n_distinct_approx"))
+    return exact.join(sk, byvars_l).select(*cols)
