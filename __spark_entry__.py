@@ -611,6 +611,17 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pus_text.unigram_logprob(d, round_to=4)
 
 
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-language head/middle/tail perplexity terciles
+    under the corpus unigram LM — the quality-slicing step between LM
+    scoring and sampling in the CCNet/RedPajama recipes. The oracle
+    recomputes the LM, the interpolated per-language tercile cutoffs,
+    AND every document's bucket label."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    out = pus_text.perplexity_buckets(d, bycol="lang", round_to=4)
+    return out
+
+
 def q_source_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").select("source", "text")
     return pus_text.source_kl_drift(d, round_to=6)
@@ -3174,6 +3185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tf_idf": q_tf_idf,
         "bm25_topk": q_bm25_topk,
         "unigram_logprob": q_unigram_logprob,
+        "perplexity_buckets": q_perplexity_buckets,
         "source_kl_drift": q_source_kl_drift,
         "chunk_documents": q_chunk_documents,
         "flag_outliers_mad": q_flag_outliers_mad,
@@ -4264,6 +4276,39 @@ def oracle_sql() -> dict[str, str]:
                    round(exp(-avg(ln(lm.tc / tot.tot))), 4) AS perplexity
             FROM t JOIN lm USING (token) CROSS JOIN tot
             GROUP BY doc_id
+        """,
+        "perplexity_buckets": """
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+                FROM documents
+            ), t AS (
+                SELECT doc_id, token FROM tok WHERE length(token) > 0
+            ), lm AS (
+                SELECT token, count(*) AS tc FROM t GROUP BY 1
+            ), tot AS (
+                SELECT cast(sum(tc) AS double) AS tot FROM lm
+            ), lp AS (
+                SELECT doc_id, count(*) AS n_tokens,
+                       avg(ln(lm.tc / tot.tot)) AS logprob_mean
+                FROM t JOIN lm USING (token) CROSS JOIN tot
+                GROUP BY doc_id
+            ), dl AS (
+                SELECT d.doc_id, d.lang, lp.n_tokens, lp.logprob_mean
+                FROM documents d JOIN lp USING (doc_id)
+            ), cuts AS (
+                SELECT lang,
+                       quantile_cont(logprob_mean, 1.0/3) AS c1,
+                       quantile_cont(logprob_mean, 2.0/3) AS c2
+                FROM dl GROUP BY lang
+            )
+            SELECT dl.doc_id, dl.lang, dl.n_tokens,
+                   round(dl.logprob_mean, 4) AS logprob_mean,
+                   round(exp(-dl.logprob_mean), 4) AS perplexity,
+                   CASE WHEN dl.logprob_mean >= cuts.c2 THEN 'head'
+                        WHEN dl.logprob_mean >= cuts.c1 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM dl JOIN cuts USING (lang)
         """,
         "source_kl_drift": """
             WITH tok AS (

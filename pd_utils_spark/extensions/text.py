@@ -638,6 +638,69 @@ def unigram_logprob(
     return out
 
 
+def perplexity_buckets(
+    df: DataFrame,
+    textcol: str = "text",
+    idcol: str = "doc_id",
+    bycol: str | None = None,
+    lowercase: bool = True,
+    round_to: int | None = None,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing: score every document with the
+    corpus unigram LM (:func:`unigram_logprob`) and split each
+    ``bycol`` group (typically language) into ``head`` / ``middle`` /
+    ``tail`` terciles by model fit — head = the most LM-like (lowest
+    perplexity) third, the slice CCNet keeps preferentially, tail =
+    the most surprising third (gibberish, boilerplate markup, OCR
+    noise... or genuinely novel text, which is why CCNet samples all
+    three rather than dropping the tail outright).
+
+    Output: ``(idcol, [bycol], n_tokens, logprob_mean, perplexity,
+    bucket)``. Cutoffs are EXACT interpolated terciles of
+    ``logprob_mean`` per group (ties-to-head on exact boundary); the
+    reference recipe uses a trained Kneser-Ney LM per language — the
+    scoring model is pluggable here (any per-doc score column works by
+    bucketing on it directly), the bucketing contract is what this
+    operator owns.
+
+    Plan: the LM pass is unigram_logprob's two shuffles; the cutoffs
+    are ONE tiny per-group aggregate (2-value percentile array)
+    broadcast back; bucket assignment is a map-only CASE. Nothing new
+    shuffles at corpus scale.
+    """
+    scored = unigram_logprob(df, textcol, idcol, lowercase)
+    keep = [idcol] + ([bycol] if bycol else [])
+    dl = df.select(*keep).join(scored, idcol)
+    grp = [bycol] if bycol else []
+    # literals must parse to the same doubles the oracle's 1.0/3 does
+    cuts = dl.groupBy(*grp).agg(
+        F.expr(
+            f"percentile(logprob_mean, array({1 / 3!r}, {2 / 3!r}))"
+        ).alias("__cs__")
+    ).select(
+        *grp,
+        F.col("__cs__")[0].alias("__c1__"),
+        F.col("__cs__")[1].alias("__c2__"),
+    )
+    joined = (
+        dl.join(F.broadcast(cuts), grp) if grp else dl.crossJoin(F.broadcast(cuts))
+    )
+    out = joined.select(
+        *keep,
+        "n_tokens",
+        "logprob_mean",
+        "perplexity",
+        F.when(F.col("logprob_mean") >= F.col("__c2__"), F.lit("head"))
+        .when(F.col("logprob_mean") >= F.col("__c1__"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+    if round_to is not None:
+        for c in ("logprob_mean", "perplexity"):
+            out = out.withColumn(c, F.round(c, round_to))
+    return out
+
+
 def token_weight_score(
     df: DataFrame,
     weights: DataFrame,

@@ -489,3 +489,59 @@ class TestTokenWeightScore:
         r = token_weight_score(docs, w, bias=2.0).collect()[0]
         assert r.n_scored_tokens == 0  # all OOV
         assert r.quality_score == pytest.approx(1 / (1 + math.exp(-2.0)))
+
+
+class TestPerplexityBuckets:
+    def test_terciles_per_group_and_head_is_most_fluent(self, spark):
+        import pandas as pd
+
+        from pd_utils_spark.extensions.text import perplexity_buckets
+
+        # 6 docs per lang with STRICTLY distinct fluency: doc i mixes
+        # (6 - i) corpus-common tokens with i one-off tokens, so
+        # logprob_mean strictly decreases in i (ties would make
+        # interpolated terciles legitimately lumpy)
+        rows = []
+        for lang in ("en", "de"):
+            for i in range(6):
+                toks = ["thecommon"] * (6 - i) + [
+                    f"rare{lang}{i}x{j}" for j in range(i)
+                ]
+                rows.append((f"{lang}{i}", lang, i, " ".join(toks)))
+        df = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["doc_id", "lang", "i", "text"])
+        ).drop("i")
+        out = perplexity_buckets(df, bycol="lang").toPandas()
+        assert len(out) == 12
+        out["i"] = out.doc_id.str[-1].astype(int)
+        for lang, sub in out.groupby("lang"):
+            counts = sub.bucket.value_counts()
+            # 6 distinct scores -> exactly 2 per tercile
+            assert counts.get("head", 0) == 2
+            assert counts.get("middle", 0) == 2
+            assert counts.get("tail", 0) == 2
+            # every head doc beats every tail doc on fluency
+            assert (
+                sub[sub.bucket == "head"].perplexity.max()
+                <= sub[sub.bucket == "tail"].perplexity.min()
+            )
+            # the common-token-heavy docs are the head
+            assert set(sub[sub.bucket == "head"].i) == {0, 1}
+            assert set(sub[sub.bucket == "tail"].i) == {4, 5}
+
+    def test_no_bycol_buckets_globally(self, spark):
+        import pandas as pd
+
+        from pd_utils_spark.extensions.text import perplexity_buckets
+
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": [1, 2, 3],
+                    "text": ["a a a a", "a a b b", "x y z w"],
+                }
+            )
+        )
+        out = perplexity_buckets(df).toPandas().set_index("doc_id")
+        assert out.loc[1].bucket == "head"
+        assert out.loc[3].bucket == "tail"
