@@ -627,6 +627,15 @@ def q_source_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pus_text.source_kl_drift(d, round_to=6)
 
 
+def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide heaviest word trigrams with occurrence and
+    document-frequency counts — the boilerplate-discovery diagnostic
+    run before choosing dedup_lines / flood-cap settings. Total
+    tie-break makes the top-50 deterministic across engines."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return pus_text.top_ngrams(d, n=3, k=50)
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return pus_text.chunk_documents(d, chunk_tokens=32, stride=24)
@@ -3186,6 +3195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "unigram_logprob": q_unigram_logprob,
         "perplexity_buckets": q_perplexity_buckets,
+        "top_ngrams": q_top_ngrams,
         "source_kl_drift": q_source_kl_drift,
         "chunk_documents": q_chunk_documents,
         "flag_outliers_mad": q_flag_outliers_mad,
@@ -4276,6 +4286,23 @@ def oracle_sql() -> dict[str, str]:
                    round(exp(-avg(ln(lm.tc / tot.tot))), 4) AS perplexity
             FROM t JOIN lm USING (token) CROSS JOIN tot
             GROUP BY doc_id
+        """,
+        "top_ngrams": f"""
+            WITH tok AS (
+                SELECT doc_id, {_SQL_NORM_TOKS} AS a, {_SQL_NORM} AS nm
+                FROM documents
+            ), g AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           generate_series(1, len(a) - 2),
+                           i -> array_to_string(a[i:i+2], ' '))) AS ngram
+                FROM tok WHERE length(nm) > 0 AND len(a) >= 3
+            )
+            SELECT ngram, count(*) AS n_occurrences,
+                   count(DISTINCT doc_id) AS n_docs
+            FROM g GROUP BY ngram
+            ORDER BY n_occurrences DESC, n_docs DESC, ngram
+            LIMIT 50
         """,
         "perplexity_buckets": """
             WITH tok AS (

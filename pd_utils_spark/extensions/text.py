@@ -245,6 +245,64 @@ def repetition_scores(
     return out
 
 
+def top_ngrams(
+    df: DataFrame,
+    textcol: str = "text",
+    idcol: str = "doc_id",
+    n: int = 3,
+    k: int = 100,
+) -> DataFrame:
+    """Corpus-level most-frequent word ``n``-grams —
+    ``(ngram, n_occurrences, n_docs)``, heaviest first with a total
+    tie-break (count desc, doc-count desc, ngram asc) so top-``k`` is
+    deterministic. The boilerplate-DISCOVERY diagnostic: run this
+    before committing to `dedup_lines`/flood caps to see what the
+    corpus actually repeats (cookie banners, license footers, nav
+    text); `repetition_scores` flags repetition per document, this
+    names the offenders corpus-wide.
+
+    Plan: normalize+tokenize once per doc, build the gram array behind
+    a plan barrier (the Generate re-evaluation pathology SCALE.md
+    documents for every shingle explode), one explode, one hash
+    aggregate on the gram, TakeOrdered for the top-k — the gram
+    partial-agg combines map-side, so ubiquitous boilerplate grams
+    arrive at the reducer as one row per partition, never a hot-key
+    flood.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1: {n}")
+    from pd_utils_spark.extensions.dedup import _norm
+    from pd_utils_spark.utils import plan_barrier
+
+    norm = _norm(F.col(textcol))
+    toked = df.select(
+        F.col(idcol),
+        F.split(norm, " ").alias("__toks__"),
+        F.length(norm).alias("__len__"),
+    )
+    toks = F.col("__toks__")
+    sz = F.size(toks)
+    grams = F.when(
+        (F.col("__len__") > 0) & (sz >= n),
+        F.transform(
+            F.sequence(F.lit(1), sz - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = plan_barrier(
+        toked.select(F.col(idcol), grams.alias("__gs__"))
+    ).select(F.col(idcol), F.explode("__gs__").alias("ngram"))
+    return (
+        ex.groupBy("ngram")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct(idcol).alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.desc("n_docs"), "ngram")
+        .limit(k)
+    )
+
+
 def gopher_quality_filter(
     df: DataFrame,
     textcol: str = "text",

@@ -545,3 +545,45 @@ class TestPerplexityBuckets:
         out = perplexity_buckets(df).toPandas().set_index("doc_id")
         assert out.loc[1].bucket == "head"
         assert out.loc[3].bucket == "tail"
+
+
+class TestTopNgrams:
+    def test_counts_and_ordering(self, spark):
+        import pandas as pd
+
+        from pd_utils_spark.extensions.text import top_ngrams
+
+        docs = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": [1, 2, 3],
+                    "text": [
+                        "all rights reserved all rights reserved",
+                        "ALL   Rights  reserved",  # normalization collapses
+                        "totally different words here",
+                    ],
+                }
+            )
+        )
+        out = top_ngrams(docs, n=3, k=5).toPandas()
+        top = out.iloc[0]
+        # doc1 has the trigram twice, doc2 once
+        assert top.ngram == "all rights reserved"
+        assert top.n_occurrences == 3
+        assert top.n_docs == 2
+        # deterministic tie-break: equal-count grams sort by text
+        ties = out[out.n_occurrences == 1]
+        assert list(ties.ngram) == sorted(ties.ngram)
+
+    def test_short_and_empty_docs_contribute_nothing(self, spark):
+        import pandas as pd
+
+        from pd_utils_spark.extensions.text import top_ngrams
+
+        docs = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1, 2, 3], "text": ["one two", "", "   "]})
+        )
+        assert top_ngrams(docs, n=3, k=10).count() == 0
+        # unigrams still work
+        uni = top_ngrams(docs, n=1, k=10).toPandas()
+        assert set(uni.ngram) == {"one", "two"}
