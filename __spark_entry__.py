@@ -627,6 +627,30 @@ def q_source_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pus_text.source_kl_drift(d, round_to=6)
 
 
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4's keep-one-of-any-duplicated-three-sentence-span rule on a
+    deterministic sentence-structured corpus (the synthetic documents
+    have no sentence punctuation, so each doc gets three doc-specific
+    sentences and every 4th doc appends the same 3-sentence promo
+    block): the promo block must survive ONLY in doc 0 (the global
+    lowest-(doc,pos) keeper), every other 4th doc loses exactly those
+    three sentences, and all other docs pass through. The oracle
+    replays sentence splitting, span fingerprinting, keeper choice,
+    and reassembly in DuckDB."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    sid = F.col("doc_id").cast("string")
+    text = F.concat(
+        F.lit("alpha "), sid, F.lit(" one. beta "), sid,
+        F.lit(" two. gamma "), sid, F.lit(" three"),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.lit(". promo sentence a. promo sentence b. promo sentence c"),
+        ).otherwise(F.lit("")),
+    )
+    corpus = d.select("doc_id", text.alias("text"))
+    return pus_dedup.dedup_spans(corpus, n=3)
+
+
 def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide heaviest word trigrams with occurrence and
     document-frequency counts — the boilerplate-discovery diagnostic
@@ -3196,6 +3220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": q_unigram_logprob,
         "perplexity_buckets": q_perplexity_buckets,
         "top_ngrams": q_top_ngrams,
+        "dedup_spans": q_dedup_spans,
         "source_kl_drift": q_source_kl_drift,
         "chunk_documents": q_chunk_documents,
         "flag_outliers_mad": q_flag_outliers_mad,
@@ -4286,6 +4311,65 @@ def oracle_sql() -> dict[str, str]:
                    round(exp(-avg(ln(lm.tc / tot.tot))), 4) AS perplexity
             FROM t JOIN lm USING (token) CROSS JOIN tot
             GROUP BY doc_id
+        """,
+        "dedup_spans": """
+            WITH corpus AS (
+                SELECT doc_id,
+                       'alpha ' || doc_id || ' one. beta ' || doc_id ||
+                       ' two. gamma ' || doc_id || ' three' ||
+                       CASE WHEN doc_id % 4 = 0
+                            THEN '. promo sentence a. promo sentence b. promo sentence c'
+                            ELSE '' END AS text
+                FROM documents
+            ), tok AS (
+                SELECT doc_id, regexp_split_to_array(text, '\\.') AS a
+                FROM corpus
+            ), sents0 AS (
+                SELECT doc_id, u.i AS p0, trim(u.s) AS sent
+                FROM (SELECT doc_id,
+                             unnest(list_transform(
+                                 generate_series(1, len(a)),
+                                 i -> {'i': i, 's': a[i]})) AS u
+                      FROM tok)
+            ), s AS (
+                SELECT doc_id,
+                       row_number() OVER (PARTITION BY doc_id ORDER BY p0) AS pos,
+                       sent
+                FROM sents0 WHERE length(sent) > 0
+            ), per AS (
+                SELECT doc_id, list(sent ORDER BY pos) AS arr
+                FROM s GROUP BY doc_id
+            ), sp AS (
+                SELECT doc_id, u.i AS pos, md5(lower(u.t)) AS fp
+                FROM (SELECT doc_id,
+                             unnest(CASE WHEN len(arr) >= 3 THEN
+                                 list_transform(
+                                     generate_series(1, len(arr) - 2),
+                                     i -> {'i': i,
+                                           't': array_to_string(arr[i:i+2], ' </s> ')})
+                             ELSE NULL END) AS u
+                      FROM per)
+            ), ranked AS (
+                SELECT doc_id, pos,
+                       row_number() OVER (PARTITION BY fp
+                                          ORDER BY doc_id, pos) AS rk,
+                       count(*) OVER (PARTITION BY fp) AS cnt
+                FROM sp
+            ), removal AS (
+                SELECT DISTINCT r.doc_id, r.pos + t.j AS pos
+                FROM ranked r, range(0, 3) t(j)
+                WHERE r.cnt > 1 AND r.rk > 1
+            ), kept AS (
+                SELECT s.doc_id, s.pos, s.sent FROM s
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM removal x
+                    WHERE x.doc_id = s.doc_id AND x.pos = s.pos)
+            )
+            SELECT c.doc_id,
+                   coalesce(string_agg(k.sent, '. ' ORDER BY k.pos), '')
+                       AS clean_text
+            FROM corpus c LEFT JOIN kept k ON k.doc_id = c.doc_id
+            GROUP BY c.doc_id
         """,
         "top_ngrams": f"""
             WITH tok AS (

@@ -650,6 +650,113 @@ def duplicated_ngram_fraction(
     )
 
 
+def dedup_spans(
+    df: DataFrame,
+    textcol: str = "text",
+    idcol: str = "doc_id",
+    n: int = 3,
+    out: str = "clean_text",
+) -> DataFrame:
+    """C4's duplicated three-sentence-span rule (Raffel et al. 2020
+    §2.2: "we discarded all but one of any three-sentence span
+    occurring more than once in the data set"), at sentence
+    granularity: sentences are period-split and trimmed (empties
+    dropped), every ``n`` consecutive sentences form a span, the
+    GLOBAL keeper of each duplicated span fingerprint is its lowest
+    (doc, position) occurrence, and every sentence covered by a
+    non-keeper duplicate span is removed. Documents are rebuilt from
+    surviving sentences joined with ``". "`` — terminal punctuation is
+    normalized away (the price of an engine-portable splitter; '!'/'?'
+    stay inside their sentence). Complements :func:`dedup_lines`
+    (single repeated LINES, frequency-threshold rule): spans catch
+    multi-sentence boilerplate that never shares a line break, and
+    keep ONE copy rather than deleting all.
+
+    Scale shape: two shuffles on the 16-byte span fingerprint (the
+    keeper window + its count), one sentence-level anti join, one
+    per-doc reassembly aggregate. Positions are compacted per doc
+    before spanning, so blank segments ("a.. b") cannot shift span
+    coverage. Nothing is ever all-pairs; a boilerplate span repeated
+    in millions of docs is one fingerprint partition whose rows are
+    (doc, pos) pairs — linear, and the removal explode is ``n`` rows
+    per duplicate occurrence.
+    """
+    from pyspark.sql import Window
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1: {n}")
+    raw = df.select(
+        F.col(idcol),
+        F.posexplode_outer(F.split(F.col(textcol), r"\.")).alias(
+            "__p0__", "__sent__"
+        ),
+    ).withColumn("__sent__", F.trim("__sent__"))
+    s = raw.filter(F.length("__sent__") > 0).withColumn(
+        "pos",
+        F.row_number().over(Window.partitionBy(idcol).orderBy("__p0__")),
+    )
+    per = s.groupBy(idcol).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos"), F.col("__sent__").alias("s")))
+            ),
+            lambda x: x["s"],
+        ).alias("__arr__")
+    )
+    arr = F.col("__arr__")
+    sz = F.size(arr)
+    spans = F.when(
+        sz >= n,
+        F.transform(
+            F.sequence(F.lit(1), sz - F.lit(n - 1)),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.md5(
+                    F.lower(F.concat_ws(" </s> ", F.slice(arr, i, n)))
+                ).alias("fp"),
+            ),
+        ),
+    ).otherwise(F.lit(None))
+    sp = per.select(F.col(idcol), F.explode(spans).alias("__sp__")).select(
+        F.col(idcol),
+        F.col("__sp__.pos").alias("pos"),
+        F.col("__sp__.fp").alias("fp"),
+    )
+    wfp = Window.partitionBy("fp")
+    ranked = sp.withColumn(
+        "__rk__", F.row_number().over(wfp.orderBy(idcol, "pos"))
+    ).withColumn("__cnt__", F.count(F.lit(1)).over(wfp))
+    removal = (
+        ranked.filter((F.col("__cnt__") > 1) & (F.col("__rk__") > 1))
+        .select(
+            F.col(idcol),
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    kept = s.join(removal, [idcol, "pos"], "left_anti")
+    rebuilt = kept.groupBy(idcol).agg(
+        F.concat_ws(
+            ". ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("pos"), F.col("__sent__").alias("s"))
+                    )
+                ),
+                lambda x: x["s"],
+            ),
+        ).alias(out)
+    )
+    return (
+        df.select(idcol).distinct()
+        .join(rebuilt, idcol, "left")
+        .fillna({out: ""})
+    )
+
+
 def dedup_lines(
     df: DataFrame,
     textcol: str = "text",

@@ -628,3 +628,52 @@ class TestWinnowContainment:
         pairs = {(r.id_a, r.id_b): r.containment for r in out}
         assert (1, 2) in pairs
         assert pairs[(1, 2)] == 1.0
+
+
+class TestDedupSpans:
+    def test_c4_keep_one_span_rule(self, spark):
+        docs = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": [1, 2, 3],
+                    "text": [
+                        "one two. three four. five six. promo a. promo b. promo c",
+                        "uniq b1. uniq b2. promo a. promo b. promo c",
+                        "solo sentence",
+                    ],
+                }
+            )
+        )
+        out = {
+            r.doc_id: r.clean_text
+            for r in D.dedup_spans(docs, n=3).collect()
+        }
+        # doc 1 is the global keeper (lowest doc, pos) of the promo span
+        assert out[1] == (
+            "one two. three four. five six. promo a. promo b. promo c"
+        )
+        # doc 2 loses the duplicated 3-sentence block, keeps its own
+        assert out[2] == "uniq b1. uniq b2"
+        # short docs pass through (terminal punctuation normalized)
+        assert out[3] == "solo sentence"
+
+    def test_stable_on_second_application(self, spark):
+        docs = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": [1, 2],
+                    "text": [
+                        "a one. a two. a three. tail x",
+                        "b zero. a one. a two. a three",
+                    ],
+                }
+            )
+        )
+        once = D.dedup_spans(docs, n=3).withColumnRenamed("clean_text", "text")
+        twice = D.dedup_spans(once, n=3)
+        o = {r.doc_id: r.text for r in once.collect()}
+        t = {r.doc_id: r.clean_text for r in twice.collect()}
+        assert o == t
+        # and the duplicate block survived exactly once, in doc 1
+        assert "a one" in o[1] and "a one" not in o[2]
+        assert o[2] == "b zero"
