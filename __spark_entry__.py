@@ -627,6 +627,18 @@ def q_source_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pus_text.source_kl_drift(d, round_to=6)
 
 
+def q_repeat_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-style source repetition (factor 3 / 2.5 / 0.5 / 0 /
+    default 1): whole copies plus a deterministic hash-keyed extra
+    copy for the fractional part, 0-based epoch index per copy. The
+    oracle replays factors, the md5 fraction, and the copy explosion."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    out = pus_sample.repeat_sources(
+        d, {"src0": 3.0, "src1": 2.5, "src2": 0.5, "src3": 0.0}, seed=11
+    )
+    return out.select("doc_id", "source", "epoch")
+
+
 def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4's keep-one-of-any-duplicated-three-sentence-span rule on a
     deterministic sentence-structured corpus (the synthetic documents
@@ -3221,6 +3233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_buckets": q_perplexity_buckets,
         "top_ngrams": q_top_ngrams,
         "dedup_spans": q_dedup_spans,
+        "repeat_sources": q_repeat_sources,
         "source_kl_drift": q_source_kl_drift,
         "chunk_documents": q_chunk_documents,
         "flag_outliers_mad": q_flag_outliers_mad,
@@ -4311,6 +4324,26 @@ def oracle_sql() -> dict[str, str]:
                    round(exp(-avg(ln(lm.tc / tot.tot))), 4) AS perplexity
             FROM t JOIN lm USING (token) CROSS JOIN tot
             GROUP BY doc_id
+        """,
+        "repeat_sources": f"""
+            WITH f AS (
+                SELECT doc_id, source,
+                       CASE source WHEN 'src0' THEN 3.0
+                                   WHEN 'src1' THEN 2.5
+                                   WHEN 'src2' THEN 0.5
+                                   WHEN 'src3' THEN 0.0
+                                   ELSE 1.0 END AS fct,
+                       {_sql_frac('doc_id', 11)} AS fr
+                FROM documents
+            ), n AS (
+                SELECT doc_id, source,
+                       CAST(floor(fct) + CASE WHEN fr < fct - floor(fct)
+                                              THEN 1 ELSE 0 END AS INT) AS nc
+                FROM f
+            )
+            SELECT doc_id, source,
+                   CAST(unnest(generate_series(0, nc - 1)) AS INT) AS epoch
+            FROM n
         """,
         "dedup_spans": """
             WITH corpus AS (

@@ -302,6 +302,63 @@ def temperature_mix(
     )
 
 
+def repeat_sources(
+    df: DataFrame,
+    factors: dict[str, float],
+    source_col: str = "source",
+    idcol: str = "doc_id",
+    seed: int | str = 0,
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Epoch-style source repetition: each source's rows appear
+    ``factor`` times — the UPSAMPLING side of data mixing
+    (Llama/DoReMi-style "epochs per source") that
+    :func:`temperature_mix`'s keep-rates cannot express. Integer part
+    = whole copies; fractional part = a deterministic
+    :func:`hash_fraction` subsample gets one extra copy. So 2.5 means
+    every row twice and a reproducible half of rows a third time;
+    0.25 is a plain 25% subsample; 0 drops the source. Sources absent
+    from ``factors`` default to 1.0 (pass-through).
+
+    ``epoch_col`` (0-based copy index) is appended so downstream
+    packing/shuffling can interleave copies instead of clumping them,
+    and so a copy-aware tokenizer can vary masking per epoch.
+
+    Scale shape: map-only — a broadcast (source -> factor) join and
+    one ``explode(sequence(0, n_copies-1))``; no shuffle, no driver
+    action. The explode genuinely materializes rows: that is the
+    contract (training pipelines want real rows to shuffle/pack);
+    if storage-level dedup matters, repeat at the READER by listing
+    files multiple times instead.
+    """
+    for s, f in factors.items():
+        if f < 0:
+            raise ValueError(f"factor for {s!r} must be >= 0, got {f}")
+    spark = df.sparkSession
+    fdf = spark.createDataFrame(
+        [(k, float(v)) for k, v in factors.items()], ["__src__", "__f__"]
+    )
+    withf = df.join(
+        F.broadcast(fdf), df[source_col].eqNullSafe(F.col("__src__")), "left"
+    ).withColumn("__f__", F.coalesce("__f__", F.lit(1.0)))
+    base = F.floor("__f__").cast("int")
+    extra = (
+        hash_fraction(F.col(idcol), seed) < (F.col("__f__") - F.floor("__f__"))
+    ).cast("int")
+    n_copies = base + extra
+    return (
+        withf.withColumn(
+            epoch_col,
+            F.explode(
+                F.when(
+                    n_copies > 0, F.sequence(F.lit(0), n_copies - F.lit(1))
+                ).otherwise(F.array().cast("array<int>"))
+            ),
+        )
+        .drop("__src__", "__f__")
+    )
+
+
 def filter_top_fraction(
     df: DataFrame,
     score_col: str,

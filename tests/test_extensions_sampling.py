@@ -491,3 +491,64 @@ class TestContaminationReport:
         # bench has 4 distinct 3-grams, exactly 1 appears in the corpus
         assert r.n_grams == 4 and r.n_matched == 1
         assert r.match_frac == 0.25
+
+
+class TestRepeatSources:
+    def test_integer_fractional_zero_and_default_factors(self, spark):
+        import pandas as pd
+
+        from pd_utils_spark.extensions.sampling import repeat_sources
+
+        rows = []
+        for i in range(40):
+            rows.append((i, ["a", "b", "c", "d"][i % 4]))
+        df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "source"]))
+        out = repeat_sources(
+            df, {"a": 2.0, "b": 1.5, "c": 0.0}, seed=3
+        ).toPandas()
+        per = out.groupby("source").size().to_dict()
+        assert per["a"] == 20            # 10 rows x 2 exact
+        assert 10 <= per["b"] <= 20      # 10 x 1.5 +- hash noise
+        assert "c" not in per            # dropped
+        assert per["d"] == 10            # default factor 1.0
+        # epochs are 0-based and contiguous per row
+        a_epochs = out[out.source == "a"].groupby("doc_id").epoch.apply(
+            lambda s: sorted(s)
+        )
+        assert all(e == [0, 1] for e in a_epochs)
+
+    def test_deterministic_across_runs(self, spark):
+        import pandas as pd
+
+        from pd_utils_spark.extensions.sampling import repeat_sources
+
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": range(30), "source": ["x"] * 30})
+        )
+        r1 = sorted(
+            (r.doc_id, r.epoch)
+            for r in repeat_sources(df, {"x": 1.5}, seed=7).collect()
+        )
+        r2 = sorted(
+            (r.doc_id, r.epoch)
+            for r in repeat_sources(df, {"x": 1.5}, seed=7).collect()
+        )
+        assert r1 == r2
+        # different seed -> different extra-copy subset (overwhelmingly)
+        r3 = sorted(
+            (r.doc_id, r.epoch)
+            for r in repeat_sources(df, {"x": 1.5}, seed=8).collect()
+        )
+        assert r1 != r3
+
+    def test_negative_factor_raises(self, spark):
+        import pandas as pd
+        import pytest as _pytest
+
+        from pd_utils_spark.extensions.sampling import repeat_sources
+
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1], "source": ["x"]})
+        )
+        with _pytest.raises(ValueError, match=">= 0"):
+            repeat_sources(df, {"x": -1.0})
