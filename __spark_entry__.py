@@ -627,6 +627,16 @@ def q_source_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pus_text.source_kl_drift(d, round_to=6)
 
 
+def q_char_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level ingest-quality signals: ASCII ratio, U+FFFD
+    count, mojibake artifact count, and prefix Shannon entropy — the
+    wrong-charset / binary-blob / degenerate-repetition detectors that
+    run before any tokenizer sees the bytes. The oracle recomputes the
+    character histogram entropy in DuckDB."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return pus_text.char_stats(d)
+
+
 def q_repeat_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Epoch-style source repetition (factor 3 / 2.5 / 0.5 / 0 /
     default 1): whole copies plus a deterministic hash-keyed extra
@@ -3234,6 +3244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_ngrams": q_top_ngrams,
         "dedup_spans": q_dedup_spans,
         "repeat_sources": q_repeat_sources,
+        "char_stats": q_char_stats,
         "source_kl_drift": q_source_kl_drift,
         "chunk_documents": q_chunk_documents,
         "flag_outliers_mad": q_flag_outliers_mad,
@@ -4324,6 +4335,42 @@ def oracle_sql() -> dict[str, str]:
                    round(exp(-avg(ln(lm.tc / tot.tot))), 4) AS perplexity
             FROM t JOIN lm USING (token) CROSS JOIN tot
             GROUP BY doc_id
+        """,
+        "char_stats": """
+            WITH base AS (
+                SELECT doc_id, length(text) AS n_chars,
+                       round(CASE WHEN length(text) > 0 THEN
+                           length(regexp_replace(text, '[^\\x20-\\x7e]', '', 'g'))
+                               / length(text)::DOUBLE
+                           ELSE 0.0 END, 6) AS ascii_ratio,
+                       length(text) - length(replace(text, '�', ''))
+                           AS replacement_chars,
+                       len(regexp_extract_all(text, 'Ã.|Â.|â€.'))::BIGINT
+                           AS mojibake_hits
+                FROM documents
+            ), ch AS (
+                SELECT doc_id, u.s AS c
+                FROM (SELECT doc_id,
+                             unnest(list_transform(
+                                 generate_series(1, least(length(text), 2048)),
+                                 i -> {'s': text[i:i]})) AS u
+                      FROM documents)
+                WHERE length(u.s) > 0
+            ), cnt AS (
+                SELECT doc_id, c, count(*) AS n FROM ch GROUP BY 1, 2
+            ), ent AS (
+                SELECT doc_id,
+                       round(-sum((n::DOUBLE / t) * log2(n::DOUBLE / t)), 6)
+                           AS prefix_entropy
+                FROM (SELECT doc_id, c, n,
+                             sum(n) OVER (PARTITION BY doc_id) AS t
+                      FROM cnt)
+                GROUP BY doc_id
+            )
+            SELECT b.doc_id, b.n_chars, b.ascii_ratio,
+                   b.replacement_chars, b.mojibake_hits,
+                   coalesce(e.prefix_entropy, 0.0) AS prefix_entropy
+            FROM base b LEFT JOIN ent e USING (doc_id)
         """,
         "repeat_sources": f"""
             WITH f AS (

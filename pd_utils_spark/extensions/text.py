@@ -400,6 +400,75 @@ def c4_line_filter(
     )
 
 
+def char_stats(
+    df: DataFrame,
+    textcol: str = "text",
+    idcol: str = "doc_id",
+    entropy_prefix_chars: int = 2048,
+    round_to: int = 6,
+) -> DataFrame:
+    """Character-level corpus-quality signals per document:
+
+    - ``n_chars``: raw length;
+    - ``ascii_ratio``: printable-ASCII fraction (binary blobs,
+      wrong-charset text and emoji floods all push this down);
+    - ``replacement_chars``: count of U+FFFD — the smoking gun of a
+      decode-with-wrong-encoding ingest bug;
+    - ``mojibake_hits``: occurrences of the classic UTF-8-read-as-
+      Latin-1 two-byte artifacts (Ã., Â., â€.) — catches double
+      encoding BEFORE a human ever reads a sample;
+    - ``prefix_entropy``: Shannon entropy (bits/char) of the first
+      ``entropy_prefix_chars`` characters — near 0 for degenerate
+      repetition, ~4.1 for English prose, >5 flags base64/hex blobs
+      masquerading as text.
+
+    Scale shape: the ratio/count signals are pure column expressions
+    (map-only, shuffle-free). Entropy needs per-character counts, so
+    it explodes characters — bounded by the PREFIX, not the document
+    (2048 rows/doc regardless of doc size; entropy of a prefix is the
+    standard cheap proxy), then one (doc, char) partial-agg and one
+    per-doc rollup.
+    """
+    t = F.col(textcol)
+    n = F.length(t)
+    ascii_n = F.length(F.regexp_replace(t, r"[^\x20-\x7e]", ""))
+    repl = n - F.length(F.regexp_replace(t, "�", ""))
+    moji = F.regexp_count(t, F.lit("Ã.|Â.|â€.")).cast("bigint")
+    base = df.select(
+        F.col(idcol),
+        n.alias("n_chars"),
+        F.round(
+            F.when(n > 0, ascii_n / n).otherwise(F.lit(0.0)), round_to
+        ).alias("ascii_ratio"),
+        repl.cast("bigint").alias("replacement_chars"),
+        moji.alias("mojibake_hits"),
+    )
+    from pyspark.sql import Window
+
+    prefix = F.substring(t, 1, entropy_prefix_chars)
+    chars = df.select(
+        F.col(idcol), F.explode(F.split(prefix, "")).alias("__ch__")
+    ).filter(F.length("__ch__") > 0)
+    counts = chars.groupBy(idcol, "__ch__").agg(
+        F.count(F.lit(1)).alias("__c__")
+    )
+    # the per-doc total rides the SAME partitioning the count agg just
+    # produced, so the window adds no extra Exchange
+    ent = (
+        counts.withColumn(
+            "__tot__", F.sum("__c__").over(Window.partitionBy(idcol))
+        )
+        .withColumn("__p__", F.col("__c__") / F.col("__tot__"))
+        .groupBy(idcol)
+        .agg(
+            F.round(
+                -F.sum(F.col("__p__") * F.log2("__p__")), round_to
+            ).alias("prefix_entropy")
+        )
+    )
+    return base.join(ent, idcol, "left").fillna({"prefix_entropy": 0.0})
+
+
 def doc_fingerprint(
     df: DataFrame, textcol: str = "text", out: str = "fingerprint", normalize: bool = True
 ) -> DataFrame:

@@ -587,3 +587,48 @@ class TestTopNgrams:
         # unigrams still work
         uni = top_ngrams(docs, n=1, k=10).toPandas()
         assert set(uni.ngram) == {"one", "two"}
+
+
+class TestCharStats:
+    def test_signals(self, spark):
+        import math
+
+        import pandas as pd
+
+        from pd_utils_spark.extensions.text import char_stats
+
+        docs = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": [1, 2, 3, 4],
+                    "text": [
+                        "aaaa",                       # zero entropy
+                        "ab",                         # 1 bit/char
+                        "café ��",     # non-ascii + U+FFFD x2
+                        "dÃ©jÃ  vu â€œ",  # mojibake
+                    ],
+                }
+            )
+        )
+        out = {r.doc_id: r for r in char_stats(docs).collect()}
+        assert out[1].prefix_entropy == 0.0
+        assert out[1].ascii_ratio == 1.0
+        assert abs(out[2].prefix_entropy - 1.0) < 1e-9
+        assert out[3].replacement_chars == 2
+        assert out[3].ascii_ratio < 1.0
+        # 'Ã©', 'Ã ', 'â€œ' -> three artifacts
+        assert out[4].mojibake_hits == 3
+
+    def test_entropy_prefix_bound(self, spark):
+        import pandas as pd
+
+        from pd_utils_spark.extensions.text import char_stats
+
+        # entropy computed on the first 4 chars only: 'abab' -> 1 bit,
+        # the z-tail outside the prefix must not contribute
+        docs = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1], "text": ["abab" + "z" * 100]})
+        )
+        r = char_stats(docs, entropy_prefix_chars=4).collect()[0]
+        assert abs(r.prefix_entropy - 1.0) < 1e-9
+        assert r.n_chars == 104
