@@ -627,6 +627,17 @@ def q_source_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pus_text.source_kl_drift(d, round_to=6)
 
 
+def q_padding_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching diagnostic: 8 equal-count token-length
+    buckets (ntile over a deterministic total order), per-bucket
+    padded width (capped at 512), token totals, and padding
+    efficiency — what an unbucketed batcher wastes vs a bucketed one.
+    The oracle replays tokenization, ntile, and the efficiency
+    arithmetic."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return pus_sample.padding_efficiency(d, n_buckets=8, max_seq_len=512)
+
+
 def q_char_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-level ingest-quality signals: ASCII ratio, U+FFFD
     count, mojibake artifact count, and prefix Shannon entropy — the
@@ -3245,6 +3256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans": q_dedup_spans,
         "repeat_sources": q_repeat_sources,
         "char_stats": q_char_stats,
+        "padding_efficiency": q_padding_efficiency,
         "source_kl_drift": q_source_kl_drift,
         "chunk_documents": q_chunk_documents,
         "flag_outliers_mad": q_flag_outliers_mad,
@@ -4335,6 +4347,25 @@ def oracle_sql() -> dict[str, str]:
                    round(exp(-avg(ln(lm.tc / tot.tot))), 4) AS perplexity
             FROM t JOIN lm USING (token) CROSS JOIN tot
             GROUP BY doc_id
+        """,
+        "padding_efficiency": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len({_SQL_TOKS}) END AS n_tokens
+                FROM documents
+            ), b AS (
+                SELECT doc_id,
+                       least(n_tokens, 512) AS t,
+                       ntile(8) OVER (ORDER BY n_tokens, doc_id) AS bucket
+                FROM toks
+            )
+            SELECT bucket, count(*) AS n_docs, max(t) AS max_len,
+                   sum(t) AS total_tokens,
+                   count(*) * max(t) AS padded_tokens,
+                   round(sum(t)::DOUBLE / (count(*) * max(t)), 6)
+                       AS efficiency
+            FROM b GROUP BY bucket ORDER BY bucket
         """,
         "char_stats": """
             WITH base AS (

@@ -559,6 +559,90 @@ def contamination_report(
     )
 
 
+def length_buckets(
+    df: DataFrame,
+    n_buckets: int = 8,
+    textcol: str = "text",
+    idcol: str = "doc_id",
+    out: str = "bucket",
+) -> DataFrame:
+    """Assign each document to one of ``n_buckets`` equal-count length
+    buckets (1-based, shortest first) by whitespace token count with a
+    deterministic (n_tokens, id) total order — the length-bucketed
+    batching assignment that cuts padding waste for fixed-shape
+    training batches. ``ntile`` semantics are identical across
+    engines, so the assignment is oracle-checkable.
+
+    Scale note: ntile is a GLOBAL window (single-partition sort) —
+    exact equal-count buckets are inherently a total order. For 100 TB
+    use the percentile variant instead: compute ``n_buckets`` quantile
+    cutoffs of ``n_tokens`` (one tiny aggregate) and bucket by range —
+    same buckets up to quantile ties, no global sort. This operator is
+    the exact-contract twin used for harness checking and
+    moderate-size corpora.
+    """
+    from pyspark.sql import Window
+
+    from pd_utils_spark.extensions.text import _token_count
+
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1: {n_buckets}")
+    toks = df.select(
+        F.col(idcol), _token_count(F.col(textcol)).alias("n_tokens")
+    )
+    w = Window.orderBy("n_tokens", idcol)
+    return toks.withColumn(out, F.ntile(n_buckets).over(w))
+
+
+def padding_efficiency(
+    df: DataFrame,
+    n_buckets: int = 8,
+    textcol: str = "text",
+    idcol: str = "doc_id",
+    max_seq_len: int | None = None,
+) -> DataFrame:
+    """Per-bucket padding-waste report for length-bucketed batching:
+    bucket docs with :func:`length_buckets`, then for each bucket
+    report ``n_docs``, ``max_len`` (the bucket's padded width, capped
+    at ``max_seq_len`` when given — longer docs truncate),
+    ``total_tokens``, ``padded_tokens = n_docs * max_len`` and
+    ``efficiency = total_tokens / padded_tokens``. The "why bucket"
+    diagnostic: unbucketed batching pads every doc to the global max
+    (the n_buckets=1 row); splitting by length shows exactly how much
+    compute each extra bucket recovers.
+
+    One aggregation over the bucket assignment — the global-sort
+    caveat of :func:`length_buckets` applies (and its quantile-range
+    remedy at extreme scale).
+    """
+    b = length_buckets(df, n_buckets, textcol, idcol)
+    tok = F.col("n_tokens")
+    if max_seq_len is not None:
+        tok = F.least(tok, F.lit(max_seq_len))
+    return (
+        b.select("bucket", tok.alias("__t__"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("__t__").alias("max_len"),
+            F.sum("__t__").alias("total_tokens"),
+        )
+        .select(
+            "bucket",
+            "n_docs",
+            "max_len",
+            "total_tokens",
+            (F.col("n_docs") * F.col("max_len")).alias("padded_tokens"),
+            F.round(
+                F.col("total_tokens")
+                / (F.col("n_docs") * F.col("max_len")),
+                6,
+            ).alias("efficiency"),
+        )
+        .orderBy("bucket")
+    )
+
+
 def pack_chunks(
     df: DataFrame,
     token_col: str = "n_tokens",

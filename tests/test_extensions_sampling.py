@@ -552,3 +552,53 @@ class TestRepeatSources:
         )
         with _pytest.raises(ValueError, match=">= 0"):
             repeat_sources(df, {"x": -1.0})
+
+
+class TestLengthBucketsAndPadding:
+    def test_equal_count_buckets_and_monotone_lengths(self, spark):
+        import pandas as pd
+
+        from pd_utils_spark.extensions.sampling import length_buckets
+
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": range(12),
+                    "text": [" ".join(["w"] * (i + 1)) for i in range(12)],
+                }
+            )
+        )
+        out = length_buckets(df, n_buckets=4).toPandas()
+        sizes = out.groupby("bucket").size()
+        assert sizes.tolist() == [3, 3, 3, 3]
+        # buckets ordered by length: bucket i's max <= bucket i+1's min
+        by = out.groupby("bucket").n_tokens
+        mx, mn = by.max(), by.min()
+        assert all(mx[b] <= mn[b + 1] for b in range(1, 4))
+
+    def test_padding_efficiency_math_and_cap(self, spark):
+        import pandas as pd
+
+        from pd_utils_spark.extensions.sampling import padding_efficiency
+
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": [1, 2, 3, 4],
+                    "text": [
+                        "a",                      # 1 token
+                        "a b c",                  # 3
+                        " ".join(["x"] * 10),     # 10
+                        " ".join(["y"] * 100),    # 100 -> capped to 8
+                    ],
+                }
+            )
+        )
+        out = padding_efficiency(
+            df, n_buckets=2, max_seq_len=8
+        ).toPandas().set_index("bucket")
+        # bucket 1 = lengths {1, 3}; bucket 2 = {10->8, 100->8}
+        assert out.loc[1].max_len == 3 and out.loc[1].total_tokens == 4
+        assert out.loc[1].padded_tokens == 6
+        assert abs(out.loc[1].efficiency - 4 / 6) < 1e-6
+        assert out.loc[2].max_len == 8 and out.loc[2].efficiency == 1.0
