@@ -627,6 +627,43 @@ def q_source_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pus_text.source_kl_drift(d, round_to=6)
 
 
+def q_strip_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML-to-text bulk extraction on a deterministic HTML-wrapped
+    corpus (script/style with contents, comments, tags, entity
+    decode, whitespace collapse) — the first transform of a web-crawl
+    pipeline, on the JVM-speed engine-portable regex path. The oracle
+    wraps and strips identically in DuckDB."""
+    from pd_utils_spark.extensions import web as pus_web
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    html = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><style>p {color: red}</style>"
+                  "<script>var x = 1;</script></head><body><h1>Doc "),
+            F.col("doc_id").cast("string"),
+            F.lit("</h1><!-- nav --><p>"),
+            F.col("text"),
+            F.lit("</p><div>&amp; entities &lt;here&gt; &quot;q&quot;"
+                  "&#39;a&#39;&nbsp;end</div></body></html>"),
+        ).alias("text"),
+    )
+    out = pus_web.strip_html(html)
+    return out.select("doc_id", "clean_text")
+
+
+def q_term_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4's badword-page rule in audit mode: whole-word,
+    case-insensitive hit counts for a small term list (single JVM
+    alternation regex, map-only) plus the blocked flag. The oracle
+    counts the same matches with RE2 in DuckDB."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = pus_text.term_blocklist_filter(
+        d, ["spark", "merge", "hash value"], drop=False
+    )
+    return out.select("doc_id", "blocklist_hits", "blocked")
+
+
 def q_padding_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-bucketed batching diagnostic: 8 equal-count token-length
     buckets (ntile over a deterministic total order), per-bucket
@@ -3257,6 +3294,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeat_sources": q_repeat_sources,
         "char_stats": q_char_stats,
         "padding_efficiency": q_padding_efficiency,
+        "strip_html": q_strip_html,
+        "term_blocklist": q_term_blocklist,
         "source_kl_drift": q_source_kl_drift,
         "chunk_documents": q_chunk_documents,
         "flag_outliers_mad": q_flag_outliers_mad,
@@ -4347,6 +4386,46 @@ def oracle_sql() -> dict[str, str]:
                    round(exp(-avg(ln(lm.tc / tot.tot))), 4) AS perplexity
             FROM t JOIN lm USING (token) CROSS JOIN tot
             GROUP BY doc_id
+        """,
+        "strip_html": """
+            WITH html AS (
+                SELECT doc_id,
+                       '<html><head><style>p {color: red}</style>'
+                       || '<script>var x = 1;</script></head><body><h1>Doc '
+                       || doc_id || '</h1><!-- nav --><p>' || text
+                       || '</p><div>&amp; entities &lt;here&gt; &quot;q&quot;'
+                       || '&#39;a&#39;&nbsp;end</div></body></html>' AS t
+                FROM documents
+            ), stripped AS (
+                SELECT doc_id,
+                       regexp_replace(
+                         regexp_replace(
+                           regexp_replace(
+                             regexp_replace(t,
+                               '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                             '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                           '(?s)<!--.*?-->', ' ', 'g'),
+                         '(?s)<[^>]+>', ' ', 'g') AS t
+                FROM html
+            ), decoded AS (
+                SELECT doc_id,
+                       replace(replace(replace(replace(replace(replace(
+                           t, '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                           '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS t
+                FROM stripped
+            )
+            SELECT doc_id,
+                   trim(regexp_replace(t, '\\s+', ' ', 'g')) AS clean_text
+            FROM decoded
+        """,
+        "term_blocklist": """
+            SELECT doc_id,
+                   len(regexp_extract_all(lower(text),
+                       '\\b(hash\\s+value|merge|spark)\\b'))::BIGINT
+                       AS blocklist_hits,
+                   len(regexp_extract_all(lower(text),
+                       '\\b(hash\\s+value|merge|spark)\\b')) > 0 AS blocked
+            FROM documents
         """,
         "padding_efficiency": f"""
             WITH toks AS (

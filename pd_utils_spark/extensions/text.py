@@ -15,6 +15,8 @@ hash functions.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -243,6 +245,48 @@ def repetition_scores(
         .fillna({"top_word_frac": 0.0, "top_bigram_frac": 0.0})
     )
     return out
+
+
+def term_blocklist_filter(
+    df: DataFrame,
+    terms: Sequence[str],
+    textcol: str = "text",
+    idcol: str = "doc_id",
+    drop: bool = True,
+) -> DataFrame:
+    """C4's badword-list page filter (Raffel et al. 2020 §2.2 removes
+    any page containing a word from a public blocklist): count
+    whole-word, case-insensitive occurrences of ``terms`` and either
+    DROP matching documents (``drop=True``, the C4 rule) or annotate
+    every row with ``blocklist_hits`` / ``blocked`` for
+    threshold-tuning and audit (``drop=False``).
+
+    Matching is token-boundary exact (``\\b``-delimited, lowercased),
+    not substring — "class" must not block "classic". Multi-word terms
+    match as phrases. The term list is compiled into ONE alternation
+    regex evaluated JVM-side: map-only, shuffle-free, no UDF; at
+    thousands of terms prefer several regexes or an explode+join
+    against a broadcast term table (same result, better compile
+    behavior) — this operator targets the common tens-to-hundreds
+    list.
+    """
+    terms = [t for t in terms if t and t.strip()]
+    if not terms:
+        raise ValueError("terms must contain at least one non-empty term")
+    import re as _re
+
+    alts = "|".join(
+        _re.escape(t.strip().lower()).replace(r"\ ", r"\s+") for t in sorted(terms)
+    )
+    pat = rf"\b({alts})\b"
+    hits = F.regexp_count(F.lower(F.col(textcol)), F.lit(pat)).cast("bigint")
+    if drop:
+        return df.withColumn("__h__", hits).filter(
+            F.col("__h__") == 0
+        ).drop("__h__")
+    return df.withColumn("blocklist_hits", hits).withColumn(
+        "blocked", F.col("blocklist_hits") > 0
+    )
 
 
 def top_ngrams(

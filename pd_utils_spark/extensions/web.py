@@ -106,6 +106,39 @@ def canonicalize_urls(
     return df.withColumn(out, canonical_url(F.col(urlcol)))
 
 
+def strip_html(
+    df: DataFrame,
+    textcol: str = "text",
+    out: str = "clean_text",
+) -> DataFrame:
+    """Regex-based HTML-to-text extraction — the first transform a
+    web-crawl pipeline applies: ``<script>``/``<style>`` blocks go
+    WITH their contents, comments and remaining tags go, the common
+    entities decode (&amp; &lt; &gt; &quot; &#39; &nbsp;), and
+    whitespace collapses. An engine-portable RE2-safe regex subset
+    (no backtracking, no lookaround), so the oracle can replay it
+    exactly; a full parser (trafilatura/bs4) belongs in a Pandas-UDF
+    lane when fidelity matters more than throughput — this is the
+    JVM-speed bulk path.
+
+    Map-only column expressions; shuffle-free at any scale.
+    """
+    t = F.col(textcol)
+    # (?is): case-insensitive, dot-matches-newline — supported by both
+    # Java regex and RE2
+    t = F.regexp_replace(t, r"(?is)<script[^>]*>.*?</script>", " ")
+    t = F.regexp_replace(t, r"(?is)<style[^>]*>.*?</style>", " ")
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    t = F.regexp_replace(t, r"(?s)<[^>]+>", " ")
+    for ent, rep in (
+        ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&"),
+    ):
+        t = F.replace(t, F.lit(ent), F.lit(rep))
+    t = F.trim(F.regexp_replace(t, r"\s+", " "))
+    return df.withColumn(out, t)
+
+
 def url_signals(
     df: DataFrame, textcol: str = "text", prefix: str = ""
 ) -> DataFrame:

@@ -632,3 +632,48 @@ class TestCharStats:
         r = char_stats(docs, entropy_prefix_chars=4).collect()[0]
         assert abs(r.prefix_entropy - 1.0) < 1e-9
         assert r.n_chars == 104
+
+
+class TestTermBlocklist:
+    def test_word_boundary_case_and_phrase(self, spark):
+        import pandas as pd
+
+        from pd_utils_spark.extensions.text import term_blocklist_filter
+
+        docs = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": [1, 2, 3, 4],
+                    "text": [
+                        "this Classic essay",          # no: substring only
+                        "a class on history",          # yes: whole word
+                        "first class and CLASS again", # two hits
+                        "bad  phrase spans   spaces",  # phrase w/ ws run
+                    ],
+                }
+            )
+        )
+        ann = term_blocklist_filter(
+            docs, ["class", "bad phrase"], drop=False
+        ).toPandas().set_index("doc_id")
+        assert ann.loc[1].blocklist_hits == 0 and not ann.loc[1].blocked
+        assert ann.loc[2].blocklist_hits == 1
+        assert ann.loc[3].blocklist_hits == 2
+        assert ann.loc[4].blocklist_hits == 1
+        kept = sorted(
+            r.doc_id
+            for r in term_blocklist_filter(docs, ["class", "bad phrase"]).collect()
+        )
+        assert kept == [1]
+
+    def test_empty_terms_raise(self, spark):
+        import pandas as pd
+        import pytest as _pytest
+
+        from pd_utils_spark.extensions.text import term_blocklist_filter
+
+        docs = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1], "text": ["x"]})
+        )
+        with _pytest.raises(ValueError, match="non-empty"):
+            term_blocklist_filter(docs, ["", "  "])

@@ -98,3 +98,39 @@ class TestCanonicalUrl:
             "https://news.site:443/article#comments",
         ]
         assert len(set(self._canon(spark, variants))) == 1
+
+
+class TestStripHtml:
+    def test_blocks_tags_entities_whitespace(self, spark):
+        import pandas as pd
+
+        from pd_utils_spark.extensions import web as W
+
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": [1],
+                    "text": [
+                        "<html><head><STYLE>body {x}</STYLE>"
+                        "<script type='t'>alert('hi')</script></head>"
+                        "<body><!-- c --><p>Hello &amp; welcome to "
+                        "&lt;Spark&gt;&nbsp;&quot;world&quot;</p>\n"
+                        "<div>second   line</div></body></html>"
+                    ],
+                }
+            )
+        )
+        out = W.strip_html(df).collect()[0].clean_text
+        assert out == 'Hello & welcome to <Spark> "world" second line'
+
+    def test_escaped_entity_stays_escaped_once(self, spark):
+        import pandas as pd
+
+        from pd_utils_spark.extensions import web as W
+
+        # '&amp;lt;' is the ESCAPED text '&lt;' — one decode pass must
+        # yield the literal '&lt;', not '<'
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1], "text": ["x &amp;lt; y"]})
+        )
+        assert W.strip_html(df).collect()[0].clean_text == "x &lt; y"
