@@ -627,6 +627,24 @@ def q_source_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pus_text.source_kl_drift(d, round_to=6)
 
 
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA (alpha=0.5, adjust=False) of event value in
+    (ts, event_id) order — the sequential-recursion grouped-map case,
+    hash-matched against the closed-form
+    y_i = (1-a)^(i-1) x_1 + a * sum_j (1-a)^(i-j) x_j unrolled with
+    list arithmetic in DuckDB."""
+    from pd_utils_spark.extensions.events import ewma
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    out = ewma(ev, "value", ordervar=["ts", "event_id"], byvars="user_id",
+               alpha=0.5, adjust=False)
+    # quantize with the SAME floor expression the oracle uses —
+    # round() implementations disagree on exact decimal midpoints,
+    # which alpha=0.5 over 2-decimal inputs produces constantly
+    q = F.floor(F.col("value_ewma") * 10000 + F.lit(0.5)) / 10000
+    return out.select("user_id", "event_id", q.alias("value_ewma"))
+
+
 def q_strip_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML-to-text bulk extraction on a deterministic HTML-wrapped
     corpus (script/style with contents, comments, tags, entity
@@ -3295,6 +3313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_stats": q_char_stats,
         "padding_efficiency": q_padding_efficiency,
         "strip_html": q_strip_html,
+        "ewma": q_ewma,
         "term_blocklist": q_term_blocklist,
         "source_kl_drift": q_source_kl_drift,
         "chunk_documents": q_chunk_documents,
@@ -4386,6 +4405,28 @@ def oracle_sql() -> dict[str, str]:
                    round(exp(-avg(ln(lm.tc / tot.tot))), 4) AS perplexity
             FROM t JOIN lm USING (token) CROSS JOIN tot
             GROUP BY doc_id
+        """,
+        "ewma": """
+            WITH v AS (
+                SELECT user_id, event_id, value,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS i
+                FROM events
+            ), arr AS (
+                SELECT user_id, list(value ORDER BY i) AS xs
+                FROM v GROUP BY user_id
+            )
+            SELECT v.user_id, v.event_id,
+                   -- list_reduce replays the operator's EXACT
+                   -- explicit-loop recursion y = (1-a)*y + a*x
+                   -- (seeded with the first value) with the same
+                   -- plain mul/add order -> bit-identical doubles;
+                   -- floor-quantization mirrors the Spark side
+                   -- (round() impls disagree on decimal midpoints)
+                   floor(list_reduce(xs[1:v.i],
+                                     (acc, x) -> (1 - 0.5) * acc + 0.5 * x)
+                         * 10000 + 0.5) / 10000 AS value_ewma
+            FROM v JOIN arr USING (user_id)
         """,
         "strip_html": """
             WITH html AS (

@@ -405,3 +405,77 @@ def top_k_per_group(
         df.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def ewma(
+    df: DataFrame,
+    valuecol: str,
+    ordervar: str | Sequence[str],
+    byvars: str | Sequence[str] | None = None,
+    alpha: float = 0.5,
+    adjust: bool = False,
+    out: str | None = None,
+) -> DataFrame:
+    """Per-group exponentially weighted moving average with pandas
+    ``ewm(alpha=..., adjust=...).mean()`` parity — the classic
+    smoothing/volatility primitive (EWMA vol, momentum signals,
+    metric smoothing) whose recursion ``y_i = (1-a)*y_{i-1} + a*x_i``
+    is inherently SEQUENTIAL per group and therefore the textbook
+    grouped-map case: Spark windows cannot express it safely (the
+    closed form needs ``(1-a)^{-j}`` terms that overflow on long
+    groups), so each group runs pandas' C implementation via
+    ``applyInPandas`` — one shuffle on ``byvars``, each group sorted
+    once by ``ordervar``, O(rows) state.
+
+    ``adjust=False`` (default) is the recursive form above seeded with
+    the first value; ``adjust=True`` is pandas' weight-normalized
+    form. Appends ``out`` (default ``{valuecol}_ewma``) as double;
+    with ``byvars=None`` the whole frame is ONE group (single-task
+    sequential — fine for a time series, wrong for a corpus; pass
+    group keys at scale).
+
+    Arithmetic note: the recursion runs as an EXPLICIT plain-float
+    loop, not pandas' C kernel — compiler FMA contraction inside
+    pandas makes its low bits compiler-dependent, while the explicit
+    ``y = (1-a)*y + a*x`` ladder is deterministic and reproducible by
+    any engine (the DuckDB oracle replays it with ``list_reduce``).
+    Parity with ``pandas.ewm`` is to ~1 ulp (pytest-asserted).
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    import numpy as np
+    import pandas as pd
+
+    out = out or f"{valuecol}_ewma"
+    byvars_l = to_list(byvars) if byvars is not None else []
+    order_l = to_list(ordervar)
+    schema = ", ".join(f"`{n}` {t}" for n, t in df.dtypes) + f", `{out}` double"
+    a = float(alpha)
+    om = 1.0 - a
+
+    def _scan(vals: "np.ndarray") -> list:
+        ys = []
+        y = None
+        wsum = 0.0
+        wval = 0.0
+        for x in vals:
+            x = float(x)
+            if adjust:
+                # y_i = sum w_j x_j / sum w_j with w_j = (1-a)^(i-j)
+                wval = om * wval + x
+                wsum = om * wsum + 1.0
+                y = wval / wsum
+            else:
+                y = x if y is None else om * y + a * x
+            ys.append(y)
+        return ys
+
+    def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(order_l, kind="mergesort")
+        pdf[out] = _scan(pdf[valuecol].to_numpy())
+        return pdf
+
+    grouped = (
+        df.groupBy(*byvars_l) if byvars_l else df.groupBy(F.lit(1))
+    )
+    return grouped.applyInPandas(fn, schema)

@@ -329,3 +329,50 @@ class TestSuppressRepeats:
         assert suppress_repeats(
             spark.createDataFrame(ev), "user_id", within_seconds=10
         ).count() == 2
+
+
+class TestEwma:
+    def test_pandas_parity_both_adjust_modes(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        from pd_utils_spark.extensions.events import ewma
+
+        rng = pd.DataFrame(
+            {
+                "g": [1] * 10 + [2] * 7,
+                "i": list(range(10)) + list(range(7)),
+                "x": [3.1, -2.0, 5.5, 0.0, 1.25, 9.9, -4.4, 2.2, 7.0, 0.5,
+                      1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0],
+            }
+        )
+        df = spark.createDataFrame(rng)
+        for adjust in (False, True):
+            got = (
+                ewma(df, "x", "i", byvars="g", alpha=0.3, adjust=adjust)
+                .toPandas()
+                .sort_values(["g", "i"])
+                .reset_index(drop=True)
+            )
+            expect = (
+                rng.sort_values(["g", "i"])
+                .groupby("g")
+                .x.transform(lambda s: s.ewm(alpha=0.3, adjust=adjust).mean())
+                .reset_index(drop=True)
+            )
+            assert np.allclose(got.x_ewma, expect, rtol=1e-12, atol=1e-12), adjust
+
+    def test_first_value_seeds_and_validation(self, spark):
+        import pandas as pd
+        import pytest as _pytest
+
+        from pd_utils_spark.extensions.events import ewma
+
+        df = spark.createDataFrame(
+            pd.DataFrame({"g": [1, 1], "i": [0, 1], "x": [10.0, 0.0]})
+        )
+        out = {r.i: r.x_ewma for r in ewma(df, "x", "i", byvars="g").collect()}
+        assert out[0] == 10.0
+        assert out[1] == 5.0  # 0.5*10 + 0.5*0
+        with _pytest.raises(ValueError, match="alpha"):
+            ewma(df, "x", "i", byvars="g", alpha=0.0)
