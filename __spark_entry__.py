@@ -703,6 +703,38 @@ def q_char_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pus_text.char_stats(d)
 
 
+def q_dedup_spans_against(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental C4-span dedup: today's batch loses every
+    3-sentence span already fingerprinted in yesterday's history —
+    ALL occurrences, keeper included (history holds the kept copy).
+    Every 3rd batch doc carries a promo block that history also has;
+    those docs must lose exactly that block, and unlike dedup_spans
+    even doc 0 loses it. The oracle replays both corpora's sentence/
+    span machinery and the semi-join removal in DuckDB."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    sid = F.col("doc_id").cast("string")
+    hist = d.filter(F.col("doc_id") < 100).select(
+        "doc_id",
+        F.concat(
+            F.lit("hist "), sid, F.lit(" a. hist "), sid,
+            F.lit(" b. promo sentence a. promo sentence b. promo sentence c"),
+        ).alias("text"),
+    )
+    batch = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("alpha "), sid, F.lit(" one. beta "), sid,
+            F.lit(" two. gamma "), sid, F.lit(" three"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit(". promo sentence a. promo sentence b."
+                      " promo sentence c"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return pus_dedup.dedup_spans_against(batch, hist, n=3)
+
+
 def q_repeat_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Epoch-style source repetition (factor 3 / 2.5 / 0.5 / 0 /
     default 1): whole copies plus a deterministic hash-keyed extra
@@ -3309,6 +3341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_buckets": q_perplexity_buckets,
         "top_ngrams": q_top_ngrams,
         "dedup_spans": q_dedup_spans,
+        "dedup_spans_against": q_dedup_spans_against,
         "repeat_sources": q_repeat_sources,
         "char_stats": q_char_stats,
         "padding_efficiency": q_padding_efficiency,
@@ -4601,6 +4634,82 @@ def oracle_sql() -> dict[str, str]:
                        AS clean_text
             FROM corpus c LEFT JOIN kept k ON k.doc_id = c.doc_id
             GROUP BY c.doc_id
+        """,
+        "dedup_spans_against": """
+            WITH hist AS (
+                SELECT doc_id,
+                       'hist ' || doc_id || ' a. hist ' || doc_id ||
+                       ' b. promo sentence a. promo sentence b. promo sentence c'
+                           AS text
+                FROM documents WHERE doc_id < 100
+            ), batch AS (
+                SELECT doc_id,
+                       'alpha ' || doc_id || ' one. beta ' || doc_id ||
+                       ' two. gamma ' || doc_id || ' three' ||
+                       CASE WHEN doc_id % 3 = 0
+                            THEN '. promo sentence a. promo sentence b. promo sentence c'
+                            ELSE '' END AS text
+                FROM documents
+            ), hsents AS (
+                SELECT doc_id,
+                       row_number() OVER (PARTITION BY doc_id ORDER BY p0) AS pos,
+                       sent
+                FROM (SELECT doc_id, u.i AS p0, trim(u.s) AS sent
+                      FROM (SELECT doc_id,
+                                   unnest(list_transform(
+                                       generate_series(1, len(a)),
+                                       i -> {'i': i, 's': a[i]})) AS u
+                            FROM (SELECT doc_id,
+                                         regexp_split_to_array(text, '\\.') AS a
+                                  FROM hist)))
+                WHERE length(sent) > 0
+            ), hfp AS (
+                SELECT DISTINCT md5(lower(u.t)) AS fp
+                FROM (SELECT unnest(CASE WHEN len(arr) >= 3 THEN
+                          list_transform(
+                              generate_series(1, len(arr) - 2),
+                              i -> {'t': array_to_string(arr[i:i+2], ' </s> ')})
+                      ELSE NULL END) AS u
+                      FROM (SELECT doc_id, list(sent ORDER BY pos) AS arr
+                            FROM hsents GROUP BY doc_id))
+            ), s AS (
+                SELECT doc_id,
+                       row_number() OVER (PARTITION BY doc_id ORDER BY p0) AS pos,
+                       sent
+                FROM (SELECT doc_id, u.i AS p0, trim(u.s) AS sent
+                      FROM (SELECT doc_id,
+                                   unnest(list_transform(
+                                       generate_series(1, len(a)),
+                                       i -> {'i': i, 's': a[i]})) AS u
+                            FROM (SELECT doc_id,
+                                         regexp_split_to_array(text, '\\.') AS a
+                                  FROM batch)))
+                WHERE length(sent) > 0
+            ), sp AS (
+                SELECT doc_id, u.i AS pos, md5(lower(u.t)) AS fp
+                FROM (SELECT doc_id,
+                             unnest(CASE WHEN len(arr) >= 3 THEN
+                                 list_transform(
+                                     generate_series(1, len(arr) - 2),
+                                     i -> {'i': i,
+                                           't': array_to_string(arr[i:i+2], ' </s> ')})
+                             ELSE NULL END) AS u
+                      FROM (SELECT doc_id, list(sent ORDER BY pos) AS arr
+                            FROM s GROUP BY doc_id))
+            ), removal AS (
+                SELECT DISTINCT sp.doc_id, sp.pos + t.j AS pos
+                FROM sp JOIN hfp USING (fp), range(0, 3) t(j)
+            ), kept AS (
+                SELECT s.doc_id, s.pos, s.sent FROM s
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM removal x
+                    WHERE x.doc_id = s.doc_id AND x.pos = s.pos)
+            )
+            SELECT b.doc_id,
+                   coalesce(string_agg(k.sent, '. ' ORDER BY k.pos), '')
+                       AS clean_text
+            FROM batch b LEFT JOIN kept k ON k.doc_id = b.doc_id
+            GROUP BY b.doc_id
         """,
         "top_ngrams": f"""
             WITH tok AS (

@@ -685,16 +685,58 @@ def dedup_spans(
 
     if n < 1:
         raise ValueError(f"n must be >= 1: {n}")
+    s = _sentences(df, textcol, idcol)
+    sp = span_fingerprints(df, textcol, idcol, n, sentences=s)
+    wfp = Window.partitionBy("fp")
+    ranked = sp.withColumn(
+        "__rk__", F.row_number().over(wfp.orderBy(idcol, "pos"))
+    ).withColumn("__cnt__", F.count(F.lit(1)).over(wfp))
+    removal = (
+        ranked.filter((F.col("__cnt__") > 1) & (F.col("__rk__") > 1))
+        .select(
+            F.col(idcol),
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    return _rebuild_from_sentences(df, s, removal, idcol, out)
+
+
+def _sentences(df: DataFrame, textcol: str, idcol: str) -> DataFrame:
+    """(id, pos, __sent__): period-split, trimmed, empties dropped,
+    positions compacted per doc — the shared sentence stage of the
+    span-dedup family."""
+    from pyspark.sql import Window
+
     raw = df.select(
         F.col(idcol),
         F.posexplode_outer(F.split(F.col(textcol), r"\.")).alias(
             "__p0__", "__sent__"
         ),
     ).withColumn("__sent__", F.trim("__sent__"))
-    s = raw.filter(F.length("__sent__") > 0).withColumn(
+    return raw.filter(F.length("__sent__") > 0).withColumn(
         "pos",
         F.row_number().over(Window.partitionBy(idcol).orderBy("__p0__")),
     )
+
+
+def span_fingerprints(
+    df: DataFrame,
+    textcol: str = "text",
+    idcol: str = "doc_id",
+    n: int = 3,
+    sentences: DataFrame | None = None,
+) -> DataFrame:
+    """``(idcol, pos, fp)`` — the md5 fingerprint of every ``n``
+    consecutive-sentence span (1-based start position). The reusable
+    stage under :func:`dedup_spans` / :func:`dedup_spans_against`;
+    also what you PERSIST as the history table for incremental span
+    dedup (16-byte fingerprints, no text retained)."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1: {n}")
+    s = sentences if sentences is not None else _sentences(df, textcol, idcol)
     per = s.groupBy(idcol).agg(
         F.transform(
             F.array_sort(
@@ -717,25 +759,22 @@ def dedup_spans(
             ),
         ),
     ).otherwise(F.lit(None))
-    sp = per.select(F.col(idcol), F.explode(spans).alias("__sp__")).select(
+    return per.select(F.col(idcol), F.explode(spans).alias("__sp__")).select(
         F.col(idcol),
         F.col("__sp__.pos").alias("pos"),
         F.col("__sp__.fp").alias("fp"),
     )
-    wfp = Window.partitionBy("fp")
-    ranked = sp.withColumn(
-        "__rk__", F.row_number().over(wfp.orderBy(idcol, "pos"))
-    ).withColumn("__cnt__", F.count(F.lit(1)).over(wfp))
-    removal = (
-        ranked.filter((F.col("__cnt__") > 1) & (F.col("__rk__") > 1))
-        .select(
-            F.col(idcol),
-            F.explode(
-                F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
-            ).alias("pos"),
-        )
-        .distinct()
-    )
+
+
+def _rebuild_from_sentences(
+    df: DataFrame,
+    s: DataFrame,
+    removal: DataFrame,
+    idcol: str,
+    out: str,
+) -> DataFrame:
+    """Anti-join the (id, pos) removal set and reassemble each doc
+    from surviving sentences in order; fully-removed docs keep ''."""
     kept = s.join(removal, [idcol, "pos"], "left_anti")
     rebuilt = kept.groupBy(idcol).agg(
         F.concat_ws(
@@ -755,6 +794,49 @@ def dedup_spans(
         .join(rebuilt, idcol, "left")
         .fillna({out: ""})
     )
+
+
+def dedup_spans_against(
+    df: DataFrame,
+    history: DataFrame,
+    textcol: str = "text",
+    idcol: str = "doc_id",
+    n: int = 3,
+    out: str = "clean_text",
+    history_is_fingerprints: bool = False,
+) -> DataFrame:
+    """Incremental C4-span dedup for streaming/batch ingestion: every
+    ``n``-sentence span of the NEW batch whose fingerprint already
+    exists in ``history`` is removed (ALL its occurrences — history
+    holds the kept copy), and documents are rebuilt like
+    :func:`dedup_spans`. Within-batch duplicates are NOT touched (run
+    dedup_spans for that); the two compose in either order.
+
+    ``history`` is a document frame by default; pass
+    ``history_is_fingerprints=True`` to hand a persisted
+    :func:`span_fingerprints` output instead (the recommended shape —
+    16-byte fps, no text retained, unionable batch over batch). The
+    membership test is a left-semi join on the fingerprint; AQE
+    broadcasts it when small, hash-joins otherwise — never all-pairs.
+    """
+    s = _sentences(df, textcol, idcol)
+    sp = span_fingerprints(df, textcol, idcol, n, sentences=s)
+    hist_fp = (
+        history.select("fp")
+        if history_is_fingerprints
+        else span_fingerprints(history, textcol, idcol, n).select("fp")
+    ).distinct()
+    removal = (
+        sp.join(hist_fp, "fp", "left_semi")
+        .select(
+            F.col(idcol),
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    return _rebuild_from_sentences(df, s, removal, idcol, out)
 
 
 def dedup_lines(

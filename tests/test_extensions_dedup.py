@@ -677,3 +677,78 @@ class TestDedupSpans:
         # and the duplicate block survived exactly once, in doc 1
         assert "a one" in o[1] and "a one" not in o[2]
         assert o[2] == "b zero"
+
+
+class TestDedupSpansAgainst:
+    def _frames(self, spark):
+        hist = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": [100],
+                    "text": ["old one. old two. promo a. promo b. promo c"],
+                }
+            )
+        )
+        batch = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": [1, 2],
+                    "text": [
+                        "fresh x. promo a. promo b. promo c. fresh y",
+                        "only new. content here. nothing shared",
+                    ],
+                }
+            )
+        )
+        return batch, hist
+
+    def test_all_occurrences_removed_even_first(self, spark):
+        batch, hist = self._frames(spark)
+        out = {
+            r.doc_id: r.clean_text
+            for r in D.dedup_spans_against(batch, hist, n=3).collect()
+        }
+        # unlike dedup_spans there is NO keeper in the batch: history
+        # holds the kept copy, so doc 1 loses the promo block entirely
+        assert out[1] == "fresh x. fresh y"
+        assert out[2] == "only new. content here. nothing shared"
+
+    def test_fingerprint_history_shape(self, spark):
+        batch, hist = self._frames(spark)
+        fps = D.span_fingerprints(hist, n=3)
+        assert fps.columns == ["doc_id", "pos", "fp"]
+        via_docs = {
+            r.doc_id: r.clean_text
+            for r in D.dedup_spans_against(batch, hist, n=3).collect()
+        }
+        via_fps = {
+            r.doc_id: r.clean_text
+            for r in D.dedup_spans_against(
+                batch, fps.select("fp"), n=3, history_is_fingerprints=True
+            ).collect()
+        }
+        assert via_docs == via_fps
+
+    def test_within_batch_dups_untouched(self, spark):
+        batch = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": [1, 2],
+                    "text": [
+                        "dup a. dup b. dup c",
+                        "dup a. dup b. dup c",
+                    ],
+                }
+            )
+        )
+        hist = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [9], "text": ["unrelated history doc"]})
+        )
+        out = {
+            r.doc_id: r.clean_text
+            for r in D.dedup_spans_against(batch, hist, n=3).collect()
+        }
+        # incremental dedup only consults history; within-batch
+        # duplicates are dedup_spans' job (the two compose)
+        assert out[1] == "dup a. dup b. dup c"
+        assert out[2] == "dup a. dup b. dup c"
