@@ -3,14 +3,42 @@
 Counterpart of the reference's ``estimate_time``
 (reference: pd_utils/timer.py:6-45). On Spark, per-stage progress
 lives in the Spark UI; this helper covers the same driver-side
-use case as the reference: estimating completion of an explicit
-Python loop (e.g. over a list of partitions/dates being submitted).
+use case: estimating completion of an explicit Python loop (e.g.
+over a list of partitions/dates being submitted).
 """
 
 from __future__ import annotations
 
 import time
 from datetime import datetime, timedelta
+
+
+class _LoopProgress:
+    """Projected-finish arithmetic for a loop observed mid-flight.
+
+    Separated from the printing so the projection is unit-testable
+    and reusable (``estimate_time`` below is the reference-parity
+    facade over it).
+    """
+
+    __slots__ = ("total", "completed", "elapsed")
+
+    def __init__(self, total: int, completed: int, elapsed: float):
+        self.total = total
+        self.completed = completed
+        self.elapsed = elapsed
+
+    @property
+    def remaining_seconds(self) -> float:
+        pace = self.elapsed / self.completed
+        return pace * (self.total - self.completed)
+
+    def finish_at(self, now: datetime) -> datetime:
+        return now + timedelta(seconds=self.remaining_seconds)
+
+    def render(self, eta: datetime, index: int) -> str:
+        pct = index / self.total
+        return f"Completed {index}/{self.total} ({pct:.0%}) — ETA {eta}"
 
 
 def estimate_time(
@@ -20,26 +48,18 @@ def estimate_time(
     output: bool = True,
 ) -> datetime:
     """Estimate when a loop will finish; call at the end of each
-    iteration with ``start_time = timeit.default_timer()`` (equivalently
-    ``time.perf_counter()``) taken before the loop
-    (reference: pd_utils/timer.py:6-45).
+    iteration, with the clock value captured before the loop
+    (``time.perf_counter()`` / ``timeit.default_timer()`` — the same
+    clock, so reference-style call sites port unchanged; reference:
+    pd_utils/timer.py:6-45).
 
-    :param length: total number of iterations
-    :param i: current zero-based iteration index
-    :param start_time: ``time.perf_counter()`` value from before the loop
-    :param output: False to suppress the progress line
-    :return: estimated wall-clock finish time
+    ``length`` is the loop's iteration count, ``i`` the zero-based
+    index of the iteration that just ran, ``start_time`` the pre-loop
+    clock value; pass ``output=False`` to suppress the carriage-return
+    progress line and only get the projected finish back.
     """
-    done = i + 1
-    elapsed = time.perf_counter() - start_time
-    # elapsed * (length/done - 1) == per-iteration mean * iterations left
-    eta = datetime.now() + timedelta(seconds=elapsed * (length / done - 1.0))
-
+    progress = _LoopProgress(length, i + 1, time.perf_counter() - start_time)
+    eta = progress.finish_at(datetime.now())
     if output:
-        print(
-            f"Completed {i}/{length} ({i / length:.0%}) — ETA {eta}",
-            end="\r",
-            flush=True,
-        )
-
+        print(progress.render(eta, i), end="\r", flush=True)
     return eta
