@@ -1089,6 +1089,26 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_doubles(out)
 
 
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means (deterministic: k lowest-id init,
+    squared-L2 argmin with lowest-cid tie-break, empty cells keep
+    their centroid) — final assignment after 3 rounds. Oracle: the
+    unrolled iteration as CTE chains (like pagerank/hits)."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    out = pus_sim.kmeans(emb, k=8, iters=3)
+    return out.select("vec_id", "cluster")
+
+
+def q_semantic_dedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup as published: k-means cells -> within-cell cosine>=0.4
+    pairs -> transitive closure -> min-id survivor. Oracle replays the
+    unrolled k-means, the cell-local pair join, and the recursive-CTE
+    closure."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    out = pus_sim.semantic_dedup_kmeans(emb, k=8, iters=3, threshold=0.4)
+    return out.select("vec_id")
+
+
 def q_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup: LSH-bucketed cosine>=0.99 pairs
     -> connected components -> min-id survivor per cluster. Oracle:
@@ -3371,6 +3391,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "dedup_embeddings": q_dedup_embeddings,
+        "kmeans_clusters": q_kmeans_clusters,
+        "semantic_dedup_kmeans": q_semantic_dedup_kmeans,
         "label_centroids": q_label_centroids,
         "tumbling_window": q_tumbling_window,
         "sliding_window": q_sliding_window,
@@ -3598,6 +3620,53 @@ def _sql_cosine(a: str, b: str, dims: int = 64) -> str:
     na = f"sqrt({_sql_dot(a, a, dims)})"
     nb = f"sqrt({_sql_dot(b, b, dims)})"
     return f"CASE WHEN {na} * {nb} > 0 THEN {d} / ({na} * {nb}) END"
+
+
+def _sql_kmeans_ctes(k: int = 8, iters: int = 3, dims: int = 64) -> str:
+    """CTE chain replaying pus_sim.kmeans in DuckDB, unrolled per
+    Lloyd's round (the pagerank/hits oracle pattern): c0 = k lowest-id
+    vectors; round n = assignment a{n} (squared-L2 argmin, lowest-cid
+    tie-break) then means m{n} with empty cells inheriting c{n-1}; the
+    final assignment a{iters+1} uses c{iters}."""
+    dist = (
+        f"list_sum(list_transform(range(1, {dims + 1}), __i -> "
+        "(e.embedding[__i]::DOUBLE - c.vec[__i]) * "
+        "(e.embedding[__i]::DOUBLE - c.vec[__i])))"
+    )
+    parts = [
+        "ev AS (SELECT vec_id, embedding FROM embeddings)",
+        f"""c0 AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                   list_transform(embedding, x -> x::DOUBLE) AS vec
+            FROM (SELECT vec_id, embedding FROM ev ORDER BY vec_id LIMIT {k}))""",
+    ]
+    for n in range(1, iters + 2):
+        parts.append(
+            f"""a{n} AS (
+            SELECT vec_id, cid FROM (
+                SELECT e.vec_id, c.cid,
+                       row_number() OVER (PARTITION BY e.vec_id
+                                          ORDER BY {dist}, c.cid) AS rn
+                FROM ev e CROSS JOIN c{n - 1} c) WHERE rn = 1)"""
+        )
+        if n == iters + 1:
+            break
+        parts.append(
+            f"""m{n} AS (
+            SELECT cid, list(m ORDER BY dim) AS vec FROM (
+                SELECT a.cid, t.i AS dim, avg(e.embedding[t.i]::DOUBLE) AS m
+                FROM a{n} a JOIN ev e USING (vec_id)
+                CROSS JOIN range(1, {dims + 1}) t(i)
+                GROUP BY a.cid, t.i) GROUP BY cid)"""
+        )
+        parts.append(
+            f"""c{n} AS (
+            SELECT cid, vec FROM m{n}
+            UNION ALL
+            SELECT c.cid, c.vec FROM c{n - 1} c
+            WHERE c.cid NOT IN (SELECT cid FROM m{n}))"""
+        )
+    return ",\n".join(parts)
 
 
 def _sql_hyperplane_sig(vec: str, planes: int, dims: int = 64) -> str:
@@ -5281,6 +5350,32 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id_a, id_b, round(cosine, {r}) AS cosine
             FROM pairs WHERE cosine >= 0.99
+        """,
+        "kmeans_clusters": f"""
+            WITH {_sql_kmeans_ctes(k=8, iters=3)}
+            SELECT vec_id, cast(cid AS int) AS cluster FROM a4
+        """,
+        "semantic_dedup_kmeans": f"""
+            WITH RECURSIVE {_sql_kmeans_ctes(k=8, iters=3)},
+            p AS (
+                SELECT x.vec_id AS id_a, y.vec_id AS id_b
+                FROM a4 x JOIN a4 y
+                  ON x.cid = y.cid AND x.vec_id < y.vec_id
+                JOIN ev ex ON ex.vec_id = x.vec_id
+                JOIN ev ey ON ey.vec_id = y.vec_id
+                WHERE {_sql_cosine("ex.embedding", "ey.embedding")} >= 0.4
+            ), g AS (
+                SELECT id_a AS a, id_b AS b FROM p
+                UNION SELECT id_b, id_a FROM p
+            ), r(a, b) AS (
+                SELECT a, b FROM g
+                UNION
+                SELECT r.a, g.b FROM r JOIN g ON r.b = g.a
+            ), losers AS (
+                SELECT a FROM r GROUP BY a HAVING least(a, min(b)) <> a
+            )
+            SELECT vec_id FROM ev
+            WHERE vec_id NOT IN (SELECT a FROM losers)
         """,
         "dedup_embeddings": f"""
             WITH RECURSIVE u AS (

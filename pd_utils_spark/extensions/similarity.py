@@ -522,6 +522,179 @@ def dedup_embeddings(
     return dedup_connected(df, pairs.select("id_a", "id_b"), idcol=idcol)
 
 
+# ------------------------------------------------------------- kmeans
+
+def _kmeans_assign_expr(veccol: str, centroids: list) -> Column:
+    """Nearest-centroid id for one row, fully JVM-side: the centroid
+    list is inlined as an array-of-arrays literal, each candidate
+    scored by squared L2 (ordered left fold — bit-reproducible), and
+    ``array_min`` over ``struct(dist, cid)`` picks the argmin with
+    lowest-cid tie-break. No crossJoin, no UDF: assignment is a
+    map-only projection."""
+    # one nested-list literal, not k x dims F.lit() calls: the latter
+    # builds the expression tree through k*dims py4j round-trips and
+    # dominated fit time at k=8, dims=64
+    carr = F.lit([[float(v) for v in c] for c in centroids])
+    scored = F.transform(
+        carr,
+        lambda c, i: F.struct(
+            F.aggregate(
+                F.zip_with(
+                    F.col(veccol),
+                    c,
+                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("dist"),
+            i.alias("cid"),
+        ),
+    )
+    return F.array_min(scored)["cid"]
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    idcol: str = "vec_id",
+    veccol: str = "embedding",
+) -> list:
+    """Distributed Lloyd's k-means over an ``array<float>`` column,
+    returning the fitted centroids as plain nested lists
+    ``[k][dims]`` (broadcastable, serializable, engine-neutral — the
+    same contract as :func:`pq_fit` codebooks).
+
+    Deterministic by construction, unlike ``pyspark.ml.KMeans``
+    (k-means|| init draws from an RNG seeded per partition): init is
+    the ``k`` lowest-id vectors, each Lloyd's round assigns every
+    point to its nearest centroid (squared L2, lowest-cid tie-break)
+    and recomputes centroids as per-dimension means; a cluster that
+    goes empty keeps its previous centroid.
+
+    Scale shape — the classic broadcast-iterate loop (how Spark ML
+    itself runs Lloyd's): centroid state is O(k x dims) and lives on
+    the driver between rounds; each round is ONE map-only pass over
+    the corpus (assignment is an inlined literal expression — no
+    join) plus a ``(cluster, dim)`` hash aggregation whose shuffle is
+    k x dims rows after map-side combine, regardless of corpus size.
+    ``iters`` full scans total: persist ``df`` before calling when it
+    is not a plain parquet scan.
+    """
+    if k < 1 or iters < 0:
+        raise ValueError(f"need k >= 1 and iters >= 0: {k}, {iters}")
+    seed_rows = (
+        df.select(idcol, veccol).orderBy(idcol).limit(k).collect()
+    )
+    if len(seed_rows) < k:
+        raise ValueError(f"k={k} exceeds row count {len(seed_rows)}")
+    cents = [[float(x) for x in r[1]] for r in seed_rows]
+    for _ in range(iters):
+        assigned = df.select(
+            _kmeans_assign_expr(veccol, cents).alias("__c__"),
+            F.col(veccol),
+        )
+        per_dim = (
+            assigned.select(
+                "__c__", F.posexplode(F.col(veccol)).alias("__d__", "__v__")
+            )
+            .groupBy("__c__", "__d__")
+            .agg(F.avg(F.col("__v__").cast("double")).alias("__m__"))
+            .collect()
+        )
+        by_cid: dict = {}
+        for r in per_dim:
+            by_cid.setdefault(r["__c__"], {})[r["__d__"]] = r["__m__"]
+        cents = [
+            [by_cid[cid][d] for d in sorted(by_cid[cid])]
+            if cid in by_cid
+            else list(cents[cid])
+            for cid in range(k)
+        ]
+    return cents
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids: list,
+    veccol: str = "embedding",
+    out: str = "cluster",
+) -> DataFrame:
+    """Attach the nearest-centroid id (squared L2, lowest-cid
+    tie-break) for fitted ``centroids`` — a map-only projection, the
+    serving half of :func:`kmeans_fit`."""
+    return df.withColumn(out, _kmeans_assign_expr(veccol, centroids))
+
+
+def kmeans(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    idcol: str = "vec_id",
+    veccol: str = "embedding",
+    out: str = "cluster",
+) -> DataFrame:
+    """Fit + assign in one call: Lloyd's k-means cluster ids for every
+    row (see :func:`kmeans_fit` for the algorithm and scale shape)."""
+    return kmeans_assign(df, kmeans_fit(df, k, iters, idcol, veccol), veccol, out)
+
+
+def semantic_dedup_kmeans(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    threshold: float = 0.99,
+    idcol: str = "vec_id",
+    veccol: str = "embedding",
+) -> DataFrame:
+    """SemDeDup exactly as published (Abbas et al. 2023: k-means the
+    embeddings, compare only within each cluster): Lloyd's cells from
+    :func:`kmeans`, exact cosine >= ``threshold`` pairs inside each
+    cell, transitive closure, keep the lowest id per duplicate group.
+    The hyperplane-bucketed :func:`dedup_embeddings` is the
+    alternative candidate generator; k-means cells adapt to the data
+    distribution (tighter cells where vectors concentrate) at the
+    cost of ``iters`` extra corpus scans and the usual SemDeDup
+    caveat that near-dups straddling a cell boundary are missed.
+
+    Scale shape: the pair join is cell-local (one shuffle on the cell
+    id; each cell's self-join is |cell|^2 worst case — pick k so
+    cells fit, the paper uses k ~ sqrt(N)); the closure runs on the
+    verified pair graph only. Norms are hoisted to one per-ROW fold
+    before the join, so every candidate pair evaluates a single dot
+    fold instead of three (the quadratic term is where folds hurt);
+    the cosine is still dot/(na*nb) — bit-identical to
+    :func:`cosine` on the same inputs.
+    """
+    from pd_utils_spark.extensions.dedup import dedup_connected
+
+    cells = kmeans(df, k, iters, idcol, veccol, out="__cell__").withColumn(
+        "__nrm__", norm(F.col(veccol))
+    )
+    a = cells.select(
+        F.col("__cell__").alias("__ca__"),
+        F.col(idcol).alias("id_a"),
+        F.col(veccol).alias("__va__"),
+        F.col("__nrm__").alias("__na__"),
+    )
+    b = cells.select(
+        F.col("__cell__").alias("__cb__"),
+        F.col(idcol).alias("id_b"),
+        F.col(veccol).alias("__vb__"),
+        F.col("__nrm__").alias("__nb__"),
+    )
+    den = F.col("__na__") * F.col("__nb__")
+    pairs = (
+        a.join(b, (F.col("__ca__") == F.col("__cb__")) & (F.col("id_a") < F.col("id_b")))
+        .filter(
+            (den > 0)
+            & (dot(F.col("__va__"), F.col("__vb__")) / den >= threshold)
+        )
+        .select("id_a", "id_b")
+    )
+    return dedup_connected(df, pairs, idcol=idcol)
+
+
 # ---------------------------------------------------------------- PQ
 
 def pq_fit(

@@ -426,3 +426,80 @@ class TestPCA:
         assert np.var(P[:, 1], ddof=1) == _pytest.approx(1.0, rel=1e-6)
         with _pytest.raises(ValueError, match="whiten"):
             pca_project(df, comps, mean, whiten=True)
+
+
+class TestKmeans:
+    def _df(self, spark, vecs):
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "vec_id": range(len(vecs)),
+                    "embedding": [[float(x) for x in v] for v in vecs],
+                }
+            )
+        )
+
+    def test_two_separated_groups(self, spark):
+        df = self._df(
+            spark, [[0.0, 0.0], [0.1, 0.0], [10.0, 0.0], [10.1, 0.0]]
+        )
+        cents = S.kmeans_fit(df, k=2, iters=3)
+        assert cents[0] == pytest.approx([0.05, 0.0])
+        assert cents[1] == pytest.approx([10.05, 0.0])
+        got = {
+            r.vec_id: r.cluster for r in S.kmeans(df, k=2, iters=3).collect()
+        }
+        assert got == {0: 0, 1: 0, 2: 1, 3: 1}
+
+    def test_tie_breaks_to_lowest_cid_and_empty_keeps_centroid(self, spark):
+        # ids 0 and 1 carry the SAME vector -> identical init centroids;
+        # every point ties and must go to cid 0, so cluster 1 empties
+        # and must keep its (unchanged) centroid across iterations
+        df = self._df(spark, [[1.0, 1.0], [1.0, 1.0], [1.2, 1.0]])
+        cents = S.kmeans_fit(df, k=2, iters=1)
+        # round 1: every point ties-or-prefers cid 0 (tie -> lowest),
+        # cluster 1 empties and must keep its seed centroid while
+        # cluster 0's centroid moves to the 3-point mean
+        assert cents[0] == pytest.approx([1.0 + 0.2 / 3, 1.0])
+        assert cents[1] == pytest.approx([1.0, 1.0])
+        # final assignment against those centroids: the two identical
+        # points are now nearer the UNMOVED cluster-1 seed
+        out = {r.vec_id: r.cluster for r in S.kmeans(df, k=2, iters=1).collect()}
+        assert out == {0: 1, 1: 1, 2: 0}
+
+    def test_zero_iters_is_seed_assignment(self, spark):
+        df = self._df(spark, [[0.0], [4.0], [10.0]])
+        out = {r.vec_id: r.cluster for r in S.kmeans(df, k=2, iters=0).collect()}
+        # seeds are ids 0 (=0.0) and 1 (=4.0); 10.0 is nearer 4.0
+        assert out == {0: 0, 1: 1, 2: 1}
+
+    def test_k_exceeds_rows_raises(self, spark):
+        df = self._df(spark, [[1.0]])
+        with pytest.raises(ValueError, match="exceeds"):
+            S.kmeans_fit(df, k=5, iters=1)
+
+
+class TestSemanticDedupKmeans:
+    def test_keeps_lowest_id_per_near_dup_group(self, spark):
+        vecs = [
+            [1.0, 0.0],     # 0: keeper of the (0, 1) pair
+            [1.0, 0.001],   # 1: near-dup of 0
+            [0.0, 1.0],     # 2: unique direction
+            [10.0, 0.01],   # 3: near-dup of 0 in cosine, same cell
+        ]
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "vec_id": range(4),
+                    "embedding": [[float(x) for x in v] for v in vecs],
+                }
+            )
+        )
+        kept = {
+            r.vec_id
+            for r in S.semantic_dedup_kmeans(
+                df, k=2, iters=2, threshold=0.99
+            ).collect()
+        }
+        assert 0 in kept and 2 in kept
+        assert 1 not in kept
