@@ -568,3 +568,80 @@ def test_session_paths_count_conservation(spark, counts, n):
     assert out.n_occurrences.sum() == expect_total
     assert (out.n_sessions <= len(counts)).all()
     assert (out.n_sessions >= 1).all() if len(out) else True
+
+
+# ------------------------------------------------------------- kmeans
+
+vec_frames = st.integers(min_value=2, max_value=4).flatmap(
+    lambda dims: st.lists(
+        st.lists(
+            st.floats(min_value=-100, max_value=100, allow_nan=False, width=32),
+            min_size=dims,
+            max_size=dims,
+        ),
+        min_size=3,
+        max_size=12,
+    )
+)
+
+
+def _vec_df(spark, vecs):
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": range(len(vecs)),
+                "embedding": [[float(x) for x in v] for v in vecs],
+            }
+        )
+    )
+
+
+@given(vecs=vec_frames, iters=st.integers(min_value=0, max_value=3))
+@settings(**SETTINGS)
+def test_kmeans_assignment_is_argmin(spark, vecs, iters):
+    """Every point's assigned centroid is (weakly) the nearest one,
+    with ties broken to the lowest cid — recomputed independently in
+    plain Python against the returned centroids."""
+    from pd_utils_spark.extensions import similarity as S
+
+    k = min(2, len(vecs))
+    df = _vec_df(spark, vecs)
+    cents = S.kmeans_fit(df, k=k, iters=iters)
+    got = {
+        r.vec_id: r.cluster
+        for r in S.kmeans_assign(df, cents).collect()
+    }
+    for i, v in enumerate(vecs):
+        dists = [
+            (sum((float(x) - c) * (float(x) - c) for x, c in zip(v, cent)), cid)
+            for cid, cent in enumerate(cents)
+        ]
+        assert got[i] == min(dists)[1]
+
+
+@given(vecs=vec_frames, iters=st.integers(min_value=1, max_value=3))
+@settings(**SETTINGS)
+def test_kmeans_fit_composes_one_round_at_a_time(spark, vecs, iters):
+    """fit(iters=n) == one Lloyd's round applied to fit(iters=n-1):
+    assign with the n-1 centroids, then per-cluster means (empty
+    clusters keep their centroid). Catches drift between the Spark
+    aggregation and the algorithm's definition."""
+    from pd_utils_spark.extensions import similarity as S
+
+    k = min(2, len(vecs))
+    df = _vec_df(spark, vecs)
+    prev = S.kmeans_fit(df, k=k, iters=iters - 1)
+    want = S.kmeans_fit(df, k=k, iters=iters)
+    assigned = {
+        r.vec_id: r.cluster for r in S.kmeans_assign(df, prev).collect()
+    }
+    for cid in range(k):
+        members = [vecs[i] for i, c in assigned.items() if c == cid]
+        if not members:
+            expect = prev[cid]
+        else:
+            expect = [
+                sum(float(v[d]) for v in members) / len(members)
+                for d in range(len(vecs[0]))
+            ]
+        assert want[cid] == pytest.approx(expect, rel=1e-9, abs=1e-9)
