@@ -611,6 +611,14 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pus_text.unigram_logprob(d, round_to=4)
 
 
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram LM fluency score (lam=0.7 bigram ML +
+    0.3 unigram; first token of each doc scored unigram-only). The
+    oracle refits both LMs and rescores every token in DuckDB."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return pus_text.bigram_logprob(d, lam=0.7, round_to=4)
+
+
 def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style per-language head/middle/tail perplexity terciles
     under the corpus unigram LM — the quality-slicing step between LM
@@ -3358,6 +3366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tf_idf": q_tf_idf,
         "bm25_topk": q_bm25_topk,
         "unigram_logprob": q_unigram_logprob,
+        "bigram_logprob": q_bigram_logprob,
         "perplexity_buckets": q_perplexity_buckets,
         "top_ngrams": q_top_ngrams,
         "dedup_spans": q_dedup_spans,
@@ -4507,6 +4516,48 @@ def oracle_sql() -> dict[str, str]:
                    round(exp(-avg(ln(lm.tc / tot.tot))), 4) AS perplexity
             FROM t JOIN lm USING (token) CROSS JOIN tot
             GROUP BY doc_id
+        """,
+        "bigram_logprob": f"""
+            WITH tok AS (
+                SELECT doc_id, u.i AS p, u.t AS token
+                FROM (SELECT doc_id,
+                             unnest(list_transform(
+                                 generate_series(1, len(a)),
+                                 i -> {{'i': i, 't': a[i]}})) AS u
+                      FROM (SELECT doc_id,
+                                   regexp_split_to_array(
+                                       trim(lower(text)), '\\s+') AS a
+                            FROM documents))
+            ), t AS (
+                SELECT doc_id, p, token FROM tok WHERE length(token) > 0
+            ), seq AS (
+                SELECT doc_id, token,
+                       lag(token) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+                FROM t
+            ), uni AS (
+                SELECT token, count(*) AS uc FROM seq GROUP BY 1
+            ), tot AS (
+                SELECT cast(sum(uc) AS double) AS tot FROM uni
+            ), bi AS (
+                SELECT prev, token, count(*) AS bc FROM seq
+                WHERE prev IS NOT NULL GROUP BY 1, 2
+            ), ctx AS (
+                SELECT prev, sum(bc) AS cc FROM bi GROUP BY 1
+            ), sc AS (
+                SELECT s.doc_id,
+                       CASE WHEN s.prev IS NULL THEN ln(u.uc / tot.tot)
+                            ELSE ln(0.7 * (coalesce(b.bc, 0) / c.cc)
+                                    + {1.0 - 0.7!r} * (u.uc / tot.tot)) END AS lp,
+                       CASE WHEN s.prev IS NULL THEN 0 ELSE 1 END AS isbi
+                FROM seq s JOIN uni u USING (token) CROSS JOIN tot
+                LEFT JOIN bi b ON b.prev = s.prev AND b.token = s.token
+                LEFT JOIN ctx c ON c.prev = s.prev
+            )
+            SELECT doc_id, count(*) AS n_tokens,
+                   cast(sum(isbi) AS bigint) AS n_bigrams,
+                   round(avg(lp), 4) AS logprob_mean,
+                   round(exp(-avg(lp)), 4) AS perplexity
+            FROM sc GROUP BY doc_id
         """,
         "ewma": """
             WITH v AS (

@@ -809,6 +809,90 @@ def unigram_logprob(
     return out
 
 
+def bigram_logprob(
+    df: DataFrame,
+    textcol: str = "text",
+    idcol: str = "doc_id",
+    lam: float = 0.7,
+    lowercase: bool = True,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Per-document mean log-probability under an INTERPOLATED bigram
+    LM fit on the corpus itself — the next step up from
+    :func:`unigram_logprob` toward what CCNet actually ships (a real
+    LM): context-aware, so shuffled-word salad scores far below fluent
+    text even when both draw common tokens.
+
+    Model: ``p(w_i | w_{i-1}) = lam * c(w_{i-1} w_i)/c_ctx(w_{i-1})
+    + (1-lam) * c(w_i)/total`` for positions >= 2, and the unigram
+    term alone for each document's first token (no cross-document
+    context — documents are independent). Interpolation keeps every
+    probability nonzero wherever the unigram does, so scores stay
+    finite without discounting machinery. Output per doc:
+    ``n_tokens``, ``n_bigrams``, ``logprob_mean`` (mean of all
+    ``n_tokens`` per-token log scores), ``perplexity`` =
+    ``exp(-logprob_mean)``. Empty documents are dropped.
+
+    Plan: tokens posexplode once; bigrams come from a ``lag`` window
+    inside each document (one shuffle on ``idcol``); the bigram LM is
+    one (prev, cur) hash aggregate and the context counts are a
+    re-aggregation of IT (never a second corpus pass); scoring joins
+    tokens to the two LMs — the unigram table is broadcast
+    (vocabulary-sized), the bigram join is left to AQE since bigram
+    vocabulary can exceed broadcast limits at corpus scale.
+    """
+    from pyspark.sql import Window
+
+    t = F.col(textcol)
+    toks = _tokens(F.lower(t) if lowercase else t)
+    ex = (
+        df.select(F.col(idcol), F.posexplode(toks).alias("__p__", "token"))
+        .filter(F.length("token") > 0)
+    )
+    w = Window.partitionBy(idcol).orderBy("__p__")
+    seq = ex.withColumn("prev", F.lag("token").over(w))
+
+    uni = seq.groupBy("token").agg(F.count("*").alias("__uc__"))
+    total = uni.agg(F.sum("__uc__").cast("double").alias("__tot__"))
+    bi = (
+        seq.filter(F.col("prev").isNotNull())
+        .groupBy("prev", "token")
+        .agg(F.count("*").alias("__bc__"))
+    )
+    ctx = bi.groupBy("prev").agg(F.sum("__bc__").alias("__cc__"))
+
+    p_uni = F.col("__uc__") / F.col("__tot__")
+    p_bi = F.col("__bc__") / F.col("__cc__")
+    scored = (
+        seq.join(F.broadcast(uni), "token")
+        .crossJoin(F.broadcast(total))
+        .join(bi, ["prev", "token"], "left")
+        .join(ctx, "prev", "left")
+        .select(
+            idcol,
+            F.when(F.col("prev").isNull(), F.log(p_uni))
+            .otherwise(
+                F.log(
+                    F.lit(float(lam)) * F.coalesce(p_bi, F.lit(0.0))
+                    + F.lit(1.0 - float(lam)) * p_uni
+                )
+            )
+            .alias("__lp__"),
+            F.col("prev").isNotNull().cast("long").alias("__isbi__"),
+        )
+    )
+    out = scored.groupBy(idcol).agg(
+        F.count("*").alias("n_tokens"),
+        F.sum("__isbi__").alias("n_bigrams"),
+        F.avg("__lp__").alias("logprob_mean"),
+    )
+    out = out.withColumn("perplexity", F.exp(-F.col("logprob_mean")))
+    if round_to is not None:
+        for c in ("logprob_mean", "perplexity"):
+            out = out.withColumn(c, F.round(c, round_to))
+    return out
+
+
 def perplexity_buckets(
     df: DataFrame,
     textcol: str = "text",

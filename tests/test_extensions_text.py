@@ -340,6 +340,50 @@ class TestUnigramLogprob:
         assert abs(out.loc[0, "perplexity"] - round(math.exp(-lp0), 6)) < 1e-9
 
 
+class TestBigramLogprob:
+    def test_hand_computed_interpolation(self, spark):
+        import math
+
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1, 2, 3], "text": ["a b a b", "a a", ""]})
+        )
+        out = (
+            T.bigram_logprob(df, lam=0.7)
+            .toPandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        # uni: a=4, b=2, total=6; bi: (a,b)=2, (b,a)=1, (a,a)=1;
+        # ctx: a=3, b=1
+        om = 1.0 - 0.7  # the operator's exact (1 - lam) double
+        first = math.log(4 / 6)
+        ab = math.log(0.7 * (2 / 3) + om * (2 / 6))
+        ba = math.log(0.7 * (1 / 1) + om * (4 / 6))
+        aa = math.log(0.7 * (1 / 3) + om * (4 / 6))
+        lp1 = (first + ab + ba + ab) / 4
+        lp2 = (first + aa) / 2
+        assert list(out.index) == [1, 2]  # empty doc dropped
+        assert out.loc[1, "n_tokens"] == 4 and out.loc[1, "n_bigrams"] == 3
+        assert out.loc[2, "n_tokens"] == 2 and out.loc[2, "n_bigrams"] == 1
+        assert abs(out.loc[1, "logprob_mean"] - lp1) < 1e-12
+        assert abs(out.loc[2, "logprob_mean"] - lp2) < 1e-12
+        assert abs(out.loc[1, "perplexity"] - math.exp(-lp1)) < 1e-9
+
+    def test_word_salad_scores_below_fluent(self, spark):
+        # a salad doc with the SAME token multiset as the dominant
+        # fluent phrasing: unigram scores tie, bigram must separate
+        fluent = "the cat sat on the mat"
+        salad = "mat the on sat cat the"
+        docs = [fluent] * 5 + [salad]
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+        )
+        out = T.bigram_logprob(df).toPandas().set_index("doc_id")
+        assert out.loc[0, "logprob_mean"] > out.loc[5, "logprob_mean"]
+        uni = T.unigram_logprob(df).toPandas().set_index("doc_id")
+        assert abs(uni.loc[0, "logprob_mean"] - uni.loc[5, "logprob_mean"]) < 1e-12
+
+
 class TestSourceKLDrift:
     def test_hand_computed(self, spark):
         import math
