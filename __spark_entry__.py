@@ -1990,6 +1990,25 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("node", F.round("rank", 6).alias("rank"))
 
 
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts on the same deterministic 50-node
+    synthetic link graph pagerank uses (id-canonicalized wedge
+    self-join closed by a semi-join; nodes with no triangle report
+    0). Oracle replays the wedge enumeration in SQL."""
+    from pd_utils_spark.extensions.graph import triangle_count
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    e1 = d.select(
+        (F.col("doc_id") % 50).alias("src"),
+        ((F.col("doc_id") * 2 + 1) % 50).alias("dst"),
+    )
+    e2 = d.select(
+        (F.col("doc_id") % 50).alias("src"),
+        ((F.col("doc_id") * 3 + 7) % 50).alias("dst"),
+    )
+    return triangle_count(e1.unionByName(e2))
+
+
 def q_token_weight_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fastText-style linear quality scoring against a fixed
     (token, weight) vocabulary — sigmoid(bias + sum of token weights),
@@ -3367,6 +3386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "unigram_logprob": q_unigram_logprob,
         "bigram_logprob": q_bigram_logprob,
+        "triangle_count": q_triangle_count,
         "perplexity_buckets": q_perplexity_buckets,
         "top_ngrams": q_top_ngrams,
         "dedup_spans": q_dedup_spans,
@@ -4516,6 +4536,35 @@ def oracle_sql() -> dict[str, str]:
                    round(exp(-avg(ln(lm.tc / tot.tot))), 4) AS perplexity
             FROM t JOIN lm USING (token) CROSS JOIN tot
             GROUP BY doc_id
+        """,
+        "triangle_count": """
+            WITH d AS (
+                SELECT doc_id % 50 AS s, (doc_id * 2 + 1) % 50 AS t
+                FROM documents
+                UNION ALL
+                SELECT doc_id % 50, (doc_id * 3 + 7) % 50 FROM documents
+            ), e AS (
+                SELECT DISTINCT least(s, t) AS lo, greatest(s, t) AS hi
+                FROM d WHERE s <> t
+            ), w AS (
+                SELECT e1.lo AS c, e1.hi AS x, e2.hi AS y
+                FROM e e1 JOIN e e2 ON e1.lo = e2.lo AND e1.hi < e2.hi
+            ), tri AS (
+                SELECT c, x, y FROM w
+                WHERE EXISTS (SELECT 1 FROM e
+                              WHERE e.lo = w.x AND e.hi = w.y)
+            ), corners AS (
+                SELECT c AS node FROM tri
+                UNION ALL SELECT x FROM tri
+                UNION ALL SELECT y FROM tri
+            ), cnt AS (
+                SELECT node, count(*) AS triangles FROM corners GROUP BY 1
+            ), nodes AS (
+                SELECT lo AS node FROM e UNION SELECT hi FROM e
+            )
+            SELECT n.node,
+                   cast(coalesce(c.triangles, 0) AS bigint) AS triangles
+            FROM nodes n LEFT JOIN cnt c USING (node)
         """,
         "bigram_logprob": f"""
             WITH tok AS (

@@ -111,3 +111,31 @@ class TestHits:
         e = spark.createDataFrame(pd.DataFrame({"src": [1], "dst": [2]}))
         with pytest.raises(ValueError, match="iters"):
             hits(e, iters=0)
+
+
+class TestTriangleCount:
+    def test_k4_plus_pendant(self, spark):
+        from pd_utils_spark.extensions.graph import triangle_count
+
+        # K4 on {1..4}: every node in C(3,2)=3 triangles; 5 pendant -> 0.
+        # Edge list mixes directions and repeats to prove canonicalization.
+        edges = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "src": [1, 1, 1, 2, 2, 3, 4, 4, 2],
+                    "dst": [2, 3, 4, 3, 4, 4, 5, 1, 1],
+                }
+            )
+        )
+        got = {r.node: r.triangles for r in triangle_count(edges).collect()}
+        assert got == {1: 3, 2: 3, 3: 3, 4: 3, 5: 0}
+
+    def test_triangle_free_and_self_loops(self, spark):
+        from pd_utils_spark.extensions.graph import triangle_count
+
+        # 4-cycle plus a self-loop: no triangles anywhere
+        edges = spark.createDataFrame(
+            pd.DataFrame({"src": [1, 2, 3, 4, 2], "dst": [2, 3, 4, 1, 2]})
+        )
+        got = {r.node: r.triangles for r in triangle_count(edges).collect()}
+        assert got == {1: 0, 2: 0, 3: 0, 4: 0}
