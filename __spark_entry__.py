@@ -1322,6 +1322,58 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked STREAM-STREAM interval join driven through the
+    streaming engine end-to-end: the events parquet is consumed twice
+    via readStream (view stream + click stream), every click within
+    [view_ts, view_ts + 1 hour] of a same-user view is matched by
+    stream_interval_join (both-side watermarks + two-sided bound =
+    evictable join state), landed in a memory sink with
+    Trigger.AvailableNow, and the (user_id, view_id, click_id) pairs
+    hash-match a plain DuckDB interval join. The fixture is one file
+    (one micro-batch); cross-batch state/watermark semantics are
+    locked in tests/test_streaming.py."""
+    from pd_utils_spark.streaming.windows import stream_interval_join
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def _stream():
+        return (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+
+    views = (
+        _stream()
+        .filter(F.col("event_type") == "view")
+        .select("user_id", "ts", F.col("event_id").alias("view_id"))
+    )
+    clicks = (
+        _stream()
+        .filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("ts").alias("ts_r"),
+            F.col("event_id").alias("click_id"),
+        )
+    )
+    joined = stream_interval_join(
+        views, clicks, "user_id", "ts", "ts_r", "0 seconds", "1 hour"
+    )
+    name = "streaming_interval_join_sink"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select("user_id", "view_id", "click_id")
+
+
 def q_streaming_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The custom stateful operator driven through the STREAMING
     engine and hash-checked against a batch oracle: per-user running
@@ -3434,6 +3486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "streaming_sessionize": q_streaming_sessionize,
         "streaming_running_agg": q_streaming_running_agg,
+        "streaming_interval_join": q_streaming_interval_join,
         "session_paths": q_session_paths,
         "suppress_repeats": q_suppress_repeats,
         "rolling_stats": q_rolling_stats,
@@ -7608,5 +7661,14 @@ def oracle_sql() -> dict[str, str]:
                round(sum(value), 2) / count(value) AS running_mean
         FROM events
         GROUP BY user_id
+    """
+    # the stream-stream interval join must emit exactly the batch
+    # interval join's pairs (one micro-batch, nothing late)
+    d["streaming_interval_join"] = """
+        SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id
+        FROM events v JOIN events c
+          ON v.user_id = c.user_id
+         AND v.event_type = 'view' AND c.event_type = 'click'
+         AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
     """
     return d

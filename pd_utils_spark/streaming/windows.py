@@ -188,3 +188,72 @@ def read_event_stream(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.load(path)
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: str | Sequence[str] = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts_r",
+    lower: str = "0 seconds",
+    upper: str = "1 hour",
+    left_watermark: str = "10 minutes",
+    right_watermark: str = "10 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream interval join — the attribution
+    pattern (every right event within ``[left_ts + lower, left_ts +
+    upper]`` of a matching-key left event, e.g. clicks within an hour
+    of a view). Works identically on batch frames (watermarks are
+    accepted and ignored in batch plans), so the batch run IS the
+    correctness oracle for the streaming run.
+
+    The two timestamp columns must be named differently and the
+    non-key columns must be disjoint (raise early instead of emitting
+    ambiguous duplicate names — rename upstream). Under streaming,
+    BOTH watermarks plus the two-sided time bound are what let Spark
+    evict join state: each side buffers only rows younger than
+    (watermark + interval width). Without the upper bound the state
+    store grows unboundedly — this API makes the bound mandatory.
+
+    ``how``: 'inner' (default) or the outer variants Spark supports
+    for stream-stream joins ('left_outer', 'right_outer',
+    'full_outer'); outer rows emit only once the watermark closes
+    their interval.
+    """
+    key_list = to_list(keys)
+    if left_ts == right_ts:
+        raise ValueError(
+            f"left_ts and right_ts must differ, both are {left_ts!r}: "
+            "rename one side (the join output carries both)"
+        )
+    shared = (set(left.columns) & set(right.columns)) - set(key_list)
+    if shared:
+        raise ValueError(
+            f"non-key columns shared by both sides: {sorted(shared)}; "
+            "rename them upstream so the joined schema is unambiguous"
+        )
+    l = left.withWatermark(left_ts, left_watermark)
+    r = right.withWatermark(right_ts, right_watermark)
+    # name-based key disambiguation: frame-qualified refs (l[k]/r[k])
+    # resolve unreliably through streaming watermark nodes, so the
+    # right keys are RENAMED before the join and coalesced back after
+    # (coalesce, not drop, so outer rows keep their key)
+    for k in key_list:
+        r = r.withColumnRenamed(k, f"__rk_{k}__")
+    cond = None
+    for k in key_list:
+        c = F.col(k) == F.col(f"__rk_{k}__")
+        cond = c if cond is None else (cond & c)
+    cond = (
+        cond
+        & (F.col(right_ts) >= F.col(left_ts) + F.expr(f"INTERVAL {lower}"))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {upper}"))
+    )
+    out = l.join(r, cond, how)
+    for k in key_list:
+        out = out.withColumn(
+            k, F.coalesce(F.col(k), F.col(f"__rk_{k}__"))
+        ).drop(f"__rk_{k}__")
+    return out

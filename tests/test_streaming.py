@@ -797,3 +797,160 @@ class TestStreamingPIIRedaction:
                 q.stop()
         finally:
             shutil.rmtree(src, ignore_errors=True)
+
+
+class TestStreamIntervalJoin:
+    def _frames(self, spark):
+        from datetime import datetime as dt
+
+        views = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "user_id": [1, 1, 2],
+                    "ts": [
+                        dt(2025, 1, 1, 10, 0),
+                        dt(2025, 1, 1, 12, 0),
+                        dt(2025, 1, 1, 10, 0),
+                    ],
+                    "view_id": [10, 11, 20],
+                }
+            )
+        )
+        clicks = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "user_id": [1, 1, 2, 3],
+                    "ts_r": [
+                        dt(2025, 1, 1, 10, 30),
+                        dt(2025, 1, 1, 13, 30),
+                        dt(2025, 1, 1, 10, 10),
+                        dt(2025, 1, 1, 10, 0),
+                    ],
+                    "click_id": [100, 101, 200, 300],
+                }
+            )
+        )
+        return views, clicks
+
+    def test_batch_mode_inner_and_outer(self, spark):
+        from pd_utils_spark.streaming.windows import stream_interval_join
+
+        views, clicks = self._frames(spark)
+        inner = sorted(
+            (r.user_id, r.view_id, r.click_id)
+            for r in stream_interval_join(
+                views, clicks, "user_id", "ts", "ts_r", "0 seconds", "1 hour"
+            ).collect()
+        )
+        # click 101 is 1.5h after view 11 -> out of interval; click 300
+        # has no view for user 3
+        assert inner == [(1, 10, 100), (2, 20, 200)]
+        outer = sorted(
+            (r.user_id, r.view_id, r.click_id)
+            for r in stream_interval_join(
+                views, clicks, "user_id", "ts", "ts_r",
+                "0 seconds", "1 hour", how="left_outer",
+            ).collect()
+        )
+        assert outer == [(1, 10, 100), (1, 11, None), (2, 20, 200)]
+
+    def test_guards(self, spark):
+        from pd_utils_spark.streaming.windows import stream_interval_join
+
+        views, clicks = self._frames(spark)
+        with pytest.raises(ValueError, match="must differ"):
+            stream_interval_join(views, views, "user_id", "ts", "ts")
+        with pytest.raises(ValueError, match="shared"):
+            stream_interval_join(
+                views, views.withColumnRenamed("ts", "ts_r"),
+                "user_id", "ts", "ts_r",
+            )
+
+    def test_stream_buffers_left_across_batches(self, spark):
+        """A click arriving in micro-batch 2 must still join the view
+        from micro-batch 1 — the buffered-state property that makes a
+        stream-stream join different from per-batch joins."""
+        import time
+
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        vsrc = tempfile.mkdtemp(prefix="ssj_views_")
+        csrc = tempfile.mkdtemp(prefix="ssj_clicks_")
+        try:
+            vschema = StructType(
+                [
+                    StructField("user_id", LongType()),
+                    StructField("ts", StringType()),
+                    StructField("view_id", LongType()),
+                ]
+            )
+            cschema = StructType(
+                [
+                    StructField("user_id", LongType()),
+                    StructField("ts_r", StringType()),
+                    StructField("click_id", LongType()),
+                ]
+            )
+            with open(f"{vsrc}/v1.json", "w") as f:
+                f.write('{"user_id": 1, "ts": "2025-01-01 10:00:00", "view_id": 10}\n')
+            with open(f"{csrc}/c1.json", "w") as f:
+                f.write('{"user_id": 1, "ts_r": "2025-01-01 10:05:00", "click_id": 100}\n')
+            views = (
+                spark.readStream.format("json")
+                .schema(vschema)
+                .option("maxFilesPerTrigger", 1)
+                .load(vsrc)
+                .withColumn("ts", F.col("ts").cast("timestamp"))
+            )
+            clicks = (
+                spark.readStream.format("json")
+                .schema(cschema)
+                .option("maxFilesPerTrigger", 1)
+                .load(csrc)
+                .withColumn("ts_r", F.col("ts_r").cast("timestamp"))
+            )
+            from pd_utils_spark.streaming.windows import stream_interval_join
+
+            joined = stream_interval_join(
+                views, clicks, "user_id", "ts", "ts_r", "0 seconds", "1 hour"
+            )
+            q = (
+                joined.writeStream.format("memory")
+                .queryName("ssj_test")
+                .outputMode("append")
+                .trigger(processingTime="1 second")
+                .start()
+            )
+            try:
+                deadline = time.time() + 60
+                while time.time() < deadline:
+                    if spark.sql(
+                        "SELECT * FROM ssj_test WHERE click_id = 100"
+                    ).collect():
+                        break
+                    time.sleep(1)
+                # second click lands LATER, still inside view 10's hour
+                with open(f"{csrc}/c2.json", "w") as f:
+                    f.write(
+                        '{"user_id": 1, "ts_r": "2025-01-01 10:45:00", "click_id": 101}\n'
+                    )
+                got = []
+                while time.time() < deadline:
+                    got = sorted(
+                        (r.view_id, r.click_id)
+                        for r in spark.sql("SELECT * FROM ssj_test").collect()
+                    )
+                    if len(got) >= 2:
+                        break
+                    time.sleep(1)
+                assert got == [(10, 100), (10, 101)]
+            finally:
+                q.stop()
+        finally:
+            shutil.rmtree(vsrc, ignore_errors=True)
+            shutil.rmtree(csrc, ignore_errors=True)
