@@ -3375,6 +3375,50 @@ def q_dataset_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join reduction (plans/prune.py): lineitem is
+    pruned by a 2^18-bit Bloom filter built from the selective part
+    dimension (p_size <= 3) BEFORE the join shuffle, then joined
+    exactly. False positives drop at the join, so the result — per-
+    brand counts and revenue — hash-matches the plain join oracle."""
+    from pd_utils_spark.plans import bloom_prune_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("p_partkey"), "l_extendedprice"
+    )
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_size") <= 3)
+        .select("p_partkey", "p_brand")
+    )
+    out = bloom_prune_join(li, part, "p_partkey", num_bits=1 << 18)
+    return out.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+    )
+
+
+def q_semi_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact semi-join reduction: orders is filtered by the BUILDING
+    customers' broadcast distinct keys before the join, then joined;
+    per-priority order counts and value hash-match the plain join."""
+    from pd_utils_spark.plans import semi_prune_join
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"), "o_orderpriority", "o_totalprice"
+    )
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    out = semi_prune_join(o, c, "c_custkey")
+    return out.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("value"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_averages(spark, "/root/testdata/sf0.001")
@@ -3439,6 +3483,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": q_unigram_logprob,
         "bigram_logprob": q_bigram_logprob,
         "triangle_count": q_triangle_count,
+        "bloom_prune_join": q_bloom_prune_join,
+        "semi_prune_join": q_semi_prune_join,
         "perplexity_buckets": q_perplexity_buckets,
         "top_ngrams": q_top_ngrams,
         "dedup_spans": q_dedup_spans,
@@ -7664,6 +7710,22 @@ def oracle_sql() -> dict[str, str]:
     """
     # the stream-stream interval join must emit exactly the batch
     # interval join's pairs (one micro-batch, nothing late)
+    # the prune joins must be EXACTLY the plain join: Bloom false
+    # positives drop at the join, false negatives are impossible
+    d["bloom_prune_join"] = """
+        SELECT p.p_brand, COUNT(*) AS n,
+               ROUND(SUM(l.l_extendedprice), 2) AS revenue
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_size <= 3
+        GROUP BY p.p_brand
+    """
+    d["semi_prune_join"] = """
+        SELECT o.o_orderpriority, COUNT(*) AS n,
+               ROUND(SUM(o.o_totalprice), 2) AS value
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment = 'BUILDING'
+        GROUP BY o.o_orderpriority
+    """
     d["streaming_interval_join"] = """
         SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id
         FROM events v JOIN events c
