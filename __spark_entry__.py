@@ -3419,6 +3419,35 @@ def q_semi_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group linear interpolation over the order-line sequence
+    (operators/filldata.py interpolate_by_groups, pandas interpolate
+    parity): quantities are deterministically nulled on one line in
+    three, then rebuilt from the nearest surviving neighbors ordered
+    by l_linenumber (method='index'). Interior nulls take the straight
+    line, trailing nulls forward-fill, leading nulls stay null — all
+    window expressions, one shuffle."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        # the synthetic data reuses line numbers within an order;
+        # interpolation needs a unique position, so collapse to one
+        # row per (order, line) first — identically in the oracle
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(F.min("l_quantity").alias("q"))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.when((F.col("l_orderkey") + F.col("l_linenumber")) % 3 != 0, F.col("q"))
+            .cast("double")
+            .alias("v"),
+        )
+    )
+    out = pus.interpolate_by_groups(li, "l_orderkey", "v", ordervar="l_linenumber", method="index")
+    return out.select(
+        "l_orderkey", "l_linenumber", F.round(F.col("v"), 6).alias("v_interp")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_averages(spark, "/root/testdata/sf0.001")
@@ -3485,6 +3514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": q_triangle_count,
         "bloom_prune_join": q_bloom_prune_join,
         "semi_prune_join": q_semi_prune_join,
+        "interpolate": q_interpolate,
         "perplexity_buckets": q_perplexity_buckets,
         "top_ngrams": q_top_ngrams,
         "dedup_spans": q_dedup_spans,
@@ -7725,6 +7755,43 @@ def oracle_sql() -> dict[str, str]:
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         WHERE c.c_mktsegment = 'BUILDING'
         GROUP BY o.o_orderpriority
+    """
+    # pandas-interpolate semantics spelled out in window SQL: nearest
+    # non-null neighbor value+position on each side, straight line
+    # between them; trailing nulls forward-fill, leading stay null
+    d["interpolate"] = """
+        WITH uniq AS (
+            SELECT l_orderkey, l_linenumber, MIN(l_quantity) AS q
+            FROM lineitem GROUP BY 1, 2
+        ), base AS (
+            SELECT l_orderkey, l_linenumber,
+                   CASE WHEN (l_orderkey + l_linenumber) % 3 <> 0
+                        THEN CAST(q AS DOUBLE) END AS v
+            FROM uniq
+        ), w AS (
+            SELECT l_orderkey, l_linenumber, v,
+                LAST_VALUE(v IGNORE NULLS) OVER
+                    (PARTITION BY l_orderkey ORDER BY l_linenumber
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+                LAST_VALUE(CASE WHEN v IS NOT NULL THEN CAST(l_linenumber AS DOUBLE) END
+                           IGNORE NULLS) OVER
+                    (PARTITION BY l_orderkey ORDER BY l_linenumber
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS px,
+                FIRST_VALUE(v IGNORE NULLS) OVER
+                    (PARTITION BY l_orderkey ORDER BY l_linenumber
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+                FIRST_VALUE(CASE WHEN v IS NOT NULL THEN CAST(l_linenumber AS DOUBLE) END
+                            IGNORE NULLS) OVER
+                    (PARTITION BY l_orderkey ORDER BY l_linenumber
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nx
+            FROM base
+        )
+        SELECT l_orderkey, l_linenumber,
+               ROUND(CASE WHEN v IS NOT NULL THEN v
+                          WHEN pv IS NOT NULL AND nv IS NOT NULL
+                               THEN pv + (nv - pv) * (CAST(l_linenumber AS DOUBLE) - px) / (nx - px)
+                          WHEN pv IS NOT NULL THEN pv END, 6) AS v_interp
+        FROM w
     """
     d["streaming_interval_join"] = """
         SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id

@@ -41,6 +41,7 @@ from pd_utils_spark.operators.filldata import (
     fill_excluded_rows,
     fillna_by_groups,
     fillna_by_groups_and_keep_one_per_group,
+    interpolate_by_groups,
 )
 from pd_utils_spark.operators.regby import reg_by
 from pd_utils_spark.operators.corr import formatted_corr_df

@@ -168,6 +168,59 @@ def _fill_by_group(
     return out
 
 
+def interpolate_by_groups(
+    df: DataFrame,
+    byvars: Union[str, list[str]],
+    cols: Union[str, list[str]],
+    ordervar: str,
+    method: str = "linear",
+) -> DataFrame:
+    """Per-group linear interpolation of missing values, pandas
+    ``DataFrame.interpolate`` parity: interior nulls take the straight
+    line between the nearest non-null neighbors, nulls AFTER the last
+    valid value forward-fill it (numpy.interp clipping, which pandas
+    inherits), nulls BEFORE the first valid value stay null.
+
+    ``method='linear'`` interpolates over row positions within the
+    group ordered by ``ordervar`` (pandas' default: values are assumed
+    equally spaced); ``method='index'`` interpolates over the numeric
+    VALUES of ``ordervar`` (pandas ``method='index'/'values'``) — the
+    right choice for irregular time series. ``ordervar`` must be
+    unique within each group (with ties the neighbor choice, like
+    pandas' sort, is not well-defined).
+
+    Plan: one window partitioned by group — four framed expressions
+    per column (nearest non-null value and position on each side), no
+    Python in the row path, single shuffle shared by all columns.
+    """
+    if method not in ("linear", "index", "values"):
+        raise ValueError(f"method must be linear/index/values, got {method!r}")
+    byvars_l = to_list(byvars)
+    cols_l = to_list(cols)
+    w = Window.partitionBy(*byvars_l).orderBy(ordervar)
+    if method == "linear":
+        x = F.row_number().over(w).cast("double")
+    else:
+        x = F.col(ordervar).cast("double")
+    out = df.withColumn("__x__", x)
+    back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    for c in cols_l:
+        v = F.col(c).cast("double")
+        pv = F.last(v, ignorenulls=True).over(back)
+        px = F.last(F.when(v.isNotNull(), F.col("__x__")), ignorenulls=True).over(back)
+        nv = F.first(v, ignorenulls=True).over(fwd)
+        nx = F.first(F.when(v.isNotNull(), F.col("__x__")), ignorenulls=True).over(fwd)
+        interp = pv + (nv - pv) * (F.col("__x__") - px) / (nx - px)
+        out = out.withColumn(
+            c,
+            F.when(v.isNotNull(), v)
+            .when(pv.isNotNull() & nv.isNotNull(), interp)
+            .when(pv.isNotNull(), pv),  # trailing nulls forward-fill
+        )
+    return out.drop("__x__")
+
+
 def fillna_by_groups(
     df: DataFrame,
     byvars: Union[str, list[str]],

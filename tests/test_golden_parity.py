@@ -1239,3 +1239,64 @@ class TestFuzzyJoin:
         # an ambiguous frame
         with pytest.raises(ValueError, match="share columns"):
             pus.fuzzy_join(left, right, "name", suffix="")
+
+
+class TestInterpolateByGroups:
+    def _df(self):
+        return pd.DataFrame(
+            {
+                "g": ["a"] * 6 + ["b"] * 4,
+                "t": [1, 2, 3, 4, 5, 6, 10, 20, 30, 40],
+                "v": [nan, 1.0, nan, nan, 4.0, nan, 2.0, nan, nan, 8.0],
+            }
+        )
+
+    def test_linear_matches_pandas(self, spark):
+        pdf = self._df()
+        expect = pdf.copy()
+        expect["v"] = expect.groupby("g")["v"].transform(
+            lambda s: s.interpolate(method="linear")
+        )
+        out = pus.interpolate_by_groups(
+            spark.createDataFrame(pdf), "g", "v", ordervar="t", method="linear"
+        )
+        assert_df_equal(out, expect, sort_cols=["g", "t"])
+
+    def test_index_method_uses_order_values(self, spark):
+        pdf = self._df()
+        expect = pdf.copy()
+        expect["v"] = (
+            expect.set_index("t")
+            .groupby("g")["v"]
+            .transform(lambda s: s.interpolate(method="index"))
+            .to_numpy()
+        )
+        out = pus.interpolate_by_groups(
+            spark.createDataFrame(pdf), "g", "v", ordervar="t", method="index"
+        )
+        assert_df_equal(out, expect, sort_cols=["g", "t"])
+
+    def test_random_parity(self, spark):
+        rng = np.random.default_rng(11)
+        n = 400
+        pdf = pd.DataFrame(
+            {
+                "g": rng.integers(0, 8, n),
+                "t": np.arange(n),
+                "v": np.where(rng.random(n) < 0.4, nan, rng.random(n).round(3)),
+            }
+        )
+        expect = pdf.copy()
+        expect["v"] = expect.groupby("g")["v"].transform(
+            lambda s: s.interpolate(method="linear")
+        )
+        out = pus.interpolate_by_groups(
+            spark.createDataFrame(pdf), "g", "v", ordervar="t", method="linear"
+        )
+        assert_df_equal(out, expect, sort_cols=["g", "t"], rtol=1e-9)
+
+    def test_bad_method(self, spark):
+        with pytest.raises(ValueError, match="method"):
+            pus.interpolate_by_groups(
+                spark.createDataFrame(self._df()), "g", "v", "t", method="spline"
+            )
