@@ -3448,6 +3448,72 @@ def q_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (extensions/snapshot.py): the customer table vs a
+    deterministically mutated copy (every 10th key dropped, every
+    7th's balance changed, every 13th re-added under a shifted key);
+    diff_summary's per-status key counts hash-match counts the oracle
+    derives directly from the mutation rules."""
+    from pd_utils_spark.extensions import diff_summary
+
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_acctbal").alias("bal"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    new = (
+        c.filter(F.col("k") % 10 != 0)
+        .withColumn(
+            "bal", F.when(F.col("k") % 7 == 0, F.col("bal") + 25).otherwise(F.col("bal"))
+        )
+        .unionByName(
+            c.filter(F.col("k") % 13 == 0).withColumn("k", F.col("k") + 1000000)
+        )
+    )
+    return diff_summary(c, new, "k")
+
+
+def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 merge (extensions/snapshot.py): a single-version customer
+    dimension receives an update batch (every 7th key's balance +50 =
+    changed; every 11th-but-not-7th key unchanged = no churn; every
+    13th key re-keyed +1e6 = new). The full merged table — history,
+    closed rows, opened versions, untouched currents — hash-matches an
+    oracle that derives the expected rows straight from the mutation
+    rules rather than re-running a merge."""
+    from datetime import date
+
+    from pd_utils_spark.extensions import scd2_merge
+
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_acctbal").alias("bal"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    dim = (
+        c.withColumn("valid_from", F.lit(date(2020, 1, 1)))
+        .withColumn("valid_to", F.lit(None).cast("date"))
+        .withColumn("is_current", F.lit(True))
+    )
+    updates = (
+        c.filter(F.col("k") % 7 == 0)
+        .withColumn("bal", F.col("bal") + 50)
+        .unionByName(c.filter((F.col("k") % 11 == 0) & (F.col("k") % 7 != 0)))
+        .unionByName(
+            c.filter(F.col("k") % 13 == 0).withColumn("k", F.col("k") + 1000000)
+        )
+    )
+    out = scd2_merge(dim, updates, "k", ["bal", "seg"], date(2024, 6, 1))
+    # dates as ISO strings: a NULL DATE stringifies as NaT in the
+    # oracle's pandas frame but None in Spark's — compare as varchar
+    return out.select(
+        "k", "bal", "seg",
+        F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd").alias("valid_to"),
+        "is_current",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_averages(spark, "/root/testdata/sf0.001")
@@ -3515,6 +3581,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_prune_join": q_bloom_prune_join,
         "semi_prune_join": q_semi_prune_join,
         "interpolate": q_interpolate,
+        "dataset_diff": q_dataset_diff,
+        "scd2_merge": q_scd2_merge,
         "perplexity_buckets": q_perplexity_buckets,
         "top_ngrams": q_top_ngrams,
         "dedup_spans": q_dedup_spans,
@@ -7792,6 +7860,39 @@ def oracle_sql() -> dict[str, str]:
                                THEN pv + (nv - pv) * (CAST(l_linenumber AS DOUBLE) - px) / (nx - px)
                           WHEN pv IS NOT NULL THEN pv END, 6) AS v_interp
         FROM w
+    """
+    # the oracle derives the expected statuses straight from the
+    # mutation rules (drop %10, change %7, add %13) — it never runs a
+    # diff, so a diff bug cannot self-certify
+    d["dataset_diff"] = """
+        SELECT 'removed' AS diff_status, COUNT(*) AS n_keys
+        FROM customer WHERE c_custkey % 10 = 0
+        UNION ALL
+        SELECT 'changed', COUNT(*) FROM customer
+        WHERE c_custkey % 10 <> 0 AND c_custkey % 7 = 0
+        UNION ALL
+        SELECT 'unchanged', COUNT(*) FROM customer
+        WHERE c_custkey % 10 <> 0 AND c_custkey % 7 <> 0
+        UNION ALL
+        SELECT 'added', COUNT(*) FROM customer WHERE c_custkey % 13 = 0
+    """
+    # expected SCD2 output written directly from the update rules:
+    # %7 keys -> closed old version + opened new one; %11-not-%7 ->
+    # no churn; re-keyed %13 -> fresh current rows
+    d["scd2_merge"] = """
+        SELECT c_custkey AS k, c_acctbal AS bal, c_mktsegment AS seg,
+               '2020-01-01' AS valid_from,
+               CASE WHEN c_custkey % 7 = 0 THEN '2024-06-01' END AS valid_to,
+               c_custkey % 7 <> 0 AS is_current
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, c_acctbal + 50, c_mktsegment,
+               '2024-06-01', NULL, TRUE
+        FROM customer WHERE c_custkey % 7 = 0
+        UNION ALL
+        SELECT c_custkey + 1000000, c_acctbal, c_mktsegment,
+               '2024-06-01', NULL, TRUE
+        FROM customer WHERE c_custkey % 13 = 0
     """
     d["streaming_interval_join"] = """
         SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id
