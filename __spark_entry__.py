@@ -3514,6 +3514,34 @@ def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_run_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality suite (extensions/checks.py) over
+    lineitem: null/range/enum/custom rules fold into ONE conditional
+    aggregation, the uniqueness rule adds one shuffle (and really
+    fires — the synthetic data reuses (order, line) pairs), the
+    foreign-key rule one anti join against part. The oracle recomputes
+    every violation count independently with plain SQL."""
+    from pd_utils_spark.extensions import run_checks
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    return run_checks(
+        li,
+        [
+            {"type": "not_null", "column": "l_quantity"},
+            {"type": "range", "column": "l_quantity", "min": 1, "max": 50},
+            {"type": "in_set", "column": "l_returnflag", "values": ["A", "N", "R"]},
+            {
+                "type": "custom",
+                "name": "price_positive",
+                "predicate": "l_extendedprice > 0",
+            },
+            {"type": "unique", "columns": ["l_orderkey", "l_linenumber"]},
+            {"type": "ref", "column": "l_partkey", "ref": part, "ref_column": "p_partkey"},
+        ],
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_averages(spark, "/root/testdata/sf0.001")
@@ -3583,6 +3611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interpolate": q_interpolate,
         "dataset_diff": q_dataset_diff,
         "scd2_merge": q_scd2_merge,
+        "run_checks": q_run_checks,
         "perplexity_buckets": q_perplexity_buckets,
         "top_ngrams": q_top_ngrams,
         "dedup_spans": q_dedup_spans,
@@ -7893,6 +7922,41 @@ def oracle_sql() -> dict[str, str]:
         SELECT c_custkey + 1000000, c_acctbal, c_mktsegment,
                '2024-06-01', NULL, TRUE
         FROM customer WHERE c_custkey % 13 = 0
+    """
+    # every violation count recomputed independently in plain SQL —
+    # the oracle never calls the checks engine
+    d["run_checks"] = """
+        WITH tot AS (SELECT COUNT(*) AS total FROM lineitem),
+        nn AS (SELECT COUNT(*) AS v FROM lineitem WHERE l_quantity IS NULL),
+        rg AS (SELECT COUNT(*) AS v FROM lineitem
+               WHERE l_quantity IS NOT NULL
+                 AND NOT (l_quantity >= 1 AND l_quantity <= 50)),
+        st AS (SELECT COUNT(*) AS v FROM lineitem
+               WHERE l_returnflag IS NOT NULL
+                 AND l_returnflag NOT IN ('A', 'N', 'R')),
+        cu AS (SELECT COUNT(*) AS v FROM lineitem
+               WHERE NOT (l_extendedprice > 0)),
+        un AS (SELECT COALESCE(SUM(n), 0) AS v FROM (
+                   SELECT COUNT(*) AS n FROM lineitem
+                   GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1)),
+        rf AS (SELECT COUNT(*) AS v FROM lineitem l
+               WHERE l.l_partkey IS NOT NULL
+                 AND NOT EXISTS (SELECT 1 FROM part p
+                                 WHERE p.p_partkey = l.l_partkey))
+        SELECT 'not_null:l_quantity' AS "check", 'not_null' AS check_type,
+               'l_quantity' AS "column", v AS violations, total, v = 0 AS passed
+        FROM nn, tot
+        UNION ALL SELECT 'range:l_quantity', 'range', 'l_quantity', v, total, v = 0
+        FROM rg, tot
+        UNION ALL SELECT 'in_set:l_returnflag', 'in_set', 'l_returnflag', v, total, v = 0
+        FROM st, tot
+        UNION ALL SELECT 'price_positive', 'custom', '', v, total, v = 0
+        FROM cu, tot
+        UNION ALL SELECT 'unique:l_orderkey,l_linenumber', 'unique',
+                         'l_orderkey,l_linenumber', v, total, v = 0
+        FROM un, tot
+        UNION ALL SELECT 'ref:l_partkey', 'ref', 'l_partkey', v, total, v = 0
+        FROM rf, tot
     """
     d["streaming_interval_join"] = """
         SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id

@@ -31,6 +31,7 @@ from pd_utils_spark.extensions.dedup import (
     winnow_containment_pairs,
 )
 from pd_utils_spark.extensions.graph import pagerank
+from pd_utils_spark.extensions.checks import assert_checks, run_checks
 from pd_utils_spark.extensions.snapshot import (
     dataset_diff,
     diff_summary,
