@@ -3542,6 +3542,16 @@ def q_run_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user serial correlation of event values at lags 1 and 2
+    (operators/corr.py autocorr_by_groups, pandas Series.autocorr
+    parity): one window shuffle builds every lag column, one
+    aggregation computes all the Pearson pairs."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    out = pus.autocorr_by_groups(ev, "user_id", "value", "event_id", lags=[1, 2])
+    return out.select("user_id", "lag", F.round("autocorr", 6).alias("autocorr"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_averages(spark, "/root/testdata/sf0.001")
@@ -3612,6 +3622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_diff": q_dataset_diff,
         "scd2_merge": q_scd2_merge,
         "run_checks": q_run_checks,
+        "autocorr": q_autocorr,
         "perplexity_buckets": q_perplexity_buckets,
         "top_ngrams": q_top_ngrams,
         "dedup_spans": q_dedup_spans,
@@ -7957,6 +7968,18 @@ def oracle_sql() -> dict[str, str]:
         FROM un, tot
         UNION ALL SELECT 'ref:l_partkey', 'ref', 'l_partkey', v, total, v = 0
         FROM rf, tot
+    """
+    d["autocorr"] = """
+        WITH l AS (
+            SELECT user_id, value,
+                   lag(value, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS l1,
+                   lag(value, 2) OVER (PARTITION BY user_id ORDER BY event_id) AS l2
+            FROM events
+        )
+        SELECT user_id, 1 AS lag, ROUND(corr(value, l1), 6) AS autocorr
+        FROM l GROUP BY user_id
+        UNION ALL
+        SELECT user_id, 2, ROUND(corr(value, l2), 6) FROM l GROUP BY user_id
     """
     d["streaming_interval_join"] = """
         SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id

@@ -44,7 +44,7 @@ from pd_utils_spark.operators.filldata import (
     interpolate_by_groups,
 )
 from pd_utils_spark.operators.regby import reg_by
-from pd_utils_spark.operators.corr import formatted_corr_df
+from pd_utils_spark.operators.corr import autocorr_by_groups, formatted_corr_df
 from pd_utils_spark.functions.datetime_utils import (
     calendar_asof_dimension,
     convert_sas_date_to_date,

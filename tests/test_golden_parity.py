@@ -1300,3 +1300,39 @@ class TestInterpolateByGroups:
             pus.interpolate_by_groups(
                 spark.createDataFrame(self._df()), "g", "v", "t", method="spline"
             )
+
+
+class TestAutocorrByGroups:
+    def test_matches_pandas_autocorr(self, spark):
+        rng = np.random.default_rng(5)
+        pdf = pd.DataFrame(
+            {
+                "g": np.repeat(["a", "b", "c"], 40),
+                "t": np.tile(np.arange(40), 3),
+                "v": rng.normal(size=120).round(4),
+            }
+        )
+        # inject serial structure in one group so values differ by lag
+        pdf.loc[pdf.g == "b", "v"] = pdf.loc[pdf.g == "b", "v"].cumsum().round(4)
+        out = {
+            (r.g, r.lag): r.autocorr
+            for r in pus.autocorr_by_groups(
+                spark.createDataFrame(pdf), "g", "v", "t", lags=[1, 3]
+            ).collect()
+        }
+        for g in ["a", "b", "c"]:
+            s = pdf[pdf.g == g].sort_values("t")["v"]
+            for lag in [1, 3]:
+                assert out[(g, lag)] == pytest.approx(s.autocorr(lag), rel=1e-9)
+
+    def test_short_group_yields_null(self, spark):
+        pdf = pd.DataFrame({"g": ["a", "a"], "t": [1, 2], "v": [1.0, 2.0]})
+        rows = pus.autocorr_by_groups(
+            spark.createDataFrame(pdf), "g", "v", "t", lags=2
+        ).collect()
+        assert rows[0].autocorr is None
+
+    def test_bad_lag(self, spark):
+        pdf = pd.DataFrame({"g": ["a"], "t": [1], "v": [1.0]})
+        with pytest.raises(ValueError, match="lags"):
+            pus.autocorr_by_groups(spark.createDataFrame(pdf), "g", "v", "t", lags=0)
