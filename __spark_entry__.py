@@ -3552,6 +3552,80 @@ def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "lag", F.round("autocorr", 6).alias("autocorr"))
 
 
+def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 20-row correlation and beta of event value vs its own
+    event_id drift per user (operators/timeseries.py): moment-form
+    moving aggregates over ONE bounded window frame — no
+    per-window recompute, no Python."""
+    # integer-valued doubles (value has 2 decimals -> x100 is exact):
+    # every windowed moment is then bit-identical across engines
+    # regardless of accumulation order, so the rounded quotients can't
+    # straddle a boundary (decimal-midpoint trap)
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "user_id", "event_id",
+            F.round(F.col("value") * 100, 0).alias("x"),
+            (F.round(F.col("value") * 100, 0)
+             + ((F.col("event_id") % 13) * 100).cast("double")).alias("y"),
+        )
+    )
+    out = pus.rolling_corr(ev, "x", "y", 20, "event_id", "user_id", out="c")
+    out = pus.rolling_beta(out, "y", "x", 20, "event_id", "user_id", out="b")
+    return out.select(
+        "user_id", "event_id",
+        F.round("c", 6).alias("roll_corr"),
+        F.round("b", 6).alias("roll_beta"),
+    )
+
+
+def q_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC bars per user over the event stream
+    (operators/timeseries.py resample_ohlc): open/close via
+    min_by/max_by on (ts, value) — ONE hash aggregation with map-side
+    partials, no sort, deterministic smallest-value tie rule."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("user_id", "ts", "value")
+    )
+    out = pus.resample_ohlc(ev, "value", "ts", "user_id", "1 day")
+    return out.select(
+        F.date_format("bucket_start", "yyyy-MM-dd").alias("day"),
+        "user_id",
+        F.round("open", 6).alias("open"),
+        F.round("high", 6).alias("high"),
+        F.round("low", 6).alias("low"),
+        F.round("close", 6).alias("close"),
+        "n_obs",
+    )
+
+
+def q_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running peak and ratio drawdown of a cumulative value
+    index (operators/timeseries.py drawdown): one unbounded-preceding
+    running-max window, then the per-user max drawdown summary."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # integer-valued curve (x100): the running sum is bit-identical
+    # across engines whatever the accumulation order
+    w_curve = ev.withColumn(
+        "curve", F.sum(F.round(F.col("value") * 100, 0) + 100).over(w)
+    )
+    dd = pus.drawdown(w_curve, "curve", "event_id", "user_id")
+    return dd.groupBy("user_id").agg(
+        F.round(F.min("drawdown"), 6).alias("max_drawdown"),
+        F.round(F.max("curve_peak"), 6).alias("final_peak"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_averages(spark, "/root/testdata/sf0.001")
@@ -3623,6 +3697,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_merge": q_scd2_merge,
         "run_checks": q_run_checks,
         "autocorr": q_autocorr,
+        "rolling_corr_beta": q_rolling_corr,
+        "resample_ohlc": q_resample_ohlc,
+        "drawdown": q_drawdown,
         "perplexity_buckets": q_perplexity_buckets,
         "top_ngrams": q_top_ngrams,
         "dedup_spans": q_dedup_spans,
@@ -7980,6 +8057,78 @@ def oracle_sql() -> dict[str, str]:
         FROM l GROUP BY user_id
         UNION ALL
         SELECT user_id, 2, ROUND(corr(value, l2), 6) FROM l GROUP BY user_id
+    """
+    # the oracle mirrors the operator's moment formula exactly (same
+    # expression shapes over integer-valued inputs), so both engines
+    # perform the identical IEEE operations
+    d["rolling_corr_beta"] = """
+        WITH base AS (
+            SELECT user_id, event_id,
+                   ROUND(value * 100, 0) AS x,
+                   ROUND(value * 100, 0) + (event_id % 13) * 100 AS y
+            FROM events WHERE value IS NOT NULL
+        ), w AS (
+            SELECT user_id, event_id,
+                   count(*) OVER f AS cnt,
+                   sum(x) OVER f AS sx, sum(y) OVER f AS sy,
+                   sum(x * x) OVER f AS sxx, sum(y * y) OVER f AS syy,
+                   sum(x * y) OVER f AS sxy
+            FROM base
+            WINDOW f AS (PARTITION BY user_id ORDER BY event_id
+                         ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+        )
+        SELECT user_id, event_id,
+               CASE WHEN cnt >= 20 AND (sxx - sx * sx / cnt) > 0
+                         AND (syy - sy * sy / cnt) > 0
+                    THEN ROUND((sxy - sx * sy / cnt)
+                               / sqrt((sxx - sx * sx / cnt) * (syy - sy * sy / cnt)), 6)
+               END AS roll_corr,
+               CASE WHEN cnt >= 20 AND (sxx - sx * sx / cnt) > 0
+                    THEN ROUND((sxy - sx * sy / cnt) / (sxx - sx * sx / cnt), 6)
+               END AS roll_beta
+        FROM w
+    """
+    # open/close tie rule pinned on both engines: earliest/latest ts,
+    # then the SMALLEST value
+    d["resample_ohlc"] = """
+        WITH b AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+            FROM events WHERE value IS NOT NULL
+        ), w AS (
+            SELECT user_id, time_bucket(INTERVAL 1 DAY, ts) AS day_ts, value,
+                   first_value(value) OVER
+                       (PARTITION BY user_id, time_bucket(INTERVAL 1 DAY, ts)
+                        ORDER BY ts, value) AS open,
+                   first_value(value) OVER
+                       (PARTITION BY user_id, time_bucket(INTERVAL 1 DAY, ts)
+                        ORDER BY ts DESC, value) AS close
+            FROM b
+        )
+        SELECT strftime(day_ts, '%Y-%m-%d') AS day, user_id,
+               ROUND(MIN(open), 6) AS open, ROUND(MAX(value), 6) AS high,
+               ROUND(MIN(value), 6) AS low, ROUND(MIN(close), 6) AS close,
+               COUNT(*) AS n_obs
+        FROM w GROUP BY day_ts, user_id
+    """
+    d["drawdown"] = """
+        WITH c AS (
+            SELECT user_id, event_id,
+                   sum(ROUND(value * 100, 0) + 100) OVER
+                       (PARTITION BY user_id ORDER BY event_id
+                        ROWS UNBOUNDED PRECEDING) AS curve
+            FROM events
+        ), p AS (
+            SELECT user_id, curve,
+                   max(curve) OVER
+                       (PARTITION BY user_id ORDER BY event_id
+                        ROWS UNBOUNDED PRECEDING) AS peak
+            FROM c
+        )
+        SELECT user_id,
+               ROUND(MIN(CASE WHEN peak > 0 THEN curve / peak - 1 END), 6)
+                   AS max_drawdown,
+               ROUND(MAX(peak), 6) AS final_peak
+        FROM p GROUP BY user_id
     """
     d["streaming_interval_join"] = """
         SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id

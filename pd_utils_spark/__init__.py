@@ -45,6 +45,12 @@ from pd_utils_spark.operators.filldata import (
 )
 from pd_utils_spark.operators.regby import reg_by
 from pd_utils_spark.operators.corr import autocorr_by_groups, formatted_corr_df
+from pd_utils_spark.operators.timeseries import (
+    drawdown,
+    resample_ohlc,
+    rolling_beta,
+    rolling_corr,
+)
 from pd_utils_spark.functions.datetime_utils import (
     calendar_asof_dimension,
     convert_sas_date_to_date,

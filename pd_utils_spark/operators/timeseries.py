@@ -1,0 +1,176 @@
+"""Financial time-series operators: rolling co-movement, bar
+aggregation, drawdown.
+
+The reference engine's domain is empirical-finance panels (portfolio
+sorts, cumulative returns — pd_utils/port.py, cum.py); these are the
+time-series primitives that sit next to those in a real factor
+pipeline. All are single-shuffle window/group plans — moving
+aggregates over bounded frames, no Python in the row path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from typing import Optional
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pd_utils_spark.utils import to_list
+
+
+def _frame(byvars_l: list[str], ordervar, n: int):
+    return (
+        Window.partitionBy(*byvars_l)
+        .orderBy(*to_list(ordervar))
+        .rowsBetween(-(n - 1), Window.currentRow)
+    )
+
+
+def rolling_corr(
+    df: DataFrame,
+    xcol: str,
+    ycol: str,
+    n: int,
+    ordervar: str | Sequence[str],
+    byvars: str | Sequence[str] | None = None,
+    min_periods: Optional[int] = None,
+    out: Optional[str] = None,
+) -> DataFrame:
+    """Rolling Pearson correlation of two columns over the trailing
+    ``n`` rows per group (pandas ``rolling(n).corr`` semantics:
+    warm-up rows with fewer than ``min_periods`` (default ``n``)
+    complete pairs are null). Appends ``out`` (default
+    ``{xcol}_{ycol}_corr{n}``).
+
+    Moment form over ONE bounded window frame — corr = (E[xy] -
+    E[x]E[y]) / (sd_x * sd_y), each moment a moving aggregate Spark
+    maintains incrementally, O(rows) per group, one shuffle. Rows
+    where either side is null are excluded pairwise (all moments
+    condition on both present), matching pandas.
+    """
+    return _rolling_comovement(
+        df, xcol, ycol, n, ordervar, byvars, min_periods,
+        out or f"{xcol}_{ycol}_corr{n}", kind="corr",
+    )
+
+
+def rolling_beta(
+    df: DataFrame,
+    ycol: str,
+    xcol: str,
+    n: int,
+    ordervar: str | Sequence[str],
+    byvars: str | Sequence[str] | None = None,
+    min_periods: Optional[int] = None,
+    out: Optional[str] = None,
+) -> DataFrame:
+    """Rolling OLS slope of ``ycol`` on ``xcol`` over the trailing
+    ``n`` rows per group — cov(x, y) / var(x), the market-beta /
+    hedge-ratio primitive. Same single-window moment plan as
+    :func:`rolling_corr`; appends ``out`` (default
+    ``{ycol}_beta_{xcol}{n}``)."""
+    return _rolling_comovement(
+        df, xcol, ycol, n, ordervar, byvars, min_periods,
+        out or f"{ycol}_beta_{xcol}{n}", kind="beta",
+    )
+
+
+def _rolling_comovement(
+    df, xcol, ycol, n, ordervar, byvars, min_periods, out, kind
+) -> DataFrame:
+    if n < 2:
+        raise ValueError(f"n must be >= 2, got {n}")
+    mp = n if min_periods is None else min_periods
+    byvars_l = to_list(byvars)
+    w = _frame(byvars_l, ordervar, n)
+    x = F.col(xcol).cast("double")
+    y = F.col(ycol).cast("double")
+    both = x.isNotNull() & y.isNotNull()
+    px = F.when(both, x)   # pairwise deletion, pandas-style
+    py = F.when(both, y)
+    cnt = F.count(px).over(w)
+    sx = F.sum(px).over(w)
+    sy = F.sum(py).over(w)
+    sxx = F.sum(px * px).over(w)
+    syy = F.sum(py * py).over(w)
+    sxy = F.sum(px * py).over(w)
+    cov = sxy - sx * sy / cnt
+    varx = sxx - sx * sx / cnt
+    vary = syy - sy * sy / cnt
+    if kind == "corr":
+        val = F.when((varx > 0) & (vary > 0), cov / F.sqrt(varx * vary))
+    else:
+        val = F.when(varx > 0, cov / varx)
+    return df.withColumn(out, F.when(cnt >= F.lit(max(mp, 2)), val))
+
+
+def resample_ohlc(
+    df: DataFrame,
+    valuecol: str,
+    tscol: str,
+    byvars: str | Sequence[str] | None = None,
+    freq: str = "1 day",
+    volumecol: Optional[str] = None,
+) -> DataFrame:
+    """Bar aggregation (pandas ``resample(freq).ohlc`` semantics):
+    per group and time bucket of width ``freq``, the open (value at
+    the earliest timestamp), high, low, close (value at the latest
+    timestamp), observation count, and — when ``volumecol`` is given —
+    the summed volume. Buckets with no rows simply don't appear
+    (join :func:`~pd_utils_spark.operators.filldata.add_missing_group_rows`
+    to densify).
+
+    One hash-aggregation pass: open/close are ``min_by``/``max_by``
+    on the timestamp (JVM aggregates, no sort), the bucket comes from
+    ``F.window`` — so the plan is a single shuffle on (group, bucket)
+    with map-side partial aggregation. Ties on the extreme timestamp
+    resolve to the smallest value on both engines (deterministic).
+    """
+    byvars_l = to_list(byvars)
+    v = F.col(valuecol).cast("double")
+    aggs = [
+        F.expr(f"min_by({valuecol}, struct({tscol}, {valuecol}))").cast("double").alias("open"),
+        F.max(v).alias("high"),
+        F.min(v).alias("low"),
+        F.expr(f"max_by({valuecol}, struct({tscol}, -{valuecol}))").cast("double").alias("close"),
+        F.count(v).alias("n_obs"),
+    ]
+    if volumecol is not None:
+        aggs.append(F.sum(F.col(volumecol).cast("double")).alias("volume"))
+    out = (
+        df.groupBy(*byvars_l, F.window(tscol, freq).alias("__w__"))
+        .agg(*aggs)
+        .withColumn("bucket_start", F.col("__w__.start"))
+        .drop("__w__")
+    )
+    return out.select("bucket_start", *byvars_l, *[c for c in out.columns if c not in {"bucket_start", *byvars_l}])
+
+
+def drawdown(
+    df: DataFrame,
+    valuecol: str,
+    ordervar: str | Sequence[str],
+    byvars: str | Sequence[str] | None = None,
+) -> DataFrame:
+    """Per-row drawdown of a value series (equity curve, cumulative
+    return index): ``dd = value / running_max(value) - 1`` within each
+    group ordered by ``ordervar``, plus the running maximum itself as
+    ``{valuecol}_peak``. ``dd`` is 0 at new highs and negative below
+    them; ``min(dd)`` per group is the max drawdown.
+
+    One unbounded-preceding running-max window — a moving aggregate,
+    one shuffle. Requires positive values (it's a ratio drawdown);
+    non-positive peaks yield null rather than a sign-flipped ratio.
+    """
+    byvars_l = to_list(byvars)
+    w = (
+        Window.partitionBy(*byvars_l)
+        .orderBy(*to_list(ordervar))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    v = F.col(valuecol).cast("double")
+    peak = F.max(v).over(w)
+    return df.withColumn(f"{valuecol}_peak", peak).withColumn(
+        "drawdown", F.when(peak > 0, v / peak - 1)
+    )
