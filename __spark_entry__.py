@@ -3626,6 +3626,37 @@ def q_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-criteria Pareto frontier over part (size, retailprice both
+    maximized) via extensions/sampling.py skyline_2d — distinct-x
+    staircase plan, no all-pairs join. The oracle derives the frontier
+    with an independent NOT EXISTS dominance query."""
+    from pd_utils_spark.extensions import skyline_2d
+
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_size", F.col("p_retailprice").cast("double").alias("price")
+    )
+    return skyline_2d(part, "p_size", "price").select("p_partkey", "p_size", "price")
+
+
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of l_extendedprice
+    (extensions/profile.py benford_test): string-form first
+    significant digit (immune to the floor(log10) power-of-10
+    pitfall), completed to all nine digits, chi-square contributions
+    per digit."""
+    from pd_utils_spark.extensions import benford_test
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = benford_test(li, "l_extendedprice")
+    return out.select(
+        "digit", "n_obs",
+        F.round("share", 6).alias("share"),
+        F.round("benford_share", 6).alias("benford_share"),
+        F.round("chi2_contrib", 6).alias("chi2_contrib"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_averages(spark, "/root/testdata/sf0.001")
@@ -3700,6 +3731,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_corr_beta": q_rolling_corr,
         "resample_ohlc": q_resample_ohlc,
         "drawdown": q_drawdown,
+        "skyline": q_skyline,
+        "benford": q_benford,
         "perplexity_buckets": q_perplexity_buckets,
         "top_ngrams": q_top_ngrams,
         "dedup_spans": q_dedup_spans,
@@ -8129,6 +8162,38 @@ def oracle_sql() -> dict[str, str]:
                    AS max_drawdown,
                ROUND(MAX(peak), 6) AS final_peak
         FROM p GROUP BY user_id
+    """
+    # independent dominance derivation — NOT EXISTS, not a staircase
+    d["skyline"] = """
+        SELECT p.p_partkey, p.p_size, CAST(p.p_retailprice AS DOUBLE) AS price
+        FROM part p
+        WHERE NOT EXISTS (
+            SELECT 1 FROM part q
+            WHERE q.p_size >= p.p_size AND q.p_retailprice >= p.p_retailprice
+              AND (q.p_size > p.p_size OR q.p_retailprice > p.p_retailprice)
+        )
+    """
+    # chi2 spelled with the same multiply (not POW, which some libms
+    # route through exp/ln) so both engines run identical IEEE ops
+    d["benford"] = """
+        WITH fd AS (
+            SELECT CAST(regexp_extract(CAST(l_extendedprice AS VARCHAR),
+                                       '[1-9]', 0) AS INT) AS digit
+            FROM lineitem
+            WHERE l_extendedprice IS NOT NULL AND l_extendedprice <> 0
+        ), c AS (
+            SELECT digit, COUNT(*) AS n_obs FROM fd
+            WHERE digit IS NOT NULL GROUP BY digit
+        ), digits AS (
+            SELECT CAST(range AS INT) AS digit FROM range(1, 10)
+        ), tot AS (SELECT SUM(n_obs) AS n FROM c)
+        SELECT digit, COALESCE(n_obs, 0) AS n_obs,
+               ROUND(COALESCE(n_obs, 0) / n, 6) AS share,
+               ROUND(log10(1 + 1.0 / digit), 6) AS benford_share,
+               ROUND((COALESCE(n_obs, 0) - n * log10(1 + 1.0 / digit))
+                     * (COALESCE(n_obs, 0) - n * log10(1 + 1.0 / digit))
+                     / (n * log10(1 + 1.0 / digit)), 6) AS chi2_contrib
+        FROM digits LEFT JOIN c USING (digit) CROSS JOIN tot
     """
     d["streaming_interval_join"] = """
         SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id

@@ -71,6 +71,7 @@ from pd_utils_spark.extensions.web import (
     url_signals,
 )
 from pd_utils_spark.extensions.profile import (
+    benford_test,
     column_profile,
     corr_matrix,
     group_quantiles,
@@ -89,6 +90,7 @@ from pd_utils_spark.extensions.sampling import (
     pack_chunks,
     pack_sequences,
     sample_n_per_group,
+    skyline_2d,
     stratified_sample,
     take_token_budget,
     temperature_mix,

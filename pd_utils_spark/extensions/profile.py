@@ -236,3 +236,52 @@ def token_length_histogram(
             F.sum("__n__").alias("n_tokens_total"),
         )
     )
+
+
+def benford_test(
+    df: DataFrame,
+    col: str,
+) -> DataFrame:
+    """First-significant-digit audit against Benford's law — the
+    classic fabricated-data / unit-mixup screen for naturally
+    spanning-orders-of-magnitude quantities (transaction amounts,
+    populations, file sizes). Returns one row per digit 1-9:
+    ``n_obs``, observed ``share``, Benford's expected share
+    ``log10(1 + 1/d)``, and the chi-square contribution
+    ``(obs - exp)^2 / exp`` (sum them for the test statistic; ~15.5
+    is the 0.05 critical value at 8 df).
+
+    The first significant digit comes from the decimal string form
+    (first ``[1-9]`` match), which is immune to the classic
+    ``floor(log10(v))`` pitfall where log10 of an exact power of 10
+    lands a hair below an integer. Zero/null values are excluded.
+    One scan, one 9-row aggregation — counts are exact.
+    """
+    d = F.regexp_extract(F.col(col).cast("string"), "[1-9]", 0)
+    counts = (
+        df.filter(F.col(col).isNotNull() & (F.col(col) != 0))
+        .select(d.cast("int").alias("digit"))
+        .filter(F.col("digit").isNotNull())
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    # complete to all 9 digits (a missing digit is the loudest signal)
+    spark = df.sparkSession
+    digits = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    total = counts.agg(F.sum("n_obs").alias("__n__"))
+    out = (
+        digits.join(counts, "digit", "left")
+        .na.fill({"n_obs": 0})
+        .crossJoin(F.broadcast(total))
+    )
+    expected = F.log10(1 + 1 / F.col("digit"))
+    exp_n = F.col("__n__") * expected
+    return out.select(
+        "digit",
+        "n_obs",
+        (F.col("n_obs") / F.col("__n__")).alias("share"),
+        expected.alias("benford_share"),
+        ((F.col("n_obs") - exp_n) * (F.col("n_obs") - exp_n) / exp_n).alias(
+            "chi2_contrib"
+        ),
+    ).orderBy("digit")

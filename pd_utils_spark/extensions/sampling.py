@@ -770,3 +770,56 @@ def take_token_budget(
         .drop("__before__")
     )
 
+
+
+def skyline_2d(
+    df: DataFrame,
+    xcol: str,
+    ycol: str,
+    maximize: tuple[bool, bool] = (True, True),
+) -> DataFrame:
+    """Two-criteria Pareto frontier (skyline): the rows no other row
+    dominates — where "dominates" means at least as good on both
+    criteria and strictly better on one. Multi-objective data
+    selection without a hand-tuned scalarization: quality vs length,
+    informativeness vs toxicity, score vs cost. ``maximize`` flips
+    each criterion (False = smaller is better). Rows with a null
+    criterion are excluded (null is not comparable). Exact duplicates
+    on (x, y) don't dominate each other — all copies survive.
+
+    Plan — no all-pairs join: (1) per-distinct-x max of y (one
+    partial-agg shuffle, output = |distinct x| rows), (2) a running
+    best-y-over-strictly-better-x window over that DISTINCT-X frame,
+    (3) one equi join back on x. A point survives iff it has its
+    x-group's best y AND beats every better-x group's best. The only
+    non-distributed step is the window over distinct x values —
+    |distinct x| rows, not |rows|; if even that is huge, bucket x
+    first. Dominance is checked in the ORIGINAL column values; the
+    direction flip happens only inside the comparison expressions.
+    """
+    mx, my = maximize
+    x = F.col(xcol) if mx else -F.col(xcol)
+    y = F.col(ycol) if my else -F.col(ycol)
+    base = df.filter(F.col(xcol).isNotNull() & F.col(ycol).isNotNull())
+    gx = (
+        base.groupBy(xcol)
+        .agg(F.max(y).alias("__gy__"))
+    )
+    w = (
+        Window.orderBy(F.desc(xcol) if mx else F.asc(xcol))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    frontier = (
+        gx.withColumn("__best_above__", F.max("__gy__").over(w))
+        .filter(
+            F.col("__best_above__").isNull()
+            | (F.col("__gy__") > F.col("__best_above__"))
+        )
+        .select(xcol, "__gy__")
+    )
+    return (
+        base.withColumn("__ysigned__", y)
+        .join(F.broadcast(frontier), xcol, "inner")
+        .filter(F.col("__ysigned__") == F.col("__gy__"))
+        .drop("__gy__", "__ysigned__")
+    )

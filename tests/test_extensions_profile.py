@@ -149,3 +149,40 @@ class TestCorrMatrix:
             assert v == _pytest.approx(expect.loc[a, b], abs=1e-9)
         with _pytest.raises(ValueError, match="at least 2"):
             corr_matrix(spark.createDataFrame(pdf), ["x"])
+
+
+class TestBenfordTest:
+    def test_benford_distributed_data_passes(self, spark):
+        import numpy as np
+        rng = np.random.default_rng(3)
+        # log-uniform over 4 orders of magnitude follows Benford closely
+        vals = np.power(10.0, rng.uniform(0, 4, 20000)).tolist()
+        df = spark.createDataFrame([(v,) for v in vals], "v double")
+        from pd_utils_spark.extensions import benford_test
+        rows = benford_test(df, "v").collect()
+        assert [r.digit for r in rows] == list(range(1, 10))
+        assert sum(r.n_obs for r in rows) == 20000
+        chi2 = sum(r.chi2_contrib for r in rows)
+        assert chi2 < 20  # 0.05 critical value is 15.5; loose bound
+        # digit-1 share near log10(2)
+        assert abs(rows[0].share - 0.30103) < 0.02
+
+    def test_first_digit_extraction_edges(self, spark):
+        import pandas as pd
+        df = spark.createDataFrame(
+            pd.DataFrame({"v": [1000.0, 0.00234, -567.0, 0.0, None, 9.99]})
+        )
+        from pd_utils_spark.extensions import benford_test
+        rows = {r.digit: r.n_obs for r in benford_test(df, "v").collect()}
+        # 1000 -> 1 (no floor(log10) pitfall), 0.00234 -> 2, -567 -> 5,
+        # 9.99 -> 9; zero and null excluded
+        assert rows[1] == 1 and rows[2] == 1 and rows[5] == 1 and rows[9] == 1
+        assert sum(rows.values()) == 4
+
+    def test_uniform_digits_fail(self, spark):
+        # equal mass on every digit is wildly non-Benford
+        vals = [float(d) for d in range(1, 10) for _ in range(100)]
+        df = spark.createDataFrame([(v,) for v in vals], "v double")
+        from pd_utils_spark.extensions import benford_test
+        chi2 = sum(r.chi2_contrib for r in benford_test(df, "v").collect())
+        assert chi2 > 50

@@ -602,3 +602,40 @@ class TestLengthBucketsAndPadding:
         assert out.loc[1].padded_tokens == 6
         assert abs(out.loc[1].efficiency - 4 / 6) < 1e-6
         assert out.loc[2].max_len == 8 and out.loc[2].efficiency == 1.0
+
+
+class TestSkyline2D:
+    def _brute(self, pts, mx=True, my=True):
+        def better(a, b):  # a dominates b
+            ax, ay = (a[0] if mx else -a[0]), (a[1] if my else -a[1])
+            bx, by = (b[0] if mx else -b[0]), (b[1] if my else -b[1])
+            return ax >= bx and ay >= by and (ax > bx or ay > by)
+        return sorted(p for p in pts if not any(better(q, p) for q in pts if q != p))
+
+    def test_matches_brute_force(self, spark):
+        import numpy as np
+        rng = np.random.default_rng(21)
+        pts = [(float(x), float(y)) for x, y in rng.integers(0, 30, (200, 2))]
+        df = spark.createDataFrame(pts, "x double, y double")
+        from pd_utils_spark.extensions import skyline_2d
+        got = sorted((r.x, r.y) for r in skyline_2d(df, "x", "y").collect())
+        exp = self._brute(set(pts))
+        # duplicates of frontier points all survive
+        exp_with_dups = sorted(p for p in pts if tuple(p) in set(exp))
+        assert got == exp_with_dups
+
+    def test_minimize_direction(self, spark):
+        pts = [(1.0, 1.0), (2.0, 2.0), (0.5, 3.0), (3.0, 0.4)]
+        df = spark.createDataFrame(pts, "x double, y double")
+        from pd_utils_spark.extensions import skyline_2d
+        got = sorted((r.x, r.y) for r in skyline_2d(df, "x", "y", (False, False)).collect())
+        assert got == self._brute(pts, mx=False, my=False)
+
+    def test_duplicates_survive_and_nulls_excluded(self, spark):
+        import pandas as pd
+        df = spark.createDataFrame(
+            pd.DataFrame({"x": [5.0, 5.0, 1.0, None], "y": [5.0, 5.0, 1.0, 9.0]})
+        )
+        from pd_utils_spark.extensions import skyline_2d
+        got = [(r.x, r.y) for r in skyline_2d(df, "x", "y").collect()]
+        assert got == [(5.0, 5.0), (5.0, 5.0)]
