@@ -121,11 +121,14 @@ def resample_ohlc(
     (join :func:`~pd_utils_spark.operators.filldata.add_missing_group_rows`
     to densify).
 
-    One hash-aggregation pass: open/close are ``min_by``/``max_by``
-    on the timestamp (JVM aggregates, no sort), the bucket comes from
-    ``F.window`` — so the plan is a single shuffle on (group, bucket)
-    with map-side partial aggregation. Ties on the extreme timestamp
-    resolve to the smallest value on both engines (deterministic).
+    One aggregation pass: open/close are ``min_by``/``max_by`` keyed
+    by ``struct(ts, value)`` (deterministic tie rule: the SMALLEST
+    value at the extreme timestamp), the bucket comes from
+    ``F.window`` — a single shuffle on (group, bucket) with map-side
+    partial aggregation. The struct ordering key makes Spark pick
+    SortAggregate over HashAggregate (struct buffers aren't
+    hash-aggregable); the sort is per-partition on the grouping key,
+    partials still combine map-side — plan-locked.
     """
     byvars_l = to_list(byvars)
     v = F.col(valuecol).cast("double")

@@ -420,3 +420,97 @@ class TestPlanBarrier:
         )
         plan = plan_of(plan_barrier(base).select(F.explode("arr")))
         assert "CollectMetrics" in plan
+
+
+class TestRound5PlanShapes:
+    def test_bloom_probe_is_filter_before_join(self, spark, li):
+        """The Bloom membership test must run as a plain Filter on the
+        probe side BEFORE the join (that's the whole point), and the
+        one-row filter frame must arrive by broadcast, never shuffle."""
+        from pd_utils_spark.plans import bloom_prune_join
+
+        dim = (
+            spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+            .filter("p_size <= 2")
+            .select("p_partkey", "p_name")
+        )
+        out = bloom_prune_join(
+            li.withColumnRenamed("l_partkey", "p_partkey"), dim, "p_partkey",
+            num_bits=1 << 14,
+        )
+        plan = plan_of(out)
+        assert "element_at" in plan and "Filter" in plan
+        assert "BroadcastNestedLoopJoin" in plan  # one-row bloom frame
+        assert "CartesianProduct" not in plan
+
+    def test_skyline_staircase_no_cartesian(self, spark, li):
+        from pd_utils_spark.extensions import skyline_2d
+
+        part = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+        plan = plan_of(skyline_2d(part, "p_size", "p_retailprice"))
+        assert "CartesianProduct" not in plan
+        # frontier (distinct-x staircase) joins back by broadcast
+        assert "BroadcastHashJoin" in plan
+
+    def test_scd2_merge_is_single_join_plus_unions(self, spark):
+        import pandas as pd
+        from datetime import date
+        from pd_utils_spark.extensions import scd2_merge
+
+        dim = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "k": [1], "v": [1],
+                    "valid_from": [date(2020, 1, 1)],
+                    "valid_to": [None], "is_current": [True],
+                }
+            )
+        )
+        upd = spark.createDataFrame(pd.DataFrame({"k": [1], "v": [2]}))
+        plan = plan_of(scd2_merge(dim, upd, "k", ["v"], date(2024, 1, 1), check_unique=False))
+        assert "CartesianProduct" not in plan
+        assert plan.count("Union") >= 1
+
+    def test_run_checks_row_local_rules_share_one_scan(self, spark, li):
+        """However many row-local rules are declared, they fold into a
+        single aggregation: exactly one parquet scan of lineitem in
+        the row-local result plan."""
+        from pd_utils_spark.extensions import run_checks
+
+        out = run_checks(
+            li,
+            [
+                {"type": "not_null", "column": "l_quantity"},
+                {"type": "range", "column": "l_quantity", "min": 0, "max": 100},
+                {"type": "in_set", "column": "l_returnflag", "values": ["A", "N", "R"]},
+                {"type": "custom", "name": "p", "predicate": "l_extendedprice > 0"},
+            ],
+        )
+        plan = plan_of(out)
+        # formatted explain names each scan once in the tree and once
+        # in the detail section -> exactly one scan == two mentions
+        assert plan.count("Scan parquet") == 2
+
+    def test_rolling_comovement_single_window_exchange(self, spark, li):
+        """All six moments of rolling corr ride ONE window over one
+        shuffle — no per-moment exchanges."""
+        out = pus.rolling_corr(
+            li.select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"),
+            "l_quantity", "l_extendedprice", 5, "l_linenumber", "l_orderkey",
+        )
+        plan = plan_of(out)
+        # tree mentions: one Exchange, one Window node (each named
+        # twice by formatted explain: tree + detail)
+        assert plan.count("+- Exchange") == 1
+        assert plan.count("Window") == 2
+
+    def test_resample_ohlc_single_hash_aggregation(self, spark):
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+        plan = plan_of(pus.resample_ohlc(ev, "value", "ts", "user_id", "1 day"))
+        # struct-keyed min_by/max_by -> partial + final SortAggregate
+        # (2 nodes x tree+detail) around exactly ONE exchange; map-side
+        # combine still happens (partial aggregate below the exchange)
+        assert plan.count("SortAggregate") == 4
+        assert plan.count("+- Exchange") == 1
+        assert "CartesianProduct" not in plan
