@@ -3657,6 +3657,54 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_crosstab_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contingency independence audit (extensions/profile.py
+    crosstab_chi2): event_type vs a user segment — per-cell observed
+    count, independence-expected count, chi-square contribution. One
+    (row,col) aggregation + broadcast marginals."""
+    from pd_utils_spark.extensions import crosstab_chi2
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", (F.col("user_id") % 4).alias("seg")
+    )
+    out = crosstab_chi2(ev, "event_type", "seg")
+    return out.select(
+        "event_type", "seg", "n",
+        F.round("expected", 6).alias("expected"),
+        F.round("chi2_contrib", 6).alias("chi2_contrib"),
+    )
+
+
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregation state (extensions/snapshot.py):
+    lineitem is split into three disjoint batches, each aggregated
+    ALONE to a mergeable (n, sum, sumsq, min, max) state, states
+    merged, then finalized — and the result must equal a direct
+    aggregate over everything (the oracle computes it straight from
+    the full table with the same sufficient-statistics shapes).
+    Integer-valued inputs (x100) keep the partial sums bit-identical
+    across engines."""
+    from pd_utils_spark.extensions import agg_state, finalize_agg_state, merge_agg_states
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linenumber",
+        F.round(F.col("l_quantity") * 100, 0).alias("v"),
+    )
+    batches = [
+        li.filter(F.col("l_linenumber") <= 2),
+        li.filter((F.col("l_linenumber") > 2) & (F.col("l_linenumber") <= 4)),
+        li.filter(F.col("l_linenumber") > 4),
+    ]
+    states = [agg_state(b, "l_returnflag", "v") for b in batches]
+    out = finalize_agg_state(merge_agg_states(states, "l_returnflag"), "l_returnflag")
+    return out.select(
+        "l_returnflag", "v_n",
+        F.round("v_mean", 6).alias("v_mean"),
+        F.round("v_std", 6).alias("v_std"),
+        "v_min", "v_max",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_averages(spark, "/root/testdata/sf0.001")
@@ -3733,6 +3781,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drawdown": q_drawdown,
         "skyline": q_skyline,
         "benford": q_benford,
+        "crosstab_chi2": q_crosstab_chi2,
+        "incremental_agg": q_incremental_agg,
         "perplexity_buckets": q_perplexity_buckets,
         "top_ngrams": q_top_ngrams,
         "dedup_spans": q_dedup_spans,
@@ -8194,6 +8244,37 @@ def oracle_sql() -> dict[str, str]:
                      * (COALESCE(n_obs, 0) - n * log10(1 + 1.0 / digit))
                      / (n * log10(1 + 1.0 / digit)), 6) AS chi2_contrib
         FROM digits LEFT JOIN c USING (digit) CROSS JOIN tot
+    """
+    d["crosstab_chi2"] = """
+        WITH cells AS (
+            SELECT event_type, user_id % 4 AS seg, COUNT(*) AS n
+            FROM events GROUP BY 1, 2
+        ), rt AS (
+            SELECT event_type, SUM(n) AS rtot FROM cells GROUP BY 1
+        ), ct AS (
+            SELECT seg, SUM(n) AS ctot FROM cells GROUP BY 1
+        ), tot AS (SELECT SUM(n) AS nn FROM cells)
+        SELECT c.event_type, c.seg, c.n,
+               ROUND(rtot * ctot / nn, 6) AS expected,
+               ROUND((c.n - rtot * ctot / nn) * (c.n - rtot * ctot / nn)
+                     / (rtot * ctot / nn), 6) AS chi2_contrib
+        FROM cells c JOIN rt USING (event_type) JOIN ct USING (seg)
+        CROSS JOIN tot
+    """
+    # direct one-shot aggregate over the FULL table, same
+    # sufficient-statistics shapes as finalize_agg_state — if
+    # batch-merge lost or double-counted anything, this goes red
+    d["incremental_agg"] = """
+        WITH b AS (
+            SELECT l_returnflag, ROUND(l_quantity * 100, 0) AS v FROM lineitem
+        )
+        SELECT l_returnflag, COUNT(v) AS v_n,
+               ROUND(SUM(v) / COUNT(v), 6) AS v_mean,
+               ROUND(sqrt(greatest(
+                   (SUM(v * v) - SUM(v) * SUM(v) / COUNT(v)) / (COUNT(v) - 1),
+                   0.0)), 6) AS v_std,
+               MIN(v) AS v_min, MAX(v) AS v_max
+        FROM b GROUP BY l_returnflag
     """
     d["streaming_interval_join"] = """
         SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id

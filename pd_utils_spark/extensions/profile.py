@@ -285,3 +285,51 @@ def benford_test(
             "chi2_contrib"
         ),
     ).orderBy("digit")
+
+
+def crosstab_chi2(
+    df: DataFrame,
+    rowcol: str,
+    colcol: str,
+) -> DataFrame:
+    """Contingency-table independence audit for two categorical
+    columns: one output row per observed (row, col) cell with the
+    observed count, the independence-expected count ``row_total *
+    col_total / N``, and the chi-square contribution
+    ``(n - expected)^2 / expected``. Sum the contributions for the
+    test statistic (df = (R-1)(C-1)); big contributions localize
+    WHICH cells break independence — the drill-down a single p-value
+    can't give (label leakage across sources, template/language
+    coupling, stratification bugs).
+
+    Null categories participate as their own level (nulls pairing
+    non-randomly is exactly the kind of structure this should catch).
+    Plan: one (row, col) count aggregation, two tiny marginal
+    re-aggregations of it, broadcast back — the input is scanned
+    once.
+    """
+    cells = df.groupBy(rowcol, colcol).agg(F.count(F.lit(1)).alias("n"))
+    # null-safe marginal joins: a null category is a real level and
+    # must still pick up its marginal (plain equi-joins drop it)
+    row_tot = cells.groupBy(rowcol).agg(F.sum("n").alias("__rt__")).withColumnRenamed(
+        rowcol, "__rk__"
+    )
+    col_tot = cells.groupBy(colcol).agg(F.sum("n").alias("__ct__")).withColumnRenamed(
+        colcol, "__ck__"
+    )
+    grand = cells.agg(F.sum("n").alias("__N__"))
+    expected = F.col("__rt__") * F.col("__ct__") / F.col("__N__")
+    return (
+        cells.join(F.broadcast(row_tot), F.col(rowcol).eqNullSafe(F.col("__rk__")))
+        .join(F.broadcast(col_tot), F.col(colcol).eqNullSafe(F.col("__ck__")))
+        .crossJoin(F.broadcast(grand))
+        .select(
+            rowcol,
+            colcol,
+            "n",
+            expected.alias("expected"),
+            ((F.col("n") - expected) * (F.col("n") - expected) / expected).alias(
+                "chi2_contrib"
+            ),
+        )
+    )

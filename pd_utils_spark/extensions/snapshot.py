@@ -212,3 +212,97 @@ def scd2_merge(
         )
     )
     return history.unionByName(kept_current).unionByName(closed).unionByName(opened)
+
+
+def agg_state(
+    df: DataFrame,
+    keys: str | Sequence[str],
+    cols: str | Sequence[str],
+) -> DataFrame:
+    """Map-side-mergeable aggregation STATE per key: for each value
+    column, ``{c}_n / {c}_sum / {c}_sumsq / {c}_min / {c}_max``. The
+    incremental-pipeline primitive — aggregate each new batch alone,
+    :func:`merge_agg_states` with the stored state, land the merged
+    state, and :func:`finalize_agg_state` whenever someone needs
+    mean/std/min/max/count. A 100 TB history is never re-scanned:
+    per-batch cost is one partial-agg shuffle over the batch, merge
+    cost is proportional to the STATE (|keys|), not the data.
+
+    The moments are algebraic (the same decomposition Spark itself
+    uses for map-side combine), so merge-then-finalize equals
+    finalize-over-everything exactly in exact arithmetic; in floats
+    the usual accumulation-order caveat applies (see SCALE.md).
+    """
+    keys_l = to_list(keys)
+    cols_l = to_list(cols)
+    aggs = []
+    for c in cols_l:
+        v = F.col(c).cast("double")
+        aggs += [
+            F.count(v).alias(f"{c}_n"),
+            F.sum(v).alias(f"{c}_sum"),
+            F.sum(v * v).alias(f"{c}_sumsq"),
+            F.min(v).alias(f"{c}_min"),
+            F.max(v).alias(f"{c}_max"),
+        ]
+    return df.groupBy(*keys_l).agg(*aggs)
+
+
+def merge_agg_states(
+    states: Sequence[DataFrame],
+    keys: str | Sequence[str],
+) -> DataFrame:
+    """Combine :func:`agg_state` frames (history + new batches) into
+    one state: counts/sums/sumsqs add, mins min, maxes max. Union +
+    one partial-agg shuffle over state rows only."""
+    if not states:
+        raise ValueError("need at least one state frame")
+    keys_l = to_list(keys)
+    merged = states[0]
+    for s in states[1:]:
+        merged = merged.unionByName(s)
+    aggs = []
+    for c in merged.columns:
+        if c in keys_l:
+            continue
+        if c.endswith(("_n", "_sum", "_sumsq")):
+            aggs.append(F.sum(c).alias(c))
+        elif c.endswith("_min"):
+            aggs.append(F.min(c).alias(c))
+        elif c.endswith("_max"):
+            aggs.append(F.max(c).alias(c))
+        else:
+            raise ValueError(f"{c!r} is not an agg_state column")
+    return merged.groupBy(*keys_l).agg(*aggs)
+
+
+def finalize_agg_state(
+    state: DataFrame,
+    keys: str | Sequence[str],
+    ddof: int = 1,
+) -> DataFrame:
+    """Turn a (merged) state into the user-facing aggregates: per
+    value column ``{c}_n / {c}_mean / {c}_std / {c}_min / {c}_max``.
+    Pure column expressions over state rows — no scan of the data.
+    ``std`` uses the textbook sufficient-statistics form
+    ``sqrt((sumsq - sum^2/n) / (n - ddof))``; null when ``n <=
+    ddof``."""
+    keys_l = to_list(keys)
+    base_cols = sorted(
+        {c[: -len("_sum")] for c in state.columns if c.endswith("_sum")
+         and not c.endswith("_sumsq")}
+    )
+    out_cols = list(keys_l)
+    for c in base_cols:
+        n = F.col(f"{c}_n")
+        s = F.col(f"{c}_sum")
+        ss = F.col(f"{c}_sumsq")
+        var = (ss - s * s / n) / (n - ddof)
+        out_cols += [
+            n.alias(f"{c}_n"),
+            (s / n).alias(f"{c}_mean"),
+            F.when(n > ddof, F.sqrt(F.greatest(var, F.lit(0.0)))).alias(f"{c}_std"),
+            F.col(f"{c}_min").alias(f"{c}_min"),
+            F.col(f"{c}_max").alias(f"{c}_max"),
+        ]
+    return state.select(*out_cols)

@@ -186,3 +186,43 @@ class TestBenfordTest:
         from pd_utils_spark.extensions import benford_test
         chi2 = sum(r.chi2_contrib for r in benford_test(df, "v").collect())
         assert chi2 > 50
+
+
+class TestCrosstabChi2:
+    def test_matches_scipy_style_computation(self, spark):
+        import pandas as pd
+        pdf = pd.DataFrame(
+            {
+                "a": ["x", "x", "x", "y", "y", "y", "y", "x"],
+                "b": ["p", "q", "p", "q", "q", "p", "q", "p"],
+            }
+        )
+        from pd_utils_spark.extensions import crosstab_chi2
+        out = {(r.a, r.b): r for r in crosstab_chi2(spark.createDataFrame(pdf), "a", "b").collect()}
+        ct = pd.crosstab(pdf.a, pdf.b)
+        n = ct.to_numpy().sum()
+        for (a, b), r in out.items():
+            exp = ct.loc[a].sum() * ct[b].sum() / n
+            assert r.n == ct.loc[a, b]
+            assert r.expected == pytest.approx(exp)
+            assert r.chi2_contrib == pytest.approx((ct.loc[a, b] - exp) ** 2 / exp)
+
+    def test_independent_columns_have_small_chi2(self, spark):
+        import numpy as np
+        rng = np.random.default_rng(4)
+        df = spark.createDataFrame(
+            [(str(a), str(b)) for a, b in zip(rng.integers(0, 3, 6000), rng.integers(0, 4, 6000))],
+            "a string, b string",
+        )
+        from pd_utils_spark.extensions import crosstab_chi2
+        chi2 = sum(r.chi2_contrib for r in crosstab_chi2(df, "a", "b").collect())
+        # df = (3-1)(4-1) = 6; 0.999 critical value ~22.5
+        assert chi2 < 25
+
+    def test_null_level_participates(self, spark):
+        import pandas as pd
+        pdf = pd.DataFrame({"a": ["x", None, "x", None], "b": ["p", "p", "q", "q"]})
+        from pd_utils_spark.extensions import crosstab_chi2
+        rows = crosstab_chi2(spark.createDataFrame(pdf), "a", "b").collect()
+        assert len(rows) == 4 and sum(r.n for r in rows) == 4
+        assert {r.a for r in rows} == {"x", None}

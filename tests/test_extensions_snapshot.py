@@ -115,3 +115,49 @@ class TestScd2Merge:
         updates = spark.createDataFrame(pd.DataFrame({"k": [1, 1], "v": [5, 6]}))
         with pytest.raises(ValueError, match="duplicate keys"):
             scd2_merge(dim, updates, "k", ["v"], date(2024, 6, 1))
+
+
+class TestAggState:
+    def test_merge_then_finalize_equals_direct(self, spark):
+        import numpy as np
+        rng = np.random.default_rng(17)
+        pdf = pd.DataFrame(
+            {
+                "k": rng.integers(0, 5, 300),
+                "v": rng.normal(10, 3, 300).round(4),
+                "u": rng.normal(-2, 1, 300).round(4),
+            }
+        )
+        df = spark.createDataFrame(pdf)
+        from pd_utils_spark.extensions import agg_state, finalize_agg_state, merge_agg_states
+
+        # split into three batches, aggregate each alone, merge
+        parts = [df.filter(F.col("v") < 8), df.filter((F.col("v") >= 8) & (F.col("v") < 11)), df.filter(F.col("v") >= 11)]
+        states = [agg_state(p, "k", ["v", "u"]) for p in parts]
+        merged = merge_agg_states(states, "k")
+        got = {r.k: r for r in finalize_agg_state(merged, "k").collect()}
+        exp = pdf.groupby("k").agg(
+            v_n=("v", "count"), v_mean=("v", "mean"), v_std=("v", "std"),
+            v_min=("v", "min"), v_max=("v", "max"),
+            u_mean=("u", "mean"), u_std=("u", "std"),
+        )
+        for k, e in exp.iterrows():
+            r = got[k]
+            assert r.v_n == e.v_n
+            assert r.v_mean == pytest.approx(e.v_mean, rel=1e-9)
+            assert r.v_std == pytest.approx(e.v_std, rel=1e-6)
+            assert (r.v_min, r.v_max) == (pytest.approx(e.v_min), pytest.approx(e.v_max))
+            assert r.u_mean == pytest.approx(e.u_mean, rel=1e-9)
+            assert r.u_std == pytest.approx(e.u_std, rel=1e-6)
+
+    def test_single_row_group_std_null(self, spark):
+        df = spark.createDataFrame(pd.DataFrame({"k": [1], "v": [5.0]}))
+        from pd_utils_spark.extensions import agg_state, finalize_agg_state
+        r = finalize_agg_state(agg_state(df, "k", "v"), "k").collect()[0]
+        assert r.v_std is None and r.v_mean == 5.0 and r.v_n == 1
+
+    def test_bad_state_column_raises(self, spark):
+        df = spark.createDataFrame(pd.DataFrame({"k": [1], "bogus": [1.0]}))
+        from pd_utils_spark.extensions import merge_agg_states
+        with pytest.raises(ValueError, match="agg_state column"):
+            merge_agg_states([df], "k")
