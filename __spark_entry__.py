@@ -68,6 +68,31 @@ def _round_doubles(df: DataFrame, n: int = _ROUND) -> DataFrame:
     return out
 
 
+def _stream_state_partitions(spark: SparkSession, n: int = 8):
+    """Context manager: run a streaming query with ``n`` shuffle
+    partitions, restoring the session default afterwards. A streaming
+    query pins its state-store instance count to
+    ``spark.sql.shuffle.partitions`` at FIRST start, and every
+    micro-batch then pays per-instance open/commit/snapshot cost —
+    so the right number is sized to stateful-key cardinality and
+    executor count, not to the batch-shuffle default (32 instances on
+    a one-batch local run was measured ~2x slower than 8 with
+    identical results; on a real cluster pick cores-times-executors).
+    """
+    import contextlib
+
+    @contextlib.contextmanager
+    def _cm():
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(n))
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    return _cm()
+
+
 # ---------------------------------------------------------------- queries
 
 def q_averages(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1299,14 +1324,15 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         sdf, "user_id", "ts", gap_seconds=1800, tiebreak="event_id"
     )
     name = "streaming_sessionize_sink"
-    q = (
-        labeled.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_state_partitions(spark):
+        q = (
+            labeled.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     eus = F.unix_micros(F.col("ts"))
     return (
         spark.table(name)
@@ -1363,14 +1389,15 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         views, clicks, "user_id", "ts", "ts_r", "0 seconds", "1 hour"
     )
     name = "streaming_interval_join_sink"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_state_partitions(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).select("user_id", "view_id", "click_id")
 
 
@@ -1396,14 +1423,15 @@ def q_streaming_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = stateful_running_agg(sdf, "user_id", "value")
     name = "streaming_running_agg_sink"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     # latest emitted row per key (running_count is monotone per key,
     # so max-count row == final state even across multiple batches)
     # event values are 2-decimal, so round(sum, 2) reconstructs the

@@ -1064,7 +1064,9 @@ def _cc_run(pairs, src, dst, out, max_iter, _ckpt):
         )
     )
 
-    for _ in range(max_iter):
+    from pd_utils_spark.utils import observed_metrics
+
+    for _round in range(max_iter):
         # (a) propagate: c(v) <- min(c(v), min_{u in N(v)} c(u))
         nbr = (
             sym.join(labels, sym["b"] == labels["__id__"])
@@ -1093,9 +1095,22 @@ def _cc_run(pairs, src, dst, out, max_iter, _ckpt):
                 F.col("x.__c__"), F.coalesce(F.col("y.__jc__"), F.col("x.__c__"))
             ).alias("__c__"),
         )
-        jump = _ckpt(jump)
-        changed = jump.filter(F.col("__c__") != F.col("__prev__")).limit(1).count()
-        labels = jump.select("__id__", "__c__")
+        # convergence check rides the checkpoint job as an observe
+        # metric — one action per round instead of two (the extra
+        # limit(1).count() job was pure scheduling overhead on small
+        # graphs and a full extra pass on big ones)
+        metric = f"__cc_changed_{_round}__"
+        obs = jump.observe(
+            metric,
+            F.sum((F.col("__c__") != F.col("__prev__")).cast("long")).alias("n"),
+        )
+        ckpt = _ckpt(obs)
+        got = observed_metrics(obs).get(metric)
+        if got is not None:
+            changed = int(got["n"] or 0)
+        else:  # pragma: no cover — metric not fired (engine change)
+            changed = ckpt.filter(F.col("__c__") != F.col("__prev__")).limit(1).count()
+        labels = ckpt.select("__id__", "__c__")
         if changed == 0:
             break
     else:

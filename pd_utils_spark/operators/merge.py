@@ -20,7 +20,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from pd_utils_spark.utils import to_list
+from pd_utils_spark.utils import group_block_stream, group_boundaries, to_list
 
 # pandas DataFrameGroupBy method name -> Spark aggregate.
 # 'std'/'var' are sample (ddof=1) in pandas => stddev_samp/var_samp.
@@ -262,17 +262,7 @@ def _groupby_transform(
         import numpy as np
 
         n = len(pdf)
-        change = np.zeros(n, dtype=bool)
-        change[0] = True
-        for b in byvars:
-            col = pdf[b]
-            arr = col.to_numpy()
-            na = col.isna().to_numpy()
-            diff = arr[1:] != arr[:-1]
-            both_na = na[1:] & na[:-1]
-            change[1:] |= np.asarray(diff, dtype=bool) & ~both_na
-        starts = np.flatnonzero(change)
-        ends = np.append(starts[1:], n)
+        starts, ends = group_boundaries(pdf, byvars)
         mask = pdf[subset].notna().all(axis=1).to_numpy()
         for c, oc in zip(subset, out_cols):
             colvals = pdf[c]
@@ -301,48 +291,7 @@ def _groupby_transform(
             )
         return pdf
 
-    def _key_eq(pdf: pd.DataFrame, row: pd.Series):
-        """Vector equality of each row's byvars to a key row,
-        null-safe (NaN/None keys compare equal to themselves)."""
-        import numpy as np
-
-        eq = np.ones(len(pdf), dtype=bool)
-        for b in byvars:
-            col = pdf[b]
-            v = row[b]
-            if pd.isna(v):
-                eq &= col.isna().to_numpy()
-            else:
-                eq &= (col == v).fillna(False).to_numpy()
-        return eq
-
-    def process(batches) -> "pd.DataFrame":
-        tail_parts: list[pd.DataFrame] = []  # trailing group, may span batches
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            if tail_parts:
-                prev_last = tail_parts[-1].iloc[-1]
-                eq_head = _key_eq(pdf, prev_last)
-                # contiguous head run continuing the previous group
-                n_head = len(pdf) if eq_head.all() else int(eq_head.argmin())
-                if n_head > 0:
-                    tail_parts.append(pdf.iloc[:n_head])
-                    pdf = pdf.iloc[n_head:]
-                if len(pdf) == 0:
-                    continue
-                yield transform_block(pd.concat(tail_parts, ignore_index=True))
-                tail_parts = []
-            last = pdf.iloc[-1]
-            eq_tail = _key_eq(pdf, last)
-            # sorted input => rows equal to the last key form the tail run
-            n_tail = int(eq_tail.sum())
-            split = len(pdf) - n_tail
-            if split > 0:
-                yield transform_block(pdf.iloc[:split].copy())
-            tail_parts = [pdf.iloc[split:]]
-        if tail_parts:
-            yield transform_block(pd.concat(tail_parts, ignore_index=True))
+    process = group_block_stream(byvars, transform_block)
 
     # nulls LAST in the in-group order: parity with the pandas
     # sort_values(na_position='last') the grouped form used (Spark's

@@ -151,3 +151,89 @@ def plan_barrier(df: DataFrame, name: str | None = None) -> DataFrame:
     _BARRIER_COUNT[0] += 1
     label = name or f"__plan_barrier_{_BARRIER_COUNT[0]}__"
     return df.observe(label, F.count(F.lit(1)))
+
+
+def group_block_stream(byvars: list[str], block_fn):
+    """Build a ``mapInPandas`` iterator function that re-chunks sorted
+    Arrow batches into blocks of COMPLETE groups and yields
+    ``block_fn(block)`` for each.
+
+    The contract: the input DataFrame must already be
+    ``repartition(*byvars).sortWithinPartitions(*byvars, *order)`` so
+    every group is contiguous within its partition. Arrow batch
+    boundaries land mid-group, so the trailing (possibly incomplete)
+    group of each batch is carried forward and prepended to the next;
+    ``block_fn`` therefore always sees whole groups, in order, and may
+    rely on vectorized key-change detection to find boundaries.
+
+    This is the scale-safe alternative to ``groupBy().applyInPandas``
+    for high-cardinality keys: one shuffle, Python/Arrow overhead per
+    BATCH instead of per GROUP (measured ~20x on ~150k tiny groups —
+    see ``_groupby_transform``), while a group larger than a batch is
+    still buffered and seen whole, exactly like the grouped form.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def _key_eq(pdf: "pd.DataFrame", row: "pd.Series"):
+        # null-safe vector equality of each row's byvars to a key row
+        eq = np.ones(len(pdf), dtype=bool)
+        for b in byvars:
+            col = pdf[b]
+            v = row[b]
+            if pd.isna(v):
+                eq &= col.isna().to_numpy()
+            else:
+                eq &= (col == v).fillna(False).to_numpy()
+        return eq
+
+    def process(batches):
+        tail_parts: list[pd.DataFrame] = []  # trailing group, may span batches
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if tail_parts:
+                prev_last = tail_parts[-1].iloc[-1]
+                eq_head = _key_eq(pdf, prev_last)
+                # contiguous head run continuing the previous group
+                n_head = len(pdf) if eq_head.all() else int(eq_head.argmin())
+                if n_head > 0:
+                    tail_parts.append(pdf.iloc[:n_head])
+                    pdf = pdf.iloc[n_head:]
+                if len(pdf) == 0:
+                    continue
+                yield block_fn(pd.concat(tail_parts, ignore_index=True))
+                tail_parts = []
+            last = pdf.iloc[-1]
+            eq_tail = _key_eq(pdf, last)
+            # sorted input => rows equal to the last key form the tail run
+            n_tail = int(eq_tail.sum())
+            split = len(pdf) - n_tail
+            if split > 0:
+                yield block_fn(pdf.iloc[:split].copy())
+            tail_parts = [pdf.iloc[split:]]
+        if tail_parts:
+            yield block_fn(pd.concat(tail_parts, ignore_index=True))
+
+    return process
+
+
+def group_boundaries(pdf, byvars: list[str]):
+    """(starts, ends) positional group slices of a block already sorted
+    by ``byvars`` — vectorized key-change detection, null-safe (two
+    adjacent nulls in a key column do NOT start a new group)."""
+    import numpy as np
+
+    n = len(pdf)
+    change = np.zeros(n, dtype=bool)
+    change[0] = True
+    for b in byvars:
+        col = pdf[b]
+        arr = col.to_numpy()
+        na = col.isna().to_numpy()
+        diff = arr[1:] != arr[:-1]
+        both_na = na[1:] & na[:-1]
+        change[1:] |= np.asarray(diff, dtype=bool) & ~both_na
+    starts = np.flatnonzero(change)
+    ends = np.append(starts[1:], n)
+    return starts, ends
