@@ -29,6 +29,7 @@ from pd_utils_spark.extensions import events as pus_events
 from pd_utils_spark.extensions import multimodal as pus_mm
 from pd_utils_spark.extensions import profile as pus_profile
 from pd_utils_spark.extensions import sampling as pus_sample
+from pd_utils_spark.extensions import selection as pus_select
 
 _ROUND = 6
 
@@ -3733,6 +3734,43 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (extensions/selection.py, Xie et al.
+    NeurIPS 2023): hashed unigram+bigram bag-of-features log likelihood
+    ratio of every document against an English-target distribution —
+    the standard targeted-data-selection scorer. Two O(buckets) agg
+    passes + one broadcast ratio table + one doc-id shuffle; top 25
+    most target-like docs."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    target = d.filter(F.col("lang") == "en").select("doc_id", "text")
+    w = pus_select.dsir_log_weights(
+        d.select("doc_id", "text"), target, buckets=4096
+    )
+    return (
+        w.orderBy(F.desc("log_weight"), "doc_id")
+        .limit(25)
+        .select(
+            "doc_id", "n_feats", F.round("log_weight", 4).alias("log_weight")
+        )
+    )
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR Gumbel-top-k resampling (extensions/selection.py): draw 40
+    documents without replacement from the softmax of the importance
+    weights via deterministic hash-Gumbel noise (Kool et al. 2019) —
+    selection is engine-portable, so the DuckDB oracle replays the
+    identical draw. Global top-k runs as TakeOrdered, no total sort."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source")
+    target = d.filter(F.col("lang") == "en").select("doc_id", "text")
+    sel = pus_select.dsir_select(
+        d.select("doc_id", "text", "source"), target, k=40, buckets=4096
+    )
+    return sel.select(
+        "doc_id", "source", "n_feats", F.round("score", 4).alias("score")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_averages(spark, "/root/testdata/sf0.001")
@@ -3811,6 +3849,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford": q_benford,
         "crosstab_chi2": q_crosstab_chi2,
         "incremental_agg": q_incremental_agg,
+        "dsir_weights": q_dsir_weights,
+        "dsir_select": q_dsir_select,
         "perplexity_buckets": q_perplexity_buckets,
         "top_ngrams": q_top_ngrams,
         "dedup_spans": q_dedup_spans,
@@ -8310,5 +8350,64 @@ def oracle_sql() -> dict[str, str]:
           ON v.user_id = c.user_id
          AND v.event_type = 'view' AND c.event_type = 'click'
          AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
+    """
+    # DSIR (Xie et al. 2023): full replay — hashed unigram+bigram
+    # features with multiplicity, add-1 smoothed target/raw bucket
+    # distributions, per-doc log-ratio sums; dsir_select additionally
+    # replays the deterministic hash-Gumbel top-k draw
+    _dsir_w = """
+        WITH nrm AS (
+            SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+            FROM documents
+            WHERE length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) > 0
+        ),
+        tok AS (SELECT doc_id, regexp_split_to_array(t, '\\s+') AS toks FROM nrm),
+        uni AS (SELECT doc_id, unnest(toks) AS g FROM tok),
+        bi AS (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(toks) - 1),
+                                         i -> toks[i] || ' ' || toks[i + 1])) AS g
+            FROM tok WHERE len(toks) >= 2
+        ),
+        feats AS (
+            SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT % 4096 AS b
+            FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+        ),
+        tfeats AS (
+            SELECT f.b FROM feats f JOIN documents dd USING (doc_id)
+            WHERE dd.lang = 'en'
+        ),
+        rdist AS (SELECT b, count(*) AS rc FROM feats GROUP BY 1),
+        tdist AS (SELECT b, count(*) AS tc FROM tfeats GROUP BY 1),
+        rtot AS (SELECT sum(rc)::DOUBLE AS rt FROM rdist),
+        ttot AS (SELECT coalesce(sum(tc), 0)::DOUBLE AS tt FROM tdist),
+        ratio AS (
+            SELECT rdist.b,
+                   ln((coalesce(tdist.tc, 0) + 1.0) / (ttot.tt + 1.0 * 4096))
+                 - ln((rdist.rc + 1.0) / (rtot.rt + 1.0 * 4096)) AS lr
+            FROM rdist LEFT JOIN tdist USING (b)
+            CROSS JOIN rtot CROSS JOIN ttot
+        ),
+        w AS (
+            SELECT doc_id, count(*) AS n_feats, sum(lr) AS lw
+            FROM feats JOIN ratio USING (b) GROUP BY 1
+        )
+    """
+    d["dsir_weights"] = _dsir_w + """
+        SELECT doc_id, n_feats, round(lw, 4) AS log_weight
+        FROM w ORDER BY lw DESC, doc_id LIMIT 25
+    """
+    d["dsir_select"] = _dsir_w + """
+        , scored AS (
+            SELECT doc_id, n_feats,
+                   lw - ln(-ln(
+                       (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                        % 2251799813685248 + 1) / 2251799813685250.0
+                   )) AS score
+            FROM w
+        )
+        SELECT s.doc_id, dd.source, s.n_feats, round(s.score, 4) AS score
+        FROM scored s JOIN documents dd USING (doc_id)
+        ORDER BY s.score DESC, s.doc_id LIMIT 40
     """
     return d

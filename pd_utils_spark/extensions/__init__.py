@@ -59,6 +59,11 @@ from pd_utils_spark.extensions.metrics import (
     ndcg_at_k,
     regression_metrics,
 )
+from pd_utils_spark.extensions.selection import (
+    dsir_log_weights,
+    dsir_select,
+    hashed_ngram_features,
+)
 from pd_utils_spark.extensions.pii import (
     drop_pii_documents,
     pii_signals,
