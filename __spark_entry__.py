@@ -30,6 +30,7 @@ from pd_utils_spark.extensions import multimodal as pus_mm
 from pd_utils_spark.extensions import profile as pus_profile
 from pd_utils_spark.extensions import sampling as pus_sample
 from pd_utils_spark.extensions import selection as pus_select
+from pd_utils_spark.extensions import stats as pus_stats
 
 _ROUND = 6
 
@@ -3734,6 +3735,53 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov drift test
+    (extensions/stats.py) between view and purchase event values —
+    per-distinct-value count agg, DISTRIBUTED prefix sum over the
+    value order (plans/prefix.py — range partition + local scans +
+    O(#partitions) offsets, never a single-task total-order window),
+    asymptotic p via a 100-term JVM-side series. d_stat is exact."""
+    ev = _t(spark, sf_dir, "events")
+    out = pus_stats.ks_2samp(ev, "value", "event_type", "view", "purchase")
+    return out.select(
+        "n_a", "n_b",
+        F.round("d_stat", 6).alias("d_stat"),
+        F.round("p_value", 6).alias("p_value"),
+    )
+
+
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Mann-Whitney U (midrank ties, tie-corrected normal
+    approximation with continuity correction — SciPy's large-sample
+    parity) between view and purchase event values. Same
+    per-value-count + distributed-prefix-sum plan as the KS test;
+    u_stat is exactly representable (multiples of 0.5) so it is
+    pinned unrounded."""
+    ev = _t(spark, sf_dir, "events")
+    out = pus_stats.mann_whitney_u(ev, "value", "event_type", "view", "purchase")
+    return out.select(
+        "n_a", "n_b", "u_stat",
+        F.round("z", 6).alias("z"),
+        F.round("p_value", 6).alias("p_value"),
+    )
+
+
+def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test from one sufficient-statistics
+    aggregation pass (extensions/stats.py) — no second scan, no
+    per-value shuffle at all."""
+    ev = _t(spark, sf_dir, "events")
+    out = pus_stats.welch_ttest(ev, "value", "event_type", "view", "purchase")
+    return out.select(
+        "n_a", "n_b",
+        F.round("mean_a", 6).alias("mean_a"),
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round("t_stat", 6).alias("t_stat"),
+        F.round("dof", 4).alias("dof"),
+    )
+
+
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (extensions/selection.py, Xie et al.
     NeurIPS 2023): hashed unigram+bigram bag-of-features log likelihood
@@ -3851,6 +3899,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_agg": q_incremental_agg,
         "dsir_weights": q_dsir_weights,
         "dsir_select": q_dsir_select,
+        "ks_test": q_ks_test,
+        "mann_whitney": q_mann_whitney,
+        "welch_ttest": q_welch_ttest,
         "perplexity_buckets": q_perplexity_buckets,
         "top_ngrams": q_top_ngrams,
         "dedup_spans": q_dedup_spans,
@@ -8350,6 +8401,122 @@ def oracle_sql() -> dict[str, str]:
           ON v.user_id = c.user_id
          AND v.event_type = 'view' AND c.event_type = 'click'
          AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
+    """
+    # Exact two-sample tests: full replay — per-distinct-value counts,
+    # cumulative distributions, identical asymptotic-p arithmetic
+    # (100-term KS series; A&S 7.1.26 erfc polynomial for MWU)
+    _two_counts = """
+        WITH base AS (
+            SELECT value AS v, event_type AS g FROM events
+            WHERE value IS NOT NULL AND event_type IN ('view', 'purchase')
+        ),
+        counts AS (
+            SELECT v,
+                   sum(CASE WHEN g = 'view' THEN 1 ELSE 0 END) AS na,
+                   sum(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS nb
+            FROM base GROUP BY 1
+        ),
+        tot AS (
+            SELECT sum(na)::DOUBLE AS ta, sum(nb)::DOUBLE AS tb,
+                   sum((na + nb)::DOUBLE ** 3 - (na + nb)) AS ties
+            FROM counts
+        )
+    """
+    d["ks_test"] = _two_counts + """
+        , cum AS (
+            SELECT sum(na) OVER (ORDER BY v) AS ca,
+                   sum(nb) OVER (ORDER BY v) AS cb
+            FROM counts
+        ),
+        dmax AS (
+            SELECT max(abs(ca::DOUBLE / ta - cb::DOUBLE / tb)) AS d_stat,
+                   any_value(ta) AS ta, any_value(tb) AS tb
+            FROM cum CROSS JOIN tot
+        ),
+        lamt AS (
+            SELECT ta, tb, d_stat,
+                   (sqrt(ta * tb / (ta + tb)) + 0.12
+                    + 0.11 / sqrt(ta * tb / (ta + tb))) * d_stat AS lam
+            FROM dmax
+        ),
+        ser AS (
+            SELECT l.ta, l.tb, l.d_stat, l.lam,
+                   2.0 * sum((CASE WHEN k % 2 = 1 THEN 1.0 ELSE -1.0 END)
+                             * exp(-2.0 * k * k * l.lam * l.lam)) AS s
+            FROM lamt l CROSS JOIN generate_series(1, 100) t(k)
+            GROUP BY 1, 2, 3, 4
+        )
+        SELECT ta::BIGINT AS n_a, tb::BIGINT AS n_b,
+               round(d_stat, 6) AS d_stat,
+               round(CASE WHEN lam < 0.05 THEN 1.0
+                          ELSE least(greatest(s, 0.0), 1.0) END, 6) AS p_value
+        FROM ser
+    """
+    d["mann_whitney"] = _two_counts + """
+        , cum AS (
+            SELECT na, nb, na + nb AS nt,
+                   coalesce(sum(na + nb) OVER (
+                       ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS before
+            FROM counts
+        ),
+        r AS (
+            SELECT sum(na::DOUBLE * (before::DOUBLE + (nt::DOUBLE + 1.0) / 2.0))
+                       AS rsum
+            FROM cum
+        ),
+        s AS (
+            SELECT ta, tb, ties,
+                   rsum - ta * (ta + 1.0) / 2.0 AS u,
+                   ta * tb / 2.0 AS mu,
+                   sqrt((ta * tb / 12.0)
+                        * ((ta + tb + 1.0)
+                           - ties / ((ta + tb) * (ta + tb - 1.0)))) AS sigma
+            FROM r CROSS JOIN tot
+        ),
+        zc AS (
+            SELECT ta, tb, u,
+                   (u - mu - (CASE WHEN u > mu THEN 0.5
+                                   WHEN u < mu THEN -0.5 ELSE 0.0 END))
+                   / sigma AS z
+            FROM s
+        ),
+        ec AS (
+            SELECT ta, tb, u, z, abs(z) / sqrt(2.0) AS x FROM zc
+        ),
+        pv AS (
+            SELECT ta, tb, u, z,
+                   (0.254829592 * t1 - 0.284496736 * t1 * t1
+                    + 1.421413741 * t1 * t1 * t1
+                    - 1.453152027 * t1 * t1 * t1 * t1
+                    + 1.061405429 * t1 * t1 * t1 * t1 * t1) * exp(-x * x) AS p
+            FROM (SELECT *, 1.0 / (1.0 + 0.3275911 * x) AS t1 FROM ec)
+        )
+        SELECT ta::BIGINT AS n_a, tb::BIGINT AS n_b, u AS u_stat,
+               round(z, 6) AS z, round(least(p, 1.0), 6) AS p_value
+        FROM pv
+    """
+    d["welch_ttest"] = """
+        WITH base AS (
+            SELECT value AS v, event_type AS g FROM events
+            WHERE value IS NOT NULL AND event_type IN ('view', 'purchase')
+        ),
+        agg AS (
+            SELECT sum(CASE WHEN g = 'view' THEN 1 ELSE 0 END) AS na,
+                   sum(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS nb,
+                   avg(CASE WHEN g = 'view' THEN v END) AS ma,
+                   avg(CASE WHEN g = 'purchase' THEN v END) AS mb,
+                   var_samp(CASE WHEN g = 'view' THEN v END) AS va,
+                   var_samp(CASE WHEN g = 'purchase' THEN v END) AS vb
+            FROM base
+        )
+        SELECT na AS n_a, nb AS n_b,
+               round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+               round((ma - mb) / sqrt(va / na + vb / nb), 6) AS t_stat,
+               round((va / na + vb / nb) ** 2
+                     / ((va / na) ** 2 / (na - 1.0)
+                        + (vb / nb) ** 2 / (nb - 1.0)), 4) AS dof
+        FROM agg
     """
     # DSIR (Xie et al. 2023): full replay — hashed unigram+bigram
     # features with multiplicity, add-1 smoothed target/raw bucket

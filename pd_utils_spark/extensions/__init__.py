@@ -59,6 +59,11 @@ from pd_utils_spark.extensions.metrics import (
     ndcg_at_k,
     regression_metrics,
 )
+from pd_utils_spark.extensions.stats import (
+    ks_2samp,
+    mann_whitney_u,
+    welch_ttest,
+)
 from pd_utils_spark.extensions.selection import (
     dsir_log_weights,
     dsir_select,

@@ -1,0 +1,229 @@
+"""Exact two-sample statistical tests for drift detection and A/B
+audits: Kolmogorov–Smirnov, Mann–Whitney U, and Welch's t.
+
+Why here: before retraining on a refreshed corpus (or shipping an
+experiment), the question "did this numeric column's distribution
+move between snapshot A and snapshot B?" needs an EXACT answer on the
+full data, not a sampled one — sampling is exactly what hides tail
+drift. All three tests reduce to per-distinct-value counts plus
+global running totals, so they run at 100 TB:
+
+- one shuffle to aggregate ``(value) -> (count_a, count_b)`` — the
+  massive compression step: shuffle volume is O(distinct values);
+- a distributed prefix sum over the value order
+  (:func:`pd_utils_spark.plans.prefix.prefix_sum` — range partition +
+  local scans + O(#partitions) offset plan, never a single-task
+  total-order window);
+- one tiny final aggregate.
+
+Exactness note: ``ks_2samp`` / ``mann_whitney_u`` here are the exact
+statistics with the standard large-sample (asymptotic) p-value
+approximations — the same default SciPy uses beyond small n.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pd_utils_spark.plans.prefix import prefix_sum
+
+__all__ = ["ks_2samp", "mann_whitney_u", "welch_ttest"]
+
+
+def _two_sample_counts(
+    df: DataFrame, valuecol: str, groupcol: str, a, b
+) -> DataFrame:
+    """(value, na, nb) per distinct value — the compression pass."""
+    v = F.col(valuecol)
+    g = F.col(groupcol)
+    return (
+        df.filter(v.isNotNull() & g.isin([a, b]))
+        .groupBy(v.alias("__v__"))
+        .agg(
+            F.sum((g == a).cast("long")).alias("__na__"),
+            F.sum((g == b).cast("long")).alias("__nb__"),
+        )
+    )
+
+
+def _kolmogorov_sf(lam: Column, terms: int = 100) -> Column:
+    """Two-sided asymptotic KS survival function
+    ``Q(lam) = 2 * sum_{k>=1} (-1)^(k-1) exp(-2 k^2 lam^2)`` evaluated
+    JVM-side over a literal term sequence (no UDF)."""
+    ks = F.sequence(F.lit(1), F.lit(terms))
+    series = F.aggregate(
+        ks,
+        F.lit(0.0),
+        lambda acc, k: acc
+        + F.when(k % 2 == 1, F.lit(1.0)).otherwise(F.lit(-1.0))
+        * F.exp(F.lit(-2.0) * (k * k).cast("double") * lam * lam),
+    )
+    # the alternating series needs ~1/lam terms to converge; below
+    # lam=0.05 the true survival is 1 to >1e-10, so take the limit
+    # (at lam=0 the truncated series is degenerate: +1-1+1-... = 0)
+    return F.when(lam < 0.05, F.lit(1.0)).otherwise(
+        F.least(F.greatest(F.lit(2.0) * series, F.lit(0.0)), F.lit(1.0))
+    )
+
+
+def ks_2samp(
+    df: DataFrame,
+    valuecol: str,
+    groupcol: str,
+    a,
+    b,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov test between the rows where
+    ``groupcol == a`` and ``groupcol == b``: one row
+    ``(n_a, n_b, d_stat, p_value)`` with
+    ``d_stat = sup_x |F_a(x) - F_b(x)|`` computed over EVERY distinct
+    value (exact, not binned) and the asymptotic two-sided p-value.
+
+    Scale shape: per-value count agg (one shuffle, output O(distinct
+    values)) -> distributed prefix sum over the value order -> one
+    max/count aggregate. Nulls in ``valuecol`` are excluded.
+    """
+    counts = _two_sample_counts(df, valuecol, groupcol, a, b)
+    cum = prefix_sum(counts, "__v__", ["__na__", "__nb__"])
+    # totals ride the same frame via a one-row broadcast (no collect)
+    tot = counts.agg(
+        F.sum("__na__").alias("__ta__"), F.sum("__nb__").alias("__tb__")
+    )
+    gap = cum.crossJoin(F.broadcast(tot)).select(
+        F.abs(
+            F.col("__na___cum").cast("double") / F.col("__ta__")
+            - F.col("__nb___cum").cast("double") / F.col("__tb__")
+        ).alias("__gap__"),
+        "__ta__",
+        "__tb__",
+    )
+    agg = gap.groupBy("__ta__", "__tb__").agg(F.max("__gap__").alias("d_stat"))
+    na, nb = F.col("__ta__").cast("double"), F.col("__tb__").cast("double")
+    en = F.sqrt(na * nb / (na + nb))
+    lam = (en + F.lit(0.12) + F.lit(0.11) / en) * F.col("d_stat")
+    return agg.select(
+        F.col("__ta__").alias("n_a"),
+        F.col("__tb__").alias("n_b"),
+        "d_stat",
+        _kolmogorov_sf(lam).alias("p_value"),
+    )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    valuecol: str,
+    groupcol: str,
+    a,
+    b,
+) -> DataFrame:
+    """Exact two-sample Mann–Whitney U (Wilcoxon rank-sum) test:
+    one row ``(n_a, n_b, u_stat, z, p_value)``. ``u_stat`` is the
+    U statistic of sample ``a`` with midrank tie handling; ``z`` and
+    the two-sided ``p_value`` use the normal approximation WITH the
+    standard tie correction (the SciPy large-sample default).
+
+    Rank arithmetic runs on per-distinct-value counts: the average
+    rank of a tie group is ``(#earlier values) + (ties + 1) / 2``,
+    which needs only the exclusive prefix sum of the combined counts —
+    the identical distributed-scan plan as :func:`ks_2samp`, O(distinct
+    values) after the first shuffle.
+    """
+    counts = _two_sample_counts(df, valuecol, groupcol, a, b).withColumn(
+        "__nt__", F.col("__na__") + F.col("__nb__")
+    )
+    cum = prefix_sum(counts, "__v__", ["__nt__"], inclusive=False)
+    tot = counts.agg(
+        F.sum("__na__").alias("__ta__"),
+        F.sum("__nb__").alias("__tb__"),
+        # tie correction term: sum over tie groups of t^3 - t
+        F.sum(
+            F.pow(F.col("__nt__").cast("double"), 3) - F.col("__nt__").cast("double")
+        ).alias("__ties__"),
+    )
+    avg_rank = F.col("__nt___cum").cast("double") + (
+        F.col("__nt__").cast("double") + 1.0
+    ) / 2.0
+    ra = cum.select(
+        (F.col("__na__").cast("double") * avg_rank).alias("__ra__")
+    ).agg(F.sum("__ra__").alias("__rsum__"))
+    na, nb = F.col("__ta__").cast("double"), F.col("__tb__").cast("double")
+    n = na + nb
+    u = F.col("__rsum__") - na * (na + 1.0) / 2.0
+    mu = na * nb / 2.0
+    sigma = F.sqrt(
+        (na * nb / 12.0) * ((n + 1.0) - F.col("__ties__") / (n * (n - 1.0)))
+    )
+    # continuity-corrected z, SciPy 'asymptotic' parity
+    z = (u - mu - F.when(u > mu, 0.5).when(u < mu, -0.5).otherwise(0.0)) / sigma
+    # two-sided normal sf via erfc: p = erfc(|z| / sqrt(2))
+    p = _erfc(F.abs(z) / F.lit(2.0**0.5))
+    return (
+        ra.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("__ta__").alias("n_a"),
+            F.col("__tb__").alias("n_b"),
+            u.alias("u_stat"),
+            z.alias("z"),
+            F.least(p, F.lit(1.0)).alias("p_value"),
+        )
+    )
+
+
+def _erfc(x: Column) -> Column:
+    """Complementary error function for x >= 0 — Abramowitz & Stegun
+    7.1.26 polynomial (|error| <= 1.5e-7), pure column arithmetic so
+    the p-value stays JVM-side and engine-portable (the oracle replays
+    the identical polynomial)."""
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(0.3275911) * x)
+    poly = (
+        F.lit(0.254829592) * t
+        - F.lit(0.284496736) * t * t
+        + F.lit(1.421413741) * t * t * t
+        - F.lit(1.453152027) * t * t * t * t
+        + F.lit(1.061405429) * t * t * t * t * t
+    )
+    return poly * F.exp(-x * x)
+
+
+def welch_ttest(
+    df: DataFrame,
+    valuecol: str,
+    groupcol: str,
+    a,
+    b,
+) -> DataFrame:
+    """Welch's unequal-variance t-test: one row
+    ``(n_a, n_b, mean_a, mean_b, t_stat, dof)`` from ONE aggregation
+    pass (sufficient statistics only — count/mean/variance per group;
+    no second scan, no shuffle beyond the 2-row group agg). The
+    Welch–Satterthwaite ``dof`` is returned for the caller's CDF of
+    choice; the statistic itself is exact."""
+    v = F.col(valuecol)
+    g = F.col(groupcol)
+    agg = (
+        df.filter(v.isNotNull() & g.isin([a, b]))
+        .groupBy()
+        .agg(
+            F.sum((g == a).cast("long")).alias("na"),
+            F.sum((g == b).cast("long")).alias("nb"),
+            F.avg(F.when(g == a, v)).alias("ma"),
+            F.avg(F.when(g == b, v)).alias("mb"),
+            F.var_samp(F.when(g == a, v)).alias("va"),
+            F.var_samp(F.when(g == b, v)).alias("vb"),
+        )
+    )
+    na, nb = F.col("na").cast("double"), F.col("nb").cast("double")
+    sa, sb = F.col("va") / na, F.col("vb") / nb
+    t = (F.col("ma") - F.col("mb")) / F.sqrt(sa + sb)
+    dof = (sa + sb) * (sa + sb) / (
+        sa * sa / (na - 1.0) + sb * sb / (nb - 1.0)
+    )
+    return agg.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        F.col("ma").alias("mean_a"),
+        F.col("mb").alias("mean_b"),
+        t.alias("t_stat"),
+        dof.alias("dof"),
+    )

@@ -1,0 +1,104 @@
+"""Distributed global prefix sums.
+
+A running total in TOTAL order is the textbook case where the naive
+Spark spelling silently stops scaling: ``Window.orderBy(x)`` with no
+``partitionBy`` moves every row into ONE task. The classic fix (how
+MPI/parallel-scan does it, and how Spark's own ``zipWithIndex``
+numbers rows) is a two-level scan:
+
+1. range-partition by the order columns, sort within partitions;
+2. per-partition LOCAL running sums (parallel — a window partitioned
+   by ``spark_partition_id()`` is embarrassingly parallel);
+3. per-partition totals (one tiny agg: #partitions rows), cumulated
+   on a single task (trivially small), broadcast-joined back as
+   per-partition offsets;
+4. global prefix = local prefix + offset of all earlier partitions.
+
+Cost: one range shuffle of the data + one O(#partitions) side plan —
+vs the single-task total-order window whose cost is the whole dataset
+through one core.
+
+Ties across partition boundaries: the range partitioner may split
+equal order-keys between adjacent partitions, so prefix values WITHIN
+a tie group depend on placement. Aggregate to one row per distinct
+key first (what the statistical consumers in ``extensions/stats.py``
+do) or include a tiebreaker column in ``ordercols``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pd_utils_spark.utils import to_list
+
+__all__ = ["prefix_sum"]
+
+
+def prefix_sum(
+    df: DataFrame,
+    ordercols: str | Sequence[str],
+    valuecols: str | Sequence[str],
+    suffix: str = "_cum",
+    partitions: int | None = None,
+    inclusive: bool = True,
+) -> DataFrame:
+    """Global running totals of ``valuecols`` over the total order of
+    ``ordercols`` — each value column gains ``<name><suffix>``.
+
+    ``inclusive=True`` (default) includes the current row; ``False``
+    gives the exclusive scan (sum of strictly earlier rows).
+    ``partitions`` overrides the range-partition count (defaults to
+    the session shuffle-partition setting). Null order keys sort
+    first (Spark default), null values add nothing.
+    """
+    order_l = to_list(ordercols)
+    val_l = to_list(valuecols)
+    if not order_l or not val_l:
+        raise ValueError(f"need ordercols and valuecols: {order_l}, {val_l}")
+    n = partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    ranged = (
+        df.repartitionByRange(n, *[F.col(c) for c in order_l])
+        .sortWithinPartitions(*order_l)
+        .withColumn("__pid__", F.spark_partition_id())
+    )
+    local_w = (
+        Window.partitionBy("__pid__")
+        .orderBy(*order_l)
+        .rowsBetween(Window.unboundedPreceding, 0 if inclusive else -1)
+    )
+    local = ranged.select(
+        "*",
+        *[F.sum(F.col(c)).over(local_w).alias(f"__loc_{c}__") for c in val_l],
+    )
+    # per-partition totals: #partitions rows — the single-task window
+    # over THIS frame is the whole point (O(#partitions), not O(rows))
+    totals = ranged.groupBy("__pid__").agg(
+        *[F.sum(F.col(c)).alias(f"__tot_{c}__") for c in val_l]
+    )
+    off_w = (
+        Window.orderBy("__pid__")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "__pid__",
+        *[
+            F.coalesce(F.sum(F.col(f"__tot_{c}__")).over(off_w), F.lit(0)).alias(
+                f"__off_{c}__"
+            )
+            for c in val_l
+        ],
+    )
+    out = local.join(F.broadcast(offsets), "__pid__")
+    for c in val_l:
+        out = out.withColumn(
+            c + suffix,
+            F.coalesce(F.col(f"__loc_{c}__"), F.lit(0)) + F.col(f"__off_{c}__"),
+        )
+    return out.drop(
+        "__pid__", *[f"__loc_{c}__" for c in val_l], *[f"__off_{c}__" for c in val_l]
+    )

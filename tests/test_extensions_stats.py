@@ -1,0 +1,224 @@
+"""Tests for the exact two-sample tests (`extensions/stats.py`) and
+the distributed prefix-sum primitive (`plans/prefix.py`) against
+independent numpy reference implementations."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from pd_utils_spark.extensions.stats import ks_2samp, mann_whitney_u, welch_ttest
+from pd_utils_spark.plans.prefix import prefix_sum
+
+
+# ----------------------------------------------------- references
+
+def _ref_ks(xa: np.ndarray, xb: np.ndarray):
+    allv = np.sort(np.unique(np.concatenate([xa, xb])))
+    fa = np.searchsorted(np.sort(xa), allv, side="right") / len(xa)
+    fb = np.searchsorted(np.sort(xb), allv, side="right") / len(xb)
+    d = float(np.max(np.abs(fa - fb)))
+    en = math.sqrt(len(xa) * len(xb) / (len(xa) + len(xb)))
+    lam = (en + 0.12 + 0.11 / en) * d
+    if lam < 0.05:
+        return d, 1.0
+    p = 2.0 * sum(
+        (-1.0) ** (k - 1) * math.exp(-2.0 * k * k * lam * lam)
+        for k in range(1, 101)
+    )
+    return d, min(max(p, 0.0), 1.0)
+
+
+def _midranks(comb: np.ndarray) -> np.ndarray:
+    order = np.argsort(comb, kind="mergesort")
+    ranks = np.empty(len(comb))
+    sv = comb[order]
+    j = 0
+    while j < len(comb):
+        k = j
+        while k + 1 < len(comb) and sv[k + 1] == sv[j]:
+            k += 1
+        ranks[order[j : k + 1]] = (j + 1 + k + 1) / 2.0
+        j = k + 1
+    return ranks
+
+
+def _ref_mwu(xa: np.ndarray, xb: np.ndarray):
+    na, nb = len(xa), len(xb)
+    comb = np.concatenate([xa, xb])
+    ranks = _midranks(comb)
+    ra = float(ranks[:na].sum())
+    u = ra - na * (na + 1) / 2.0
+    _, t_counts = np.unique(comb, return_counts=True)
+    ties = float((t_counts.astype(float) ** 3 - t_counts).sum())
+    n = float(na + nb)
+    mu = na * nb / 2.0
+    sigma = math.sqrt((na * nb / 12.0) * ((n + 1.0) - ties / (n * (n - 1.0))))
+    cc = 0.5 if u > mu else (-0.5 if u < mu else 0.0)
+    z = (u - mu - cc) / sigma
+    p = math.erfc(abs(z) / math.sqrt(2.0))
+    return u, z, min(p, 1.0)
+
+
+def _two_sample_df(spark, xa, xb):
+    rows = [(float(v), "a") for v in xa] + [(float(v), "b") for v in xb]
+    return spark.createDataFrame(rows, ["v", "g"])
+
+
+# ----------------------------------------------------- prefix sum
+
+def test_prefix_sum_matches_serial(spark):
+    rng = np.random.RandomState(1)
+    vals = rng.randint(0, 50, 200)
+    df = spark.createDataFrame(
+        [(i, int(v)) for i, v in enumerate(vals)], ["o", "x"]
+    )
+    got = {
+        r.o: r.x_cum
+        for r in prefix_sum(df, "o", "x", partitions=7).collect()
+    }
+    exp = dict(enumerate(np.cumsum(vals).tolist()))
+    assert got == exp
+
+
+def test_prefix_sum_exclusive_and_multi_value(spark):
+    df = spark.createDataFrame(
+        [(i, 1, 2 * i) for i in range(30)], ["o", "x", "y"]
+    )
+    out = prefix_sum(df, "o", ["x", "y"], partitions=4, inclusive=False)
+    rows = {r.o: (r.x_cum, r.y_cum) for r in out.collect()}
+    for i in range(30):
+        assert rows[i] == (i, sum(2 * j for j in range(i)))
+
+
+def test_prefix_sum_more_partitions_than_rows(spark):
+    df = spark.createDataFrame([(1, 10), (2, 20)], ["o", "x"])
+    got = {r.o: r.x_cum for r in prefix_sum(df, "o", "x", partitions=16).collect()}
+    assert got == {1: 10, 2: 30}
+
+
+def test_prefix_sum_validation(spark):
+    df = spark.createDataFrame([(1, 1)], ["o", "x"])
+    with pytest.raises(ValueError):
+        prefix_sum(df, [], "x")
+
+
+def test_prefix_sum_no_single_task_exchange(spark):
+    """The data path must never collapse to one partition: the only
+    single-partition exchange allowed is the O(#partitions) offsets
+    side plan."""
+    df = spark.createDataFrame([(i, 1) for i in range(100)], ["o", "x"])
+    plan = (
+        prefix_sum(df, "o", "x", partitions=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "rangepartitioning" in plan.lower()
+
+
+# ----------------------------------------------------- KS test
+
+def test_ks_matches_reference(spark):
+    rng = np.random.RandomState(0)
+    xa = rng.normal(0, 1, 300).round(2)
+    xb = rng.normal(0.3, 1.2, 200).round(2)
+    row = ks_2samp(_two_sample_df(spark, xa, xb), "v", "g", "a", "b").collect()[0]
+    d, p = _ref_ks(xa, xb)
+    assert row.n_a == 300 and row.n_b == 200
+    assert row.d_stat == pytest.approx(d, abs=1e-12)
+    assert row.p_value == pytest.approx(p, rel=1e-9)
+
+
+def test_ks_identical_samples_d_zero(spark):
+    xa = np.arange(50).astype(float)
+    row = ks_2samp(_two_sample_df(spark, xa, xa), "v", "g", "a", "b").collect()[0]
+    assert row.d_stat == 0.0
+    assert row.p_value == pytest.approx(1.0)
+
+
+def test_ks_disjoint_samples_d_one(spark):
+    xa = np.arange(50).astype(float)
+    xb = xa + 1000.0
+    row = ks_2samp(_two_sample_df(spark, xa, xb), "v", "g", "a", "b").collect()[0]
+    assert row.d_stat == 1.0
+    assert row.p_value < 1e-9
+
+
+@given(
+    na=st.integers(min_value=5, max_value=40),
+    nb=st.integers(min_value=5, max_value=40),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_ks_property_parity(spark, na, nb, seed):
+    rng = np.random.RandomState(seed)
+    # coarse rounding forces heavy ties — the hard case
+    xa = rng.normal(0, 1, na).round(1)
+    xb = rng.normal(0.5, 1, nb).round(1)
+    row = ks_2samp(_two_sample_df(spark, xa, xb), "v", "g", "a", "b").collect()[0]
+    d, p = _ref_ks(xa, xb)
+    assert row.d_stat == pytest.approx(d, abs=1e-12)
+    assert row.p_value == pytest.approx(p, rel=1e-9)
+
+
+# ----------------------------------------------------- Mann-Whitney
+
+def test_mwu_matches_reference(spark):
+    rng = np.random.RandomState(0)
+    xa = rng.normal(0, 1, 300).round(2)
+    xb = rng.normal(0.3, 1.2, 200).round(2)
+    row = mann_whitney_u(
+        _two_sample_df(spark, xa, xb), "v", "g", "a", "b"
+    ).collect()[0]
+    u, z, p = _ref_mwu(xa, xb)
+    assert row.u_stat == pytest.approx(u, abs=1e-9)
+    assert row.z == pytest.approx(z, rel=1e-12)
+    # p uses the A&S erfc polynomial (|err| <= 1.5e-7)
+    assert row.p_value == pytest.approx(p, abs=3e-7)
+
+
+@given(
+    na=st.integers(min_value=8, max_value=30),
+    nb=st.integers(min_value=8, max_value=30),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_mwu_property_parity(spark, na, nb, seed):
+    rng = np.random.RandomState(seed)
+    xa = rng.randint(0, 6, na).astype(float)  # massive ties
+    xb = rng.randint(1, 7, nb).astype(float)
+    row = mann_whitney_u(
+        _two_sample_df(spark, xa, xb), "v", "g", "a", "b"
+    ).collect()[0]
+    u, z, p = _ref_mwu(xa, xb)
+    assert row.u_stat == pytest.approx(u, abs=1e-9)
+    assert row.z == pytest.approx(z, rel=1e-9)
+    assert row.p_value == pytest.approx(p, abs=3e-7)
+
+
+# ----------------------------------------------------- Welch
+
+def test_welch_matches_reference(spark):
+    rng = np.random.RandomState(2)
+    xa = rng.normal(0, 1, 120)
+    xb = rng.normal(0.4, 2.0, 80)
+    row = welch_ttest(_two_sample_df(spark, xa, xb), "v", "g", "a", "b").collect()[0]
+    va, vb = xa.var(ddof=1), xb.var(ddof=1)
+    sa, sb = va / len(xa), vb / len(xb)
+    t = (xa.mean() - xb.mean()) / math.sqrt(sa + sb)
+    dof = (sa + sb) ** 2 / (sa**2 / (len(xa) - 1) + sb**2 / (len(xb) - 1))
+    assert row.t_stat == pytest.approx(t, rel=1e-9)
+    assert row.dof == pytest.approx(dof, rel=1e-9)
+    assert row.mean_a == pytest.approx(xa.mean(), rel=1e-9)
