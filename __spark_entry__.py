@@ -3782,6 +3782,26 @@ def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap CI for the mean purchase value
+    (extensions/stats.py, Chamandy et al. 2012): 160 replica means in
+    ONE scan — each row's replica weight is Poisson(1) via the
+    inverse CDF of a md5-derived uniform, so the full bootstrap is
+    deterministic and the oracle replays the identical draw. Shuffle
+    volume is O(partitions x replicas) sufficient stats, never
+    rows x replicas."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    out = pus_stats.poisson_bootstrap_ci(
+        ev, "value", "event_id", replicas=160
+    )
+    return out.select(
+        F.round("estimate", 6).alias("estimate"),
+        F.round("ci_lo", 6).alias("ci_lo"),
+        F.round("ci_hi", 6).alias("ci_hi"),
+        "n", "n_replicas",
+    )
+
+
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (extensions/selection.py, Xie et al.
     NeurIPS 2023): hashed unigram+bigram bag-of-features log likelihood
@@ -3902,6 +3922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_test": q_ks_test,
         "mann_whitney": q_mann_whitney,
         "welch_ttest": q_welch_ttest,
+        "bootstrap_ci": q_bootstrap_ci,
         "perplexity_buckets": q_perplexity_buckets,
         "top_ngrams": q_top_ngrams,
         "dedup_spans": q_dedup_spans,
@@ -8495,6 +8516,41 @@ def oracle_sql() -> dict[str, str]:
         SELECT ta::BIGINT AS n_a, tb::BIGINT AS n_b, u AS u_stat,
                round(z, 6) AS z, round(least(p, 1.0), 6) AS p_value
         FROM pv
+    """
+    # Poisson bootstrap: replay the md5-uniform -> Poisson(1)
+    # inverse-CDF weight chain per (row, replica), then the exact
+    # percentile pair over replica means
+    _pois = " + ".join(
+        f"(CASE WHEN u >= {t} THEN 1 ELSE 0 END)"
+        for t in (
+            0.3678794412, 0.7357588823, 0.9196986029, 0.9810118431,
+            0.9963401532, 0.9994058152, 0.9999167589, 0.9999897508,
+            0.9999988748,
+        )
+    )
+    d["bootstrap_ci"] = f"""
+        WITH base AS (
+            SELECT event_id AS id, value AS v FROM events
+            WHERE event_type = 'purchase' AND value IS NOT NULL
+        ),
+        u AS (
+            SELECT r, v,
+                   ('0x' || substr(md5(id::VARCHAR || ':' || r::VARCHAR
+                                       || ':pb'), 1, 15))::BIGINT
+                   / 1152921504606846976.0 AS u
+            FROM base CROSS JOIN generate_series(0, 159) t(r)
+        ),
+        w AS (SELECT r, v, ({_pois})::DOUBLE AS w FROM u),
+        means AS (SELECT r, sum(w * v) / sum(w) AS est FROM w GROUP BY r),
+        q AS (
+            SELECT quantile_cont(est, 0.025) AS lo,
+                   quantile_cont(est, 0.975) AS hi
+            FROM means
+        ),
+        b AS (SELECT count(v) AS n, avg(v) AS est FROM base)
+        SELECT round(b.est, 6) AS estimate, round(q.lo, 6) AS ci_lo,
+               round(q.hi, 6) AS ci_hi, b.n, 160 AS n_replicas
+        FROM b CROSS JOIN q
     """
     d["welch_ttest"] = """
         WITH base AS (

@@ -28,7 +28,28 @@ from pyspark.sql import functions as F
 
 from pd_utils_spark.plans.prefix import prefix_sum
 
-__all__ = ["ks_2samp", "mann_whitney_u", "welch_ttest"]
+__all__ = [
+    "ks_2samp",
+    "mann_whitney_u",
+    "welch_ttest",
+    "poisson_bootstrap_means",
+    "poisson_bootstrap_ci",
+]
+
+# Poisson(1) inverse CDF as fixed 10-dp literals — IDENTICAL text on
+# every engine, so the hash-derived bootstrap weights are portable
+_POISSON1_CDF = (
+    0.3678794412,
+    0.7357588823,
+    0.9196986029,
+    0.9810118431,
+    0.9963401532,
+    0.9994058152,
+    0.9999167589,
+    0.9999897508,
+    0.9999988748,
+)
+_U_DENOM = float(1 << 60)  # 60-bit md5 fingerprint -> u in [0, 1)
 
 
 def _two_sample_counts(
@@ -167,6 +188,105 @@ def mann_whitney_u(
             z.alias("z"),
             F.least(p, F.lit(1.0)).alias("p_value"),
         )
+    )
+
+
+def poisson_bootstrap_means(
+    df: DataFrame,
+    valuecol: str,
+    idcols: str | list[str],
+    replicas: int = 200,
+    seed: str = "pb",
+) -> DataFrame:
+    """Poisson-bootstrap replica estimates of the mean of
+    ``valuecol``: ``(replica, n_eff, est)`` — one row per replica,
+    where every input row participates in replica ``r`` with weight
+    ``w ~ Poisson(1)`` (the streaming-scale stand-in for multinomial
+    resampling; Chamandy et al., "Estimating Uncertainty for Massive
+    Data Streams", Google 2012).
+
+    The weight is NOT random: ``u = md5_60(id ':' r ':' seed) / 2^60``
+    pushed through the Poisson(1) inverse CDF (fixed 10-dp literal
+    thresholds), so the entire bootstrap is deterministic,
+    partition-independent, and replayable by any engine that has md5.
+
+    Scale shape: ONE scan; the replica dimension explodes each row
+    ``replicas``-fold MAP-SIDE where partial aggregation immediately
+    collapses it — shuffle volume is O(partitions x replicas) rows of
+    sufficient statistics, never rows x replicas. This is the point
+    of the Poisson bootstrap: no resampling pass per replica.
+    """
+    if replicas < 2:
+        raise ValueError(f"replicas must be >= 2: {replicas}")
+    from pd_utils_spark.utils import to_list
+
+    id_l = to_list(idcols)
+    if not id_l:
+        raise ValueError("idcols is required (deterministic weights key)")
+    v = F.col(valuecol)
+    rid = F.concat_ws(
+        ":", *[F.col(c).cast("string") for c in id_l],
+        F.col("__rep__").cast("string"), F.lit(seed),
+    )
+    u = (
+        F.conv(F.substring(F.md5(rid), 1, 15), 16, 10).cast("bigint").cast("double")
+        / F.lit(_U_DENOM)
+    )
+    w = sum(
+        (u >= F.lit(t)).cast("int") for t in _POISSON1_CDF
+    ).cast("double")
+    exploded = (
+        df.filter(v.isNotNull())
+        .select(v.alias("__v__"), *[F.col(c) for c in id_l])
+        .withColumn(
+            "__rep__", F.explode(F.sequence(F.lit(0), F.lit(replicas - 1)))
+        )
+        .withColumn("__w__", w)
+    )
+    return (
+        exploded.groupBy(F.col("__rep__").alias("replica"))
+        .agg(
+            F.sum("__w__").alias("n_eff"),
+            (F.sum(F.col("__w__") * F.col("__v__")) / F.sum("__w__")).alias("est"),
+        )
+    )
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    valuecol: str,
+    idcols: str | list[str],
+    replicas: int = 200,
+    alpha: float = 0.05,
+    seed: str = "pb",
+) -> DataFrame:
+    """Percentile-bootstrap confidence interval for the mean of
+    ``valuecol`` from :func:`poisson_bootstrap_means`: one row
+    ``(estimate, ci_lo, ci_hi, n, n_replicas)`` where ``estimate`` is
+    the plain full-data mean and the CI is the ``alpha/2`` /
+    ``1 - alpha/2`` exact percentile pair of the replica means
+    (linear interpolation — a ``replicas``-row sort, trivial).
+
+    The one-pass answer to "what is the uncertainty on this metric at
+    100 TB" — no data resampling, no driver-side loop."""
+    if not (0.0 < alpha < 1.0):
+        raise ValueError(f"alpha must be in (0, 1): {alpha}")
+    reps = poisson_bootstrap_means(df, valuecol, idcols, replicas, seed)
+    v = F.col(valuecol)
+    base = df.filter(v.isNotNull()).agg(
+        F.count(v).alias("n"), F.avg(v).alias("estimate")
+    )
+    qs = reps.agg(
+        F.expr(
+            f"percentile(est, array({alpha / 2.0}, {1.0 - alpha / 2.0}))"
+        ).alias("__q__")
+    ).select(
+        F.col("__q__")[0].alias("ci_lo"), F.col("__q__")[1].alias("ci_hi")
+    )
+    return (
+        base.crossJoin(F.broadcast(qs))
+        .select("estimate", "ci_lo", "ci_hi", "n")
+        .withColumn("n_replicas", F.lit(replicas))
     )
 
 

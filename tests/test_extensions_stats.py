@@ -222,3 +222,78 @@ def test_welch_matches_reference(spark):
     assert row.t_stat == pytest.approx(t, rel=1e-9)
     assert row.dof == pytest.approx(dof, rel=1e-9)
     assert row.mean_a == pytest.approx(xa.mean(), rel=1e-9)
+
+
+# ----------------------------------------------------- bootstrap
+
+def test_poisson_bootstrap_deterministic_and_calibrated(spark):
+    rng = np.random.RandomState(0)
+    vals = rng.normal(10, 2, 800).round(2)
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], ["id", "v"]
+    )
+    from pd_utils_spark.extensions.stats import (
+        poisson_bootstrap_ci,
+        poisson_bootstrap_means,
+    )
+
+    r1 = poisson_bootstrap_ci(df, "v", "id", replicas=120).collect()[0]
+    r2 = poisson_bootstrap_ci(df, "v", "id", replicas=120).collect()[0]
+    assert r1 == r2  # deterministic draw
+    assert r1.n == 800
+    assert r1.ci_lo < r1.estimate < r1.ci_hi
+    # CI halfwidth should be in the ballpark of the normal-theory SE
+    half = (r1.ci_hi - r1.ci_lo) / 2
+    se = float(vals.std(ddof=1)) / math.sqrt(len(vals))
+    assert 1.0 * se < half < 3.5 * se
+    # replica means: all replicas present, n_eff ~ Poisson(n) ~ n
+    reps = poisson_bootstrap_means(df, "v", "id", replicas=120).collect()
+    assert len(reps) == 120
+    for r in reps:
+        assert abs(r.n_eff - 800) < 5 * math.sqrt(800)
+
+
+def test_poisson_bootstrap_weights_match_reference(spark):
+    """Replay the hash->Poisson weight chain in pure Python for one
+    replica and compare the replica's weighted mean exactly."""
+    import hashlib
+
+    from pd_utils_spark.extensions.stats import (
+        _POISSON1_CDF,
+        _U_DENOM,
+        poisson_bootstrap_means,
+    )
+
+    vals = [(i, float(i % 7) + 0.5) for i in range(50)]
+    df = spark.createDataFrame(vals, ["id", "v"])
+    got = {
+        r.replica: (r.n_eff, r.est)
+        for r in poisson_bootstrap_means(df, "v", "id", replicas=3).collect()
+    }
+    for rep in range(3):
+        wsum = wvsum = 0.0
+        for i, v in vals:
+            u = (
+                int(hashlib.md5(f"{i}:{rep}:pb".encode()).hexdigest()[:15], 16)
+                / _U_DENOM
+            )
+            w = float(sum(u >= t for t in _POISSON1_CDF))
+            wsum += w
+            wvsum += w * v
+        assert got[rep][0] == pytest.approx(wsum)
+        assert got[rep][1] == pytest.approx(wvsum / wsum, rel=1e-12)
+
+
+def test_poisson_bootstrap_validation(spark):
+    df = spark.createDataFrame([(1, 1.0)], ["id", "v"])
+    from pd_utils_spark.extensions.stats import (
+        poisson_bootstrap_ci,
+        poisson_bootstrap_means,
+    )
+
+    with pytest.raises(ValueError):
+        poisson_bootstrap_means(df, "v", [], replicas=10)
+    with pytest.raises(ValueError):
+        poisson_bootstrap_means(df, "v", "id", replicas=1)
+    with pytest.raises(ValueError):
+        poisson_bootstrap_ci(df, "v", "id", alpha=0.0)
