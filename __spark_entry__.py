@@ -3782,6 +3782,44 @@ def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fdr_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment drift screen with FDR control (extensions/stats.py
+    fdr_bh): per user-segment one-proportion z-test of click rate vs
+    the global rate, then Benjamini-Hochberg q-values across all 40
+    segments — the standard guard against per-segment screens
+    "finding" chance drift. The BH suffix-min runs through the
+    distributed prefix machinery (plans/prefix.py), never a
+    single-task window over the tests."""
+    from pd_utils_spark.extensions.stats import _erfc, fdr_bh
+
+    ev = _t(spark, sf_dir, "events")
+    seg = ev.groupBy((F.col("user_id") % 40).alias("segment")).agg(
+        F.sum((F.col("event_type") == "click").cast("long")).alias("clicks"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    tot = seg.agg(
+        F.sum("clicks").cast("double").alias("__tc__"),
+        F.sum("n").cast("double").alias("__tn__"),
+    )
+    p0 = F.col("__tc__") / F.col("__tn__")
+    z = (F.col("clicks").cast("double") / F.col("n") - p0) / F.sqrt(
+        p0 * (1 - p0) / F.col("n")
+    )
+    scored = (
+        seg.crossJoin(F.broadcast(tot))
+        .select(
+            "segment", "clicks", "n",
+            F.least(_erfc(F.abs(z) / F.lit(2.0**0.5)), F.lit(1.0)).alias("p_value"),
+        )
+    )
+    out = fdr_bh(scored, partitions=8)
+    return out.select(
+        "segment", "clicks", "n",
+        F.round("p_value", 6).alias("p_value"),
+        F.round("q_value", 6).alias("q_value"),
+    )
+
+
 def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Poisson-bootstrap CI for the mean purchase value
     (extensions/stats.py, Chamandy et al. 2012): 160 replica means in
@@ -3923,6 +3961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mann_whitney": q_mann_whitney,
         "welch_ttest": q_welch_ttest,
         "bootstrap_ci": q_bootstrap_ci,
+        "fdr_screen": q_fdr_screen,
         "perplexity_buckets": q_perplexity_buckets,
         "top_ngrams": q_top_ngrams,
         "dedup_spans": q_dedup_spans,
@@ -8516,6 +8555,52 @@ def oracle_sql() -> dict[str, str]:
         SELECT ta::BIGINT AS n_a, tb::BIGINT AS n_b, u AS u_stat,
                round(z, 6) AS z, round(least(p, 1.0), 6) AS p_value
         FROM pv
+    """
+    # BH FDR screen: replay the per-segment proportion z-test (A&S
+    # erfc polynomial) and the BH q-values; the RANGE default window
+    # frame gives tie groups their inclusive rank and tie-safe
+    # suffix min, matching the distinct-p prefix-scan semantics
+    d["fdr_screen"] = """
+        WITH seg AS (
+            SELECT user_id % 40 AS segment,
+                   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                       AS clicks,
+                   count(*) AS n
+            FROM events GROUP BY 1
+        ),
+        tot AS (
+            SELECT sum(clicks)::DOUBLE AS tc, sum(n)::DOUBLE AS tn FROM seg
+        ),
+        zt AS (
+            SELECT segment, clicks, n,
+                   (clicks::DOUBLE / n - tc / tn)
+                   / sqrt((tc / tn) * (1 - tc / tn) / n) AS z
+            FROM seg CROSS JOIN tot
+        ),
+        ec AS (SELECT *, abs(z) / sqrt(2.0) AS x FROM zt),
+        pv AS (
+            SELECT segment, clicks, n,
+                   least((0.254829592 * t1 - 0.284496736 * t1 * t1
+                          + 1.421413741 * t1 * t1 * t1
+                          - 1.453152027 * t1 * t1 * t1 * t1
+                          + 1.061405429 * t1 * t1 * t1 * t1 * t1)
+                         * exp(-x * x), 1.0) AS p
+            FROM (SELECT *, 1.0 / (1.0 + 0.3275911 * x) AS t1 FROM ec)
+        ),
+        bh AS (
+            SELECT *,
+                   p * (count(*) OVER ())::DOUBLE
+                     / (count(*) OVER (ORDER BY p))::DOUBLE AS ratio
+            FROM pv
+        ),
+        qv AS (
+            SELECT segment, clicks, n, p,
+                   least(min(ratio) OVER (ORDER BY p DESC), 1.0) AS q
+            FROM bh
+        )
+        SELECT segment, clicks, n, round(p, 6) AS p_value,
+               round(q, 6) AS q_value
+        FROM qv
     """
     # Poisson bootstrap: replay the md5-uniform -> Poisson(1)
     # inverse-CDF weight chain per (row, replica), then the exact

@@ -60,8 +60,11 @@ from pd_utils_spark.extensions.metrics import (
     regression_metrics,
 )
 from pd_utils_spark.extensions.stats import (
+    fdr_bh,
     ks_2samp,
     mann_whitney_u,
+    poisson_bootstrap_ci,
+    poisson_bootstrap_means,
     welch_ttest,
 )
 from pd_utils_spark.extensions.selection import (

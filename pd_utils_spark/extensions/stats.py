@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from pd_utils_spark.plans.prefix import prefix_sum
+from pd_utils_spark.plans.prefix import prefix_agg, prefix_sum
 
 __all__ = [
     "ks_2samp",
@@ -34,6 +34,7 @@ __all__ = [
     "welch_ttest",
     "poisson_bootstrap_means",
     "poisson_bootstrap_ci",
+    "fdr_bh",
 ]
 
 # Poisson(1) inverse CDF as fixed 10-dp literals — IDENTICAL text on
@@ -288,6 +289,56 @@ def poisson_bootstrap_ci(
         .select("estimate", "ci_lo", "ci_hi", "n")
         .withColumn("n_replicas", F.lit(replicas))
     )
+
+
+def fdr_bh(
+    df: DataFrame,
+    pcol: str = "p_value",
+    out: str = "q_value",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Benjamini–Hochberg FDR correction: every row gains ``out`` =
+    the BH adjusted q-value of its ``pcol`` —
+    ``q(i) = min_{j >= i} p(j) * n / j`` over the ascending p order,
+    capped at 1. Reject "q <= alpha" controls the false discovery
+    rate at ``alpha`` across the whole batch of tests — the standard
+    guard when a drift screen runs thousands of per-segment tests and
+    some WILL look significant by chance.
+
+    Distributed shape (never a single-task total-order window): p
+    values compress to per-distinct-value counts; the BH rank of a
+    tie group is its INCLUSIVE global cumulative count (all tied
+    tests share the ratio at the group's last position); the suffix
+    min over ascending p is a prefix min over DESCENDING p — both
+    scans run through :func:`pd_utils_spark.plans.prefix.prefix_agg`
+    (range partition + parallel local scans + O(#partitions) offsets).
+    The distinct-p -> q map joins back on the p value (AQE broadcasts
+    it when small). Null p rows pass through with null ``out``.
+    """
+    p = F.col(pcol)
+    counts = (
+        df.filter(p.isNotNull())
+        .groupBy(p.alias("__p__"))
+        .agg(F.count(F.lit(1)).alias("__c__"))
+    )
+    ranked = prefix_sum(
+        counts, "__p__", "__c__", suffix="_cum", partitions=partitions
+    )
+    tot = counts.agg(F.sum("__c__").cast("double").alias("__n__"))
+    ratio = (
+        ranked.crossJoin(F.broadcast(tot))
+        .select(
+            "__p__",
+            (F.col("__p__") * F.col("__n__") / F.col("__c___cum")).alias("__r__"),
+            (-F.col("__p__")).alias("__negp__"),
+        )
+    )
+    qmap = prefix_agg(
+        ratio, "__negp__", "__r__", agg="min", partitions=partitions
+    ).select(
+        "__p__", F.least(F.col("__r___cummin"), F.lit(1.0)).alias(out)
+    )
+    return df.join(qmap, df[pcol] == qmap["__p__"], "left").drop("__p__")
 
 
 def _erfc(x: Column) -> Column:

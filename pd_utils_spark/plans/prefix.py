@@ -34,30 +34,49 @@ from pyspark.sql import functions as F
 
 from pd_utils_spark.utils import to_list
 
-__all__ = ["prefix_sum"]
+__all__ = ["prefix_sum", "prefix_agg"]
+
+# agg name -> (column aggregate, pairwise combiner). The combiner
+# merges a row's local prefix with the offset of all earlier
+# partitions; least/greatest skip nulls, which is exactly the
+# identity behavior an empty prefix needs.
+_AGGS = {
+    "sum": (F.sum, lambda loc, off: F.coalesce(loc, F.lit(0)) + off),
+    "min": (F.min, lambda loc, off: F.least(loc, off)),
+    "max": (F.max, lambda loc, off: F.greatest(loc, off)),
+}
 
 
-def prefix_sum(
+def prefix_agg(
     df: DataFrame,
     ordercols: str | Sequence[str],
     valuecols: str | Sequence[str],
-    suffix: str = "_cum",
+    agg: str = "sum",
+    suffix: str | None = None,
     partitions: int | None = None,
     inclusive: bool = True,
 ) -> DataFrame:
-    """Global running totals of ``valuecols`` over the total order of
-    ``ordercols`` — each value column gains ``<name><suffix>``.
+    """Global running ``sum``/``min``/``max`` of ``valuecols`` over the
+    total order of ``ordercols`` — each value column gains
+    ``<name><suffix>`` (suffix defaults to ``_cum`` for sum,
+    ``_cummin``/``_cummax`` otherwise).
 
     ``inclusive=True`` (default) includes the current row; ``False``
-    gives the exclusive scan (sum of strictly earlier rows).
-    ``partitions`` overrides the range-partition count (defaults to
-    the session shuffle-partition setting). Null order keys sort
-    first (Spark default), null values add nothing.
+    gives the exclusive scan (aggregate of strictly earlier rows —
+    null/identity when there are none). ``partitions`` overrides the
+    range-partition count (defaults to the session shuffle-partition
+    setting). Null order keys sort first (Spark default); null values
+    are skipped by the aggregate (exclusive-sum prefixes of nothing
+    coalesce to 0; min/max stay null).
     """
+    if agg not in _AGGS:
+        raise ValueError(f"agg must be one of {sorted(_AGGS)}: {agg!r}")
     order_l = to_list(ordercols)
     val_l = to_list(valuecols)
     if not order_l or not val_l:
         raise ValueError(f"need ordercols and valuecols: {order_l}, {val_l}")
+    afn, combine = _AGGS[agg]
+    sfx = suffix if suffix is not None else ("_cum" if agg == "sum" else f"_cum{agg}")
     n = partitions or int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
@@ -73,32 +92,41 @@ def prefix_sum(
     )
     local = ranged.select(
         "*",
-        *[F.sum(F.col(c)).over(local_w).alias(f"__loc_{c}__") for c in val_l],
+        *[afn(F.col(c)).over(local_w).alias(f"__loc_{c}__") for c in val_l],
     )
     # per-partition totals: #partitions rows — the single-task window
     # over THIS frame is the whole point (O(#partitions), not O(rows))
     totals = ranged.groupBy("__pid__").agg(
-        *[F.sum(F.col(c)).alias(f"__tot_{c}__") for c in val_l]
+        *[afn(F.col(c)).alias(f"__tot_{c}__") for c in val_l]
     )
     off_w = (
         Window.orderBy("__pid__")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    offsets = totals.select(
-        "__pid__",
-        *[
-            F.coalesce(F.sum(F.col(f"__tot_{c}__")).over(off_w), F.lit(0)).alias(
-                f"__off_{c}__"
-            )
-            for c in val_l
-        ],
-    )
+    off_exprs = []
+    for c in val_l:
+        o = afn(F.col(f"__tot_{c}__")).over(off_w)
+        if agg == "sum":
+            o = F.coalesce(o, F.lit(0))
+        off_exprs.append(o.alias(f"__off_{c}__"))
+    offsets = totals.select("__pid__", *off_exprs)
     out = local.join(F.broadcast(offsets), "__pid__")
     for c in val_l:
-        out = out.withColumn(
-            c + suffix,
-            F.coalesce(F.col(f"__loc_{c}__"), F.lit(0)) + F.col(f"__off_{c}__"),
-        )
+        out = out.withColumn(c + sfx, combine(F.col(f"__loc_{c}__"), F.col(f"__off_{c}__")))
     return out.drop(
         "__pid__", *[f"__loc_{c}__" for c in val_l], *[f"__off_{c}__" for c in val_l]
+    )
+
+
+def prefix_sum(
+    df: DataFrame,
+    ordercols: str | Sequence[str],
+    valuecols: str | Sequence[str],
+    suffix: str = "_cum",
+    partitions: int | None = None,
+    inclusive: bool = True,
+) -> DataFrame:
+    """Global running totals — :func:`prefix_agg` with ``agg='sum'``."""
+    return prefix_agg(
+        df, ordercols, valuecols, "sum", suffix, partitions, inclusive
     )

@@ -297,3 +297,86 @@ def test_poisson_bootstrap_validation(spark):
         poisson_bootstrap_means(df, "v", "id", replicas=1)
     with pytest.raises(ValueError):
         poisson_bootstrap_ci(df, "v", "id", alpha=0.0)
+
+
+# ----------------------------------------------------- BH FDR
+
+def _ref_bh(ps: np.ndarray) -> np.ndarray:
+    n = len(ps)
+    order = np.argsort(ps, kind="mergesort")
+    q = np.empty(n)
+    prev = 1.0
+    for rank in range(n, 0, -1):
+        i = order[rank - 1]
+        prev = min(prev, ps[i] * n / rank)
+        q[i] = prev
+    return q
+
+
+def test_fdr_bh_matches_reference_with_ties(spark):
+    from pd_utils_spark.extensions.stats import fdr_bh
+
+    rng = np.random.RandomState(0)
+    ps = np.concatenate(
+        [rng.uniform(0, 1, 40), rng.uniform(0, 0.01, 10), [0.02, 0.02, 0.02]]
+    )
+    df = spark.createDataFrame(
+        [(i, float(p)) for i, p in enumerate(ps)], ["t", "p_value"]
+    )
+    got = {r.t: r.q_value for r in fdr_bh(df, partitions=5).collect()}
+    exp = _ref_bh(ps)
+    for i in range(len(ps)):
+        assert got[i] == pytest.approx(exp[i], abs=1e-12)
+
+
+def test_fdr_bh_null_p_passthrough_and_monotone(spark):
+    from pd_utils_spark.extensions.stats import fdr_bh
+
+    df = spark.createDataFrame(
+        [(0, 0.001), (1, 0.04), (2, None), (3, 0.5), (4, 1.0)],
+        "t long, p_value double",
+    )
+    rows = {r.t: r.q_value for r in fdr_bh(df).collect()}
+    assert rows[2] is None
+    # q is monotone in p and capped at 1
+    assert rows[0] <= rows[1] <= rows[3] <= rows[4] <= 1.0
+
+
+@given(
+    n=st.integers(min_value=1, max_value=40),
+    seed=st.integers(min_value=0, max_value=9999),
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_fdr_bh_property_parity(spark, n, seed):
+    from pd_utils_spark.extensions.stats import fdr_bh
+
+    rng = np.random.RandomState(seed)
+    # quantized p-values force tie groups
+    ps = (rng.randint(0, 20, n) / 20.0).astype(float)
+    df = spark.createDataFrame(
+        [(i, float(p)) for i, p in enumerate(ps)], ["t", "p_value"]
+    )
+    got = {r.t: r.q_value for r in fdr_bh(df, partitions=3).collect()}
+    exp = _ref_bh(ps)
+    for i in range(n):
+        assert got[i] == pytest.approx(exp[i], abs=1e-12)
+
+
+def test_prefix_agg_min_max(spark):
+    from pd_utils_spark.plans.prefix import prefix_agg
+
+    rng = np.random.RandomState(5)
+    vals = rng.randint(-100, 100, 60)
+    df = spark.createDataFrame(
+        [(i, int(v)) for i, v in enumerate(vals)], ["o", "x"]
+    )
+    mn = {r.o: r.x_cummin for r in prefix_agg(df, "o", "x", "min", partitions=6).collect()}
+    mx = {r.o: r.x_cummax for r in prefix_agg(df, "o", "x", "max", partitions=6).collect()}
+    assert mn == dict(enumerate(np.minimum.accumulate(vals).tolist()))
+    assert mx == dict(enumerate(np.maximum.accumulate(vals).tolist()))
+    with pytest.raises(ValueError):
+        prefix_agg(df, "o", "x", "median")
