@@ -3782,6 +3782,21 @@ def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped (position) multi-touch attribution
+    (extensions/events.py): each purchase's credit splits 40/20/40
+    over first/interior/last preceding touches of the same user.
+    One user shuffle, one strictly-later RANGE window to stamp the
+    next conversion, per-conversion windows for the split — never an
+    events-x-events self-join."""
+    ev = _t(spark, sf_dir, "events")
+    out = pus_events.attribution(ev, model="position")
+    return out.select(
+        "channel", "touches", "conversions",
+        F.round("credit", 6).alias("credit"),
+    )
+
+
 def q_fdr_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Segment drift screen with FDR control (extensions/stats.py
     fdr_bh): per user-segment one-proportion z-test of click rate vs
@@ -3962,6 +3977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "welch_ttest": q_welch_ttest,
         "bootstrap_ci": q_bootstrap_ci,
         "fdr_screen": q_fdr_screen,
+        "attribution": q_attribution,
         "perplexity_buckets": q_perplexity_buckets,
         "top_ngrams": q_top_ngrams,
         "dedup_spans": q_dedup_spans,
@@ -8555,6 +8571,57 @@ def oracle_sql() -> dict[str, str]:
         SELECT ta::BIGINT AS n_a, tb::BIGINT AS n_b, u AS u_stat,
                round(z, 6) AS z, round(least(p, 1.0), 6) AS p_value
         FROM pv
+    """
+    # position-model attribution: full window replay — strictly-later
+    # RANGE next-conversion stamp, per-conversion U-shaped split with
+    # tie-aware first/last shares, normalize-always denominator
+    d["attribution"] = """
+        WITH base AS (
+            SELECT user_id AS u, epoch_us(ts) AS t, event_type AS ch,
+                   (event_type = 'purchase') AS conv
+            FROM events
+        ),
+        st AS (
+            SELECT *, min(CASE WHEN conv THEN t END) OVER (
+                       PARTITION BY u ORDER BY t
+                       RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+                   ) AS nc
+            FROM base
+        ),
+        att AS (SELECT * FROM st WHERE NOT conv AND nc IS NOT NULL),
+        g1 AS (
+            SELECT *, count(*) OVER W AS k, min(t) OVER W AS ft,
+                   max(t) OVER W AS lt
+            FROM att WINDOW W AS (PARTITION BY u, nc)
+        ),
+        g2 AS (
+            SELECT *,
+                   sum(CASE WHEN t = ft THEN 1 ELSE 0 END) OVER W AS nmin,
+                   sum(CASE WHEN t = lt THEN 1 ELSE 0 END) OVER W AS nmax
+            FROM g1 WINDOW W AS (PARTITION BY u, nc)
+        ),
+        cr AS (
+            SELECT *,
+                   CASE WHEN k = 1 THEN 1.0
+                        WHEN ft = lt THEN 1.0 / k
+                        ELSE (CASE WHEN t = ft THEN 0.4 / nmin ELSE 0.0 END)
+                           + (CASE WHEN t = lt THEN 0.4 / nmax ELSE 0.0 END)
+                           + (CASE WHEN t <> ft AND t <> lt THEN
+                                  (CASE WHEN k - nmin - nmax > 0
+                                        THEN 0.2 / (k - nmin - nmax)
+                                        ELSE 0.0 END)
+                              ELSE 0.0 END)
+                   END AS c0
+            FROM g2
+        ),
+        cr2 AS (
+            SELECT *, c0 / sum(c0) OVER (PARTITION BY u, nc) AS credit
+            FROM cr
+        )
+        SELECT ch AS channel, count(*) AS touches,
+               count(DISTINCT (u, nc)) AS conversions,
+               round(sum(credit), 6) AS credit
+        FROM cr2 GROUP BY 1
     """
     # BH FDR screen: replay the per-segment proportion z-test (A&S
     # erfc polynomial) and the BH q-values; the RANGE default window

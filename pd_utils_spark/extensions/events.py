@@ -8,7 +8,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from pd_utils_spark.utils import to_list
@@ -507,4 +507,140 @@ def ewma(
 
     return prepared.mapInPandas(
         group_block_stream(byvars_l, block) if byvars_l else _whole, schema
+    )
+
+
+def attribution(
+    df: DataFrame,
+    usercol: str = "user_id",
+    tscol: str = "ts",
+    typecol: str = "event_type",
+    conversion: str = "purchase",
+    touches: Sequence[str] | None = None,
+    model: str = "last_touch",
+    lookback_seconds: int | None = None,
+    halflife_seconds: float = 86_400.0,
+) -> DataFrame:
+    """Multi-touch conversion attribution: distribute each conversion
+    event's credit over the touch events that preceded it, then roll
+    credit up per channel (``typecol``). Returns one row per channel:
+    ``(channel, touches, conversions, credit)`` — ``touches`` = touch
+    events attached to any conversion, ``conversions`` = distinct
+    conversions the channel participated in, ``credit`` = the model's
+    fractional credit sum (for every normalized model, total credit
+    across channels = number of attributed conversions).
+
+    Models (the standard marketing-analytics set):
+
+    - ``last_touch`` / ``first_touch``: winner-takes-one;
+    - ``linear``: 1/k to each of the k touches;
+    - ``position``: U-shaped 40/20.../40 — 0.4 first, 0.4 last,
+      0.2 split over interior touches (k=1 -> 1.0, k=2 -> 0.5/0.5);
+    - ``time_decay``: weight 2^(-age/halflife), normalized per
+      conversion.
+
+    A touch attaches to the NEXT conversion of the same user (strictly
+    later timestamp; ties by a later event being the conversion are
+    excluded to keep attach deterministic), optionally only within
+    ``lookback_seconds``. Touches after a user's last conversion and
+    conversions with no preceding touch simply don't appear.
+
+    Scale shape: one shuffle on the user, one bounded backward-looking
+    window pass to stamp each touch with its next conversion time
+    (min-over-following of the conversion timestamps), one (user,
+    conversion) aggregation for the per-conversion totals the
+    normalized models need (broadcast-free: rejoined on the composite
+    key, AQE picks the strategy), and one final channel aggregation.
+    Never a self-join of events against events.
+    """
+    allowed = ("last_touch", "first_touch", "linear", "position", "time_decay")
+    if model not in allowed:
+        raise ValueError(f"model must be one of {allowed}: {model!r}")
+    t = F.col(typecol)
+    base = df.select(
+        F.col(usercol).alias("__u__"),
+        _epoch_us(F.col(tscol)).alias("__t__"),
+        t.alias("__ch__"),
+        (t == conversion).alias("__conv__"),
+    )
+    if touches is not None:
+        base = base.filter(F.col("__conv__") | t.isin(list(touches)))
+    else:
+        base = base.filter(F.col("__conv__") | (t != conversion))
+    # RANGE frame (not ROWS): "next conversion" means STRICTLY later
+    # in event time — with ROWS, a conversion tied on the timestamp
+    # could mask a later one depending on arbitrary tie order
+    w = (
+        Window.partitionBy("__u__")
+        .orderBy("__t__")
+        .rangeBetween(1, Window.unboundedFollowing)
+    )
+    stamped = base.withColumn(
+        "__next_conv__",
+        F.min(F.when(F.col("__conv__"), F.col("__t__"))).over(w),
+    )
+    attached = stamped.filter(
+        (~F.col("__conv__")) & F.col("__next_conv__").isNotNull()
+    )
+    if lookback_seconds is not None:
+        attached = attached.filter(
+            F.col("__next_conv__") - F.col("__t__")
+            <= F.lit(int(lookback_seconds) * 1_000_000)
+        )
+    age = (F.col("__next_conv__") - F.col("__t__")).cast("double") / 1e6
+    raw_w = {
+        "last_touch": F.lit(1.0),
+        "first_touch": F.lit(1.0),
+        "linear": F.lit(1.0),
+        "position": F.lit(1.0),
+        "time_decay": F.pow(F.lit(2.0), -age / F.lit(float(halflife_seconds))),
+    }[model]
+    attached = attached.withColumn("__w__", raw_w)
+    gw = Window.partitionBy("__u__", "__next_conv__")
+    k = F.count(F.lit(1)).over(gw)
+    wsum = F.sum("__w__").over(gw)
+    first_t = F.min("__t__").over(gw)
+    last_t = F.max("__t__").over(gw)
+    if model == "last_touch":
+        credit = F.when(F.col("__t__") == last_t, 1.0).otherwise(0.0)
+        # ties on the max timestamp: split evenly (deterministic)
+        nmax = F.sum((F.col("__t__") == last_t).cast("int")).over(gw)
+        credit = credit / nmax
+    elif model == "first_touch":
+        nmin = F.sum((F.col("__t__") == first_t).cast("int")).over(gw)
+        credit = F.when(F.col("__t__") == first_t, 1.0).otherwise(0.0) / nmin
+    elif model == "linear":
+        credit = F.lit(1.0) / k
+    elif model == "time_decay":
+        credit = F.col("__w__") / wsum
+    else:  # position
+        nmin = F.sum((F.col("__t__") == first_t).cast("int")).over(gw)
+        nmax = F.sum((F.col("__t__") == last_t).cast("int")).over(gw)
+        is_first = F.col("__t__") == first_t
+        is_last = F.col("__t__") == last_t
+        interior = k - nmin - nmax
+        credit = (
+            F.when(k == 1, 1.0)
+            .when(first_t == last_t, F.lit(1.0) / k)  # all touches tied
+            .otherwise(
+                F.when(is_first, F.lit(0.4) / nmin).otherwise(0.0)
+                + F.when(is_last, F.lit(0.4) / nmax).otherwise(0.0)
+                + F.when(
+                    ~is_first & ~is_last,
+                    F.when(interior > 0, F.lit(0.2) / interior).otherwise(0.0),
+                ).otherwise(0.0)
+            )
+        )
+        # k == 2 (or first/last groups covering everything): renormalize
+        # the missing interior 0.2 proportionally
+        total = F.sum(credit).over(gw)
+        credit = credit / total
+    return (
+        attached.withColumn("__credit__", credit)
+        .groupBy(F.col("__ch__").alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("touches"),
+            F.countDistinct("__u__", "__next_conv__").alias("conversions"),
+            F.sum("__credit__").alias("credit"),
+        )
     )

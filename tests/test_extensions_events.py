@@ -376,3 +376,108 @@ class TestEwma:
         assert out[1] == 5.0  # 0.5*10 + 0.5*0
         with _pytest.raises(ValueError, match="alpha"):
             ewma(df, "x", "i", byvars="g", alpha=0.0)
+
+
+# ----------------------------------------------------- attribution
+
+class TestAttribution:
+    import datetime as _dt
+
+    @staticmethod
+    def _df(spark):
+        import datetime as dt
+
+        T = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+        rows = [
+            (1, T(0), "view"), (1, T(10), "click"), (1, T(20), "purchase"),
+            (1, T(30), "view"), (1, T(40), "purchase"),
+            (2, T(0), "click"), (2, T(5), "purchase"),
+            (3, T(0), "view"),          # never converts
+            (4, T(0), "purchase"),      # converts with no touch
+        ]
+        return spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+
+    def _by_channel(self, out):
+        return {r.channel: (r.touches, r.conversions, round(r.credit, 6)) for r in out.collect()}
+
+    def test_last_and_first_touch(self, spark):
+        from pd_utils_spark.extensions.events import attribution
+
+        df = self._df(spark)
+        assert self._by_channel(attribution(df, model="last_touch")) == {
+            "click": (2, 2, 2.0), "view": (2, 2, 1.0)
+        }
+        assert self._by_channel(attribution(df, model="first_touch")) == {
+            "click": (2, 2, 1.0), "view": (2, 2, 2.0)
+        }
+
+    def test_linear_credit_conserved(self, spark):
+        from pd_utils_spark.extensions.events import attribution
+
+        out = self._by_channel(attribution(self._df(spark), model="linear"))
+        assert out == {"click": (2, 2, 1.5), "view": (2, 2, 1.5)}
+        # total credit = number of attributed conversions (3)
+        assert sum(v[2] for v in out.values()) == 3.0
+
+    def test_position_k2_and_k1(self, spark):
+        from pd_utils_spark.extensions.events import attribution
+
+        out = self._by_channel(attribution(self._df(spark), model="position"))
+        # k=2 conversions split 50/50 after renormalization; k=1 gets 1.0
+        assert out["click"] == (2, 2, 1.5)
+        assert out["view"] == (2, 2, 1.5)
+
+    def test_position_interior_weights(self, spark):
+        import datetime as dt
+
+        from pd_utils_spark.extensions.events import attribution
+
+        T = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+        rows = [
+            (1, T(0), "a"), (1, T(1), "b"), (1, T(2), "b"), (1, T(3), "c"),
+            (1, T(4), "conv"),
+        ]
+        df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+        out = self._by_channel(attribution(df, conversion="conv", model="position"))
+        assert out["a"][2] == pytest.approx(0.4)
+        assert out["b"][2] == pytest.approx(0.2)   # two interior touches x 0.1
+        assert out["c"][2] == pytest.approx(0.4)
+
+    def test_time_decay_orders_by_recency(self, spark):
+        from pd_utils_spark.extensions.events import attribution
+
+        out = attribution(
+            self._df(spark), model="time_decay", halflife_seconds=5.0
+        )
+        got = {r.channel: r.credit for r in out.collect()}
+        # recency favors click (10s before conv1) over view (20s before)
+        assert got["click"] > got["view"]
+        assert got["click"] + got["view"] == pytest.approx(3.0)
+
+    def test_lookback_window(self, spark):
+        from pd_utils_spark.extensions.events import attribution
+
+        out = self._by_channel(
+            attribution(self._df(spark), model="linear", lookback_seconds=12)
+        )
+        assert out == {"click": (2, 2, 2.0), "view": (1, 1, 1.0)}
+
+    def test_same_timestamp_conversion_does_not_mask_later(self, spark):
+        import datetime as dt
+
+        from pd_utils_spark.extensions.events import attribution
+
+        T = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+        rows = [
+            (1, T(0), "view"), (1, T(0), "conv"), (1, T(9), "conv"),
+        ]
+        df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+        out = self._by_channel(attribution(df, conversion="conv", model="linear"))
+        # touch tied with a conversion attaches to the STRICTLY later one
+        assert out == {"view": (1, 1, 1.0)}
+
+    def test_model_validation(self, spark):
+        from pd_utils_spark.extensions.events import attribution
+
+        with pytest.raises(ValueError):
+            attribution(self._df(spark), model="shapley")
