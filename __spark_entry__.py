@@ -1134,6 +1134,26 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", "cluster")
 
 
+def q_cluster_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster labeling (extensions/text.py cluster_top_terms): k-means
+    cells over the embeddings joined to their documents, then the top
+    5 distinctive terms per cluster by class-based TF-IDF (count *
+    ln(n_clusters/df)) — stopwords self-eliminate at score 0. Ranking
+    uses the 9-dp-rounded score so ulp noise in ln cannot outrank the
+    term tiebreak. Oracle: unrolled k-means CTEs + the same scoring."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    cl = pus_sim.kmeans(emb, k=8, iters=3).select(
+        F.col("vec_id").alias("doc_id"), "cluster"
+    )
+    out = pus_text.cluster_top_terms(
+        docs.join(cl, "doc_id"), "cluster", "text", top_k=5, min_count=2
+    )
+    return out.select(
+        "cluster", "rank", "term", "count", F.round("score", 6).alias("score")
+    )
+
+
 def q_semantic_dedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup as published: k-means cells -> within-cell cosine>=0.4
     pairs -> transitive closure -> min-id survivor. Oracle replays the
@@ -3978,6 +3998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bootstrap_ci": q_bootstrap_ci,
         "fdr_screen": q_fdr_screen,
         "attribution": q_attribution,
+        "cluster_top_terms": q_cluster_top_terms,
         "perplexity_buckets": q_perplexity_buckets,
         "top_ngrams": q_top_ngrams,
         "dedup_spans": q_dedup_spans,
@@ -6046,6 +6067,41 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_clusters": f"""
             WITH {_sql_kmeans_ctes(k=8, iters=3)}
             SELECT vec_id, cast(cid AS int) AS cluster FROM a4
+        """,
+        "cluster_top_terms": f"""
+            WITH {_sql_kmeans_ctes(k=8, iters=3)},
+            dc AS (
+                SELECT a4.cid AS cl,
+                       trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g'))
+                           AS t
+                FROM a4 JOIN documents d ON d.doc_id = a4.vec_id
+            ),
+            tok AS (
+                SELECT cl, unnest(regexp_split_to_array(t, '\\s+')) AS term
+                FROM dc
+            ),
+            ct AS (
+                SELECT cl, term, count(*) AS cnt FROM tok
+                WHERE length(term) > 0 GROUP BY 1, 2
+            ),
+            ncl AS (SELECT count(DISTINCT cl)::DOUBLE AS n FROM ct),
+            dfq AS (SELECT term, count(DISTINCT cl) AS dfc FROM ct GROUP BY 1),
+            scored AS (
+                SELECT ct.cl, ct.term, ct.cnt,
+                       ct.cnt * ln(ncl.n / dfc) AS score
+                FROM ct JOIN dfq USING (term) CROSS JOIN ncl
+                WHERE ct.cnt >= 2
+            ),
+            ranked AS (
+                SELECT cl, term, cnt, score,
+                       row_number() OVER (PARTITION BY cl
+                                          ORDER BY round(score, 9) DESC,
+                                                   term) AS rank
+                FROM scored
+            )
+            SELECT cast(cl AS int) AS cluster, cast(rank AS int) AS rank,
+                   term, cnt AS count, round(score, 6) AS score
+            FROM ranked WHERE rank <= 5
         """,
         "semantic_dedup_kmeans": f"""
             WITH RECURSIVE {_sql_kmeans_ctes(k=8, iters=3)},

@@ -1117,3 +1117,81 @@ def chunk_documents(
             F.lit(chunk_tokens), F.size("__ck_toks__") - start + 1
         ).alias("n_chunk_tokens"),
     )
+
+
+def cluster_top_terms(
+    df: DataFrame,
+    clustercol: str = "cluster",
+    textcol: str = "text",
+    top_k: int = 5,
+    min_count: int = 2,
+) -> DataFrame:
+    """Distinctive terms per document cluster — the labeling step
+    after any clustering (k-means cells, near-dup components, topic
+    buckets): for each cluster, the ``top_k`` terms by cluster-level
+    TF-IDF ``score = tf(cluster, term) * ln(n_clusters /
+    df_clusters(term))`` (the class-based TF-IDF idea popularized by
+    BERTopic), where ``df_clusters`` counts the clusters containing
+    the term. A term appearing in every cluster scores 0 — stopwords
+    eliminate themselves without a stopword list.
+
+    Returns ``(clustercol, rank, term, count, score)``; terms with a
+    cluster count below ``min_count`` are dropped before ranking
+    (rare-typo noise). Ties rank by term ascending.
+
+    Scale shape: one explode + one (cluster, term) partial-agg
+    shuffle — O(distinct cluster-term pairs) after map-side combine;
+    the per-term cluster-document-frequency re-aggregates THAT frame
+    (no second corpus scan); ranking is a per-cluster window over
+    candidate terms only. Rows with null cluster are excluded.
+    """
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1: {top_k}")
+    from pyspark.sql import Window
+
+    from pd_utils_spark.extensions.dedup import _norm
+
+    norm = _norm(F.col(textcol))
+    toked = df.filter(F.col(clustercol).isNotNull()).select(
+        F.col(clustercol).alias("__cl__"), _tokens(norm).alias("__toks__")
+    )
+    ct = (
+        toked.select("__cl__", F.explode("__toks__").alias("__t__"))
+        .filter(F.length("__t__") > 0)
+        .groupBy("__cl__", "__t__")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+    # cluster count rides the plan as a one-row broadcast (no driver
+    # action — the operator stays lazy/composable like the rest)
+    ncl = ct.agg(F.countDistinct("__cl__").cast("double").alias("__ncl__"))
+    dfreq = ct.groupBy("__t__").agg(
+        F.countDistinct("__cl__").alias("__df__")
+    )
+    scored = (
+        ct.filter(F.col("count") >= min_count)
+        .join(dfreq, "__t__")
+        .crossJoin(F.broadcast(ncl))
+        .withColumn(
+            "score",
+            F.col("count")
+            * F.log(F.col("__ncl__") / F.col("__df__").cast("double")),
+        )
+    )
+    # rank on the 9-dp-rounded score: mathematically equal scores from
+    # DIFFERENT (count, df) pairs (e.g. 2*ln4 = 4*ln2) can differ in
+    # the last ulp and ulp noise must not outrank the term tiebreak —
+    # 9 dp is far above ulp scale and far below any real score gap
+    w = Window.partitionBy("__cl__").orderBy(
+        F.desc(F.round(F.col("score"), 9)), F.asc("__t__")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            F.col("__cl__").alias(clustercol),
+            "rank",
+            F.col("__t__").alias("term"),
+            "count",
+            "score",
+        )
+    )

@@ -721,3 +721,44 @@ class TestTermBlocklist:
         )
         with _pytest.raises(ValueError, match="non-empty"):
             term_blocklist_filter(docs, ["", "  "])
+
+
+class TestClusterTopTerms:
+    def test_ctfidf_labels_and_stopword_self_elimination(self, spark):
+        from pd_utils_spark.extensions.text import cluster_top_terms
+
+        rows = [
+            (0, "apple banana apple fruit market the the"),
+            (0, "apple fruit juice the"),
+            (1, "rocket engine thrust the"),
+            (1, "rocket fuel engine launch the"),
+        ]
+        df = spark.createDataFrame(rows, ["cluster", "text"])
+        out = cluster_top_terms(df, top_k=2, min_count=1)
+        got = {(r.cluster, r.rank): (r.term, r["count"]) for r in out.collect()}
+        assert got[(0, 1)] == ("apple", 3)
+        assert got[(0, 2)] == ("fruit", 2)
+        assert got[(1, 1)] == ("engine", 2)
+        assert got[(1, 2)] == ("rocket", 2)
+        # "the" is in every cluster -> score 0, never outranks real terms
+        terms = {r.term for r in out.collect()}
+        assert "the" not in terms
+
+    def test_min_count_and_null_cluster(self, spark):
+        from pd_utils_spark.extensions.text import cluster_top_terms
+
+        df = spark.createDataFrame(
+            [(0, "solo word word"), (None, "ghost ghost ghost")],
+            "cluster int, text string",
+        )
+        out = cluster_top_terms(df, top_k=5, min_count=2).collect()
+        assert {r.term for r in out} == {"word"}
+
+    def test_validation(self, spark):
+        from pd_utils_spark.extensions.text import cluster_top_terms
+
+        df = spark.createDataFrame([(0, "x")], ["cluster", "text"])
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            cluster_top_terms(df, top_k=0)
