@@ -1370,6 +1370,43 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup driven through the engine end-to-end:
+    the documents parquet is consumed via readStream, duplicates (by
+    normalized-content md5) are dropped across micro-batches with
+    Spark's keyed dedup state (streaming/stateful.py
+    streaming_exact_dedup), landed in a memory sink with
+    Trigger.AvailableNow. The result is projected to the SURVIVING
+    CONTENT FINGERPRINTS — the survivor's row identity depends on
+    arrival order inside a micro-batch, but the fingerprint set is
+    deterministic and equals DuckDB's DISTINCT over the same md5."""
+    from pd_utils_spark.extensions.dedup import _norm
+    from pd_utils_spark.streaming.stateful import streaming_exact_dedup
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    sdf = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    deduped = streaming_exact_dedup(sdf, textcol="text")
+    name = "streaming_exact_dedup_sink"
+    with _stream_state_partitions(spark):
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        spark.table(name)
+        .select(F.md5(_norm(F.col("text")).cast("string")).alias("fp"))
+        .distinct()
+    )
+
+
 def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked STREAM-STREAM interval join driven through the
     streaming engine end-to-end: the events parquet is consumed twice
@@ -3999,6 +4036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fdr_screen": q_fdr_screen,
         "attribution": q_attribution,
         "cluster_top_terms": q_cluster_top_terms,
+        "streaming_exact_dedup": q_streaming_exact_dedup,
         "perplexity_buckets": q_perplexity_buckets,
         "top_ngrams": q_top_ngrams,
         "dedup_spans": q_dedup_spans,
@@ -8526,6 +8564,11 @@ def oracle_sql() -> dict[str, str]:
                    0.0)), 6) AS v_std,
                MIN(v) AS v_min, MAX(v) AS v_max
         FROM b GROUP BY l_returnflag
+    """
+    d["streaming_exact_dedup"] = """
+        SELECT DISTINCT
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+        FROM documents
     """
     d["streaming_interval_join"] = """
         SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id
