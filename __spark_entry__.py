@@ -3854,6 +3854,43 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association measures over user event baskets
+    (extensions/events.py cooccurrence_lift): support/confidence/lift
+    per ordered event-type pair. Basket-level distinct first, pair
+    fan-out bounded by items-per-basket, broadcast count joins.
+    Ratios are exact integer divisions — no rounding needed."""
+    ev = _t(spark, sf_dir, "events")
+    out = pus_events.cooccurrence_lift(ev, "user_id", "event_type", min_support=2)
+    return out.select(
+        "item_a", "item_b", "n_ab",
+        F.round("support", 6).alias("support"),
+        F.round("confidence", 6).alias("confidence"),
+        F.round("lift", 6).alias("lift"),
+    )
+
+
+def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-by-two difference-in-differences on event values
+    (extensions/events.py diff_in_diff): odd user ids as the treated
+    group, second half of the month as the post period — four cell
+    means, both first differences, and the DiD estimate from ONE
+    conditional-aggregation scan."""
+    ev = _t(spark, sf_dir, "events").select(
+        "value",
+        (F.col("user_id") % 2 == 1).alias("treat"),
+        (F.dayofmonth("ts") > 15).alias("post"),
+    )
+    out = pus_events.diff_in_diff(ev, "value", "treat", "post")
+    return out.select(
+        *[F.round(c, 6).alias(c) for c in (
+            "control_pre", "control_post", "treated_pre", "treated_post",
+            "control_diff", "treated_diff", "did_estimate",
+        )],
+        "n_treated_post",
+    )
+
+
 def q_fdr_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Segment drift screen with FDR control (extensions/stats.py
     fdr_bh): per user-segment one-proportion z-test of click rate vs
@@ -4037,6 +4074,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution": q_attribution,
         "cluster_top_terms": q_cluster_top_terms,
         "streaming_exact_dedup": q_streaming_exact_dedup,
+        "cooccurrence_lift": q_cooccurrence_lift,
+        "diff_in_diff": q_diff_in_diff,
         "perplexity_buckets": q_perplexity_buckets,
         "top_ngrams": q_top_ngrams,
         "dedup_spans": q_dedup_spans,
@@ -8670,6 +8709,51 @@ def oracle_sql() -> dict[str, str]:
         SELECT ta::BIGINT AS n_a, tb::BIGINT AS n_b, u AS u_stat,
                round(z, 6) AS z, round(least(p, 1.0), 6) AS p_value
         FROM pv
+    """
+    d["cooccurrence_lift"] = """
+        WITH gi AS (
+            SELECT DISTINCT user_id AS g, event_type AS i FROM events
+            WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        ),
+        ic AS (SELECT i, count(*) AS ni FROM gi GROUP BY 1),
+        nb AS (SELECT count(DISTINCT g)::DOUBLE AS n FROM gi),
+        pairs AS (
+            SELECT a.i AS item_a, b.i AS item_b, count(*) AS n_ab
+            FROM gi a JOIN gi b ON a.g = b.g AND a.i <> b.i
+            GROUP BY 1, 2 HAVING count(*) >= 2
+        )
+        SELECT item_a, item_b, n_ab,
+               round(n_ab / nb.n, 6) AS support,
+               round(n_ab::DOUBLE / ca.ni, 6) AS confidence,
+               round(n_ab * nb.n / (ca.ni * cb.ni)::DOUBLE, 6) AS lift
+        FROM pairs
+        JOIN ic ca ON ca.i = pairs.item_a
+        JOIN ic cb ON cb.i = pairs.item_b
+        CROSS JOIN nb
+    """
+    d["diff_in_diff"] = """
+        WITH base AS (
+            SELECT value AS v, (user_id % 2 = 1) AS t,
+                   (date_part('day', ts) > 15) AS p
+            FROM events
+            WHERE value IS NOT NULL AND user_id IS NOT NULL
+              AND ts IS NOT NULL
+        ),
+        agg AS (
+            SELECT avg(CASE WHEN NOT t AND NOT p THEN v END) AS cpre,
+                   avg(CASE WHEN NOT t AND p THEN v END) AS cpost,
+                   avg(CASE WHEN t AND NOT p THEN v END) AS tpre,
+                   avg(CASE WHEN t AND p THEN v END) AS tpost,
+                   sum(CASE WHEN t AND p THEN 1 ELSE 0 END) AS ntp
+            FROM base
+        )
+        SELECT round(cpre, 6) AS control_pre, round(cpost, 6) AS control_post,
+               round(tpre, 6) AS treated_pre, round(tpost, 6) AS treated_post,
+               round(cpost - cpre, 6) AS control_diff,
+               round(tpost - tpre, 6) AS treated_diff,
+               round((tpost - tpre) - (cpost - cpre), 6) AS did_estimate,
+               ntp AS n_treated_post
+        FROM agg
     """
     # position-model attribution: full window replay — strictly-later
     # RANGE next-conversion stamp, per-conversion U-shaped split with

@@ -644,3 +644,108 @@ def attribution(
             F.sum("__credit__").alias("credit"),
         )
     )
+
+
+def cooccurrence_lift(
+    df: DataFrame,
+    groupcol: str = "user_id",
+    itemcol: str = "event_type",
+    min_support: int = 1,
+) -> DataFrame:
+    """Market-basket association mining over (basket, item) rows: for
+    every ordered item pair (a, b) present together in at least
+    ``min_support`` baskets, the classic association measures —
+    ``support`` = P(a and b), ``confidence`` = P(b | a), ``lift`` =
+    P(a and b) / (P(a) P(b)) (>1: positive association, <1:
+    substitution/avoidance). Rows per pair are ordered (a -> b) and
+    (b -> a) both appear, since confidence is directional.
+
+    Scale shape: baskets compress to DISTINCT (group, item) pairs
+    (one partial-agg shuffle); the pair join fans out on the BASKET
+    key, so a basket with m distinct items contributes m(m-1) pair
+    rows — bounded by the item universe per basket, never
+    corpus x corpus (the standard a-priori first pass; cap the item
+    universe upstream if baskets can be pathologically wide). Totals
+    join back as one broadcast of the per-item basket counts and a
+    one-row basket count. No driver action, nothing collected.
+    """
+    gi = (
+        df.select(
+            F.col(groupcol).alias("__g__"), F.col(itemcol).alias("__i__")
+        )
+        .filter(F.col("__g__").isNotNull() & F.col("__i__").isNotNull())
+        .distinct()
+    )
+    item_counts = gi.groupBy("__i__").agg(F.count(F.lit(1)).alias("__ni__"))
+    n_baskets = gi.agg(
+        F.countDistinct("__g__").cast("double").alias("__nb__")
+    )
+    a = gi.select(F.col("__g__"), F.col("__i__").alias("item_a"))
+    b = gi.select(F.col("__g__"), F.col("__i__").alias("item_b"))
+    pairs = (
+        a.join(b, "__g__")
+        .filter(F.col("item_a") != F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= min_support)
+    )
+    ca = F.broadcast(
+        item_counts.select(F.col("__i__").alias("item_a"), F.col("__ni__").alias("__na__"))
+    )
+    cb = F.broadcast(
+        item_counts.select(F.col("__i__").alias("item_b"), F.col("__ni__").alias("__nb2__"))
+    )
+    return (
+        pairs.join(ca, "item_a")
+        .join(cb, "item_b")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "item_a", "item_b", "n_ab",
+            (F.col("n_ab") / F.col("__nb__")).alias("support"),
+            (F.col("n_ab").cast("double") / F.col("__na__")).alias("confidence"),
+            (
+                F.col("n_ab") * F.col("__nb__")
+                / (F.col("__na__") * F.col("__nb2__")).cast("double")
+            ).alias("lift"),
+        )
+    )
+
+
+def diff_in_diff(
+    df: DataFrame,
+    valuecol: str,
+    treatcol: str,
+    postcol: str,
+) -> DataFrame:
+    """Two-by-two difference-in-differences: one row with the four
+    cell means (control/treated x pre/post), the two first
+    differences, and the DiD estimate
+    ``(treated_post - treated_pre) - (control_post - control_pre)`` —
+    the canonical quasi-experimental effect estimate when treatment
+    wasn't randomized but trends are parallel.
+
+    ``treatcol`` / ``postcol`` must be boolean (or 0/1) columns. One
+    conditional-aggregation pass over the data — four means from a
+    single scan, no shuffle beyond the 1-row agg. Pair with
+    :func:`poisson_bootstrap_ci` on the per-cell means for
+    uncertainty."""
+    v = F.col(valuecol)
+    t = F.col(treatcol).cast("boolean")
+    p = F.col(postcol).cast("boolean")
+    agg = df.filter(v.isNotNull() & t.isNotNull() & p.isNotNull()).agg(
+        F.avg(F.when(~t & ~p, v)).alias("control_pre"),
+        F.avg(F.when(~t & p, v)).alias("control_post"),
+        F.avg(F.when(t & ~p, v)).alias("treated_pre"),
+        F.avg(F.when(t & p, v)).alias("treated_post"),
+        F.sum((t & p).cast("long")).alias("n_treated_post"),
+    )
+    return agg.select(
+        "control_pre", "control_post", "treated_pre", "treated_post",
+        (F.col("control_post") - F.col("control_pre")).alias("control_diff"),
+        (F.col("treated_post") - F.col("treated_pre")).alias("treated_diff"),
+        (
+            (F.col("treated_post") - F.col("treated_pre"))
+            - (F.col("control_post") - F.col("control_pre"))
+        ).alias("did_estimate"),
+        "n_treated_post",
+    )

@@ -481,3 +481,57 @@ class TestAttribution:
 
         with pytest.raises(ValueError):
             attribution(self._df(spark), model="shapley")
+
+
+class TestCooccurrenceLift:
+    def test_measures_match_hand_computation(self, spark):
+        from pd_utils_spark.extensions.events import cooccurrence_lift
+
+        rows = [(1, "bread"), (1, "butter"), (1, "milk"),
+                (2, "bread"), (2, "butter"), (3, "bread"), (4, "milk")]
+        df = spark.createDataFrame(rows, ["user_id", "event_type"])
+        got = {
+            (r.item_a, r.item_b): (r.n_ab, r.support, r.confidence, r.lift)
+            for r in cooccurrence_lift(df).collect()
+        }
+        # bread in 3 of 4 baskets, butter in 2, together in 2
+        assert got[("bread", "butter")] == (2, 0.5, 2 / 3, (2 * 4) / (3 * 2))
+        assert got[("butter", "bread")][2] == 1.0  # butter always with bread
+        assert got[("bread", "milk")][3] == pytest.approx(2 / 3)  # negative assoc
+
+    def test_min_support_and_duplicate_rows(self, spark):
+        from pd_utils_spark.extensions.events import cooccurrence_lift
+
+        rows = [(1, "a"), (1, "a"), (1, "b"), (2, "a"), (2, "c")]
+        df = spark.createDataFrame(rows, ["user_id", "event_type"])
+        out = cooccurrence_lift(df, min_support=2).collect()
+        assert out == []  # no pair in >= 2 baskets
+        got = {(r.item_a, r.item_b): r.n_ab for r in cooccurrence_lift(df).collect()}
+        # duplicate (1, a) rows count once: basket-level distinct
+        assert got[("a", "b")] == 1
+
+
+class TestDiffInDiff:
+    def test_textbook_2x2(self, spark):
+        from pd_utils_spark.extensions.events import diff_in_diff
+
+        rows = [(0, 0, 10.0), (0, 0, 12.0), (0, 1, 11.0), (0, 1, 13.0),
+                (1, 0, 20.0), (1, 0, 22.0), (1, 1, 30.0), (1, 1, 32.0)]
+        df = spark.createDataFrame(rows, ["treat", "post", "v"])
+        r = diff_in_diff(df, "v", "treat", "post").collect()[0]
+        assert r.control_pre == 11.0 and r.control_post == 12.0
+        assert r.treated_pre == 21.0 and r.treated_post == 31.0
+        assert r.control_diff == 1.0 and r.treated_diff == 10.0
+        assert r.did_estimate == 9.0
+        assert r.n_treated_post == 2
+
+    def test_null_rows_excluded(self, spark):
+        from pd_utils_spark.extensions.events import diff_in_diff
+
+        df = spark.createDataFrame(
+            [(0, 0, 1.0), (1, 1, 5.0), (None, 1, 100.0), (1, None, 100.0),
+             (1, 1, None)],
+            "treat int, post int, v double",
+        )
+        r = diff_in_diff(df, "v", "treat", "post").collect()[0]
+        assert r.control_pre == 1.0 and r.treated_post == 5.0
