@@ -3854,6 +3854,24 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_purged_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purged k-fold time-series CV splits (extensions/sampling.py,
+    Lopez de Prado ch.7): 4 exact equal-count time folds over events,
+    1-hour label horizon purge + 2-hour embargo; summarized per
+    (test_fold, fold, role) with counts and event-id extrema. Fold
+    rank runs on the distributed prefix scan, never a total-order
+    window."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts")
+    out = pus_sample.purged_kfold_split(
+        ev, "ts", n_folds=4, embargo_seconds=7200, horizon_seconds=3600
+    )
+    return out.groupBy("test_fold", "fold", "role").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("event_id").alias("min_event"),
+        F.max("event_id").alias("max_event"),
+    )
+
+
 def q_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket association measures over user event baskets
     (extensions/events.py cooccurrence_lift): support/confidence/lift
@@ -4076,6 +4094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_exact_dedup": q_streaming_exact_dedup,
         "cooccurrence_lift": q_cooccurrence_lift,
         "diff_in_diff": q_diff_in_diff,
+        "purged_kfold": q_purged_kfold,
         "perplexity_buckets": q_perplexity_buckets,
         "top_ngrams": q_top_ngrams,
         "dedup_spans": q_dedup_spans,
@@ -8709,6 +8728,41 @@ def oracle_sql() -> dict[str, str]:
         SELECT ta::BIGINT AS n_a, tb::BIGINT AS n_b, u AS u_stat,
                round(z, 6) AS z, round(least(p, 1.0), 6) AS p_value
         FROM pv
+    """
+    d["purged_kfold"] = """
+        WITH base AS (
+            SELECT event_id, epoch_us(ts) AS t FROM events
+            WHERE ts IS NOT NULL
+        ),
+        tot AS (SELECT count(*)::DOUBLE AS n FROM base),
+        rk AS (
+            SELECT *, coalesce(count(*) OVER (
+                       ORDER BY t RANGE BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS r
+            FROM base
+        ),
+        fd AS (
+            SELECT event_id, t,
+                   least(floor(r * 4 / tot.n), 3)::INT AS fold
+            FROM rk CROSS JOIN tot
+        ),
+        spans AS (
+            SELECT fold AS test_fold, min(t) AS s, max(t) AS e
+            FROM fd GROUP BY 1
+        ),
+        lf AS (
+            SELECT fd.event_id, fd.fold, sp.test_fold,
+                   CASE WHEN fd.fold = sp.test_fold THEN 'test'
+                        WHEN fd.t <= sp.e
+                             AND fd.t + 3600000000 >= sp.s THEN 'purged'
+                        WHEN fd.t > sp.e
+                             AND fd.t <= sp.e + 7200000000 THEN 'embargo'
+                        ELSE 'train' END AS role
+            FROM fd CROSS JOIN spans sp
+        )
+        SELECT test_fold, fold, role, count(*) AS n,
+               min(event_id) AS min_event, max(event_id) AS max_event
+        FROM lf GROUP BY 1, 2, 3
     """
     d["cooccurrence_lift"] = """
         WITH gi AS (

@@ -639,3 +639,78 @@ class TestSkyline2D:
         from pd_utils_spark.extensions import skyline_2d
         got = [(r.x, r.y) for r in skyline_2d(df, "x", "y").collect()]
         assert got == [(5.0, 5.0), (5.0, 5.0)]
+
+
+class TestPurgedKfold:
+    def _df(self, spark, n=20):
+        import datetime as dt
+
+        rows = [
+            (i, dt.datetime(2024, 1, 1) + dt.timedelta(hours=i))
+            for i in range(n)
+        ]
+        return spark.createDataFrame(rows, ["id", "ts"])
+
+    def test_equal_count_folds_and_roles(self, spark):
+        from pyspark.sql import functions as F
+
+        from pd_utils_spark.extensions.sampling import purged_kfold_split
+
+        out = purged_kfold_split(
+            self._df(spark), n_folds=4,
+            embargo_seconds=2 * 3600, horizon_seconds=1.5 * 3600,
+        )
+        # every fold has exactly 5 rows
+        sizes = {
+            r.fold: r["count"]
+            for r in out.filter(F.col("test_fold") == 0)
+            .groupBy("fold").count().collect()
+        }
+        assert sizes == {0: 5, 1: 5, 2: 5, 3: 5}
+        k1 = {r.id: r.role for r in out.filter(F.col("test_fold") == 1).collect()}
+        assert all(k1[i] == "test" for i in range(5, 10))
+        assert k1[4] == "purged"      # ts+1.5h reaches into the test span
+        assert k1[3] == "train"
+        assert k1[10] == "embargo" and k1[11] == "embargo"
+        assert k1[12] == "train"
+
+    def test_no_purge_no_embargo_degenerates_to_plain_time_folds(self, spark):
+        from pyspark.sql import functions as F
+
+        from pd_utils_spark.extensions.sampling import purged_kfold_split
+
+        out = purged_kfold_split(self._df(spark), n_folds=4)
+        roles = {r.role for r in out.collect()}
+        assert roles == {"test", "train"}
+        # long format: every row appears once per test fold
+        assert out.count() == 20 * 4
+
+    def test_tied_timestamps_share_fold(self, spark):
+        import datetime as dt
+
+        from pyspark.sql import functions as F
+
+        from pd_utils_spark.extensions.sampling import purged_kfold_split
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [(i, t0) for i in range(6)] + [
+            (10 + i, t0 + dt.timedelta(hours=1 + i)) for i in range(6)
+        ]
+        df = spark.createDataFrame(rows, ["id", "ts"])
+        out = purged_kfold_split(df, n_folds=3)
+        folds = {
+            r.id: r.fold
+            for r in out.filter(F.col("test_fold") == 0).collect()
+        }
+        assert len({folds[i] for i in range(6)}) == 1  # all ties together
+
+    def test_validation(self, spark):
+        import pytest as _pt
+
+        from pd_utils_spark.extensions.sampling import purged_kfold_split
+
+        df = self._df(spark, 4)
+        with _pt.raises(ValueError):
+            purged_kfold_split(df, n_folds=1)
+        with _pt.raises(ValueError):
+            purged_kfold_split(df, embargo_seconds=-1)
