@@ -3854,6 +3854,46 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_walk_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Walk-forward (expanding-window) backtest splits over events
+    (extensions/sampling.py): 5 exact equal-count time blocks, splits
+    1..4 each train on the past blocks and test on their own;
+    summarized per (split, fold, role)."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts")
+    out = pus_sample.walk_forward_splits(ev, "ts", n_splits=4)
+    return out.groupBy("split", "fold", "role").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("event_id").alias("min_event"),
+        F.max("event_id").alias("max_event"),
+    )
+
+
+def q_gini_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of event activity across users
+    (extensions/sampling.py gini_concentration): per-user event
+    counts -> exact tie-robust Gini via per-distinct-value counts +
+    one distributed prefix scan. All arithmetic is exact-integer
+    doubles, so the coefficient is deterministic to the bit."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    out = pus_sample.gini_concentration(per_user, "n_events")
+    return out.select("n", "total", F.round("gini", 6).alias("gini"))
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (extensions/sampling.py
+    rfm_segments): per-user recency/frequency/monetary scored into 4
+    exact equal-count bins (tied values share bins — deterministic
+    under re-partitioning); summarized per segment."""
+    ev = _t(spark, sf_dir, "events")
+    out = pus_sample.rfm_segments(ev, "user_id", "ts", "value", n_bins=4)
+    return out.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("users"),
+        F.round(F.avg("monetary"), 6).alias("avg_monetary"),
+        F.round(F.avg("frequency"), 6).alias("avg_frequency"),
+    )
+
+
 def q_purged_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Purged k-fold time-series CV splits (extensions/sampling.py,
     Lopez de Prado ch.7): 4 exact equal-count time folds over events,
@@ -4095,6 +4135,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cooccurrence_lift": q_cooccurrence_lift,
         "diff_in_diff": q_diff_in_diff,
         "purged_kfold": q_purged_kfold,
+        "walk_forward": q_walk_forward,
+        "gini_events": q_gini_events,
+        "rfm_segments": q_rfm_segments,
         "perplexity_buckets": q_perplexity_buckets,
         "top_ngrams": q_top_ngrams,
         "dedup_spans": q_dedup_spans,
@@ -8728,6 +8771,79 @@ def oracle_sql() -> dict[str, str]:
         SELECT ta::BIGINT AS n_a, tb::BIGINT AS n_b, u AS u_stat,
                round(z, 6) AS z, round(least(p, 1.0), 6) AS p_value
         FROM pv
+    """
+    d["walk_forward"] = """
+        WITH base AS (
+            SELECT event_id, epoch_us(ts) AS t FROM events
+            WHERE ts IS NOT NULL
+        ),
+        tot AS (SELECT count(*)::DOUBLE AS n FROM base),
+        rk AS (SELECT *, rank() OVER (ORDER BY t) - 1 AS r FROM base),
+        fd AS (
+            SELECT event_id, least(floor(r * 5 / tot.n), 4)::INT AS fold
+            FROM rk CROSS JOIN tot
+        ),
+        lf AS (
+            SELECT fd.event_id, fd.fold, s.split,
+                   CASE WHEN fd.fold = s.split THEN 'test'
+                        WHEN fd.fold < s.split THEN 'train'
+                        ELSE 'future' END AS role
+            FROM fd CROSS JOIN (
+                SELECT unnest(generate_series(1, 4))::INT AS split
+            ) s
+        )
+        SELECT split, fold, role, count(*) AS n,
+               min(event_id) AS min_event, max(event_id) AS max_event
+        FROM lf GROUP BY 1, 2, 3
+    """
+    d["gini_events"] = """
+        WITH pu AS (
+            SELECT user_id, count(*)::DOUBLE AS v FROM events GROUP BY 1
+        ),
+        counts AS (SELECT v, count(*) AS c FROM pu GROUP BY 1),
+        cum AS (
+            SELECT v, c, sum(c) OVER (ORDER BY v) AS cr FROM counts
+        ),
+        agg AS (
+            SELECT sum(c) AS n, sum(v * c) AS total,
+                   sum(v * c * (2 * cr - c + 1) / 2.0) AS rw
+            FROM cum
+        )
+        SELECT n, total,
+               round(2.0 * rw / (n * total) - (n + 1.0) / n, 6) AS gini
+        FROM agg
+    """
+    d["rfm_segments"] = """
+        WITH base AS (
+            SELECT user_id, epoch_us(ts) AS t, value FROM events
+            WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        ),
+        nowt AS (SELECT max(t) AS nw FROM base),
+        pu AS (
+            SELECT user_id, max(t) AS last_t, count(*) AS freq,
+                   sum(value) AS mon
+            FROM base GROUP BY 1
+        ),
+        m AS (
+            SELECT user_id, (nw - last_t)::DOUBLE / 1e6 AS rec, freq, mon,
+                   count(*) OVER () ::DOUBLE AS nu
+            FROM pu CROSS JOIN nowt
+        ),
+        sc AS (
+            SELECT user_id, freq, mon,
+                   least(floor((rank() OVER (ORDER BY -rec) - 1) * 4 / nu),
+                         3)::INT AS r_score,
+                   least(floor((rank() OVER (ORDER BY freq) - 1) * 4 / nu),
+                         3)::INT AS f_score,
+                   least(floor((rank() OVER (ORDER BY mon) - 1) * 4 / nu),
+                         3)::INT AS m_score
+            FROM m
+        )
+        SELECT r_score || '-' || f_score || '-' || m_score AS segment,
+               count(*) AS users,
+               round(avg(mon), 6) AS avg_monetary,
+               round(avg(freq), 6) AS avg_frequency
+        FROM sc GROUP BY 1
     """
     d["purged_kfold"] = """
         WITH base AS (

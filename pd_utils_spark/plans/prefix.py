@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 from pd_utils_spark.utils import to_list
 
-__all__ = ["prefix_sum", "prefix_agg"]
+__all__ = ["prefix_sum", "prefix_agg", "exact_ntile"]
 
 # agg name -> (column aggregate, pairwise combiner). The combiner
 # merges a row's local prefix with the offset of all earlier
@@ -130,3 +130,46 @@ def prefix_sum(
     return prefix_agg(
         df, ordercols, valuecols, "sum", suffix, partitions, inclusive
     )
+
+
+def exact_ntile(
+    df: DataFrame,
+    col: str,
+    n: int,
+    out: str = "bucket",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Exact distributed ntile: every row gains ``out`` = its
+    equal-count bucket in [0, n) over the ascending order of ``col``
+    — ``floor(strictly_earlier_rank * n / N)``, so TIED values always
+    share a bucket (unlike SQL ``ntile``, which splits ties by
+    arbitrary row order — unacceptable for reproducible binning).
+
+    The global rank runs on per-distinct-value counts through the
+    two-level prefix scan (never a total-order window); the
+    (distinct value -> bucket) map joins back on the value. Null
+    ``col`` rows pass through with null ``out``.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1: {n}")
+    c = F.col(col)
+    counts = (
+        df.filter(c.isNotNull()).groupBy(c.alias("__v__")).agg(
+            F.count(F.lit(1)).alias("__c__")
+        )
+    )
+    ranked = prefix_sum(
+        counts, "__v__", "__c__", inclusive=False, partitions=partitions
+    )
+    total = counts.agg(F.sum("__c__").alias("__n__"))
+    bmap = (
+        ranked.crossJoin(F.broadcast(total))
+        .select(
+            "__v__",
+            F.least(
+                F.floor(F.col("__c___cum") * F.lit(n) / F.col("__n__")),
+                F.lit(n - 1),
+            ).cast("int").alias(out),
+        )
+    )
+    return df.join(bmap, df[col] == bmap["__v__"], "left").drop("__v__")

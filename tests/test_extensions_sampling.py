@@ -714,3 +714,94 @@ class TestPurgedKfold:
             purged_kfold_split(df, n_folds=1)
         with _pt.raises(ValueError):
             purged_kfold_split(df, embargo_seconds=-1)
+
+
+class TestWalkForward:
+    def test_roles_expand_with_split(self, spark):
+        import datetime as dt
+
+        from pyspark.sql import functions as F
+
+        from pd_utils_spark.extensions.sampling import walk_forward_splits
+
+        rows = [
+            (i, dt.datetime(2024, 1, 1) + dt.timedelta(hours=i))
+            for i in range(10)
+        ]
+        df = spark.createDataFrame(rows, ["id", "ts"])
+        out = walk_forward_splits(df, n_splits=4)
+        s2 = {r.id: r.role for r in out.filter(F.col("split") == 2).collect()}
+        assert [s2[i] for i in range(10)] == (
+            ["train"] * 4 + ["test"] * 2 + ["future"] * 4
+        )
+        s4 = {r.id: r.role for r in out.filter(F.col("split") == 4).collect()}
+        assert [s4[i] for i in range(10)] == ["train"] * 8 + ["test"] * 2
+        with __import__("pytest").raises(ValueError):
+            walk_forward_splits(df, n_splits=0)
+
+
+class TestGini:
+    def test_bounds_and_reference(self, spark):
+        import numpy as np
+
+        from pd_utils_spark.extensions.sampling import gini_concentration
+
+        eq = spark.createDataFrame([(i, 5.0) for i in range(10)], ["id", "v"])
+        assert gini_concentration(eq, "v").collect()[0].gini == 0.0
+        one = spark.createDataFrame(
+            [(0, 100.0)] + [(i, 0.0) for i in range(1, 10)], ["id", "v"]
+        )
+        assert gini_concentration(one, "v").collect()[0].gini == (
+            __import__("pytest").approx(0.9)
+        )
+        rng = np.random.RandomState(0)
+        x = rng.exponential(1, 200).round(3)
+        df = spark.createDataFrame(
+            [(i, float(v)) for i, v in enumerate(x)], ["id", "v"]
+        )
+        got = gini_concentration(df, "v").collect()[0].gini
+        xs = np.sort(x)
+        n = len(xs)
+        ref = (2 * np.sum(np.arange(1, n + 1) * xs)) / (n * xs.sum()) - (
+            n + 1
+        ) / n
+        assert got == __import__("pytest").approx(ref, rel=1e-12)
+
+
+class TestRfm:
+    def test_bins_and_segment_string(self, spark):
+        import datetime as dt
+
+        from pd_utils_spark.extensions.sampling import rfm_segments
+
+        ev = [
+            (u, dt.datetime(2024, 1, 1) + dt.timedelta(hours=u * 3 + k),
+             float(u + 1))
+            for u in range(8)
+            for k in range(u + 1)
+        ]
+        df = spark.createDataFrame(ev, ["user_id", "ts", "value"])
+        out = {r.user_id: r for r in rfm_segments(df, n_bins=2).collect()}
+        # users 0-3: older, rarer, cheaper -> 0-0-0; users 4-7 -> 1-1-1
+        for u in range(4):
+            assert out[u].segment == "0-0-0"
+        for u in range(4, 8):
+            assert out[u].segment == "1-1-1"
+        assert out[7].frequency == 8 and out[7].monetary == 64.0
+        assert out[7].recency_seconds == 0.0  # owns the corpus max ts
+
+
+class TestExactNtile:
+    def test_ties_share_bucket_and_nulls_pass(self, spark):
+        from pd_utils_spark.plans.prefix import exact_ntile
+
+        df = spark.createDataFrame(
+            [(i, float(i // 5)) for i in range(20)] + [(99, None)],
+            "id long, v double",
+        )
+        out = {r.id: r.bucket for r in exact_ntile(df, "v", 4).collect()}
+        for i in range(20):
+            assert out[i] == i // 5
+        assert out[99] is None
+        with __import__("pytest").raises(ValueError):
+            exact_ntile(df, "v", 0)
