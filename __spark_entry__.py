@@ -3854,6 +3854,43 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline anomaly audit (extensions/events.py
+    seasonal_anomalies): hourly value totals vs their hour-of-day
+    baseline (mean/std over 30 days per slot), z-scored — the shape-
+    aware monitor where a global z would flag every busy hour. Two
+    O(buckets) aggregations after the one stream compression."""
+    ev = _t(spark, sf_dir, "events")
+    out = pus_events.seasonal_anomalies(
+        ev, "ts", "value", season="hour_of_day", z_threshold=3.0
+    )
+    return out.select(
+        "bucket_start", "slot",
+        F.round("bucket_value", 2).alias("bucket_value"),
+        F.round("baseline_mean", 6).alias("baseline_mean"),
+        F.round("baseline_std", 6).alias("baseline_std"),
+        "baseline_n",
+        F.round("z", 6).alias("z"),
+        "is_anomaly",
+    )
+
+
+def q_mix_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mix diversity audit (extensions/sampling.py
+    mix_diversity): Shannon entropy, effective source count, HHI and
+    top share of the documents' source mix weighted by characters —
+    one O(groups) agg + a one-row reduce."""
+    d = _t(spark, sf_dir, "documents")
+    out = pus_sample.mix_diversity(d, "source", "n_chars")
+    return out.select(
+        "n_groups", "total",
+        F.round("entropy", 6).alias("entropy"),
+        F.round("effective_groups", 6).alias("effective_groups"),
+        F.round("hhi", 6).alias("hhi"),
+        F.round("top_share", 6).alias("top_share"),
+    )
+
+
 def q_walk_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Walk-forward (expanding-window) backtest splits over events
     (extensions/sampling.py): 5 exact equal-count time blocks, splits
@@ -4138,6 +4175,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "walk_forward": q_walk_forward,
         "gini_events": q_gini_events,
         "rfm_segments": q_rfm_segments,
+        "seasonal_anomalies": q_seasonal_anomalies,
+        "mix_diversity": q_mix_diversity,
         "perplexity_buckets": q_perplexity_buckets,
         "top_ngrams": q_top_ngrams,
         "dedup_spans": q_dedup_spans,
@@ -8771,6 +8810,51 @@ def oracle_sql() -> dict[str, str]:
         SELECT ta::BIGINT AS n_a, tb::BIGINT AS n_b, u AS u_stat,
                round(z, 6) AS z, round(least(p, 1.0), 6) AS p_value
         FROM pv
+    """
+    d["seasonal_anomalies"] = """
+        WITH b AS (
+            SELECT date_trunc('hour', ts) AS bs,
+                   sum(value) AS bv
+            FROM events WHERE ts IS NOT NULL GROUP BY 1
+        ),
+        s AS (SELECT bs, bv, date_part('hour', bs)::INT AS slot FROM b),
+        base AS (
+            SELECT slot, avg(bv) AS bm, stddev_samp(bv) AS bsd,
+                   count(*) AS bn
+            FROM s GROUP BY 1
+        ),
+        j AS (
+            SELECT s.bs, s.slot, s.bv, base.bm, base.bsd, base.bn,
+                   CASE WHEN base.bsd > 0 THEN (s.bv - base.bm) / base.bsd
+                   END AS z
+            FROM s JOIN base USING (slot)
+        )
+        SELECT bs AS bucket_start, slot,
+               round(bv, 2) AS bucket_value,
+               round(bm, 6) AS baseline_mean,
+               round(bsd, 6) AS baseline_std,
+               bn AS baseline_n,
+               round(z, 6) AS z,
+               coalesce(abs(z) > 3.0, false) AS is_anomaly
+        FROM j
+    """
+    d["mix_diversity"] = """
+        WITH per AS (
+            SELECT source, sum(n_chars)::DOUBLE AS w FROM documents
+            WHERE source IS NOT NULL GROUP BY 1 HAVING sum(n_chars) > 0
+        ),
+        tot AS (SELECT sum(w) AS t FROM per),
+        agg AS (
+            SELECT count(*) AS n_groups, any_value(t) AS total,
+                   -sum((w / t) * ln(w / t)) AS entropy,
+                   sum((w / t) * (w / t)) AS hhi,
+                   max(w / t) AS top_share
+            FROM per CROSS JOIN tot
+        )
+        SELECT n_groups, total, round(entropy, 6) AS entropy,
+               round(exp(entropy), 6) AS effective_groups,
+               round(hhi, 6) AS hhi, round(top_share, 6) AS top_share
+        FROM agg
     """
     d["walk_forward"] = """
         WITH base AS (

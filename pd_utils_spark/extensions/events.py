@@ -749,3 +749,75 @@ def diff_in_diff(
         ).alias("did_estimate"),
         "n_treated_post",
     )
+
+
+def seasonal_anomalies(
+    df: DataFrame,
+    tscol: str = "ts",
+    valuecol: str = "value",
+    bycols: str | Sequence[str] | None = None,
+    season: str = "hour_of_week",
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Seasonal-baseline anomaly detection: aggregate ``valuecol``
+    into time buckets, learn a per-(group, season-slot) baseline
+    (mean/std over the bucket series), and flag buckets whose value
+    is more than ``z_threshold`` baseline standard deviations out —
+    the ops-monitoring workhorse for metrics with daily/weekly shape,
+    where a global z-score would flag every Monday morning.
+
+    ``season``: ``hour_of_week`` (168 slots — the common web-traffic
+    shape), ``hour_of_day`` (24) or ``day_of_week`` (7). Output: one
+    row per (group, bucket) with ``bucket_start``, ``slot``,
+    ``bucket_value``, ``baseline_mean``, ``baseline_std``, ``z``,
+    ``is_anomaly``. Buckets are hourly for hour-granular seasons,
+    daily for ``day_of_week``. A slot seen once has null std -> null
+    z -> never flagged (no division by zero).
+
+    Scale shape: one (group, bucket) aggregation compresses the raw
+    stream; the baseline re-aggregates THAT frame per (group, slot)
+    and joins back — both shuffles are O(buckets), the raw events
+    shuffle once. Self-inclusion caveat documented: each bucket is
+    part of its own baseline (standard for retrospective audits; for
+    ONLINE detection exclude it or train on a frozen window).
+    """
+    seasons = {
+        "hour_of_week": ("hour", (F.dayofweek(F.col("__b__")) - 1) * 24
+                         + F.hour(F.col("__b__"))),
+        "hour_of_day": ("hour", F.hour(F.col("__b__"))),
+        "day_of_week": ("day", F.dayofweek(F.col("__b__")) - 1),
+    }
+    if season not in seasons:
+        raise ValueError(
+            f"season must be one of {sorted(seasons)}: {season!r}"
+        )
+    trunc_unit, slot_expr = seasons[season]
+    by = to_list(bycols)
+    bucketed = (
+        df.filter(F.col(tscol).isNotNull())
+        .withColumn("__b__", F.date_trunc(trunc_unit, F.col(tscol)))
+        .groupBy(*by, "__b__")
+        .agg(F.sum(F.col(valuecol)).alias("bucket_value"))
+        .withColumn("slot", slot_expr.cast("int"))
+    )
+    baseline = bucketed.groupBy(*by, "slot").agg(
+        F.avg("bucket_value").alias("baseline_mean"),
+        F.stddev_samp("bucket_value").alias("baseline_std"),
+        F.count(F.lit(1)).alias("baseline_n"),
+    )
+    joined = bucketed.join(baseline, [*by, "slot"])
+    z = F.when(
+        F.col("baseline_std") > 0,
+        (F.col("bucket_value") - F.col("baseline_mean"))
+        / F.col("baseline_std"),
+    )
+    return joined.select(
+        *by,
+        F.col("__b__").alias("bucket_start"),
+        "slot", "bucket_value", "baseline_mean", "baseline_std",
+        "baseline_n",
+        z.alias("z"),
+        F.coalesce(
+            F.abs(z) > F.lit(float(z_threshold)), F.lit(False)
+        ).alias("is_anomaly"),
+    )

@@ -1071,3 +1071,45 @@ def rfm_segments(
             "-", F.col("r_score"), F.col("f_score"), F.col("m_score")
         ).alias("segment"),
     )
+
+
+def mix_diversity(
+    df: DataFrame,
+    groupcol: str = "source",
+    weightcol: str | None = None,
+) -> DataFrame:
+    """Diversity metrics of a corpus mix over ``groupcol`` (sources,
+    domains, languages): one row with ``n_groups``, ``total``,
+    ``entropy`` (Shannon, nats), ``effective_groups`` (exp(H) — the
+    "how many equally-sized sources is this really" number),
+    ``hhi`` (Herfindahl–Hirschman sum of squared shares, 1/n..1), and
+    ``top_share`` (largest single share). The one-line answer to
+    "is this 100-source mix actually three sources in a trench coat"
+    — pairs with :func:`gini_concentration` (mass inequality) and
+    `source_kl_drift` (distribution movement).
+
+    ``weightcol`` weights rows (token counts, bytes); default is row
+    count. One partial-agg shuffle to O(groups) rows, then a one-row
+    aggregate. Null groups are excluded."""
+    g = F.col(groupcol)
+    w = F.col(weightcol) if weightcol else F.lit(1)
+    per = (
+        df.filter(g.isNotNull())
+        .groupBy(g.alias("__g__"))
+        .agg(F.sum(w).cast("double").alias("__w__"))
+        .filter(F.col("__w__") > 0)
+    )
+    tot = per.agg(F.sum("__w__").alias("__t__"))
+    share = F.col("__w__") / F.col("__t__")
+    agg = per.crossJoin(F.broadcast(tot)).agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.first("__t__").alias("total"),
+        (-F.sum(share * F.log(share))).alias("entropy"),
+        F.sum(share * share).alias("hhi"),
+        F.max(share).alias("top_share"),
+    )
+    return agg.select(
+        "n_groups", "total", "entropy",
+        F.exp(F.col("entropy")).alias("effective_groups"),
+        "hhi", "top_share",
+    )

@@ -535,3 +535,53 @@ class TestDiffInDiff:
         )
         r = diff_in_diff(df, "v", "treat", "post").collect()[0]
         assert r.control_pre == 1.0 and r.treated_post == 5.0
+
+
+class TestSeasonalAnomalies:
+    def test_spike_flagged_seasonal_shape_absorbed(self, spark):
+        import datetime as dt
+
+        from pyspark.sql import functions as F
+
+        from pd_utils_spark.extensions.events import seasonal_anomalies
+
+        rows = []
+        for d in range(14):
+            for h in range(24):
+                v = 100.0 + (50 if h == 12 else 0) + (
+                    500 if (d == 10 and h == 3) else 0
+                )
+                rows.append((dt.datetime(2024, 1, 1 + d, h), v))
+        ev = spark.createDataFrame(rows, ["ts", "value"])
+        out = seasonal_anomalies(ev, season="hour_of_day", z_threshold=3.0)
+        hits = out.filter(F.col("is_anomaly")).collect()
+        assert len(hits) == 1
+        assert hits[0].slot == 3 and hits[0].bucket_value == 600.0
+        # the daily noon bump is part of the seasonal baseline
+        assert out.filter((F.col("slot") == 12) & F.col("is_anomaly")).count() == 0
+
+    def test_singleton_slot_never_flagged(self, spark):
+        import datetime as dt
+
+        from pyspark.sql import functions as F
+
+        from pd_utils_spark.extensions.events import seasonal_anomalies
+
+        ev = spark.createDataFrame(
+            [(dt.datetime(2024, 1, 1, 5), 1e9)], ["ts", "value"]
+        )
+        out = seasonal_anomalies(ev, season="hour_of_day").collect()
+        assert len(out) == 1 and out[0].z is None and not out[0].is_anomaly
+
+    def test_validation(self, spark):
+        import datetime as dt
+
+        import pytest as _pt
+
+        from pd_utils_spark.extensions.events import seasonal_anomalies
+
+        ev = spark.createDataFrame(
+            [(dt.datetime(2024, 1, 1), 1.0)], ["ts", "value"]
+        )
+        with _pt.raises(ValueError):
+            seasonal_anomalies(ev, season="lunar_phase")

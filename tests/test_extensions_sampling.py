@@ -805,3 +805,46 @@ class TestExactNtile:
         assert out[99] is None
         with __import__("pytest").raises(ValueError):
             exact_ntile(df, "v", 0)
+
+
+class TestMixDiversity:
+    def test_hand_computed_three_sources(self, spark):
+        import math
+
+        import pytest as _pt
+
+        from pd_utils_spark.extensions.sampling import mix_diversity
+
+        df = spark.createDataFrame(
+            [("a",)] * 50 + [("b",)] * 30 + [("c",)] * 20, ["source"]
+        )
+        r = mix_diversity(df).collect()[0]
+        shares = [0.5, 0.3, 0.2]
+        h = -sum(s * math.log(s) for s in shares)
+        assert r.n_groups == 3 and r.total == 100.0
+        assert r.entropy == _pt.approx(h, rel=1e-12)
+        assert r.effective_groups == _pt.approx(math.exp(h), rel=1e-12)
+        assert r.hhi == _pt.approx(0.38)
+        assert r.top_share == 0.5
+
+    def test_uniform_mix_effective_equals_n(self, spark):
+        import pytest as _pt
+
+        from pd_utils_spark.extensions.sampling import mix_diversity
+
+        df = spark.createDataFrame(
+            [(f"s{i}",) for i in range(10) for _ in range(7)], ["source"]
+        )
+        r = mix_diversity(df).collect()[0]
+        assert r.effective_groups == _pt.approx(10.0, rel=1e-9)
+        assert r.hhi == _pt.approx(0.1, rel=1e-9)
+
+    def test_weighted_and_null_excluded(self, spark):
+        from pd_utils_spark.extensions.sampling import mix_diversity
+
+        df = spark.createDataFrame(
+            [("a", 99), ("b", 1), (None, 1000)],
+            "source string, w long",
+        )
+        r = mix_diversity(df, weightcol="w").collect()[0]
+        assert r.n_groups == 2 and r.total == 100.0 and r.top_share == 0.99
