@@ -645,3 +645,115 @@ def test_kmeans_fit_composes_one_round_at_a_time(spark, vecs, iters):
                 for d in range(len(vecs[0]))
             ]
         assert want[cid] == pytest.approx(expect, rel=1e-9, abs=1e-9)
+
+
+# ------------------------------------------------ round-5 late ops
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),     # user
+            st.integers(min_value=0, max_value=500),   # seconds offset
+            st.integers(min_value=0, max_value=3),     # type index
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    model=st.sampled_from(
+        ["last_touch", "first_touch", "linear", "position", "time_decay"]
+    ),
+)
+@settings(**SETTINGS)
+def test_attribution_credit_conservation(spark, events, model):
+    """Total credit across channels == number of conversions that have
+    at least one strictly-earlier touch, for EVERY model."""
+    import datetime as dt
+
+    from pd_utils_spark.extensions.events import attribution
+
+    types = ["view", "click", "signup", "purchase"]
+    rows = [
+        (u, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s), types[t])
+        for u, s, t in events
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    out = attribution(df, model=model, halflife_seconds=60.0)
+    total_credit = sum(r.credit for r in out.collect())
+    # reference: a conversion is attributed iff some touch's NEXT
+    # strictly-later conversion is it
+    per_user = {}
+    for u, s, t in events:
+        per_user.setdefault(u, []).append((s, types[t]))
+    n_attr = 0
+    for evs in per_user.values():
+        convs = sorted(s for s, t in evs if t == "purchase")
+        touches = sorted(s for s, t in evs if t != "purchase")
+        for c in convs:
+            if any(
+                x < c and not any(x < c2 < c for c2 in convs)
+                for x in touches
+            ):
+                n_attr += 1
+    assert total_credit == pytest.approx(n_attr, abs=1e-9)
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=0.0, max_value=1e6, allow_nan=False, width=32),
+        min_size=2,
+        max_size=30,
+    )
+)
+@settings(**SETTINGS)
+def test_gini_bounds_and_scale_invariance(spark, vals):
+    from pd_utils_spark.extensions.sampling import gini_concentration
+
+    if sum(vals) == 0:
+        vals = [v + 1.0 for v in vals]
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], ["id", "v"]
+    )
+    g = gini_concentration(df, "v").collect()[0].gini
+    n = len(vals)
+    assert -1e-12 <= g <= (n - 1) / n + 1e-12
+    # scale invariance
+    df2 = spark.createDataFrame(
+        [(i, float(v) * 7.0) for i, v in enumerate(vals)], ["id", "v"]
+    )
+    g2 = gini_concentration(df2, "v").collect()[0].gini
+    assert g2 == pytest.approx(g, abs=1e-9)
+
+
+@given(
+    n=st.integers(min_value=6, max_value=40),
+    k=st.integers(min_value=1, max_value=4),
+)
+@settings(**SETTINGS)
+def test_walk_forward_partition_of_rows(spark, n, k):
+    """Every (split, row) pair appears exactly once, test blocks are
+    contiguous in time, and train ∪ test ∪ future covers everything."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from pd_utils_spark.extensions.sampling import walk_forward_splits
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i))
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, ["id", "ts"])
+    out = walk_forward_splits(df, n_splits=k).collect()
+    assert len(out) == n * k
+    for s in range(1, k + 1):
+        rs = sorted(
+            (r.id, r.role) for r in out if r.split == s
+        )
+        roles = [x[1] for x in rs]
+        # train block is a prefix, test follows, future is the suffix
+        first_test = roles.index("test") if "test" in roles else n
+        assert all(x == "train" for x in roles[:first_test])
+        after = roles[first_test:]
+        n_test = sum(1 for x in after if x == "test")
+        assert all(x == "test" for x in after[:n_test])
+        assert all(x == "future" for x in after[n_test:])
