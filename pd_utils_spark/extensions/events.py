@@ -793,7 +793,12 @@ def seasonal_anomalies(
         )
     trunc_unit, slot_expr = seasons[season]
     by = to_list(bycols)
-    bucketed = (
+    from pd_utils_spark.utils import materialize
+
+    # materialize: the bucketed frame feeds BOTH the output rows and
+    # the baseline re-aggregation — without it each branch re-runs the
+    # raw-stream scan+agg (measured as two parquet scans in the plan)
+    bucketed = materialize(
         df.filter(F.col(tscol).isNotNull())
         .withColumn("__b__", F.date_trunc(trunc_unit, F.col(tscol)))
         .groupBy(*by, "__b__")

@@ -514,3 +514,77 @@ class TestRound5PlanShapes:
         assert plan.count("SortAggregate") == 4
         assert plan.count("+- Exchange") == 1
         assert "CartesianProduct" not in plan
+
+
+class TestRound5LateShapes:
+    """Plan locks for the round-5 late additions: the scale-critical
+    properties are that the statistical family compresses to
+    per-distinct-value counts BEFORE any global scan, the prefix scan
+    range-partitions the data path (no single-task total-order window
+    over raw rows), and attribution never self-joins events."""
+
+    def test_prefix_sum_range_partitions_data_path(self, spark):
+        from pd_utils_spark.plans.prefix import prefix_sum
+
+        df = spark.range(1000).select(
+            F.col("id").alias("o"), (F.col("id") % 7).cast("double").alias("x")
+        )
+        plan = plan_of(prefix_sum(df, "o", "x", partitions=8))
+        assert "rangepartitioning" in plan.lower()
+        # offsets come back as a broadcast, not a shuffle join
+        assert "BroadcastExchange" in plan
+
+    def test_ks_compresses_before_prefix(self, spark):
+        from pd_utils_spark.extensions.stats import ks_2samp
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        plan = plan_of(ks_2samp(ev, "value", "event_type", "view", "click"))
+        # the raw stream hash-aggregates to per-value counts before the
+        # range partition; totals ride a broadcast
+        assert "rangepartitioning" in plan.lower()
+        assert "BroadcastExchange" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_attribution_no_self_join(self, spark):
+        from pd_utils_spark.extensions.events import attribution
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+        plan = plan_of(attribution(ev, model="position"))
+        # one scan of events (formatted explain names each node twice:
+        # tree + detail), windows + final agg: no join of the raw
+        # stream against itself
+        assert plan.count("Scan parquet") == 2
+        assert "SortMergeJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_seasonal_anomalies_two_small_aggs(self, spark):
+        from pd_utils_spark.extensions.events import seasonal_anomalies
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+        plan = plan_of(seasonal_anomalies(ev, season="hour_of_day"))
+        # materialize() pins the bucketed frame: both branches read
+        # the SAME InMemoryRelation (the parquet scan lives only inside
+        # the cached relation's definition and executes once at cache
+        # populate) — without it both branches re-ran the raw scan+agg
+        assert "InMemoryTableScan" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_dsir_topk_is_take_ordered(self, spark):
+        from pd_utils_spark.extensions.selection import dsir_select
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        target = docs.filter(F.col("lang") == "en")
+        plan = plan_of(dsir_select(docs, target, 5, buckets=256))
+        assert "TakeOrderedAndProject" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_mix_diversity_single_group_agg(self, spark):
+        from pd_utils_spark.extensions.sampling import mix_diversity
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = plan_of(mix_diversity(docs, "source", "n_chars"))
+        # group agg -> one-row broadcast total -> one-row reduce
+        assert "BroadcastExchange" in plan
+        assert "CartesianProduct" not in plan
