@@ -3854,6 +3854,29 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of purchase values: first half of
+    the month as the training baseline, second half as current
+    (extensions/stats.py population_stability_index) — exact
+    equal-count baseline deciles via the distributed ntile, current
+    assigned by an edges-array fold (no join/sort of the stream),
+    per-bin (p - q) ln(p / q) contributions."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    base = ev.filter(F.dayofmonth("ts") <= 15).select("value")
+    cur = ev.filter(F.dayofmonth("ts") > 15).select("value")
+    out = pus_stats.population_stability_index(base, cur, "value", bins=10)
+    return out.select(
+        "bin",
+        F.round("hi", 2).alias("hi"),
+        "n_base", "n_cur",
+        F.round("p", 6).alias("p"),
+        F.round("q", 6).alias("q"),
+        F.round("contrib", 6).alias("contrib"),
+    )
+
+
 def q_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seasonal-baseline anomaly audit (extensions/events.py
     seasonal_anomalies): hourly value totals vs their hour-of-day
@@ -4177,6 +4200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rfm_segments": q_rfm_segments,
         "seasonal_anomalies": q_seasonal_anomalies,
         "mix_diversity": q_mix_diversity,
+        "psi_drift": q_psi_drift,
         "perplexity_buckets": q_perplexity_buckets,
         "top_ngrams": q_top_ngrams,
         "dedup_spans": q_dedup_spans,
@@ -8810,6 +8834,48 @@ def oracle_sql() -> dict[str, str]:
         SELECT ta::BIGINT AS n_a, tb::BIGINT AS n_b, u AS u_stat,
                round(z, 6) AS z, round(least(p, 1.0), 6) AS p_value
         FROM pv
+    """
+    # PSI: replay the exact equal-count baseline deciles (rank-based,
+    # ties share a bin), the edges-array current assignment (first
+    # bins-1 edges only; overflow lands in the last bin), and the
+    # 0.5-pseudo-count smoothed contributions
+    d["psi_drift"] = """
+        WITH ev AS (
+            SELECT value AS v, date_part('day', ts) AS d FROM events
+            WHERE event_type = 'purchase' AND value IS NOT NULL
+        ),
+        base AS (SELECT v FROM ev WHERE d <= 15),
+        cur AS (SELECT v FROM ev WHERE d > 15),
+        nt AS (SELECT count(*)::DOUBLE AS n FROM base),
+        bb AS (
+            SELECT v,
+                   least(floor((rank() OVER (ORDER BY v) - 1) * 10 / nt.n),
+                         9)::INT AS b
+            FROM base CROSS JOIN nt
+        ),
+        bc AS (
+            SELECT b, count(*) AS n_base, max(v) AS hi FROM bb GROUP BY 1
+        ),
+        edges AS (
+            SELECT list(hi ORDER BY b) AS e FROM bc WHERE b < 9
+        ),
+        ca AS (
+            SELECT least(len(list_filter(edges.e, x -> cur.v > x)), 9) AS b
+            FROM cur CROSS JOIN edges
+        ),
+        cc AS (SELECT b, count(*) AS n_cur FROM ca GROUP BY 1),
+        tb AS (SELECT sum(n_base)::DOUBLE AS t FROM bc),
+        tc AS (SELECT sum(n_cur)::DOUBLE AS t FROM cc),
+        j AS (
+            SELECT bc.b, bc.hi, bc.n_base, coalesce(cc.n_cur, 0) AS n_cur,
+                   (bc.n_base + 0.5) / (tb.t + 5.0) AS p,
+                   (coalesce(cc.n_cur, 0) + 0.5) / (tc.t + 5.0) AS q
+            FROM bc LEFT JOIN cc USING (b) CROSS JOIN tb CROSS JOIN tc
+        )
+        SELECT b AS bin, round(hi, 2) AS hi, n_base, n_cur,
+               round(p, 6) AS p, round(q, 6) AS q,
+               round((p - q) * ln(p / q), 6) AS contrib
+        FROM j
     """
     d["seasonal_anomalies"] = """
         WITH b AS (

@@ -65,6 +65,7 @@ from pd_utils_spark.extensions.stats import (
     mann_whitney_u,
     poisson_bootstrap_ci,
     poisson_bootstrap_means,
+    population_stability_index,
     welch_ttest,
 )
 from pd_utils_spark.extensions.selection import (

@@ -35,6 +35,7 @@ __all__ = [
     "poisson_bootstrap_means",
     "poisson_bootstrap_ci",
     "fdr_bh",
+    "population_stability_index",
 ]
 
 # Poisson(1) inverse CDF as fixed 10-dp literals — IDENTICAL text on
@@ -397,4 +398,94 @@ def welch_ttest(
         F.col("mb").alias("mean_b"),
         t.alias("t_stat"),
         dof.alias("dof"),
+    )
+
+
+def population_stability_index(
+    baseline: DataFrame,
+    current: DataFrame,
+    valuecol: str,
+    bins: int = 10,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Population Stability Index — the industry-standard "has this
+    feature's distribution moved since training" monitor (credit-risk
+    model governance; rule of thumb: <0.1 stable, 0.1–0.25 watch,
+    >0.25 shifted): bin the BASELINE into ``bins`` exact equal-count
+    quantile bins, place the CURRENT sample into those same bins, and
+    report per bin ``(bin, hi, n_base, n_cur, p, q, contrib)`` with
+    ``contrib = (p - q) * ln(p / q)``; ``PSI = sum(contrib)``.
+
+    ``smoothing`` pseudo-counts are added to BOTH samples' bin counts
+    (``p = (n + s) / (N + s*bins)``) so an empty current bin — the
+    very signal PSI exists to catch — contributes a large finite term
+    instead of infinity.
+
+    Scale shape: the baseline bins come from
+    :func:`pd_utils_spark.plans.prefix.exact_ntile` (per-distinct-
+    value counts + distributed prefix scan — reproducible under ties
+    and re-partitioning); the bin upper edges collapse to a
+    ``bins``-element array broadcast as ONE row, and the current
+    sample is assigned by counting edges below each value inside a
+    column-level fold — the current stream never joins or sorts, one
+    O(bins) aggregation per side."""
+    if bins < 2:
+        raise ValueError(f"bins must be >= 2: {bins}")
+    s = float(smoothing)
+    if s <= 0:
+        raise ValueError(f"smoothing must be > 0: {s}")
+    from pd_utils_spark.plans.prefix import exact_ntile
+
+    v = F.col(valuecol)
+    binned = exact_ntile(
+        baseline.filter(v.isNotNull()).select(v.alias("__v__")),
+        "__v__", bins, out="__b__",
+    )
+    base_counts = binned.groupBy("__b__").agg(
+        F.count(F.lit(1)).alias("n_base"), F.max("__v__").alias("__hi__")
+    )
+    edges_row = base_counts.agg(
+        F.sort_array(
+            F.collect_list(F.struct("__b__", "__hi__"))
+        ).alias("__eb__")
+    ).select(
+        F.transform(F.col("__eb__"), lambda x: x["__hi__"]).alias("__edges__")
+    )
+    cur_assigned = (
+        current.filter(v.isNotNull())
+        .select(v.alias("__v__"))
+        .crossJoin(F.broadcast(edges_row))
+        .select(
+            F.least(
+                F.aggregate(
+                    # the LAST bin's edge is the baseline max — values
+                    # above it must still land in the last bin
+                    F.slice(F.col("__edges__"), 1, bins - 1),
+                    F.lit(0),
+                    lambda acc, e: acc + (F.col("__v__") > e).cast("int"),
+                ),
+                F.lit(bins - 1),
+            ).alias("__b__")
+        )
+    )
+    cur_counts = cur_assigned.groupBy("__b__").agg(
+        F.count(F.lit(1)).alias("n_cur")
+    )
+    tot_b = base_counts.agg(F.sum("n_base").cast("double").alias("__tb__"))
+    tot_c = cur_counts.agg(F.sum("n_cur").cast("double").alias("__tc__"))
+    joined = (
+        base_counts.join(cur_counts, "__b__", "left")
+        .withColumn("n_cur", F.coalesce(F.col("n_cur"), F.lit(0)))
+        .crossJoin(F.broadcast(tot_b))
+        .crossJoin(F.broadcast(tot_c))
+    )
+    p = (F.col("n_base") + F.lit(s)) / (F.col("__tb__") + F.lit(s * bins))
+    q = (F.col("n_cur") + F.lit(s)) / (F.col("__tc__") + F.lit(s * bins))
+    return joined.select(
+        F.col("__b__").alias("bin"),
+        F.col("__hi__").alias("hi"),
+        "n_base", "n_cur",
+        p.alias("p"),
+        q.alias("q"),
+        ((p - q) * F.log(p / q)).alias("contrib"),
     )

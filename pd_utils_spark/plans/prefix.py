@@ -172,4 +172,6 @@ def exact_ntile(
             ).cast("int").alias(out),
         )
     )
-    return df.join(bmap, df[col] == bmap["__v__"], "left").drop("__v__")
+    # drop bmap's key by REFERENCE: a name-based drop("__v__") would
+    # also remove the caller's column if it happens to share the name
+    return df.join(bmap, df[col] == bmap["__v__"], "left").drop(bmap["__v__"])

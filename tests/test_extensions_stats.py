@@ -380,3 +380,74 @@ def test_prefix_agg_min_max(spark):
     assert mx == dict(enumerate(np.maximum.accumulate(vals).tolist()))
     with pytest.raises(ValueError):
         prefix_agg(df, "o", "x", "median")
+
+
+# ----------------------------------------------------- PSI
+
+class TestPSI:
+    def _frames(self, spark):
+        rng = np.random.RandomState(0)
+        base = spark.createDataFrame(
+            [(float(v),) for v in rng.normal(0, 1, 2000).round(3)], ["v"]
+        )
+        same = spark.createDataFrame(
+            [(float(v),) for v in rng.normal(0, 1, 2000).round(3)], ["v"]
+        )
+        shift = spark.createDataFrame(
+            [(float(v),) for v in rng.normal(0.8, 1, 2000).round(3)], ["v"]
+        )
+        return base, same, shift
+
+    def test_stable_vs_shifted(self, spark):
+        from pd_utils_spark.extensions.stats import population_stability_index
+
+        base, same, shift = self._frames(spark)
+        psi_same = (
+            population_stability_index(base, same, "v")
+            .agg(F.sum("contrib")).collect()[0][0]
+        )
+        psi_shift = (
+            population_stability_index(base, shift, "v")
+            .agg(F.sum("contrib")).collect()[0][0]
+        )
+        assert psi_same < 0.1       # "stable" band
+        assert psi_shift > 0.25     # "shifted" band
+        assert psi_same >= 0.0 and psi_shift > psi_same
+
+    def test_identical_frames_near_zero_and_bin_shapes(self, spark):
+        from pd_utils_spark.extensions.stats import population_stability_index
+
+        base, _, _ = self._frames(spark)
+        out = population_stability_index(base, base, "v", bins=8).collect()
+        assert len(out) == 8
+        # equal-count baseline bins; identical current -> p == q per bin
+        for r in out:
+            assert r.n_base == r.n_cur
+            assert r.contrib == pytest.approx(0.0, abs=1e-15)
+
+    def test_empty_current_bin_contributes_large_finite(self, spark):
+        from pd_utils_spark.extensions.stats import population_stability_index
+
+        base = spark.createDataFrame([(float(i),) for i in range(100)], ["v"])
+        cur = spark.createDataFrame([(float(i),) for i in range(50)], ["v"])
+        out = {r.bin: r for r in population_stability_index(base, cur, "v", bins=4).collect()}
+        # bins 2-3 (upper half) are empty in current: finite positive contrib
+        assert out[3].n_cur == 0
+        assert 0 < out[3].contrib < float("inf")
+
+    def test_values_above_baseline_max_land_in_last_bin(self, spark):
+        from pd_utils_spark.extensions.stats import population_stability_index
+
+        base = spark.createDataFrame([(float(i),) for i in range(100)], ["v"])
+        cur = spark.createDataFrame([(1e9,)], ["v"])
+        out = {r.bin: r for r in population_stability_index(base, cur, "v", bins=4).collect()}
+        assert out[3].n_cur == 1
+
+    def test_validation(self, spark):
+        from pd_utils_spark.extensions.stats import population_stability_index
+
+        df = spark.createDataFrame([(1.0,)], ["v"])
+        with pytest.raises(ValueError):
+            population_stability_index(df, df, "v", bins=1)
+        with pytest.raises(ValueError):
+            population_stability_index(df, df, "v", smoothing=0.0)
