@@ -3854,6 +3854,30 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMOC mean-shift changepoint per event type
+    (operators/timeseries.py changepoint_mean_shift): daily value
+    totals per type, scored at every split by the normalized CUSUM
+    statistic sqrt(t(n-t)/n)|mean_L - mean_R|, argmax on the
+    9-dp-rounded stat with day tiebreak. One shuffle, bounded
+    windows, no self-join."""
+    from pd_utils_spark.operators.timeseries import changepoint_mean_shift
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.dayofmonth("ts").alias("day")
+    ).agg(F.round(F.sum("value"), 2).alias("daily_value"))
+    out = changepoint_mean_shift(daily, "daily_value", "day", "event_type")
+    return out.select(
+        "event_type", "split_after", "n",
+        F.round("mean_before", 6).alias("mean_before"),
+        F.round("mean_after", 6).alias("mean_after"),
+        F.round("shift", 6).alias("shift"),
+        F.round("stat", 6).alias("stat"),
+        F.round("stat_norm", 6).alias("stat_norm"),
+    )
+
+
 def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index of purchase values: first half of
     the month as the training baseline, second half as current
@@ -4201,6 +4225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_anomalies": q_seasonal_anomalies,
         "mix_diversity": q_mix_diversity,
         "psi_drift": q_psi_drift,
+        "changepoint": q_changepoint,
         "perplexity_buckets": q_perplexity_buckets,
         "top_ngrams": q_top_ngrams,
         "dedup_spans": q_dedup_spans,
@@ -8834,6 +8859,43 @@ def oracle_sql() -> dict[str, str]:
         SELECT ta::BIGINT AS n_a, tb::BIGINT AS n_b, u AS u_stat,
                round(z, 6) AS z, round(least(p, 1.0), 6) AS p_value
         FROM pv
+    """
+    d["changepoint"] = """
+        WITH daily AS (
+            SELECT event_type, date_part('day', ts)::INT AS day,
+                   round(sum(value), 2) AS x
+            FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        sc AS (
+            SELECT event_type, day, x,
+                   sum(x) OVER (PARTITION BY event_type ORDER BY day
+                                ROWS UNBOUNDED PRECEDING) AS st,
+                   count(*) OVER (PARTITION BY event_type ORDER BY day
+                                  ROWS UNBOUNDED PRECEDING) AS t,
+                   sum(x) OVER (PARTITION BY event_type) AS sn,
+                   count(*) OVER (PARTITION BY event_type) AS n,
+                   stddev_samp(x) OVER (PARTITION BY event_type) AS sd
+            FROM daily
+        ),
+        cand AS (
+            SELECT event_type, day, n, sd,
+                   st / t AS ml, (sn - st) / (n - t) AS mr,
+                   sqrt(t::DOUBLE * (n - t) / n) * abs(st / t - (sn - st) / (n - t))
+                       AS stat
+            FROM sc WHERE t >= 2 AND n - t >= 2
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                       PARTITION BY event_type
+                       ORDER BY round(stat, 9) DESC, day) AS rk
+            FROM cand
+        )
+        SELECT event_type, day AS split_after, n,
+               round(ml, 6) AS mean_before, round(mr, 6) AS mean_after,
+               round(mr - ml, 6) AS shift, round(stat, 6) AS stat,
+               round(CASE WHEN sd > 0 THEN stat / sd END, 6) AS stat_norm
+        FROM ranked WHERE rk = 1
     """
     # PSI: replay the exact equal-count baseline deciles (rank-based,
     # ties share a bin), the edges-array current assignment (first

@@ -177,3 +177,85 @@ def drawdown(
     return df.withColumn(f"{valuecol}_peak", peak).withColumn(
         "drawdown", F.when(peak > 0, v / peak - 1)
     )
+
+
+def changepoint_mean_shift(
+    df: DataFrame,
+    valuecol: str,
+    ordervar: str,
+    byvars: str | Sequence[str] | None = None,
+    min_segment: int = 2,
+) -> DataFrame:
+    """Single most-likely mean-shift changepoint per group (the AMOC —
+    at-most-one-changepoint — form of CUSUM segmentation): for every
+    split position t in a group of n ordered points, score
+    ``stat(t) = sqrt(t (n-t) / n) * |mean(x[1..t]) - mean(x[t+1..n])|``
+    (the two-sample z numerator — the classic normalized CUSUM
+    statistic) and return the argmax row per group:
+    ``(byvars..., split_after, n, mean_before, mean_after, shift,
+    stat, stat_norm)`` where ``split_after`` is the LAST ``ordervar``
+    value of the left segment and ``stat_norm`` = stat / sample std
+    of the whole group (comparable across groups; null for constant
+    groups). Splits leaving fewer than ``min_segment`` points on
+    either side are not considered; groups smaller than
+    ``2 * min_segment`` produce no row.
+
+    Scale shape: everything is bounded per-group window arithmetic
+    over ONE shuffle on ``byvars`` (running sum/count + whole-group
+    totals share the partitioning); the argmax is a row_number on the
+    9-dp-rounded statistic (ulp noise must not outrank the ordervar
+    tiebreak) — no self-join, no driver loop, no global window.
+    """
+    if min_segment < 1:
+        raise ValueError(f"min_segment must be >= 1: {min_segment}")
+    by = to_list(byvars)
+    part = [F.col(b) for b in by]
+    w_run = (
+        Window.partitionBy(*part)
+        .orderBy(F.col(ordervar))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy(*part)
+    v = F.col(valuecol).cast("double")
+    base = df.filter(
+        F.col(valuecol).isNotNull() & F.col(ordervar).isNotNull()
+    ).select(*by, F.col(ordervar), v.alias("__x__"))
+    scored = (
+        base.withColumn("__st__", F.sum("__x__").over(w_run))
+        .withColumn("__t__", F.count(F.lit(1)).over(w_run))
+        .withColumn("__sn__", F.sum("__x__").over(w_all))
+        .withColumn("__n__", F.count(F.lit(1)).over(w_all))
+        .withColumn("__sd__", F.stddev_samp("__x__").over(w_all))
+    )
+    t, n = F.col("__t__").cast("double"), F.col("__n__").cast("double")
+    mean_l = F.col("__st__") / t
+    mean_r = (F.col("__sn__") - F.col("__st__")) / (n - t)
+    stat = F.sqrt(t * (n - t) / n) * F.abs(mean_l - mean_r)
+    cand = (
+        scored.filter(
+            (F.col("__t__") >= min_segment)
+            & (F.col("__n__") - F.col("__t__") >= min_segment)
+        )
+        .withColumn("__stat__", stat)
+        .withColumn("__ml__", mean_l)
+        .withColumn("__mr__", mean_r)
+    )
+    w_rank = Window.partitionBy(*part).orderBy(
+        F.desc(F.round(F.col("__stat__"), 9)), F.col(ordervar)
+    )
+    return (
+        cand.withColumn("__rk__", F.row_number().over(w_rank))
+        .filter(F.col("__rk__") == 1)
+        .select(
+            *by,
+            F.col(ordervar).alias("split_after"),
+            F.col("__n__").alias("n"),
+            F.col("__ml__").alias("mean_before"),
+            F.col("__mr__").alias("mean_after"),
+            (F.col("__mr__") - F.col("__ml__")).alias("shift"),
+            F.col("__stat__").alias("stat"),
+            F.when(
+                F.col("__sd__") > 0, F.col("__stat__") / F.col("__sd__")
+            ).alias("stat_norm"),
+        )
+    )

@@ -164,3 +164,50 @@ class TestDrawdown:
         pdf = pd.DataFrame({"t": [1, 2], "v": [-1.0, -2.0]})
         out = pus.drawdown(spark.createDataFrame(pdf), "v", "t").toPandas()
         assert out["drawdown"].isna().all()
+
+
+class TestChangepoint:
+    def test_finds_injected_shifts_and_ranks_noise_low(self, spark):
+        import numpy as np
+
+        from pd_utils_spark.operators.timeseries import changepoint_mean_shift
+
+        rng = np.random.RandomState(0)
+        rows = []
+        for g, cp, delta in [("a", 30, 2.0), ("b", 10, -1.5), ("c", None, 0.0)]:
+            for i in range(50):
+                base = 10.0 + (delta if cp is not None and i >= cp else 0.0)
+                rows.append((g, i, round(base + rng.normal(0, 0.3), 3)))
+        df = spark.createDataFrame(rows, ["g", "i", "v"])
+        out = {r.g: r for r in changepoint_mean_shift(df, "v", "i", "g").collect()}
+        assert out["a"].split_after == 29   # change begins at i=30
+        assert out["b"].split_after == 9
+        assert out["a"].shift == pytest.approx(2.0, abs=0.3)
+        assert out["b"].shift == pytest.approx(-1.5, abs=0.3)
+        # no-change group scores far below the real shifts
+        assert out["c"].stat_norm < 3 < out["a"].stat_norm
+        assert out["c"].stat_norm < 3 < out["b"].stat_norm
+
+    def test_min_segment_and_small_groups(self, spark):
+        from pd_utils_spark.operators.timeseries import changepoint_mean_shift
+
+        df = spark.createDataFrame(
+            [("g", i, float(i >= 2) * 10) for i in range(4)]
+            + [("tiny", 0, 1.0), ("tiny", 1, 2.0), ("tiny", 2, 3.0)],
+            ["g", "i", "v"],
+        )
+        out = changepoint_mean_shift(df, "v", "i", "g", min_segment=2).collect()
+        # 'tiny' (n=3 < 2*min_segment) yields no row
+        assert {r.g for r in out} == {"g"}
+        assert out[0].split_after == 1
+        with pytest.raises(ValueError):
+            changepoint_mean_shift(df, "v", "i", "g", min_segment=0)
+
+    def test_constant_group_null_norm(self, spark):
+        from pd_utils_spark.operators.timeseries import changepoint_mean_shift
+
+        df = spark.createDataFrame(
+            [("g", i, 5.0) for i in range(6)], ["g", "i", "v"]
+        )
+        r = changepoint_mean_shift(df, "v", "i", "g").collect()[0]
+        assert r.stat == 0.0 and r.stat_norm is None
