@@ -3854,6 +3854,25 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between event type and a user segment
+    (extensions/profile.py mutual_information): plug-in MI/NMI from
+    ONE (x,y) cell aggregation — marginals and all three entropies
+    re-aggregate the O(cells) frame, the raw rows shuffle once."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", (F.col("user_id") % 6).alias("seg")
+    )
+    out = pus_profile.mutual_information(ev, "event_type", "seg")
+    return out.select(
+        "n",
+        F.round("h_x", 6).alias("h_x"),
+        F.round("h_y", 6).alias("h_y"),
+        F.round("h_xy", 6).alias("h_xy"),
+        F.round("mi", 6).alias("mi"),
+        F.round("nmi", 6).alias("nmi"),
+    )
+
+
 def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AMOC mean-shift changepoint per event type
     (operators/timeseries.py changepoint_mean_shift): daily value
@@ -4226,6 +4245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_diversity": q_mix_diversity,
         "psi_drift": q_psi_drift,
         "changepoint": q_changepoint,
+        "mutual_information": q_mutual_information,
         "perplexity_buckets": q_perplexity_buckets,
         "top_ngrams": q_top_ngrams,
         "dedup_spans": q_dedup_spans,
@@ -8859,6 +8879,34 @@ def oracle_sql() -> dict[str, str]:
         SELECT ta::BIGINT AS n_a, tb::BIGINT AS n_b, u AS u_stat,
                round(z, 6) AS z, round(least(p, 1.0), 6) AS p_value
         FROM pv
+    """
+    d["mutual_information"] = """
+        WITH cells AS (
+            SELECT event_type AS x, user_id % 6 AS y, count(*) AS c
+            FROM events GROUP BY 1, 2
+        ),
+        xm AS (SELECT x, sum(c) AS cx FROM cells GROUP BY 1),
+        ym AS (SELECT y, sum(c) AS cy FROM cells GROUP BY 1),
+        hx AS (
+            SELECT ln(sum(cx)::DOUBLE) - sum(cx * ln(cx::DOUBLE)) / sum(cx)
+                       AS h FROM xm
+        ),
+        hy AS (
+            SELECT ln(sum(cy)::DOUBLE) - sum(cy * ln(cy::DOUBLE)) / sum(cy)
+                       AS h FROM ym
+        ),
+        hxy AS (
+            SELECT sum(c) AS n,
+                   ln(sum(c)::DOUBLE) - sum(c * ln(c::DOUBLE)) / sum(c) AS h
+            FROM cells
+        )
+        SELECT hxy.n, round(hx.h, 6) AS h_x, round(hy.h, 6) AS h_y,
+               round(hxy.h, 6) AS h_xy,
+               round(hx.h + hy.h - hxy.h, 6) AS mi,
+               round(CASE WHEN least(hx.h, hy.h) > 0
+                          THEN (hx.h + hy.h - hxy.h) / least(hx.h, hy.h)
+                     END, 6) AS nmi
+        FROM hxy CROSS JOIN hx CROSS JOIN hy
     """
     d["changepoint"] = """
         WITH daily AS (

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pd_utils_spark.extensions.text import _token_count
+from pd_utils_spark.utils import materialize
 
 
 def numeric_histogram(
@@ -344,4 +345,69 @@ def crosstab_chi2(
                 "chi2_contrib"
             ),
         )
+    )
+
+
+def mutual_information(
+    df: DataFrame,
+    xcol: str,
+    ycol: str,
+) -> DataFrame:
+    """Mutual information between two categorical columns — the
+    model-free association strength for feature screening and leakage
+    audits (an MI near min(H(X), H(Y)) says one column nearly
+    determines the other; chi-square localizes WHERE association
+    lives, MI says HOW MUCH in bits-equivalent nats): one row
+    ``(n, h_x, h_y, h_xy, mi, nmi)`` with
+    ``mi = H(X) + H(Y) - H(X,Y)`` (plug-in estimate, nats) and
+    ``nmi = mi / min(h_x, h_y)`` (0..1; null when either marginal
+    entropy is 0). Null categories count as real levels (eqNullSafe
+    grouping — consistent with ``crosstab_chi2``).
+
+    Scale shape: ONE (x, y) aggregation compresses the data; both
+    marginals and all three entropies re-aggregate that O(cells)
+    frame — the raw rows shuffle once, everything downstream is
+    cell-level arithmetic. Entropies computed as
+    ``ln N - sum(c ln c) / N`` so every term is exact-integer input.
+    """
+    cells = materialize(
+        df.groupBy(
+            F.col(xcol).alias("__x__"), F.col(ycol).alias("__y__")
+        ).agg(F.count(F.lit(1)).alias("__c__"))
+    )
+    xm = cells.groupBy("__x__").agg(F.sum("__c__").alias("__cx__"))
+    ym = cells.groupBy("__y__").agg(F.sum("__c__").alias("__cy__"))
+
+    def _ent(frame: DataFrame, ccol: str) -> DataFrame:
+        c = F.col(ccol).cast("double")
+        return frame.agg(
+            F.sum(ccol).alias("__n__"),
+            F.sum(c * F.log(c)).alias("__clc__"),
+        ).select(
+            "__n__",
+            (
+                F.log(F.col("__n__").cast("double"))
+                - F.col("__clc__") / F.col("__n__")
+            ).alias("__h__"),
+        )
+
+    hx = _ent(xm, "__cx__").select(F.col("__h__").alias("h_x"))
+    hy = _ent(ym, "__cy__").select(F.col("__h__").alias("h_y"))
+    hxy = _ent(cells, "__c__").select(
+        F.col("__n__").alias("n"), F.col("__h__").alias("h_xy")
+    )
+    out = (
+        hxy.crossJoin(F.broadcast(hx))
+        .crossJoin(F.broadcast(hy))
+        .select(
+            "n", "h_x", "h_y", "h_xy",
+            (F.col("h_x") + F.col("h_y") - F.col("h_xy")).alias("mi"),
+        )
+    )
+    return out.withColumn(
+        "nmi",
+        F.when(
+            F.least("h_x", "h_y") > 0,
+            F.col("mi") / F.least("h_x", "h_y"),
+        ),
     )

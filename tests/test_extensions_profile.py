@@ -226,3 +226,54 @@ class TestCrosstabChi2:
         rows = crosstab_chi2(spark.createDataFrame(pdf), "a", "b").collect()
         assert len(rows) == 4 and sum(r.n for r in rows) == 4
         assert {r.a for r in rows} == {"x", None}
+
+
+class TestMutualInformation:
+    def test_deterministic_dependence_and_independence(self, spark):
+        import math
+
+        import pytest as _pt
+
+        from pd_utils_spark.extensions.profile import mutual_information
+
+        dep = spark.createDataFrame([(i % 4, i % 4) for i in range(100)], ["x", "y"])
+        r = mutual_information(dep, "x", "y").collect()[0]
+        assert r.mi == _pt.approx(math.log(4), rel=1e-9)
+        assert r.nmi == _pt.approx(1.0, rel=1e-9)
+        ind = spark.createDataFrame(
+            [(i % 4, (i // 4) % 5) for i in range(200)], ["x", "y"]
+        )
+        r2 = mutual_information(ind, "x", "y").collect()[0]
+        assert r2.mi == _pt.approx(0.0, abs=1e-12)
+
+    def test_reference_parity_and_null_level(self, spark):
+        import collections
+        import math
+
+        import pytest as _pt
+
+        from pd_utils_spark.extensions.profile import mutual_information
+
+        rows = [("a", "p"), ("a", "q"), ("b", "p"), (None, "q"),
+                (None, "q"), ("b", None), ("a", "p")]
+        df = spark.createDataFrame(rows, "x string, y string")
+        r = mutual_information(df, "x", "y").collect()[0]
+
+        def ent(counter, n):
+            return -sum(c / n * math.log(c / n) for c in counter.values())
+
+        n = len(rows)
+        hx = ent(collections.Counter(x for x, _ in rows), n)
+        hy = ent(collections.Counter(y for _, y in rows), n)
+        hxy = ent(collections.Counter(rows), n)
+        assert r.n == n
+        assert r.h_x == _pt.approx(hx, rel=1e-12)
+        assert r.h_y == _pt.approx(hy, rel=1e-12)
+        assert r.mi == _pt.approx(hx + hy - hxy, rel=1e-9)
+
+    def test_constant_column_null_nmi(self, spark):
+        from pd_utils_spark.extensions.profile import mutual_information
+
+        df = spark.createDataFrame([(1, i % 3) for i in range(9)], ["x", "y"])
+        r = mutual_information(df, "x", "y").collect()[0]
+        assert r.h_x == 0.0 and r.nmi is None
