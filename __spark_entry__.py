@@ -3854,6 +3854,30 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_caliper_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Caliper nearest-neighbor matching (extensions/stats.py
+    caliper_match): per-user mean event value as the score, odd users
+    treated, matched with replacement to the nearest even-user control
+    within 0.05 — the as-of machinery does the nearest pick (rank-1
+    window over the shared partitioning, no all-pairs score join).
+    Distance ties take the backward side then the lowest control id;
+    unmatched treated rows surface with null controls."""
+    ev = _t(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.avg("value").alias("score"),
+        (F.first("user_id") % 2 == 1).alias("treat"),
+    )
+    out = pus_stats.caliper_match(
+        users, "score", "treat", "user_id", caliper=0.05
+    )
+    return out.select(
+        "treated_id", "control_id",
+        F.round("score_t", 6).alias("score_t"),
+        F.round("score_c", 6).alias("score_c"),
+        F.round("dist", 6).alias("dist"),
+    )
+
+
 def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mutual information between event type and a user segment
     (extensions/profile.py mutual_information): plug-in MI/NMI from
@@ -4246,6 +4270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift": q_psi_drift,
         "changepoint": q_changepoint,
         "mutual_information": q_mutual_information,
+        "caliper_match": q_caliper_match,
         "perplexity_buckets": q_perplexity_buckets,
         "top_ngrams": q_top_ngrams,
         "dedup_spans": q_dedup_spans,
@@ -8879,6 +8904,33 @@ def oracle_sql() -> dict[str, str]:
         SELECT ta::BIGINT AS n_a, tb::BIGINT AS n_b, u AS u_stat,
                round(z, 6) AS z, round(least(p, 1.0), 6) AS p_value
         FROM pv
+    """
+    # caliper matching: nearest control within the caliper, distance
+    # tie -> backward (lower score) side, then lowest control id;
+    # unmatched treated rows kept with null controls
+    d["caliper_match"] = """
+        WITH users AS (
+            SELECT user_id, avg(value) AS score,
+                   (user_id % 2 = 1) AS treat
+            FROM events GROUP BY user_id
+        ),
+        t AS (SELECT user_id AS tid, score AS st FROM users WHERE treat),
+        c AS (SELECT user_id AS cid, score AS sc FROM users WHERE NOT treat),
+        cand AS (
+            SELECT t.tid, t.st, c.cid, c.sc, abs(t.st - c.sc) AS dist,
+                   CASE WHEN c.sc <= t.st THEN 0 ELSE 1 END AS side
+            FROM t JOIN c ON abs(t.st - c.sc) <= 0.05
+        ),
+        best AS (
+            SELECT *, row_number() OVER (
+                       PARTITION BY tid ORDER BY dist, side, cid) AS rk
+            FROM cand
+        )
+        SELECT t.tid AS treated_id, b.cid AS control_id,
+               round(t.st, 6) AS score_t, round(b.sc, 6) AS score_c,
+               round(b.dist, 6) AS dist
+        FROM t LEFT JOIN (SELECT * FROM best WHERE rk = 1) b
+          ON b.tid = t.tid
     """
     d["mutual_information"] = """
         WITH cells AS (

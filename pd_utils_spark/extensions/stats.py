@@ -489,3 +489,77 @@ def population_stability_index(
         q.alias("q"),
         ((p - q) * F.log(p / q)).alias("contrib"),
     )
+
+
+def caliper_match(
+    df: DataFrame,
+    scorecol: str,
+    treatcol: str,
+    idcol: str,
+    caliper: float,
+    byvars: str | list[str] | None = None,
+    outcomecol: str | None = None,
+) -> DataFrame:
+    """Nearest-neighbor matching WITH replacement within a caliper —
+    the propensity-score matching step of an observational study: each
+    treated row is paired with the control row whose ``scorecol`` is
+    closest (either direction) within ``caliper``; distance ties take
+    the backward (lower-score) side, remaining ties the lowest control
+    id, so the match is deterministic. Treated rows with no control in
+    the caliper appear with null control columns (report them — a high
+    unmatched rate means the groups don't overlap). Matching is
+    with-replacement (a control can serve several treated rows), the
+    variant that is order-independent and therefore well-defined in a
+    distributed setting; greedy without-replacement matching is
+    inherently sequential and intentionally not offered.
+
+    Output: ``(byvars..., treated_id, control_id, score_t, score_c,
+    dist[, outcome_t, outcome_c])``. With ``outcomecol``, the ATT
+    estimate is ``avg(outcome_t - outcome_c)`` over the matched rows —
+    one aggregation away. ``byvars`` match within strata (exact-match
+    blocking + score caliper, the textbook combination).
+
+    Scale shape: delegates to the as-of machinery
+    (:func:`pd_utils_spark.operators.merge.left_merge_nearest`):
+    equi-keys stay in the join, the nearest pick is a rank-1 window
+    over the shared (keys, score) partitioning — never an all-pairs
+    score join. Stratified calls scale on the strata key; an
+    unstratified call partitions on the constant key (fine for the
+    usual "scores fit one executor per stratum" case — add blocking
+    byvars when they don't).
+    """
+    if caliper <= 0:
+        raise ValueError(f"caliper must be > 0: {caliper}")
+    from pd_utils_spark.operators.merge import left_merge_nearest
+    from pd_utils_spark.utils import to_list
+
+    by = to_list(byvars)
+    t = F.col(treatcol).cast("boolean")
+    keys = by or ["__k__"]
+    base = df if by else df.withColumn("__k__", F.lit(1))
+    tcols = [*keys, F.col(idcol).alias("treated_id"),
+             F.col(scorecol).alias("score_t")]
+    ccols = [*keys, F.col(idcol).alias("control_id"),
+             F.col(scorecol).alias("score_c")]
+    if outcomecol is not None:
+        tcols.append(F.col(outcomecol).alias("outcome_t"))
+        ccols.append(F.col(outcomecol).alias("outcome_c"))
+    treated = base.filter(t).select(*tcols)
+    control = base.filter(~t).select(*ccols)
+    matched = left_merge_nearest(
+        treated, control, on=keys,
+        left_datevar="score_t", right_datevar="score_c",
+        max_offset=float(caliper),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys, "treated_id").orderBy(
+        F.asc_nulls_last("control_id")
+    )
+    out = (
+        matched.withColumn("__rk__", F.row_number().over(w))
+        .filter(F.col("__rk__") == 1)
+        .withColumn("dist", F.abs(F.col("score_t") - F.col("score_c")))
+        .drop("__rk__")
+    )
+    return out.drop("__k__") if not by else out

@@ -451,3 +451,62 @@ class TestPSI:
             population_stability_index(df, df, "v", bins=1)
         with pytest.raises(ValueError):
             population_stability_index(df, df, "v", smoothing=0.0)
+
+
+# ----------------------------------------------------- caliper match
+
+class TestCaliperMatch:
+    def _df(self, spark):
+        rows = [
+            (1, True, 0.50, 10.0), (2, True, 0.90, 12.0),
+            (3, True, 0.10, 8.0),
+            (101, False, 0.52, 7.0), (102, False, 0.47, 6.5),
+            (103, False, 0.60, 7.2), (104, False, 0.30, 5.0),
+        ]
+        return spark.createDataFrame(rows, ["id", "treat", "score", "y"])
+
+    def test_nearest_within_caliper_and_unmatched(self, spark):
+        from pd_utils_spark.extensions.stats import caliper_match
+
+        out = {
+            r.treated_id: r
+            for r in caliper_match(
+                self._df(spark), "score", "treat", "id", 0.1, outcomecol="y"
+            ).collect()
+        }
+        assert out[1].control_id == 101 and out[1].dist == pytest.approx(0.02)
+        assert out[1].outcome_t == 10.0 and out[1].outcome_c == 7.0
+        assert out[2].control_id is None  # nearest control 0.30 away
+        assert out[3].control_id is None
+
+    def test_backward_wins_distance_tie(self, spark):
+        from pd_utils_spark.extensions.stats import caliper_match
+
+        df = spark.createDataFrame(
+            [(1, True, 0.5), (10, False, 0.4), (11, False, 0.6)],
+            ["id", "treat", "score"],
+        )
+        r = caliper_match(df, "score", "treat", "id", 0.5).collect()[0]
+        assert r.control_id == 10  # 0.4 (backward) beats 0.6 at equal dist
+
+    def test_with_replacement_and_strata(self, spark):
+        from pd_utils_spark.extensions.stats import caliper_match
+
+        df = spark.createDataFrame(
+            [("s1", 1, True, 0.5), ("s1", 2, True, 0.51),
+             ("s1", 10, False, 0.5),
+             ("s2", 3, True, 0.5), ("s2", 20, False, 5.0)],
+            ["g", "id", "treat", "score"],
+        )
+        out = {
+            r.treated_id: r
+            for r in caliper_match(
+                df, "score", "treat", "id", 0.2, byvars="g"
+            ).collect()
+        }
+        # one control serves both s1 treated rows (with replacement)
+        assert out[1].control_id == 10 and out[2].control_id == 10
+        # strata block the s2 treated row from s1's control
+        assert out[3].control_id is None
+        with pytest.raises(ValueError):
+            caliper_match(df, "score", "treat", "id", 0.0)
