@@ -3878,6 +3878,89 @@ def q_caliper_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curves (extensions/stats.py
+    kaplan_meier): per-user observation span in whole hours as the
+    duration, 'purchase made' as the event (others censored), split
+    into two cohorts by user-id parity. Raw events compress to
+    per-user rows, then to per-(cohort, duration) counts in one
+    shuffle each; survival is a ``product`` window over the compressed
+    curve — pure IEEE multiplication in duration order on both
+    engines, no libm round-trip."""
+    ev = _t(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        (
+            (
+                F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+            )
+            / F.lit(3600)
+        ).cast("long").alias("dur"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("ev"),
+    ).withColumn("cohort", (F.col("user_id") % 2).cast("int"))
+    out = pus_stats.kaplan_meier(users, "dur", "ev", byvars="cohort")
+    return out.select(
+        "cohort",
+        "t",
+        "n_risk",
+        "n_event",
+        "n_censored",
+        F.round("survival", 9).alias("survival"),
+    )
+
+
+def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (extensions/stats.py cuped): per-user
+    total event value as the metric, per-user event count as the
+    pre-period covariate, user-id parity as the variant. ONE
+    groupBy(variant) pass over the five sufficient sums; the pooled
+    theta is an aggregate of the O(#variants) frame broadcast back —
+    the raw rows never shuffle twice."""
+    ev = _t(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.sum("value").alias("y"), F.count(F.lit(1)).alias("x")
+    ).withColumn("variant", (F.col("user_id") % 2).cast("int"))
+    out = pus_stats.cuped(users, "y", "x", "variant")
+    return out.select(
+        "variant",
+        "n",
+        F.round("mean", 6).alias("mean"),
+        F.round("mean_adj", 6).alias("mean_adj"),
+        F.round("var", 4).alias("var"),
+        F.round("var_adj", 4).alias("var_adj"),
+        F.round("var_reduction", 6).alias("var_reduction"),
+        F.round("theta", 6).alias("theta"),
+    )
+
+
+def q_conformal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split conformal interval (extensions/stats.py conformal_split):
+    predictions are per-event-type mean values FIT ON THE CALIBRATION
+    HALF (even event ids), |y - pred| scored on both halves, q_hat =
+    the finite-sample ceil((n+1)(1-alpha)) order statistic from the
+    distributed prefix scan, coverage read on the odd half. The k-th
+    order statistic is exact — no percentile approximation."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    ev = ev.withColumn("__calib__", (F.col("event_id") % 2) == 0)
+    fit = (
+        ev.filter("__calib__")
+        .groupBy("event_type")
+        .agg(F.avg("value").alias("pred"))
+    )
+    scored = ev.join(F.broadcast(fit), "event_type")
+    out = pus_stats.conformal_split(scored, "value", "pred", "__calib__", alpha=0.1)
+    # covered COUNT, not the rounded coverage ratio: count/n_test can
+    # land on an exact decimal midpoint where engine rounding modes
+    # diverge; the count itself is integer-exact on both engines
+    return out.select(
+        "n_calib",
+        "n_test",
+        F.round("q_hat", 6).alias("q_hat"),
+        F.round(F.col("coverage") * F.col("n_test"), 0).cast("long").alias("covered"),
+    )
+
+
 def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mutual information between event type and a user segment
     (extensions/profile.py mutual_information): plug-in MI/NMI from
@@ -4271,6 +4354,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "changepoint": q_changepoint,
         "mutual_information": q_mutual_information,
         "caliper_match": q_caliper_match,
+        "kaplan_meier": q_kaplan_meier,
+        "cuped": q_cuped,
+        "conformal_split": q_conformal_split,
         "perplexity_buckets": q_perplexity_buckets,
         "top_ngrams": q_top_ngrams,
         "dedup_spans": q_dedup_spans,
@@ -9449,5 +9535,122 @@ def oracle_sql() -> dict[str, str]:
         SELECT s.doc_id, dd.source, s.n_feats, round(s.score, 4) AS score
         FROM scored s JOIN documents dd USING (doc_id)
         ORDER BY s.score DESC, s.doc_id LIMIT 40
+    """
+    # Kaplan–Meier: identical window plan — per-cohort exit cumsum for
+    # the at-risk count, then a product() window in duration order (the
+    # same sequential IEEE multiplications Spark's product window does)
+    d["kaplan_meier"] = """
+        WITH users AS (
+            SELECT user_id,
+                   CAST(floor((epoch(max(ts)) - epoch(min(ts))) / 3600.0)
+                        AS BIGINT) AS dur,
+                   max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS ev,
+                   CAST(user_id % 2 AS INT) AS cohort
+            FROM events GROUP BY user_id
+        ),
+        counts AS (
+            SELECT cohort, dur AS t,
+                   sum(ev) AS n_event, sum(1 - ev) AS n_censored
+            FROM users GROUP BY cohort, dur
+        ),
+        stepped AS (
+            SELECT cohort, t, n_event, n_censored,
+                   sum(n_event + n_censored) OVER (PARTITION BY cohort)
+                   - coalesce(sum(n_event + n_censored) OVER (
+                         PARTITION BY cohort ORDER BY t
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS n_risk
+            FROM counts
+        )
+        SELECT cohort, t,
+               n_risk::BIGINT AS n_risk,
+               n_event::BIGINT AS n_event,
+               n_censored::BIGINT AS n_censored,
+               round(product(1.0 - n_event / n_risk) OVER (
+                   PARTITION BY cohort ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ), 9) AS survival
+        FROM stepped
+    """
+    # CUPED: the exact sufficient-sums algebra of extensions/stats.py
+    # cuped() — sub-expressions written in the same association order so
+    # IEEE results agree before rounding
+    d["cuped"] = """
+        WITH users AS (
+            SELECT user_id, sum(value) AS y, count(*) AS x,
+                   CAST(user_id % 2 AS INT) AS variant
+            FROM events GROUP BY user_id
+        ),
+        per AS (
+            SELECT variant, count(*) AS n, sum(y) AS sy, sum(x) AS sx,
+                   sum(y * y) AS syy, sum(x * x) AS sxx, sum(y * x) AS syx
+            FROM users GROUP BY variant
+        ),
+        pooled AS (
+            SELECT sum(n) AS nt, sum(sy) AS psy, sum(sx) AS psx,
+                   sum(sxx) AS psxx, sum(syx) AS psyx
+            FROM per
+        ),
+        pl AS (
+            SELECT psx / nt AS xbar,
+                   (psyx - psy * psx / nt)
+                   / (psxx - psx * psx / nt) AS theta
+            FROM pooled
+        ),
+        calc AS (
+            SELECT variant, n,
+                   sy / n AS mean_y, sx / n AS mean_x,
+                   (syy - sy * (sy / n)) / (n - 1) AS var_y,
+                   (sxx - sx * (sx / n)) / (n - 1) AS var_x,
+                   (syx - sy * (sx / n)) / (n - 1) AS cov_yx,
+                   xbar, theta
+            FROM per CROSS JOIN pl
+        )
+        SELECT variant, n,
+               round(mean_y, 6) AS mean,
+               round(mean_y - theta * (mean_x - xbar), 6) AS mean_adj,
+               round(var_y, 4) AS var,
+               round(var_y - 2 * theta * cov_yx + theta * theta * var_x, 4)
+                   AS var_adj,
+               round(1.0 - (var_y - 2 * theta * cov_yx
+                            + theta * theta * var_x) / var_y, 6)
+                   AS var_reduction,
+               round(theta, 6) AS theta
+        FROM calc
+    """
+    # split conformal: k-th order statistic of calibration residuals
+    # (k = ceil((n+1)*0.9) clamped), covered COUNT on the test half
+    d["conformal_split"] = """
+        WITH ev AS (
+            SELECT event_id, event_type, value FROM events
+            WHERE value IS NOT NULL
+        ),
+        fit AS (
+            SELECT event_type, avg(value) AS pred
+            FROM ev WHERE event_id % 2 = 0 GROUP BY event_type
+        ),
+        scored AS (
+            SELECT e.event_id % 2 = 0 AS calib,
+                   abs(e.value - f.pred) AS r
+            FROM ev e JOIN fit f USING (event_type)
+        ),
+        tot AS (SELECT count(*) AS n_calib FROM scored WHERE calib),
+        ranked AS (
+            SELECT r, row_number() OVER (ORDER BY r) AS rk
+            FROM scored WHERE calib
+        ),
+        q AS (
+            SELECT r AS q_hat FROM ranked CROSS JOIN tot
+            WHERE rk = least(ceil((n_calib + 1) * 0.9), n_calib)
+        )
+        SELECT t.n_calib,
+               count(*)::BIGINT AS n_test,
+               round(q.q_hat, 6) AS q_hat,
+               sum(CASE WHEN s.r <= q.q_hat THEN 1 ELSE 0 END)::BIGINT
+                   AS covered
+        FROM scored s CROSS JOIN q CROSS JOIN tot t
+        WHERE NOT s.calib
+        GROUP BY t.n_calib, q.q_hat
     """
     return d

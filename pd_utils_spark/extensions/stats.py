@@ -23,6 +23,8 @@ approximations — the same default SciPy uses beyond small n.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -36,6 +38,10 @@ __all__ = [
     "poisson_bootstrap_ci",
     "fdr_bh",
     "population_stability_index",
+    "caliper_match",
+    "kaplan_meier",
+    "cuped",
+    "conformal_split",
 ]
 
 # Poisson(1) inverse CDF as fixed 10-dp literals — IDENTICAL text on
@@ -563,3 +569,235 @@ def caliper_match(
         .drop("__rk__")
     )
     return out.drop("__k__") if not by else out
+
+
+def kaplan_meier(
+    df: DataFrame,
+    durationcol: str,
+    eventcol: str,
+    byvars: str | Sequence[str] | None = None,
+    out: str = "survival",
+) -> DataFrame:
+    """Kaplan–Meier product-limit survival curve, exact, optionally per
+    group: one row per (group, distinct duration) with the at-risk
+    count, event/censor counts, and the running survival estimate
+
+        S(t) = prod_{t_i <= t} (1 - d_i / n_i).
+
+    ``eventcol`` is 1/true when the duration ended in the event and
+    0/false when the observation was censored (still alive / still
+    subscribed / churn not observed) — the whole point of KM over a
+    naive mean is that censored rows still contribute to the at-risk
+    denominator until their exit time.
+
+    Scale shape: the raw rows compress immediately to per-distinct-
+    duration counts (ONE shuffle, partial aggregation on the map
+    side), so everything after runs on O(#distinct durations) rows.
+    With ``byvars`` the running sums/products are per-group window
+    scans over that compressed frame; without, the global prefix scan
+    (:func:`pd_utils_spark.plans.prefix.prefix_sum` — range partition
+    + O(#partitions) offset plan) replaces the single-task total-order
+    window, and the product is carried in log space (survival hits an
+    exact 0.0 the moment d_i = n_i, tracked by a parallel zero-count
+    prefix rather than ln(0)). Grouped survival is a ``product``
+    window aggregate — pure IEEE multiplication in duration order, no
+    libm round-trip.
+    """
+    from pd_utils_spark.utils import to_list
+    from pyspark.sql import Window
+
+    by_l = to_list(byvars) if byvars is not None else []
+    ev = F.when(F.col(eventcol).cast("int") != 0, 1).otherwise(0)
+    counts = (
+        df.filter(F.col(durationcol).isNotNull())
+        .groupBy(*by_l, F.col(durationcol).alias("t"))
+        .agg(
+            F.sum(ev).alias("n_event"),
+            F.sum(1 - ev).alias("n_censored"),
+        )
+        .withColumn("__exit__", F.col("n_event") + F.col("n_censored"))
+    )
+    if by_l:
+        w_tot = Window.partitionBy(*by_l)
+        w_prev = (
+            Window.partitionBy(*by_l)
+            .orderBy("t")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        w_cum = (
+            Window.partitionBy(*by_l)
+            .orderBy("t")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        stepped = counts.withColumn(
+            "n_risk",
+            F.sum("__exit__").over(w_tot)
+            - F.coalesce(F.sum("__exit__").over(w_prev), F.lit(0)),
+        ).withColumn(
+            "__step__",
+            F.lit(1.0) - F.col("n_event") / F.col("n_risk"),
+        )
+        return (
+            stepped.withColumn(out, F.product("__step__").over(w_cum))
+            .select(*by_l, "t", "n_risk", "n_event", "n_censored", out)
+        )
+    total = counts.agg(F.sum("__exit__").alias("__N__"))
+    pre = prefix_sum(counts, "t", ["__exit__"], suffix="_cum")
+    stepped = (
+        pre.join(F.broadcast(total))
+        .withColumn(
+            "n_risk", F.col("__N__") - F.col("__exit___cum") + F.col("__exit__")
+        )
+        .withColumn(
+            "__ln__",
+            F.when(
+                F.col("n_event") < F.col("n_risk"),
+                F.log(F.lit(1.0) - F.col("n_event") / F.col("n_risk")),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "__zero__",
+            F.when(F.col("n_event") == F.col("n_risk"), 1).otherwise(0),
+        )
+    )
+    cum = prefix_sum(stepped, "t", ["__ln__", "__zero__"], suffix="_c")
+    return cum.select(
+        "t",
+        "n_risk",
+        "n_event",
+        "n_censored",
+        F.when(F.col("__zero___c") > 0, F.lit(0.0))
+        .otherwise(F.exp(F.col("__ln___c")))
+        .alias(out),
+    )
+
+
+def cuped(
+    df: DataFrame,
+    metriccol: str,
+    covariatecol: str,
+    variantcol: str,
+) -> DataFrame:
+    """CUPED variance reduction (Deng et al., WSDM 2013): adjust the
+    experiment metric by the pre-period covariate,
+
+        y_adj = y - theta * (x - mean(x)),   theta = cov(y, x) / var(x)
+
+    with theta and mean(x) POOLED across variants (the standard form —
+    per-variant thetas would bias the delta). Returns one row per
+    variant: ``(variant, n, mean, mean_adj, var, var_adj,
+    var_reduction)`` where the variances are sample variances of the
+    raw and adjusted metric and ``var_reduction = 1 - var_adj/var``
+    (approximately the squared y–x correlation).
+
+    Scale shape: ONE groupBy(variant) aggregation of the five
+    sufficient sums (y, x, y^2, x^2, xy) — partial-agg on the map
+    side, nothing per-row crosses the shuffle twice. The pooled sums
+    are a second aggregate OF THE TINY per-variant frame (O(#variants)
+    rows), broadcast back; var(y - theta x) expands algebraically from
+    the same sufficient statistics, so no second scan of the data.
+    """
+    y, x = F.col(metriccol).cast("double"), F.col(covariatecol).cast("double")
+    per = (
+        df.filter(y.isNotNull() & x.isNotNull())
+        .groupBy(F.col(variantcol).alias("variant"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(y).alias("sy"),
+            F.sum(x).alias("sx"),
+            F.sum(y * y).alias("syy"),
+            F.sum(x * x).alias("sxx"),
+            F.sum(y * x).alias("syx"),
+        )
+    )
+    # note the double-underscore pooled names: Spark resolves column
+    # references case-insensitively by default, so a pooled "N" would
+    # collide with the per-variant "n" after the join
+    pooled = per.agg(
+        F.sum("n").alias("__nt__"),
+        F.sum("sy").alias("__sy__"),
+        F.sum("sx").alias("__sx__"),
+        F.sum("sxx").alias("__sxx__"),
+        F.sum("syx").alias("__syx__"),
+    ).select(
+        (F.col("__sx__") / F.col("__nt__")).alias("xbar"),
+        (
+            (F.col("__syx__") - F.col("__sy__") * F.col("__sx__") / F.col("__nt__"))
+            / (F.col("__sxx__") - F.col("__sx__") * F.col("__sx__") / F.col("__nt__"))
+        ).alias("theta"),
+    )
+    j = per.join(F.broadcast(pooled))
+    n = F.col("n")
+    mean_y = F.col("sy") / n
+    mean_x = F.col("sx") / n
+    var_y = (F.col("syy") - F.col("sy") * mean_y) / (n - 1)
+    var_x = (F.col("sxx") - F.col("sx") * mean_x) / (n - 1)
+    cov_yx = (F.col("syx") - F.col("sy") * mean_x) / (n - 1)
+    th = F.col("theta")
+    var_adj = var_y - 2 * th * cov_yx + th * th * var_x
+    return j.select(
+        "variant",
+        "n",
+        mean_y.alias("mean"),
+        (mean_y - th * (mean_x - F.col("xbar"))).alias("mean_adj"),
+        var_y.alias("var"),
+        var_adj.alias("var_adj"),
+        (F.lit(1.0) - var_adj / var_y).alias("var_reduction"),
+        th.alias("theta"),
+    )
+
+
+def conformal_split(
+    df: DataFrame,
+    valuecol: str,
+    predcol: str,
+    calibcol: str,
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Split conformal prediction interval: on the calibration rows
+    (``calibcol`` truthy) take the k-th smallest absolute residual
+    with ``k = ceil((n_calib + 1) * (1 - alpha))`` — the
+    finite-sample-valid quantile of Vovk/Lei–Wasserman split
+    conformal — then report empirical coverage of ``pred ± q_hat`` on
+    the held-out rows. One row out: ``(n_calib, n_test, q_hat,
+    coverage, target)``.
+
+    Scale shape: residuals compress to per-distinct-value counts (one
+    shuffle), the k-th order statistic comes from the distributed
+    prefix scan over that compressed frame (never a single-task
+    rank window), and ``q_hat`` — one row — broadcasts back onto the
+    test side for the coverage aggregate. Nothing is collected.
+    """
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha!r}")
+    r = F.abs(
+        F.col(valuecol).cast("double") - F.col(predcol).cast("double")
+    )
+    base = df.filter(
+        F.col(valuecol).isNotNull() & F.col(predcol).isNotNull()
+    ).select(F.col(calibcol).cast("boolean").alias("__c__"), r.alias("__r__"))
+    calib = base.filter("__c__")
+    counts = calib.groupBy("__r__").agg(F.count(F.lit(1)).alias("__n__"))
+    cum = prefix_sum(counts, "__r__", ["__n__"], suffix="_cum")
+    tot = calib.agg(F.count(F.lit(1)).alias("n_calib"))
+    k = F.least(
+        F.ceil((F.col("n_calib") + 1) * F.lit(1.0 - alpha)), F.col("n_calib")
+    )
+    q = (
+        cum.join(F.broadcast(tot))
+        .filter(F.col("__n___cum") >= k)
+        .agg(F.min("__r__").alias("q_hat"), F.first("n_calib").alias("n_calib"))
+    )
+    test = base.filter(~F.col("__c__"))
+    return (
+        test.join(F.broadcast(q))
+        .agg(
+            F.first("n_calib").alias("n_calib"),
+            F.count(F.lit(1)).alias("n_test"),
+            F.first("q_hat").alias("q_hat"),
+            F.avg(
+                F.when(F.col("__r__") <= F.col("q_hat"), 1.0).otherwise(0.0)
+            ).alias("coverage"),
+            F.lit(1.0 - alpha).alias("target"),
+        )
+    )

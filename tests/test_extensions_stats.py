@@ -510,3 +510,133 @@ class TestCaliperMatch:
         assert out[3].control_id is None
         with pytest.raises(ValueError):
             caliper_match(df, "score", "treat", "id", 0.0)
+
+
+# ----------------------------------------------------- kaplan_meier
+
+def _ref_km(durs, evs):
+    """Reference product-limit estimator over (duration, event) pairs."""
+    import collections
+
+    d = collections.Counter()
+    c = collections.Counter()
+    for t, e in zip(durs, evs):
+        (d if e else c)[t] += 1
+    times = sorted(set(d) | set(c))
+    n = len(durs)
+    out = {}
+    s = 1.0
+    for t in times:
+        s *= 1.0 - d[t] / n
+        out[t] = (n, d[t], c[t], s)
+        n -= d[t] + c[t]
+    return out
+
+
+@pytest.mark.parametrize("grouped", [True, False])
+def test_kaplan_meier_matches_reference(spark, grouped):
+    from pd_utils_spark.extensions.stats import kaplan_meier
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for g in ["a", "b"]:
+        durs = rng.integers(1, 12, 80)
+        evs = rng.integers(0, 2, 80)
+        rows += [(g, int(t), int(e)) for t, e in zip(durs, evs)]
+    df = spark.createDataFrame(rows, ["g", "dur", "ev"])
+    if grouped:
+        got = kaplan_meier(df, "dur", "ev", byvars="g").collect()
+        for g in ["a", "b"]:
+            sub = [(t, e) for gg, t, e in rows if gg == g]
+            ref = _ref_km([t for t, _ in sub], [e for _, e in sub])
+            mine = {r["t"]: r for r in got if r["g"] == g}
+            assert set(mine) == set(ref)
+            for t, (n_risk, d, c, s) in ref.items():
+                r = mine[t]
+                assert r["n_risk"] == n_risk and r["n_event"] == d
+                assert r["n_censored"] == c
+                assert r["survival"] == pytest.approx(s, abs=1e-12)
+    else:
+        got = kaplan_meier(df.drop("g"), "dur", "ev").collect()
+        ref = _ref_km([t for _, t, _ in rows], [e for _, _, e in rows])
+        mine = {r["t"]: r for r in got}
+        assert set(mine) == set(ref)
+        for t, (n_risk, d, c, s) in ref.items():
+            r = mine[t]
+            assert r["n_risk"] == n_risk and r["n_event"] == d
+            assert r["survival"] == pytest.approx(s, abs=1e-12)
+
+
+def test_kaplan_meier_hits_exact_zero_when_all_die(spark):
+    from pd_utils_spark.extensions.stats import kaplan_meier
+
+    df = spark.createDataFrame(
+        [(1, 1), (1, 1), (2, 1), (3, 1)], ["dur", "ev"]
+    )
+    got = {r["t"]: r["survival"] for r in kaplan_meier(df, "dur", "ev").collect()}
+    assert got[3] == 0.0
+    assert got[2] > 0.0
+
+
+# ----------------------------------------------------- cuped
+
+def test_cuped_matches_numpy(spark):
+    from pd_utils_spark.extensions.stats import cuped
+
+    rng = np.random.default_rng(11)
+    x = rng.normal(10, 3, 400)
+    y = 2.0 * x + rng.normal(0, 1, 400)
+    v = np.where(np.arange(400) % 2 == 0, "t", "c")
+    df = spark.createDataFrame(
+        [(str(vv), float(yy), float(xx)) for vv, yy, xx in zip(v, y, x)],
+        ["variant", "y", "x"],
+    )
+    got = {r["variant"]: r for r in cuped(df, "y", "x", "variant").collect()}
+    theta = np.cov(y, x, ddof=0)[0, 1] / np.var(x)
+    y_adj = y - theta * (x - x.mean())
+    for vv in ["t", "c"]:
+        m = v == vv
+        r = got[vv]
+        assert r["theta"] == pytest.approx(theta, rel=1e-9)
+        assert r["mean"] == pytest.approx(float(y[m].mean()), rel=1e-9)
+        assert r["mean_adj"] == pytest.approx(float(y_adj[m].mean()), rel=1e-9)
+        assert r["var"] == pytest.approx(float(np.var(y[m], ddof=1)), rel=1e-9)
+        assert r["var_adj"] == pytest.approx(
+            float(np.var(y_adj[m], ddof=1)), rel=1e-6
+        )
+        assert r["var_reduction"] > 0.9  # y is ~2x + small noise
+
+
+# ----------------------------------------------------- conformal_split
+
+def test_conformal_split_quantile_and_coverage(spark):
+    from pd_utils_spark.extensions.stats import conformal_split
+
+    rng = np.random.default_rng(3)
+    n = 500
+    y = rng.normal(0, 1, n)
+    pred = y + rng.normal(0, 0.5, n)
+    calib = np.arange(n) % 2 == 0
+    df = spark.createDataFrame(
+        [(float(a), float(b), bool(c)) for a, b, c in zip(y, pred, calib)],
+        ["y", "pred", "is_calib"],
+    )
+    r = conformal_split(df, "y", "pred", "is_calib", alpha=0.1).collect()[0]
+    res = np.abs(y - pred)
+    rc = np.sort(res[calib])
+    k = min(math.ceil((len(rc) + 1) * 0.9), len(rc))
+    q_ref = float(rc[k - 1])
+    assert r["n_calib"] == len(rc)
+    assert r["q_hat"] == pytest.approx(q_ref, abs=0.0)
+    cov_ref = float((res[~calib] <= q_ref).mean())
+    assert r["coverage"] == pytest.approx(cov_ref, abs=1e-12)
+    # split conformal's finite-sample guarantee: coverage ~ 90%
+    assert 0.8 < r["coverage"] <= 1.0
+
+
+def test_conformal_split_rejects_bad_alpha(spark):
+    from pd_utils_spark.extensions.stats import conformal_split
+
+    df = spark.createDataFrame([(1.0, 1.0, True)], ["y", "p", "c"])
+    with pytest.raises(ValueError, match="alpha"):
+        conformal_split(df, "y", "p", "c", alpha=1.5)
