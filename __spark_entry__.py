@@ -3961,6 +3961,32 @@ def q_conformal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index phrase search (extensions/text.py
+    phrase_search): documents containing the consecutive token run
+    'hash join', with overlap-counting positional semantics. Postings
+    are filtered to the phrase's two tokens BEFORE any shuffle, then
+    meet in one (doc, pos-i) anchor equi-join — the full token stream
+    never shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    return pus_text.phrase_search(docs, "hash join").orderBy("doc_id")
+
+
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation mining (extensions/text.py pmi_collocations):
+    top-40 adjacent word pairs by pointwise mutual information with
+    min_count=5. Unigram/bigram counts are map-side-combined hash
+    aggregates (shuffle O(vocabulary)/O(distinct bigrams)); totals
+    ride a one-row broadcast; PMI's p(ab) denominator is the total
+    adjacent-pair count, min_count only gates reporting."""
+    docs = _t(spark, sf_dir, "documents")
+    out = pus_text.pmi_collocations(docs, min_count=5, k=40)
+    return out.select(
+        "w1", "w2", "n_pair", "n_w1", "n_w2",
+        F.round("pmi", 6).alias("pmi"),
+    )
+
+
 def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mutual information between event type and a user segment
     (extensions/profile.py mutual_information): plug-in MI/NMI from
@@ -4357,6 +4383,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kaplan_meier": q_kaplan_meier,
         "cuped": q_cuped,
         "conformal_split": q_conformal_split,
+        "phrase_search": q_phrase_search,
+        "pmi_collocations": q_pmi_collocations,
         "perplexity_buckets": q_perplexity_buckets,
         "top_ngrams": q_top_ngrams,
         "dedup_spans": q_dedup_spans,
@@ -9652,5 +9680,70 @@ def oracle_sql() -> dict[str, str]:
         FROM scored s CROSS JOIN q CROSS JOIN tot t
         WHERE NOT s.calib
         GROUP BY t.n_calib, q.q_hat
+    """
+    # phrase search: same tokenization (_SQL_NORM + single-space
+    # split), 1-based positions, overlapping occurrences via the
+    # position scan — the relational twin of the posting-list join
+    d["phrase_search"] = """
+        WITH nrm AS (
+            SELECT doc_id,
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+            FROM documents
+        ),
+        tok AS (
+            SELECT doc_id, regexp_split_to_array(t, ' ') AS toks
+            FROM nrm WHERE length(t) > 0
+        ),
+        hits AS (
+            SELECT doc_id, i
+            FROM tok, unnest(generate_series(1, len(toks) - 1)) AS g(i)
+            WHERE toks[i] = 'hash' AND toks[i + 1] = 'join'
+        )
+        SELECT doc_id,
+               count(*)::BIGINT AS n_matches,
+               min(i)::BIGINT AS first_pos
+        FROM hits GROUP BY doc_id
+    """
+    d["pmi_collocations"] = """
+        WITH nrm AS (
+            SELECT trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+            FROM documents
+        ),
+        tok AS (
+            SELECT regexp_split_to_array(t, ' ') AS toks
+            FROM nrm WHERE length(t) > 0
+        ),
+        uc AS (
+            SELECT w, count(*) AS n_w
+            FROM (SELECT unnest(toks) AS w FROM tok) GROUP BY w
+        ),
+        pc_all AS (
+            SELECT w1, w2, count(*) AS n_pair
+            FROM (
+                SELECT toks[i] AS w1, toks[i + 1] AS w2
+                FROM tok, unnest(generate_series(1, len(toks) - 1)) AS g(i)
+            ) GROUP BY w1, w2
+        ),
+        tot AS (
+            SELECT (SELECT sum(n_w) FROM uc) AS nu,
+                   (SELECT sum(n_pair) FROM pc_all) AS nb
+        ),
+        scored AS (
+            SELECT w1, w2, n_pair, u1.n_w AS n_w1, u2.n_w AS n_w2,
+                   ln((n_pair / nb)
+                      / ((u1.n_w / nu) * (u2.n_w / nu))) AS pmi_raw
+            FROM pc_all
+            JOIN uc u1 ON pc_all.w1 = u1.w
+            JOIN uc u2 ON pc_all.w2 = u2.w
+            CROSS JOIN tot
+            WHERE n_pair >= 5
+        )
+        SELECT w1, w2,
+               n_pair::BIGINT AS n_pair,
+               n_w1::BIGINT AS n_w1,
+               n_w2::BIGINT AS n_w2,
+               round(pmi_raw, 6) AS pmi
+        FROM scored
+        ORDER BY pmi_raw DESC, w1, w2 LIMIT 40
     """
     return d

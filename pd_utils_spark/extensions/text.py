@@ -1195,3 +1195,152 @@ def cluster_top_terms(
             "score",
         )
     )
+
+
+def phrase_search(
+    df: DataFrame,
+    phrase: str,
+    textcol: str = "text",
+    idcol: str = "doc_id",
+) -> DataFrame:
+    """Exact multi-token phrase search over the corpus: documents
+    whose normalized token stream contains the normalized ``phrase``
+    as a CONSECUTIVE token run — ``(doc_id, n_matches, first_pos)``
+    with 1-based token positions, overlapping occurrences counted
+    (the token-position semantics of an inverted index with
+    positions, not substring matching — "hash join" never matches
+    inside "rehash joint").
+
+    Plan: one normalize+posexplode per doc (same ``_norm`` as the
+    dedup family, so search and dedup agree on tokenization), an
+    IMMEDIATE filter to positions holding ANY phrase token — the
+    selectivity step an inverted index gives you, applied before
+    anything shuffles — then the m posting lists meet in m-1
+    equi-joins on the shifted anchor key ``(doc, pos - i)``: a
+    position holding word i of the phrase votes for the occurrence
+    anchored i tokens earlier, and an anchor that survives every
+    join is a verified occurrence. Only phrase-token postings ever
+    shuffle — the full token stream never does (a per-doc window
+    with m-1 ``lead`` columns would shuffle every token of every
+    document to verify a phrase that touches almost none of them).
+    """
+    from pd_utils_spark.extensions.dedup import _norm
+
+    # phrase tokens normalized with the same rule, resolved at plan time
+    import re as _re
+
+    toks_p = [
+        w
+        for w in _re.sub(r"\s+", " ", phrase.lower()).strip().split(" ")
+        if w
+    ]
+    if not toks_p:
+        raise ValueError("phrase must contain at least one token")
+    m = len(toks_p)
+    norm = _norm(F.col(textcol))
+    ex = (
+        df.select(F.col(idcol), F.split(norm, " ").alias("__toks__"))
+        .filter(F.size("__toks__") >= m)
+        .select(
+            F.col(idcol),
+            F.posexplode("__toks__").alias("__pos__", "__tok__"),
+        )
+        .filter(F.col("__tok__").isin(toks_p))
+    )
+    anchors = ex.filter(F.col("__tok__") == toks_p[0]).select(
+        F.col(idcol), F.col("__pos__").alias("__a__")
+    )
+    for i, wd in enumerate(toks_p[1:], start=1):
+        nxt = ex.filter(F.col("__tok__") == wd).select(
+            F.col(idcol), (F.col("__pos__") - i).alias("__a__")
+        )
+        anchors = anchors.join(nxt, [idcol, "__a__"])
+    return anchors.groupBy(idcol).agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        (F.min("__a__") + 1).alias("first_pos"),
+    )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    textcol: str = "text",
+    min_count: int = 5,
+    k: int = 100,
+) -> DataFrame:
+    """Top-``k`` two-word collocations by pointwise mutual information,
+
+        pmi(a, b) = ln( p(ab) / (p(a) p(b)) ),
+
+    with ``p(ab)`` over all adjacent pairs and ``p(a)`` over all
+    tokens — the classic collocation-mining statistic (Church &
+    Hanks 1990): high-PMI pairs co-occur far more than their
+    unigram frequencies predict ("new york", "machine learning"),
+    which raw bigram counts (see :func:`top_ngrams`) bury under
+    frequent-word noise. ``min_count`` suppresses the low-count
+    pairs whose PMI estimates are pure variance. Output
+    ``(w1, w2, n_pair, n_w1, n_w2, pmi)``, PMI desc with a total
+    tie-break.
+
+    Plan: one tokenize pass feeds both explodes; unigram and bigram
+    counts are hash aggregates with map-side combine (shuffle volume
+    O(vocabulary) / O(distinct bigrams), not O(tokens)); the unigram
+    frame joins onto the MIN-COUNT-FILTERED bigram frame twice on the
+    word key. Totals ride a one-row broadcast. Nothing is collected.
+    """
+    from pd_utils_spark.extensions.dedup import _norm
+    from pd_utils_spark.utils import plan_barrier
+
+    norm = _norm(F.col(textcol))
+    toked = plan_barrier(
+        df.select(F.split(norm, " ").alias("__toks__"), F.length(norm).alias("__len__"))
+        .filter(F.col("__len__") > 0)
+        .select("__toks__")
+    )
+    uni = (
+        toked.select(F.explode("__toks__").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+    )
+    toks = F.col("__toks__")
+    pairs = (
+        toked.filter(F.size(toks) >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - 1),
+                    lambda i: F.struct(
+                        F.element_at(toks, i).alias("w1"),
+                        F.element_at(toks, i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("__p__")
+        )
+        .select("__p__.w1", "__p__.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    # totals BEFORE the min_count filter: p(ab) is over all adjacent
+    # pairs, min_count only gates which pairs are reported
+    tot = uni.agg(
+        F.sum("n_w").alias("__nu__"),
+    ).crossJoin(
+        pairs.agg(F.sum("n_pair").alias("__nb__"))
+    )
+    pairs = pairs.filter(F.col("n_pair") >= min_count)
+    # join unigram counts for both positions (aliased to avoid
+    # case-insensitive collisions), then the one-row totals broadcast
+    u1 = uni.select(F.col("w").alias("w1"), F.col("n_w").alias("n_w1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("n_w").alias("n_w2"))
+    j = pairs.join(u1, "w1").join(u2, "w2").join(F.broadcast(tot))
+    pmi = F.log(
+        (F.col("n_pair") / F.col("__nb__"))
+        / (
+            (F.col("n_w1") / F.col("__nu__"))
+            * (F.col("n_w2") / F.col("__nu__"))
+        )
+    )
+    return (
+        j.select("w1", "w2", "n_pair", "n_w1", "n_w2", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(k)
+    )

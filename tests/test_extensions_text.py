@@ -6,6 +6,7 @@ from __future__ import annotations
 import hashlib
 
 import pandas as pd
+import pytest
 
 from pd_utils_spark.extensions import text as T
 from tests.helpers import assert_df_equal
@@ -762,3 +763,89 @@ class TestClusterTopTerms:
 
         with _pt.raises(ValueError):
             cluster_top_terms(df, top_k=0)
+
+
+# ----------------------------------------------------- phrase_search
+
+def test_phrase_search_counts_overlaps_and_boundaries(spark):
+    from pd_utils_spark.extensions.text import phrase_search
+
+    df = spark.createDataFrame(
+        [
+            (1, "the Hash  JOIN wins"),          # normalization hit
+            (2, "rehash joint venture"),          # substring, NOT a token hit
+            (3, "a a a"),                         # overlapping occurrences
+            (4, "hash"),                          # shorter than the phrase
+            (5, "x hash join y hash join"),       # two disjoint hits
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["n_matches"], r["first_pos"])
+        for r in phrase_search(df, "Hash Join").collect()
+    }
+    assert got == {1: (1, 2), 5: (2, 2)}
+    over = {
+        r["doc_id"]: (r["n_matches"], r["first_pos"])
+        for r in phrase_search(df, "a a").collect()
+    }
+    assert over[3] == (2, 1)
+
+
+def test_phrase_search_single_token_and_empty_phrase(spark):
+    from pd_utils_spark.extensions.text import phrase_search
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, "gamma")], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: (r["n_matches"], r["first_pos"])
+        for r in phrase_search(df, "alpha").collect()
+    }
+    assert got == {1: (2, 1)}
+    with pytest.raises(ValueError, match="phrase"):
+        phrase_search(df, "   ")
+
+
+# ----------------------------------------------------- pmi_collocations
+
+def test_pmi_collocations_matches_reference(spark):
+    import collections
+    import math
+
+    from pd_utils_spark.extensions.text import pmi_collocations
+
+    texts = [
+        "new york is a big city",
+        "new york city has a new mayor",
+        "a big apple in new york",
+        "the mayor of the city",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    uni = collections.Counter()
+    bi = collections.Counter()
+    for t in texts:
+        ws = t.split()
+        uni.update(ws)
+        bi.update(zip(ws, ws[1:]))
+    nu = sum(uni.values())
+    nb = sum(bi.values())
+    got = pmi_collocations(df, min_count=2, k=10).collect()
+    assert [r["w1"] + " " + r["w2"] for r in got] == sorted(
+        [f"{a} {b}" for (a, b), c in bi.items() if c >= 2],
+        key=lambda p: (
+            -math.log(
+                (bi[tuple(p.split())] / nb)
+                / ((uni[p.split()[0]] / nu) * (uni[p.split()[1]] / nu))
+            ),
+            p,
+        ),
+    )
+    for r in got:
+        a, b = r["w1"], r["w2"]
+        ref = math.log(
+            (bi[(a, b)] / nb) / ((uni[a] / nu) * (uni[b] / nu))
+        )
+        assert r["pmi"] == pytest.approx(ref, rel=1e-9)
+        assert r["n_pair"] == bi[(a, b)]
+        assert r["n_w1"] == uni[a] and r["n_w2"] == uni[b]

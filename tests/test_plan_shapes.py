@@ -588,3 +588,50 @@ class TestRound5LateShapes:
         # group agg -> one-row broadcast total -> one-row reduce
         assert "BroadcastExchange" in plan
         assert "CartesianProduct" not in plan
+
+
+class TestRound5LateOps:
+    def test_phrase_search_no_window_no_full_stream_shuffle(self, spark):
+        from pd_utils_spark.extensions.text import phrase_search
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = plan_of(phrase_search(docs, "hash join"))
+        # posting-list anchor join, never a per-doc window over the
+        # whole token stream
+        assert "Window" not in plan
+        # the phrase-token postings filter sits below the join
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
+            or "BroadcastHashJoin" in plan
+
+    def test_pmi_totals_are_broadcast(self, spark):
+        from pd_utils_spark.extensions.text import pmi_collocations
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = plan_of(pmi_collocations(docs, min_count=2, k=10))
+        assert "BroadcastExchange" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_kaplan_meier_global_path_uses_range_partition(self, spark):
+        from pd_utils_spark.extensions.stats import kaplan_meier
+
+        ev = spark.range(100).selectExpr(
+            "CAST(id % 13 AS INT) AS dur", "CAST(id % 2 AS INT) AS ev"
+        )
+        plan = plan_of(kaplan_meier(ev, "dur", "ev"))
+        # global curve rides the distributed prefix scan, not a
+        # single-partition total-order window
+        assert "rangepartitioning" in plan.lower()
+
+    def test_cuped_single_shuffle_of_raw_rows(self, spark):
+        from pd_utils_spark.extensions.stats import cuped
+
+        ev = spark.range(1000).selectExpr(
+            "CAST(id % 2 AS INT) AS variant",
+            "CAST(id AS DOUBLE) AS y",
+            "CAST(id % 97 AS DOUBLE) AS x",
+        )
+        plan = plan_of(cuped(ev, "y", "x", "variant"))
+        # per-variant sufficient sums shuffle once; pooled stats are a
+        # broadcast of the tiny variant frame
+        assert plan.count("HashAggregate") >= 2
+        assert "BroadcastExchange" in plan
