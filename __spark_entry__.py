@@ -2026,6 +2026,100 @@ def _hits_oracle_sql(iters: int = HITS_ITERS) -> str:
     )
 
 
+#: BFS depth shared BY CONSTRUCTION between q_bfs_levels and its
+#: unrolled oracle (same contract as HITS_ITERS).
+BFS_DEPTH = 6
+
+
+def _bfs_oracle_sql(depth: int = BFS_DEPTH) -> str:
+    """Unrolled level-synchronous BFS oracle over the synthetic
+    257-node out-degree-2 graph (frontier roughly doubles per hop, so
+    every level is populated): l{i} = new nodes at hop i, v{i} =
+    everything seen so far."""
+    ctes = [
+        """e AS MATERIALIZED (
+                SELECT DISTINCT doc_id % 257 AS s,
+                                ((doc_id % 257) * 2 + 1) % 257 AS d
+                FROM documents
+                UNION
+                SELECT DISTINCT doc_id % 257 AS s,
+                                ((doc_id % 257) * 3 + 2) % 257 AS d
+                FROM documents
+            )""",
+        "l0 AS MATERIALIZED (SELECT 0 AS n)",
+        "v0 AS MATERIALIZED (SELECT n FROM l0)",
+    ]
+    for i in range(1, depth + 1):
+        ctes.append(f"""l{i} AS MATERIALIZED (
+                SELECT DISTINCT e.d AS n
+                FROM e JOIN l{i - 1} ON e.s = l{i - 1}.n
+                WHERE e.d NOT IN (SELECT n FROM v{i - 1})
+            )""")
+        ctes.append(f"""v{i} AS MATERIALIZED (
+                SELECT n FROM v{i - 1} UNION SELECT n FROM l{i}
+            )""")
+    levels = " UNION ALL ".join(
+        f"SELECT n, {i} AS level FROM l{i}" for i in range(depth + 1)
+    )
+    return (
+        "\n            WITH "
+        + ",\n            ".join(ctes)
+        + f"""
+            SELECT n AS node, level FROM ({levels})
+        """
+    )
+
+
+def q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop levels (extensions/graph.py bfs_levels) on
+    a synthetic 257-node out-degree-2 graph (x -> 2x+1, x -> 3x+2 mod
+    257, so the frontier roughly doubles per hop and every level is
+    populated): minimum hops from seed {0} up to BFS_DEPTH (= 6),
+    hash-matched against the oracle unrolled to the SAME constant by
+    _bfs_oracle_sql(). Per round: one frontier-edge equi-join + one
+    anti-join, frontier checkpointed, early_stop reads isEmpty off the
+    materialized frontier."""
+    from pd_utils_spark.extensions.graph import bfs_levels
+
+    d = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 257).alias("n")
+    )
+    e1 = d.select(F.col("n").alias("src"), ((F.col("n") * 2 + 1) % 257).alias("dst"))
+    e2 = d.select(F.col("n").alias("src"), ((F.col("n") * 3 + 2) % 257).alias("dst"))
+    edges = e1.unionByName(e2).distinct()
+    srcs = spark.createDataFrame([(0,)], ["node"])
+    return bfs_levels(edges, srcs, max_depth=BFS_DEPTH)
+
+
+def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-aware target encoding (extensions/features.py): LOO
+    mean of o_totalprice by o_orderpriority with prior_weight=10
+    shrinkage, plus the zero-leak frequency encoding — both are ONE
+    whole-partition window over the category after a single shuffle;
+    the global mean/total ride one-row broadcasts. First 200 orders by
+    key (deterministic cut)."""
+    from pd_utils_spark.extensions.features import (
+        frequency_encode,
+        target_encode,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    enc = target_encode(
+        o, "o_orderpriority", "o_totalprice", method="loo", prior_weight=10.0
+    )
+    enc = frequency_encode(enc, "o_orderpriority")
+    return (
+        enc.orderBy("o_orderkey")
+        .limit(200)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round("encoded", 4).alias("encoded"),
+            F.round("freq", 6).alias("freq"),
+        )
+    )
+
+
 def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS hubs/authorities on the same synthetic 50-domain link
     graph as pagerank — HITS_ITERS (= 5) L2-normalized rounds,
@@ -4385,6 +4479,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conformal_split": q_conformal_split,
         "phrase_search": q_phrase_search,
         "pmi_collocations": q_pmi_collocations,
+        "bfs_levels": q_bfs_levels,
+        "target_encode": q_target_encode,
         "perplexity_buckets": q_perplexity_buckets,
         "top_ngrams": q_top_ngrams,
         "dedup_spans": q_dedup_spans,
@@ -9745,5 +9841,24 @@ def oracle_sql() -> dict[str, str]:
                round(pmi_raw, 6) AS pmi
         FROM scored
         ORDER BY pmi_raw DESC, w1, w2 LIMIT 40
+    """
+    d["bfs_levels"] = _bfs_oracle_sql()
+    # target encoding: same window algebra — per-category sums minus
+    # the own label, shrunk toward the global mean
+    d["target_encode"] = """
+        WITH gm AS (SELECT avg(o_totalprice) AS g FROM orders),
+        tot AS (SELECT count(*) AS t FROM orders),
+        enc AS (
+            SELECT o_orderkey, o_orderpriority,
+                   (sum(o_totalprice) OVER w - o_totalprice + 10.0 * gm.g)
+                   / (count(o_totalprice) OVER w - 1 + 10.0) AS encoded,
+                   (count(*) OVER w)::DOUBLE / tot.t AS freq
+            FROM orders CROSS JOIN gm CROSS JOIN tot
+            WINDOW w AS (PARTITION BY o_orderpriority)
+        )
+        SELECT o_orderkey, o_orderpriority,
+               round(encoded, 4) AS encoded,
+               round(freq, 6) AS freq
+        FROM enc ORDER BY o_orderkey LIMIT 200
     """
     return d

@@ -30,7 +30,8 @@ from pd_utils_spark.extensions.dedup import (
     source_overlap,
     winnow_containment_pairs,
 )
-from pd_utils_spark.extensions.graph import pagerank
+from pd_utils_spark.extensions.features import frequency_encode, target_encode
+from pd_utils_spark.extensions.graph import bfs_levels, pagerank
 from pd_utils_spark.extensions.checks import assert_checks, run_checks
 from pd_utils_spark.extensions.snapshot import (
     agg_state,
@@ -67,6 +68,10 @@ from pd_utils_spark.extensions.stats import (
     poisson_bootstrap_means,
     population_stability_index,
     welch_ttest,
+    caliper_match,
+    conformal_split,
+    cuped,
+    kaplan_meier,
 )
 from pd_utils_spark.extensions.selection import (
     dsir_log_weights,
@@ -154,4 +159,6 @@ from pd_utils_spark.extensions.text import (
     token_count_bpe,
     vocabulary,
     winnowing_fingerprints,
+    phrase_search,
+    pmi_collocations,
 )

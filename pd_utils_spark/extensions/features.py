@@ -1,0 +1,102 @@
+"""Leakage-aware categorical feature encoding for model-training
+pipelines: target (mean) encoding with leave-one-out and smoothed
+variants, and frequency encoding.
+
+Why here: high-cardinality categoricals (domain, publisher, seller
+id) cannot one-hot at 100 TB; the standard fix is replacing the
+category with a statistic of the training target. The naive
+per-category mean leaks the row's own label into its feature — the
+classic target-leak — so the default here is leave-one-out (each
+row's own label subtracted from its category's sum) with optional
+prior smoothing toward the global mean for thin categories
+(the micro-averaged empirical-Bayes shrinkage popularized by
+Micci-Barreca 2001).
+
+Scale shape: every encoder is ONE whole-partition window over the
+category key (equivalently one groupBy + broadcast-back join, but the
+window avoids materializing the join): the raw rows shuffle once on
+the category, sums/counts combine map-side, and the global mean rides
+a one-row broadcast. No Python touches rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["target_encode", "frequency_encode"]
+
+
+def target_encode(
+    df: DataFrame,
+    catcol: str,
+    targetcol: str,
+    method: str = "loo",
+    prior_weight: float = 0.0,
+    out: str = "encoded",
+) -> DataFrame:
+    """Append ``out`` = target encoding of ``catcol``.
+
+    - ``method='loo'``: leave-one-out mean
+      ``(sum_cat(y) - y) / (n_cat - 1)`` — null for singleton
+      categories (no other rows to borrow from). With
+      ``prior_weight=w > 0`` the LOO estimate shrinks toward the
+      global mean: ``(sum_cat - y + w * mean_all) / (n_cat - 1 + w)``
+      (singletons then get exactly ``mean_all``).
+    - ``method='mean'``: plain per-category mean — LEAKS the row's
+      own label; provided for scoring/inference frames where the
+      target column is the PRIOR period's outcome, not the label
+      being predicted. Same shrinkage formula with the row's label
+      kept in.
+
+    Rows with a null target keep their row but contribute nothing to
+    any sum or count; null categories form their own group (standard
+    SQL window semantics), which is usually what you want — "missing"
+    is a level.
+    """
+    if method not in ("loo", "mean"):
+        raise ValueError(f"method must be 'loo' or 'mean', got {method!r}")
+    if prior_weight < 0:
+        raise ValueError(f"prior_weight must be >= 0: {prior_weight}")
+    y = F.col(targetcol).cast("double")
+    w = Window.partitionBy(catcol)
+    s = F.sum(y).over(w)
+    n = F.count(y).over(w)
+    gm = F.broadcast(
+        df.agg(F.avg(y).alias("__gm__"))
+    )
+    pw = F.lit(float(prior_weight))
+    if method == "loo":
+        own = F.coalesce(y, F.lit(0.0))
+        cnt_own = F.when(y.isNotNull(), 1).otherwise(0)
+        num = s - own + pw * F.col("__gm__")
+        den = n - cnt_own + pw
+    else:
+        num = s + pw * F.col("__gm__")
+        den = n + pw
+    enc = F.when(den > 0, num / den)
+    return df.join(gm).withColumn(out, enc).drop("__gm__")
+
+
+def frequency_encode(
+    df: DataFrame,
+    catcol: str,
+    out: str = "freq",
+    relative: bool = True,
+) -> DataFrame:
+    """Append ``out`` = the category's row count (``relative=False``)
+    or its fraction of all rows (``relative=True``) — the
+    zero-leakage encoding that often carries most of a
+    high-cardinality categorical's signal ("how common is this
+    domain") without touching the target at all.
+    """
+    w = Window.partitionBy(catcol)
+    n = F.count(F.lit(1)).over(w)
+    if not relative:
+        return df.withColumn(out, n)
+    tot = F.broadcast(df.agg(F.count(F.lit(1)).alias("__tot__")))
+    return (
+        df.join(tot)
+        .withColumn(out, n.cast("double") / F.col("__tot__"))
+        .drop("__tot__")
+    )

@@ -139,3 +139,71 @@ class TestTriangleCount:
         )
         got = {r.node: r.triangles for r in triangle_count(edges).collect()}
         assert got == {1: 0, 2: 0, 3: 0, 4: 0}
+
+
+# ----------------------------------------------------- bfs_levels
+
+def _bfs_ref(edges, sources, max_depth):
+    import collections
+
+    adj = collections.defaultdict(list)
+    for s, d in edges:
+        adj[s].append(d)
+    level = {s: 0 for s in sources}
+    frontier = set(sources)
+    for depth in range(1, max_depth + 1):
+        nxt = set()
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in level:
+                    nxt.add(v)
+        for v in nxt:
+            level[v] = depth
+        frontier = nxt
+    return level
+
+
+def test_bfs_levels_matches_reference(spark):
+    from pd_utils_spark.extensions.graph import bfs_levels
+
+    import random
+
+    rng = random.Random(5)
+    edges = [(rng.randrange(40), rng.randrange(40)) for _ in range(120)]
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    srcs = spark.createDataFrame([(0,), (7,)], ["node"])
+    got = {
+        r["node"]: r["level"]
+        for r in bfs_levels(e, srcs, max_depth=6).collect()
+    }
+    assert got == _bfs_ref(edges, [0, 7], 6)
+
+
+def test_bfs_levels_early_stop_and_depth_cap(spark):
+    from pd_utils_spark.extensions.graph import bfs_levels
+
+    # a 5-node path graph: depth cap cuts the tail, early stop ends
+    # cleanly once the frontier drains
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4)], ["src", "dst"]
+    )
+    srcs = spark.createDataFrame([(0,)], ["node"])
+    capped = {
+        r["node"]: r["level"]
+        for r in bfs_levels(e, srcs, max_depth=2).collect()
+    }
+    assert capped == {0: 0, 1: 1, 2: 2}
+    full = {
+        r["node"]: r["level"]
+        for r in bfs_levels(e, srcs, max_depth=50).collect()
+    }
+    assert full == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4}
+    # min-level semantics on a diamond with a shortcut
+    e2 = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2)], ["src", "dst"]
+    )
+    d = {
+        r["node"]: r["level"]
+        for r in bfs_levels(e2, srcs, max_depth=5).collect()
+    }
+    assert d == {0: 0, 1: 1, 2: 1}
