@@ -4081,6 +4081,83 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decayed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted feature aggregation (extensions/events.py
+    decayed_agg): per-event-type exponential time-decay sum of value
+    with a 7-day half-life, referenced to the frame's max timestamp
+    (one-row broadcast). A plain weighted SUM — partial-aggs map-side,
+    one row per group on the shuffle, no window and no recursion."""
+    ev = _t(spark, sf_dir, "events")
+    out = pus_events.decayed_agg(
+        ev, "value", "ts", "event_type", half_life=7 * 86400.0
+    )
+    return out.select(
+        "event_type",
+        F.round("decayed_sum", 4).alias("decayed_sum"),
+        "n",
+        "last_ts",
+    )
+
+
+def q_quantile_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform quantile feature transform (extensions/features.py
+    quantile_transform): o_totalprice -> (avg_rank - 0.5) / n within
+    o_orderpriority, average ranks for ties — two windows on ONE
+    category shuffle. First 200 orders by key."""
+    from pd_utils_spark.extensions.features import quantile_transform
+
+    o = _t(spark, sf_dir, "orders")
+    out = quantile_transform(o, "o_totalprice", byvars="o_orderpriority")
+    return (
+        out.orderBy("o_orderkey")
+        .limit(200)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round("q", 9).alias("q"),
+        )
+    )
+
+
+def q_linkage_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter record-linkage scoring (operators/merge.py
+    linkage_score): customers blocked by nation, pair weight =
+    sum of log2(m/u) / log2((1-m)/(1-u)) over (mktsegment, acctbal
+    bucket) with u ESTIMATED from the field's empirical collision
+    probability (one tiny value-count aggregate per field, broadcast
+    as one row). Result histogrammed by weight — the score
+    distribution a linkage threshold is read from."""
+    from pd_utils_spark.operators.merge import linkage_score
+
+    c = _t(spark, sf_dir, "customer")
+    base = c.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).alias("bal_bucket"),
+    )
+    right = base.select(
+        F.col("c_custkey").alias("ck_r"),
+        F.col("c_nationkey").alias("nk_r"),
+        F.col("c_mktsegment").alias("c_mktsegment_right"),
+        F.col("bal_bucket").alias("bal_bucket_right"),
+    )
+    pairs = base.join(
+        right,
+        (F.col("c_nationkey") == F.col("nk_r"))
+        & (F.col("c_custkey") < F.col("ck_r")),
+    )
+    scored = linkage_score(
+        pairs, ["c_mktsegment", "bal_bucket"], m=0.95, freq_from=base
+    )
+    return (
+        scored.groupBy(
+            F.round("match_weight", 4).alias("match_weight")
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
 def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mutual information between event type and a user segment
     (extensions/profile.py mutual_information): plug-in MI/NMI from
@@ -4481,6 +4558,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_collocations": q_pmi_collocations,
         "bfs_levels": q_bfs_levels,
         "target_encode": q_target_encode,
+        "decayed_agg": q_decayed_agg,
+        "quantile_transform": q_quantile_transform,
+        "linkage_score": q_linkage_score,
         "perplexity_buckets": q_perplexity_buckets,
         "top_ngrams": q_top_ngrams,
         "dedup_spans": q_dedup_spans,
@@ -9860,5 +9940,70 @@ def oracle_sql() -> dict[str, str]:
                round(encoded, 4) AS encoded,
                round(freq, 6) AS freq
         FROM enc ORDER BY o_orderkey LIMIT 200
+    """
+    # decayed_agg: floor(epoch()) mirrors Spark's unix_timestamp
+    # second-truncation; the weight tree is written in the same
+    # association order
+    d["decayed_agg"] = """
+        WITH ref AS (
+            SELECT floor(epoch(max(ts))) AS r FROM events
+            WHERE value IS NOT NULL AND ts IS NOT NULL
+        )
+        SELECT event_type,
+               round(sum(value * 0.5 ** ((r - floor(epoch(ts)))
+                                         / 604800.0)), 4) AS decayed_sum,
+               count(*)::BIGINT AS n,
+               max(ts) AS last_ts
+        FROM events CROSS JOIN ref
+        WHERE value IS NOT NULL AND ts IS NOT NULL
+        GROUP BY event_type, r
+    """
+    d["quantile_transform"] = """
+        SELECT o_orderkey, o_orderpriority,
+               round(
+                   (rank() OVER (PARTITION BY o_orderpriority
+                                 ORDER BY o_totalprice)
+                    + (count(*) OVER (PARTITION BY o_orderpriority,
+                                      o_totalprice) - 1) / 2.0
+                    - 0.5)
+                   / count(o_totalprice) OVER (PARTITION BY o_orderpriority),
+                   9) AS q
+        FROM orders ORDER BY o_orderkey LIMIT 200
+    """
+    d["linkage_score"] = """
+        WITH base AS (
+            SELECT c_custkey, c_nationkey, c_mktsegment,
+                   CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket
+            FROM customer
+        ),
+        u1 AS (
+            SELECT sum(c * c) / (sum(c) * sum(c)) AS u
+            FROM (SELECT count(*) AS c FROM base
+                  WHERE c_mktsegment IS NOT NULL GROUP BY c_mktsegment)
+        ),
+        u2 AS (
+            SELECT sum(c * c) / (sum(c) * sum(c)) AS u
+            FROM (SELECT count(*) AS c FROM base
+                  WHERE bal_bucket IS NOT NULL GROUP BY bal_bucket)
+        ),
+        pairs AS (
+            SELECT l.c_mktsegment AS m1, r.c_mktsegment AS m1r,
+                   l.bal_bucket AS b1, r.bal_bucket AS b1r
+            FROM base l JOIN base r
+            ON l.c_nationkey = r.c_nationkey AND l.c_custkey < r.c_custkey
+        ),
+        scored AS (
+            SELECT 0.0
+                + (CASE WHEN m1 IS NULL OR m1r IS NULL THEN 0.0
+                        WHEN m1 = m1r THEN log2(0.95 / u1.u)
+                        ELSE log2(0.05 / (1.0 - u1.u)) END)
+                + (CASE WHEN b1 IS NULL OR b1r IS NULL THEN 0.0
+                        WHEN b1 = b1r THEN log2(0.95 / u2.u)
+                        ELSE log2(0.05 / (1.0 - u2.u)) END) AS w
+            FROM pairs CROSS JOIN u1 CROSS JOIN u2
+        )
+        SELECT round(w, 4) AS match_weight,
+               count(*)::BIGINT AS n_pairs
+        FROM scored GROUP BY 1
     """
     return d

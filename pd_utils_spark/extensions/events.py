@@ -826,3 +826,51 @@ def seasonal_anomalies(
             F.abs(z) > F.lit(float(z_threshold)), F.lit(False)
         ).alias("is_anomaly"),
     )
+
+
+def decayed_agg(
+    df: DataFrame,
+    valuecol: str,
+    tscol: str,
+    byvars: str | Sequence[str],
+    half_life: float,
+    ref_time=None,
+    out: str = "decayed_sum",
+) -> DataFrame:
+    """Recency-weighted (exponential time-decay) aggregation — the
+    feature-store staple "user's purchase value, half-life 7 days":
+
+        out = sum_i value_i * 0.5 ** (age_i / half_life)
+
+    per group, where ``age_i`` is seconds from the row's ``tscol`` to
+    ``ref_time``. ``ref_time`` defaults to the frame's max timestamp
+    (computed once, broadcast as one row — NOT per group, so scores
+    are comparable across groups and the result is a pure function of
+    the data). Also returns ``n`` (rows) and ``last_ts`` per group.
+
+    Unlike a windowed "last N days" sum, the decay never forgets
+    abruptly and needs no window boundary tuning; unlike a recursive
+    EWMA it is order-free — a plain weighted SUM, so it partial-aggs
+    map-side and shuffles one row per group at any scale.
+    """
+    from pd_utils_spark.utils import to_list
+
+    if half_life <= 0:
+        raise ValueError(f"half_life must be > 0: {half_life}")
+    by_l = to_list(byvars)
+    ts_s = F.unix_timestamp(F.col(tscol)).cast("double")
+    base = df.filter(F.col(valuecol).isNotNull() & F.col(tscol).isNotNull())
+    if ref_time is None:
+        ref = F.broadcast(
+            base.agg(F.unix_timestamp(F.max(tscol)).cast("double").alias("__ref__"))
+        )
+        base = base.join(ref)
+        ref_col = F.col("__ref__")
+    else:
+        ref_col = F.unix_timestamp(F.lit(ref_time)).cast("double")
+    w = F.pow(F.lit(0.5), (ref_col - ts_s) / F.lit(float(half_life)))
+    return base.groupBy(*by_l).agg(
+        F.sum(F.col(valuecol) * w).alias(out),
+        F.count(F.lit(1)).alias("n"),
+        F.max(tscol).alias("last_ts"),
+    )

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["target_encode", "frequency_encode"]
+__all__ = ["target_encode", "frequency_encode", "quantile_transform"]
 
 
 def target_encode(
@@ -100,3 +100,63 @@ def frequency_encode(
         .withColumn(out, n.cast("double") / F.col("__tot__"))
         .drop("__tot__")
     )
+
+
+def quantile_transform(
+    df: DataFrame,
+    valuecol: str,
+    byvars=None,
+    out: str = "q",
+) -> DataFrame:
+    """Append ``out`` = the value's quantile position in (0, 1) within
+    its group: ``(avg_rank - 0.5) / n`` with AVERAGE ranks for ties
+    (tied values share one quantile — required for a deterministic,
+    order-free transform). The uniform-output feature transform that
+    makes heavy-tailed columns (views, revenue, follower counts)
+    comparable across groups and safe for distance-based models;
+    feed it through a probit elsewhere for "rank-Gauss".
+
+    Scale shape: with ``byvars`` this is two window passes over the
+    group partitioning (rank + group count) after ONE shuffle on the
+    group key. Without, the global rank comes from per-distinct-value
+    counts through the distributed prefix scan
+    (:func:`pd_utils_spark.plans.prefix.prefix_sum`) and joins back on
+    the value — never a single-task total-order window. Null values
+    pass through with null ``out``.
+    """
+    from pd_utils_spark.utils import to_list
+
+    v = F.col(valuecol)
+    if byvars is not None:
+        by_l = to_list(byvars)
+        w = Window.partitionBy(*by_l)
+        # average rank = (#strictly smaller) + (ties + 1) / 2, from two
+        # rank frames on one partitioning; nulls sort LAST so they
+        # cannot shift the ranks of real values
+        wo = w.orderBy(F.asc_nulls_last(valuecol))
+        rmin = F.rank().over(wo)
+        cnt_eq = F.count(F.lit(1)).over(
+            Window.partitionBy(*by_l, valuecol)
+        )
+        n = F.count(v).over(w)
+        avg_rank = rmin + (cnt_eq - 1) / 2.0
+        return df.withColumn(
+            out, F.when(v.isNotNull(), (avg_rank - 0.5) / n)
+        )
+    from pd_utils_spark.plans.prefix import prefix_sum
+
+    counts = (
+        df.filter(v.isNotNull())
+        .groupBy(v.alias("__v__"))
+        .agg(F.count(F.lit(1)).alias("__c__"))
+    )
+    cum = prefix_sum(counts, "__v__", ["__c__"], inclusive=False)
+    tot = F.broadcast(counts.agg(F.sum("__c__").alias("__n__")))
+    qmap = cum.join(tot).select(
+        "__v__",
+        (
+            (F.col("__c___cum") + (F.col("__c__") + 1) / 2.0 - 0.5)
+            / F.col("__n__")
+        ).alias(out),
+    )
+    return df.join(qmap, v == F.col("__v__"), "left").drop("__v__")

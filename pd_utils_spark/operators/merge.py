@@ -650,3 +650,86 @@ def left_merge_latest(
     ordered = on + [left_datevar, right_datevar] + [c for c in payload_cols if c != right_datevar]
     data_rows = data_rows.select(*ordered)
     return df.join(data_rows, on=on + [left_datevar], how="left")
+
+
+def linkage_score(
+    pairs: DataFrame,
+    fields: list[str],
+    suffix: str = "_right",
+    m: float | dict = 0.9,
+    u: float | dict | None = 0.1,
+    freq_from: DataFrame | None = None,
+    out: str = "match_weight",
+) -> DataFrame:
+    """Fellegi–Sunter record-linkage scoring over candidate pairs:
+    append ``out`` = the total log2 match weight
+
+        sum_f  agree_f ? log2(m_f / u_f) : log2((1-m_f) / (1-u_f))
+
+    where for each field ``f`` the pair carries the left value in
+    column ``f`` and the right value in ``f + suffix`` (the layout
+    :func:`fuzzy_join` and any blocked self-join produce). ``m_f`` is
+    the probability a TRUE match agrees on ``f`` (domain knowledge,
+    default 0.9 for all fields); ``u_f`` the probability a random
+    non-match agrees. A null on either side contributes 0 — missing
+    data carries no linkage information in the FS model.
+
+    ``u`` can be given per field, or ESTIMATED from data: pass
+    ``freq_from`` (typically the full right-side frame, pre-blocking)
+    and ``u_f = sum_v (n_v / n)^2`` — the collision probability of two
+    random draws from the field's empirical distribution, the standard
+    frequency-based u-estimate. Estimation is one tiny aggregate per
+    field over value counts (O(distinct values) shuffle each), joined
+    back as a ONE-ROW broadcast — the candidate pair frame itself is
+    scored with pure column expressions, no extra shuffle.
+
+    This intentionally scores pairs you already generated (via
+    blocking / ``fuzzy_join`` / LSH) rather than generating them: at
+    100 TB the cost is candidate generation, and that problem is owned
+    by the dedup/blocking family.
+    """
+    if not fields:
+        raise ValueError("fields must be non-empty")
+    m_map = m if isinstance(m, dict) else {f: float(m) for f in fields}
+    for f in fields:
+        if not 0.0 < m_map.get(f, 0.0) < 1.0:
+            raise ValueError(f"m[{f!r}] must be in (0, 1)")
+    scored = pairs
+    u_cols: dict[str, Column] = {}
+    if freq_from is not None:
+        for f in fields:
+            cnts = (
+                freq_from.filter(F.col(f).isNotNull())
+                .groupBy(f)
+                .agg(F.count(F.lit(1)).alias("__c__"))
+            )
+            uf = cnts.agg(
+                (
+                    F.sum(F.col("__c__") * F.col("__c__"))
+                    / (F.sum("__c__") * F.sum("__c__"))
+                ).alias(f"__u_{f}__")
+            )
+            scored = scored.join(F.broadcast(uf))
+            u_cols[f] = F.col(f"__u_{f}__")
+    else:
+        if u is None:
+            raise ValueError("pass u=... or freq_from=...")
+        u_map = u if isinstance(u, dict) else {f: float(u) for f in fields}
+        for f in fields:
+            if not 0.0 < u_map.get(f, 0.0) < 1.0:
+                raise ValueError(f"u[{f!r}] must be in (0, 1)")
+        u_cols = {f: F.lit(u_map[f]) for f in fields}
+    total = F.lit(0.0)
+    for f in fields:
+        l, r = F.col(f), F.col(f + suffix)
+        mf = F.lit(m_map[f])
+        uf = u_cols[f]
+        w_agree = F.log2(mf / uf)
+        w_disagree = F.log2((F.lit(1.0) - mf) / (F.lit(1.0) - uf))
+        total = total + (
+            F.when(l.isNull() | r.isNull(), F.lit(0.0))
+            .when(l == r, w_agree)
+            .otherwise(w_disagree)
+        )
+    scored = scored.withColumn(out, total)
+    return scored.drop(*[f"__u_{f}__" for f in fields if freq_from is not None])

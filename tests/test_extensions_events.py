@@ -585,3 +585,47 @@ class TestSeasonalAnomalies:
         )
         with _pt.raises(ValueError):
             seasonal_anomalies(ev, season="lunar_phase")
+
+
+# ----------------------------------------------------- decayed_agg
+
+def test_decayed_agg_matches_reference(spark):
+    import datetime as dt
+    import math
+
+    import pytest
+
+    from pd_utils_spark.extensions.events import decayed_agg
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("u1", t0, 10.0),
+        ("u1", t0 + dt.timedelta(hours=1), 20.0),
+        ("u2", t0 + dt.timedelta(hours=2), 5.0),
+        ("u2", t0 + dt.timedelta(hours=2), None),  # null value ignored
+    ]
+    df = spark.createDataFrame(rows, ["user", "ts", "v"])
+    hl = 3600.0  # 1 hour
+    got = {
+        r["user"]: (r["decayed_sum"], r["n"])
+        for r in decayed_agg(df, "v", "ts", "user", half_life=hl).collect()
+    }
+    # ref_time = max ts = t0 + 2h
+    ref_u1 = 10.0 * 0.5 ** 2 + 20.0 * 0.5 ** 1
+    assert got["u1"][0] == pytest.approx(ref_u1, rel=1e-12)
+    assert got["u1"][1] == 2
+    assert got["u2"][0] == pytest.approx(5.0, rel=1e-12)
+    assert got["u2"][1] == 1
+
+    # explicit ref_time shifts every weight by the same factor
+    got2 = {
+        r["user"]: r["decayed_sum"]
+        for r in decayed_agg(
+            df, "v", "ts", "user", half_life=hl,
+            ref_time=t0 + dt.timedelta(hours=3),
+        ).collect()
+    }
+    assert got2["u1"] == pytest.approx(ref_u1 * 0.5, rel=1e-12)
+
+    with pytest.raises(ValueError, match="half_life"):
+        decayed_agg(df, "v", "ts", "user", half_life=0)

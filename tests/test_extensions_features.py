@@ -74,3 +74,110 @@ def test_frequency_encode(spark):
         for r in frequency_encode(df, "cat", relative=False).collect()
     }
     assert cnt == {"a": 3, "b": 1}
+
+
+# ----------------------------------------------------- quantile_transform
+
+def test_quantile_transform_grouped_matches_pandas(spark):
+    import pandas as pd
+
+    from pd_utils_spark.extensions.features import quantile_transform
+
+    pdf = pd.DataFrame(
+        {
+            "g": ["a"] * 6 + ["b"] * 4,
+            "v": [3.0, 1.0, 2.0, 2.0, 5.0, 4.0, 10.0, 10.0, 10.0, 7.0],
+        }
+    )
+    ref = (pdf.groupby("g")["v"].rank(method="average") - 0.5) / pdf.groupby(
+        "g"
+    )["v"].transform("count")
+    df = spark.createDataFrame(pdf)
+    got = quantile_transform(df, "v", byvars="g").toPandas()
+    got = got.sort_values(["g", "v"]).reset_index(drop=True)
+    exp = pdf.assign(q=ref).sort_values(["g", "v"]).reset_index(drop=True)
+    for a, b in zip(got["q"], exp["q"]):
+        assert a == pytest.approx(b, abs=1e-12)
+
+
+def test_quantile_transform_global_prefix_path(spark):
+    import pandas as pd
+
+    from pd_utils_spark.extensions.features import quantile_transform
+
+    pdf = pd.DataFrame({"v": [5.0, 1.0, 3.0, 3.0, 9.0, None]})
+    df = spark.createDataFrame(pdf)
+    got = {
+        r["v"]: r["q"] for r in quantile_transform(df, "v").collect()
+    }
+    ref = (pdf["v"].rank(method="average") - 0.5) / pdf["v"].count()
+    for v, q in zip(pdf["v"], ref):
+        if pd.isna(v):
+            assert got[None] is None
+        else:
+            assert got[v] == pytest.approx(q, abs=1e-12)
+
+
+# ----------------------------------------------------- linkage_score
+
+def test_linkage_score_fixed_u(spark):
+    import math
+
+    from pd_utils_spark.operators.merge import linkage_score
+
+    pairs = spark.createDataFrame(
+        [
+            ("x", "x", "p", "p"),   # both agree
+            ("x", "y", "p", "p"),   # f1 disagrees
+            ("x", None, "p", "q"),  # f1 null, f2 disagrees
+        ],
+        ["f1", "f1_right", "f2", "f2_right"],
+    )
+    got = [
+        r["match_weight"]
+        for r in linkage_score(
+            pairs, ["f1", "f2"], m=0.9, u=0.1
+        ).collect()
+    ]
+    wa = math.log2(0.9 / 0.1)
+    wd = math.log2(0.1 / 0.9)
+    assert got[0] == pytest.approx(2 * wa, rel=1e-12)
+    assert got[1] == pytest.approx(wd + wa, rel=1e-12)
+    # f1 carries no information (null side), f2 disagrees
+    assert got[2] == pytest.approx(wd, rel=1e-12)
+
+
+def test_linkage_score_estimates_u_from_frequencies(spark):
+    import math
+
+    from pd_utils_spark.operators.merge import linkage_score
+
+    # field values with known collision probability:
+    # 'a' x3, 'b' x1 -> u = (9 + 1) / 16
+    base = spark.createDataFrame(
+        [("a",), ("a",), ("a",), ("b",)], ["f1"]
+    )
+    pairs = spark.createDataFrame(
+        [("a", "a"), ("a", "b")], ["f1", "f1_right"]
+    )
+    got = [
+        r["match_weight"]
+        for r in linkage_score(
+            pairs, ["f1"], m=0.8, freq_from=base
+        ).collect()
+    ]
+    u = 10.0 / 16.0
+    assert got[0] == pytest.approx(math.log2(0.8 / u), rel=1e-12)
+    assert got[1] == pytest.approx(math.log2(0.2 / (1 - u)), rel=1e-12)
+
+
+def test_linkage_score_validation(spark):
+    from pd_utils_spark.operators.merge import linkage_score
+
+    pairs = spark.createDataFrame([("a", "a")], ["f1", "f1_right"])
+    with pytest.raises(ValueError, match="fields"):
+        linkage_score(pairs, [])
+    with pytest.raises(ValueError, match="m\\["):
+        linkage_score(pairs, ["f1"], m=1.5)
+    with pytest.raises(ValueError, match="u"):
+        linkage_score(pairs, ["f1"], u=None)
