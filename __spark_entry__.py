@@ -4158,6 +4158,129 @@ def q_linkage_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: LPA round count shared BY CONSTRUCTION between q_label_propagation
+#: and its unrolled oracle (same contract as HITS_ITERS / BFS_DEPTH).
+LPA_ITERS = 4
+
+
+def _lpa_oracle_sql(iters: int = LPA_ITERS) -> str:
+    """Unrolled synchronous label-propagation oracle on the 50-node
+    pagerank graph: per round, each node takes its in-neighbors' most
+    frequent label (count desc, label asc), keeping its own when it
+    has no in-edges."""
+    ctes = [
+        """e AS MATERIALIZED (
+                SELECT DISTINCT doc_id % 50 AS s, (doc_id * 2 + 1) % 50 AS d
+                FROM documents
+                UNION
+                SELECT DISTINCT doc_id % 50 AS s, (doc_id * 3 + 7) % 50 AS d
+                FROM documents
+            )""",
+        """nodes AS MATERIALIZED (SELECT DISTINCT s AS n FROM e
+                      UNION SELECT DISTINCT d FROM e)""",
+        "l0 AS MATERIALIZED (SELECT n, n AS lab FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(f"""c{i} AS MATERIALIZED (
+                SELECT e.d AS n, p.lab, count(*) AS c
+                FROM e JOIN l{i - 1} p ON p.n = e.s
+                GROUP BY e.d, p.lab
+            )""")
+        ctes.append(f"""b{i} AS MATERIALIZED (
+                SELECT n, lab FROM (
+                    SELECT n, lab,
+                           row_number() OVER (PARTITION BY n
+                                              ORDER BY c DESC, lab) AS rk
+                    FROM c{i}
+                ) WHERE rk = 1
+            )""")
+        ctes.append(f"""l{i} AS MATERIALIZED (
+                SELECT l.n, coalesce(b.lab, l.lab) AS lab
+                FROM l{i - 1} l LEFT JOIN b{i} b ON b.n = l.n
+            )""")
+    return (
+        "\n            WITH "
+        + ",\n            ".join(ctes)
+        + f"""
+            SELECT n AS node, lab AS label FROM l{iters}
+        """
+    )
+
+
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation communities (extensions/graph.py
+    label_propagation) on the 50-node pagerank graph — LPA_ITERS (= 4)
+    rounds with the deterministic (count desc, label asc) tie-break,
+    hash-matched against the oracle unrolled to the SAME constant by
+    _lpa_oracle_sql(). Per round: one edge-label join, one (dst,
+    label) count agg, one in-degree-bounded row_number window."""
+    from pd_utils_spark.extensions.graph import label_propagation
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    e1 = d.select(
+        (F.col("doc_id") % 50).alias("src"),
+        ((F.col("doc_id") * 2 + 1) % 50).alias("dst"),
+    )
+    e2 = d.select(
+        (F.col("doc_id") % 50).alias("src"),
+        ((F.col("doc_id") * 3 + 7) % 50).alias("dst"),
+    )
+    edges = e1.unionByName(e2).distinct()
+    return label_propagation(edges, iters=LPA_ITERS)
+
+
+def q_eb_rate_shrink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes rate shrinkage (extensions/stats.py
+    eb_rate_shrink): per-user purchase rate shrunk toward the pooled
+    Beta prior fit by method of moments — ONE moment aggregate over
+    the user frame broadcast back as one row, shrinkage as pure
+    column expressions. First 200 users by id."""
+    ev = _t(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("x"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    out = pus_stats.eb_rate_shrink(users, "x", "n")
+    return (
+        out.orderBy("user_id")
+        .limit(200)
+        .select(
+            "user_id",
+            "x",
+            "n",
+            F.round("rate", 6).alias("rate"),
+            F.round("alpha", 6).alias("alpha"),
+            F.round("beta", 6).alias("beta"),
+            F.round("shrunk_rate", 6).alias("shrunk_rate"),
+        )
+    )
+
+
+def q_uplift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qini uplift curve (extensions/metrics.py uplift_curve): user
+    activity count as the targeting score, user-id parity as the
+    treatment arm, purchase as the outcome, 10 exact equal-count
+    score-descending bins (exact_ntile tie semantics through the
+    distributed prefix scan), cumulative r_t - r_c * n_t/n_c per
+    prefix."""
+    from pd_utils_spark.extensions.metrics import uplift_curve
+
+    ev = _t(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("score"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1.0).otherwise(0.0)
+        ).alias("y"),
+    ).withColumn("treat", (F.col("user_id") % 2).cast("int"))
+    out = uplift_curve(users, "score", "treat", "y", n_bins=10)
+    return out.select(
+        "bin", "n_t", "n_c", "r_t", "r_c",
+        F.round("uplift", 6).alias("uplift"),
+    )
+
+
 def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mutual information between event type and a user segment
     (extensions/profile.py mutual_information): plug-in MI/NMI from
@@ -4561,6 +4684,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decayed_agg": q_decayed_agg,
         "quantile_transform": q_quantile_transform,
         "linkage_score": q_linkage_score,
+        "label_propagation": q_label_propagation,
+        "eb_rate_shrink": q_eb_rate_shrink,
+        "uplift_curve": q_uplift_curve,
         "perplexity_buckets": q_perplexity_buckets,
         "top_ngrams": q_top_ngrams,
         "dedup_spans": q_dedup_spans,
@@ -10005,5 +10131,88 @@ def oracle_sql() -> dict[str, str]:
         SELECT round(w, 4) AS match_weight,
                count(*)::BIGINT AS n_pairs
         FROM scored GROUP BY 1
+    """
+    d["label_propagation"] = _lpa_oracle_sql()
+    # EB shrinkage: identical method-of-moments algebra, same
+    # association order as extensions/stats.py eb_rate_shrink
+    d["eb_rate_shrink"] = """
+        WITH u AS (
+            SELECT user_id,
+                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS x,
+                   count(*) AS n
+            FROM events GROUP BY user_id
+        ),
+        rated AS (
+            SELECT user_id, x, n,
+                   CASE WHEN CAST(n AS DOUBLE) > 0
+                        THEN CAST(x AS DOUBLE) / CAST(n AS DOUBLE) END AS rate
+            FROM u
+        ),
+        mom AS (
+            SELECT avg(rate) AS mu, var_samp(rate) AS s2
+            FROM rated WHERE rate IS NOT NULL
+        ),
+        pr AS (
+            SELECT CASE WHEN s2 IS NOT NULL AND s2 > 0
+                             AND mu * (1.0 - mu) / s2 - 1.0 > 0
+                        THEN mu * (mu * (1.0 - mu) / s2 - 1.0)
+                        ELSE 1.0 END AS alpha,
+                   CASE WHEN s2 IS NOT NULL AND s2 > 0
+                             AND mu * (1.0 - mu) / s2 - 1.0 > 0
+                        THEN (1.0 - mu) * (mu * (1.0 - mu) / s2 - 1.0)
+                        ELSE 1.0 END AS beta
+            FROM mom
+        )
+        SELECT user_id, x::BIGINT AS x, n::BIGINT AS n,
+               round(rate, 6) AS rate,
+               round(alpha, 6) AS alpha,
+               round(beta, 6) AS beta,
+               round(CASE WHEN CAST(n AS DOUBLE) > 0
+                          THEN (CAST(x AS DOUBLE) + alpha)
+                               / (CAST(n AS DOUBLE) + alpha + beta) END, 6)
+                   AS shrunk_rate
+        FROM rated CROSS JOIN pr
+        ORDER BY user_id LIMIT 200
+    """
+    # uplift: exact_ntile bucket arithmetic replicated verbatim
+    # (floor(strict_rank * bins / N) capped at bins-1, ties share)
+    d["uplift_curve"] = """
+        WITH u AS (
+            SELECT user_id, count(*) AS score,
+                   max(CASE WHEN event_type = 'purchase'
+                            THEN 1.0 ELSE 0.0 END) AS y,
+                   CAST(user_id % 2 AS INT) AS treat
+            FROM events GROUP BY user_id
+        ),
+        tot AS (SELECT count(*) AS nn FROM u),
+        binned AS (
+            SELECT treat, y,
+                   CAST(least(floor((rank() OVER (ORDER BY -score) - 1)
+                                    * 10 / nn), 9) AS INT) AS bin
+            FROM u CROSS JOIN tot
+        ),
+        per AS (
+            SELECT bin,
+                   sum(treat) AS nt, sum(1 - treat) AS nc,
+                   sum(CASE WHEN treat = 1 THEN y ELSE 0.0 END) AS rt,
+                   sum(CASE WHEN treat = 0 THEN y ELSE 0.0 END) AS rc
+            FROM binned GROUP BY bin
+        ),
+        cum AS (
+            SELECT bin,
+                   sum(nt) OVER w AS n_t, sum(nc) OVER w AS n_c,
+                   sum(rt) OVER w AS r_t, sum(rc) OVER w AS r_c
+            FROM per
+            WINDOW w AS (ORDER BY bin
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+        SELECT bin,
+               n_t::BIGINT AS n_t, n_c::BIGINT AS n_c, r_t, r_c,
+               round(CASE WHEN n_c > 0
+                          THEN r_t - r_c * (CAST(n_t AS DOUBLE)
+                                            / CAST(n_c AS DOUBLE))
+                          ELSE r_t END, 6) AS uplift
+        FROM cum
     """
     return d

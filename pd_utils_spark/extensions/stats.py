@@ -801,3 +801,61 @@ def conformal_split(
             F.lit(1.0 - alpha).alias("target"),
         )
     )
+
+
+def eb_rate_shrink(
+    df: DataFrame,
+    successcol: str,
+    trialscol: str,
+    out: str = "shrunk_rate",
+) -> DataFrame:
+    """Empirical-Bayes (beta-binomial) shrinkage of per-entity rates:
+    fit a Beta(alpha, beta) prior to the observed rate distribution by
+    method of moments, then append
+
+        out = (successes + alpha) / (trials + alpha + beta)
+
+    — the standard fix for "this seller has 1 sale in 1 trial, is
+    their conversion rate really 100%?": thin entities shrink hard
+    toward the global mean rate, data-rich entities barely move.
+    Also appends ``rate`` (raw) and the fitted ``alpha`` / ``beta``
+    (identical on every row — a fit audit, cheap because they ride
+    the same one-row broadcast).
+
+    Method of moments on the raw rates: with mean ``mu`` and variance
+    ``s2`` of ``successes / trials``, ``K = mu*(1-mu)/s2 - 1``,
+    ``alpha = mu*K``, ``beta = (1-mu)*K``. Degenerate fits (zero
+    variance, or ``s2 >= mu*(1-mu)`` making K non-positive) fall back
+    to alpha = beta = 1 (uniform prior). Rows with trials <= 0 pass
+    through with null ``out``.
+
+    Scale shape: ONE aggregate over the entity frame for the two
+    moments (map-side partial sums), broadcast back as one row; the
+    shrinkage itself is a pure column expression. Nothing collected.
+    """
+    x = F.col(successcol).cast("double")
+    n = F.col(trialscol).cast("double")
+    rate = F.when(n > 0, x / n)
+    base = df.withColumn("__rate__", rate)
+    mom = base.filter(F.col("__rate__").isNotNull()).agg(
+        F.avg("__rate__").alias("__mu__"),
+        F.var_samp("__rate__").alias("__s2__"),
+    )
+    mu, s2 = F.col("__mu__"), F.col("__s2__")
+    k = mu * (F.lit(1.0) - mu) / s2 - F.lit(1.0)
+    ok = s2.isNotNull() & (s2 > 0) & (k > 0)
+    prior = mom.select(
+        F.when(ok, mu * k).otherwise(F.lit(1.0)).alias("alpha"),
+        F.when(ok, (F.lit(1.0) - mu) * k).otherwise(F.lit(1.0)).alias("beta"),
+    )
+    return (
+        base.join(F.broadcast(prior))
+        .withColumn(
+            out,
+            F.when(
+                n > 0,
+                (x + F.col("alpha")) / (n + F.col("alpha") + F.col("beta")),
+            ),
+        )
+        .withColumnRenamed("__rate__", "rate")
+    )

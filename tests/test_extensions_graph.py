@@ -207,3 +207,56 @@ def test_bfs_levels_early_stop_and_depth_cap(spark):
         for r in bfs_levels(e2, srcs, max_depth=5).collect()
     }
     assert d == {0: 0, 1: 1, 2: 1}
+
+
+# ----------------------------------------------------- label_propagation
+
+def _lpa_ref(edges, iters):
+    import collections
+
+    nodes = sorted({x for e in edges for x in e})
+    inn = collections.defaultdict(list)
+    for s, d in edges:
+        inn[d].append(s)
+    lab = {n: n for n in nodes}
+    for _ in range(iters):
+        new = {}
+        for n in nodes:
+            if not inn[n]:
+                new[n] = lab[n]
+                continue
+            cnt = collections.Counter(lab[s] for s in inn[n])
+            best = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+            new[n] = best
+        lab = new
+    return lab
+
+
+def test_label_propagation_matches_reference(spark):
+    import random
+
+    from pd_utils_spark.extensions.graph import label_propagation
+
+    rng = random.Random(9)
+    edges = list({(rng.randrange(30), rng.randrange(30)) for _ in range(70)})
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    for iters in (0, 1, 3):
+        got = {
+            r["node"]: r["label"]
+            for r in label_propagation(e, iters=iters).collect()
+        }
+        assert got == _lpa_ref(edges, iters), f"iters={iters}"
+
+
+def test_label_propagation_two_cliques_separate(spark):
+    from pd_utils_spark.extensions.graph import label_propagation
+
+    # two directed triangles with no cross edges -> two communities
+    tri1 = [(0, 1), (1, 2), (2, 0)]
+    tri2 = [(10, 11), (11, 12), (12, 10)]
+    e = spark.createDataFrame(tri1 + tri2, ["src", "dst"])
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(e, iters=6).collect()
+    }
+    assert len({got[0], got[1], got[2]} & {got[10], got[11], got[12]}) == 0

@@ -221,3 +221,52 @@ class TestMulticlassSummary:
         assert mi.precision == pytest.approx(0.5)
         assert mi.recall == pytest.approx(0.5)
         assert mi.f1 == pytest.approx(0.5)
+
+
+# ----------------------------------------------------- uplift_curve
+
+def test_uplift_curve_hand_computed(spark):
+    import pytest
+
+    from pd_utils_spark.extensions.metrics import uplift_curve
+
+    # score perfectly separates responders; treated flagged by parity
+    rows = []
+    for i in range(20):
+        score = 20 - i          # descending ranks = i order
+        treat = i % 2           # even i treated
+        outcome = 1.0 if i < 10 else 0.0
+        rows.append((float(score), treat, outcome))
+    df = spark.createDataFrame(rows, ["score", "treat", "y"])
+    got = {r["bin"]: r for r in uplift_curve(df, "score", "treat", "y", n_bins=2).collect()}
+    # bin 0 = top half: 5 treated (i=0..9 even -> 0,2,4,6,8), all respond
+    b0 = got[0]
+    assert (b0["n_t"], b0["n_c"], b0["r_t"], b0["r_c"]) == (5, 5, 5.0, 5.0)
+    assert b0["uplift"] == pytest.approx(0.0)
+    b1 = got[1]
+    assert (b1["n_t"], b1["n_c"], b1["r_t"], b1["r_c"]) == (10, 10, 5.0, 5.0)
+    assert b1["uplift"] == pytest.approx(0.0)
+
+
+def test_uplift_curve_detects_real_uplift(spark):
+    import pytest
+
+    from pd_utils_spark.extensions.metrics import uplift_curve
+
+    # high-score treated respond; controls never do -> uplift = r_t
+    rows = []
+    for i in range(40):
+        treat = i % 2
+        score = float(40 - i)
+        outcome = 1.0 if (treat == 1 and i < 20) else 0.0
+        rows.append((score, treat, outcome))
+    df = spark.createDataFrame(rows, ["score", "treat", "y"])
+    got = sorted(
+        uplift_curve(df, "score", "treat", "y", n_bins=4).collect(),
+        key=lambda r: r["bin"],
+    )
+    assert got[0]["uplift"] == pytest.approx(5.0)   # top quartile: 5 treated responders
+    assert got[1]["uplift"] == pytest.approx(10.0)
+    assert got[3]["uplift"] == pytest.approx(10.0)  # flat after responders exhausted
+    with pytest.raises(ValueError, match="n_bins"):
+        uplift_curve(df, "score", "treat", "y", n_bins=0)

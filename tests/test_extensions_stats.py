@@ -640,3 +640,44 @@ def test_conformal_split_rejects_bad_alpha(spark):
     df = spark.createDataFrame([(1.0, 1.0, True)], ["y", "p", "c"])
     with pytest.raises(ValueError, match="alpha"):
         conformal_split(df, "y", "p", "c", alpha=1.5)
+
+
+# ----------------------------------------------------- eb_rate_shrink
+
+def test_eb_rate_shrink_matches_numpy_mom(spark):
+    from pd_utils_spark.extensions.stats import eb_rate_shrink
+
+    rng = np.random.default_rng(13)
+    n = rng.integers(1, 50, 200).astype(float)
+    p = rng.beta(4.0, 6.0, 200)
+    x = np.floor(n * p)
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(x, n)], ["x", "n"]
+    )
+    rates = x / n
+    mu, s2 = rates.mean(), rates.var(ddof=1)
+    k = mu * (1 - mu) / s2 - 1
+    alpha, beta = mu * k, (1 - mu) * k
+    assert k > 0
+    got = eb_rate_shrink(df, "x", "n").collect()
+    for r in got:
+        assert r["alpha"] == pytest.approx(alpha, rel=1e-9)
+        assert r["beta"] == pytest.approx(beta, rel=1e-9)
+        ref = (r["x"] + alpha) / (r["n"] + alpha + beta)
+        assert r["shrunk_rate"] == pytest.approx(ref, rel=1e-9)
+        # shrinkage pulls toward the pooled mean
+        raw = r["x"] / r["n"]
+        assert abs(r["shrunk_rate"] - mu) <= abs(raw - mu) + 1e-12
+
+
+def test_eb_rate_shrink_degenerate_and_zero_trials(spark):
+    from pd_utils_spark.extensions.stats import eb_rate_shrink
+
+    # constant rates -> zero variance -> uniform prior fallback
+    df = spark.createDataFrame(
+        [(1.0, 2.0), (2.0, 4.0), (0.0, 0.0)], ["x", "n"]
+    )
+    got = {r["n"]: r for r in eb_rate_shrink(df, "x", "n").collect()}
+    assert got[2.0]["alpha"] == 1.0 and got[2.0]["beta"] == 1.0
+    assert got[2.0]["shrunk_rate"] == pytest.approx(2.0 / 4.0)
+    assert got[0.0]["shrunk_rate"] is None and got[0.0]["rate"] is None
