@@ -4229,6 +4229,93 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(edges, iters=LPA_ITERS)
 
 
+def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient (extensions/graph.py
+    clustering_coefficient) on the 50-node pagerank graph: the
+    triangle_count wedge plan plus ONE degree hash-agg on the same
+    canonical edge list; the ratio 2T/(d(d-1)) is a JVM column
+    expression. Oracle replays wedges + degrees in SQL."""
+    from pd_utils_spark.extensions.graph import clustering_coefficient
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    e1 = d.select(
+        (F.col("doc_id") % 50).alias("src"),
+        ((F.col("doc_id") * 2 + 1) % 50).alias("dst"),
+    )
+    e2 = d.select(
+        (F.col("doc_id") % 50).alias("src"),
+        ((F.col("doc_id") * 3 + 7) % 50).alias("dst"),
+    )
+    out = clustering_coefficient(e1.unionByName(e2))
+    return out.withColumn(
+        "coefficient", F.round("coefficient", _ROUND)
+    )
+
+
+KCORE_K = 3
+# Fixpoint on the 50-node graph is reached in 2 peels; the oracle
+# over-unrolls to 4 (peeling a fixpoint is the identity, so extra
+# rounds are safe) and the Spark side iterates until convergence.
+KCORE_ROUNDS = 4
+
+
+def _kcore_oracle_sql(k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> str:
+    """Unrolled k-core peeling oracle: each round recomputes degrees
+    over the surviving edge list and keeps nodes with degree >= k."""
+    ctes = [
+        """e0 AS MATERIALIZED (
+            SELECT DISTINCT least(s, t) AS lo, greatest(s, t) AS hi
+            FROM (
+                SELECT doc_id % 50 AS s, (doc_id * 2 + 1) % 50 AS t
+                FROM documents
+                UNION ALL
+                SELECT doc_id % 50, (doc_id * 3 + 7) % 50 FROM documents
+            ) WHERE s <> t
+        )"""
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes.append(f"""k{i} AS MATERIALIZED (
+                SELECT node FROM (
+                    SELECT lo AS node FROM e{p}
+                    UNION ALL SELECT hi FROM e{p}
+                ) GROUP BY 1 HAVING count(*) >= {k}
+            )""")
+        ctes.append(f"""e{i} AS MATERIALIZED (
+                SELECT lo, hi FROM e{p}
+                WHERE lo IN (SELECT node FROM k{i})
+                  AND hi IN (SELECT node FROM k{i})
+            )""")
+    joined = ",\n        ".join(ctes)
+    return f"""
+        WITH {joined}
+        SELECT node, count(*)::BIGINT AS core_degree
+        FROM (SELECT lo AS node FROM e{rounds}
+              UNION ALL SELECT hi FROM e{rounds})
+        GROUP BY 1
+    """
+
+
+def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core (k = KCORE_K) of the 50-node pagerank graph
+    (extensions/graph.py k_core): iterative peel — one degree agg +
+    two edge semi-joins per round, per-round checkpoint, edge-count
+    convergence test. Oracle = _kcore_oracle_sql() unrolled past the
+    measured fixpoint."""
+    from pd_utils_spark.extensions.graph import k_core
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    e1 = d.select(
+        (F.col("doc_id") % 50).alias("src"),
+        ((F.col("doc_id") * 2 + 1) % 50).alias("dst"),
+    )
+    e2 = d.select(
+        (F.col("doc_id") % 50).alias("src"),
+        ((F.col("doc_id") * 3 + 7) % 50).alias("dst"),
+    )
+    return k_core(e1.unionByName(e2), k=KCORE_K)
+
+
 def q_eb_rate_shrink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Empirical-Bayes rate shrinkage (extensions/stats.py
     eb_rate_shrink): per-user purchase rate shrunk toward the pooled
@@ -4685,6 +4772,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_transform": q_quantile_transform,
         "linkage_score": q_linkage_score,
         "label_propagation": q_label_propagation,
+        "clustering_coefficient": q_clustering_coefficient,
+        "k_core": q_k_core,
         "eb_rate_shrink": q_eb_rate_shrink,
         "uplift_curve": q_uplift_curve,
         "perplexity_buckets": q_perplexity_buckets,
@@ -5866,6 +5955,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT n.node,
                    cast(coalesce(c.triangles, 0) AS bigint) AS triangles
             FROM nodes n LEFT JOIN cnt c USING (node)
+        """,
+        "clustering_coefficient": """
+            WITH d AS (
+                SELECT doc_id % 50 AS s, (doc_id * 2 + 1) % 50 AS t
+                FROM documents
+                UNION ALL
+                SELECT doc_id % 50, (doc_id * 3 + 7) % 50 FROM documents
+            ), e AS (
+                SELECT DISTINCT least(s, t) AS lo, greatest(s, t) AS hi
+                FROM d WHERE s <> t
+            ), w AS (
+                SELECT e1.lo AS c, e1.hi AS x, e2.hi AS y
+                FROM e e1 JOIN e e2 ON e1.lo = e2.lo AND e1.hi < e2.hi
+            ), tri AS (
+                SELECT c, x, y FROM w
+                WHERE EXISTS (SELECT 1 FROM e
+                              WHERE e.lo = w.x AND e.hi = w.y)
+            ), corners AS (
+                SELECT c AS node FROM tri
+                UNION ALL SELECT x FROM tri
+                UNION ALL SELECT y FROM tri
+            ), cnt AS (
+                SELECT node, count(*) AS triangles FROM corners GROUP BY 1
+            ), deg AS (
+                SELECT node, count(*) AS degree
+                FROM (SELECT lo AS node FROM e
+                      UNION ALL SELECT hi FROM e)
+                GROUP BY 1
+            )
+            SELECT deg.node,
+                   deg.degree::BIGINT AS degree,
+                   cast(coalesce(cnt.triangles, 0) AS BIGINT) AS triangles,
+                   round(CASE WHEN deg.degree >= 2
+                              THEN 2.0 * coalesce(cnt.triangles, 0)::DOUBLE
+                                   / (deg.degree::DOUBLE
+                                      * (deg.degree::DOUBLE - 1.0))
+                              ELSE 0.0 END, 6) AS coefficient
+            FROM deg LEFT JOIN cnt USING (node)
         """,
         "bigram_logprob": f"""
             WITH tok AS (
@@ -8495,7 +8622,7 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'test' END AS split
             FROM documents
         """,
-        "fuzzy_join": """
+        "fuzzy_join": r"""
             WITH dirty AS (
                 SELECT s_suppkey AS dirty_key,
                        lower(s_name) || chr(97 + (s_suppkey % 26)::INT)
@@ -10049,6 +10176,7 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY pmi_raw DESC, w1, w2 LIMIT 40
     """
     d["bfs_levels"] = _bfs_oracle_sql()
+    d["k_core"] = _kcore_oracle_sql()
     # target encoding: same window algebra — per-category sums minus
     # the own label, shrunk toward the global mean
     d["target_encode"] = """

@@ -260,3 +260,103 @@ def test_label_propagation_two_cliques_separate(spark):
         for r in label_propagation(e, iters=6).collect()
     }
     assert len({got[0], got[1], got[2]} & {got[10], got[11], got[12]}) == 0
+
+
+# ------------------------------------ clustering_coefficient / k_core
+
+class TestClusteringCoefficient:
+    def test_k4_plus_pendant(self, spark):
+        from pd_utils_spark.extensions.graph import clustering_coefficient
+
+        # K4 on {1..4}: deg 3, 3 triangles -> cc = 2*3/(3*2) = 1.0.
+        # Node 5 hangs off 4: deg(4) becomes 4, still 3 triangles ->
+        # cc(4) = 6/12 = 0.5; pendant 5 has deg 1 -> 0.0 by convention.
+        edges = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "src": [1, 1, 1, 2, 2, 3, 4],
+                    "dst": [2, 3, 4, 3, 4, 4, 5],
+                }
+            )
+        )
+        got = {
+            r.node: (r.degree, r.triangles, r.coefficient)
+            for r in clustering_coefficient(edges).collect()
+        }
+        assert got == {
+            1: (3, 3, 1.0),
+            2: (3, 3, 1.0),
+            3: (3, 3, 1.0),
+            4: (4, 3, 0.5),
+            5: (1, 0, 0.0),
+        }
+
+    def test_bounds_random_graph(self, spark):
+        from pd_utils_spark.extensions.graph import clustering_coefficient
+
+        # deterministic pseudo-random graph: coefficient always in [0, 1]
+        rows = [((i * 7) % 23, (i * 13 + 5) % 23) for i in range(60)]
+        e = spark.createDataFrame(
+            [r for r in rows if r[0] != r[1]], ["src", "dst"]
+        )
+        for r in clustering_coefficient(e).collect():
+            assert 0.0 <= r.coefficient <= 1.0
+            assert r.degree >= 1
+
+
+class TestKCore:
+    @staticmethod
+    def _peel_ref(edges, k):
+        E = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+        while True:
+            deg = {}
+            for a, b in E:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+            keep = {n for n, d in deg.items() if d >= k}
+            E2 = {(a, b) for a, b in E if a in keep and b in keep}
+            if E2 == E:
+                return deg if E else {}
+            E = E2
+
+    def test_k4_with_tail(self, spark):
+        from pd_utils_spark.extensions.graph import k_core
+
+        # K4 plus a path 4-5-6: 3-core is exactly the K4 (all deg 3)
+        edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+                 (4, 5), (5, 6)]
+        e = spark.createDataFrame(edges, ["src", "dst"])
+        got = {r.node: r.core_degree for r in k_core(e, k=3).collect()}
+        assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+    def test_empty_core(self, spark):
+        from pd_utils_spark.extensions.graph import k_core
+
+        # a tree has no 2-core
+        e = spark.createDataFrame(
+            [(1, 2), (2, 3), (2, 4), (4, 5)], ["src", "dst"]
+        )
+        assert k_core(e, k=2).count() == 0
+
+    def test_matches_reference_and_internal_degree(self, spark):
+        from pd_utils_spark.extensions.graph import k_core
+
+        rows = [((i * 7) % 23, (i * 13 + 5) % 23) for i in range(60)]
+        edges = [r for r in rows if r[0] != r[1]]
+        e = spark.createDataFrame(edges, ["src", "dst"])
+        for k in (2, 3, 4):
+            ref = self._peel_ref(edges, k)
+            ref = {n: d for n, d in ref.items() if d >= k} if ref else {}
+            got = {
+                r.node: r.core_degree for r in k_core(e, k=k).collect()
+            }
+            assert got == ref, f"k={k}"
+            # every survivor's degree inside the core is >= k
+            assert all(d >= k for d in got.values())
+
+    def test_validation(self, spark):
+        from pd_utils_spark.extensions.graph import k_core
+
+        e = spark.createDataFrame([(1, 2)], ["src", "dst"])
+        with pytest.raises(ValueError, match="k must be"):
+            k_core(e, k=0)
