@@ -4411,6 +4411,70 @@ def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotone-trend test per event type
+    (operators/timeseries.py mann_kendall) over the daily event-count
+    series — integer counts keep every pairwise sign exact on both
+    engines. S comes from a divide-and-conquer merge count (never
+    pairwise); the oracle replays the O(n^2) definition in SQL plus
+    the shared A&S erfc polynomial for the two-sided p."""
+    from pd_utils_spark.operators.timeseries import mann_kendall
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.filter(F.col("ts").isNotNull()).groupBy(
+        "event_type", F.dayofmonth("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    out = mann_kendall(daily, "n_events", "day", "event_type")
+    return out.select(
+        "event_type", "n", "s_stat",
+        F.round("var_s", 6).alias("var_s"),
+        F.round("z", 6).alias("z"),
+        F.round("p_value", 6).alias("p_value"),
+    )
+
+
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per event type
+    (operators/timeseries.py theil_sen) on the same daily-count
+    series as mann_kendall: slope = exact median of pairwise
+    count/day slopes (integer-over-integer ratios — engine-portable
+    doubles), intercept = median residual at the median slope. Pair
+    generation is a within-group self-join; medians are exact
+    F.percentile (DuckDB quantile_cont parity)."""
+    from pd_utils_spark.operators.timeseries import theil_sen
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.filter(F.col("ts").isNotNull()).groupBy(
+        "event_type", F.dayofmonth("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    out = theil_sen(daily, "n_events", "day", "event_type")
+    return out.select(
+        "event_type", "n",
+        F.round("slope", 6).alias("slope"),
+        F.round("intercept", 6).alias("intercept"),
+    )
+
+
+def q_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact lower weighted quantiles (extensions/profile.py
+    weighted_quantiles): l_extendedprice weighted by l_quantity per
+    return flag at p25/p50/p90 — per-distinct-value weight agg, ONE
+    cumulative window over the compressed value domain, one min-per-
+    prob aggregate. Integer-valued weights make every cumulative
+    comparison exact on both engines; the picked value is an observed
+    price, never interpolated."""
+    from pd_utils_spark.extensions.profile import weighted_quantiles
+
+    li = _t(spark, sf_dir, "lineitem")
+    return weighted_quantiles(
+        li,
+        "l_extendedprice",
+        "l_quantity",
+        probs=(0.25, 0.5, 0.9),
+        byvars="l_returnflag",
+    )
+
+
 def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index of purchase values: first half of
     the month as the training baseline, second half as current
@@ -4759,6 +4823,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_diversity": q_mix_diversity,
         "psi_drift": q_psi_drift,
         "changepoint": q_changepoint,
+        "mann_kendall": q_mann_kendall,
+        "theil_sen": q_theil_sen,
+        "weighted_quantiles": q_weighted_quantiles,
         "mutual_information": q_mutual_information,
         "caliper_match": q_caliper_match,
         "kaplan_meier": q_kaplan_meier,
@@ -9539,6 +9606,104 @@ def oracle_sql() -> dict[str, str]:
                round(mr - ml, 6) AS shift, round(stat, 6) AS stat,
                round(CASE WHEN sd > 0 THEN stat / sd END, 6) AS stat_norm
         FROM ranked WHERE rk = 1
+    """
+    # Mann-Kendall: O(n^2) pairwise definition (the Spark side merge-
+    # counts in O(n log^2 n)); integer daily counts keep signs exact,
+    # tie-corrected variance, continuity-corrected z, A&S erfc p
+    d["mann_kendall"] = """
+        WITH daily AS (
+            SELECT event_type, date_part('day', ts)::INT AS day,
+                   count(*)::DOUBLE AS x
+            FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+        ),
+        p AS (
+            SELECT a.event_type,
+                   CASE WHEN b.x > a.x THEN 1
+                        WHEN b.x < a.x THEN -1 ELSE 0 END AS sg
+            FROM daily a JOIN daily b
+              ON a.event_type = b.event_type AND a.day < b.day
+        ),
+        s AS (SELECT event_type, sum(sg)::BIGINT AS s_stat FROM p GROUP BY 1),
+        nn AS (SELECT event_type, count(*)::BIGINT AS n FROM daily GROUP BY 1),
+        ties AS (
+            SELECT event_type, sum(c * (c - 1) * (2 * c + 5)) AS tt
+            FROM (SELECT event_type, x, count(*) AS c
+                  FROM daily GROUP BY 1, 2)
+            GROUP BY 1
+        ),
+        v AS (
+            SELECT nn.event_type, nn.n, s.s_stat,
+                   (nn.n * (nn.n - 1) * (2 * nn.n + 5)
+                    - coalesce(tt, 0)) / 18.0 AS var_s
+            FROM nn JOIN s USING (event_type)
+            LEFT JOIN ties USING (event_type)
+        ),
+        z AS (
+            SELECT *,
+                   CASE WHEN s_stat > 0 AND var_s > 0
+                            THEN (s_stat - 1.0) / sqrt(var_s)
+                        WHEN s_stat < 0 AND var_s > 0
+                            THEN (s_stat + 1.0) / sqrt(var_s)
+                        ELSE 0.0 END AS zz
+            FROM v
+        ),
+        ec AS (SELECT *, abs(zz) / sqrt(2.0) AS xx FROM z),
+        tc AS (SELECT *, 1.0 / (1.0 + 0.3275911 * xx) AS t1 FROM ec)
+        SELECT event_type, n, s_stat,
+               round(var_s, 6) AS var_s,
+               round(zz, 6) AS z,
+               round(least(greatest(
+                   (0.254829592 * t1 - 0.284496736 * t1 * t1
+                    + 1.421413741 * t1 * t1 * t1
+                    - 1.453152027 * t1 * t1 * t1 * t1
+                    + 1.061405429 * t1 * t1 * t1 * t1 * t1)
+                   * exp(-xx * xx), 0.0), 1.0), 6) AS p_value
+        FROM tc
+    """
+    d["theil_sen"] = """
+        WITH daily AS (
+            SELECT event_type, date_part('day', ts)::INT AS day,
+                   count(*)::DOUBLE AS x
+            FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+        ),
+        sl AS (
+            SELECT a.event_type,
+                   (b.x - a.x) / (b.day - a.day)::DOUBLE AS slope
+            FROM daily a JOIN daily b
+              ON a.event_type = b.event_type AND a.day < b.day
+        ),
+        m AS (
+            SELECT event_type, quantile_cont(slope, 0.5) AS slope
+            FROM sl GROUP BY 1
+        )
+        SELECT d.event_type, count(*)::BIGINT AS n,
+               round(any_value(m.slope), 6) AS slope,
+               round(quantile_cont(d.x - m.slope * d.day, 0.5), 6)
+                   AS intercept
+        FROM daily d JOIN m USING (event_type)
+        GROUP BY d.event_type
+    """
+    d["weighted_quantiles"] = """
+        WITH cells AS (
+            SELECT l_returnflag, l_extendedprice AS v,
+                   sum(l_quantity) AS w
+            FROM lineitem
+            WHERE l_extendedprice IS NOT NULL
+              AND l_quantity IS NOT NULL AND l_quantity > 0
+            GROUP BY 1, 2
+        ),
+        sc AS (
+            SELECT l_returnflag, v,
+                   sum(w) OVER (PARTITION BY l_returnflag ORDER BY v
+                                ROWS UNBOUNDED PRECEDING) AS cw,
+                   sum(w) OVER (PARTITION BY l_returnflag) AS tw
+            FROM cells
+        ),
+        pr(prob) AS (VALUES (0.25::DOUBLE), (0.5::DOUBLE), (0.9::DOUBLE))
+        SELECT l_returnflag, prob,
+               min(CASE WHEN cw >= prob * tw THEN v END) AS value
+        FROM sc CROSS JOIN pr
+        GROUP BY 1, 2
     """
     # PSI: replay the exact equal-count baseline deciles (rank-based,
     # ties share a bin), the edges-array current assignment (first

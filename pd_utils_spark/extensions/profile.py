@@ -411,3 +411,81 @@ def mutual_information(
             F.col("mi") / F.least("h_x", "h_y"),
         ),
     )
+
+
+def weighted_quantiles(
+    df: DataFrame,
+    valuecol: str,
+    weightcol: str,
+    probs: Sequence[float] = (0.5,),
+    byvars: str | Sequence[str] | None = None,
+) -> DataFrame:
+    """Exact weighted quantiles per group, long format: one row per
+    (group, prob) with the LOWER weighted quantile — the smallest
+    value whose cumulative weight reaches ``prob * total_weight``
+    (inverse-CDF / type-1; no interpolation, so the result is always
+    an observed value and bit-portable across engines). The
+    size-weighted summary every mixture pipeline needs: median
+    document length weighted by token count, median price weighted by
+    quantity, latency percentiles weighted by traffic.
+
+    Rows with null value or null/non-positive weight are dropped.
+
+    Scale shape: weights are first aggregated per DISTINCT value
+    (one hash agg — also what makes intra-tie weight order
+    irrelevant), then ONE cumulative-sum window ordered by value
+    within each group and ONE final min-per-prob aggregate; shuffle
+    volume is O(distinct values), every requested prob shares the
+    same two passes. The within-group running sum sorts each group on
+    one task — group cardinality is distinct VALUES, the compressed
+    domain, not rows (the same bound the exact tests in
+    ``extensions.stats`` rely on).
+    """
+    from pd_utils_spark.utils import to_list
+
+    if not probs or any(not 0.0 < p <= 1.0 for p in probs):
+        raise ValueError(
+            f"probs must be non-empty fractions in (0, 1]: {probs}"
+        )
+    from pyspark.sql import Window
+
+    by = to_list(byvars) if byvars is not None else []
+    v = F.col(valuecol).cast("double")
+    w = F.col(weightcol).cast("double")
+    cells = (
+        df.filter(v.isNotNull() & w.isNotNull() & (w > 0))
+        .groupBy(*by, v.alias("__v__"))
+        .agg(F.sum(w).alias("__w__"))
+    )
+    win_cum = (
+        Window.partitionBy(*by)
+        .orderBy("__v__")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    win_all = Window.partitionBy(*by)
+    scored = cells.withColumn(
+        "__cw__", F.sum("__w__").over(win_cum)
+    ).withColumn("__tw__", F.sum("__w__").over(win_all))
+    picks = scored.groupBy(*by).agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("__cw__") >= F.lit(float(p)) * F.col("__tw__"),
+                    F.col("__v__"),
+                )
+            ).alias(f"__q{i}__")
+            for i, p in enumerate(probs)
+        ]
+    )
+    per_prob = F.array(
+        *[
+            F.struct(
+                F.lit(float(p)).alias("prob"),
+                F.col(f"__q{i}__").alias("value"),
+            )
+            for i, p in enumerate(probs)
+        ]
+    )
+    return picks.select(*by, F.explode(per_prob).alias("__r__")).select(
+        *by, "__r__.prob", "__r__.value"
+    )

@@ -259,3 +259,205 @@ def changepoint_mean_shift(
             ).alias("stat_norm"),
         )
     )
+
+
+def mann_kendall(
+    df: DataFrame,
+    valuecol: str,
+    ordervar: str,
+    byvars: str | Sequence[str] | None = None,
+) -> DataFrame:
+    """Mann-Kendall trend test per group: one row
+    ``(byvars..., n, s_stat, var_s, z, p_value)`` where
+    ``s_stat = sum_{i<j} sign(x_j - x_i)`` over the series ordered by
+    ``ordervar``, ``var_s`` is the tie-corrected null variance
+    ``(n(n-1)(2n+5) - sum_t t(t-1)(2t+5)) / 18``, ``z`` applies the
+    standard continuity correction, and the two-sided ``p_value``
+    uses the same Abramowitz-Stegun erfc polynomial as the other
+    tests in ``extensions.stats`` (so any engine can replay it). The
+    non-parametric monotone-trend screen: metric drift, sensor
+    creep, data-quality degradation over ingest batches — where a
+    linear-fit t-test is wrecked by outliers.
+
+    S is computed EXACTLY but never pairwise: a divide-and-conquer
+    merge count (vectorized ``searchsorted`` at every level) gives
+    the discordant-pair count in O(n log^2 n), so a long series
+    costs n log n, not n^2/2. Groups need >= 2 rows (smaller groups
+    are absent); ties in ``valuecol`` enter both S (as zero signs)
+    and the variance correction. Rows with null value/order are
+    dropped; ``ordervar`` ties are ordered by value for determinism
+    (strict MK assumes distinct observation times).
+
+    Scale shape: ONE shuffle on ``byvars`` + in-partition sort, then
+    a single ``mapInPandas`` scan over blocks of complete groups
+    (``group_block_stream`` — Arrow/Python overhead per BATCH, not
+    per group); O(group) memory, nothing collected.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from pd_utils_spark.utils import group_block_stream, group_boundaries
+
+    byvars_l = to_list(byvars) if byvars is not None else []
+    types = dict(df.dtypes)
+    schema = ", ".join(f"`{b}` {types[b]}" for b in byvars_l)
+    schema += (", " if schema else "") + (
+        "`n` bigint, `s_stat` bigint, `var_s` double, `z` double, "
+        "`p_value` double"
+    )
+
+    def _discordant(x: "np.ndarray") -> tuple[int, "np.ndarray"]:
+        # pairs i<j with x[i] > x[j]; returns (count, sorted x)
+        n = x.size
+        if n < 2:
+            return 0, x
+        m = n // 2
+        cl, left = _discordant(x[:m])
+        cr, right = _discordant(x[m:])
+        cross = int(
+            (left.size - np.searchsorted(left, right, side="right")).sum()
+        )
+        return cl + cr + cross, np.sort(np.concatenate((left, right)))
+
+    def _erfc_f(x: float) -> float:
+        # A&S 7.1.26 — the identical polynomial extensions.stats._erfc
+        # evaluates JVM-side and the DuckDB oracles replay in SQL
+        t = 1.0 / (1.0 + 0.3275911 * x)
+        poly = (
+            0.254829592 * t
+            - 0.284496736 * t * t
+            + 1.421413741 * t * t * t
+            - 1.453152027 * t * t * t * t
+            + 1.061405429 * t * t * t * t * t
+        )
+        return poly * math.exp(-x * x)
+
+    def _mk_row(x: "np.ndarray") -> tuple[int, int, float, float, float]:
+        n = int(x.size)
+        disc, _ = _discordant(x)
+        _, counts = np.unique(x, return_counts=True)
+        tied_pairs = int((counts * (counts - 1) // 2).sum())
+        total = n * (n - 1) // 2
+        s = total - tied_pairs - 2 * disc
+        tie_term = int((counts * (counts - 1) * (2 * counts + 5)).sum())
+        var_s = (n * (n - 1) * (2 * n + 5) - tie_term) / 18.0
+        if s > 0:
+            z = (s - 1.0) / math.sqrt(var_s) if var_s > 0 else 0.0
+        elif s < 0:
+            z = (s + 1.0) / math.sqrt(var_s) if var_s > 0 else 0.0
+        else:
+            z = 0.0
+        p = min(max(_erfc_f(abs(z) / math.sqrt(2.0)), 0.0), 1.0)
+        return n, s, var_s, z, p
+
+    def block(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        vals = pdf["__x__"].to_numpy(dtype="float64")
+        if byvars_l:
+            starts, ends = group_boundaries(pdf, byvars_l)
+        else:
+            starts, ends = [0], [len(pdf)]
+        rows = []
+        for s0, e0 in zip(starts, ends):
+            if e0 - s0 < 2:
+                continue
+            n, s, var_s, z, p = _mk_row(vals[s0:e0])
+            key = {b: pdf[b].iloc[s0] for b in byvars_l}
+            rows.append(
+                {**key, "n": n, "s_stat": s, "var_s": var_s, "z": z,
+                 "p_value": p}
+            )
+        cols = byvars_l + ["n", "s_stat", "var_s", "z", "p_value"]
+        return pd.DataFrame(rows, columns=cols)
+
+    base = df.filter(
+        F.col(valuecol).isNotNull() & F.col(ordervar).isNotNull()
+    ).select(
+        *byvars_l,
+        F.col(ordervar).alias("__o__"),
+        F.col(valuecol).cast("double").alias("__x__"),
+    )
+    sort_cols = [F.col(b) for b in byvars_l] + [F.col("__o__"), F.col("__x__")]
+    if byvars_l:
+        prepared = base.repartition(*byvars_l).sortWithinPartitions(*sort_cols)
+        return prepared.mapInPandas(
+            group_block_stream(byvars_l, block), schema
+        )
+    prepared = base.coalesce(1).sortWithinPartitions(*sort_cols)
+
+    def _whole(batches):
+        import pandas as pd
+
+        parts = [p for p in batches if len(p)]
+        if parts:
+            yield block(pd.concat(parts, ignore_index=True))
+
+    return prepared.mapInPandas(_whole, schema)
+
+
+def theil_sen(
+    df: DataFrame,
+    valuecol: str,
+    ordervar: str,
+    byvars: str | Sequence[str] | None = None,
+) -> DataFrame:
+    """Theil-Sen robust trend per group: one row
+    ``(byvars..., n, slope, intercept)`` with ``slope`` the EXACT
+    median of all pairwise slopes ``(x_j - x_i) / (t_j - t_i)`` over
+    ``t_i < t_j`` and ``intercept = median(x_i - slope * t_i)`` — the
+    estimator with a 29% breakdown point that a single outlier
+    cannot move, the standard robust companion to
+    :func:`mann_kendall` (MK answers "is there a trend", Theil-Sen
+    answers "how steep").
+
+    ``ordervar`` must be numeric (cast yourself from dates — epoch
+    days keep slopes exactly engine-portable); rows with null
+    value/order are dropped; groups need >= 2 DISTINCT order values.
+
+    Scale shape: the pair set is generated by a WITHIN-GROUP
+    self-join (one shuffle on ``byvars``, both sides co-partitioned —
+    never a global cross join), so cost is sum(n_g^2)/2 pairs: exact
+    Theil-Sen is inherently quadratic in group size and meant for
+    panels of bounded per-entity series (the repeated-median or
+    sampled variants are the escape hatch if a group has millions of
+    points). Medians are ``F.percentile`` exact interpolated
+    (ANSI percentile_cont — DuckDB ``median`` parity); the slope
+    median is broadcast back for the intercept pass, so the
+    group-key shuffle is paid twice and nothing else moves.
+    """
+    byvars_l = to_list(byvars) if byvars is not None else []
+    base = (
+        df.filter(F.col(valuecol).isNotNull() & F.col(ordervar).isNotNull())
+        .select(
+            *byvars_l,
+            F.col(ordervar).cast("double").alias("__t__"),
+            F.col(valuecol).cast("double").alias("__x__"),
+        )
+    )
+    right = base.select(
+        *byvars_l,
+        F.col("__t__").alias("__t2__"),
+        F.col("__x__").alias("__x2__"),
+    )
+    if byvars_l:
+        pairs = base.join(right, byvars_l)
+    else:
+        pairs = base.crossJoin(right)
+    pairs = pairs.filter(F.col("__t__") < F.col("__t2__"))
+    slope_expr = (F.col("__x2__") - F.col("__x__")) / (
+        F.col("__t2__") - F.col("__t__")
+    )
+    slopes = pairs.groupBy(*byvars_l).agg(
+        F.percentile(slope_expr, 0.5).alias("slope")
+    )
+    if byvars_l:
+        joined = base.join(F.broadcast(slopes), byvars_l)
+    else:
+        joined = base.crossJoin(F.broadcast(slopes))
+    resid = F.col("__x__") - F.col("slope") * F.col("__t__")
+    return joined.groupBy(*byvars_l).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.first("slope").alias("slope"),
+        F.percentile(resid, 0.5).alias("intercept"),
+    )

@@ -2,6 +2,7 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
 import pandas as pd
 import pytest
 
@@ -277,3 +278,66 @@ class TestMutualInformation:
         df = spark.createDataFrame([(1, i % 3) for i in range(9)], ["x", "y"])
         r = mutual_information(df, "x", "y").collect()[0]
         assert r.h_x == 0.0 and r.nmi is None
+
+
+class TestWeightedQuantiles:
+    @staticmethod
+    def _ref(vals, wts, p):
+        # lower weighted quantile: smallest v with cumw >= p * total
+        import collections
+
+        agg = collections.defaultdict(float)
+        for v, w in zip(vals, wts):
+            if w > 0:
+                agg[v] += w
+        items = sorted(agg.items())
+        total = sum(w for _, w in items)
+        cum = 0.0
+        for v, w in items:
+            cum += w
+            if cum >= p * total:
+                return v
+        return items[-1][0]
+
+    def test_matches_reference_and_unit_weight_quantile(self, spark):
+        from pd_utils_spark.extensions.profile import weighted_quantiles
+
+        rng = np.random.RandomState(3)
+        vals = rng.randint(0, 40, 200).astype(float)
+        wts = rng.randint(1, 9, 200).astype(float)
+        gs = np.where(rng.rand(200) < 0.5, "a", "b")
+        df = spark.createDataFrame(
+            [(str(g), float(v), float(w)) for g, v, w in zip(gs, vals, wts)],
+            ["g", "v", "w"],
+        )
+        probs = (0.1, 0.5, 0.9, 1.0)
+        got = {
+            (r.g, r.prob): r.value
+            for r in weighted_quantiles(df, "v", "w", probs, "g").collect()
+        }
+        for g in ("a", "b"):
+            m = gs == g
+            for p in probs:
+                assert got[(g, p)] == self._ref(vals[m], wts[m], p), (g, p)
+        # p = 1.0 is the group max
+        assert got[("a", 1.0)] == vals[gs == "a"].max()
+
+    def test_null_and_nonpositive_weights_dropped(self, spark):
+        from pd_utils_spark.extensions.profile import weighted_quantiles
+
+        df = spark.createDataFrame(
+            [("g", 1.0, 0.0), ("g", 2.0, 1.0), ("g", 99.0, -5.0),
+             ("g", 98.0, None), ("g", None, 1.0)],
+            ["g", "v", "w"],
+        )
+        out = weighted_quantiles(df, "v", "w", (0.5,), "g").collect()
+        assert len(out) == 1 and out[0].value == 2.0
+
+    def test_validation(self, spark):
+        from pd_utils_spark.extensions.profile import weighted_quantiles
+
+        df = spark.createDataFrame([("g", 1.0, 1.0)], ["g", "v", "w"])
+        with pytest.raises(ValueError, match="probs"):
+            weighted_quantiles(df, "v", "w", (), "g")
+        with pytest.raises(ValueError, match="probs"):
+            weighted_quantiles(df, "v", "w", (0.0,), "g")

@@ -211,3 +211,126 @@ class TestChangepoint:
         )
         r = changepoint_mean_shift(df, "v", "i", "g").collect()[0]
         assert r.stat == 0.0 and r.stat_norm is None
+
+
+class TestMannKendall:
+    @staticmethod
+    def _mk_ref(x):
+        import math
+
+        n = len(x)
+        s = 0
+        for i in range(n):
+            for j in range(i + 1, n):
+                s += int(x[j] > x[i]) - int(x[j] < x[i])
+        from collections import Counter
+
+        tie_term = sum(
+            c * (c - 1) * (2 * c + 5) for c in Counter(x).values()
+        )
+        var_s = (n * (n - 1) * (2 * n + 5) - tie_term) / 18.0
+        if s > 0 and var_s > 0:
+            z = (s - 1.0) / math.sqrt(var_s)
+        elif s < 0 and var_s > 0:
+            z = (s + 1.0) / math.sqrt(var_s)
+        else:
+            z = 0.0
+        return n, s, var_s, z
+
+    def test_matches_pairwise_reference_with_ties(self, spark):
+        from pd_utils_spark.operators.timeseries import mann_kendall
+
+        rng = np.random.RandomState(7)
+        rows = []
+        series = {}
+        for g in ("up", "down", "tied", "noise"):
+            if g == "up":
+                x = (np.arange(40) + rng.randint(0, 3, 40)).astype(float)
+            elif g == "down":
+                x = (-np.arange(40) + rng.randint(0, 3, 40)).astype(float)
+            elif g == "tied":
+                x = rng.randint(0, 4, 40).astype(float)
+            else:
+                x = rng.randn(40)
+            series[g] = list(x)
+            rows += [(g, i, float(v)) for i, v in enumerate(x)]
+        df = spark.createDataFrame(rows, ["g", "t", "v"])
+        got = {r.g: r for r in mann_kendall(df, "v", "t", "g").collect()}
+        for g, x in series.items():
+            n, s, var_s, z = self._mk_ref(x)
+            assert got[g].n == n and got[g].s_stat == s, g
+            assert got[g].var_s == pytest.approx(var_s, rel=1e-12), g
+            assert got[g].z == pytest.approx(z, rel=1e-12), g
+        # directionality + p-value behavior
+        assert got["up"].z > 3 and got["up"].p_value < 0.001
+        assert got["down"].z < -3 and got["down"].p_value < 0.001
+        assert got["noise"].p_value > 0.01
+
+    def test_strict_monotone_s_is_npairs(self, spark):
+        from pd_utils_spark.operators.timeseries import mann_kendall
+
+        df = spark.createDataFrame(
+            [("g", i, float(i * i)) for i in range(25)], ["g", "t", "v"]
+        )
+        r = mann_kendall(df, "v", "t", "g").collect()[0]
+        assert r.s_stat == 25 * 24 // 2
+
+    def test_constant_and_tiny_groups(self, spark):
+        from pd_utils_spark.operators.timeseries import mann_kendall
+
+        df = spark.createDataFrame(
+            [("c", i, 5.0) for i in range(6)] + [("one", 0, 1.0)],
+            ["g", "t", "v"],
+        )
+        out = {r.g: r for r in mann_kendall(df, "v", "t", "g").collect()}
+        assert "one" not in out  # < 2 rows -> absent
+        assert out["c"].s_stat == 0 and out["c"].z == 0.0
+        # A&S 7.1.26 has |err| <= 1.5e-7, so erfc(0) is ~1, not == 1
+        assert out["c"].p_value == pytest.approx(1.0, abs=2e-7)
+
+
+class TestTheilSen:
+    def test_matches_brute_force_and_outlier_robust(self, spark):
+        from pd_utils_spark.operators.timeseries import theil_sen
+
+        rng = np.random.RandomState(11)
+        t = np.arange(30, dtype=float)
+        clean = 3.0 * t + 7.0 + rng.randn(30) * 0.1
+        dirty = clean.copy()
+        dirty[5] = 1000.0  # one wild outlier
+        rows = [("clean", float(tt), float(v)) for tt, v in zip(t, clean)]
+        rows += [("dirty", float(tt), float(v)) for tt, v in zip(t, dirty)]
+        df = spark.createDataFrame(rows, ["g", "t", "v"])
+        got = {r.g: r for r in theil_sen(df, "v", "t", "g").collect()}
+
+        def brute(tv, xv):
+            slopes = [
+                (xv[j] - xv[i]) / (tv[j] - tv[i])
+                for i in range(len(tv))
+                for j in range(i + 1, len(tv))
+            ]
+            sl = float(np.median(slopes))
+            ic = float(np.median([x - sl * tt for tt, x in zip(tv, xv)]))
+            return sl, ic
+
+        for g, xv in (("clean", clean), ("dirty", dirty)):
+            sl, ic = brute(t, xv)
+            assert got[g].slope == pytest.approx(sl, rel=1e-12), g
+            assert got[g].intercept == pytest.approx(ic, rel=1e-12), g
+            assert got[g].n == 30
+        # the outlier barely moves the robust fit
+        assert abs(got["dirty"].slope - got["clean"].slope) < 0.05
+
+    def test_duplicate_times_excluded_and_small_groups(self, spark):
+        from pd_utils_spark.operators.timeseries import theil_sen
+
+        # two points at the same t: no valid pair -> group absent
+        df = spark.createDataFrame(
+            [("dup", 1.0, 2.0), ("dup", 1.0, 9.0),
+             ("ok", 0.0, 1.0), ("ok", 2.0, 5.0)],
+            ["g", "t", "v"],
+        )
+        got = {r.g: r for r in theil_sen(df, "v", "t", "g").collect()}
+        assert "dup" not in got
+        assert got["ok"].slope == pytest.approx(2.0)
+        assert got["ok"].intercept == pytest.approx(1.0)
