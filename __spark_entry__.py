@@ -4368,6 +4368,62 @@ def q_uplift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile gains/lift table (extensions/metrics.py lift_table):
+    user activity count as the score, purchased-ever as the label, 10
+    exact equal-count score-descending bins (exact_ntile prefix-scan
+    ranks, ties share a bin), per-bin and cumulative lift against the
+    broadcast base rate. Integer sufficient statistics make every
+    ratio engine-portable."""
+    from pd_utils_spark.extensions.metrics import lift_table
+
+    ev = _t(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("score"),
+        F.max(
+            (F.col("event_type") == "purchase").cast("int")
+        ).alias("label"),
+    )
+    out = lift_table(users, "score", "label", n_bins=10)
+    return out.select(
+        "bin", "n", "positives",
+        F.round("rate", 6).alias("rate"),
+        F.round("lift", 6).alias("lift"),
+        "cum_n", "cum_positives",
+        F.round("capture_rate", 6).alias("capture_rate"),
+        F.round("cum_lift", 6).alias("cum_lift"),
+    )
+
+
+def q_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified-propensity IPW treatment effect (extensions/
+    stats.py ipw_ate): user-id-mod-3 as the arm, purchase count as
+    the outcome, activity bands as strata; one stratum-level
+    sufficient-statistics agg, Horvitz-Thompson and blocked
+    estimators from the tiny strata frame, no-overlap strata dropped
+    and counted (the sf0.01 data has exactly one such singleton
+    stratum)."""
+    ev = _t(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            (F.col("event_type") == "purchase").cast("int")
+        ).alias("purchases"),
+    ).select(
+        (F.col("user_id") % 3 == 0).cast("int").alias("treat"),
+        F.col("purchases"),
+        F.least(
+            F.floor(F.col("n_events") / 10), F.lit(8)
+        ).alias("stratum"),
+    )
+    out = pus_stats.ipw_ate(users, "treat", "purchases", "stratum")
+    return out.select(
+        "n_used", "n_dropped", "n_strata",
+        F.round("ate_ipw", 6).alias("ate_ipw"),
+        F.round("ate_strat", 6).alias("ate_strat"),
+    )
+
+
 def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mutual information between event type and a user segment
     (extensions/profile.py mutual_information): plug-in MI/NMI from
@@ -4843,6 +4899,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_core": q_k_core,
         "eb_rate_shrink": q_eb_rate_shrink,
         "uplift_curve": q_uplift_curve,
+        "lift_table": q_lift_table,
+        "ipw_ate": q_ipw_ate,
         "perplexity_buckets": q_perplexity_buckets,
         "top_ngrams": q_top_ngrams,
         "dedup_spans": q_dedup_spans,
@@ -10470,6 +10528,82 @@ def oracle_sql() -> dict[str, str]:
     """
     # uplift: exact_ntile bucket arithmetic replicated verbatim
     # (floor(strict_rank * bins / N) capped at bins-1, ties share)
+    d["lift_table"] = """
+        WITH u AS (
+            SELECT user_id, count(*) AS score,
+                   max(CASE WHEN event_type = 'purchase'
+                            THEN 1 ELSE 0 END) AS label
+            FROM events GROUP BY user_id
+        ),
+        tot AS (SELECT count(*) AS nn FROM u),
+        binned AS (
+            SELECT label,
+                   CAST(least(floor((rank() OVER (ORDER BY -score) - 1)
+                                    * 10 / nn), 9) AS INT) AS bin
+            FROM u CROSS JOIN tot
+        ),
+        per AS (
+            SELECT bin, count(*)::BIGINT AS n,
+                   sum(label)::BIGINT AS positives
+            FROM binned GROUP BY bin
+        ),
+        t2 AS (SELECT sum(n) AS tn, sum(positives) AS tp FROM per),
+        cum AS (
+            SELECT bin, n, positives, tn, tp,
+                   sum(n) OVER w AS cum_n,
+                   sum(positives) OVER w AS cum_positives
+            FROM per CROSS JOIN t2
+            WINDOW w AS (ORDER BY bin
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+        SELECT bin, n, positives,
+               round(positives::DOUBLE / n::DOUBLE, 6) AS rate,
+               round(CASE WHEN tp > 0
+                          THEN (positives::DOUBLE / n::DOUBLE)
+                               / (tp::DOUBLE / tn::DOUBLE) END, 6) AS lift,
+               cum_n::BIGINT AS cum_n,
+               cum_positives::BIGINT AS cum_positives,
+               round(CASE WHEN tp > 0
+                          THEN cum_positives::DOUBLE / tp::DOUBLE END, 6)
+                   AS capture_rate,
+               round(CASE WHEN tp > 0
+                          THEN (cum_positives::DOUBLE / cum_n::DOUBLE)
+                               / (tp::DOUBLE / tn::DOUBLE) END, 6)
+                   AS cum_lift
+        FROM cum
+    """
+    d["ipw_ate"] = """
+        WITH u AS (
+            SELECT CAST(user_id % 3 = 0 AS INT) AS treat,
+                   sum(CASE WHEN event_type = 'purchase'
+                            THEN 1 ELSE 0 END)::DOUBLE AS y,
+                   least(count(*) // 10, 8) AS stratum
+            FROM events GROUP BY user_id
+        ),
+        per AS (
+            SELECT stratum, count(*) AS n, sum(treat) AS nt,
+                   sum(CASE WHEN treat = 1 THEN y ELSE 0.0 END) AS syt,
+                   sum(CASE WHEN treat = 0 THEN y ELSE 0.0 END) AS syc
+            FROM u GROUP BY stratum
+        ),
+        flagged AS (
+            SELECT *, (nt > 0 AND nt < n) AS ok,
+                   nt::DOUBLE / n::DOUBLE AS e
+            FROM per
+        )
+        SELECT coalesce(sum(CASE WHEN ok THEN n END), 0)::BIGINT AS n_used,
+               coalesce(sum(CASE WHEN NOT ok THEN n END), 0)::BIGINT
+                   AS n_dropped,
+               sum(CASE WHEN ok THEN 1 ELSE 0 END)::BIGINT AS n_strata,
+               round(sum(CASE WHEN ok
+                              THEN syt / e - syc / (1.0 - e) END)
+                     / sum(CASE WHEN ok THEN n END), 6) AS ate_ipw,
+               round(sum(CASE WHEN ok
+                              THEN n::DOUBLE * (syt / nt::DOUBLE
+                                   - syc / (n::DOUBLE - nt::DOUBLE)) END)
+                     / sum(CASE WHEN ok THEN n END), 6) AS ate_strat
+        FROM flagged
+    """
     d["uplift_curve"] = """
         WITH u AS (
             SELECT user_id, count(*) AS score,

@@ -362,3 +362,74 @@ def uplift_curve(
         F.col("r_t") - F.col("r_c") * (F.col("n_t") / F.col("n_c")),
     ).otherwise(F.col("r_t"))
     return cum.withColumn("uplift", uplift)
+
+
+def lift_table(
+    df: DataFrame,
+    scorecol: str,
+    labelcol: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Decile gains/lift table for a binary classifier score — the
+    campaign-targeting / quality-filter tuning staple: rank rows by
+    ``scorecol`` DESCENDING into ``n_bins`` exact equal-count bins
+    (ties share a bin, :func:`pd_utils_spark.plans.prefix.exact_ntile`
+    semantics, so the table is reproducible), then per bin report
+
+    ``(bin, n, positives, rate, lift, cum_n, cum_positives,
+    capture_rate, cum_lift)``
+
+    where ``lift = rate / base_rate``, ``capture_rate`` is the share
+    of ALL positives captured by bins 1..k, and ``cum_lift`` is the
+    prefix rate over the base rate. A perfect score captures
+    everything in the first bins; lift 1.0 everywhere means the score
+    is noise.
+
+    Scale shape: identical to :func:`uplift_curve` — the global
+    descending rank is per-distinct-score counts through the
+    distributed prefix scan (no single-task window), one hash agg to
+    ``n_bins`` rows, cumulative sums on the tiny bin frame, and the
+    base rate joined in as a broadcast one-row aggregate.
+    """
+    from pd_utils_spark.plans.prefix import exact_ntile
+
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1: {n_bins}")
+    y = F.col(labelcol).cast("double")
+    binned = exact_ntile(
+        df.withColumn("__neg__", -F.col(scorecol)), "__neg__", n_bins,
+        out="bin",
+    )
+    per = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(y).cast("long").alias("positives"),
+    )
+    totals = per.groupBy().agg(
+        F.sum("n").alias("__tn__"), F.sum("positives").alias("__tp__")
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        per.crossJoin(F.broadcast(totals))
+        .withColumn("cum_n", F.sum("n").over(w))
+        .withColumn("cum_positives", F.sum("positives").over(w))
+    )
+    base = F.col("__tp__").cast("double") / F.col("__tn__").cast("double")
+    rate = F.col("positives").cast("double") / F.col("n").cast("double")
+    cum_rate = (
+        F.col("cum_positives").cast("double") / F.col("cum_n").cast("double")
+    )
+    return cum.select(
+        "bin",
+        "n",
+        "positives",
+        rate.alias("rate"),
+        F.when(base > 0, rate / base).alias("lift"),
+        "cum_n",
+        "cum_positives",
+        F.when(
+            F.col("__tp__") > 0,
+            F.col("cum_positives").cast("double")
+            / F.col("__tp__").cast("double"),
+        ).alias("capture_rate"),
+        F.when(base > 0, cum_rate / base).alias("cum_lift"),
+    )

@@ -859,3 +859,78 @@ def eb_rate_shrink(
         )
         .withColumnRenamed("__rate__", "rate")
     )
+
+
+def ipw_ate(
+    df: DataFrame,
+    treatcol: str,
+    outcomecol: str,
+    stratacol: str | Sequence[str],
+) -> DataFrame:
+    """Average treatment effect by inverse-propensity weighting with
+    STRATIFIED propensity scores: within each stratum the propensity
+    is the observed treatment rate ``e_s = n_t / n``, rows are
+    weighted ``t/e_s`` (treated) or ``(1-t)/(1-e_s)`` (control), and
+    the Horvitz-Thompson ATE plus the classical blocked
+    (stratification) estimator come out of ONE stratum-level
+    aggregate. The workhorse observational-effect design when the
+    confounders are coarse (cohort, source, activity band) — the
+    model-free counterpart to :func:`caliper_match` (which matches on
+    a continuous score) and :func:`cuped` (which reduces variance in
+    a real experiment).
+
+    Strata without overlap (no treated or no control rows — the
+    positivity violation) are EXCLUDED and counted in ``n_dropped``;
+    both estimators average over the kept strata only. Returns one
+    row: ``(n_used, n_dropped, n_strata, ate_ipw, ate_strat)``.
+
+    With stratum-constant propensities the two estimators are
+    algebraically equal on balanced data; they diverge exactly when
+    weighting inside a stratum matters, so reporting both is the
+    standard diagnostic (a large gap flags within-stratum
+    imbalance).
+
+    Scale shape: one hash aggregation to the stratum level
+    (sufficient statistics only: n, n_t, sum_y_t, sum_y_c), then one
+    tiny aggregate over strata — no row-level weights materialized,
+    no second scan, nothing collected.
+    """
+    from pd_utils_spark.utils import to_list
+
+    strata = to_list(stratacol)
+    t = F.col(treatcol).cast("int")
+    y = F.col(outcomecol).cast("double")
+    per = (
+        df.filter(t.isNotNull() & y.isNotNull())
+        .groupBy(*strata)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(t).alias("nt"),
+            F.sum(F.when(t == 1, y).otherwise(0.0)).alias("syt"),
+            F.sum(F.when(t == 0, y).otherwise(0.0)).alias("syc"),
+        )
+    )
+    ok = (F.col("nt") > 0) & (F.col("nt") < F.col("n"))
+    nn = F.col("n").cast("double")
+    e = F.col("nt").cast("double") / nn
+    # stratum contribution to the HT sums: sum_i t y / e = syt / e_s
+    ipw_term = F.col("syt") / e - F.col("syc") / (F.lit(1.0) - e)
+    strat_term = nn * (
+        F.col("syt") / F.col("nt").cast("double")
+        - F.col("syc") / (nn - F.col("nt").cast("double"))
+    )
+    return per.groupBy().agg(
+        F.coalesce(
+            F.sum(F.when(ok, F.col("n"))), F.lit(0).cast("long")
+        ).alias("n_used"),
+        F.coalesce(
+            F.sum(F.when(~ok, F.col("n"))), F.lit(0).cast("long")
+        ).alias("n_dropped"),
+        F.sum(ok.cast("long")).alias("n_strata"),
+        (F.sum(F.when(ok, ipw_term)) / F.sum(F.when(ok, F.col("n")))).alias(
+            "ate_ipw"
+        ),
+        (
+            F.sum(F.when(ok, strat_term)) / F.sum(F.when(ok, F.col("n")))
+        ).alias("ate_strat"),
+    )

@@ -270,3 +270,42 @@ def test_uplift_curve_detects_real_uplift(spark):
     assert got[3]["uplift"] == pytest.approx(10.0)  # flat after responders exhausted
     with pytest.raises(ValueError, match="n_bins"):
         uplift_curve(df, "score", "treat", "y", n_bins=0)
+
+
+class TestLiftTable:
+    def test_perfect_score_and_hand_computation(self, spark):
+        from pd_utils_spark.extensions.metrics import lift_table
+
+        # 100 rows, scores 100..1 descending, top 20 scores are the
+        # positives -> bins 0 and 1 capture everything
+        rows = [(float(100 - i), 1 if i < 20 else 0) for i in range(100)]
+        df = spark.createDataFrame(rows, ["score", "label"])
+        out = {r.bin: r for r in lift_table(df, "score", "label", 10).collect()}
+        assert len(out) == 10
+        assert all(out[b].n == 10 for b in out)
+        assert out[0].positives == 10 and out[1].positives == 10
+        assert out[2].positives == 0
+        # base rate 0.2 -> per-bin lift 5.0 in the top bins
+        assert out[0].lift == pytest.approx(5.0)
+        assert out[1].cum_lift == pytest.approx(5.0)
+        assert out[1].capture_rate == pytest.approx(1.0)
+        assert out[9].capture_rate == pytest.approx(1.0)
+        assert out[9].cum_lift == pytest.approx(1.0)
+
+    def test_useless_score_flat_lift(self, spark):
+        from pd_utils_spark.extensions.metrics import lift_table
+
+        # label independent of score: every other row positive
+        rows = [(float(i), i % 2) for i in range(200)]
+        df = spark.createDataFrame(rows, ["score", "label"])
+        out = lift_table(df, "score", "label", 4).collect()
+        for r in out:
+            assert r.lift == pytest.approx(1.0)
+            assert r.cum_lift == pytest.approx(1.0)
+
+    def test_validation(self, spark):
+        from pd_utils_spark.extensions.metrics import lift_table
+
+        df = spark.createDataFrame([(1.0, 1)], ["score", "label"])
+        with pytest.raises(ValueError, match="n_bins"):
+            lift_table(df, "score", "label", 0)

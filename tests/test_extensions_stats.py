@@ -681,3 +681,51 @@ def test_eb_rate_shrink_degenerate_and_zero_trials(spark):
     assert got[2.0]["alpha"] == 1.0 and got[2.0]["beta"] == 1.0
     assert got[2.0]["shrunk_rate"] == pytest.approx(2.0 / 4.0)
     assert got[0.0]["shrunk_rate"] is None and got[0.0]["rate"] is None
+
+
+class TestIpwAte:
+    def test_matches_hand_computation_and_drops_no_overlap(self, spark):
+        from pd_utils_spark.extensions.stats import ipw_ate
+
+        # stratum A: 4 rows, e = 1/2; stratum B: 6 rows, e = 1/3;
+        # stratum C: all treated -> dropped
+        rows = [
+            ("A", 1, 10.0), ("A", 1, 12.0), ("A", 0, 5.0), ("A", 0, 7.0),
+            ("B", 1, 9.0), ("B", 1, 11.0),
+            ("B", 0, 4.0), ("B", 0, 6.0), ("B", 0, 5.0), ("B", 0, 5.0),
+            ("C", 1, 99.0), ("C", 1, 98.0),
+        ]
+        df = spark.createDataFrame(rows, ["s", "t", "y"])
+        r = ipw_ate(df, "t", "y", "s").collect()[0]
+        assert r.n_used == 10 and r.n_dropped == 2 and r.n_strata == 2
+        # HT: stratum A: syt/e - syc/(1-e) = 22/0.5 - 12/0.5 = 20
+        #     stratum B: 20/(1/3) - 20/(2/3) = 60 - 30 = 30
+        assert r.ate_ipw == pytest.approx((20.0 + 30.0) / 10.0)
+        # blocked: A: 4*(11 - 6) = 20 ; B: 6*(10 - 5) = 30
+        assert r.ate_strat == pytest.approx((20.0 + 30.0) / 10.0)
+
+    def test_all_strata_dropped_yields_null_effects(self, spark):
+        from pd_utils_spark.extensions.stats import ipw_ate
+
+        df = spark.createDataFrame(
+            [("A", 1, 1.0), ("A", 1, 2.0), ("B", 0, 3.0)], ["s", "t", "y"]
+        )
+        r = ipw_ate(df, "t", "y", "s").collect()[0]
+        assert r.n_used == 0 and r.n_dropped == 3 and r.n_strata == 0
+        assert r.ate_ipw is None and r.ate_strat is None
+
+    def test_equals_diff_in_means_single_stratum(self, spark):
+        from pd_utils_spark.extensions.stats import ipw_ate
+
+        rng = np.random.RandomState(5)
+        t = rng.randint(0, 2, 50)
+        t[:2] = [0, 1]  # guarantee overlap
+        y = 2.0 * t + rng.randn(50)
+        df = spark.createDataFrame(
+            [("all", int(ti), float(yi)) for ti, yi in zip(t, y)],
+            ["s", "t", "y"],
+        )
+        r = ipw_ate(df, "t", "y", "s").collect()[0]
+        expected = y[t == 1].mean() - y[t == 0].mean()
+        assert r.ate_ipw == pytest.approx(expected, rel=1e-9)
+        assert r.ate_strat == pytest.approx(expected, rel=1e-9)
