@@ -738,6 +738,31 @@ def q_char_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pus_text.char_stats(d)
 
 
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease / FK-grade per document
+    (extensions/text.py readability): whitespace words, [.!?]+
+    sentence runs, vowel-run syllables floored at 1 per token — pure
+    column expressions, zero shuffles; the oracle replays the
+    identical greedy-regex arithmetic in DuckDB."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = pus_text.readability(d)
+    return out.select(
+        "doc_id", "n_words", "n_sentences", "n_syllables",
+        F.round("flesch_ease", 6).alias("flesch_ease"),
+        F.round("fk_grade", 6).alias("fk_grade"),
+    )
+
+
+def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed hashing-trick features, dim=16 (extensions/text.py
+    feature_hashing): md5-based bucket + sign per token, one explode
+    + one (doc, bucket) partial agg + dense-map pivot; vectors are
+    integer-valued doubles so the array hash-matches the DuckDB
+    replay exactly."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return pus_text.feature_hashing(d, dim=16)
+
+
 def q_dedup_spans_against(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental C4-span dedup: today's batch loses every
     3-sentence span already fingerprinted in yesterday's history —
@@ -4907,6 +4932,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans_against": q_dedup_spans_against,
         "repeat_sources": q_repeat_sources,
         "char_stats": q_char_stats,
+        "readability": q_readability,
+        "feature_hashing": q_feature_hashing,
         "padding_efficiency": q_padding_efficiency,
         "strip_html": q_strip_html,
         "ewma": q_ewma,
@@ -6241,6 +6268,78 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(t)::DOUBLE / (count(*) * max(t)), 6)
                        AS efficiency
             FROM b GROUP BY bucket ORDER BY bucket
+        """,
+        "readability": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(
+                                     trim(lower(text)), '\s+')) END
+                           AS n_words,
+                       greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                           AS sent_raw,
+                       list_sum(list_transform(
+                           regexp_split_to_array(trim(lower(text)), '\s+'),
+                           tok -> greatest(
+                               len(regexp_extract_all(tok, '[aeiouy]+')),
+                               1))) AS syl_raw
+                FROM documents
+            ),
+            m AS (
+                SELECT doc_id, n_words,
+                       CASE WHEN n_words > 0 THEN sent_raw ELSE 0 END
+                           AS n_sentences,
+                       CASE WHEN n_words > 0 THEN syl_raw ELSE 0 END
+                           AS n_syllables
+                FROM t
+            )
+            SELECT doc_id,
+                   n_words::INT AS n_words,
+                   n_sentences::INT AS n_sentences,
+                   n_syllables::INT AS n_syllables,
+                   round(CASE WHEN n_words > 0 THEN
+                       206.835
+                       - 1.015 * (n_words::DOUBLE / n_sentences::DOUBLE)
+                       - 84.6 * (n_syllables::DOUBLE / n_words::DOUBLE)
+                   END, 6) AS flesch_ease,
+                   round(CASE WHEN n_words > 0 THEN
+                       0.39 * (n_words::DOUBLE / n_sentences::DOUBLE)
+                       + 11.8 * (n_syllables::DOUBLE / n_words::DOUBLE)
+                       - 15.59
+                   END, 6) AS fk_grade
+            FROM m
+        """,
+        "feature_hashing": r"""
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(lower(text)),
+                                                    '\s+')) AS tok
+                FROM documents
+            ),
+            h AS (
+                SELECT doc_id,
+                       (('0x' || substr(md5(tok || ':fh'), 1, 15))::BIGINT
+                        & 2147483647) AS hv
+                FROM tok WHERE length(tok) > 0
+            ),
+            cells AS (
+                SELECT doc_id, hv % 16 AS b,
+                       sum(CASE WHEN (hv // 16) % 2 = 0
+                                THEN 1.0 ELSE -1.0 END) AS v
+                FROM h GROUP BY 1, 2
+            ),
+            grid AS (
+                SELECT d.doc_id, gs.i
+                FROM (SELECT doc_id FROM documents) d
+                CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) gs
+            ),
+            dense AS (
+                SELECT g.doc_id, g.i, coalesce(c.v, 0.0) AS v
+                FROM grid g LEFT JOIN cells c
+                  ON g.doc_id = c.doc_id AND g.i = c.b
+            )
+            SELECT doc_id, list(v ORDER BY i) AS features
+            FROM dense GROUP BY doc_id
         """,
         "char_stats": """
             WITH base AS (

@@ -1344,3 +1344,147 @@ def pmi_collocations(
         .orderBy(F.desc("pmi"), "w1", "w2")
         .limit(k)
     )
+
+
+def readability(
+    df: DataFrame,
+    textcol: str = "text",
+) -> DataFrame:
+    """Flesch readability signals per document, appended as columns:
+    ``n_words`` (whitespace tokens), ``n_sentences`` (runs of
+    ``[.!?]``, floored at 1), ``n_syllables`` (per-token count of
+    vowel runs ``[aeiouy]+``, floored at 1 per token — the standard
+    dictionary-free heuristic), ``flesch_ease`` (206.835 - 1.015 w/s
+    - 84.6 syl/w) and ``fk_grade`` (0.39 w/s + 11.8 syl/w - 15.59).
+    Empty/whitespace-only documents get 0 counts and null scores.
+
+    The classic prose-complexity prior for corpus quality scoring —
+    too-low grade flags template/boilerplate pages, absurdly high
+    flags OCR garbage and run-on extraction failures; both tails are
+    what a pretraining mix wants bounded. English-centric by
+    construction (vowel-run syllables), like every Flesch variant.
+
+    Scale shape: pure column expressions — one regexp count for
+    sentences, one ``transform``+``aggregate`` lambda over the token
+    array for syllables, zero shuffles, zero Python; the identical
+    arithmetic exists in any SQL engine (greedy regex runs count the
+    same everywhere), so the whole frame stays oracle-checkable.
+    """
+    toks = _tokens(F.lower(F.col(textcol)))
+    n_words = _token_count(F.col(textcol))
+    n_sent = F.greatest(
+        F.regexp_count(F.col(textcol), F.lit(r"[.!?]+")), F.lit(1)
+    )
+    syl = F.aggregate(
+        F.transform(
+            toks,
+            lambda t: F.greatest(
+                F.regexp_count(t, F.lit("[aeiouy]+")), F.lit(1)
+            ),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    out = (
+        df.withColumn("n_words", n_words)
+        .withColumn(
+            "n_sentences",
+            F.when(F.col("n_words") > 0, n_sent).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "n_syllables",
+            F.when(F.col("n_words") > 0, syl).otherwise(F.lit(0)),
+        )
+    )
+    w = F.col("n_words").cast("double")
+    s = F.col("n_sentences").cast("double")
+    y = F.col("n_syllables").cast("double")
+    wps = w / s
+    spw = y / w
+    return out.withColumn(
+        "flesch_ease",
+        F.when(
+            F.col("n_words") > 0,
+            F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw,
+        ),
+    ).withColumn(
+        "fk_grade",
+        F.when(
+            F.col("n_words") > 0,
+            F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59),
+        ),
+    )
+
+
+def feature_hashing(
+    df: DataFrame,
+    textcol: str = "text",
+    idcol: str = "doc_id",
+    dim: int = 64,
+) -> DataFrame:
+    """Signed hashing-trick text features (Weinberger et al. 2009):
+    every lowercased whitespace token hashes to a bucket
+    ``h mod dim`` with sign ``+-1`` from the next hash bit, and the
+    document's fixed-width feature vector is the per-bucket signed
+    count — the vocabulary-free featurizer that needs no fitted
+    dictionary, so it works identically on stream and batch and
+    never shuffles a vocabulary. Output: ``(idcol, features)`` with
+    ``features`` an ``array<double>`` of length ``dim`` (documents
+    with no tokens get the zero vector).
+
+    The hash is the engine-portable md5 base shared with
+    ``extensions.sampling.hash_fraction`` (first 15 hex chars ->
+    60-bit int -> low 31 bits), so any SQL engine reproduces the
+    exact vectors — reproducibility across engines is the point of
+    deterministic featurization.
+
+    Scale shape: one explode over tokens, one (id, bucket) hash agg
+    (map-side partial combine collapses repeated tokens early), one
+    per-id pivot into the array via a dense map lookup — shuffle
+    volume is O(distinct (doc, bucket)) <= dim per doc, never raw
+    token volume. No Python, no fitted state, no driver round trip.
+    """
+    from pd_utils_spark.extensions.sampling import _hash31
+
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1: {dim}")
+    tok = F.explode(_tokens(F.lower(F.col(textcol)))).alias("__tok__")
+    base = df.select(F.col(idcol), tok).filter(F.length("__tok__") > 0)
+    h = _hash31(F.concat(F.col("__tok__"), F.lit(":fh")))
+    bucket = (h % F.lit(dim)).alias("__b__")
+    # next hash "bit" above the bucket: integer-exact on both engines
+    # because (h - h % dim) is exactly divisible by dim
+    sign = F.when(
+        (((h - h % F.lit(dim)) / F.lit(dim)).cast("bigint") % 2) == 0,
+        F.lit(1.0),
+    ).otherwise(F.lit(-1.0))
+    cells = (
+        base.select(F.col(idcol), bucket, sign.alias("__s__"))
+        .groupBy(idcol, "__b__")
+        .agg(F.sum("__s__").alias("__v__"))
+    )
+    vec = cells.groupBy(idcol).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("__b__"), F.col("__v__")))
+        ).alias("__m__")
+    )
+    idx = F.sequence(F.lit(0), F.lit(dim - 1))
+    features = F.transform(
+        idx,
+        lambda i: F.coalesce(
+            F.element_at(F.col("__m__"), i.cast("bigint")), F.lit(0.0)
+        ),
+    )
+    dense = vec.select(F.col(idcol), features.alias("features"))
+    # documents with zero tokens still deserve a (zero) vector
+    return (
+        df.select(idcol)
+        .join(dense, idcol, "left")
+        .select(
+            idcol,
+            F.coalesce(
+                "features",
+                F.array(*[F.lit(0.0) for _ in range(dim)]),
+            ).alias("features"),
+        )
+    )

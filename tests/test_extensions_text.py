@@ -849,3 +849,89 @@ def test_pmi_collocations_matches_reference(spark):
         assert r["pmi"] == pytest.approx(ref, rel=1e-9)
         assert r["n_pair"] == bi[(a, b)]
         assert r["n_w1"] == uni[a] and r["n_w2"] == uni[b]
+
+
+class TestReadability:
+    def test_hand_computed(self, spark):
+        from pd_utils_spark.extensions.text import readability
+
+        df = spark.createDataFrame(
+            [(1, "The cat sat. The dog ran!"), (2, ""), (3, "   "),
+             (4, "xyzzy 123 bcd")],
+            ["doc_id", "text"],
+        )
+        got = {r.doc_id: r for r in readability(df).collect()}
+        r1 = got[1]
+        # 6 words, 2 sentences, 6 single-vowel-run words
+        assert (r1.n_words, r1.n_sentences, r1.n_syllables) == (6, 2, 6)
+        wps, spw = 6 / 2, 6 / 6
+        assert r1.flesch_ease == pytest.approx(206.835 - 1.015 * wps - 84.6 * spw)
+        assert r1.fk_grade == pytest.approx(0.39 * wps + 11.8 * spw - 15.59)
+        for empty in (2, 3):
+            r = got[empty]
+            assert (r.n_words, r.n_sentences, r.n_syllables) == (0, 0, 0)
+            assert r.flesch_ease is None and r.fk_grade is None
+        # 'xyzzy' = 2 y-runs, '123' floors to 1, 'bcd' floors to 1
+        assert got[4].n_syllables == 4 and got[4].n_sentences == 1
+
+    def test_simple_vs_complex_ordering(self, spark):
+        from pd_utils_spark.extensions.text import readability
+
+        simple = "I like tea. You like me. We sit here."
+        complex_ = (
+            "Notwithstanding institutional heterogeneity considerations, "
+            "multidimensional organizational restructuring necessitates "
+            "comprehensive infrastructural reconceptualization."
+        )
+        df = spark.createDataFrame(
+            [(1, simple), (2, complex_)], ["doc_id", "text"]
+        )
+        got = {r.doc_id: r for r in readability(df).collect()}
+        assert got[1].flesch_ease > got[2].flesch_ease
+        assert got[1].fk_grade < got[2].fk_grade
+
+
+class TestFeatureHashing:
+    def test_deterministic_sparse_and_zero_vector(self, spark):
+        from pd_utils_spark.extensions.text import feature_hashing
+
+        df = spark.createDataFrame(
+            [(1, "apple banana apple"), (2, "apple banana apple"),
+             (3, ""), (4, "Apple BANANA apple")],
+            ["doc_id", "text"],
+        )
+        got = {r.doc_id: r.features for r in feature_hashing(df, dim=8).collect()}
+        # identical text -> identical vector; case-insensitive
+        assert got[1] == got[2] == got[4]
+        assert got[3] == [0.0] * 8
+        assert len(got[1]) == 8
+        # "apple" appears twice with one sign: some |component| == 2
+        assert max(abs(v) for v in got[1]) == 2.0
+        # total signed mass is bounded by token count
+        assert sum(abs(v) for v in got[1]) <= 3.0
+
+    def test_bucket_arithmetic_matches_hash31(self, spark):
+        from pyspark.sql import functions as F
+
+        from pd_utils_spark.extensions.sampling import _hash31
+        from pd_utils_spark.extensions.text import feature_hashing
+
+        tok = "gamma"
+        h = (
+            spark.range(1)
+            .select(_hash31(F.concat(F.lit(tok), F.lit(":fh"))).alias("h"))
+            .collect()[0]
+            .h
+        )
+        b, sgn = h % 8, 1.0 if (h // 8) % 2 == 0 else -1.0
+        df = spark.createDataFrame([(1, tok)], ["doc_id", "text"])
+        vec = feature_hashing(df, dim=8).collect()[0].features
+        assert vec[b] == sgn
+        assert sum(abs(v) for v in vec) == 1.0
+
+    def test_validation(self, spark):
+        from pd_utils_spark.extensions.text import feature_hashing
+
+        df = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+        with pytest.raises(ValueError, match="dim"):
+            feature_hashing(df, dim=0)
