@@ -17,6 +17,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entry
+from pyspark.sql import functions as F
+
 from pd_utils_spark.session import get_spark
 
 
@@ -31,6 +33,20 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").write.format("noop").mode(
         "overwrite"
     ).save()
+    # Session-level costs measured to land on whichever query runs
+    # first of its kind (profiled at sf0.1: the 3-row flagship took
+    # 4.4 s as query #1, the first mapInPandas query +2 s): Python
+    # worker-pool spin-up, Arrow serde init, and broadcast machinery.
+    # Warm them on synthetic data so per-query timings measure the
+    # query, not session startup. Parquet footers are NOT pre-read —
+    # scan cost is part of every query by design.
+    _w = spark.range(10_000).selectExpr("id", "id % 7 AS k")
+    _w.join(F.broadcast(_w.groupBy("k").count()), "k").write.format(
+        "noop"
+    ).mode("overwrite").save()
+    _w.mapInPandas(lambda it: it, "id long, k long").write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name, fn in entry.queries().items():
