@@ -2637,6 +2637,103 @@ def q_sql_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY GROUPING SETS through the sql() surface — arbitrary
+    granularity lists (the generalization ROLLUP/CUBE special-case),
+    with grouping() flags disambiguating subtotal rows from genuine
+    null keys. One Expand-based pass, same as rollup/cube."""
+    li = _t(spark, sf_dir, "lineitem")
+    return pus.sql(
+        [li],
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS INT) AS g_rf,
+               CAST(grouping(l_linestatus) AS INT) AS g_ls,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+               count(*) AS n
+        FROM li_t
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """,
+    )
+
+
+def q_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-Evidence / Information-Value screen
+    (extensions/features.py woe_iv): language vs the long-document
+    label over documents, Laplace-smoothed shares from one category-
+    level agg + broadcast totals. ln() replayed identically by the
+    oracle."""
+    from pd_utils_spark.extensions.features import woe_iv
+
+    d = _t(spark, sf_dir, "documents").select(
+        "lang", (F.col("n_chars") >= 1000).cast("int").alias("is_long")
+    )
+    out = woe_iv(d, "lang", "is_long")
+    return out.select(
+        "category", "n", "positives", "negatives",
+        F.round("pos_share", 6).alias("pos_share"),
+        F.round("neg_share", 6).alias("neg_share"),
+        F.round("woe", 6).alias("woe"),
+        F.round("iv_term", 6).alias("iv_term"),
+        F.round("iv", 6).alias("iv"),
+    )
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (extensions/pii.py k_anonymity_report) over
+    the (user bucket, event type) quasi-identifier pair at k=15: one
+    group-level hash agg + one tiny aggregate; reports row/group
+    violation counts and the re-identifiable row fraction."""
+    from pd_utils_spark.extensions.pii import k_anonymity_report
+
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 97).alias("user_bucket"), "event_type"
+    )
+    out = k_anonymity_report(ev, ["user_bucket", "event_type"], k=15)
+    return out.select(
+        "n_rows", "n_groups", "min_group_size",
+        "n_violating_groups", "n_violating_rows",
+        F.round("violating_row_frac", 6).alias("violating_row_frac"),
+    )
+
+
+def q_rolling_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day rolling median and p90 of the daily event-count
+    series per type (operators/timeseries.py rolling_quantile): exact
+    percentile_cont over a bounded ROWS frame, null until the window
+    fills — one shuffle, both probs in one pass. Integer counts make
+    the interpolated quantiles engine-exact."""
+    from pd_utils_spark.operators.timeseries import rolling_quantile
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.filter(F.col("ts").isNotNull()).groupBy(
+        "event_type", F.dayofmonth("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    out = rolling_quantile(
+        daily, "x", "day", "event_type", n=7, probs=(0.5, 0.9)
+    )
+    return out.select(
+        "event_type", "day", "x",
+        F.col("`x_roll_q0.5`").alias("roll_q50"),
+        F.col("`x_roll_q0.9`").alias("roll_q90"),
+    )
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of the event stream
+    (extensions/events.py event_transitions): one lag window on the
+    user timeline (ties broken by event value for determinism), one
+    pair-level agg, broadcast row totals for P(next | prev)."""
+    from pd_utils_spark.extensions.events import event_transitions
+
+    ev = _t(spark, sf_dir, "events")
+    out = event_transitions(ev)
+    return out.select(
+        "prev_event", "event", "n",
+        F.round("prob", 6).alias("prob"),
+    )
+
+
 def q_sql_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUP BY CUBE: every grouping-set combination (including the
     column-swapped subtotals ROLLUP omits) — 4 grouping sets in one
@@ -5011,6 +5108,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_tpch_q21": q_sql_tpch_q21,
         "sql_rollup": q_sql_rollup,
         "sql_cube": q_sql_cube,
+        "sql_grouping_sets": q_sql_grouping_sets,
+        "woe_iv": q_woe_iv,
+        "k_anonymity": q_k_anonymity,
+        "rolling_quantile": q_rolling_quantile,
+        "event_transitions": q_event_transitions,
         "sql_tpch_q18": q_sql_tpch_q18,
         "sql_tpch_q19": q_sql_tpch_q19,
         "sql_tpch_q22": q_sql_tpch_q22,
@@ -8237,6 +8339,104 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n
             FROM orders
             GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        "sql_grouping_sets": """
+            SELECT l_returnflag, l_linestatus,
+                   grouping(l_returnflag)::INT AS g_rf,
+                   grouping(l_linestatus)::INT AS g_ls,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4)
+                       AS revenue,
+                   count(*)::BIGINT AS n
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """,
+        "woe_iv": """
+            WITH per AS (
+                SELECT lang AS category, count(*)::BIGINT AS n,
+                       sum(CASE WHEN n_chars >= 1000
+                                THEN 1 ELSE 0 END)::BIGINT AS positives,
+                       sum(CASE WHEN n_chars >= 1000
+                                THEN 0 ELSE 1 END)::BIGINT AS negatives
+                FROM documents GROUP BY 1
+            ),
+            tot AS (
+                SELECT sum(positives) + 0.5 * count(*) AS tp,
+                       sum(negatives) + 0.5 * count(*) AS tn
+                FROM per
+            ),
+            sc AS (
+                SELECT category, n, positives, negatives,
+                       (positives + 0.5) / tp AS ps,
+                       (negatives + 0.5) / tn AS ns
+                FROM per CROSS JOIN tot
+            ),
+            w AS (
+                SELECT *, ln(ps / ns) AS woe,
+                       (ps - ns) * ln(ps / ns) AS iv_term
+                FROM sc
+            )
+            SELECT category, n, positives, negatives,
+                   round(ps, 6) AS pos_share,
+                   round(ns, 6) AS neg_share,
+                   round(woe, 6) AS woe,
+                   round(iv_term, 6) AS iv_term,
+                   round((SELECT sum(iv_term) FROM w), 6) AS iv
+            FROM w
+        """,
+        "k_anonymity": """
+            WITH per AS (
+                SELECT user_id % 97 AS ub, event_type,
+                       count(*)::BIGINT AS n
+                FROM events GROUP BY 1, 2
+            )
+            SELECT sum(n)::BIGINT AS n_rows,
+                   count(*)::BIGINT AS n_groups,
+                   min(n)::BIGINT AS min_group_size,
+                   sum(CASE WHEN n < 15 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_violating_groups,
+                   sum(CASE WHEN n < 15 THEN n ELSE 0 END)::BIGINT
+                       AS n_violating_rows,
+                   round(sum(CASE WHEN n < 15 THEN n ELSE 0 END)::DOUBLE
+                         / sum(n)::DOUBLE, 6) AS violating_row_frac
+            FROM per
+        """,
+        "rolling_quantile": """
+            WITH daily AS (
+                SELECT event_type, date_part('day', ts)::INT AS day,
+                       count(*)::BIGINT AS x
+                FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+            )
+            SELECT event_type, day, x,
+                   CASE WHEN count(*) OVER w >= 7
+                        THEN quantile_cont(x::DOUBLE, 0.5) OVER w
+                   END AS roll_q50,
+                   CASE WHEN count(*) OVER w >= 7
+                        THEN quantile_cont(x::DOUBLE, 0.9) OVER w
+                   END AS roll_q90
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        """,
+        "event_transitions": """
+            WITH seq AS (
+                SELECT lag(event_type) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_type) AS prev_event,
+                       event_type AS event
+                FROM events
+                WHERE ts IS NOT NULL AND event_type IS NOT NULL
+            ),
+            pairs AS (
+                SELECT prev_event, event, count(*)::BIGINT AS n
+                FROM seq WHERE prev_event IS NOT NULL
+                GROUP BY 1, 2
+            ),
+            tot AS (
+                SELECT prev_event, sum(n) AS t FROM pairs GROUP BY 1
+            )
+            SELECT p.prev_event, p.event, p.n,
+                   round(p.n::DOUBLE / t.t::DOUBLE, 6) AS prob
+            FROM pairs p JOIN tot t USING (prev_event)
         """,
         "sql_tpch_q21": """
             SELECT s.s_name, count(*)::BIGINT AS numwait

@@ -874,3 +874,52 @@ def decayed_agg(
         F.count(F.lit(1)).alias("n"),
         F.max(tscol).alias("last_ts"),
     )
+
+
+def event_transitions(
+    df: DataFrame,
+    usercol: str = "user_id",
+    tscol: str = "ts",
+    eventcol: str = "event_type",
+) -> DataFrame:
+    """First-order Markov transition matrix of an event stream: for
+    every ordered pair of CONSECUTIVE events within a user's
+    timeline, ``(prev_event, event, n, prob)`` where ``prob`` is the
+    row-normalized transition probability P(event | prev_event).
+    The journey-structure summary behind "what happens after an
+    error" / "which step leaks users" questions — the matrix form of
+    :func:`session_paths` (which enumerates full n-gram paths).
+    Timestamp ties are ordered by the event value itself so the
+    matrix is deterministic under re-partitioning.
+
+    Scale shape: ONE window shuffle on ``usercol`` for the lag, one
+    hash aggregation to the (prev, next) pair level (vocabulary-
+    sized, tiny), and the normalizing row totals computed by a
+    second aggregation on that tiny frame joined back — never a
+    window over raw events.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(usercol).orderBy(F.col(tscol), F.col(eventcol))
+    pairs = (
+        df.filter(F.col(tscol).isNotNull() & F.col(eventcol).isNotNull())
+        .select(
+            F.lag(eventcol).over(w).alias("prev_event"),
+            F.col(eventcol).alias("event"),
+        )
+        .filter(F.col("prev_event").isNotNull())
+        .groupBy("prev_event", "event")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = pairs.groupBy("prev_event").agg(F.sum("n").alias("__t__"))
+    return (
+        pairs.join(F.broadcast(totals), "prev_event")
+        .select(
+            "prev_event",
+            "event",
+            "n",
+            (F.col("n").cast("double") / F.col("__t__").cast("double")).alias(
+                "prob"
+            ),
+        )
+    )

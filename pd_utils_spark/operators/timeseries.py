@@ -461,3 +461,47 @@ def theil_sen(
         F.first("slope").alias("slope"),
         F.percentile(resid, 0.5).alias("intercept"),
     )
+
+
+def rolling_quantile(
+    df: DataFrame,
+    valuecol: str,
+    ordervar: str,
+    byvars: str | Sequence[str] | None = None,
+    n: int = 20,
+    probs: Sequence[float] = (0.5,),
+    min_periods: Optional[int] = None,
+) -> DataFrame:
+    """Trailing exact rolling quantiles per row: for each row, the
+    interpolated quantile of ``valuecol`` over the last ``n`` rows of
+    its group (ordered by ``ordervar``), one appended column
+    ``{valuecol}_roll_q{prob}`` per prob — pandas
+    ``rolling(n, min_periods).quantile(p, 'linear')`` semantics, and
+    the window sibling of :func:`rolling_corr` (moments) and
+    ``extensions.events.rolling_stats`` (time frames). Rolling
+    medians/p95s are the robust alternative to rolling means on
+    spiky series. Rows with fewer than ``min_periods`` (default
+    ``n``) preceding-inclusive rows get null.
+
+    Scale shape: ONE shuffle on ``byvars`` + one window pass
+    computing every requested prob over the same bounded ROWS frame
+    (``percentile`` is an exact aggregate over the <= n buffered
+    frame rows — bounded memory by construction, and ANSI
+    percentile_cont interpolation so any engine replays it).
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1: {n}")
+    if not probs or any(not 0.0 <= p <= 1.0 for p in probs):
+        raise ValueError(f"probs must be fractions in [0, 1]: {probs}")
+    mp = n if min_periods is None else int(min_periods)
+    byvars_l = to_list(byvars) if byvars is not None else []
+    w = _frame(byvars_l, ordervar, n)
+    v = F.col(valuecol).cast("double")
+    cnt = F.count(v).over(w)
+    out = df
+    for p in probs:
+        out = out.withColumn(
+            f"{valuecol}_roll_q{p:g}",
+            F.when(cnt >= mp, F.percentile(v, float(p)).over(w)),
+        )
+    return out

@@ -629,3 +629,43 @@ def test_decayed_agg_matches_reference(spark):
 
     with pytest.raises(ValueError, match="half_life"):
         decayed_agg(df, "v", "ts", "user", half_life=0)
+
+
+class TestEventTransitions:
+    def test_hand_computed_probabilities(self, spark):
+        import datetime as dt
+
+        from pd_utils_spark.extensions.events import event_transitions
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = []
+        # user 1: a -> b -> a -> c ; user 2: a -> b
+        for uid, seq in ((1, "abac"), (2, "ab")):
+            for i, e in enumerate(seq):
+                rows.append((uid, t0 + dt.timedelta(minutes=i), e))
+        df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+        got = {
+            (r.prev_event, r.event): (r.n, r.prob)
+            for r in event_transitions(df).collect()
+        }
+        # from 'a': 2x a->b, 1x a->c; from 'b': 1x b->a
+        assert got[("a", "b")] == (2, pytest.approx(2 / 3))
+        assert got[("a", "c")] == (1, pytest.approx(1 / 3))
+        assert got[("b", "a")] == (1, pytest.approx(1.0))
+        assert ("c", "a") not in got  # 'c' is terminal
+
+    def test_row_normalization_sums_to_one(self, spark):
+        import datetime as dt
+
+        from pd_utils_spark.extensions.events import event_transitions
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            (u, t0 + dt.timedelta(seconds=i), "xyz"[(u * 7 + i * 3) % 3])
+            for u in range(5)
+            for i in range(20)
+        ]
+        df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+        out = event_transitions(df).toPandas()
+        sums = out.groupby("prev_event")["prob"].sum()
+        assert all(abs(s - 1.0) < 1e-9 for s in sums)

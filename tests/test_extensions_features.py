@@ -181,3 +181,57 @@ def test_linkage_score_validation(spark):
         linkage_score(pairs, ["f1"], m=1.5)
     with pytest.raises(ValueError, match="u"):
         linkage_score(pairs, ["f1"], u=None)
+
+
+class TestWoeIv:
+    def test_hand_computed_with_smoothing(self, spark):
+        import math
+
+        from pd_utils_spark.extensions.features import woe_iv
+
+        # category A: 3 pos / 1 neg; B: 1 pos / 3 neg
+        rows = [("A", 1)] * 3 + [("A", 0)] + [("B", 1)] + [("B", 0)] * 3
+        df = spark.createDataFrame(rows, ["f", "y"])
+        got = {r.category: r for r in woe_iv(df, "f", "y").collect()}
+        tp, tn = 4 + 0.5 * 2, 4 + 0.5 * 2
+        ps_a, ns_a = 3.5 / tp, 1.5 / tn
+        ps_b, ns_b = 1.5 / tp, 3.5 / tn
+        assert got["A"].pos_share == pytest.approx(ps_a)
+        assert got["A"].woe == pytest.approx(math.log(ps_a / ns_a))
+        assert got["B"].woe == pytest.approx(math.log(ps_b / ns_b))
+        iv = (ps_a - ns_a) * math.log(ps_a / ns_a) + (
+            ps_b - ns_b
+        ) * math.log(ps_b / ns_b)
+        assert got["A"].iv == pytest.approx(iv)
+        assert got["B"].iv == pytest.approx(iv)
+        # symmetric construction -> antisymmetric woe
+        assert got["A"].woe == pytest.approx(-got["B"].woe)
+
+    def test_uninformative_feature_near_zero_iv(self, spark):
+        from pd_utils_spark.extensions.features import woe_iv
+
+        rows = [(c, y) for c in ("A", "B") for y in (0, 1) for _ in range(10)]
+        df = spark.createDataFrame(rows, ["f", "y"])
+        out = woe_iv(df, "f", "y").collect()
+        assert all(abs(r.iv) < 1e-12 for r in out)
+        assert all(abs(r.woe) < 1e-12 for r in out)
+
+    def test_empty_cell_stays_finite_and_null_category(self, spark):
+        from pd_utils_spark.extensions.features import woe_iv
+
+        rows = [("A", 1)] * 5 + [(None, 0)] * 3
+        df = spark.createDataFrame(rows, ["f", "y"])
+        got = {r.category: r for r in woe_iv(df, "f", "y").collect()}
+        # A has zero negatives, null-category has zero positives:
+        # smoothing keeps both finite
+        import math
+
+        assert math.isfinite(got["A"].woe) and math.isfinite(got[None].woe)
+        assert got["A"].woe > 0 > got[None].woe
+
+    def test_validation(self, spark):
+        from pd_utils_spark.extensions.features import woe_iv
+
+        df = spark.createDataFrame([("A", 1)], ["f", "y"])
+        with pytest.raises(ValueError, match="smoothing"):
+            woe_iv(df, "f", "y", smoothing=-1.0)

@@ -69,3 +69,35 @@ class TestDrop:
             r.doc_id for r in P.drop_pii_documents(docs, max_hits=1).collect()
         )
         assert kept == [0, 3, 4]
+
+
+class TestKAnonymity:
+    def test_hand_computed(self, spark):
+        # groups: (a,x)=3 rows, (a,y)=1, (b,x)=2 -> k=2: one violating
+        # group with 1 row
+        df = spark.createDataFrame(
+            [("a", "x")] * 3 + [("a", "y")] + [("b", "x")] * 2,
+            ["q1", "q2"],
+        )
+        r = P.k_anonymity_report(df, ["q1", "q2"], k=2).collect()[0]
+        assert r.n_rows == 6 and r.n_groups == 3
+        assert r.min_group_size == 1
+        assert r.n_violating_groups == 1 and r.n_violating_rows == 1
+        assert r.violating_row_frac == pytest.approx(1 / 6)
+
+    def test_null_quasi_identifier_is_a_level(self, spark):
+        df = spark.createDataFrame(
+            [("a",), (None,), (None,)], ["q1"]
+        )
+        r = P.k_anonymity_report(df, "q1", k=2).collect()[0]
+        # null group has 2 rows (safe at k=2); 'a' violates
+        assert r.n_groups == 2
+        assert r.n_violating_groups == 1 and r.n_violating_rows == 1
+
+    def test_all_safe_and_validation(self, spark):
+        df = spark.createDataFrame([("a",)] * 10, ["q1"])
+        r = P.k_anonymity_report(df, "q1", k=5).collect()[0]
+        assert r.n_violating_groups == 0
+        assert r.violating_row_frac == 0.0
+        with pytest.raises(ValueError, match="k must"):
+            P.k_anonymity_report(df, "q1", k=0)

@@ -334,3 +334,48 @@ class TestTheilSen:
         assert "dup" not in got
         assert got["ok"].slope == pytest.approx(2.0)
         assert got["ok"].intercept == pytest.approx(1.0)
+
+
+class TestRollingQuantile:
+    def test_matches_pandas_rolling_quantile(self, spark):
+        from pd_utils_spark.operators.timeseries import rolling_quantile
+
+        rng = np.random.RandomState(9)
+        rows = []
+        frames = {}
+        for g in ("a", "b"):
+            x = rng.randn(30)
+            frames[g] = pd.Series(x)
+            rows += [(g, i, float(v)) for i, v in enumerate(x)]
+        df = spark.createDataFrame(rows, ["g", "t", "v"])
+        out = rolling_quantile(
+            df, "v", "t", "g", n=5, probs=(0.25, 0.5)
+        ).toPandas().sort_values(["g", "t"])
+        for g, s in frames.items():
+            sub = out[out.g == g]
+            for p, col in ((0.25, "v_roll_q0.25"), (0.5, "v_roll_q0.5")):
+                ref = s.rolling(5).quantile(p, interpolation="linear")
+                got = sub[col].to_numpy()
+                for i in range(30):
+                    if i < 4:
+                        assert pd.isna(got[i])
+                    else:
+                        assert got[i] == pytest.approx(ref.iloc[i], rel=1e-12)
+
+    def test_min_periods_and_validation(self, spark):
+        from pd_utils_spark.operators.timeseries import rolling_quantile
+
+        df = spark.createDataFrame(
+            [("g", i, float(i)) for i in range(4)], ["g", "t", "v"]
+        )
+        out = (
+            rolling_quantile(df, "v", "t", "g", n=3, probs=(0.5,),
+                             min_periods=1)
+            .toPandas().sort_values("t")["v_roll_q0.5"].tolist()
+        )
+        # expanding median until the window fills: [0], [0,1], [0,1,2], [1,2,3]
+        assert out == [0.0, 0.5, 1.0, 2.0]
+        with pytest.raises(ValueError, match="n must"):
+            rolling_quantile(df, "v", "t", "g", n=0)
+        with pytest.raises(ValueError, match="probs"):
+            rolling_quantile(df, "v", "t", "g", n=3, probs=(1.5,))
