@@ -1179,6 +1179,74 @@ def q_cluster_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based) silhouette per k-means cluster
+    (extensions/similarity.py silhouette_kmeans): O(n*k) map-only
+    distances against the fitted centroid literal, array_sort picks
+    own + nearest-other centroid, per-cluster mean. Oracle replays
+    the unrolled Lloyd's CTEs + the same minimax arithmetic."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = pus_sim.kmeans_fit(emb, k=8, iters=3)
+    out = pus_sim.silhouette_kmeans(emb, cents)
+    return out.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("silhouette"), 6).alias("mean_silhouette"),
+    )
+
+
+def q_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key health report (extensions/checks.py
+    referential_report): lineitem supplier keys (nulled on every 13th
+    order) against a deliberately broken supplier dimension — 10% of
+    keys removed (orphans) and every 7th duplicated (join
+    multipliers). Two distinct-key anti-join counts + conditional
+    aggregates, never a full fact x dim join."""
+    from pd_utils_spark.extensions.checks import referential_report
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_orderkey") % 13 == 0, F.lit(None))
+        .otherwise(F.col("l_suppkey"))
+        .alias("supp_key")
+    )
+    sup = _t(spark, sf_dir, "supplier")
+    parent = sup.filter(F.col("s_suppkey") % 10 != 0).unionByName(
+        sup.filter(F.col("s_suppkey") % 7 == 0)
+        .filter(F.col("s_suppkey") % 10 != 0)
+    )
+    out = referential_report(li, parent, "supp_key", "s_suppkey")
+    return out.select(
+        "n_child", "n_child_null_key", "n_orphan_rows",
+        F.round("orphan_frac", 6).alias("orphan_frac"),
+        "n_child_keys", "n_orphan_keys", "n_parent", "n_parent_keys",
+        "n_parent_dup_keys", "n_unreferenced_parent_keys",
+    )
+
+
+def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact binned isotonic (PAV) calibration
+    (extensions/metrics.py isotonic_calibration): user activity score
+    vs purchased-ever label in 10 exact equal-count bins, the
+    monotone fit from the minimax identity max_j<=i min_k>=i
+    rate(j..k) computed on the tiny broadcast bin frame — integer
+    pooled rates, engine-exact."""
+    from pd_utils_spark.extensions.metrics import isotonic_calibration
+
+    ev = _t(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("score"),
+        F.max(
+            (F.col("event_type") == "purchase").cast("int")
+        ).alias("label"),
+    )
+    out = isotonic_calibration(users, "score", "label", n_bins=10)
+    return out.select(
+        "bin", "n", "positives",
+        F.round("mean_score", 6).alias("mean_score"),
+        F.round("raw_rate", 6).alias("raw_rate"),
+        F.round("calibrated", 6).alias("calibrated"),
+    )
+
+
 def q_semantic_dedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup as published: k-means cells -> within-cell cosine>=0.4
     pairs -> transitive closure -> min-id survivor. Oracle replays the
@@ -5059,6 +5127,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "dedup_embeddings": q_dedup_embeddings,
         "kmeans_clusters": q_kmeans_clusters,
+        "silhouette": q_silhouette,
+        "referential": q_referential,
+        "isotonic_calibration": q_isotonic_calibration,
         "semantic_dedup_kmeans": q_semantic_dedup_kmeans,
         "label_centroids": q_label_centroids,
         "tumbling_window": q_tumbling_window,
@@ -7208,6 +7279,34 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_clusters": f"""
             WITH {_sql_kmeans_ctes(k=8, iters=3)}
             SELECT vec_id, cast(cid AS int) AS cluster FROM a4
+        """,
+        "silhouette": f"""
+            WITH {_sql_kmeans_ctes(k=8, iters=3)},
+            dist AS (
+                SELECT e.vec_id, c.cid,
+                       list_sum(list_transform(range(1, 65), __i ->
+                           (e.embedding[__i]::DOUBLE - c.vec[__i])
+                           * (e.embedding[__i]::DOUBLE - c.vec[__i])))
+                           AS sq
+                FROM ev e CROSS JOIN c3 c
+            ),
+            rnk AS (
+                SELECT vec_id, cid, sq,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY sq, cid) AS rn
+                FROM dist
+            ),
+            sil AS (
+                SELECT a.vec_id, a.cid AS cluster,
+                       sqrt(a.sq) AS da, sqrt(b.sq) AS db
+                FROM rnk a JOIN rnk b
+                  ON a.vec_id = b.vec_id AND a.rn = 1 AND b.rn = 2
+            )
+            SELECT cluster::INT AS cluster, count(*)::BIGINT AS n,
+                   round(avg(CASE WHEN greatest(da, db) > 0
+                                  THEN (db - da) / greatest(da, db)
+                                  ELSE 0.0 END), 6) AS mean_silhouette
+            FROM sil GROUP BY 1
         """,
         "cluster_top_terms": f"""
             WITH {_sql_kmeans_ctes(k=8, iters=3)},
@@ -10827,6 +10926,104 @@ def oracle_sql() -> dict[str, str]:
     """
     # uplift: exact_ntile bucket arithmetic replicated verbatim
     # (floor(strict_rank * bins / N) capped at bins-1, ties share)
+    d["referential"] = """
+        WITH child AS (
+            SELECT CASE WHEN l_orderkey % 13 = 0 THEN NULL
+                        ELSE l_suppkey END AS supp_key
+            FROM lineitem
+        ),
+        parent AS (
+            SELECT s_suppkey FROM supplier WHERE s_suppkey % 10 <> 0
+            UNION ALL
+            SELECT s_suppkey FROM supplier
+            WHERE s_suppkey % 7 = 0 AND s_suppkey % 10 <> 0
+        ),
+        ct AS (
+            SELECT count(*)::BIGINT AS n_child,
+                   sum(CASE WHEN supp_key IS NULL
+                            THEN 1 ELSE 0 END)::BIGINT AS n_child_null_key
+            FROM child
+        ),
+        ck AS (
+            SELECT supp_key, count(*)::BIGINT AS n
+            FROM child WHERE supp_key IS NOT NULL GROUP BY 1
+        ),
+        pk AS (
+            SELECT s_suppkey AS supp_key, count(*)::BIGINT AS pn
+            FROM parent GROUP BY 1
+        ),
+        orph AS (
+            SELECT coalesce(sum(n), 0)::BIGINT AS n_orphan_rows,
+                   count(*)::BIGINT AS n_orphan_keys
+            FROM ck WHERE supp_key NOT IN (SELECT supp_key FROM pk)
+        ),
+        ckt AS (SELECT count(*)::BIGINT AS n_child_keys FROM ck),
+        pt AS (
+            SELECT coalesce(sum(pn), 0)::BIGINT AS n_parent,
+                   count(*)::BIGINT AS n_parent_keys,
+                   sum(CASE WHEN pn > 1 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_parent_dup_keys
+            FROM pk
+        ),
+        un AS (
+            SELECT count(*)::BIGINT AS n_unreferenced_parent_keys
+            FROM pk WHERE supp_key NOT IN (SELECT supp_key FROM ck)
+        )
+        SELECT n_child, n_child_null_key, n_orphan_rows,
+               round(CASE WHEN n_child - n_child_null_key > 0
+                          THEN n_orphan_rows::DOUBLE
+                               / (n_child - n_child_null_key)::DOUBLE
+                          ELSE 0.0 END, 6) AS orphan_frac,
+               n_child_keys, n_orphan_keys, n_parent, n_parent_keys,
+               n_parent_dup_keys, n_unreferenced_parent_keys
+        FROM ct CROSS JOIN orph CROSS JOIN ckt CROSS JOIN pt CROSS JOIN un
+    """
+    d["isotonic_calibration"] = """
+        WITH u AS (
+            SELECT user_id, count(*) AS score,
+                   max(CASE WHEN event_type = 'purchase'
+                            THEN 1 ELSE 0 END) AS label
+            FROM events GROUP BY user_id
+        ),
+        tot AS (SELECT count(*) AS nn FROM u),
+        binned AS (
+            SELECT label, score,
+                   CAST(least(floor((rank() OVER (ORDER BY score) - 1)
+                                    * 10 / nn), 9) AS INT) AS bin
+            FROM u CROSS JOIN tot
+        ),
+        per AS (
+            SELECT bin, count(*)::BIGINT AS n,
+                   sum(label)::BIGINT AS positives,
+                   avg(score::DOUBLE) AS mean_score
+            FROM binned GROUP BY bin
+        ),
+        pref AS (
+            SELECT bin, n, positives,
+                   sum(n) OVER w AS cn, sum(positives) OVER w AS cp
+            FROM per
+            WINDOW w AS (ORDER BY bin
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        rate AS (
+            SELECT j.bin AS j, k.bin AS k,
+                   (k.cp - j.cp + j.positives)::DOUBLE
+                   / (k.cn - j.cn + j.n)::DOUBLE AS r
+            FROM pref j JOIN pref k ON j.bin <= k.bin
+        ),
+        inner_min AS (
+            SELECT i.bin AS i, r.j, min(r.r) AS m
+            FROM rate r JOIN per i
+              ON r.j <= i.bin AND r.k >= i.bin
+            GROUP BY 1, 2
+        ),
+        fit AS (SELECT i, max(m) AS calibrated FROM inner_min GROUP BY 1)
+        SELECT p.bin, p.n, p.positives,
+               round(p.mean_score, 6) AS mean_score,
+               round(p.positives::DOUBLE / p.n::DOUBLE, 6) AS raw_rate,
+               round(f.calibrated, 6) AS calibrated
+        FROM per p JOIN fit f ON p.bin = f.i
+    """
     d["lift_table"] = """
         WITH u AS (
             SELECT user_id, count(*) AS score,

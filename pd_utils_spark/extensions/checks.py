@@ -182,3 +182,99 @@ def assert_checks(df: DataFrame, rules: Sequence[Mapping]) -> DataFrame:
         detail = ", ".join(f"{n} ({v} violations)" for n, v in failed)
         raise ValueError(f"data-quality checks failed: {detail}")
     return res
+
+
+def referential_report(
+    child: DataFrame,
+    parent: DataFrame,
+    keys: str | Sequence[str],
+    parent_keys: str | Sequence[str] | None = None,
+) -> DataFrame:
+    """Foreign-key health report between a fact/child frame and a
+    dimension/parent frame — the join-quality audit the ``ref`` rule
+    in :func:`run_checks` summarizes to one violation count, expanded
+    to the numbers a pipeline owner actually triages:
+
+    ``(n_child, n_child_null_key, n_orphan_rows, orphan_frac,
+    n_child_keys, n_orphan_keys, n_parent, n_parent_keys,
+    n_parent_dup_keys, n_unreferenced_parent_keys)``
+
+    Orphans are child rows whose (fully non-null) key has no parent
+    row — they silently vanish from every inner join downstream.
+    Null-key child rows are counted separately (SQL join semantics
+    never match them). Duplicate parent keys turn joins into row
+    multipliers; unreferenced parent keys measure dimension bloat.
+
+    Scale shape: two anti-join counts on the DISTINCT key frames
+    (shuffle volume is O(distinct keys), with AQE free to broadcast
+    the smaller side) plus one conditional aggregate per input —
+    never a full child x parent join, nothing collected.
+    """
+    from pd_utils_spark.utils import to_list
+
+    ck = to_list(keys)
+    pk = to_list(parent_keys) if parent_keys is not None else ck
+    if len(ck) != len(pk):
+        raise ValueError(f"key arity mismatch: {ck} vs {pk}")
+    nonnull = None
+    for c in ck:
+        cond = F.col(c).isNotNull()
+        nonnull = cond if nonnull is None else (nonnull & cond)
+    child_tot = child.groupBy().agg(
+        F.count(F.lit(1)).alias("n_child"),
+        F.sum((~nonnull).cast("long")).alias("n_child_null_key"),
+    )
+    ckeys = (
+        child.filter(nonnull)
+        .groupBy(*ck)
+        .agg(F.count(F.lit(1)).alias("__n__"))
+    )
+    pkeys = parent.groupBy(
+        *[F.col(p).alias(c) for p, c in zip(pk, ck)]
+    ).agg(F.count(F.lit(1)).alias("__pn__"))
+    orphans = ckeys.join(pkeys.select(*ck), ck, "left_anti")
+    orphan_agg = orphans.groupBy().agg(
+        F.coalesce(F.sum("__n__"), F.lit(0).cast("long")).alias(
+            "n_orphan_rows"
+        ),
+        F.count(F.lit(1)).alias("n_orphan_keys"),
+    )
+    ckey_tot = ckeys.groupBy().agg(
+        F.count(F.lit(1)).alias("n_child_keys")
+    )
+    parent_agg = pkeys.groupBy().agg(
+        F.coalesce(F.sum("__pn__"), F.lit(0).cast("long")).alias("n_parent"),
+        F.count(F.lit(1)).alias("n_parent_keys"),
+        F.sum((F.col("__pn__") > 1).cast("long")).alias(
+            "n_parent_dup_keys"
+        ),
+    )
+    unref = pkeys.join(ckeys.select(*ck), ck, "left_anti").groupBy().agg(
+        F.count(F.lit(1)).alias("n_unreferenced_parent_keys")
+    )
+    return (
+        child_tot.crossJoin(F.broadcast(ckey_tot))
+        .crossJoin(F.broadcast(orphan_agg))
+        .crossJoin(F.broadcast(parent_agg))
+        .crossJoin(F.broadcast(unref))
+        .select(
+            "n_child",
+            "n_child_null_key",
+            "n_orphan_rows",
+            F.when(
+                (F.col("n_child") - F.col("n_child_null_key")) > 0,
+                F.col("n_orphan_rows").cast("double")
+                / (F.col("n_child") - F.col("n_child_null_key")).cast(
+                    "double"
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("orphan_frac"),
+            "n_child_keys",
+            "n_orphan_keys",
+            "n_parent",
+            "n_parent_keys",
+            "n_parent_dup_keys",
+            "n_unreferenced_parent_keys",
+        )
+    )

@@ -433,3 +433,115 @@ def lift_table(
         ).alias("capture_rate"),
         F.when(base > 0, cum_rate / base).alias("cum_lift"),
     )
+
+
+def isotonic_calibration(
+    df: DataFrame,
+    scorecol: str,
+    labelcol: str,
+    n_bins: int = 20,
+) -> DataFrame:
+    """Isotonic (monotone non-decreasing) calibration of a classifier
+    score against a binary label, fitted on ``n_bins`` exact
+    equal-count score bins: one row per bin
+    ``(bin, n, positives, mean_score, raw_rate, calibrated)`` where
+    ``calibrated`` is the EXACT weighted isotonic-regression (PAV)
+    solution on the binned rates via the minimax identity
+
+        fit(i) = max_{j <= i} min_{k >= i} rate(j..k)
+
+    (rate over pooled bins j..k, weighted by bin counts — Robertson
+    et al.'s closed form, which equals pool-adjacent-violators
+    without the sequential pooling loop). The standard fix for
+    over/under-confident quality classifiers; compare raw_rate vs
+    calibrated to see where the score inverts.
+
+    Scale shape: the row-level work is one :func:`pd_utils_spark.
+    plans.prefix.exact_ntile` pass + one hash agg to ``n_bins`` rows;
+    the minimax runs on the TINY bin frame (O(n_bins^3) pairs of a
+    ~20-row broadcast frame — constant work, no sequential driver
+    loop, and every step replays in any SQL engine). Binned-PAV is
+    also the statistically honest form at corpus scale: per-row PAV
+    on 10^9 rows overfits the tails the bins smooth out.
+    """
+    from pd_utils_spark.plans.prefix import exact_ntile
+
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2: {n_bins}")
+    y = F.col(labelcol).cast("double")
+    binned = exact_ntile(df, scorecol, n_bins, out="bin")
+    per = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(y).cast("long").alias("positives"),
+        F.avg(F.col(scorecol).cast("double")).alias("mean_score"),
+    )
+    lo = per.select(
+        F.col("bin").alias("__j__"),
+        F.col("n").alias("__nj__"),
+        F.col("positives").alias("__pj__"),
+    )
+    hi = per.select(
+        F.col("bin").alias("__k__"),
+        F.col("n").alias("__nk__"),
+        F.col("positives").alias("__pk__"),
+    )
+    # pooled rate over bins j..k from prefix sums on the tiny frame
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    pref = per.select(
+        "bin",
+        F.sum("n").over(w).alias("__cn__"),
+        F.sum("positives").over(w).alias("__cp__"),
+    )
+    pj = pref.select(
+        F.col("bin").alias("__j__"),
+        (F.col("__cn__")).alias("__cnj__"),
+        (F.col("__cp__")).alias("__cpj__"),
+    )
+    pk = pref.select(
+        F.col("bin").alias("__k__"),
+        F.col("__cn__").alias("__cnk__"),
+        F.col("__cp__").alias("__cpk__"),
+    )
+    # rate(j..k) = (cp[k] - cp[j-1]) / (cn[k] - cn[j-1]); the j-1
+    # prefix is the inclusive j prefix minus bin j's own cell
+    rate = (
+        F.broadcast(pj)
+        .crossJoin(F.broadcast(pk))
+        .filter(F.col("__j__") <= F.col("__k__"))
+        .join(F.broadcast(lo), "__j__")
+        .select(
+            "__j__",
+            "__k__",
+            (
+                (F.col("__cpk__") - F.col("__cpj__") + F.col("__pj__"))
+                .cast("double")
+                / (F.col("__cnk__") - F.col("__cnj__") + F.col("__nj__"))
+                .cast("double")
+            ).alias("__r__"),
+        )
+    )
+    idx = per.select(F.col("bin").alias("__i__"))
+    inner = (
+        F.broadcast(rate)
+        .crossJoin(F.broadcast(idx))
+        .filter(
+            (F.col("__j__") <= F.col("__i__"))
+            & (F.col("__k__") >= F.col("__i__"))
+        )
+        .groupBy("__i__", "__j__")
+        .agg(F.min("__r__").alias("__m__"))
+    )
+    fit = inner.groupBy("__i__").agg(F.max("__m__").alias("calibrated"))
+    return (
+        per.join(F.broadcast(fit), per["bin"] == fit["__i__"])
+        .select(
+            "bin",
+            "n",
+            "positives",
+            "mean_score",
+            (F.col("positives").cast("double") / F.col("n").cast("double")).alias(
+                "raw_rate"
+            ),
+            "calibrated",
+        )
+    )

@@ -1070,3 +1070,57 @@ def pca_project(
     return df.select("*", F.array(*cols).alias(out)).drop(
         *[f"__pc{j}__" for j in range(len(components))]
     )
+
+
+def silhouette_kmeans(
+    df: DataFrame,
+    centroids: list,
+    idcol: str = "vec_id",
+    veccol: str = "embedding",
+) -> DataFrame:
+    """Simplified (centroid-based) silhouette per point against
+    fitted ``centroids``: ``(idcol, cluster, silhouette)`` with
+    ``s = (b - a) / max(a, b)`` where ``a`` is the Euclidean distance
+    to the point's own (nearest) centroid and ``b`` the distance to
+    the nearest OTHER centroid — the O(n*k) silhouette variant
+    (Hruschka et al.) that replaces the classic O(n^2) pairwise
+    definition, which is the only honest form at corpus scale.
+    ``s`` is in [0, 1] here (assignment is argmin, so a <= b); near 0
+    means the point sits on a cell boundary — the SemDeDup failure
+    mode worth monitoring — and duplicate centroids yield 0.
+
+    Scale shape: a map-only projection — the centroid list is inlined
+    as ONE array literal, per-point distances come from a
+    ``transform`` + ordered-fold over it, and ``array_sort`` picks
+    the two smallest; no join, no shuffle, nothing collected. Pair
+    with :func:`kmeans_fit` (O(k x dims) driver state).
+    """
+    if len(centroids) < 2:
+        raise ValueError(f"need >= 2 centroids: {len(centroids)}")
+    carr = F.lit([[float(v) for v in c] for c in centroids])
+    scored = F.transform(
+        carr,
+        lambda c, i: F.struct(
+            F.aggregate(
+                F.zip_with(
+                    F.col(veccol),
+                    c,
+                    lambda x, y: (x.cast("double") - y)
+                    * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("dist"),
+            i.alias("cid"),
+        ),
+    )
+    srt = F.array_sort(scored)
+    a = F.sqrt(srt[0]["dist"])
+    b = F.sqrt(srt[1]["dist"])
+    return df.select(
+        F.col(idcol),
+        srt[0]["cid"].alias("cluster"),
+        F.when(F.greatest(a, b) > 0, (b - a) / F.greatest(a, b))
+        .otherwise(F.lit(0.0))
+        .alias("silhouette"),
+    )

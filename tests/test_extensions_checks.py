@@ -87,3 +87,50 @@ class TestAssertChecks:
     def test_passes_and_returns_frame(self, spark, data):
         res = assert_checks(data, [{"type": "custom", "name": "ok", "predicate": "id > 0"}])
         assert res.count() == 1
+
+
+class TestReferentialReport:
+    def test_hand_computed(self, spark):
+        from pd_utils_spark.extensions.checks import referential_report
+
+        child = spark.createDataFrame(
+            [(1,), (1,), (2,), (3,), (None,)], ["fk"]
+        )
+        parent = spark.createDataFrame(
+            [(1,), (2,), (2,), (9,)], ["pk"]
+        )
+        r = referential_report(child, parent, "fk", "pk").collect()[0]
+        assert r.n_child == 5 and r.n_child_null_key == 1
+        # key 3 (1 row) has no parent
+        assert r.n_orphan_rows == 1 and r.n_orphan_keys == 1
+        assert r.orphan_frac == pytest.approx(1 / 4)
+        assert r.n_child_keys == 3
+        assert r.n_parent == 4 and r.n_parent_keys == 3
+        assert r.n_parent_dup_keys == 1  # pk=2 twice
+        assert r.n_unreferenced_parent_keys == 1  # pk=9
+
+    def test_clean_fk_all_zero(self, spark):
+        from pd_utils_spark.extensions.checks import referential_report
+
+        child = spark.createDataFrame([(i % 3,) for i in range(9)], ["fk"])
+        parent = spark.createDataFrame([(0,), (1,), (2,)], ["pk"])
+        r = referential_report(child, parent, "fk", "pk").collect()[0]
+        assert r.n_orphan_rows == 0 and r.orphan_frac == 0.0
+        assert r.n_parent_dup_keys == 0
+        assert r.n_unreferenced_parent_keys == 0
+
+    def test_composite_keys_and_validation(self, spark):
+        from pd_utils_spark.extensions.checks import referential_report
+
+        child = spark.createDataFrame(
+            [("a", 1), ("a", 2), ("b", 1)], ["k1", "k2"]
+        )
+        parent = spark.createDataFrame(
+            [("a", 1), ("b", 1)], ["p1", "p2"]
+        )
+        r = referential_report(
+            child, parent, ["k1", "k2"], ["p1", "p2"]
+        ).collect()[0]
+        assert r.n_orphan_rows == 1  # ('a', 2)
+        with pytest.raises(ValueError, match="arity"):
+            referential_report(child, parent, ["k1"], ["p1", "p2"])

@@ -309,3 +309,67 @@ class TestLiftTable:
         df = spark.createDataFrame([(1.0, 1)], ["score", "label"])
         with pytest.raises(ValueError, match="n_bins"):
             lift_table(df, "score", "label", 0)
+
+
+class TestIsotonicCalibration:
+    @staticmethod
+    def _pav_ref(w, v):
+        stack = []
+        for wi, vi in zip(w, v):
+            cw, cv, cn = float(wi), float(vi), 1
+            while stack and stack[-1][1] >= cv - 1e-15:
+                pw, pv, pn = stack.pop()
+                cw, cv, cn = pw + cw, (pw * pv + cw * cv) / (pw + cw), pn + cn
+            stack.append((cw, cv, cn))
+        out = []
+        for cw, cv, cn in stack:
+            out += [cv] * cn
+        return out
+
+    def test_matches_sequential_pav_and_monotone(self, spark):
+        import numpy as np
+
+        from pd_utils_spark.extensions.metrics import isotonic_calibration
+
+        rng = np.random.RandomState(1)
+        score = rng.rand(2000)
+        p = np.clip(score + 0.3 * np.sin(6 * score), 0, 1)
+        y = (rng.rand(2000) < p).astype(int)
+        df = spark.createDataFrame(
+            [(float(s), int(t)) for s, t in zip(score, y)], ["score", "y"]
+        )
+        out = (
+            isotonic_calibration(df, "score", "y", n_bins=10)
+            .toPandas()
+            .sort_values("bin")
+        )
+        cal = out["calibrated"].to_numpy()
+        assert (np.diff(cal) >= -1e-12).all()
+        ref = self._pav_ref(out["n"].to_numpy(), out["raw_rate"].to_numpy())
+        assert np.allclose(cal, ref)
+        # calibrated preserves the total positive mass (PAV property)
+        assert np.isclose(
+            (cal * out["n"].to_numpy()).sum(), out["positives"].sum()
+        )
+
+    def test_already_monotone_is_identity(self, spark):
+        from pd_utils_spark.extensions.metrics import isotonic_calibration
+
+        rows = []
+        for b in range(5):
+            for i in range(20):
+                rows.append((float(b) + i / 100.0, 1 if i < 4 * b else 0))
+        df = spark.createDataFrame(rows, ["score", "y"])
+        out = (
+            isotonic_calibration(df, "score", "y", n_bins=5)
+            .toPandas()
+            .sort_values("bin")
+        )
+        assert (out["calibrated"] == out["raw_rate"]).all()
+
+    def test_validation(self, spark):
+        from pd_utils_spark.extensions.metrics import isotonic_calibration
+
+        df = spark.createDataFrame([(1.0, 1)], ["score", "y"])
+        with pytest.raises(ValueError, match="n_bins"):
+            isotonic_calibration(df, "score", "y", n_bins=1)

@@ -503,3 +503,57 @@ class TestSemanticDedupKmeans:
         }
         assert 0 in kept and 2 in kept
         assert 1 not in kept
+
+
+class TestSilhouetteKmeans:
+    def test_matches_numpy_reference(self, spark):
+        import numpy as np
+
+        rng = np.random.RandomState(2)
+        # three well-separated blobs in 4-d
+        blobs = [rng.randn(20, 4) * 0.2 + c for c in
+                 (np.zeros(4), np.full(4, 5.0), np.array([0, 5, 0, 5.0]))]
+        X = np.vstack(blobs)
+        cents = [b.mean(axis=0) for b in blobs]
+        df = spark.createDataFrame(
+            [(i, [float(v) for v in row]) for i, row in enumerate(X)],
+            ["vec_id", "embedding"],
+        )
+        got = {
+            r.vec_id: (r.cluster, r.silhouette)
+            for r in S.silhouette_kmeans(df, [list(c) for c in cents]).collect()
+        }
+        C = np.array(cents)
+        for i, row in enumerate(X):
+            d = np.sqrt(((C - row) ** 2).sum(axis=1))
+            order = np.argsort(d, kind="stable")
+            a, b = d[order[0]], d[order[1]]
+            s = (b - a) / max(a, b)
+            assert got[i][0] == order[0], i
+            assert got[i][1] == pytest.approx(s, rel=1e-9), i
+        # well-separated blobs -> silhouettes near 1
+        assert sum(v for _, v in got.values()) / len(got) > 0.9
+
+    def test_point_on_centroid_and_duplicate_centroids(self, spark):
+        df = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, [0.5, 0.0])], ["vec_id", "embedding"]
+        )
+        got = {
+            r.vec_id: r
+            for r in S.silhouette_kmeans(
+                df, [[1.0, 0.0], [0.0, 0.0]]
+            ).collect()
+        }
+        assert got[0].silhouette == pytest.approx(1.0)  # exactly on centroid
+        dup = {
+            r.vec_id: r.silhouette
+            for r in S.silhouette_kmeans(
+                df, [[1.0, 0.0], [1.0, 0.0]]
+            ).collect()
+        }
+        assert dup[0] == 0.0  # both distances 0 -> defined as 0
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([(0, [1.0])], ["vec_id", "embedding"])
+        with pytest.raises(ValueError, match="centroids"):
+            S.silhouette_kmeans(df, [[1.0]])
