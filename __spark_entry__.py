@@ -1500,6 +1500,57 @@ def q_streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment (streaming/windows.py
+    stream_static_enrich) driven through the streaming engine
+    end-to-end: the events parquet is consumed via readStream,
+    broadcast-joined per micro-batch against a STATIC user-segment
+    dimension (stateless — no watermark, no join state), then
+    aggregated per (segment, day) with a tumbling window in complete
+    mode. Oracle = the identical batch aggregation in DuckDB."""
+    from pd_utils_spark.streaming.windows import stream_static_enrich
+
+    ev_batch = _t(spark, sf_dir, "events")
+    dim = (
+        ev_batch.select("user_id").distinct()
+        .withColumn("segment", (F.col("user_id") % 5).cast("int"))
+    )
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    sdf = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ts_type = dict(sdf.dtypes)["ts"]
+    if ts_type == "bigint":
+        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        sdf = sdf.withColumn("ts", F.col("ts").cast("timestamp"))
+    enriched = stream_static_enrich(sdf, dim, "user_id")
+    agg = enriched.groupBy(
+        "segment", F.window("ts", "1 day").alias("w")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    name = "streaming_enrich_sink"
+    with _stream_state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name).select(
+        "segment",
+        F.dayofmonth(F.col("w.start")).alias("day"),
+        "n",
+        "total_value",
+    )
+
+
 def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked STREAM-STREAM interval join driven through the
     streaming engine end-to-end: the events parquet is consumed twice
@@ -4614,6 +4665,36 @@ def q_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contrastive negative sampling
+    (extensions/sampling.py negative_pairs): 3 md5-keyed partners per
+    document through the distributed prefix-rank slot index — never
+    rand(), never a single-task global window; self-draws dropped.
+    Oracle replays the hash arithmetic and the rank join."""
+    from pd_utils_spark.extensions.sampling import negative_pairs
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return negative_pairs(d, "doc_id", k=3)
+
+
+def q_proportion_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson 95% score interval per event type
+    (extensions/stats.py proportion_ci) for the share of events with
+    value > 50 — one group-level agg, closed-form interval
+    arithmetic (no inverse CDF), engine-replayable."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select(
+        "event_type", (F.col("value") > 50).cast("int").alias("hit")
+    )
+    out = pus_stats.proportion_ci(d, "hit", "event_type")
+    return out.select(
+        "event_type", "n", "successes",
+        F.round("rate", 6).alias("rate"),
+        F.round("ci_lo", 6).alias("ci_lo"),
+        F.round("ci_hi", 6).alias("ci_hi"),
+    )
+
+
 def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mutual information between event type and a user segment
     (extensions/profile.py mutual_information): plug-in MI/NMI from
@@ -5144,6 +5225,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessionize": q_streaming_sessionize,
         "streaming_running_agg": q_streaming_running_agg,
         "streaming_interval_join": q_streaming_interval_join,
+        "streaming_enrich": q_streaming_enrich,
+        "negative_pairs": q_negative_pairs,
+        "proportion_ci": q_proportion_ci,
         "session_paths": q_session_paths,
         "suppress_repeats": q_suppress_repeats,
         "rolling_stats": q_rolling_stats,
@@ -9869,6 +9953,69 @@ def oracle_sql() -> dict[str, str]:
         SELECT DISTINCT
                md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
         FROM documents
+    """
+    d["negative_pairs"] = """
+        WITH ids AS (
+            SELECT DISTINCT doc_id FROM documents WHERE doc_id IS NOT NULL
+        ),
+        idx AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY doc_id) - 1 AS slot
+            FROM ids
+        ),
+        nn AS (SELECT count(*) AS n FROM ids),
+        anchors AS (
+            SELECT i.doc_id AS anchor, t.j AS neg_rank,
+                   (('0x' || substr(md5(i.doc_id::VARCHAR || ':'
+                        || t.j::VARCHAR || ':neg'), 1, 15))::BIGINT
+                    & 2147483647) % nn.n AS slot
+            FROM ids i CROSS JOIN nn CROSS JOIN range(0, 3) t(j)
+        )
+        SELECT a.anchor, a.neg_rank::INT AS neg_rank,
+               x.doc_id AS partner
+        FROM anchors a JOIN idx x USING (slot)
+        WHERE a.anchor <> x.doc_id
+    """
+    d["proportion_ci"] = """
+        WITH per AS (
+            SELECT event_type, count(*)::BIGINT AS n,
+                   sum(CASE WHEN value > 50 THEN 1 ELSE 0 END)::BIGINT
+                       AS successes
+            FROM events WHERE value IS NOT NULL GROUP BY 1
+        ),
+        c AS (
+            SELECT event_type, n, successes,
+                   successes::DOUBLE / n::DOUBLE AS p,
+                   1.959964 * 1.959964 AS z2,
+                   n::DOUBLE AS nd
+            FROM per
+        ),
+        w AS (
+            SELECT *,
+                   1.0 + z2 / nd AS denom,
+                   (p + z2 / (2.0 * nd)) / (1.0 + z2 / nd) AS center,
+                   1.959964 * sqrt(p * (1.0 - p) / nd
+                                   + z2 / (4.0 * nd * nd))
+                       / (1.0 + z2 / nd) AS half
+            FROM c
+        )
+        SELECT event_type, n, successes,
+               round(p, 6) AS rate,
+               round(center - half, 6) AS ci_lo,
+               round(center + half, 6) AS ci_hi
+        FROM w
+    """
+    d["streaming_enrich"] = """
+        WITH dim AS (
+            SELECT DISTINCT user_id, (user_id % 5)::INT AS segment
+            FROM events
+        )
+        SELECT d.segment,
+               date_part('day', date_trunc('day', e.ts))::INT AS day,
+               count(*)::BIGINT AS n,
+               round(sum(e.value), 2) AS total_value
+        FROM events e JOIN dim d USING (user_id)
+        GROUP BY 1, 2
     """
     d["streaming_interval_join"] = """
         SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id

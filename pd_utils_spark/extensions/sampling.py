@@ -1113,3 +1113,73 @@ def mix_diversity(
         F.exp(F.col("entropy")).alias("effective_groups"),
         "hhi", "top_share",
     )
+
+
+def negative_pairs(
+    df: DataFrame,
+    idcol: str = "doc_id",
+    k: int = 4,
+    seed: int | str = "neg",
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: for
+    every anchor row, ``k`` pseudo-random partner ids drawn uniformly
+    from the OTHER ids in the frame — ``(anchor, neg_rank, partner)``
+    with ``neg_rank`` in [0, k). The draw is md5-keyed on
+    ``(anchor, neg_rank, seed)`` through the shared engine-portable
+    hash base, so the pairs are reproducible across runs,
+    partitionings, and engines — the property that makes a training
+    set auditable (never ``rand()``). A draw that lands on the anchor
+    itself is dropped rather than redrawn (self-pairs carry no
+    signal; expect ~k - k/N pairs per anchor), keeping the whole
+    construction join-shaped with no iteration.
+
+    Scale shape: a dense [0, N) index over the distinct ids comes
+    from the distributed prefix scan (:func:`pd_utils_spark.plans.
+    prefix.prefix_sum` — never a single-task global window); each
+    anchor explodes to ``k`` hashed slot numbers, and one equi-join
+    on the slot maps them to partner ids. Two O(rows * k) shuffles,
+    nothing collected, no RNG state.
+    """
+    from pd_utils_spark.plans.prefix import prefix_sum
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    ids = df.select(F.col(idcol)).filter(F.col(idcol).isNotNull()).distinct()
+    indexed = prefix_sum(
+        ids.withColumn("__one__", F.lit(1)),
+        idcol,
+        "__one__",
+        inclusive=False,
+    ).select(
+        F.col(idcol).alias("__pid2__"),
+        F.col("__one___cum").cast("bigint").alias("__slot__"),
+    )
+    n_ids = indexed.groupBy().agg(F.count(F.lit(1)).alias("__n__"))
+    anchors = (
+        ids.crossJoin(F.broadcast(n_ids))
+        .select(
+            F.col(idcol),
+            F.col("__n__"),
+            F.explode(
+                F.sequence(F.lit(0), F.lit(k - 1))
+            ).alias("neg_rank"),
+        )
+    )
+    from pd_utils_spark.extensions.sampling import _hash31
+
+    slot = _hash31(
+        F.concat(
+            F.col(idcol).cast("string"),
+            F.lit(":"),
+            F.col("neg_rank").cast("string"),
+            F.lit(f":{seed}"),
+        )
+    ) % F.col("__n__")
+    drawn = anchors.select(
+        F.col(idcol).alias("anchor"), "neg_rank", slot.alias("__slot__")
+    )
+    return (
+        drawn.join(indexed, "__slot__")
+        .filter(F.col("anchor") != F.col("__pid2__"))
+        .select("anchor", "neg_rank", F.col("__pid2__").alias("partner"))
+    )

@@ -934,3 +934,54 @@ def ipw_ate(
             F.sum(F.when(ok, strat_term)) / F.sum(F.when(ok, F.col("n")))
         ).alias("ate_strat"),
     )
+
+
+def proportion_ci(
+    df: DataFrame,
+    successcol: str,
+    byvars: str | Sequence[str] | None = None,
+    z: float = 1.959964,
+) -> DataFrame:
+    """Wilson score confidence interval for a proportion per group:
+    ``(byvars..., n, successes, rate, ci_lo, ci_hi)``. Wilson (not
+    Wald) because the corpus case is exactly where Wald breaks:
+    rates near 0 or 1 on small slices (rare-language pass rates,
+    per-domain violation rates) get intervals that stay inside
+    [0, 1] and never collapse to zero width. ``z`` is the normal
+    quantile passed directly (default 1.959964 ~ 95%) so the whole
+    computation stays closed-form column arithmetic any engine
+    replays — no inverse-CDF dependency.
+
+    Scale shape: ONE hash aggregation to the group level; the
+    interval is pure arithmetic on (n, successes). Nothing collected.
+    """
+    from pd_utils_spark.utils import to_list
+
+    s = F.col(successcol).cast("double")
+    by = to_list(byvars) if byvars is not None else []
+    per = (
+        df.filter(s.isNotNull())
+        .groupBy(*by)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(s).cast("long").alias("successes"),
+        )
+    )
+    n = F.col("n").cast("double")
+    p = F.col("successes").cast("double") / n
+    z2 = float(z) * float(z)
+    denom = F.lit(1.0) + F.lit(z2) / n
+    center = (p + F.lit(z2) / (2.0 * n)) / denom
+    half = (
+        F.lit(float(z))
+        * F.sqrt(p * (1.0 - p) / n + F.lit(z2) / (4.0 * n * n))
+        / denom
+    )
+    return per.select(
+        *by,
+        "n",
+        "successes",
+        p.alias("rate"),
+        (center - half).alias("ci_lo"),
+        (center + half).alias("ci_hi"),
+    )

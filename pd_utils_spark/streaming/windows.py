@@ -257,3 +257,39 @@ def stream_interval_join(
             k, F.coalesce(F.col(k), F.col(f"__rk_{k}__"))
         ).drop(f"__rk_{k}__")
     return out
+
+
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    keys: str | Sequence[str],
+    how: str = "left",
+    broadcast: bool = True,
+) -> DataFrame:
+    """Stream-static enrichment join — the dimension-lookup pattern
+    (attach user segment / device class / domain reputation to every
+    event as it arrives). The static side is re-read per micro-batch
+    by Spark, needs no watermark, and keeps NO join state — unlike a
+    stream-stream join this is stateless and safe at any stream rate,
+    which is why enrichment should always be stream-static when the
+    dimension fits that shape.
+
+    ``broadcast=True`` (default) hints the dimension onto every
+    executor so each micro-batch pays zero shuffle — the right call
+    for classic dimensions; disable for a dimension too large to
+    broadcast (the join then shuffles each micro-batch on ``keys``).
+    Non-key column collisions raise early, same contract as
+    :func:`stream_interval_join`. Works identically on batch frames,
+    so the batch run is the correctness oracle for the streaming run.
+    """
+    from pyspark.sql import functions as F
+
+    key_list = to_list(keys)
+    shared = (set(stream.columns) & set(dim.columns)) - set(key_list)
+    if shared:
+        raise ValueError(
+            f"non-key columns shared by both sides: {sorted(shared)}; "
+            "rename them upstream so the joined schema is unambiguous"
+        )
+    d = F.broadcast(dim) if broadcast else dim
+    return stream.join(d, key_list, how)

@@ -848,3 +848,46 @@ class TestMixDiversity:
         )
         r = mix_diversity(df, weightcol="w").collect()[0]
         assert r.n_groups == 2 and r.total == 100.0 and r.top_share == 0.99
+
+
+class TestNegativePairs:
+    def test_deterministic_uniform_and_no_self_pairs(self, spark):
+        from pd_utils_spark.extensions.sampling import negative_pairs
+
+        df = spark.createDataFrame([(i,) for i in range(50)], ["doc_id"])
+        a = sorted(
+            (r.anchor, r.neg_rank, r.partner)
+            for r in negative_pairs(df, k=4).collect()
+        )
+        b = sorted(
+            (r.anchor, r.neg_rank, r.partner)
+            for r in negative_pairs(df.repartition(7), k=4).collect()
+        )
+        assert a == b  # partition-independent
+        assert all(an != pt for an, _, pt in a)  # no self-pairs
+        # every anchor keeps ~k draws (self-draws dropped, p = k/N)
+        from collections import Counter
+
+        per_anchor = Counter(an for an, _, _ in a)
+        assert set(per_anchor) == set(range(50))
+        assert all(3 <= c <= 4 for c in per_anchor.values())
+        # partners must be uniform-ish across the id space
+        partners = Counter(pt for _, _, pt in a)
+        assert max(partners.values()) <= 12
+
+    def test_seed_changes_draw(self, spark):
+        from pd_utils_spark.extensions.sampling import negative_pairs
+
+        df = spark.createDataFrame([(i,) for i in range(30)], ["doc_id"])
+        a = {(r.anchor, r.neg_rank): r.partner
+             for r in negative_pairs(df, k=2, seed="s1").collect()}
+        b = {(r.anchor, r.neg_rank): r.partner
+             for r in negative_pairs(df, k=2, seed="s2").collect()}
+        assert any(a.get(key) != b.get(key) for key in a)
+
+    def test_validation(self, spark):
+        from pd_utils_spark.extensions.sampling import negative_pairs
+
+        df = spark.createDataFrame([(1,)], ["doc_id"])
+        with pytest.raises(ValueError, match="k must"):
+            negative_pairs(df, k=0)

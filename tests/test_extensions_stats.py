@@ -729,3 +729,30 @@ class TestIpwAte:
         expected = y[t == 1].mean() - y[t == 0].mean()
         assert r.ate_ipw == pytest.approx(expected, rel=1e-9)
         assert r.ate_strat == pytest.approx(expected, rel=1e-9)
+
+
+class TestProportionCi:
+    def test_matches_wilson_formula(self, spark):
+        import math
+
+        from pd_utils_spark.extensions.stats import proportion_ci
+
+        df = spark.createDataFrame(
+            [("g", 1)] * 30 + [("g", 0)] * 70 + [("rare", 1)] + [("rare", 0)] * 9,
+            ["g", "hit"],
+        )
+        got = {r.g: r for r in proportion_ci(df, "hit", "g").collect()}
+        z = 1.959964
+        for g, x, n in (("g", 30, 100), ("rare", 1, 10)):
+            p = x / n
+            denom = 1 + z * z / n
+            center = (p + z * z / (2 * n)) / denom
+            half = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n)) / denom
+            assert got[g].rate == pytest.approx(p)
+            assert got[g].ci_lo == pytest.approx(center - half, rel=1e-12)
+            assert got[g].ci_hi == pytest.approx(center + half, rel=1e-12)
+        # Wilson never leaves [0, 1], even at the extremes
+        df2 = spark.createDataFrame([("z", 1)] * 5, ["g", "hit"])
+        r = proportion_ci(df2, "hit", "g").collect()[0]
+        assert 0.0 <= r.ci_lo < 1.0 and r.ci_hi <= 1.0
+        assert r.ci_hi - r.ci_lo > 0  # never collapses to zero width

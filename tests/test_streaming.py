@@ -954,3 +954,25 @@ class TestStreamIntervalJoin:
         finally:
             shutil.rmtree(vsrc, ignore_errors=True)
             shutil.rmtree(csrc, ignore_errors=True)
+
+
+class TestStreamStaticEnrich:
+    def test_batch_parity_and_collision_guard(self, spark):
+        import pytest as _pytest
+
+        from pd_utils_spark.streaming.windows import stream_static_enrich
+
+        ev = spark.createDataFrame(
+            [(1, 10.0), (2, 20.0), (3, 30.0)], ["user_id", "value"]
+        )
+        dim = spark.createDataFrame(
+            [(1, "a"), (2, "b")], ["user_id", "segment"]
+        )
+        got = {
+            r.user_id: r.segment
+            for r in stream_static_enrich(ev, dim, "user_id").collect()
+        }
+        assert got == {1: "a", 2: "b", 3: None}  # left join keeps unmatched
+        bad = spark.createDataFrame([(1, 9.0)], ["user_id", "value"])
+        with _pytest.raises(ValueError, match="shared"):
+            stream_static_enrich(ev, bad, "user_id")
