@@ -635,3 +635,97 @@ class TestRound5LateOps:
         # broadcast of the tiny variant frame
         assert plan.count("HashAggregate") >= 2
         assert "BroadcastExchange" in plan
+
+
+class TestRound5ContinuationShapes:
+    def test_theil_sen_broadcasts_slope_back(self, spark):
+        from pd_utils_spark.operators.timeseries import theil_sen
+
+        df = spark.createDataFrame(
+            [("g", float(i), float(i)) for i in range(10)], ["g", "t", "v"]
+        )
+        plan = plan_of(theil_sen(df, "v", "t", "g"))
+        # the tiny slope frame must come back via broadcast, and the
+        # pair generation must be an equi join on the group key (a
+        # SortMergeJoin/HashJoin with the time filter as condition),
+        # never a cartesian product
+        assert "BroadcastExchange" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_weighted_quantiles_single_cumulative_window(self, spark):
+        from pd_utils_spark.extensions.profile import weighted_quantiles
+
+        df = spark.createDataFrame(
+            [("g", float(i % 7), 1.0) for i in range(50)], ["g", "v", "w"]
+        )
+        plan = plan_of(weighted_quantiles(df, "v", "w", (0.25, 0.5, 0.9), "g"))
+        # all three probs share the cumulative/total window pair over
+        # ONE group-key exchange (plus the cell-agg exchange): the
+        # window frames reuse the agg's hash partitioning, so adding
+        # probs must never add shuffles
+        import re
+
+        n_exchanges = len(set(re.findall(r"\((\d+)\) Exchange", plan)))
+        assert n_exchanges <= 2, plan
+
+    def test_lift_table_and_isotonic_have_no_cartesian_blowup(self, spark):
+        from pd_utils_spark.extensions.metrics import (
+            isotonic_calibration,
+            lift_table,
+        )
+
+        df = spark.createDataFrame(
+            [(float(i), i % 3 == 0) for i in range(100)], ["score", "y"]
+        )
+        for out in (
+            lift_table(df, "score", "y", 10),
+            isotonic_calibration(df, "score", "y", 10),
+        ):
+            plan = plan_of(out)
+            # bin-frame joins are all broadcast; the only row-level
+            # shuffles are the prefix-rank machinery
+            assert "CartesianProduct" not in plan
+
+    def test_negative_pairs_no_single_task_window(self, spark):
+        from pd_utils_spark.extensions.sampling import negative_pairs
+
+        df = spark.createDataFrame([(i,) for i in range(100)], ["doc_id"])
+        plan = plan_of(negative_pairs(df, k=2))
+        # the dense index must come from the two-level prefix scan:
+        # a global no-partition row_number window would show an
+        # Exchange SinglePartition feeding a Window over ALL rows
+        assert "Exchange SinglePartition" not in plan.split("Window")[0]
+
+    def test_feature_hashing_partial_agg_and_no_join_explosion(self, spark):
+        from pd_utils_spark.extensions.text import feature_hashing
+
+        df = spark.createDataFrame(
+            [(i, "alpha beta gamma") for i in range(20)],
+            ["doc_id", "text"],
+        )
+        plan = plan_of(feature_hashing(df, dim=8))
+        assert plan.count("HashAggregate") >= 2  # map-side partials
+        assert "CartesianProduct" not in plan
+
+    def test_event_transitions_broadcasts_totals(self, spark):
+        import datetime as dt
+
+        from pd_utils_spark.extensions.events import event_transitions
+
+        t0 = dt.datetime(2024, 1, 1)
+        df = spark.createDataFrame(
+            [(1, t0 + dt.timedelta(seconds=i), "ab"[i % 2]) for i in range(10)],
+            ["user_id", "ts", "event_type"],
+        )
+        plan = plan_of(event_transitions(df))
+        assert "BroadcastExchange" in plan
+
+    def test_k_anonymity_two_hash_aggs_only(self, spark):
+        from pd_utils_spark.extensions.pii import k_anonymity_report
+
+        df = spark.createDataFrame(
+            [(i % 5, "x") for i in range(40)], ["q1", "q2"]
+        )
+        plan = plan_of(k_anonymity_report(df, ["q1", "q2"], k=3))
+        assert "Window" not in plan
+        assert "CartesianProduct" not in plan

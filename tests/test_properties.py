@@ -757,3 +757,129 @@ def test_walk_forward_partition_of_rows(spark, n, k):
         n_test = sum(1 for x in after if x == "test")
         assert all(x == "test" for x in after[:n_test])
         assert all(x == "future" for x in after[n_test:])
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    xs=st.lists(
+        st.integers(min_value=-50, max_value=50), min_size=2, max_size=60
+    )
+)
+def test_mann_kendall_antisymmetry_and_bounds(spark, xs):
+    """Negating the series negates S exactly (and z); |S| <= C(n,2);
+    p in [0, 1]. The merge-count path must satisfy these for ANY
+    integer series, ties included."""
+    from pd_utils_spark.operators.timeseries import mann_kendall
+
+    rows = [("g", i, float(v)) for i, v in enumerate(xs)]
+    neg = [("g", i, -float(v)) for i, v in enumerate(xs)]
+    df = spark.createDataFrame(rows, ["g", "t", "v"])
+    dfn = spark.createDataFrame(neg, ["g", "t", "v"])
+    r = mann_kendall(df, "v", "t", "g").collect()[0]
+    rn = mann_kendall(dfn, "v", "t", "g").collect()[0]
+    n = len(xs)
+    assert abs(r.s_stat) <= n * (n - 1) // 2
+    assert rn.s_stat == -r.s_stat
+    assert rn.z == pytest.approx(-r.z, abs=1e-12)
+    assert 0.0 <= r.p_value <= 1.0
+    assert r.var_s == rn.var_s
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=14),
+            st.integers(min_value=0, max_value=14),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    k=st.integers(min_value=2, max_value=4),
+)
+def test_k_core_nesting_and_idempotence(spark, edges, k):
+    """The (k+1)-core is contained in the k-core; every member's
+    in-core degree is >= k; and re-peeling the core is the identity."""
+    from pd_utils_spark.extensions.graph import k_core
+
+    e = spark.createDataFrame(
+        [r for r in edges if r[0] != r[1]] or [(0, 1)], ["src", "dst"]
+    )
+    core_k = {r.node: r.core_degree for r in k_core(e, k=k).collect()}
+    core_k1 = {r.node for r in k_core(e, k=k + 1).collect()}
+    assert core_k1 <= set(core_k)
+    assert all(d >= k for d in core_k.values())
+    if core_k:
+        # rebuild the core subgraph and peel again: identical result
+        pdf = e.toPandas()
+        sub = pdf[pdf.src.isin(core_k) & pdf.dst.isin(core_k)]
+        e2 = spark.createDataFrame(sub)
+        again = {r.node: r.core_degree for r in k_core(e2, k=k).collect()}
+        assert again == core_k
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),   # value
+            st.integers(min_value=1, max_value=5),   # weight
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_weighted_quantiles_unit_weight_and_monotone(spark, rows):
+    """With all weights equal the weighted quantile is the type-1
+    unweighted quantile, and quantiles are monotone in prob."""
+    from pd_utils_spark.extensions.profile import weighted_quantiles
+
+    df = spark.createDataFrame(
+        [("g", float(v), float(w)) for v, w in rows], ["g", "v", "w"]
+    )
+    probs = (0.1, 0.5, 0.9, 1.0)
+    got = {
+        r.prob: r.value
+        for r in weighted_quantiles(df, "v", "w", probs, "g").collect()
+    }
+    assert got[0.1] <= got[0.5] <= got[0.9] <= got[1.0]
+    # unit weights == classic lower quantile
+    df1 = spark.createDataFrame(
+        [("g", float(v), 1.0) for v, _ in rows], ["g", "v", "w"]
+    )
+    got1 = {
+        r.prob: r.value
+        for r in weighted_quantiles(df1, "v", "w", probs, "g").collect()
+    }
+    import math
+
+    vals = sorted(v for v, _ in rows)
+    for p in probs:
+        idx = math.ceil(p * len(vals)) - 1
+        assert got1[p] == vals[max(idx, 0)], p
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    labels=st.lists(st.booleans(), min_size=20, max_size=80),
+)
+def test_isotonic_calibration_monotone_and_mass_preserving(spark, labels):
+    """For ANY score/label arrangement the fit is monotone and
+    preserves total positive mass (the defining PAV properties)."""
+    import numpy as np
+
+    from pd_utils_spark.extensions.metrics import isotonic_calibration
+
+    rows = [(float(i), bool(y)) for i, y in enumerate(labels)]
+    df = spark.createDataFrame(rows, ["score", "y"])
+    out = (
+        isotonic_calibration(df, "score", "y", n_bins=5)
+        .toPandas()
+        .sort_values("bin")
+    )
+    cal = out["calibrated"].to_numpy()
+    assert (np.diff(cal) >= -1e-12).all()
+    assert np.isclose(
+        float((cal * out["n"].to_numpy()).sum()), float(out["positives"].sum())
+    )
+    assert ((cal >= -1e-12) & (cal <= 1 + 1e-12)).all()
