@@ -1376,6 +1376,70 @@ def q_cohort_retention_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pus_events.cohort_retention(ev, period="month")
 
 
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve (extensions/events.py cohort_ltv):
+    weekly cohorts, cumulative per-user value by period — one
+    first-activity agg, one (cohort, period) agg, cumulative window
+    on the tiny cohort frame; broadcast cohort sizes."""
+    from pd_utils_spark.extensions.events import cohort_ltv
+
+    ev = _t(spark, sf_dir, "events")
+    out = cohort_ltv(ev, period="week")
+    return out.select(
+        "cohort", "period_number", "cohort_users",
+        F.round("period_value", 6).alias("period_value"),
+        F.round("cum_value", 6).alias("cum_value"),
+        F.round("ltv_per_user", 6).alias("ltv_per_user"),
+    )
+
+
+def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group 10% trimmed means (operators/transform.py
+    trimmed_mean) of price and quantity by return flag — one window
+    pass computes both exact quantile cuts for both columns, one
+    conditional aggregation; boundary values kept on both engines."""
+    from pd_utils_spark.operators.transform import trimmed_mean
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = trimmed_mean(
+        li, ["l_extendedprice", "l_quantity"], "l_returnflag", pct=0.1
+    )
+    return out.select(
+        "l_returnflag",
+        F.round("l_extendedprice_tmean", 6).alias("price_tmean"),
+        F.col("l_extendedprice_n_used").alias("price_n_used"),
+        F.round("l_quantity_tmean", 6).alias("qty_tmean"),
+        F.col("l_quantity_n_used").alias("qty_n_used"),
+    )
+
+
+def q_sql_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window functions through the sql() surface: rank with a unique
+    tie-broken ordering, lag and a running total along each
+    customer's unique order-key sequence, and percent_rank — all deterministic, the §2.5 analytic
+    family driven through the reference's SQL escape hatch."""
+    o = _t(spark, sf_dir, "orders")
+    return pus.sql(
+        [o],
+        """
+        SELECT o_orderkey, o_custkey,
+               rank() OVER (PARTITION BY o_orderstatus
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rk,
+               round(lag(o_totalprice)
+                     OVER (PARTITION BY o_custkey
+                           ORDER BY o_orderkey), 4) AS prev_price,
+               round(sum(o_totalprice)
+                     OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW), 4) AS run_total,
+               round(percent_rank()
+                     OVER (PARTITION BY o_orderstatus
+                           ORDER BY o_totalprice), 6) AS pr
+        FROM o_t WHERE o_orderkey < 3000
+        """,
+    )
+
+
 def q_suppress_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Burst suppression on the event stream: per (user, event_type),
     chains of events each within 120s of their predecessor collapse to
@@ -5232,6 +5296,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suppress_repeats": q_suppress_repeats,
         "rolling_stats": q_rolling_stats,
         "cohort_retention_monthly": q_cohort_retention_monthly,
+        "cohort_ltv": q_cohort_ltv,
+        "trimmed_mean": q_trimmed_mean,
+        "sql_window": q_sql_window,
         "top_k_per_group": q_top_k_per_group,
         "media_byte_features": q_media_byte_features,
         "decode_image": q_decode_image,
@@ -7518,6 +7585,84 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'view' AS step, 0::BIGINT AS step_index, r0 AS users FROM totals
             UNION ALL SELECT 'click', 1, r1 FROM totals
             UNION ALL SELECT 'purchase', 2, r2 FROM totals
+        """,
+        "cohort_ltv": """
+            WITH firsts AS (
+                SELECT user_id,
+                       min(date_trunc('week', ts))::TIMESTAMP AS cohort
+                FROM events WHERE ts IS NOT NULL GROUP BY user_id
+            ),
+            sizes AS (
+                SELECT cohort, count(*)::BIGINT AS cohort_users
+                FROM firsts GROUP BY 1
+            ),
+            per AS (
+                SELECT f.cohort,
+                       cast(floor((epoch(date_trunc('week', e.ts))
+                                   - epoch(f.cohort)) / 604800) AS INT)
+                           AS period_number,
+                       sum(e.value) AS period_value
+                FROM events e JOIN firsts f USING (user_id)
+                WHERE e.ts IS NOT NULL
+                GROUP BY 1, 2
+            ),
+            cum AS (
+                SELECT cohort, period_number, period_value,
+                       sum(period_value) OVER (
+                           PARTITION BY cohort ORDER BY period_number
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cum_value
+                FROM per
+            )
+            SELECT c.cohort, c.period_number, s.cohort_users,
+                   round(c.period_value, 6) AS period_value,
+                   round(c.cum_value, 6) AS cum_value,
+                   round(c.cum_value / s.cohort_users::DOUBLE, 6)
+                       AS ltv_per_user
+            FROM cum c JOIN sizes s USING (cohort)
+        """,
+        "trimmed_mean": """
+            WITH cuts AS (
+                SELECT l_returnflag,
+                       quantile_cont(l_extendedprice, 0.1) AS plo,
+                       quantile_cont(l_extendedprice, 0.9) AS phi,
+                       quantile_cont(l_quantity, 0.1) AS qlo,
+                       quantile_cont(l_quantity, 0.9) AS qhi
+                FROM lineitem GROUP BY 1
+            )
+            SELECT l.l_returnflag,
+                   round(avg(CASE WHEN l.l_extendedprice >= c.plo
+                                   AND l.l_extendedprice <= c.phi
+                                  THEN l.l_extendedprice END), 6)
+                       AS price_tmean,
+                   sum(CASE WHEN l.l_extendedprice >= c.plo
+                             AND l.l_extendedprice <= c.phi
+                            THEN 1 ELSE 0 END)::BIGINT AS price_n_used,
+                   round(avg(CASE WHEN l.l_quantity >= c.qlo
+                                   AND l.l_quantity <= c.qhi
+                                  THEN l.l_quantity END), 6) AS qty_tmean,
+                   sum(CASE WHEN l.l_quantity >= c.qlo
+                             AND l.l_quantity <= c.qhi
+                            THEN 1 ELSE 0 END)::BIGINT AS qty_n_used
+            FROM lineitem l JOIN cuts c USING (l_returnflag)
+            GROUP BY 1
+        """,
+        "sql_window": """
+            SELECT o_orderkey, o_custkey,
+                   rank() OVER (PARTITION BY o_orderstatus
+                                ORDER BY o_totalprice DESC, o_orderkey)
+                       AS rk,
+                   round(lag(o_totalprice)
+                         OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderkey), 4) AS prev_price,
+                   round(sum(o_totalprice)
+                         OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW), 4) AS run_total,
+                   round(percent_rank()
+                         OVER (PARTITION BY o_orderstatus
+                               ORDER BY o_totalprice), 6) AS pr
+            FROM orders WHERE o_orderkey < 3000
         """,
         "cohort_retention": """
             WITH firsts AS (

@@ -923,3 +923,84 @@ def event_transitions(
             ),
         )
     )
+
+
+def cohort_ltv(
+    df: DataFrame,
+    usercol: str = "user_id",
+    tscol: str = "ts",
+    valuecol: str = "value",
+    period: str = "week",
+) -> DataFrame:
+    """Cohort lifetime-value curve: users grouped by first-activity
+    period (cohort), with the per-cohort CUMULATIVE value through
+    each subsequent period normalized per cohort user —
+    ``(cohort, period_number, cohort_users, period_value, cum_value,
+    ltv_per_user)``. The revenue companion to
+    :func:`cohort_retention` (which counts who comes back, while
+    this sums what they bring): flat curves = one-shot users,
+    steadily climbing = compounding value, and comparing curves
+    across cohorts is THE acquisition-quality read.
+
+    Scale shape: one first-activity agg per user, one
+    (cohort, period) hash agg over user-stamped events, then the
+    cumulative window runs on the TINY cohort x period frame —
+    no window over raw events, same plan discipline as
+    cohort_retention.
+    """
+    from pyspark.sql import Window
+
+    if period not in ("hour", "day", "week", "month"):
+        raise ValueError(f"period must be hour/day/week/month: {period}")
+    first = (
+        df.filter(F.col(tscol).isNotNull())
+        .groupBy(usercol)
+        .agg(F.min(F.date_trunc(period, F.col(tscol))).alias("__c0__"))
+    )
+    sizes = first.groupBy("__c0__").agg(
+        F.count(F.lit(1)).alias("cohort_users")
+    )
+    stamped = df.filter(F.col(tscol).isNotNull()).join(first, usercol)
+    if period == "month":
+        offset = (
+            (F.year(F.col(tscol)) - F.year("__c0__")) * 12
+            + (F.month(F.col(tscol)) - F.month("__c0__"))
+        )
+    else:
+        secs = {"hour": 3600, "day": 86400, "week": 604800}[period]
+        offset = F.floor(
+            (
+                F.unix_timestamp(F.date_trunc(period, F.col(tscol)))
+                - F.unix_timestamp(F.col("__c0__"))
+            )
+            / F.lit(secs)
+        )
+    per = (
+        stamped.groupBy(
+            F.col("__c0__").alias("cohort"),
+            offset.cast("int").alias("period_number"),
+        )
+        .agg(F.sum(F.col(valuecol).cast("double")).alias("period_value"))
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("period_number")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        per.withColumn("cum_value", F.sum("period_value").over(w))
+        .join(
+            F.broadcast(sizes.withColumnRenamed("__c0__", "cohort")),
+            "cohort",
+        )
+        .select(
+            "cohort",
+            "period_number",
+            "cohort_users",
+            "period_value",
+            "cum_value",
+            (
+                F.col("cum_value") / F.col("cohort_users").cast("double")
+            ).alias("ltv_per_user"),
+        )
+    )

@@ -611,3 +611,56 @@ def flag_outliers(
             )
         out = out.drop(*["__q_" + c for c in cols])
     return out.select(*df.columns, *[c + suffix for c in cols])
+
+
+def trimmed_mean(
+    df: DataFrame,
+    cols: Union[str, list[str]],
+    byvars: Optional[Union[str, list[str]]] = None,
+    pct: float = 0.1,
+) -> DataFrame:
+    """Per-group trimmed means: for each column in ``cols``, the mean
+    of the values STRICTLY inside the [pct, 1-pct] exact-quantile
+    band — one output row per group with ``{col}_tmean`` columns,
+    plus ``{col}_n_used``. The robust companion to ``winsorize``
+    (which CLAMPS tail values and keeps every row; trimming DROPS
+    them from the estimate — the textbook trade: winsorizing keeps
+    sample size, trimming kills tail influence entirely).
+
+    Boundary semantics: values equal to either quantile are kept
+    (trim only what lies strictly outside), so pct=0 degrades to the
+    plain mean and ties at the cut never flap with partitioning.
+
+    Scale shape: ONE window pass computes both exact quantiles per
+    group for every column (shared partitioning), then ONE
+    conditional aggregation — two shuffles total regardless of
+    len(cols). Exact percentiles buffer one group per task like
+    ``winsorize``; use percentile_approx upstream at extreme group
+    sizes.
+    """
+    from pyspark.sql import Window
+
+    from pd_utils_spark.utils import to_list
+
+    if not 0.0 <= pct < 0.5:
+        raise ValueError(f"pct must be in [0, 0.5): {pct}")
+    cols_l = to_list(cols)
+    by = to_list(byvars) if byvars is not None else []
+    w = Window.partitionBy(*[F.col(b) for b in by])
+    cur = df
+    for c in cols_l:
+        v = F.col(c).cast("double")
+        cur = cur.withColumn(
+            f"__lo_{c}__", F.percentile(v, float(pct)).over(w)
+        ).withColumn(
+            f"__hi_{c}__", F.percentile(v, float(1.0 - pct)).over(w)
+        )
+    aggs = []
+    for c in cols_l:
+        v = F.col(c).cast("double")
+        keep = v.isNotNull() & (v >= F.col(f"__lo_{c}__")) & (
+            v <= F.col(f"__hi_{c}__")
+        )
+        aggs.append(F.avg(F.when(keep, v)).alias(f"{c}_tmean"))
+        aggs.append(F.sum(keep.cast("long")).alias(f"{c}_n_used"))
+    return cur.groupBy(*by).agg(*aggs)

@@ -669,3 +669,53 @@ class TestEventTransitions:
         out = event_transitions(df).toPandas()
         sums = out.groupby("prev_event")["prob"].sum()
         assert all(abs(s - 1.0) < 1e-9 for s in sums)
+
+
+class TestCohortLtv:
+    def test_hand_computed_weekly(self, spark):
+        import datetime as dt
+
+        from pd_utils_spark.extensions.events import cohort_ltv
+
+        w0 = dt.datetime(2024, 1, 1)  # a Monday
+        w1 = w0 + dt.timedelta(weeks=1)
+        rows = [
+            # cohort w0: users 1, 2
+            (1, w0, 10.0), (2, w0 + dt.timedelta(days=2), 20.0),
+            (1, w1, 5.0),
+            # cohort w1: user 3
+            (3, w1 + dt.timedelta(days=1), 7.0),
+        ]
+        df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+        got = {
+            (r.cohort, r.period_number): r
+            for r in cohort_ltv(df, period="week").collect()
+        }
+        r00 = got[(w0, 0)]
+        assert r00.cohort_users == 2 and r00.period_value == 30.0
+        assert r00.ltv_per_user == pytest.approx(15.0)
+        r01 = got[(w0, 1)]
+        assert r01.cum_value == 35.0
+        assert r01.ltv_per_user == pytest.approx(17.5)
+        r10 = got[(w1, 0)]
+        assert r10.cohort_users == 1 and r10.cum_value == 7.0
+
+    def test_cum_value_monotone_and_validation(self, spark):
+        import datetime as dt
+
+        from pd_utils_spark.extensions.events import cohort_ltv
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            (u, t0 + dt.timedelta(days=d), 1.0)
+            for u in range(5)
+            for d in range(0, 30, 3)
+        ]
+        df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+        pdf = cohort_ltv(df, period="week").toPandas().sort_values(
+            ["cohort", "period_number"]
+        )
+        for _, g in pdf.groupby("cohort"):
+            assert g["cum_value"].is_monotonic_increasing
+        with pytest.raises(ValueError, match="period"):
+            cohort_ltv(df, period="fortnight")

@@ -1336,3 +1336,38 @@ class TestAutocorrByGroups:
         pdf = pd.DataFrame({"g": ["a"], "t": [1], "v": [1.0]})
         with pytest.raises(ValueError, match="lags"):
             pus.autocorr_by_groups(spark.createDataFrame(pdf), "g", "v", "t", lags=0)
+
+
+class TestTrimmedMean:
+    def test_matches_scipy_style_reference(self, spark):
+        from pd_utils_spark.operators.transform import trimmed_mean
+
+        rng = np.random.RandomState(4)
+        rows = []
+        series = {}
+        for g in ("a", "b"):
+            x = np.round(rng.randn(40) * 10, 3)
+            x[0] = 500.0  # outlier the trim must kill
+            series[g] = x
+            rows += [(g, float(v)) for v in x]
+        df = spark.createDataFrame(rows, ["g", "v"])
+        got = {r.g: r for r in trimmed_mean(df, "v", "g", pct=0.1).collect()}
+        for g, x in series.items():
+            lo, hi = np.quantile(x, 0.1), np.quantile(x, 0.9)
+            kept = x[(x >= lo) & (x <= hi)]
+            assert got[g].v_tmean == pytest.approx(kept.mean(), rel=1e-12)
+            assert got[g].v_n_used == len(kept)
+            # the outlier is gone from the estimate
+            assert abs(got[g].v_tmean) < 10
+
+    def test_pct_zero_is_plain_mean_and_validation(self, spark):
+        from pd_utils_spark.operators.transform import trimmed_mean
+
+        df = spark.createDataFrame(
+            [("g", float(v)) for v in (1, 2, 3, 100)], ["g", "v"]
+        )
+        r = trimmed_mean(df, "v", "g", pct=0.0).collect()[0]
+        assert r.v_tmean == pytest.approx(26.5)
+        assert r.v_n_used == 4
+        with pytest.raises(ValueError, match="pct"):
+            trimmed_mean(df, "v", "g", pct=0.5)
