@@ -1756,6 +1756,18 @@ def q_media_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_binary_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec-free average-hash over binary payloads
+    (extensions/multimodal.py binary_ahash): 64 strided byte
+    segments, each bit decided by the INTEGER cross-product
+    seg_sum * n > total_sum * seg_len — no float anywhere, so the
+    oracle's hex-sliced SQL replay is exact by construction."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    media = pus_mm.text_to_media(d)
+    out = pus_mm.binary_ahash(media, bits=64)
+    return out.select("media_id", "ahash")
+
+
 def q_decode_image(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode end-to-end: spec-valid BMP headers are
     synthesized in-engine (unhex of little-endian header fields, dims
@@ -5301,6 +5313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_window": q_sql_window,
         "top_k_per_group": q_top_k_per_group,
         "media_byte_features": q_media_byte_features,
+        "binary_ahash": q_binary_ahash,
         "decode_image": q_decode_image,
         "cumulate_first": q_cumulate_first,
         "cumulate_multivar": q_cumulate_multivar,
@@ -6989,6 +7002,46 @@ def oracle_sql() -> dict[str, str]:
                    CAST(3 AS INT) AS channels,
                    'bmp' AS img_format
             FROM documents
+        """,
+        "binary_ahash": """
+            WITH b AS (
+                SELECT doc_id, hex(encode(coalesce(text, ''))) AS hx,
+                       octet_length(encode(coalesce(text, ''))) AS n
+                FROM documents
+            ),
+            bytes AS (
+                SELECT doc_id, n, p AS pos,
+                       ('0x' || substring(hx, 2 * p - 1, 2))::BIGINT AS val
+                FROM (SELECT doc_id, n, hx,
+                             unnest(range(1, n + 1)) AS p
+                      FROM b WHERE n > 0)
+            ),
+            segs AS (
+                SELECT doc_id, n,
+                       ((pos - 1) * 64) // n AS seg,
+                       sum(val) AS seg_sum, count(*) AS seg_len
+                FROM bytes GROUP BY 1, 2, 3
+            ),
+            tot AS (
+                SELECT doc_id, sum(val) AS total FROM bytes GROUP BY 1
+            ),
+            grid AS (
+                SELECT d.doc_id, gs.i
+                FROM (SELECT doc_id FROM documents) d
+                CROSS JOIN (SELECT unnest(range(0, 64)) AS i) gs
+            ),
+            bitted AS (
+                SELECT g.doc_id, g.i,
+                       CASE WHEN s.seg_sum IS NOT NULL
+                                 AND s.seg_sum * s.n > t.total * s.seg_len
+                            THEN '1' ELSE '0' END AS bit
+                FROM grid g
+                LEFT JOIN segs s ON g.doc_id = s.doc_id AND g.i = s.seg
+                LEFT JOIN tot t ON g.doc_id = t.doc_id
+            )
+            SELECT doc_id AS media_id,
+                   string_agg(bit, '' ORDER BY i) AS ahash
+            FROM bitted GROUP BY doc_id
         """,
         "media_byte_features": """
             WITH b AS (

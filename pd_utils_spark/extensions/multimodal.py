@@ -378,3 +378,75 @@ def text_to_media(
         F.encode(F.col(textcol), "utf-8").cast("binary").alias("data"),
         F.lit("application/octet-stream").alias("mime"),
     )
+
+
+def binary_ahash(
+    df: DataFrame,
+    datacol: str = "data",
+    bits: int = 64,
+) -> DataFrame:
+    """Codec-free average-hash fingerprint of a binary payload,
+    appended as ``ahash`` — a ``bits``-character '0'/'1' string. The
+    byte stream is cut into ``bits`` contiguous strided segments
+    (segment i spans ``[floor(i*n/bits), floor((i+1)*n/bits))``);
+    bit i is 1 iff the segment's mean byte exceeds the WHOLE
+    payload's mean byte. Byte at 0-based position p belongs to
+    segment ``(p * bits) // n`` — the per-position floor mapping, so
+    any engine reproduces the exact same partition from (p, n)
+    alone. The comparison is evaluated as the integer cross-product
+    ``seg_sum * n > total_sum * seg_len`` — no float ever enters, so
+    the hash is bit-identical on any engine and any partitioning,
+    which is what makes it usable as a dedup/join key.
+    The aHash idea from perceptual image hashing, applied to raw
+    bytes: same-structure payloads (same template, same container,
+    retranscoded media) land on equal or near-equal hashes without
+    decoding anything. Empty/null payloads hash to all zeros; empty
+    segments (n < bits) contribute 0 bits.
+
+    Scale shape: Arrow-batched ``mapInPandas`` numpy kernel (one pass
+    per payload, O(n) per row, bounded memory), zero shuffles. Pair
+    with a banded substring equi-join for hamming-near matching —
+    the same pigeonhole plan ``simhash_near_dup_pairs`` uses.
+    """
+    import numpy as np
+
+    if bits < 1:
+        raise ValueError(f"bits must be >= 1: {bits}")
+
+    out_schema = StructType(
+        df.schema.fields + [StructField("ahash", StringType())]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for d in pdf[datacol]:
+                raw = bytes(d) if d is not None else b""
+                n = len(raw)
+                if n == 0:
+                    hashes.append("0" * bits)
+                    continue
+                arr = np.frombuffer(raw, dtype=np.uint8)
+                total = int(arr.sum())
+                seg = (np.arange(n, dtype=np.int64) * bits) // n
+                seg_sums = np.bincount(
+                    seg, weights=arr.astype(np.float64), minlength=bits
+                )
+                seg_lens = np.bincount(seg, minlength=bits)
+                out = []
+                for i in range(bits):
+                    if seg_lens[i] == 0:
+                        out.append("0")
+                        continue
+                    # integer cross-product: exact on every engine
+                    # (float64 sums of <= 255*n are exact integers
+                    # far below 2^53)
+                    lhs = int(seg_sums[i]) * n
+                    rhs = total * int(seg_lens[i])
+                    out.append("1" if lhs > rhs else "0")
+                hashes.append("".join(out))
+            pdf = pdf.copy()
+            pdf["ahash"] = hashes
+            yield pdf
+
+    return df.mapInPandas(kernel, out_schema)

@@ -196,3 +196,50 @@ class TestTextToMedia:
         out = M.text_to_media(docs).toPandas()
         assert list(out.columns) == ["media_id", "kind", "data", "mime"]
         assert bytes(out.data.iloc[0]) == b"hello"
+
+
+class TestBinaryAhash:
+    def test_hand_computed_and_determinism(self, spark):
+        from pd_utils_spark.extensions.multimodal import binary_ahash
+
+        # 8 bytes, bits=4 -> segments of 2; payload [0,0, 255,255, 0,0, 255,255]
+        payload = bytes([0, 0, 255, 255, 0, 0, 255, 255])
+        df = spark.createDataFrame(
+            [(1, bytearray(payload)), (2, bytearray(b"")), (3, None)],
+            ["media_id", "data"],
+        )
+        got = {r.media_id: r.ahash for r in binary_ahash(df, bits=4).collect()}
+        assert got[1] == "0101"
+        assert got[2] == "0000" and got[3] == "0000"
+
+    def test_uniform_payload_all_zero_and_partition_invariance(self, spark):
+        from pd_utils_spark.extensions.multimodal import binary_ahash
+
+        rows = [(i, bytearray(bytes([i % 7]) * 100)) for i in range(20)]
+        rows += [(100 + i, bytearray(bytes(range(256)) * 3)) for i in range(3)]
+        df = spark.createDataFrame(rows, ["media_id", "data"])
+        a = {r.media_id: r.ahash for r in binary_ahash(df, bits=16).collect()}
+        b = {
+            r.media_id: r.ahash
+            for r in binary_ahash(df.repartition(5), bits=16).collect()
+        }
+        assert a == b
+        # constant payloads: no segment exceeds the global mean
+        for i in range(20):
+            assert a[i] == "0" * 16
+        # ascending payloads: second half above the mean
+        assert a[100].count("1") > 0
+
+    def test_short_payload_and_validation(self, spark):
+        from pd_utils_spark.extensions.multimodal import binary_ahash
+
+        # n < bits: empty segments contribute 0, occupied ones decide
+        df = spark.createDataFrame(
+            [(1, bytearray(bytes([10, 200])))], ["media_id", "data"]
+        )
+        h = binary_ahash(df, bits=8).collect()[0].ahash
+        assert len(h) == 8 and h.count("1") >= 1
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="bits"):
+            binary_ahash(df, bits=0)
