@@ -983,6 +983,19 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id")
 
 
+def q_jaccard_join_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard>=0.8 similarity join by prefix filtering
+    (extensions/dedup.py jaccard_join_prefix — the AllPairs/PPJoin
+    complete-recall counterpart to the LSH path) over the corpus with
+    id-shifted copies (3-shingle sets, the same sets the LSH path
+    uses). The oracle is a BRUTE-FORCE all-pairs Jaccard
+    in DuckDB, so a hash-match certifies the prefix-filter theorem
+    end-to-end: no qualifying pair missed, none invented."""
+    u = _docs_with_copies(spark, sf_dir)
+    out = pus_dedup.jaccard_join_prefix(u, threshold=0.8)
+    return _round_doubles(out.select("id_a", "id_b", "jaccard"))
+
+
 def q_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     q = d.filter(F.col("doc_id") < 3)
@@ -5271,6 +5284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_against": q_dedup_minhash_against,
         "minhash_signature": q_minhash_signature,
         "lsh_jaccard_pairs": q_lsh_jaccard_pairs,
+        "jaccard_join_prefix": q_jaccard_join_prefix,
         "connected_components": q_connected_components,
         "dedup_connected": q_dedup_connected,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -7178,6 +7192,33 @@ def oracle_sql() -> dict[str, str]:
                    list_min(list_transform(s,
                        x -> (t.a * {_SQL_MH_BASE.format(x="x")} + t.c) % 2147483647)) AS minhash
             FROM sh, {_sql_minhash_values()} t(i, a, c)
+        """,
+        "jaccard_join_prefix": f"""
+            WITH u AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 100000, text FROM documents
+            ),
+            sets AS (
+                SELECT doc_id,
+                       list_transform(
+                           list_filter({_sql_shingles_k(3)},
+                                       t -> length(t) > 0),
+                           t -> ('0x' || substr(md5(t), 1, 15))::BIGINT)
+                           AS toks
+                FROM u
+            ),
+            ne AS (SELECT doc_id, toks FROM sets WHERE len(toks) > 0),
+            pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       len(list_intersect(a.toks, b.toks))::DOUBLE AS i,
+                       (len(a.toks) + len(b.toks)
+                        - len(list_intersect(a.toks, b.toks)))::DOUBLE
+                           AS un
+                FROM ne a JOIN ne b ON a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b, round(i / un, 6) AS jaccard
+            FROM pairs WHERE i / un >= 0.8
         """,
         "lsh_jaccard_pairs": f"""
             WITH u AS ({_SQL_DOC_UNION}),

@@ -752,3 +752,60 @@ class TestDedupSpansAgainst:
         # duplicates are dedup_spans' job (the two compose)
         assert out[1] == "dup a. dup b. dup c"
         assert out[2] == "dup a. dup b. dup c"
+
+
+class TestJaccardJoinPrefix:
+    @staticmethod
+    def _brute(docs, t, k):
+        # reference: shingle sets + all-pairs Jaccard
+        def shingles(text):
+            import re
+
+            toks = re.sub(r"\s+", " ", text.lower()).strip().split(" ")
+            if len(toks) >= k:
+                return {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
+            return {" ".join(toks)}
+
+        sets = {i: shingles(t_) for i, t_ in docs if t_.strip()}
+        out = {}
+        ids = sorted(sets)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a, b = sets[ids[i]], sets[ids[j]]
+                jac = len(a & b) / len(a | b)
+                if jac >= t:
+                    out[(ids[i], ids[j])] = jac
+        return out
+
+    def test_complete_recall_vs_brute_force(self, spark):
+        from pd_utils_spark.extensions.dedup import jaccard_join_prefix
+
+        base = [
+            "the quick brown fox jumps over the lazy dog again and again",
+            "a completely different document about spark physical plans",
+            "the quick brown fox jumps over the lazy dog again and AGAIN now",
+            "short text",
+            "numbers one two three four five six seven eight nine ten",
+            "numbers one two three four five six seven eight nine eleven",
+        ]
+        docs = [(i, t) for i, t in enumerate(base)]
+        docs += [(100 + i, t) for i, t in enumerate(base)]  # exact copies
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        for t in (0.5, 0.8):
+            got = {
+                (r.id_a, r.id_b): r.jaccard
+                for r in jaccard_join_prefix(df, threshold=t).collect()
+            }
+            ref = self._brute(docs, t, 3)
+            assert set(got) == set(ref), t
+            for key in ref:
+                assert got[key] == pytest.approx(ref[key]), (t, key)
+
+    def test_validation(self, spark):
+        from pd_utils_spark.extensions.dedup import jaccard_join_prefix
+
+        df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+        with pytest.raises(ValueError, match="threshold"):
+            jaccard_join_prefix(df, threshold=0.0)
+        with pytest.raises(ValueError, match="k must"):
+            jaccard_join_prefix(df, k=0)
