@@ -4754,6 +4754,82 @@ def q_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_best_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimal decision-stump threshold per source
+    (extensions/features.py best_split): does document length predict
+    English? — per-(group, distinct value) label counts, ONE window
+    of prefix sums, Gini arithmetic, argmin on the 9-dp-rounded gain
+    with threshold tiebreak. Integer counts keep every impurity ratio
+    engine-exact."""
+    from pd_utils_spark.extensions.features import best_split
+
+    d = _t(spark, sf_dir, "documents").select(
+        "source", "n_chars", (F.col("lang") == "en").cast("int").alias("y")
+    )
+    out = best_split(d, "n_chars", "y", "source")
+    return out.select(
+        "source", "threshold", "n", "n_left",
+        F.round("gini_before", 6).alias("gini_before"),
+        F.round("gini_after", 6).alias("gini_after"),
+        F.round("gain", 6).alias("gain"),
+    )
+
+
+def q_auc_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-slice ROC AUC (extensions/metrics.py auc_by_group):
+    rank-sum AUC with midrank ties per event type over a
+    deterministic synthetic label — per-(group, distinct score)
+    compression, one in-group prefix-sum window, one agg."""
+    from pd_utils_spark.extensions.metrics import auc_by_group
+
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select(
+        "event_type", "value",
+        (F.col("event_id") % 3 == 0).cast("int").alias("y"),
+    )
+    out = auc_by_group(d, "y", "value", "event_type")
+    return out.select(
+        "event_type", "n_pos", "n_neg",
+        F.round("auc", 6).alias("auc"),
+    )
+
+
+def q_fairness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-fairness audit (extensions/metrics.py fairness_report):
+    selection-rate / TPR / FPR per event type with demographic-parity
+    and equalized-odds gaps against the broadcast overall row — one
+    conditional-aggregation pass each."""
+    from pd_utils_spark.extensions.metrics import fairness_report
+
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select(
+        "event_type",
+        (F.col("event_id") % 3 == 0).cast("int").alias("y"),
+        (F.col("value") > 50).cast("int").alias("pred"),
+    )
+    out = fairness_report(d, "event_type", "y", "pred")
+    return out.select(
+        "event_type", "n",
+        F.round("selection_rate", 6).alias("selection_rate"),
+        F.round("tpr", 6).alias("tpr"),
+        F.round("fpr", 6).alias("fpr"),
+        F.round("parity_gap", 6).alias("parity_gap"),
+        F.round("tpr_gap", 6).alias("tpr_gap"),
+        F.round("fpr_gap", 6).alias("fpr_gap"),
+    )
+
+
+def q_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-completeness audit (operators/transform.py
+    gaps_and_islands): contiguous event-id runs per event type via
+    the id-minus-row_number run constant — one distinct, one window,
+    one hash agg; gaps are the spaces between islands."""
+    from pd_utils_spark.operators.transform import gaps_and_islands
+
+    ev = _t(spark, sf_dir, "events")
+    return gaps_and_islands(ev, "event_id", "event_type")
+
+
 def q_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic contrastive negative sampling
     (extensions/sampling.py negative_pairs): 3 md5-keyed partners per
@@ -5316,6 +5392,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_running_agg": q_streaming_running_agg,
         "streaming_interval_join": q_streaming_interval_join,
         "streaming_enrich": q_streaming_enrich,
+        "best_split": q_best_split,
+        "auc_by_group": q_auc_by_group,
+        "fairness_report": q_fairness_report,
+        "gaps_islands": q_gaps_islands,
         "negative_pairs": q_negative_pairs,
         "proportion_ci": q_proportion_ci,
         "session_paths": q_session_paths,
@@ -10192,6 +10272,144 @@ def oracle_sql() -> dict[str, str]:
         SELECT DISTINCT
                md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
         FROM documents
+    """
+    d["best_split"] = """
+        WITH cells AS (
+            SELECT source, n_chars::DOUBLE AS v,
+                   count(*)::BIGINT AS n,
+                   sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::DOUBLE
+                       AS p
+            FROM documents GROUP BY 1, 2
+        ),
+        sc AS (
+            SELECT source, v, n, p,
+                   sum(n) OVER w AS cn, sum(p) OVER w AS cp,
+                   sum(n) OVER g AS tn, sum(p) OVER g AS tp,
+                   lead(v) OVER (PARTITION BY source ORDER BY v) AS nextv
+            FROM cells
+            WINDOW w AS (PARTITION BY source ORDER BY v
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   g AS (PARTITION BY source)
+        ),
+        cand AS (
+            SELECT source, (v + nextv) / 2.0 AS threshold,
+                   tn::BIGINT AS n, cn::BIGINT AS n_left,
+                   2.0 * (tp / tn::DOUBLE) * (1.0 - tp / tn::DOUBLE)
+                       AS gini_before,
+                   (cn::DOUBLE / tn::DOUBLE)
+                       * (2.0 * (cp / cn::DOUBLE) * (1.0 - cp / cn::DOUBLE))
+                   + ((tn - cn)::DOUBLE / tn::DOUBLE)
+                       * (2.0 * ((tp - cp) / (tn - cn)::DOUBLE)
+                          * (1.0 - (tp - cp) / (tn - cn)::DOUBLE))
+                       AS gini_after
+            FROM sc WHERE nextv IS NOT NULL
+        ),
+        ranked AS (
+            SELECT *, gini_before - gini_after AS gain,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY round(gini_before - gini_after, 9) DESC,
+                                threshold) AS rk
+            FROM cand
+        )
+        SELECT source, threshold, n, n_left,
+               round(gini_before, 6) AS gini_before,
+               round(gini_after, 6) AS gini_after,
+               round(gain, 6) AS gain
+        FROM ranked WHERE rk = 1
+    """
+    d["auc_by_group"] = """
+        WITH cells AS (
+            SELECT event_type, value AS s,
+                   count(*)::BIGINT AS n,
+                   sum(CASE WHEN event_id % 3 = 0
+                            THEN 1 ELSE 0 END)::DOUBLE AS p
+            FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+        ),
+        rk AS (
+            SELECT event_type, n, p,
+                   coalesce(sum(n) OVER (
+                       PARTITION BY event_type ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS before
+            FROM cells
+        ),
+        agg AS (
+            SELECT event_type,
+                   sum(p)::BIGINT AS n_pos,
+                   (sum(n) - sum(p))::BIGINT AS n_neg,
+                   sum(p * (before::DOUBLE + (n::DOUBLE + 1.0) / 2.0))
+                       AS rpos
+            FROM rk GROUP BY 1
+        )
+        SELECT event_type, n_pos, n_neg,
+               round(CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+                   (rpos - n_pos::DOUBLE * (n_pos::DOUBLE + 1.0) / 2.0)
+                   / (n_pos::DOUBLE * n_neg::DOUBLE) END, 6) AS auc
+        FROM agg
+    """
+    d["fairness_report"] = """
+        WITH base AS (
+            SELECT event_type,
+                   CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END AS y,
+                   CASE WHEN value > 50 THEN 1 ELSE 0 END AS pred
+            FROM events WHERE value IS NOT NULL
+        ),
+        per AS (
+            SELECT event_type, count(*)::BIGINT AS n,
+                   sum(pred) AS sel,
+                   sum(CASE WHEN y = 1 AND pred = 1 THEN 1 ELSE 0 END)
+                       AS tp,
+                   sum(y) AS pos,
+                   sum(CASE WHEN y = 0 AND pred = 1 THEN 1 ELSE 0 END)
+                       AS fp,
+                   sum(1 - y) AS neg
+            FROM base GROUP BY 1
+        ),
+        ov AS (
+            SELECT count(*)::BIGINT AS n, sum(pred) AS sel,
+                   sum(CASE WHEN y = 1 AND pred = 1 THEN 1 ELSE 0 END)
+                       AS tp,
+                   sum(y) AS pos,
+                   sum(CASE WHEN y = 0 AND pred = 1 THEN 1 ELSE 0 END)
+                       AS fp,
+                   sum(1 - y) AS neg
+            FROM base
+        )
+        SELECT p.event_type, p.n,
+               round(p.sel::DOUBLE / p.n::DOUBLE, 6) AS selection_rate,
+               round(CASE WHEN p.pos > 0
+                          THEN p.tp::DOUBLE / p.pos::DOUBLE END, 6)
+                   AS tpr,
+               round(CASE WHEN p.neg > 0
+                          THEN p.fp::DOUBLE / p.neg::DOUBLE END, 6)
+                   AS fpr,
+               round(p.sel::DOUBLE / p.n::DOUBLE
+                     - o.sel::DOUBLE / o.n::DOUBLE, 6) AS parity_gap,
+               round(CASE WHEN p.pos > 0 AND o.pos > 0 THEN
+                     p.tp::DOUBLE / p.pos::DOUBLE
+                     - o.tp::DOUBLE / o.pos::DOUBLE END, 6) AS tpr_gap,
+               round(CASE WHEN p.neg > 0 AND o.neg > 0 THEN
+                     p.fp::DOUBLE / p.neg::DOUBLE
+                     - o.fp::DOUBLE / o.neg::DOUBLE END, 6) AS fpr_gap
+        FROM per p CROSS JOIN ov o
+    """
+    d["gaps_islands"] = """
+        WITH ids AS (
+            SELECT DISTINCT event_type, event_id FROM events
+            WHERE event_id IS NOT NULL
+        ),
+        runs AS (
+            SELECT event_type, event_id,
+                   event_id - row_number() OVER (
+                       PARTITION BY event_type ORDER BY event_id) AS k
+            FROM ids
+        )
+        SELECT event_type,
+               min(event_id)::BIGINT AS island_start,
+               max(event_id)::BIGINT AS island_end,
+               count(*)::BIGINT AS n
+        FROM runs GROUP BY event_type, k
     """
     d["negative_pairs"] = """
         WITH ids AS (

@@ -545,3 +545,140 @@ def isotonic_calibration(
             "calibrated",
         )
     )
+
+
+def auc_by_group(
+    df: DataFrame,
+    labelcol: str,
+    scorecol: str,
+    byvars: str | Sequence[str],
+) -> DataFrame:
+    """Exact ROC AUC per slice — the fairness/regression audit form
+    of :func:`binary_metrics`'s global AUC: one row
+    ``(byvars..., n_pos, n_neg, auc)`` per group, computed by the
+    rank-sum (Mann-Whitney) identity with AVERAGE ranks for ties, so
+    it is exact on any score distribution. Groups with no positives
+    or no negatives report null auc (undefined, not 0.5 — silence
+    hides class-collapse bugs).
+
+    Scale shape: one hash agg to per-(group, distinct score) label
+    counts — the compression step — then ONE window pass of prefix
+    sums inside each group for the midranks and one final group agg.
+    Shuffle volume is O(distinct (group, score)); nothing quadratic,
+    nothing collected.
+    """
+    by = to_list(byvars)
+    y = F.col(labelcol).cast("double")
+    s = F.col(scorecol)
+    cells = (
+        df.filter(s.isNotNull() & y.isNotNull())
+        .groupBy(*by, s.alias("__s__"))
+        .agg(
+            F.count(F.lit(1)).alias("__n__"),
+            F.sum(y).alias("__p__"),
+        )
+    )
+    w_cum = (
+        Window.partitionBy(*by)
+        .orderBy("__s__")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = cells.withColumn(
+        "__before__", F.coalesce(F.sum("__n__").over(w_cum), F.lit(0))
+    )
+    avg_rank = F.col("__before__").cast("double") + (
+        F.col("__n__").cast("double") + 1.0
+    ) / 2.0
+    agg = ranked.groupBy(*by).agg(
+        F.sum("__p__").cast("long").alias("n_pos"),
+        (F.sum("__n__") - F.sum("__p__")).cast("long").alias("n_neg"),
+        F.sum(F.col("__p__") * avg_rank).alias("__rpos__"),
+    )
+    np_, nn = F.col("n_pos").cast("double"), F.col("n_neg").cast("double")
+    auc = (F.col("__rpos__") - np_ * (np_ + 1.0) / 2.0) / (np_ * nn)
+    return agg.select(
+        *by,
+        "n_pos",
+        "n_neg",
+        F.when((F.col("n_pos") > 0) & (F.col("n_neg") > 0), auc).alias(
+            "auc"
+        ),
+    )
+
+
+def fairness_report(
+    df: DataFrame,
+    groupcol: str,
+    labelcol: str,
+    predcol: str,
+) -> DataFrame:
+    """Group-fairness audit of a binary classifier: one row per value
+    of ``groupcol`` with ``(n, selection_rate, tpr, fpr,
+    parity_gap, tpr_gap, fpr_gap)`` where the gaps are each group's
+    rate minus the OVERALL rate — demographic-parity and
+    equalized-odds deltas in one frame (release gates routinely
+    bound |parity_gap| and |tpr_gap|). Rates with an empty
+    denominator (a group with no positives, say) are null and their
+    gaps null with them — silence, not a fake 0.
+
+    Scale shape: ONE conditional-aggregation pass to the group level
+    plus the same pass re-aggregated to one broadcast overall row —
+    no joins on raw rows, nothing collected.
+    """
+    y = F.col(labelcol).cast("int")
+    p = F.col(predcol).cast("int")
+
+    def _aggs():
+        return [
+            F.count(F.lit(1)).alias("n"),
+            F.sum(p).alias("__sel__"),
+            F.sum(F.when((y == 1) & (p == 1), 1).otherwise(0)).alias(
+                "__tp__"
+            ),
+            F.sum(F.when(y == 1, 1).otherwise(0)).alias("__pos__"),
+            F.sum(F.when((y == 0) & (p == 1), 1).otherwise(0)).alias(
+                "__fp__"
+            ),
+            F.sum(F.when(y == 0, 1).otherwise(0)).alias("__neg__"),
+        ]
+
+    base = df.filter(y.isNotNull() & p.isNotNull())
+    per = base.groupBy(groupcol).agg(*_aggs())
+    overall = base.groupBy().agg(*_aggs())
+
+    def _rates(prefix: str):
+        n = F.col(f"{prefix}n").cast("double")
+        sel = F.col(f"{prefix}__sel__").cast("double") / n
+        tpr = F.when(
+            F.col(f"{prefix}__pos__") > 0,
+            F.col(f"{prefix}__tp__").cast("double")
+            / F.col(f"{prefix}__pos__").cast("double"),
+        )
+        fpr = F.when(
+            F.col(f"{prefix}__neg__") > 0,
+            F.col(f"{prefix}__fp__").cast("double")
+            / F.col(f"{prefix}__neg__").cast("double"),
+        )
+        return sel, tpr, fpr
+
+    ov = overall.select(
+        F.col("n").alias("o_n"),
+        F.col("__sel__").alias("o___sel__"),
+        F.col("__tp__").alias("o___tp__"),
+        F.col("__pos__").alias("o___pos__"),
+        F.col("__fp__").alias("o___fp__"),
+        F.col("__neg__").alias("o___neg__"),
+    )
+    joined = per.crossJoin(F.broadcast(ov))
+    sel, tpr, fpr = _rates("")
+    osel, otpr, ofpr = _rates("o_")
+    return joined.select(
+        groupcol,
+        "n",
+        sel.alias("selection_rate"),
+        tpr.alias("tpr"),
+        fpr.alias("fpr"),
+        (sel - osel).alias("parity_gap"),
+        (tpr - otpr).alias("tpr_gap"),
+        (fpr - ofpr).alias("fpr_gap"),
+    )

@@ -664,3 +664,47 @@ def trimmed_mean(
         aggs.append(F.avg(F.when(keep, v)).alias(f"{c}_tmean"))
         aggs.append(F.sum(keep.cast("long")).alias(f"{c}_n_used"))
     return cur.groupBy(*by).agg(*aggs)
+
+
+def gaps_and_islands(
+    df: DataFrame,
+    idcol: str,
+    byvars: Optional[Union[str, list[str]]] = None,
+) -> DataFrame:
+    """Contiguous integer runs ("islands") of ``idcol`` per group:
+    one row per island ``(byvars..., island_start, island_end, n)``.
+    The classic sequence-completeness audit — missing event ids,
+    broken page ranges, gapped batch numbers: the GAPS are exactly
+    the spaces between consecutive islands, so a single-island result
+    certifies an unbroken sequence. Duplicated ids within a group are
+    collapsed first (a duplicate is not a gap).
+
+    Scale shape: one distinct, then the standard dense-rank trick —
+    ``id - row_number`` is constant within a run — as ONE window over
+    the group partitioning, then one hash agg keyed by the run
+    constant. Shuffle volume is O(distinct ids); nothing quadratic,
+    no self-join.
+    """
+    from pyspark.sql import Window
+
+    from pd_utils_spark.utils import to_list
+
+    by = to_list(byvars) if byvars is not None else []
+    ids = (
+        df.filter(F.col(idcol).isNotNull())
+        .select(*by, F.col(idcol).cast("long").alias("__i__"))
+        .distinct()
+    )
+    w = Window.partitionBy(*by).orderBy("__i__")
+    runs = ids.withColumn(
+        "__k__", F.col("__i__") - F.row_number().over(w)
+    )
+    return (
+        runs.groupBy(*by, "__k__")
+        .agg(
+            F.min("__i__").alias("island_start"),
+            F.max("__i__").alias("island_end"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .drop("__k__")
+    )

@@ -235,3 +235,56 @@ class TestWoeIv:
         df = spark.createDataFrame([("A", 1)], ["f", "y"])
         with pytest.raises(ValueError, match="smoothing"):
             woe_iv(df, "f", "y", smoothing=-1.0)
+
+
+class TestBestSplit:
+    def test_finds_perfect_split_and_midpoint(self, spark):
+        from pd_utils_spark.extensions.features import best_split
+
+        # y = 1 exactly when v >= 10: best cut between 9 and 10
+        rows = [("g", float(v), 1 if v >= 10 else 0) for v in range(20)]
+        df = spark.createDataFrame(rows, ["g", "v", "y"])
+        r = best_split(df, "v", "y", "g").collect()[0]
+        assert r.threshold == 9.5
+        assert r.gini_after == pytest.approx(0.0)
+        assert r.gain == pytest.approx(0.5)  # balanced -> before = 0.5
+        assert r.n == 20 and r.n_left == 10
+
+    def test_matches_brute_force(self, spark):
+        import numpy as np
+
+        from pd_utils_spark.extensions.features import best_split
+
+        rng = np.random.RandomState(6)
+        v = rng.randint(0, 15, 120).astype(float)
+        y = (rng.rand(120) < (v / 20.0)).astype(int)
+        df = spark.createDataFrame(
+            [("g", float(a), int(b)) for a, b in zip(v, y)], ["g", "v", "y"]
+        )
+        r = best_split(df, "v", "y", "g").collect()[0]
+
+        def gini(p):
+            return 2 * p * (1 - p)
+
+        vals = np.unique(v)
+        best = None
+        nt, tp = len(v), y.sum()
+        for i in range(len(vals) - 1):
+            m = v <= vals[i]
+            nl, pl = m.sum(), y[m].sum() / m.sum()
+            nr, pr = nt - m.sum(), y[~m].sum() / (nt - m.sum())
+            after = nl / nt * gini(pl) + nr / nt * gini(pr)
+            gain = gini(tp / nt) - after
+            thr = (vals[i] + vals[i + 1]) / 2
+            if best is None or gain > best[0] + 1e-12:
+                best = (gain, thr)
+        assert r.threshold == best[1]
+        assert r.gain == pytest.approx(best[0], rel=1e-9)
+
+    def test_constant_feature_no_row(self, spark):
+        from pd_utils_spark.extensions.features import best_split
+
+        df = spark.createDataFrame(
+            [("g", 1.0, i % 2) for i in range(10)], ["g", "v", "y"]
+        )
+        assert best_split(df, "v", "y", "g").count() == 0

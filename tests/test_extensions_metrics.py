@@ -373,3 +373,101 @@ class TestIsotonicCalibration:
         df = spark.createDataFrame([(1.0, 1)], ["score", "y"])
         with pytest.raises(ValueError, match="n_bins"):
             isotonic_calibration(df, "score", "y", n_bins=1)
+
+
+class TestAucByGroup:
+    def test_matches_sklearn_style_reference(self, spark):
+        import numpy as np
+
+        from pd_utils_spark.extensions.metrics import auc_by_group
+
+        rng = np.random.RandomState(8)
+        rows = []
+        ref = {}
+        for g in ("good", "noise", "tied"):
+            y = rng.randint(0, 2, 60)
+            if g == "good":
+                s = y * 2.0 + rng.rand(60)
+            elif g == "tied":
+                s = np.round(rng.rand(60) * 3) / 3  # heavy ties
+            else:
+                s = rng.rand(60)
+            rows += [(g, float(si), int(yi)) for si, yi in zip(s, y)]
+
+        # rank-sum reference with midranks (scipy-free)
+        def auc_ref(y, s):
+            import numpy as np
+
+            order = np.argsort(s, kind="mergesort")
+            ss, yy = s[order], y[order]
+            ranks = np.empty(len(ss))
+            i = 0
+            while i < len(ss):
+                j = i
+                while j + 1 < len(ss) and ss[j + 1] == ss[i]:
+                    j += 1
+                ranks[i:j + 1] = (i + j) / 2 + 1
+                i = j + 1
+            npos, nneg = yy.sum(), (1 - yy).sum()
+            if npos == 0 or nneg == 0:
+                return None
+            return (ranks[yy == 1].sum() - npos * (npos + 1) / 2) / (
+                npos * nneg
+            )
+
+        import numpy as np
+
+        df = spark.createDataFrame(rows, ["g", "s", "y"])
+        got = {r.g: r for r in auc_by_group(df, "y", "s", "g").collect()}
+        data = {}
+        for g, s, y in rows:
+            data.setdefault(g, ([], []))
+            data[g][0].append(s)
+            data[g][1].append(y)
+        for g, (s, y) in data.items():
+            expected = auc_ref(np.array(y), np.array(s))
+            assert got[g].auc == pytest.approx(expected, rel=1e-12), g
+        assert got["good"].auc > 0.9
+
+    def test_degenerate_group_null(self, spark):
+        from pd_utils_spark.extensions.metrics import auc_by_group
+
+        df = spark.createDataFrame(
+            [("g", 1.0, 1), ("g", 2.0, 1)], ["g", "s", "y"]
+        )
+        r = auc_by_group(df, "y", "s", "g").collect()[0]
+        assert r.auc is None and r.n_neg == 0
+
+
+class TestFairnessReport:
+    def test_hand_computed_gaps(self, spark):
+        from pd_utils_spark.extensions.metrics import fairness_report
+
+        rows = []
+        # group A: 10 rows, 6 selected, 4 pos of which 3 predicted
+        rows += [("A", 1, 1)] * 3 + [("A", 1, 0)] * 1
+        rows += [("A", 0, 1)] * 3 + [("A", 0, 0)] * 3
+        # group B: 10 rows, 2 selected, 5 pos of which 1 predicted
+        rows += [("B", 1, 1)] * 1 + [("B", 1, 0)] * 4
+        rows += [("B", 0, 1)] * 1 + [("B", 0, 0)] * 4
+        df = spark.createDataFrame(rows, ["g", "y", "pred"])
+        got = {r.g: r for r in fairness_report(df, "g", "y", "pred").collect()}
+        assert got["A"].selection_rate == pytest.approx(0.6)
+        assert got["B"].selection_rate == pytest.approx(0.2)
+        assert got["A"].tpr == pytest.approx(3 / 4)
+        assert got["B"].tpr == pytest.approx(1 / 5)
+        overall_sel = 8 / 20
+        assert got["A"].parity_gap == pytest.approx(0.6 - overall_sel)
+        assert got["B"].parity_gap == pytest.approx(0.2 - overall_sel)
+        overall_tpr = 4 / 9
+        assert got["A"].tpr_gap == pytest.approx(3 / 4 - overall_tpr)
+
+    def test_empty_denominators_null(self, spark):
+        from pd_utils_spark.extensions.metrics import fairness_report
+
+        df = spark.createDataFrame(
+            [("A", 1, 1), ("A", 1, 0), ("B", 0, 1)], ["g", "y", "pred"]
+        )
+        got = {r.g: r for r in fairness_report(df, "g", "y", "pred").collect()}
+        assert got["A"].fpr is None   # no negatives in A
+        assert got["B"].tpr is None   # no positives in B

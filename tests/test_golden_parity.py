@@ -1371,3 +1371,47 @@ class TestTrimmedMean:
         assert r.v_n_used == 4
         with pytest.raises(ValueError, match="pct"):
             trimmed_mean(df, "v", "g", pct=0.5)
+
+
+class TestGapsAndIslands:
+    def test_hand_computed(self, spark):
+        from pd_utils_spark.operators.transform import gaps_and_islands
+
+        rows = [("a", i) for i in (1, 2, 3, 7, 8, 12)] + [
+            ("b", i) for i in (5, 5, 6)  # duplicate id collapses
+        ]
+        df = spark.createDataFrame(rows, ["g", "id"])
+        got = sorted(
+            (r.g, r.island_start, r.island_end, r.n)
+            for r in gaps_and_islands(df, "id", "g").collect()
+        )
+        assert got == [
+            ("a", 1, 3, 3), ("a", 7, 8, 2), ("a", 12, 12, 1),
+            ("b", 5, 6, 2),
+        ]
+
+    def test_unbroken_sequence_single_island(self, spark):
+        from pd_utils_spark.operators.transform import gaps_and_islands
+
+        df = spark.createDataFrame([("g", i) for i in range(100)], ["g", "id"])
+        out = gaps_and_islands(df, "id", "g").collect()
+        assert len(out) == 1
+        assert (out[0].island_start, out[0].island_end, out[0].n) == (0, 99, 100)
+
+    def test_islands_partition_ids(self, spark):
+        from pd_utils_spark.operators.transform import gaps_and_islands
+
+        import numpy as np
+
+        rng = np.random.RandomState(3)
+        ids = sorted(set(rng.randint(0, 200, 120).tolist()))
+        df = spark.createDataFrame([("g", int(i)) for i in ids], ["g", "id"])
+        out = gaps_and_islands(df, "id", "g").collect()
+        # islands cover every id exactly once and never touch
+        covered = []
+        spans = sorted((r.island_start, r.island_end) for r in out)
+        for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+            assert s2 > e1 + 1  # a real gap separates islands
+        for s, e in spans:
+            covered += list(range(s, e + 1))
+        assert covered == ids
