@@ -1165,8 +1165,6 @@ def negative_pairs(
             ).alias("neg_rank"),
         )
     )
-    from pd_utils_spark.extensions.sampling import _hash31
-
     slot = _hash31(
         F.concat(
             F.col(idcol).cast("string"),
