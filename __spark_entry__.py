@@ -1769,6 +1769,21 @@ def q_media_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law corpus health check (extensions/text.py zipf_fit):
+    OLS of ln(freq) on ln(rank) over the full vocabulary, ranks
+    deterministic (count desc, token asc) through the distributed
+    prefix scan, fit from one sufficient-statistics aggregate."""
+    d = _t(spark, sf_dir, "documents").select("text")
+    out = pus_text.zipf_fit(d)
+    return out.select(
+        "n_tokens", "n_types",
+        F.round("slope", 6).alias("slope"),
+        F.round("intercept", 6).alias("intercept"),
+        F.round("r2", 6).alias("r2"),
+    )
+
+
 def q_binary_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Codec-free average-hash over binary payloads
     (extensions/multimodal.py binary_ahash): 64 strided byte
@@ -5407,6 +5422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_window": q_sql_window,
         "top_k_per_group": q_top_k_per_group,
         "media_byte_features": q_media_byte_features,
+        "zipf_fit": q_zipf_fit,
         "binary_ahash": q_binary_ahash,
         "decode_image": q_decode_image,
         "cumulate_first": q_cumulate_first,
@@ -7096,6 +7112,46 @@ def oracle_sql() -> dict[str, str]:
                    CAST(3 AS INT) AS channels,
                    'bmp' AS img_format
             FROM documents
+        """,
+        "zipf_fit": r"""
+            WITH toks AS (
+                SELECT unnest(regexp_split_to_array(trim(lower(text)),
+                                                    '\s+')) AS tok
+                FROM documents
+            ),
+            types AS (
+                SELECT tok, count(*)::BIGINT AS c
+                FROM toks WHERE length(tok) > 0 GROUP BY 1
+            ),
+            ranked AS (
+                SELECT c,
+                       row_number() OVER (ORDER BY c DESC, tok)::DOUBLE
+                           AS r
+                FROM types
+            ),
+            s AS (
+                SELECT sum(c)::BIGINT AS n_tokens,
+                       count(*)::BIGINT AS n_types,
+                       sum(ln(r)) AS sx, sum(ln(c::DOUBLE)) AS sy,
+                       sum(ln(r) * ln(r)) AS sxx,
+                       sum(ln(r) * ln(c::DOUBLE)) AS sxy,
+                       sum(ln(c::DOUBLE) * ln(c::DOUBLE)) AS syy
+                FROM ranked
+            )
+            SELECT n_tokens, n_types,
+                   round(CASE WHEN n_types * sxx - sx * sx > 0 THEN
+                       (n_types * sxy - sx * sy)
+                       / (n_types * sxx - sx * sx) END, 6) AS slope,
+                   round((sy - ((n_types * sxy - sx * sy)
+                                / (n_types * sxx - sx * sx)) * sx)
+                         / n_types, 6) AS intercept,
+                   round(CASE WHEN n_types * sxx - sx * sx > 0
+                               AND n_types * syy - sy * sy > 0 THEN
+                       (n_types * sxy - sx * sy)
+                       * (n_types * sxy - sx * sy)
+                       / ((n_types * sxx - sx * sx)
+                          * (n_types * syy - sy * sy)) END, 6) AS r2
+            FROM s
         """,
         "binary_ahash": """
             WITH b AS (

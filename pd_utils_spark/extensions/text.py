@@ -1488,3 +1488,73 @@ def feature_hashing(
             ).alias("features"),
         )
     )
+
+
+def zipf_fit(
+    df: DataFrame,
+    textcol: str = "text",
+    min_count: int = 1,
+) -> DataFrame:
+    """Zipf's-law fit of the corpus token frequency distribution: one
+    row ``(n_tokens, n_types, slope, intercept, r2)`` from the OLS
+    regression of ``ln(freq)`` on ``ln(rank)`` over every type with
+    ``count >= min_count``. Natural language sits near slope -1;
+    big deviations flag synthetic/templated corpora (too flat =
+    boilerplate-heavy, too steep = tiny effective vocabulary) — a
+    one-number corpus-health check next to ``vocabulary``'s raw
+    counts and ``mix_diversity``'s source balance.
+
+    Ranks are deterministic (count desc, token asc — ties never
+    reshuffle across engines) and come from the distributed prefix
+    scan (:func:`pd_utils_spark.plans.prefix.prefix_sum` over the
+    per-type frame), never a single-task total-order window; the OLS
+    reduces to one sufficient-statistics aggregate.
+    """
+    from pd_utils_spark.plans.prefix import prefix_sum
+
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1: {min_count}")
+    toks = (
+        df.select(
+            F.explode(_tokens(F.lower(F.col(textcol)))).alias("__tok__")
+        )
+        .filter(F.length("__tok__") > 0)
+    )
+    types = toks.groupBy("__tok__").agg(F.count(F.lit(1)).alias("__c__"))
+    types = types.filter(F.col("__c__") >= min_count)
+    ranked = prefix_sum(
+        types.withColumn("__negc__", -F.col("__c__")).withColumn(
+            "__one__", F.lit(1)
+        ),
+        ["__negc__", "__tok__"],
+        "__one__",
+        inclusive=True,
+    ).select(
+        F.col("__c__"),
+        F.col("__one___cum").cast("double").alias("__rank__"),
+    )
+    x = F.log("__rank__")
+    y = F.log(F.col("__c__").cast("double"))
+    agg = ranked.groupBy().agg(
+        F.sum("__c__").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(x).alias("__sx__"),
+        F.sum(y).alias("__sy__"),
+        F.sum(x * x).alias("__sxx__"),
+        F.sum(x * y).alias("__sxy__"),
+        F.sum(y * y).alias("__syy__"),
+    )
+    n = F.col("n_types").cast("double")
+    vxx = n * F.col("__sxx__") - F.col("__sx__") * F.col("__sx__")
+    vyy = n * F.col("__syy__") - F.col("__sy__") * F.col("__sy__")
+    vxy = n * F.col("__sxy__") - F.col("__sx__") * F.col("__sy__")
+    slope = F.when(vxx > 0, vxy / vxx)
+    intercept = (F.col("__sy__") - slope * F.col("__sx__")) / n
+    r2 = F.when((vxx > 0) & (vyy > 0), vxy * vxy / (vxx * vyy))
+    return agg.select(
+        "n_tokens",
+        "n_types",
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+        r2.alias("r2"),
+    )

@@ -935,3 +935,46 @@ class TestFeatureHashing:
         df = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
         with pytest.raises(ValueError, match="dim"):
             feature_hashing(df, dim=0)
+
+
+class TestZipfFit:
+    def test_exact_powerlaw_recovers_slope(self, spark):
+        import math
+
+        from pd_utils_spark.extensions.text import zipf_fit
+
+        # counts EXACTLY c_r = round(1000 / r): near-perfect Zipf
+        rows = []
+        for r in range(1, 30):
+            tok = f"tok{r:03d}"
+            rows += [(tok + " ",)] * round(1000 / r)
+        df = spark.createDataFrame(
+            [(" ".join(t[0] for t in rows),)], ["text"]
+        )
+        r_ = zipf_fit(df).collect()[0]
+        assert r_.n_types == 29
+        assert r_.slope == pytest.approx(-1.0, abs=0.05)
+        assert r_.r2 > 0.99
+
+    def test_uniform_corpus_flat_slope_and_counts(self, spark):
+        from pd_utils_spark.extensions.text import zipf_fit
+
+        # every type appears exactly 5 times: ln(freq) constant ->
+        # slope 0, r2 null (zero y-variance)
+        text = " ".join(f"w{i}" for i in range(20)) + " "
+        df = spark.createDataFrame([(text * 5,)], ["text"])
+        r = zipf_fit(df).collect()[0]
+        assert r.n_types == 20 and r.n_tokens == 100
+        assert r.slope == pytest.approx(0.0, abs=1e-12)
+        assert r.r2 is None
+
+    def test_min_count_and_validation(self, spark):
+        from pd_utils_spark.extensions.text import zipf_fit
+
+        df = spark.createDataFrame(
+            [("a a a b b c",)], ["text"]
+        )
+        r = zipf_fit(df, min_count=2).collect()[0]
+        assert r.n_types == 2  # 'c' filtered
+        with pytest.raises(ValueError, match="min_count"):
+            zipf_fit(df, min_count=0)
