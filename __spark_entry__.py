@@ -4187,6 +4187,45 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association strength (extensions/profile.py
+    cramers_v) between event type and user segment — the effect size
+    on top of crosstab_chi2's cell frame, one tiny aggregate over
+    O(cells)."""
+    from pd_utils_spark.extensions.profile import cramers_v
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", (F.col("user_id") % 4).alias("seg")
+    )
+    out = cramers_v(ev, "event_type", "seg")
+    return out.select(
+        "n", "n_rows", "n_cols",
+        F.round("chi2", 6).alias("chi2"),
+        F.round("v", 6).alias("v"),
+    )
+
+
+def q_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected Calibration Error (extensions/metrics.py
+    expected_calibration_error) of l_discount as a 'return' score —
+    weighted |rate - confidence| over the reliability bins plus the
+    worst-bin MCE; one cell agg + one tiny aggregate."""
+    from pd_utils_spark.extensions.metrics import (
+        expected_calibration_error,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_returnflag") == "R").alias("y"),
+        F.col("l_discount").alias("s"),
+    )
+    out = expected_calibration_error(li, "y", "s", bins=10)
+    return out.select(
+        "n",
+        F.round("ece", 6).alias("ece"),
+        F.round("mce", 6).alias("mce"),
+    )
+
+
 def q_crosstab_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contingency independence audit (extensions/profile.py
     crosstab_chi2): event_type vs a user segment — per-cell observed
@@ -5313,6 +5352,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skyline": q_skyline,
         "benford": q_benford,
         "crosstab_chi2": q_crosstab_chi2,
+        "cramers_v": q_cramers_v,
+        "ece": q_ece,
         "incremental_agg": q_incremental_agg,
         "dsir_weights": q_dsir_weights,
         "dsir_select": q_dsir_select,
@@ -10298,6 +10339,59 @@ def oracle_sql() -> dict[str, str]:
                      * (COALESCE(n_obs, 0) - n * log10(1 + 1.0 / digit))
                      / (n * log10(1 + 1.0 / digit)), 6) AS chi2_contrib
         FROM digits LEFT JOIN c USING (digit) CROSS JOIN tot
+    """
+    d["cramers_v"] = """
+        WITH cells AS (
+            SELECT event_type AS r, user_id % 4 AS c,
+                   count(*)::BIGINT AS n
+            FROM events GROUP BY 1, 2
+        ),
+        rt AS (SELECT r, sum(n) AS rtot FROM cells GROUP BY 1),
+        ct AS (SELECT c, sum(n) AS ctot FROM cells GROUP BY 1),
+        g AS (SELECT sum(n) AS N FROM cells),
+        contrib AS (
+            SELECT cells.n,
+                   (rt.rtot * ct.ctot / g.N::DOUBLE) AS expected
+            FROM cells JOIN rt USING (r) JOIN ct USING (c) CROSS JOIN g
+        ),
+        agg AS (
+            SELECT sum(n)::BIGINT AS n,
+                   (SELECT count(*) FROM rt)::BIGINT AS n_rows,
+                   (SELECT count(*) FROM ct)::BIGINT AS n_cols,
+                   sum((n - expected) * (n - expected) / expected)
+                   + (sum(n)::DOUBLE - sum(expected)) AS chi2
+            FROM contrib
+        )
+        SELECT n, n_rows, n_cols,
+               round(chi2, 6) AS chi2,
+               round(CASE WHEN least(n_rows, n_cols) > 1 THEN
+                   sqrt(chi2 / (n::DOUBLE
+                                * (least(n_rows, n_cols)::DOUBLE - 1.0)))
+               END, 6) AS v
+        FROM agg
+    """
+    d["ece"] = """
+        WITH base AS (
+            SELECT CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END
+                       AS y,
+                   l_discount AS s
+            FROM lineitem
+        ),
+        binned AS (
+            SELECT least(greatest(floor(s * 10)::INT, 0), 9) AS bin,
+                   s, y
+            FROM base
+        ),
+        per AS (
+            SELECT bin, count(*)::BIGINT AS n,
+                   avg(s) AS mean_score, avg(y) AS positive_rate
+            FROM binned GROUP BY 1
+        )
+        SELECT sum(n)::BIGINT AS n,
+               round(sum(abs(positive_rate - mean_score) * n::DOUBLE)
+                     / sum(n::DOUBLE), 6) AS ece,
+               round(max(abs(positive_rate - mean_score)), 6) AS mce
+        FROM per
     """
     d["crosstab_chi2"] = """
         WITH cells AS (

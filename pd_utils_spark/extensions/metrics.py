@@ -682,3 +682,28 @@ def fairness_report(
         (tpr - otpr).alias("tpr_gap"),
         (fpr - ofpr).alias("fpr_gap"),
     )
+
+
+def expected_calibration_error(
+    df: DataFrame,
+    labelcol: str,
+    scorecol: str,
+    bins: int = 10,
+) -> DataFrame:
+    """Expected Calibration Error: one row ``(n, ece, mce)`` where
+    ``ece = sum_b (n_b / n) * |rate_b - conf_b|`` over
+    :func:`calibration_table`'s equal-width bins and ``mce`` is the
+    worst bin's gap — THE scalar a quality-classifier gate reads
+    (pair with :func:`isotonic_calibration`, which FIXES what ECE
+    measures). One cell aggregation + one tiny aggregate.
+    """
+    table = calibration_table(df, labelcol, scorecol, bins)
+    gap = F.abs(F.col("positive_rate") - F.col("mean_score"))
+    return table.groupBy().agg(
+        F.sum("n").alias("n"),
+        (
+            F.sum(gap * F.col("n").cast("double"))
+            / F.sum(F.col("n").cast("double"))
+        ).alias("ece"),
+        F.max(gap).alias("mce"),
+    )

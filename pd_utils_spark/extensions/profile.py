@@ -489,3 +489,44 @@ def weighted_quantiles(
     return picks.select(*by, F.explode(per_prob).alias("__r__")).select(
         *by, "__r__.prob", "__r__.value"
     )
+
+
+def cramers_v(
+    df: DataFrame,
+    rowcol: str,
+    colcol: str,
+) -> DataFrame:
+    """Cramér's V association strength between two categoricals: one
+    row ``(n, n_rows, n_cols, chi2, v)`` with
+    ``V = sqrt(chi2 / (n * (min(R, C) - 1)))`` in [0, 1] — the
+    effect-size companion to :func:`crosstab_chi2` (whose statistic
+    grows with n even for trivial dependence; V is the comparable-
+    across-tables number governance thresholds are written against).
+    Null when either column has a single level (V undefined).
+
+    Scale shape: rides crosstab_chi2's single (row, col) cell
+    aggregation, then one tiny aggregate over the O(cells) frame.
+    crosstab_chi2 emits OBSERVED cells only; a zero cell's chi-square
+    contribution is exactly its expected count, and the expected
+    counts over ALL cells sum to N — so the unobserved-cell mass is
+    recovered in closed form as ``N - sum(observed expected)``, no
+    dense grid ever materialized.
+    """
+    cells = crosstab_chi2(df, rowcol, colcol)
+    agg = cells.groupBy().agg(
+        F.sum("n").alias("n"),
+        F.count_distinct(F.col(rowcol)).alias("n_rows"),
+        F.count_distinct(F.col(colcol)).alias("n_cols"),
+        (
+            F.sum("chi2_contrib")
+            + (F.sum("n").cast("double") - F.sum("expected"))
+        ).alias("chi2"),
+    )
+    k = F.least(F.col("n_rows"), F.col("n_cols")).cast("double") - 1.0
+    v = F.when(
+        k > 0,
+        F.sqrt(
+            F.col("chi2") / (F.col("n").cast("double") * k)
+        ),
+    )
+    return agg.select("n", "n_rows", "n_cols", "chi2", v.alias("v"))

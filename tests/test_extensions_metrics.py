@@ -471,3 +471,34 @@ class TestFairnessReport:
         got = {r.g: r for r in fairness_report(df, "g", "y", "pred").collect()}
         assert got["A"].fpr is None   # no negatives in A
         assert got["B"].tpr is None   # no positives in B
+
+
+class TestExpectedCalibrationError:
+    def test_perfectly_calibrated_near_zero(self, spark):
+        import numpy as np
+
+        from pd_utils_spark.extensions.metrics import (
+            expected_calibration_error,
+        )
+
+        rng = np.random.RandomState(2)
+        s = rng.rand(4000)
+        y = (rng.rand(4000) < s).astype(int)
+        df = spark.createDataFrame(
+            [(int(a), float(b)) for a, b in zip(y, s)], ["y", "s"]
+        )
+        r = expected_calibration_error(df, "y", "s", bins=10).collect()[0]
+        assert r.n == 4000
+        assert r.ece < 0.05
+        assert r.mce >= r.ece
+
+    def test_hand_computed_overconfident(self, spark):
+        from pd_utils_spark.extensions.metrics import (
+            expected_calibration_error,
+        )
+
+        # all scores 0.95, no positives: one bin, gap = 0.95
+        df = spark.createDataFrame([(0, 0.95)] * 20, ["y", "s"])
+        r = expected_calibration_error(df, "y", "s", bins=10).collect()[0]
+        assert r.ece == pytest.approx(0.95)
+        assert r.mce == pytest.approx(0.95)

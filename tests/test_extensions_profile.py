@@ -341,3 +341,28 @@ class TestWeightedQuantiles:
             weighted_quantiles(df, "v", "w", (), "g")
         with pytest.raises(ValueError, match="probs"):
             weighted_quantiles(df, "v", "w", (0.0,), "g")
+
+
+class TestCramersV:
+    def test_perfect_association_and_independence(self, spark):
+        from pd_utils_spark.extensions.profile import cramers_v
+
+        # perfect: col determined by row -> V = 1
+        rows = [(r, r) for r in ("a", "b", "c") for _ in range(10)]
+        df = spark.createDataFrame(rows, ["r", "c"])
+        v1 = cramers_v(df, "r", "c").collect()[0]
+        assert v1.v == pytest.approx(1.0)
+        # independence: uniform product table -> chi2 = 0, V = 0
+        rows2 = [(r, c) for r in ("a", "b") for c in ("x", "y") for _ in range(5)]
+        df2 = spark.createDataFrame(rows2, ["r", "c"])
+        v2 = cramers_v(df2, "r", "c").collect()[0]
+        assert v2.v == pytest.approx(0.0, abs=1e-12)
+        assert v2.chi2 == pytest.approx(0.0, abs=1e-12)
+
+    def test_single_level_null(self, spark):
+        from pd_utils_spark.extensions.profile import cramers_v
+
+        df = spark.createDataFrame(
+            [("a", "x"), ("a", "y")], ["r", "c"]
+        )
+        assert cramers_v(df, "r", "c").collect()[0].v is None
