@@ -1000,6 +1000,37 @@ def q_jaccard_join_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_doubles(out.select("id_a", "id_b", "jaccard"))
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dedup keeping the BEST-scoring doc per cluster
+    (extensions/dedup.py dedup_keep_best): verified Jaccard>=0.5
+    clusters, score = text length (keep the longest copy), ties to
+    the lowest id. One CC run on the pair frame, one rank-1 window
+    over cluster members only, one anti join. Oracle replays the
+    recursive-CTE closure + the same argmax rule."""
+    corpus, pairs = _verified_dup_pairs(spark, sf_dir)
+    scored = corpus.withColumn("score", F.length("text"))
+    out = pus_dedup.dedup_keep_best(scored, pairs, "score")
+    return out.select("doc_id")
+
+
+def q_candidate_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-quality audit (extensions/dedup.py candidate_recall):
+    MinHash-LSH candidate pairs (12 hashes x 4 bands) measured
+    against the EXACT Jaccard>=0.5 truth from the prefix-filter join
+    on the even-id half corpus — pairs completeness of the
+    approximate path certified against the complete-recall one, the
+    number that justifies every banded dedup. Oracle replays both
+    generators and the canonical-pair semi-join."""
+    u = _docs_with_copies(spark, sf_dir).filter(F.col("doc_id") % 2 == 0)
+    cand = pus_dedup.lsh_candidate_pairs(u, k=3, num_hashes=12, bands=4)
+    truth = pus_dedup.jaccard_join_prefix(u, threshold=0.5)
+    out = pus_dedup.candidate_recall(cand, truth)
+    return out.select(
+        "n_true", "n_cand", "n_hit",
+        F.round("recall", 6).alias("recall"),
+    )
+
+
 def q_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     q = d.filter(F.col("doc_id") < 3)
@@ -5423,6 +5454,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_join_prefix": q_jaccard_join_prefix,
         "connected_components": q_connected_components,
         "dedup_connected": q_dedup_connected,
+        "dedup_keep_best": q_dedup_keep_best,
+        "candidate_recall": q_candidate_recall,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "jaccard_topk": q_jaccard_topk,
         "simhash": q_simhash,
@@ -7498,6 +7531,89 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id FROM u
             WHERE doc_id NOT IN (SELECT a FROM losers)
+        """,
+        "dedup_keep_best": f"""
+            WITH RECURSIVE u AS ({_SQL_DOC_UNION}),
+            sh AS (
+                SELECT doc_id, {_SQL_SHINGLES} AS s FROM u
+            ), sig AS (
+                SELECT doc_id, s, {_sql_minhash_sig_list("s")} AS sg
+                FROM sh
+            ), bands AS (
+                SELECT doc_id, t.b AS band,
+                       md5(array_to_string(sg[t.b * 3 + 1 : t.b * 3 + 3], '|')) AS band_key
+                FROM sig, range(0, 4) t(b)
+            ), cand AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM bands a JOIN bands b
+                  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ), p AS (
+                SELECT c.id_a, c.id_b
+                FROM cand c
+                JOIN sh sa ON sa.doc_id = c.id_a
+                JOIN sh sb ON sb.doc_id = c.id_b
+                WHERE len(list_intersect(sa.s, sb.s))
+                      / len(list_distinct(list_concat(sa.s, sb.s))) >= 0.5
+            ), e AS (
+                SELECT id_a AS a, id_b AS b FROM p
+                UNION SELECT id_b, id_a FROM p
+            ), r(a, b) AS (
+                SELECT a, b FROM e
+                UNION
+                SELECT r.a, e.b FROM r JOIN e ON r.b = e.a
+            ), comps AS (
+                SELECT a AS m, least(a, min(b)) AS comp
+                FROM r GROUP BY a
+            ), ranked AS (
+                SELECT c.m,
+                       row_number() OVER (
+                           PARTITION BY c.comp
+                           ORDER BY length(u.text) DESC, c.m) AS rk
+                FROM comps c JOIN u ON u.doc_id = c.m
+            ), losers AS (SELECT m FROM ranked WHERE rk > 1)
+            SELECT doc_id FROM u
+            WHERE doc_id NOT IN (SELECT m FROM losers)
+        """,
+        "candidate_recall": f"""
+            WITH u AS (
+                SELECT doc_id, text FROM (
+                    SELECT doc_id, text FROM documents
+                    UNION ALL
+                    SELECT doc_id + 100000, text FROM documents
+                ) WHERE doc_id % 2 = 0
+            ),
+            sh AS (
+                SELECT doc_id, {_SQL_SHINGLES} AS s FROM u
+            ), sig AS (
+                SELECT doc_id, s, {_sql_minhash_sig_list("s")} AS sg
+                FROM sh
+            ), bands AS (
+                SELECT doc_id, t.b AS band,
+                       md5(array_to_string(sg[t.b * 3 + 1 : t.b * 3 + 3], '|')) AS band_key
+                FROM sig, range(0, 4) t(b)
+            ), cand AS (
+                SELECT x.doc_id AS a, y.doc_id AS b
+                FROM bands x JOIN bands y
+                  ON x.band = y.band AND x.band_key = y.band_key
+                 AND x.doc_id < y.doc_id
+                GROUP BY 1, 2
+            ), truth AS (
+                SELECT x.doc_id AS a, y.doc_id AS b
+                FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+                WHERE len(list_intersect(x.s, y.s))
+                      / len(list_distinct(list_concat(x.s, y.s))) >= 0.5
+            ), hit AS (
+                SELECT t.a, t.b FROM truth t
+                WHERE EXISTS (SELECT 1 FROM cand c
+                              WHERE c.a = t.a AND c.b = t.b)
+            )
+            SELECT (SELECT count(*) FROM truth)::BIGINT AS n_true,
+                   (SELECT count(*) FROM cand)::BIGINT AS n_cand,
+                   (SELECT count(*) FROM hit)::BIGINT AS n_hit,
+                   round((SELECT count(*) FROM hit)::DOUBLE
+                         / (SELECT count(*) FROM truth)::DOUBLE, 6)
+                       AS recall
         """,
         "jaccard_topk": f"""
             WITH sh AS (

@@ -1638,3 +1638,104 @@ def jaccard_join_prefix(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    scorecol: str,
+    idcol: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Transitive near-dup deduplication keeping the BEST-scoring
+    document per duplicate cluster instead of the smallest id —
+    ``dedup_connected`` decides WHAT is a cluster, this decides WHO
+    survives it (ties broken by lowest id, so the result is
+    deterministic). The real-pipeline rule: among near-identical
+    pages keep the longest / highest-quality / most-canonical copy,
+    not whichever happened to get the smallest ingest id.
+
+    Scale shape: one connected-components run over the (small) pair
+    frame, one join attaching scores to CLUSTER MEMBERS only (never
+    the whole corpus), one rank-1 row_number per component, and one
+    left-anti join removing the losers. Docs in no pair pass through
+    untouched.
+    """
+    from pyspark.sql import Window
+
+    comp = connected_components(
+        pairs, src, dst, checkpoint_dir=checkpoint_dir
+    )
+    members = comp.select(
+        F.col(src).alias("__m__"), F.col("component").alias("__c__")
+    )
+    scored = members.join(
+        df.select(
+            F.col(idcol).alias("__m__"), F.col(scorecol).alias("__s__")
+        ),
+        "__m__",
+    )
+    w = Window.partitionBy("__c__").orderBy(
+        F.desc("__s__"), F.asc("__m__")
+    )
+    losers = (
+        scored.withColumn("__rk__", F.row_number().over(w))
+        .filter(F.col("__rk__") > 1)
+        .select(F.col("__m__").alias(idcol))
+    )
+    return df.join(losers, idcol, "left_anti")
+
+
+def candidate_recall(
+    cand: DataFrame,
+    truth: DataFrame,
+    n_items: int | None = None,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Blocking-quality audit for a candidate-pair generator (LSH
+    bands, SimHash blocks, k-means cells, prefix filters) against a
+    ground-truth pair set: one row ``(n_true, n_cand, n_hit, recall,
+    reduction_ratio)`` where ``recall`` is the fraction of true pairs
+    the generator surfaced (pairs completeness) and
+    ``reduction_ratio`` is ``1 - n_cand / C(n_items, 2)`` (how much
+    of the quadratic pair space was never examined) — the two numbers
+    that justify every approximate dedup path, reported together
+    because either alone is gameable (all-pairs has recall 1 and
+    reduction 0; an empty generator the reverse). Pair orientation is
+    canonicalized, so either side may emit (a,b) or (b,a).
+    ``reduction_ratio`` is null unless ``n_items`` is given.
+
+    Scale shape: two distinct projections + one left-semi join on
+    the canonicalized pair key + three one-row aggregates; pair
+    frames only — the corpus itself never moves.
+    """
+    def canon(p: DataFrame) -> DataFrame:
+        a, b = F.col(src), F.col(dst)
+        return p.select(
+            F.least(a, b).alias("__a__"), F.greatest(a, b).alias("__b__")
+        ).filter(F.col("__a__") != F.col("__b__")).distinct()
+
+    c = canon(cand)
+    t = canon(truth)
+    hit = t.join(c, ["__a__", "__b__"], "left_semi")
+    nt = t.groupBy().agg(F.count(F.lit(1)).alias("n_true"))
+    nc = c.groupBy().agg(F.count(F.lit(1)).alias("n_cand"))
+    nh = hit.groupBy().agg(F.count(F.lit(1)).alias("n_hit"))
+    out = nt.crossJoin(F.broadcast(nc)).crossJoin(F.broadcast(nh))
+    recall = F.when(
+        F.col("n_true") > 0,
+        F.col("n_hit").cast("double") / F.col("n_true").cast("double"),
+    )
+    if n_items is not None:
+        total = float(n_items * (n_items - 1) // 2)
+        rr = F.lit(1.0) - F.col("n_cand").cast("double") / F.lit(total)
+    else:
+        rr = F.lit(None).cast("double")
+    return out.select(
+        "n_true", "n_cand", "n_hit",
+        recall.alias("recall"),
+        rr.alias("reduction_ratio"),
+    )

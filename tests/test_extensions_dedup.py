@@ -809,3 +809,65 @@ class TestJaccardJoinPrefix:
             jaccard_join_prefix(df, threshold=0.0)
         with pytest.raises(ValueError, match="k must"):
             jaccard_join_prefix(df, k=0)
+
+
+class TestDedupKeepBest:
+    def test_keeps_best_scorer_per_cluster(self, spark):
+        from pd_utils_spark.extensions.dedup import dedup_keep_best
+
+        df = spark.createDataFrame(
+            [(1, 10.0), (2, 30.0), (3, 20.0), (4, 5.0), (9, 1.0)],
+            ["doc_id", "score"],
+        )
+        # cluster {1,2,3} via chain 1-3, 2-3; {4} paired with nothing; 9 isolated
+        pairs = spark.createDataFrame(
+            [(1, 3), (2, 3)], ["id_a", "id_b"]
+        )
+        kept = {r.doc_id for r in dedup_keep_best(df, pairs, "score").collect()}
+        # 2 wins its cluster (score 30); untouched docs survive
+        assert kept == {2, 4, 9}
+
+    def test_tie_breaks_to_lowest_id_and_matches_connected_on_equal_scores(
+        self, spark
+    ):
+        from pd_utils_spark.extensions.dedup import (
+            dedup_connected,
+            dedup_keep_best,
+        )
+
+        df = spark.createDataFrame(
+            [(i, 7.0) for i in range(6)], ["doc_id", "score"]
+        )
+        pairs = spark.createDataFrame(
+            [(0, 1), (1, 2), (4, 5)], ["id_a", "id_b"]
+        )
+        a = {r.doc_id for r in dedup_keep_best(df, pairs, "score").collect()}
+        b = {r.doc_id for r in dedup_connected(df, pairs).collect()}
+        assert a == b == {0, 3, 4}
+
+
+class TestCandidateRecall:
+    def test_hand_computed_counts(self, spark):
+        from pd_utils_spark.extensions.dedup import candidate_recall
+
+        truth = spark.createDataFrame(
+            [(1, 2), (3, 4), (5, 6)], ["id_a", "id_b"]
+        )
+        # cand covers 2 of 3 true pairs (one in flipped orientation,
+        # one duplicated) plus noise and a self-pair to be dropped
+        cand = spark.createDataFrame(
+            [(2, 1), (3, 4), (3, 4), (7, 8), (9, 9)], ["id_a", "id_b"]
+        )
+        r = candidate_recall(cand, truth, n_items=10).collect()[0]
+        assert (r.n_true, r.n_cand, r.n_hit) == (3, 3, 2)
+        assert r.recall == pytest.approx(2 / 3)
+        assert r.reduction_ratio == pytest.approx(1 - 3 / 45)
+
+    def test_empty_truth_null_recall(self, spark):
+        from pd_utils_spark.extensions.dedup import candidate_recall
+
+        truth = spark.createDataFrame([], "id_a long, id_b long")
+        cand = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+        r = candidate_recall(cand, truth).collect()[0]
+        assert r.n_true == 0 and r.recall is None
+        assert r.reduction_ratio is None
