@@ -4908,6 +4908,19 @@ def q_fairness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mode_by_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode (operators/transform.py
+    mode_by_groups): most frequent event type per user bucket, ties
+    to the smallest value — one (group, value) compression agg + a
+    rank-1 window over distinct values, never a raw-row sort."""
+    from pd_utils_spark.operators.transform import mode_by_groups
+
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 20).alias("bucket"), "event_type"
+    )
+    return mode_by_groups(ev, "event_type", "bucket")
+
+
 def q_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence-completeness audit (operators/transform.py
     gaps_and_islands): contiguous event-id runs per event type via
@@ -5489,6 +5502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "auc_by_group": q_auc_by_group,
         "fairness_report": q_fairness_report,
         "gaps_islands": q_gaps_islands,
+        "mode_by_groups": q_mode_by_groups,
         "negative_pairs": q_negative_pairs,
         "proportion_ci": q_proportion_ci,
         "session_paths": q_session_paths,
@@ -10665,6 +10679,26 @@ def oracle_sql() -> dict[str, str]:
                      p.fp::DOUBLE / p.neg::DOUBLE
                      - o.fp::DOUBLE / o.neg::DOUBLE END, 6) AS fpr_gap
         FROM per p CROSS JOIN ov o
+    """
+    d["mode_by_groups"] = """
+        WITH cells AS (
+            SELECT user_id % 20 AS bucket, event_type AS v,
+                   count(*)::BIGINT AS n
+            FROM events GROUP BY 1, 2
+        ),
+        totals AS (
+            SELECT bucket, sum(n)::BIGINT AS n_total
+            FROM cells GROUP BY 1
+        ),
+        best AS (
+            SELECT bucket, v AS event_type_mode, n AS n_modal
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY bucket ORDER BY n DESC, v) AS rk
+                  FROM cells WHERE v IS NOT NULL)
+            WHERE rk = 1
+        )
+        SELECT t.bucket, b.event_type_mode, b.n_modal, t.n_total
+        FROM totals t LEFT JOIN best b USING (bucket)
     """
     d["gaps_islands"] = """
         WITH ids AS (

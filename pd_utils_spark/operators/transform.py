@@ -708,3 +708,58 @@ def gaps_and_islands(
         )
         .drop("__k__")
     )
+
+
+def mode_by_groups(
+    df: DataFrame,
+    col: str,
+    byvars: Optional[Union[str, list[str]]] = None,
+    out: Optional[str] = None,
+) -> DataFrame:
+    """Most frequent value of ``col`` per group, one row per group
+    ``(byvars..., <out>, n_modal, n_total)`` — ties broken by the
+    SMALLEST value so the answer is deterministic under any
+    partitioning (pandas ``mode()`` returns all tied values; a
+    pipeline needs one). Nulls are excluded from candidacy but
+    counted in ``n_total``; all-null groups yield a null mode. The
+    categorical imputation / canonical-label primitive next to
+    ``fillna_by_groups`` (which fills with a per-group statistic) —
+    this EXPOSES the statistic.
+
+    Scale shape: one hash agg to (group, value) counts — the
+    compression step, map-side combined — then a rank-1 row_number
+    over the per-group distinct values and one total join. Shuffle
+    volume is O(distinct (group, value)); never a sort of raw rows.
+    """
+    from pyspark.sql import Window
+
+    from pd_utils_spark.utils import to_list
+
+    by = to_list(byvars) if byvars is not None else []
+    out = out or f"{col}_mode"
+    cells = (
+        df.groupBy(*by, F.col(col).alias("__v__"))
+        .agg(F.count(F.lit(1)).alias("__n__"))
+    )
+    totals = cells.groupBy(*by).agg(F.sum("__n__").alias("n_total"))
+    w = Window.partitionBy(*by).orderBy(
+        F.desc("__n__"), F.asc("__v__")
+    )
+    best = (
+        cells.filter(F.col("__v__").isNotNull())
+        .withColumn("__rk__", F.row_number().over(w))
+        .filter(F.col("__rk__") == 1)
+        .select(
+            *by,
+            F.col("__v__").alias(out),
+            F.col("__n__").alias("n_modal"),
+        )
+    )
+    if by:
+        return totals.join(best, by, "left").select(
+            *by, out, "n_modal", "n_total"
+        )
+    # no groups: both frames are one row
+    return totals.join(best, F.lit(True), "left").select(
+        out, "n_modal", "n_total"
+    )

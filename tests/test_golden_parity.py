@@ -1415,3 +1415,45 @@ class TestGapsAndIslands:
         for s, e in spans:
             covered += list(range(s, e + 1))
         assert covered == ids
+
+
+class TestModeByGroups:
+    def test_hand_computed_and_tie_break(self, spark):
+        from pd_utils_spark.operators.transform import mode_by_groups
+
+        rows = (
+            [("a", "x")] * 3 + [("a", "y")] * 3 + [("a", "z")]
+            + [("b", "q")] * 2 + [("b", None)] * 5
+            + [("c", None)] * 2
+        )
+        df = spark.createDataFrame(rows, ["g", "v"])
+        got = {
+            r.g: (r.v_mode, r.n_modal, r.n_total)
+            for r in mode_by_groups(df, "v", "g").collect()
+        }
+        # tie x/y at 3 -> smallest value 'x' wins
+        assert got["a"] == ("x", 3, 7)
+        # nulls never candidates but count in the total
+        assert got["b"] == ("q", 2, 7)
+        # all-null group: null mode, null n_modal
+        assert got["c"] == (None, None, 2)
+
+    def test_global_mode_no_groups(self, spark):
+        from pd_utils_spark.operators.transform import mode_by_groups
+
+        df = spark.createDataFrame(
+            [(v,) for v in ["a", "b", "b", "c"]], ["v"]
+        )
+        r = mode_by_groups(df, "v").collect()[0]
+        assert (r.v_mode, r.n_modal, r.n_total) == ("b", 2, 4)
+
+    def test_deterministic_under_repartition(self, spark):
+        from pd_utils_spark.operators.transform import mode_by_groups
+
+        rows = [(i % 5, f"v{(i * 7) % 4}") for i in range(200)]
+        df = spark.createDataFrame(rows, ["g", "v"])
+        a = sorted(map(tuple, mode_by_groups(df, "v", "g").collect()))
+        b = sorted(
+            map(tuple, mode_by_groups(df.repartition(13), "v", "g").collect())
+        )
+        assert a == b
