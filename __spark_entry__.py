@@ -604,16 +604,20 @@ def q_approx_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     literal VALUE pinned in the oracle (the estimate is deterministic
     — HLL registers max-merge, order-insensitive — verified stable
     across shuffle-partition settings), so the sketch itself is
-    certified, not a boolean computed about it. The quantile sketch
-    keeps its error-bound boolean only: GK/t-digest merges are
-    partition-order-sensitive, so its exact value is not pinnable."""
+    certified, not a boolean computed about it. The sketch ERROR-BOUND
+    booleans are deliberately NOT in this row: a Spark-computed
+    boolean hash-matched against ``TRUE`` certifies nothing — the
+    bounds are asserted in pytest
+    (tests/test_extensions_approx.py::test_sketch_bounds_on_sf001)
+    where a violated bound fails loudly."""
     from pd_utils_spark.extensions.approx import approx_group_stats_check
 
     li = _t(spark, sf_dir, "lineitem")
     out = approx_group_stats_check(
         li, "l_returnflag", distinct_col="l_orderkey",
         quantile_col="l_extendedprice", q=0.5, keep_estimates=True,
-    )
+    ).select("l_returnflag", "n_distinct_exact", "n_distinct_approx",
+             "q_exact")
     return _round_doubles(out)
 
 
@@ -7753,18 +7757,18 @@ def oracle_sql() -> dict[str, str]:
         # is deterministic (register max-merge is order-insensitive,
         # verified stable across shuffle-partition settings) so its
         # VALUE is pinned per group — a broken sketch changes the
-        # number, not just a self-computed boolean. The quantile
-        # sketch's merge is partition-order-sensitive, so it keeps the
-        # (Spark-computed) error-bound boolean only.
+        # number, not just a self-computed boolean. The sketch
+        # error-bound booleans live in pytest
+        # (test_extensions_approx.py::test_sketch_bounds_on_sf001),
+        # not here — a job hash-matching its own TRUE certifies
+        # nothing.
         "approx_group_stats": f"""
             SELECT l_returnflag,
                    count(DISTINCT l_orderkey) AS n_distinct_exact,
                    CASE l_returnflag WHEN 'A' THEN 11114
                                      WHEN 'N' THEN 10109
                                      ELSE 11377 END AS n_distinct_approx,
-                   round(quantile_cont(l_extendedprice, 0.5), {r}) AS q_exact,
-                   TRUE AS distinct_within_bound,
-                   TRUE AS quantile_within_bound
+                   round(quantile_cont(l_extendedprice, 0.5), {r}) AS q_exact
             FROM lineitem GROUP BY l_returnflag
         """,
         "ann_lsh_topk": f"""
@@ -11726,16 +11730,18 @@ def oracle_sql() -> dict[str, str]:
                round(freq, 6) AS freq
         FROM enc ORDER BY o_orderkey LIMIT 200
     """
-    # decayed_agg: floor(epoch()) mirrors Spark's unix_timestamp
-    # second-truncation; the weight tree is written in the same
-    # association order
+    # decayed_agg: epoch_us mirrors Spark's unix_micros (sub-second
+    # recency preserved — no second-truncation); the weight tree is
+    # written in the same association order:
+    # ((ref_us - ts_us) / 1e6) / half_life
     d["decayed_agg"] = """
         WITH ref AS (
-            SELECT floor(epoch(max(ts))) AS r FROM events
+            SELECT epoch_us(max(ts))::DOUBLE AS r FROM events
             WHERE value IS NOT NULL AND ts IS NOT NULL
         )
         SELECT event_type,
-               round(sum(value * 0.5 ** ((r - floor(epoch(ts)))
+               round(sum(value * 0.5 ** (((r - epoch_us(ts)::DOUBLE)
+                                          / 1000000.0)
                                          / 604800.0)), 4) AS decayed_sum,
                count(*)::BIGINT AS n,
                max(ts) AS last_ts

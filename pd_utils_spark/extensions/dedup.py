@@ -1534,6 +1534,13 @@ def jaccard_join_prefix(
     tokens sit at the back of every prefix-ordered set and are never
     indexed). Use LSH when thresholds are low (prefixes grow as
     (1-t)·n) or when approximate recall is acceptable.
+
+    Cache note: the sorted-token frame stays persisted after the
+    call because the returned lazy plan reads it three times (prefix
+    index + both verify sides) — in a long-lived session issuing many
+    joins, call ``spark.catalog.clearCache()`` (or unpersist) after
+    your first action, as with :func:`~pd_utils_spark.utils.
+    materialize`.
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1]: {threshold}")

@@ -858,17 +858,23 @@ def decayed_agg(
     if half_life <= 0:
         raise ValueError(f"half_life must be > 0: {half_life}")
     by_l = to_list(byvars)
-    ts_s = F.unix_timestamp(F.col(tscol)).cast("double")
+    # microsecond epochs (matching _epoch_us used by attribution/rfm):
+    # unix_timestamp() truncates to whole seconds, silently losing
+    # sub-second recency on TIMESTAMP(NANOS)/micros event data
+    ts_us = _epoch_us(F.col(tscol)).cast("double")
     base = df.filter(F.col(valuecol).isNotNull() & F.col(tscol).isNotNull())
     if ref_time is None:
         ref = F.broadcast(
-            base.agg(F.unix_timestamp(F.max(tscol)).cast("double").alias("__ref__"))
+            base.agg(
+                _epoch_us(F.max(tscol)).cast("double").alias("__ref__")
+            )
         )
         base = base.join(ref)
         ref_col = F.col("__ref__")
     else:
-        ref_col = F.unix_timestamp(F.lit(ref_time)).cast("double")
-    w = F.pow(F.lit(0.5), (ref_col - ts_s) / F.lit(float(half_life)))
+        ref_col = _epoch_us(F.lit(ref_time)).cast("double")
+    age_s = (ref_col - ts_us) / F.lit(1_000_000.0)
+    w = F.pow(F.lit(0.5), age_s / F.lit(float(half_life)))
     return base.groupBy(*by_l).agg(
         F.sum(F.col(valuecol) * w).alias(out),
         F.count(F.lit(1)).alias("n"),

@@ -21,6 +21,8 @@ a one-row broadcast. No Python touches rows.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 

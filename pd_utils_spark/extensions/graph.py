@@ -306,6 +306,11 @@ def bfs_levels(
     input minimal (a node is expanded exactly once, total work
     O(edges) across ALL rounds, the textbook level-synchronous BFS
     bound).
+
+    Cache note: the projected edge frame stays persisted (every round
+    joins it) — unpersist / ``spark.catalog.clearCache()`` after your
+    first action on the result if you run many traversals in one
+    long-lived session.
     """
     if max_depth < 0:
         raise ValueError(f"max_depth must be >= 0: {max_depth}")
@@ -366,7 +371,10 @@ def label_propagation(
     size = a node's distinct in-labels, bounded by in-degree), and a
     left join back onto the node set — edge-sized shuffles, nothing
     quadratic, per-round checkpoint keeps the plan flat (same lineage
-    hygiene as :func:`pagerank`).
+    hygiene as :func:`pagerank`). The projected edge and node frames
+    stay persisted (read every round) — unpersist /
+    ``spark.catalog.clearCache()`` after your first action when
+    running many propagations in one long-lived session.
     """
     if iters < 0:
         raise ValueError(f"iters must be >= 0: {iters}")

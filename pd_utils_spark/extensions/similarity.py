@@ -578,39 +578,52 @@ def kmeans_fit(
     the corpus (assignment is an inlined literal expression — no
     join) plus a ``(cluster, dim)`` hash aggregation whose shuffle is
     k x dims rows after map-side combine, regardless of corpus size.
-    ``iters`` full scans total: persist ``df`` before calling when it
-    is not a plain parquet scan.
+    ``iters`` full scans total: when ``iters > 1`` the (id, vector)
+    projection is persisted for the duration of the fit and
+    unpersisted before returning, so a derived upstream frame (e.g.
+    the normalized projection :func:`semantic_dedup_kmeans` builds)
+    is computed once, not ``iters + 1`` times; a plain parquet scan
+    pays one cheap cache write for the same read volume.
     """
     if k < 1 or iters < 0:
         raise ValueError(f"need k >= 1 and iters >= 0: {k}, {iters}")
-    seed_rows = (
-        df.select(idcol, veccol).orderBy(idcol).limit(k).collect()
-    )
-    if len(seed_rows) < k:
-        raise ValueError(f"k={k} exceeds row count {len(seed_rows)}")
-    cents = [[float(x) for x in r[1]] for r in seed_rows]
-    for _ in range(iters):
-        assigned = df.select(
-            _kmeans_assign_expr(veccol, cents).alias("__c__"),
-            F.col(veccol),
-        )
-        per_dim = (
-            assigned.select(
-                "__c__", F.posexplode(F.col(veccol)).alias("__d__", "__v__")
+    from pyspark import StorageLevel
+
+    work = df.select(idcol, veccol)
+    cached = iters > 1
+    if cached:
+        work = work.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        seed_rows = work.orderBy(idcol).limit(k).collect()
+        if len(seed_rows) < k:
+            raise ValueError(f"k={k} exceeds row count {len(seed_rows)}")
+        cents = [[float(x) for x in r[1]] for r in seed_rows]
+        for _ in range(iters):
+            assigned = work.select(
+                _kmeans_assign_expr(veccol, cents).alias("__c__"),
+                F.col(veccol),
             )
-            .groupBy("__c__", "__d__")
-            .agg(F.avg(F.col("__v__").cast("double")).alias("__m__"))
-            .collect()
-        )
-        by_cid: dict = {}
-        for r in per_dim:
-            by_cid.setdefault(r["__c__"], {})[r["__d__"]] = r["__m__"]
-        cents = [
-            [by_cid[cid][d] for d in sorted(by_cid[cid])]
-            if cid in by_cid
-            else list(cents[cid])
-            for cid in range(k)
-        ]
+            per_dim = (
+                assigned.select(
+                    "__c__",
+                    F.posexplode(F.col(veccol)).alias("__d__", "__v__"),
+                )
+                .groupBy("__c__", "__d__")
+                .agg(F.avg(F.col("__v__").cast("double")).alias("__m__"))
+                .collect()
+            )
+            by_cid: dict = {}
+            for r in per_dim:
+                by_cid.setdefault(r["__c__"], {})[r["__d__"]] = r["__m__"]
+            cents = [
+                [by_cid[cid][d] for d in sorted(by_cid[cid])]
+                if cid in by_cid
+                else list(cents[cid])
+                for cid in range(k)
+            ]
+    finally:
+        if cached:
+            work.unpersist()
     return cents
 
 

@@ -454,24 +454,33 @@ def population_stability_index(
         F.sort_array(
             F.collect_list(F.struct("__b__", "__hi__"))
         ).alias("__eb__")
-    ).select(
-        F.transform(F.col("__eb__"), lambda x: x["__hi__"]).alias("__edges__")
     )
+    # count edges strictly below the value, then map that POSITION back
+    # to the present bucket LABEL via element_at: under heavy ties
+    # exact_ntile can skip bucket ids (e.g. {0, 5, ...}), so the raw
+    # position is not the label — joining on it would silently drop
+    # current-side mass from the sparse bins
+    n_present = F.size(F.col("__eb__"))
     cur_assigned = (
         current.filter(v.isNotNull())
         .select(v.alias("__v__"))
         .crossJoin(F.broadcast(edges_row))
         .select(
-            F.least(
-                F.aggregate(
-                    # the LAST bin's edge is the baseline max — values
-                    # above it must still land in the last bin
-                    F.slice(F.col("__edges__"), 1, bins - 1),
-                    F.lit(0),
-                    lambda acc, e: acc + (F.col("__v__") > e).cast("int"),
-                ),
-                F.lit(bins - 1),
-            ).alias("__b__")
+            F.element_at(
+                F.col("__eb__"),
+                F.least(
+                    F.aggregate(
+                        # the LAST bin's edge is the baseline max —
+                        # values above it still land in the last bin
+                        F.slice(F.col("__eb__"), 1, n_present - 1),
+                        F.lit(0),
+                        lambda acc, e: acc
+                        + (F.col("__v__") > e["__hi__"]).cast("int"),
+                    ),
+                    n_present - 1,
+                )
+                + F.lit(1),
+            )["__b__"].alias("__b__")
         )
     )
     cur_counts = cur_assigned.groupBy("__b__").agg(
@@ -760,7 +769,11 @@ def conformal_split(
     finite-sample-valid quantile of Vovk/Lei–Wasserman split
     conformal — then report empirical coverage of ``pred ± q_hat`` on
     the held-out rows. One row out: ``(n_calib, n_test, q_hat,
-    coverage, target)``.
+    coverage, target)`` — ALWAYS one row, including degenerate
+    inputs: no calibration rows gives ``n_calib=0`` with null
+    ``q_hat``/``coverage`` (no interval exists, so no fake 0.0
+    coverage); no test rows gives ``n_test=0`` with null
+    ``coverage`` but real ``n_calib``/``q_hat``.
 
     Scale shape: residuals compress to per-distinct-value counts (one
     shuffle), the k-th order statistic comes from the distributed
@@ -786,20 +799,28 @@ def conformal_split(
     q = (
         cum.join(F.broadcast(tot))
         .filter(F.col("__n___cum") >= k)
-        .agg(F.min("__r__").alias("q_hat"), F.first("n_calib").alias("n_calib"))
+        .agg(F.min("__r__").alias("q_hat"))
+        .crossJoin(F.broadcast(tot))
     )
     test = base.filter(~F.col("__c__"))
-    return (
-        test.join(F.broadcast(q))
-        .agg(
-            F.first("n_calib").alias("n_calib"),
-            F.count(F.lit(1)).alias("n_test"),
-            F.first("q_hat").alias("q_hat"),
-            F.avg(
-                F.when(F.col("__r__") <= F.col("q_hat"), 1.0).otherwise(0.0)
-            ).alias("coverage"),
-            F.lit(1.0 - alpha).alias("target"),
-        )
+    # aggregate the test side to ONE row before attaching the q row:
+    # the single output row survives empty calibration (n_calib=0,
+    # null q_hat/coverage) and empty test sets (n_test=0, null
+    # coverage) instead of degrading silently — ungrouped aggregates
+    # always produce a row, and the boolean cast keeps coverage null
+    # (not a fake 0.0) when there is no interval to cover with
+    test_agg = test.join(F.broadcast(q.select("q_hat"))).agg(
+        F.count(F.lit(1)).alias("n_test"),
+        F.avg(
+            (F.col("__r__") <= F.col("q_hat")).cast("double")
+        ).alias("coverage"),
+    )
+    return q.crossJoin(F.broadcast(test_agg)).select(
+        "n_calib",
+        "n_test",
+        "q_hat",
+        "coverage",
+        F.lit(1.0 - alpha).alias("target"),
     )
 
 

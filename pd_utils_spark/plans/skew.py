@@ -144,6 +144,14 @@ def hot_key_join(
     :func:`salted_join` — graceful degradation instead of a crash. The
     count also short-circuits: zero hot keys -> plain shuffle join
     with no union overhead.
+
+    Cache note: on the two-path (broadcast) return, the small hot-key
+    frame stays persisted because the returned lazy plan references it
+    twice (semi + anti split) — like :func:`~pd_utils_spark.utils.
+    materialize`, call ``spark.catalog.clearCache()`` (or unpersist
+    via ``df.sparkSession.catalog``) after your first action if you
+    issue many such joins in one long-lived session; the fallback
+    paths unpersist before returning.
     """
     if how not in ("inner", "left", "left_outer", "leftouter"):
         raise ValueError(

@@ -49,3 +49,29 @@ class TestApproxStats:
     def test_requires_some_columns(self, li):
         with pytest.raises(ValueError, match="distinct_cols"):
             approx_group_stats(li, "l_returnflag")
+
+
+def test_sketch_bounds_on_sf001(li):
+    """The sketch error-bound assertions that used to ride the
+    ``approx_group_stats`` oracle row as Spark-computed booleans
+    hash-matched against ``TRUE`` (which certifies nothing — the job
+    was grading its own homework). Here a violated bound fails
+    loudly: HLL++ within 3-sigma x rsd of the exact distinct count,
+    and the t-digest median between the exact quantiles at rank
+    0.5 +- 0.01 — the same parameters the registered query uses."""
+    from pd_utils_spark.extensions.approx import approx_group_stats_check
+
+    rows = approx_group_stats_check(
+        li, "l_returnflag", distinct_col="l_orderkey",
+        quantile_col="l_extendedprice", q=0.5, keep_estimates=True,
+    ).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r.distinct_within_bound, (
+            f"HLL++ out of 3-sigma bound for {r.l_returnflag}: "
+            f"approx={r.n_distinct_approx} exact={r.n_distinct_exact}"
+        )
+        assert r.quantile_within_bound, (
+            f"approx median out of rank-tolerance band for "
+            f"{r.l_returnflag} (exact median {r.q_exact})"
+        )

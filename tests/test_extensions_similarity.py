@@ -478,6 +478,24 @@ class TestKmeans:
         with pytest.raises(ValueError, match="exceeds"):
             S.kmeans_fit(df, k=5, iters=1)
 
+    def test_fit_persists_during_and_unpersists_after(self, spark):
+        # iters > 1 must cache the projection for the duration of the
+        # fit (a derived upstream frame would otherwise recompute
+        # iters+1 times) and release it before returning — the cache
+        # footprint of a fit is zero once it's done
+        jsc = spark.sparkContext._jsc.sc()
+        before = jsc.getPersistentRDDs().size()
+        df = self._df(
+            spark, [[0.0, 0.0], [0.1, 0.0], [10.0, 0.0], [10.1, 0.0]]
+        )
+        cents = S.kmeans_fit(df, k=2, iters=3)
+        assert cents[0] == pytest.approx([0.05, 0.0])  # result unchanged
+        assert jsc.getPersistentRDDs().size() == before
+        # the error path (k > rows) must also unpersist
+        with pytest.raises(ValueError, match="exceeds"):
+            S.kmeans_fit(df, k=9, iters=2)
+        assert jsc.getPersistentRDDs().size() == before
+
 
 class TestSemanticDedupKmeans:
     def test_keeps_lowest_id_per_near_dup_group(self, spark):

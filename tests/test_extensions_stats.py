@@ -443,6 +443,28 @@ class TestPSI:
         out = {r.bin: r for r in population_stability_index(base, cur, "v", bins=4).collect()}
         assert out[3].n_cur == 1
 
+    def test_sparse_bucket_ids_keep_current_mass(self, spark):
+        # tie-heavy baseline: one value holds 50% of the mass, so
+        # exact_ntile emits sparse bucket ids {0, 5, 6, ...} — the
+        # current sample's edge-count POSITION must map back to those
+        # labels or its mass silently vanishes in the join (the
+        # understated-PSI bug)
+        from pd_utils_spark.extensions.stats import population_stability_index
+
+        base = spark.createDataFrame(
+            [(0.0,)] * 50 + [(float(i),) for i in range(1, 51)], ["v"]
+        )
+        cur = spark.createDataFrame([(float(i),) for i in range(1, 51)], ["v"])
+        out = population_stability_index(base, cur, "v", bins=10).collect()
+        bins_present = sorted(r.bin for r in out)
+        assert bins_present == [0, 5, 6, 7, 8, 9]  # sparse ids survive
+        total_cur = sum(r.n_cur for r in out)
+        assert total_cur == 50  # no current mass dropped
+        by_bin = {r.bin: r for r in out}
+        assert by_bin[0].n_cur == 0  # the tie bucket empties
+        psi = sum(r.contrib for r in out)
+        assert psi > 0.25  # this IS the shifted case PSI exists to catch
+
     def test_validation(self, spark):
         from pd_utils_spark.extensions.stats import population_stability_index
 
@@ -632,6 +654,31 @@ def test_conformal_split_quantile_and_coverage(spark):
     assert r["coverage"] == pytest.approx(cov_ref, abs=1e-12)
     # split conformal's finite-sample guarantee: coverage ~ 90%
     assert 0.8 < r["coverage"] <= 1.0
+
+
+def test_conformal_split_degenerate_inputs_still_one_row(spark):
+    from pd_utils_spark.extensions.stats import conformal_split
+
+    df = spark.createDataFrame(
+        [(1.0, 1.1, True), (2.0, 2.2, True), (3.0, 2.9, False)],
+        ["y", "p", "c"],
+    )
+    # no calibration rows: n_calib=0, no interval -> null q_hat AND
+    # null coverage (a fake 0.0 would read as "interval never covers")
+    r = conformal_split(df.filter(~F.col("c")), "y", "p", "c").collect()
+    assert len(r) == 1
+    assert r[0]["n_calib"] == 0 and r[0]["n_test"] == 1
+    assert r[0]["q_hat"] is None and r[0]["coverage"] is None
+    # no test rows: q_hat and n_calib still real, coverage null
+    r = conformal_split(df.filter(F.col("c")), "y", "p", "c").collect()
+    assert len(r) == 1
+    assert r[0]["n_calib"] == 2 and r[0]["n_test"] == 0
+    assert r[0]["q_hat"] == pytest.approx(0.2, abs=1e-9)
+    assert r[0]["coverage"] is None
+    # fully empty input: still exactly one null-filled row
+    r = conformal_split(df.filter(F.lit(False)), "y", "p", "c").collect()
+    assert len(r) == 1
+    assert r[0]["n_calib"] == 0 and r[0]["n_test"] == 0
 
 
 def test_conformal_split_rejects_bad_alpha(spark):

@@ -96,3 +96,24 @@ class TestCompareMechanics:
         df = spark.createDataFrame(pd.DataFrame({"x": [0.0276]}))
         bad = self._compare(df, pd.DataFrame({"x": [0.0277]}))
         assert any("x" in p for p in bad)
+
+
+def test_pinned_oracles_verify(spark):
+    """Run scripts/repin_oracles.py --verify in-process: every
+    committed pinned literal (ann_pq_topk / ann_ivf_topk /
+    pca_project / approx_group_stats HLL) must match a fresh sf0.01
+    recompute — a silent testdata regeneration or a pin edit drifting
+    from the code fails HERE, not in the next round's driver
+    snapshot. Regenerate stale pins with
+    ``python scripts/repin_oracles.py --print``."""
+    import duckdb
+
+    from scripts import repin_oracles as rp
+
+    con = duckdb.connect()
+    for t in rp.TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_001}/{t}.parquet')"
+        )
+    assert rp.verify(spark, con, SF_001) == 0
