@@ -1035,6 +1035,54 @@ def q_candidate_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_candidate_recall_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-quality audit #2 (extensions/dedup.py
+    candidate_recall): SimHash near-dup pairs (48 bits, 4 blocks,
+    hamming<=3) measured against the SAME exact Jaccard>=0.5
+    prefix-join truth as the LSH audit, on the SAME even-id half
+    corpus — so the two generators' pairs-completeness numbers are
+    directly comparable. SimHash's recall vs token-set Jaccard is
+    structurally lower than MinHash-LSH's (it hashes a different
+    similarity), which is exactly why it must be measured, not
+    assumed. Oracle replays both generators and the canonical
+    semi-join."""
+    u = _docs_with_copies(spark, sf_dir).filter(F.col("doc_id") % 2 == 0)
+    cand = pus_dedup.simhash_near_dup_pairs(u, bits=48, max_hamming=3)
+    truth = pus_dedup.jaccard_join_prefix(u, threshold=0.5)
+    out = pus_dedup.candidate_recall(cand, truth)
+    return out.select(
+        "n_true", "n_cand", "n_hit",
+        F.round("recall", 6).alias("recall"),
+    )
+
+
+def q_candidate_recall_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-quality audit #3: SemDeDup cell-local pairs
+    (extensions/similarity.py semantic_cell_pairs — k=8 Lloyd's
+    cells, within-cell cosine>=0.4) measured against the EXACT
+    brute-force cosine>=0.4 truth (similarity.py brute_force_pairs —
+    triangle block decomposition, chunked BLAS) on the vec_id<800
+    subset. This pins the published SemDeDup caveat — near-dups
+    straddling a cell boundary are missed — as a measured recall
+    number instead of prose. Oracle replays the unrolled Lloyd's
+    CTE, the within-cell pair join, the all-pairs truth, and the
+    semi-join."""
+    from pd_utils_spark.extensions import similarity as pus_sim2
+
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .filter(F.col("vec_id") < 800)
+    )
+    cand = pus_sim2.semantic_cell_pairs(emb, k=8, iters=3, threshold=0.4)
+    truth = pus_sim2.brute_force_pairs(emb, threshold=0.4, blocks=4)
+    out = pus_dedup.candidate_recall(cand, truth)
+    return out.select(
+        "n_true", "n_cand", "n_hit",
+        F.round("recall", 6).alias("recall"),
+    )
+
+
 def q_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     q = d.filter(F.col("doc_id") < 3)
@@ -5473,6 +5521,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_connected": q_dedup_connected,
         "dedup_keep_best": q_dedup_keep_best,
         "candidate_recall": q_candidate_recall,
+        "candidate_recall_simhash": q_candidate_recall_simhash,
+        "candidate_recall_semantic": q_candidate_recall_semantic,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "jaccard_topk": q_jaccard_topk,
         "simhash": q_simhash,
@@ -5736,19 +5786,23 @@ def _sql_cosine(a: str, b: str, dims: int = 64) -> str:
     return f"CASE WHEN {na} * {nb} > 0 THEN {d} / ({na} * {nb}) END"
 
 
-def _sql_kmeans_ctes(k: int = 8, iters: int = 3, dims: int = 64) -> str:
+def _sql_kmeans_ctes(
+    k: int = 8, iters: int = 3, dims: int = 64, where: str = ""
+) -> str:
     """CTE chain replaying pus_sim.kmeans in DuckDB, unrolled per
     Lloyd's round (the pagerank/hits oracle pattern): c0 = k lowest-id
     vectors; round n = assignment a{n} (squared-L2 argmin, lowest-cid
     tie-break) then means m{n} with empty cells inheriting c{n-1}; the
-    final assignment a{iters+1} uses c{iters}."""
+    final assignment a{iters+1} uses c{iters}. ``where`` restricts the
+    source corpus (audit queries fit on a bounded subset)."""
     dist = (
         f"list_sum(list_transform(range(1, {dims + 1}), __i -> "
         "(e.embedding[__i]::DOUBLE - c.vec[__i]) * "
         "(e.embedding[__i]::DOUBLE - c.vec[__i])))"
     )
+    src = f"SELECT vec_id, embedding FROM embeddings {where}".strip()
     parts = [
-        "ev AS (SELECT vec_id, embedding FROM embeddings)",
+        f"ev AS ({src})",
         f"""c0 AS (
             SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
                    list_transform(embedding, x -> x::DOUBLE) AS vec
@@ -7621,6 +7675,82 @@ def oracle_sql() -> dict[str, str]:
                 FROM sh x JOIN sh y ON x.doc_id < y.doc_id
                 WHERE len(list_intersect(x.s, y.s))
                       / len(list_distinct(list_concat(x.s, y.s))) >= 0.5
+            ), hit AS (
+                SELECT t.a, t.b FROM truth t
+                WHERE EXISTS (SELECT 1 FROM cand c
+                              WHERE c.a = t.a AND c.b = t.b)
+            )
+            SELECT (SELECT count(*) FROM truth)::BIGINT AS n_true,
+                   (SELECT count(*) FROM cand)::BIGINT AS n_cand,
+                   (SELECT count(*) FROM hit)::BIGINT AS n_hit,
+                   round((SELECT count(*) FROM hit)::DOUBLE
+                         / (SELECT count(*) FROM truth)::DOUBLE, 6)
+                       AS recall
+        """,
+        "candidate_recall_simhash": f"""
+            WITH u AS (
+                SELECT doc_id, text FROM (
+                    SELECT doc_id, text FROM documents
+                    UNION ALL
+                    SELECT doc_id + 100000, text FROM documents
+                ) WHERE doc_id % 2 = 0
+            ),
+            hs AS (
+                SELECT doc_id, length({_SQL_NORM}) AS nlen,
+                       list_transform({_SQL_NORM_TOKS},
+                           w -> ('0x' || substr(md5(w), 1, 15))::BIGINT) AS h
+                FROM u
+            ), shs AS (
+                SELECT doc_id,
+                       CASE WHEN nlen = 0 THEN 0 ELSE
+                       cast(list_sum(list_transform(range(0, 48), j ->
+                           CASE WHEN list_sum(list_transform(h, x ->
+                                    cast((x >> j) & 1 AS bigint) * 2 - 1)) > 0
+                                THEN (1::BIGINT << j) ELSE 0 END)) AS bigint) END AS simhash
+                FROM hs
+            ), blk AS (
+                SELECT doc_id, simhash, t.b AS block,
+                       simhash & (4095::BIGINT << (t.b * 12)) AS block_val
+                FROM shs, range(0, 4) t(b)
+            ), cand AS (
+                SELECT a.doc_id AS a, b.doc_id AS b
+                FROM blk a JOIN blk b
+                  ON a.block = b.block AND a.block_val = b.block_val
+                 AND a.doc_id < b.doc_id
+                WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+                GROUP BY 1, 2
+            ), sh AS (
+                SELECT doc_id, {_SQL_SHINGLES} AS s FROM u
+            ), truth AS (
+                SELECT x.doc_id AS a, y.doc_id AS b
+                FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+                WHERE len(list_intersect(x.s, y.s))
+                      / len(list_distinct(list_concat(x.s, y.s))) >= 0.5
+            ), hit AS (
+                SELECT t.a, t.b FROM truth t
+                WHERE EXISTS (SELECT 1 FROM cand c
+                              WHERE c.a = t.a AND c.b = t.b)
+            )
+            SELECT (SELECT count(*) FROM truth)::BIGINT AS n_true,
+                   (SELECT count(*) FROM cand)::BIGINT AS n_cand,
+                   (SELECT count(*) FROM hit)::BIGINT AS n_hit,
+                   round((SELECT count(*) FROM hit)::DOUBLE
+                         / (SELECT count(*) FROM truth)::DOUBLE, 6)
+                       AS recall
+        """,
+        "candidate_recall_semantic": f"""
+            WITH RECURSIVE {_sql_kmeans_ctes(k=8, iters=3, where="WHERE vec_id < 800")},
+            cand AS (
+                SELECT x.vec_id AS a, y.vec_id AS b
+                FROM a4 x JOIN a4 y
+                  ON x.cid = y.cid AND x.vec_id < y.vec_id
+                JOIN ev ex ON ex.vec_id = x.vec_id
+                JOIN ev ey ON ey.vec_id = y.vec_id
+                WHERE {_sql_cosine("ex.embedding", "ey.embedding")} >= 0.4
+            ), truth AS (
+                SELECT x.vec_id AS a, y.vec_id AS b
+                FROM ev x JOIN ev y ON x.vec_id < y.vec_id
+                WHERE {_sql_cosine("x.embedding", "y.embedding")} >= 0.4
             ), hit AS (
                 SELECT t.a, t.b FROM truth t
                 WHERE EXISTS (SELECT 1 FROM cand c

@@ -274,6 +274,21 @@ def triangle_count(
     )
 
 
+def _bfs_round(e: DataFrame, frontier: DataFrame, visited: DataFrame) -> DataFrame:
+    """One level-synchronous BFS round, pre-checkpoint: expand the
+    frontier through the edge list (one equi-join), dedup, and drop
+    already-visited nodes (one anti-join). Module-level so the
+    plan-shape suite can lock the per-round shape — the checkpoint in
+    :func:`bfs_levels` truncates lineage, hiding it from the final
+    plan."""
+    return (
+        e.join(frontier, e["__s__"] == frontier["__n__"])
+        .select(F.col("__d__").alias("__n__"))
+        .distinct()
+        .join(visited.select("__n__"), "__n__", "left_anti")
+    )
+
+
 def bfs_levels(
     edges: DataFrame,
     sources: DataFrame,
@@ -327,13 +342,7 @@ def bfs_levels(
     for depth in range(1, max_depth + 1):
         if early_stop and frontier.isEmpty():
             break
-        nxt = (
-            e.join(frontier, e["__s__"] == frontier["__n__"])
-            .select(F.col("__d__").alias("__n__"))
-            .distinct()
-            .join(visited.select("__n__"), "__n__", "left_anti")
-            .localCheckpoint(eager=False)
-        )
+        nxt = _bfs_round(e, frontier, visited).localCheckpoint(eager=False)
         visited = visited.unionByName(
             nxt.select("__n__", F.lit(depth).alias("__l__"))
         )
@@ -461,6 +470,24 @@ def clustering_coefficient(
     )
 
 
+def _peel_round(e: DataFrame, k: int) -> DataFrame:
+    """One k-core peel round, pre-checkpoint: ONE degree hash-agg over
+    the canonical edge list plus TWO left-semi joins keeping only
+    edges whose endpoints both survive. Module-level so the plan-shape
+    suite can lock the per-round shape (the eager checkpoint in
+    :func:`k_core` truncates lineage in the final plan)."""
+    deg = (
+        e.select(F.col("lo").alias("node"))
+        .unionByName(e.select(F.col("hi").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    keep = deg.filter(F.col("degree") >= k).select("node")
+    return e.join(keep, e["lo"] == keep["node"], "left_semi").join(
+        keep, F.col("hi") == keep["node"], "left_semi"
+    )
+
+
 def k_core(
     edges: DataFrame,
     k: int,
@@ -499,18 +526,7 @@ def k_core(
     for _ in range(max_iter):
         if n_edges == 0:
             break
-        deg = (
-            e.select(F.col("lo").alias("node"))
-            .unionByName(e.select(F.col("hi").alias("node")))
-            .groupBy("node")
-            .agg(F.count(F.lit(1)).alias("degree"))
-        )
-        keep = deg.filter(F.col("degree") >= k).select("node")
-        e2 = (
-            e.join(keep, e["lo"] == keep["node"], "left_semi")
-            .join(keep, F.col("hi") == keep["node"], "left_semi")
-            .localCheckpoint(eager=True)
-        )
+        e2 = _peel_round(e, k).localCheckpoint(eager=True)
         n2 = e2.count()
         e = e2
         if n2 == n_edges:

@@ -686,12 +686,45 @@ def semantic_dedup_kmeans(
     sitting EXACTLY on the threshold is the only case that could
     flip, which a real-valued corpus does not produce).
     """
-    import numpy as np
-    import pandas as pd
-
     from pd_utils_spark.extensions.dedup import dedup_connected
 
+    pairs = semantic_cell_pairs(df, k, iters, threshold, idcol, veccol)
+    return dedup_connected(df, pairs, idcol=idcol)
+
+
+def semantic_cell_pairs(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    threshold: float = 0.99,
+    idcol: str = "vec_id",
+    veccol: str = "embedding",
+) -> DataFrame:
+    """The candidate-pair stage of :func:`semantic_dedup_kmeans`,
+    exposed on its own: ``(id_a, id_b)`` with ``id_a < id_b`` for
+    every within-cell pair at cosine >= ``threshold``. Feed this to
+    :func:`pd_utils_spark.extensions.dedup.candidate_recall` against
+    a :func:`brute_force_pairs` truth to MEASURE the SemDeDup
+    cell-boundary recall loss instead of taking it on faith — the
+    published caveat, quantified. Same scale shape as the parent
+    (cell-local chunked-BLAS ``applyInPandas``)."""
     cells = kmeans(df, k, iters, idcol, veccol, out="__cell__")
+    return _grouped_cosine_pairs(cells, "__cell__", threshold, idcol, veccol)
+
+
+def _grouped_cosine_pairs(
+    df: DataFrame,
+    groupcol: str,
+    threshold: float,
+    idcol: str,
+    veccol: str,
+) -> DataFrame:
+    """All within-group pairs at cosine >= threshold, one dense
+    chunked ``V @ V.T`` per group (BLAS does the quadratic term; the
+    score matrix is evaluated in row chunks so memory stays
+    O(chunk x |group|))."""
+    import numpy as np
+    import pandas as pd
 
     def cell_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
         ids = pdf[idcol].to_numpy()
@@ -722,10 +755,124 @@ def semantic_dedup_kmeans(
         )
 
     id_type = dict(df.dtypes)[idcol]
-    pairs = cells.groupBy("__cell__").applyInPandas(
+    return df.groupBy(groupcol).applyInPandas(
         cell_pairs, f"id_a {id_type}, id_b {id_type}"
     )
-    return dedup_connected(df, pairs, idcol=idcol)
+
+
+def brute_force_pairs(
+    df: DataFrame,
+    threshold: float,
+    blocks: int = 8,
+    idcol: str = "vec_id",
+    veccol: str = "embedding",
+) -> DataFrame:
+    """EXACT cosine-threshold self-join: every pair ``(id_a, id_b)``,
+    ``id_a < id_b``, with cosine >= ``threshold`` — no candidate
+    generation, no recall loss. This is the GROUND-TRUTH generator
+    for :func:`pd_utils_spark.extensions.dedup.candidate_recall`
+    audits of the approximate paths (hyperplane buckets, SemDeDup
+    cells, IVF probes); it is O(n^2) BY DEFINITION, so bound the
+    input (audit a sample, not the corpus) — the audit certifies the
+    generator, the generator handles the corpus.
+
+    Scale shape (within its quadratic budget): triangle block
+    decomposition — rows are hashed into ``blocks`` buckets, every
+    unordered bucket pair ``(bi <= bj)`` becomes one task whose two
+    sides meet in a chunked dense ``A @ B.T`` (BLAS, not a per-pair
+    Catalyst fold). Replication is ``blocks + 1`` copies of each row;
+    per-task memory is O(chunk x |bucket|); parallelism is
+    ``blocks * (blocks + 1) / 2`` tasks, so the quadratic work
+    spreads evenly over the cluster instead of landing on one
+    executor."""
+    import numpy as np
+    import pandas as pd
+
+    if blocks < 1:
+        raise ValueError(f"blocks must be >= 1: {blocks}")
+    spark = df.sparkSession
+    base = df.select(idcol, veccol).withColumn(
+        "__blk__",
+        F.pmod(F.xxhash64(F.col(idcol)), F.lit(blocks)).cast("int"),
+    )
+    grid = spark.createDataFrame(
+        [(i, j) for i in range(blocks) for j in range(i, blocks)],
+        "bi int, bj int",
+    )
+    left = base.join(
+        F.broadcast(grid), F.col("__blk__") == F.col("bi")
+    ).withColumn("__side__", F.lit(0))
+    right = base.join(
+        F.broadcast(grid), F.col("__blk__") == F.col("bj")
+    ).withColumn("__side__", F.lit(1))
+    both = left.unionByName(right)
+
+    def block_pairs(key, pdf):
+        bi, bj = key
+        empty = pd.DataFrame({"id_a": [], "id_b": []})
+        if bi == bj:
+            pdf = pdf[pdf["__side__"] == 0]
+            if len(pdf) < 2:
+                return empty
+            ids = pdf[idcol].to_numpy()
+            order = np.argsort(ids, kind="stable")
+            ids = ids[order]
+            V = np.asarray(
+                [np.asarray(v, dtype="float64")
+                 for v in pdf[veccol].to_numpy()[order]]
+            )
+            nrm = np.sqrt((V * V).sum(axis=1))
+            out_a, out_b = [], []
+            chunk = max(1, 8_388_608 // max(1, len(ids)))
+            for s in range(0, len(ids), chunk):
+                e = min(s + chunk, len(ids))
+                scores = V[s:e] @ V.T
+                den = nrm[s:e, None] * nrm[None, :]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = np.where(den > 0, scores / den, -np.inf)
+                ii, jj = np.nonzero(cos >= threshold)
+                keep = ids[s:e][ii] < ids[jj]
+                out_a.append(ids[s:e][ii][keep])
+                out_b.append(ids[jj][keep])
+            if not out_a:
+                return empty
+            return pd.DataFrame(
+                {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+            )
+        a = pdf[pdf["__side__"] == 0]
+        b = pdf[pdf["__side__"] == 1]
+        if len(a) == 0 or len(b) == 0:
+            return empty
+        ia = a[idcol].to_numpy()
+        ib = b[idcol].to_numpy()
+        A = np.asarray([np.asarray(v, dtype="float64") for v in a[veccol]])
+        B = np.asarray([np.asarray(v, dtype="float64") for v in b[veccol]])
+        na = np.sqrt((A * A).sum(axis=1))
+        nb = np.sqrt((B * B).sum(axis=1))
+        out_a, out_b = [], []
+        chunk = max(1, 8_388_608 // max(1, len(ib)))
+        for s in range(0, len(ia), chunk):
+            e = min(s + chunk, len(ia))
+            scores = A[s:e] @ B.T
+            den = na[s:e, None] * nb[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(den > 0, scores / den, -np.inf)
+            ii, jj = np.nonzero(cos >= threshold)
+            lo = np.minimum(ia[s:e][ii], ib[jj])
+            hi = np.maximum(ia[s:e][ii], ib[jj])
+            keep = lo < hi  # drop self-pairs (same id hashed twice impossible, guard anyway)
+            out_a.append(lo[keep])
+            out_b.append(hi[keep])
+        if not out_a:
+            return empty
+        return pd.DataFrame(
+            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+        )
+
+    id_type = dict(df.dtypes)[idcol]
+    return both.groupBy("bi", "bj").applyInPandas(
+        block_pairs, f"id_a {id_type}, id_b {id_type}"
+    )
 
 
 # ---------------------------------------------------------------- PQ

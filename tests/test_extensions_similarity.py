@@ -575,3 +575,61 @@ class TestSilhouetteKmeans:
         df = spark.createDataFrame([(0, [1.0])], ["vec_id", "embedding"])
         with pytest.raises(ValueError, match="centroids"):
             S.silhouette_kmeans(df, [[1.0]])
+
+
+class TestBruteForcePairs:
+    def _df(self, spark, n=120, seed=7):
+        import numpy as np
+
+        rng = np.random.RandomState(seed)
+        vecs = rng.normal(0, 1, (n, 8))
+        if n > 55:
+            vecs[10] = vecs[3] + 0.001   # near-identical pair
+            vecs[55] = vecs[20] * 1.5    # colinear pair (cosine 1)
+        return vecs, spark.createDataFrame(
+            [(int(i), [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id int, embedding array<double>",
+        )
+
+    def test_matches_numpy_all_pairs(self, spark):
+        import numpy as np
+
+        vecs, df = self._df(spark)
+        got = sorted(
+            (r.id_a, r.id_b)
+            for r in S.brute_force_pairs(df, 0.8, blocks=4).collect()
+        )
+        Vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        cos = Vn @ Vn.T
+        ref = sorted(
+            (i, j)
+            for i in range(len(vecs))
+            for j in range(i + 1, len(vecs))
+            if cos[i, j] >= 0.8
+        )
+        assert got == ref
+
+    def test_block_count_does_not_change_result(self, spark):
+        _, df = self._df(spark, n=60)
+        a = sorted(map(tuple, S.brute_force_pairs(df, 0.7, blocks=1).collect()))
+        b = sorted(map(tuple, S.brute_force_pairs(df, 0.7, blocks=5).collect()))
+        assert a == b and len(a) > 0
+
+    def test_semantic_cell_pairs_subset_of_truth(self, spark):
+        # cell-local candidates can MISS boundary pairs but never
+        # invent one: candidate set is a subset of the exact truth —
+        # the property candidate_recall_semantic quantifies
+        _, df = self._df(spark)
+        truth = set(map(tuple, S.brute_force_pairs(df, 0.8, blocks=4).collect()))
+        cells = set(
+            map(tuple, S.semantic_cell_pairs(df, k=4, iters=2, threshold=0.8).collect())
+        )
+        assert cells <= truth
+        assert len(cells) > 0
+
+    def test_validation(self, spark):
+        _, df = self._df(spark, n=10)
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="blocks"):
+            S.brute_force_pairs(df, 0.5, blocks=0)

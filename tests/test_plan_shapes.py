@@ -729,3 +729,116 @@ class TestRound5ContinuationShapes:
         plan = plan_of(k_anonymity_report(df, ["q1", "q2"], k=3))
         assert "Window" not in plan
         assert "CartesianProduct" not in plan
+
+
+class TestRound6PlanShapes:
+    """Locks for the round-5 flagship claims SCALE.md asserted from
+    manual explain() reads: a refactor must not silently regress
+    them. The graph per-round shapes are locked on the module-level
+    round helpers (_bfs_round / _peel_round) because the in-loop
+    checkpoints truncate lineage out of the final plan."""
+
+    def test_kmeans_assign_is_map_only(self, spark):
+        from pd_utils_spark.extensions import similarity as S
+
+        df = spark.createDataFrame(
+            [(i, [float(i), 0.0]) for i in range(6)],
+            "vec_id int, embedding array<double>",
+        )
+        plan = plan_of(S.kmeans_assign(df, [[0.0, 0.0], [5.0, 0.0]]))
+        # the SCALE.md claim: assignment is an inlined-literal Project
+        # — no shuffle, no join, at ANY corpus size
+        assert "Exchange" not in plan
+        assert "Join" not in plan
+        assert "Project" in plan
+
+    def test_jaccard_join_prefix_single_persist_no_cartesian(self, spark):
+        from pd_utils_spark.extensions.dedup import jaccard_join_prefix
+
+        jsc = spark.sparkContext._jsc.sc()
+        before = jsc.getPersistentRDDs().size()
+        docs = spark.createDataFrame(
+            [(i, f"alpha beta gamma delta epsilon zeta {i}") for i in range(8)],
+            "doc_id int, text string",
+        )
+        out = jaccard_join_prefix(docs, threshold=0.8)
+        try:
+            plan = plan_of(out)
+            # ONE cached relation (the sorted-token frame), consumed
+            # at least three times (prefix index + both verify sides);
+            # candidates come from an equi-join, never a cross product
+            import re
+
+            scans = set(re.findall(r"\((\d+)\) InMemoryTableScan", plan))
+            assert len(scans) >= 3, plan
+            assert "CartesianProduct" not in plan
+            # a cache entry only registers as a persistent RDD once an
+            # action materializes it — run one, then count
+            out.count()
+            assert jsc.getPersistentRDDs().size() == before + 1
+        finally:
+            spark.catalog.clearCache()
+
+    def test_bfs_round_is_one_expand_join_one_anti_join(self, spark):
+        import re
+
+        from pd_utils_spark.extensions.graph import _bfs_round
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4)], "src int, dst int"
+        )
+        e = edges.select(F.col("src").alias("__s__"), F.col("dst").alias("__d__"))
+        frontier = spark.createDataFrame([(1,)], "__n__ int")
+        visited = frontier.select("__n__", F.lit(0).alias("__l__"))
+        plan = plan_of(_bfs_round(e, frontier, visited))
+        joins = re.findall(r"\(\d+\) ([A-Za-z]+Join[A-Za-z]*)", plan)
+        # exactly TWO joins per round: frontier-edge expand + visited
+        # anti — edge-sized shuffles only, nothing quadratic
+        assert len(joins) == 2, joins
+        assert "CartesianProduct" not in plan
+        exchanges = set(re.findall(r"\((\d+)\) Exchange", plan))
+        assert len(exchanges) <= 4, plan  # join inputs + distinct
+
+    def test_k_core_peel_round_shape(self, spark):
+        import re
+
+        from pd_utils_spark.extensions.graph import _peel_round
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (1, 3)], "src int, dst int"
+        )
+        e = edges.select(
+            F.least("src", "dst").alias("lo"),
+            F.greatest("src", "dst").alias("hi"),
+        )
+        plan = plan_of(_peel_round(e, 2))
+        joins = re.findall(r"\(\d+\) ([A-Za-z]+Join[A-Za-z]*)", plan)
+        # ONE degree agg + TWO endpoint semi-joins per peel round
+        assert len(joins) == 2, joins
+        assert "CartesianProduct" not in plan
+        exchanges = set(re.findall(r"\((\d+)\) Exchange", plan))
+        assert len(exchanges) <= 4, plan
+
+    def test_stream_interval_join_batch_twin_no_cartesian(self, spark):
+        """The batch twin of stream_interval_join must plan the key
+        equality INTO the join (one equi-join with the interval as
+        residual condition) — a key-less build would cartesian the
+        two event streams."""
+        import datetime as dt
+        import re
+
+        from pd_utils_spark.streaming.windows import stream_interval_join
+
+        t0 = dt.datetime(2024, 1, 1)
+        left = spark.createDataFrame(
+            [(1, t0)], "user_id int, ts timestamp"
+        )
+        right = spark.createDataFrame(
+            [(1, t0 + dt.timedelta(minutes=5), 1.0)],
+            "user_id int, ts_r timestamp, v double",
+        )
+        plan = plan_of(stream_interval_join(left, right))
+        joins = re.findall(r"\(\d+\) ([A-Za-z]+Join[A-Za-z]*)", plan)
+        assert len(joins) == 1, joins
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan

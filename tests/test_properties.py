@@ -883,3 +883,100 @@ def test_isotonic_calibration_monotone_and_mass_preserving(spark, labels):
         float((cal * out["n"].to_numpy()).sum()), float(out["positives"].sum())
     )
     assert ((cal >= -1e-12) & (cal <= 1 + 1e-12)).all()
+
+
+# --------------------------------------------- round-6 closure properties
+
+_sentence_words = st.sampled_from(["aa", "bb", "cc", "dd"])
+_doc_sentences = st.lists(
+    st.lists(_sentence_words, min_size=1, max_size=3).map(" ".join),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs=st.lists(_doc_sentences, min_size=1, max_size=6))
+def test_dedup_spans_is_idempotent(spark, docs):
+    """Re-running span dedup on its own output must be the identity:
+    the first pass keeps exactly one copy of every duplicated
+    n-sentence span, so the rebuilt corpus contains no duplicated
+    span for a second pass to remove. Non-obvious because the
+    REASSEMBLY step ('. '-joined survivors) creates NEW sentence
+    adjacencies — sentences that were never neighbors become a span
+    after the removal cuts between them — so idempotence certifies
+    that the keeper rule is stable under its own reassembly."""
+    df = spark.createDataFrame(
+        [(i, ". ".join(s)) for i, s in enumerate(docs)],
+        ["doc_id", "text"],
+    )
+    once = D.dedup_spans(df, n=2, out="clean_text")
+    first = {r.doc_id: r.clean_text for r in once.collect()}
+    again = D.dedup_spans(
+        once.select("doc_id", F.col("clean_text").alias("text")),
+        n=2,
+        out="clean_text",
+    )
+    second = {r.doc_id: r.clean_text for r in again.collect()}
+    assert second == first
+
+
+_scd_keys = st.lists(
+    st.integers(min_value=0, max_value=9), min_size=1, max_size=8, unique=True
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    dim_vals=st.dictionaries(
+        st.integers(min_value=0, max_value=9),
+        st.sampled_from(["x", "y", "z"]),
+        min_size=1,
+        max_size=6,
+    ),
+    upd_a=st.dictionaries(
+        st.integers(min_value=0, max_value=4),
+        st.sampled_from(["x", "y", "w"]),
+        max_size=5,
+    ),
+    upd_b=st.dictionaries(
+        st.integers(min_value=5, max_value=9),
+        st.sampled_from(["x", "y", "w"]),
+        max_size=5,
+    ),
+)
+def test_scd2_merge_disjoint_batches_commute(spark, dim_vals, upd_a, upd_b):
+    """Two update batches over DISJOINT key ranges (each stamped with
+    its own effective_ts) must commute: apply A then B, or B then A —
+    the final versioned dimension is identical, because each key's
+    history is touched by at most one batch. The guarantee that makes
+    out-of-order backfill of partitioned update feeds safe."""
+    import datetime as dt
+
+    from pd_utils_spark.extensions.snapshot import scd2_merge
+
+    t0 = dt.datetime(2024, 1, 1)
+    dim = spark.createDataFrame(
+        [(k, v, t0, None, True) for k, v in dim_vals.items()],
+        "k int, attr string, valid_from timestamp, valid_to timestamp, "
+        "is_current boolean",
+    )
+    a = spark.createDataFrame(
+        [(k, v) for k, v in upd_a.items()], "k int, attr string"
+    )
+    b = spark.createDataFrame(
+        [(k, v) for k, v in upd_b.items()], "k int, attr string"
+    )
+    ts_a, ts_b = dt.datetime(2024, 2, 1), dt.datetime(2024, 3, 1)
+
+    def apply(d, batch, ts):
+        if batch.count() == 0:
+            return d
+        return scd2_merge(d, batch, "k", ["attr"], ts)
+
+    ab = apply(apply(dim, a, ts_a), b, ts_b)
+    ba = apply(apply(dim, b, ts_b), a, ts_a)
+    key = ["k", "attr", "valid_from", "valid_to", "is_current"]
+    rows_ab = sorted(map(tuple, ab.select(*key).collect()))
+    rows_ba = sorted(map(tuple, ba.select(*key).collect()))
+    assert rows_ab == rows_ba
