@@ -1,0 +1,155 @@
+"""The STABLE bench instrument: warm-isolated medians for a fixed
+headline query set, replacing cross-round comparison of the serial
+full-suite numbers.
+
+Why it exists (round-5 finding): the serial bench's per-query numbers
+swing up to 4x in BOTH directions on this host (host CPU steal +
+first-execution codegen/JIT + session position — `dedup_minhash_lsh`
+measured 6.55 s in-suite vs 4.3 s warm-isolated, `long_to_wide_multi`
+2.87 s in-suite vs 11-13 s isolated), so a serial sample can neither
+show nor hide a real 30% plan regression. This lane fixes the
+protocol: per query, ONE discarded cold rep (absorbs codegen +
+broadcast/Python-worker spin-up for that query's operator mix), then
+``--reps`` timed warm reps, median reported. `spark.catalog
+.clearCache()` between reps so retained-cache operators (e.g.
+jaccard_join_prefix) measure their full plan each time, not a cache
+hit.
+
+The headline set = the top cost tier of the r5 serial bench + one
+representative per operator family + the two r5 drift suspects
+(flag_outliers_iqr, tf_idf). Keep the SET and the protocol frozen
+across rounds — the medians are the regression reference
+(BASELINE.md); the serial bench remains for totals/coverage only.
+
+Usage:
+    python scripts/bench_headline.py [--sf=DIR] [--reps=N] [--out=F]
+    # default sf0.1, 3 warm reps, JSON to stdout (one line)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry
+from pd_utils_spark.session import get_spark
+
+# Frozen headline set (r6). Order is cost-descending from the r5
+# serial bench so a wall-clock budget cut truncates the cheap tail.
+HEADLINE = [
+    # top cost tier (r5 serial, sf0.1)
+    "candidate_recall",
+    "dedup_minhash_lsh",
+    "near_dup_analysis",
+    "ann_pq_topk",
+    "ann_ivf_topk",
+    "hits",
+    "simhash_near_dup_pairs",
+    "semantic_dedup_kmeans",
+    "groupby_transform_cumsum",
+    "cluster_top_terms",
+    "pagerank",
+    "training_pipeline",
+    "streaming_interval_join",
+    "dedup_cluster_stats",
+    "dedup_keep_best",
+    "long_to_wide_ordinal",
+    "rfm_segments",
+    "source_overlap",
+    "jaccard_join_prefix",
+    "dsir_weights",
+    "bfs_levels",
+    "connected_components",
+    # one per family not already covered above
+    "winsorize",            # reference core: percentile window
+    "reg_by",               # reference core: grouped OLS
+    "left_merge_latest",    # reference core: as-of join
+    "sql_interface",        # TPC-H Q1 through sql()
+    "mann_kendall",         # timeseries
+    "attribution",          # events
+    "target_encode",        # features
+    "auc_by_group",         # metrics
+    "ks_test",              # stats
+    "scd2_merge",           # snapshot/versioning
+    "run_checks",           # data quality
+    "hash_split",           # sampling
+    "language_id",          # text analysis
+    # r5 drift suspects (VERDICT r5 task #2)
+    "flag_outliers_iqr",
+    "tf_idf",
+]
+
+
+def main() -> None:
+    sf_dir = "/root/testdata/sf0.1"
+    reps = 3
+    out_path = None
+    names = list(HEADLINE)
+    for a in sys.argv[1:]:
+        if a.startswith("--sf="):
+            sf_dir = a.split("=", 1)[1]
+        if a.startswith("--reps="):
+            reps = int(a.split("=", 1)[1])
+        if a.startswith("--out="):
+            out_path = a.split("=", 1)[1]
+        if a.startswith("--slice="):
+            # run a contiguous chunk (e.g. --slice=0:20) so the lane
+            # can be produced in resumable pieces and merged
+            lo, hi = a.split("=", 1)[1].split(":")
+            names = names[int(lo):int(hi)]
+    spark = get_spark("bench-headline")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entry.queries()
+    results: dict[str, dict] = {}
+    for name in names:
+        fn = qs[name]
+
+        def run() -> float:
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            spark.catalog.clearCache()
+            return dt
+
+        try:
+            cold = round(run(), 3)  # discarded: codegen + spin-up
+            times = [round(run(), 3) for _ in range(reps)]
+        except Exception as e:  # pragma: no cover
+            print(f"# headline bench error in {name}: {e}", file=sys.stderr)
+            results[name] = {"median": -1.0, "reps": [], "cold": -1.0}
+            continue
+        results[name] = {
+            "median": round(statistics.median(times), 3),
+            "reps": times,
+            "cold": cold,
+        }
+        print(f"# {name}: median={results[name]['median']} reps={times} "
+              f"(cold {cold})", file=sys.stderr, flush=True)
+
+    total = round(sum(r["median"] for r in results.values() if r["median"] > 0), 3)
+    doc = {
+        "metric": "headline_warm_median_sec",
+        "value": total,
+        "unit": "sec",
+        "protocol": f"1 discarded cold rep + {reps} warm reps, median; "
+        "clearCache between reps; one session",
+        "n_queries": len(results),
+        "sf": float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]),
+        "queries": {n: r["median"] for n, r in results.items()},
+        "detail": results,
+    }
+    line = json.dumps(doc)
+    if out_path:
+        with open(out_path, "w") as f:
+            f.write(line + "\n")
+    print(line)
+
+
+if __name__ == "__main__":
+    main()
