@@ -1883,6 +1883,65 @@ def q_binary_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("media_id", "ahash")
 
 
+def q_ahash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undecoded media near-dup pairs (extensions/multimodal.py
+    ahash_near_dup_pairs): corpus = even-id documents as binary
+    payloads plus one-character-mutated copies, fingerprinted by
+    binary_ahash(64); pairs within hamming<=3 come from the
+    max_hamming+1 pigeonhole block equi-join (never all-pairs),
+    verified with a JVM-side zip_with. The mutation perturbs ONE byte
+    so a copy's segment sums — and the global mean every bit compares
+    against — shift slightly: real near-dup hamming, not just exact
+    equality. Oracle replays ahash byte arithmetic, blocks, and
+    hamming."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 2 == 0)
+    )
+    mut = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(
+            F.substring(F.col("text"), 1, 9),
+            F.lit("q"),
+            F.expr("substring(text, 11)"),
+        ).alias("text"),
+    )
+    media = pus_mm.text_to_media(d.unionByName(mut))
+    h = pus_mm.binary_ahash(media, bits=64)
+    out = pus_mm.ahash_near_dup_pairs(h, max_hamming=3)
+    return out.select("id_a", "id_b", "hamming")
+
+
+def q_candidate_recall_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-quality audit #4: the hyperplane-signature generator
+    (similarity.py embedding_near_dup_pairs, planes=8) at its DESIGN
+    point — cosine>=0.99 on a corpus of vec_id<500 embeddings plus
+    exact copies — against the brute_force_pairs truth. Completes
+    the audit matrix: every approximate candidate generator in the
+    repo (MinHash-LSH, SimHash, SemDeDup cells, hyperplane buckets)
+    now has a measured, oracle-replayed pairs-completeness number."""
+    from pd_utils_spark.extensions import similarity as pus_sim2
+
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .filter(F.col("vec_id") < 500)
+    )
+    u = emb.unionByName(
+        emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    )
+    cand = pus_sim2.embedding_near_dup_pairs(
+        u, threshold=0.99, planes=8, dims=64
+    )
+    truth = pus_sim2.brute_force_pairs(u, threshold=0.99, blocks=4)
+    out = pus_dedup.candidate_recall(cand, truth)
+    return out.select(
+        "n_true", "n_cand", "n_hit",
+        F.round("recall", 6).alias("recall"),
+    )
+
+
 def q_decode_image(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode end-to-end: spec-valid BMP headers are
     synthesized in-engine (unhex of little-endian header fields, dims
@@ -2323,6 +2382,12 @@ def _hits_oracle_sql(iters: int = HITS_ITERS) -> str:
                       UNION SELECT DISTINCT d FROM edges)""",
         "h0 AS MATERIALIZED (SELECT n, 1.0 AS h FROM nodes)",
     ]
+    # Mirrors the round-6 Spark restructuring exactly: auth stays
+    # UNNORMALIZED through the round (its scalar norm cancels in
+    # hub's normalization), hub normalizes per round, and the
+    # reported authority normalizes once at the end. Zero rows keep
+    # the LEFT-JOIN form here — zeros change neither the edge sums
+    # nor the L2 norms, so the relational shape is equivalent.
     for i in range(1, iters + 1):
         ctes.append(f"""a{i}r AS MATERIALIZED (
                 SELECT nd.n, coalesce(sum(p.h), 0.0) AS a
@@ -2331,17 +2396,11 @@ def _hits_oracle_sql(iters: int = HITS_ITERS) -> str:
                 LEFT JOIN h{i - 1} p ON p.n = e.s
                 GROUP BY nd.n
             )""")
-        ctes.append(f"""a{i} AS MATERIALIZED (
-                SELECT n, CASE WHEN (SELECT sqrt(sum(a*a)) FROM a{i}r) > 0
-                               THEN a / (SELECT sqrt(sum(a*a)) FROM a{i}r)
-                               ELSE 0.0 END AS a
-                FROM a{i}r
-            )""")
         ctes.append(f"""h{i}r AS MATERIALIZED (
                 SELECT nd.n, coalesce(sum(p.a), 0.0) AS h
                 FROM nodes nd
                 LEFT JOIN edges e ON e.s = nd.n
-                LEFT JOIN a{i} p ON p.n = e.d
+                LEFT JOIN a{i}r p ON p.n = e.d
                 GROUP BY nd.n
             )""")
         ctes.append(f"""h{i} AS MATERIALIZED (
@@ -2350,13 +2409,19 @@ def _hits_oracle_sql(iters: int = HITS_ITERS) -> str:
                                ELSE 0.0 END AS h
                 FROM h{i}r
             )""")
+    ctes.append(f"""afin AS MATERIALIZED (
+                SELECT n, CASE WHEN (SELECT sqrt(sum(a*a)) FROM a{iters}r) > 0
+                               THEN a / (SELECT sqrt(sum(a*a)) FROM a{iters}r)
+                               ELSE 0.0 END AS a
+                FROM a{iters}r
+            )""")
     return (
         "\n            WITH "
         + ",\n            ".join(ctes)
         + f"""
             SELECT h{iters}.n AS node, round(h{iters}.h, 6) AS hub,
-                   round(a{iters}.a, 6) AS authority
-            FROM h{iters} JOIN a{iters} ON a{iters}.n = h{iters}.n
+                   round(afin.a, 6) AS authority
+            FROM h{iters} JOIN afin ON afin.n = h{iters}.n
         """
     )
 
@@ -5523,6 +5588,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "candidate_recall": q_candidate_recall,
         "candidate_recall_simhash": q_candidate_recall_simhash,
         "candidate_recall_semantic": q_candidate_recall_semantic,
+        "candidate_recall_hyperplane": q_candidate_recall_hyperplane,
+        "ahash_near_dup_pairs": q_ahash_near_dup_pairs,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "jaccard_topk": q_jaccard_topk,
         "simhash": q_simhash,
@@ -7343,6 +7410,79 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(bit, '' ORDER BY i) AS ahash
             FROM bitted GROUP BY doc_id
         """,
+        # ahash_near_dup_pairs: replay binary_ahash's integer byte
+        # arithmetic over the mutated-copy corpus, then the pigeonhole
+        # block join + per-position hamming
+        "ahash_near_dup_pairs": """
+            WITH u AS (
+                SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+                UNION ALL
+                SELECT doc_id + 100000,
+                       substr(text, 1, 9) || 'q' || substr(text, 11)
+                FROM documents WHERE doc_id % 2 = 0
+            ),
+            b AS (
+                SELECT doc_id, hex(encode(coalesce(text, ''))) AS hx,
+                       octet_length(encode(coalesce(text, ''))) AS n
+                FROM u
+            ),
+            bytes AS (
+                SELECT doc_id, n, p AS pos,
+                       ('0x' || substring(hx, 2 * p - 1, 2))::BIGINT AS val
+                FROM (SELECT doc_id, n, hx,
+                             unnest(range(1, n + 1)) AS p
+                      FROM b WHERE n > 0)
+            ),
+            segs AS (
+                SELECT doc_id, n,
+                       ((pos - 1) * 64) // n AS seg,
+                       sum(val) AS seg_sum, count(*) AS seg_len
+                FROM bytes GROUP BY 1, 2, 3
+            ),
+            tot AS (
+                SELECT doc_id, sum(val) AS total FROM bytes GROUP BY 1
+            ),
+            grid AS (
+                SELECT d.doc_id, gs.i
+                FROM (SELECT doc_id FROM u) d
+                CROSS JOIN (SELECT unnest(range(0, 64)) AS i) gs
+            ),
+            bitted AS (
+                SELECT g.doc_id, g.i,
+                       CASE WHEN s.seg_sum IS NOT NULL
+                                 AND s.seg_sum * s.n > t.total * s.seg_len
+                            THEN '1' ELSE '0' END AS bit
+                FROM grid g
+                LEFT JOIN segs s ON g.doc_id = s.doc_id AND g.i = s.seg
+                LEFT JOIN tot t ON g.doc_id = t.doc_id
+            ),
+            hashes AS (
+                SELECT doc_id AS media_id,
+                       string_agg(bit, '' ORDER BY i) AS ahash
+                FROM bitted GROUP BY doc_id
+            ),
+            blk AS (
+                SELECT media_id, ahash, t.b AS block,
+                       substr(ahash,
+                              (t.b * length(ahash)) // 4 + 1,
+                              ((t.b + 1) * length(ahash)) // 4
+                              - (t.b * length(ahash)) // 4) AS bv
+                FROM hashes, range(0, 4) t(b)
+            ),
+            cand AS (
+                SELECT a.media_id AS id_a, b.media_id AS id_b,
+                       list_sum(list_transform(range(1, 65), i ->
+                           CASE WHEN substring(a.ahash, i, 1)
+                                     <> substring(b.ahash, i, 1)
+                                THEN 1 ELSE 0 END)) AS hamming
+                FROM blk a JOIN blk b
+                  ON a.block = b.block AND a.bv = b.bv
+                 AND a.media_id < b.media_id
+                GROUP BY 1, 2, 3
+            )
+            SELECT id_a, id_b, cast(hamming AS int) AS hamming
+            FROM cand WHERE hamming <= 3
+        """,
         "media_byte_features": """
             WITH b AS (
                 SELECT doc_id, hex(encode(coalesce(text, ''))) AS hx,
@@ -7751,6 +7891,37 @@ def oracle_sql() -> dict[str, str]:
                 SELECT x.vec_id AS a, y.vec_id AS b
                 FROM ev x JOIN ev y ON x.vec_id < y.vec_id
                 WHERE {_sql_cosine("x.embedding", "y.embedding")} >= 0.4
+            ), hit AS (
+                SELECT t.a, t.b FROM truth t
+                WHERE EXISTS (SELECT 1 FROM cand c
+                              WHERE c.a = t.a AND c.b = t.b)
+            )
+            SELECT (SELECT count(*) FROM truth)::BIGINT AS n_true,
+                   (SELECT count(*) FROM cand)::BIGINT AS n_cand,
+                   (SELECT count(*) FROM hit)::BIGINT AS n_hit,
+                   round((SELECT count(*) FROM hit)::DOUBLE
+                         / (SELECT count(*) FROM truth)::DOUBLE, 6)
+                       AS recall
+        """,
+        "candidate_recall_hyperplane": f"""
+            WITH u AS (
+                SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500
+                UNION ALL
+                SELECT vec_id + 100000, embedding
+                FROM embeddings WHERE vec_id < 500
+            ), sigs AS (
+                SELECT vec_id, embedding,
+                       {_sql_hyperplane_sig("embedding", 8)} AS sig
+                FROM u
+            ), cand AS (
+                SELECT a.vec_id AS a, b.vec_id AS b
+                FROM sigs a JOIN sigs b
+                  ON a.sig = b.sig AND a.vec_id < b.vec_id
+                WHERE {_sql_cosine("a.embedding", "b.embedding")} >= 0.99
+            ), truth AS (
+                SELECT x.vec_id AS a, y.vec_id AS b
+                FROM u x JOIN u y ON x.vec_id < y.vec_id
+                WHERE {_sql_cosine("x.embedding", "y.embedding")} >= 0.99
             ), hit AS (
                 SELECT t.a, t.b FROM truth t
                 WHERE EXISTS (SELECT 1 FROM cand c

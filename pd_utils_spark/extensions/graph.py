@@ -144,11 +144,28 @@ def hits(
     separates genuinely-cited domains from reciprocal-link spam that
     a single PageRank score conflates.
 
-    Scale shape mirrors :func:`pagerank`: each round is two edge
-    joins + two aggregations + two one-row norm aggregates
-    (broadcast-cross-joined back — no driver round trip), and rounds
-    checkpoint so the plan stays flat. Fixed iterations keep per-round
-    driver actions at zero.
+    Scale shape mirrors :func:`pagerank`, with two round-6 algebraic
+    cuts that halve the per-round work at any scale:
+
+    - **Auth normalization is deferred.** The auth norm is a SCALAR,
+      so it cancels inside hub's own normalization
+      (``hub' = (E . a/||a||) / ||E . a/||a|||| = (E . a)/||E . a||``)
+      — each round normalizes only the hub vector; the authority
+      vector is normalized once, when reported. One eager checkpoint
+      + one one-row norm aggregate per round instead of two of each.
+    - **No per-round zero-fill.** Nodes absent from a sum-aggregate
+      have score exactly 0; zeros contribute nothing to the edge sums
+      OR to an L2 norm, so the nodes-frame left joins that used to
+      re-insert them every round were pure shuffle waste. Missing
+      rows are filled once, in the final projection.
+
+    Each round is therefore two edge joins + two aggregations + ONE
+    broadcast norm; rounds checkpoint so the plan stays flat, and
+    fixed iterations keep per-round driver actions at one (the eager
+    checkpoint). Measured 7.18 -> 3.52 s warm median on the sf0.1
+    bench graph (scripts/bench_headline.py, SCALE.md round-6); at
+    100 TB the removed zero-fill joins are node-set-sized shuffles
+    per round.
     """
     if iters < 1:
         raise ValueError(f"iters must be >= 1: {iters}")
@@ -163,7 +180,7 @@ def hits(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
-    def _l2norm(df, col):
+    def _l2norm(df, col, eager=True):
         # EAGER checkpoint before the norm: the crossJoin references
         # `df` twice (the one-row aggregate AND the output rows), so
         # the frame must be materialized or each round recomputes per
@@ -172,7 +189,8 @@ def hits(
         # substitute here: without lineage truncation the nested
         # 10-round plan re-enters Catalyst per reference and
         # optimization time itself explodes (measured minutes).
-        df = df.localCheckpoint(eager=True)
+        if eager:
+            df = df.localCheckpoint(eager=True)
         nrm = df.agg(F.sqrt(F.sum(F.col(col) * F.col(col))).alias("__nrm__"))
         return df.crossJoin(F.broadcast(nrm)).select(
             "__n__",
@@ -183,25 +201,24 @@ def hits(
 
     hub = nodes.select("__n__", F.lit(1.0).alias("__h__"))
     for _ in range(iters):
-        auth = (
+        # UNNORMALIZED auth: its norm cancels in hub's normalization.
+        # Referenced once inside the round, so it needs no checkpoint
+        # of its own — hub's per-round checkpoint keeps lineage flat.
+        auth_u = (
             e.join(hub, e["__s__"] == hub["__n__"])
             .groupBy(F.col("__d__").alias("__n__"))
             .agg(F.sum("__h__").alias("__a__"))
         )
-        auth = nodes.select("__n__").join(auth, "__n__", "left").select(
-            "__n__", F.coalesce("__a__", F.lit(0.0)).alias("__a__")
-        )
-        auth = _l2norm(auth, "__a__")
         hub = (
-            e.join(auth, e["__d__"] == auth["__n__"])
+            e.join(auth_u, e["__d__"] == auth_u["__n__"])
             .groupBy(F.col("__s__").alias("__n__"))
             .agg(F.sum("__a__").alias("__h__"))
         )
-        hub = nodes.select("__n__").join(hub, "__n__", "left").select(
-            "__n__", F.coalesce("__h__", F.lit(0.0)).alias("__h__")
-        )
         hub = _l2norm(hub, "__h__")
-        last_auth = auth
+        last_auth_u = auth_u
+    # authority reported normalized — once, not per round (the final
+    # frame IS referenced twice by its norm, so this one checkpoints)
+    last_auth = _l2norm(last_auth_u, "__a__")
     return (
         nodes.join(hub, "__n__", "left")
         .join(last_auth, "__n__", "left")

@@ -450,3 +450,77 @@ def binary_ahash(
             yield pdf
 
     return df.mapInPandas(kernel, out_schema)
+
+
+def ahash_near_dup_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    idcol: str = "media_id",
+    hashcol: str = "ahash",
+) -> DataFrame:
+    """Near-duplicate media pairs from :func:`binary_ahash`
+    fingerprints: ``(id_a, id_b, hamming)`` with ``id_a < id_b`` and
+    bitstring hamming distance <= ``max_hamming`` — the undecoded
+    twin of perceptual-hash image dedup (same container re-saved,
+    retranscoded media, templated binary payloads). Works on any
+    '0'/'1' fingerprint column, so it composes with whatever hash the
+    decode path produces.
+
+    Scale shape — the pigeonhole plan ``simhash_near_dup_pairs``
+    uses: the fingerprint splits into ``max_hamming + 1`` contiguous
+    blocks; two hashes within ``max_hamming`` MUST agree exactly on
+    at least one block, so candidates come from ``max_hamming + 1``
+    (block_id, block_substring) equi-joins (one exploded join),
+    never an all-pairs comparison. Verification is a JVM-side
+    ``zip_with`` over the two bit arrays — no Python in the join
+    path. Flood behavior: all-identical payloads share every block;
+    dedup exact duplicates first (``ahash`` equality group-by) when
+    the corpus is copy-heavy.
+    """
+    if max_hamming < 0:
+        raise ValueError(f"max_hamming must be >= 0: {max_hamming}")
+    nblocks = max_hamming + 1
+    h = F.col(hashcol)
+    bits = F.length(h)
+    # block b spans [floor(b*len/nblocks) + 1, floor((b+1)*len/nblocks)]
+    # (1-based substring) — same floor partition rule as binary_ahash's
+    # byte segments, so any engine reproduces it from (b, len) alone
+    blk = df.select(
+        F.col(idcol).alias("__id__"),
+        h.alias("__h__"),
+        F.explode(F.sequence(F.lit(0), F.lit(nblocks - 1))).alias("__b__"),
+    ).select(
+        "__id__",
+        "__h__",
+        "__b__",
+        F.expr(
+            f"substring(__h__, cast(__b__ * length(__h__) / {nblocks} as int)"
+            f" + 1, cast((__b__ + 1) * length(__h__) / {nblocks} as int)"
+            f" - cast(__b__ * length(__h__) / {nblocks} as int))"
+        ).alias("__bv__"),
+    )
+    a, b = blk.alias("a"), blk.alias("b")
+    ham = F.aggregate(
+        F.zip_with(
+            F.split(F.col("a.__h__"), "(?!^)"),
+            F.split(F.col("b.__h__"), "(?!^)"),
+            lambda x, y: (x != y).cast("int"),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("a.__b__") == F.col("b.__b__"))
+            & (F.col("a.__bv__") == F.col("b.__bv__"))
+            & (F.col("a.__id__") < F.col("b.__id__")),
+        )
+        .select(
+            F.col("a.__id__").alias("id_a"),
+            F.col("b.__id__").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= max_hamming)
