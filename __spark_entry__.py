@@ -1025,9 +1025,17 @@ def q_candidate_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximate path certified against the complete-recall one, the
     number that justifies every banded dedup. Oracle replays both
     generators and the canonical-pair semi-join."""
+    from pyspark import StorageLevel
+
     u = _docs_with_copies(spark, sf_dir).filter(F.col("doc_id") % 2 == 0)
-    cand = pus_dedup.lsh_candidate_pairs(u, k=3, num_hashes=12, bands=4)
-    truth = pus_dedup.jaccard_join_prefix(u, threshold=0.5)
+    # ONE shingle pass feeds BOTH generators (round 6): tokenize +
+    # shingle is the dominant shared cost of the audit, and both sides
+    # consume the identical (doc_id, shingles) frame
+    sh = pus_dedup.shingle_sets(u, k=3).persist(StorageLevel.MEMORY_AND_DISK)
+    cand = pus_dedup.lsh_candidate_pairs(
+        u, k=3, num_hashes=12, bands=4, shingles=sh
+    )
+    truth = pus_dedup.jaccard_join_prefix(u, threshold=0.5, shingles=sh)
     out = pus_dedup.candidate_recall(cand, truth)
     return out.select(
         "n_true", "n_cand", "n_hit",

@@ -1506,6 +1506,7 @@ def jaccard_join_prefix(
     idcol: str = "doc_id",
     threshold: float = 0.5,
     k: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT Jaccard-threshold similarity join via prefix filtering
     (the PPJoin/AllPairs family, Chaudhuri et al. 2006 / Xiao et al.
@@ -1535,32 +1536,57 @@ def jaccard_join_prefix(
     indexed). Use LSH when thresholds are low (prefixes grow as
     (1-t)·n) or when approximate recall is acceptable.
 
-    Cache note: the sorted-token frame stays persisted after the
-    call because the returned lazy plan reads it three times (prefix
-    index + both verify sides) — in a long-lived session issuing many
-    joins, call ``spark.catalog.clearCache()`` (or unpersist) after
-    your first action, as with :func:`~pd_utils_spark.utils.
-    materialize`.
+    Cache note: TWO frames stay persisted after the call — the
+    compact (id, 64-bit token) frame (read by the document-frequency
+    aggregate and the join back) and the sorted-token frame (read
+    three times: prefix index + both verify sides). In a long-lived
+    session issuing many joins, call ``spark.catalog.clearCache()``
+    (or unpersist) after your first action, as with
+    :func:`~pd_utils_spark.utils.materialize`.
+
+    ``shingles``: optional precomputed :func:`shingle_sets` frame
+    (idcol, shingles) — pass a persisted one to share shingle
+    construction with an LSH stage (the `candidate_recall` audits run
+    both generators over the same corpus; sharing removes one full
+    tokenize+shingle pass).
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1]: {threshold}")
     if k < 1:
         raise ValueError(f"k must be >= 1: {k}")
-    if k == 1:
-        sets = F.array_distinct(_tokens(_norm(F.col(textcol))))
+    if shingles is None:
+        # inline shingle expression under the explode: feeding a
+        # shingle_sets Project into Generate was MEASURED 2x slower
+        # here (the uncollapsed intermediate materializes the token
+        # array per row before the explode; git history r6) — the
+        # opposite tradeoff from minhash, whose per-seed lambda
+        # re-runs the tokenizer O(seeds) times without the split
+        if k == 1:
+            sets = F.array_distinct(_tokens(_norm(F.col(textcol))))
+        else:
+            sets = _shingle_set(F.col(textcol), k)
+        exploded = df.select(
+            F.col(idcol).alias("__id__"), F.explode(sets).alias("__raw__")
+        )
     else:
-        sets = _shingle_set(F.col(textcol), k)
+        exploded = shingles.select(
+            F.col(idcol).alias("__id__"),
+            F.explode(F.col("shingles")).alias("__raw__"),
+        )
     # 60-bit md5 fingerprints replace shingle STRINGS before anything
     # shuffles or compares: long equality beats multi-word string
     # hashing in both the candidate join and the verify intersections
     # (measured 21 s -> ~8 s on the sf0.1 self-join), and the oracle
     # replays the identical md5 arithmetic so exactness is preserved
     # (collision odds over a corpus's shingles are ~n^2 / 2^60)
+    from pyspark import StorageLevel
+
+    # TWO consumers read toks (the document-frequency agg and the
+    # join back) — persisting the compact (id, 64-bit token) frame
+    # halves the tokenize+shingle+md5 work (measured ~4 -> ~2.5 s
+    # warm at sf0.1, r6); same retained-cache contract as sorted_docs
     toks = (
-        df.select(
-            F.col(idcol).alias("__id__"),
-            F.explode(sets).alias("__raw__"),
-        )
+        exploded
         .filter(F.length("__raw__") > 0)
         .select(
             "__id__",
@@ -1568,9 +1594,9 @@ def jaccard_join_prefix(
             .cast("bigint")
             .alias("__tok__"),
         )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     dfreq = toks.groupBy("__tok__").agg(F.count(F.lit(1)).alias("__df__"))
-    from pyspark import StorageLevel
 
     # three consumers read this frame (prefix index + both verify
     # sides); without the persist the tokenize->hash->sort lineage

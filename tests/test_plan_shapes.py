@@ -764,8 +764,9 @@ class TestRound6PlanShapes:
         out = jaccard_join_prefix(docs, threshold=0.8)
         try:
             plan = plan_of(out)
-            # ONE cached relation (the sorted-token frame), consumed
-            # at least three times (prefix index + both verify sides);
+            # TWO cached relations exactly — the (id, token) frame
+            # (consumed by the df agg + join back) and the sorted-doc
+            # frame (prefix index + both verify sides, >= 3 scans);
             # candidates come from an equi-join, never a cross product
             import re
 
@@ -775,7 +776,7 @@ class TestRound6PlanShapes:
             # a cache entry only registers as a persistent RDD once an
             # action materializes it — run one, then count
             out.count()
-            assert jsc.getPersistentRDDs().size() == before + 1
+            assert jsc.getPersistentRDDs().size() == before + 2
         finally:
             spark.catalog.clearCache()
 
