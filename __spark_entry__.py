@@ -835,6 +835,38 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pus_dedup.dedup_spans(corpus, n=3)
 
 
+_BOILER_RUN = (
+    " start of the shared license boilerplate run which is exactly"
+    " long enough to trip the threshold every time"
+)
+
+
+def q_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr token-run dedup (extensions/dedup.py
+    dedup_substrings — Lee et al. 2022 semantics at token
+    granularity, min_tokens=8): REAL document text plus, on every 4th
+    doc, a shared 18-token license-boilerplate suffix. The suffix must
+    survive only in its global lowest-(doc, pos) occurrence; any
+    natural cross-doc duplicated 8-token runs in the synthetic corpus
+    are deduplicated identically by both engines. Oracle replays
+    whitespace tokenization, window fingerprints, keeper choice, and
+    space-joined reassembly."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 4 == 0, F.lit(_BOILER_RUN)).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    out = pus_dedup.dedup_substrings(corpus, min_tokens=8)
+    # hash the rebuilt text so the full surviving content is checked
+    # without hauling it through the compare
+    return out.select("doc_id", F.md5("clean_text").alias("clean_md5"))
+
+
 def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide heaviest word trigrams with occurrence and
     document-frequency counts — the boilerplate-discovery diagnostic
@@ -1919,6 +1951,27 @@ def q_ahash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = pus_mm.binary_ahash(media, bits=64)
     out = pus_mm.ahash_near_dup_pairs(h, max_hamming=3)
     return out.select("id_a", "id_b", "hamming")
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining (extensions/similarity.py
+    hard_negatives): for 5 query vectors, the top-10 most-cosine-
+    similar corpus vectors of a DIFFERENT class (class = vec_id % 5 —
+    deterministic, replayed by the oracle). Broadcast query batch,
+    map-only corpus scan with the label inequality applied before the
+    single top-k exchange."""
+    from pd_utils_spark.extensions import similarity as pus_sim2
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", (F.col("vec_id") % 5).alias("label")
+    )
+    q = emb.filter(F.col("vec_id") < 5)
+    out = pus_sim2.hard_negatives(emb, q, "label", k=10)
+    return out.select(
+        "query_id", "query_label", "vec_id", "label",
+        F.round("cosine", _ROUND).alias("cosine"),
+        F.col("rank").cast("int").alias("rank"),
+    )
 
 
 def q_candidate_recall_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5570,6 +5623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_ngrams": q_top_ngrams,
         "dedup_spans": q_dedup_spans,
         "dedup_spans_against": q_dedup_spans_against,
+        "dedup_substrings": q_dedup_substrings,
         "repeat_sources": q_repeat_sources,
         "char_stats": q_char_stats,
         "readability": q_readability,
@@ -5598,6 +5652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "candidate_recall_semantic": q_candidate_recall_semantic,
         "candidate_recall_hyperplane": q_candidate_recall_hyperplane,
         "ahash_near_dup_pairs": q_ahash_near_dup_pairs,
+        "hard_negatives": q_hard_negatives,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "jaccard_topk": q_jaccard_topk,
         "simhash": q_simhash,
@@ -7128,6 +7183,64 @@ def oracle_sql() -> dict[str, str]:
             FROM corpus c LEFT JOIN kept k ON k.doc_id = c.doc_id
             GROUP BY c.doc_id
         """,
+        "dedup_substrings": f"""
+            WITH corpus AS (
+                SELECT doc_id,
+                       text || CASE WHEN doc_id % 4 = 0
+                                    THEN '{_BOILER_RUN}' ELSE '' END AS text
+                FROM documents
+            ), tok0 AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\\s+') AS a
+                FROM corpus
+            ), toks0 AS (
+                SELECT doc_id, u.i AS p0, u.t AS tok
+                FROM (SELECT doc_id,
+                             unnest(list_transform(
+                                 generate_series(1, len(a)),
+                                 i -> {{'i': i, 't': a[i]}})) AS u
+                      FROM tok0)
+            ), toks AS (
+                SELECT doc_id,
+                       row_number() OVER (PARTITION BY doc_id ORDER BY p0)
+                           AS pos,
+                       tok
+                FROM toks0 WHERE length(tok) > 0
+            ), per AS (
+                SELECT doc_id, list(tok ORDER BY pos) AS arr
+                FROM toks GROUP BY doc_id
+            ), wins AS (
+                SELECT doc_id, u.i AS pos, md5(u.t) AS fp
+                FROM (SELECT doc_id,
+                             unnest(CASE WHEN len(arr) >= 8 THEN
+                                 list_transform(
+                                     generate_series(1, len(arr) - 7),
+                                     i -> {{'i': i,
+                                           't': array_to_string(arr[i:i+7], ' ')}})
+                             ELSE NULL END) AS u
+                      FROM per)
+            ), ranked AS (
+                SELECT doc_id, pos,
+                       row_number() OVER (PARTITION BY fp
+                                          ORDER BY doc_id, pos) AS rk,
+                       count(*) OVER (PARTITION BY fp) AS cnt
+                FROM wins
+            ), removal AS (
+                SELECT DISTINCT r.doc_id, r.pos + t.j AS pos
+                FROM ranked r, range(0, 8) t(j)
+                WHERE r.cnt > 1 AND r.rk > 1
+            ), kept AS (
+                SELECT t.doc_id, t.pos, t.tok FROM toks t
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM removal x
+                    WHERE x.doc_id = t.doc_id AND x.pos = t.pos)
+            )
+            SELECT c.doc_id,
+                   md5(coalesce(string_agg(k.tok, ' ' ORDER BY k.pos), ''))
+                       AS clean_md5
+            FROM corpus c LEFT JOIN kept k ON k.doc_id = c.doc_id
+            GROUP BY c.doc_id
+        """,
         "dedup_spans_against": """
             WITH hist AS (
                 SELECT doc_id,
@@ -7910,6 +8023,31 @@ def oracle_sql() -> dict[str, str]:
                    round((SELECT count(*) FROM hit)::DOUBLE
                          / (SELECT count(*) FROM truth)::DOUBLE, 6)
                        AS recall
+        """,
+        "hard_negatives": f"""
+            WITH e AS (
+                SELECT vec_id, embedding, vec_id % 5 AS label
+                FROM embeddings
+            ), q AS (
+                SELECT vec_id AS query_id, embedding AS qv,
+                       label AS query_label
+                FROM e WHERE vec_id < 5
+            ), scored AS (
+                SELECT q.query_id, q.query_label, e.vec_id, e.label,
+                       {_sql_cosine("e.embedding", "q.qv")} AS cosine
+                FROM e CROSS JOIN q
+                WHERE e.vec_id <> q.query_id
+                  AND e.label IS DISTINCT FROM q.query_label
+            ), ranked AS (
+                SELECT *,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cosine DESC, vec_id)
+                           AS rank
+                FROM scored
+            )
+            SELECT query_id, query_label, vec_id, label,
+                   round(cosine, {r}) AS cosine, cast(rank AS int) AS rank
+            FROM ranked WHERE rank <= 10
         """,
         "candidate_recall_hyperplane": f"""
             WITH u AS (

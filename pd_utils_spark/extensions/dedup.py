@@ -704,6 +704,118 @@ def dedup_spans(
     return _rebuild_from_sentences(df, s, removal, idcol, out)
 
 
+def dedup_substrings(
+    df: DataFrame,
+    textcol: str = "text",
+    idcol: str = "doc_id",
+    min_tokens: int = 20,
+    out: str = "clean_text",
+) -> DataFrame:
+    """ExactSubstr-style duplicated-substring removal at TOKEN
+    granularity (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better" §4.1: remove every duplicated substring
+    above a length threshold, keeping one occurrence): every window
+    of ``min_tokens`` consecutive whitespace tokens is fingerprinted;
+    a window whose fingerprint occurs more than once in the corpus
+    keeps only its GLOBAL lowest-(doc, position) occurrence, and
+    every token covered by a non-keeper duplicate window is removed.
+    Because a duplicated run of L >= min_tokens tokens contains
+    L - min_tokens + 1 duplicated windows covering all L positions,
+    maximal duplicated runs are removed in full while runs shorter
+    than ``min_tokens`` are never touched — the paper's
+    length-thresholded semantics without suffix arrays. Documents are
+    rebuilt from surviving tokens joined with a single space
+    (whitespace normalization is the price of the engine-portable
+    tokenizer; token BYTES are preserved exactly, unlike the
+    period-normalizing sentence splitter of :func:`dedup_spans`).
+
+    Complements the family: :func:`dedup_lines` (verbatim LINE
+    boilerplate), :func:`dedup_spans` (sentence-span C4 rule), this
+    (token-exact runs that respect neither line nor sentence
+    boundaries — the licence-header/navigation-chrome case the paper
+    targets).
+
+    Determinism note: when different windows of one long duplicated
+    region have different global keepers (interleaved corpora), the
+    region can be partially removed on every copy; with the usual
+    lowest-doc-first layout one copy survives intact. The rule is a
+    pure function of the data either way.
+
+    Scale shape: two shuffles on the 16-byte window fingerprint
+    (keeper window + count), one token-level anti join, one per-doc
+    reassembly aggregate — the :func:`dedup_spans` plan at token
+    granularity. A boilerplate run repeated across millions of
+    documents is one fingerprint partition of (doc, pos) pairs;
+    nothing is ever all-pairs and no suffix array is materialized.
+    """
+    from pyspark.sql import Window
+
+    if min_tokens < 1:
+        raise ValueError(f"min_tokens must be >= 1: {min_tokens}")
+    k = min_tokens
+    raw = df.select(
+        F.col(idcol),
+        F.posexplode_outer(
+            F.split(F.trim(F.col(textcol)), r"\s+")
+        ).alias("__p0__", "__tok__"),
+    )
+    toks = raw.filter(F.length("__tok__") > 0).withColumn(
+        "pos",
+        F.row_number().over(Window.partitionBy(idcol).orderBy("__p0__")),
+    )
+    per = toks.groupBy(idcol).agg(
+        F.array_sort(
+            F.collect_list(F.struct("pos", F.col("__tok__").alias("t")))
+        ).alias("__st__")
+    ).select(
+        idcol,
+        F.transform(F.col("__st__"), lambda s: s["t"]).alias("__arr__"),
+    )
+    n = F.size("__arr__")
+    wins = per.filter(n >= k).select(
+        F.col(idcol),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), n - F.lit(k - 1)),
+                lambda i: F.md5(F.concat_ws(" ", F.slice("__arr__", i, k))),
+            )
+        ).alias("__w0__", "fp"),
+    ).select(idcol, (F.col("__w0__") + 1).alias("pos"), "fp")
+    wfp = Window.partitionBy("fp")
+    ranked = wins.withColumn(
+        "__rk__", F.row_number().over(wfp.orderBy(idcol, "pos"))
+    ).withColumn("__cnt__", F.count(F.lit(1)).over(wfp))
+    removal = (
+        ranked.filter((F.col("__cnt__") > 1) & (F.col("__rk__") > 1))
+        .select(
+            F.col(idcol),
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    kept = toks.join(removal, [idcol, "pos"], "left_anti")
+    rebuilt = kept.groupBy(idcol).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("pos"), F.col("__tok__").alias("t"))
+                    )
+                ),
+                lambda x: x["t"],
+            ),
+        ).alias(out)
+    )
+    return (
+        df.select(idcol).distinct()
+        .join(rebuilt, idcol, "left")
+        .fillna({out: ""})
+    )
+
+
 def _sentences(df: DataFrame, textcol: str, idcol: str) -> DataFrame:
     """(id, pos, __sent__): period-split, trimmed, empties dropped,
     positions compacted per doc — the shared sentence stage of the

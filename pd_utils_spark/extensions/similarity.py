@@ -87,6 +87,58 @@ def brute_force_topk(
     )
 
 
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    labelcol: str,
+    k: int = 10,
+    idcol: str = "vec_id",
+    veccol: str = "embedding",
+    qidcol: str = "query_id",
+    out_sim: str = "cosine",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training data: for each
+    query, the ``k`` corpus vectors MOST similar by cosine whose
+    ``labelcol`` DIFFERS from the query's — the near-misses that teach
+    an embedding model its decision boundary (random negatives are
+    trivially separable; hard negatives are where the gradient is).
+    Output: ``(query_id, query_label, vec_id, label, cosine, rank)``,
+    rank 1..k per query, ties broken by ``idcol`` for determinism.
+    Self-pairs are excluded by id.
+
+    Scale shape — same contract as :func:`brute_force_topk`: the
+    query batch is broadcast (mining runs per training batch, so
+    queries are small by construction), the corpus is scanned once
+    map-only with the label inequality applied BEFORE ranking (rows
+    of the query's own class never reach the top-k heap), and the
+    only exchange is the per-query top-k. For corpus-scale query
+    sets, mine in batches or feed an IVF/LSH candidate set through
+    the same window.
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(idcol).alias(qidcol),
+        F.col(veccol).alias("__qvec__"),
+        F.col(labelcol).alias("query_label"),
+    )
+    scored = (
+        corpus.select(idcol, veccol, labelcol)
+        .crossJoin(F.broadcast(q))
+        .filter(
+            (F.col(idcol) != F.col(qidcol))
+            & ~F.col(labelcol).eqNullSafe(F.col("query_label"))
+        )
+        .withColumn(out_sim, cosine(F.col(veccol), F.col("__qvec__")))
+    )
+    w = Window.partitionBy(qidcol).orderBy(F.desc(out_sim), F.col(idcol))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qidcol, "query_label", idcol, labelcol, out_sim, "rank")
+    )
+
+
 def hyperplane_signature(
     df: DataFrame,
     veccol: str = "embedding",

@@ -871,3 +871,66 @@ class TestCandidateRecall:
         r = candidate_recall(cand, truth).collect()[0]
         assert r.n_true == 0 and r.recall is None
         assert r.reduction_ratio is None
+
+
+class TestDedupSubstrings:
+    def test_keeps_lowest_occurrence_and_threshold(self, spark):
+        from pd_utils_spark.extensions.dedup import dedup_substrings
+
+        boiler = " ".join(f"lic{i}" for i in range(10))
+        docs = [
+            (0, "alpha beta gamma " + boiler + " delta epsilon"),
+            (1, "one two three " + boiler + " four five"),
+            (2, "unique text with no duplication at all here"),
+            # 5-token partial copy: below the 10-token threshold
+            (3, "short " + " ".join(f"lic{i}" for i in range(5)) + " tail"),
+        ]
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        out = {
+            r.doc_id: r.clean_text
+            for r in dedup_substrings(df, min_tokens=10).collect()
+        }
+        assert boiler in out[0]                      # global keeper
+        assert out[1] == "one two three four five"   # run excised in full
+        assert out[2] == docs[2][1]                  # untouched
+        assert out[3] == docs[3][1]                  # below threshold
+
+    def test_run_longer_than_window_removed_in_full(self, spark):
+        # a 14-token duplicated run with min_tokens=8: the 7 duplicated
+        # windows cover all 14 positions — maximal-run semantics
+        from pd_utils_spark.extensions.dedup import dedup_substrings
+
+        run = " ".join(f"r{i}" for i in range(14))
+        df = spark.createDataFrame(
+            [(0, "x " + run + " y"), (1, "p q " + run + " z")],
+            ["doc_id", "text"],
+        )
+        out = {
+            r.doc_id: r.clean_text
+            for r in dedup_substrings(df, min_tokens=8).collect()
+        }
+        assert out[0] == "x " + run + " y"
+        assert out[1] == "p q z"
+
+    def test_idempotent_and_empty_doc(self, spark):
+        from pd_utils_spark.extensions.dedup import dedup_substrings
+
+        run = " ".join(f"t{i}" for i in range(9))
+        df = spark.createDataFrame(
+            [(0, run), (1, run), (2, "")], ["doc_id", "text"]
+        )
+        once = dedup_substrings(df, min_tokens=9)
+        first = {r.doc_id: r.clean_text for r in once.collect()}
+        assert first == {0: run, 1: "", 2: ""}
+        again = dedup_substrings(
+            once.withColumnRenamed("clean_text", "text"),
+            min_tokens=9,
+        )
+        assert {r.doc_id: r.clean_text for r in again.collect()} == first
+
+    def test_validation(self, spark):
+        from pd_utils_spark.extensions.dedup import dedup_substrings
+
+        df = spark.createDataFrame([(0, "a b")], ["doc_id", "text"])
+        with pytest.raises(ValueError, match="min_tokens"):
+            dedup_substrings(df, min_tokens=0)

@@ -633,3 +633,49 @@ class TestBruteForcePairs:
 
         with _pt.raises(ValueError, match="blocks"):
             S.brute_force_pairs(df, 0.5, blocks=0)
+
+
+class TestHardNegatives:
+    def test_excludes_same_label_and_ranks_by_cosine(self, spark):
+        import numpy as np
+
+        rng = np.random.RandomState(3)
+        vecs = rng.normal(0, 1, (40, 8))
+        df = spark.createDataFrame(
+            [(int(i), [float(x) for x in v], int(i % 3))
+             for i, v in enumerate(vecs)],
+            "vec_id int, embedding array<double>, label int",
+        )
+        q = df.filter("vec_id < 2")
+        out = S.hard_negatives(df, q, "label", k=5).collect()
+        Vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        cos = Vn @ Vn.T
+        for qid in (0, 1):
+            rows = sorted(
+                [r for r in out if r.query_id == qid], key=lambda r: r.rank
+            )
+            assert len(rows) == 5
+            for r in rows:
+                assert r.label != qid % 3      # never the query's class
+                assert r.vec_id != qid
+                assert r.query_label == qid % 3
+            # matches the numpy reference ranking over other-class items
+            ref = sorted(
+                ((cos[qid, j], -j) for j in range(40)
+                 if j != qid and j % 3 != qid % 3),
+                reverse=True,
+            )[:5]
+            got = [(round(r.cosine, 9), -r.vec_id) for r in rows]
+            ref9 = [(round(c, 9), nj) for c, nj in ref]
+            assert got == ref9
+
+    def test_null_labels_are_negatives_for_labeled_queries(self, spark):
+        # eqNullSafe semantics: a NULL-labeled corpus row differs from
+        # a labeled query, so it is a legitimate negative
+        df = spark.createDataFrame(
+            [(0, [1.0, 0.0], "a"), (1, [0.9, 0.1], None), (2, [0.8, 0.2], "a")],
+            "vec_id int, embedding array<double>, label string",
+        )
+        q = df.filter("vec_id = 0")
+        got = {r.vec_id for r in S.hard_negatives(df, q, "label", k=5).collect()}
+        assert got == {1}  # same-label 2 excluded, null-label 1 kept
