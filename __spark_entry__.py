@@ -3309,7 +3309,15 @@ def q_sql_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     subquery re-joins ps/supplier/nation/region to find the regional
     minimum cost. Catalyst must decorrelate this into one aggregate +
     join (plan lock in tests/test_plan_shapes.py), not re-run the
-    4-way join per part."""
+    4-way join per part.
+
+    Rounding note: ps_supplycost is a double QUOTIENT, and the two
+    engines' round() diverge on binary-representation boundaries
+    (Spark rounds the exact BigDecimal expansion HALF_UP; DuckDB
+    multiply-shifts — observed one boundary flip at sf0.001:
+    26.2412 vs 26.2413). Both sides therefore use the identical IEEE
+    sequence floor(x * 1e4 + 0.5) / 1e4, which is scale-factor-robust
+    by construction."""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
     s = _t(spark, sf_dir, "supplier")
@@ -3327,7 +3335,8 @@ def q_sql_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM li_t GROUP BY l_partkey, l_suppkey
         )
         SELECT s.s_acctbal, s.s_name, n.n_name AS nation, p.p_partkey,
-               round(ps.ps_supplycost, 4) AS ps_supplycost
+               floor(ps.ps_supplycost * 10000 + 0.5) / 10000.0
+                   AS ps_supplycost
         FROM p_t p CROSS JOIN s_t s CROSS JOIN n_t n CROSS JOIN r_t r
              CROSS JOIN ps
         WHERE p.p_partkey = ps.l_partkey
@@ -9667,7 +9676,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM lineitem GROUP BY l_partkey, l_suppkey
             )
             SELECT s.s_acctbal, s.s_name, n.n_name AS nation, p.p_partkey,
-                   round(ps.ps_supplycost, 4) AS ps_supplycost
+                   floor(ps.ps_supplycost * 10000 + 0.5) / 10000.0
+                       AS ps_supplycost
             FROM part p, supplier s, nation n, region r, ps
             WHERE p.p_partkey = ps.l_partkey
               AND s.s_suppkey = ps.l_suppkey
