@@ -1704,6 +1704,44 @@ def q_streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming NEAR-duplicate dedup driven through the engine
+    end-to-end (streaming/stateful.py streaming_band_dedup): the
+    documents parquet is consumed via readStream, each row gets its
+    one-band MinHash LSH key as a pure column expression (3 hashes
+    over 3-shingles — batch band 0 bit-for-bit), and band-key
+    duplicates are dropped across micro-batches with keyed dedup
+    state; memory sink, Trigger.AvailableNow. Survivor row identity
+    depends on intra-batch arrival order, but the surviving band-KEY
+    set is deterministic (keep-one-per-key => the distinct-key set),
+    which is what the oracle replays relationally."""
+    from pd_utils_spark.extensions.dedup import minhash_band_key
+    from pd_utils_spark.streaming.stateful import streaming_band_dedup
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    sdf = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    deduped = streaming_band_dedup(sdf, textcol="text")
+    name = "streaming_near_dedup_sink"
+    with _stream_state_partitions(spark):
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        spark.table(name)
+        .select(minhash_band_key(F.col("text"), 3, 3).alias("band_key"))
+        .distinct()
+    )
+
+
 def q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment (streaming/windows.py
     stream_static_enrich) driven through the streaming engine
@@ -5596,6 +5634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution": q_attribution,
         "cluster_top_terms": q_cluster_top_terms,
         "streaming_exact_dedup": q_streaming_exact_dedup,
+        "streaming_near_dedup": q_streaming_near_dedup,
         "cooccurrence_lift": q_cooccurrence_lift,
         "diff_in_diff": q_diff_in_diff,
         "purged_kfold": q_purged_kfold,
@@ -11019,6 +11058,15 @@ def oracle_sql() -> dict[str, str]:
         SELECT DISTINCT
                md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
         FROM documents
+    """
+    # streaming_near_dedup: keep-one-per-band-key => the surviving key
+    # set IS the distinct band-0 key set, order-free and relational
+    d["streaming_near_dedup"] = f"""
+        WITH sh AS (
+            SELECT doc_id, {_SQL_SHINGLES} AS s FROM documents
+        )
+        SELECT DISTINCT md5((list_min(list_transform(s, x -> (117985133 * ((('0x' || substr(md5(x), 1, 15))::BIGINT) & 2147483647) + 1238905457) % 2147483647)))::VARCHAR || '|' || (list_min(list_transform(s, x -> (756404818 * ((('0x' || substr(md5(x), 1, 15))::BIGINT) & 2147483647) + 963764940) % 2147483647)))::VARCHAR || '|' || (list_min(list_transform(s, x -> (758441858 * ((('0x' || substr(md5(x), 1, 15))::BIGINT) & 2147483647) + 1943766764) % 2147483647)))::VARCHAR) AS band_key
+        FROM sh
     """
     d["best_split"] = """
         WITH cells AS (

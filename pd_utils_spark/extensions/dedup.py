@@ -301,6 +301,43 @@ def lsh_plan(
     return best[1]
 
 
+def minhash_band_key(
+    textcol: Column,
+    k: int = 3,
+    rows_per_band: int = 3,
+) -> Column:
+    """Band-0 LSH key as a PURE per-row column expression — the first
+    ``rows_per_band`` minhash values over distinct ``k``-word
+    shingles, '|'-joined and md5'd. Bit-identical to batch band 0 of
+    :func:`lsh_band_keys` (same universal-hash constants, same key
+    format) but with no explode and no shuffle, which is what a
+    streaming dedup needs (:func:`pd_utils_spark.streaming.stateful.
+    streaming_band_dedup`). Evaluates ``rows_per_band`` transforms
+    per row — fine for small bands; the explode+agg
+    :func:`minhash_signature` is the batch path for full signatures.
+    """
+    sets = _shingle_set(textcol, k)
+
+    def _base(s: Column) -> Column:
+        return (
+            F.conv(F.substring(F.md5(s), 1, 15), 16, 10)
+            .cast("bigint")
+            .bitwiseAND(F.lit((1 << 31) - 1))
+        )
+
+    def _minhash(a: int, c: int) -> Column:
+        return F.array_min(
+            F.transform(
+                sets,
+                lambda s: (F.lit(a) * _base(s) + F.lit(c))
+                % F.lit(_MERSENNE_P),
+            )
+        )
+
+    mins = [_minhash(a, c) for a, c in _minhash_coeffs(rows_per_band)]
+    return F.md5(F.concat_ws("|", *[m.cast("string") for m in mins]))
+
+
 def lsh_band_keys(
     df: DataFrame,
     sigcol: str = "minhash_sig",

@@ -3,6 +3,7 @@ extension; the reference is batch-only)."""
 
 from pd_utils_spark.streaming.stateful import (
     stateful_running_agg,
+    streaming_band_dedup,
     streaming_exact_dedup,
     streaming_minhash_dedup,
     streaming_sessionize,

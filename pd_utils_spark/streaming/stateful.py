@@ -53,6 +53,63 @@ def streaming_exact_dedup(
     return deduped.drop("__fp__")
 
 
+def streaming_band_dedup(
+    sdf: DataFrame,
+    textcol: str = "text",
+    k: int = 3,
+    rows_per_band: int = 3,
+    tscol: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming NEAR-duplicate dedup via ONE MinHash LSH band: each
+    document's first ``rows_per_band`` minhash values (over distinct
+    ``k``-word shingles) form a band key; documents whose band key was
+    already seen are dropped across micro-batches with Spark's keyed
+    dedup state. A pair with Jaccard similarity J collides with
+    probability ``J^rows_per_band`` (one-band LSH S-curve — tune
+    ``rows_per_band`` down for more recall, up for more precision;
+    ``lsh_plan`` computes the curve), so this is the
+    recall-configurable streaming counterpart of the banded batch path
+    (:func:`pd_utils_spark.extensions.dedup.dedup_minhash_lsh` runs
+    ``bands`` such tables and verifies candidates exactly — exact
+    verification needs the earlier survivor's shingles, i.e.
+    corpus-sized state, which is precisely what a stream cannot hold).
+    When exact verification IS required on a stream, use the heavier
+    sibling :func:`streaming_minhash_dedup`
+    (same module) — a ``foreachBatch`` pipeline that
+    round-trips a persistent fingerprint-history table per
+    micro-batch; this operator is the in-engine, state-store-only
+    form (no external history, no per-batch batch jobs).
+
+    The band key matches BATCH band 0 of the standard signature
+    bit-for-bit (same md5 universal-hash constants, same '|'-joined
+    md5 key), so the surviving-key set equals the batch rule's and a
+    relational oracle can replay it. With ``tscol`` + ``watermark``
+    the per-key state is evicted once the watermark passes (bounded
+    state); without it state grows with distinct band keys.
+
+    Scale shape: the signature is computed per row as a pure column
+    expression (``array_min`` over ``transform`` per hash — NO
+    explode, NO shuffle, streaming-safe), and only ``rows_per_band``
+    hashes are evaluated, not the full batch signature. Null/empty
+    text hashes to one shared key (all such docs dedup together) —
+    filter upstream if that is not wanted.
+    """
+    from pd_utils_spark.extensions.dedup import minhash_band_key
+
+    if rows_per_band < 1:
+        raise ValueError(f"rows_per_band must be >= 1: {rows_per_band}")
+    out = sdf.withColumn(
+        "__bk__", minhash_band_key(F.col(textcol), k, rows_per_band)
+    )
+    if tscol is not None:
+        out = out.withWatermark(tscol, watermark)
+        deduped = out.dropDuplicatesWithinWatermark(["__bk__"])
+    else:
+        deduped = out.dropDuplicates(["__bk__"])
+    return deduped.drop("__bk__")
+
+
 def streaming_sessionize(
     sdf: DataFrame,
     usercol: str = "user_id",
