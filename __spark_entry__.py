@@ -867,6 +867,36 @@ def q_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.md5("clean_text").alias("clean_md5"))
 
 
+def q_dedup_substrings_against(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ExactSubstr dedup (extensions/dedup.py
+    dedup_substrings_against): a synthetic history corpus carries the
+    shared license boilerplate; every 3rd batch doc appends the same
+    run, which must be excised from EVERY batch occurrence (history
+    holds the kept copy) while batch-internal duplication is left
+    untouched — the ingestion contract shared with dedup_spans_against
+    and exact_dedup_against. Oracle replays history fingerprinting,
+    the semi-join removal, and reassembly."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    hist = d.filter(F.col("doc_id") < 100).select(
+        "doc_id",
+        F.concat(
+            F.lit("hist doc "), F.col("doc_id").cast("string"),
+            F.lit(" filler words"), F.lit(_BOILER_RUN),
+        ).alias("text"),
+    )
+    batch = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(_BOILER_RUN)).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    out = pus_dedup.dedup_substrings_against(batch, hist, min_tokens=8)
+    return out.select("doc_id", F.md5("clean_text").alias("clean_md5"))
+
+
 def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide heaviest word trigrams with occurrence and
     document-frequency counts — the boilerplate-discovery diagnostic
@@ -2009,6 +2039,29 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "query_label", "vec_id", "label",
         F.round("cosine", _ROUND).alias("cosine"),
         F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def q_candidate_recall_streamband(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-quality audit #5: the ONE-band generator that
+    streaming_band_dedup uses (3 minhash rows, single band — the only
+    shape a stream's keyed state can hold) measured against the same
+    exact Jaccard>=0.5 prefix-join truth as the LSH/SimHash audits,
+    same corpus. One band trades recall for bounded streaming state
+    (P(collide | J) = J^3 vs the 4-band S-curve); this row pins the
+    actual number so the tradeoff is measured, not folklore."""
+    from pyspark import StorageLevel
+
+    u = _docs_with_copies(spark, sf_dir).filter(F.col("doc_id") % 2 == 0)
+    sh = pus_dedup.shingle_sets(u, k=3).persist(StorageLevel.MEMORY_AND_DISK)
+    cand = pus_dedup.lsh_candidate_pairs(
+        u, k=3, num_hashes=3, bands=1, shingles=sh
+    )
+    truth = pus_dedup.jaccard_join_prefix(u, threshold=0.5, shingles=sh)
+    out = pus_dedup.candidate_recall(cand, truth)
+    return out.select(
+        "n_true", "n_cand", "n_hit",
+        F.round("recall", 6).alias("recall"),
     )
 
 
@@ -5672,6 +5725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans": q_dedup_spans,
         "dedup_spans_against": q_dedup_spans_against,
         "dedup_substrings": q_dedup_substrings,
+        "dedup_substrings_against": q_dedup_substrings_against,
         "repeat_sources": q_repeat_sources,
         "char_stats": q_char_stats,
         "readability": q_readability,
@@ -5699,6 +5753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "candidate_recall_simhash": q_candidate_recall_simhash,
         "candidate_recall_semantic": q_candidate_recall_semantic,
         "candidate_recall_hyperplane": q_candidate_recall_hyperplane,
+        "candidate_recall_streamband": q_candidate_recall_streamband,
         "ahash_near_dup_pairs": q_ahash_near_dup_pairs,
         "hard_negatives": q_hard_negatives,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -7289,6 +7344,88 @@ def oracle_sql() -> dict[str, str]:
             FROM corpus c LEFT JOIN kept k ON k.doc_id = c.doc_id
             GROUP BY c.doc_id
         """,
+        "dedup_substrings_against": f"""
+            WITH hist AS (
+                SELECT doc_id,
+                       'hist doc ' || doc_id || ' filler words{_BOILER_RUN}'
+                           AS text
+                FROM documents WHERE doc_id < 100
+            ), batch AS (
+                SELECT doc_id,
+                       text || CASE WHEN doc_id % 3 = 0
+                                    THEN '{_BOILER_RUN}' ELSE '' END AS text
+                FROM documents
+            ), htok AS (
+                SELECT doc_id,
+                       row_number() OVER (PARTITION BY doc_id ORDER BY p0)
+                           AS pos,
+                       tok
+                FROM (SELECT doc_id, u.i AS p0, u.t AS tok
+                      FROM (SELECT doc_id,
+                                   unnest(list_transform(
+                                       generate_series(1, len(a)),
+                                       i -> {{'i': i, 't': a[i]}})) AS u
+                            FROM (SELECT doc_id,
+                                         regexp_split_to_array(trim(text),
+                                                               '\\s+') AS a
+                                  FROM hist)))
+                WHERE length(tok) > 0
+            ), hper AS (
+                SELECT doc_id, list(tok ORDER BY pos) AS arr
+                FROM htok GROUP BY doc_id
+            ), hfp AS (
+                SELECT DISTINCT md5(u.t) AS fp
+                FROM (SELECT unnest(CASE WHEN len(arr) >= 8 THEN
+                          list_transform(
+                              generate_series(1, len(arr) - 7),
+                              i -> {{'i': i,
+                                    't': array_to_string(arr[i:i+7], ' ')}})
+                      ELSE NULL END) AS u
+                      FROM hper)
+            ), btok AS (
+                SELECT doc_id,
+                       row_number() OVER (PARTITION BY doc_id ORDER BY p0)
+                           AS pos,
+                       tok
+                FROM (SELECT doc_id, u.i AS p0, u.t AS tok
+                      FROM (SELECT doc_id,
+                                   unnest(list_transform(
+                                       generate_series(1, len(a)),
+                                       i -> {{'i': i, 't': a[i]}})) AS u
+                            FROM (SELECT doc_id,
+                                         regexp_split_to_array(trim(text),
+                                                               '\\s+') AS a
+                                  FROM batch)))
+                WHERE length(tok) > 0
+            ), bper AS (
+                SELECT doc_id, list(tok ORDER BY pos) AS arr
+                FROM btok GROUP BY doc_id
+            ), bwins AS (
+                SELECT doc_id, u.i AS pos, md5(u.t) AS fp
+                FROM (SELECT doc_id,
+                             unnest(CASE WHEN len(arr) >= 8 THEN
+                                 list_transform(
+                                     generate_series(1, len(arr) - 7),
+                                     i -> {{'i': i,
+                                           't': array_to_string(arr[i:i+7], ' ')}})
+                             ELSE NULL END) AS u
+                      FROM bper)
+            ), removal AS (
+                SELECT DISTINCT w.doc_id, w.pos + t.j AS pos
+                FROM bwins w, range(0, 8) t(j)
+                WHERE EXISTS (SELECT 1 FROM hfp h WHERE h.fp = w.fp)
+            ), kept AS (
+                SELECT t.doc_id, t.pos, t.tok FROM btok t
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM removal x
+                    WHERE x.doc_id = t.doc_id AND x.pos = t.pos)
+            )
+            SELECT b.doc_id,
+                   md5(coalesce(string_agg(k.tok, ' ' ORDER BY k.pos), ''))
+                       AS clean_md5
+            FROM batch b LEFT JOIN kept k ON k.doc_id = b.doc_id
+            GROUP BY b.doc_id
+        """,
         "dedup_spans_against": """
             WITH hist AS (
                 SELECT doc_id,
@@ -8096,6 +8233,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, query_label, vec_id, label,
                    round(cosine, {r}) AS cosine, cast(rank AS int) AS rank
             FROM ranked WHERE rank <= 10
+        """,
+        "candidate_recall_streamband": f"""
+            WITH u AS (
+                SELECT doc_id, text FROM (
+                    SELECT doc_id, text FROM documents
+                    UNION ALL
+                    SELECT doc_id + 100000, text FROM documents
+                ) WHERE doc_id % 2 = 0
+            ),
+            sh AS (
+                SELECT doc_id, {_SQL_SHINGLES} AS s FROM u
+            ), keys AS (
+                SELECT doc_id, md5((list_min(list_transform(s, x -> (117985133 * ((('0x' || substr(md5(x), 1, 15))::BIGINT) & 2147483647) + 1238905457) % 2147483647)))::VARCHAR || '|' || (list_min(list_transform(s, x -> (756404818 * ((('0x' || substr(md5(x), 1, 15))::BIGINT) & 2147483647) + 963764940) % 2147483647)))::VARCHAR || '|' || (list_min(list_transform(s, x -> (758441858 * ((('0x' || substr(md5(x), 1, 15))::BIGINT) & 2147483647) + 1943766764) % 2147483647)))::VARCHAR) AS bk FROM sh
+            ), cand AS (
+                SELECT x.doc_id AS a, y.doc_id AS b
+                FROM keys x JOIN keys y
+                  ON x.bk = y.bk AND x.doc_id < y.doc_id
+            ), truth AS (
+                SELECT x.doc_id AS a, y.doc_id AS b
+                FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+                WHERE len(list_intersect(x.s, y.s))
+                      / len(list_distinct(list_concat(x.s, y.s))) >= 0.5
+            ), hit AS (
+                SELECT t.a, t.b FROM truth t
+                WHERE EXISTS (SELECT 1 FROM cand c
+                              WHERE c.a = t.a AND c.b = t.b)
+            )
+            SELECT (SELECT count(*) FROM truth)::BIGINT AS n_true,
+                   (SELECT count(*) FROM cand)::BIGINT AS n_cand,
+                   (SELECT count(*) FROM hit)::BIGINT AS n_hit,
+                   round((SELECT count(*) FROM hit)::DOUBLE
+                         / (SELECT count(*) FROM truth)::DOUBLE, 6)
+                       AS recall
         """,
         "candidate_recall_hyperplane": f"""
             WITH u AS (

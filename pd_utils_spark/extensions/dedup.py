@@ -790,34 +790,8 @@ def dedup_substrings(
     if min_tokens < 1:
         raise ValueError(f"min_tokens must be >= 1: {min_tokens}")
     k = min_tokens
-    raw = df.select(
-        F.col(idcol),
-        F.posexplode_outer(
-            F.split(F.trim(F.col(textcol)), r"\s+")
-        ).alias("__p0__", "__tok__"),
-    )
-    toks = raw.filter(F.length("__tok__") > 0).withColumn(
-        "pos",
-        F.row_number().over(Window.partitionBy(idcol).orderBy("__p0__")),
-    )
-    per = toks.groupBy(idcol).agg(
-        F.array_sort(
-            F.collect_list(F.struct("pos", F.col("__tok__").alias("t")))
-        ).alias("__st__")
-    ).select(
-        idcol,
-        F.transform(F.col("__st__"), lambda s: s["t"]).alias("__arr__"),
-    )
-    n = F.size("__arr__")
-    wins = per.filter(n >= k).select(
-        F.col(idcol),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), n - F.lit(k - 1)),
-                lambda i: F.md5(F.concat_ws(" ", F.slice("__arr__", i, k))),
-            )
-        ).alias("__w0__", "fp"),
-    ).select(idcol, (F.col("__w0__") + 1).alias("pos"), "fp")
+    toks = _ws_tokens(df, textcol, idcol)
+    wins = substring_fingerprints(df, textcol, idcol, k, tokens=toks)
     wfp = Window.partitionBy("fp")
     ranked = wins.withColumn(
         "__rk__", F.row_number().over(wfp.orderBy(idcol, "pos"))
@@ -832,6 +806,74 @@ def dedup_substrings(
         )
         .distinct()
     )
+    return _rebuild_from_tokens(df, toks, removal, idcol, out)
+
+
+def _ws_tokens(df: DataFrame, textcol: str, idcol: str) -> DataFrame:
+    """(id, pos, __tok__): whitespace-split tokens, empties dropped,
+    positions compacted per doc — the shared token stage of the
+    substring-dedup family (byte-exact tokens, unlike the normalizing
+    shingle pipeline)."""
+    from pyspark.sql import Window
+
+    raw = df.select(
+        F.col(idcol),
+        F.posexplode_outer(
+            F.split(F.trim(F.col(textcol)), r"\s+")
+        ).alias("__p0__", "__tok__"),
+    )
+    return raw.filter(F.length("__tok__") > 0).withColumn(
+        "pos",
+        F.row_number().over(Window.partitionBy(idcol).orderBy("__p0__")),
+    )
+
+
+def substring_fingerprints(
+    df: DataFrame,
+    textcol: str = "text",
+    idcol: str = "doc_id",
+    min_tokens: int = 20,
+    tokens: DataFrame | None = None,
+) -> DataFrame:
+    """``(idcol, pos, fp)`` — md5 of every window of ``min_tokens``
+    consecutive whitespace tokens (1-based start position). The
+    reusable stage under :func:`dedup_substrings` /
+    :func:`dedup_substrings_against`; also what you PERSIST as the
+    history table for incremental substring dedup (16-byte
+    fingerprints, no text retained)."""
+    if min_tokens < 1:
+        raise ValueError(f"min_tokens must be >= 1: {min_tokens}")
+    k = min_tokens
+    toks = tokens if tokens is not None else _ws_tokens(df, textcol, idcol)
+    per = toks.groupBy(idcol).agg(
+        F.array_sort(
+            F.collect_list(F.struct("pos", F.col("__tok__").alias("t")))
+        ).alias("__st__")
+    ).select(
+        idcol,
+        F.transform(F.col("__st__"), lambda s: s["t"]).alias("__arr__"),
+    )
+    n = F.size("__arr__")
+    return per.filter(n >= k).select(
+        F.col(idcol),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), n - F.lit(k - 1)),
+                lambda i: F.md5(F.concat_ws(" ", F.slice("__arr__", i, k))),
+            )
+        ).alias("__w0__", "fp"),
+    ).select(idcol, (F.col("__w0__") + 1).alias("pos"), "fp")
+
+
+def _rebuild_from_tokens(
+    df: DataFrame,
+    toks: DataFrame,
+    removal: DataFrame,
+    idcol: str,
+    out: str,
+) -> DataFrame:
+    """Anti-join the (id, pos) removal set and reassemble each doc
+    from surviving tokens in order; fully-removed docs keep ''."""
     kept = toks.join(removal, [idcol, "pos"], "left_anti")
     rebuilt = kept.groupBy(idcol).agg(
         F.concat_ws(
@@ -851,6 +893,54 @@ def dedup_substrings(
         .join(rebuilt, idcol, "left")
         .fillna({out: ""})
     )
+
+
+def dedup_substrings_against(
+    df: DataFrame,
+    history: DataFrame,
+    textcol: str = "text",
+    idcol: str = "doc_id",
+    min_tokens: int = 20,
+    out: str = "clean_text",
+    history_is_fingerprints: bool = False,
+) -> DataFrame:
+    """Incremental ExactSubstr dedup for streaming/batch ingestion:
+    every ``min_tokens``-token window of the NEW batch whose
+    fingerprint already exists in ``history`` is removed (ALL its
+    occurrences — history holds the kept copy) and documents are
+    rebuilt like :func:`dedup_substrings`. Within-batch duplicates
+    are NOT touched (run dedup_substrings for that); the two compose
+    in either order — the same contract as
+    :func:`dedup_spans_against` / :func:`exact_dedup_against`.
+
+    ``history`` is a document frame by default; pass
+    ``history_is_fingerprints=True`` to hand a persisted
+    :func:`substring_fingerprints` output instead (the recommended
+    shape — 16-byte fps, no text retained, unionable batch over
+    batch). Membership is a left-semi join on the fingerprint; AQE
+    broadcasts it when small, hash-joins otherwise — never all-pairs.
+    """
+    if min_tokens < 1:
+        raise ValueError(f"min_tokens must be >= 1: {min_tokens}")
+    k = min_tokens
+    toks = _ws_tokens(df, textcol, idcol)
+    wins = substring_fingerprints(df, textcol, idcol, k, tokens=toks)
+    hist_fp = (
+        history.select("fp")
+        if history_is_fingerprints
+        else substring_fingerprints(history, textcol, idcol, k).select("fp")
+    ).distinct()
+    removal = (
+        wins.join(hist_fp, "fp", "left_semi")
+        .select(
+            F.col(idcol),
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    return _rebuild_from_tokens(df, toks, removal, idcol, out)
 
 
 def _sentences(df: DataFrame, textcol: str, idcol: str) -> DataFrame:

@@ -934,3 +934,63 @@ class TestDedupSubstrings:
         df = spark.createDataFrame([(0, "a b")], ["doc_id", "text"])
         with pytest.raises(ValueError, match="min_tokens"):
             dedup_substrings(df, min_tokens=0)
+
+
+class TestDedupSubstringsAgainst:
+    def test_history_windows_removed_batch_only_kept(self, spark):
+        from pd_utils_spark.extensions.dedup import (
+            dedup_substrings_against,
+            substring_fingerprints,
+        )
+
+        boiler = " ".join(f"h{i}" for i in range(10))
+        hist = spark.createDataFrame(
+            [(100, "old doc with " + boiler + " inside")],
+            ["doc_id", "text"],
+        )
+        batch = [
+            (0, "new alpha " + boiler + " new omega"),  # history run -> cut
+            (1, "entirely novel content with no history overlap at all"),
+            # within-batch dup pair: must be UNTOUCHED by _against
+            (2, "shared batch content repeated verbatim here now ok yes"),
+            (3, "shared batch content repeated verbatim here now ok yes"),
+        ]
+        df = spark.createDataFrame(batch, ["doc_id", "text"])
+        out = {
+            r.doc_id: r.clean_text
+            for r in dedup_substrings_against(df, hist, min_tokens=10).collect()
+        }
+        assert out[0] == "new alpha new omega"
+        assert out[1] == batch[1][1]
+        assert out[2] == batch[2][1] and out[3] == batch[3][1]
+        # fingerprint-shaped history gives the same answer
+        hfp = substring_fingerprints(hist, min_tokens=10)
+        out2 = {
+            r.doc_id: r.clean_text
+            for r in dedup_substrings_against(
+                df, hfp, min_tokens=10, history_is_fingerprints=True
+            ).collect()
+        }
+        assert out2 == out
+
+    def test_composes_with_batch_dedup(self, spark):
+        # _against then dedup_substrings: history cuts first, then the
+        # within-batch keep-one rule — the ingestion pipeline order
+        from pd_utils_spark.extensions.dedup import (
+            dedup_substrings,
+            dedup_substrings_against,
+        )
+
+        run = " ".join(f"z{i}" for i in range(9))
+        hist = spark.createDataFrame([(100, run)], ["doc_id", "text"])
+        df = spark.createDataFrame(
+            [(0, run), (1, run), (2, "fresh words only")], ["doc_id", "text"]
+        )
+        step1 = dedup_substrings_against(df, hist, min_tokens=9)
+        out = {
+            r.doc_id: r.clean_text
+            for r in dedup_substrings(
+                step1.withColumnRenamed("clean_text", "text"), min_tokens=9
+            ).collect()
+        }
+        assert out == {0: "", 1: "", 2: "fresh words only"}
