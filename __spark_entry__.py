@@ -8406,17 +8406,31 @@ def oracle_sql() -> dict[str, str]:
         # KMeans on fixed data is deterministic — verified stable across
         # shuffle-partition settings). Any scoring/probe regression
         # changes a count -> hash mismatch; no self-certified booleans.
+        # pinned literals are per-SCALE-FACTOR, dispatched on the
+        # lineitem row count (the embeddings table has 500 rows at
+        # every SF, so its own count cannot identify the corpus) —
+        # the suite is pin-complete at sf0.001 AND sf0.01
         "ann_pq_topk": """
-            SELECT * FROM (VALUES
-                (0, 10, 6, 10), (1, 10, 6, 9), (2, 10, 5, 10),
-                (3, 10, 7, 10), (4, 10, 6, 10)
-            ) AS t(query_id, k, adc_hits, rerank_hits)
+            SELECT query_id, k, adc_hits, rerank_hits FROM (VALUES
+                (6000, 0, 10, 7, 10), (6000, 1, 10, 9, 10),
+                (6000, 2, 10, 2, 10), (6000, 3, 10, 7, 10),
+                (6000, 4, 10, 6, 10),
+                (60000, 0, 10, 6, 10), (60000, 1, 10, 6, 9),
+                (60000, 2, 10, 5, 10), (60000, 3, 10, 7, 10),
+                (60000, 4, 10, 6, 10)
+            ) AS t(sf_n, query_id, k, adc_hits, rerank_hits)
+            WHERE sf_n = (SELECT count(*) FROM lineitem)
         """,
         "ann_ivf_topk": """
-            SELECT * FROM (VALUES
-                (0, 10, 10, 10), (1, 10, 10, 10), (2, 10, 8, 10),
-                (3, 10, 9, 10), (4, 10, 5, 10)
-            ) AS t(query_id, k, approx_hits, exhaustive_hits)
+            SELECT query_id, k, approx_hits, exhaustive_hits FROM (VALUES
+                (6000, 0, 10, 7, 10), (6000, 1, 10, 7, 10),
+                (6000, 2, 10, 5, 10), (6000, 3, 10, 10, 10),
+                (6000, 4, 10, 9, 10),
+                (60000, 0, 10, 10, 10), (60000, 1, 10, 10, 10),
+                (60000, 2, 10, 8, 10), (60000, 3, 10, 9, 10),
+                (60000, 4, 10, 5, 10)
+            ) AS t(sf_n, query_id, k, approx_hits, exhaustive_hits)
+            WHERE sf_n = (SELECT count(*) FROM lineitem)
         """,
         # Exact stats are computed on both engines; the HLL++ estimate
         # is deterministic (register max-merge is order-insensitive,
@@ -8430,9 +8444,14 @@ def oracle_sql() -> dict[str, str]:
         "approx_group_stats": f"""
             SELECT l_returnflag,
                    count(DISTINCT l_orderkey) AS n_distinct_exact,
-                   CASE l_returnflag WHEN 'A' THEN 11114
-                                     WHEN 'N' THEN 10109
-                                     ELSE 11377 END AS n_distinct_approx,
+                   CASE WHEN (SELECT count(*) FROM lineitem) = 6000
+                        THEN CASE l_returnflag WHEN 'A' THEN 1089
+                                               WHEN 'N' THEN 1049
+                                               ELSE 1034 END
+                        ELSE CASE l_returnflag WHEN 'A' THEN 11114
+                                               WHEN 'N' THEN 10109
+                                               ELSE 11377 END
+                   END AS n_distinct_approx,
                    round(quantile_cont(l_extendedprice, 0.5), {r}) AS q_exact
             FROM lineitem GROUP BY l_returnflag
         """,
@@ -9185,9 +9204,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(proj_var AS DOUBLE) AS proj_var,
                    CAST(ev_share AS DOUBLE) AS ev_share
             FROM (VALUES
-                (0, 0.0276, 0.027579), (1, 0.0272, 0.027232),
-                (2, 0.0267, 0.026682), (3, 0.0256, 0.025651)
-            ) AS t(component, proj_var, ev_share)
+                (6000, 0, 0.0289, 0.028935), (6000, 1, 0.027, 0.026972),
+                (6000, 2, 0.0259, 0.025872), (6000, 3, 0.0253, 0.025307),
+                (60000, 0, 0.0276, 0.027579), (60000, 1, 0.0272, 0.027232),
+                (60000, 2, 0.0267, 0.026682), (60000, 3, 0.0256, 0.025651)
+            ) AS t(sf_n, component, proj_var, ev_share)
+            WHERE sf_n = (SELECT count(*) FROM lineitem)
         """,
         "pagerank": """
             WITH edges AS (

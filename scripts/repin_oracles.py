@@ -10,7 +10,13 @@ replay). Four queries carry pins today:
 
 The pins are deterministic on fixed data (hash-ordered fit samples,
 register max-merge, seed-free Lloyd's) — but a REGENERATED testdata
-corpus silently flips them red. This script is the recovery path:
+corpus silently flips them red. Since round 6 each oracle carries
+literals for BOTH harness scale factors, dispatched on the lineitem
+row count (6000 = sf0.001, 60000 = sf0.01 — the embeddings table has
+500 rows at every SF, so its own count cannot identify the corpus);
+``--print`` at a given sf_dir emits that corpus's arm, to be pasted
+into the matching rows of the VALUES block. This script is the
+recovery path:
 
     python scripts/repin_oracles.py            # --verify (default):
         run each pinned Spark query at sf0.01 and its committed oracle

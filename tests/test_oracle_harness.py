@@ -110,10 +110,13 @@ def test_pinned_oracles_verify(spark):
 
     from scripts import repin_oracles as rp
 
-    con = duckdb.connect()
-    for t in rp.TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{SF_001}/{t}.parquet')"
-        )
-    assert rp.verify(spark, con, SF_001) == 0
+    for sf_dir in (SF_001, "/root/testdata/sf0.001"):
+        con = duckdb.connect()
+        for t in rp.TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        # the oracles dispatch per-SF literals on the lineitem count,
+        # so BOTH harness scale factors must verify
+        assert rp.verify(spark, con, sf_dir) == 0, sf_dir
