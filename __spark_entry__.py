@@ -1153,6 +1153,36 @@ def q_candidate_recall_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_candidate_recall_semantic_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-quality audit #3b: the multi-probe mitigation for the
+    measured SemDeDup cell-boundary loss (audit #3 pinned recall
+    0.475 at probes=1 on this corpus). Same k=8 cells, same
+    cosine>=0.4 within-cell rule, but each vector is ALSO indexed
+    into its second-nearest cell (similarity.py
+    kmeans_assign_probes), so pairs straddling one boundary meet in
+    a shared cell; duplicate pairs from multiply-shared cells are
+    removed by one distinct. Cost: ~2x cell rows, ~4x worst-case
+    BLAS term — this row pins what that buys in recall. Oracle
+    replays the unrolled Lloyd's CTE with the final assignment
+    widened to rn <= 2."""
+    from pd_utils_spark.extensions import similarity as pus_sim2
+
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .filter(F.col("vec_id") < 800)
+    )
+    cand = pus_sim2.semantic_cell_pairs(
+        emb, k=8, iters=3, threshold=0.4, probes=2
+    )
+    truth = pus_sim2.brute_force_pairs(emb, threshold=0.4, blocks=4)
+    out = pus_dedup.candidate_recall(cand, truth)
+    return out.select(
+        "n_true", "n_cand", "n_hit",
+        F.round("recall", 6).alias("recall"),
+    )
+
+
 def q_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     q = d.filter(F.col("doc_id") < 3)
@@ -1770,6 +1800,65 @@ def q_streaming_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(minhash_band_key(F.col("text"), 3, 3).alias("band_key"))
         .distinct()
     )
+
+
+def q_dedup_bands_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-band greedy near-dup dedup (extensions/dedup.py
+    dedup_bands_greedy): 2 bands x 3 minhash rows over 3-shingles on
+    the copies corpus; band by band, only the lowest-id doc per band
+    key survives (1-(1-J^3)^2 collision curve — the recall dial the
+    one-band streaming rule lacks, still keep-one-per-key state).
+    Deterministic min-id rule => the oracle replays it with two
+    chained QUALIFY windows over the generated band-key exprs."""
+    u = _docs_with_copies(spark, sf_dir)
+    return pus_dedup.dedup_bands_greedy(
+        u, k=3, rows_per_band=3, bands=2
+    ).select("doc_id")
+
+
+def q_streaming_multiband_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-band streaming near-dup dedup driven through the engine
+    end-to-end (streaming/stateful.py streaming_greedy_band_dedup):
+    the documents parquet is consumed via readStream; per micro-batch
+    each doc gets its 2 LSH band keys (batch bands 0-1 bit-for-bit),
+    docs whose ANY key is claimed in the history table are dropped,
+    the within-batch greedy min-id rule runs, and survivors append
+    output + (band, key) claims via foreachBatch;
+    Trigger.AvailableNow. Unlike the one-band in-engine row
+    (streaming_near_dedup) the SURVIVOR SET itself is deterministic
+    (min-id greedy, not first-arrival), so the oracle checks actual
+    doc_ids, not just the key set."""
+    import shutil
+    import tempfile
+
+    from pd_utils_spark.streaming.stateful import streaming_greedy_band_dedup
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    sdf = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    base = tempfile.mkdtemp(prefix="pus_mbdedup_")
+    try:
+        with _stream_state_partitions(spark):
+            q = streaming_greedy_band_dedup(
+                sdf,
+                output_dir=f"{base}/out",
+                history_dir=f"{base}/claims",
+                checkpoint_dir=f"{base}/ckpt",
+                k=3,
+                rows_per_band=3,
+                bands=2,
+                available_now=True,
+            )
+            q.awaitTermination()
+        out = spark.read.parquet(f"{base}/out").select("doc_id")
+        # the sink dirs are deleted before return: collect now
+        rows = out.collect()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, "doc_id bigint")
 
 
 def q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5752,10 +5841,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "candidate_recall": q_candidate_recall,
         "candidate_recall_simhash": q_candidate_recall_simhash,
         "candidate_recall_semantic": q_candidate_recall_semantic,
+        "candidate_recall_semantic_probe2": q_candidate_recall_semantic_probe2,
         "candidate_recall_hyperplane": q_candidate_recall_hyperplane,
         "candidate_recall_streamband": q_candidate_recall_streamband,
         "ahash_near_dup_pairs": q_ahash_near_dup_pairs,
         "hard_negatives": q_hard_negatives,
+        "dedup_bands_greedy": q_dedup_bands_greedy,
+        "streaming_multiband_dedup": q_streaming_multiband_dedup,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "jaccard_topk": q_jaccard_topk,
         "simhash": q_simhash,
@@ -6020,14 +6112,17 @@ def _sql_cosine(a: str, b: str, dims: int = 64) -> str:
 
 
 def _sql_kmeans_ctes(
-    k: int = 8, iters: int = 3, dims: int = 64, where: str = ""
+    k: int = 8, iters: int = 3, dims: int = 64, where: str = "", probes: int = 1
 ) -> str:
     """CTE chain replaying pus_sim.kmeans in DuckDB, unrolled per
     Lloyd's round (the pagerank/hits oracle pattern): c0 = k lowest-id
     vectors; round n = assignment a{n} (squared-L2 argmin, lowest-cid
     tie-break) then means m{n} with empty cells inheriting c{n-1}; the
     final assignment a{iters+1} uses c{iters}. ``where`` restricts the
-    source corpus (audit queries fit on a bounded subset)."""
+    source corpus (audit queries fit on a bounded subset). ``probes``
+    widens ONLY the final assignment to the ``probes`` nearest cells
+    per vector (kmeans_assign_probes) — Lloyd's rounds always use
+    rn = 1."""
     dist = (
         f"list_sum(list_transform(range(1, {dims + 1}), __i -> "
         "(e.embedding[__i]::DOUBLE - c.vec[__i]) * "
@@ -6042,13 +6137,14 @@ def _sql_kmeans_ctes(
             FROM (SELECT vec_id, embedding FROM ev ORDER BY vec_id LIMIT {k}))""",
     ]
     for n in range(1, iters + 2):
+        rn_cap = probes if n == iters + 1 else 1
         parts.append(
             f"""a{n} AS (
             SELECT vec_id, cid FROM (
                 SELECT e.vec_id, c.cid,
                        row_number() OVER (PARTITION BY e.vec_id
                                           ORDER BY {dist}, c.cid) AS rn
-                FROM ev e CROSS JOIN c{n - 1} c) WHERE rn = 1)"""
+                FROM ev e CROSS JOIN c{n - 1} c) WHERE rn <= {rn_cap})"""
         )
         if n == iters + 1:
             break
@@ -6068,6 +6164,26 @@ def _sql_kmeans_ctes(
             WHERE c.cid NOT IN (SELECT cid FROM m{n}))"""
         )
     return ",\n".join(parts)
+
+
+def _sql_minhash_band_key(band: int, rows_per_band: int, s: str = "s") -> str:
+    """DuckDB expression for LSH band ``band``'s key over a shingle
+    list column ``s`` — same md5 universal-hash constants
+    (dedup._minhash_coeffs), same '|'-joined md5 key as Spark's
+    _band_key_from_sets(sets, rows_per_band, band), bit-for-bit (the
+    streaming_near_dedup oracle's inlined literals, generated)."""
+    from pd_utils_spark.extensions.dedup import _minhash_coeffs
+
+    coeffs = _minhash_coeffs((band + 1) * rows_per_band)[
+        band * rows_per_band :
+    ]
+    parts = [
+        f"(list_min(list_transform({s}, x -> ({a} * ((('0x' || "
+        f"substr(md5(x), 1, 15))::BIGINT) & 2147483647) + {c}) % "
+        f"2147483647)))::VARCHAR"
+        for a, c in coeffs
+    ]
+    return "md5(" + " || '|' || ".join(parts) + ")"
 
 
 def _sql_hyperplane_sig(vec: str, planes: int, dims: int = 64) -> str:
@@ -8209,6 +8325,31 @@ def oracle_sql() -> dict[str, str]:
                          / (SELECT count(*) FROM truth)::DOUBLE, 6)
                        AS recall
         """,
+        "candidate_recall_semantic_probe2": f"""
+            WITH RECURSIVE {_sql_kmeans_ctes(k=8, iters=3, where="WHERE vec_id < 800", probes=2)},
+            cand AS (
+                SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+                FROM a4 x JOIN a4 y
+                  ON x.cid = y.cid AND x.vec_id < y.vec_id
+                JOIN ev ex ON ex.vec_id = x.vec_id
+                JOIN ev ey ON ey.vec_id = y.vec_id
+                WHERE {_sql_cosine("ex.embedding", "ey.embedding")} >= 0.4
+            ), truth AS (
+                SELECT x.vec_id AS a, y.vec_id AS b
+                FROM ev x JOIN ev y ON x.vec_id < y.vec_id
+                WHERE {_sql_cosine("x.embedding", "y.embedding")} >= 0.4
+            ), hit AS (
+                SELECT t.a, t.b FROM truth t
+                WHERE EXISTS (SELECT 1 FROM cand c
+                              WHERE c.a = t.a AND c.b = t.b)
+            )
+            SELECT (SELECT count(*) FROM truth)::BIGINT AS n_true,
+                   (SELECT count(*) FROM cand)::BIGINT AS n_cand,
+                   (SELECT count(*) FROM hit)::BIGINT AS n_hit,
+                   round((SELECT count(*) FROM hit)::DOUBLE
+                         / (SELECT count(*) FROM truth)::DOUBLE, 6)
+                       AS recall
+        """,
         "hard_negatives": f"""
             WITH e AS (
                 SELECT vec_id, embedding, vec_id % 5 AS label
@@ -8233,6 +8374,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, query_label, vec_id, label,
                    round(cosine, {r}) AS cosine, cast(rank AS int) AS rank
             FROM ranked WHERE rank <= 10
+        """,
+        "dedup_bands_greedy": f"""
+            WITH u AS ({_SQL_DOC_UNION}),
+            sh AS (
+                SELECT doc_id, {_SQL_SHINGLES} AS s FROM u
+            ), keyed AS (
+                SELECT doc_id,
+                       {_sql_minhash_band_key(0, 3)} AS bk0,
+                       {_sql_minhash_band_key(1, 3)} AS bk1
+                FROM sh
+            ), s0 AS (
+                SELECT doc_id, bk1 FROM keyed
+                QUALIFY row_number() OVER (PARTITION BY bk0
+                                           ORDER BY doc_id) = 1
+            )
+            SELECT doc_id FROM s0
+            QUALIFY row_number() OVER (PARTITION BY bk1
+                                       ORDER BY doc_id) = 1
+        """,
+        "streaming_multiband_dedup": f"""
+            WITH sh AS (
+                SELECT doc_id, {_SQL_SHINGLES} AS s FROM documents
+            ), keyed AS (
+                SELECT doc_id,
+                       {_sql_minhash_band_key(0, 3)} AS bk0,
+                       {_sql_minhash_band_key(1, 3)} AS bk1
+                FROM sh
+            ), s0 AS (
+                SELECT doc_id, bk1 FROM keyed
+                QUALIFY row_number() OVER (PARTITION BY bk0
+                                           ORDER BY doc_id) = 1
+            )
+            SELECT doc_id FROM s0
+            QUALIFY row_number() OVER (PARTITION BY bk1
+                                       ORDER BY doc_id) = 1
         """,
         "candidate_recall_streamband": f"""
             WITH u AS (

@@ -325,7 +325,14 @@ def minhash_band_key(
     return _band_key_from_sets(_shingle_set(textcol, k), rows_per_band)
 
 
-def _band_key_from_sets(sets: Column, rows_per_band: int) -> Column:
+def _band_key_from_sets(
+    sets: Column, rows_per_band: int, band: int = 0
+) -> Column:
+    """Band ``band``'s LSH key over a shingle-set column: minhashes
+    ``band*rows_per_band .. (band+1)*rows_per_band - 1`` of the
+    standard signature, '|'-joined and md5'd — bit-identical to the
+    corresponding :func:`lsh_band_keys` band."""
+
     def _base(s: Column) -> Column:
         return (
             F.conv(F.substring(F.md5(s), 1, 15), 16, 10)
@@ -342,7 +349,10 @@ def _band_key_from_sets(sets: Column, rows_per_band: int) -> Column:
             )
         )
 
-    mins = [_minhash(a, c) for a, c in _minhash_coeffs(rows_per_band)]
+    coeffs = _minhash_coeffs((band + 1) * rows_per_band)[
+        band * rows_per_band :
+    ]
+    mins = [_minhash(a, c) for a, c in coeffs]
     return F.md5(F.concat_ws("|", *[m.cast("string") for m in mins]))
 
 
@@ -373,6 +383,108 @@ def attach_minhash_band_key(
     return staged.withColumn(
         out, _band_key_from_sets(F.col("__bk_sets__"), rows_per_band)
     ).drop("__bk_norm__", "__bk_toks__", "__bk_sets__")
+
+
+def attach_minhash_band_keys(
+    df: DataFrame,
+    textcol: str = "text",
+    k: int = 3,
+    rows_per_band: int = 3,
+    bands: int = 2,
+    out: str = "band_keys",
+) -> DataFrame:
+    """Append ALL ``bands`` LSH band keys as one ``array<string>``
+    column — band ``b`` is minhashes ``b*rows_per_band ..
+    (b+1)*rows_per_band - 1`` of the standard signature, so each
+    element is bit-identical to the corresponding
+    :func:`lsh_band_keys` band (and element 0 to
+    :func:`minhash_band_key`). Same staged-projection shape as
+    :func:`attach_minhash_band_key` (token/shingle arrays bound once,
+    no re-inlining into lambda bodies), still zero explode / zero
+    shuffle — streaming-legal. The key stage under
+    :func:`dedup_bands_greedy` and the multi-band streaming dedup."""
+    if rows_per_band < 1 or bands < 1:
+        raise ValueError(
+            f"need rows_per_band >= 1 and bands >= 1: {rows_per_band}, {bands}"
+        )
+    norm = _norm(F.col(textcol))
+    staged = df.withColumn("__bk_norm__", norm).withColumn(
+        "__bk_toks__", _tokens(F.col("__bk_norm__"))
+    ).withColumn(
+        "__bk_sets__",
+        _shingles_from_toks(F.col("__bk_norm__"), F.col("__bk_toks__"), k),
+    )
+    keys = F.array(
+        *[
+            _band_key_from_sets(F.col("__bk_sets__"), rows_per_band, b)
+            for b in range(bands)
+        ]
+    )
+    return staged.withColumn(out, keys).drop(
+        "__bk_norm__", "__bk_toks__", "__bk_sets__"
+    )
+
+
+def _greedy_band_filter(
+    work: DataFrame, idcol: str, bands: int, keyscol: str = "__bks__"
+) -> DataFrame:
+    """Chained greedy band rule over a frame carrying the
+    ``keyscol`` array: for band 0..bands-1 in turn, keep only the
+    lowest-``idcol`` row per band key among the rows still standing.
+    Each pass is a map-side-partial ``groupBy(key).agg(min(id))`` +
+    semi join (broadcast when the keeper set is small) — the
+    :func:`_dup_removal` de-skew shape, never a per-key window
+    sort."""
+    for b in range(bands):
+        cur = work.withColumn("__kb__", F.col(keyscol)[b])
+        keep = cur.groupBy("__kb__").agg(F.min(idcol).alias(idcol))
+        work = cur.join(keep, ["__kb__", idcol], "left_semi").drop("__kb__")
+    return work
+
+
+def dedup_bands_greedy(
+    df: DataFrame,
+    textcol: str = "text",
+    idcol: str = "doc_id",
+    k: int = 3,
+    rows_per_band: int = 3,
+    bands: int = 2,
+) -> DataFrame:
+    """Multi-band GREEDY near-dup dedup — the batch twin of the
+    multi-band streaming dedup
+    (:func:`pd_utils_spark.streaming.stateful.streaming_greedy_band_dedup`):
+    every document gets ``bands`` LSH band keys
+    (:func:`attach_minhash_band_keys`); band by band, only the
+    lowest-id document per key survives, each pass filtering the
+    previous pass's survivors. A pair with Jaccard J collides in at
+    least one band with probability ``1 - (1 - J^rows_per_band)^bands``
+    — the full LSH S-curve, vs the single-band ``J^rows_per_band`` of
+    :func:`minhash_band_key` — so more true near-dups are caught
+    than one band can, while the rule stays expressible with
+    keep-one-per-key state (what a stream can hold). Unlike
+    :func:`dedup_minhash_lsh` there is NO exact verification: a band
+    collision alone kills a document (precision traded for bounded
+    state; run the `candidate_recall`-style audits to size the
+    false-positive rate on your corpus — at rows_per_band=3+ random
+    collisions need J^3-level agreement, rare for genuinely
+    dissimilar docs).
+
+    Deterministic: survivor set is a pure function of the data
+    (min-id per key, chained), independent of arrival or partition
+    order — which is exactly what lets a relational oracle replay it
+    and the streaming twin match it batch-for-batch.
+
+    Scale shape: key attachment is map-only (no explode); each of the
+    ``bands`` passes is one ``groupBy(key).agg(min(id))`` with
+    map-side partials + a semi join — a hot boilerplate key
+    aggregates with partial combine, never a single-task window sort.
+    ``bands`` is small (2-8): the pass count is a constant, not a
+    data term.
+    """
+    work = attach_minhash_band_keys(
+        df, textcol, k, rows_per_band, bands, out="__bks__"
+    )
+    return _greedy_band_filter(work, idcol, bands).drop("__bks__")
 
 
 def lsh_band_keys(
@@ -724,12 +836,94 @@ def duplicated_ngram_fraction(
     )
 
 
+def _dup_removal(occ: DataFrame, idcol: str, width: int) -> DataFrame:
+    """``(idcol, pos)`` positions covered by a NON-KEEPER duplicate
+    window, from an occurrence frame ``(idcol, pos, fp)`` whose
+    windows span ``width`` positions. The keeper of each duplicated
+    fingerprint is its global lowest ``(doc, pos)`` occurrence.
+
+    Skew shape: keeper + count come from ONE ``groupBy(fp)``
+    aggregate — ``min`` over the (doc, pos) struct and ``count`` both
+    combine map-side, so a boilerplate fingerprint repeated in
+    millions of documents reduces with partial aggregation instead of
+    sorting its whole occurrence list in a single window task (the
+    r6 ``row_number().over(partitionBy(fp))`` shape). The duplicated
+    subset (one row per duplicated fingerprint) then meets the
+    occurrences in an fp equi-join — broadcast when small, streamed
+    hash join otherwise; never a full-partition sort."""
+    key = F.struct(F.col(idcol).alias("i"), F.col("pos").alias("p"))
+    # NOTE the occurrence subtree is consumed twice (agg + join probe)
+    # and recomputes: an explicit repartition("fp") shared via
+    # ReuseExchange was tried and did NOT reuse (column pruning makes
+    # the two exchange subtrees non-identical) while ALSO moving the
+    # partial agg after the shuffle — strictly worse for hot keys.
+    # The double compute is a map-only tokenize+md5 pass (measured
+    # ~+1 s serial at sf0.1 on dedup_substrings); the removed
+    # single-task window sort was the 100 TB straggler. Tradeoff kept.
+    dup = (
+        occ.groupBy("fp")
+        .agg(
+            F.min(key).alias("__keep__"),
+            F.count(F.lit(1)).alias("__cnt__"),
+        )
+        .filter(F.col("__cnt__") > 1)
+        .select("fp", "__keep__")
+    )
+    return (
+        occ.join(dup, "fp")
+        .filter(key != F.col("__keep__"))
+        .select(
+            F.col(idcol),
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(width - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+
+
+def _to_fixpoint(
+    df: DataFrame,
+    one_pass,
+    idcol: str,
+    out: str,
+    max_passes: int,
+) -> DataFrame:
+    """Re-run ``one_pass`` (text frame -> deduped frame with ``out``)
+    until a pass removes nothing, feeding each pass's output back as
+    the text column. Terminates because every changing pass strictly
+    shrinks total surviving content; ``max_passes`` bounds the loop
+    defensively (raises if exhausted while still changing). Each
+    round is localCheckpoint-ed so the replayed lineage stays one
+    pass deep."""
+    cur = one_pass(df)
+    for _ in range(max_passes):
+        cur = cur.localCheckpoint()
+        nxt = one_pass(cur.select(idcol, F.col(out).alias("text")))
+        n_changed = (
+            nxt.withColumnRenamed(out, "__new__")
+            .join(cur.select(idcol, out), idcol)
+            .filter(F.col("__new__") != F.col(out))
+            .count()
+        )
+        if n_changed == 0:
+            return cur
+        cur = nxt
+    raise RuntimeError(
+        f"to_fixpoint did not converge within max_passes={max_passes}; "
+        "raise max_passes (each changing pass strictly removes content, "
+        "so convergence is guaranteed eventually)"
+    )
+
+
 def dedup_spans(
     df: DataFrame,
     textcol: str = "text",
     idcol: str = "doc_id",
     n: int = 3,
     out: str = "clean_text",
+    to_fixpoint: bool = False,
+    max_passes: int = 10,
 ) -> DataFrame:
     """C4's duplicated three-sentence-span rule (Raffel et al. 2020
     §2.2: "we discarded all but one of any three-sentence span
@@ -746,36 +940,47 @@ def dedup_spans(
     multi-sentence boilerplate that never shares a line break, and
     keep ONE copy rather than deleting all.
 
-    Scale shape: two shuffles on the 16-byte span fingerprint (the
-    keeper window + its count), one sentence-level anti join, one
-    per-doc reassembly aggregate. Positions are compacted per doc
-    before spanning, so blank segments ("a.. b") cannot shift span
-    coverage. Nothing is ever all-pairs; a boilerplate span repeated
-    in millions of docs is one fingerprint partition whose rows are
-    (doc, pos) pairs — linear, and the removal explode is ``n`` rows
-    per duplicate occurrence.
-    """
-    from pyspark.sql import Window
+    NOT IDEMPOTENT: reassembly ('. '-joined survivors) creates NEW
+    sentence adjacencies — sentences that were never neighbors become
+    an ``n``-span after a removal cuts between them, and such a span
+    can collide with a span kept elsewhere, so a second pass may
+    remove further content (same is true of the C4 rule itself
+    applied as a corpus pipeline stage). One pass implements exactly
+    the published rule; pass ``to_fixpoint=True`` to re-run until no
+    span is removed (bounded by ``max_passes``; each changing pass
+    strictly shrinks the corpus, so convergence is guaranteed) when a
+    rerun-stable output matters, e.g. pipelines that may re-ingest
+    their own output.
 
+    Scale shape: ONE ``groupBy`` on the 16-byte span fingerprint
+    (min-struct keeper + count, both map-side partial), one fp
+    equi-join of the duplicated subset back to occurrences (broadcast
+    when small), one sentence-level anti join, one per-doc reassembly
+    aggregate. Positions are compacted per doc before spanning, so
+    blank segments ("a.. b") cannot shift span coverage. Nothing is
+    ever all-pairs and no per-fingerprint sort exists: a boilerplate
+    span repeated in millions of docs reduces with partial
+    aggregation — linear, and the removal explode is ``n`` rows per
+    duplicate occurrence.
+    """
     if n < 1:
         raise ValueError(f"n must be >= 1: {n}")
-    s = _sentences(df, textcol, idcol)
-    sp = span_fingerprints(df, textcol, idcol, n, sentences=s)
-    wfp = Window.partitionBy("fp")
-    ranked = sp.withColumn(
-        "__rk__", F.row_number().over(wfp.orderBy(idcol, "pos"))
-    ).withColumn("__cnt__", F.count(F.lit(1)).over(wfp))
-    removal = (
-        ranked.filter((F.col("__cnt__") > 1) & (F.col("__rk__") > 1))
-        .select(
-            F.col(idcol),
-            F.explode(
-                F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
-            ).alias("pos"),
-        )
-        .distinct()
+
+    def one_pass(frame: DataFrame, tc: str = "text") -> DataFrame:
+        s = _sentences(frame, tc, idcol)
+        sp = span_fingerprints(frame, tc, idcol, n, sentences=s)
+        removal = _dup_removal(sp, idcol, n)
+        return _rebuild_from_sentences(frame, s, removal, idcol, out)
+
+    if not to_fixpoint:
+        return one_pass(df, textcol)
+    return _to_fixpoint(
+        df.select(idcol, F.col(textcol).alias("text")),
+        one_pass,
+        idcol,
+        out,
+        max_passes,
     )
-    return _rebuild_from_sentences(df, s, removal, idcol, out)
 
 
 def dedup_substrings(
@@ -784,6 +989,8 @@ def dedup_substrings(
     idcol: str = "doc_id",
     min_tokens: int = 20,
     out: str = "clean_text",
+    to_fixpoint: bool = False,
+    max_passes: int = 10,
 ) -> DataFrame:
     """ExactSubstr-style duplicated-substring removal at TOKEN
     granularity (Lee et al. 2022, "Deduplicating Training Data Makes
@@ -815,35 +1022,46 @@ def dedup_substrings(
     lowest-doc-first layout one copy survives intact. The rule is a
     pure function of the data either way.
 
-    Scale shape: two shuffles on the 16-byte window fingerprint
-    (keeper window + count), one token-level anti join, one per-doc
-    reassembly aggregate — the :func:`dedup_spans` plan at token
-    granularity. A boilerplate run repeated across millions of
-    documents is one fingerprint partition of (doc, pos) pairs;
+    NOT IDEMPOTENT: the space-joined reassembly creates NEW token
+    adjacencies — tokens that were never neighbors become a window
+    after a removal cuts between them, and such a window can collide
+    with a window kept elsewhere, so a second pass may remove further
+    content (ExactSubstr shares this: Lee et al. dedup a fixed
+    corpus once and do not claim rerun stability). One pass
+    implements exactly the published length-thresholded rule; pass
+    ``to_fixpoint=True`` to re-run until no token is removed (bounded
+    by ``max_passes``; each changing pass strictly shrinks the
+    corpus, so convergence is guaranteed) when re-ingesting your own
+    output must be a no-op.
+
+    Scale shape: ONE ``groupBy`` on the 16-byte window fingerprint
+    (min-struct keeper + count, both map-side partial), one fp
+    equi-join of the duplicated subset back to occurrences (broadcast
+    when small), one token-level anti join, one per-doc reassembly
+    aggregate — the :func:`dedup_spans` plan at token granularity. A
+    boilerplate run repeated across millions of documents reduces
+    with partial aggregation (no per-fingerprint occurrence sort);
     nothing is ever all-pairs and no suffix array is materialized.
     """
-    from pyspark.sql import Window
-
     if min_tokens < 1:
         raise ValueError(f"min_tokens must be >= 1: {min_tokens}")
     k = min_tokens
-    toks = _ws_tokens(df, textcol, idcol)
-    wins = substring_fingerprints(df, textcol, idcol, k, tokens=toks)
-    wfp = Window.partitionBy("fp")
-    ranked = wins.withColumn(
-        "__rk__", F.row_number().over(wfp.orderBy(idcol, "pos"))
-    ).withColumn("__cnt__", F.count(F.lit(1)).over(wfp))
-    removal = (
-        ranked.filter((F.col("__cnt__") > 1) & (F.col("__rk__") > 1))
-        .select(
-            F.col(idcol),
-            F.explode(
-                F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
-            ).alias("pos"),
-        )
-        .distinct()
+
+    def one_pass(frame: DataFrame, tc: str = "text") -> DataFrame:
+        toks = _ws_tokens(frame, tc, idcol)
+        wins = substring_fingerprints(frame, tc, idcol, k, tokens=toks)
+        removal = _dup_removal(wins, idcol, k)
+        return _rebuild_from_tokens(frame, toks, removal, idcol, out)
+
+    if not to_fixpoint:
+        return one_pass(df, textcol)
+    return _to_fixpoint(
+        df.select(idcol, F.col(textcol).alias("text")),
+        one_pass,
+        idcol,
+        out,
+        max_passes,
     )
-    return _rebuild_from_tokens(df, toks, removal, idcol, out)
 
 
 def _ws_tokens(df: DataFrame, textcol: str, idcol: str) -> DataFrame:
@@ -877,7 +1095,12 @@ def substring_fingerprints(
     reusable stage under :func:`dedup_substrings` /
     :func:`dedup_substrings_against`; also what you PERSIST as the
     history table for incremental substring dedup (16-byte
-    fingerprints, no text retained)."""
+    fingerprints, no text retained). ``min_tokens`` is stamped into
+    the ``fp`` column's metadata (preserved through parquet
+    round-trips) so :func:`dedup_substrings_against` can reject a
+    persisted table built with a different window width — a
+    mismatched ``k`` would otherwise silently match zero fingerprints
+    and remove nothing."""
     if min_tokens < 1:
         raise ValueError(f"min_tokens must be >= 1: {min_tokens}")
     k = min_tokens
@@ -899,7 +1122,11 @@ def substring_fingerprints(
                 lambda i: F.md5(F.concat_ws(" ", F.slice("__arr__", i, k))),
             )
         ).alias("__w0__", "fp"),
-    ).select(idcol, (F.col("__w0__") + 1).alias("pos"), "fp")
+    ).select(
+        idcol,
+        (F.col("__w0__") + 1).alias("pos"),
+        F.col("fp").alias("fp", metadata={"min_tokens": k}),
+    )
 
 
 def _rebuild_from_tokens(
@@ -962,6 +1189,19 @@ def dedup_substrings_against(
     k = min_tokens
     toks = _ws_tokens(df, textcol, idcol)
     wins = substring_fingerprints(df, textcol, idcol, k, tokens=toks)
+    if history_is_fingerprints:
+        # a history built with a different window width silently
+        # matches nothing — reject it when the stamp is present
+        # (tables persisted before the stamp existed carry none)
+        hist_k = dict(history.schema["fp"].metadata or {}).get("min_tokens")
+        if hist_k is not None and int(hist_k) != k:
+            raise ValueError(
+                "history fingerprints were built with "
+                f"min_tokens={hist_k}, but this call uses "
+                f"min_tokens={k}; rebuild the history with "
+                "substring_fingerprints(min_tokens="
+                f"{k}) or pass min_tokens={hist_k}"
+            )
     hist_fp = (
         history.select("fp")
         if history_is_fingerprints
@@ -1009,7 +1249,10 @@ def span_fingerprints(
     consecutive-sentence span (1-based start position). The reusable
     stage under :func:`dedup_spans` / :func:`dedup_spans_against`;
     also what you PERSIST as the history table for incremental span
-    dedup (16-byte fingerprints, no text retained)."""
+    dedup (16-byte fingerprints, no text retained). ``n`` is stamped
+    into the ``fp`` column's metadata so
+    :func:`dedup_spans_against` can reject a persisted table built
+    with a different span width."""
     if n < 1:
         raise ValueError(f"n must be >= 1: {n}")
     s = sentences if sentences is not None else _sentences(df, textcol, idcol)
@@ -1038,7 +1281,7 @@ def span_fingerprints(
     return per.select(F.col(idcol), F.explode(spans).alias("__sp__")).select(
         F.col(idcol),
         F.col("__sp__.pos").alias("pos"),
-        F.col("__sp__.fp").alias("fp"),
+        F.col("__sp__.fp").alias("fp", metadata={"n": n}),
     )
 
 
@@ -1097,6 +1340,14 @@ def dedup_spans_against(
     """
     s = _sentences(df, textcol, idcol)
     sp = span_fingerprints(df, textcol, idcol, n, sentences=s)
+    if history_is_fingerprints:
+        hist_n = dict(history.schema["fp"].metadata or {}).get("n")
+        if hist_n is not None and int(hist_n) != n:
+            raise ValueError(
+                f"history fingerprints were built with n={hist_n}, but "
+                f"this call uses n={n}; rebuild the history with "
+                f"span_fingerprints(n={n}) or pass n={hist_n}"
+            )
     hist_fp = (
         history.select("fp")
         if history_is_fingerprints
@@ -1815,10 +2066,12 @@ def jaccard_join_prefix(
     Cache note: TWO frames stay persisted after the call — the
     compact (id, 64-bit token) frame (read by the document-frequency
     aggregate and the join back) and the sorted-token frame (read
-    three times: prefix index + both verify sides). In a long-lived
-    session issuing many joins, call ``spark.catalog.clearCache()``
-    (or unpersist) after your first action, as with
-    :func:`~pd_utils_spark.utils.materialize`.
+    three times: prefix index + both verify sides). Both are
+    registered on the returned DataFrame's ``_pus_persisted`` handle:
+    in a long-lived session issuing many joins, call
+    ``pd_utils_spark.utils.release_cached(result)`` after your first
+    action to drop exactly these two (``spark.catalog.clearCache()``
+    also works but evicts everything).
 
     ``shingles``: optional precomputed :func:`shingle_sets` frame
     (idcol, shingles) — pass a persisted one to share shingle
@@ -1937,7 +2190,7 @@ def jaccard_join_prefix(
         + F.size("__tb__").cast("double")
         - inter
     )
-    return (
+    result = (
         cand.join(left, "id_a")
         .join(right, "id_b")
         .select(
@@ -1947,6 +2200,9 @@ def jaccard_join_prefix(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+    # cleanup handle for release_cached (see Cache note above)
+    result._pus_persisted = [toks, sorted_docs]
+    return result
 
 
 def dedup_keep_best(

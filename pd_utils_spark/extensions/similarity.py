@@ -114,16 +114,24 @@ def hard_negatives(
     only exchange is the per-query top-k. For corpus-scale query
     sets, mine in batches or feed an IVF/LSH candidate set through
     the same window.
+
+    NULL labels are EXCLUDED from both sides: an unlabeled corpus row
+    is not a certified negative for any query (its true class may
+    equal the query's — mining it would poison the contrastive
+    batch), and an unlabeled query has no class to contrast against.
+    Label your data, or assign a sentinel class if you really want
+    unlabeled rows treated as universal negatives.
     """
     from pyspark.sql import Window
 
-    q = queries.select(
+    q = queries.filter(F.col(labelcol).isNotNull()).select(
         F.col(idcol).alias(qidcol),
         F.col(veccol).alias("__qvec__"),
         F.col(labelcol).alias("query_label"),
     )
     scored = (
         corpus.select(idcol, veccol, labelcol)
+        .filter(F.col(labelcol).isNotNull())
         .crossJoin(F.broadcast(q))
         .filter(
             (F.col(idcol) != F.col(qidcol))
@@ -576,18 +584,16 @@ def dedup_embeddings(
 
 # ------------------------------------------------------------- kmeans
 
-def _kmeans_assign_expr(veccol: str, centroids: list) -> Column:
-    """Nearest-centroid id for one row, fully JVM-side: the centroid
-    list is inlined as an array-of-arrays literal, each candidate
-    scored by squared L2 (ordered left fold — bit-reproducible), and
-    ``array_min`` over ``struct(dist, cid)`` picks the argmin with
-    lowest-cid tie-break. No crossJoin, no UDF: assignment is a
-    map-only projection."""
+def _kmeans_scored_expr(veccol: str, centroids: list) -> Column:
+    """``array<struct(dist, cid)>`` of squared-L2 distances to every
+    centroid for one row, fully JVM-side: the centroid list is
+    inlined as an array-of-arrays literal, each candidate scored by
+    an ordered left fold (bit-reproducible). No crossJoin, no UDF."""
     # one nested-list literal, not k x dims F.lit() calls: the latter
     # builds the expression tree through k*dims py4j round-trips and
     # dominated fit time at k=8, dims=64
     carr = F.lit([[float(v) for v in c] for c in centroids])
-    scored = F.transform(
+    return F.transform(
         carr,
         lambda c, i: F.struct(
             F.aggregate(
@@ -602,7 +608,38 @@ def _kmeans_assign_expr(veccol: str, centroids: list) -> Column:
             i.alias("cid"),
         ),
     )
-    return F.array_min(scored)["cid"]
+
+
+def _kmeans_assign_expr(veccol: str, centroids: list) -> Column:
+    """Nearest-centroid id for one row: ``array_min`` over
+    ``struct(dist, cid)`` picks the argmin with lowest-cid tie-break —
+    a map-only projection (see :func:`_kmeans_scored_expr`)."""
+    return F.array_min(_kmeans_scored_expr(veccol, centroids))["cid"]
+
+
+def kmeans_assign_probes(
+    df: DataFrame,
+    centroids: list,
+    probes: int = 2,
+    veccol: str = "embedding",
+    out: str = "cells",
+) -> DataFrame:
+    """Attach the ``probes`` NEAREST centroid ids as an array (squared
+    L2, (dist, cid) lexicographic order — same tie-break as
+    :func:`kmeans_assign`, whose output equals element 0 here). The
+    soft-assignment half of multi-probe SemDeDup: a vector sitting
+    near a cell boundary is also indexed into its runner-up cell, so
+    boundary-straddling near-dup pairs meet in at least one shared
+    cell (the IVF ``nprobe`` idea applied to dedup). Map-only
+    projection, one ``array_sort`` of k structs per row."""
+    if probes < 1:
+        raise ValueError(f"probes must be >= 1: {probes}")
+    scored = F.slice(
+        F.array_sort(_kmeans_scored_expr(veccol, centroids)),
+        1,
+        min(probes, len(centroids)),
+    )
+    return df.withColumn(out, F.transform(scored, lambda s: s["cid"]))
 
 
 def kmeans_fit(
@@ -711,6 +748,7 @@ def semantic_dedup_kmeans(
     threshold: float = 0.99,
     idcol: str = "vec_id",
     veccol: str = "embedding",
+    probes: int = 1,
 ) -> DataFrame:
     """SemDeDup exactly as published (Abbas et al. 2023: k-means the
     embeddings, compare only within each cluster): Lloyd's cells from
@@ -737,10 +775,15 @@ def semantic_dedup_kmeans(
     (BLAS summation order can differ in the last ulps; a pair
     sitting EXACTLY on the threshold is the only case that could
     flip, which a real-valued corpus does not produce).
+
+    ``probes > 1`` (multi-probe soft assignment, the r6-measured
+    boundary mitigation) indexes each vector into its ``probes``
+    nearest cells so boundary-straddling pairs meet in a shared cell
+    — see :func:`semantic_cell_pairs` for the cost model.
     """
     from pd_utils_spark.extensions.dedup import dedup_connected
 
-    pairs = semantic_cell_pairs(df, k, iters, threshold, idcol, veccol)
+    pairs = semantic_cell_pairs(df, k, iters, threshold, idcol, veccol, probes)
     return dedup_connected(df, pairs, idcol=idcol)
 
 
@@ -751,6 +794,7 @@ def semantic_cell_pairs(
     threshold: float = 0.99,
     idcol: str = "vec_id",
     veccol: str = "embedding",
+    probes: int = 1,
 ) -> DataFrame:
     """The candidate-pair stage of :func:`semantic_dedup_kmeans`,
     exposed on its own: ``(id_a, id_b)`` with ``id_a < id_b`` for
@@ -759,9 +803,31 @@ def semantic_cell_pairs(
     a :func:`brute_force_pairs` truth to MEASURE the SemDeDup
     cell-boundary recall loss instead of taking it on faith — the
     published caveat, quantified. Same scale shape as the parent
-    (cell-local chunked-BLAS ``applyInPandas``)."""
-    cells = kmeans(df, k, iters, idcol, veccol, out="__cell__")
-    return _grouped_cosine_pairs(cells, "__cell__", threshold, idcol, veccol)
+    (cell-local chunked-BLAS ``applyInPandas``).
+
+    ``probes > 1`` is the boundary mitigation for that measured loss:
+    each vector is indexed into its ``probes`` nearest cells
+    (:func:`kmeans_assign_probes`), so a pair split by one boundary
+    still meets wherever either side's runner-up cell is the other's
+    cell. Cost model: the corpus is replicated ``probes``-fold into
+    cells, so average cell size grows ~``probes``x and the
+    within-cell BLAS term ~``probes^2``x worst case; duplicate pairs
+    from multiply-shared cells are removed by one distinct. The
+    `candidate_recall_semantic*` audit rows pin the measured
+    recall/cost tradeoff (probes=1 vs probes=2) on real data."""
+    if probes < 1:
+        raise ValueError(f"probes must be >= 1: {probes}")
+    cents = kmeans_fit(df, k, iters, idcol, veccol)
+    if probes == 1:
+        cells = kmeans_assign(df, cents, veccol, out="__cell__")
+        return _grouped_cosine_pairs(cells, "__cell__", threshold, idcol, veccol)
+    probed = kmeans_assign_probes(df, cents, probes, veccol, out="__cells__")
+    cells = probed.select(
+        idcol, veccol, F.explode("__cells__").alias("__cell__")
+    )
+    return _grouped_cosine_pairs(
+        cells, "__cell__", threshold, idcol, veccol
+    ).distinct()
 
 
 def _grouped_cosine_pairs(

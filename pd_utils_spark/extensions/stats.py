@@ -466,21 +466,33 @@ def population_stability_index(
         .select(v.alias("__v__"))
         .crossJoin(F.broadcast(edges_row))
         .select(
-            F.element_at(
-                F.col("__eb__"),
-                F.least(
-                    F.aggregate(
-                        # the LAST bin's edge is the baseline max —
-                        # values above it still land in the last bin
-                        F.slice(F.col("__eb__"), 1, n_present - 1),
-                        F.lit(0),
-                        lambda acc, e: acc
-                        + (F.col("__v__") > e["__hi__"]).cast("int"),
-                    ),
-                    n_present - 1,
-                )
-                + F.lit(1),
-            )["__b__"].alias("__b__")
+            # an all-null/empty baseline yields an empty edge array
+            # (n_present = 0): short-circuit to NULL instead of a
+            # negative-length slice + element_at(arr, 0) runtime error,
+            # so the query degrades to the empty frame it returned
+            # before the sparse-bin fix
+            F.when(
+                n_present > 0,
+                F.element_at(
+                    F.col("__eb__"),
+                    F.least(
+                        F.aggregate(
+                            # the LAST bin's edge is the baseline max —
+                            # values above it still land in the last bin
+                            F.slice(
+                                F.col("__eb__"),
+                                1,
+                                F.greatest(n_present - 1, F.lit(0)),
+                            ),
+                            F.lit(0),
+                            lambda acc, e: acc
+                            + (F.col("__v__") > e["__hi__"]).cast("int"),
+                        ),
+                        n_present - 1,
+                    )
+                    + F.lit(1),
+                )["__b__"],
+            ).alias("__b__")
         )
     )
     cur_counts = cur_assigned.groupBy("__b__").agg(

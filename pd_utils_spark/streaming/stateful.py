@@ -113,6 +113,103 @@ def streaming_band_dedup(
     return deduped.drop("__bk__")
 
 
+def streaming_greedy_band_dedup(
+    sdf: DataFrame,
+    output_dir: str,
+    history_dir: str,
+    checkpoint_dir: str,
+    textcol: str = "text",
+    idcol: str = "doc_id",
+    k: int = 3,
+    rows_per_band: int = 3,
+    bands: int = 2,
+    available_now: bool = False,
+):
+    """Multi-band streaming near-dup dedup — the recall dial the
+    single-band :func:`streaming_band_dedup` lacks: each document
+    gets ``bands`` LSH band keys (bit-identical to batch
+    :func:`~pd_utils_spark.extensions.dedup.lsh_band_keys` bands), a
+    document is dropped when ANY of its keys was already claimed by
+    an earlier survivor (1 - (1-J^r)^bands collision curve vs J^r
+    for one band), and within each micro-batch the deterministic
+    greedy rule of the batch twin
+    :func:`~pd_utils_spark.extensions.dedup.dedup_bands_greedy`
+    applies (lowest-id per key, band-chained). Survivors append to
+    ``output_dir``; their (band, key) claims append to
+    ``history_dir``.
+
+    Why ``foreachBatch``: dropping on "any of N keys seen" needs N
+    keyed lookups per row against N key spaces — the in-engine dedup
+    state (``dropDuplicates``) keys on ONE column set, and chaining N
+    of them makes survivor sets depend on intra-batch arrival order
+    (not replayable). Per-batch relational joins against a claims
+    table express the rule exactly and deterministically; this is
+    the same sanctioned batch-join-in-a-stream hook as
+    :func:`streaming_minhash_dedup`, with 16-byte claims instead of
+    full text history (no exact verification — see the batch twin's
+    precision note).
+
+    Exactly-once caveat: same as :func:`streaming_minhash_dedup` —
+    appends are at-least-once on batch retry, and the history check
+    makes replays SAFE (a replayed doc's keys are already claimed, so
+    it drops); finish downstream with ``exact_dedup`` on id.
+
+    Scale shape per batch: map-only key attachment (no explode of
+    the corpus — only the claims write explodes survivors), one semi
+    join per batch against the claims table on (band, key) — bucket
+    the claims table on the key at scale — then ``bands`` map-side
+    partial min-aggs + semi joins. State is 16 bytes per claimed
+    (band, key), not per document text.
+
+    ``available_now=True`` drains everything currently available and
+    terminates (Trigger.AvailableNow) — the batch-backfill mode.
+    Returns the started ``StreamingQuery``.
+    """
+    from pd_utils_spark.extensions.dedup import (
+        _greedy_band_filter,
+        attach_minhash_band_keys,
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        work = attach_minhash_band_keys(
+            batch_df, textcol, k, rows_per_band, bands, out="__bks__"
+        )
+        # explicit existence check, not try/except: a transient
+        # storage error must fail (and retry) the batch — treating it
+        # as "no history" would admit duplicates permanently
+        jvm = spark.sparkContext._jvm
+        jsc = spark.sparkContext._jsc
+        path = jvm.org.apache.hadoop.fs.Path(history_dir)
+        fs = path.getFileSystem(jsc.hadoopConfiguration())
+        if fs.exists(path):
+            claims = spark.read.parquet(history_dir)
+            keyed = work.select(
+                F.col(idcol),
+                F.posexplode("__bks__").alias("band", "key"),
+            )
+            hit = (
+                keyed.join(claims, ["band", "key"], "left_semi")
+                .select(idcol)
+                .distinct()
+            )
+            work = work.join(hit, idcol, "left_anti")
+        survivors = _greedy_band_filter(work, idcol, bands).localCheckpoint(
+            eager=True
+        )  # written twice below
+        survivors.drop("__bks__").write.mode("append").parquet(output_dir)
+        survivors.select(
+            F.posexplode("__bks__").alias("band", "key")
+        ).write.mode("append").parquet(history_dir)
+
+    writer = sdf.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def streaming_sessionize(
     sdf: DataFrame,
     usercol: str = "user_id",

@@ -99,6 +99,23 @@ def materialize(df: DataFrame, eager: bool = False) -> DataFrame:
     return out
 
 
+def release_cached(df: DataFrame, blocking: bool = False) -> int:
+    """Unpersist every frame an operator registered on ``df`` via the
+    ``_pus_persisted`` handle (operators that persist intermediate
+    frames for multi-consumer reuse — e.g.
+    :func:`~pd_utils_spark.extensions.dedup.jaccard_join_prefix` —
+    attach the persisted frames to their RESULT so callers can release
+    them after the first action without nuking the whole session cache
+    with ``spark.catalog.clearCache()``). Returns the number of frames
+    released; a frame with no handle is a no-op (0)."""
+    frames = getattr(df, "_pus_persisted", None) or []
+    for f in frames:
+        f.unpersist(blocking)
+    if frames:
+        df._pus_persisted = []
+    return len(frames)
+
+
 def observed_metrics(df: DataFrame) -> dict[str, dict]:
     """Observed metrics of ``df``'s LAST executed action, as
     ``{metric_name: {field: value}}`` — the reader side of

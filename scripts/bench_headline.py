@@ -85,6 +85,22 @@ HEADLINE = [
 ]
 
 
+def _cpu_ticks() -> tuple[int, int]:
+    """(steal_ticks, total_ticks) from the aggregate /proc/stat cpu
+    line — the per-rep host-contention witness. A rep whose wall time
+    spikes while its steal/busy delta also spikes is host noise, not
+    plan drift; the r6 verdict asked for this to be attributable from
+    the artifact alone (candidate_recall's [8.97, 7.29, 25.06])."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        steal = vals[7] if len(vals) > 7 else 0
+        return steal, sum(vals)
+    except Exception:  # pragma: no cover - non-Linux
+        return 0, 0
+
+
 def main() -> None:
     sf_dir = "/root/testdata/sf0.1"
     reps = 3
@@ -110,27 +126,34 @@ def main() -> None:
     for name in names:
         fn = qs[name]
 
-        def run() -> float:
+        def run() -> tuple[float, float]:
+            s0, t0_ticks = _cpu_ticks()
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
+            s1, t1_ticks = _cpu_ticks()
             spark.catalog.clearCache()
-            return dt
+            dticks = max(t1_ticks - t0_ticks, 1)
+            return dt, (s1 - s0) / dticks
 
         try:
-            cold = round(run(), 3)  # discarded: codegen + spin-up
-            times = [round(run(), 3) for _ in range(reps)]
+            cold, _ = run()  # discarded: codegen + spin-up
+            cold = round(cold, 3)
+            runs = [run() for _ in range(reps)]
         except Exception as e:  # pragma: no cover
             print(f"# headline bench error in {name}: {e}", file=sys.stderr)
             results[name] = {"median": -1.0, "reps": [], "cold": -1.0}
             continue
+        times = [round(t, 3) for t, _ in runs]
+        steals = [round(s, 4) for _, s in runs]
         results[name] = {
             "median": round(statistics.median(times), 3),
             "reps": times,
+            "steal_frac": steals,
             "cold": cold,
         }
         print(f"# {name}: median={results[name]['median']} reps={times} "
-              f"(cold {cold})", file=sys.stderr, flush=True)
+              f"steal={steals} (cold {cold})", file=sys.stderr, flush=True)
 
     total = round(sum(r["median"] for r in results.values() if r["median"] > 0), 3)
     doc = {

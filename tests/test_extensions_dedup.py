@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from pd_utils_spark.extensions import dedup as D
 
@@ -810,6 +811,89 @@ class TestJaccardJoinPrefix:
         with pytest.raises(ValueError, match="k must"):
             jaccard_join_prefix(df, k=0)
 
+    def test_release_cached_unpersists_both_frames(self, spark):
+        # r7: the two intermediate persists are registered on the
+        # result so long-lived sessions can release exactly them
+        # (caches only materialize in storage AFTER an action)
+        from pd_utils_spark.extensions.dedup import jaccard_join_prefix
+        from pd_utils_spark.utils import release_cached
+
+        df = spark.createDataFrame(
+            [(i, f"alpha beta gamma delta w{i} x{i} y{i}") for i in range(6)],
+            ["doc_id", "text"],
+        )
+        res = jaccard_join_prefix(df, threshold=0.5)
+        res.count()
+        frames = list(res._pus_persisted)
+        assert len(frames) == 2
+        assert all(f.storageLevel.useMemory for f in frames)
+        assert release_cached(res) == 2
+        assert all(not f.storageLevel.useMemory for f in frames)
+        assert release_cached(res) == 0  # handle cleared, no-op
+
+
+class TestDedupBandsGreedy:
+    def test_exact_dups_collapse_and_min_id_survives(self, spark):
+        from pd_utils_spark.extensions.dedup import dedup_bands_greedy
+
+        df = spark.createDataFrame(
+            [
+                (5, "the quick brown fox jumps over the lazy dog"),
+                (1, "the quick brown fox jumps over the lazy dog"),
+                (3, "a wholly unrelated document about spark plans"),
+            ],
+            ["doc_id", "text"],
+        )
+        got = sorted(
+            r.doc_id for r in dedup_bands_greedy(df, bands=2).collect()
+        )
+        assert got == [1, 3]  # min-id keeper, not arrival order
+
+    def test_more_bands_never_keep_more(self, spark):
+        # each extra band pass only filters: survivors(bands=b+1)
+        # is a subset of survivors(bands=b) — the recall dial is
+        # monotone by construction
+        from pd_utils_spark.extensions.dedup import dedup_bands_greedy
+
+        docs = [
+            (i, f"shared template words one two three four {i % 5} tail")
+            for i in range(20)
+        ]
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        s1 = {r.doc_id for r in dedup_bands_greedy(df, bands=1).collect()}
+        s2 = {r.doc_id for r in dedup_bands_greedy(df, bands=2).collect()}
+        s3 = {r.doc_id for r in dedup_bands_greedy(df, bands=3).collect()}
+        assert s3 <= s2 <= s1
+
+    def test_band1_equals_streaming_band_key_rule(self, spark):
+        # bands=1 survivors == keep-min-id per minhash_band_key —
+        # ties the batch twin to the one-band streaming key
+        from pd_utils_spark.extensions.dedup import (
+            dedup_bands_greedy,
+            minhash_band_key,
+        )
+
+        docs = [(i, f"words {i % 3} alpha beta gamma delta") for i in range(9)]
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        got = {r.doc_id for r in dedup_bands_greedy(df, bands=1).collect()}
+        keyed = df.select(
+            "doc_id", minhash_band_key(F.col("text"), 3, 3).alias("bk")
+        )
+        want = {
+            r.doc_id
+            for r in keyed.groupBy("bk").agg(F.min("doc_id").alias("doc_id")).collect()
+        }
+        assert got == want
+
+    def test_validation(self, spark):
+        from pd_utils_spark.extensions.dedup import attach_minhash_band_keys
+
+        df = spark.createDataFrame([(0, "a b")], ["doc_id", "text"])
+        with pytest.raises(ValueError):
+            attach_minhash_band_keys(df, bands=0)
+        with pytest.raises(ValueError):
+            attach_minhash_band_keys(df, rows_per_band=0)
+
 
 class TestDedupKeepBest:
     def test_keeps_best_scorer_per_cluster(self, spark):
@@ -912,7 +996,10 @@ class TestDedupSubstrings:
         assert out[0] == "x " + run + " y"
         assert out[1] == "p q z"
 
-    def test_idempotent_and_empty_doc(self, spark):
+    def test_two_pass_stable_on_whole_doc_dups_and_empty_doc(self, spark):
+        # whole-doc duplicates leave no partial reassembly, so THIS
+        # case is two-pass stable (the operator is NOT idempotent in
+        # general — see test_properties.py counterexample tests)
         from pd_utils_spark.extensions.dedup import dedup_substrings
 
         run = " ".join(f"t{i}" for i in range(9))
@@ -972,6 +1059,41 @@ class TestDedupSubstringsAgainst:
             ).collect()
         }
         assert out2 == out
+
+    def test_mismatched_window_width_rejected(self, spark):
+        # r7 guard: a history built with a different min_tokens would
+        # silently match zero fingerprints; the stamped metadata (which
+        # survives a parquet round-trip) makes it a hard error
+        from pd_utils_spark.extensions.dedup import (
+            dedup_substrings_against,
+            substring_fingerprints,
+        )
+
+        hist = spark.createDataFrame(
+            [(100, " ".join(f"h{i}" for i in range(12)))],
+            ["doc_id", "text"],
+        )
+        df = spark.createDataFrame([(0, "a b c d e")], ["doc_id", "text"])
+        hfp = substring_fingerprints(hist, min_tokens=10)
+        assert hfp.schema["fp"].metadata["min_tokens"] == 10
+        with pytest.raises(ValueError, match="min_tokens=10"):
+            dedup_substrings_against(
+                df, hfp, min_tokens=5, history_is_fingerprints=True
+            )
+
+    def test_span_history_width_rejected(self, spark):
+        from pd_utils_spark.extensions.dedup import (
+            dedup_spans_against,
+            span_fingerprints,
+        )
+
+        hist = spark.createDataFrame(
+            [(100, "a. b. c. d. e")], ["doc_id", "text"]
+        )
+        df = spark.createDataFrame([(0, "x. y. z")], ["doc_id", "text"])
+        hfp = span_fingerprints(hist, n=3)
+        with pytest.raises(ValueError, match="n=3"):
+            dedup_spans_against(df, hfp, n=2, history_is_fingerprints=True)
 
     def test_composes_with_batch_dedup(self, spark):
         # _against then dedup_substrings: history cuts first, then the

@@ -669,13 +669,22 @@ class TestHardNegatives:
             ref9 = [(round(c, 9), nj) for c, nj in ref]
             assert got == ref9
 
-    def test_null_labels_are_negatives_for_labeled_queries(self, spark):
-        # eqNullSafe semantics: a NULL-labeled corpus row differs from
-        # a labeled query, so it is a legitimate negative
+    def test_null_labels_excluded_from_both_sides(self, spark):
+        # r7 contract: an unlabeled corpus row is NOT a certified
+        # negative (its true class may equal the query's), and an
+        # unlabeled query has no class to contrast — both are dropped
         df = spark.createDataFrame(
-            [(0, [1.0, 0.0], "a"), (1, [0.9, 0.1], None), (2, [0.8, 0.2], "a")],
+            [
+                (0, [1.0, 0.0], "a"),
+                (1, [0.9, 0.1], None),
+                (2, [0.8, 0.2], "a"),
+                (3, [0.7, 0.3], "b"),
+            ],
             "vec_id int, embedding array<double>, label string",
         )
-        q = df.filter("vec_id = 0")
-        got = {r.vec_id for r in S.hard_negatives(df, q, "label", k=5).collect()}
-        assert got == {1}  # same-label 2 excluded, null-label 1 kept
+        q = df.filter("vec_id in (0, 1)")
+        out = S.hard_negatives(df, q, "label", k=5).collect()
+        # null-label query 1 produces no rows; query 0 mines only the
+        # labeled different-class row 3 (null-label 1 is excluded)
+        assert {r.query_id for r in out} == {0}
+        assert {r.vec_id for r in out} == {3}

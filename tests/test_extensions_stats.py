@@ -414,6 +414,17 @@ class TestPSI:
         assert psi_shift > 0.25     # "shifted" band
         assert psi_same >= 0.0 and psi_shift > psi_same
 
+    def test_empty_baseline_returns_empty_frame(self, spark):
+        # r7 guard: an all-null or zero-row baseline must degrade to
+        # an empty result, not a negative-length slice runtime error
+        from pd_utils_spark.extensions.stats import population_stability_index
+
+        cur = spark.createDataFrame([(1.0,), (2.0,)], ["v"])
+        empty = spark.createDataFrame([], "v double")
+        allnull = spark.createDataFrame([(None,), (None,)], "v double")
+        assert population_stability_index(empty, cur, "v").count() == 0
+        assert population_stability_index(allnull, cur, "v").count() == 0
+
     def test_identical_frames_near_zero_and_bin_shapes(self, spark):
         from pd_utils_spark.extensions.stats import population_stability_index
 

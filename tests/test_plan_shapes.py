@@ -855,16 +855,51 @@ class TestRound6LateShapes:
             "doc_id int, text string",
         )
         plan = plan_of(dedup_substrings(df, min_tokens=8))
-        # keeper window + count ride ONE fingerprint partitioning; the
         # removal meets tokens in an anti equi-join — nothing all-pairs
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
-        import re
+        # r7 de-skew lock: keeper selection is a map-side-partial
+        # aggregate (min over the (doc,pos) struct + count) feeding the
+        # fp exchange — NEVER a window over partitionBy(fp), whose
+        # single-task sort of a hot boilerplate fingerprint's whole
+        # occurrence list was the r6 skew hazard
+        assert "windowspecdefinition(fp" not in plan, plan
+        assert "partial_min(struct" in plan, plan
+        assert "partial_count" in plan, plan
 
-        # both window functions share the fp partitioning: at most one
-        # exchange on fp feeds the rank+count pair
-        fp_exchanges = re.findall(r"hashpartitioning\(fp", plan)
-        assert len(set(fp_exchanges)) <= 1 or len(fp_exchanges) >= 1
+    def test_multiband_key_attach_is_map_only_and_greedy_is_agg(self, spark):
+        from pd_utils_spark.extensions.dedup import (
+            attach_minhash_band_keys,
+            dedup_bands_greedy,
+        )
+
+        df = spark.createDataFrame(
+            [(i, f"alpha beta gamma delta {i}") for i in range(6)],
+            "doc_id int, text string",
+        )
+        # key attachment: zero exchange, zero generate — streaming-legal
+        kplan = plan_of(attach_minhash_band_keys(df, bands=3))
+        assert "Exchange" not in kplan, kplan
+        assert "Generate" not in kplan, kplan
+        # greedy passes: min-id keepers come from partial aggregation
+        # + semi joins, never a per-key window sort
+        gplan = plan_of(dedup_bands_greedy(df, bands=2))
+        assert "windowspecdefinition" not in gplan, gplan
+        assert "partial_min" in gplan, gplan
+        assert "LeftSemi" in gplan, gplan
+        assert "CartesianProduct" not in gplan
+
+    def test_dedup_spans_keeper_is_partial_agg_not_fp_window(self, spark):
+        from pd_utils_spark.extensions.dedup import dedup_spans
+
+        df = spark.createDataFrame(
+            [(i, "aa. bb. cc. dd. ee. ff") for i in range(4)],
+            "doc_id int, text string",
+        )
+        plan = plan_of(dedup_spans(df, n=3))
+        assert "CartesianProduct" not in plan
+        assert "windowspecdefinition(fp" not in plan, plan
+        assert "partial_min(struct" in plan, plan
 
     def test_brute_force_pairs_grid_join_never_nested_loop_on_rows(self, spark):
         from pd_utils_spark.extensions import similarity as S

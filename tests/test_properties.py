@@ -895,30 +895,100 @@ _doc_sentences = st.lists(
 )
 
 
+def _ref_dedup_spans(docs: dict, n: int) -> dict:
+    """Pure-Python replay of one dedup_spans pass (the C4 span rule):
+    period-split/trim sentences, lowercased n-span fingerprints,
+    keeper = global min (doc, pos), remove sentences under non-keeper
+    duplicate spans, rebuild with '. '."""
+    sents = {
+        i: [s.strip() for s in t.split(".") if s.strip()]
+        for i, t in docs.items()
+    }
+    occ: dict = {}
+    for i in sorted(sents):
+        ss = sents[i]
+        for p in range(len(ss) - n + 1):
+            occ.setdefault(
+                tuple(s.lower() for s in ss[p : p + n]), []
+            ).append((i, p))
+    removal = set()
+    for lst in occ.values():
+        if len(lst) > 1:
+            keep = min(lst)
+            for i, p in lst:
+                if (i, p) != keep:
+                    removal.update((i, q) for q in range(p, p + n))
+    return {
+        i: ". ".join(
+            s for p, s in enumerate(ss) if (i, p) not in removal
+        )
+        for i, ss in sents.items()
+    }
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs=st.lists(_doc_sentences, min_size=1, max_size=6))
+def test_dedup_spans_single_pass_matches_reference(spark, docs):
+    """Differential property: one dedup_spans pass equals a
+    straightforward pure-Python replay of the C4 span rule for ANY
+    corpus — the strongest true single-pass invariant. (The operator
+    is NOT idempotent — reassembly creates new sentence adjacencies
+    that can collide with kept spans; the r6 idempotence property was
+    false and is replaced by this + the fixpoint property below.)"""
+    corpus = {i: ". ".join(s) for i, s in enumerate(docs)}
+    df = spark.createDataFrame(list(corpus.items()), ["doc_id", "text"])
+    got = {
+        r.doc_id: r.clean_text
+        for r in D.dedup_spans(df, n=2, out="clean_text").collect()
+    }
+    assert got == _ref_dedup_spans(corpus, 2)
+
+
 @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
 @given(docs=st.lists(_doc_sentences, min_size=1, max_size=6))
-def test_dedup_spans_is_idempotent(spark, docs):
-    """Re-running span dedup on its own output must be the identity:
-    the first pass keeps exactly one copy of every duplicated
-    n-sentence span, so the rebuilt corpus contains no duplicated
-    span for a second pass to remove. Non-obvious because the
-    REASSEMBLY step ('. '-joined survivors) creates NEW sentence
-    adjacencies — sentences that were never neighbors become a span
-    after the removal cuts between them — so idempotence certifies
-    that the keeper rule is stable under its own reassembly."""
+def test_dedup_spans_to_fixpoint_is_stable(spark, docs):
+    """to_fixpoint=True output IS rerun-stable: one more pass over
+    the fixpoint changes nothing — the closure property a pipeline
+    that re-ingests its own output actually needs."""
     df = spark.createDataFrame(
         [(i, ". ".join(s)) for i, s in enumerate(docs)],
         ["doc_id", "text"],
     )
-    once = D.dedup_spans(df, n=2, out="clean_text")
-    first = {r.doc_id: r.clean_text for r in once.collect()}
+    fp = D.dedup_spans(df, n=2, out="clean_text", to_fixpoint=True)
+    stable = {r.doc_id: r.clean_text for r in fp.collect()}
     again = D.dedup_spans(
-        once.select("doc_id", F.col("clean_text").alias("text")),
+        fp.select("doc_id", F.col("clean_text").alias("text")),
         n=2,
         out="clean_text",
     )
+    assert {r.doc_id: r.clean_text for r in again.collect()} == stable
+
+
+def test_dedup_spans_nonidempotence_counterexample(spark):
+    """The r6 verdict's deterministic counterexample, pinned: pass 1
+    rebuilds doc 2 as 'aa. bb. cc' (a NEW 3-span colliding with doc
+    0's kept span), so pass 2 removes it — documented
+    non-idempotence, and the fixpoint variant stabilizes it."""
+    docs = ["aa. bb. cc. zz", "xx. yy. ww. qq", "aa. xx. yy. ww. bb. cc"]
+    df = spark.createDataFrame(list(enumerate(docs)), ["doc_id", "text"])
+    once = D.dedup_spans(df, n=3, out="clean_text")
+    first = {r.doc_id: r.clean_text for r in once.collect()}
+    assert first[2] == "aa. bb. cc"
+    again = D.dedup_spans(
+        once.select("doc_id", F.col("clean_text").alias("text")),
+        n=3,
+        out="clean_text",
+    )
     second = {r.doc_id: r.clean_text for r in again.collect()}
-    assert second == first
+    assert second[2] == ""  # pass 2 removes content: NOT idempotent
+    fp = D.dedup_spans(df, n=3, out="clean_text", to_fixpoint=True)
+    stable = {r.doc_id: r.clean_text for r in fp.collect()}
+    rerun = D.dedup_spans(
+        fp.select("doc_id", F.col("clean_text").alias("text")),
+        n=3,
+        out="clean_text",
+    )
+    assert {r.doc_id: r.clean_text for r in rerun.collect()} == stable
 
 
 _scd_keys = st.lists(
@@ -990,25 +1060,96 @@ _sub_docs = st.lists(
 )
 
 
+def _ref_dedup_substrings(docs: dict, k: int) -> dict:
+    """Pure-Python replay of one dedup_substrings pass (ExactSubstr
+    token rule): whitespace tokens, k-window fingerprints, keeper =
+    global min (doc, pos), remove tokens under non-keeper duplicate
+    windows, rebuild space-joined."""
+    toks = {i: t.split() for i, t in docs.items()}
+    occ: dict = {}
+    for i in sorted(toks):
+        ts = toks[i]
+        for p in range(len(ts) - k + 1):
+            occ.setdefault(tuple(ts[p : p + k]), []).append((i, p))
+    removal = set()
+    for lst in occ.values():
+        if len(lst) > 1:
+            keep = min(lst)
+            for i, p in lst:
+                if (i, p) != keep:
+                    removal.update((i, q) for q in range(p, p + k))
+    return {
+        i: " ".join(t for p, t in enumerate(ts) if (i, p) not in removal)
+        for i, ts in toks.items()
+    }
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs=_sub_docs)
+def test_dedup_substrings_single_pass_matches_reference(spark, docs):
+    """Differential property: one dedup_substrings pass equals a
+    pure-Python replay of the ExactSubstr token rule for ANY corpus.
+    (The operator is NOT idempotent — space-joined reassembly creates
+    new token adjacencies that can collide with kept windows; the r6
+    idempotence property was false and is replaced by this + the
+    fixpoint property below.)"""
+    corpus = dict(enumerate(docs))
+    df = spark.createDataFrame(list(corpus.items()), ["doc_id", "text"])
+    got = {
+        r.doc_id: r.clean_text
+        for r in D.dedup_substrings(df, min_tokens=3, out="clean_text").collect()
+    }
+    assert got == _ref_dedup_substrings(corpus, 3)
+
+
 @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
 @given(docs=_sub_docs)
-def test_dedup_substrings_is_idempotent(spark, docs):
-    """Re-running token-run dedup on its own output is the identity:
-    pass one keeps exactly one occurrence of every duplicated
-    min_tokens window, and — non-obviously — the space-joined
-    reassembly creates new token adjacencies whose windows must not
-    constitute fresh duplicates for a second pass."""
-    from pd_utils_spark.extensions.dedup import dedup_substrings
-
-    df = spark.createDataFrame(
-        list(enumerate(docs)), ["doc_id", "text"]
+def test_dedup_substrings_to_fixpoint_is_stable(spark, docs):
+    """to_fixpoint=True output IS rerun-stable: one more pass over
+    the fixpoint removes nothing."""
+    df = spark.createDataFrame(list(enumerate(docs)), ["doc_id", "text"])
+    fp = D.dedup_substrings(
+        df, min_tokens=3, out="clean_text", to_fixpoint=True
     )
-    once = dedup_substrings(df, min_tokens=3, out="clean_text")
+    stable = {r.doc_id: r.clean_text for r in fp.collect()}
+    again = D.dedup_substrings(
+        fp.withColumnRenamed("clean_text", "text"),
+        min_tokens=3,
+        out="clean_text",
+    )
+    assert {r.doc_id: r.clean_text for r in again.collect()} == stable
+
+
+def test_dedup_substrings_nonidempotence_counterexample(spark):
+    """The r6 verdict's deterministic counterexample, pinned: pass 1
+    rebuilds doc 3 as 'dd bb cc' (a NEW adjacency colliding with doc
+    1's kept window), so pass 2 empties it — documented
+    non-idempotence, and the fixpoint variant stabilizes it."""
+    docs = [
+        "aa",
+        "aa aa dd bb cc aa aa aa aa aa aa aa",
+        "ee bb cc aa",
+        "dd ee bb cc aa bb cc",
+    ]
+    df = spark.createDataFrame(list(enumerate(docs)), ["doc_id", "text"])
+    once = D.dedup_substrings(df, min_tokens=3, out="clean_text")
     first = {r.doc_id: r.clean_text for r in once.collect()}
-    again = dedup_substrings(
+    assert first == _ref_dedup_substrings(dict(enumerate(docs)), 3)
+    assert first[3] == "dd bb cc"
+    again = D.dedup_substrings(
         once.withColumnRenamed("clean_text", "text"),
         min_tokens=3,
         out="clean_text",
     )
     second = {r.doc_id: r.clean_text for r in again.collect()}
-    assert second == first
+    assert second[3] == ""  # pass 2 removes content: NOT idempotent
+    fp = D.dedup_substrings(
+        df, min_tokens=3, out="clean_text", to_fixpoint=True
+    )
+    stable = {r.doc_id: r.clean_text for r in fp.collect()}
+    rerun = D.dedup_substrings(
+        fp.withColumnRenamed("clean_text", "text"),
+        min_tokens=3,
+        out="clean_text",
+    )
+    assert {r.doc_id: r.clean_text for r in rerun.collect()} == stable

@@ -432,6 +432,108 @@ class TestStreamingSessionizeTTL:
             shutil.rmtree(src, ignore_errors=True)
 
 
+class TestStreamingGreedyBandDedup:
+    def test_batch_equals_stream_and_history_drops(self, spark):
+        """Batch≡stream for the multi-band greedy rule: two
+        micro-batches through foreachBatch give exactly the survivors
+        of applying dedup_bands_greedy to batch 1, then batch 2
+        filtered by batch-1 claims + within-batch greedy — and a
+        batch-2 near-dup of a batch-1 survivor drops via the claims
+        table."""
+        import os
+        import time
+
+        from pyspark.sql.types import LongType, StringType
+
+        from pd_utils_spark.extensions.dedup import (
+            attach_minhash_band_keys,
+            dedup_bands_greedy,
+        )
+
+        base = tempfile.mkdtemp(prefix="mb_stream_")
+        src, outd, hist, ckpt = (
+            f"{base}/{d}" for d in ("src", "out", "hist", "ckpt")
+        )
+        os.makedirs(src)
+        try:
+            schema = StructType(
+                [StructField("doc_id", LongType()), StructField("text", StringType())]
+            )
+            b1 = [
+                {"doc_id": 1, "text": "the quick brown fox jumps over the lazy dog today"},
+                {"doc_id": 2, "text": "the quick brown fox jumps over the lazy dog today"},
+                {"doc_id": 3, "text": "completely different first batch content here now"},
+            ]
+            b2 = [
+                {"doc_id": 10, "text": "the quick brown fox jumps over the lazy dog today"},
+                {"doc_id": 11, "text": "brand new second batch content sharing nothing at all"},
+            ]
+            with open(f"{src}/b1.json", "w") as f:
+                f.write("\n".join(json.dumps(r) for r in b1))
+            stream = (
+                spark.readStream.format("json")
+                .schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .load(src)
+            )
+            q = W.streaming_greedy_band_dedup(
+                stream, outd, hist, ckpt, k=3, rows_per_band=3, bands=2
+            )
+            try:
+                deadline = time.time() + 90
+
+                def ids():
+                    try:
+                        return sorted(
+                            r.doc_id for r in spark.read.parquet(outd).collect()
+                        )
+                    except Exception:
+                        return []
+
+                while time.time() < deadline and len(ids()) < 2:
+                    time.sleep(1)
+                # batch twin on batch 1 alone
+                b1df = spark.createDataFrame(
+                    [(r["doc_id"], r["text"]) for r in b1], ["doc_id", "text"]
+                )
+                want1 = sorted(
+                    r.doc_id for r in dedup_bands_greedy(b1df, bands=2).collect()
+                )
+                assert ids() == want1 == [1, 3]
+                with open(f"{src}/b2.json", "w") as f:
+                    f.write("\n".join(json.dumps(r) for r in b2))
+                while time.time() < deadline and len(ids()) < 3:
+                    time.sleep(1)
+                # replay batch 2 relationally: drop docs holding any
+                # claimed (band, key), then within-batch greedy
+                b2df = spark.createDataFrame(
+                    [(r["doc_id"], r["text"]) for r in b2], ["doc_id", "text"]
+                )
+                claims = (
+                    attach_minhash_band_keys(b1df, bands=2, out="__bks__")
+                    .filter(F.col("doc_id").isin(want1))
+                    .select(F.posexplode("__bks__").alias("band", "key"))
+                )
+                keyed2 = attach_minhash_band_keys(b2df, bands=2, out="__bks__")
+                hit = (
+                    keyed2.select(
+                        "doc_id", F.posexplode("__bks__").alias("band", "key")
+                    )
+                    .join(claims, ["band", "key"], "left_semi")
+                    .select("doc_id")
+                    .distinct()
+                )
+                kept2 = b2df.join(hit, "doc_id", "left_anti")
+                want2 = sorted(
+                    r.doc_id for r in dedup_bands_greedy(kept2, bands=2).collect()
+                )
+                assert ids() == want1 + want2 == [1, 3, 11]
+            finally:
+                q.stop()
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+
+
 class TestStreamingMinhashDedup:
     def test_near_dups_dropped_within_and_across_batches(self, spark):
         """foreachBatch near-dup dedup: batch 1's internal near-dup pair
