@@ -1802,6 +1802,47 @@ def q_streaming_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_candidate_recall_multiband(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-quality audit #6: the TWO-band generator behind
+    dedup_bands_greedy / streaming_greedy_band_dedup (candidates =
+    pairs sharing band key 0 OR band key 1; 3 minhash rows per band)
+    vs the same exact Jaccard>=0.5 prefix-join truth as the other
+    audits, same corpus. Collision curve 1-(1-J^3)^2 vs the one-band
+    J^3 of `candidate_recall_streamband` — this row pins what the
+    second band buys (recall can only rise; the cost is 2x key state
+    in the claims table)."""
+    from pyspark import StorageLevel
+
+    from pd_utils_spark.extensions.dedup import attach_minhash_band_keys
+
+    u = _docs_with_copies(spark, sf_dir).filter(F.col("doc_id") % 2 == 0)
+    keyed = attach_minhash_band_keys(u, k=3, rows_per_band=3, bands=2,
+                                     out="__bks__")
+    ex = keyed.select(
+        "doc_id", F.posexplode("__bks__").alias("band", "key")
+    )
+    cand = (
+        ex.alias("x")
+        .join(
+            ex.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.key") == F.col("y.key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    sh = pus_dedup.shingle_sets(u, k=3).persist(StorageLevel.MEMORY_AND_DISK)
+    truth = pus_dedup.jaccard_join_prefix(u, threshold=0.5, shingles=sh)
+    out = pus_dedup.candidate_recall(cand, truth)
+    return out.select(
+        "n_true", "n_cand", "n_hit",
+        F.round("recall", 6).alias("recall"),
+    )
+
+
 def q_dedup_bands_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-band greedy near-dup dedup (extensions/dedup.py
     dedup_bands_greedy): 2 bands x 3 minhash rows over 3-shingles on
@@ -5846,6 +5887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "candidate_recall_streamband": q_candidate_recall_streamband,
         "ahash_near_dup_pairs": q_ahash_near_dup_pairs,
         "hard_negatives": q_hard_negatives,
+        "candidate_recall_multiband": q_candidate_recall_multiband,
         "dedup_bands_greedy": q_dedup_bands_greedy,
         "streaming_multiband_dedup": q_streaming_multiband_dedup,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -8374,6 +8416,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, query_label, vec_id, label,
                    round(cosine, {r}) AS cosine, cast(rank AS int) AS rank
             FROM ranked WHERE rank <= 10
+        """,
+        "candidate_recall_multiband": f"""
+            WITH u AS (
+                SELECT doc_id, text FROM (
+                    SELECT doc_id, text FROM documents
+                    UNION ALL
+                    SELECT doc_id + 100000, text FROM documents
+                ) WHERE doc_id % 2 = 0
+            ),
+            sh AS (
+                SELECT doc_id, {_SQL_SHINGLES} AS s FROM u
+            ), keys AS (
+                SELECT doc_id,
+                       {_sql_minhash_band_key(0, 3)} AS bk0,
+                       {_sql_minhash_band_key(1, 3)} AS bk1
+                FROM sh
+            ), cand AS (
+                SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                FROM keys x JOIN keys y
+                  ON (x.bk0 = y.bk0 OR x.bk1 = y.bk1)
+                 AND x.doc_id < y.doc_id
+            ), truth AS (
+                SELECT x.doc_id AS a, y.doc_id AS b
+                FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+                WHERE len(list_intersect(x.s, y.s))
+                      / len(list_distinct(list_concat(x.s, y.s))) >= 0.5
+            ), hit AS (
+                SELECT t.a, t.b FROM truth t
+                WHERE EXISTS (SELECT 1 FROM cand c
+                              WHERE c.a = t.a AND c.b = t.b)
+            )
+            SELECT (SELECT count(*) FROM truth)::BIGINT AS n_true,
+                   (SELECT count(*) FROM cand)::BIGINT AS n_cand,
+                   (SELECT count(*) FROM hit)::BIGINT AS n_hit,
+                   round((SELECT count(*) FROM hit)::DOUBLE
+                         / (SELECT count(*) FROM truth)::DOUBLE, 6)
+                       AS recall
         """,
         "dedup_bands_greedy": f"""
             WITH u AS ({_SQL_DOC_UNION}),

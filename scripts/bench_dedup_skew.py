@@ -144,8 +144,25 @@ def main():
     r, s = timed(lambda: lines(uniform))
     res["lines_uniform"] = {**r, "sec": s}
 
+    # --- dedup_substrings lanes (r7: keeper de-skew evidence) -------
+    # the flood docs share a long boilerplate token run, so every
+    # window of that run is ONE fingerprint appearing in n_flood docs
+    # — the hot-keeper case the r6 row_number window sorted in one
+    # task and the r7 min-struct partial agg absorbs map-side
+    def substr(df):
+        out = D.dedup_substrings(df, min_tokens=10)
+        return {"rows": out.count()}
+
+    r, s = timed(lambda: substr(corpus))
+    res["substr_flood"] = {**r, "sec": s}
+    r, s = timed(lambda: substr(uniform))
+    res["substr_uniform"] = {**r, "sec": s}
+
     corpus.unpersist()
-    for k in ("lsh_nocap", "lsh_cap", "lines_boiler", "lines_uniform"):
+    for k in (
+        "lsh_nocap", "lsh_cap", "lines_boiler", "lines_uniform",
+        "substr_flood", "substr_uniform",
+    ):
         print(f"{k:14s} {res[k]}", file=sys.stderr)
     print(json.dumps(res))
 
