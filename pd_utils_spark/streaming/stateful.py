@@ -79,7 +79,11 @@ def streaming_band_dedup(
     (same module) — a ``foreachBatch`` pipeline that
     round-trips a persistent fingerprint-history table per
     micro-batch; this operator is the in-engine, state-store-only
-    form (no external history, no per-batch batch jobs).
+    form (no external history, no per-batch batch jobs). When one
+    band's ``J^rows_per_band`` recall is not enough, use
+    :func:`streaming_greedy_band_dedup` — multiple bands
+    (``1-(1-J^r)^bands``) via a foreachBatch claims table, still
+    16-byte state per key, deterministic min-id survivor rule.
 
     The band key matches BATCH band 0 of the standard signature
     bit-for-bit (same md5 universal-hash constants, same '|'-joined
