@@ -1857,6 +1857,47 @@ def q_dedup_bands_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id")
 
 
+def q_greedy_band_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision audit for the unverified multi-band rule:
+    dedup_bands_greedy drops a doc on band collision ALONE (no exact
+    verification — the price of streaming-expressible state), so this
+    row measures what that costs: of the docs it drops, how many have
+    NO true Jaccard>=0.5 partner anywhere in the corpus (false
+    drops). Complements `candidate_recall_multiband` (the other side:
+    what the bands miss). Truth = the exact prefix-join; the oracle
+    replays greedy via chained QUALIFY windows and truth via the
+    list_intersect Jaccard."""
+    from pd_utils_spark.extensions.dedup import dedup_bands_greedy
+
+    u = _docs_with_copies(spark, sf_dir).filter(F.col("doc_id") % 2 == 0)
+    survivors = dedup_bands_greedy(u, k=3, rows_per_band=3, bands=2)
+    dropped = u.select("doc_id").join(
+        survivors.select("doc_id"), "doc_id", "left_anti"
+    )
+    truth = pus_dedup.jaccard_join_prefix(u, threshold=0.5, k=3)
+    has_partner = (
+        truth.select(F.col("id_a").alias("doc_id"))
+        .unionByName(truth.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    false_drops = dropped.join(has_partner, "doc_id", "left_anti")
+    n_drop = dropped.agg(F.count(F.lit(1)).alias("n")).select("n")
+    n_false = false_drops.agg(F.count(F.lit(1)).alias("n")).select("n")
+    return (
+        n_drop.withColumnRenamed("n", "n_dropped")
+        .crossJoin(n_false.withColumnRenamed("n", "n_false_drops"))
+        .select(
+            F.col("n_dropped").cast("bigint").alias("n_dropped"),
+            F.col("n_false_drops").cast("bigint").alias("n_false_drops"),
+            F.round(
+                F.lit(1.0)
+                - F.col("n_false_drops") / F.greatest(F.col("n_dropped"), F.lit(1)),
+                6,
+            ).alias("drop_precision"),
+        )
+    )
+
+
 def q_streaming_multiband_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-band streaming near-dup dedup driven through the engine
     end-to-end (streaming/stateful.py streaming_greedy_band_dedup):
@@ -5889,6 +5930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": q_hard_negatives,
         "candidate_recall_multiband": q_candidate_recall_multiband,
         "dedup_bands_greedy": q_dedup_bands_greedy,
+        "greedy_band_precision": q_greedy_band_precision,
         "streaming_multiband_dedup": q_streaming_multiband_dedup,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "jaccard_topk": q_jaccard_topk,
@@ -8471,6 +8513,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM s0
             QUALIFY row_number() OVER (PARTITION BY bk1
                                        ORDER BY doc_id) = 1
+        """,
+        "greedy_band_precision": f"""
+            WITH u AS (
+                SELECT doc_id, text FROM (
+                    SELECT doc_id, text FROM documents
+                    UNION ALL
+                    SELECT doc_id + 100000, text FROM documents
+                ) WHERE doc_id % 2 = 0
+            ),
+            sh AS (
+                SELECT doc_id, {_SQL_SHINGLES} AS s FROM u
+            ), keyed AS (
+                SELECT doc_id,
+                       {_sql_minhash_band_key(0, 3)} AS bk0,
+                       {_sql_minhash_band_key(1, 3)} AS bk1
+                FROM sh
+            ), s0 AS (
+                SELECT doc_id, bk1 FROM keyed
+                QUALIFY row_number() OVER (PARTITION BY bk0
+                                           ORDER BY doc_id) = 1
+            ), surv AS (
+                SELECT doc_id FROM s0
+                QUALIFY row_number() OVER (PARTITION BY bk1
+                                           ORDER BY doc_id) = 1
+            ), dropped AS (
+                SELECT doc_id FROM u
+                WHERE doc_id NOT IN (SELECT doc_id FROM surv)
+            ), partnered AS (
+                SELECT DISTINCT doc_id FROM (
+                    SELECT x.doc_id FROM sh x JOIN sh y
+                      ON x.doc_id <> y.doc_id
+                    WHERE len(list_intersect(x.s, y.s))
+                          / len(list_distinct(list_concat(x.s, y.s))) >= 0.5
+                )
+            ), false_drops AS (
+                SELECT doc_id FROM dropped
+                WHERE doc_id NOT IN (SELECT doc_id FROM partnered)
+            )
+            SELECT (SELECT count(*) FROM dropped)::BIGINT AS n_dropped,
+                   (SELECT count(*) FROM false_drops)::BIGINT AS n_false_drops,
+                   round(1.0 - (SELECT count(*) FROM false_drops)::DOUBLE
+                         / greatest((SELECT count(*) FROM dropped), 1),
+                         6) AS drop_precision
         """,
         "streaming_multiband_dedup": f"""
             WITH sh AS (

@@ -669,6 +669,63 @@ class TestHardNegatives:
             ref9 = [(round(c, 9), nj) for c, nj in ref]
             assert got == ref9
 
+    def test_kmeans_assign_probes_element0_is_the_assignment(self, spark):
+        # top-probes cells: element 0 must equal kmeans_assign (same
+        # (dist, cid) order), elements distinct, probes clamped to k
+        import numpy as np
+
+        from pd_utils_spark.extensions.similarity import (
+            kmeans_assign,
+            kmeans_assign_probes,
+            kmeans_fit,
+        )
+
+        rng = np.random.RandomState(11)
+        df = spark.createDataFrame(
+            [(int(i), [float(x) for x in rng.normal(0, 1, 4)])
+             for i in range(30)],
+            "vec_id int, embedding array<double>",
+        )
+        cents = kmeans_fit(df, k=3, iters=2)
+        one = {r.vec_id: r.cluster for r in kmeans_assign(df, cents).collect()}
+        probed = {
+            r.vec_id: r.cells
+            for r in kmeans_assign_probes(df, cents, probes=2).collect()
+        }
+        for vid, cells in probed.items():
+            assert len(cells) == 2 and cells[0] != cells[1]
+            assert cells[0] == one[vid]
+        clamped = kmeans_assign_probes(df, cents, probes=9).collect()
+        assert all(len(r.cells) == 3 for r in clamped)  # k=3 caps it
+        with pytest.raises(ValueError, match="probes"):
+            kmeans_assign_probes(df, cents, probes=0)
+
+    def test_semantic_cell_pairs_probes_is_superset(self, spark):
+        # every probes=1 pair also appears at probes=2 (each side's
+        # nearest cell is still among its probe cells), plus boundary
+        # pairs can only be added, never removed
+        import numpy as np
+
+        from pd_utils_spark.extensions.similarity import semantic_cell_pairs
+
+        rng = np.random.RandomState(5)
+        df = spark.createDataFrame(
+            [(int(i), [float(x) for x in rng.normal(0, 1, 4)])
+             for i in range(40)],
+            "vec_id int, embedding array<double>",
+        )
+        p1 = {
+            (r.id_a, r.id_b)
+            for r in semantic_cell_pairs(df, k=4, iters=2, threshold=0.3).collect()
+        }
+        p2 = {
+            (r.id_a, r.id_b)
+            for r in semantic_cell_pairs(
+                df, k=4, iters=2, threshold=0.3, probes=2
+            ).collect()
+        }
+        assert p1 <= p2
+
     def test_null_labels_excluded_from_both_sides(self, spark):
         # r7 contract: an unlabeled corpus row is NOT a certified
         # negative (its true class may equal the query's), and an
