@@ -968,7 +968,7 @@ def dedup_spans(
 
     def one_pass(frame: DataFrame, tc: str = "text") -> DataFrame:
         s = _sentences(frame, tc, idcol)
-        sp = span_fingerprints(frame, tc, idcol, n, sentences=s)
+        sp = span_fingerprints(frame, tc, idcol, n)
         removal = _dup_removal(sp, idcol, n)
         return _rebuild_from_sentences(frame, s, removal, idcol, out)
 
@@ -1049,7 +1049,7 @@ def dedup_substrings(
 
     def one_pass(frame: DataFrame, tc: str = "text") -> DataFrame:
         toks = _ws_tokens(frame, tc, idcol)
-        wins = substring_fingerprints(frame, tc, idcol, k, tokens=toks)
+        wins = substring_fingerprints(frame, tc, idcol, k)
         removal = _dup_removal(wins, idcol, k)
         return _rebuild_from_tokens(frame, toks, removal, idcol, out)
 
@@ -1064,23 +1064,26 @@ def dedup_substrings(
     )
 
 
-def _ws_tokens(df: DataFrame, textcol: str, idcol: str) -> DataFrame:
-    """(id, pos, __tok__): whitespace-split tokens, empties dropped,
-    positions compacted per doc — the shared token stage of the
-    substring-dedup family (byte-exact tokens, unlike the normalizing
-    shingle pipeline)."""
-    from pyspark.sql import Window
+def _ws_token_array(textcol: str) -> Column:
+    """Whitespace-split tokens with empties dropped, as ONE map-only
+    array expression (byte-exact tokens, unlike the normalizing
+    shingle pipeline). Filtering INSIDE the array means positions are
+    compacted for free — r6 exploded first and re-numbered with a
+    row_number window, paying a per-doc exchange+sort in every
+    consumer (three per dedup_substrings call)."""
+    return F.filter(
+        F.split(F.trim(F.col(textcol)), r"\s+"),
+        lambda t: F.length(t) > 0,
+    )
 
-    raw = df.select(
+
+def _ws_tokens(df: DataFrame, textcol: str, idcol: str) -> DataFrame:
+    """(id, pos, __tok__): exploded view of :func:`_ws_token_array`
+    with 1-based compacted positions — map-only, no window."""
+    return df.select(
         F.col(idcol),
-        F.posexplode_outer(
-            F.split(F.trim(F.col(textcol)), r"\s+")
-        ).alias("__p0__", "__tok__"),
-    )
-    return raw.filter(F.length("__tok__") > 0).withColumn(
-        "pos",
-        F.row_number().over(Window.partitionBy(idcol).orderBy("__p0__")),
-    )
+        F.posexplode(_ws_token_array(textcol)).alias("__p0__", "__tok__"),
+    ).select(idcol, (F.col("__p0__") + 1).alias("pos"), "__tok__")
 
 
 def substring_fingerprints(
@@ -1104,15 +1107,25 @@ def substring_fingerprints(
     if min_tokens < 1:
         raise ValueError(f"min_tokens must be >= 1: {min_tokens}")
     k = min_tokens
-    toks = tokens if tokens is not None else _ws_tokens(df, textcol, idcol)
-    per = toks.groupBy(idcol).agg(
-        F.array_sort(
-            F.collect_list(F.struct("pos", F.col("__tok__").alias("t")))
-        ).alias("__st__")
-    ).select(
-        idcol,
-        F.transform(F.col("__st__"), lambda s: s["t"]).alias("__arr__"),
-    )
+    if tokens is not None:
+        # exploded (id, pos, tok) handed in: re-assemble the array
+        # (compat path — callers holding only the exploded view)
+        per = tokens.groupBy(idcol).agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", F.col("__tok__").alias("t")))
+            ).alias("__st__")
+        ).select(
+            idcol,
+            F.transform(F.col("__st__"), lambda s: s["t"]).alias("__arr__"),
+        )
+    else:
+        # map-only: the token array is a pure column expression — no
+        # explode, no per-doc collect_list agg, no exchange (r7; the
+        # r6 explode->re-collect shape paid a doc_id shuffle in every
+        # consumer, and dedup_substrings consumes this subtree twice)
+        per = df.select(
+            F.col(idcol), _ws_token_array(textcol).alias("__arr__")
+        )
     n = F.size("__arr__")
     return per.filter(n >= k).select(
         F.col(idcol),
@@ -1188,7 +1201,7 @@ def dedup_substrings_against(
         raise ValueError(f"min_tokens must be >= 1: {min_tokens}")
     k = min_tokens
     toks = _ws_tokens(df, textcol, idcol)
-    wins = substring_fingerprints(df, textcol, idcol, k, tokens=toks)
+    wins = substring_fingerprints(df, textcol, idcol, k)
     if history_is_fingerprints:
         # a history built with a different window width silently
         # matches nothing — reject it when the stamp is present
@@ -1220,22 +1233,24 @@ def dedup_substrings_against(
     return _rebuild_from_tokens(df, toks, removal, idcol, out)
 
 
-def _sentences(df: DataFrame, textcol: str, idcol: str) -> DataFrame:
-    """(id, pos, __sent__): period-split, trimmed, empties dropped,
-    positions compacted per doc — the shared sentence stage of the
-    span-dedup family."""
-    from pyspark.sql import Window
-
-    raw = df.select(
-        F.col(idcol),
-        F.posexplode_outer(F.split(F.col(textcol), r"\.")).alias(
-            "__p0__", "__sent__"
-        ),
-    ).withColumn("__sent__", F.trim("__sent__"))
-    return raw.filter(F.length("__sent__") > 0).withColumn(
-        "pos",
-        F.row_number().over(Window.partitionBy(idcol).orderBy("__p0__")),
+def _sentence_array(textcol: str) -> Column:
+    """Period-split, trimmed sentences with empties dropped, as ONE
+    map-only array expression — positions compact for free (see
+    :func:`_ws_token_array` for why this replaced the r6
+    explode -> row_number-window shape)."""
+    return F.filter(
+        F.transform(F.split(F.col(textcol), r"\."), lambda s: F.trim(s)),
+        lambda s: F.length(s) > 0,
     )
+
+
+def _sentences(df: DataFrame, textcol: str, idcol: str) -> DataFrame:
+    """(id, pos, __sent__): exploded view of :func:`_sentence_array`
+    with 1-based compacted positions — map-only, no window."""
+    return df.select(
+        F.col(idcol),
+        F.posexplode(_sentence_array(textcol)).alias("__p0__", "__sent__"),
+    ).select(idcol, (F.col("__p0__") + 1).alias("pos"), "__sent__")
 
 
 def span_fingerprints(
@@ -1255,15 +1270,23 @@ def span_fingerprints(
     with a different span width."""
     if n < 1:
         raise ValueError(f"n must be >= 1: {n}")
-    s = sentences if sentences is not None else _sentences(df, textcol, idcol)
-    per = s.groupBy(idcol).agg(
-        F.transform(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("pos"), F.col("__sent__").alias("s")))
-            ),
-            lambda x: x["s"],
-        ).alias("__arr__")
-    )
+    if sentences is not None:
+        # exploded (id, pos, sent) handed in: re-assemble (compat path)
+        per = sentences.groupBy(idcol).agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("pos"), F.col("__sent__").alias("s"))
+                    )
+                ),
+                lambda x: x["s"],
+            ).alias("__arr__")
+        )
+    else:
+        # map-only array expression — no explode, no per-doc agg (r7)
+        per = df.select(
+            F.col(idcol), _sentence_array(textcol).alias("__arr__")
+        )
     arr = F.col("__arr__")
     sz = F.size(arr)
     spans = F.when(
@@ -1339,7 +1362,7 @@ def dedup_spans_against(
     broadcasts it when small, hash-joins otherwise — never all-pairs.
     """
     s = _sentences(df, textcol, idcol)
-    sp = span_fingerprints(df, textcol, idcol, n, sentences=s)
+    sp = span_fingerprints(df, textcol, idcol, n)
     if history_is_fingerprints:
         hist_n = dict(history.schema["fp"].metadata or {}).get("n")
         if hist_n is not None and int(hist_n) != n:

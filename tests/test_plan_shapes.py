@@ -862,8 +862,11 @@ class TestRound6LateShapes:
         # aggregate (min over the (doc,pos) struct + count) feeding the
         # fp exchange — NEVER a window over partitionBy(fp), whose
         # single-task sort of a hot boilerplate fingerprint's whole
-        # occurrence list was the r6 skew hazard
-        assert "windowspecdefinition(fp" not in plan, plan
+        # occurrence list was the r6 skew hazard. Position compaction
+        # is filter-inside-the-array, so there is NO window anywhere
+        # (the r6 row_number position window paid a per-doc
+        # exchange+sort in every token-stage consumer)
+        assert "windowspecdefinition" not in plan, plan
         assert "partial_min(struct" in plan, plan
         assert "partial_count" in plan, plan
 
