@@ -967,10 +967,9 @@ def dedup_spans(
         raise ValueError(f"n must be >= 1: {n}")
 
     def one_pass(frame: DataFrame, tc: str = "text") -> DataFrame:
-        s = _sentences(frame, tc, idcol)
         sp = span_fingerprints(frame, tc, idcol, n)
         removal = _dup_removal(sp, idcol, n)
-        return _rebuild_from_sentences(frame, s, removal, idcol, out)
+        return _rebuild_from_sentences(frame, removal, idcol, out, tc)
 
     if not to_fixpoint:
         return one_pass(df, textcol)
@@ -1048,10 +1047,9 @@ def dedup_substrings(
     k = min_tokens
 
     def one_pass(frame: DataFrame, tc: str = "text") -> DataFrame:
-        toks = _ws_tokens(frame, tc, idcol)
         wins = substring_fingerprints(frame, tc, idcol, k)
         removal = _dup_removal(wins, idcol, k)
-        return _rebuild_from_tokens(frame, toks, removal, idcol, out)
+        return _rebuild_from_tokens(frame, removal, idcol, out, tc)
 
     if not to_fixpoint:
         return one_pass(df, textcol)
@@ -1142,33 +1140,50 @@ def substring_fingerprints(
     )
 
 
-def _rebuild_from_tokens(
+def _rebuild_from_removal(
     df: DataFrame,
-    toks: DataFrame,
     removal: DataFrame,
     idcol: str,
     out: str,
+    arr: Column,
+    sep: str,
 ) -> DataFrame:
-    """Anti-join the (id, pos) removal set and reassemble each doc
-    from surviving tokens in order; fully-removed docs keep ''."""
-    kept = toks.join(removal, [idcol, "pos"], "left_anti")
-    rebuilt = kept.groupBy(idcol).agg(
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(F.col("pos"), F.col("__tok__").alias("t"))
-                    )
-                ),
-                lambda x: x["t"],
-            ),
-        ).alias(out)
+    """``(idcol, out)``: reassemble each doc from its segment array
+    ``arr`` (a pure column expression over ``df``) minus the
+    ``(idcol, pos)`` removal set, joined with ``sep``.
+
+    Scale shape (r7): the removal set — rows only for REMOVED
+    positions, usually a small fraction of the corpus — aggregates to
+    one position-array per affected doc and joins back on the doc id
+    (broadcast when small); surviving positions come from
+    ``array_except(sequence(1, n), removed)`` (hash-set semantics,
+    O(tokens + removals) per doc, left order preserved) and the text
+    is rebuilt map-side. The r6 shape anti-joined EVERY token row on
+    (id, pos) and re-collected survivors per doc — two full-corpus
+    shuffles of exploded token rows, versus at most one doc-level
+    join here. Docs with every position removed yield ''."""
+    empty = F.array().cast("array<int>")
+    rm = removal.groupBy(idcol).agg(F.collect_set("pos").alias("__rm__"))
+    n = F.size(arr)
+    seq = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(empty)
+    kept = F.array_except(seq, F.coalesce(F.col("__rm__"), empty))
+    text = F.concat_ws(
+        sep, F.transform(kept, lambda p: F.element_at(arr, p))
     )
-    return (
-        df.select(idcol).distinct()
-        .join(rebuilt, idcol, "left")
-        .fillna({out: ""})
+    return df.join(rm, idcol, "left").select(F.col(idcol), text.alias(out))
+
+
+def _rebuild_from_tokens(
+    df: DataFrame,
+    removal: DataFrame,
+    idcol: str,
+    out: str,
+    textcol: str = "text",
+) -> DataFrame:
+    """Token-granularity reassembly (space-joined) — see
+    :func:`_rebuild_from_removal`."""
+    return _rebuild_from_removal(
+        df, removal, idcol, out, _ws_token_array(textcol), " "
     )
 
 
@@ -1200,7 +1215,6 @@ def dedup_substrings_against(
     if min_tokens < 1:
         raise ValueError(f"min_tokens must be >= 1: {min_tokens}")
     k = min_tokens
-    toks = _ws_tokens(df, textcol, idcol)
     wins = substring_fingerprints(df, textcol, idcol, k)
     if history_is_fingerprints:
         # a history built with a different window width silently
@@ -1230,7 +1244,7 @@ def dedup_substrings_against(
         )
         .distinct()
     )
-    return _rebuild_from_tokens(df, toks, removal, idcol, out)
+    return _rebuild_from_tokens(df, removal, idcol, out, textcol)
 
 
 def _sentence_array(textcol: str) -> Column:
@@ -1310,31 +1324,15 @@ def span_fingerprints(
 
 def _rebuild_from_sentences(
     df: DataFrame,
-    s: DataFrame,
     removal: DataFrame,
     idcol: str,
     out: str,
+    textcol: str = "text",
 ) -> DataFrame:
-    """Anti-join the (id, pos) removal set and reassemble each doc
-    from surviving sentences in order; fully-removed docs keep ''."""
-    kept = s.join(removal, [idcol, "pos"], "left_anti")
-    rebuilt = kept.groupBy(idcol).agg(
-        F.concat_ws(
-            ". ",
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(F.col("pos"), F.col("__sent__").alias("s"))
-                    )
-                ),
-                lambda x: x["s"],
-            ),
-        ).alias(out)
-    )
-    return (
-        df.select(idcol).distinct()
-        .join(rebuilt, idcol, "left")
-        .fillna({out: ""})
+    """Sentence-granularity reassembly ('. '-joined) — see
+    :func:`_rebuild_from_removal`."""
+    return _rebuild_from_removal(
+        df, removal, idcol, out, _sentence_array(textcol), ". "
     )
 
 
@@ -1361,7 +1359,6 @@ def dedup_spans_against(
     membership test is a left-semi join on the fingerprint; AQE
     broadcasts it when small, hash-joins otherwise — never all-pairs.
     """
-    s = _sentences(df, textcol, idcol)
     sp = span_fingerprints(df, textcol, idcol, n)
     if history_is_fingerprints:
         hist_n = dict(history.schema["fp"].metadata or {}).get("n")
@@ -1386,7 +1383,7 @@ def dedup_spans_against(
         )
         .distinct()
     )
-    return _rebuild_from_sentences(df, s, removal, idcol, out)
+    return _rebuild_from_sentences(df, removal, idcol, out, textcol)
 
 
 def dedup_lines(
