@@ -1075,15 +1075,6 @@ def _ws_token_array(textcol: str) -> Column:
     )
 
 
-def _ws_tokens(df: DataFrame, textcol: str, idcol: str) -> DataFrame:
-    """(id, pos, __tok__): exploded view of :func:`_ws_token_array`
-    with 1-based compacted positions — map-only, no window."""
-    return df.select(
-        F.col(idcol),
-        F.posexplode(_ws_token_array(textcol)).alias("__p0__", "__tok__"),
-    ).select(idcol, (F.col("__p0__") + 1).alias("pos"), "__tok__")
-
-
 def substring_fingerprints(
     df: DataFrame,
     textcol: str = "text",
@@ -1258,15 +1249,6 @@ def _sentence_array(textcol: str) -> Column:
     )
 
 
-def _sentences(df: DataFrame, textcol: str, idcol: str) -> DataFrame:
-    """(id, pos, __sent__): exploded view of :func:`_sentence_array`
-    with 1-based compacted positions — map-only, no window."""
-    return df.select(
-        F.col(idcol),
-        F.posexplode(_sentence_array(textcol)).alias("__p0__", "__sent__"),
-    ).select(idcol, (F.col("__p0__") + 1).alias("pos"), "__sent__")
-
-
 def span_fingerprints(
     df: DataFrame,
     textcol: str = "text",
@@ -1418,9 +1400,11 @@ def dedup_lines(
     Scale shape: split+posexplode is map-only; the doc-frequency count
     is one distinct + one partial-agg on the line fingerprint; the
     over-threshold fingerprint set (repeated boilerplate only — far
-    smaller than the distinct-line universe) anti-joins back (AQE
-    broadcasts it when small); reassembly is one groupBy(id) with
-    ``array_sort(collect_list(struct(pos, line)))``. Nothing is ever
+    smaller than the distinct-line universe) semi-joins back (AQE
+    broadcasts it when small) to produce the REMOVED (id, pos) rows
+    only; reassembly is map-side via ``array_except`` over the line
+    positions (r7 — the prior shape pushed every surviving line
+    through a corpus-wide ``collect_list`` regroup). Nothing is ever
     all-pairs and no driver action runs.
     """
     import re as _re
@@ -1449,20 +1433,25 @@ def dedup_lines(
         .filter(F.col("__nd__") > max_docs)
         .select("__fp__")
     )
-    kept = lines.join(bad, "__fp__", "left_anti")
-    rebuilt = kept.groupBy(idcol).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("__pos__", "__line__"))),
-                lambda s: s["__line__"],
-            ),
-            sep,
-        ).alias("__rebuilt__")
+    removal = (
+        lines.join(bad, "__fp__", "left_semi")
+        .select(F.col(idcol), (F.col("__pos__") + 1).alias("pos"))
     )
-    joined = df.join(rebuilt, idcol, "left")
+    rm = removal.groupBy(idcol).agg(F.collect_set("pos").alias("__rm__"))
+    arr = F.split(t, _re.escape(sep))
+    n = F.size(arr)
+    empty = F.array().cast("array<int>")
+    kept_pos = F.array_except(
+        F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(empty),
+        F.coalesce(F.col("__rm__"), empty),
+    )
+    rebuilt = F.array_join(
+        F.transform(kept_pos, lambda p: F.element_at(arr, p)), sep
+    )
+    joined = df.join(rm, idcol, "left")
     return joined.select(
         *[
-            F.coalesce(F.col("__rebuilt__"), F.lit("")).alias(c)
+            F.coalesce(rebuilt, F.lit("")).alias(c)
             if c == textcol
             else F.col(c)
             for c in df.columns
