@@ -1120,6 +1120,24 @@ def test_dedup_substrings_to_fixpoint_is_stable(spark, docs):
     assert {r.doc_id: r.clean_text for r in again.collect()} == stable
 
 
+def test_dedup_substrings_fixpoint_max_passes_exhaustion_raises(spark):
+    """A corpus that still changes on pass 2 must raise (not silently
+    return a non-fixpoint) when max_passes is too small — the bounded
+    loop's contract."""
+    docs = [
+        "aa",
+        "aa aa dd bb cc aa aa aa aa aa aa aa",
+        "ee bb cc aa",
+        "dd ee bb cc aa bb cc",
+    ]
+    df = spark.createDataFrame(list(enumerate(docs)), ["doc_id", "text"])
+    with pytest.raises(RuntimeError, match="max_passes"):
+        D.dedup_substrings(
+            df, min_tokens=3, out="clean_text",
+            to_fixpoint=True, max_passes=1,
+        ).collect()
+
+
 def test_dedup_substrings_nonidempotence_counterexample(spark):
     """The r6 verdict's deterministic counterexample, pinned: pass 1
     rebuilds doc 3 as 'dd bb cc' (a NEW adjacency colliding with doc
