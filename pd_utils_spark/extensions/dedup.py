@@ -29,7 +29,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from pd_utils_spark.extensions.text import _tokens
-from pd_utils_spark.utils import materialize
+from pd_utils_spark.utils import materialize, register_persisted
 
 
 def _norm(textcol: Column) -> Column:
@@ -425,6 +425,9 @@ def attach_minhash_band_keys(
     )
 
 
+_GREEDY_COUNT = [0]
+
+
 def _greedy_band_filter(
     work: DataFrame, idcol: str, bands: int, keyscol: str = "__bks__"
 ) -> DataFrame:
@@ -434,11 +437,29 @@ def _greedy_band_filter(
     Each pass is a map-side-partial ``groupBy(key).agg(min(id))`` +
     semi join (broadcast when the keeper set is small) — the
     :func:`_dup_removal` de-skew shape, never a per-key window
-    sort."""
+    sort.
+
+    Each pass emits an ``observe`` metric
+    (``greedy_band_pass{b}_<n>`` with a ``survivors`` count, same
+    zero-extra-compute audit channel as ``_cap_buckets``): after the
+    first action, ``utils.observed_metrics(result)`` yields the
+    per-pass survivor counts, so pass ``b``'s drop count is
+    ``survivors[b-1] - survivors[b]`` (pass 0's baseline is the input
+    row count). The ``_<n>`` suffix is a module counter keeping names
+    unique when one query runs the filter more than once."""
+    _GREEDY_COUNT[0] += 1
+    n = _GREEDY_COUNT[0]
     for b in range(bands):
         cur = work.withColumn("__kb__", F.col(keyscol)[b])
         keep = cur.groupBy("__kb__").agg(F.min(idcol).alias(idcol))
-        work = cur.join(keep, ["__kb__", idcol], "left_semi").drop("__kb__")
+        work = (
+            cur.join(keep, ["__kb__", idcol], "left_semi")
+            .drop("__kb__")
+            .observe(
+                f"greedy_band_pass{b}_{n}",
+                F.count(F.lit(1)).alias("survivors"),
+            )
+        )
     return work
 
 
@@ -479,7 +500,16 @@ def dedup_bands_greedy(
     map-side partials + a semi join — a hot boilerplate key
     aggregates with partial combine, never a single-task window sort.
     ``bands`` is small (2-8): the pass count is a constant, not a
-    data term.
+    data term. COST TO SIZE AT 100 TB: each pass shuffles the full
+    surviving corpus once (the agg) plus the keeper join — budget
+    ``bands`` corpus-wide shuffles, shrinking as passes drop
+    survivors; that linear-in-``bands`` shuffle bill is the price of
+    the recall dial, and it is why ``bands`` is a constant knob, not
+    a tuning you scale with data. Each pass emits a
+    ``greedy_band_pass{b}_*`` ``observe`` metric with its survivor
+    count (read via ``utils.observed_metrics`` after the first
+    action) so the per-pass drop sizes are auditable at zero extra
+    compute — the same channel the LSH flood caps use.
     """
     work = attach_minhash_band_keys(
         df, textcol, k, rows_per_band, bands, out="__bks__"
@@ -895,7 +925,9 @@ def _to_fixpoint(
     shrinks total surviving content; ``max_passes`` bounds the loop
     defensively (raises if exhausted while still changing). Each
     round is localCheckpoint-ed so the replayed lineage stays one
-    pass deep."""
+    pass deep. Requires unique ``idcol`` (the convergence-count join
+    row-multiplies on duplicates — see
+    :func:`_rebuild_from_removal`'s CONTRACT note)."""
     cur = one_pass(df)
     for _ in range(max_passes):
         cur = cur.localCheckpoint()
@@ -961,7 +993,8 @@ def dedup_spans(
     ever all-pairs and no per-fingerprint sort exists: a boilerplate
     span repeated in millions of docs reduces with partial
     aggregation — linear, and the removal explode is ``n`` rows per
-    duplicate occurrence.
+    duplicate occurrence. ``idcol`` must be unique (see
+    :func:`_rebuild_from_removal`'s CONTRACT note).
     """
     if n < 1:
         raise ValueError(f"n must be >= 1: {n}")
@@ -1041,6 +1074,8 @@ def dedup_substrings(
     boilerplate run repeated across millions of documents reduces
     with partial aggregation (no per-fingerprint occurrence sort);
     nothing is ever all-pairs and no suffix array is materialized.
+    ``idcol`` must be unique (see :func:`_rebuild_from_removal`'s
+    CONTRACT note).
     """
     if min_tokens < 1:
         raise ValueError(f"min_tokens must be >= 1: {min_tokens}")
@@ -1152,7 +1187,17 @@ def _rebuild_from_removal(
     is rebuilt map-side. The r6 shape anti-joined EVERY token row on
     (id, pos) and re-collected survivors per doc — two full-corpus
     shuffles of exploded token rows, versus at most one doc-level
-    join here. Docs with every position removed yield ''."""
+    join here. Docs with every position removed yield ''.
+
+    CONTRACT: ``idcol`` must be unique in ``df``. The whole
+    reassembly-dedup family assumes it — the keeper rule identifies
+    an occurrence by (id, pos), this join emits one output row PER
+    input row of ``df`` (duplicate ids each pick up the same removal
+    array), and ``_to_fixpoint``'s convergence-count join
+    row-multiplies on duplicate ids. A distributed uniqueness check
+    costs a full extra shuffle per call, so it is deliberately NOT
+    performed; deduplicate ids upstream (``dedup_exact`` on the id)
+    if your ingest can repeat them."""
     empty = F.array().cast("array<int>")
     rm = removal.groupBy(idcol).agg(F.collect_set("pos").alias("__rm__"))
     n = F.size(arr)
@@ -2076,11 +2121,15 @@ def jaccard_join_prefix(
     compact (id, 64-bit token) frame (read by the document-frequency
     aggregate and the join back) and the sorted-token frame (read
     three times: prefix index + both verify sides). Both are
-    registered on the returned DataFrame's ``_pus_persisted`` handle:
-    in a long-lived session issuing many joins, call
-    ``pd_utils_spark.utils.release_cached(result)`` after your first
-    action to drop exactly these two (``spark.catalog.clearCache()``
-    also works but evicts everything).
+    registered on the returned DataFrame's ``_pus_persisted`` handle
+    AND in the module-level persist registry under the label
+    ``"jaccard_join_prefix"``: in a long-lived session issuing many
+    joins, call ``pd_utils_spark.utils.release_cached(result)`` after
+    your first action — on the EXACT returned frame; the handle does
+    not survive select/filter/cache — or, if you transformed the
+    result first,
+    ``pd_utils_spark.utils.release_registered("jaccard_join_prefix")``
+    (``spark.catalog.clearCache()`` also works but evicts everything).
 
     ``shingles``: optional precomputed :func:`shingle_sets` frame
     (idcol, shingles) — pass a persisted one to share shingle
@@ -2209,8 +2258,11 @@ def jaccard_join_prefix(
         )
         .filter(F.col("jaccard") >= threshold)
     )
-    # cleanup handle for release_cached (see Cache note above)
+    # cleanup handles for release_cached / release_registered (see
+    # Cache note above) — the attribute dies on the first downstream
+    # transformation, the registry entry does not
     result._pus_persisted = [toks, sorted_docs]
+    register_persisted("jaccard_join_prefix", [toks, sorted_docs])
     return result
 
 

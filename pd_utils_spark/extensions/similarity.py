@@ -96,6 +96,7 @@ def hard_negatives(
     veccol: str = "embedding",
     qidcol: str = "query_id",
     out_sim: str = "cosine",
+    keep_unlabeled: bool = False,
 ) -> DataFrame:
     """Hard-negative mining for contrastive training data: for each
     query, the ``k`` corpus vectors MOST similar by cosine whose
@@ -115,12 +116,18 @@ def hard_negatives(
     sets, mine in batches or feed an IVF/LSH candidate set through
     the same window.
 
-    NULL labels are EXCLUDED from both sides: an unlabeled corpus row
-    is not a certified negative for any query (its true class may
-    equal the query's — mining it would poison the contrastive
-    batch), and an unlabeled query has no class to contrast against.
-    Label your data, or assign a sentinel class if you really want
-    unlabeled rows treated as universal negatives.
+    NULL labels are EXCLUDED from both sides BY DEFAULT (a contract
+    change in r7 — before that, unlabeled corpus rows were mined as
+    negatives): an unlabeled corpus row is not a certified negative
+    for any query (its true class may equal the query's — mining it
+    would poison the contrastive batch), and an unlabeled query has
+    no class to contrast against. ``keep_unlabeled=True`` restores
+    the pre-r7 corpus-side behavior — NULL-label corpus rows are
+    treated as universal negatives and mined for every query (the
+    ``~eqNullSafe`` inequality already admits them; useful when
+    "unlabeled" MEANS "known out-of-class" in your pipeline).
+    Unlabeled QUERIES are always dropped — no flag revives a query
+    with no class to contrast against.
     """
     from pyspark.sql import Window
 
@@ -129,9 +136,11 @@ def hard_negatives(
         F.col(veccol).alias("__qvec__"),
         F.col(labelcol).alias("query_label"),
     )
+    corp = corpus.select(idcol, veccol, labelcol)
+    if not keep_unlabeled:
+        corp = corp.filter(F.col(labelcol).isNotNull())
     scored = (
-        corpus.select(idcol, veccol, labelcol)
-        .filter(F.col(labelcol).isNotNull())
+        corp
         .crossJoin(F.broadcast(q))
         .filter(
             (F.col(idcol) != F.col(qidcol))

@@ -158,6 +158,18 @@ def streaming_greedy_band_dedup(
     makes replays SAFE (a replayed doc's keys are already claimed, so
     it drops); finish downstream with ``exact_dedup`` on id.
 
+    Batch-boundary caveat: the CROSS-batch rule is first-claim-wins —
+    a later batch's lower-id document loses to an earlier batch's
+    claim on the same key (the greedy min-id rule applies only
+    WITHIN a micro-batch). The survivor set is therefore
+    deterministic only given fixed batch boundaries; re-running the
+    same corpus with a different ``maxFilesPerTrigger`` (or a
+    different file split) can change WHICH copy of a near-dup group
+    survives, never whether the group is deduped. When the whole
+    corpus arrives as ONE batch the result equals the batch twin
+    :func:`~pd_utils_spark.extensions.dedup.dedup_bands_greedy`
+    exactly.
+
     Scale shape per batch: map-only key attachment (no explode of
     the corpus — only the claims write explodes survivors), one semi
     join per batch against the claims table on (band, key) — bucket

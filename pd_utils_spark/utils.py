@@ -99,6 +99,41 @@ def materialize(df: DataFrame, eager: bool = False) -> DataFrame:
     return out
 
 
+#: Module-level registry of operator-persisted intermediates, keyed by
+#: operator label. The ``_pus_persisted`` attribute on a result frame
+#: does NOT survive downstream transformations (``select``/``filter``/
+#: ``cache`` return new DataFrames without it), so operators ALSO
+#: register here — ``release_registered()`` works no matter what the
+#: caller did to the result frame in between.
+_PERSIST_REGISTRY: dict[str, list[DataFrame]] = {}
+
+
+def register_persisted(label: str, frames: list[DataFrame]) -> None:
+    """Record ``frames`` (already persisted by an operator) under
+    ``label`` so :func:`release_registered` can unpersist them later
+    even if the caller no longer holds the operator's exact result
+    frame. Repeated calls with the same label APPEND (an operator run
+    twice in a session has two generations of intermediates alive
+    until released)."""
+    _PERSIST_REGISTRY.setdefault(label, []).extend(frames)
+
+
+def release_registered(label: str | None = None, blocking: bool = False) -> int:
+    """Unpersist every operator-registered intermediate under
+    ``label`` (or ALL labels when ``None``) and drop them from the
+    registry. Returns the number of frames released. This is the
+    derived-frame-safe counterpart of :func:`release_cached`: it works
+    regardless of what transformations the caller applied to the
+    operator's result."""
+    labels = [label] if label is not None else list(_PERSIST_REGISTRY)
+    n = 0
+    for key in labels:
+        for f in _PERSIST_REGISTRY.pop(key, []):
+            f.unpersist(blocking)
+            n += 1
+    return n
+
+
 def release_cached(df: DataFrame, blocking: bool = False) -> int:
     """Unpersist every frame an operator registered on ``df`` via the
     ``_pus_persisted`` handle (operators that persist intermediate
@@ -107,12 +142,30 @@ def release_cached(df: DataFrame, blocking: bool = False) -> int:
     attach the persisted frames to their RESULT so callers can release
     them after the first action without nuking the whole session cache
     with ``spark.catalog.clearCache()``). Returns the number of frames
-    released; a frame with no handle is a no-op (0)."""
+    released; a frame with no handle is a no-op (0).
+
+    .. warning:: The handle lives on the EXACT frame the operator
+       returned — any downstream transformation (``select``,
+       ``filter``, even ``cache``) returns a new DataFrame without it,
+       making this call a silent no-op (returns 0). If you transformed
+       the result before releasing, use :func:`release_registered`
+       with the operator's label instead (operators register their
+       persists in a module-level registry as well)."""
     frames = getattr(df, "_pus_persisted", None) or []
     for f in frames:
         f.unpersist(blocking)
     if frames:
         df._pus_persisted = []
+        # the registry holds the same frames; drop them there too so a
+        # later release_registered() doesn't double-unpersist (harmless
+        # but miscounts)
+        released = {id(f) for f in frames}
+        for key, reg in list(_PERSIST_REGISTRY.items()):
+            kept = [f for f in reg if id(f) not in released]
+            if kept:
+                _PERSIST_REGISTRY[key] = kept
+            else:
+                _PERSIST_REGISTRY.pop(key)
     return len(frames)
 
 

@@ -6,6 +6,15 @@ the per-commit pytest budget (the property tests run 15 examples each
 in CI; this script runs 200 by default, seeded, and is meant to be
 run per-round with the count recorded in SCALE.md).
 
+r8 (judge #4) adds the greedy band family: `ref_greedy_bands` is a
+pure-Python replay of dedup_bands_greedy's full pipeline (normalize ->
+k-shingles -> md5 universal-hash minhash -> '|'-joined band keys ->
+chained min-id-per-key passes), fuzzed against the Spark operator on
+random small corpora seeded with copies and truncations;
+`ref_greedy_bands_stream` replays the cross-batch rule (greedy within
+a batch, first-claim-wins across batches) and backs the multi-batch
+property in tests/test_streaming.py.
+
 Usage: python scripts/fuzz_dedup_reference.py [--n=200] [--seed=7]
 """
 
@@ -65,6 +74,117 @@ def ref_spans(docs: dict, n: int) -> dict:
     }
 
 
+_P = (1 << 31) - 1
+
+
+def _ref_shingles(text: str, k: int) -> frozenset:
+    """Pure-Python twin of dedup.shingle_sets for one doc: lowercase,
+    collapse whitespace, k-word shingles (whole normalized text when
+    shorter than k words)."""
+    nt = " ".join(text.lower().split())
+    toks = nt.split(" ")
+    if len(toks) >= k:
+        return frozenset(
+            " ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)
+        )
+    return frozenset([nt])
+
+
+def _ref_band_key(sh: frozenset, rows_per_band: int, band: int) -> str:
+    """Pure-Python twin of dedup._band_key_from_sets (same md5
+    universal-hash constants via _minhash_coeffs)."""
+    import hashlib
+
+    from pd_utils_spark.extensions.dedup import _minhash_coeffs
+
+    def base(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) & _P
+
+    coeffs = _minhash_coeffs((band + 1) * rows_per_band)[
+        band * rows_per_band :
+    ]
+    mins = [min((a * base(x) + c) % _P for x in sh) for a, c in coeffs]
+    return hashlib.md5("|".join(str(m) for m in mins).encode()).hexdigest()
+
+
+def ref_greedy_bands(
+    docs: dict, k: int = 3, rows_per_band: int = 3, bands: int = 2
+) -> set:
+    """Pure-Python replay of dedup_bands_greedy: band by band, only
+    the lowest-id doc per band key among the rows still standing
+    survives. Returns the surviving doc-id set."""
+    keys = {
+        i: [
+            _ref_band_key(_ref_shingles(t, k), rows_per_band, b)
+            for b in range(bands)
+        ]
+        for i, t in docs.items()
+    }
+    surv = sorted(docs)
+    for b in range(bands):
+        best: dict = {}
+        for i in surv:
+            kb = keys[i][b]
+            if kb not in best or i < best[kb]:
+                best[kb] = i
+        surv = [i for i in surv if best[keys[i][b]] == i]
+    return set(surv)
+
+
+def ref_greedy_bands_stream(
+    batches: list, k: int = 3, rows_per_band: int = 3, bands: int = 2
+) -> list:
+    """Pure-Python replay of streaming_greedy_band_dedup's cross-batch
+    rule: per batch, docs holding ANY already-claimed (band, key) drop,
+    the within-batch greedy min-id rule runs on the remainder, and
+    survivors claim all their keys. Returns the survivor ids in batch
+    order (sorted within a batch). NOTE the documented batch-boundary
+    semantics: a later batch's lower-id doc LOSES to an earlier
+    batch's claim — this replay is the ground truth for that."""
+    claimed: set = set()
+    out: list = []
+    for batch in batches:
+        keys = {
+            i: [
+                _ref_band_key(_ref_shingles(t, k), rows_per_band, b)
+                for b in range(bands)
+            ]
+            for i, t in batch.items()
+        }
+        alive = {
+            i: t
+            for i, t in batch.items()
+            if not any((b, keys[i][b]) in claimed for b in range(bands))
+        }
+        surv = ref_greedy_bands(alive, k, rows_per_band, bands)
+        for i in sorted(surv):
+            out.append(i)
+            claimed.update((b, keys[i][b]) for b in range(bands))
+    return out
+
+
+def _gen_greedy_corpus(rng) -> dict:
+    """Random small corpus biased toward key collisions: a tiny
+    vocabulary, plus explicit whole-doc copies and prefix truncations
+    (the J~0.5 boundary) of randomly chosen docs."""
+    words = ["aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh"]
+    ndocs = rng.randint(2, 8)
+    docs = {
+        i: " ".join(rng.choice(words) for _ in range(rng.randint(3, 16)))
+        for i in range(ndocs)
+    }
+    nid = ndocs
+    for _ in range(rng.randint(0, 3)):  # whole-doc copies
+        docs[nid] = docs[rng.randrange(ndocs)]
+        nid += 1
+    for _ in range(rng.randint(0, 3)):  # truncations near the knee
+        src = docs[rng.randrange(ndocs)].split(" ")
+        m = max(2, int(len(src) * rng.uniform(0.3, 0.7)))
+        docs[nid] = " ".join(src[:m])
+        nid += 1
+    return docs
+
+
 def main() -> None:
     n_examples = 200
     seed = 7
@@ -116,10 +236,40 @@ def main() -> None:
         if got_s != want_s:
             fails += 1
             print(f"SPANS MISMATCH ex={ex} n={n} docs={sdocs}\n got={got_s}\n want={want_s}")
+
+        # greedy band family (r8): Spark operator vs pure-Python
+        # replay, random bands/rows_per_band/shingle widths
+        from pd_utils_spark.extensions.dedup import dedup_bands_greedy
+
+        gdocs = _gen_greedy_corpus(rng)
+        gk = rng.randint(2, 3)
+        rpb = rng.randint(2, 3)
+        bands = rng.randint(1, 3)
+        gdf = spark.createDataFrame(list(gdocs.items()), ["doc_id", "text"])
+        got_g = {
+            r.doc_id
+            for r in dedup_bands_greedy(
+                gdf, k=gk, rows_per_band=rpb, bands=bands
+            ).collect()
+        }
+        want_g = ref_greedy_bands(gdocs, gk, rpb, bands)
+        if got_g != want_g:
+            fails += 1
+            print(
+                f"GREEDY MISMATCH ex={ex} k={gk} rpb={rpb} bands={bands} "
+                f"docs={gdocs}\n got={sorted(got_g)}\n want={sorted(want_g)}"
+            )
+        # multi-batch consistency of the pure stream replay: one-batch
+        # split must equal the batch rule exactly (the single-batch
+        # anchor the oracle row relies on)
+        one = ref_greedy_bands_stream([gdocs], gk, rpb, bands)
+        if set(one) != want_g:
+            fails += 1
+            print(f"STREAM-1B MISMATCH ex={ex} docs={gdocs}")
         if (ex + 1) % 25 == 0:
             print(f"# {ex + 1}/{n_examples} examples, {fails} failures",
                   flush=True)
-    print(f"RESULT: {n_examples} examples x 2 operators, {fails} failures, seed={seed}")
+    print(f"RESULT: {n_examples} examples x 3 operators, {fails} failures, seed={seed}")
     sys.exit(1 if fails else 0)
 
 

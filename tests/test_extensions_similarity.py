@@ -745,3 +745,24 @@ class TestHardNegatives:
         # labeled different-class row 3 (null-label 1 is excluded)
         assert {r.query_id for r in out} == {0}
         assert {r.vec_id for r in out} == {3}
+
+    def test_keep_unlabeled_restores_pre_r7_corpus_side(self, spark):
+        # r8 (ADVICE): keep_unlabeled=True mines NULL-label corpus
+        # rows as universal negatives (the pre-r7 contract) for
+        # pipelines where "unlabeled" means "known out-of-class";
+        # unlabeled QUERIES stay dropped — no class to contrast.
+        df = spark.createDataFrame(
+            [
+                (0, [1.0, 0.0], "a"),
+                (1, [0.9, 0.1], None),
+                (2, [0.8, 0.2], "a"),
+                (3, [0.7, 0.3], "b"),
+            ],
+            "vec_id int, embedding array<double>, label string",
+        )
+        q = df.filter("vec_id in (0, 1)")
+        out = S.hard_negatives(df, q, "label", k=5, keep_unlabeled=True).collect()
+        assert {r.query_id for r in out} == {0}  # query 1 still dropped
+        # corpus row 1 (null label) is now mined alongside row 3
+        assert {r.vec_id for r in out} == {1, 3}
+        assert all(r.label is None for r in out if r.vec_id == 1)
