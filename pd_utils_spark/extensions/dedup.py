@@ -325,35 +325,57 @@ def minhash_band_key(
     return _band_key_from_sets(_shingle_set(textcol, k), rows_per_band)
 
 
+def _base_hash_array(sets: Column) -> Column:
+    """Per-shingle 31-bit base hashes (low bits of md5) as ONE array
+    expression — the md5-per-shingle work of the minhash family,
+    factored out so map-only callers can stage it as a bound column
+    computed once per row instead of once per hash function (r8: the
+    6-hash band-key expression paid 6 md5 passes over the shingle
+    array per row, and the repeated md5 subtrees dominated the
+    whole-stage-codegen unit that serial single-samples compile 2-4x
+    over warm cost)."""
+    return F.transform(
+        sets,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10)
+        .cast("bigint")
+        .bitwiseAND(F.lit((1 << 31) - 1)),
+    )
+
+
+def _band_key_from_hashes(
+    hashes: Column, rows_per_band: int, band: int = 0
+) -> Column:
+    """Band ``band``'s LSH key over an ALREADY base-hashed shingle
+    array (see :func:`_base_hash_array`): universal-hash mins,
+    '|'-joined and md5'd — bit-identical to the corresponding
+    :func:`lsh_band_keys` band. Pass a BOUND column for ``hashes``
+    at frame-level call sites (the expression is re-inlined per
+    reference otherwise — the no-CSE-in-HOF pathology)."""
+
+    def _mk(a: int, c: int):
+        return lambda h: (F.lit(a) * h + F.lit(c)) % F.lit(_MERSENNE_P)
+
+    coeffs = _minhash_coeffs((band + 1) * rows_per_band)[
+        band * rows_per_band :
+    ]
+    mins = [F.array_min(F.transform(hashes, _mk(a, c))) for a, c in coeffs]
+    return F.md5(F.concat_ws("|", *[m.cast("string") for m in mins]))
+
+
 def _band_key_from_sets(
     sets: Column, rows_per_band: int, band: int = 0
 ) -> Column:
     """Band ``band``'s LSH key over a shingle-set column: minhashes
     ``band*rows_per_band .. (band+1)*rows_per_band - 1`` of the
     standard signature, '|'-joined and md5'd — bit-identical to the
-    corresponding :func:`lsh_band_keys` band."""
-
-    def _base(s: Column) -> Column:
-        return (
-            F.conv(F.substring(F.md5(s), 1, 15), 16, 10)
-            .cast("bigint")
-            .bitwiseAND(F.lit((1 << 31) - 1))
-        )
-
-    def _minhash(a: int, c: int) -> Column:
-        return F.array_min(
-            F.transform(
-                sets,
-                lambda s: (F.lit(a) * _base(s) + F.lit(c))
-                % F.lit(_MERSENNE_P),
-            )
-        )
-
-    coeffs = _minhash_coeffs((band + 1) * rows_per_band)[
-        band * rows_per_band :
-    ]
-    mins = [_minhash(a, c) for a, c in coeffs]
-    return F.md5(F.concat_ws("|", *[m.cast("string") for m in mins]))
+    corresponding :func:`lsh_band_keys` band. Column-level
+    convenience; frame-level callers should stage
+    :func:`_base_hash_array` as a bound column and use
+    :func:`_band_key_from_hashes` so the md5 pass runs once per row,
+    not once per hash."""
+    return _band_key_from_hashes(
+        _base_hash_array(sets), rows_per_band, band
+    )
 
 
 def attach_minhash_band_key(
@@ -379,10 +401,12 @@ def attach_minhash_band_key(
     ).withColumn(
         "__bk_sets__",
         _shingles_from_toks(F.col("__bk_norm__"), F.col("__bk_toks__"), k),
+    ).withColumn(
+        "__bk_hash__", _base_hash_array(F.col("__bk_sets__"))
     )
     return staged.withColumn(
-        out, _band_key_from_sets(F.col("__bk_sets__"), rows_per_band)
-    ).drop("__bk_norm__", "__bk_toks__", "__bk_sets__")
+        out, _band_key_from_hashes(F.col("__bk_hash__"), rows_per_band)
+    ).drop("__bk_norm__", "__bk_toks__", "__bk_sets__", "__bk_hash__")
 
 
 def attach_minhash_band_keys(
@@ -413,15 +437,20 @@ def attach_minhash_band_keys(
     ).withColumn(
         "__bk_sets__",
         _shingles_from_toks(F.col("__bk_norm__"), F.col("__bk_toks__"), k),
+    ).withColumn(
+        # r8: ONE md5 pass over the shingle array, bound, instead of
+        # bands*rows_per_band re-inlined md5 transforms (smaller
+        # codegen unit + less per-row hashing; keys bit-identical)
+        "__bk_hash__", _base_hash_array(F.col("__bk_sets__"))
     )
     keys = F.array(
         *[
-            _band_key_from_sets(F.col("__bk_sets__"), rows_per_band, b)
+            _band_key_from_hashes(F.col("__bk_hash__"), rows_per_band, b)
             for b in range(bands)
         ]
     )
     return staged.withColumn(out, keys).drop(
-        "__bk_norm__", "__bk_toks__", "__bk_sets__"
+        "__bk_norm__", "__bk_toks__", "__bk_sets__", "__bk_hash__"
     )
 
 

@@ -816,8 +816,9 @@ class TestJaccardJoinPrefix:
         # result so long-lived sessions can release exactly them
         # (caches only materialize in storage AFTER an action)
         from pd_utils_spark.extensions.dedup import jaccard_join_prefix
-        from pd_utils_spark.utils import release_cached
+        from pd_utils_spark.utils import release_cached, release_registered
 
+        release_registered()  # clean slate: other tests register too
         df = spark.createDataFrame(
             [(i, f"alpha beta gamma delta w{i} x{i} y{i}") for i in range(6)],
             ["doc_id", "text"],
@@ -832,8 +833,6 @@ class TestJaccardJoinPrefix:
         assert release_cached(res) == 0  # handle cleared, no-op
         # release_cached also scrubbed the registry entry — no
         # double-release via the label path
-        from pd_utils_spark.utils import release_registered
-
         assert release_registered("jaccard_join_prefix") == 0
 
     def test_release_registered_survives_derived_frames(self, spark):
