@@ -176,6 +176,13 @@ def observed_metrics(df: DataFrame) -> dict[str, dict]:
     barriers emit). Metrics exist only AFTER an action has run on this
     exact DataFrame; an un-executed frame returns ``{}``.
 
+    CAVEAT (r8, measured): only actions that execute the frame's OWN
+    QueryExecution populate it — ``df.collect()`` does;
+    ``df.count()`` and ``df.write...`` build a NEW execution around
+    the plan and leave this frame's metrics at their zero defaults.
+    Read metrics after a ``collect()``, or use an ``Observation``
+    object / QueryExecutionListener when the action must be a write.
+
     This is how callers audit what a ``max_bucket`` cap dropped
     without paying a separate count job: collect the result, then read
     ``observed_metrics(result)["lsh_bucket_cap_1"]["dropped_rows"]``.

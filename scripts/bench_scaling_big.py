@@ -8,13 +8,28 @@ re-measures those queries with the frozen warm-median protocol, so
 the <= linear claim is load-bearing where fixed cost no longer
 dominates.
 
+r8 (judge #1) adds the JOIN-HEAVY tier — banded LSH dedup, greedy
+bands, connected components, the exact prefix join, simhash blocks —
+whose cost is candidate-pair-driven, the one place super-linear
+behavior could hide from the map-heavy rung. These operators key on
+CONTENT, so the id-shift remap is NOT enough: ten id-shifted copies
+of the same text multiply every content bucket 10x and candidate
+pairs 100x — a corpus-property artifact (duplication rate changed),
+not an operator slope. The join tier therefore scales documents by
+TOKEN-SALTING each copy (every token gets a per-copy suffix):
+content universes are disjoint across copies, within-copy structure
+(shingle counts, duplication rate, frequency shape) is preserved
+exactly — the content analog of key remapping. Flood-cap /
+greedy-pass observe metrics are recorded per run so cap drops at 10x
+are part of the committed evidence.
+
 Only the tables the tier reads are materialized (lineitem for the
 numeric scans/windows, documents for the text scans); build is
 idempotent (skipped when the scaled dir already has the table).
 
 Usage:
     python scripts/bench_scaling_big.py [--reps=N] [--out=F]
-        [--scaled-dir=D] [--copies=K]
+        [--scaled-dir=D] [--copies=K] [--tier=data|join|both]
 """
 
 from __future__ import annotations
@@ -39,6 +54,16 @@ DATA_BOUND = [
     "long_to_wide_ordinal",
     "tf_idf",
     "language_id",
+]
+
+# the candidate-pair-driven tier (r8): every query keys on document
+# CONTENT; scaled via the token-salted corpus (see module docstring)
+JOIN_HEAVY = [
+    "dedup_minhash_lsh",
+    "dedup_bands_greedy",
+    "connected_components",
+    "jaccard_join_prefix",
+    "simhash_near_dup_pairs",
 ]
 
 # table -> id columns shifted per copy (keeps join/group semantics:
@@ -74,7 +99,45 @@ def build_scaled(spark, src_dir: str, dst_dir: str, copies: int) -> None:
         print(f"# built {out}: {n} rows", file=sys.stderr, flush=True)
 
 
-def bench(spark, names, sf_dir: str, reps: int) -> dict:
+def build_scaled_content(
+    spark, src_dir: str, dst_dir: str, copies: int
+) -> None:
+    """documents scaled with DISJOINT content per copy: doc_id shifted
+    AND every token suffixed with the copy index, so shingle/simhash/
+    minhash universes never collide across copies while every
+    within-copy property (token counts, shingle-set sizes, the
+    duplication `_docs_with_copies` adds) is preserved exactly."""
+    from pyspark.sql import functions as F
+
+    os.makedirs(dst_dir, exist_ok=True)
+    out = f"{dst_dir}/documents.parquet"
+    if os.path.exists(out):
+        return
+    df = spark.read.parquet(f"{src_dir}/documents.parquet")
+    span = 10_000_000
+    parts = []
+    for i in range(copies):
+        salted = df.withColumn(
+            "doc_id", F.col("doc_id") + F.lit(i * span)
+        )
+        if i > 0:  # copy 0 keeps the original text verbatim
+            salted = salted.withColumn(
+                "text",
+                F.regexp_replace(F.col("text"), r"(\S+)", rf"$1q{i}"),
+            )
+        parts.append(salted)
+    scaled = parts[0]
+    for p in parts[1:]:
+        scaled = scaled.unionByName(p)
+    scaled.write.mode("overwrite").parquet(out)
+    n = spark.read.parquet(out).count()
+    print(f"# built {out}: {n} rows (token-salted)", file=sys.stderr,
+          flush=True)
+
+
+def bench(spark, names, sf_dir: str, reps: int, metrics: dict | None = None) -> dict:
+    from pd_utils_spark.utils import observed_metrics
+
     qs = entry.queries()
     out = {}
     for name in names:
@@ -92,6 +155,19 @@ def bench(spark, names, sf_dir: str, reps: int) -> dict:
         out[name] = round(statistics.median(times), 3)
         print(f"# {sf_dir} {name}: median={out[name]} reps={times}",
               file=sys.stderr, flush=True)
+        if metrics is not None:
+            # observe metrics live on the frame's OWN QueryExecution,
+            # which only collect() populates (count()/noop writes run
+            # a different execution) — one untimed collect per query
+            try:
+                df = fn(spark, sf_dir)
+                df.collect()
+                obs = observed_metrics(df)
+                if obs:
+                    metrics[name] = {k: dict(v) for k, v in obs.items()}
+                spark.catalog.clearCache()
+            except Exception:
+                pass
     return out
 
 
@@ -100,6 +176,7 @@ def main() -> None:
     out_path = None
     scaled_dir = "/root/repo/.scaled10x"
     copies = 10
+    tier = "both"
     for a in sys.argv[1:]:
         if a.startswith("--reps="):
             reps = int(a.split("=", 1)[1])
@@ -109,26 +186,50 @@ def main() -> None:
             scaled_dir = a.split("=", 1)[1]
         if a.startswith("--copies="):
             copies = int(a.split("=", 1)[1])
+        if a.startswith("--tier="):
+            tier = a.split("=", 1)[1]
     spark = get_spark("bench-scaling-big")
     spark.sparkContext.setLogLevel("ERROR")
     src = "/root/testdata/sf0.1"
-    build_scaled(spark, src, scaled_dir, copies)
 
-    base = bench(spark, DATA_BOUND, src, reps)
-    big = bench(spark, DATA_BOUND, scaled_dir, reps)
-    slopes = {
-        n: round(big[n] / base[n], 2) if base[n] > 0 else None
-        for n in DATA_BOUND
-    }
     doc = {
         "metric": "scaling_big_rung",
         "protocol": f"warm medians of {reps} (1 discarded cold), "
-        f"{copies}x key-remapped sf0.1",
-        "sf0_1": base,
-        "sf0_1_x10": big,
-        "slope_at_10x_data": slopes,
-        "queries_super_linear": [n for n, s in slopes.items() if s and s > 10],
+        f"{copies}x sf0.1 (data tier: key-remapped; join tier: "
+        "token-salted disjoint content)",
     }
+    names_all = []
+    if tier in ("data", "both"):
+        build_scaled(spark, src, scaled_dir, copies)
+        base = bench(spark, DATA_BOUND, src, reps)
+        big = bench(spark, DATA_BOUND, scaled_dir, reps)
+        doc["sf0_1"] = base
+        doc["sf0_1_x10"] = big
+        names_all += DATA_BOUND
+    if tier in ("join", "both"):
+        content_dir = scaled_dir + "_content"
+        build_scaled_content(spark, src, content_dir, copies)
+        jmetrics_base: dict = {}
+        jmetrics_big: dict = {}
+        jbase = bench(spark, JOIN_HEAVY, src, reps, metrics=jmetrics_base)
+        jbig = bench(
+            spark, JOIN_HEAVY, content_dir, reps, metrics=jmetrics_big
+        )
+        doc.setdefault("sf0_1", {}).update(jbase)
+        doc.setdefault("sf0_1_x10", {}).update(jbig)
+        doc["join_tier_observed_sf0_1"] = jmetrics_base
+        doc["join_tier_observed_x10"] = jmetrics_big
+        names_all += JOIN_HEAVY
+    slopes = {
+        n: round(doc["sf0_1_x10"][n] / doc["sf0_1"][n], 2)
+        if doc["sf0_1"][n] > 0
+        else None
+        for n in names_all
+    }
+    doc["slope_at_10x_data"] = slopes
+    doc["queries_super_linear"] = [
+        n for n, s in slopes.items() if s and s > 10
+    ]
     line = json.dumps(doc)
     if out_path:
         with open(out_path, "w") as f:
