@@ -220,6 +220,7 @@ def minhash_signature(
         shingles = shingle_sets(df, textcol, idcol, k).persist(
             StorageLevel.MEMORY_AND_DISK
         )
+        register_persisted("minhash_signature", [shingles])
     sig = _minhash_sig_table(shingles, idcol, num_hashes, out)
     return df.join(sig, df[idcol] == sig["__mh_id__"], "left").drop("__mh_id__")
 
@@ -634,6 +635,7 @@ def lsh_candidate_pairs(
         shingles = shingle_sets(df, textcol, idcol, k).persist(
             StorageLevel.MEMORY_AND_DISK
         )
+        register_persisted("lsh_candidate_pairs", [shingles])
     sigs = _minhash_sig_table(shingles, idcol, num_hashes).withColumnRenamed(
         "__mh_id__", idcol
     )
@@ -758,6 +760,7 @@ def dedup_minhash_lsh(
     from pyspark import StorageLevel
 
     sh = shingle_sets(df, textcol, idcol, k).persist(StorageLevel.MEMORY_AND_DISK)
+    register_persisted("dedup_minhash_lsh", [sh])
     cands = lsh_candidate_pairs(
         df, textcol, idcol, k, num_hashes, bands, max_bucket, shingles=sh
     )
@@ -805,6 +808,7 @@ def dedup_minhash_against(
     # at sf0.1: 11.6s -> 4.1s steady-state)
     bsh = shingle_sets(df, textcol, idcol, k).persist(StorageLevel.MEMORY_AND_DISK)
     hsh = shingle_sets(history, htext, idcol, k).persist(StorageLevel.MEMORY_AND_DISK)
+    register_persisted("dedup_minhash_against", [bsh, hsh])
     bsig = _minhash_sig_table(bsh, idcol, num_hashes).withColumnRenamed("__mh_id__", idcol)
     hsig = _minhash_sig_table(hsh, idcol, num_hashes).withColumnRenamed("__mh_id__", idcol)
     bkeys = lsh_band_keys(bsig, bands=bands).select(
@@ -1930,7 +1934,8 @@ def near_dup_analysis(
     The pair frame is persisted (memory-and-disk, lineage kept) and
     the CC labels are already materialized by the per-round
     checkpoints, so every returned frame is compute-once. Call
-    ``spark.catalog.clearCache()`` (or unpersist) when done.
+    ``utils.release_registered("near_dup_analysis")`` (or
+    ``spark.catalog.clearCache()``) when done.
     """
     from pyspark import StorageLevel
 
@@ -1943,6 +1948,7 @@ def near_dup_analysis(
         .filter(F.col("jaccard") >= threshold)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    register_persisted("near_dup_analysis", [sh, pairs])
     comp = connected_components(
         pairs.select("id_a", "id_b"), checkpoint_dir=checkpoint_dir
     )

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pd_utils_spark.utils import register_persisted
+
 
 def pagerank(
     edges: DataFrame,
@@ -87,6 +89,7 @@ def pagerank(
         e.join(outdeg, "__s__")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    register_persisted("pagerank", [nodes, contrib_edges])
     base = (1.0 - damping) / n_nodes
     ranks = nodes.select("__n__", F.lit(1.0 / n_nodes).alias("__r__"))
     try:
@@ -179,6 +182,7 @@ def hits(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    register_persisted("hits", [e, nodes])
 
     def _l2norm(df, col, eager=True):
         # EAGER checkpoint before the norm: the crossJoin references
@@ -340,7 +344,8 @@ def bfs_levels(
     bound).
 
     Cache note: the projected edge frame stays persisted (every round
-    joins it) — unpersist / ``spark.catalog.clearCache()`` after your
+    joins it) — ``utils.release_registered("bfs_levels")`` (or
+    unpersist / ``spark.catalog.clearCache()``) after your
     first action on the result if you run many traversals in one
     long-lived session.
     """
@@ -350,6 +355,7 @@ def bfs_levels(
 
     e = edges.select(F.col(src).alias("__s__"), F.col(dst).alias("__d__"))
     e = e.persist(StorageLevel.MEMORY_AND_DISK)
+    register_persisted("bfs_levels", [e])
     frontier = (
         sources.select(F.col(node).alias("__n__"))
         .distinct()
@@ -398,7 +404,8 @@ def label_propagation(
     left join back onto the node set — edge-sized shuffles, nothing
     quadratic, per-round checkpoint keeps the plan flat (same lineage
     hygiene as :func:`pagerank`). The projected edge and node frames
-    stay persisted (read every round) — unpersist /
+    stay persisted (read every round) —
+    ``utils.release_registered("label_propagation")`` (or unpersist /
     ``spark.catalog.clearCache()`` after your first action when
     running many propagations in one long-lived session.
     """
@@ -415,6 +422,7 @@ def label_propagation(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    register_persisted("label_propagation", [e, nodes])
     labels = nodes.select("__n__", F.col("__n__").alias("__l__"))
     w = Window.partitionBy("__dn__").orderBy(
         F.desc("__c__"), F.asc("__bl__")

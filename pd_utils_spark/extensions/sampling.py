@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 
 from pd_utils_spark.extensions.dedup import _norm, _shingles_from_toks, shingle_sets
 from pd_utils_spark.extensions.text import _tokens
-from pd_utils_spark.utils import to_list
+from pd_utils_spark.utils import register_persisted, to_list
 
 _HASH_DENOM = 1 << 31
 _HASH_MASK = _HASH_DENOM - 1
@@ -442,6 +442,7 @@ def ngram_hashes(
     grams = shingle_sets(df, textcol, idcol, n, out="__grams__").persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    register_persisted("ngram_hashes", [grams])
     return grams.select(
         F.col(idcol), F.explode(F.col("__grams__")).alias("__g__")
     ).select(F.col(idcol), F.md5(F.col("__g__")).alias(out))

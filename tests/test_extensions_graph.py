@@ -360,3 +360,23 @@ class TestKCore:
         e = spark.createDataFrame([(1, 2)], ["src", "dst"])
         with pytest.raises(ValueError, match="k must be"):
             k_core(e, k=0)
+
+
+def test_iterative_operator_persists_release_by_label(spark):
+    """r8: the internal persists the iterative operators retain (the
+    docstrings' 'unpersist when done' note) are registered in the
+    module-level registry, so a session can reclaim them by label
+    without holding any frame reference."""
+    from pd_utils_spark.extensions.graph import bfs_levels, pagerank
+    from pd_utils_spark.utils import release_registered
+
+    release_registered()  # clean slate
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], ["src", "dst"]
+    )
+    srcs = spark.createDataFrame([(1,)], ["node"])
+    bfs_levels(edges, srcs, max_depth=3).count()
+    assert release_registered("bfs_levels") == 1
+    pagerank(edges, iters=2).count()
+    assert release_registered("pagerank") == 2
+    assert release_registered() == 0
