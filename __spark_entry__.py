@@ -867,6 +867,64 @@ def q_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.md5("clean_text").alias("clean_md5"))
 
 
+def q_dedup_exact_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-gated incremental exact dedup (extensions/dedup.py
+    bloom_fingerprints + exact_dedup_against_bloom, verify=True):
+    history = every 7th document; the filter is built DELIBERATELY
+    small (m_bits=512, k=3 — heavily saturated) so the
+    false-positive path is exercised hard, and the exact verify semi
+    join must clean every FP: the result is required to EQUAL the
+    plain history anti join, which is exactly what the oracle
+    states. At 100 TB the filter is sized ~10 bits/doc instead, and
+    the batch never shuffles — only the positive sliver probes the
+    history table."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    hist = d.filter(F.col("doc_id") % 7 == 0)
+    bl = pus_dedup.bloom_fingerprints(hist, m_bits=512, k=3)
+    out = pus_dedup.exact_dedup_against_bloom(d, bl, history=hist)
+    return out.select("doc_id")
+
+
+def q_bloom_fp_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit row for the UNVERIFIED Bloom mode: with the same
+    saturated 512-bit/k=3 filter over the every-7th-doc history, how
+    many non-member batch docs read bloom-positive (the docs
+    verify=False would falsely drop)? The oracle replays the ENTIRE
+    filter bit-for-bit in DuckDB — positions from the md5
+    universal-hash constants, bit_or word aggregation, per-doc k-bit
+    membership — so the hash match certifies cross-engine bit
+    identity of the sketch, and the fp_rate is the measured cost of
+    skipping verification at this saturation."""
+    from pd_utils_spark.extensions.dedup import bloom_might_contain
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    hist = d.filter(F.col("doc_id") % 7 == 0)
+    bl = pus_dedup.bloom_fingerprints(hist, m_bits=512, k=3)
+    checked = bloom_might_contain(d, bl, out="might", keep_fp="fp")
+    hfp = hist.select(
+        F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))).alias("fp")
+    ).distinct().withColumn("__h__", F.lit(1))
+    lab = checked.join(hfp, "fp", "left")
+    return lab.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_batch"),
+        F.sum(F.col("__h__").isNotNull().cast("long")).cast("bigint").alias("n_members"),
+        F.sum(F.col("might").cast("long")).cast("bigint").alias("n_positive"),
+        F.sum((F.col("might") & F.col("__h__").isNull()).cast("long"))
+        .cast("bigint")
+        .alias("n_false_pos"),
+    ).select(
+        "n_batch",
+        "n_members",
+        "n_positive",
+        "n_false_pos",
+        F.round(
+            F.col("n_false_pos")
+            / F.greatest(F.col("n_batch") - F.col("n_members"), F.lit(1)),
+            6,
+        ).alias("fp_rate"),
+    )
+
+
 def q_dedup_substrings_against(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ExactSubstr dedup (extensions/dedup.py
     dedup_substrings_against): a synthetic history corpus carries the
@@ -6017,6 +6075,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans": q_dedup_spans,
         "dedup_spans_against": q_dedup_spans_against,
         "dedup_substrings": q_dedup_substrings,
+        "dedup_exact_bloom": q_dedup_exact_bloom,
+        "bloom_fp_audit": q_bloom_fp_audit,
         "dedup_substrings_against": q_dedup_substrings_against,
         "repeat_sources": q_repeat_sources,
         "char_stats": q_char_stats,
@@ -6386,6 +6446,33 @@ def _sql_kmeans_ctes(
             WHERE c.cid NOT IN (SELECT cid FROM m{n}))"""
         )
     return ",\n".join(parts)
+
+
+def _sql_bloom_positions(fp: str, m_bits: int, k: int) -> list[str]:
+    """DuckDB expressions for the k Bloom bit positions of an md5-hex
+    fingerprint expr ``fp`` — same md5 universal-hash constants as
+    dedup._bloom_coeffs, bit-for-bit."""
+    from pd_utils_spark.extensions.dedup import _bloom_coeffs
+
+    base = f"((('0x' || substr({fp}, 1, 15))::BIGINT) & 2147483647)"
+    return [
+        f"((({a} * {base} + {c}) % 2147483647) % {m_bits})"
+        for a, c in _bloom_coeffs(k)
+    ]
+
+
+def _sql_bloom_membership(fp: str, m_bits: int, k: int, words: str = "words") -> str:
+    """DuckDB predicate: all k Bloom bits of ``fp`` are set in the
+    ``words`` CTE (columns w, bits) — the probe side of the sketch."""
+    # UBIGINT: DuckDB raises on signed 1 << 63 (Spark wraps); the
+    # words are internal to the query, only membership booleans
+    # surface, so the unsigned representation changes nothing
+    checks = [
+        f"EXISTS (SELECT 1 FROM {words} WHERE w = ({p}) // 64 "
+        f"AND (bits & (1::UBIGINT << (({p}) % 64)::INT)) <> 0)"
+        for p in _sql_bloom_positions(fp, m_bits, k)
+    ]
+    return "(" + " AND ".join(checks) + ")"
 
 
 def _sql_minhash_band_key(band: int, rows_per_band: int, s: str = "s") -> str:
@@ -7681,6 +7768,40 @@ def oracle_sql() -> dict[str, str]:
                        AS clean_md5
             FROM corpus c LEFT JOIN kept k ON k.doc_id = c.doc_id
             GROUP BY c.doc_id
+        """,
+        "dedup_exact_bloom": f"""
+            SELECT doc_id FROM documents
+            WHERE md5({_SQL_NORM}) NOT IN (
+                SELECT md5({_SQL_NORM}) FROM documents WHERE doc_id % 7 = 0
+            )
+        """,
+        "bloom_fp_audit": f"""
+            WITH hist AS (
+                SELECT DISTINCT md5({_SQL_NORM}) AS fp
+                FROM documents WHERE doc_id % 7 = 0
+            ), pos AS (
+                SELECT DISTINCT p FROM hist,
+                UNNEST([{", ".join(_sql_bloom_positions("fp", 512, 3))}]) AS t(p)
+            ), words AS (
+                SELECT p // 64 AS w,
+                       bit_or(1::UBIGINT << (p % 64)::INT) AS bits
+                FROM pos GROUP BY 1
+            ), batch AS (
+                SELECT doc_id, md5({_SQL_NORM}) AS fp FROM documents
+            ), lab AS (
+                SELECT b.doc_id,
+                       (b.fp IN (SELECT fp FROM hist)) AS member,
+                       {_sql_bloom_membership("b.fp", 512, 3)} AS might
+                FROM batch b
+            )
+            SELECT count(*)::BIGINT AS n_batch,
+                   sum(member::INT)::BIGINT AS n_members,
+                   sum(might::INT)::BIGINT AS n_positive,
+                   sum((might AND NOT member)::INT)::BIGINT AS n_false_pos,
+                   round(sum((might AND NOT member)::INT)::DOUBLE
+                         / greatest(count(*) - sum(member::INT), 1), 6)
+                       AS fp_rate
+            FROM lab
         """,
         "dedup_substrings_against": f"""
             WITH hist AS (

@@ -178,6 +178,200 @@ def exact_dedup_against(
     )
 
 
+def _bloom_coeffs(k: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, c_i) universal-hash constants for the k
+    Bloom positions, md5-derived under the ``bloom:`` namespace so
+    they never collide with the minhash family and any engine can
+    reproduce them."""
+    import hashlib
+
+    out = []
+    for i in range(k):
+        h = hashlib.md5(f"bloom:{i}".encode()).hexdigest()
+        a = (int(h[:8], 16) % (_MERSENNE_P - 1)) + 1
+        c = int(h[8:16], 16) % _MERSENNE_P
+        out.append((a, c))
+    return out
+
+
+def _bloom_positions(fpcol: Column, m_bits: int, k: int) -> list[Column]:
+    """The k Bloom bit positions of an md5-hex fingerprint column:
+    ``((a_i * base + c_i) mod p) mod m_bits`` with ``base`` = low 31
+    bits of the fingerprint — the same engine-portable universal-hash
+    integer math as the minhash family (operands < 2^31, products fit
+    signed 64-bit)."""
+    base = (
+        F.conv(F.substring(fpcol, 1, 15), 16, 10)
+        .cast("bigint")
+        .bitwiseAND(F.lit((1 << 31) - 1))
+    )
+    return [
+        ((F.lit(a) * base + F.lit(c)) % F.lit(_MERSENNE_P)) % F.lit(m_bits)
+        for a, c in _bloom_coeffs(k)
+    ]
+
+
+def bloom_fingerprints(
+    history: DataFrame,
+    textcol: str = "text",
+    m_bits: int = 1 << 20,
+    k: int = 5,
+    normalize: bool = True,
+    history_is_fingerprints: bool = False,
+) -> DataFrame:
+    """Build a Bloom filter over ``history``'s content fingerprints as
+    a ONE-ROW frame ``(bloom array<bigint>, m_bits int, k int)`` — the
+    reusable membership sketch that turns incremental dedup's
+    history join into a MAP-ONLY batch filter
+    (:func:`exact_dedup_against_bloom`).
+
+    Why this exists at 100 TB: :func:`exact_dedup_against` shuffles
+    every ingest batch against the history fingerprint table. With a
+    Bloom filter built ONCE per history generation (and persisted —
+    it is a tiny one-row frame), each batch pays zero shuffle for the
+    membership test; only the bloom-POSITIVE sliver (true hits +
+    ~fpp false positives) touches the history table at all, and only
+    when exactness is required (``verify=True`` downstream).
+
+    Scale shape of the build: one projection per history row (k bit
+    positions from one md5), one ``groupBy(word)`` with map-side
+    partial ``bit_or`` — at most ``m_bits/64`` groups, so the shuffle
+    and the driver collect are bounded by the CONFIGURED filter size
+    (8 KiB per 2^16 bits), never by history size. Sizing: fpp ~=
+    (set_bits/m)^k; for n history docs at k=5, m_bits ~= 10n gives
+    ~1% fpp — pick m_bits for your history cardinality, it is the
+    only memory knob.
+
+    ``history_is_fingerprints=True`` reads ``textcol`` as
+    already-computed md5-hex fingerprints (share one fingerprint pass
+    across consumers, or build from a stored fingerprint table).
+    """
+    if m_bits < 64 or m_bits % 64 != 0:
+        raise ValueError(f"m_bits must be a multiple of 64, >= 64: {m_bits}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    if history_is_fingerprints:
+        fp = F.col(textcol)
+    else:
+        fp = F.md5(
+            (_norm(F.col(textcol)) if normalize else F.col(textcol)).cast(
+                "string"
+            )
+        )
+    pos = F.explode(F.array(*_bloom_positions(fp, m_bits, k)))
+    words = (
+        history.select(pos.alias("__p__"))
+        .select(
+            (F.col("__p__") / 64).cast("int").alias("__w__"),
+            # SQL shiftleft takes a column shift; the PySpark
+            # wrapper restricts numBits to int — call the function
+            F.call_function(
+                "shiftleft",
+                F.lit(1).cast("bigint"),
+                (F.col("__p__") % 64).cast("int"),
+            ).alias("__m__"),
+        )
+        .groupBy("__w__")
+        .agg(F.bit_or("__m__").alias("__bits__"))
+        .collect()  # bounded: at most m_bits/64 rows BY CONSTRUCTION
+    )
+    arr = [0] * (m_bits // 64)
+    for r in words:
+        arr[r["__w__"]] = r["__bits__"]
+    spark = history.sparkSession
+    return spark.createDataFrame(
+        [(arr, m_bits, k)], "bloom array<bigint>, m_bits int, k int"
+    )
+
+
+def exact_dedup_against_bloom(
+    df: DataFrame,
+    bloom: DataFrame,
+    history: DataFrame | None = None,
+    textcol: str = "text",
+    idcol: str = "doc_id",
+    history_textcol: str | None = None,
+    normalize: bool = True,
+    verify: bool = True,
+) -> DataFrame:
+    """Incremental-ingestion dedup through a Bloom filter
+    (:func:`bloom_fingerprints`): drop rows of ``df`` whose content
+    fingerprint is (probably) already in the history the filter was
+    built over. The membership test is MAP-ONLY — the one-row filter
+    is broadcast and each row checks its k bits with integer math; no
+    shuffle touches the batch.
+
+    ``verify=True`` (default, requires ``history``): bloom-positive
+    rows — true hits plus ~fpp false positives, a sliver of the batch
+    — are exactly verified with a fingerprint semi join against
+    ``history``, so the result EQUALS :func:`exact_dedup_against`
+    (no false drops, no false keeps; Bloom false negatives are
+    impossible by construction). This is the 100 TB shape: the
+    history join's probe side shrinks from the whole batch to the
+    positive sliver.
+
+    ``verify=False``: bloom-positive rows are dropped outright — zero
+    history access at ingest time, at the cost of falsely dropping
+    ~fpp of genuinely-new documents (size ``m_bits`` accordingly; the
+    ``bloom_fp_audit`` query row measures the realized rate on a
+    corpus). The right mode when the filter is sized generously and
+    ingest must not touch the history store.
+    """
+    work = bloom_might_contain(
+        df, bloom, textcol, normalize=normalize, out="__might__",
+        keep_fp="__fp__",
+    )
+    if not verify:
+        return work.filter(~F.col("__might__")).drop("__might__", "__fp__")
+    if history is None:
+        raise ValueError("verify=True requires the history frame")
+    htext = history_textcol or textcol
+    hfp = F.md5(
+        (_norm(F.col(htext)) if normalize else F.col(htext)).cast("string")
+    )
+    hist = history.select(hfp.alias("__fp__")).distinct()
+    positives = work.filter(F.col("__might__")).select(idcol, "__fp__")
+    confirmed = positives.join(hist, "__fp__", "left_semi").select(idcol)
+    return df.join(confirmed, idcol, "left_anti")
+
+
+def bloom_might_contain(
+    df: DataFrame,
+    bloom: DataFrame,
+    textcol: str = "text",
+    normalize: bool = True,
+    out: str = "might_contain",
+    keep_fp: str | None = None,
+) -> DataFrame:
+    """Append the Bloom membership flag ``out`` (and the md5
+    fingerprint as ``keep_fp`` when given) — the map-only probe side
+    of :func:`bloom_fingerprints`, shared by
+    :func:`exact_dedup_against_bloom` and the audit rows. The one-row
+    filter frame is broadcast; each row checks its k bit positions
+    with integer expressions (no UDF, no shuffle)."""
+    row = bloom.select("m_bits", "k").first()
+    m_bits, k = int(row["m_bits"]), int(row["k"])
+    fpcol = F.md5(
+        (_norm(F.col(textcol)) if normalize else F.col(textcol)).cast("string")
+    )
+    fpname = keep_fp or "__bloom_fp__"
+    work = df.withColumn(fpname, fpcol).crossJoin(
+        F.broadcast(bloom.select("bloom"))
+    )
+    might = None
+    for p in _bloom_positions(F.col(fpname), m_bits, k):
+        word = F.element_at("bloom", (p / 64).cast("int") + 1)
+        mask = F.call_function(
+            "shiftleft", F.lit(1).cast("bigint"), (p % 64).cast("int")
+        )
+        bit = word.bitwiseAND(mask) != 0
+        might = bit if might is None else (might & bit)
+    work = work.withColumn(out, might).drop("bloom")
+    if keep_fp is None:
+        work = work.drop(fpname)
+    return work
+
+
 def minhash_signature(
     df: DataFrame,
     textcol: str = "text",

@@ -1178,3 +1178,105 @@ class TestDedupSubstringsAgainst:
             ).collect()
         }
         assert out == {0: "", 1: "", 2: "fresh words only"}
+
+
+class TestBloomDedup:
+    def _frames(self, spark):
+        hist = spark.createDataFrame(
+            [(i, f"history doc {i} words") for i in range(40)],
+            ["doc_id", "text"],
+        )
+        batch = spark.createDataFrame(
+            [(100 + i, f"history doc {i} words") for i in range(10)]
+            + [(200 + i, f"fresh doc {i} content") for i in range(30)],
+            ["doc_id", "text"],
+        )
+        return hist, batch
+
+    def test_verified_mode_equals_exact_dedup_even_saturated(self, spark):
+        # m_bits=64/k=2 is heavily saturated (many FPs); the verify
+        # semi join must clean every one — result EQUALS the plain
+        # history anti join, false negatives impossible by
+        # construction
+        from pd_utils_spark.extensions.dedup import (
+            bloom_fingerprints,
+            exact_dedup_against,
+            exact_dedup_against_bloom,
+        )
+
+        hist, batch = self._frames(spark)
+        want = sorted(
+            r.doc_id for r in exact_dedup_against(batch, hist).collect()
+        )
+        for m_bits, k in ((64, 2), (1024, 3), (4096, 5)):
+            bl = bloom_fingerprints(hist, m_bits=m_bits, k=k)
+            got = sorted(
+                r.doc_id
+                for r in exact_dedup_against_bloom(
+                    batch, bl, history=hist
+                ).collect()
+            )
+            assert got == want, (m_bits, k)
+
+    def test_unverified_mode_never_keeps_a_member(self, spark):
+        # verify=False may falsely DROP (~fpp) but can never KEEP a
+        # true member: Bloom filters have no false negatives
+        from pd_utils_spark.extensions.dedup import (
+            bloom_fingerprints,
+            exact_dedup_against_bloom,
+        )
+
+        hist, batch = self._frames(spark)
+        for m_bits, k in ((64, 2), (512, 3), (4096, 5)):
+            bl = bloom_fingerprints(hist, m_bits=m_bits, k=k)
+            kept = {
+                r.doc_id
+                for r in exact_dedup_against_bloom(
+                    batch, bl, verify=False
+                ).collect()
+            }
+            assert all(d >= 200 for d in kept), (m_bits, k)
+
+    def test_probe_is_map_only(self, spark):
+        # the membership check must not shuffle the batch: the only
+        # Exchange in the plan is the one-row BroadcastExchange of
+        # the filter itself
+        from pd_utils_spark.extensions.dedup import (
+            bloom_fingerprints,
+            exact_dedup_against_bloom,
+        )
+
+        hist, batch = self._frames(spark)
+        bl = bloom_fingerprints(hist, m_bits=1024, k=3)
+        out = exact_dedup_against_bloom(batch, bl, verify=False)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == plan.count("BroadcastExchange")
+        assert "BroadcastNestedLoopJoin" in plan
+
+    def test_fingerprint_input_and_validation(self, spark):
+        from pd_utils_spark.extensions.dedup import (
+            bloom_fingerprints,
+            bloom_might_contain,
+            exact_dedup_against_bloom,
+        )
+
+        hist, batch = self._frames(spark)
+        # building from a precomputed fingerprint column == from text
+        fps = hist.select(
+            F.md5(
+                F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+            ).alias("fp")
+        )
+        bl_txt = bloom_fingerprints(hist, m_bits=1024, k=3)
+        bl_fp = bloom_fingerprints(
+            fps, textcol="fp", m_bits=1024, k=3, history_is_fingerprints=True
+        )
+        assert bl_txt.collect() == bl_fp.collect()
+        flags = bloom_might_contain(batch, bl_txt, out="m").collect()
+        assert {r.doc_id: r.m for r in flags}[100] is True
+        with pytest.raises(ValueError, match="m_bits"):
+            bloom_fingerprints(hist, m_bits=100)
+        with pytest.raises(ValueError, match="k must"):
+            bloom_fingerprints(hist, k=0)
+        with pytest.raises(ValueError, match="history"):
+            exact_dedup_against_bloom(batch, bl_txt, verify=True).collect()
