@@ -2343,8 +2343,16 @@ def jaccard_join_prefix(
     so candidate buckets are the small tail of the frequency
     distribution — the designed-in flood protection (boilerplate
     tokens sit at the back of every prefix-ordered set and are never
-    indexed). Use LSH when thresholds are low (prefixes grow as
-    (1-t)·n) or when approximate recall is acceptable.
+    indexed). r8 adds the PPJoin POSITIONAL filter: each prefix match
+    carries its positions, and a pair survives only if some match's
+    overlap upper bound ``1 + min(na-pa, nb-pb)`` reaches the
+    required ``ceil(t/(1+t)*(na+nb))`` — measured 64-70% fewer
+    verify pairs at t=0.5-0.8 on the audit corpora (local wall-clock
+    is within noise because the synthetic docs' token arrays are
+    tiny; on real corpora the verify join hauls each candidate's
+    full token arrays, and 64% fewer of them is the scale win). Use
+    LSH when thresholds are low (prefixes grow as (1-t)·n) or when
+    approximate recall is acceptable.
 
     Cache note: TWO frames stay persisted after the call — the
     compact (id, 64-bit token) frame (read by the document-frequency
@@ -2438,26 +2446,42 @@ def jaccard_join_prefix(
     prefixes = sorted_docs.select(
         "__id__",
         n.alias("__n__"),
-        F.explode(F.slice("__toks__", 1, plen)).alias("__tok__"),
+        F.posexplode(F.slice("__toks__", 1, plen)).alias(
+            "__pos__", "__tok__"
+        ),
     )
     # length filter (AllPairs): J(x, y) >= t forces t*|y| <= |x| <= |y|/t,
     # killing candidates whose sizes alone rule them out — measured to
     # cut the verify set several-fold on template corpora
     t_lit = F.lit(float(threshold))
+    # positional filter (PPJoin, r8): a match on the tokens at
+    # 1-based positions pa/pb bounds the overlap by
+    # 1 + min(na - pa, nb - pb); J >= t needs overlap >=
+    # ceil(t/(1+t) * (na + nb)). Correctness: for any qualifying
+    # pair, its FIRST shared token in the global order is inside both
+    # prefixes (it precedes whatever shared token the prefix-filter
+    # lemma guarantees there) and for THAT match the bound is exact,
+    # so keeping pairs where ANY match passes never loses a
+    # qualifying pair. The 1e-9 slack makes the float alpha a lower
+    # bound of the rational one (a relaxed filter only keeps more
+    # candidates — exactness rests on the verify join, never here).
+    tt = float(threshold) / (1.0 + float(threshold))
+    na, nb = F.col("a.__n__"), F.col("b.__n__")
+    pa = F.col("a.__pos__") + 1
+    pb = F.col("b.__pos__") + 1
+    alpha = F.ceil(
+        F.lit(tt) * (na + nb).cast("double") - F.lit(1e-9)
+    )
+    ubound = F.lit(1) + F.least(na - pa, nb - pb)
     cand = (
         prefixes.alias("a")
         .join(
             prefixes.alias("b"),
             (F.col("a.__tok__") == F.col("b.__tok__"))
             & (F.col("a.__id__") < F.col("b.__id__"))
-            & (
-                F.col("a.__n__").cast("double")
-                >= t_lit * F.col("b.__n__").cast("double")
-            )
-            & (
-                F.col("b.__n__").cast("double")
-                >= t_lit * F.col("a.__n__").cast("double")
-            ),
+            & (na.cast("double") >= t_lit * nb.cast("double"))
+            & (nb.cast("double") >= t_lit * na.cast("double"))
+            & (ubound >= alpha),
         )
         .select(
             F.col("a.__id__").alias("id_a"),
