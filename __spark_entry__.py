@@ -2058,6 +2058,59 @@ def q_greedy_band_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constant-state streaming exact dedup driven through the engine
+    end-to-end (streaming/stateful.py streaming_bloom_dedup): the
+    documents parquet is consumed via readStream; per micro-batch the
+    batch is exact-deduped (min-id keeper), probed against the
+    accumulated Bloom filter (ONE row of m_bits/64 longs — history
+    state that never grows), survivors append and their fingerprints
+    fold into the filter. With AvailableNow over one parquet file
+    there is exactly ONE batch (asserted below, same pin as the
+    multiband row), so the result is the deterministic within-batch
+    path — the oracle replays plain exact_dedup; cross-batch
+    semantics (member drops + ~fpp false drops) are pinned by
+    pytest."""
+    import shutil
+    import tempfile
+
+    from pd_utils_spark.streaming.stateful import streaming_bloom_dedup
+
+    base = tempfile.mkdtemp(prefix="pus_bloomdedup_")
+    try:
+        # documents has no exact text dups; stream the copies corpus
+        # (one coalesced file -> one AvailableNow batch) so the row
+        # actually drops half its input
+        src = f"{base}/src"
+        _docs_with_copies(spark, sf_dir).coalesce(1).write.parquet(src)
+        raw_schema = spark.read.parquet(src).schema
+        sdf = spark.readStream.schema(raw_schema).parquet(src)
+        with _stream_state_partitions(spark):
+            q = streaming_bloom_dedup(
+                sdf,
+                output_dir=f"{base}/out",
+                bloom_dir=f"{base}/bloom",
+                checkpoint_dir=f"{base}/ckpt",
+                m_bits=1 << 16,
+                k=5,
+                available_now=True,
+            )
+            q.awaitTermination()
+            data_batches = sum(
+                1 for p in q.recentProgress if p["numInputRows"] > 0
+            )
+            if data_batches != 1:
+                raise AssertionError(
+                    "streaming_bloom_dedup oracle assumes ONE "
+                    f"micro-batch; the stream ran {data_batches}"
+                )
+        out = spark.read.parquet(f"{base}/out").select("doc_id")
+        rows = out.collect()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, "doc_id bigint")
+
+
 def q_streaming_multiband_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-band streaming near-dup dedup driven through the engine
     end-to-end (streaming/stateful.py streaming_greedy_band_dedup):
@@ -6114,6 +6167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "greedy_band_precision_boundary": q_greedy_band_precision_boundary,
         "dedup_bands_greedy": q_dedup_bands_greedy,
         "greedy_band_precision": q_greedy_band_precision,
+        "streaming_bloom_dedup": q_streaming_bloom_dedup,
         "streaming_multiband_dedup": q_streaming_multiband_dedup,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "jaccard_topk": q_jaccard_topk,
@@ -8083,6 +8137,11 @@ def oracle_sql() -> dict[str, str]:
             FROM w
         """,
         "dedup_exact": f"""
+            WITH u AS ({_SQL_DOC_UNION})
+            SELECT min(doc_id) AS doc_id
+            FROM u GROUP BY md5({_SQL_NORM})
+        """,
+        "streaming_bloom_dedup": f"""
             WITH u AS ({_SQL_DOC_UNION})
             SELECT min(doc_id) AS doc_id
             FROM u GROUP BY md5({_SQL_NORM})

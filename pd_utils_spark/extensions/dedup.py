@@ -284,6 +284,34 @@ def bloom_fingerprints(
     )
 
 
+def merge_blooms(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Union of two Bloom filters built with the SAME (m_bits, k):
+    element-wise OR of the bit words — the incremental-build
+    primitive (merge per-partition/per-batch filters into a corpus
+    filter; a bit set by either history is set in the union, so
+    membership semantics are exactly the union of the two histories).
+    Raises on mismatched geometry: positions from different m_bits/k
+    are incompatible bit spaces."""
+    ra = a.select("m_bits", "k").first()
+    rb = b.select("m_bits", "k").first()
+    if (ra["m_bits"], ra["k"]) != (rb["m_bits"], rb["k"]):
+        raise ValueError(
+            "bloom geometry mismatch: "
+            f"({ra['m_bits']}, {ra['k']}) vs ({rb['m_bits']}, {rb['k']})"
+        )
+    return (
+        a.select(F.col("bloom").alias("__a__"), "m_bits", "k")
+        .crossJoin(F.broadcast(b.select(F.col("bloom").alias("__b__"))))
+        .select(
+            F.zip_with(
+                "__a__", "__b__", lambda x, y: x.bitwiseOR(y)
+            ).alias("bloom"),
+            "m_bits",
+            "k",
+        )
+    )
+
+
 def exact_dedup_against_bloom(
     df: DataFrame,
     bloom: DataFrame,

@@ -5,6 +5,7 @@ from pd_utils_spark.streaming.stateful import (
     stateful_running_agg,
     streaming_band_dedup,
     streaming_exact_dedup,
+    streaming_bloom_dedup,
     streaming_greedy_band_dedup,
     streaming_minhash_dedup,
     streaming_sessionize,

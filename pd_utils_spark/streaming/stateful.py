@@ -226,6 +226,139 @@ def streaming_greedy_band_dedup(
     return writer.start()
 
 
+def streaming_bloom_dedup(
+    sdf: DataFrame,
+    output_dir: str,
+    bloom_dir: str,
+    checkpoint_dir: str,
+    textcol: str = "text",
+    idcol: str = "doc_id",
+    m_bits: int = 1 << 20,
+    k: int = 5,
+    available_now: bool = False,
+):
+    """Streaming EXACT dedup with CONSTANT-size history state: per
+    micro-batch, dedup within the batch (min-id keeper,
+    :func:`~pd_utils_spark.extensions.dedup.exact_dedup`), drop docs
+    whose fingerprint the accumulated Bloom filter (probably) already
+    holds, append survivors to ``output_dir``, and fold their
+    fingerprints into the filter (:func:`merge_blooms`), stored as a
+    one-row parquet at ``bloom_dir``.
+
+    Why it exists: every other streaming dedup here
+    (:func:`streaming_minhash_dedup`'s text history,
+    :func:`streaming_greedy_band_dedup`'s claims table) carries state
+    that GROWS with the corpus — at 100 TB the history side is the
+    cost. The Bloom filter is ``m_bits/8`` bytes FOREVER (128 KiB at
+    2^20), the membership probe is map-only, and the whole history
+    fits in one broadcast. The price is ~fpp FALSE DROPS of
+    genuinely-new documents (there are no false keeps — a member's
+    bits are always set); size ``m_bits`` ~ 10 bits per expected
+    corpus doc for ~1% fpp at k=5, or run the batch
+    ``exact_dedup_against_bloom(verify=True)`` recipe instead when
+    false drops are unacceptable.
+
+    Determinism: within one batch the result is a pure function of
+    the data (min-id exact dedup; the bloom probe of an empty/fixed
+    filter is deterministic). Across batches the survivor SET is
+    deterministic given fixed batch boundaries (same caveat as
+    :func:`streaming_greedy_band_dedup`), and false drops depend on
+    the filter's accumulated fill.
+
+    Replay safety: survivors append BEFORE the filter is written. The
+    filter state is VERSIONED — each batch writes
+    ``bloom_dir/b=<batch_id>`` and readers take the latest version —
+    so there is no delete-then-rewrite window in which a crash (or a
+    concurrent reader) sees a missing filter; a retried batch
+    overwrites only its own version directory (idempotent: OR of the
+    same fingerprints is a no-op) and the output re-append is the
+    standard at-least-once caveat — finish downstream with
+    ``exact_dedup`` on id. Versions older than the previous one are
+    best-effort pruned.
+
+    Returns the started ``StreamingQuery``.
+    """
+    from pd_utils_spark.extensions.dedup import (
+        bloom_fingerprints,
+        exact_dedup,
+        exact_dedup_against_bloom,
+        merge_blooms,
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = exact_dedup(batch_df, textcol, idcol)
+        # explicit listing (not try/except around the read): a
+        # transient storage error must fail and retry the batch —
+        # treating it as "no history" would admit duplicates
+        latest = _latest_bloom_version(spark, bloom_dir)
+        old = None
+        if latest is not None:
+            old = spark.read.parquet(f"{bloom_dir}/b={latest}")
+            batch = exact_dedup_against_bloom(
+                batch, old, textcol=textcol, idcol=idcol, verify=False
+            )
+        survivors = batch.localCheckpoint(eager=True)  # consumed twice
+        survivors.write.mode("append").parquet(output_dir)
+        fresh = bloom_fingerprints(survivors, textcol, m_bits, k)
+        merged = merge_blooms(old, fresh) if old is not None else fresh
+        rows = merged.collect()  # one row by construction
+        spark.createDataFrame(
+            rows, "bloom array<bigint>, m_bits int, k int"
+        ).write.mode("overwrite").parquet(f"{bloom_dir}/b={batch_id}")
+        _prune_bloom_versions(spark, bloom_dir, keep_from=latest)
+
+    writer = sdf.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def _bloom_versions(spark, bloom_dir: str) -> list[int]:
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    path = jvm.org.apache.hadoop.fs.Path(bloom_dir)
+    fs = path.getFileSystem(jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return []
+    out = []
+    for st in fs.listStatus(path):
+        name = st.getPath().getName()
+        if name.startswith("b=") and name[2:].isdigit():
+            out.append(int(name[2:]))
+    return sorted(out)
+
+
+def _latest_bloom_version(spark, bloom_dir: str) -> int | None:
+    """Latest committed filter version under a
+    :func:`streaming_bloom_dedup` state dir (also the reader API for
+    downstream batch jobs: ``spark.read.parquet(f"{d}/b={v}")``)."""
+    versions = _bloom_versions(spark, bloom_dir)
+    return versions[-1] if versions else None
+
+
+def _prune_bloom_versions(spark, bloom_dir: str, keep_from: int | None) -> None:
+    """Best-effort removal of filter versions OLDER than ``keep_from``
+    (the previous version is kept so a crash mid-write of the current
+    one never strands the stream without state)."""
+    if keep_from is None:
+        return
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    path = jvm.org.apache.hadoop.fs.Path(bloom_dir)
+    fs = path.getFileSystem(jsc.hadoopConfiguration())
+    for v in _bloom_versions(spark, bloom_dir):
+        if v < keep_from:
+            try:
+                fs.delete(
+                    jvm.org.apache.hadoop.fs.Path(f"{bloom_dir}/b={v}"), True
+                )
+            except Exception:
+                pass  # pruning is cosmetic; never fail the batch for it
+
+
 def streaming_sessionize(
     sdf: DataFrame,
     usercol: str = "user_id",

@@ -1272,3 +1272,119 @@ class TestStreamingBandDedup:
         df = spark.createDataFrame([(1, "a")], "doc_id int, text string")
         with pytest.raises(ValueError, match="rows_per_band"):
             W.streaming_band_dedup(df, rows_per_band=0)
+
+
+class TestStreamingBloomDedup:
+    def test_cross_batch_member_drops_and_state_stays_one_row(self, spark):
+        """Constant-state streaming exact dedup: batch 1's survivor
+        claims its fingerprint in the Bloom filter; batch 2's
+        normalized copy drops while its fresh doc survives, and the
+        history state remains ONE parquet row of m_bits/64 longs
+        regardless of how many docs flowed through."""
+        import os
+        import time
+
+        from pyspark.sql.types import LongType, StringType
+
+        base = tempfile.mkdtemp(prefix="bloomstream_")
+        src, outd, bld, ckpt = (
+            f"{base}/{d}" for d in ("src", "out", "bloom", "ckpt")
+        )
+        os.makedirs(src)
+        try:
+            schema = StructType(
+                [StructField("doc_id", LongType()), StructField("text", StringType())]
+            )
+            b1 = [
+                {"doc_id": 5, "text": "alpha beta gamma"},
+                {"doc_id": 1, "text": "alpha beta gamma"},
+                {"doc_id": 3, "text": "unique one"},
+            ]
+            b2 = [
+                {"doc_id": 10, "text": "Alpha  beta gamma"},  # normalized member
+                {"doc_id": 11, "text": "fresh second batch"},
+            ]
+            with open(f"{src}/b1.json", "w") as f:
+                f.write("\n".join(json.dumps(r) for r in b1))
+            stream = (
+                spark.readStream.format("json")
+                .schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .load(src)
+            )
+            q = W.streaming_bloom_dedup(
+                stream, outd, bld, ckpt, m_bits=4096, k=3
+            )
+
+            def ids():
+                try:
+                    return sorted(
+                        r.doc_id for r in spark.read.parquet(outd).collect()
+                    )
+                except Exception:
+                    return []
+
+            try:
+                deadline = time.time() + 90
+                while time.time() < deadline and len(ids()) < 2:
+                    time.sleep(1)
+                assert ids() == [1, 3]  # min-id keeper within batch 1
+                with open(f"{src}/b2.json", "w") as f:
+                    f.write("\n".join(json.dumps(r) for r in b2))
+                while time.time() < deadline and len(ids()) < 3:
+                    time.sleep(1)
+                assert ids() == [1, 3, 11]  # 10 dropped via the filter
+                from pd_utils_spark.streaming.stateful import (
+                    _latest_bloom_version,
+                )
+
+                v = None
+                while time.time() < deadline and v is None:
+                    v = _latest_bloom_version(spark, bld)
+                    if v is None:
+                        time.sleep(1)
+                bl = spark.read.parquet(f"{bld}/b={v}").collect()
+                assert len(bl) == 1
+                assert len(bl[0].bloom) == 4096 // 64
+                assert bl[0].m_bits == 4096 and bl[0].k == 3
+            finally:
+                q.stop()
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+
+
+class TestMergeBlooms:
+    def test_union_semantics_and_geometry_guard(self, spark):
+        from pd_utils_spark.extensions.dedup import (
+            bloom_fingerprints,
+            bloom_might_contain,
+            merge_blooms,
+        )
+
+        h1 = spark.createDataFrame(
+            [(i, f"first corpus doc {i}") for i in range(20)],
+            ["doc_id", "text"],
+        )
+        h2 = spark.createDataFrame(
+            [(i, f"second corpus doc {i}") for i in range(20)],
+            ["doc_id", "text"],
+        )
+        merged = merge_blooms(
+            bloom_fingerprints(h1, m_bits=2048, k=3),
+            bloom_fingerprints(h2, m_bits=2048, k=3),
+        )
+        whole = bloom_fingerprints(
+            h1.unionByName(h2.withColumn("doc_id", F.col("doc_id") + 100)),
+            m_bits=2048,
+            k=3,
+        )
+        # merge of the part filters == filter of the union corpus
+        assert merged.collect() == whole.collect()
+        probe = h1.unionByName(h2)
+        flags = bloom_might_contain(probe, merged, out="m").collect()
+        assert all(r.m for r in flags)  # every member of either side hits
+        with pytest.raises(ValueError, match="geometry"):
+            merge_blooms(
+                bloom_fingerprints(h1, m_bits=2048, k=3),
+                bloom_fingerprints(h2, m_bits=1024, k=3),
+            )
