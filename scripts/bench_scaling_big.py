@@ -64,6 +64,7 @@ JOIN_HEAVY = [
     "connected_components",
     "jaccard_join_prefix",
     "simhash_near_dup_pairs",
+    "dedup_exact_bloom",
 ]
 
 # table -> id columns shifted per copy (keeps join/group semantics:
