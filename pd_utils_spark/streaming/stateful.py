@@ -316,7 +316,15 @@ def streaming_bloom_dedup(
     return writer.start()
 
 
-def _bloom_versions(spark, bloom_dir: str) -> list[int]:
+def _bloom_versions(
+    spark, bloom_dir: str, committed_only: bool = True
+) -> list[int]:
+    """Filter versions under a :func:`streaming_bloom_dedup` state
+    dir. ``committed_only`` keeps only versions whose ``_SUCCESS``
+    marker exists — a version directory APPEARS as soon as the writer
+    mkdirs it, before any parquet file commits, so a crash mid-write
+    (or a concurrent reader racing the write) must never mistake the
+    partial directory for state."""
     jvm = spark.sparkContext._jvm
     jsc = spark.sparkContext._jsc
     path = jvm.org.apache.hadoop.fs.Path(bloom_dir)
@@ -327,12 +335,18 @@ def _bloom_versions(spark, bloom_dir: str) -> list[int]:
     for st in fs.listStatus(path):
         name = st.getPath().getName()
         if name.startswith("b=") and name[2:].isdigit():
+            if committed_only and not fs.exists(
+                jvm.org.apache.hadoop.fs.Path(
+                    f"{bloom_dir}/{name}/_SUCCESS"
+                )
+            ):
+                continue
             out.append(int(name[2:]))
     return sorted(out)
 
 
 def _latest_bloom_version(spark, bloom_dir: str) -> int | None:
-    """Latest committed filter version under a
+    """Latest COMMITTED filter version under a
     :func:`streaming_bloom_dedup` state dir (also the reader API for
     downstream batch jobs: ``spark.read.parquet(f"{d}/b={v}")``)."""
     versions = _bloom_versions(spark, bloom_dir)
@@ -342,14 +356,15 @@ def _latest_bloom_version(spark, bloom_dir: str) -> int | None:
 def _prune_bloom_versions(spark, bloom_dir: str, keep_from: int | None) -> None:
     """Best-effort removal of filter versions OLDER than ``keep_from``
     (the previous version is kept so a crash mid-write of the current
-    one never strands the stream without state)."""
+    one never strands the stream without state). Prunes partial
+    (uncommitted) stale versions too."""
     if keep_from is None:
         return
     jvm = spark.sparkContext._jvm
     jsc = spark.sparkContext._jsc
     path = jvm.org.apache.hadoop.fs.Path(bloom_dir)
     fs = path.getFileSystem(jsc.hadoopConfiguration())
-    for v in _bloom_versions(spark, bloom_dir):
+    for v in _bloom_versions(spark, bloom_dir, committed_only=False):
         if v < keep_from:
             try:
                 fs.delete(

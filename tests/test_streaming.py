@@ -1338,11 +1338,15 @@ class TestStreamingBloomDedup:
                     _latest_bloom_version,
                 )
 
+                # poll until batch 2's filter version COMMITS (the
+                # output append precedes the filter write, so ids()
+                # reaching 3 does not imply the write finished)
                 v = None
-                while time.time() < deadline and v is None:
+                while time.time() < deadline and (v is None or v < 1):
                     v = _latest_bloom_version(spark, bld)
-                    if v is None:
+                    if v is None or v < 1:
                         time.sleep(1)
+                assert v is not None and v >= 1
                 bl = spark.read.parquet(f"{bld}/b={v}").collect()
                 assert len(bl) == 1
                 assert len(bl[0].bloom) == 4096 // 64
