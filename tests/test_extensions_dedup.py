@@ -1280,3 +1280,48 @@ class TestBloomDedup:
             bloom_fingerprints(hist, k=0)
         with pytest.raises(ValueError, match="history"):
             exact_dedup_against_bloom(batch, bl_txt, verify=True).collect()
+
+    def test_history_textcol_and_fp_audit_consistency(self, spark):
+        # verify path with a differently-named history text column,
+        # and the bloom flag agrees with true membership everywhere
+        # the filter is generously sized
+        from pd_utils_spark.extensions.dedup import (
+            bloom_fingerprints,
+            bloom_might_contain,
+            exact_dedup_against,
+            exact_dedup_against_bloom,
+        )
+
+        hist = spark.createDataFrame(
+            [(i, f"history doc {i} words") for i in range(30)],
+            ["doc_id", "content"],
+        )
+        batch = spark.createDataFrame(
+            [(100 + i, f"history doc {i} words") for i in range(5)]
+            + [(200 + i, f"fresh doc {i} content") for i in range(25)],
+            ["doc_id", "text"],
+        )
+        bl = bloom_fingerprints(
+            hist, textcol="content", m_bits=1 << 14, k=5
+        )
+        got = sorted(
+            r.doc_id
+            for r in exact_dedup_against_bloom(
+                batch, bl, history=hist, history_textcol="content"
+            ).collect()
+        )
+        want = sorted(
+            r.doc_id
+            for r in exact_dedup_against(
+                batch, hist, history_textcol="content"
+            ).collect()
+        )
+        assert got == want
+        # generous filter: flag == exact membership (no FPs expected
+        # at 150 set bits over 16384)
+        flags = {
+            r.doc_id: r.m
+            for r in bloom_might_contain(batch, bl, out="m").collect()
+        }
+        assert all(flags[100 + i] for i in range(5))
+        assert not any(flags[200 + i] for i in range(25))
