@@ -6000,6 +6000,441 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _entity_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirty-entity corpus for the record-linkage family: one clean
+    record per distinct (p_name, p_brand) — id = min(p_partkey), the
+    deterministic representative — plus one variant record per clean
+    (id + 1_000_000) keyed by id % 3: punctuation/case drift (dist 0
+    after normalization), a single character deletion (dist 1), or a
+    token swap (far by Levenshtein — generated by blocking, killed by
+    verify). Every expression has an exact DuckDB twin so the corpus
+    is bit-identical cross-engine."""
+    part = _t(spark, sf_dir, "part")
+    base = (
+        part.groupBy("p_name", "p_brand")
+        .agg(F.min("p_partkey").alias("cid"))
+        .select("cid", F.concat_ws(" ", "p_name", "p_brand").alias("raw"))
+    )
+    t = F.split("raw", " ")
+    clean = base.select(F.col("cid").alias("rec_id"), F.col("raw").alias("name"))
+    variant = base.select(
+        (F.col("cid") + 1_000_000).alias("rec_id"),
+        F.when(F.col("cid") % 3 == 0, F.expr("upper(replace(raw, ' ', '--'))"))
+        .when(
+            F.col("cid") % 3 == 1,
+            F.concat(F.substring("raw", 1, 2), F.expr("substring(raw, 4, 1000000)")),
+        )
+        .otherwise(F.concat_ws(" ", t[1], t[0], t[2]))
+        .alias("name"),
+    )
+    return clean.unionByName(variant)
+
+
+_SQL_ENTITY_CORPUS = """
+    base AS (
+        SELECT min(p_partkey) AS cid, p_name || ' ' || p_brand AS raw
+        FROM part GROUP BY p_name, p_brand
+    ),
+    corpus AS (
+        SELECT cid AS rec_id, raw AS name FROM base
+        UNION ALL
+        SELECT cid + 1000000,
+               CASE WHEN cid % 3 = 0 THEN upper(replace(raw, ' ', '--'))
+                    WHEN cid % 3 = 1 THEN substr(raw, 1, 2) || substr(raw, 4)
+                    ELSE string_split(raw, ' ')[2] || ' ' ||
+                         string_split(raw, ' ')[1] || ' ' ||
+                         string_split(raw, ' ')[3]
+               END
+        FROM base
+    )
+"""
+
+# token blocking + cap + thresholded-verify, the SQL twin of
+# blocked_edit_pairs(max_dist=2, min_token_len=3, max_block=2000)
+_SQL_LINKAGE_PAIRS = """
+    normed AS (
+        SELECT rec_id,
+               trim(regexp_replace(lower(name), '[^a-z0-9]+', ' ', 'g')) AS norm
+        FROM corpus
+    ),
+    toks AS (
+        SELECT rec_id, norm, t.tok
+        FROM normed, unnest(list_distinct(list_filter(
+                 string_split(norm, ' '), x -> length(x) >= 3))) AS t(tok)
+    ),
+    capped AS (
+        SELECT * FROM (
+            SELECT rec_id, norm, tok,
+                   count(*) OVER (PARTITION BY tok) AS cnt
+            FROM toks
+        ) WHERE cnt <= 2000
+    ),
+    cand AS (
+        SELECT a.rec_id AS id_a, b.rec_id AS id_b,
+               a.norm AS na, b.norm AS nb
+        FROM capped a JOIN capped b
+          ON a.tok = b.tok AND a.rec_id < b.rec_id
+        GROUP BY 1, 2, 3, 4
+    ),
+    pairs AS (
+        SELECT id_a, id_b, na, nb, levenshtein(na, nb) AS d
+        FROM cand WHERE levenshtein(na, nb) <= 2
+    )
+"""
+
+
+def q_linkage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage, phase 1+2 (extensions/linkage.py
+    blocked_edit_pairs): shared-normalized-token blocking — the LSH
+    recipe specialized to short entity strings — then exact
+    Levenshtein verify computed with the THRESHOLDED early-exit form
+    (Spark >= 3.5 ``levenshtein(a, b, k)``). One shuffle to block,
+    one equi-join within blocks, distance map-side; the 'brand'
+    stopword token (a block the size of the corpus) is dropped by the
+    ``max_block`` flood cap at sf >= 0.01 — the oracle replicates the
+    cap rule exactly, so the hash match certifies the cap semantics
+    too, not just the distances."""
+    corpus = _entity_corpus(spark, sf_dir)
+    from pd_utils_spark.extensions import linkage as pus_lk
+
+    out = pus_lk.blocked_edit_pairs(
+        corpus, textcol="name", idcol="rec_id",
+        max_dist=2, min_token_len=3, max_block=2000,
+    )
+    return out.select(
+        "id_a",
+        "id_b",
+        F.col("edit_distance").cast("bigint").alias("edit_distance"),
+        F.round("edit_similarity", 6).alias("edit_similarity"),
+    )
+
+
+def q_linkage_pairs_qgram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q-gram blocker on the case token blocking PROVABLY misses:
+    the entity strings with whitespace squashed out ("smallboltbrand13")
+    plus a single-character-deletion variant — one token each, no
+    shared whole token, so blocker='token' yields ZERO pairs (asserted
+    in pytest); character 3-gram blocking recovers every dist<=1 pair
+    (q-gram count guarantee: a 1-edit pair of length-L strings shares
+    a 3-gram for L >= 6). Stopword-grade grams ('bra', 'ran', 'and' —
+    present in every record via 'brand') flood to corpus-sized blocks
+    and are dropped by the same ``max_block`` cap, replicated exactly
+    by the oracle."""
+    part = _t(spark, sf_dir, "part")
+    base = (
+        part.groupBy("p_name", "p_brand")
+        .agg(F.min("p_partkey").alias("cid"))
+        .select(
+            "cid",
+            F.expr("replace(concat_ws(' ', p_name, p_brand), ' ', '')").alias("raw"),
+        )
+    )
+    corpus = base.select(
+        F.col("cid").alias("rec_id"), F.lower("raw").alias("name")
+    ).unionByName(
+        base.select(
+            (F.col("cid") + 1_000_000).alias("rec_id"),
+            F.lower(
+                F.concat(F.substring("raw", 1, 2), F.expr("substring(raw, 4, 1000000)"))
+            ).alias("name"),
+        )
+    )
+    from pd_utils_spark.extensions import linkage as pus_lk
+
+    out = pus_lk.blocked_edit_pairs(
+        corpus, textcol="name", idcol="rec_id",
+        max_dist=1, max_block=2000, blocker="qgram", qgram=3,
+    )
+    return out.select(
+        "id_a",
+        "id_b",
+        F.col("edit_distance").cast("bigint").alias("edit_distance"),
+        F.round("edit_similarity", 6).alias("edit_similarity"),
+    )
+
+
+def q_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution closure (extensions/linkage.py
+    match_entities): the linkage pairs become edges and every record
+    is labeled with the smallest record id reachable through chains
+    of <=2-edit matches (pointer-jumped min-label propagation over
+    the PAIRS frame — O(log n) rounds, never shuffling the record
+    table). Records matching nothing keep their own id. The oracle
+    walks the identical closure with a recursive CTE."""
+    corpus = _entity_corpus(spark, sf_dir)
+    from pd_utils_spark.extensions import linkage as pus_lk
+
+    out = pus_lk.match_entities(
+        corpus, textcol="name", idcol="rec_id",
+        max_dist=2, min_token_len=3, max_block=2000,
+    )
+    return out.select("rec_id", F.col("entity_id").cast("bigint").alias("entity_id"))
+
+
+def q_fuzzy_best_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-dataset fuzzy join (extensions/linkage.py edit_join,
+    best=True): every dirty variant record matched to its best clean
+    record — smallest edit distance, ties to the smallest right id —
+    selected with a ``min(struct(dist, rid))`` partial aggregate
+    (map-side combine, never a window sort over a hot block: the
+    de-skew rule shared with dedup_keep_best). Punctuation variants
+    land at dist 0, deletion variants at dist 1, token swaps only if
+    some clean string happens within 2 edits — all exactly stated by
+    the oracle."""
+    corpus = _entity_corpus(spark, sf_dir)
+    from pd_utils_spark.extensions import linkage as pus_lk
+
+    variants = corpus.filter(F.col("rec_id") >= 1_000_000)
+    cleans = corpus.filter(F.col("rec_id") < 1_000_000)
+    out = pus_lk.edit_join(
+        variants, cleans, "name", "name",
+        left_id="rec_id", right_id="rec_id",
+        max_dist=2, min_token_len=3, max_block=2000, best=True,
+    )
+    return out.select(
+        F.col("left_rec_id").alias("variant_id"),
+        F.col("right_rec_id").alias("clean_id"),
+        F.col("edit_distance").cast("bigint").alias("edit_distance"),
+        F.round("edit_similarity", 6).alias("edit_similarity"),
+    )
+
+
+def q_hll_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup audit (extensions/sketches.py,
+    Spark-native Apache DataSketches HLL): build one fixed-size
+    sketch per (o_orderpriority, o_orderstatus), UNION the sketches
+    up to o_orderpriority — the incremental pattern that answers
+    coarser distinct-count questions without rescanning the corpus —
+    and certify on live data that BOTH the incremental path and the
+    full-recompute path land within the configured tolerance of an
+    EXACT distinct count. (Bit-identity between the paths is
+    deliberately not claimed: measured on this very table, union and
+    direct estimates diverge sub-percent — HIP vs composite
+    estimator — so the accuracy bound is the honest contract; see
+    extensions/sketches.py.) The oracle states the exact counts and
+    that both certifications hold; sketch bytes never cross engines
+    (DuckDB has no DataSketches HLL), so the BOOLEANS are the
+    cross-engine contract, the same audit shape as the recall rows."""
+    from pd_utils_spark.extensions import sketches as pus_sk
+
+    o = _t(spark, sf_dir, "orders")
+    out = pus_sk.distinct_rollup_audit(
+        o,
+        fine=["o_orderpriority", "o_orderstatus"],
+        coarse=["o_orderpriority"],
+        col="o_custkey",
+        lgk=12,
+        rel_tol=0.05,
+    )
+    return out.select(
+        "o_orderpriority",
+        F.col("exact_distinct").cast("bigint").alias("exact_distinct"),
+        "rollup_within_tol",
+        "direct_within_tol",
+    )
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency-sketch audit (extensions/sketches.py): one
+    KiB-scale CMS over lineitem.l_suppkey (seeded, so the sketch
+    bytes are identical on any partitioning), probed driver-side for
+    the exact top-10 suppliers. Certifies the CMS one-sided error
+    contract on live data: estimate >= exact ALWAYS, and estimate <=
+    exact + eps*N at this width. The oracle states the exact top-10
+    (count desc, key asc) and that both sides of the contract hold.
+    The two driver round-trips move one sketch and ten keys — the
+    corpus never leaves the executors."""
+    from pd_utils_spark.extensions import sketches as pus_sk
+
+    li = _t(spark, sf_dir, "lineitem").select("l_suppkey")
+    exact_top = (
+        li.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), "l_suppkey")
+        .limit(10)
+    )
+    rows = exact_top.collect()
+    keys = [int(r["l_suppkey"]) for r in rows]
+    # the eps*N bound is stated over the FULL stream length
+    n_total = li.count()
+    eps = 0.001
+    cms = pus_sk.cms_sketch(li, "l_suppkey", eps=eps, confidence=0.99, seed=42)
+    est = pus_sk.cms_estimate(cms, keys)
+    out = spark.createDataFrame(
+        [
+            (
+                k,
+                int(r["exact_cnt"]),
+                est[k] >= int(r["exact_cnt"]),
+                est[k] <= int(r["exact_cnt"]) + eps * n_total,
+            )
+            for k, r in zip(keys, rows)
+        ],
+        ["l_suppkey", "exact_cnt", "ge_exact", "within_bound"],
+    )
+    return out.select(
+        F.col("l_suppkey").cast("bigint").alias("l_suppkey"),
+        F.col("exact_cnt").cast("bigint").alias("exact_cnt"),
+        "ge_exact",
+        "within_bound",
+    )
+
+
+def q_streaming_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constant-state streaming distinct counting driven through the
+    engine end-to-end (streaming/stateful.py streaming_distinct_hll):
+    the events table is split into TWO parquet files and consumed as
+    TWO micro-batches (maxFilesPerTrigger=1 + AvailableNow, asserted
+    below), so the cross-batch HLL union genuinely executes — batch
+    2's repeated users must not re-count. State is one sketch row per
+    event_type forever. At this table's cardinality (150 users/type
+    at sf0.01) the sketch is in coupon mode and EXACT, so the oracle
+    states plain count(DISTINCT) — the hash match certifies the
+    stream's union arithmetic, not a tolerance. Unlike the
+    single-batch streaming rows, this one is also INSENSITIVE to
+    batch boundaries (union is commutative over values), so the pin
+    is belt-and-braces, not load-bearing."""
+    import shutil
+    import tempfile
+
+    from pd_utils_spark.streaming.stateful import streaming_distinct_hll
+
+    base = tempfile.mkdtemp(prefix="pus_hllstream_")
+    try:
+        ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "user_id")
+        src = f"{base}/src"
+        # two appends -> two files -> two AvailableNow micro-batches
+        ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        raw_schema = spark.read.parquet(src).schema
+        sdf = (
+            spark.readStream.schema(raw_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        with _stream_state_partitions(spark):
+            q = streaming_distinct_hll(
+                sdf,
+                output_dir=f"{base}/out",
+                sketch_dir=f"{base}/sk",
+                checkpoint_dir=f"{base}/ckpt",
+                byvars="event_type",
+                col="user_id",
+                lgk=12,
+                available_now=True,
+            )
+            q.awaitTermination()
+            data_batches = sum(
+                1 for p in q.recentProgress if p["numInputRows"] > 0
+            )
+            if data_batches != 2:
+                raise AssertionError(
+                    "streaming_hll_distinct expects TWO micro-batches "
+                    f"(cross-batch union exercised); the stream ran {data_batches}"
+                )
+        out = spark.read.parquet(f"{base}/out").select(
+            "event_type", "distinct_estimate", "as_of_batch"
+        )
+        rows = out.collect()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "event_type string, distinct_estimate bigint, as_of_batch bigint"
+    )
+
+
+def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured ingestion via VARIANT (extensions/
+    semistructured.py, Spark 4.x): events.props JSON is parsed ONCE
+    into the binary variant encoding (``parse_json``), fields are
+    typed binary probes (``try_variant_get`` — drift yields NULL, not
+    a job kill), and ``schema_of_variant_agg`` merges the observed
+    structure per group — the drift detector. All pure JVM
+    expressions in whole-stage codegen; the JSON text is never
+    re-parsed per path. The oracle extracts the same values with
+    DuckDB's JSON functions and states the merged schema literal."""
+    from pd_utils_spark.extensions import semistructured as pus_ss
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "props")
+    v = pus_ss.parse_variant(ev, "props")
+    f = pus_ss.variant_fields(v, "props_v", {"k": ("$.k", "bigint")})
+    return f.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("k").cast("bigint").alias("sum_k"),
+        F.expr("schema_of_variant_agg(props_v)").alias("merged_schema"),
+    )
+
+
+def q_variant_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossless VARIANT round-trip certification: each lineitem row is
+    serialized to nested JSON (scalar + array + string), parsed to
+    variant, and read back through typed path probes — nested object
+    path, array index, missing path (NULL via try_variant_get). The
+    oracle states the ORIGINAL column values directly, so the hash
+    match proves the serialize->parse->probe loop is value-exact,
+    which is the property an ingest pipeline leans on when it stores
+    the variant column instead of the raw text."""
+    from pd_utils_spark.extensions import semistructured as pus_ss
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.to_json(
+            F.struct(
+                F.col("l_quantity").alias("qty"),
+                F.array("l_partkey", "l_suppkey").alias("parts"),
+                F.col("l_returnflag").alias("flag"),
+            )
+        ).alias("payload"),
+    )
+    v = pus_ss.parse_variant(li, "payload")
+    out = pus_ss.variant_fields(
+        v,
+        "payload_v",
+        {
+            "qty": ("$.qty", "double"),
+            "part2": ("$.parts[1]", "bigint"),
+            "flag": ("$.flag", "string"),
+            "missing": ("$.nope", "bigint"),
+        },
+    )
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("qty", _ROUND).alias("qty"),
+        "part2",
+        "flag",
+        "missing",
+    )
+
+
+def q_variant_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variant array explosion (extensions/semistructured.py
+    explode_variant_array): the JSON array field becomes one row per
+    element — elements stay VARIANT until a typed cast, empty/missing
+    arrays contribute no rows (JSON-table semantics). Aggregated per
+    l_returnflag so the oracle can state the exact element counts and
+    sums from the original columns."""
+    from pd_utils_spark.extensions import semistructured as pus_ss
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.to_json(
+            F.struct(F.array("l_partkey", "l_suppkey").alias("parts"))
+        ).alias("payload"),
+    )
+    v = pus_ss.parse_variant(li, "payload")
+    ex = pus_ss.explode_variant_array(v, "payload_v", "$.parts", out="el")
+    return ex.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_elements"),
+        F.sum(F.expr("cast(el as bigint)")).cast("bigint").alias("sum_elements"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_averages(spark, "/root/testdata/sf0.001")
@@ -6335,6 +6770,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_line_filter": q_c4_line_filter,
         "dedup_incremental": q_dedup_incremental,
         "quality_report": q_quality_report,
+        "linkage_pairs": q_linkage_pairs,
+        "linkage_pairs_qgram": q_linkage_pairs_qgram,
+        "entity_match": q_entity_match,
+        "fuzzy_best_join": q_fuzzy_best_join,
+        "hll_distinct_rollup": q_hll_distinct_rollup,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
+        "streaming_hll_distinct": q_streaming_hll_distinct,
+        "variant_extract": q_variant_extract,
+        "variant_nested": q_variant_nested,
+        "variant_explode": q_variant_explode,
     }
 
 
@@ -13476,5 +13921,170 @@ def oracle_sql() -> dict[str, str]:
                                             / CAST(n_c AS DOUBLE))
                           ELSE r_t END, 6) AS uplift
         FROM cum
+    """
+    d["linkage_pairs"] = f"""
+        WITH {_SQL_ENTITY_CORPUS},
+        {_SQL_LINKAGE_PAIRS}
+        SELECT id_a, id_b, d AS edit_distance,
+               round(1 - d / greatest(length(na), length(nb), 1), 6)
+                   AS edit_similarity
+        FROM pairs
+    """
+    d["linkage_pairs_qgram"] = """
+        WITH base AS (
+            SELECT min(p_partkey) AS cid,
+                   replace(p_name || ' ' || p_brand, ' ', '') AS raw
+            FROM part GROUP BY p_name, p_brand
+        ),
+        corpus AS (
+            SELECT cid AS rec_id, lower(raw) AS name FROM base
+            UNION ALL
+            SELECT cid + 1000000, lower(substr(raw, 1, 2) || substr(raw, 4))
+            FROM base
+        ),
+        normed AS (
+            SELECT rec_id,
+                   trim(regexp_replace(lower(name), '[^a-z0-9]+', ' ', 'g')) AS norm
+            FROM corpus
+        ),
+        toks AS (
+            SELECT rec_id, norm, t.tok
+            FROM normed, unnest(list_distinct(
+                     CASE WHEN length(norm) >= 3
+                          THEN list_transform(range(1, length(norm) - 1),
+                                              i -> substr(norm, i::int, 3))
+                          ELSE [norm] END)) AS t(tok)
+        ),
+        capped AS (
+            SELECT * FROM (
+                SELECT rec_id, norm, tok,
+                       count(*) OVER (PARTITION BY tok) AS cnt
+                FROM toks
+            ) WHERE cnt <= 2000
+        ),
+        cand AS (
+            SELECT a.rec_id AS id_a, b.rec_id AS id_b,
+                   a.norm AS na, b.norm AS nb
+            FROM capped a JOIN capped b
+              ON a.tok = b.tok AND a.rec_id < b.rec_id
+            GROUP BY 1, 2, 3, 4
+        )
+        SELECT id_a, id_b, levenshtein(na, nb) AS edit_distance,
+               round(1 - levenshtein(na, nb)
+                         / greatest(length(na), length(nb), 1), 6)
+                   AS edit_similarity
+        FROM cand WHERE levenshtein(na, nb) <= 1
+    """
+    d["entity_match"] = f"""
+        WITH RECURSIVE {_SQL_ENTITY_CORPUS},
+        {_SQL_LINKAGE_PAIRS},
+        e AS (
+            SELECT id_a AS a, id_b AS b FROM pairs
+            UNION SELECT id_b, id_a FROM pairs
+        ),
+        r(a, b) AS (
+            SELECT a, b FROM e
+            UNION
+            SELECT r.a, e.b FROM r JOIN e ON r.b = e.a
+        ),
+        comp AS (
+            SELECT a AS rec_id, least(a, min(b)) AS component
+            FROM r GROUP BY a
+        )
+        SELECT c.rec_id, coalesce(comp.component, c.rec_id) AS entity_id
+        FROM corpus c LEFT JOIN comp ON comp.rec_id = c.rec_id
+    """
+    d["fuzzy_best_join"] = f"""
+        WITH {_SQL_ENTITY_CORPUS},
+        normed AS (
+            SELECT rec_id,
+                   trim(regexp_replace(lower(name), '[^a-z0-9]+', ' ', 'g')) AS norm
+            FROM corpus
+        ),
+        lt AS (
+            SELECT rec_id, norm, t.tok
+            FROM normed, unnest(list_distinct(list_filter(
+                     string_split(norm, ' '), x -> length(x) >= 3))) AS t(tok)
+            WHERE rec_id >= 1000000
+        ),
+        rt AS (
+            SELECT rec_id, norm, t.tok
+            FROM normed, unnest(list_distinct(list_filter(
+                     string_split(norm, ' '), x -> length(x) >= 3))) AS t(tok)
+            WHERE rec_id < 1000000
+        ),
+        lc AS (
+            SELECT * FROM (
+                SELECT rec_id, norm, tok,
+                       count(*) OVER (PARTITION BY tok) AS cnt FROM lt
+            ) WHERE cnt <= 2000
+        ),
+        rc AS (
+            SELECT * FROM (
+                SELECT rec_id, norm, tok,
+                       count(*) OVER (PARTITION BY tok) AS cnt FROM rt
+            ) WHERE cnt <= 2000
+        ),
+        cand AS (
+            SELECT l.rec_id AS lid, r.rec_id AS rid,
+                   l.norm AS ln, r.norm AS rn
+            FROM lc l JOIN rc r ON l.tok = r.tok
+            GROUP BY 1, 2, 3, 4
+        ),
+        scored AS (
+            SELECT lid, rid, ln, rn, levenshtein(ln, rn) AS dist
+            FROM cand WHERE levenshtein(ln, rn) <= 2
+        ),
+        best AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY lid ORDER BY dist, rid) AS rn_
+            FROM scored
+        )
+        SELECT lid AS variant_id, rid AS clean_id, dist AS edit_distance,
+               round(1 - dist / greatest(length(ln), length(rn), 1), 6)
+                   AS edit_similarity
+        FROM best WHERE rn_ = 1
+    """
+    d["hll_distinct_rollup"] = """
+        SELECT o_orderpriority,
+               count(DISTINCT o_custkey)::BIGINT AS exact_distinct,
+               TRUE AS rollup_within_tol,
+               TRUE AS direct_within_tol
+        FROM orders GROUP BY o_orderpriority
+    """
+    d["streaming_hll_distinct"] = """
+        SELECT event_type,
+               count(DISTINCT user_id)::BIGINT AS distinct_estimate,
+               1::BIGINT AS as_of_batch
+        FROM events GROUP BY event_type
+    """
+    d["variant_extract"] = """
+        SELECT event_type,
+               count(*)::BIGINT AS n_events,
+               sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+               'OBJECT<k: BIGINT>' AS merged_schema
+        FROM events GROUP BY event_type
+    """
+    d["variant_nested"] = f"""
+        SELECT l_orderkey, l_linenumber,
+               round(l_quantity, {_ROUND}) AS qty,
+               l_suppkey::BIGINT AS part2,
+               l_returnflag AS flag,
+               NULL::BIGINT AS missing
+        FROM lineitem
+    """
+    d["variant_explode"] = """
+        SELECT l_returnflag,
+               (2 * count(*))::BIGINT AS n_elements,
+               sum(l_partkey + l_suppkey)::BIGINT AS sum_elements
+        FROM lineitem GROUP BY l_returnflag
+    """
+    d["cms_heavy_hitters"] = """
+        WITH c AS (
+            SELECT l_suppkey, count(*) AS cnt FROM lineitem GROUP BY 1
+        )
+        SELECT l_suppkey::BIGINT AS l_suppkey, cnt::BIGINT AS exact_cnt,
+               TRUE AS ge_exact, TRUE AS within_bound
+        FROM c ORDER BY cnt DESC, l_suppkey LIMIT 10
     """
     return d

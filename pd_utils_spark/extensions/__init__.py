@@ -142,6 +142,29 @@ from pd_utils_spark.extensions.similarity import (
     quantize_embeddings,
     topk_recall,
 )
+from pd_utils_spark.extensions.linkage import (
+    blocked_edit_pairs,
+    edit_join,
+    match_entities,
+    normalize_entity,
+    token_sort_key,
+)
+from pd_utils_spark.extensions.semistructured import (
+    explode_variant_array,
+    parse_variant,
+    variant_fields,
+    variant_schema_profile,
+)
+from pd_utils_spark.extensions.sketches import (
+    cms_estimate,
+    cms_merge,
+    cms_sketch,
+    distinct_rollup,
+    distinct_rollup_audit,
+    hll_estimate,
+    hll_rollup,
+    hll_sketch_by,
+)
 from pd_utils_spark.extensions.text import (
     LANG_MARKERS,
     c4_line_filter,

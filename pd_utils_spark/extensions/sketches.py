@@ -1,0 +1,245 @@
+"""Mergeable sketch COLUMNS — distinct-count and frequency state you
+can store, roll up, and union incrementally.
+
+``approx.py`` answers one-shot approximate questions
+(``approx_count_distinct`` collapses to a number inside a single
+query). This module is the INCREMENTAL form the 100 TB pipeline
+actually needs: materialize a fixed-size sketch per fine-grained
+group (per day, per source, per shard), persist it like any other
+column, and answer coarser questions later by UNIONING sketches —
+never rescanning the corpus. Backed by Spark-native Apache
+DataSketches HLL (``hll_sketch_agg`` / ``hll_union_agg`` /
+``hll_sketch_estimate``, Spark >= 3.5) — JVM-side, map-side
+combinable, O(2^lgk) bytes per group regardless of row count.
+
+What the incremental pattern can and cannot promise — MEASURED on
+orders at sf0.01, because the naive claim is false in this engine:
+union(fine sketches) does NOT estimate bit-identically to a sketch
+built directly at the coarse grain, and two different fine
+batchings of the same data differ too (1286 vs 1292 vs 1302 against
+exact 1297 — a direct sketch estimates with the insertion-order HIP
+accumulator, a union result with the composite estimator, and the
+sparse→dense promotion point depends on the batching). All observed
+divergence is well inside the configured RSE (~1.04/sqrt(2^lgk));
+at small cardinalities (sparse/coupon mode) every path is EXACT.
+So the contract this module states — and ``distinct_rollup_audit``
+certifies per group on live data — is the ACCURACY BOUND of both
+the incremental path and the full recompute against an exact
+distinct count, not bit-identity between them. Persisting sketch
+state and unioning increments stays safe because the bound, not the
+byte layout, is what downstream consumers size against.
+
+Count-min sketches (``count_min_sketch`` aggregate) follow the same
+shape for FREQUENCY state: fixed-size, mergeable by cell-wise
+addition, one-sided error (never undercounts; overcounts by at most
+``eps * N`` with probability ``confidence``). Spark ships no SQL
+function to QUERY a CMS, so probing goes through the JVM sketch
+class on the driver (``cms_estimate`` — the sketch is a few KiB; the
+DATA never moves)."""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pd_utils_spark.utils import to_list
+
+__all__ = [
+    "hll_sketch_by",
+    "hll_rollup",
+    "hll_estimate",
+    "distinct_rollup",
+    "distinct_rollup_audit",
+    "cms_sketch",
+    "cms_merge",
+    "cms_estimate",
+]
+
+
+def hll_sketch_by(
+    df: DataFrame,
+    byvars: str | Sequence[str],
+    col: str,
+    lgk: int = 12,
+    out: str | None = None,
+) -> DataFrame:
+    """One HLL sketch per group over ``col``: ``byvars +
+    [out or f"{col}_hll"]`` with a BINARY sketch column of at most
+    ~2^lgk bytes. ``lgk`` trades size for error (relative standard
+    error ~= 1.04 / sqrt(2^lgk); lgk=12 ~= 1.6%). Map-side partials
+    merge, so shuffle volume is O(groups x sketch), independent of
+    row count — this is the frame to PERSIST for incremental
+    pipelines. Nulls in ``col`` are ignored (not a distinct value)."""
+    byvars_l = to_list(byvars)
+    name = out or f"{col}_hll"
+    return df.groupBy(*byvars_l).agg(
+        F.hll_sketch_agg(col, F.lit(lgk)).alias(name)
+    )
+
+
+def hll_rollup(
+    sketches: DataFrame,
+    byvars: str | Sequence[str],
+    sketch_col: str,
+    out: str | None = None,
+) -> DataFrame:
+    """Union fine-grained sketches up to coarser keys — the
+    incremental rollup: ``byvars + [out or sketch_col]``. Unioning is
+    register-wise max, commutative and associative, so any grouping
+    of the same inputs (per-day then per-month, or straight to
+    per-month) yields the IDENTICAL sketch state. Pass ``byvars=[]``
+    for a grand-total sketch."""
+    byvars_l = to_list(byvars)
+    name = out or sketch_col
+    agg = F.hll_union_agg(sketch_col, F.lit(True)).alias(name)
+    if byvars_l:
+        return sketches.groupBy(*byvars_l).agg(agg)
+    return sketches.agg(agg)
+
+
+def hll_estimate(df: DataFrame, sketch_cols: str | Sequence[str]) -> DataFrame:
+    """Replace each binary sketch column with its BIGINT cardinality
+    estimate (``<col>_estimate``). Estimation is a pure map — run it
+    on the tiny rolled-up frame, not the corpus."""
+    out = df
+    for c in to_list(sketch_cols):
+        out = out.withColumn(
+            f"{c}_estimate", F.hll_sketch_estimate(c).cast("bigint")
+        ).drop(c)
+    return out
+
+
+def distinct_rollup(
+    df: DataFrame,
+    fine: str | Sequence[str],
+    coarse: str | Sequence[str],
+    col: str,
+    lgk: int = 12,
+) -> DataFrame:
+    """Convenience composition: sketch per ``fine`` group, union up to
+    ``coarse``, estimate — ``coarse + [f"{col}_hll_estimate"]``. The
+    fine sketch frame is the reusable artifact; materialize it once
+    and every coarser rollup is a cheap union over sketches."""
+    sk = hll_sketch_by(df, fine, col, lgk=lgk)
+    up = hll_rollup(sk, coarse, f"{col}_hll")
+    return hll_estimate(up, f"{col}_hll")
+
+
+def distinct_rollup_audit(
+    df: DataFrame,
+    fine: str | Sequence[str],
+    coarse: str | Sequence[str],
+    col: str,
+    lgk: int = 12,
+    rel_tol: float = 0.05,
+) -> DataFrame:
+    """Certify the accuracy contract the incremental pattern rests
+    on, per ``coarse`` group, against an EXACT distinct count:
+
+    - ``rollup_within_tol``: the INCREMENTAL path (union of fine
+      sketches) lands within ``rel_tol`` of exact.
+    - ``direct_within_tol``: the FULL-RECOMPUTE path (one sketch at
+      coarse grain) lands within ``rel_tol`` of exact.
+
+    Bit-identity between the two paths is deliberately NOT asserted —
+    it does not hold in this engine (HIP vs composite estimator,
+    batching-dependent sparse→dense promotion; divergence measured
+    under 1.3% at lgk=12, see module docstring). The bound is the
+    contract. Returns ``coarse + [exact_distinct, rollup_within_tol,
+    direct_within_tol]``. The exact count is one extra shuffle — this
+    is the audit you run on a sample, not the production path."""
+    fine_l, coarse_l = to_list(fine), to_list(coarse)
+    skcol = f"{col}_hll"
+    rolled = hll_estimate(
+        hll_rollup(hll_sketch_by(df, fine_l, col, lgk=lgk), coarse_l, skcol),
+        skcol,
+    ).withColumnRenamed(f"{skcol}_estimate", "__rolled__")
+    direct = hll_estimate(
+        hll_sketch_by(df, coarse_l, col, lgk=lgk), skcol
+    ).withColumnRenamed(f"{skcol}_estimate", "__direct__")
+    exact = df.groupBy(*coarse_l).agg(
+        F.count_distinct(F.col(col)).alias("exact_distinct")
+    )
+
+    def _ok(c: str):
+        return F.abs(F.col(c) - F.col("exact_distinct")) <= F.lit(rel_tol) * F.col(
+            "exact_distinct"
+        )
+
+    return (
+        exact.join(rolled, coarse_l)
+        .join(direct, coarse_l)
+        .select(
+            *coarse_l,
+            "exact_distinct",
+            _ok("__rolled__").alias("rollup_within_tol"),
+            _ok("__direct__").alias("direct_within_tol"),
+        )
+    )
+
+
+def cms_sketch(
+    df: DataFrame,
+    col: str,
+    eps: float = 0.001,
+    confidence: float = 0.99,
+    seed: int = 42,
+    out: str | None = None,
+) -> DataFrame:
+    """One-row frame holding a count-min frequency sketch of ``col``
+    (BINARY, ~``e/eps * ln(1/(1-confidence))`` counters). Same seed +
+    same inputs => identical sketch bytes on any partitioning (merge
+    is cell-wise addition). Overcounts only: estimate >= true count
+    always; <= true + eps*N with probability ``confidence``."""
+    name = out or f"{col}_cms"
+    return df.agg(
+        F.count_min_sketch(
+            col, F.lit(float(eps)), F.lit(float(confidence)), F.lit(seed)
+        ).alias(name)
+    )
+
+
+def cms_merge(sketches: DataFrame, sketch_col: str) -> bytes:
+    """Merge every sketch in ``sketch_col`` into one (driver-side —
+    sketches are KiB-sized; built for unioning a handful of
+    per-batch/per-day sketches). Returns the merged sketch bytes."""
+    rows = sketches.select(sketch_col).collect()
+    if not rows:
+        raise ValueError("no sketches to merge")
+    spark = sketches.sparkSession
+    jcls = spark._jvm.org.apache.spark.util.sketch.CountMinSketch
+    merged = jcls.readFrom(bytes(rows[0][0]))
+    for r in rows[1:]:
+        merged.mergeInPlace(jcls.readFrom(bytes(r[0])))
+    out = spark._jvm.java.io.ByteArrayOutputStream()
+    merged.writeTo(out)
+    return bytes(out.toByteArray())
+
+
+def cms_estimate(
+    df_or_bytes: DataFrame | bytes, items: Sequence, sketch_col: str | None = None
+) -> dict:
+    """Probe a count-min sketch for ``items`` -> {item: estimate}.
+    Accepts the one-row frame from ``cms_sketch`` (pass
+    ``sketch_col``) or raw sketch bytes from ``cms_merge``. Driver
+    JVM round-trip on a KiB-sized object — the corpus never moves.
+    Longs must be probed as ints and strings as strings (the sketch
+    hashes the JVM type that was aggregated)."""
+    if isinstance(df_or_bytes, DataFrame):
+        col = sketch_col or next(
+            c for c, t in df_or_bytes.dtypes if t == "binary"
+        )
+        row = df_or_bytes.select(col).first()
+        data = bytes(row[0])
+        spark = df_or_bytes.sparkSession
+    else:
+        data = df_or_bytes
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            raise RuntimeError("no active SparkSession to reach the JVM sketch class")
+    sk = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(data)
+    return {it: int(sk.estimateCount(it)) for it in items}

@@ -316,6 +316,74 @@ def streaming_bloom_dedup(
     return writer.start()
 
 
+def streaming_distinct_hll(
+    sdf: DataFrame,
+    output_dir: str,
+    sketch_dir: str,
+    checkpoint_dir: str,
+    byvars: str | Sequence[str] = "event_type",
+    col: str = "user_id",
+    lgk: int = 12,
+    available_now: bool = False,
+):
+    """Streaming per-group DISTINCT COUNTING with constant-size state:
+    per micro-batch, sketch the batch's ``col`` values per group
+    (Apache DataSketches HLL via ``hll_sketch_agg``), UNION into the
+    accumulated per-group sketch table, and overwrite an estimates
+    snapshot at ``output_dir`` (one row per group: the current
+    distinct-count estimate and the batch id that produced it).
+
+    The batch-side twin is ``extensions/sketches.py`` — same sketch,
+    same union. State is ``groups x ~2^lgk`` bytes FOREVER, no matter
+    how many events stream through: the streaming answer to "distinct
+    users per segment, updated continuously" that never carries a
+    growing key set (the exact form keeps every key in the state
+    store). Accuracy is the configured HLL bound (~1.04/sqrt(2^lgk)
+    RSE); small cardinalities are exact (coupon mode). Estimates are
+    batching-sensitive WITHIN that bound (see the sketches module
+    docstring) — consumers size against the bound, not byte identity.
+
+    Replay safety mirrors :func:`streaming_bloom_dedup`: the sketch
+    table is VERSIONED (``sketch_dir/b=<batch_id>``, readers take the
+    latest committed version), a retried batch overwrites only its
+    own version (HLL union is idempotent — re-unioning the same
+    values is a register no-op), and the estimates snapshot is a full
+    overwrite, so downstream readers never see partial state.
+
+    Returns the started ``StreamingQuery``.
+    """
+    from pd_utils_spark.extensions.sketches import hll_rollup, hll_sketch_by
+
+    byvars_l = to_list(byvars)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        fresh = hll_sketch_by(batch_df, byvars_l, col, lgk=lgk, out="sk")
+        latest = _latest_bloom_version(spark, sketch_dir)
+        if latest is not None:
+            old = spark.read.parquet(f"{sketch_dir}/b={latest}")
+            fresh = hll_rollup(old.unionByName(fresh), byvars_l, "sk")
+        merged = fresh.localCheckpoint(eager=True)  # consumed twice
+        merged.write.mode("overwrite").parquet(f"{sketch_dir}/b={batch_id}")
+        (
+            merged.select(
+                *byvars_l,
+                F.hll_sketch_estimate("sk").cast("bigint").alias("distinct_estimate"),
+                F.lit(batch_id).cast("bigint").alias("as_of_batch"),
+            )
+            .write.mode("overwrite")
+            .parquet(output_dir)
+        )
+        _prune_bloom_versions(spark, sketch_dir, keep_from=latest)
+
+    writer = sdf.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def _bloom_versions(
     spark, bloom_dir: str, committed_only: bool = True
 ) -> list[int]:

@@ -1392,3 +1392,86 @@ class TestMergeBlooms:
                 bloom_fingerprints(h1, m_bits=2048, k=3),
                 bloom_fingerprints(h2, m_bits=1024, k=3),
             )
+
+
+class TestStreamingDistinctHll:
+    def test_cross_batch_union_and_constant_state(self, spark):
+        """Constant-state streaming distinct counting: batch 2's
+        repeat of a batch-1 user must NOT re-count (the HLL union is
+        idempotent on values), fresh users must; state stays one
+        sketch row per group and the estimates snapshot always
+        reflects the latest batch. Cardinalities here are coupon-mode
+        (exact), so the asserts are equalities, not tolerances."""
+        import os
+        import time
+
+        from pyspark.sql.types import LongType
+
+        base = tempfile.mkdtemp(prefix="hllstream_")
+        src, outd, skd, ckpt = (
+            f"{base}/{d}" for d in ("src", "out", "sk", "ckpt")
+        )
+        os.makedirs(src)
+        try:
+            schema = StructType(
+                [
+                    StructField("event_type", StringType()),
+                    StructField("user_id", LongType()),
+                ]
+            )
+            b1 = [
+                {"event_type": "g", "user_id": 1},
+                {"event_type": "g", "user_id": 2},
+                {"event_type": "g", "user_id": 2},
+                {"event_type": "h", "user_id": 1},
+            ]
+            b2 = [
+                {"event_type": "g", "user_id": 2},   # repeat: no-op
+                {"event_type": "g", "user_id": 3},   # fresh
+                {"event_type": "h", "user_id": 99},  # fresh
+            ]
+            with open(f"{src}/b1.json", "w") as f:
+                f.write("\n".join(json.dumps(r) for r in b1))
+            stream = (
+                spark.readStream.format("json")
+                .schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .load(src)
+            )
+            q = W.streaming_distinct_hll(
+                stream, outd, skd, ckpt,
+                byvars="event_type", col="user_id", lgk=12,
+            )
+
+            def snap():
+                try:
+                    return {
+                        r.event_type: (r.distinct_estimate, r.as_of_batch)
+                        for r in spark.read.parquet(outd).collect()
+                    }
+                except Exception:
+                    return {}
+
+            try:
+                deadline = time.time() + 90
+                while time.time() < deadline and snap().get("g", (0, 0))[0] < 2:
+                    time.sleep(1)
+                assert snap() == {"g": (2, 0), "h": (1, 0)}
+                with open(f"{src}/b2.json", "w") as f:
+                    f.write("\n".join(json.dumps(r) for r in b2))
+                while time.time() < deadline and snap().get("g", (0, 0))[0] < 3:
+                    time.sleep(1)
+                assert snap() == {"g": (3, 1), "h": (2, 1)}
+                from pd_utils_spark.streaming.stateful import (
+                    _latest_bloom_version,
+                )
+
+                v = _latest_bloom_version(spark, skd)
+                assert v == 1
+                state = spark.read.parquet(f"{skd}/b={v}")
+                assert state.count() == 2  # one sketch row per group
+                assert dict(state.dtypes)["sk"] == "binary"
+            finally:
+                q.stop()
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
