@@ -163,6 +163,84 @@ def ref_greedy_bands_stream(
     return out
 
 
+def _ref_norm_entity(s: str) -> str:
+    import re
+
+    return re.sub(r"[^a-z0-9]+", " ", s.lower()).strip()
+
+
+def _ref_lev(a: str, b: str) -> int:
+    # classic full DP — the reference the thresholded JVM form must match
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def ref_blocked_pairs(
+    docs: dict,
+    max_dist: int,
+    min_token_len: int,
+    max_block,
+    blocker: str,
+    q: int = 3,
+) -> dict:
+    """Pure-Python replay of linkage.blocked_edit_pairs: normalize ->
+    distinct blocking keys (token or q-gram; short strings key on
+    themselves) -> drop blocks larger than max_block -> within-block
+    pairs -> exact Levenshtein filter. Returns {(id_a, id_b): dist}."""
+    norm = {i: _ref_norm_entity(t) for i, t in docs.items()}
+    blocks: dict = {}
+    for i, nm in norm.items():
+        if blocker == "token":
+            ks = {t for t in nm.split(" ") if len(t) >= min_token_len}
+        else:
+            ks = (
+                {nm[p : p + q] for p in range(len(nm) - q + 1)}
+                if len(nm) >= q
+                else {nm}
+            )
+        for k in ks:
+            blocks.setdefault(k, set()).add(i)
+    pairs = set()
+    for ids in blocks.values():
+        if max_block is not None and len(ids) > max_block:
+            continue
+        s = sorted(ids)
+        for x in range(len(s)):
+            for y in range(x + 1, len(s)):
+                pairs.add((s[x], s[y]))
+    out = {}
+    for a, b in sorted(pairs):
+        d = _ref_lev(norm[a], norm[b])
+        if d <= max_dist:
+            out[(a, b)] = d
+    return out
+
+
+def _gen_linkage_corpus(rng) -> dict:
+    """Entity strings with copies, punctuation drift, deletion typos,
+    swaps, and the degenerate cases (empty / punctuation-only)."""
+    words = ["acme", "globex", "corp", "ltd", "bolt", "co", "x1"]
+    docs = {}
+    nid = rng.randint(2, 6)
+    for i in range(nid):
+        base = " ".join(rng.choice(words) for _ in range(rng.randint(1, 3)))
+        docs[i] = base
+        roll = rng.random()
+        if roll < 0.3 and len(base) > 3:
+            p = rng.randint(0, len(base) - 1)
+            docs[i + 100] = base[:p] + base[p + 1 :]  # deletion
+        elif roll < 0.5:
+            docs[i + 100] = base.upper().replace(" ", "--")  # drift
+        elif roll < 0.6:
+            docs[i + 100] = ""  # degenerate
+    return docs
+
+
 def _gen_greedy_corpus(rng) -> dict:
     """Random small corpus biased toward key collisions: a tiny
     vocabulary, plus explicit whole-doc copies and prefix truncations
@@ -266,10 +344,38 @@ def main() -> None:
         if set(one) != want_g:
             fails += 1
             print(f"STREAM-1B MISMATCH ex={ex} docs={gdocs}")
+        # record linkage (r8 continuation): Spark blocked_edit_pairs vs
+        # pure-Python replay — random blocker, threshold, tiny caps so
+        # the flood-drop rule is exercised constantly
+        from pd_utils_spark.extensions.linkage import blocked_edit_pairs
+
+        ldocs = _gen_linkage_corpus(rng)
+        lmax = rng.randint(0, 2)
+        lmin = rng.randint(1, 3)
+        lcap = rng.choice([None, 2, 3, 4])
+        lblk = rng.choice(["token", "qgram"])
+        ldf = spark.createDataFrame(list(ldocs.items()), ["id", "name"])
+        got_l = {
+            (r.id_a, r.id_b): r.edit_distance
+            for r in blocked_edit_pairs(
+                ldf,
+                max_dist=lmax,
+                min_token_len=lmin,
+                max_block=lcap,
+                blocker=lblk,
+            ).collect()
+        }
+        want_l = ref_blocked_pairs(ldocs, lmax, lmin, lcap, lblk)
+        if got_l != want_l:
+            fails += 1
+            print(
+                f"LINKAGE MISMATCH ex={ex} blocker={lblk} max_dist={lmax} "
+                f"min_tok={lmin} cap={lcap} docs={ldocs}\n got={got_l}\n want={want_l}"
+            )
         if (ex + 1) % 25 == 0:
             print(f"# {ex + 1}/{n_examples} examples, {fails} failures",
                   flush=True)
-    print(f"RESULT: {n_examples} examples x 3 operators, {fails} failures, seed={seed}")
+    print(f"RESULT: {n_examples} examples x 4 operators, {fails} failures, seed={seed}")
     sys.exit(1 if fails else 0)
 
 
