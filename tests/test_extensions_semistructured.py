@@ -77,3 +77,25 @@ def test_extraction_is_expression_only(spark, payloads):
     plan = v._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_variant_parquet_round_trip(spark, payloads, tmp_path):
+    """VARIANT is a real storage type: write the parsed column to
+    parquet, read it back, and extract — values identical to
+    extracting from the in-flight column. This is the 'parse once at
+    ingest, store the variant' pattern's load-bearing property."""
+    v = ss.parse_variant(payloads, "props").select("id", "props_v")
+    path = str(tmp_path / "variants.parquet")
+    v.write.parquet(path)
+    back = spark.read.parquet(path)
+    assert dict(back.dtypes)["props_v"] == "variant"
+    fields = {"k": ("$.k", "bigint"), "v": ("$.meta.v", "double")}
+    got = {
+        r["id"]: (r["k"], r["v"])
+        for r in ss.variant_fields(back, "props_v", fields).collect()
+    }
+    want = {
+        r["id"]: (r["k"], r["v"])
+        for r in ss.variant_fields(v, "props_v", fields).collect()
+    }
+    assert got == want and len(got) == 4
