@@ -65,6 +65,10 @@ JOIN_HEAVY = [
     "jaccard_join_prefix",
     "simhash_near_dup_pairs",
     "dedup_exact_bloom",
+    # r8 continuation: the record-linkage family is candidate-pair
+    # driven too (block self-join + levenshtein verify, CC closure)
+    "linkage_pairs",
+    "entity_match",
 ]
 
 # table -> id columns shifted per copy (keeps join/group semantics:
@@ -134,6 +138,34 @@ def build_scaled_content(
     n = spark.read.parquet(out).count()
     print(f"# built {out}: {n} rows (token-salted)", file=sys.stderr,
           flush=True)
+    # part scaled the same way for the linkage rows: p_partkey shifted
+    # (clean ids land in [i*span, i*span+~20k], variants at +1M — no
+    # cross-copy collisions), p_name tokens and the 'Brand' word
+    # suffixed per copy so blocking-token universes are disjoint; the
+    # within-copy block structure (including the corpus-sized 'brand'
+    # stopword block the cap drops) is preserved exactly
+    outp = f"{dst_dir}/part.parquet"
+    if os.path.exists(outp):
+        return
+    pf = spark.read.parquet(f"{src_dir}/part.parquet")
+    pparts = []
+    for i in range(copies):
+        c = pf.withColumn("p_partkey", F.col("p_partkey") + F.lit(i * span))
+        if i > 0:
+            c = c.withColumn(
+                "p_name", F.regexp_replace(F.col("p_name"), r"(\S+)", rf"$1q{i}")
+            ).withColumn(
+                "p_brand",
+                F.regexp_replace(F.col("p_brand"), r"^Brand", f"Brandq{i}"),
+            )
+        pparts.append(c)
+    pscaled = pparts[0]
+    for p in pparts[1:]:
+        pscaled = pscaled.unionByName(p)
+    pscaled.write.mode("overwrite").parquet(outp)
+    n = spark.read.parquet(outp).count()
+    print(f"# built {outp}: {n} rows (token-salted)", file=sys.stderr,
+          flush=True)
 
 
 def bench(spark, names, sf_dir: str, reps: int, metrics: dict | None = None) -> dict:
@@ -189,6 +221,10 @@ def main() -> None:
             copies = int(a.split("=", 1)[1])
         if a.startswith("--tier="):
             tier = a.split("=", 1)[1]
+        if a.startswith("--queries="):
+            only = set(a.split("=", 1)[1].split(","))
+            DATA_BOUND[:] = [n for n in DATA_BOUND if n in only]
+            JOIN_HEAVY[:] = [n for n in JOIN_HEAVY if n in only]
     spark = get_spark("bench-scaling-big")
     spark.sparkContext.setLogLevel("ERROR")
     src = "/root/testdata/sf0.1"
