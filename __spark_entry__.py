@@ -6153,6 +6153,62 @@ def q_linkage_pairs_qgram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_candidate_recall_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-quality audit for the record-linkage generator (the
+    same `candidate_recall` harness every approximate dedup generator
+    carries): q-gram blocked pairs under the 2000-row flood cap,
+    measured against the EXACT all-pairs Levenshtein<=1 truth
+    (thresholded distance over the full cross product — quadratic by
+    construction; the audit baseline, not the production path) on the
+    squashed single-token corpus. Reports pairs-completeness AND
+    reduction ratio, the two numbers that justify blocking. Oracle
+    replays the corpus, the capped q-gram generator, the exact truth,
+    and the semi-join."""
+    part = _t(spark, sf_dir, "part")
+    base = (
+        part.groupBy("p_name", "p_brand")
+        .agg(F.min("p_partkey").alias("cid"))
+        .select(
+            "cid",
+            F.expr("replace(concat_ws(' ', p_name, p_brand), ' ', '')").alias("raw"),
+        )
+    )
+    corpus = base.select(
+        F.col("cid").alias("rec_id"), F.lower("raw").alias("name")
+    ).unionByName(
+        base.select(
+            (F.col("cid") + 1_000_000).alias("rec_id"),
+            F.lower(
+                F.concat(F.substring("raw", 1, 2), F.expr("substring(raw, 4, 1000000)"))
+            ).alias("name"),
+        )
+    )
+    from pd_utils_spark.extensions import linkage as pus_lk
+
+    n_items = corpus.count()
+    cand = pus_lk.blocked_edit_pairs(
+        corpus, textcol="name", idcol="rec_id",
+        max_dist=1, max_block=2000, blocker="qgram", qgram=3,
+    )
+    normed = corpus.select(
+        "rec_id", pus_lk.normalize_entity(F.col("name")).alias("norm")
+    )
+    a, b = normed.alias("a"), normed.alias("b")
+    truth = (
+        a.join(b, F.col("a.rec_id") < F.col("b.rec_id"))
+        .filter(F.levenshtein(F.col("a.norm"), F.col("b.norm"), 1) >= 0)
+        .select(
+            F.col("a.rec_id").alias("id_a"), F.col("b.rec_id").alias("id_b")
+        )
+    )
+    out = pus_dedup.candidate_recall(cand, truth, n_items=n_items)
+    return out.select(
+        "n_true", "n_cand", "n_hit",
+        F.round("recall", 6).alias("recall"),
+        F.round("reduction_ratio", 6).alias("reduction_ratio"),
+    )
+
+
 def q_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution closure (extensions/linkage.py
     match_entities): the linkage pairs become edges and every record
@@ -6772,6 +6828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_report": q_quality_report,
         "linkage_pairs": q_linkage_pairs,
         "linkage_pairs_qgram": q_linkage_pairs_qgram,
+        "candidate_recall_linkage": q_candidate_recall_linkage,
         "entity_match": q_entity_match,
         "fuzzy_best_join": q_fuzzy_best_join,
         "hll_distinct_rollup": q_hll_distinct_rollup,
@@ -13974,6 +14031,70 @@ def oracle_sql() -> dict[str, str]:
                          / greatest(length(na), length(nb), 1), 6)
                    AS edit_similarity
         FROM cand WHERE levenshtein(na, nb) <= 1
+    """
+    d["candidate_recall_linkage"] = """
+        WITH base AS (
+            SELECT min(p_partkey) AS cid,
+                   replace(p_name || ' ' || p_brand, ' ', '') AS raw
+            FROM part GROUP BY p_name, p_brand
+        ),
+        corpus AS (
+            SELECT cid AS rec_id, lower(raw) AS name FROM base
+            UNION ALL
+            SELECT cid + 1000000, lower(substr(raw, 1, 2) || substr(raw, 4))
+            FROM base
+        ),
+        normed AS (
+            SELECT rec_id,
+                   trim(regexp_replace(lower(name), '[^a-z0-9]+', ' ', 'g')) AS norm
+            FROM corpus
+        ),
+        toks AS (
+            SELECT rec_id, t.tok
+            FROM normed, unnest(list_distinct(
+                     CASE WHEN length(norm) >= 3
+                          THEN list_transform(range(1, length(norm) - 1),
+                                              i -> substr(norm, i::int, 3))
+                          ELSE [norm] END)) AS t(tok)
+        ),
+        capped AS (
+            SELECT * FROM (
+                SELECT rec_id, tok, count(*) OVER (PARTITION BY tok) AS cnt
+                FROM toks
+            ) WHERE cnt <= 2000
+        ),
+        cand0 AS (
+            SELECT a.rec_id AS ca, b.rec_id AS cb
+            FROM capped a JOIN capped b
+              ON a.tok = b.tok AND a.rec_id < b.rec_id
+            GROUP BY 1, 2
+        ),
+        cand AS (
+            SELECT c.ca, c.cb FROM cand0 c
+            JOIN normed na ON na.rec_id = c.ca
+            JOIN normed nb ON nb.rec_id = c.cb
+            WHERE levenshtein(na.norm, nb.norm) <= 1
+        ),
+        truth AS (
+            SELECT a.rec_id AS ta, b.rec_id AS tb
+            FROM normed a JOIN normed b ON a.rec_id < b.rec_id
+            WHERE levenshtein(a.norm, b.norm) <= 1
+        ),
+        counts AS (
+            SELECT (SELECT count(*) FROM truth) AS n_true,
+                   (SELECT count(*) FROM cand) AS n_cand,
+                   (SELECT count(*) FROM truth t
+                    WHERE EXISTS (SELECT 1 FROM cand c
+                                  WHERE c.ca = t.ta AND c.cb = t.tb)) AS n_hit,
+                   (SELECT count(*) FROM corpus) AS n_items
+        )
+        SELECT n_true::BIGINT AS n_true, n_cand::BIGINT AS n_cand,
+               n_hit::BIGINT AS n_hit,
+               round(CASE WHEN n_true > 0
+                          THEN n_hit / CAST(n_true AS DOUBLE) END, 6) AS recall,
+               round(1.0 - n_cand / (n_items * (n_items - 1) / 2.0), 6)
+                   AS reduction_ratio
+        FROM counts
     """
     d["entity_match"] = f"""
         WITH RECURSIVE {_SQL_ENTITY_CORPUS},
