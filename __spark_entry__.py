@@ -6403,6 +6403,45 @@ def q_streaming_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (extensions/bpe.py, Sennrich
+    et al. 2016): five merge iterations over the documents corpus —
+    each iteration is ONE map-side-combinable pair-count aggregation
+    over the DISTINCT-WORD table (vocabulary-sized, not corpus-sized)
+    plus a bounded limit(1) argmax collect; the winning pair is
+    applied everywhere by leftmost non-overlapping string replace,
+    which IS greedy BPE merge order and has identical semantics in
+    both engines. The oracle replays ALL FIVE iterations as unrolled
+    relational CTEs (the kmeans/pagerank precedent) — tokenizer
+    training as relational algebra, hash-matched cross-engine."""
+    from pd_utils_spark.extensions import bpe as pus_bpe
+
+    d = _t(spark, sf_dir, "documents").select("text")
+    m = pus_bpe.learn_bpe(d, n_merges=5)
+    return m.select(
+        F.col("rank").cast("bigint").alias("rank"),
+        F.col("left").alias("left_sym"),
+        F.col("right").alias("right_sym"),
+        "merged",
+        F.col("freq").cast("bigint").alias("freq"),
+    )
+
+
+def q_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE applied end-to-end (extensions/bpe.py apply_bpe /
+    bpe_token_stats): the five learned merges tokenize every document
+    — a pure map (n_merges chained replaces, plan-locked exchange-free
+    in pytest) — and per-source symbol counts certify the compression
+    the vocabulary bought. The oracle replays learning AND per-word
+    application relationally, so the hash match covers the full
+    learn->apply->measure loop."""
+    from pd_utils_spark.extensions import bpe as pus_bpe
+
+    d = _t(spark, sf_dir, "documents").select("source", "text")
+    m = pus_bpe.learn_bpe(d, n_merges=5)
+    return pus_bpe.bpe_token_stats(d, m, byvars="source")
+
+
 def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured ingestion via VARIANT (extensions/
     semistructured.py, Spark 4.x): events.props JSON is parsed ONCE
@@ -6834,6 +6873,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_rollup": q_hll_distinct_rollup,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "streaming_hll_distinct": q_streaming_hll_distinct,
+        "bpe_learn": q_bpe_learn,
+        "bpe_compression": q_bpe_compression,
         "variant_extract": q_variant_extract,
         "variant_nested": q_variant_nested,
         "variant_explode": q_variant_explode,
@@ -14173,6 +14214,101 @@ def oracle_sql() -> dict[str, str]:
                TRUE AS direct_within_tol
         FROM orders GROUP BY o_orderpriority
     """
+    def _sql_bpe_learn_ctes(n: int) -> str:
+        """Unrolled BPE training: s0 = boundary-wrapped distinct words
+        with counts; each iteration k = pair counts over s{k-1} ->
+        argmax m{k} (freq desc, left, right) -> s{k} rewritten by
+        leftmost non-overlapping replace. Same loop learn_bpe runs."""
+        # AS MATERIALIZED throughout: each s{k} is referenced by both
+        # p{k+1} and s{k+1}, and each m{k} three times inside a replace
+        # — default CTE inlining re-derives the whole chain per
+        # reference (O(4^n) expansions; measured 32 s for n=5 even at
+        # sf0.001), materialization makes it the linear loop it is
+        norm = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+        ctes = [
+            f"""wc AS MATERIALIZED (
+            SELECT w, count(*) AS cnt
+            FROM (SELECT unnest(string_split({norm}, ' ')) AS w FROM documents)
+            WHERE length(w) > 0 GROUP BY w
+        ), s0 AS MATERIALIZED (
+            SELECT '(' || array_to_string(list_transform(range(1, length(w) + 1),
+                       i -> substr(w, i::int, 1)), ')(') || ')(_)' AS s, cnt
+            FROM wc
+        )"""
+        ]
+        for k in range(1, n + 1):
+            ctes.append(
+                f"""p{k} AS MATERIALIZED (
+            SELECT tk[i::int] AS l, tk[(i + 1)::int] AS r, sum(cnt) AS f
+            FROM (SELECT string_split(substr(s, 2, length(s) - 2), ')(') AS tk,
+                         cnt
+                  FROM s{k - 1}) b, unnest(range(1, len(tk))) AS u(i)
+            GROUP BY 1, 2
+        ), m{k} AS MATERIALIZED (
+            SELECT l, r, f FROM p{k} ORDER BY f DESC, l, r LIMIT 1
+        ), s{k} AS MATERIALIZED (
+            SELECT replace(s,
+                       '(' || (SELECT l FROM m{k}) || ')('
+                           || (SELECT r FROM m{k}) || ')',
+                       '(' || (SELECT l FROM m{k})
+                           || (SELECT r FROM m{k}) || ')') AS s,
+                   cnt
+            FROM s{k - 1}
+        )"""
+            )
+        return ",\n".join(ctes)
+
+    _bpe_n = 5
+    d["bpe_learn"] = (
+        "WITH "
+        + _sql_bpe_learn_ctes(_bpe_n)
+        + "\n"
+        + " UNION ALL ".join(
+            f"SELECT {k}::BIGINT AS rank, l AS left_sym, r AS right_sym,"
+            f" l || r AS merged, f::BIGINT AS freq FROM m{k}"
+            for k in range(1, _bpe_n + 1)
+        )
+    )
+    _bpe_wrap_doc = (
+        "'(' || array_to_string(list_transform(range(1, length(w) + 1),"
+        " i -> substr(w, i::int, 1)), ')(') || ')(_)'"
+    )
+    _bpe_rewritten = _bpe_wrap_doc
+    for _k in range(1, _bpe_n + 1):
+        _bpe_rewritten = (
+            f"replace({_bpe_rewritten}, "
+            f"'(' || (SELECT l FROM m{_k}) || ')(' || (SELECT r FROM m{_k}) || ')', "
+            f"'(' || (SELECT l FROM m{_k}) || (SELECT r FROM m{_k}) || ')')"
+        )
+    d["bpe_compression"] = (
+        "WITH "
+        + _sql_bpe_learn_ctes(_bpe_n)
+        + f""",
+        docw AS (
+            SELECT source, w FROM (
+                SELECT source,
+                       unnest(string_split(trim(regexp_replace(lower(text),
+                           '[^a-z0-9]+', ' ', 'g')), ' ')) AS w
+                FROM documents)
+            WHERE length(w) > 0
+        ),
+        pw AS (
+            SELECT source, length(w) + 1 AS init,
+                   len(string_split(substr(rw, 2, length(rw) - 2), ')(')) AS bpe_n
+            FROM (SELECT source, w, {_bpe_rewritten} AS rw FROM docw)
+        ),
+        agg AS (
+            SELECT source, sum(init) AS si, sum(bpe_n) AS sb
+            FROM pw GROUP BY source
+        ),
+        nd AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source)
+        SELECT nd.source, n_docs::BIGINT AS n_docs,
+               coalesce(si, 0)::BIGINT AS n_symbols_initial,
+               coalesce(sb, 0)::BIGINT AS n_tokens_bpe,
+               round(sb / CAST(si AS DOUBLE), 6) AS compression
+        FROM nd LEFT JOIN agg USING (source)
+    """
+    )
     d["streaming_hll_distinct"] = """
         SELECT event_type,
                count(DISTINCT user_id)::BIGINT AS distinct_estimate,

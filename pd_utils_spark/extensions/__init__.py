@@ -149,6 +149,12 @@ from pd_utils_spark.extensions.linkage import (
     normalize_entity,
     token_sort_key,
 )
+from pd_utils_spark.extensions.bpe import (
+    apply_bpe,
+    bpe_token_stats,
+    learn_bpe,
+    word_counts,
+)
 from pd_utils_spark.extensions.semistructured import (
     explode_variant_array,
     parse_variant,

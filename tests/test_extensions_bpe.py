@@ -1,0 +1,132 @@
+from __future__ import annotations
+
+import collections
+import random
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from pd_utils_spark.extensions import bpe
+
+
+def ref_learn(texts, n_merges, min_freq=1):
+    """Pure-Python Sennrich-style reference: pair counts over the
+    distinct-word table, greedy-leftmost merge, tie-break (freq desc,
+    left asc, right asc)."""
+    wc = collections.Counter()
+    for t in texts:
+        for w in re.sub(r"[^a-z0-9]+", " ", t.lower()).split():
+            wc[w] += 1
+    vocab = {tuple(list(w) + ["_"]): c for w, c in wc.items()}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pc = collections.Counter()
+        for sym, c in vocab.items():
+            for i in range(len(sym) - 1):
+                pc[(sym[i], sym[i + 1])] += c
+        if not pc:
+            break
+        (l, r), f = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        if f < min_freq:
+            break
+        merges.append((rank, l, r, l + r, f))
+        vocab = {ref_merge_seq(sym, l, r): c for sym, c in vocab.items()}
+    return merges
+
+
+def ref_merge_seq(sym, l, r):
+    out, i = [], 0
+    while i < len(sym):
+        if i + 1 < len(sym) and sym[i] == l and sym[i + 1] == r:
+            out.append(l + r)
+            i += 2
+        else:
+            out.append(sym[i])
+            i += 1
+    return tuple(out)
+
+
+def test_learn_textbook_corpus(spark):
+    df = spark.createDataFrame(
+        [(1, "low low low lower lowest"), (2, "new newer newest; NEW!")],
+        ["id", "text"],
+    )
+    got = [tuple(r) for r in bpe.learn_bpe(df, n_merges=5).collect()]
+    assert got == [
+        (1, "l", "o", "lo", 5),
+        (2, "lo", "w", "low", 5),
+        (3, "e", "w", "ew", 4),
+        (4, "n", "ew", "new", 4),
+        (5, "low", "_", "low_", 3),
+    ]
+
+
+def test_learn_matches_pure_python_reference(spark):
+    rng = random.Random(11)
+    words = ["aba", "ab", "ba", "aab", "bb", "a"]
+    for _ in range(4):
+        texts = [
+            " ".join(rng.choice(words) for _ in range(rng.randint(1, 8)))
+            for _ in range(rng.randint(1, 5))
+        ]
+        df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["id", "text"])
+        n = rng.randint(1, 4)
+        got = [tuple(r) for r in bpe.learn_bpe(df, n_merges=n).collect()]
+        want = ref_learn(texts, n)
+        assert got == want, f"texts={texts} n={n}"
+
+
+def test_apply_greedy_leftmost(spark):
+    df = spark.createDataFrame([(1, "aaa")], ["id", "text"])
+    out = bpe.apply_bpe(df, [("a", "a")]).first()["bpe_tokens"]
+    assert out == ["aa", "a", "_"]
+
+
+def test_apply_does_not_merge_across_words(spark):
+    # merge (a, _) is an end-of-word merge; the 'a' that starts the
+    # SECOND word must not pair with the first word's EOW
+    df = spark.createDataFrame([(1, "ba ab")], ["id", "text"])
+    out = bpe.apply_bpe(df, [("a", "_")]).first()["bpe_tokens"]
+    assert out == ["b", "a_", "a", "b", "_"]
+
+
+def test_apply_ranked_order_and_empty_docs(spark):
+    df = spark.createDataFrame([(1, "abab"), (2, ""), (3, "?!")], ["id", "text"])
+    m = [("a", "b"), ("ab", "ab")]
+    got = {r["id"]: r["bpe_tokens"] for r in bpe.apply_bpe(df, m).collect()}
+    assert got[1] == ["abab", "_"]
+    assert got[2] == [] and got[3] == []
+
+
+def test_stats_compression(spark):
+    df = spark.createDataFrame(
+        [(1, "s", "low low"), (2, "s", "low")], ["id", "source", "text"]
+    )
+    m = bpe.learn_bpe(df, n_merges=3)
+    stats = bpe.bpe_token_stats(df, m, byvars="source").first()
+    # 3 words x (3 chars + EOW) = 12 initial symbols
+    assert stats["n_docs"] == 2
+    assert stats["n_symbols_initial"] == 12
+    # merges: (l,o),(lo,w),(low,_) -> each word is ONE token
+    assert stats["n_tokens_bpe"] == 3
+    assert stats["compression"] == pytest.approx(0.25)
+
+
+def test_min_freq_early_stop(spark):
+    df = spark.createDataFrame([(1, "ab cd")], ["id", "text"])
+    m = bpe.learn_bpe(df, n_merges=10, min_freq=2)
+    # every pair occurs once; nothing reaches min_freq=2
+    assert m.count() == 0
+
+
+def test_apply_is_map_only(spark):
+    df = spark.createDataFrame([(1, "hello world")], ["id", "text"])
+    plan = (
+        bpe.apply_bpe(df, [("l", "l")])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
