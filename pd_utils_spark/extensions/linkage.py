@@ -31,6 +31,16 @@ the corpus, no driver collect, no UDF. Entity-id closure
 (``match_entities``) reuses ``connected_components`` — pointer-jumped
 min-label propagation over the PAIRS frame, which is orders of
 magnitude smaller than the record frame.
+
+Relation to ``operators/merge.fuzzy_join`` / ``linkage_score``: that
+pair is the lightweight TWO-TABLE enrich shape (prefix/soundex block
+keys, one row per candidate pair, Fellegi–Sunter field scoring on
+top). This module is the corpus-scale SELF-JOIN family: token/q-gram
+blocking with flood caps and observe-metric audits, thresholded
+early-exit verification, deterministic best-match selection, and
+transitive entity closure — the near-dup-dedup recipe applied to
+entity strings. Use ``fuzzy_join`` to attach a reference list;
+use this module to resolve a dirty corpus against itself.
 """
 
 from __future__ import annotations

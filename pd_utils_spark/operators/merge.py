@@ -416,6 +416,12 @@ def fuzzy_join(
     fan-out exactly like LSH bands bound near-dup candidates (same
     recall-vs-cost dial: longer prefixes = fewer candidates, lower
     recall).
+
+    For corpus-scale SELF-join resolution (dedup a dirty corpus
+    against itself: token/q-gram blocking with flood caps, thresholded
+    early-exit verify, best-match selection, transitive entity
+    closure), use ``extensions/linkage.py`` — this operator is the
+    lightweight two-table enrich shape.
     """
     if block not in ("prefix", "soundex", "none"):
         raise ValueError(f"block must be prefix/soundex/none, got {block!r}")
