@@ -116,28 +116,27 @@ def build_scaled_content(
 
     os.makedirs(dst_dir, exist_ok=True)
     out = f"{dst_dir}/documents.parquet"
-    if os.path.exists(out):
-        return
-    df = spark.read.parquet(f"{src_dir}/documents.parquet")
     span = 10_000_000
-    parts = []
-    for i in range(copies):
-        salted = df.withColumn(
-            "doc_id", F.col("doc_id") + F.lit(i * span)
-        )
-        if i > 0:  # copy 0 keeps the original text verbatim
-            salted = salted.withColumn(
-                "text",
-                F.regexp_replace(F.col("text"), r"(\S+)", rf"$1q{i}"),
+    if not os.path.exists(out):
+        df = spark.read.parquet(f"{src_dir}/documents.parquet")
+        parts = []
+        for i in range(copies):
+            salted = df.withColumn(
+                "doc_id", F.col("doc_id") + F.lit(i * span)
             )
-        parts.append(salted)
-    scaled = parts[0]
-    for p in parts[1:]:
-        scaled = scaled.unionByName(p)
-    scaled.write.mode("overwrite").parquet(out)
-    n = spark.read.parquet(out).count()
-    print(f"# built {out}: {n} rows (token-salted)", file=sys.stderr,
-          flush=True)
+            if i > 0:  # copy 0 keeps the original text verbatim
+                salted = salted.withColumn(
+                    "text",
+                    F.regexp_replace(F.col("text"), r"(\S+)", rf"$1q{i}"),
+                )
+            parts.append(salted)
+        scaled = parts[0]
+        for p in parts[1:]:
+            scaled = scaled.unionByName(p)
+        scaled.write.mode("overwrite").parquet(out)
+        n = spark.read.parquet(out).count()
+        print(f"# built {out}: {n} rows (token-salted)", file=sys.stderr,
+              flush=True)
     # part scaled the same way for the linkage rows: p_partkey shifted
     # (clean ids land in [i*span, i*span+~20k], variants at +1M — no
     # cross-copy collisions), p_name tokens and the 'Brand' word
