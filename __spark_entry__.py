@@ -6290,6 +6290,35 @@ def q_hll_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_topk_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable TOP-K frequency state (extensions/sketches.py,
+    Spark 4.x approx_top_k_accumulate/combine/estimate): one
+    frequent-items sketch per (event_type, user slice), COMBINED up
+    to event_type, estimated for every tracked item. Read in the
+    sketch's EXACT regime — 16 distinct items per group, max_items 64,
+    k = all 16 — so counts are exact and there is no rank-boundary
+    tie to arbitrate: the oracle states plain group counts and the
+    hash match certifies the accumulate->combine->estimate loop.
+    Under stress (distinct >> max_items) the frequent-items guarantee
+    (heavy hitters never lost, counts never undercount) is
+    pytest-pinned instead."""
+    from pd_utils_spark.extensions import sketches as pus_sk
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("user_id") % 4).alias("slice"),
+        (F.col("user_id") % 16).alias("item_val"),
+    )
+    fine = pus_sk.topk_sketch_by(ev, ["event_type", "slice"], "item_val", max_items=64)
+    rolled = pus_sk.topk_rollup(fine, ["event_type"], "item_val_topk", max_items=64)
+    est = pus_sk.topk_estimate(rolled, "item_val_topk", k=16)
+    return est.select(
+        "event_type",
+        F.col("item").cast("bigint").alias("item"),
+        F.col("count").cast("bigint").alias("n"),
+    )
+
+
 def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min frequency-sketch audit (extensions/sketches.py): one
     KiB-scale CMS over lineitem.l_suppkey (seeded, so the sketch
@@ -6871,6 +6900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_match": q_entity_match,
         "fuzzy_best_join": q_fuzzy_best_join,
         "hll_distinct_rollup": q_hll_distinct_rollup,
+        "topk_sketch_rollup": q_topk_sketch_rollup,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "streaming_hll_distinct": q_streaming_hll_distinct,
         "bpe_learn": q_bpe_learn,
@@ -14335,6 +14365,11 @@ def oracle_sql() -> dict[str, str]:
                (2 * count(*))::BIGINT AS n_elements,
                sum(l_partkey + l_suppkey)::BIGINT AS sum_elements
         FROM lineitem GROUP BY l_returnflag
+    """
+    d["topk_sketch_rollup"] = """
+        SELECT event_type, (user_id % 16)::BIGINT AS item,
+               count(*)::BIGINT AS n
+        FROM events GROUP BY 1, 2
     """
     d["cms_heavy_hitters"] = """
         WITH c AS (

@@ -55,6 +55,9 @@ __all__ = [
     "cms_sketch",
     "cms_merge",
     "cms_estimate",
+    "topk_sketch_by",
+    "topk_rollup",
+    "topk_estimate",
 ]
 
 
@@ -178,6 +181,65 @@ def distinct_rollup_audit(
             _ok("__direct__").alias("direct_within_tol"),
         )
     )
+
+
+def topk_sketch_by(
+    df: DataFrame,
+    byvars: str | Sequence[str],
+    col: str,
+    max_items: int = 64,
+    out: str | None = None,
+) -> DataFrame:
+    """One DataSketches frequent-items sketch per group over ``col``
+    (``approx_top_k_accumulate``, Spark 4.x): the mergeable TOP-K
+    state — persist per-day/per-source sketches, union increments,
+    ask for heavy hitters later. ``max_items`` bounds both state size
+    and accuracy: while a group's DISTINCT count stays <=
+    ``max_items`` the tracked counts are EXACT; past it, counts carry
+    a bounded overestimate and items below the epsilon*N floor may
+    evict (the standard frequent-items guarantee: true heavy hitters
+    are never lost)."""
+    byvars_l = to_list(byvars)
+    name = out or f"{col}_topk"
+    agg = F.expr(f"approx_top_k_accumulate({col}, {int(max_items)})").alias(name)
+    if byvars_l:
+        return df.groupBy(*byvars_l).agg(agg)
+    return df.agg(agg)
+
+
+def topk_rollup(
+    sketches: DataFrame,
+    byvars: str | Sequence[str],
+    sketch_col: str,
+    max_items: int = 64,
+    out: str | None = None,
+) -> DataFrame:
+    """Combine fine-grained top-k sketches up to coarser keys
+    (``approx_top_k_combine``) — the incremental rollup for frequency
+    state, same shape as :func:`hll_rollup`."""
+    byvars_l = to_list(byvars)
+    name = out or sketch_col
+    agg = F.expr(f"approx_top_k_combine({sketch_col}, {int(max_items)})").alias(name)
+    if byvars_l:
+        return sketches.groupBy(*byvars_l).agg(agg)
+    return sketches.agg(agg)
+
+
+def topk_estimate(
+    df: DataFrame, sketch_col: str, k: int, drop_sketch: bool = True
+) -> DataFrame:
+    """Explode each sketch into its top-``k`` rows: the group columns
+    plus ``item`` and ``count``. Ask for ``k`` >= the true distinct
+    count to read the sketch in its EXACT regime (no rank-boundary
+    tie arbitration — the property the oracle row leans on)."""
+    out = df.withColumn(
+        "__tk__", F.explode(F.expr(f"approx_top_k_estimate({sketch_col}, {int(k)})"))
+    ).select(
+        *[c for c in df.columns if c != sketch_col or not drop_sketch],
+        F.col("__tk__.item").alias("item"),
+        F.col("__tk__.count").alias("count"),
+    )
+    return out
 
 
 def cms_sketch(

@@ -115,3 +115,43 @@ def test_cms_range_column_long_probe(spark):
     cms = sk.cms_sketch(df, "v", seed=5)
     est = sk.cms_estimate(cms, [0, 1, 2])
     assert all(est[i] >= 100 for i in range(3))
+
+
+def test_topk_exact_regime_equals_groupby(spark, groups):
+    # 50 distinct values, max_items 64 -> counts are exact
+    sketch = sk.topk_sketch_by(groups, ["g"], "v", max_items=64)
+    est = sk.topk_estimate(sketch, "v_topk", k=64)
+    # items keep their original type (long here)
+    got = {(r["g"], r["item"]): r["count"] for r in est.collect()}
+    want = {
+        (r["g"], r["v"]): r["c"]
+        for r in groups.groupBy("g", "v").agg(F.count("*").alias("c")).collect()
+    }
+    assert got == want and len(got) == 50
+
+
+def test_topk_rollup_matches_direct_in_exact_regime(spark, groups):
+    fine = sk.topk_sketch_by(groups, ["g", "day"], "v", max_items=64)
+    rolled = sk.topk_rollup(fine, ["g"], "v_topk", max_items=64)
+    direct = sk.topk_sketch_by(groups, ["g"], "v", max_items=64)
+    a = {
+        (r["g"], r["item"]): r["count"]
+        for r in sk.topk_estimate(rolled, "v_topk", 64).collect()
+    }
+    b = {
+        (r["g"], r["item"]): r["count"]
+        for r in sk.topk_estimate(direct, "v_topk", 64).collect()
+    }
+    assert a == b and len(a) == 50  # 25 residues per g
+
+
+def test_topk_heavy_hitter_survives_stress(spark):
+    # 200 distinct values in a max_items=8 sketch: counts go
+    # approximate, but the one true heavy hitter must never be lost
+    rows = [(i % 200,) for i in range(400)] + [(999,)] * 300
+    df = spark.createDataFrame(rows, ["v"])
+    sketch = sk.topk_sketch_by(df, [], "v", max_items=8)
+    est = sk.topk_estimate(sketch, "v_topk", k=1)
+    top = est.first()
+    assert top["item"] == 999
+    assert top["count"] >= 300  # frequent-items never undercounts
