@@ -6471,6 +6471,21 @@ def q_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pus_bpe.bpe_token_stats(d, m, byvars="source")
 
 
+def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained vocabulary artifact (extensions/bpe.py bpe_vocab):
+    every symbol the 5-merge tokenizer emits over the corpus with its
+    total occurrence count, computed over the distinct-word table
+    weighted by word frequency. The oracle extends the unrolled
+    training CTEs one step — explode the final rewritten symbol
+    strings and aggregate — so the hash match certifies the whole
+    vocabulary distribution, not just the merge list."""
+    from pd_utils_spark.extensions import bpe as pus_bpe
+
+    d = _t(spark, sf_dir, "documents").select("text")
+    m = pus_bpe.learn_bpe(d, n_merges=5)
+    return pus_bpe.bpe_vocab(d, m)
+
+
 def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured ingestion via VARIANT (extensions/
     semistructured.py, Spark 4.x): events.props JSON is parsed ONCE
@@ -6905,6 +6920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_hll_distinct": q_streaming_hll_distinct,
         "bpe_learn": q_bpe_learn,
         "bpe_compression": q_bpe_compression,
+        "bpe_vocab": q_bpe_vocab,
         "variant_extract": q_variant_extract,
         "variant_nested": q_variant_nested,
         "variant_explode": q_variant_explode,
@@ -14337,6 +14353,19 @@ def oracle_sql() -> dict[str, str]:
                coalesce(sb, 0)::BIGINT AS n_tokens_bpe,
                round(sb / CAST(si AS DOUBLE), 6) AS compression
         FROM nd LEFT JOIN agg USING (source)
+    """
+    )
+    d["bpe_vocab"] = (
+        "WITH "
+        + _sql_bpe_learn_ctes(_bpe_n)
+        + f""",
+        sym AS (
+            SELECT t.sy AS symbol, cnt FROM (
+                SELECT string_split(substr(s, 2, length(s) - 2), ')(') AS tk,
+                       cnt
+                FROM s{_bpe_n}) b, unnest(tk) AS t(sy)
+        )
+        SELECT symbol, sum(cnt)::BIGINT AS n FROM sym GROUP BY symbol
     """
     )
     d["streaming_hll_distinct"] = """

@@ -44,7 +44,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["word_counts", "learn_bpe", "apply_bpe", "bpe_token_stats"]
+__all__ = [
+    "word_counts",
+    "learn_bpe",
+    "apply_bpe",
+    "bpe_token_stats",
+    "bpe_vocab",
+]
 
 _EOW = "_"
 
@@ -184,6 +190,41 @@ def _apply_bpe_expr(
         rewritten.withColumn(out, F.expr(toks))
         .drop("__bpe_words__", "__bpe_s__")
     )
+
+
+def bpe_vocab(
+    df: DataFrame,
+    merges: DataFrame | list,
+    textcol: str = "text",
+    eow: str = _EOW,
+) -> DataFrame:
+    """The trained vocabulary: every symbol the tokenizer emits over
+    this corpus with its total occurrence count — ``(symbol, n)``.
+    Computed over the distinct-word table weighted by word frequency
+    (one corpus shuffle for the counts, vocabulary-sized everything
+    after), so it is exactly the token distribution ``apply_bpe``
+    would produce over the corpus. The artifact you ship with the
+    merges: its size is the model's vocab size, its tail is the
+    byte-fallback pressure."""
+    if isinstance(merges, DataFrame):
+        rows = merges.orderBy("rank").collect()
+        pairs = [(r["left"], r["right"]) for r in rows]
+    else:
+        pairs = [(m[0], m[1]) for m in merges]
+    wc = word_counts(df, textcol)
+    expr = _wrap("w", eow)
+    for l, r in pairs:
+        expr = f"replace({expr}, '({l})({r})', '({l}{r})')"
+    rewritten = wc.select(F.expr(expr).alias("__s__"), "cnt")
+    toks = rewritten.select(
+        F.explode(
+            F.expr(
+                r"split(substring(__s__, 2, length(__s__) - 2), '\\)\\(')"
+            )
+        ).alias("symbol"),
+        "cnt",
+    )
+    return toks.groupBy("symbol").agg(F.sum("cnt").cast("bigint").alias("n"))
 
 
 def bpe_token_stats(

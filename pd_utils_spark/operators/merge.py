@@ -456,10 +456,14 @@ def fuzzy_join(
         joined = lpre.join(rpre, "__blk__")
     else:
         joined = lpre.crossJoin(F.broadcast(rpre))
-    dist = F.levenshtein("__ln__", "__rn__")
+    # thresholded form (Spark >= 3.5): the DP early-exits down a banded
+    # diagonal once the distance provably exceeds max_distance, so
+    # verification is O(k*min(len)) per candidate instead of O(len^2);
+    # kept rows carry the exact distance (-1 marks "over threshold")
+    dist = F.levenshtein("__ln__", "__rn__", max_distance)
     return (
         joined.withColumn(out, dist)
-        .filter(F.col(out) <= max_distance)
+        .filter(F.col(out) >= 0)
         .drop("__blk__", "__ln__", "__rn__")
     )
 

@@ -130,3 +130,18 @@ def test_apply_is_map_only(spark):
     )
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_vocab_matches_applied_tokens(spark):
+    df = spark.createDataFrame(
+        [(1, "low low lower"), (2, "lowest low")], ["id", "text"]
+    )
+    m = bpe.learn_bpe(df, n_merges=3)
+    vocab = {r["symbol"]: r["n"] for r in bpe.bpe_vocab(df, m).collect()}
+    # ground truth: flatten apply_bpe over the docs and count
+    applied = bpe.apply_bpe(df, m)
+    truth = collections.Counter(
+        t for r in applied.collect() for t in r["bpe_tokens"]
+    )
+    assert vocab == dict(truth)
+    assert sum(vocab.values()) == sum(truth.values())
