@@ -6365,6 +6365,123 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmv_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k (KMV) sketch rollup (extensions/sketches.py
+    bottomk_sketch_by/bottomk_rollup/kmv_estimate) — the DETERMINISTIC
+    mergeable distinct-count family: one sketch per (o_orderpriority,
+    o_orderstatus), merged up to o_orderpriority, against a direct
+    coarse build. Certifies BOTH contracts on live data: the rollup
+    estimate lands within tolerance of an EXACT distinct count
+    (estimate regime at sf0.01 — ~1300 distinct > k=512; exact regime
+    at sf0.001), and — the property HLL cannot offer, pinned here
+    cross-grouping — the rolled-up sketch is BIT-IDENTICAL to the
+    direct coarse sketch. Sketch arrays never cross engines (DuckDB
+    has no xxhash64), so booleans + exact counts are the cross-engine
+    contract, the same audit shape as hll_distinct_rollup."""
+    from pd_utils_spark.extensions import sketches as pus_sk
+
+    o = _t(spark, sf_dir, "orders")
+    k = 512
+    fine = pus_sk.bottomk_sketch_by(
+        o, ["o_orderpriority", "o_orderstatus"], "o_custkey", k=k
+    )
+    rolled = pus_sk.bottomk_rollup(fine, ["o_orderpriority"], "o_custkey_kmv", k=k)
+    direct = pus_sk.bottomk_sketch_by(o, ["o_orderpriority"], "o_custkey", k=k)
+    r_est = pus_sk.kmv_estimate(rolled, "o_custkey_kmv", k=k).withColumnRenamed(
+        "o_custkey_kmv_estimate", "__rolled__"
+    )
+    paths = rolled.withColumnRenamed("o_custkey_kmv", "__rsk__").join(
+        direct.withColumnRenamed("o_custkey_kmv", "__dsk__"), ["o_orderpriority"]
+    )
+    exact = o.groupBy("o_orderpriority").agg(
+        F.count_distinct("o_custkey").alias("exact_distinct")
+    )
+    return (
+        exact.join(r_est, ["o_orderpriority"])
+        .join(paths, ["o_orderpriority"])
+        .select(
+            "o_orderpriority",
+            F.col("exact_distinct").cast("bigint").alias("exact_distinct"),
+            (
+                F.abs(F.col("__rolled__") - F.col("exact_distinct"))
+                <= 0.2 * F.col("exact_distinct")
+            ).alias("rollup_within_tol"),
+            (F.col("__rsk__") == F.col("__dsk__")).alias("paths_bit_identical"),
+        )
+    )
+
+
+def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set operations (extensions/sketches.py kmv_pair_ops) — the
+    query HLL structurally cannot answer: distinct UNION, INTERSECTION
+    and Jaccard between every pair of order priorities' customer sets,
+    computed purely from the groups' bottom-k sketches (the corpus is
+    scanned once to build 5 sketches; the 10 pair estimates are a map
+    over a 10-row frame). k=2048 exceeds every pairwise union at the
+    correctness SFs (max 1472 at sf0.01), so the sketch IS the value
+    set and all three outputs are EXACT — the oracle states the exact
+    set algebra from first principles and the hash match certifies
+    the merge/intersect arithmetic end-to-end. At larger corpora the
+    same code degrades gracefully to ~1/sqrt(k) estimates (the
+    estimate regime is pytest-pinned)."""
+    from pd_utils_spark.extensions import sketches as pus_sk
+
+    o = _t(spark, sf_dir, "orders")
+    k = 2048
+    sks = pus_sk.bottomk_sketch_by(o, ["o_orderpriority"], "o_custkey", k=k)
+    left = sks.select(
+        F.col("o_orderpriority").alias("pa"), F.col("o_custkey_kmv").alias("ska")
+    )
+    right = sks.select(
+        F.col("o_orderpriority").alias("pb"), F.col("o_custkey_kmv").alias("skb")
+    )
+    pairs = left.join(right, F.col("pa") < F.col("pb"))
+    return (
+        pus_sk.kmv_pair_ops(pairs, "ska", "skb", k=k)
+        .select("pa", "pb", "union_est", "intersect_est", "jaccard_est")
+        .orderBy("pa", "pb")
+    )
+
+
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile state (extensions/sketches.py
+    sample_sketch_by/quantile_estimate): a bottom-k-by-hash uniform
+    row sample of o_totalprice per o_orderpriority — deterministic,
+    mergeable with bottomk_rollup, rank error ~sqrt(q(1-q)/k) — read
+    at q25/q50/q75 and certified by joining the estimates back
+    against the full distribution: the realized CDF rank of each
+    estimate must sit within 0.08 of its target q (measured max at
+    sf0.01 is ~0.02 with k=512; at sf0.001 every group fits in the
+    sketch so the sample IS the distribution). Sample arrays never
+    cross engines; the booleans + exact group counts are the
+    cross-engine contract."""
+    from pd_utils_spark.extensions import sketches as pus_sk
+
+    o = _t(spark, sf_dir, "orders")
+    sm = pus_sk.sample_sketch_by(
+        o, ["o_orderpriority"], "o_totalprice", id_cols=["o_orderkey"], k=512
+    )
+    qs = pus_sk.quantile_estimate(sm, "o_totalprice_sample", [0.25, 0.5, 0.75])
+    joined = o.select("o_orderpriority", "o_totalprice").join(
+        qs, ["o_orderpriority"]
+    )
+
+    def _rank_ok(q: float, est_col: str):
+        frac = F.sum(
+            F.when(F.col("o_totalprice") <= F.col(est_col), 1).otherwise(0)
+        ) / F.count(F.lit(1))
+        return (F.abs(frac - F.lit(q)) <= F.lit(0.08)).alias(
+            f"r{int(q * 100)}_ok"
+        )
+
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        _rank_ok(0.25, "q25"),
+        _rank_ok(0.5, "q50"),
+        _rank_ok(0.75, "q75"),
+    )
+
+
 def q_streaming_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Constant-state streaming distinct counting driven through the
     engine end-to-end (streaming/stateful.py streaming_distinct_hll):
@@ -6916,6 +7033,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_best_join": q_fuzzy_best_join,
         "hll_distinct_rollup": q_hll_distinct_rollup,
         "topk_sketch_rollup": q_topk_sketch_rollup,
+        "kmv_distinct_rollup": q_kmv_distinct_rollup,
+        "kmv_set_ops": q_kmv_set_ops,
+        "quantile_sketch": q_quantile_sketch,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "streaming_hll_distinct": q_streaming_hll_distinct,
         "bpe_learn": q_bpe_learn,
@@ -14407,5 +14527,36 @@ def oracle_sql() -> dict[str, str]:
         SELECT l_suppkey::BIGINT AS l_suppkey, cnt::BIGINT AS exact_cnt,
                TRUE AS ge_exact, TRUE AS within_bound
         FROM c ORDER BY cnt DESC, l_suppkey LIMIT 10
+    """
+    d["kmv_distinct_rollup"] = """
+        SELECT o_orderpriority,
+               count(DISTINCT o_custkey)::BIGINT AS exact_distinct,
+               TRUE AS rollup_within_tol,
+               TRUE AS paths_bit_identical
+        FROM orders GROUP BY o_orderpriority
+    """
+    d["kmv_set_ops"] = """
+        WITH s AS (
+            SELECT DISTINCT o_orderpriority AS p, o_custkey AS c FROM orders
+        ),
+        cnt AS (SELECT p, count(*) AS n FROM s GROUP BY p),
+        inter AS (
+            SELECT a.p AS pa, b.p AS pb, count(*) AS i
+            FROM s a JOIN s b ON a.c = b.c AND a.p < b.p
+            GROUP BY 1, 2
+        )
+        SELECT pa, pb,
+               (na.n + nb.n - i)::BIGINT AS union_est,
+               i::BIGINT AS intersect_est,
+               i::DOUBLE / (na.n + nb.n - i) AS jaccard_est
+        FROM inter
+        JOIN cnt na ON na.p = pa
+        JOIN cnt nb ON nb.p = pb
+        ORDER BY pa, pb
+    """
+    d["quantile_sketch"] = """
+        SELECT o_orderpriority, count(*)::BIGINT AS n_rows,
+               TRUE AS r25_ok, TRUE AS r50_ok, TRUE AS r75_ok
+        FROM orders GROUP BY o_orderpriority
     """
     return d

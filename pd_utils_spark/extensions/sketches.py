@@ -58,6 +58,12 @@ __all__ = [
     "topk_sketch_by",
     "topk_rollup",
     "topk_estimate",
+    "bottomk_sketch_by",
+    "bottomk_rollup",
+    "kmv_estimate",
+    "kmv_pair_ops",
+    "sample_sketch_by",
+    "quantile_estimate",
 ]
 
 
@@ -305,3 +311,270 @@ def cms_estimate(
             raise RuntimeError("no active SparkSession to reach the JVM sketch class")
     sk = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(data)
     return {it: int(sk.estimateCount(it)) for it in items}
+
+
+# --------------------------------------------------------------------------
+# Bottom-k (KMV) sketches: the DETERMINISTIC mergeable family.
+#
+# A bottom-k sketch is the k smallest xxhash64 values of a column's
+# distinct values (sorted ascending). Unlike HLL it is a pure function
+# of the value SET — any partitioning, any grouping of increments, and
+# the rollup-vs-direct paths all produce BIT-IDENTICAL state — and it
+# supports SET OPERATIONS: the combined bottom-k of two sketches is a
+# uniform sample of the union, so intersection/Jaccard estimates fall
+# out of array_intersect (HLL cannot intersect). Estimator: with the
+# k-th smallest normalized hash u_k, distinct ~= (k-1)/u_k (RSE
+# ~1/sqrt(k-2)); below k distinct the sketch IS the value set (exact).
+#
+# Scale posture: the naive build collects every distinct hash per
+# group before truncating — O(distinct) state. `prefilter=True` (the
+# default) bounds it: pass 1 estimates each group's cardinality
+# (approx_count_distinct, tiny state), pass 2 keeps only hashes below
+# margin*k/est of the hash space before collecting, so expected
+# collected state is ~margin*k per group regardless of cardinality.
+# Hashes are uniform, so the filter never changes the RESULT (the k
+# smallest are below any cutoff >= u_k) unless the cutoff undershoots
+# — with margin=8 that needs the bottom quantile to be 8x sparser
+# than expected (P < e^-k by Chernoff); a guard raises rather than
+# returning a silently-wrong sketch. (The guard needs at least one
+# surviving hash to anchor a group row; a group losing EVERY hash to
+# the cutoff — P < e^-margin*k — would drop from the output instead.
+# At the default margin*k >= 1024 both modes are beyond-astronomical;
+# degenerate margins near 0 are where the distinction shows.) Cost:
+# two corpus passes; `prefilter=False` is one pass, unbounded state.
+# --------------------------------------------------------------------------
+
+_HASH_SPAN = 2.0**64
+
+
+def _u01(h):
+    """Signed xxhash64 -> uniform double in [0, 1)."""
+    return (h.cast("double") / F.lit(_HASH_SPAN)) + F.lit(0.5)
+
+
+def _bounded_bottomk(
+    df: DataFrame,
+    byvars_l: list,
+    elem,
+    size_agg,
+    k: int,
+    name: str,
+    prefilter: bool,
+    margin: float,
+):
+    """Shared build: bottom-k of `elem` (a hash-leading column) per
+    group, with the adaptive hash-threshold prefilter bounding
+    collected state to ~margin*k when `prefilter`. `size_agg` is the
+    per-group population aggregate the cutoff is sized against
+    (approx distinct for value sketches, row count for samples)."""
+    base = df.select(*byvars_l, elem.alias("__e__"))
+    sketch_agg = F.slice(
+        F.array_sort(F.collect_set("__e__")), 1, k
+    ).alias(name)
+    if not prefilter:
+        g = base.groupBy(*byvars_l).agg(sketch_agg)
+        return g
+    cut = F.least(
+        F.lit(1.0), F.lit(float(margin) * k) / F.greatest(F.col("__n__"), F.lit(1))
+    ).alias("__cut__")
+    if byvars_l:
+        sizes = df.groupBy(*byvars_l).agg(size_agg.alias("__n__")).select(
+            *byvars_l, cut, "__n__"
+        )
+        joined = base.join(sizes, byvars_l)
+    else:
+        sizes = df.agg(size_agg.alias("__n__")).select(cut, "__n__")
+        joined = base.crossJoin(F.broadcast(sizes))
+    hashcol = F.col("__e__")
+    if "struct" in dict(base.dtypes)["__e__"]:
+        hashcol = F.col("__e__.h")
+    kept = joined.filter(_u01(hashcol) < F.col("__cut__"))
+    g = kept.groupBy(*byvars_l).agg(sketch_agg, F.max("__n__").alias("__n__"))
+    undershoot = (F.size(F.col(name)) < k) & (F.col("__n__") >= 2 * k)
+    guarded = F.when(
+        undershoot,
+        F.raise_error(
+            F.lit(
+                f"bottom-k prefilter undershoot: fewer than k={k} hashes "
+                f"survived the margin={margin} cutoff in a group whose "
+                "population says k exist — rebuild with a larger margin "
+                "or prefilter=False"
+            )
+        ),
+    ).otherwise(F.col(name))
+    return g.select(*byvars_l, guarded.alias(name))
+
+
+def bottomk_sketch_by(
+    df: DataFrame,
+    byvars: str | Sequence[str],
+    col: str,
+    k: int = 256,
+    prefilter: bool = True,
+    margin: float = 8.0,
+    out: str | None = None,
+) -> DataFrame:
+    """One bottom-k (KMV) sketch per group over ``col``: ``byvars +
+    [out or f"{col}_kmv"]`` with a sorted ``array<bigint>`` of at most
+    ``k`` hashes. Deterministic: same value set => identical bytes on
+    any partitioning, and :func:`bottomk_rollup` of fine sketches ==
+    the direct coarse sketch BIT-FOR-BIT (the property HLL lacks; a
+    pytest pins it). RSE of the distinct estimate ~1/sqrt(k-2); below
+    ``k`` distinct the sketch is exact. ``prefilter`` (default) adds a
+    cardinality pre-pass and keeps per-group collected state at
+    ~``margin*k`` hashes regardless of group size — two corpus passes
+    instead of one, the trade that holds at 100 TB (see module
+    comment). Nulls in ``col`` are ignored."""
+    byvars_l = to_list(byvars)
+    name = out or f"{col}_kmv"
+    nn = df.filter(F.col(col).isNotNull())
+    return _bounded_bottomk(
+        nn,
+        byvars_l,
+        F.xxhash64(col),
+        F.approx_count_distinct(col),
+        int(k),
+        name,
+        prefilter,
+        margin,
+    )
+
+
+def bottomk_rollup(
+    sketches: DataFrame,
+    byvars: str | Sequence[str],
+    sketch_col: str,
+    k: int,
+    out: str | None = None,
+) -> DataFrame:
+    """Merge fine-grained bottom-k sketches up to coarser keys:
+    distinct-union the arrays, re-sort, keep the k smallest. Works
+    for both value sketches (:func:`bottomk_sketch_by`) and sample
+    sketches (:func:`sample_sketch_by` — struct elements sort on
+    their leading hash field). Commutative, associative, and
+    deterministic: any grouping of the same increments yields
+    IDENTICAL state. State per group is O(inputs * k) pre-truncation
+    within one agg buffer — bounded because both factors are. Pass
+    ``byvars=[]`` for a grand-total sketch."""
+    byvars_l = to_list(byvars)
+    name = out or sketch_col
+    agg = F.slice(
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list(sketch_col)))),
+        1,
+        int(k),
+    ).alias(name)
+    if byvars_l:
+        return sketches.groupBy(*byvars_l).agg(agg)
+    return sketches.agg(agg)
+
+
+def kmv_estimate(
+    df: DataFrame, sketch_cols: str | Sequence[str], k: int
+) -> DataFrame:
+    """Replace each bottom-k sketch column with its BIGINT distinct
+    estimate (``<col>_estimate``): exact ``size`` when the sketch
+    holds fewer than ``k`` hashes, else ``(k-1)/u_k``. Pure map — run
+    on the rolled-up frame, not the corpus."""
+    out = df
+    for c in to_list(sketch_cols):
+        n = F.size(F.col(c))
+        u_k = F.greatest(_u01(F.element_at(F.col(c), int(k))), F.lit(1e-18))
+        est = F.when(n < int(k), n.cast("double")).otherwise(F.lit(k - 1) / u_k)
+        out = out.withColumn(
+            f"{c}_estimate", F.round(est).cast("bigint")
+        ).drop(c)
+    return out
+
+
+def kmv_pair_ops(
+    df: DataFrame,
+    sketch_a: str,
+    sketch_b: str,
+    k: int,
+    prefix: str = "",
+) -> DataFrame:
+    """Set-operation estimates from two bottom-k sketch columns on the
+    same row — the query HLL cannot answer. The k smallest of the
+    merged arrays is itself the union's bottom-k sketch AND a uniform
+    k-sample of the union, so: ``union_est`` = KMV estimate of the
+    merged sketch; ``jaccard_est`` = fraction of that sample present
+    in BOTH inputs; ``intersect_est`` = round(jaccard * union). All
+    three are exact when the true union fits in ``k``. Pure map on
+    the sketch frame (rows = group pairs, not corpus rows)."""
+    L = F.slice(
+        F.array_sort(F.array_distinct(F.concat(F.col(sketch_a), F.col(sketch_b)))),
+        1,
+        int(k),
+    )
+    m = F.size(L)
+    u_k = F.greatest(_u01(F.element_at(L, int(k))), F.lit(1e-18))
+    union_est = F.when(m < int(k), m.cast("double")).otherwise(F.lit(k - 1) / u_k)
+    shared = F.size(
+        F.array_intersect(F.array_intersect(L, F.col(sketch_a)), F.col(sketch_b))
+    )
+    jac = F.when(m > 0, shared.cast("double") / m).otherwise(F.lit(0.0))
+    return (
+        df.withColumn(f"{prefix}union_est", F.round(union_est).cast("bigint"))
+        .withColumn(f"{prefix}jaccard_est", jac)
+        .withColumn(
+            f"{prefix}intersect_est",
+            F.round(jac * union_est).cast("bigint"),
+        )
+    )
+
+
+def sample_sketch_by(
+    df: DataFrame,
+    byvars: str | Sequence[str],
+    col: str,
+    id_cols: str | Sequence[str],
+    k: int = 256,
+    prefilter: bool = True,
+    margin: float = 8.0,
+    out: str | None = None,
+) -> DataFrame:
+    """Mergeable uniform ROW sample per group: the ``k`` rows whose
+    ``xxhash64(col, *id_cols)`` is smallest, stored as a sorted
+    ``array<struct<h:bigint, v:double>>`` (``out or f"{col}_sample"``).
+    ``id_cols`` must uniquely identify rows so every row gets an
+    independent hash — sampling is by row, not by value. Deterministic
+    and mergeable exactly like :func:`bottomk_sketch_by` (same
+    sort-truncate on the leading hash; merge with
+    :func:`bottomk_rollup`), which makes it the mergeable state for
+    QUANTILE estimation: a uniform k-sample answers any quantile to
+    rank error ~sqrt(q(1-q)/k) (:func:`quantile_estimate`). The
+    prefilter bounds collected state against the group ROW count.
+    Null ``col`` rows are ignored."""
+    byvars_l = to_list(byvars)
+    name = out or f"{col}_sample"
+    id_l = to_list(id_cols)
+    nn = df.filter(F.col(col).isNotNull())
+    elem = F.struct(
+        F.xxhash64(col, *id_l).alias("h"), F.col(col).cast("double").alias("v")
+    )
+    return _bounded_bottomk(
+        nn, byvars_l, elem, F.count(F.lit(1)), int(k), name, prefilter, margin
+    )
+
+
+def quantile_estimate(
+    df: DataFrame,
+    sketch_col: str,
+    qs: Sequence[float],
+    drop_sketch: bool = True,
+) -> DataFrame:
+    """Read quantile estimates off a sample sketch: for each ``q`` in
+    ``qs``, the ceil(q*m)-th smallest sampled VALUE (column
+    ``q<percent>``, e.g. ``q50``). Rank error ~sqrt(q(1-q)/k) with
+    the sketch's ``k``; exact when the group's rows all fit in the
+    sketch. Pure map on the sketch frame."""
+    vals = F.array_sort(F.transform(F.col(sketch_col), lambda x: x["v"]))
+    m = F.size(vals)
+    out = df
+    for q in qs:
+        idx = F.greatest(F.lit(1), F.ceil(F.lit(float(q)) * m).cast("int"))
+        pct = int(round(q * 100))
+        out = out.withColumn(f"q{pct}", F.element_at(vals, idx))
+    if drop_sketch:
+        out = out.drop(sketch_col)
+    return out

@@ -155,3 +155,151 @@ def test_topk_heavy_hitter_survives_stress(spark):
     top = est.first()
     assert top["item"] == 999
     assert top["count"] >= 300  # frequent-items never undercounts
+
+
+# ---------------------------------------------------------------- bottom-k
+
+
+@pytest.fixture(scope="module")
+def kmv_groups(spark):
+    # g in {0,1}; per g, v covers 400 distinct values with a 200-value
+    # overlap between the two groups (ids 200..399 are shared)
+    rows = [(0, i) for i in range(400)] + [(1, i + 200) for i in range(400)]
+    return spark.createDataFrame(rows * 2, ["g", "v"])  # dup rows too
+
+
+def test_bottomk_exact_below_k(spark, kmv_groups):
+    sk_df = sk.bottomk_sketch_by(kmv_groups, ["g"], "v", k=512)
+    est = sk.kmv_estimate(sk_df, "v_kmv", k=512)
+    got = {r["g"]: r["v_kmv_estimate"] for r in est.collect()}
+    assert got == {0: 400, 1: 400}
+
+
+def test_bottomk_deterministic_and_rollup_bit_identical(spark, kmv_groups):
+    """The property HLL lacks: repartitioned build, prefiltered build,
+    and rollup-of-fine all produce IDENTICAL sketch arrays."""
+    day = (F.col("v") % 3).alias("day")
+    with_day = kmv_groups.select("g", "v", day)
+    direct = sk.bottomk_sketch_by(kmv_groups, ["g"], "v", k=64)
+    repart = sk.bottomk_sketch_by(
+        kmv_groups.repartition(13, "v"), ["g"], "v", k=64
+    )
+    nofilter = sk.bottomk_sketch_by(
+        kmv_groups, ["g"], "v", k=64, prefilter=False
+    )
+    fine = sk.bottomk_sketch_by(with_day, ["g", "day"], "v", k=64)
+    rolled = sk.bottomk_rollup(fine, ["g"], "v_kmv", k=64)
+    a = {r["g"]: r["v_kmv"] for r in direct.collect()}
+    for other in (repart, nofilter, rolled):
+        b = {r["g"]: r["v_kmv"] for r in other.collect()}
+        assert a == b
+    assert all(len(v) == 64 for v in a.values())
+
+
+def test_bottomk_estimate_within_rse_above_k(spark):
+    # 5000 distinct values, k=256 -> RSE ~ 1/sqrt(254) ~ 6.3%; this
+    # fixed seedless dataset is deterministic, so 4*RSE is a stable gate
+    df = spark.range(5000).select(F.lit(0).alias("g"), F.col("id").alias("v"))
+    est = sk.kmv_estimate(
+        sk.bottomk_sketch_by(df, ["g"], "v", k=256), "v_kmv", k=256
+    )
+    got = est.first()["v_kmv_estimate"]
+    assert abs(got - 5000) <= 4 * 5000 / (254**0.5)
+
+
+def test_bottomk_grand_total_and_nulls(spark):
+    df = spark.createDataFrame(
+        [(None,), ("a",), ("a",), ("b",)], ["v"]
+    )
+    sk_df = sk.bottomk_sketch_by(df, [], "v", k=16)
+    est = sk.kmv_estimate(sk_df, "v_kmv", k=16)
+    assert est.first()["v_kmv_estimate"] == 2
+
+
+def test_bottomk_prefilter_guard_raises_on_undershoot(spark):
+    # margin sized so the cutoff keeps ~50 of 5000 hashes — some
+    # survive (the group still exists) but fewer than k: the guard
+    # must refuse to return the silently-short sketch
+    df = spark.range(5000).select(F.lit(0).alias("g"), F.col("id").alias("v"))
+    bad = sk.bottomk_sketch_by(df, ["g"], "v", k=256, margin=0.2)
+    with pytest.raises(Exception, match="undershoot"):
+        bad.collect()
+
+
+def test_kmv_pair_ops_exact_when_union_fits(spark, kmv_groups):
+    sks = sk.bottomk_sketch_by(kmv_groups, ["g"], "v", k=1024)
+    a = sks.filter(F.col("g") == 0).select(F.col("v_kmv").alias("ska"))
+    b = sks.filter(F.col("g") == 1).select(F.col("v_kmv").alias("skb"))
+    out = sk.kmv_pair_ops(a.crossJoin(b), "ska", "skb", k=1024).first()
+    # union 600, intersection 200, jaccard 1/3 — exact in this regime
+    assert out["union_est"] == 600
+    assert out["intersect_est"] == 200
+    assert abs(out["jaccard_est"] - 200 / 600) < 1e-12
+
+
+def test_kmv_pair_ops_estimates_above_k(spark):
+    # two 4000-value sets sharing 2000; k=512 -> union/intersect carry
+    # sampling error; deterministic dataset, generous 5-sigma gates
+    rows = [(0, i) for i in range(4000)] + [(1, i + 2000) for i in range(4000)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    sks = sk.bottomk_sketch_by(df, ["g"], "v", k=512)
+    a = sks.filter(F.col("g") == 0).select(F.col("v_kmv").alias("ska"))
+    b = sks.filter(F.col("g") == 1).select(F.col("v_kmv").alias("skb"))
+    out = sk.kmv_pair_ops(a.crossJoin(b), "ska", "skb", k=512).first()
+    assert abs(out["union_est"] - 6000) <= 5 * 6000 / (510**0.5)
+    assert abs(out["jaccard_est"] - 2000 / 6000) <= 5 * ((1 / 3) / 512) ** 0.5 * 3
+    assert abs(out["intersect_est"] - 2000) <= 0.25 * 2000
+
+
+def test_sample_sketch_quantiles_rank_error(spark):
+    # uniform 0..9999 per group; k=512 -> rank err ~ sqrt(.25/512) ~ 2.2%
+    df = spark.range(10000).select(
+        (F.col("id") % 2).alias("g"),
+        F.col("id").alias("rid"),
+        (F.col("id") / 1.0).alias("x"),
+    )
+    sm = sk.sample_sketch_by(df, ["g"], "x", id_cols=["rid"], k=512)
+    qs = sk.quantile_estimate(sm, "x_sample", [0.25, 0.5, 0.75])
+    for r in qs.collect():
+        for q, col in ((0.25, "q25"), (0.5, "q50"), (0.75, "q75")):
+            # value space == rank space here (uniform grid over ids)
+            assert abs(r[col] / 10000 - q) < 0.08
+
+
+def test_sample_sketch_exact_when_group_fits(spark):
+    df = spark.createDataFrame(
+        [(0, i, float(v)) for i, v in enumerate([5, 1, 9, 3, 7])],
+        ["g", "rid", "x"],
+    )
+    sm = sk.sample_sketch_by(df, ["g"], "x", id_cols=["rid"], k=16)
+    out = sk.quantile_estimate(sm, "x_sample", [0.5]).first()
+    assert out["q50"] == 5.0  # exact median of {1,3,5,7,9}
+
+
+def test_sample_sketch_rollup_bit_identical(spark):
+    df = spark.range(3000).select(
+        (F.col("id") % 4).alias("day"),
+        F.col("id").alias("rid"),
+        (F.col("id") * 1.5).alias("x"),
+    )
+    fine = sk.sample_sketch_by(df, ["day"], "x", id_cols=["rid"], k=128)
+    rolled = sk.bottomk_rollup(fine, [], "x_sample", k=128).first()["x_sample"]
+    direct = sk.sample_sketch_by(df, [], "x", id_cols=["rid"], k=128).first()[
+        "x_sample"
+    ]
+    assert [tuple(e) for e in rolled] == [tuple(e) for e in direct]
+
+
+def test_bottomk_prefilter_plan_has_partial_agg(spark, kmv_groups):
+    """Shuffle discipline: the collect_set runs with a map-side
+    partial (ObjectHashAggregate partial_collect_set) and the cutoff
+    pre-pass aggregates with partial approx_count_distinct — both
+    shuffles carry group-sized state, never raw rows."""
+    plan = (
+        sk.bottomk_sketch_by(kmv_groups, ["g"], "v", k=64)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "partial_collect_set" in plan
+    assert "partial_approx_count_distinct" in plan
