@@ -3197,6 +3197,36 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(e1.unionByName(e2))
 
 
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood link prediction (extensions/graph.py
+    link_prediction) on the same deterministic 50-node link graph the
+    other graph rows use: every distance-2 non-edge pair scored with
+    common-neighbors, Jaccard, Adamic-Adar and preferential
+    attachment in one wedge self-join + hash agg + two degree joins.
+    Doubles rounded to 6 (Adamic-Adar is an order-sensitive float
+    sum); the oracle replays the full wedge algebra in SQL."""
+    from pd_utils_spark.extensions.graph import link_prediction
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    e1 = d.select(
+        (F.col("doc_id") % 50).alias("src"),
+        ((F.col("doc_id") * 2 + 1) % 50).alias("dst"),
+    )
+    e2 = d.select(
+        (F.col("doc_id") % 50).alias("src"),
+        ((F.col("doc_id") * 3 + 7) % 50).alias("dst"),
+    )
+    out = link_prediction(e1.unionByName(e2), round_to=6)
+    return out.select(
+        "a",
+        "b",
+        F.col("common_neighbors").cast("bigint").alias("common_neighbors"),
+        "jaccard",
+        "adamic_adar",
+        F.col("pref_attach").cast("bigint").alias("pref_attach"),
+    )
+
+
 def q_token_weight_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fastText-style linear quality scoring against a fixed
     (token, weight) vocabulary — sigmoid(bias + sum of token weights),
@@ -6755,6 +6785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": q_unigram_logprob,
         "bigram_logprob": q_bigram_logprob,
         "triangle_count": q_triangle_count,
+        "link_prediction": q_link_prediction,
         "bloom_prune_join": q_bloom_prune_join,
         "semi_prune_join": q_semi_prune_join,
         "interpolate": q_interpolate,
@@ -8125,6 +8156,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT n.node,
                    cast(coalesce(c.triangles, 0) AS bigint) AS triangles
             FROM nodes n LEFT JOIN cnt c USING (node)
+        """,
+        "link_prediction": """
+            WITH d AS (
+                SELECT doc_id % 50 AS s, (doc_id * 2 + 1) % 50 AS t
+                FROM documents
+                UNION ALL
+                SELECT doc_id % 50, (doc_id * 3 + 7) % 50 FROM documents
+            ), e AS (
+                SELECT DISTINCT least(s, t) AS lo, greatest(s, t) AS hi
+                FROM d WHERE s <> t
+            ), adj AS (
+                SELECT lo AS c, hi AS n FROM e
+                UNION ALL SELECT hi, lo FROM e
+            ), deg AS (
+                SELECT c, count(*) AS deg FROM adj GROUP BY c
+            ), w AS (
+                SELECT a1.c AS c, a1.n AS x, a2.n AS y
+                FROM adj a1 JOIN adj a2 ON a1.c = a2.c AND a1.n < a2.n
+            ), s AS (
+                SELECT x, y, count(*) AS cn, sum(1.0 / ln(deg.deg)) AS aa
+                FROM w JOIN deg ON deg.c = w.c GROUP BY x, y
+            ), flt AS (
+                SELECT * FROM s
+                WHERE NOT EXISTS (SELECT 1 FROM e
+                                  WHERE e.lo = s.x AND e.hi = s.y)
+            )
+            SELECT flt.x AS a, flt.y AS b,
+                   cn::BIGINT AS common_neighbors,
+                   round(cn::DOUBLE / (dx.deg + dy.deg - cn), 6) AS jaccard,
+                   round(aa, 6) AS adamic_adar,
+                   (dx.deg * dy.deg)::BIGINT AS pref_attach
+            FROM flt
+            JOIN deg dx ON dx.c = flt.x
+            JOIN deg dy ON dy.c = flt.y
         """,
         "clustering_coefficient": """
             WITH d AS (

@@ -563,3 +563,82 @@ def k_core(
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("core_degree"))
     )
+
+
+def link_prediction(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    include_existing: bool = False,
+    max_center_degree: int | None = None,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Classic neighborhood link-prediction scores for every node
+    pair at distance 2 in the UNDIRECTED simple graph (direction,
+    duplicates and self-loops ignored): ``(a, b,
+    common_neighbors, jaccard, adamic_adar, pref_attach)`` with
+    ``a < b``. Existing edges are anti-joined away unless
+    ``include_existing`` (with it, the same scores double as edge
+    STRENGTH features). In corpus curation this ranks which document/
+    domain pairs a citation or hyperlink graph implies but does not
+    yet contain — and Adamic-Adar (sum of 1/ln(degree) over shared
+    neighbors, Adamic & Adar 2003) is the standard "specific shared
+    context beats generic hubs" weighting.
+
+    Distributed shape (the :func:`triangle_count` wedge pattern run
+    for PAIR scoring instead of closure): symmetrize the canonical
+    edge list, self-join on the center node to enumerate each
+    neighbor pair once (``x < y``), aggregate count + sum(1/ln(deg))
+    per pair in one hash agg, then attach endpoint degrees (two joins
+    against the node-sized degree frame) for Jaccard and preferential
+    attachment. Wedge fan-out is sum(deg^2) — the hub hazard.
+    ``max_center_degree`` drops super-hub CENTERS before the
+    self-join, the principled cap: a degree-d hub contributes d^2
+    wedge rows but only 1/ln(d) -> 0 Adamic-Adar signal apiece, so
+    the cap removes the quadratic cost exactly where the signal is
+    weakest (endpoint degrees stay uncapped and exact). Candidate
+    pairs, not documents, are the only thing shuffled."""
+    a, b = F.col(src), F.col(dst)
+    e = (
+        edges.select(F.least(a, b).alias("lo"), F.greatest(a, b).alias("hi"))
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
+    )
+    adj = e.select(F.col("lo").alias("c"), F.col("hi").alias("n")).unionByName(
+        e.select(F.col("hi").alias("c"), F.col("lo").alias("n"))
+    )
+    deg = adj.groupBy("c").agg(F.count(F.lit(1)).alias("deg"))
+    centers = adj.join(deg, "c")
+    if max_center_degree is not None:
+        centers = centers.filter(F.col("deg") <= int(max_center_degree))
+    w1 = centers.select("c", F.col("n").alias("x"), "deg")
+    w2 = centers.select("c", F.col("n").alias("y"))
+    wedges = w1.join(w2, "c").filter(F.col("x") < F.col("y"))
+    scored = wedges.groupBy("x", "y").agg(
+        F.count(F.lit(1)).alias("common_neighbors"),
+        F.sum(F.lit(1.0) / F.log("deg")).alias("adamic_adar"),
+    )
+    if not include_existing:
+        scored = scored.join(
+            e,
+            (scored["x"] == e["lo"]) & (scored["y"] == e["hi"]),
+            "left_anti",
+        )
+    dx = deg.select(F.col("c").alias("x"), F.col("deg").alias("dx"))
+    dy = deg.select(F.col("c").alias("y"), F.col("deg").alias("dy"))
+    out = scored.join(dx, "x").join(dy, "y")
+    jac = F.col("common_neighbors") / (
+        F.col("dx") + F.col("dy") - F.col("common_neighbors")
+    )
+    aa = F.col("adamic_adar")
+    if round_to is not None:
+        jac = F.round(jac, round_to)
+        aa = F.round(aa, round_to)
+    return out.select(
+        F.col("x").alias("a"),
+        F.col("y").alias("b"),
+        "common_neighbors",
+        jac.alias("jaccard"),
+        aa.alias("adamic_adar"),
+        (F.col("dx") * F.col("dy")).alias("pref_attach"),
+    )

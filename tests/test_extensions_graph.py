@@ -380,3 +380,76 @@ def test_iterative_operator_persists_release_by_label(spark):
     pagerank(edges, iters=2).count()
     assert release_registered("pagerank") == 2
     assert release_registered() == 0
+
+
+# ------------------------------------------------------------ link_prediction
+
+
+def _lp_edges(spark):
+    # triangle {1,2,3} plus a tail 3-4-5
+    return spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], ["src", "dst"]
+    )
+
+
+def test_link_prediction_hand_computed(spark):
+    import math
+
+    from pd_utils_spark.extensions.graph import link_prediction
+
+    out = {
+        (r["a"], r["b"]): r
+        for r in link_prediction(_lp_edges(spark)).collect()
+    }
+    # distance-2 non-edges only: (1,4),(2,4) via center 3; (3,5) via 4
+    assert set(out) == {(1, 4), (2, 4), (3, 5)}
+    r14 = out[(1, 4)]
+    assert r14["common_neighbors"] == 1
+    assert abs(r14["adamic_adar"] - 1 / math.log(3)) < 1e-12
+    assert abs(r14["jaccard"] - 1 / 3) < 1e-12
+    assert r14["pref_attach"] == 4  # deg(1)=2 * deg(4)=2
+    r35 = out[(3, 5)]
+    assert abs(r35["adamic_adar"] - 1 / math.log(2)) < 1e-12
+    assert abs(r35["jaccard"] - 1 / 3) < 1e-12  # 1/(3+1-1)
+    assert r35["pref_attach"] == 3
+
+
+def test_link_prediction_include_existing(spark):
+    from pd_utils_spark.extensions.graph import link_prediction
+
+    out = {
+        (r["a"], r["b"]): r["common_neighbors"]
+        for r in link_prediction(_lp_edges(spark), include_existing=True).collect()
+    }
+    # the triangle's own edges each share exactly one neighbor
+    assert out[(1, 2)] == 1 and out[(1, 3)] == 1 and out[(2, 3)] == 1
+    assert set(out) == {(1, 2), (1, 3), (2, 3), (1, 4), (2, 4), (3, 5)}
+
+
+def test_link_prediction_center_degree_cap(spark):
+    from pd_utils_spark.extensions.graph import link_prediction
+
+    out = {
+        (r["a"], r["b"]): r
+        for r in link_prediction(_lp_edges(spark), max_center_degree=2).collect()
+    }
+    # center 3 (deg 3) is dropped: its wedges (1,4),(2,4) vanish;
+    # (3,5) survives via center 4 (deg 2) and keeps EXACT endpoint
+    # degrees (deg(3)=3 uncapped in jaccard/pref_attach)
+    assert set(out) == {(3, 5)}
+    assert out[(3, 5)]["pref_attach"] == 3
+
+
+def test_link_prediction_direction_and_dups_ignored(spark):
+    from pd_utils_spark.extensions.graph import link_prediction
+
+    doubled = spark.createDataFrame(
+        [(2, 1), (1, 2), (3, 2), (3, 1), (4, 3), (5, 4), (5, 4)],
+        ["src", "dst"],
+    )
+    a = {(r["a"], r["b"]): tuple(r) for r in link_prediction(doubled).collect()}
+    b = {
+        (r["a"], r["b"]): tuple(r)
+        for r in link_prediction(_lp_edges(spark)).collect()
+    }
+    assert a == b
