@@ -6579,6 +6579,76 @@ def q_streaming_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constant-state streaming quantiles driven through the engine
+    end-to-end (streaming/stateful.py streaming_sample_quantiles):
+    events split into TWO parquet files consumed as TWO asserted
+    micro-batches; per batch, the per-event_type bottom-k-by-hash
+    sample merges into the accumulated sample (deterministic
+    sort-truncate — state is batch-boundary-INSENSITIVE bit-for-bit,
+    unlike HLL, and equals the batch twin; the pytest pins both) and
+    a quantile snapshot overwrites. k=4096 exceeds every group's row
+    count at the correctness SFs (~2000/type at sf0.01), so the
+    sample IS the distribution and q25/q50/q75 are EXACT order
+    statistics — the oracle states them from first principles
+    (row_number = ceil(q*n)); the hash match certifies the
+    cross-batch merge arithmetic exactly."""
+    import shutil
+    import tempfile
+
+    from pd_utils_spark.streaming.stateful import streaming_sample_quantiles
+
+    base = tempfile.mkdtemp(prefix="pus_qstream_")
+    try:
+        ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+        src = f"{base}/src"
+        ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        raw_schema = spark.read.parquet(src).schema
+        sdf = (
+            spark.readStream.schema(raw_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        with _stream_state_partitions(spark):
+            q = streaming_sample_quantiles(
+                sdf,
+                output_dir=f"{base}/out",
+                sample_dir=f"{base}/sm",
+                checkpoint_dir=f"{base}/ckpt",
+                byvars="event_type",
+                col="value",
+                id_cols="event_id",
+                k=4096,
+                qs=(0.25, 0.5, 0.75),
+                available_now=True,
+            )
+            q.awaitTermination()
+            data_batches = sum(
+                1 for p in q.recentProgress if p["numInputRows"] > 0
+            )
+            if data_batches != 2:
+                raise AssertionError(
+                    "streaming_quantiles expects TWO micro-batches "
+                    f"(cross-batch merge exercised); ran {data_batches}"
+                )
+        out = spark.read.parquet(f"{base}/out").select(
+            "event_type", "q25", "q50", "q75", "n_sampled", "as_of_batch"
+        )
+        rows = out.collect()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "event_type string, q25 double, q50 double, q75 double, "
+        "n_sampled bigint, as_of_batch bigint",
+    )
+
+
 def q_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (extensions/bpe.py, Sennrich
     et al. 2016): five merge iterations over the documents corpus —
@@ -7069,6 +7139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_sketch": q_quantile_sketch,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "streaming_hll_distinct": q_streaming_hll_distinct,
+        "streaming_quantiles": q_streaming_quantiles,
         "bpe_learn": q_bpe_learn,
         "bpe_compression": q_bpe_compression,
         "bpe_vocab": q_bpe_vocab,
@@ -14558,6 +14629,25 @@ def oracle_sql() -> dict[str, str]:
                count(DISTINCT user_id)::BIGINT AS distinct_estimate,
                1::BIGINT AS as_of_batch
         FROM events GROUP BY event_type
+    """
+    d["streaming_quantiles"] = """
+        WITH r AS (
+            SELECT event_type, value,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY value) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS m
+            FROM events WHERE value IS NOT NULL
+        )
+        SELECT event_type,
+               max(CASE WHEN rn = greatest(1, ceil(0.25 * m))
+                        THEN value END) AS q25,
+               max(CASE WHEN rn = greatest(1, ceil(0.5 * m))
+                        THEN value END) AS q50,
+               max(CASE WHEN rn = greatest(1, ceil(0.75 * m))
+                        THEN value END) AS q75,
+               max(m)::BIGINT AS n_sampled,
+               1::BIGINT AS as_of_batch
+        FROM r GROUP BY event_type
     """
     d["variant_extract"] = """
         SELECT event_type,

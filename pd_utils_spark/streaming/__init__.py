@@ -9,6 +9,7 @@ from pd_utils_spark.streaming.stateful import (
     streaming_distinct_hll,
     streaming_greedy_band_dedup,
     streaming_minhash_dedup,
+    streaming_sample_quantiles,
     streaming_sessionize,
 )
 from pd_utils_spark.streaming.windows import (

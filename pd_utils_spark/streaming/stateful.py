@@ -384,6 +384,86 @@ def streaming_distinct_hll(
     return writer.start()
 
 
+def streaming_sample_quantiles(
+    sdf: DataFrame,
+    output_dir: str,
+    sample_dir: str,
+    checkpoint_dir: str,
+    byvars: str | Sequence[str] = "event_type",
+    col: str = "value",
+    id_cols: str | Sequence[str] = "event_id",
+    k: int = 512,
+    qs: Sequence[float] = (0.25, 0.5, 0.75),
+    available_now: bool = False,
+):
+    """Streaming per-group QUANTILES with constant-size state: per
+    micro-batch, bottom-k-by-hash sample the batch's ``col`` rows per
+    group (``extensions/sketches.py sample_sketch_by`` — the batch
+    twin), merge into the accumulated per-group sample via
+    ``bottomk_rollup``, and overwrite a quantile snapshot at
+    ``output_dir`` (one row per group: ``q<pct>`` for each requested
+    quantile, ``n_sampled``, ``as_of_batch``).
+
+    State is ``groups x k`` (hash, value) structs FOREVER — the
+    streaming answer to "p50/p95 per segment, updated continuously"
+    without keeping every observation. Rank error ~sqrt(q(1-q)/k);
+    while a group's rows fit in ``k`` the sample IS the group and
+    every quantile is EXACT.
+
+    Two properties the HLL row cannot offer, both inherited from the
+    deterministic bottom-k merge: the accumulated state is
+    BATCH-BOUNDARY-INSENSITIVE (any split of the same rows into
+    micro-batches yields bit-identical state — merge is
+    sort-truncate over row-keyed hashes) and equals the batch twin
+    built over the full history in one pass. Replay safety mirrors
+    :func:`streaming_bloom_dedup`: versioned state
+    (``sample_dir/b=<batch>``, committed-``_SUCCESS`` readers), and a
+    retried batch re-merges the SAME rows into a distinct-merge —
+    idempotent by construction.
+
+    Returns the started ``StreamingQuery``.
+    """
+    from pd_utils_spark.extensions.sketches import (
+        bottomk_rollup,
+        quantile_estimate,
+        sample_sketch_by,
+    )
+
+    byvars_l = to_list(byvars)
+    q_names = [f"q{int(round(q * 100))}" for q in qs]
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        fresh = sample_sketch_by(
+            batch_df, byvars_l, col, id_cols=id_cols, k=k, out="sk"
+        )
+        latest = _latest_bloom_version(spark, sample_dir)
+        if latest is not None:
+            old = spark.read.parquet(f"{sample_dir}/b={latest}")
+            fresh = bottomk_rollup(old.unionByName(fresh), byvars_l, "sk", k=k)
+        merged = fresh.localCheckpoint(eager=True)  # consumed twice
+        merged.write.mode("overwrite").parquet(f"{sample_dir}/b={batch_id}")
+        est = quantile_estimate(merged, "sk", list(qs), drop_sketch=False)
+        (
+            est.select(
+                *byvars_l,
+                *q_names,
+                F.size("sk").cast("bigint").alias("n_sampled"),
+                F.lit(batch_id).cast("bigint").alias("as_of_batch"),
+            )
+            .write.mode("overwrite")
+            .parquet(output_dir)
+        )
+        _prune_bloom_versions(spark, sample_dir, keep_from=latest)
+
+    writer = sdf.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def _bloom_versions(
     spark, bloom_dir: str, committed_only: bool = True
 ) -> list[int]:

@@ -1475,3 +1475,111 @@ class TestStreamingDistinctHll:
                 q.stop()
         finally:
             shutil.rmtree(base, ignore_errors=True)
+
+
+class TestStreamingSampleQuantiles:
+    def test_cross_batch_merge_exact_and_equals_batch_twin(self, spark):
+        """Two micro-batches of per-group values; below k the sample
+        IS the group, so every quantile is an exact order statistic
+        after each batch. The accumulated state must also be
+        BIT-IDENTICAL to the batch twin built over the full history
+        in one pass — the deterministic-merge property the HLL row
+        cannot offer."""
+        import os
+        import time
+
+        from pyspark.sql.types import LongType
+
+        base = tempfile.mkdtemp(prefix="qstream_")
+        src, outd, smd, ckpt = (
+            f"{base}/{d}" for d in ("src", "out", "sm", "ckpt")
+        )
+        os.makedirs(src)
+        try:
+            schema = StructType(
+                [
+                    StructField("event_type", StringType()),
+                    StructField("event_id", LongType()),
+                    StructField("value", DoubleType()),
+                ]
+            )
+            b1 = [
+                {"event_type": "g", "event_id": 1, "value": 10.0},
+                {"event_type": "g", "event_id": 2, "value": 20.0},
+                {"event_type": "g", "event_id": 3, "value": 30.0},
+                {"event_type": "h", "event_id": 4, "value": 5.0},
+            ]
+            b2 = [
+                {"event_type": "g", "event_id": 5, "value": 40.0},
+                {"event_type": "g", "event_id": 6, "value": 50.0},
+                {"event_type": "h", "event_id": 7, "value": 15.0},
+            ]
+            with open(f"{src}/b1.json", "w") as f:
+                f.write("\n".join(json.dumps(r) for r in b1))
+            stream = (
+                spark.readStream.format("json")
+                .schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .load(src)
+            )
+            q = W.streaming_sample_quantiles(
+                stream, outd, smd, ckpt,
+                byvars="event_type", col="value", id_cols="event_id",
+                k=16, qs=(0.25, 0.5, 0.75),
+            )
+
+            def snap():
+                try:
+                    return {
+                        r.event_type: (r.q25, r.q50, r.q75, r.n_sampled)
+                        for r in spark.read.parquet(outd).collect()
+                    }
+                except Exception:
+                    return {}
+
+            try:
+                deadline = time.time() + 90
+                while time.time() < deadline and snap().get("g", (0,) * 4)[3] < 3:
+                    time.sleep(1)
+                assert snap() == {
+                    "g": (10.0, 20.0, 30.0, 3),
+                    "h": (5.0, 5.0, 5.0, 1),
+                }
+                with open(f"{src}/b2.json", "w") as f:
+                    f.write("\n".join(json.dumps(r) for r in b2))
+                while time.time() < deadline and snap().get("g", (0,) * 4)[3] < 5:
+                    time.sleep(1)
+                # g = {10..50}: idx ceil(q*5) -> 20/30/40; h = {5,15}
+                assert snap() == {
+                    "g": (20.0, 30.0, 40.0, 5),
+                    "h": (5.0, 5.0, 15.0, 2),
+                }
+                from pd_utils_spark.extensions.sketches import (
+                    sample_sketch_by,
+                )
+                from pd_utils_spark.streaming.stateful import (
+                    _latest_bloom_version,
+                )
+
+                v = _latest_bloom_version(spark, smd)
+                assert v == 1
+                state = {
+                    r.event_type: [tuple(e) for e in r.sk]
+                    for r in spark.read.parquet(f"{smd}/b={v}").collect()
+                }
+                whole = spark.createDataFrame(
+                    [tuple(r.values()) for r in b1 + b2],
+                    ["event_type", "event_id", "value"],
+                )
+                twin = {
+                    r.event_type: [tuple(e) for e in r.sk]
+                    for r in sample_sketch_by(
+                        whole, ["event_type"], "value",
+                        id_cols="event_id", k=16, out="sk",
+                    ).collect()
+                }
+                assert state == twin
+            finally:
+                q.stop()
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
