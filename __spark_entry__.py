@@ -1124,6 +1124,26 @@ def q_jaccard_join_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_doubles(out.select("id_a", "id_b", "jaccard"))
 
 
+def q_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-containment threshold join (extensions/dedup.py
+    containment_join_prefix) over the BOUNDARY corpus — each even-id
+    doc plus a 35/50/65% prefix truncation. This is the relation the
+    Jaccard join structurally misses: a truncation's shingles are
+    (near-)fully contained in its original (containment ~1.0) while
+    its Jaccard sits at ~0.35-0.65, below any dedup threshold.
+    Probe-side rare-first prefix filter + full container index +
+    length and positional prunes; exactness rests on the verify join.
+    The oracle is BRUTE-FORCE ordered-pair containment over the same
+    md5 token sets in DuckDB, so the hash match certifies complete
+    recall: every qualifying (contained, container) pair, none
+    invented."""
+    u = _docs_boundary(spark, sf_dir)
+    out = pus_dedup.containment_join_prefix(u, threshold=0.9, k=3)
+    return _round_doubles(
+        out.select("id_contained", "id_container", "containment")
+    )
+
+
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive dedup keeping the BEST-scoring doc per cluster
     (extensions/dedup.py dedup_keep_best): verified Jaccard>=0.5
@@ -6943,6 +6963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signature": q_minhash_signature,
         "lsh_jaccard_pairs": q_lsh_jaccard_pairs,
         "jaccard_join_prefix": q_jaccard_join_prefix,
+        "containment_join": q_containment_join,
         "connected_components": q_connected_components,
         "dedup_connected": q_dedup_connected,
         "dedup_keep_best": q_dedup_keep_best,
@@ -9316,6 +9337,27 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id_a, id_b, round(i / un, 6) AS jaccard
             FROM pairs WHERE i / un >= 0.8
+        """,
+        "containment_join": f"""
+            WITH u AS ({_SQL_DOCS_BOUNDARY}),
+            sets AS (
+                SELECT doc_id,
+                       list_transform(
+                           list_filter({_sql_shingles_k(3)},
+                                       t -> length(t) > 0),
+                           t -> ('0x' || substr(md5(t), 1, 15))::BIGINT)
+                           AS toks
+                FROM u
+            ),
+            ne AS (SELECT doc_id, toks FROM sets WHERE len(toks) > 0),
+            pairs AS (
+                SELECT a.doc_id AS id_contained, b.doc_id AS id_container,
+                       len(list_intersect(a.toks, b.toks))::DOUBLE
+                           / len(a.toks)::DOUBLE AS c
+                FROM ne a JOIN ne b ON a.doc_id <> b.doc_id
+            )
+            SELECT id_contained, id_container, round(c, 6) AS containment
+            FROM pairs WHERE c >= 0.9
         """,
         "lsh_jaccard_pairs": f"""
             WITH u AS ({_SQL_DOC_UNION}),

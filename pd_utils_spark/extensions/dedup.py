@@ -2547,6 +2547,165 @@ def jaccard_join_prefix(
     return result
 
 
+def containment_join_prefix(
+    df: DataFrame,
+    textcol: str = "text",
+    idcol: str = "doc_id",
+    threshold: float = 0.9,
+    k: int = 3,
+    shingles: DataFrame | None = None,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """EXACT set-CONTAINMENT threshold join: every ORDERED pair of
+    documents where ``|A ∩ B| / |A| >= threshold`` — doc A's shingle
+    set is (near-)contained in doc B's — as ``(id_contained,
+    id_container, containment)``. This is the asymmetric relation
+    :func:`jaccard_join_prefix` structurally misses: a truncation
+    keeping fraction f of a document has Jaccard ~= f against its
+    original (below any sensible threshold at f=0.35) but containment
+    ~= 1.0 — quotes, excerpts, prefix crawls and subsumed revisions
+    are containment phenomena, not Jaccard ones. Near-identical pairs
+    qualify in BOTH directions and emit two rows.
+
+    Filter theorem (probe-side prefix, the set-containment-join
+    adaptation of AllPairs): order A's tokens by the global
+    rare-first order; if at least ``t*|A|`` of A's tokens are in B, at
+    most ``(1-t)*|A|`` are missing, so A shares a token with B inside
+    A's first ``n - ceil(t*n) + 1`` tokens. The CONTAINER side has no
+    prefix lemma (B may contain A anywhere), so B's full token list
+    is indexed — candidates are A-prefix x B-inverted-index joins.
+    A's prefix holds its RAREST tokens, so bucket products stay on
+    the small tail of the frequency distribution; the one flood mode
+    left is a tiny doc made ENTIRELY of boilerplate tokens (its
+    prefix is forced into hot buckets). ``max_bucket`` (default None
+    = exact) caps container-index buckets for that case — capping
+    TRADES EXACT RECALL for flood protection (dropped rows surface on
+    the ``containment_bucket`` observe metric), unlike every other
+    filter here, which only prunes pairs the verify join would
+    reject. Two more always-safe prunes: the length filter (``|B| >=
+    t*|A|`` since the intersection fits in B) and the positional
+    bound (a first shared token at 1-based position ``pa`` of A
+    leaves at most ``|A| - pa + 1`` overlapping tokens, which must
+    reach ``ceil(t*|A|)``; keeping pairs where ANY match passes is
+    safe because the FIRST shared token also matches and its bound is
+    the tightest). Exactness rests on the verify join over the two
+    bounded token arrays, never on the filters.
+
+    Scale shape mirrors :func:`jaccard_join_prefix`: one
+    token-frequency agg, one join back + per-doc array sort, one
+    prefix/index explode + equi-join, one verify join; the same TWO
+    persisted frames are registered under
+    ``"containment_join_prefix"`` (see the cache note there).
+    ``shingles``: optional precomputed :func:`shingle_sets` frame to
+    share shingle construction across stages."""
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1]: {threshold}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    if shingles is None:
+        if k == 1:
+            sets = F.array_distinct(_tokens(_norm(F.col(textcol))))
+        else:
+            sets = _shingle_set(F.col(textcol), k)
+        exploded = df.select(
+            F.col(idcol).alias("__id__"), F.explode(sets).alias("__raw__")
+        )
+    else:
+        exploded = shingles.select(
+            F.col(idcol).alias("__id__"),
+            F.explode(F.col("shingles")).alias("__raw__"),
+        )
+    from pyspark import StorageLevel
+
+    toks = (
+        exploded
+        .filter(F.length("__raw__") > 0)
+        .select(
+            "__id__",
+            F.conv(F.substring(F.md5("__raw__"), 1, 15), 16, 10)
+            .cast("bigint")
+            .alias("__tok__"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    dfreq = toks.groupBy("__tok__").agg(F.count(F.lit(1)).alias("__df__"))
+    sorted_docs = (
+        toks.join(dfreq, "__tok__")
+        .groupBy("__id__")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("__df__", "__tok__"))
+            ).alias("__arr__")
+        )
+        .select(
+            "__id__",
+            F.transform(F.col("__arr__"), lambda s: s["__tok__"]).alias(
+                "__toks__"
+            ),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n = F.size("__toks__")
+    t_lit = F.lit(float(threshold))
+    plen = (n - F.ceil(t_lit * n - F.lit(1e-9)) + 1).cast("int")
+    probes = sorted_docs.select(
+        "__id__",
+        n.alias("__n__"),
+        F.posexplode(F.slice("__toks__", 1, plen)).alias(
+            "__pos__", "__tok__"
+        ),
+    )
+    # doc-size column named __dn__ on the index side: _cap_buckets
+    # uses (and drops) __n__ internally for its bucket counts
+    index = sorted_docs.select(
+        "__id__",
+        n.alias("__dn__"),
+        F.explode("__toks__").alias("__tok__"),
+    )
+    if max_bucket is not None:
+        index = _cap_buckets(index, ["__tok__"], max_bucket, "containment_bucket")
+    na, nb = F.col("a.__n__"), F.col("b.__dn__")
+    pa = F.col("a.__pos__") + 1
+    need = F.ceil(t_lit * na.cast("double") - F.lit(1e-9))
+    cand = (
+        probes.alias("a")
+        .join(
+            index.alias("b"),
+            (F.col("a.__tok__") == F.col("b.__tok__"))
+            & (F.col("a.__id__") != F.col("b.__id__"))
+            & (nb.cast("double") >= t_lit * na.cast("double") - F.lit(1e-9))
+            & ((na - pa + F.lit(1)) >= need),
+        )
+        .select(
+            F.col("a.__id__").alias("id_contained"),
+            F.col("b.__id__").alias("id_container"),
+        )
+        .distinct()
+    )
+    left = sorted_docs.select(
+        F.col("__id__").alias("id_contained"),
+        F.col("__toks__").alias("__ta__"),
+    )
+    right = sorted_docs.select(
+        F.col("__id__").alias("id_container"),
+        F.col("__toks__").alias("__tb__"),
+    )
+    inter = F.size(F.array_intersect("__ta__", "__tb__")).cast("double")
+    result = (
+        cand.join(left, "id_contained")
+        .join(right, "id_container")
+        .select(
+            "id_contained",
+            "id_container",
+            (inter / F.size("__ta__").cast("double")).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+    result._pus_persisted = [toks, sorted_docs]
+    register_persisted("containment_join_prefix", [toks, sorted_docs])
+    return result
+
+
 def dedup_keep_best(
     df: DataFrame,
     pairs: DataFrame,

@@ -1325,3 +1325,118 @@ class TestBloomDedup:
         }
         assert all(flags[100 + i] for i in range(5))
         assert not any(flags[200 + i] for i in range(25))
+
+
+# ------------------------------------------------------- containment join
+
+
+class TestContainmentJoinPrefix:
+    def _corpus(self, spark):
+        base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+        rows = [
+            (1, base),                                   # full doc
+            (2, "alpha bravo charlie delta echo foxtrot"),  # prefix of 1
+            (3, base),                                   # exact copy of 1
+            (4, "zulu yankee xray whiskey victor uniform"),  # unrelated
+        ]
+        return spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def test_prefix_containment_found_jaccard_misses(self, spark):
+        from pd_utils_spark.extensions.dedup import (
+            containment_join_prefix,
+            jaccard_join_prefix,
+        )
+
+        u = self._corpus(spark)
+        got = {
+            (r["id_contained"], r["id_container"]): r["containment"]
+            for r in containment_join_prefix(u, threshold=0.9, k=1).collect()
+        }
+        # doc 2's words are all in 1 and 3 (containment 1.0, both
+        # directions FAIL jaccard 0.9: J = 6/10); copies 1<->3 qualify
+        # both ways
+        assert got == {
+            (2, 1): 1.0,
+            (2, 3): 1.0,
+            (1, 3): 1.0,
+            (3, 1): 1.0,
+        }
+        jac = {
+            (r["id_a"], r["id_b"])
+            for r in jaccard_join_prefix(u, threshold=0.9, k=1).collect()
+        }
+        assert jac == {(1, 3)}  # jaccard sees only the exact copy
+
+    def test_threshold_dials_partial_containment(self, spark):
+        from pd_utils_spark.extensions.dedup import containment_join_prefix
+
+        u = spark.createDataFrame(
+            [
+                (1, "one two three four five six seven eight nine ten"),
+                (2, "one two three four five six seven eleven"),  # 7/8 in 1
+            ],
+            ["doc_id", "text"],
+        )
+        at_9 = containment_join_prefix(u, threshold=0.9, k=1).collect()
+        assert at_9 == []  # 7/8 = 0.875 < 0.9
+        at_8 = {
+            (r["id_contained"], r["id_container"]): round(r["containment"], 6)
+            for r in containment_join_prefix(u, threshold=0.8, k=1).collect()
+        }
+        assert at_8 == {(2, 1): 0.875}
+
+    def test_exact_vs_brute_force_on_shingles(self, spark):
+        """k=3 shingles against a pure-Python brute force over the
+        same md5 token sets — no qualifying ordered pair missed, none
+        invented, at two thresholds."""
+        import hashlib
+
+        from pd_utils_spark.extensions.dedup import containment_join_prefix
+
+        texts = {
+            1: "the quick brown fox jumps over the lazy dog today",
+            2: "the quick brown fox jumps over",            # truncation
+            3: "quick brown fox jumps over the lazy dog",   # inner slice
+            4: "a completely different document about spark joins",
+            5: "the quick brown fox jumps over the lazy dog today",  # copy
+        }
+
+        def shingle_set(t):
+            w = t.split()
+            return {
+                " ".join(w[i : i + 3]) for i in range(len(w) - 2)
+            }
+
+        def fp(s):
+            return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+        sets = {i: {fp(s) for s in shingle_set(t)} for i, t in texts.items()}
+        u = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+        for t in (0.9, 0.6):
+            want = {
+                (a, b): len(sa & sets[b]) / len(sa)
+                for a, sa in sets.items()
+                for b in sets
+                if a != b and len(sa & sets[b]) / len(sa) >= t
+            }
+            got = {
+                (r["id_contained"], r["id_container"]): r["containment"]
+                for r in containment_join_prefix(
+                    u, threshold=t, k=3
+                ).collect()
+            }
+            assert got == pytest.approx(want), f"threshold {t}"
+
+    def test_bucket_cap_trades_recall_with_metric(self, spark):
+        from pd_utils_spark.extensions.dedup import containment_join_prefix
+
+        # 30 docs all sharing one hot word; cap of 5 guts the index
+        rows = [(i, f"common word{i} other{i}") for i in range(30)]
+        rows.append((99, "common"))  # 1-token doc fully contained anywhere
+        u = spark.createDataFrame(rows, ["doc_id", "text"])
+        exact = containment_join_prefix(u, threshold=1.0, k=1).collect()
+        assert {(r["id_contained"]) for r in exact} == {99}
+        capped = containment_join_prefix(
+            u, threshold=1.0, k=1, max_bucket=5
+        ).collect()
+        assert len(capped) < len(exact)
