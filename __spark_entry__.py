@@ -6488,7 +6488,14 @@ def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = left.join(right, F.col("pa") < F.col("pb"))
     return (
         pus_sk.kmv_pair_ops(pairs, "ska", "skb", k=k)
-        .select("pa", "pb", "union_est", "intersect_est", "jaccard_est")
+        .select(
+            "pa",
+            "pb",
+            "union_est",
+            "intersect_est",
+            "jaccard_est",
+            F.round("containment_est", 6).alias("containment_est"),
+        )
         .orderBy("pa", "pb")
     )
 
@@ -14745,7 +14752,8 @@ def oracle_sql() -> dict[str, str]:
         SELECT pa, pb,
                (na.n + nb.n - i)::BIGINT AS union_est,
                i::BIGINT AS intersect_est,
-               i::DOUBLE / (na.n + nb.n - i) AS jaccard_est
+               i::DOUBLE / (na.n + nb.n - i) AS jaccard_est,
+               round(least(i::DOUBLE / na.n, 1.0), 6) AS containment_est
         FROM inter
         JOIN cnt na ON na.p = pa
         JOIN cnt nb ON nb.p = pb

@@ -499,8 +499,12 @@ def kmv_pair_ops(
     k-sample of the union, so: ``union_est`` = KMV estimate of the
     merged sketch; ``jaccard_est`` = fraction of that sample present
     in BOTH inputs; ``intersect_est`` = round(jaccard * union). All
-    three are exact when the true union fits in ``k``. Pure map on
-    the sketch frame (rows = group pairs, not corpus rows)."""
+    three are exact when the true union fits in ``k``. Also emits
+    ``containment_est`` = intersection / |A| (the asymmetric overlap
+    ``extensions/dedup.py containment_join_prefix`` computes exactly
+    — this is its sketch-approximate twin for corpus-scale pair
+    screening). Pure map on the sketch frame (rows = group pairs,
+    not corpus rows)."""
     L = F.slice(
         F.array_sort(F.array_distinct(F.concat(F.col(sketch_a), F.col(sketch_b)))),
         1,
@@ -513,6 +517,12 @@ def kmv_pair_ops(
         F.array_intersect(F.array_intersect(L, F.col(sketch_a)), F.col(sketch_b))
     )
     jac = F.when(m > 0, shared.cast("double") / m).otherwise(F.lit(0.0))
+    n_a = F.size(F.col(sketch_a))
+    u_a = F.greatest(_u01(F.element_at(F.col(sketch_a), int(k))), F.lit(1e-18))
+    a_est = F.when(n_a < int(k), n_a.cast("double")).otherwise(
+        F.lit(k - 1) / u_a
+    )
+    cont = F.when(a_est > 0, jac * union_est / a_est).otherwise(F.lit(0.0))
     return (
         df.withColumn(f"{prefix}union_est", F.round(union_est).cast("bigint"))
         .withColumn(f"{prefix}jaccard_est", jac)
@@ -520,6 +530,7 @@ def kmv_pair_ops(
             f"{prefix}intersect_est",
             F.round(jac * union_est).cast("bigint"),
         )
+        .withColumn(f"{prefix}containment_est", F.least(cont, F.lit(1.0)))
     )
 
 

@@ -69,6 +69,9 @@ JOIN_HEAVY = [
     # driven too (block self-join + levenshtein verify, CC closure)
     "linkage_pairs",
     "entity_match",
+    # r8 continuation: exact containment join (probe prefix x full
+    # container inverted index over the boundary corpus)
+    "containment_join",
 ]
 
 # table -> id columns shifted per copy (keeps join/group semantics:

@@ -231,10 +231,12 @@ def test_kmv_pair_ops_exact_when_union_fits(spark, kmv_groups):
     a = sks.filter(F.col("g") == 0).select(F.col("v_kmv").alias("ska"))
     b = sks.filter(F.col("g") == 1).select(F.col("v_kmv").alias("skb"))
     out = sk.kmv_pair_ops(a.crossJoin(b), "ska", "skb", k=1024).first()
-    # union 600, intersection 200, jaccard 1/3 — exact in this regime
+    # union 600, intersection 200, jaccard 1/3 — exact in this regime;
+    # containment = |A∩B|/|A| = 200/400
     assert out["union_est"] == 600
     assert out["intersect_est"] == 200
     assert abs(out["jaccard_est"] - 200 / 600) < 1e-12
+    assert abs(out["containment_est"] - 0.5) < 1e-9
 
 
 def test_kmv_pair_ops_estimates_above_k(spark):

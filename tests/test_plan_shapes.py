@@ -948,3 +948,56 @@ class TestRound6LateShapes:
         assert "Generate" not in plan  # no explode anywhere
         assert "Join" not in plan
         assert "CartesianProduct" not in plan
+
+
+class TestRound8ContinuationShapes:
+    def test_containment_join_no_cartesian_no_window_two_persists(self, spark):
+        """containment_join_prefix (uncapped = exact): candidates come
+        from a token equi-join (never a cross product), keeper logic
+        is agg/join (no window anywhere in the exact path), and the
+        same TWO frames persist as in jaccard_join_prefix."""
+        from pd_utils_spark.extensions.dedup import containment_join_prefix
+
+        jsc = spark.sparkContext._jsc.sc()
+        before = jsc.getPersistentRDDs().size()
+        docs = spark.createDataFrame(
+            [(i, f"alpha beta gamma delta epsilon zeta {i}") for i in range(8)],
+            "doc_id int, text string",
+        )
+        out = containment_join_prefix(docs, threshold=0.8)
+        try:
+            plan = plan_of(out)
+            assert "CartesianProduct" not in plan
+            assert "windowspecdefinition" not in plan.lower()
+            out.count()
+            assert jsc.getPersistentRDDs().size() == before + 2
+        finally:
+            spark.catalog.clearCache()
+
+    def test_link_prediction_agg_join_shape(self, spark):
+        """link_prediction: wedge equi-join + ONE partial-combinable
+        hash agg on the pair key; degree attach is equi-joins; no
+        window, no cartesian."""
+        from pd_utils_spark.extensions.graph import link_prediction
+
+        edges = spark.createDataFrame(
+            [(i, (i * 2 + 1) % 10) for i in range(20)], "src int, dst int"
+        )
+        plan = plan_of(link_prediction(edges))
+        assert "CartesianProduct" not in plan
+        assert "windowspecdefinition" not in plan.lower()
+        assert "partial_count" in plan  # map-side combine on pair agg
+
+    def test_sample_sketch_prefilter_partial_aggs(self, spark):
+        """sample_sketch_by's two passes both partial-aggregate: the
+        row-count cutoff pass and the bounded collect_list pass —
+        shuffles carry group-sized state."""
+        from pd_utils_spark.extensions.sketches import sample_sketch_by
+
+        df = spark.createDataFrame(
+            [(i % 3, i, float(i)) for i in range(30)], "g int, rid int, x double"
+        )
+        plan = plan_of(sample_sketch_by(df, ["g"], "x", id_cols=["rid"], k=8))
+        assert "partial_count" in plan
+        assert "partial_collect_set" in plan
+        assert "windowspecdefinition" not in plan.lower()
