@@ -1144,6 +1144,20 @@ def q_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subsumption dedup (extensions/dedup.py dedup_containment) on
+    the boundary corpus: every truncation 90%-contained in a larger
+    doc is dropped, exact-copy ties keep the smaller id, and the
+    drop rule is ONE PASS against the corpus (see the operator
+    docstring for why chains through dropped intermediates are
+    deliberately not chased below t=1.0). The oracle replays the
+    brute-force rule: drop a iff some b with containment >= 0.9 is
+    bigger (or equal-size with smaller id)."""
+    u = _docs_boundary(spark, sf_dir)
+    out = pus_dedup.dedup_containment(u, threshold=0.9, k=3)
+    return out.select("doc_id")
+
+
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive dedup keeping the BEST-scoring doc per cluster
     (extensions/dedup.py dedup_keep_best): verified Jaccard>=0.5
@@ -6971,6 +6985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_jaccard_pairs": q_lsh_jaccard_pairs,
         "jaccard_join_prefix": q_jaccard_join_prefix,
         "containment_join": q_containment_join,
+        "dedup_containment": q_dedup_containment,
         "connected_components": q_connected_components,
         "dedup_connected": q_dedup_connected,
         "dedup_keep_best": q_dedup_keep_best,
@@ -9365,6 +9380,30 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id_contained, id_container, round(c, 6) AS containment
             FROM pairs WHERE c >= 0.9
+        """,
+        "dedup_containment": f"""
+            WITH u AS ({_SQL_DOCS_BOUNDARY}),
+            sets AS (
+                SELECT doc_id,
+                       list_transform(
+                           list_filter({_sql_shingles_k(3)},
+                                       t -> length(t) > 0),
+                           t -> ('0x' || substr(md5(t), 1, 15))::BIGINT)
+                           AS toks
+                FROM u
+            ),
+            ne AS (SELECT doc_id, toks FROM sets WHERE len(toks) > 0),
+            dropped AS (
+                SELECT DISTINCT a.doc_id
+                FROM ne a JOIN ne b ON a.doc_id <> b.doc_id
+                WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+                          / len(a.toks)::DOUBLE >= 0.9
+                  AND (len(b.toks) > len(a.toks)
+                       OR (len(b.toks) = len(a.toks)
+                           AND b.doc_id < a.doc_id))
+            )
+            SELECT doc_id FROM u
+            WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
         """,
         "lsh_jaccard_pairs": f"""
             WITH u AS ({_SQL_DOC_UNION}),

@@ -2706,6 +2706,74 @@ def containment_join_prefix(
     return result
 
 
+def dedup_containment(
+    df: DataFrame,
+    textcol: str = "text",
+    idcol: str = "doc_id",
+    threshold: float = 0.9,
+    k: int = 3,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Subsumption dedup: drop every document whose shingle set is
+    ``>= threshold`` contained in a LARGER document's (ties on size
+    broken toward the smaller id, so exact copies keep exactly one
+    survivor) — truncations, quoted excerpts and prefix re-crawls
+    collapse into their fullest version, the case Jaccard-threshold
+    dedup leaves behind. Returns the surviving rows of ``df``.
+
+    The drop rule is deliberately ONE-PASS against the original
+    corpus, not iterated-to-survivors: a doc is dropped when ANY
+    strictly-(bigger, or equal-size smaller-id) doc contains it. At
+    ``threshold=1.0`` exact subset-ness is transitive, so the
+    survivor set equals the maximal sets and iteration would change
+    nothing; below 1.0 approximate containment does not compose
+    (A 90%-in-B and B 90%-in-C does not bound A-in-C), so chasing
+    chains through dropped intermediates would delete content no
+    surviving doc actually covers — the one-pass rule never does.
+    Deterministic on any partitioning (the orientation is a total
+    order on (size, id)).
+
+    Scale shape: :func:`containment_join_prefix` (its cost profile
+    and ``max_bucket`` tradeoff apply verbatim) plus one size lookup
+    join and one left-anti join back to ``df``."""
+    pairs = containment_join_prefix(
+        df,
+        textcol=textcol,
+        idcol=idcol,
+        threshold=threshold,
+        k=k,
+        max_bucket=max_bucket,
+    )
+    if k == 1:
+        sets = F.array_distinct(_tokens(_norm(F.col(textcol))))
+    else:
+        sets = _shingle_set(F.col(textcol), k)
+    sizes = df.select(
+        F.col(idcol).alias("__sid__"),
+        F.size(F.array_remove(sets, "")).alias("__sz__"),
+    )
+    sa = sizes.select(
+        F.col("__sid__").alias("id_contained"), F.col("__sz__").alias("__na__")
+    )
+    sb = sizes.select(
+        F.col("__sid__").alias("id_container"), F.col("__sz__").alias("__nb__")
+    )
+    dropped = (
+        pairs.join(sa, "id_contained")
+        .join(sb, "id_container")
+        .filter(
+            (F.col("__nb__") > F.col("__na__"))
+            | (
+                (F.col("__nb__") == F.col("__na__"))
+                & (F.col("id_container") < F.col("id_contained"))
+            )
+        )
+        .select(F.col("id_contained").alias(idcol))
+        .distinct()
+    )
+    return df.join(dropped, idcol, "left_anti")
+
+
 def dedup_keep_best(
     df: DataFrame,
     pairs: DataFrame,

@@ -263,6 +263,23 @@ def _gen_greedy_corpus(rng) -> dict:
     return docs
 
 
+def ref_containment(docs: dict, t: float, k: int) -> dict:
+    """Pure-Python replay of containment_join_prefix: ordered pairs
+    with |A∩B|/|A| >= t over the same shingle sets (empty-set docs
+    produce no rows on either side)."""
+    sets = {i: _ref_shingles(d, k) for i, d in docs.items()}
+    sets = {i: s for i, s in sets.items() if s and s != frozenset([""])}
+    out = {}
+    for a, sa in sets.items():
+        for b, sb in sets.items():
+            if a == b:
+                continue
+            c = len(sa & sb) / len(sa)
+            if c >= t:
+                out[(a, b)] = round(c, 9)
+    return out
+
+
 def main() -> None:
     n_examples = 200
     seed = 7
@@ -372,10 +389,31 @@ def main() -> None:
                 f"LINKAGE MISMATCH ex={ex} blocker={lblk} max_dist={lmax} "
                 f"min_tok={lmin} cap={lcap} docs={ldocs}\n got={got_l}\n want={want_l}"
             )
+        # exact containment join (r8 continuation): Spark operator vs
+        # brute-force ordered-pair replay on the greedy corpus (it is
+        # rich in copies and truncations — the containment-heavy shape)
+        from pd_utils_spark.extensions.dedup import containment_join_prefix
+
+        ct = rng.choice([0.5, 0.7, 0.9, 1.0])
+        ck = rng.randint(1, 3)
+        cdf = spark.createDataFrame(list(gdocs.items()), ["doc_id", "text"])
+        got_c = {
+            (r.id_contained, r.id_container): round(r.containment, 9)
+            for r in containment_join_prefix(
+                cdf, threshold=ct, k=ck
+            ).collect()
+        }
+        want_c = ref_containment(gdocs, ct, ck)
+        if got_c != want_c:
+            fails += 1
+            print(
+                f"CONTAIN MISMATCH ex={ex} t={ct} k={ck} docs={gdocs}\n"
+                f" got={got_c}\n want={want_c}"
+            )
         if (ex + 1) % 25 == 0:
             print(f"# {ex + 1}/{n_examples} examples, {fails} failures",
                   flush=True)
-    print(f"RESULT: {n_examples} examples x 4 operators, {fails} failures, seed={seed}")
+    print(f"RESULT: {n_examples} examples x 5 operators, {fails} failures, seed={seed}")
     sys.exit(1 if fails else 0)
 
 

@@ -1440,3 +1440,61 @@ class TestContainmentJoinPrefix:
             u, threshold=1.0, k=1, max_bucket=5
         ).collect()
         assert len(capped) < len(exact)
+
+
+class TestDedupContainment:
+    def test_truncation_and_copy_collapse_to_fullest(self, spark):
+        from pd_utils_spark.extensions.dedup import dedup_containment
+
+        base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+        u = spark.createDataFrame(
+            [
+                (1, base),
+                (2, "alpha bravo charlie delta echo foxtrot"),  # prefix of 1
+                (3, base),                                       # copy of 1
+                (4, "zulu yankee xray whiskey victor uniform"),  # unrelated
+            ],
+            ["doc_id", "text"],
+        )
+        got = {
+            r["doc_id"] for r in dedup_containment(u, threshold=0.9, k=1).collect()
+        }
+        # 2 subsumed by 1; the copy pair keeps the smaller id; 4 untouched
+        assert got == {1, 4}
+
+    def test_one_pass_rule_keeps_noncovered_doc(self, spark):
+        """A 90%-in-B, B 90%-in-C, but A NOT 90%-in-C: the one-pass
+        rule drops B (in C) and A (in B) — A's drop is justified by B
+        as a MEMBER OF THE CORPUS, not of the survivor set; the
+        docstring states exactly this contract."""
+        from pd_utils_spark.extensions.dedup import dedup_containment
+
+        # token sets engineered: A={1..10}, B={1..9,x}, C={2..10,x,y,z}
+        A = " ".join(f"w{i}" for i in range(1, 11))
+        B = " ".join([f"w{i}" for i in range(1, 10)] + ["xx"])
+        C = " ".join([f"w{i}" for i in range(2, 11)] + ["xx", "yy", "zz"])
+        u = spark.createDataFrame(
+            [(1, A), (2, B), (3, C)], ["doc_id", "text"]
+        )
+        got = {
+            r["doc_id"]
+            for r in dedup_containment(u, threshold=0.9, k=1).collect()
+        }
+        # C(A->B)=9/10, C(B->C)=9/10 >= 0.9 (B: 9 of {1..9,x} in C);
+        # C(A->C)=8/10 < 0.9. A and B drop, C survives.
+        assert got == {3}
+
+    def test_partitioning_invariant(self, spark):
+        from pd_utils_spark.extensions.dedup import dedup_containment
+
+        rows = [
+            (i, "common words here " + " ".join(f"t{j}" for j in range(i % 4)))
+            for i in range(12)
+        ]
+        u = spark.createDataFrame(rows, ["doc_id", "text"])
+        a = {r["doc_id"] for r in dedup_containment(u, k=1).collect()}
+        b = {
+            r["doc_id"]
+            for r in dedup_containment(u.repartition(7, "text"), k=1).collect()
+        }
+        assert a == b
