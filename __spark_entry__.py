@@ -6620,6 +6620,77 @@ def q_streaming_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constant-state streaming heavy hitters driven through the
+    engine end-to-end (streaming/stateful.py streaming_topk): events
+    split into TWO parquet files consumed as TWO asserted
+    micro-batches; per batch, the per-event_type frequent-items
+    sketch combines into the accumulated sketch (reading only
+    versions STRICTLY older than the batch id — frequent-items
+    combine is NOT idempotent, the one replay property that differs
+    from the HLL/bottom-k rows) and a top-k snapshot overwrites.
+    Read in the sketch's EXACT regime (16 distinct items per group,
+    max_items 64, k=all), so cross-batch counts are exact group
+    counts — the oracle states them directly and the hash match
+    certifies the accumulate->combine arithmetic across batches."""
+    import shutil
+    import tempfile
+
+    from pd_utils_spark.streaming.stateful import streaming_topk
+
+    base = tempfile.mkdtemp(prefix="pus_topkstream_")
+    try:
+        ev = _t(spark, sf_dir, "events").select(
+            "event_id", "event_type", (F.col("user_id") % 16).alias("item")
+        )
+        src = f"{base}/src"
+        ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        raw_schema = spark.read.parquet(src).schema
+        sdf = (
+            spark.readStream.schema(raw_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        with _stream_state_partitions(spark):
+            q = streaming_topk(
+                sdf,
+                output_dir=f"{base}/out",
+                sketch_dir=f"{base}/sk",
+                checkpoint_dir=f"{base}/ckpt",
+                byvars="event_type",
+                col="item",
+                max_items=64,
+                k=16,
+                available_now=True,
+            )
+            q.awaitTermination()
+            data_batches = sum(
+                1 for p in q.recentProgress if p["numInputRows"] > 0
+            )
+            if data_batches != 2:
+                raise AssertionError(
+                    "streaming_topk expects TWO micro-batches "
+                    f"(cross-batch combine exercised); ran {data_batches}"
+                )
+        out = spark.read.parquet(f"{base}/out").select(
+            "event_type",
+            F.col("item").cast("bigint").alias("item"),
+            F.col("count").cast("bigint").alias("n"),
+            "as_of_batch",
+        )
+        rows = out.collect()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "event_type string, item bigint, n bigint, as_of_batch bigint"
+    )
+
+
 def q_streaming_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Constant-state streaming quantiles driven through the engine
     end-to-end (streaming/stateful.py streaming_sample_quantiles):
@@ -7183,6 +7254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "streaming_hll_distinct": q_streaming_hll_distinct,
         "streaming_quantiles": q_streaming_quantiles,
+        "streaming_topk": q_streaming_topk,
         "bpe_learn": q_bpe_learn,
         "bpe_compression": q_bpe_compression,
         "bpe_vocab": q_bpe_vocab,
@@ -14717,6 +14789,11 @@ def oracle_sql() -> dict[str, str]:
                count(DISTINCT user_id)::BIGINT AS distinct_estimate,
                1::BIGINT AS as_of_batch
         FROM events GROUP BY event_type
+    """
+    d["streaming_topk"] = """
+        SELECT event_type, (user_id % 16)::BIGINT AS item,
+               count(*)::BIGINT AS n, 1::BIGINT AS as_of_batch
+        FROM events GROUP BY 1, 2
     """
     d["streaming_quantiles"] = """
         WITH r AS (

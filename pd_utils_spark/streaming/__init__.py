@@ -11,6 +11,7 @@ from pd_utils_spark.streaming.stateful import (
     streaming_minhash_dedup,
     streaming_sample_quantiles,
     streaming_sessionize,
+    streaming_topk,
 )
 from pd_utils_spark.streaming.windows import (
     extract_json_props,

@@ -464,6 +464,85 @@ def streaming_sample_quantiles(
     return writer.start()
 
 
+def streaming_topk(
+    sdf: DataFrame,
+    output_dir: str,
+    sketch_dir: str,
+    checkpoint_dir: str,
+    byvars: str | Sequence[str] = "event_type",
+    col: str = "item",
+    max_items: int = 64,
+    k: int = 10,
+    available_now: bool = False,
+):
+    """Streaming per-group HEAVY HITTERS with constant-size state: per
+    micro-batch, build the batch's frequent-items sketch per group
+    (``extensions/sketches.py topk_sketch_by`` — the batch twin),
+    combine into the accumulated per-group sketch, and overwrite a
+    top-``k`` snapshot at ``output_dir`` (group columns + ``item``,
+    ``count``, ``as_of_batch``).
+
+    State is ``groups x O(max_items)`` forever — "top products per
+    segment, updated continuously" without a growing key set. While a
+    group's distinct count stays <= ``max_items`` every count is
+    EXACT; past that, the standard frequent-items guarantee holds
+    (true heavy hitters never lost, counts never undercount, bounded
+    overestimate).
+
+    Replay safety differs from the HLL/bottom-k rows in one
+    load-bearing way: frequent-items COMBINE IS NOT IDEMPOTENT
+    (re-merging the same batch double-counts, where HLL union and
+    bottom-k distinct-merge are no-ops), so a retried batch must
+    never merge the version it already committed. The reader
+    therefore takes the latest committed version STRICTLY OLDER than
+    the current batch id — a retry rebuilds its own version from the
+    same predecessor and overwrites it bit-identically. Versioned
+    dirs and committed-``_SUCCESS`` readers as in
+    :func:`streaming_bloom_dedup`.
+
+    Returns the started ``StreamingQuery``.
+    """
+    from pd_utils_spark.extensions.sketches import (
+        topk_estimate,
+        topk_rollup,
+        topk_sketch_by,
+    )
+
+    byvars_l = to_list(byvars)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        fresh = topk_sketch_by(
+            batch_df, byvars_l, col, max_items=max_items, out="sk"
+        )
+        older = [
+            v for v in _bloom_versions(spark, sketch_dir) if v < batch_id
+        ]
+        if older:
+            old = spark.read.parquet(f"{sketch_dir}/b={older[-1]}")
+            fresh = topk_rollup(
+                old.unionByName(fresh), byvars_l, "sk", max_items=max_items
+            )
+        merged = fresh.localCheckpoint(eager=True)  # consumed twice
+        merged.write.mode("overwrite").parquet(f"{sketch_dir}/b={batch_id}")
+        (
+            topk_estimate(merged, "sk", k=k)
+            .withColumn("as_of_batch", F.lit(batch_id).cast("bigint"))
+            .write.mode("overwrite")
+            .parquet(output_dir)
+        )
+        _prune_bloom_versions(
+            spark, sketch_dir, keep_from=older[-1] if older else None
+        )
+
+    writer = sdf.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def _bloom_versions(
     spark, bloom_dir: str, committed_only: bool = True
 ) -> list[int]:

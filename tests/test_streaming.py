@@ -1583,3 +1583,81 @@ class TestStreamingSampleQuantiles:
                 q.stop()
         finally:
             shutil.rmtree(base, ignore_errors=True)
+
+
+class TestStreamingTopk:
+    def test_cross_batch_counts_exact_in_regime(self, spark):
+        """Two micro-batches of per-group items; distinct <= max_items
+        so every cross-batch count is EXACT (batch-1 counts + batch-2
+        counts). Also pins the non-idempotence guard: the merge reads
+        only versions STRICTLY older than the current batch id."""
+        import os
+        import time
+
+        from pyspark.sql.types import LongType
+
+        base = tempfile.mkdtemp(prefix="topkstream_")
+        src, outd, skd, ckpt = (
+            f"{base}/{d}" for d in ("src", "out", "sk", "ckpt")
+        )
+        os.makedirs(src)
+        try:
+            schema = StructType(
+                [
+                    StructField("event_type", StringType()),
+                    StructField("item", LongType()),
+                ]
+            )
+            b1 = [{"event_type": "g", "item": 1}] * 3 + [
+                {"event_type": "g", "item": 2},
+                {"event_type": "h", "item": 9},
+            ]
+            b2 = [{"event_type": "g", "item": 1}] * 2 + [
+                {"event_type": "g", "item": 3},
+                {"event_type": "h", "item": 9},
+            ]
+            with open(f"{src}/b1.json", "w") as f:
+                f.write("\n".join(json.dumps(r) for r in b1))
+            stream = (
+                spark.readStream.format("json")
+                .schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .load(src)
+            )
+            q = W.streaming_topk(
+                stream, outd, skd, ckpt,
+                byvars="event_type", col="item", max_items=16, k=16,
+            )
+
+            def snap():
+                try:
+                    return {
+                        (r.event_type, r.item): (r["count"], r.as_of_batch)
+                        for r in spark.read.parquet(outd).collect()
+                    }
+                except Exception:
+                    return {}
+
+            try:
+                deadline = time.time() + 90
+                while time.time() < deadline and snap().get(("g", 1), (0, 0))[0] < 3:
+                    time.sleep(1)
+                assert snap() == {
+                    ("g", 1): (3, 0),
+                    ("g", 2): (1, 0),
+                    ("h", 9): (1, 0),
+                }
+                with open(f"{src}/b2.json", "w") as f:
+                    f.write("\n".join(json.dumps(r) for r in b2))
+                while time.time() < deadline and snap().get(("g", 1), (0, 0))[0] < 5:
+                    time.sleep(1)
+                assert snap() == {
+                    ("g", 1): (5, 1),
+                    ("g", 2): (1, 1),
+                    ("g", 3): (1, 1),
+                    ("h", 9): (2, 1),
+                }
+            finally:
+                q.stop()
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
