@@ -1158,6 +1158,36 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id")
 
 
+def q_dedup_containment_against(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental subsumption gate (extensions/dedup.py
+    dedup_containment_against): an ingest batch of 50% truncations
+    (must drop: fully contained in their history originals) and
+    salt-extended docs (must survive: appended novel tokens push
+    containment to ~orig/(orig+9), below 0.9) screened against the
+    documents corpus as history. The prefix order is HISTORY-side
+    document frequency — precomputable, so a daily batch never
+    aggregates the corpus; the lemma holds for any fixed order (see
+    the operator docstring). Oracle is brute-force batch x history
+    containment in DuckDB: complete recall certified, none
+    invented."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    m = F.greatest(F.lit(5), F.floor(F.size(toks) * 0.5).cast("int"))
+    trunc = d.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(toks, F.lit(1), m)).alias("text"),
+    )
+    salted = d.filter(F.col("doc_id") % 3 == 1).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(
+            F.col("text"), F.lit(" zq1 zq2 zq3 zq4 zq5 zq6 zq7")
+        ).alias("text"),
+    )
+    batch = trunc.unionByName(salted)
+    out = pus_dedup.dedup_containment_against(batch, d, threshold=0.9, k=3)
+    return out.select("doc_id")
+
+
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive dedup keeping the BEST-scoring doc per cluster
     (extensions/dedup.py dedup_keep_best): verified Jaccard>=0.5
@@ -7128,6 +7158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_join_prefix": q_jaccard_join_prefix,
         "containment_join": q_containment_join,
         "dedup_containment": q_dedup_containment,
+        "dedup_containment_against": q_dedup_containment_against,
         "connected_components": q_connected_components,
         "dedup_connected": q_dedup_connected,
         "dedup_keep_best": q_dedup_keep_best,
@@ -9547,6 +9578,42 @@ def oracle_sql() -> dict[str, str]:
                            AND b.doc_id < a.doc_id))
             )
             SELECT doc_id FROM u
+            WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+        """,
+        "dedup_containment_against": f"""
+            WITH hist AS (SELECT doc_id, text FROM documents),
+            batch AS (
+                SELECT doc_id + 100000 AS doc_id,
+                       array_to_string(list_slice(string_split(text, ' '),
+                           1, greatest(5, cast(floor(
+                               len(string_split(text, ' ')) * 0.5
+                           ) AS INT))), ' ') AS text
+                FROM documents WHERE doc_id % 3 = 0
+                UNION ALL
+                SELECT doc_id + 200000,
+                       text || ' zq1 zq2 zq3 zq4 zq5 zq6 zq7'
+                FROM documents WHERE doc_id % 3 = 1
+            ),
+            bs AS (
+                SELECT doc_id,
+                       list_filter({_sql_shingles_k(3)},
+                                   t -> length(t) > 0) AS t
+                FROM batch
+            ),
+            hs AS (
+                SELECT doc_id,
+                       list_filter({_sql_shingles_k(3)},
+                                   t -> length(t) > 0) AS t
+                FROM hist
+            ),
+            dropped AS (
+                SELECT DISTINCT b.doc_id
+                FROM bs b JOIN hs h
+                  ON len(list_intersect(b.t, h.t))::DOUBLE
+                         / len(b.t)::DOUBLE >= 0.9
+                WHERE len(b.t) > 0
+            )
+            SELECT doc_id FROM batch
             WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
         """,
         "lsh_jaccard_pairs": f"""

@@ -2774,6 +2774,150 @@ def dedup_containment(
     return df.join(dropped, idcol, "left_anti")
 
 
+def dedup_containment_against(
+    df: DataFrame,
+    history: DataFrame,
+    textcol: str = "text",
+    idcol: str = "doc_id",
+    history_textcol: str | None = None,
+    threshold: float = 0.9,
+    k: int = 3,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Incremental subsumption gate: drop rows of ``df`` whose shingle
+    set is ``>= threshold`` CONTAINED in any ``history`` document —
+    the batch-over-corpus complement of :func:`dedup_containment`
+    (and the containment sibling of :func:`dedup_minhash_against`):
+    re-crawls, quotes and truncations of already-ingested content
+    never enter the corpus, even when their Jaccard against the
+    original is far below any dedup threshold. Returns the surviving
+    rows of ``df``. EXACT (complete recall) when ``max_bucket`` is
+    None — the same contract and filters as
+    :func:`containment_join_prefix`, run across two frames.
+
+    One incremental-specific design choice: the prefix order is
+    document frequency over HISTORY ONLY. The prefix-filter lemma
+    holds for ANY fixed total order on tokens (at most ``(1-t)|A|``
+    of A's tokens are missing from B, so any ``n - ceil(t*n) + 1``
+    prefix of A contains a shared token) — rare-first is purely a
+    performance choice, and history df is the one that matters:
+    batch-novel tokens get df 0 (they sit first in the prefix and
+    can never match history — harmless), while the history df table
+    is a PRECOMPUTABLE artifact, so a daily batch never aggregates
+    the 100 TB corpus; only history's inverted index is joined, and
+    persisted/bucketed history token tables make that shuffle-free
+    on the history side. ``max_bucket`` caps history index buckets
+    (recall trade, observe metric — see
+    :func:`containment_join_prefix`)."""
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1]: {threshold}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    from pyspark import StorageLevel
+
+    htext = history_textcol or textcol
+
+    def _toks(frame: DataFrame, tcol: str) -> DataFrame:
+        if k == 1:
+            sets = F.array_distinct(_tokens(_norm(F.col(tcol))))
+        else:
+            sets = _shingle_set(F.col(tcol), k)
+        return (
+            frame.select(
+                F.col(idcol).alias("__id__"), F.explode(sets).alias("__raw__")
+            )
+            .filter(F.length("__raw__") > 0)
+            .select(
+                "__id__",
+                F.conv(F.substring(F.md5("__raw__"), 1, 15), 16, 10)
+                .cast("bigint")
+                .alias("__tok__"),
+            )
+        )
+
+    btoks = _toks(df, textcol).persist(StorageLevel.MEMORY_AND_DISK)
+    htoks = _toks(history, htext).persist(StorageLevel.MEMORY_AND_DISK)
+    register_persisted("dedup_containment_against", [btoks, htoks])
+    hfreq = htoks.groupBy("__tok__").agg(F.count(F.lit(1)).alias("__df__"))
+    sorted_batch = (
+        btoks.join(hfreq, "__tok__", "left")
+        .groupBy("__id__")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.coalesce("__df__", F.lit(0)).alias("__df__"),
+                        "__tok__",
+                    )
+                )
+            ).alias("__arr__")
+        )
+        .select(
+            "__id__",
+            F.transform(F.col("__arr__"), lambda s: s["__tok__"]).alias(
+                "__toks__"
+            ),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    register_persisted("dedup_containment_against", [sorted_batch])
+    n = F.size("__toks__")
+    t_lit = F.lit(float(threshold))
+    plen = (n - F.ceil(t_lit * n - F.lit(1e-9)) + 1).cast("int")
+    probes = sorted_batch.select(
+        "__id__",
+        n.alias("__n__"),
+        F.posexplode(F.slice("__toks__", 1, plen)).alias("__pos__", "__tok__"),
+    )
+    hsets = htoks.groupBy("__id__").agg(
+        F.collect_set("__tok__").alias("__toks__")
+    )
+    index = hsets.select(
+        F.col("__id__").alias("__hid__"),
+        F.size("__toks__").alias("__dn__"),
+        F.explode("__toks__").alias("__tok__"),
+    )
+    if max_bucket is not None:
+        index = _cap_buckets(
+            index, ["__tok__"], max_bucket, "containment_against_bucket"
+        )
+    na = F.col("a.__n__")
+    pa = F.col("a.__pos__") + 1
+    need = F.ceil(t_lit * na.cast("double") - F.lit(1e-9))
+    cand = (
+        probes.alias("a")
+        .join(
+            index.alias("b"),
+            (F.col("a.__tok__") == F.col("b.__tok__"))
+            & (
+                F.col("b.__dn__").cast("double")
+                >= t_lit * na.cast("double") - F.lit(1e-9)
+            )
+            & ((na - pa + F.lit(1)) >= need),
+        )
+        .select(
+            F.col("a.__id__").alias("__bid__"),
+            F.col("b.__hid__").alias("__hid__"),
+        )
+        .distinct()
+    )
+    left = sorted_batch.select(
+        F.col("__id__").alias("__bid__"), F.col("__toks__").alias("__ta__")
+    )
+    right = hsets.select(
+        F.col("__id__").alias("__hid__"), F.col("__toks__").alias("__tb__")
+    )
+    inter = F.size(F.array_intersect("__ta__", "__tb__")).cast("double")
+    dropped = (
+        cand.join(left, "__bid__")
+        .join(right, "__hid__")
+        .filter(inter / F.size("__ta__").cast("double") >= threshold)
+        .select(F.col("__bid__").alias(idcol))
+        .distinct()
+    )
+    return df.join(dropped, idcol, "left_anti")
+
+
 def dedup_keep_best(
     df: DataFrame,
     pairs: DataFrame,

@@ -1498,3 +1498,91 @@ class TestDedupContainment:
             for r in dedup_containment(u.repartition(7, "text"), k=1).collect()
         }
         assert a == b
+
+
+class TestDedupContainmentAgainst:
+    def test_truncations_dropped_novel_survives(self, spark):
+        from pd_utils_spark.extensions.dedup import dedup_containment_against
+
+        hist = spark.createDataFrame(
+            [
+                (1, "alpha bravo charlie delta echo foxtrot golf hotel"),
+                (2, "one two three four five six seven eight nine"),
+            ],
+            ["doc_id", "text"],
+        )
+        batch = spark.createDataFrame(
+            [
+                (10, "alpha bravo charlie delta echo"),   # prefix of 1
+                (11, "three four five six seven"),        # slice of 2
+                (12, "totally novel content words here"),  # new
+                (13, "alpha bravo zz yy xx ww vv uu tt"),  # 2/9 overlap
+            ],
+            ["doc_id", "text"],
+        )
+        got = {
+            r["doc_id"]
+            for r in dedup_containment_against(
+                batch, hist, threshold=0.9, k=1
+            ).collect()
+        }
+        assert got == {12, 13}
+
+    def test_matches_brute_force_on_shingles(self, spark):
+        import hashlib
+
+        from pd_utils_spark.extensions.dedup import dedup_containment_against
+
+        hist_texts = {
+            1: "the quick brown fox jumps over the lazy dog today",
+            2: "pack my box with five dozen liquor jugs right now",
+        }
+        batch_texts = {
+            10: "the quick brown fox jumps over",          # truncation of 1
+            11: "with five dozen liquor jugs",             # slice of 2
+            12: "a wholly new document about spark joins",  # novel
+            13: "the quick brown cat naps under the busy dog today",
+        }
+
+        def sh(t):
+            w = t.split()
+            return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+        t = 0.8
+        hsets = {i: sh(x) for i, x in hist_texts.items()}
+        want = {
+            b
+            for b, bt in batch_texts.items()
+            if not any(
+                len(sh(bt) & hs) / len(sh(bt)) >= t for hs in hsets.values()
+            )
+        }
+        hist = spark.createDataFrame(list(hist_texts.items()), ["doc_id", "text"])
+        batch = spark.createDataFrame(
+            list(batch_texts.items()), ["doc_id", "text"]
+        )
+        got = {
+            r["doc_id"]
+            for r in dedup_containment_against(
+                batch, hist, threshold=t, k=3
+            ).collect()
+        }
+        assert got == want
+
+    def test_batch_novel_tokens_harmless_in_prefix(self, spark):
+        """Tokens history has never seen get df=0 and sit FIRST in the
+        probe prefix; they match nothing, and the doc is still dropped
+        when its history-known shingles qualify via the rest of the
+        prefix (the lemma holds for any fixed order)."""
+        from pd_utils_spark.extensions.dedup import dedup_containment_against
+
+        hist = spark.createDataFrame(
+            [(1, " ".join(f"w{i}" for i in range(20)))], ["doc_id", "text"]
+        )
+        # 19 of 20 tokens from history + 1 novel -> containment 19/20
+        batch = spark.createDataFrame(
+            [(10, " ".join([f"w{i}" for i in range(19)] + ["zz"]))],
+            ["doc_id", "text"],
+        )
+        out = dedup_containment_against(batch, hist, threshold=0.9, k=1)
+        assert out.collect() == []
