@@ -6558,33 +6558,46 @@ def q_kmv_containment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (<= 0.05; measured <= 0.017) and worst pair error (<= 0.45;
     measured <= 0.34 at k=16). The oracle states the exact set
     algebra; sketch arrays never cross engines."""
+    from pyspark import StorageLevel
+
     from pd_utils_spark.extensions import sketches as pus_sk
     from pd_utils_spark.extensions.dedup import shingle_sets
+    from pd_utils_spark.utils import register_persisted
 
-    u = _docs_boundary(spark, sf_dir)
-    sh = shingle_sets(u)
-    ex = sh.select("doc_id", F.explode("shingles").alias("s")).filter(
-        F.length("s") > 0
+    # repartition before the shingle expression: the documents parquet
+    # is one file, and sf0.1's long texts make a serial shingle pass
+    # the bottleneck (measured 10.7 s single-task vs ~1 s spread)
+    u = _docs_boundary(spark, sf_dir).repartition(64)
+    # ONE persisted shingle frame feeds sketches AND the exact side —
+    # and the per-doc sketch is bottomk_array, the MAP-ONLY form (a
+    # doc's set lives in one row; the exploded groupBy build was
+    # measured 5x slower here and is bit-identical, pytest-pinned)
+    sh = (
+        shingle_sets(u)
+        .select(
+            "doc_id",
+            F.expr("filter(shingles, x -> length(x) > 0)").alias("t"),
+        )
+        .filter(F.size("t") > 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    register_persisted("kmv_containment_audit", [sh])
     K = 16
-    sks = pus_sk.bottomk_sketch_by(ex, ["doc_id"], "s", k=K)
+    sks = sh.select("doc_id", pus_sk.bottomk_array("t", K).alias("sk"))
     a = sks.filter(F.col("doc_id") < 100000).select(
-        "doc_id", F.col("s_kmv").alias("ska")
+        "doc_id", F.col("sk").alias("ska")
     )
     b = sks.filter(F.col("doc_id") >= 100000).select(
         (F.col("doc_id") - 100000).alias("doc_id"),
-        F.col("s_kmv").alias("skb"),
+        F.col("sk").alias("skb"),
     )
     est = pus_sk.kmv_pair_ops(a.join(b, "doc_id"), "ska", "skb", k=K).select(
         "doc_id", "containment_est"
     )
-    toks = sh.select(
-        "doc_id", F.expr("filter(shingles, x -> length(x) > 0)").alias("t")
-    )
-    ta = toks.filter(F.col("doc_id") < 100000).select(
+    ta = sh.filter(F.col("doc_id") < 100000).select(
         "doc_id", F.col("t").alias("ta")
     )
-    tb = toks.filter(F.col("doc_id") >= 100000).select(
+    tb = sh.filter(F.col("doc_id") >= 100000).select(
         (F.col("doc_id") - 100000).alias("doc_id"), F.col("t").alias("tb")
     )
     exact = ta.join(tb, "doc_id").select(

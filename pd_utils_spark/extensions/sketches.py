@@ -59,6 +59,7 @@ __all__ = [
     "topk_rollup",
     "topk_estimate",
     "bottomk_sketch_by",
+    "bottomk_array",
     "bottomk_rollup",
     "kmv_estimate",
     "kmv_pair_ops",
@@ -531,6 +532,26 @@ def kmv_pair_ops(
             F.round(jac * union_est).cast("bigint"),
         )
         .withColumn(f"{prefix}containment_est", F.least(cont, F.lit(1.0)))
+    )
+
+
+def bottomk_array(col, k: int):
+    """MAP-ONLY bottom-k sketch of a per-row array column (e.g. one
+    document's shingle set): ``slice(array_sort(array_distinct(
+    transform(col, xxhash64))), 1, k)``. Bit-identical to running
+    :func:`bottomk_sketch_by` over the exploded elements grouped by
+    row id (pytest pins it) with ZERO shuffle — when the set already
+    lives in one row, per-row sketching is a pure column expression,
+    the shape per-document dedup screening wants at 100 TB. Feed the
+    results to :func:`kmv_estimate` / :func:`kmv_pair_ops` /
+    :func:`bottomk_rollup` exactly like agg-built sketches."""
+    base = col if not isinstance(col, str) else F.col(col)
+    return F.slice(
+        F.array_sort(
+            F.array_distinct(F.transform(base, lambda x: F.xxhash64(x)))
+        ),
+        1,
+        int(k),
     )
 
 

@@ -305,3 +305,35 @@ def test_bottomk_prefilter_plan_has_partial_agg(spark, kmv_groups):
     )
     assert "partial_collect_set" in plan
     assert "partial_approx_count_distinct" in plan
+
+
+def test_bottomk_array_bit_identical_to_agg_build(spark):
+    """The map-only per-row sketch (bottomk_array) equals the
+    exploded groupBy build (bottomk_sketch_by) bit-for-bit."""
+    df = spark.createDataFrame(
+        [
+            (1, ["a", "b", "c", "d", "e", "f"]),
+            (2, ["b", "c", "x"]),
+            (3, ["z"]),
+        ],
+        ["doc_id", "t"],
+    )
+    m1 = {
+        r["doc_id"]: r["sk"]
+        for r in df.select(
+            "doc_id", sk.bottomk_array("t", 4).alias("sk")
+        ).collect()
+    }
+    ex = df.select("doc_id", F.explode("t").alias("s"))
+    m2 = {
+        r["doc_id"]: r["s_kmv"]
+        for r in sk.bottomk_sketch_by(ex, ["doc_id"], "s", k=4).collect()
+    }
+    assert m1 == m2
+    plan = (
+        df.select(sk.bottomk_array("t", 4))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan  # map-only
