@@ -3242,6 +3242,31 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("node", F.round("rank", 6).alias("rank"))
 
 
+def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (extensions/graph.py pagerank with
+    ``sources``) on the same 50-node link graph: teleport mass
+    uniform over the 8 seed domains (node % 7 == 0), 10 synchronous
+    iterations — ranks become proximity to the seed set, the
+    seed-domain-expansion signal. Hash-matched against a 10-step
+    unrolled recursive oracle with the personalized restart vector
+    (the pagerank-oracle family, parameterized)."""
+    from pd_utils_spark.extensions.graph import pagerank
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    e1 = d.select(
+        (F.col("doc_id") % 50).alias("src"),
+        ((F.col("doc_id") * 2 + 1) % 50).alias("dst"),
+    )
+    e2 = d.select(
+        (F.col("doc_id") % 50).alias("src"),
+        ((F.col("doc_id") * 3 + 7) % 50).alias("dst"),
+    )
+    edges = e1.unionByName(e2).distinct()
+    seeds = [n for n in range(50) if n % 7 == 0]
+    out = pagerank(edges, iters=10, damping=0.85, sources=seeds)
+    return out.select("node", F.round("rank", 6).alias("rank"))
+
+
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle counts on the same deterministic 50-node
     synthetic link graph pagerank uses (id-canonicalized wedge
@@ -7297,6 +7322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_selection_pipeline": q_quality_selection_pipeline,
         "token_weight_score": q_token_weight_score,
         "pagerank": q_pagerank,
+        "personalized_pagerank": q_personalized_pagerank,
         "pca_project": q_pca_project,
         "hits": q_hits,
         "ndcg": q_ndcg,
@@ -7407,6 +7433,46 @@ _SQL_DOC_UNION = (
 # the first 35/50/65% of tokens by doc_id % 3 (engine-portable
 # single-space split/slice/join; fracs cast to DOUBLE so DuckDB does
 # the same IEEE multiply as Spark, not decimal arithmetic)
+def _sql_ppr(iters: int = 10, damping: float = 0.85) -> str:
+    """Unrolled personalized-PageRank oracle (the pagerank CTE chain
+    parameterized with the node%7==0 restart vector)."""
+    head = """
+        WITH edges AS (
+            SELECT DISTINCT doc_id % 50 AS s, (doc_id * 2 + 1) % 50 AS d
+            FROM documents
+            UNION
+            SELECT DISTINCT doc_id % 50 AS s, (doc_id * 3 + 7) % 50 AS d
+            FROM documents
+        ),
+        nodes AS (SELECT DISTINCT s AS n FROM edges
+                  UNION SELECT DISTINCT d FROM edges),
+        ns AS (SELECT count(*)::DOUBLE AS c FROM nodes WHERE n % 7 = 0),
+        deg AS (SELECT s, count(*)::DOUBLE AS deg FROM edges GROUP BY s),
+        pv AS (SELECT n, CASE WHEN n % 7 = 0
+                              THEN 1.0 / (SELECT c FROM ns)
+                              ELSE 0.0 END AS p FROM nodes),
+        pr0 AS (SELECT n, p AS r FROM pv)"""
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(f"""
+        pr{k} AS (
+            SELECT nd.n,
+                   (1 - {damping}) * nd.p
+                   + {damping} * coalesce(sum(pr.r / dg.deg), 0.0) AS r
+            FROM pv nd
+            LEFT JOIN edges e ON e.d = nd.n
+            LEFT JOIN pr{k - 1} pr ON pr.n = e.s
+            LEFT JOIN deg dg ON dg.s = e.s
+            GROUP BY nd.n, nd.p
+        )""")
+    return (
+        head
+        + ","
+        + ",".join(steps)
+        + f"\n        SELECT n AS node, round(r, 6) AS rank FROM pr{iters}"
+    )
+
+
 _SQL_DOCS_BOUNDARY = (
     "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0 "
     "UNION ALL "
@@ -11094,6 +11160,7 @@ def oracle_sql() -> dict[str, str]:
             ) AS t(sf_n, component, proj_var, ev_share)
             WHERE sf_n = (SELECT count(*) FROM lineitem)
         """,
+        "personalized_pagerank": _sql_ppr(10, 0.85),
         "pagerank": """
             WITH edges AS (
                 SELECT DISTINCT doc_id % 50 AS s, (doc_id * 2 + 1) % 50 AS d

@@ -9,6 +9,8 @@ shuffles, and every round is one join + one aggregation.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -23,6 +25,7 @@ def pagerank(
     iters: int = 10,
     out: str = "rank",
     checkpoint_dir: str | None = None,
+    sources: DataFrame | Sequence | None = None,
 ) -> DataFrame:
     """PageRank over a directed edge list — ``(node, rank)`` for every
     node appearing as source or destination, after exactly ``iters``
@@ -53,6 +56,22 @@ def pagerank(
     per round — the price of surviving executor loss), matching
     ``connected_components``' contract; the session checkpoint dir is
     restored (best-effort) on return.
+
+    ``sources`` (round-8 continuation): PERSONALIZED PageRank. The
+    teleport distribution becomes uniform over the given source nodes
+    (a one-column DataFrame or a plain sequence of ids) instead of
+    uniform over all nodes:
+
+        ``rank'(v) = (1 - d) * p(v) + d * sum_{u->v} rank(u)/outdeg(u)``
+
+    with ``p(v) = 1/|S|`` for sources, else 0 — ranks become
+    proximity to the seed set (seed-domain expansion, "more like
+    these" corpus weighting, topic-conditioned authority). Source ids
+    not present in the graph are ignored; all-absent raises. The
+    default is EXACTLY the uniform special case (p = 1/N), one code
+    path, so plans and results of existing callers are unchanged.
+    Per-round cost is identical — the restart vector rides the
+    persisted node frame.
     """
     if not 0.0 < damping < 1.0:
         raise ValueError(f"damping must be in (0, 1): {damping}")
@@ -89,9 +108,32 @@ def pagerank(
         e.join(outdeg, "__s__")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    register_persisted("pagerank", [nodes, contrib_edges])
-    base = (1.0 - damping) / n_nodes
-    ranks = nodes.select("__n__", F.lit(1.0 / n_nodes).alias("__r__"))
+    if sources is None:
+        nodes_p = nodes.withColumn("__p__", F.lit(1.0 / n_nodes))
+    else:
+        if isinstance(sources, DataFrame):
+            sdf = sources.select(
+                F.col(sources.columns[0]).alias("__n__")
+            ).distinct()
+            marked = nodes.join(sdf, "__n__", "left_semi")
+        else:
+            marked = nodes.filter(F.col("__n__").isin(list(sources)))
+        n_src = marked.count()
+        if n_src == 0:
+            raise ValueError("no source node is present in the graph")
+        nodes_p = (
+            nodes.join(marked.withColumn("__m__", F.lit(1)), "__n__", "left")
+            .withColumn(
+                "__p__",
+                F.when(
+                    F.col("__m__").isNotNull(), F.lit(1.0 / n_src)
+                ).otherwise(F.lit(0.0)),
+            )
+            .drop("__m__")
+        )
+    nodes_p = nodes_p.persist(StorageLevel.MEMORY_AND_DISK)
+    register_persisted("pagerank", [nodes, contrib_edges, nodes_p])
+    ranks = nodes_p.select("__n__", F.col("__p__").alias("__r__"))
     try:
         for _ in range(iters):
             contrib = (
@@ -106,11 +148,11 @@ def pagerank(
                 .agg(F.sum("__c__").alias("__in__"))
             )
             ranks = _ckpt(
-                nodes.join(contrib, "__n__", "left")
+                nodes_p.join(contrib, "__n__", "left")
                 .select(
                     "__n__",
                     (
-                        F.lit(base)
+                        F.lit(1.0 - damping) * F.col("__p__")
                         + F.lit(damping) * F.coalesce("__in__", F.lit(0.0))
                     ).alias("__r__"),
                 )

@@ -378,7 +378,8 @@ def test_iterative_operator_persists_release_by_label(spark):
     bfs_levels(edges, srcs, max_depth=3).count()
     assert release_registered("bfs_levels") == 1
     pagerank(edges, iters=2).count()
-    assert release_registered("pagerank") == 2
+    # nodes + contrib_edges + the restart-vector node frame (r8 PPR)
+    assert release_registered("pagerank") == 3
     assert release_registered() == 0
 
 
@@ -453,3 +454,73 @@ def test_link_prediction_direction_and_dups_ignored(spark):
         for r in link_prediction(_lp_edges(spark)).collect()
     }
     assert a == b
+
+
+# --------------------------------------------------------- personalized PPR
+
+
+def test_personalized_pagerank_sums_to_one_and_seeds_dominate(spark):
+    from pd_utils_spark.extensions.graph import pagerank
+
+    # directed cycle 0->1->2->3->0 plus a chain 3->4->5
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 0), (3, 4), (4, 5)], ["src", "dst"]
+    )
+    ppr = {r.node: r.rank for r in pagerank(e, iters=40, sources=[0]).collect()}
+    # probability mass conservation: dangling node 5 keeps mass
+    # undistributed (the documented simple variant), so total <= 1
+    assert sum(ppr.values()) <= 1.0 + 1e-9
+    # seed gets the teleport mass: strictly the max
+    assert ppr[0] == max(ppr.values())
+    # farther from the seed along the chain = strictly smaller rank
+    assert ppr[4] > ppr[5]
+
+def test_personalized_matches_hand_rolled_two_iters(spark):
+    import itertools
+
+    from pd_utils_spark.extensions.graph import pagerank
+
+    edges = [(0, 1), (1, 2), (2, 0), (0, 2)]
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    d = 0.85
+    p = {0: 1.0, 1: 0.0, 2: 0.0}
+    deg = {0: 2, 1: 1, 2: 1}
+    r = dict(p)
+    for _ in range(2):
+        nxt = {}
+        for v in p:
+            s = sum(r[u] / deg[u] for u, w in edges if w == v)
+            nxt[v] = (1 - d) * p[v] + d * s
+        r = nxt
+    got = {
+        row.node: row.rank
+        for row in pagerank(e, iters=2, sources=[0]).collect()
+    }
+    for v in p:
+        assert abs(got[v] - r[v]) < 1e-12
+
+def test_personalized_uniform_sources_equals_default(spark):
+    from pd_utils_spark.extensions.graph import pagerank
+
+    e = spark.createDataFrame([(0, 1), (1, 2), (2, 0)], ["src", "dst"])
+    a = {r.node: r.rank for r in pagerank(e, iters=5).collect()}
+    b = {
+        r.node: r.rank
+        for r in pagerank(e, iters=5, sources=[0, 1, 2]).collect()
+    }
+    assert all(abs(a[n] - b[n]) < 1e-12 for n in a)
+
+def test_personalized_absent_sources_raise_and_df_sources_work(spark):
+    import pytest as _pytest
+
+    from pd_utils_spark.extensions.graph import pagerank
+
+    e = spark.createDataFrame([(0, 1), (1, 0)], ["src", "dst"])
+    with _pytest.raises(ValueError, match="no source node"):
+        pagerank(e, iters=2, sources=[99])
+    sdf = spark.createDataFrame([(0,), (99,)], ["seed"])
+    # EVEN iteration count: a 2-cycle's mass oscillates between the
+    # nodes each step, so odd counts park most mass on the non-seed
+    got = {r.node: r.rank for r in pagerank(e, iters=4, sources=sdf).collect()}
+    # absent seed 99 ignored; p concentrates on node 0
+    assert got[0] > got[1]
