@@ -6653,6 +6653,67 @@ def q_kmv_containment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weighted_pick_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured softmax property of the A-ES weighted sample sketch
+    (extensions/sketches.py weighted_sample_sketch_by, k=1): by the
+    exponential argmin theorem the minimum key lands in class c with
+    probability EXACTLY W_c / W_total, so 64 independent deterministic
+    salts give 64 weighted picks over orders rows (class =
+    o_orderkey % 3, weight = class + 1) whose per-class frequencies
+    must track the exact weight shares. The exact shares are
+    value-matched cross-engine; the empirical calibration is boolean
+    gates at ~4 binomial sigma. The prefilter runs in its documented
+    near-uniform-weights regime (margin sized so a zero-survivor
+    salt group is ~e^-20 improbable)."""
+    from pd_utils_spark.extensions import sketches as pus_sk
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_orderkey") % 3).cast("double").alias("cls"),
+        ((F.col("o_orderkey") % 3) + 1.0).alias("wt"),
+    )
+    n_salts = 64
+    salted = o.crossJoin(
+        spark.range(n_salts).select(F.col("id").alias("salt"))
+    )
+    picks = pus_sk.weighted_sample_sketch_by(
+        salted,
+        ["salt"],
+        "cls",
+        "wt",
+        id_cols=["o_orderkey", "salt"],
+        k=1,
+        prefilter=True,
+        margin=20.0,
+    ).select(
+        F.element_at(F.col("cls_wsample"), 1)["v"].cast("bigint").alias("cls")
+    )
+    counts = picks.groupBy("cls").agg(F.count(F.lit(1)).alias("n_picks"))
+    shares = o.groupBy(F.col("cls").cast("bigint").alias("cls")).agg(
+        F.sum("wt").alias("__wc__")
+    )
+    tot = shares.agg(F.sum("__wc__").alias("__wt_all__"))
+    joined = (
+        shares.crossJoin(F.broadcast(tot))
+        .withColumn("expected_share", F.col("__wc__") / F.col("__wt_all__"))
+        .join(counts, "cls", "left")
+        .withColumn("n_picks", F.coalesce("n_picks", F.lit(0)))
+    )
+    sigma = F.sqrt(
+        F.col("expected_share") * (1 - F.col("expected_share")) / n_salts
+    )
+    total_picks = picks.count()
+    return joined.select(
+        "cls",
+        F.round("expected_share", 6).alias("expected_share"),
+        (
+            F.abs(F.col("n_picks") / n_salts - F.col("expected_share"))
+            <= 4 * sigma
+        ).alias("within_tol"),
+        F.lit(total_picks == n_salts).alias("all_salts_picked"),
+    ).orderBy("cls")
+
+
 def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable quantile state (extensions/sketches.py
     sample_sketch_by/quantile_estimate): a bottom-k-by-hash uniform
@@ -7392,6 +7453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct_rollup": q_kmv_distinct_rollup,
         "kmv_set_ops": q_kmv_set_ops,
         "kmv_containment_audit": q_kmv_containment_audit,
+        "weighted_pick_audit": q_weighted_pick_audit,
         "quantile_sketch": q_quantile_sketch,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "streaming_hll_distinct": q_streaming_hll_distinct,
@@ -15093,6 +15155,20 @@ def oracle_sql() -> dict[str, str]:
         JOIN cnt na ON na.p = pa
         JOIN cnt nb ON nb.p = pb
         ORDER BY pa, pb
+    """
+    d["weighted_pick_audit"] = """
+        WITH w AS (
+            SELECT o_orderkey % 3 AS cls,
+                   (o_orderkey % 3 + 1)::DOUBLE AS wt
+            FROM orders
+        ),
+        tot AS (SELECT sum(wt) AS wt_all FROM w)
+        SELECT cls::BIGINT AS cls,
+               round(sum(wt) / (SELECT wt_all FROM tot), 6)
+                   AS expected_share,
+               TRUE AS within_tol,
+               TRUE AS all_salts_picked
+        FROM w GROUP BY cls ORDER BY cls
     """
     d["kmv_containment_audit"] = f"""
         WITH u AS ({_SQL_DOCS_BOUNDARY}),

@@ -64,6 +64,7 @@ __all__ = [
     "kmv_estimate",
     "kmv_pair_ops",
     "sample_sketch_by",
+    "weighted_sample_sketch_by",
     "quantile_estimate",
 ]
 
@@ -610,3 +611,108 @@ def quantile_estimate(
     if drop_sketch:
         out = out.drop(sketch_col)
     return out
+
+
+def weighted_sample_sketch_by(
+    df: DataFrame,
+    byvars: str | Sequence[str],
+    col: str,
+    weight_col: str,
+    id_cols: str | Sequence[str],
+    k: int = 256,
+    salt: int = 0,
+    prefilter: bool = False,
+    margin: float = 8.0,
+    out: str | None = None,
+) -> DataFrame:
+    """Mergeable WEIGHTED row sample per group (Efraimidis–Spirakis
+    A-ES, exponential-key form): every row draws the key
+    ``E = -ln(u)/w`` with ``u`` uniform from
+    ``xxhash64(col, *id_cols, salt)`` and ``w`` its weight; the ``k``
+    smallest keys are a weight-proportional sample WITHOUT
+    replacement, stored sorted as ``array<struct<e:double,
+    v:double>>``. Deterministic in (data, salt) and mergeable with
+    :func:`bottomk_rollup` exactly like the uniform
+    :func:`sample_sketch_by` (same sort-truncate on the leading key)
+    — per-shard weighted samples union into the corpus-level weighted
+    sample without re-scanning, the importance-weighted subsampling
+    state a mixture pipeline persists. The ``k=1`` special case is an
+    EXACT softmax draw: P(row i has the min key) = w_i / sum(w) (the
+    exponential argmin theorem) — the `weighted_pick_audit` query
+    measures this on live data across salts. Rows with null/
+    non-positive weight are excluded (A-ES is undefined there), as in
+    ``sampling.weighted_sample``.
+
+    ``prefilter`` is OPT-IN here, unlike the uniform sketches, and
+    its contract is weaker — stated precisely because the difference
+    is load-bearing: keys are EXPONENTIAL (unbounded), so a cutoff at
+    ``c = margin*k/W`` (W = group total weight) bounds EXPECTED
+    collected state at ``margin*k`` (sum_i P(E_i <= c) <= c*W) but
+    has NO distribution-free lower bound on how many keys land below
+    it — one row holding most of W shrinks ``c`` until the light rows
+    almost never pass, and the guard raises. Use it when weights are
+    within a couple orders of magnitude of each other (the common
+    per-source mixing-weight case); leave it off (default) for
+    skewed weights — the unfiltered build collects O(group rows)
+    state, exactly like a groupBy collect_list. Groups whose row
+    count fits in ``k`` always bypass the cutoff (the sample must BE
+    the group there), and an undershoot raises rather than returning
+    a silently short sketch."""
+    byvars_l = to_list(byvars)
+    id_l = to_list(id_cols)
+    name = out or f"{col}_wsample"
+    # NB per-row weight is __wrow__, total is __wtot__: Spark resolves
+    # names CASE-INSENSITIVELY by default, so __w__/__W__ collide
+    w = F.col(weight_col).cast("double")
+    nn = df.filter(F.col(col).isNotNull() & w.isNotNull() & (w > 0))
+    u = F.greatest(
+        _u01(F.xxhash64(col, *id_l, F.lit(int(salt)))), F.lit(1e-18)
+    )
+    e_key = -F.log(u) / w
+    elem = F.struct(e_key.alias("e"), F.col(col).cast("double").alias("v"))
+    sketch_agg = F.slice(F.array_sort(F.collect_set("__e__")), 1, int(k)).alias(
+        name
+    )
+    base = nn.select(*byvars_l, elem.alias("__e__"), w.alias("__wrow__"))
+    if not prefilter:
+        return base.groupBy(*byvars_l).agg(sketch_agg)
+    cut = (
+        F.lit(float(margin) * k) / F.greatest(F.col("__wtot__"), F.lit(1e-300))
+    ).alias("__cut__")
+    size_aggs = [
+        F.sum(w).alias("__wtot__"),
+        F.count(F.lit(1)).alias("__ng__"),
+    ]
+    if byvars_l:
+        sizes = (
+            nn.groupBy(*byvars_l)
+            .agg(*size_aggs)
+            .select(*byvars_l, cut, "__ng__")
+        )
+        joined = base.join(sizes, byvars_l)
+    else:
+        sizes = nn.agg(*size_aggs).select(cut, "__ng__")
+        joined = base.crossJoin(F.broadcast(sizes))
+    # groups that fit in k keep every row: exponential keys are
+    # unbounded, so no cutoff is safe there
+    kept = joined.filter(
+        (F.col("__e__.e") < F.col("__cut__")) | (F.col("__ng__") <= int(k))
+    )
+    g = kept.groupBy(*byvars_l).agg(
+        sketch_agg,
+        F.max("__ng__").alias("__ng__"),
+        F.count(F.lit(1)).alias("__nk__"),
+    )
+    undershoot = (F.size(F.col(name)) < k) & (F.col("__nk__") < F.col("__ng__"))
+    guarded = F.when(
+        undershoot,
+        F.raise_error(
+            F.lit(
+                f"weighted bottom-k prefilter undershoot: fewer than k={k} "
+                f"keys survived the margin={margin} cutoff while rows were "
+                "dropped — weights are too skewed for the expected-state "
+                "cutoff; rebuild with a larger margin or prefilter=False"
+            )
+        ),
+    ).otherwise(F.col(name))
+    return g.select(*byvars_l, guarded.alias(name))

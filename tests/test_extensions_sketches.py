@@ -337,3 +337,90 @@ def test_bottomk_array_bit_identical_to_agg_build(spark):
         .toString()
     )
     assert "Exchange" not in plan  # map-only
+
+
+# ------------------------------------------------------- weighted sampling
+
+
+def test_weighted_sketch_exact_regime_and_rollup_identical(spark):
+    df = spark.range(300).select(
+        (F.col("id") % 3).alias("day"),
+        F.col("id").alias("rid"),
+        (F.col("id") * 1.0).alias("x"),
+        (F.col("id") % 5 + 1.0).alias("w"),
+    )
+    direct = sk.weighted_sample_sketch_by(
+        df, [], "x", "w", id_cols=["rid"], k=512
+    ).first()["x_wsample"]
+    assert len(direct) == 300  # k >= rows: the sample IS the group
+    fine = sk.weighted_sample_sketch_by(
+        df, ["day"], "x", "w", id_cols=["rid"], k=512
+    )
+    rolled = sk.bottomk_rollup(fine, [], "x_wsample", k=512).first()["x_wsample"]
+    assert [tuple(e) for e in rolled] == [tuple(e) for e in direct]
+    nofilter = sk.weighted_sample_sketch_by(
+        df, [], "x", "w", id_cols=["rid"], k=512, prefilter=False
+    ).first()["x_wsample"]
+    assert [tuple(e) for e in nofilter] == [tuple(e) for e in direct]
+
+
+def test_weighted_pick_probability_tracks_weights(spark):
+    """k=1 is an exact softmax draw: P(min key in class B) =
+    W_B / W_total (exponential argmin theorem). 24 deterministic
+    salts, 20 rows of weight 1 vs 10 rows of weight 9 ->
+    P(B) = 90/110; expect >= 13 of 24 picks in B (>3.5 sigma slack,
+    deterministic once written)."""
+    rows = [(i, 0, 1.0) for i in range(20)] + [
+        (100 + i, 1, 9.0) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, ["rid", "cls", "w"])
+    picks = []
+    for salt in range(24):
+        s = sk.weighted_sample_sketch_by(
+            df, [], "cls", "w", id_cols=["rid"], k=1, salt=salt,
+            prefilter=False,
+        ).first()["cls_wsample"]
+        picks.append(int(s[0]["v"]))
+    assert sum(picks) >= 13
+
+
+def test_weighted_nonpositive_and_null_weights_excluded(spark):
+    df = spark.createDataFrame(
+        [(1, 1.0, 1.0), (2, 2.0, 0.0), (3, 3.0, -4.0), (4, 4.0, None)],
+        ["rid", "x", "w"],
+    )
+    s = sk.weighted_sample_sketch_by(
+        df, [], "x", "w", id_cols=["rid"], k=8
+    ).first()["x_wsample"]
+    assert [e["v"] for e in s] == [1.0]
+
+
+def test_weighted_prefilter_guard_raises_on_undershoot(spark):
+    df = spark.range(5000).select(
+        F.col("id").alias("rid"), (F.col("id") * 1.0).alias("x"),
+        F.lit(1.0).alias("w"),
+    )
+    bad = sk.weighted_sample_sketch_by(
+        df, [], "x", "w", id_cols=["rid"], k=256, prefilter=True,
+        margin=0.2,
+    )
+    with pytest.raises(Exception, match="undershoot"):
+        bad.collect()
+
+
+def test_weighted_prefilter_happy_path_bit_identical(spark):
+    """With near-uniform weights (the documented prefilter use case)
+    the cutoff keeps the true bottom-k: prefilter on == off."""
+    df = spark.range(3000).select(
+        F.col("id").alias("rid"),
+        (F.col("id") * 1.0).alias("x"),
+        (F.col("id") % 3 + 1.0).alias("w"),
+    )
+    a = sk.weighted_sample_sketch_by(
+        df, [], "x", "w", id_cols=["rid"], k=64, prefilter=True
+    ).first()["x_wsample"]
+    b = sk.weighted_sample_sketch_by(
+        df, [], "x", "w", id_cols=["rid"], k=64, prefilter=False
+    ).first()["x_wsample"]
+    assert [tuple(e) for e in a] == [tuple(e) for e in b]
+    assert len(a) == 64
