@@ -70,8 +70,10 @@ JOIN_HEAVY = [
     "linkage_pairs",
     "entity_match",
     # r8 continuation: exact containment join (probe prefix x full
-    # container inverted index over the boundary corpus)
+    # container inverted index over the boundary corpus) and its
+    # incremental batch-over-history ingest gate
     "containment_join",
+    "dedup_containment_against",
 ]
 
 # table -> id columns shifted per copy (keeps join/group semantics:
