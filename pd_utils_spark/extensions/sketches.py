@@ -66,6 +66,7 @@ __all__ = [
     "sample_sketch_by",
     "weighted_sample_sketch_by",
     "quantile_estimate",
+    "quantile_rollup",
 ]
 
 
@@ -611,6 +612,29 @@ def quantile_estimate(
     if drop_sketch:
         out = out.drop(sketch_col)
     return out
+
+
+def quantile_rollup(
+    df: DataFrame,
+    fine: str | Sequence[str],
+    coarse: str | Sequence[str],
+    col: str,
+    id_cols: str | Sequence[str],
+    qs: Sequence[float] = (0.25, 0.5, 0.75),
+    k: int = 256,
+) -> DataFrame:
+    """Convenience composition mirroring :func:`distinct_rollup` for
+    QUANTILES: sample-sketch per ``fine`` group, merge up to
+    ``coarse`` with the deterministic bottom-k rollup, read the
+    requested quantiles — ``coarse + [q<pct>...]``. The fine sample
+    frame is the reusable artifact: materialize it once per
+    day/source/shard and every coarser quantile question is a cheap
+    sketch merge, never a corpus rescan."""
+    fine_l, coarse_l = to_list(fine), to_list(coarse)
+    name = f"{col}_sample"
+    sm = sample_sketch_by(df, fine_l, col, id_cols=id_cols, k=k)
+    up = bottomk_rollup(sm, coarse_l, name, k=k)
+    return quantile_estimate(up, name, list(qs))
 
 
 def weighted_sample_sketch_by(

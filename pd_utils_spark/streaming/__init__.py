@@ -2,6 +2,7 @@
 extension; the reference is batch-only)."""
 
 from pd_utils_spark.streaming.stateful import (
+    read_latest_state,
     stateful_running_agg,
     streaming_band_dedup,
     streaming_exact_dedup,

@@ -543,6 +543,26 @@ def streaming_topk(
     return writer.start()
 
 
+def read_latest_state(spark, state_dir: str):
+    """Public batch-side reader for any versioned streaming-state dir
+    this module writes (``streaming_bloom_dedup`` filters,
+    ``streaming_distinct_hll`` sketches, ``streaming_sample_quantiles``
+    samples, ``streaming_topk`` sketches): returns ``(version,
+    DataFrame)`` for the latest COMMITTED version — a version counts
+    only once its ``_SUCCESS`` marker exists, so a reader racing a
+    crash mid-write never sees partial state — or ``(None, None)``
+    when no committed version exists yet. This is the handoff point
+    between the continuously-running stream and downstream batch
+    jobs: join yesterday's Bloom filter into an ingest gate, roll a
+    week of per-day sample sketches up with ``bottomk_rollup``,
+    estimate from the live HLL table — all without touching the
+    stream's checkpoint."""
+    v = _latest_bloom_version(spark, state_dir)
+    if v is None:
+        return None, None
+    return v, spark.read.parquet(f"{state_dir}/b={v}")
+
+
 def _bloom_versions(
     spark, bloom_dir: str, committed_only: bool = True
 ) -> list[int]:

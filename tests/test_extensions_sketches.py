@@ -424,3 +424,16 @@ def test_weighted_prefilter_happy_path_bit_identical(spark):
     ).first()["x_wsample"]
     assert [tuple(e) for e in a] == [tuple(e) for e in b]
     assert len(a) == 64
+
+def test_quantile_rollup_composition(spark):
+    # fine = per day, coarse = grand total; groups fit in k -> exact
+    df = spark.range(1000).select(
+        (F.col("id") % 4).alias("day"),
+        F.col("id").alias("rid"),
+        (F.col("id") * 1.0).alias("x"),
+    )
+    out = sk.quantile_rollup(
+        df, ["day"], [], "x", id_cols=["rid"], qs=(0.5,), k=2048
+    ).first()
+    # exact median of 0..999 under the ceil(q*m) rule: element 500
+    assert out["q50"] == 499.0

@@ -1661,3 +1661,23 @@ class TestStreamingTopk:
                 q.stop()
         finally:
             shutil.rmtree(base, ignore_errors=True)
+
+
+class TestReadLatestState:
+    def test_reader_sees_only_committed_versions(self, spark):
+        import os
+
+        from pd_utils_spark.streaming import read_latest_state
+
+        base = tempfile.mkdtemp(prefix="statereader_")
+        try:
+            v, df = read_latest_state(spark, base)
+            assert v is None and df is None
+            spark.range(3).write.mode("overwrite").parquet(f"{base}/b=0")
+            spark.range(5).write.mode("overwrite").parquet(f"{base}/b=1")
+            # simulate a crash mid-write of version 2: dir, no _SUCCESS
+            os.makedirs(f"{base}/b=2")
+            v, df = read_latest_state(spark, base)
+            assert v == 1 and df.count() == 5
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
