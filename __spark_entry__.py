@@ -6961,6 +6961,82 @@ def q_streaming_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_weighted_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Constant-state streaming WEIGHTED sampling driven through the
+    engine end-to-end (streaming/stateful.py
+    streaming_weighted_sample): events split into TWO asserted
+    micro-batches; per batch the per-event_type A-ES weighted sample
+    (weight = user_id % 5 + 1) merges via the deterministic
+    sort-truncate. k=4096 exceeds every group's row count at the
+    correctness SFs, so the accumulated sample IS the group and the
+    snapshot aggregates are exact — the oracle states plain per-type
+    counts and value sums, certifying the cross-batch weighted merge
+    arithmetic exactly (the weighted SELECTION behavior under k < n
+    is certified separately by weighted_pick_audit's measured softmax
+    property)."""
+    import shutil
+    import tempfile
+
+    from pd_utils_spark.streaming.stateful import streaming_weighted_sample
+
+    base = tempfile.mkdtemp(prefix="pus_wstream_")
+    try:
+        ev = _t(spark, sf_dir, "events").select(
+            "event_id",
+            "event_type",
+            "value",
+            ((F.col("user_id") % 5) + 1.0).alias("weight"),
+        )
+        src = f"{base}/src"
+        ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        raw_schema = spark.read.parquet(src).schema
+        sdf = (
+            spark.readStream.schema(raw_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        with _stream_state_partitions(spark):
+            q = streaming_weighted_sample(
+                sdf,
+                output_dir=f"{base}/out",
+                sample_dir=f"{base}/sm",
+                checkpoint_dir=f"{base}/ckpt",
+                byvars="event_type",
+                col="value",
+                weight_col="weight",
+                id_cols="event_id",
+                k=4096,
+                available_now=True,
+            )
+            q.awaitTermination()
+            data_batches = sum(
+                1 for p in q.recentProgress if p["numInputRows"] > 0
+            )
+            if data_batches != 2:
+                raise AssertionError(
+                    "streaming_weighted_sample expects TWO micro-batches "
+                    f"(cross-batch merge exercised); ran {data_batches}"
+                )
+        out = spark.read.parquet(f"{base}/out").select(
+            "event_type", "n_sampled", "sum_sampled", "as_of_batch"
+        )
+        rows = out.collect()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "event_type string, n_sampled bigint, sum_sampled double, "
+        "as_of_batch bigint",
+    )
+
+
 def q_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (extensions/bpe.py, Sennrich
     et al. 2016): five merge iterations over the documents corpus —
@@ -7459,6 +7535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_hll_distinct": q_streaming_hll_distinct,
         "streaming_quantiles": q_streaming_quantiles,
         "streaming_topk": q_streaming_topk,
+        "streaming_weighted_sample": q_streaming_weighted_sample,
         "bpe_learn": q_bpe_learn,
         "bpe_compression": q_bpe_compression,
         "bpe_vocab": q_bpe_vocab,
@@ -15075,6 +15152,14 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_type, (user_id % 16)::BIGINT AS item,
                count(*)::BIGINT AS n, 1::BIGINT AS as_of_batch
         FROM events GROUP BY 1, 2
+    """
+    d["streaming_weighted_sample"] = """
+        SELECT event_type,
+               count(*)::BIGINT AS n_sampled,
+               round(sum(value), 6) AS sum_sampled,
+               1::BIGINT AS as_of_batch
+        FROM events WHERE value IS NOT NULL
+        GROUP BY event_type
     """
     d["streaming_quantiles"] = """
         WITH r AS (

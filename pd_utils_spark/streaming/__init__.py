@@ -13,6 +13,7 @@ from pd_utils_spark.streaming.stateful import (
     streaming_sample_quantiles,
     streaming_sessionize,
     streaming_topk,
+    streaming_weighted_sample,
 )
 from pd_utils_spark.streaming.windows import (
     extract_json_props,

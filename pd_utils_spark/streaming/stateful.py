@@ -543,6 +543,86 @@ def streaming_topk(
     return writer.start()
 
 
+def streaming_weighted_sample(
+    sdf: DataFrame,
+    output_dir: str,
+    sample_dir: str,
+    checkpoint_dir: str,
+    byvars: str | Sequence[str] = "event_type",
+    col: str = "value",
+    weight_col: str = "weight",
+    id_cols: str | Sequence[str] = "event_id",
+    k: int = 256,
+    available_now: bool = False,
+):
+    """Streaming per-group WEIGHTED sampling with constant-size state:
+    per micro-batch, A-ES weighted-sample the batch's rows per group
+    (``extensions/sketches.py weighted_sample_sketch_by`` — the batch
+    twin), merge into the accumulated sample via ``bottomk_rollup``
+    (the exponential keys sort-truncate exactly like the uniform
+    ones), and overwrite a snapshot at ``output_dir`` (group columns
+    + ``n_sampled``, ``sum_sampled`` and ``as_of_batch``; read the
+    full sample via :func:`read_latest_state` on ``sample_dir``).
+
+    The stream keeps a weight-proportional sample WITHOUT replacement
+    of everything that ever flowed through, in ``groups x k`` structs
+    forever — importance-weighted subsampling as streaming state.
+    Same two deterministic-merge properties as
+    :func:`streaming_sample_quantiles`, inherited from the same
+    sort-truncate: batch-boundary-INSENSITIVE state bit-for-bit, and
+    equality with the one-pass batch twin; replay-safe because the
+    distinct-merge of a retried batch's identical keys is a no-op.
+    While a group's (positive-weight) rows fit in ``k`` the sample IS
+    the group and the snapshot aggregates are exact.
+
+    Returns the started ``StreamingQuery``.
+    """
+    from pd_utils_spark.extensions.sketches import (
+        bottomk_rollup,
+        weighted_sample_sketch_by,
+    )
+
+    byvars_l = to_list(byvars)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        fresh = weighted_sample_sketch_by(
+            batch_df, byvars_l, col, weight_col, id_cols=id_cols, k=k,
+            out="sk",
+        )
+        latest = _latest_bloom_version(spark, sample_dir)
+        if latest is not None:
+            old = spark.read.parquet(f"{sample_dir}/b={latest}")
+            fresh = bottomk_rollup(old.unionByName(fresh), byvars_l, "sk", k=k)
+        merged = fresh.localCheckpoint(eager=True)  # consumed twice
+        merged.write.mode("overwrite").parquet(f"{sample_dir}/b={batch_id}")
+        (
+            merged.select(
+                *byvars_l,
+                F.size("sk").cast("bigint").alias("n_sampled"),
+                F.round(
+                    F.aggregate(
+                        F.col("sk"),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x["v"],
+                    ),
+                    6,
+                ).alias("sum_sampled"),
+                F.lit(batch_id).cast("bigint").alias("as_of_batch"),
+            )
+            .write.mode("overwrite")
+            .parquet(output_dir)
+        )
+        _prune_bloom_versions(spark, sample_dir, keep_from=latest)
+
+    writer = sdf.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def read_latest_state(spark, state_dir: str):
     """Public batch-side reader for any versioned streaming-state dir
     this module writes (``streaming_bloom_dedup`` filters,

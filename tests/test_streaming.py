@@ -1681,3 +1681,96 @@ class TestReadLatestState:
             assert v == 1 and df.count() == 5
         finally:
             shutil.rmtree(base, ignore_errors=True)
+
+
+class TestStreamingWeightedSample:
+    def test_cross_batch_exact_regime_and_batch_twin(self, spark):
+        import os
+        import time
+
+        from pyspark.sql.types import LongType
+
+        base = tempfile.mkdtemp(prefix="wstream_")
+        src, outd, smd, ckpt = (
+            f"{base}/{d}" for d in ("src", "out", "sm", "ckpt")
+        )
+        os.makedirs(src)
+        try:
+            schema = StructType(
+                [
+                    StructField("event_type", StringType()),
+                    StructField("event_id", LongType()),
+                    StructField("value", DoubleType()),
+                    StructField("weight", DoubleType()),
+                ]
+            )
+            b1 = [
+                {"event_type": "g", "event_id": 1, "value": 10.0, "weight": 1.0},
+                {"event_type": "g", "event_id": 2, "value": 20.0, "weight": 2.0},
+                {"event_type": "g", "event_id": 3, "value": 30.0, "weight": 0.0},
+            ]
+            b2 = [
+                {"event_type": "g", "event_id": 4, "value": 40.0, "weight": 3.0},
+                {"event_type": "h", "event_id": 5, "value": 5.0, "weight": 1.0},
+            ]
+            with open(f"{src}/b1.json", "w") as f:
+                f.write("\n".join(json.dumps(r) for r in b1))
+            stream = (
+                spark.readStream.format("json")
+                .schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .load(src)
+            )
+            q = W.streaming_weighted_sample(
+                stream, outd, smd, ckpt,
+                byvars="event_type", col="value", weight_col="weight",
+                id_cols="event_id", k=16,
+            )
+
+            def snap():
+                try:
+                    return {
+                        r.event_type: (r.n_sampled, r.sum_sampled)
+                        for r in spark.read.parquet(outd).collect()
+                    }
+                except Exception:
+                    return {}
+
+            try:
+                deadline = time.time() + 90
+                while time.time() < deadline and snap().get("g", (0, 0))[0] < 2:
+                    time.sleep(1)
+                # weight-0 row excluded; sample fits in k -> exact
+                assert snap() == {"g": (2, 30.0)}
+                with open(f"{src}/b2.json", "w") as f:
+                    f.write("\n".join(json.dumps(r) for r in b2))
+                while time.time() < deadline and snap().get("g", (0, 0))[0] < 3:
+                    time.sleep(1)
+                assert snap() == {"g": (3, 70.0), "h": (1, 5.0)}
+                from pd_utils_spark.extensions.sketches import (
+                    weighted_sample_sketch_by,
+                )
+                from pd_utils_spark.streaming import read_latest_state
+
+                v, state_df = read_latest_state(spark, smd)
+                assert v == 1
+                state = {
+                    r.event_type: [tuple(e) for e in r.sk]
+                    for r in state_df.collect()
+                }
+                whole = spark.createDataFrame(
+                    [tuple(r.values()) for r in b1 + b2],
+                    ["event_type", "event_id", "value", "weight"],
+                )
+                twin = {
+                    r.event_type: [tuple(e) for e in r.sk]
+                    for r in weighted_sample_sketch_by(
+                        whole, ["event_type"], "value", "weight",
+                        id_cols="event_id", k=16, out="sk",
+                    ).collect()
+                }
+                assert state == twin
+            finally:
+                q.stop()
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
