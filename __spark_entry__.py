@@ -6961,6 +6961,81 @@ def q_streaming_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_containment_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming subsumption ingest gate driven through the engine
+    end-to-end (streaming/stateful.py streaming_containment_dedup):
+    batch 1 = the documents corpus (subsumption-deduped within
+    itself), batch 2 = 50% truncations plus salt-extended docs —
+    truncations must be blocked by the HISTORY batch 1 wrote,
+    salt-extended docs must enter. Unlike the HLL/quantile rows this
+    pipeline is batch-ORDER-sensitive (acceptance depends on what was
+    accepted before), so the two parquet files are written in order
+    and exactly two micro-batches are asserted; the oracle replays
+    the full two-stage pipeline (within-batch one-pass rule, then
+    the against-history rule over batch 1's SURVIVORS) in SQL.
+    Returns every accepted doc_id across both batches."""
+    import shutil
+    import tempfile
+
+    from pd_utils_spark.streaming.stateful import streaming_containment_dedup
+
+    base = tempfile.mkdtemp(prefix="pus_cstream_")
+    try:
+        d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        toks = F.split(F.col("text"), " ")
+        m = F.greatest(F.lit(5), F.floor(F.size(toks) * 0.5).cast("int"))
+        trunc = d.filter(F.col("doc_id") % 3 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat_ws(" ", F.slice(toks, F.lit(1), m)).alias("text"),
+        )
+        salted = d.filter(F.col("doc_id") % 3 == 1).select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            F.concat(
+                F.col("text"), F.lit(" zq1 zq2 zq3 zq4 zq5 zq6 zq7")
+            ).alias("text"),
+        )
+        src = f"{base}/src"
+        # ordered appends -> ordered AvailableNow micro-batches (file
+        # source takes files in modification order; the writes are
+        # sequential actions)
+        d.coalesce(1).write.mode("append").parquet(src)
+        trunc.unionByName(salted).coalesce(1).write.mode("append").parquet(
+            src
+        )
+        raw_schema = spark.read.parquet(src).schema
+        sdf = (
+            spark.readStream.schema(raw_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        with _stream_state_partitions(spark):
+            q = streaming_containment_dedup(
+                sdf,
+                output_dir=f"{base}/out",
+                history_dir=f"{base}/hist",
+                checkpoint_dir=f"{base}/ckpt",
+                threshold=0.9,
+                k=3,
+                available_now=True,
+            )
+            q.awaitTermination()
+            data_batches = sum(
+                1 for p in q.recentProgress if p["numInputRows"] > 0
+            )
+            if data_batches != 2:
+                raise AssertionError(
+                    "streaming_containment_dedup expects TWO ordered "
+                    f"micro-batches; ran {data_batches}"
+                )
+        out = spark.read.parquet(f"{base}/out").select("doc_id")
+        rows = out.collect()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, "doc_id bigint")
+
+
 def q_streaming_weighted_sample(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -7536,6 +7611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_quantiles": q_streaming_quantiles,
         "streaming_topk": q_streaming_topk,
         "streaming_weighted_sample": q_streaming_weighted_sample,
+        "streaming_containment_dedup": q_streaming_containment_dedup,
         "bpe_learn": q_bpe_learn,
         "bpe_compression": q_bpe_compression,
         "bpe_vocab": q_bpe_vocab,
@@ -15152,6 +15228,68 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_type, (user_id % 16)::BIGINT AS item,
                count(*)::BIGINT AS n, 1::BIGINT AS as_of_batch
         FROM events GROUP BY 1, 2
+    """
+    d["streaming_containment_dedup"] = f"""
+        WITH b1 AS (SELECT doc_id, text FROM documents),
+        s1 AS (
+            SELECT doc_id,
+                   list_filter({_sql_shingles_k(3)},
+                               t -> length(t) > 0) AS t
+            FROM b1
+        ),
+        n1 AS (SELECT doc_id, t FROM s1 WHERE len(t) > 0),
+        d1 AS (
+            SELECT DISTINCT a.doc_id
+            FROM n1 a JOIN n1 b ON a.doc_id <> b.doc_id
+            WHERE len(list_intersect(a.t, b.t))::DOUBLE
+                      / len(a.t)::DOUBLE >= 0.9
+              AND (len(b.t) > len(a.t)
+                   OR (len(b.t) = len(a.t) AND b.doc_id < a.doc_id))
+        ),
+        acc1 AS (
+            SELECT doc_id, t FROM n1
+            WHERE doc_id NOT IN (SELECT doc_id FROM d1)
+        ),
+        b2 AS (
+            SELECT doc_id + 100000 AS doc_id,
+                   array_to_string(list_slice(string_split(text, ' '),
+                       1, greatest(5, cast(floor(
+                           len(string_split(text, ' ')) * 0.5
+                       ) AS INT))), ' ') AS text
+            FROM documents WHERE doc_id % 3 = 0
+            UNION ALL
+            SELECT doc_id + 200000,
+                   text || ' zq1 zq2 zq3 zq4 zq5 zq6 zq7'
+            FROM documents WHERE doc_id % 3 = 1
+        ),
+        s2 AS (
+            SELECT doc_id,
+                   list_filter({_sql_shingles_k(3)},
+                               t -> length(t) > 0) AS t
+            FROM b2
+        ),
+        n2 AS (SELECT doc_id, t FROM s2 WHERE len(t) > 0),
+        d2a AS (
+            SELECT DISTINCT a.doc_id
+            FROM n2 a JOIN n2 b ON a.doc_id <> b.doc_id
+            WHERE len(list_intersect(a.t, b.t))::DOUBLE
+                      / len(a.t)::DOUBLE >= 0.9
+              AND (len(b.t) > len(a.t)
+                   OR (len(b.t) = len(a.t) AND b.doc_id < a.doc_id))
+        ),
+        d2b AS (
+            SELECT DISTINCT w.doc_id
+            FROM n2 w
+            WHERE EXISTS (SELECT 1 FROM acc1 h
+                          WHERE len(list_intersect(w.t, h.t))::DOUBLE
+                                    / len(w.t)::DOUBLE >= 0.9)
+        )
+        SELECT doc_id FROM b1
+        WHERE doc_id NOT IN (SELECT doc_id FROM d1)
+        UNION ALL
+        SELECT doc_id FROM b2
+        WHERE doc_id NOT IN (SELECT doc_id FROM d2a)
+          AND doc_id NOT IN (SELECT doc_id FROM d2b)
     """
     d["streaming_weighted_sample"] = """
         SELECT event_type,

@@ -7,6 +7,7 @@ from pd_utils_spark.streaming.stateful import (
     streaming_band_dedup,
     streaming_exact_dedup,
     streaming_bloom_dedup,
+    streaming_containment_dedup,
     streaming_distinct_hll,
     streaming_greedy_band_dedup,
     streaming_minhash_dedup,

@@ -384,6 +384,86 @@ def streaming_distinct_hll(
     return writer.start()
 
 
+def streaming_containment_dedup(
+    sdf: DataFrame,
+    output_dir: str,
+    history_dir: str,
+    checkpoint_dir: str,
+    textcol: str = "text",
+    idcol: str = "doc_id",
+    threshold: float = 0.9,
+    k: int = 3,
+    max_bucket: int | None = None,
+    available_now: bool = False,
+):
+    """Streaming SUBSUMPTION deduplication: each micro-batch is
+    subsumption-deduped within itself (``dedup_containment`` — drop
+    docs >= ``threshold`` contained in a larger batch-mate) and then
+    against everything accepted before it
+    (``dedup_containment_against`` vs the accumulated history);
+    survivors append to ``output_dir`` and their (id, text) to
+    ``history_dir`` — the ingestion gate that keeps re-crawls, quoted
+    excerpts and truncations of already-ingested content out of the
+    corpus even when their Jaccard is far below any dedup threshold
+    (the case :func:`streaming_minhash_dedup` structurally misses).
+    Same foreachBatch/at-least-once/explicit-FS-existence contract as
+    the MinHash row, and the same replay safety: a replayed doc is
+    contained in its own first write and gets dropped.
+
+    State is the accepted corpus itself (containment needs full
+    shingle sets — there is no constant-size sketch with complete
+    recall), which is the honest cost of an EXACT gate; at scale the
+    history-side document-frequency table and token index are the
+    precomputable artifacts (see ``dedup_containment_against``'s
+    scale notes), and ``max_bucket`` trades exact recall for flood
+    protection on the history index.
+
+    Returns the started ``StreamingQuery``.
+    """
+    from pd_utils_spark.extensions.dedup import (
+        dedup_containment,
+        dedup_containment_against,
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        survivors = dedup_containment(
+            batch_df,
+            textcol=textcol,
+            idcol=idcol,
+            threshold=threshold,
+            k=k,
+            max_bucket=max_bucket,
+        )
+        jvm = spark.sparkContext._jvm
+        jsc = spark.sparkContext._jsc
+        path = jvm.org.apache.hadoop.fs.Path(history_dir)
+        fs = path.getFileSystem(jsc.hadoopConfiguration())
+        if fs.exists(path):
+            history = spark.read.parquet(history_dir)
+            survivors = dedup_containment_against(
+                survivors,
+                history,
+                textcol=textcol,
+                idcol=idcol,
+                threshold=threshold,
+                k=k,
+                max_bucket=max_bucket,
+            )
+        survivors = survivors.localCheckpoint(eager=True)  # two writes
+        survivors.write.mode("append").parquet(output_dir)
+        survivors.select(idcol, textcol).write.mode("append").parquet(
+            history_dir
+        )
+
+    writer = sdf.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def streaming_sample_quantiles(
     sdf: DataFrame,
     output_dir: str,

@@ -1774,3 +1774,72 @@ class TestStreamingWeightedSample:
                 q.stop()
         finally:
             shutil.rmtree(base, ignore_errors=True)
+
+
+class TestStreamingContainmentDedup:
+    def test_truncations_blocked_within_and_across_batches(self, spark):
+        import os
+        import time
+
+        from pyspark.sql.types import LongType
+
+        base = tempfile.mkdtemp(prefix="cstream_")
+        src, outd, hist, ckpt = (
+            f"{base}/{d}" for d in ("src", "out", "hist", "ckpt")
+        )
+        os.makedirs(src)
+        full = "alpha bravo charlie delta echo foxtrot golf hotel india"
+        try:
+            schema = StructType(
+                [
+                    StructField("doc_id", LongType()),
+                    StructField("text", StringType()),
+                ]
+            )
+            b1 = [
+                {"doc_id": 1, "text": full},
+                {"doc_id": 2, "text": "alpha bravo charlie delta echo"},
+                {"doc_id": 3, "text": "zulu yankee xray whiskey victor"},
+            ]
+            b2 = [
+                {"doc_id": 4, "text": "bravo charlie delta echo foxtrot"},
+                {"doc_id": 5, "text": "zulu yankee xray whiskey victor"},
+                {"doc_id": 6, "text": "novel content about spark streams"},
+            ]
+            with open(f"{src}/b1.json", "w") as f:
+                f.write("\n".join(json.dumps(r) for r in b1))
+            stream = (
+                spark.readStream.format("json")
+                .schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .load(src)
+            )
+            q = W.streaming_containment_dedup(
+                stream, outd, hist, ckpt, threshold=0.9, k=1
+            )
+
+            def ids():
+                try:
+                    return {
+                        r.doc_id for r in spark.read.parquet(outd).collect()
+                    }
+                except Exception:
+                    return set()
+
+            try:
+                deadline = time.time() + 90
+                while time.time() < deadline and len(ids()) < 2:
+                    time.sleep(1)
+                # 2 (prefix of 1) dropped within the batch
+                assert ids() == {1, 3}
+                with open(f"{src}/b2.json", "w") as f:
+                    f.write("\n".join(json.dumps(r) for r in b2))
+                while time.time() < deadline and len(ids()) < 3:
+                    time.sleep(1)
+                # 4 (inner slice of 1) and 5 (copy of 3) blocked by
+                # HISTORY; only the novel doc enters
+                assert ids() == {1, 3, 6}
+            finally:
+                q.stop()
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
