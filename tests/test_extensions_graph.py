@@ -378,7 +378,11 @@ def test_iterative_operator_persists_release_by_label(spark):
     bfs_levels(edges, srcs, max_depth=3).count()
     assert release_registered("bfs_levels") == 1
     pagerank(edges, iters=2).count()
-    # nodes + contrib_edges + the restart-vector node frame (r8 PPR)
+    # uniform: nodes + contrib_edges only (the literal restart column
+    # rides the cached node frame — no third persist)
+    assert release_registered("pagerank") == 2
+    pagerank(edges, iters=2, sources=[1]).count()
+    # personalized: + the join-derived restart-vector frame
     assert release_registered("pagerank") == 3
     assert release_registered() == 0
 
