@@ -15296,7 +15296,8 @@ def oracle_sql() -> dict[str, str]:
                count(*)::BIGINT AS n_sampled,
                round(sum(value), 6) AS sum_sampled,
                1::BIGINT AS as_of_batch
-        FROM events WHERE value IS NOT NULL
+        FROM events
+        WHERE value IS NOT NULL AND user_id IS NOT NULL
         GROUP BY event_type
     """
     d["streaming_quantiles"] = """

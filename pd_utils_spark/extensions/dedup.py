@@ -2774,6 +2774,200 @@ def dedup_containment(
     return df.join(dropped, idcol, "left_anti")
 
 
+def _containment_toks(
+    frame: DataFrame, tcol: str, idcol: str, k: int
+) -> DataFrame:
+    """Exploded (``__id__``, ``__tok__``) token frame shared by the
+    containment family: distinct ``k``-shingles of the normalized
+    text, hashed to bigint via the md5-prefix staging every other
+    shingle consumer uses (bit-compatible across batch / history /
+    index builds — the reuse contract the precomputed-artifact path
+    depends on)."""
+    if k == 1:
+        sets = F.array_distinct(_tokens(_norm(F.col(tcol))))
+    else:
+        sets = _shingle_set(F.col(tcol), k)
+    return (
+        frame.select(
+            F.col(idcol).alias("__id__"), F.explode(sets).alias("__raw__")
+        )
+        .filter(F.length("__raw__") > 0)
+        .select(
+            "__id__",
+            F.conv(F.substring(F.md5("__raw__"), 1, 15), 16, 10)
+            .cast("bigint")
+            .alias("__tok__"),
+        )
+    )
+
+
+def containment_index_frames(
+    history: DataFrame,
+    textcol: str = "text",
+    idcol: str = "doc_id",
+    k: int = 3,
+) -> dict[str, DataFrame]:
+    """Build the PRECOMPUTABLE history-side artifacts of the
+    incremental containment gate as three frames, ready to persist
+    (parquet / bucketed tables) and probe with
+    :func:`dedup_containment_against_index`:
+
+    - ``"index"``: the inverted index ``(__hid__, __dn__, __tok__)``
+      — one row per (history doc, distinct token), ``__dn__`` the
+      doc's token-set size (the length-prune column).
+    - ``"sets"``: ``(__hid__, __toks__ array<bigint>)`` — each
+      history doc's full token set, the verify-join side.
+    - ``"dfreq"``: ``(__tok__, __df__)`` — history document
+      frequency, the rare-first prefix order.
+
+    At corpus scale these are write-once-probe-many: a daily ingest
+    batch reads them instead of re-shingling / re-aggregating the
+    accumulated corpus (store ``index`` bucketed by ``__tok__`` and
+    the probe join is shuffle-free on the history side; append
+    per-batch deltas and ``dfreq`` stays exact as a sum of deltas —
+    see ``streaming/stateful.py streaming_containment_dedup`` for the
+    versioned-delta layout). The shared exploded token frame is
+    persisted and registered under ``"containment_index_frames"`` —
+    release after materializing the three outputs.
+
+    Bit-compatibility contract (pytest-pinned): probing these frames
+    with :func:`dedup_containment_against_index` returns exactly the
+    survivors :func:`dedup_containment_against` computes from the raw
+    history frame."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    from pyspark import StorageLevel
+
+    htoks = _containment_toks(history, textcol, idcol, k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    register_persisted("containment_index_frames", [htoks])
+    dfreq = htoks.groupBy("__tok__").agg(F.count(F.lit(1)).alias("__df__"))
+    sets = (
+        htoks.groupBy("__id__")
+        .agg(F.collect_set("__tok__").alias("__toks__"))
+        .select(F.col("__id__").alias("__hid__"), "__toks__")
+    )
+    index = sets.select(
+        "__hid__",
+        F.size("__toks__").alias("__dn__"),
+        F.explode("__toks__").alias("__tok__"),
+    )
+    return {"index": index, "sets": sets, "dfreq": dfreq}
+
+
+def dedup_containment_against_index(
+    df: DataFrame,
+    index: DataFrame,
+    sets: DataFrame,
+    dfreq: DataFrame,
+    textcol: str = "text",
+    idcol: str = "doc_id",
+    threshold: float = 0.9,
+    k: int = 3,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Probe-side of the incremental subsumption gate: drop rows of
+    ``df`` whose shingle set is ``>= threshold`` contained in any
+    history document, where the history is given as the three
+    PRECOMPUTED artifacts of :func:`containment_index_frames`
+    (``index``/``sets``/``dfreq``) instead of a raw text frame. Same
+    filters, same exactness contract, same result as
+    :func:`dedup_containment_against` — but the per-batch plan does
+    NO history-side work beyond scanning the artifacts: no shingle
+    pass, no explode, no collect_set over the accumulated corpus
+    (plan-asserted in ``tests/test_extensions_dedup.py``). This is
+    the shape an ingest gate must have at 100 TB: probe cost scales
+    with the BATCH (its tokens, its prefix explode) plus one
+    equi-join into the stored index — which is shuffle-free on the
+    history side when ``index`` is bucketed by ``__tok__``.
+
+    ``max_bucket`` caps index buckets exactly as in
+    :func:`dedup_containment_against` (recall trade, observe metric
+    ``containment_against_bucket``). Batch-side intermediates are
+    persisted and registered under
+    ``"dedup_containment_against_index"``."""
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1]: {threshold}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    from pyspark import StorageLevel
+
+    btoks = _containment_toks(df, textcol, idcol, k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    register_persisted("dedup_containment_against_index", [btoks])
+    sorted_batch = (
+        btoks.join(dfreq, "__tok__", "left")
+        .groupBy("__id__")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.coalesce("__df__", F.lit(0)).alias("__df__"),
+                        "__tok__",
+                    )
+                )
+            ).alias("__arr__")
+        )
+        .select(
+            "__id__",
+            F.transform(F.col("__arr__"), lambda s: s["__tok__"]).alias(
+                "__toks__"
+            ),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    register_persisted("dedup_containment_against_index", [sorted_batch])
+    n = F.size("__toks__")
+    t_lit = F.lit(float(threshold))
+    plen = (n - F.ceil(t_lit * n - F.lit(1e-9)) + 1).cast("int")
+    probes = sorted_batch.select(
+        "__id__",
+        n.alias("__n__"),
+        F.posexplode(F.slice("__toks__", 1, plen)).alias("__pos__", "__tok__"),
+    )
+    if max_bucket is not None:
+        index = _cap_buckets(
+            index, ["__tok__"], max_bucket, "containment_against_bucket"
+        )
+    na = F.col("a.__n__")
+    pa = F.col("a.__pos__") + 1
+    need = F.ceil(t_lit * na.cast("double") - F.lit(1e-9))
+    cand = (
+        probes.alias("a")
+        .join(
+            index.alias("b"),
+            (F.col("a.__tok__") == F.col("b.__tok__"))
+            & (
+                F.col("b.__dn__").cast("double")
+                >= t_lit * na.cast("double") - F.lit(1e-9)
+            )
+            & ((na - pa + F.lit(1)) >= need),
+        )
+        .select(
+            F.col("a.__id__").alias("__bid__"),
+            F.col("b.__hid__").alias("__hid__"),
+        )
+        .distinct()
+    )
+    left = sorted_batch.select(
+        F.col("__id__").alias("__bid__"), F.col("__toks__").alias("__ta__")
+    )
+    right = sets.select(
+        "__hid__", F.col("__toks__").alias("__tb__")
+    )
+    inter = F.size(F.array_intersect("__ta__", "__tb__")).cast("double")
+    dropped = (
+        cand.join(left, "__bid__")
+        .join(right, "__hid__")
+        .filter(inter / F.size("__ta__").cast("double") >= threshold)
+        .select(F.col("__bid__").alias(idcol))
+        .distinct()
+    )
+    return df.join(dropped, idcol, "left_anti")
+
+
 def dedup_containment_against(
     df: DataFrame,
     history: DataFrame,
@@ -2808,114 +3002,32 @@ def dedup_containment_against(
     persisted/bucketed history token tables make that shuffle-free
     on the history side. ``max_bucket`` caps history index buckets
     (recall trade, observe metric — see
-    :func:`containment_join_prefix`)."""
-    if not 0.0 < threshold <= 1.0:
-        raise ValueError(f"threshold must be in (0, 1]: {threshold}")
-    if k < 1:
-        raise ValueError(f"k must be >= 1: {k}")
-    from pyspark import StorageLevel
+    :func:`containment_join_prefix`).
 
-    htext = history_textcol or textcol
-
-    def _toks(frame: DataFrame, tcol: str) -> DataFrame:
-        if k == 1:
-            sets = F.array_distinct(_tokens(_norm(F.col(tcol))))
-        else:
-            sets = _shingle_set(F.col(tcol), k)
-        return (
-            frame.select(
-                F.col(idcol).alias("__id__"), F.explode(sets).alias("__raw__")
-            )
-            .filter(F.length("__raw__") > 0)
-            .select(
-                "__id__",
-                F.conv(F.substring(F.md5("__raw__"), 1, 15), 16, 10)
-                .cast("bigint")
-                .alias("__tok__"),
-            )
-        )
-
-    btoks = _toks(df, textcol).persist(StorageLevel.MEMORY_AND_DISK)
-    htoks = _toks(history, htext).persist(StorageLevel.MEMORY_AND_DISK)
-    register_persisted("dedup_containment_against", [btoks, htoks])
-    hfreq = htoks.groupBy("__tok__").agg(F.count(F.lit(1)).alias("__df__"))
-    sorted_batch = (
-        btoks.join(hfreq, "__tok__", "left")
-        .groupBy("__id__")
-        .agg(
-            F.array_sort(
-                F.collect_list(
-                    F.struct(
-                        F.coalesce("__df__", F.lit(0)).alias("__df__"),
-                        "__tok__",
-                    )
-                )
-            ).alias("__arr__")
-        )
-        .select(
-            "__id__",
-            F.transform(F.col("__arr__"), lambda s: s["__tok__"]).alias(
-                "__toks__"
-            ),
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    This convenience form builds the history artifacts inline
+    (:func:`containment_index_frames`) and probes them
+    (:func:`dedup_containment_against_index`) — when the same history
+    serves many batches, materialize the artifacts ONCE and call the
+    probe directly (that is the entire point of the split; the
+    streaming gate in ``streaming/stateful.py`` does exactly this
+    with versioned per-batch deltas). Intermediates are registered
+    under the two composed labels (``"containment_index_frames"``
+    for the history token frame, ``"dedup_containment_against_index"``
+    for the batch-side frames)."""
+    frames = containment_index_frames(
+        history, textcol=history_textcol or textcol, idcol=idcol, k=k
     )
-    register_persisted("dedup_containment_against", [sorted_batch])
-    n = F.size("__toks__")
-    t_lit = F.lit(float(threshold))
-    plen = (n - F.ceil(t_lit * n - F.lit(1e-9)) + 1).cast("int")
-    probes = sorted_batch.select(
-        "__id__",
-        n.alias("__n__"),
-        F.posexplode(F.slice("__toks__", 1, plen)).alias("__pos__", "__tok__"),
+    return dedup_containment_against_index(
+        df,
+        frames["index"],
+        frames["sets"],
+        frames["dfreq"],
+        textcol=textcol,
+        idcol=idcol,
+        threshold=threshold,
+        k=k,
+        max_bucket=max_bucket,
     )
-    hsets = htoks.groupBy("__id__").agg(
-        F.collect_set("__tok__").alias("__toks__")
-    )
-    index = hsets.select(
-        F.col("__id__").alias("__hid__"),
-        F.size("__toks__").alias("__dn__"),
-        F.explode("__toks__").alias("__tok__"),
-    )
-    if max_bucket is not None:
-        index = _cap_buckets(
-            index, ["__tok__"], max_bucket, "containment_against_bucket"
-        )
-    na = F.col("a.__n__")
-    pa = F.col("a.__pos__") + 1
-    need = F.ceil(t_lit * na.cast("double") - F.lit(1e-9))
-    cand = (
-        probes.alias("a")
-        .join(
-            index.alias("b"),
-            (F.col("a.__tok__") == F.col("b.__tok__"))
-            & (
-                F.col("b.__dn__").cast("double")
-                >= t_lit * na.cast("double") - F.lit(1e-9)
-            )
-            & ((na - pa + F.lit(1)) >= need),
-        )
-        .select(
-            F.col("a.__id__").alias("__bid__"),
-            F.col("b.__hid__").alias("__hid__"),
-        )
-        .distinct()
-    )
-    left = sorted_batch.select(
-        F.col("__id__").alias("__bid__"), F.col("__toks__").alias("__ta__")
-    )
-    right = hsets.select(
-        F.col("__id__").alias("__hid__"), F.col("__toks__").alias("__tb__")
-    )
-    inter = F.size(F.array_intersect("__ta__", "__tb__")).cast("double")
-    dropped = (
-        cand.join(left, "__bid__")
-        .join(right, "__hid__")
-        .filter(inter / F.size("__ta__").cast("double") >= threshold)
-        .select(F.col("__bid__").alias(idcol))
-        .distinct()
-    )
-    return df.join(dropped, idcol, "left_anti")
 
 
 def dedup_keep_best(

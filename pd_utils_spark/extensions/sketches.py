@@ -546,11 +546,22 @@ def bottomk_array(col, k: int):
     lives in one row, per-row sketching is a pure column expression,
     the shape per-document dedup screening wants at 100 TB. Feed the
     results to :func:`kmv_estimate` / :func:`kmv_pair_ops` /
-    :func:`bottomk_rollup` exactly like agg-built sketches."""
+    :func:`bottomk_rollup` exactly like agg-built sketches.
+
+    Null elements are filtered BEFORE hashing: ``xxhash64(NULL)``
+    returns the seed (42), a tiny hash that would otherwise inject a
+    phantom element likely to survive the bottom-k cut, breaking the
+    pinned equivalence with :func:`bottomk_sketch_by` (whose groupBy
+    build drops nulls)."""
     base = col if not isinstance(col, str) else F.col(col)
     return F.slice(
         F.array_sort(
-            F.array_distinct(F.transform(base, lambda x: F.xxhash64(x)))
+            F.array_distinct(
+                F.transform(
+                    F.filter(base, lambda x: x.isNotNull()),
+                    lambda x: F.xxhash64(x),
+                )
+            )
         ),
         1,
         int(k),

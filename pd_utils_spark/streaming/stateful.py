@@ -399,62 +399,128 @@ def streaming_containment_dedup(
     """Streaming SUBSUMPTION deduplication: each micro-batch is
     subsumption-deduped within itself (``dedup_containment`` — drop
     docs >= ``threshold`` contained in a larger batch-mate) and then
-    against everything accepted before it
-    (``dedup_containment_against`` vs the accumulated history);
-    survivors append to ``output_dir`` and their (id, text) to
-    ``history_dir`` — the ingestion gate that keeps re-crawls, quoted
+    against everything accepted before it; survivors append to
+    ``output_dir`` — the ingestion gate that keeps re-crawls, quoted
     excerpts and truncations of already-ingested content out of the
     corpus even when their Jaccard is far below any dedup threshold
     (the case :func:`streaming_minhash_dedup` structurally misses).
-    Same foreachBatch/at-least-once/explicit-FS-existence contract as
-    the MinHash row, and the same replay safety: a replayed doc is
-    contained in its own first write and gets dropped.
 
-    State is the accepted corpus itself (containment needs full
+    **State is the PRECOMPUTED containment index, not the raw
+    corpus.** ``history_dir`` holds per-batch DELTA versions of the
+    three artifacts of
+    :func:`~pd_utils_spark.extensions.dedup.containment_index_frames`
+    — ``index/b=<batch_id>`` (inverted index), ``sets/b=<batch_id>``
+    (verify-side token sets), ``dfreq/b=<batch_id>`` (document-
+    frequency deltas; exact history df = sum of deltas) — plus
+    ``docs/b=<batch_id>`` (survivor ``(id, text)``, the external
+    corpus artifact; the dedup itself never reads it back). Each
+    batch PROBES the accumulated artifacts with
+    :func:`~pd_utils_spark.extensions.dedup.dedup_containment_against_index`,
+    so per-batch cost scales with the BATCH (its shingles, its prefix
+    explode, one equi-join into the stored index) — the history text
+    is never re-shingled, re-exploded or re-aggregated per batch
+    (plan-asserted in ``tests/test_streaming.py``). The one
+    per-batch history-sized term left is summing the df deltas
+    (O(distinct history tokens), a bounded-width table); at corpus
+    scale, compact the deltas periodically and store ``index``
+    bucketed by ``__tok__`` to make the probe join shuffle-free on
+    the history side. Containment still fundamentally needs full
     shingle sets — there is no constant-size sketch with complete
-    recall), which is the honest cost of an EXACT gate; at scale the
-    history-side document-frequency table and token index are the
-    precomputable artifacts (see ``dedup_containment_against``'s
-    scale notes), and ``max_bucket`` trades exact recall for flood
-    protection on the history index.
+    recall — so total STORED state is corpus-token-sized; this
+    operator's job is keeping the per-batch COMPUTE off that term.
+
+    Replay safety: state versions are keyed by ``batch_id`` and
+    written BEFORE the output append, and a batch reads only
+    committed versions STRICTLY BELOW its own id — so a retried
+    batch ignores its own crashed half-write, re-derives identical
+    survivors (both dedup stages are deterministic), idempotently
+    overwrites its own version dirs, and re-appends to
+    ``output_dir``. ``output_dir`` is therefore AT-LEAST-ONCE
+    (the standard foreachBatch caveat — finish downstream with
+    ``exact_dedup`` on id when exactly-once matters) while the
+    artifact state is exactly-once; no crash window loses accepted
+    documents or admits a duplicate past the gate. Within the state
+    write, ``index`` commits LAST, so an index-committed version
+    implies its ``dfreq``/``sets`` committed too (readers enumerate
+    versions from ``index``). ``max_bucket`` trades exact recall for
+    flood protection on the history index (observe metric).
 
     Returns the started ``StreamingQuery``.
     """
     from pd_utils_spark.extensions.dedup import (
+        containment_index_frames,
         dedup_containment,
-        dedup_containment_against,
+        dedup_containment_against_index,
     )
+    from pd_utils_spark.utils import release_registered
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        survivors = dedup_containment(
-            batch_df,
-            textcol=textcol,
-            idcol=idcol,
-            threshold=threshold,
-            k=k,
-            max_bucket=max_bucket,
-        )
-        jvm = spark.sparkContext._jvm
-        jsc = spark.sparkContext._jsc
-        path = jvm.org.apache.hadoop.fs.Path(history_dir)
-        fs = path.getFileSystem(jsc.hadoopConfiguration())
-        if fs.exists(path):
-            history = spark.read.parquet(history_dir)
-            survivors = dedup_containment_against(
-                survivors,
-                history,
+        try:
+            survivors = dedup_containment(
+                batch_df,
                 textcol=textcol,
                 idcol=idcol,
                 threshold=threshold,
                 k=k,
                 max_bucket=max_bucket,
             )
-        survivors = survivors.localCheckpoint(eager=True)  # two writes
-        survivors.write.mode("append").parquet(output_dir)
-        survivors.select(idcol, textcol).write.mode("append").parquet(
-            history_dir
-        )
+            # committed versions strictly below this batch: a retried
+            # batch must not probe its own crashed half-state
+            versions = [
+                v
+                for v in _bloom_versions(spark, f"{history_dir}/index")
+                if v < batch_id
+            ]
+            if versions:
+                index = spark.read.parquet(
+                    *[f"{history_dir}/index/b={v}" for v in versions]
+                )
+                sets = spark.read.parquet(
+                    *[f"{history_dir}/sets/b={v}" for v in versions]
+                )
+                dfreq = (
+                    spark.read.parquet(
+                        *[f"{history_dir}/dfreq/b={v}" for v in versions]
+                    )
+                    .groupBy("__tok__")
+                    .agg(F.sum("__df__").alias("__df__"))
+                )
+                survivors = dedup_containment_against_index(
+                    survivors,
+                    index,
+                    sets,
+                    dfreq,
+                    textcol=textcol,
+                    idcol=idcol,
+                    threshold=threshold,
+                    k=k,
+                    max_bucket=max_bucket,
+                )
+            survivors = survivors.localCheckpoint(eager=True)  # 5 writes
+            # state BEFORE output (see docstring); index commits LAST
+            frames = containment_index_frames(
+                survivors, textcol=textcol, idcol=idcol, k=k
+            )
+            frames["dfreq"].write.mode("overwrite").parquet(
+                f"{history_dir}/dfreq/b={batch_id}"
+            )
+            frames["sets"].write.mode("overwrite").parquet(
+                f"{history_dir}/sets/b={batch_id}"
+            )
+            frames["index"].write.mode("overwrite").parquet(
+                f"{history_dir}/index/b={batch_id}"
+            )
+            survivors.select(idcol, textcol).write.mode("overwrite").parquet(
+                f"{history_dir}/docs/b={batch_id}"
+            )
+            survivors.write.mode("append").parquet(output_dir)
+        finally:
+            # per-batch persists must not accumulate across a
+            # long-running stream
+            release_registered("containment_join_prefix")
+            release_registered("dedup_containment_against_index")
+            release_registered("containment_index_frames")
 
     writer = sdf.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir

@@ -1586,3 +1586,178 @@ class TestDedupContainmentAgainst:
         )
         out = dedup_containment_against(batch, hist, threshold=0.9, k=1)
         assert out.collect() == []
+
+
+class TestContainmentIndexPath:
+    """The precomputed-artifact probe path (containment_index_frames +
+    dedup_containment_against_index) — the shape the streaming ingest
+    gate and any batch-over-persisted-corpus pipeline runs."""
+
+    HIST = [
+        (1, "alpha bravo charlie delta echo foxtrot golf hotel"),
+        (2, "one two three four five six seven eight nine"),
+        (3, "zulu yankee xray whiskey victor uniform tango"),
+    ]
+    BATCH = [
+        (10, "alpha bravo charlie delta echo"),    # prefix of 1
+        (11, "three four five six seven"),         # slice of 2
+        (12, "totally novel content words here"),  # new
+        (13, "alpha bravo zz yy xx ww vv uu tt"),  # low overlap
+    ]
+
+    def _artifacts_via_parquet(self, spark, tmp_path, hist, k):
+        from pd_utils_spark.extensions.dedup import containment_index_frames
+        from pd_utils_spark.utils import release_registered
+
+        frames = containment_index_frames(hist, k=k)
+        for name in ("index", "sets", "dfreq"):
+            frames[name].write.mode("overwrite").parquet(
+                str(tmp_path / name)
+            )
+        release_registered("containment_index_frames")
+        return {
+            name: spark.read.parquet(str(tmp_path / name))
+            for name in ("index", "sets", "dfreq")
+        }
+
+    def test_index_probe_bit_identical_to_recompute(self, spark, tmp_path):
+        from pd_utils_spark.extensions.dedup import (
+            dedup_containment_against,
+            dedup_containment_against_index,
+        )
+
+        hist = spark.createDataFrame(self.HIST, ["doc_id", "text"])
+        batch = spark.createDataFrame(self.BATCH, ["doc_id", "text"])
+        want = sorted(
+            tuple(r)
+            for r in dedup_containment_against(
+                batch, hist, threshold=0.9, k=1
+            ).collect()
+        )
+        art = self._artifacts_via_parquet(spark, tmp_path, hist, k=1)
+        got_df = dedup_containment_against_index(
+            batch,
+            art["index"],
+            art["sets"],
+            art["dfreq"],
+            threshold=0.9,
+            k=1,
+        )
+        got = sorted(tuple(r) for r in got_df.collect())
+        assert got == want
+        assert {r[0] for r in got} == {12, 13}
+
+    def test_probe_plan_has_no_history_side_shingle_pass(
+        self, spark, tmp_path
+    ):
+        """The whole point of the artifact split: the per-batch plan
+        does NO history-side shingle/explode/collect_set work — the
+        only Generate nodes are the batch token explode and the batch
+        prefix posexplode, and the history side is pure parquet scans
+        of the three artifact relations."""
+        from pd_utils_spark.extensions.dedup import (
+            dedup_containment_against_index,
+        )
+
+        hist = spark.createDataFrame(self.HIST, ["doc_id", "text"])
+        batch = spark.createDataFrame(self.BATCH, ["doc_id", "text"])
+        art = self._artifacts_via_parquet(spark, tmp_path, hist, k=1)
+        out = dedup_containment_against_index(
+            batch,
+            art["index"],
+            art["sets"],
+            art["dfreq"],
+            threshold=0.9,
+            k=1,
+        )
+        out.collect()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # distinct Generate nodes (the persisted batch-token subtree
+        # prints once per in-memory scan site — identical text, so
+        # normalize expr-ids and dedup)
+        import re
+
+        gens = {
+            re.sub(r"#\d+L?", "#x", ln[ln.index("Generate") :])
+            for ln in plan.splitlines()
+            if "Generate" in ln
+        }
+        assert len(gens) == 2  # batch explode + batch prefix posexplode
+        assert any("__toks__" in g for g in gens)          # posexplode
+        assert any("regexp_replace" in g for g in gens)    # batch shingle
+        assert "collect_set" not in plan  # sets come from the artifact
+
+    def test_two_batch_pipeline_reuses_batch1_artifacts(
+        self, spark, tmp_path
+    ):
+        """Task-shape of the streaming gate in batch form: batch 2
+        probes batch-1's PERSISTED artifacts merged with the delta
+        batch-1's survivors appended — bit-identical survivors to
+        recomputing against the full accumulated history frame."""
+        from pyspark.sql import functions as F
+        from pd_utils_spark.extensions.dedup import (
+            containment_index_frames,
+            dedup_containment_against,
+            dedup_containment_against_index,
+        )
+        from pd_utils_spark.utils import release_registered
+
+        hist = spark.createDataFrame(self.HIST, ["doc_id", "text"])
+        b1 = spark.createDataFrame(
+            [
+                (20, "totally novel content words here first"),
+                (21, "alpha bravo charlie delta echo foxtrot"),  # blocked
+            ],
+            ["doc_id", "text"],
+        )
+        b2 = spark.createDataFrame(
+            [
+                (30, "novel content words here"),       # contained in 20
+                (31, "zulu yankee xray whiskey"),       # contained in 3
+                (32, "fresh second batch material zz"),  # new
+            ],
+            ["doc_id", "text"],
+        )
+        art0 = self._artifacts_via_parquet(spark, tmp_path / "v0", hist, k=1)
+        s1 = dedup_containment_against_index(
+            b1, art0["index"], art0["sets"], art0["dfreq"],
+            threshold=0.9, k=1,
+        )
+        assert {r["doc_id"] for r in s1.collect()} == {20}
+        # append batch-1 survivors' delta artifacts
+        delta = containment_index_frames(s1, k=1)
+        for name in ("index", "sets", "dfreq"):
+            delta[name].write.mode("overwrite").parquet(
+                str(tmp_path / "v1" / name)
+            )
+        release_registered("containment_index_frames")
+        release_registered("dedup_containment_against_index")
+        merged = {
+            name: spark.read.parquet(
+                str(tmp_path / "v0" / name), str(tmp_path / "v1" / name)
+            )
+            for name in ("index", "sets")
+        }
+        dfreq = (
+            spark.read.parquet(
+                str(tmp_path / "v0" / "dfreq"), str(tmp_path / "v1" / "dfreq")
+            )
+            .groupBy("__tok__")
+            .agg(F.sum("__df__").alias("__df__"))
+        )
+        got = sorted(
+            tuple(r)
+            for r in dedup_containment_against_index(
+                b2, merged["index"], merged["sets"], dfreq,
+                threshold=0.9, k=1,
+            ).collect()
+        )
+        full_hist = hist.unionByName(s1.select("doc_id", "text"))
+        want = sorted(
+            tuple(r)
+            for r in dedup_containment_against(
+                b2, full_hist, threshold=0.9, k=1
+            ).collect()
+        )
+        assert got == want
+        assert {r[0] for r in got} == {32}

@@ -339,6 +339,32 @@ def test_bottomk_array_bit_identical_to_agg_build(spark):
     assert "Exchange" not in plan  # map-only
 
 
+def test_bottomk_array_skips_null_elements(spark):
+    """xxhash64(NULL) returns the seed (42) — a tiny hash that would
+    survive the bottom-k cut as a phantom element. bottomk_array must
+    filter nulls before hashing so arrays-with-nulls stay bit-identical
+    to the agg build (whose explode+groupBy path drops nulls)."""
+    df = spark.createDataFrame(
+        [(1, ["a", None, "b", None, "c"]), (2, [None, "x"])],
+        "doc_id int, t array<string>",
+    )
+    m1 = {
+        r["doc_id"]: r["sk"]
+        for r in df.select(
+            "doc_id", sk.bottomk_array("t", 4).alias("sk")
+        ).collect()
+    }
+    ex = df.select("doc_id", F.explode("t").alias("s")).where(
+        F.col("s").isNotNull()
+    )
+    m2 = {
+        r["doc_id"]: r["s_kmv"]
+        for r in sk.bottomk_sketch_by(ex, ["doc_id"], "s", k=4).collect()
+    }
+    assert m1 == m2
+    assert all(42 not in v for v in m1.values())
+
+
 # ------------------------------------------------------- weighted sampling
 
 

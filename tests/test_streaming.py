@@ -1839,6 +1839,37 @@ class TestStreamingContainmentDedup:
                 # 4 (inner slice of 1) and 5 (copy of 3) blocked by
                 # HISTORY; only the novel doc enters
                 assert ids() == {1, 3, 6}
+                # state layout: per-batch COMMITTED delta versions of
+                # the three precomputed artifacts + the docs corpus
+                for sub in ("index", "sets", "dfreq", "docs"):
+                    for b in (0, 1):
+                        assert os.path.exists(
+                            f"{hist}/{sub}/b={b}/_SUCCESS"
+                        ), f"{sub}/b={b} not committed"
+                docs = spark.read.parquet(
+                    f"{hist}/docs/b=0", f"{hist}/docs/b=1"
+                )
+                assert {r.doc_id for r in docs.collect()} == {1, 3, 6}
+                # summed dfreq deltas == document frequency recomputed
+                # from the accepted corpus (the exactness the probe's
+                # prefix order rests on)
+                from pd_utils_spark.extensions.dedup import (
+                    containment_index_frames,
+                )
+                from pd_utils_spark.utils import release_registered
+
+                dfreq = (
+                    spark.read.parquet(
+                        f"{hist}/dfreq/b=0", f"{hist}/dfreq/b=1"
+                    )
+                    .groupBy("__tok__")
+                    .agg(F.sum("__df__").alias("__df__"))
+                )
+                want = containment_index_frames(docs, k=1)["dfreq"]
+                got_m = {r["__tok__"]: r["__df__"] for r in dfreq.collect()}
+                want_m = {r["__tok__"]: r["__df__"] for r in want.collect()}
+                release_registered("containment_index_frames")
+                assert got_m == want_m
             finally:
                 q.stop()
         finally:
