@@ -35,9 +35,27 @@ one replace chain instead of a per-word loop.
 
 Scale shape: iterations touch the distinct-word frame (vocabulary-
 sized, orders of magnitude smaller than the corpus); ``apply_bpe``
-is a pure map over documents with ``n_merges`` chained replaces.
-At 100 TB you learn on the word-count table (one corpus shuffle to
-build, reusable across iterations) and apply map-only."""
+is a pure map over documents. At 100 TB you learn on the word-count
+table (one corpus shuffle to build, reusable across iterations) and
+apply map-only.
+
+Expression-depth envelope: the chained-``replace`` apply is a SINGLE
+SQL expression one ``replace`` deep per merge — exactly what makes
+the oracle replay possible, and fine at tens of merges, but a
+realistic 8k–32k merge table would push one expression tree past the
+analyzer/whole-stage-codegen cliff (the PQ-encode precedent in
+SCALE.md). So apply is two-path: at or below ``max_expr_merges``
+(default 64) the exact relational form runs; above it, a
+rank-priority TRIE tokenizer runs as an Arrow-batched
+``mapInPandas`` with a per-batch distinct-word cache — merging the
+lowest-rank adjacent pair first is provably identical to applying
+merges sequentially in rank order (a merge only ever creates pairs
+involving its OWN new symbol, so no earlier-rank pair can appear
+later), and the equivalence is pytest-pinned against the expression
+path. ``learn_bpe`` bounds its lineage the same way:
+``localCheckpoint`` every ``checkpoint_every`` iterations, so
+iteration *i* replays at most ``checkpoint_every`` replaces instead
+of all *i-1* (O(n) total rewrite work, constant plan depth)."""
 
 from __future__ import annotations
 
@@ -102,6 +120,7 @@ def learn_bpe(
     n_merges: int = 10,
     min_freq: int = 1,
     eow: str = _EOW,
+    checkpoint_every: int = 8,
 ) -> DataFrame:
     """Learn ``n_merges`` BPE merges from the corpus. Returns a
     DataFrame ``(rank, left, right, merged, freq)`` in merge order —
@@ -111,7 +130,16 @@ def learn_bpe(
     is deterministic on any partitioning.
 
     One ``limit(1).collect()`` per iteration; every aggregation runs
-    over the distinct-word frame (persisted once)."""
+    over the distinct-word frame (persisted once). The rewritten word
+    frame is ``localCheckpoint``-ed every ``checkpoint_every``
+    iterations so iteration *i* replays at most ``checkpoint_every``
+    chained replaces instead of all *i-1* — without it, total rewrite
+    work is O(n_merges²) over the vocabulary and the plan grows one
+    expression level per merge (the analyzer/codegen cliff at
+    realistic merge counts). Each checkpoint materializes the
+    vocabulary-sized frame once (never the corpus)."""
+    if checkpoint_every < 1:
+        raise ValueError(f"checkpoint_every must be >= 1: {checkpoint_every}")
     spark = df.sparkSession
     wc = word_counts(df, textcol)
     base = wc.select(F.expr(_wrap("w", eow)).alias("s"), "cnt").persist()
@@ -133,6 +161,8 @@ def learn_bpe(
                 F.expr(f"replace(s, '({l})({r})', '({l}{r})')").alias("s"),
                 "cnt",
             )
+            if rank % checkpoint_every == 0:
+                cur = cur.localCheckpoint(eager=True)
         return spark.createDataFrame(
             [(rank, l, r, l + r, f) for rank, l, r, f in merges],
             "rank int, left string, right string, merged string, freq bigint",
@@ -147,20 +177,108 @@ def apply_bpe(
     textcol: str = "text",
     out: str = "bpe_tokens",
     eow: str = _EOW,
+    method: str = "auto",
+    max_expr_merges: int = 64,
 ) -> DataFrame:
-    """Tokenize documents with a learned merge table: normalized words
-    are boundary-wrapped, concatenated, rewritten by every merge in
-    rank order (one ``replace`` each — map-only), and split back into
-    the final symbol array (``out``). The end-of-word symbol is never
-    the left of a merge, so the concatenated form cannot merge across
-    word boundaries. Documents with no alphanumeric content get an
-    empty array."""
+    """Tokenize documents with a learned merge table — map-only either
+    way, two physical paths (see the module docstring's depth note):
+
+    - ``"expr"``: normalized words are boundary-wrapped, concatenated,
+      rewritten by every merge in rank order (one ``replace`` each),
+      and split back into the final symbol array (``out``). Exact
+      relational form, oracle-replayable — and one expression level
+      deep PER MERGE, so it is gated to small merge tables.
+    - ``"trie"``: Arrow-batched ``mapInPandas`` rank-priority
+      tokenizer (merge the lowest-rank adjacent pair, leftmost first
+      — provably identical output) with a per-batch distinct-word
+      cache. Constant plan depth at any merge count.
+
+    ``"auto"`` picks ``"expr"`` at or below ``max_expr_merges`` pairs
+    and ``"trie"`` above. The end-of-word symbol is never the left of
+    a merge, so the concatenated expr form cannot merge across word
+    boundaries. Documents with no alphanumeric content get an empty
+    array; null text stays null."""
+    pairs = _merge_pairs(merges)
+    if method not in ("auto", "expr", "trie"):
+        raise ValueError(f"unknown method: {method!r}")
+    if method == "expr" or (
+        method == "auto" and len(pairs) <= max_expr_merges
+    ):
+        return _apply_bpe_expr(df, pairs, textcol, out, eow)
+    return _apply_bpe_pandas(df, pairs, textcol, out, eow)
+
+
+def _merge_pairs(merges: DataFrame | list) -> list:
     if isinstance(merges, DataFrame):
         rows = merges.orderBy("rank").collect()
-        pairs = [(r["left"], r["right"]) for r in rows]
-    else:
-        pairs = [(m[0], m[1]) for m in merges]
-    return _apply_bpe_expr(df, pairs, textcol, out, eow)
+        return [(r["left"], r["right"]) for r in rows]
+    return [(m[0], m[1]) for m in merges]
+
+
+def _merge_word_symbols(word: str, ranks: dict, eow: str) -> list:
+    """Tokenize one word: merge the LOWEST-RANK adjacent symbol pair,
+    leftmost occurrence first, until no learnable pair remains. This
+    is exactly sequential rank-order application (the ``replace``
+    chain): a merge replaces two symbols with one NEW symbol, so
+    every pair it creates involves that new symbol — which only
+    occurs in merges learned LATER — hence no earlier-rank pair can
+    ever (re)appear once its pass is done."""
+    syms = list(word) + [eow]
+    while len(syms) >= 2:
+        best_rank = None
+        best_i = -1
+        for i in range(len(syms) - 1):
+            rk = ranks.get((syms[i], syms[i + 1]))
+            if rk is not None and (best_rank is None or rk < best_rank):
+                best_rank, best_i = rk, i
+        if best_rank is None:
+            break
+        syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+def _apply_bpe_pandas(
+    df: DataFrame, pairs: list, textcol: str, out: str, eow: str
+) -> DataFrame:
+    """The constant-depth apply path: one ``mapInPandas`` pass,
+    normalization replicated from ``_norm`` in Python (pinned equal to
+    the expr path by pytest), per-batch cache keyed by distinct word
+    so each word tokenizes once per Arrow batch."""
+    import re as _re
+
+    from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+    ranks = {(l, r): i for i, (l, r) in enumerate(pairs)}
+    fields = [f for f in df.schema.fields if f.name != out]
+    schema = StructType(
+        fields + [StructField(out, ArrayType(StringType()), True)]
+    )
+    nonword = _re.compile(r"[^a-z0-9]+")
+
+    def gen(batches):
+        cache: dict = {}
+        for pdf in batches:
+            col = []
+            for text in pdf[textcol]:
+                if text is None:
+                    col.append(None)
+                    continue
+                norm = nonword.sub(" ", text.lower()).strip()
+                toks: list = []
+                for w in norm.split(" "):
+                    if not w:
+                        continue
+                    t = cache.get(w)
+                    if t is None:
+                        t = _merge_word_symbols(w, ranks, eow)
+                        cache[w] = t
+                    toks.extend(t)
+                col.append(toks)
+            pdf = pdf[[f.name for f in fields]].copy()
+            pdf[out] = col
+            yield pdf
+
+    return df.mapInPandas(gen, schema)
 
 
 def _apply_bpe_expr(
@@ -197,6 +315,8 @@ def bpe_vocab(
     merges: DataFrame | list,
     textcol: str = "text",
     eow: str = _EOW,
+    method: str = "auto",
+    max_expr_merges: int = 64,
 ) -> DataFrame:
     """The trained vocabulary: every symbol the tokenizer emits over
     this corpus with its total occurrence count — ``(symbol, n)``.
@@ -205,25 +325,32 @@ def bpe_vocab(
     after), so it is exactly the token distribution ``apply_bpe``
     would produce over the corpus. The artifact you ship with the
     merges: its size is the model's vocab size, its tail is the
-    byte-fallback pressure."""
-    if isinstance(merges, DataFrame):
-        rows = merges.orderBy("rank").collect()
-        pairs = [(r["left"], r["right"]) for r in rows]
-    else:
-        pairs = [(m[0], m[1]) for m in merges]
+    byte-fallback pressure. Same two-path depth gate as
+    :func:`apply_bpe` (``method``/``max_expr_merges``) — the trie
+    path tokenizes the DISTINCT-WORD frame (each word once), so even
+    the Python pass is vocabulary-sized, never corpus-sized."""
+    pairs = _merge_pairs(merges)
+    if method not in ("auto", "expr", "trie"):
+        raise ValueError(f"unknown method: {method!r}")
     wc = word_counts(df, textcol)
-    expr = _wrap("w", eow)
-    for l, r in pairs:
-        expr = f"replace({expr}, '({l})({r})', '({l}{r})')"
-    rewritten = wc.select(F.expr(expr).alias("__s__"), "cnt")
-    toks = rewritten.select(
-        F.explode(
-            F.expr(
-                r"split(substring(__s__, 2, length(__s__) - 2), '\\)\\(')"
-            )
-        ).alias("symbol"),
-        "cnt",
-    )
+    if method == "expr" or (
+        method == "auto" and len(pairs) <= max_expr_merges
+    ):
+        expr = _wrap("w", eow)
+        for l, r in pairs:
+            expr = f"replace({expr}, '({l})({r})', '({l}{r})')"
+        rewritten = wc.select(F.expr(expr).alias("__s__"), "cnt")
+        toks = rewritten.select(
+            F.explode(
+                F.expr(
+                    r"split(substring(__s__, 2, length(__s__) - 2), '\\)\\(')"
+                )
+            ).alias("symbol"),
+            "cnt",
+        )
+    else:
+        syms = _apply_bpe_pandas(wc, pairs, "w", "__syms__", eow)
+        toks = syms.select(F.explode("__syms__").alias("symbol"), "cnt")
     return toks.groupBy("symbol").agg(F.sum("cnt").cast("bigint").alias("n"))
 
 

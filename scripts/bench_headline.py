@@ -21,6 +21,16 @@ representative per operator family + the two r5 drift suspects
 across rounds — the medians are the regression reference
 (BASELINE.md); the serial bench remains for totals/coverage only.
 
+V2 (round 9): the r6-frozen 37-query set predates 68 of the round-7/8
+queries, so none of the containment, linkage, sketch, BPE, VARIANT or
+constant-state streaming families had a cross-round median — a plan
+regression there was invisible between scaling rungs. HEADLINE_V2
+appends one cost-weighted representative per uncovered family; the
+artifact reports the 37-query V1 subtotal separately
+(``value_v1_subtotal``) so the r6-r8 lane history stays comparable.
+V2 is now the frozen set; do not grow it casually — add a V3 block
+with its own subtotal if a future round needs more coverage.
+
 Usage:
     python scripts/bench_headline.py [--sf=DIR] [--reps=N] [--out=F]
     # default sf0.1, 3 warm reps, JSON to stdout (one line)
@@ -84,6 +94,24 @@ HEADLINE = [
     "tf_idf",
 ]
 
+# Round-7/8 families the V1 set cannot see (one cost-weighted
+# representative each; frozen as of r9 — see module docstring).
+HEADLINE_V2_EXTRA = [
+    "containment_join",                # exact containment join
+    "dedup_containment_against",       # incremental subsumption gate
+    "linkage_pairs",                   # record-linkage blocking+verify
+    "entity_match",                    # linkage closure
+    "kmv_containment_audit",           # bottom-k/KMV sketch family
+    "bpe_learn",                       # distributed BPE training
+    "greedy_band_precision_boundary",  # greedy-band audit tier
+    "streaming_containment_dedup",     # streaming ingest gate
+    "streaming_quantiles",             # constant-state streaming sketch
+    "variant_nested",                  # VARIANT semi-structured ops
+    "approx_group_stats",              # sketch aggs + exact audit
+    "weighted_pick_audit",             # A-ES weighted sampling audit
+]
+HEADLINE_V2 = HEADLINE + HEADLINE_V2_EXTRA
+
 
 def _cpu_ticks() -> tuple[int, int]:
     """(steal_ticks, total_ticks) from the aggregate /proc/stat cpu
@@ -105,7 +133,7 @@ def main() -> None:
     sf_dir = "/root/testdata/sf0.1"
     reps = 3
     out_path = None
-    names = list(HEADLINE)
+    names = list(HEADLINE_V2)
     for a in sys.argv[1:]:
         if a.startswith("--sf="):
             sf_dir = a.split("=", 1)[1]
@@ -113,6 +141,8 @@ def main() -> None:
             reps = int(a.split("=", 1)[1])
         if a.startswith("--out="):
             out_path = a.split("=", 1)[1]
+        if a == "--v1":
+            names = list(HEADLINE)
         if a.startswith("--slice="):
             # run a contiguous chunk (e.g. --slice=0:20) so the lane
             # can be produced in resumable pieces and merged
@@ -156,9 +186,18 @@ def main() -> None:
               f"steal={steals} (cold {cold})", file=sys.stderr, flush=True)
 
     total = round(sum(r["median"] for r in results.values() if r["median"] > 0), 3)
+    v1_subtotal = round(
+        sum(
+            r["median"]
+            for n, r in results.items()
+            if n in HEADLINE and r["median"] > 0
+        ),
+        3,
+    )
     doc = {
         "metric": "headline_warm_median_sec",
         "value": total,
+        "value_v1_subtotal": v1_subtotal,
         "unit": "sec",
         "protocol": f"1 discarded cold rep + {reps} warm reps, median; "
         "clearCache between reps; one session",

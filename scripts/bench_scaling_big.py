@@ -68,6 +68,7 @@ JOIN_HEAVY = [
     # r8 continuation: the record-linkage family is candidate-pair
     # driven too (block self-join + levenshtein verify, CC closure)
     "linkage_pairs",
+    "linkage_pairs_qgram",  # r9: the flood-prone q-gram blocker path
     "entity_match",
     # r8 continuation: exact containment join (probe prefix x full
     # container inverted index over the boundary corpus) and its

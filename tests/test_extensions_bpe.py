@@ -145,3 +145,97 @@ def test_vocab_matches_applied_tokens(spark):
     )
     assert vocab == dict(truth)
     assert sum(vocab.values()) == sum(truth.values())
+
+
+def test_trie_path_identical_to_expr_path(spark):
+    """The depth-bounded mapInPandas tokenizer is pinned bit-identical
+    to the exact relational replace chain — same merges, same docs,
+    including empty, punctuation-only and NULL text."""
+    docs = spark.createDataFrame(
+        [
+            (1, "low low lower lowest"),
+            (2, "newer newest new"),
+            (3, "wider wide widest lower"),
+            (4, ""),
+            (5, "?!  ,,"),
+            (6, None),
+            (7, "aaaa aa a"),
+        ],
+        "id int, text string",
+    )
+    m = bpe.learn_bpe(docs, n_merges=12)
+    e = {
+        r["id"]: r["bpe_tokens"]
+        for r in bpe.apply_bpe(docs, m, method="expr").collect()
+    }
+    t = {
+        r["id"]: r["bpe_tokens"]
+        for r in bpe.apply_bpe(docs, m, method="trie").collect()
+    }
+    assert e == t
+    ve = {
+        r["symbol"]: r["n"]
+        for r in bpe.bpe_vocab(docs, m, method="expr").collect()
+    }
+    vt = {
+        r["symbol"]: r["n"]
+        for r in bpe.bpe_vocab(docs, m, method="trie").collect()
+    }
+    assert ve == vt
+
+
+def test_auto_switches_to_trie_above_threshold(spark):
+    """auto picks the expr path at/below max_expr_merges and the
+    constant-depth Arrow path above it (ArrowEvalPython-free vs
+    mapInPandas in the physical plan)."""
+    df = spark.createDataFrame([(1, "hello world")], ["id", "text"])
+    pairs = [("l", "l"), ("h", "e"), ("w", "o")]
+
+    def plan(method, max_expr):
+        return (
+            bpe.apply_bpe(
+                df, pairs, method=method, max_expr_merges=max_expr
+            )
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+
+    assert "MapInPandas" not in plan("auto", 3)
+    assert "MapInPandas" in plan("auto", 2)
+    assert "MapInPandas" in plan("trie", 64)
+
+
+def test_learn_checkpoint_cadence_changes_nothing(spark):
+    """localCheckpoint every N iterations bounds lineage only — the
+    learned merge table is bit-identical at any cadence."""
+    df = spark.createDataFrame(
+        [(1, "low low lower lowest"), (2, "newer newest new low")],
+        ["id", "text"],
+    )
+    a = [tuple(r) for r in bpe.learn_bpe(df, n_merges=9, checkpoint_every=2).collect()]
+    b = [tuple(r) for r in bpe.learn_bpe(df, n_merges=9, checkpoint_every=100).collect()]
+    assert a == b and len(a) == 9
+
+
+def test_trie_path_large_merge_table_runs(spark):
+    """The scale point: a merge table far past the expr gate (1024
+    synthetic pairs on top of real ones) tokenizes fine on the trie
+    path — constant plan depth, no analyzer/codegen cliff."""
+    docs = spark.createDataFrame(
+        [(1, "low low lower lowest"), (2, "newer newest new")],
+        ["id", "text"],
+    )
+    m = bpe.learn_bpe(docs, n_merges=8)
+    real = [(r["left"], r["right"]) for r in m.orderBy("rank").collect()]
+    # pad with unreachable pairs (symbols outside the corpus alphabet)
+    pad = [(f"q{i}x", f"z{i}y") for i in range(1024)]
+    got = {
+        r["id"]: r["bpe_tokens"]
+        for r in bpe.apply_bpe(docs, real + pad).collect()
+    }
+    want = {
+        r["id"]: r["bpe_tokens"]
+        for r in bpe.apply_bpe(docs, real, method="expr").collect()
+    }
+    assert got == want
