@@ -467,25 +467,11 @@ def streaming_containment_dedup(
             )
             # committed versions strictly below this batch: a retried
             # batch must not probe its own crashed half-state
-            versions = [
-                v
-                for v in _bloom_versions(spark, f"{history_dir}/index")
-                if v < batch_id
-            ]
-            if versions:
-                index = spark.read.parquet(
-                    *[f"{history_dir}/index/b={v}" for v in versions]
-                )
-                sets = spark.read.parquet(
-                    *[f"{history_dir}/sets/b={v}" for v in versions]
-                )
-                dfreq = (
-                    spark.read.parquet(
-                        *[f"{history_dir}/dfreq/b={v}" for v in versions]
-                    )
-                    .groupBy("__tok__")
-                    .agg(F.sum("__df__").alias("__df__"))
-                )
+            state = _containment_state_frames(
+                spark, history_dir, below=batch_id
+            )
+            if state is not None:
+                index, sets, dfreq = state
                 survivors = dedup_containment_against_index(
                     survivors,
                     index,
@@ -528,6 +514,95 @@ def streaming_containment_dedup(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def _containment_state_frames(spark, history_dir: str, below: int):
+    """Accumulated containment-gate artifacts strictly below batch id
+    ``below``: the newest committed COMPACTED generation ``c=<id>``
+    (id < below) plus every committed delta ``b=<v>`` with
+    ``c_id < v < below``. Returns ``(index, sets, dfreq)`` frames or
+    ``None`` when no committed state qualifies. ``dfreq`` is summed
+    across the selected pieces (a compacted generation's table is
+    already a sum, so re-summing with newer deltas stays exact)."""
+    from pyspark.sql import functions as F  # noqa: F811 (local clarity)
+
+    idx_dir = f"{history_dir}/index"
+    cs = [
+        v
+        for v in _bloom_versions(spark, idx_dir, prefix="c=")
+        if v < below
+    ]
+    c0 = max(cs) if cs else None
+    bs = [
+        v
+        for v in _bloom_versions(spark, idx_dir)
+        if v < below and (c0 is None or v > c0)
+    ]
+    pieces = ([f"c={c0}"] if c0 is not None else []) + [
+        f"b={v}" for v in bs
+    ]
+    if not pieces:
+        return None
+    index = spark.read.parquet(*[f"{history_dir}/index/{p}" for p in pieces])
+    sets = spark.read.parquet(*[f"{history_dir}/sets/{p}" for p in pieces])
+    dfreq = (
+        spark.read.parquet(*[f"{history_dir}/dfreq/{p}" for p in pieces])
+        .groupBy("__tok__")
+        .agg(F.sum("__df__").alias("__df__"))
+    )
+    return index, sets, dfreq
+
+
+def compact_containment_state(spark, history_dir: str, prune: bool = True):
+    """Fold a :func:`streaming_containment_dedup` state dir's delta
+    versions into one compacted generation ``c=<top>`` (``top`` = the
+    highest committed version folded in), so the per-batch state read
+    opens O(1) directories instead of one per historical batch and
+    the df-delta sum touches each token once. Run with the stream
+    STOPPED (a concurrent batch could commit a new delta mid-fold;
+    nothing corrupts, but that delta would be read twice by a reader
+    racing the prune).
+
+    Crash-safe by construction: the compacted generation is written
+    to NEW paths (``index`` last, same commit-order invariant as the
+    writer), readers prefer the newest committed ``c=`` and ignore
+    deltas at or below it, and pruning the superseded pieces is
+    best-effort cosmetic cleanup — a crash at any point leaves a
+    state the reader resolves identically. Returns the compacted
+    generation id, or None when there is nothing new to fold."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    idx_dir = f"{history_dir}/index"
+    cs = _bloom_versions(spark, idx_dir, prefix="c=")
+    c0 = max(cs) if cs else None
+    bs = [v for v in _bloom_versions(spark, idx_dir) if c0 is None or v > c0]
+    if not bs:
+        return c0  # nothing newer than the last compaction
+    top = max(bs)
+    state = _containment_state_frames(spark, history_dir, below=top + 1)
+    index, sets, dfreq = state
+    # write to the NEW c=<top> generation; index commits LAST so an
+    # index-committed generation implies dfreq/sets committed
+    dfreq.write.mode("overwrite").parquet(f"{history_dir}/dfreq/c={top}")
+    sets.write.mode("overwrite").parquet(f"{history_dir}/sets/c={top}")
+    index.write.mode("overwrite").parquet(f"{history_dir}/index/c={top}")
+    if prune:
+        jvm = spark.sparkContext._jvm
+        jsc = spark.sparkContext._jsc
+        for sub in ("index", "sets", "dfreq"):
+            d = f"{history_dir}/{sub}"
+            fs = jvm.org.apache.hadoop.fs.Path(d).getFileSystem(
+                jsc.hadoopConfiguration()
+            )
+            stale = [f"b={v}" for v in bs] + (
+                [f"c={c0}"] if c0 is not None else []
+            )
+            for name in stale:
+                try:
+                    fs.delete(jvm.org.apache.hadoop.fs.Path(f"{d}/{name}"), True)
+                except Exception:
+                    pass  # cosmetic; never fail compaction for it
+    return top
 
 
 def streaming_sample_quantiles(
@@ -790,14 +865,16 @@ def read_latest_state(spark, state_dir: str):
 
 
 def _bloom_versions(
-    spark, bloom_dir: str, committed_only: bool = True
+    spark, bloom_dir: str, committed_only: bool = True, prefix: str = "b="
 ) -> list[int]:
     """Filter versions under a :func:`streaming_bloom_dedup` state
     dir. ``committed_only`` keeps only versions whose ``_SUCCESS``
     marker exists — a version directory APPEARS as soon as the writer
     mkdirs it, before any parquet file commits, so a crash mid-write
     (or a concurrent reader racing the write) must never mistake the
-    partial directory for state."""
+    partial directory for state. ``prefix`` selects the version
+    namespace (``b=`` per-batch versions; ``c=`` the containment
+    gate's compacted generations)."""
     jvm = spark.sparkContext._jvm
     jsc = spark.sparkContext._jsc
     path = jvm.org.apache.hadoop.fs.Path(bloom_dir)
@@ -805,16 +882,17 @@ def _bloom_versions(
     if not fs.exists(path):
         return []
     out = []
+    n = len(prefix)
     for st in fs.listStatus(path):
         name = st.getPath().getName()
-        if name.startswith("b=") and name[2:].isdigit():
+        if name.startswith(prefix) and name[n:].isdigit():
             if committed_only and not fs.exists(
                 jvm.org.apache.hadoop.fs.Path(
                     f"{bloom_dir}/{name}/_SUCCESS"
                 )
             ):
                 continue
-            out.append(int(name[2:]))
+            out.append(int(name[n:]))
     return sorted(out)
 
 

@@ -1874,3 +1874,92 @@ class TestStreamingContainmentDedup:
                 q.stop()
         finally:
             shutil.rmtree(base, ignore_errors=True)
+
+    def test_compaction_preserves_gate_behavior(self, spark):
+        """compact_containment_state folds b= deltas into one c=
+        generation; a restarted stream probes the compacted state and
+        blocks/admits exactly as before (doc contained in batch-1
+        content dropped, novel doc enters), with the stale deltas
+        pruned."""
+        import os
+        import time
+
+        from pyspark.sql.types import LongType
+
+        from pd_utils_spark.streaming.stateful import (
+            compact_containment_state,
+        )
+
+        base = tempfile.mkdtemp(prefix="cstream_compact_")
+        src, outd, hist, ckpt = (
+            f"{base}/{d}" for d in ("src", "out", "hist", "ckpt")
+        )
+        os.makedirs(src)
+        schema = StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("text", StringType()),
+            ]
+        )
+        full = "alpha bravo charlie delta echo foxtrot golf hotel india"
+
+        def ids():
+            try:
+                return {r.doc_id for r in spark.read.parquet(outd).collect()}
+            except Exception:
+                return set()
+
+        def run_batch(fname, rows, want_ids):
+            with open(f"{src}/{fname}", "w") as f:
+                f.write("\n".join(json.dumps(r) for r in rows))
+            stream = (
+                spark.readStream.format("json")
+                .schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .load(src)
+            )
+            q = W.streaming_containment_dedup(
+                stream, outd, hist, ckpt, threshold=0.9, k=1,
+                available_now=True,
+            )
+            try:
+                q.awaitTermination(120)
+            finally:
+                q.stop()
+            assert ids() == want_ids
+
+        try:
+            run_batch(
+                "b1.json",
+                [
+                    {"doc_id": 1, "text": full},
+                    {"doc_id": 2, "text": "zulu yankee xray whiskey victor"},
+                ],
+                {1, 2},
+            )
+            run_batch(
+                "b2.json",
+                [{"doc_id": 3, "text": "novel content about spark streams"}],
+                {1, 2, 3},
+            )
+            top = compact_containment_state(spark, hist)
+            assert top == 1
+            assert os.path.exists(f"{hist}/index/c=1/_SUCCESS")
+            assert not os.path.exists(f"{hist}/index/b=0")
+            assert not os.path.exists(f"{hist}/index/b=1")
+            # re-compacting with nothing new is a no-op returning c0
+            assert compact_containment_state(spark, hist) == 1
+            # batch 3 (id 2) probes the compacted generation c=1,
+            # which folded both earlier deltas: 10 (inner slice of
+            # doc 1) and 11 (slice of doc 3) blocked, 12 novel enters
+            run_batch(
+                "b3.json",
+                [
+                    {"doc_id": 10, "text": "bravo charlie delta echo foxtrot"},
+                    {"doc_id": 11, "text": "novel content about spark"},
+                    {"doc_id": 12, "text": "wholly fresh third batch words"},
+                ],
+                {1, 2, 3, 12},
+            )
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
