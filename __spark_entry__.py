@@ -1188,6 +1188,63 @@ def q_dedup_containment_against(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id")
 
 
+def q_dedup_containment_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental subsumption gate probing PRECOMPUTED history
+    artifacts (extensions/dedup.py containment_index_frames +
+    dedup_containment_against_index): the history corpus is indexed
+    ONCE (inverted index, verify-side token sets, df table), written
+    to parquet, read back, and a batch of middle-slices (fully
+    contained but NON-prefix — the probe's positional prune must not
+    lose them) plus salt-extended docs (novel tokens push containment
+    below 0.9 — must survive) probes the artifacts. The per-batch
+    plan does no history-side shingle/explode/aggregate work
+    (plan-asserted in pytest); the brute-force DuckDB oracle
+    certifies the whole build -> parquet round-trip -> probe path
+    gives complete recall with nothing invented."""
+    import shutil
+    import tempfile
+
+    from pd_utils_spark.utils import release_registered
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    m = F.greatest(F.lit(3), F.floor(F.size(toks) * 0.5).cast("int"))
+    sliced = d.filter(F.col("doc_id") % 3 == 2).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(toks, F.lit(3), m)).alias("text"),
+    )
+    salted = d.filter(F.col("doc_id") % 3 == 1).select(
+        (F.col("doc_id") + 400000).alias("doc_id"),
+        F.concat(
+            F.col("text"), F.lit(" zr1 zr2 zr3 zr4 zr5 zr6 zr7")
+        ).alias("text"),
+    )
+    batch = sliced.unionByName(salted)
+    base = tempfile.mkdtemp(prefix="pus_cidx_")
+    try:
+        frames = pus_dedup.containment_index_frames(d, k=1)
+        for name in ("index", "sets", "dfreq"):
+            frames[name].write.mode("overwrite").parquet(f"{base}/{name}")
+        release_registered("containment_index_frames")
+        art = {
+            n: spark.read.parquet(f"{base}/{n}")
+            for n in ("index", "sets", "dfreq")
+        }
+        out = pus_dedup.dedup_containment_against_index(
+            batch,
+            art["index"],
+            art["sets"],
+            art["dfreq"],
+            threshold=0.9,
+            k=1,
+        )
+        rows = out.select("doc_id").collect()
+        release_registered("dedup_containment_against_index")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, "doc_id bigint")
+
+
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive dedup keeping the BEST-scoring doc per cluster
     (extensions/dedup.py dedup_keep_best): verified Jaccard>=0.5
@@ -7166,6 +7223,49 @@ def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pus_bpe.bpe_vocab(d, m)
 
 
+#: Fixed, VALID BPE merge table (every pair's symbols are single
+#: characters, the end-of-word marker, or the product of an EARLIER
+#: pair — the precondition under which lowest-rank-first trie merging
+#: equals sequential rank-order replacement; see extensions/bpe.py).
+#: 68 pairs — deliberately past apply_bpe's 64-merge expr gate so the
+#: oracle row exercises the constant-depth mapInPandas path.
+_BPE_FIXED_MERGES = (
+    [(c, "_") for c in "etaoinshrdlucmfwgypbvk"]       # 22: char+eow
+    + [(a, b) for a in "thwb" for b in "eaoiu"]        # 20: char+char
+    + [(a + b, "_") for a in "thwb" for b in "eaoiu"]  # 20: bigram+eow
+    + [(a, b + "_") for a in "ts" for b in "eao"]      # 6: char+(char_)
+)
+
+
+def q_bpe_apply_trie(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE apply ABOVE the expression-depth gate (extensions/bpe.py
+    apply_bpe, trie path): a fixed 68-merge table exceeds
+    max_expr_merges=64, so auto routes to the constant-depth
+    Arrow-batched rank-priority tokenizer instead of nesting 68
+    replaces in one SQL expression. The oracle replays the SEQUENTIAL
+    replace chain relationally in DuckDB — the cross-engine
+    certificate that lowest-rank-first trie merging is exactly
+    rank-order replacement at a merge count the expr path should
+    never take. Per-bucket doc and token totals hash the whole
+    tokenization."""
+    from pd_utils_spark.extensions import bpe as pus_bpe
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    t = pus_bpe.apply_bpe(d, _BPE_FIXED_MERGES, out="toks")
+    return (
+        t.select(
+            (F.col("doc_id") % 10).alias("bucket"),
+            F.size("toks").alias("__n__"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("__n__").cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
+
 def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured ingestion via VARIANT (extensions/
     semistructured.py, Spark 4.x): events.props JSON is parsed ONCE
@@ -7409,6 +7509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_join": q_containment_join,
         "dedup_containment": q_dedup_containment,
         "dedup_containment_against": q_dedup_containment_against,
+        "dedup_containment_index": q_dedup_containment_index,
         "connected_components": q_connected_components,
         "dedup_connected": q_dedup_connected,
         "dedup_keep_best": q_dedup_keep_best,
@@ -7615,6 +7716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_learn": q_bpe_learn,
         "bpe_compression": q_bpe_compression,
         "bpe_vocab": q_bpe_vocab,
+        "bpe_apply_trie": q_bpe_apply_trie,
         "variant_extract": q_variant_extract,
         "variant_nested": q_variant_nested,
         "variant_explode": q_variant_explode,
@@ -9897,6 +9999,42 @@ def oracle_sql() -> dict[str, str]:
             hs AS (
                 SELECT doc_id,
                        list_filter({_sql_shingles_k(3)},
+                                   t -> length(t) > 0) AS t
+                FROM hist
+            ),
+            dropped AS (
+                SELECT DISTINCT b.doc_id
+                FROM bs b JOIN hs h
+                  ON len(list_intersect(b.t, h.t))::DOUBLE
+                         / len(b.t)::DOUBLE >= 0.9
+                WHERE len(b.t) > 0
+            )
+            SELECT doc_id FROM batch
+            WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+        """,
+        "dedup_containment_index": f"""
+            WITH hist AS (SELECT doc_id, text FROM documents),
+            batch AS (
+                SELECT doc_id + 300000 AS doc_id,
+                       array_to_string(list_slice(string_split(text, ' '),
+                           3, 2 + greatest(3, cast(floor(
+                               len(string_split(text, ' ')) * 0.5
+                           ) AS INT))), ' ') AS text
+                FROM documents WHERE doc_id % 3 = 2
+                UNION ALL
+                SELECT doc_id + 400000,
+                       text || ' zr1 zr2 zr3 zr4 zr5 zr6 zr7'
+                FROM documents WHERE doc_id % 3 = 1
+            ),
+            bs AS (
+                SELECT doc_id,
+                       list_filter(list_distinct({_SQL_NORM_TOKS}),
+                                   t -> length(t) > 0) AS t
+                FROM batch
+            ),
+            hs AS (
+                SELECT doc_id,
+                       list_filter(list_distinct({_SQL_NORM_TOKS}),
                                    t -> length(t) > 0) AS t
                 FROM hist
             ),
@@ -15218,6 +15356,31 @@ def oracle_sql() -> dict[str, str]:
         SELECT symbol, sum(cnt)::BIGINT AS n FROM sym GROUP BY symbol
     """
     )
+    _trie_rw = _bpe_wrap_doc
+    for _l, _r in _BPE_FIXED_MERGES:
+        _trie_rw = f"replace({_trie_rw}, '({_l})({_r})', '({_l}{_r})')"
+    d["bpe_apply_trie"] = f"""
+        WITH docw AS (
+            SELECT doc_id, w FROM (
+                SELECT doc_id,
+                       unnest(string_split(trim(regexp_replace(lower(text),
+                           '[^a-z0-9]+', ' ', 'g')), ' ')) AS w
+                FROM documents)
+            WHERE length(w) > 0
+        ),
+        pw AS (
+            SELECT doc_id,
+                   len(string_split(substr(rw, 2, length(rw) - 2),
+                       ')(')) AS n
+            FROM (SELECT doc_id, w, {_trie_rw} AS rw FROM docw)
+        ),
+        per AS (SELECT doc_id, sum(n) AS n FROM pw GROUP BY doc_id)
+        SELECT d.doc_id % 10 AS bucket,
+               count(*)::BIGINT AS n_docs,
+               coalesce(sum(per.n), 0)::BIGINT AS n_tokens
+        FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+        GROUP BY 1
+    """
     d["streaming_hll_distinct"] = """
         SELECT event_type,
                count(DISTINCT user_id)::BIGINT AS distinct_estimate,
