@@ -43,7 +43,14 @@ def main() -> None:
         lambda it: it, "doc_id long, text string"
     ).write.format("noop").mode("overwrite").save()
 
-    out = {"learn_sec": {}, "apply_sec": {}, "apply_method": {}, "n_learned": {}}
+    out = {
+        "learn_sec": {},
+        "apply_sec": {},
+        "apply_method": {},
+        "n_learned": {},
+        "n_padded_to": {},
+        "apply_expr_forced_sec": {},
+    }
     for n in RUNGS:
         t0 = time.perf_counter()
         merges = bpe.learn_bpe(learn_docs, n_merges=n, checkpoint_every=8)
@@ -51,6 +58,16 @@ def main() -> None:
         out["learn_sec"][str(n)] = round(time.perf_counter() - t0, 3)
         out["n_learned"][str(n)] = len(rows)
         pairs = [(r["left"], r["right"]) for r in rows]
+        # the sf0.01 corpus exhausts learnable pairs (~106); pad the
+        # rank table to the NOMINAL rung size with valid-but-
+        # unreachable pairs (symbols outside the corpus alphabet:
+        # no output change, full-size rank table) so the rung
+        # measures tokenizer cost at the claimed merge count
+        if len(pairs) < n:
+            pairs = pairs + [
+                (f"q{i}x", f"z{i}y") for i in range(n - len(pairs))
+            ]
+        out["n_padded_to"][str(n)] = len(pairs)
         out["apply_method"][str(n)] = (
             "expr" if len(pairs) <= 64 else "trie"
         )
@@ -62,6 +79,18 @@ def main() -> None:
             ).mode("overwrite").save()
             samples.append(time.perf_counter() - t0)
         out["apply_sec"][str(n)] = round(statistics.median(samples[1:]), 3)
+        # the cliff documented, not just asserted: force the expr path
+        # at every rung (single timed run; failure recorded as such)
+        try:
+            t0 = time.perf_counter()
+            bpe.apply_bpe(apply_docs, pairs, method="expr").select(
+                "bpe_tokens"
+            ).write.format("noop").mode("overwrite").save()
+            out["apply_expr_forced_sec"][str(n)] = round(
+                time.perf_counter() - t0, 3
+            )
+        except Exception as e:
+            out["apply_expr_forced_sec"][str(n)] = f"FAILED: {type(e).__name__}"
 
     base = out["apply_sec"][str(RUNGS[0])]
     result = {
