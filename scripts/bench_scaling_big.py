@@ -268,9 +268,10 @@ def main() -> None:
         else None
         for n in names_all
     }
-    doc["slope_at_10x_data"] = slopes
+    doc[f"slope_at_{copies}x_data"] = slopes
+    # super-linear means growing faster than the data did
     doc["queries_super_linear"] = [
-        n for n, s in slopes.items() if s and s > 10
+        n for n, s in slopes.items() if s and s > copies
     ]
     line = json.dumps(doc)
     if out_path:
