@@ -993,6 +993,133 @@ def dedup_minhash_lsh(
     return df.join(losers, idcol, "left_anti")
 
 
+def minhash_history_frames(
+    history: DataFrame,
+    textcol: str = "text",
+    idcol: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+) -> dict[str, DataFrame]:
+    """Build the PRECOMPUTABLE history-side artifacts of the MinHash
+    ingest gate as two frames, ready to persist and probe with
+    :func:`dedup_minhash_against_index`:
+
+    - ``"keys"``: the banded LSH key table ``(__hid__, band,
+      band_key)`` — the candidate-join side. Stored bucketed on
+      ``(band, band_key)`` at real scale, a daily batch joins 100 TB
+      of history with no history shuffle.
+    - ``"shingles"``: ``(__hid__, shingles array<bigint>)`` — the
+      Jaccard verify side.
+
+    Same write-once-probe-many contract as
+    :func:`containment_index_frames` (its containment sibling); the
+    shared shingle frame is persisted and registered under
+    ``"minhash_history_frames"`` — release after materializing.
+    Bit-compatibility pinned by pytest: probing these frames returns
+    exactly the survivors :func:`dedup_minhash_against` computes from
+    the raw history frame."""
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes={num_hashes} not divisible by bands={bands}"
+        )
+    from pyspark import StorageLevel
+
+    hsh = shingle_sets(history, textcol, idcol, k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    register_persisted("minhash_history_frames", [hsh])
+    hsig = _minhash_sig_table(hsh, idcol, num_hashes).withColumnRenamed(
+        "__mh_id__", idcol
+    )
+    keys = lsh_band_keys(hsig, bands=bands).select(
+        F.col(idcol).alias("__hid__"), "band", "band_key"
+    )
+    shingles = hsh.select(F.col(idcol).alias("__hid__"), "shingles")
+    return {"keys": keys, "shingles": shingles}
+
+
+def dedup_minhash_against_index(
+    df: DataFrame,
+    keys: DataFrame,
+    shingles: DataFrame,
+    textcol: str = "text",
+    idcol: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.8,
+    max_bucket: int | None = 100_000,
+) -> DataFrame:
+    """Probe-side of the incremental MinHash gate: drop rows of ``df``
+    whose n-gram Jaccard with any history document reaches
+    ``threshold``, where the history is given as the two PRECOMPUTED
+    artifacts of :func:`minhash_history_frames` instead of a raw text
+    frame — the per-batch plan does no history-side shingle/minhash/
+    band work beyond scanning them. ``num_hashes``/``bands``/``k``
+    must match the artifact build (the band keys are a function of
+    them); mismatches silently match nothing, so keep them with the
+    stored artifacts. ``max_bucket`` caps band buckets on BOTH sides
+    before they meet (``lsh_bucket_cap`` observe metric). Batch-side
+    shingles are persisted under
+    ``"dedup_minhash_against_index"``."""
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes={num_hashes} not divisible by bands={bands}"
+        )
+    from pyspark import StorageLevel
+
+    bsh = shingle_sets(df, textcol, idcol, k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    register_persisted("dedup_minhash_against_index", [bsh])
+    bsig = _minhash_sig_table(bsh, idcol, num_hashes).withColumnRenamed(
+        "__mh_id__", idcol
+    )
+    bkeys = lsh_band_keys(bsig, bands=bands).select(
+        F.col(idcol).alias("__bid__"), "band", "band_key"
+    )
+    hkeys = keys
+    if max_bucket is not None:
+        bkeys = _cap_buckets(
+            bkeys, ["band", "band_key"], max_bucket, "lsh_bucket_cap"
+        )
+        hkeys = _cap_buckets(
+            hkeys, ["band", "band_key"], max_bucket, "lsh_bucket_cap"
+        )
+    cand = (
+        bkeys.join(hkeys, ["band", "band_key"])
+        .select("__bid__", "__hid__")
+        .distinct()
+    )
+    j = (
+        cand.join(
+            bsh.select(
+                F.col(idcol).alias("__bid__"),
+                F.col("shingles").alias("__sa__"),
+            ),
+            "__bid__",
+        )
+        .join(
+            shingles.select(
+                "__hid__", F.col("shingles").alias("__sb__")
+            ),
+            "__hid__",
+        )
+        .withColumn(
+            "__j__",
+            F.size(F.array_intersect("__sa__", "__sb__"))
+            / F.size(F.array_union("__sa__", "__sb__")),
+        )
+    )
+    hits = (
+        j.filter(F.col("__j__") >= threshold)
+        .select(F.col("__bid__").alias(idcol))
+        .distinct()
+    )
+    return df.join(hits, idcol, "left_anti")
+
+
 def dedup_minhash_against(
     df: DataFrame,
     history: DataFrame,
@@ -1018,50 +1145,33 @@ def dedup_minhash_against(
     ingestion batch joins against 100 TB of history with no history
     shuffle. ``max_bucket`` caps pathological band buckets on BOTH
     sides before they meet (boilerplate floods).
-    """
-    if num_hashes % bands != 0:
-        raise ValueError(f"num_hashes={num_hashes} not divisible by bands={bands}")
-    from pyspark import StorageLevel
 
-    htext = history_textcol or textcol
-    # each side's shingle set feeds BOTH the signature and the Jaccard
-    # verification stage — persist so tokenize+hash runs once per side
-    # (same sharing rule as dedup_minhash_lsh; measured ~2.8x faster
-    # at sf0.1: 11.6s -> 4.1s steady-state)
-    bsh = shingle_sets(df, textcol, idcol, k).persist(StorageLevel.MEMORY_AND_DISK)
-    hsh = shingle_sets(history, htext, idcol, k).persist(StorageLevel.MEMORY_AND_DISK)
-    register_persisted("dedup_minhash_against", [bsh, hsh])
-    bsig = _minhash_sig_table(bsh, idcol, num_hashes).withColumnRenamed("__mh_id__", idcol)
-    hsig = _minhash_sig_table(hsh, idcol, num_hashes).withColumnRenamed("__mh_id__", idcol)
-    bkeys = lsh_band_keys(bsig, bands=bands).select(
-        F.col(idcol).alias("__bid__"), "band", "band_key"
+    This convenience form builds the history artifacts inline
+    (:func:`minhash_history_frames`) and probes them
+    (:func:`dedup_minhash_against_index`); when the same history
+    serves many batches, materialize the artifacts once and call the
+    probe directly — the streaming gate does exactly this with
+    versioned per-batch deltas."""
+    frames = minhash_history_frames(
+        history,
+        textcol=history_textcol or textcol,
+        idcol=idcol,
+        k=k,
+        num_hashes=num_hashes,
+        bands=bands,
     )
-    hkeys = lsh_band_keys(hsig, bands=bands).select(
-        F.col(idcol).alias("__hid__"), "band", "band_key"
+    return dedup_minhash_against_index(
+        df,
+        frames["keys"],
+        frames["shingles"],
+        textcol=textcol,
+        idcol=idcol,
+        k=k,
+        num_hashes=num_hashes,
+        bands=bands,
+        threshold=threshold,
+        max_bucket=max_bucket,
     )
-    if max_bucket is not None:
-        bkeys = _cap_buckets(bkeys, ["band", "band_key"], max_bucket, "lsh_bucket_cap")
-        hkeys = _cap_buckets(hkeys, ["band", "band_key"], max_bucket, "lsh_bucket_cap")
-    cand = bkeys.join(hkeys, ["band", "band_key"]).select("__bid__", "__hid__").distinct()
-    j = (
-        cand.join(
-            bsh.select(F.col(idcol).alias("__bid__"), F.col("shingles").alias("__sa__")),
-            "__bid__",
-        )
-        .join(
-            hsh.select(F.col(idcol).alias("__hid__"), F.col("shingles").alias("__sb__")),
-            "__hid__",
-        )
-        .withColumn(
-            "__j__",
-            F.size(F.array_intersect("__sa__", "__sb__"))
-            / F.size(F.array_union("__sa__", "__sb__")),
-        )
-    )
-    hits = j.filter(F.col("__j__") >= threshold).select(
-        F.col("__bid__").alias(idcol)
-    ).distinct()
-    return df.join(hits, idcol, "left_anti")
 
 
 def duplicated_ngram_fraction(

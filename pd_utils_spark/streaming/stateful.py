@@ -516,17 +516,16 @@ def streaming_containment_dedup(
     return writer.start()
 
 
-def _containment_state_frames(spark, history_dir: str, below: int):
-    """Accumulated containment-gate artifacts strictly below batch id
-    ``below``: the newest committed COMPACTED generation ``c=<id>``
-    (id < below) plus every committed delta ``b=<v>`` with
-    ``c_id < v < below``. Returns ``(index, sets, dfreq)`` frames or
-    ``None`` when no committed state qualifies. ``dfreq`` is summed
-    across the selected pieces (a compacted generation's table is
-    already a sum, so re-summing with newer deltas stays exact)."""
-    from pyspark.sql import functions as F  # noqa: F811 (local clarity)
-
-    idx_dir = f"{history_dir}/index"
+def _versioned_state_pieces(
+    spark, root: str, enum_sub: str, below: int
+) -> list[str]:
+    """Version pieces of a delta-versioned artifact state dir,
+    strictly below batch id ``below``: the newest committed COMPACTED
+    generation ``c=<id>`` plus every committed delta ``b=<v>`` with
+    ``c_id < v < below``. Versions are enumerated from ``enum_sub``
+    (the subdir the writer commits LAST, so a version listed there
+    implies its siblings committed)."""
+    idx_dir = f"{root}/{enum_sub}"
     cs = [
         v
         for v in _bloom_versions(spark, idx_dir, prefix="c=")
@@ -538,9 +537,41 @@ def _containment_state_frames(spark, history_dir: str, below: int):
         for v in _bloom_versions(spark, idx_dir)
         if v < below and (c0 is None or v > c0)
     ]
-    pieces = ([f"c={c0}"] if c0 is not None else []) + [
-        f"b={v}" for v in bs
-    ]
+    return ([f"c={c0}"] if c0 is not None else []) + [f"b={v}" for v in bs]
+
+
+def _prune_state_pieces(
+    spark, root: str, subs: tuple, deltas: list[int], old_c: int | None
+) -> None:
+    """Best-effort deletion of state pieces superseded by a new
+    compacted generation (the folded ``b=`` deltas plus the previous
+    ``c=`` generation) across every artifact subdir. Cosmetic —
+    readers already prefer the newest committed compaction."""
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    stale = [f"b={v}" for v in deltas] + (
+        [f"c={old_c}"] if old_c is not None else []
+    )
+    for sub in subs:
+        d = f"{root}/{sub}"
+        fs = jvm.org.apache.hadoop.fs.Path(d).getFileSystem(
+            jsc.hadoopConfiguration()
+        )
+        for name in stale:
+            try:
+                fs.delete(jvm.org.apache.hadoop.fs.Path(f"{d}/{name}"), True)
+            except Exception:
+                pass  # cosmetic; never fail compaction for it
+
+
+def _containment_state_frames(spark, history_dir: str, below: int):
+    """Accumulated containment-gate artifacts strictly below batch id
+    ``below`` (see :func:`_versioned_state_pieces`). Returns
+    ``(index, sets, dfreq)`` frames or ``None`` when no committed
+    state qualifies. ``dfreq`` is summed across the selected pieces
+    (a compacted generation's table is already a sum, so re-summing
+    with newer deltas stays exact)."""
+    pieces = _versioned_state_pieces(spark, history_dir, "index", below)
     if not pieces:
         return None
     index = spark.read.parquet(*[f"{history_dir}/index/{p}" for p in pieces])
@@ -570,8 +601,6 @@ def compact_containment_state(spark, history_dir: str, prune: bool = True):
     best-effort cosmetic cleanup — a crash at any point leaves a
     state the reader resolves identically. Returns the compacted
     generation id, or None when there is nothing new to fold."""
-    from pyspark.sql import functions as F  # noqa: F811
-
     idx_dir = f"{history_dir}/index"
     cs = _bloom_versions(spark, idx_dir, prefix="c=")
     c0 = max(cs) if cs else None
@@ -579,29 +608,18 @@ def compact_containment_state(spark, history_dir: str, prune: bool = True):
     if not bs:
         return c0  # nothing newer than the last compaction
     top = max(bs)
-    state = _containment_state_frames(spark, history_dir, below=top + 1)
-    index, sets, dfreq = state
+    index, sets, dfreq = _containment_state_frames(
+        spark, history_dir, below=top + 1
+    )
     # write to the NEW c=<top> generation; index commits LAST so an
     # index-committed generation implies dfreq/sets committed
     dfreq.write.mode("overwrite").parquet(f"{history_dir}/dfreq/c={top}")
     sets.write.mode("overwrite").parquet(f"{history_dir}/sets/c={top}")
     index.write.mode("overwrite").parquet(f"{history_dir}/index/c={top}")
     if prune:
-        jvm = spark.sparkContext._jvm
-        jsc = spark.sparkContext._jsc
-        for sub in ("index", "sets", "dfreq"):
-            d = f"{history_dir}/{sub}"
-            fs = jvm.org.apache.hadoop.fs.Path(d).getFileSystem(
-                jsc.hadoopConfiguration()
-            )
-            stale = [f"b={v}" for v in bs] + (
-                [f"c={c0}"] if c0 is not None else []
-            )
-            for name in stale:
-                try:
-                    fs.delete(jvm.org.apache.hadoop.fs.Path(f"{d}/{name}"), True)
-                except Exception:
-                    pass  # cosmetic; never fail compaction for it
+        _prune_state_pieces(
+            spark, history_dir, ("index", "sets", "dfreq"), bs, c0
+        )
     return top
 
 
@@ -1026,70 +1044,140 @@ def streaming_minhash_dedup(
     bands: int = 4,
     threshold: float = 0.8,
     max_bucket: int | None = 100_000,
+    available_now: bool = False,
 ):
     """Streaming NEAR-dup deduplication: each micro-batch is deduped
     within itself (``dedup_minhash_lsh``) and against everything that
-    survived before it (``dedup_minhash_against`` vs the accumulated
-    history), then survivors append to ``output_dir`` and their
-    (id, text) to ``history_dir`` — the ingestion-time MinHash dedup
-    recipe, via ``foreachBatch`` (LSH banding needs whole-relation
-    joins per batch, which the per-key state store cannot express;
-    foreachBatch is Spark's sanctioned batch-join-in-a-stream hook).
+    survived before it, then survivors append to ``output_dir`` —
+    the ingestion-time MinHash dedup recipe via ``foreachBatch``
+    (LSH banding needs whole-relation joins per batch, which the
+    per-key state store cannot express; foreachBatch is Spark's
+    sanctioned batch-join-in-a-stream hook).
 
-    Exactly-once caveat: foreachBatch gives at-least-once output — on
-    a retried batch the parquet appends can duplicate. The history
-    re-read makes that SAFE for dedup correctness (a replayed doc is
-    near-dup of its own first write and gets dropped), and downstream
-    readers of ``output_dir`` can finish with ``exact_dedup`` on id.
-    At scale, persist the history as a bucketed table on the band
-    columns so each batch joins 100 TB of history with no history
-    shuffle (see ``dedup_minhash_against``'s scale notes).
+    **State is the PRECOMPUTED band-key index, not the raw corpus**
+    (same round-9 rebuild as :func:`streaming_containment_dedup`):
+    ``history_dir`` holds per-batch DELTA versions of the two
+    artifacts of
+    :func:`~pd_utils_spark.extensions.dedup.minhash_history_frames` —
+    ``keys/b=<batch_id>`` (banded LSH keys) and
+    ``shingles/b=<batch_id>`` (Jaccard verify side) — plus
+    ``docs/b=<batch_id>`` (survivor ``(id, text)``, external corpus
+    artifact only). Each batch PROBES the accumulated artifacts with
+    :func:`~pd_utils_spark.extensions.dedup.dedup_minhash_against_index`,
+    so the history text is never re-shingled / re-minhashed /
+    re-banded per batch; at scale, store ``keys`` bucketed on
+    ``(band, band_key)`` and the candidate join is shuffle-free on
+    the history side. ``compact_minhash_state`` folds deltas into a
+    ``c=<top>`` generation (stream stopped).
+
+    Replay safety (same crash algebra as the containment gate): state
+    versions are keyed by ``batch_id``, written BEFORE the output
+    append with ``keys`` committed LAST, and a batch reads only
+    committed versions STRICTLY BELOW its own id — a retried batch
+    ignores its crashed half-write, re-derives identical survivors,
+    idempotently overwrites its own version dirs, and re-appends.
+    ``output_dir`` is therefore AT-LEAST-ONCE (finish downstream with
+    ``exact_dedup`` on id when exactly-once matters) while the
+    artifact state is exactly-once.
 
     Returns the started ``StreamingQuery``.
     """
     from pd_utils_spark.extensions.dedup import (
-        dedup_minhash_against,
+        dedup_minhash_against_index,
         dedup_minhash_lsh,
+        minhash_history_frames,
     )
+    from pd_utils_spark.utils import release_registered
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        survivors = dedup_minhash_lsh(
-            batch_df, textcol, idcol, k, num_hashes, bands, threshold, max_bucket
-        )
-        # Explicit existence check (Hadoop FS), NOT a bare try/except
-        # around the read: a transient storage/permission error must
-        # fail the batch so the stream retries it — silently treating
-        # it as "no history" would permanently admit near-duplicates.
-        jvm = spark.sparkContext._jvm
-        jsc = spark.sparkContext._jsc
-        path = jvm.org.apache.hadoop.fs.Path(history_dir)
-        fs = path.getFileSystem(jsc.hadoopConfiguration())
-        has_history = fs.exists(path)
-        if has_history:
-            history = spark.read.parquet(history_dir)
-            survivors = dedup_minhash_against(
-                survivors,
-                history,
-                textcol=textcol,
-                idcol=idcol,
-                k=k,
-                num_hashes=num_hashes,
-                bands=bands,
-                threshold=threshold,
-                max_bucket=max_bucket,
+        try:
+            survivors = dedup_minhash_lsh(
+                batch_df, textcol, idcol, k, num_hashes, bands, threshold,
+                max_bucket,
             )
-        survivors = survivors.localCheckpoint(eager=True)  # write twice below
-        survivors.write.mode("append").parquet(output_dir)
-        survivors.select(idcol, textcol).write.mode("append").parquet(history_dir)
+            state = _minhash_state_frames(spark, history_dir, below=batch_id)
+            if state is not None:
+                keys, shingles = state
+                survivors = dedup_minhash_against_index(
+                    survivors,
+                    keys,
+                    shingles,
+                    textcol=textcol,
+                    idcol=idcol,
+                    k=k,
+                    num_hashes=num_hashes,
+                    bands=bands,
+                    threshold=threshold,
+                    max_bucket=max_bucket,
+                )
+            survivors = survivors.localCheckpoint(eager=True)  # 4 writes
+            frames = minhash_history_frames(
+                survivors, textcol=textcol, idcol=idcol, k=k,
+                num_hashes=num_hashes, bands=bands,
+            )
+            frames["shingles"].write.mode("overwrite").parquet(
+                f"{history_dir}/shingles/b={batch_id}"
+            )
+            frames["keys"].write.mode("overwrite").parquet(
+                f"{history_dir}/keys/b={batch_id}"
+            )
+            survivors.select(idcol, textcol).write.mode("overwrite").parquet(
+                f"{history_dir}/docs/b={batch_id}"
+            )
+            survivors.write.mode("append").parquet(output_dir)
+        finally:
+            # per-batch persists must not accumulate across the stream
+            release_registered("dedup_minhash_lsh")
+            release_registered("minhash_history_frames")
+            release_registered("dedup_minhash_against_index")
 
-    return (
-        sdf.writeStream.foreachBatch(process)
-        .option("checkpointLocation", checkpoint_dir)
-        .start()
+    writer = sdf.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
     )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
+def _minhash_state_frames(spark, history_dir: str, below: int):
+    """Accumulated MinHash-gate artifacts strictly below batch id
+    ``below`` (newest committed ``c=`` generation + newer ``b=``
+    deltas, enumerated from ``keys``). Returns ``(keys, shingles)``
+    or ``None``."""
+    pieces = _versioned_state_pieces(spark, history_dir, "keys", below)
+    if not pieces:
+        return None
+    keys = spark.read.parquet(*[f"{history_dir}/keys/{p}" for p in pieces])
+    shingles = spark.read.parquet(
+        *[f"{history_dir}/shingles/{p}" for p in pieces]
+    )
+    return keys, shingles
+
+
+def compact_minhash_state(spark, history_dir: str, prune: bool = True):
+    """Fold a :func:`streaming_minhash_dedup` state dir's delta
+    versions into one compacted ``c=<top>`` generation — the MinHash
+    sibling of :func:`compact_containment_state` (same crash-safety:
+    new paths only, ``keys`` commits last, readers prefer the newest
+    committed compaction, pruning is cosmetic; run with the stream
+    stopped). Returns the compacted generation id, or the existing
+    one when there is nothing new to fold."""
+    idx_dir = f"{history_dir}/keys"
+    cs = _bloom_versions(spark, idx_dir, prefix="c=")
+    c0 = max(cs) if cs else None
+    bs = [v for v in _bloom_versions(spark, idx_dir) if c0 is None or v > c0]
+    if not bs:
+        return c0
+    top = max(bs)
+    keys, shingles = _minhash_state_frames(spark, history_dir, below=top + 1)
+    shingles.write.mode("overwrite").parquet(
+        f"{history_dir}/shingles/c={top}"
+    )
+    keys.write.mode("overwrite").parquet(f"{history_dir}/keys/c={top}")
+    if prune:
+        _prune_state_pieces(spark, history_dir, ("keys", "shingles"), bs, c0)
+    return top
 def stateful_running_agg(
     sdf: DataFrame,
     keys: str | Sequence[str],

@@ -1761,3 +1761,96 @@ class TestContainmentIndexPath:
         )
         assert got == want
         assert {r[0] for r in got} == {32}
+
+
+class TestMinhashIndexPath:
+    """The precomputed-artifact MinHash probe (minhash_history_frames
+    + dedup_minhash_against_index) — the containment split's sibling."""
+
+    HIST = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "completely different first batch content here now"),
+    ]
+    BATCH = [
+        (10, "the quick brown fox jumps over the lazy cat today"),  # near-dup
+        (11, "brand new second batch content sharing nothing at all"),
+    ]
+
+    def test_index_probe_bit_identical_to_recompute(self, spark, tmp_path):
+        from pd_utils_spark.extensions.dedup import (
+            dedup_minhash_against,
+            dedup_minhash_against_index,
+            minhash_history_frames,
+        )
+        from pd_utils_spark.utils import release_registered
+
+        hist = spark.createDataFrame(self.HIST, ["doc_id", "text"])
+        batch = spark.createDataFrame(self.BATCH, ["doc_id", "text"])
+        kw = dict(k=3, num_hashes=12, bands=6, threshold=0.5)
+        want = sorted(
+            tuple(r)
+            for r in dedup_minhash_against(batch, hist, **kw).collect()
+        )
+        frames = minhash_history_frames(
+            hist, k=3, num_hashes=12, bands=6
+        )
+        for name in ("keys", "shingles"):
+            frames[name].write.mode("overwrite").parquet(
+                str(tmp_path / name)
+            )
+        release_registered("minhash_history_frames")
+        art = {
+            name: spark.read.parquet(str(tmp_path / name))
+            for name in ("keys", "shingles")
+        }
+        got_df = dedup_minhash_against_index(
+            batch, art["keys"], art["shingles"], **kw
+        )
+        got = sorted(tuple(r) for r in got_df.collect())
+        release_registered("dedup_minhash_against_index")
+        assert got == want
+        assert {r[0] for r in got} == {11}
+
+    def test_probe_plan_has_no_history_side_shingle_pass(
+        self, spark, tmp_path
+    ):
+        """History side is pure parquet scans of the two artifacts:
+        every Generate (shingle explode) in the probe plan is
+        batch-side, and there are exactly as many distinct ones as
+        the batch pipeline needs."""
+        import re
+
+        from pd_utils_spark.extensions.dedup import (
+            dedup_minhash_against_index,
+            minhash_history_frames,
+        )
+        from pd_utils_spark.utils import release_registered
+
+        hist = spark.createDataFrame(self.HIST, ["doc_id", "text"])
+        batch = spark.createDataFrame(self.BATCH, ["doc_id", "text"])
+        frames = minhash_history_frames(hist, k=3, num_hashes=12, bands=6)
+        for name in ("keys", "shingles"):
+            frames[name].write.mode("overwrite").parquet(
+                str(tmp_path / name)
+            )
+        release_registered("minhash_history_frames")
+        art = {
+            name: spark.read.parquet(str(tmp_path / name))
+            for name in ("keys", "shingles")
+        }
+        out = dedup_minhash_against_index(
+            batch, art["keys"], art["shingles"],
+            k=3, num_hashes=12, bands=6, threshold=0.5,
+        )
+        out.collect()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        gens = {
+            re.sub(r"#\d+L?", "#x", ln[ln.index("Generate") :])
+            for ln in plan.splitlines()
+            if "Generate" in ln
+        }
+        # batch pipeline only: the signature's shingle explode + the
+        # band-key explode (the recompute path carries a THIRD
+        # history-side shingle explode — asserted gone here)
+        assert len(gens) == 2
+        release_registered("dedup_minhash_against_index")

@@ -677,8 +677,51 @@ class TestStreamingMinhashDedup:
                 while time.time() < deadline and len(ids()) < 3:
                     time.sleep(1)
                 assert ids() == [1, 3, 11]  # 10 dropped vs history, 11 kept
+                # r9 state layout: per-batch COMMITTED artifact deltas
+                for sub in ("keys", "shingles", "docs"):
+                    for b in (0, 1):
+                        assert os.path.exists(
+                            f"{hist}/{sub}/b={b}/_SUCCESS"
+                        ), f"{sub}/b={b} not committed"
+                docs = spark.read.parquet(
+                    f"{hist}/docs/b=0", f"{hist}/docs/b=1"
+                )
+                assert sorted(r.doc_id for r in docs.collect()) == [1, 3, 11]
             finally:
                 q.stop()
+            # compaction folds the deltas; a restarted stream probes
+            # the compacted generation identically
+            from pd_utils_spark.streaming.stateful import (
+                compact_minhash_state,
+            )
+
+            assert compact_minhash_state(spark, hist) == 1
+            assert os.path.exists(f"{hist}/keys/c=1/_SUCCESS")
+            assert not os.path.exists(f"{hist}/keys/b=0")
+            assert compact_minhash_state(spark, hist) == 1  # no-op
+            b3 = [
+                # near-dup of doc 3 (one word changed) -> must drop
+                # against the COMPACTED state
+                {"doc_id": 20, "text": "completely different first batch content here soon"},
+                {"doc_id": 21, "text": "yet another wholly novel third batch payload arrives"},
+            ]
+            with open(f"{src}/b3.json", "w") as f:
+                f.write("\n".join(json.dumps(r) for r in b3))
+            stream2 = (
+                spark.readStream.format("json")
+                .schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .load(src)
+            )
+            q2 = W.streaming_minhash_dedup(
+                stream2, outd, hist, ckpt, k=3, num_hashes=12, bands=6,
+                threshold=0.5, available_now=True,
+            )
+            try:
+                q2.awaitTermination(120)
+            finally:
+                q2.stop()
+            assert ids() == [1, 3, 11, 21]
         finally:
             shutil.rmtree(base, ignore_errors=True)
 
