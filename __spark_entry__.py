@@ -7193,6 +7193,30 @@ def q_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_learn_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE training with the round-10 batched merge rounds
+    (extensions/bpe.py learn_bpe batch_merges): each round fetches the
+    top m+1 pairs once and applies a symbol-disjoint prefix guarded by
+    a strict frequency cut — provably the SAME merge sequence as the
+    one-merge-per-job loop (disjoint merges can't change each other's
+    counts; created pairs are bounded by overlapping pre-counts below
+    the cut), while dividing the driver-sequential job count by up to
+    m. The oracle is the SEQUENTIAL unrolled-CTE replay — the
+    cross-engine certificate that batching changed the schedule, not
+    the vocabulary."""
+    from pd_utils_spark.extensions import bpe as pus_bpe
+
+    d = _t(spark, sf_dir, "documents").select("text")
+    m = pus_bpe.learn_bpe(d, n_merges=8, batch_merges=4)
+    return m.select(
+        F.col("rank").cast("bigint").alias("rank"),
+        F.col("left").alias("left_sym"),
+        F.col("right").alias("right_sym"),
+        "merged",
+        F.col("freq").cast("bigint").alias("freq"),
+    )
+
+
 def q_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE applied end-to-end (extensions/bpe.py apply_bpe /
     bpe_token_stats): the five learned merges tokenize every document
@@ -7714,6 +7738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_weighted_sample": q_streaming_weighted_sample,
         "streaming_containment_dedup": q_streaming_containment_dedup,
         "bpe_learn": q_bpe_learn,
+        "bpe_learn_batched": q_bpe_learn_batched,
         "bpe_compression": q_bpe_compression,
         "bpe_vocab": q_bpe_vocab,
         "bpe_apply_trie": q_bpe_apply_trie,
@@ -15301,6 +15326,19 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT {k}::BIGINT AS rank, l AS left_sym, r AS right_sym,"
             f" l || r AS merged, f::BIGINT AS freq FROM m{k}"
             for k in range(1, _bpe_n + 1)
+        )
+    )
+    # the batched learner's certificate is the SEQUENTIAL replay at a
+    # depth (8) where batch_merges=4 runs multi-merge rounds
+    _bpe_nb = 8
+    d["bpe_learn_batched"] = (
+        "WITH "
+        + _sql_bpe_learn_ctes(_bpe_nb)
+        + "\n"
+        + " UNION ALL ".join(
+            f"SELECT {k}::BIGINT AS rank, l AS left_sym, r AS right_sym,"
+            f" l || r AS merged, f::BIGINT AS freq FROM m{k}"
+            for k in range(1, _bpe_nb + 1)
         )
     )
     _bpe_wrap_doc = (

@@ -121,6 +121,7 @@ def learn_bpe(
     min_freq: int = 1,
     eow: str = _EOW,
     checkpoint_every: int = 8,
+    batch_merges: int = 1,
 ) -> DataFrame:
     """Learn ``n_merges`` BPE merges from the corpus. Returns a
     DataFrame ``(rank, left, right, merged, freq)`` in merge order —
@@ -129,40 +130,100 @@ def learn_bpe(
     totally ordered (freq desc, left asc, right asc), so the result
     is deterministic on any partitioning.
 
-    One ``limit(1).collect()`` per iteration; every aggregation runs
-    over the distinct-word frame (persisted once). The rewritten word
-    frame is ``localCheckpoint``-ed every ``checkpoint_every``
-    iterations so iteration *i* replays at most ``checkpoint_every``
-    chained replaces instead of all *i-1* — without it, total rewrite
-    work is O(n_merges²) over the vocabulary and the plan grows one
-    expression level per merge (the analyzer/codegen cliff at
-    realistic merge counts). Each checkpoint materializes the
-    vocabulary-sized frame once (never the corpus)."""
+    Every aggregation runs over the distinct-word frame (persisted
+    once). The rewritten word frame is ``localCheckpoint``-ed every
+    ``checkpoint_every`` applied merges so iteration *i* replays at
+    most ``checkpoint_every`` chained replaces instead of all *i-1*
+    — without it, total rewrite work is O(n_merges²) over the
+    vocabulary and the plan grows one expression level per merge
+    (the analyzer/codegen cliff at realistic merge counts). Each
+    checkpoint materializes the vocabulary-sized frame once (never
+    the corpus).
+
+    ``batch_merges`` bounds the DRIVER-SEQUENTIAL iteration floor:
+    at 1 (default) each merge is one pair-count aggregation + one
+    ``limit(1).collect()`` — a realistic 32k-merge vocabulary is 32k
+    sequential Spark jobs no cluster size reduces. At ``m > 1`` each
+    round fetches the top ``m+1`` pairs and accepts a SYMBOL-DISJOINT
+    PREFIX, **provably identical to the sequential result**:
+
+    - merging symbol-disjoint pairs cannot change each other's counts
+      (no occurrence of one pair overlaps an occurrence of the other);
+    - the walk down the fetched ranking STOPS at the first candidate
+      sharing a symbol with an accepted pair, and the cut frequency
+      ``f_cut`` is that candidate's count (or the (m+1)-th's when no
+      overlap stops it) — every pair NOT accepted has count <=
+      ``f_cut``;
+    - any pair a batch merge CREATES, ``(x, l+r)``, occurs only where
+      ``(x, l)`` occurred before it, so its count is bounded by a
+      pre-merge pair that SHARES a symbol with an accepted pair —
+      which is <= ``f_cut``;
+    - only candidates with count STRICTLY > ``f_cut`` are kept, so at
+      every intermediate step the sequential argmax (freq desc, then
+      the string tie-break) is exactly the next accepted pair.
+
+    When the guard accepts nothing (the top pair ties the cut), the
+    round falls back to one sequential merge — worst case is the
+    ``batch_merges=1`` pace, never a different vocabulary. The
+    equivalence is pytest-pinned (batch vs sequential, overlap-heavy
+    corpora) and oracle-certified: the ``bpe_learn_batched`` query
+    runs this path against the same sequential-replay SQL as
+    ``bpe_learn``."""
     if checkpoint_every < 1:
         raise ValueError(f"checkpoint_every must be >= 1: {checkpoint_every}")
+    if batch_merges < 1:
+        raise ValueError(f"batch_merges must be >= 1: {batch_merges}")
     spark = df.sparkSession
     wc = word_counts(df, textcol)
     base = wc.select(F.expr(_wrap("w", eow)).alias("s"), "cnt").persist()
     try:
         merges: list[tuple[int, str, str, int]] = []
         cur = base
-        for rank in range(1, n_merges + 1):
+        while len(merges) < n_merges:
+            m = min(batch_merges, n_merges - len(merges))
             top = (
                 _pair_counts(cur)
                 .orderBy(F.desc("f"), "l", "r")
-                .limit(1)
+                .limit(m + 1 if m > 1 else 1)
                 .collect()
             )
             if not top or top[0]["f"] < min_freq:
                 break
-            l, r, f = top[0]["l"], top[0]["r"], int(top[0]["f"])
-            merges.append((rank, l, r, f))
-            cur = cur.select(
-                F.expr(f"replace(s, '({l})({r})', '({l}{r})')").alias("s"),
-                "cnt",
-            )
-            if rank % checkpoint_every == 0:
-                cur = cur.localCheckpoint(eager=True)
+            if m == 1:
+                accepted = [top[0]]
+            else:
+                accepted = []
+                used: set = set()
+                f_cut = None
+                for t in top:
+                    if (
+                        len(accepted) == m
+                        or t["l"] in used
+                        or t["r"] in used
+                        or t["f"] < min_freq
+                    ):
+                        f_cut = t["f"]
+                        break
+                    accepted.append(t)
+                    used.add(t["l"])
+                    used.add(t["r"])
+                if f_cut is not None:
+                    # counts sort desc, so the > f_cut survivors stay
+                    # a prefix of the accepted walk
+                    accepted = [t for t in accepted if t["f"] > f_cut]
+                if not accepted:
+                    accepted = [top[0]]  # sequential fallback
+            for t in accepted:
+                l, r, f = t["l"], t["r"], int(t["f"])
+                merges.append((len(merges) + 1, l, r, f))
+                cur = cur.select(
+                    F.expr(f"replace(s, '({l})({r})', '({l}{r})')").alias(
+                        "s"
+                    ),
+                    "cnt",
+                )
+                if len(merges) % checkpoint_every == 0:
+                    cur = cur.localCheckpoint(eager=True)
         return spark.createDataFrame(
             [(rank, l, r, l + r, f) for rank, l, r, f in merges],
             "rank int, left string, right string, merged string, freq bigint",

@@ -993,6 +993,35 @@ def dedup_minhash_lsh(
     return df.join(losers, idcol, "left_anti")
 
 
+def _check_artifact_params(
+    frame: DataFrame, col: str, expected: dict, builder: str
+) -> None:
+    """Fail fast when a precomputed-artifact probe is configured with
+    different shingle/hash parameters than the stored artifacts were
+    built with. The params ride as column metadata on ``col``
+    (written by the builder, preserved through parquet); a mismatch
+    would otherwise produce keys from two different hash spaces that
+    silently never collide — the gate admits everything with no
+    signal. Artifacts without the metadata (built by hand) pass."""
+    try:
+        meta = frame.schema[col].metadata or {}
+    except Exception:
+        return  # column renamed/absent: schema errors surface later
+    stored = {p: meta[p] for p in expected if p in meta}
+    if not stored:
+        return  # no stamped params: externally-built artifact
+    bad = {p: v for p, v in stored.items() if v != expected[p]}
+    if bad:
+        raise ValueError(
+            f"artifact/probe parameter mismatch vs {builder}: stored "
+            + ", ".join(f"{p}={v}" for p, v in sorted(bad.items()))
+            + " but probe called with "
+            + ", ".join(f"{p}={expected[p]}" for p in sorted(bad))
+            + " — a mismatched probe silently matches nothing; rebuild "
+            "the artifacts or pass the stored parameters"
+        )
+
+
 def minhash_history_frames(
     history: DataFrame,
     textcol: str = "text",
@@ -1000,6 +1029,7 @@ def minhash_history_frames(
     k: int = 3,
     num_hashes: int = 12,
     bands: int = 4,
+    max_bucket: int | None = 100_000,
 ) -> dict[str, DataFrame]:
     """Build the PRECOMPUTABLE history-side artifacts of the MinHash
     ingest gate as two frames, ready to persist and probe with
@@ -1008,9 +1038,18 @@ def minhash_history_frames(
     - ``"keys"``: the banded LSH key table ``(__hid__, band,
       band_key)`` — the candidate-join side. Stored bucketed on
       ``(band, band_key)`` at real scale, a daily batch joins 100 TB
-      of history with no history shuffle.
+      of history with no history shuffle (plan-asserted in
+      ``tests/test_plans_skew.py``).
     - ``"shingles"``: ``(__hid__, shingles array<bigint>)`` — the
       Jaccard verify side.
+
+    ``max_bucket`` applies the LSH flood cap to ``keys`` at BUILD
+    time (``lsh_bucket_cap`` observe metric): capping here is
+    write-once, where the r9 probe re-ran the cap's window over the
+    FULL history key table every batch — an O(history) per-batch
+    term, and a partitioning-destroying node between a bucketed
+    ``keys`` table and the candidate join. The probe caps only its
+    batch side.
 
     Same write-once-probe-many contract as
     :func:`containment_index_frames` (its containment sibling); the
@@ -1033,8 +1072,21 @@ def minhash_history_frames(
         "__mh_id__", idcol
     )
     keys = lsh_band_keys(hsig, bands=bands).select(
-        F.col(idcol).alias("__hid__"), "band", "band_key"
+        F.col(idcol).alias("__hid__"),
+        "band",
+        # band keys are a function of (k, num_hashes, bands); stamp
+        # them as column metadata (parquet-persistent) so the probe
+        # can fail fast on a mismatched configuration instead of
+        # silently matching nothing
+        F.col("band_key").alias(
+            "band_key",
+            metadata={"k": k, "num_hashes": num_hashes, "bands": bands},
+        ),
     )
+    if max_bucket is not None:
+        keys = _cap_buckets(
+            keys, ["band", "band_key"], max_bucket, "lsh_bucket_cap"
+        )
     shingles = hsh.select(F.col(idcol).alias("__hid__"), "shingles")
     return {"keys": keys, "shingles": shingles}
 
@@ -1058,15 +1110,28 @@ def dedup_minhash_against_index(
     frame — the per-batch plan does no history-side shingle/minhash/
     band work beyond scanning them. ``num_hashes``/``bands``/``k``
     must match the artifact build (the band keys are a function of
-    them); mismatches silently match nothing, so keep them with the
-    stored artifacts. ``max_bucket`` caps band buckets on BOTH sides
-    before they meet (``lsh_bucket_cap`` observe metric). Batch-side
-    shingles are persisted under
+    them); :func:`minhash_history_frames` stamps the build params as
+    ``band_key`` column metadata (parquet-persistent), and this probe
+    raises ``ValueError`` on a mismatch — a misconfigured probe would
+    otherwise silently match nothing and admit every duplicate.
+    Artifacts built externally without the metadata are accepted
+    as-is. ``max_bucket`` caps the BATCH side's band buckets
+    (``lsh_bucket_cap`` observe metric); the history side is capped
+    once at build time by :func:`minhash_history_frames` — re-capping
+    it here would re-run a window over the full history key table
+    every batch (O(history) per batch) and break the shuffle-free
+    bucketed-table join. Batch-side shingles are persisted under
     ``"dedup_minhash_against_index"``."""
     if num_hashes % bands != 0:
         raise ValueError(
             f"num_hashes={num_hashes} not divisible by bands={bands}"
         )
+    _check_artifact_params(
+        keys,
+        "band_key",
+        {"k": k, "num_hashes": num_hashes, "bands": bands},
+        "minhash_history_frames",
+    )
     from pyspark import StorageLevel
 
     bsh = shingle_sets(df, textcol, idcol, k).persist(
@@ -1083,9 +1148,6 @@ def dedup_minhash_against_index(
     if max_bucket is not None:
         bkeys = _cap_buckets(
             bkeys, ["band", "band_key"], max_bucket, "lsh_bucket_cap"
-        )
-        hkeys = _cap_buckets(
-            hkeys, ["band", "band_key"], max_bucket, "lsh_bucket_cap"
         )
     cand = (
         bkeys.join(hkeys, ["band", "band_key"])
@@ -1159,6 +1221,7 @@ def dedup_minhash_against(
         k=k,
         num_hashes=num_hashes,
         bands=bands,
+        max_bucket=max_bucket,
     )
     return dedup_minhash_against_index(
         df,
@@ -2916,6 +2979,7 @@ def containment_index_frames(
     textcol: str = "text",
     idcol: str = "doc_id",
     k: int = 3,
+    max_bucket: int | None = None,
 ) -> dict[str, DataFrame]:
     """Build the PRECOMPUTABLE history-side artifacts of the
     incremental containment gate as three frames, ready to persist
@@ -2936,7 +3000,12 @@ def containment_index_frames(
     the probe join is shuffle-free on the history side; append
     per-batch deltas and ``dfreq`` stays exact as a sum of deltas —
     see ``streaming/stateful.py streaming_containment_dedup`` for the
-    versioned-delta layout). The shared exploded token frame is
+    versioned-delta layout). ``max_bucket`` applies the hot-token
+    flood cap to ``index`` at BUILD time (write-once,
+    ``containment_against_bucket`` observe metric) — the scale-
+    correct place for it: a per-probe cap re-runs a window over the
+    full history index every batch and breaks the shuffle-free
+    bucketed-table join. The shared exploded token frame is
     persisted and registered under ``"containment_index_frames"`` —
     release after materializing the three outputs.
 
@@ -2962,7 +3031,20 @@ def containment_index_frames(
         "__hid__",
         F.size("__toks__").alias("__dn__"),
         F.explode("__toks__").alias("__tok__"),
+    ).select(
+        "__hid__",
+        "__dn__",
+        # token hashes are a function of k; stamp it as parquet-
+        # persistent column metadata so the probe fails fast on a
+        # mismatched shingle width (see _check_artifact_params; a
+        # generator alias drops explicit metadata, hence the
+        # re-alias on the plain attribute)
+        F.col("__tok__").alias("__tok__", metadata={"k": k}),
     )
+    if max_bucket is not None:
+        index = _cap_buckets(
+            index, ["__tok__"], max_bucket, "containment_against_bucket"
+        )
     return {"index": index, "sets": sets, "dfreq": dfreq}
 
 
@@ -2994,13 +3076,23 @@ def dedup_containment_against_index(
 
     ``max_bucket`` caps index buckets exactly as in
     :func:`dedup_containment_against` (recall trade, observe metric
-    ``containment_against_bucket``). Batch-side intermediates are
-    persisted and registered under
-    ``"dedup_containment_against_index"``."""
+    ``containment_against_bucket``) — but a per-probe cap re-runs a
+    window over the FULL history index every batch and breaks the
+    shuffle-free bucketed-table join; at scale, cap once at build
+    time (``containment_index_frames(max_bucket=...)``, what the
+    streaming gate does) and pass ``None`` here. ``k`` must match
+    the artifact build — the builder stamps it as ``__tok__`` column metadata and
+    this probe raises ``ValueError`` on a mismatch (a mismatched
+    probe hashes shingles into a different token space and silently
+    matches nothing). Batch-side intermediates are persisted and
+    registered under ``"dedup_containment_against_index"``."""
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1]: {threshold}")
     if k < 1:
         raise ValueError(f"k must be >= 1: {k}")
+    _check_artifact_params(
+        index, "__tok__", {"k": k}, "containment_index_frames"
+    )
     from pyspark import StorageLevel
 
     btoks = _containment_toks(df, textcol, idcol, k).persist(

@@ -472,6 +472,9 @@ def streaming_containment_dedup(
             )
             if state is not None:
                 index, sets, dfreq = state
+                # history side was flood-capped at build time (below)
+                # — a per-probe cap would re-window the full history
+                # index every batch
                 survivors = dedup_containment_against_index(
                     survivors,
                     index,
@@ -481,12 +484,16 @@ def streaming_containment_dedup(
                     idcol=idcol,
                     threshold=threshold,
                     k=k,
-                    max_bucket=max_bucket,
+                    max_bucket=None,
                 )
             survivors = survivors.localCheckpoint(eager=True)  # 5 writes
             # state BEFORE output (see docstring); index commits LAST
+            # (flood cap applied per delta at build — write-once; a
+            # bucket spanning deltas is capped per delta, never
+            # dropping more than the r9 union-cap did)
             frames = containment_index_frames(
-                survivors, textcol=textcol, idcol=idcol, k=k
+                survivors, textcol=textcol, idcol=idcol, k=k,
+                max_bucket=max_bucket,
             )
             frames["dfreq"].write.mode("overwrite").parquet(
                 f"{history_dir}/dfreq/b={batch_id}"
@@ -586,13 +593,24 @@ def _containment_state_frames(spark, history_dir: str, below: int):
 
 def compact_containment_state(spark, history_dir: str, prune: bool = True):
     """Fold a :func:`streaming_containment_dedup` state dir's delta
-    versions into one compacted generation ``c=<top>`` (``top`` = the
-    highest committed version folded in), so the per-batch state read
-    opens O(1) directories instead of one per historical batch and
-    the df-delta sum touches each token once. Run with the stream
-    STOPPED (a concurrent batch could commit a new delta mid-fold;
-    nothing corrupts, but that delta would be read twice by a reader
-    racing the prune).
+    versions into one compacted generation ``c=<top>``, so the
+    per-batch state read opens O(1) directories instead of one per
+    historical batch and the df-delta sum touches each token once.
+    Run with the stream STOPPED (a concurrent batch could commit a
+    new delta mid-fold; nothing corrupts, but that delta could be
+    read twice by a reader racing the prune — pinned harmless in
+    ``tests/test_streaming.py``).
+
+    **The NEWEST committed delta is never folded** (``top`` = the
+    highest version STRICTLY BELOW the newest delta). Artifact state
+    is written BEFORE the streaming checkpoint commits, so after a
+    crash/stop mid-batch the newest delta can belong to a batch the
+    engine will REPLAY on restart; the replayed batch reads versions
+    strictly below its own id, which would exclude a ``c=`` built
+    from its own delta — and with the covering deltas pruned it
+    would probe EMPTY history and silently admit duplicates. Leaving
+    the newest delta out keeps every state the replayed batch can
+    see complete. Costs one extra delta dir per read.
 
     Crash-safe by construction: the compacted generation is written
     to NEW paths (``index`` last, same commit-order invariant as the
@@ -600,14 +618,17 @@ def compact_containment_state(spark, history_dir: str, prune: bool = True):
     deltas at or below it, and pruning the superseded pieces is
     best-effort cosmetic cleanup — a crash at any point leaves a
     state the reader resolves identically. Returns the compacted
-    generation id, or None when there is nothing new to fold."""
+    generation id, or None when there is nothing to fold."""
     idx_dir = f"{history_dir}/index"
     cs = _bloom_versions(spark, idx_dir, prefix="c=")
     c0 = max(cs) if cs else None
     bs = [v for v in _bloom_versions(spark, idx_dir) if c0 is None or v > c0]
-    if not bs:
-        return c0  # nothing newer than the last compaction
-    top = max(bs)
+    # leave the newest delta uncompacted: its batch may replay and
+    # must still resolve complete state strictly below its own id
+    fold = sorted(bs)[:-1]
+    if not fold:
+        return c0  # nothing foldable beyond the last compaction
+    top = max(fold)
     index, sets, dfreq = _containment_state_frames(
         spark, history_dir, below=top + 1
     )
@@ -618,7 +639,7 @@ def compact_containment_state(spark, history_dir: str, prune: bool = True):
     index.write.mode("overwrite").parquet(f"{history_dir}/index/c={top}")
     if prune:
         _prune_state_pieces(
-            spark, history_dir, ("index", "sets", "dfreq"), bs, c0
+            spark, history_dir, ("index", "sets", "dfreq"), fold, c0
         )
     return top
 
@@ -1112,9 +1133,11 @@ def streaming_minhash_dedup(
                     max_bucket=max_bucket,
                 )
             survivors = survivors.localCheckpoint(eager=True)  # 4 writes
+            # band-bucket flood cap applied per delta at build time
+            # (write-once); the probe caps only its batch side
             frames = minhash_history_frames(
                 survivors, textcol=textcol, idcol=idcol, k=k,
-                num_hashes=num_hashes, bands=bands,
+                num_hashes=num_hashes, bands=bands, max_bucket=max_bucket,
             )
             frames["shingles"].write.mode("overwrite").parquet(
                 f"{history_dir}/shingles/b={batch_id}"
@@ -1161,23 +1184,31 @@ def compact_minhash_state(spark, history_dir: str, prune: bool = True):
     sibling of :func:`compact_containment_state` (same crash-safety:
     new paths only, ``keys`` commits last, readers prefer the newest
     committed compaction, pruning is cosmetic; run with the stream
-    stopped). Returns the compacted generation id, or the existing
-    one when there is nothing new to fold."""
+    stopped; **the newest delta is never folded** — its batch may
+    replay after a crash and reads strictly below its own id, so a
+    compaction covering it would leave that replay probing empty
+    history). Returns the compacted generation id, or the existing
+    one when there is nothing to fold."""
     idx_dir = f"{history_dir}/keys"
     cs = _bloom_versions(spark, idx_dir, prefix="c=")
     c0 = max(cs) if cs else None
     bs = [v for v in _bloom_versions(spark, idx_dir) if c0 is None or v > c0]
-    if not bs:
+    fold = sorted(bs)[:-1]  # replay safety: keep the newest delta
+    if not fold:
         return c0
-    top = max(bs)
+    top = max(fold)
     keys, shingles = _minhash_state_frames(spark, history_dir, below=top + 1)
     shingles.write.mode("overwrite").parquet(
         f"{history_dir}/shingles/c={top}"
     )
     keys.write.mode("overwrite").parquet(f"{history_dir}/keys/c={top}")
     if prune:
-        _prune_state_pieces(spark, history_dir, ("keys", "shingles"), bs, c0)
+        _prune_state_pieces(
+            spark, history_dir, ("keys", "shingles"), fold, c0
+        )
     return top
+
+
 def stateful_running_agg(
     sdf: DataFrame,
     keys: str | Sequence[str],

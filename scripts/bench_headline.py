@@ -112,6 +112,18 @@ HEADLINE_V2_EXTRA = [
 ]
 HEADLINE_V2 = HEADLINE + HEADLINE_V2_EXTRA
 
+# Round-10 block (the r9 verdict's lane blind spot: three of the five
+# most expensive serial rows had no cross-round lane median, so serial
+# spikes on them — winnow_containment 2.8x in r9 on untouched code —
+# could only be dispositioned as "host noise by inference"). Frozen as
+# of r10; reported as its own subtotal (value_v3_subtotal).
+HEADLINE_V3_EXTRA = [
+    "winnow_containment",    # winnowing fingerprint self-join
+    "shingle_fingerprints",  # shingle/fingerprint extraction tier
+    "fuzzy_best_join",       # blocked thresholded-Levenshtein best match
+]
+HEADLINE_V3 = HEADLINE_V2 + HEADLINE_V3_EXTRA
+
 
 def _cpu_ticks() -> tuple[int, int]:
     """(steal_ticks, total_ticks) from the aggregate /proc/stat cpu
@@ -133,7 +145,7 @@ def main() -> None:
     sf_dir = "/root/testdata/sf0.1"
     reps = 3
     out_path = None
-    names = list(HEADLINE_V2)
+    names = list(HEADLINE_V3)
     for a in sys.argv[1:]:
         if a.startswith("--sf="):
             sf_dir = a.split("=", 1)[1]
@@ -143,6 +155,8 @@ def main() -> None:
             out_path = a.split("=", 1)[1]
         if a == "--v1":
             names = list(HEADLINE)
+        if a == "--v2":
+            names = list(HEADLINE_V2)
         if a.startswith("--slice="):
             # run a contiguous chunk (e.g. --slice=0:20) so the lane
             # can be produced in resumable pieces and merged
@@ -194,10 +208,28 @@ def main() -> None:
         ),
         3,
     )
+    v2_subtotal = round(
+        sum(
+            r["median"]
+            for n, r in results.items()
+            if n in HEADLINE_V2 and r["median"] > 0
+        ),
+        3,
+    )
+    v3_subtotal = round(
+        sum(
+            r["median"]
+            for n, r in results.items()
+            if n in HEADLINE_V3_EXTRA and r["median"] > 0
+        ),
+        3,
+    )
     doc = {
         "metric": "headline_warm_median_sec",
         "value": total,
         "value_v1_subtotal": v1_subtotal,
+        "value_v2_subtotal": v2_subtotal,
+        "value_v3_subtotal": v3_subtotal,
         "unit": "sec",
         "protocol": f"1 discarded cold rep + {reps} warm reps, median; "
         "clearCache between reps; one session",

@@ -143,33 +143,56 @@ def build_scaled_content(
         n = spark.read.parquet(out).count()
         print(f"# built {out}: {n} rows (token-salted)", file=sys.stderr,
               flush=True)
-    # part scaled the same way for the linkage rows: p_partkey shifted
-    # (clean ids land in [i*span, i*span+~20k], variants at +1M — no
-    # cross-copy collisions), p_name tokens and the 'Brand' word
-    # suffixed per copy so blocking-token universes are disjoint; the
-    # within-copy block structure (including the corpus-sized 'brand'
-    # stopword block the cap drops) is preserved exactly
+    # part scaled for the linkage rows: p_partkey shifted (clean ids
+    # land in [i*span, i*span+~20k], variants at +1M — no cross-copy
+    # collisions). r10 salter: the r9 per-token SUFFIX salt ('q3')
+    # injected per-copy stopword-grade CHARACTER grams (every word in
+    # a copy shared its suffix grams), inflating the q-gram rung's
+    # cap drops 29x at 10x — a protocol artifact the r9 SCALE.md
+    # disclosed. Now every token is salted by interleaving
+    # md5(bigram||copy)[:2] after each 2-char group of EVERY copy
+    # (copy 0 included, so a --base-dir=1-copy build gives a
+    # structure-identical 1x reference): within a copy the salt is a
+    # function of the bigram, so each salted gram's block is exactly
+    # its source bigram's block (no new stopwords; the natural
+    # 'brand' flood is preserved per copy), and across copies the
+    # grams collide only on hash-char coincidence (1/256 for the
+    # 2-hash-char windows, 1/16 for the one-hash-char windows —
+    # simulated drop inflation 1.09x at 10x vs the r9 salter's 2.9x).
+    # Token universes stay fully disjoint (whole tokens embed their
+    # copy's hash chars), so the token-blocker rows keep their exact
+    # r9 semantics.
     outp = f"{dst_dir}/part.parquet"
     if os.path.exists(outp):
         return
     pf = spark.read.parquet(f"{src_dir}/part.parquet")
+
+    def _salt_token(col: str, i: int) -> str:
+        return (
+            f"array_join(transform(sequence(1, cast(ceil(length({col})/2.0)"
+            f" AS int)), j -> concat(substring({col}, 2*j-1, 2),"
+            f" substring(md5(concat(substring({col}, 2*j-1, 2), '|{i}')),"
+            f" 1, 2))), '')"
+        )
+
     pparts = []
     for i in range(copies):
         c = pf.withColumn("p_partkey", F.col("p_partkey") + F.lit(i * span))
-        if i > 0:
-            c = c.withColumn(
-                "p_name", F.regexp_replace(F.col("p_name"), r"(\S+)", rf"$1q{i}")
-            ).withColumn(
-                "p_brand",
-                F.regexp_replace(F.col("p_brand"), r"^Brand", f"Brandq{i}"),
-            )
+        c = c.withColumn(
+            "p_name",
+            F.expr(
+                "array_join(transform(split(p_name, ' '), w -> "
+                + _salt_token("w", i)
+                + "), ' ')"
+            ),
+        ).withColumn("p_brand", F.expr(_salt_token("p_brand", i)))
         pparts.append(c)
     pscaled = pparts[0]
     for p in pparts[1:]:
         pscaled = pscaled.unionByName(p)
     pscaled.write.mode("overwrite").parquet(outp)
     n = spark.read.parquet(outp).count()
-    print(f"# built {outp}: {n} rows (token-salted)", file=sys.stderr,
+    print(f"# built {outp}: {n} rows (bigram-hash-salted)", file=sys.stderr,
           flush=True)
 
 
@@ -215,6 +238,11 @@ def main() -> None:
     scaled_dir = "/root/repo/.scaled10x"
     copies = 10
     tier = "both"
+    # r10: --base-dir overrides the 1x reference. The salted-corpus
+    # rungs should compare against a 1-COPY SALTED build (same gram
+    # structure), not the raw sf0.1 — a structurally different
+    # baseline is what made the r9 q-gram drop ratio read 29x.
+    base_dir = None
     for a in sys.argv[1:]:
         if a.startswith("--reps="):
             reps = int(a.split("=", 1)[1])
@@ -230,6 +258,8 @@ def main() -> None:
             only = set(a.split("=", 1)[1].split(","))
             DATA_BOUND[:] = [n for n in DATA_BOUND if n in only]
             JOIN_HEAVY[:] = [n for n in JOIN_HEAVY if n in only]
+        if a.startswith("--base-dir="):
+            base_dir = a.split("=", 1)[1]
     spark = get_spark("bench-scaling-big")
     spark.sparkContext.setLogLevel("ERROR")
     src = "/root/testdata/sf0.1"
@@ -238,12 +268,19 @@ def main() -> None:
         "metric": "scaling_big_rung",
         "protocol": f"warm medians of {reps} (1 discarded cold), "
         f"{copies}x sf0.1 (data tier: key-remapped; join tier: "
-        "token-salted disjoint content)",
+        "documents token-salted / part bigram-hash-salted, disjoint "
+        "content)"
+        + (
+            "; 1x reference = 1-copy salted build (structure-identical"
+            " baseline)"
+            if base_dir
+            else ""
+        ),
     }
     names_all = []
     if tier in ("data", "both"):
         build_scaled(spark, src, scaled_dir, copies)
-        base = bench(spark, DATA_BOUND, src, reps)
+        base = bench(spark, DATA_BOUND, base_dir or src, reps)
         big = bench(spark, DATA_BOUND, scaled_dir, reps)
         doc["sf0_1"] = base
         doc["sf0_1_x10"] = big
@@ -251,9 +288,13 @@ def main() -> None:
     if tier in ("join", "both"):
         content_dir = scaled_dir + "_content"
         build_scaled_content(spark, src, content_dir, copies)
+        if base_dir is not None:
+            build_scaled_content(spark, src, base_dir, 1)
         jmetrics_base: dict = {}
         jmetrics_big: dict = {}
-        jbase = bench(spark, JOIN_HEAVY, src, reps, metrics=jmetrics_base)
+        jbase = bench(
+            spark, JOIN_HEAVY, base_dir or src, reps, metrics=jmetrics_base
+        )
         jbig = bench(
             spark, JOIN_HEAVY, content_dir, reps, metrics=jmetrics_big
         )

@@ -77,6 +77,95 @@ def test_learn_matches_pure_python_reference(spark):
         assert got == want, f"texts={texts} n={n}"
 
 
+def test_learn_batched_identical_to_sequential(spark):
+    """batch_merges changes the SCHEDULE (jobs per merge), never the
+    vocabulary: the symbol-disjoint prefix + strict frequency cut is
+    provably sequential-equivalent (see learn_bpe docstring). Pinned
+    on the textbook corpus, an overlap-heavy corpus (top pairs share
+    symbols, forcing the guard's stop/fallback paths), and seeded
+    random corpora, across batch sizes."""
+    corpora = [
+        ["low low low lower lowest", "new newer newest; NEW!"],
+        # overlap-heavy: a/b dominate every top pair
+        ["aba ab ba aab bb aa abab baba", "ab ab ab ba ba aab"],
+        ["the cat sat on the mat", "the hat and the bat chat"],
+    ]
+    rng = random.Random(17)
+    words = ["aba", "ab", "ba", "aab", "bb", "a", "cab", "bac"]
+    for _ in range(3):
+        corpora.append(
+            [
+                " ".join(rng.choice(words) for _ in range(rng.randint(2, 9)))
+                for _ in range(rng.randint(1, 4))
+            ]
+        )
+    for texts in corpora:
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], ["id", "text"]
+        )
+        for n in (3, 7):
+            want = [
+                tuple(r)
+                for r in bpe.learn_bpe(df, n_merges=n).collect()
+            ]
+            assert want == ref_learn(texts, n), f"texts={texts} n={n}"
+            for m in (2, 4, 16):
+                got = [
+                    tuple(r)
+                    for r in bpe.learn_bpe(
+                        df, n_merges=n, batch_merges=m
+                    ).collect()
+                ]
+                assert got == want, f"texts={texts} n={n} batch={m}"
+
+
+def test_learn_batched_fewer_jobs(spark):
+    """The point of batching: merge rounds (pair-count jobs) drop from
+    n to ~n/m on a corpus whose top pairs are symbol-disjoint with
+    strictly decreasing counts (the guard needs BOTH: ties at the cut
+    or chain-overlapping pairs force sequential-pace rounds, which is
+    exactly the bit-exactness contract)."""
+    tiers = [
+        ("ab", ("q", "r", "s"), (100, 100, 100)),  # (a,b) = 300
+        ("cd", ("t", "u", "v"), (70, 70, 60)),     # (c,d) = 200
+        ("ef", ("w", "x", "y"), (50, 50, 50)),     # (e,f) = 150
+        ("gh", ("z", "0", "1"), (48, 48, 44)),     # (g,h) = 140
+        ("ij", ("2", "3", "4"), (45, 45, 40)),     # (i,j) = 130
+        ("kl", ("5", "6", "7"), (40, 40, 40)),     # (k,l) = 120
+    ]
+    texts = [
+        " ".join((stem + suf + " ") * n for suf, n in zip(sufs, ns))
+        for stem, sufs, ns in tiers
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["id", "text"]
+    )
+    calls = {"n": 0}
+    orig = bpe._pair_counts
+
+    def counting(wrapped):
+        calls["n"] += 1
+        return orig(wrapped)
+
+    bpe._pair_counts = counting
+    try:
+        seq = [tuple(r) for r in bpe.learn_bpe(df, n_merges=8).collect()]
+        seq_jobs = calls["n"]
+        calls["n"] = 0
+        bat = [
+            tuple(r)
+            for r in bpe.learn_bpe(
+                df, n_merges=8, batch_merges=8
+            ).collect()
+        ]
+        bat_jobs = calls["n"]
+    finally:
+        bpe._pair_counts = orig
+    assert bat == seq
+    assert seq_jobs == 8
+    assert bat_jobs < seq_jobs  # strictly fewer aggregation rounds
+
+
 def test_apply_greedy_leftmost(spark):
     df = spark.createDataFrame([(1, "aaa")], ["id", "text"])
     out = bpe.apply_bpe(df, [("a", "a")]).first()["bpe_tokens"]

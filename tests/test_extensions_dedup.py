@@ -1687,6 +1687,36 @@ class TestContainmentIndexPath:
         assert any("regexp_replace" in g for g in gens)    # batch shingle
         assert "collect_set" not in plan  # sets come from the artifact
 
+    def test_probe_k_mismatch_fails_fast(self, spark, tmp_path):
+        """The builder stamps k as __tok__ column metadata (parquet-
+        persistent); probing with a different shingle width raises
+        instead of hashing into a disjoint token space and silently
+        admitting every duplicate."""
+        import pytest
+
+        from pd_utils_spark.extensions.dedup import (
+            dedup_containment_against_index,
+        )
+
+        hist = spark.createDataFrame(self.HIST, ["doc_id", "text"])
+        batch = spark.createDataFrame(self.BATCH, ["doc_id", "text"])
+        art = self._artifacts_via_parquet(spark, tmp_path, hist, k=1)
+        assert art["index"].schema["__tok__"].metadata == {"k": 1}
+        with pytest.raises(ValueError, match="parameter mismatch.*k=1"):
+            dedup_containment_against_index(
+                batch, art["index"], art["sets"], art["dfreq"],
+                threshold=0.9, k=3,
+            )
+        # hand-built artifacts without the stamp are accepted as-is
+        bare = art["index"].select(
+            "__hid__", "__dn__", F.col("__tok__").cast("bigint").alias("__tok__")
+        )
+        assert bare.schema["__tok__"].metadata == {}
+        out = dedup_containment_against_index(
+            batch, bare, art["sets"], art["dfreq"], threshold=0.9, k=1
+        )
+        assert {r["doc_id"] for r in out.collect()} == {12, 13}
+
     def test_two_batch_pipeline_reuses_batch1_artifacts(
         self, spark, tmp_path
     ):
@@ -1854,3 +1884,42 @@ class TestMinhashIndexPath:
         # history-side shingle explode — asserted gone here)
         assert len(gens) == 2
         release_registered("dedup_minhash_against_index")
+
+    def test_probe_params_mismatch_fails_fast(self, spark, tmp_path):
+        """Band keys are a function of (k, num_hashes, bands); the
+        builder stamps them as band_key column metadata and the probe
+        raises on a mismatch instead of silently matching nothing."""
+        import pytest
+
+        from pd_utils_spark.extensions.dedup import (
+            dedup_minhash_against_index,
+            minhash_history_frames,
+        )
+        from pd_utils_spark.utils import release_registered
+
+        hist = spark.createDataFrame(self.HIST, ["doc_id", "text"])
+        batch = spark.createDataFrame(self.BATCH, ["doc_id", "text"])
+        frames = minhash_history_frames(hist, k=3, num_hashes=12, bands=6)
+        for name in ("keys", "shingles"):
+            frames[name].write.mode("overwrite").parquet(
+                str(tmp_path / name)
+            )
+        release_registered("minhash_history_frames")
+        art = {
+            name: spark.read.parquet(str(tmp_path / name))
+            for name in ("keys", "shingles")
+        }
+        # the stamp survives the parquet round-trip
+        assert art["keys"].schema["band_key"].metadata == {
+            "k": 3, "num_hashes": 12, "bands": 6,
+        }
+        for bad in (
+            dict(k=4, num_hashes=12, bands=6),
+            dict(k=3, num_hashes=24, bands=6),
+            dict(k=3, num_hashes=12, bands=4),
+        ):
+            with pytest.raises(ValueError, match="parameter mismatch"):
+                dedup_minhash_against_index(
+                    batch, art["keys"], art["shingles"],
+                    threshold=0.5, **bad,
+                )

@@ -192,6 +192,142 @@ class TestBucketedHistoryDedup:
             spark.sql("DROP TABLE IF EXISTS hist_bands")
 
 
+class TestBucketedIngestGateProbes:
+    """The r10 receipt for the gates' central 100 TB docstring claim:
+    when the precomputed history artifacts are persisted BUCKETED
+    (containment index by __tok__ + sets by __hid__; minhash keys by
+    (band, band_key) + shingles by __hid__), the full probe plan —
+    dedup_*_against_index exactly as the streaming gates call it —
+    carries NO Exchange on any history-side scan: exactly two fewer
+    Exchanges than the plain-parquet probe, both stored scans
+    bucket-aware, identical survivors. Bucket count must match
+    spark.sql.shuffle.partitions here because the batch side's own
+    exchanges come out at that width and Spark co-partitions to the
+    LARGER side; at corpus scale the bucket count is chosen >= the
+    job's shuffle width for the same reason."""
+
+    HIST = [
+        (i, f"history document body number {i} alpha beta gamma delta epsilon zeta")
+        for i in range(50)
+    ]
+    BATCH = [
+        (100, "history document body number 3 alpha beta gamma delta epsilon zeta"),
+        (101, "totally novel probe content here zz yy xx ww vv uu"),
+    ]
+
+    @staticmethod
+    def _n_exchanges(frame):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            frame.explain("formatted")
+        plan = buf.getvalue()
+        import re
+
+        return len(re.findall(r"\(\d+\) Exchange", plan)), plan
+
+    def test_containment_probe_no_history_side_exchange(
+        self, spark, tmp_path
+    ):
+        from pd_utils_spark.extensions.dedup import (
+            containment_index_frames,
+            dedup_containment_against_index,
+        )
+        from pd_utils_spark.utils import release_registered
+
+        hist = spark.createDataFrame(self.HIST, ["doc_id", "text"])
+        batch = spark.createDataFrame(self.BATCH, ["doc_id", "text"])
+        frames = containment_index_frames(hist, k=1)
+        for n in ("index", "sets", "dfreq"):
+            frames[n].write.mode("overwrite").parquet(str(tmp_path / n))
+        release_registered("containment_index_frames")
+        plain = {
+            n: spark.read.parquet(str(tmp_path / n))
+            for n in ("index", "sets", "dfreq")
+        }
+        nbuck = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        spark.sql("DROP TABLE IF EXISTS tb_cont_idx")
+        spark.sql("DROP TABLE IF EXISTS tb_cont_sets")
+        write_bucketed(plain["index"], "tb_cont_idx", "__tok__", nbuck)
+        write_bucketed(plain["sets"], "tb_cont_sets", "__hid__", nbuck)
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            kw = dict(threshold=0.9, k=1)
+            out_plain = dedup_containment_against_index(
+                batch, plain["index"], plain["sets"], plain["dfreq"], **kw
+            )
+            n_plain, _ = self._n_exchanges(out_plain)
+            want = sorted(r.doc_id for r in out_plain.collect())
+            release_registered("dedup_containment_against_index")
+            out_b = dedup_containment_against_index(
+                batch,
+                spark.table("tb_cont_idx"),
+                spark.table("tb_cont_sets"),
+                plain["dfreq"],
+                **kw,
+            )
+            n_buck, plan = self._n_exchanges(out_b)
+            assert n_buck == n_plain - 2, plan
+            assert plan.count("Bucketed: true") == 2, plan
+            got = sorted(r.doc_id for r in out_b.collect())
+            release_registered("dedup_containment_against_index")
+            assert got == want == [101]
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            spark.sql("DROP TABLE IF EXISTS tb_cont_idx")
+            spark.sql("DROP TABLE IF EXISTS tb_cont_sets")
+
+    def test_minhash_probe_no_history_side_exchange(self, spark, tmp_path):
+        from pd_utils_spark.extensions.dedup import (
+            dedup_minhash_against_index,
+            minhash_history_frames,
+        )
+        from pd_utils_spark.utils import release_registered
+
+        hist = spark.createDataFrame(self.HIST, ["doc_id", "text"])
+        batch = spark.createDataFrame(self.BATCH, ["doc_id", "text"])
+        frames = minhash_history_frames(hist, k=3, num_hashes=12, bands=6)
+        for n in ("keys", "shingles"):
+            frames[n].write.mode("overwrite").parquet(str(tmp_path / n))
+        release_registered("minhash_history_frames")
+        plain = {
+            n: spark.read.parquet(str(tmp_path / n))
+            for n in ("keys", "shingles")
+        }
+        nbuck = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        spark.sql("DROP TABLE IF EXISTS tb_mh_keys")
+        spark.sql("DROP TABLE IF EXISTS tb_mh_sh")
+        write_bucketed(plain["keys"], "tb_mh_keys", ["band", "band_key"], nbuck)
+        write_bucketed(plain["shingles"], "tb_mh_sh", "__hid__", nbuck)
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            kw = dict(threshold=0.5, k=3, num_hashes=12, bands=6)
+            out_plain = dedup_minhash_against_index(
+                batch, plain["keys"], plain["shingles"], **kw
+            )
+            n_plain, _ = self._n_exchanges(out_plain)
+            want = sorted(r.doc_id for r in out_plain.collect())
+            release_registered("dedup_minhash_against_index")
+            out_b = dedup_minhash_against_index(
+                batch, spark.table("tb_mh_keys"), spark.table("tb_mh_sh"), **kw
+            )
+            n_buck, plan = self._n_exchanges(out_b)
+            assert n_buck == n_plain - 2, plan
+            assert plan.count("Bucketed: true") == 2, plan
+            # the build-time params stamp survives bucketed saveAsTable
+            assert spark.table("tb_mh_keys").schema["band_key"].metadata == {
+                "k": 3, "num_hashes": 12, "bands": 6,
+            }
+            got = sorted(r.doc_id for r in out_b.collect())
+            release_registered("dedup_minhash_against_index")
+            assert got == want == [101]
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            spark.sql("DROP TABLE IF EXISTS tb_mh_keys")
+            spark.sql("DROP TABLE IF EXISTS tb_mh_sh")
+
+
 class TestHotKeyJoin:
     def _data(self, spark):
         import pandas as pd

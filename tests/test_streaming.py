@@ -689,16 +689,20 @@ class TestStreamingMinhashDedup:
                 assert sorted(r.doc_id for r in docs.collect()) == [1, 3, 11]
             finally:
                 q.stop()
-            # compaction folds the deltas; a restarted stream probes
-            # the compacted generation identically
+            # compaction folds the deltas BELOW the newest (b=1 stays:
+            # its batch could replay after a crash and reads strictly
+            # below its own id, so it must never be folded into a
+            # generation that replay cannot see); a restarted stream
+            # probes compacted + newest-delta state identically
             from pd_utils_spark.streaming.stateful import (
                 compact_minhash_state,
             )
 
-            assert compact_minhash_state(spark, hist) == 1
-            assert os.path.exists(f"{hist}/keys/c=1/_SUCCESS")
+            assert compact_minhash_state(spark, hist) == 0
+            assert os.path.exists(f"{hist}/keys/c=0/_SUCCESS")
             assert not os.path.exists(f"{hist}/keys/b=0")
-            assert compact_minhash_state(spark, hist) == 1  # no-op
+            assert os.path.exists(f"{hist}/keys/b=1/_SUCCESS")
+            assert compact_minhash_state(spark, hist) == 0  # no-op
             b3 = [
                 # near-dup of doc 3 (one word changed) -> must drop
                 # against the COMPACTED state
@@ -1986,15 +1990,36 @@ class TestStreamingContainmentDedup:
                 {1, 2, 3},
             )
             top = compact_containment_state(spark, hist)
-            assert top == 1
-            assert os.path.exists(f"{hist}/index/c=1/_SUCCESS")
+            # folds only deltas BELOW the newest: b=0 -> c=0, b=1
+            # stays (its batch could replay and reads strictly below
+            # its own id — folding it would strand that replay on
+            # empty history)
+            assert top == 0
+            assert os.path.exists(f"{hist}/index/c=0/_SUCCESS")
             assert not os.path.exists(f"{hist}/index/b=0")
-            assert not os.path.exists(f"{hist}/index/b=1")
+            assert os.path.exists(f"{hist}/index/b=1/_SUCCESS")
             # re-compacting with nothing new is a no-op returning c0
-            assert compact_containment_state(spark, hist) == 1
-            # batch 3 (id 2) probes the compacted generation c=1,
-            # which folded both earlier deltas: 10 (inner slice of
-            # doc 1) and 11 (slice of doc 3) blocked, 12 novel enters
+            assert compact_containment_state(spark, hist) == 0
+            # the crash-replay hole the fold-below-newest rule closes:
+            # a replayed batch 1 (state committed, checkpoint not)
+            # reads strictly below its own id and must still resolve
+            # batch 0's full history — not the empty set the old
+            # fold-everything compaction left it
+            from pd_utils_spark.streaming.stateful import (
+                _containment_state_frames,
+                _versioned_state_pieces,
+            )
+
+            assert _versioned_state_pieces(spark, hist, "index", 1) == [
+                "c=0"
+            ]
+            replay_state = _containment_state_frames(spark, hist, below=1)
+            assert replay_state is not None
+            assert {
+                r["__hid__"] for r in replay_state[1].collect()
+            } == {1, 2}  # batch 0's two docs
+            # batch 3 (id 2) probes c=0 + delta b=1: 10 (inner slice
+            # of doc 1) and 11 (slice of doc 3) blocked, 12 enters
             run_batch(
                 "b3.json",
                 [
@@ -2006,3 +2031,87 @@ class TestStreamingContainmentDedup:
             )
         finally:
             shutil.rmtree(base, ignore_errors=True)
+
+    def test_compaction_race_double_read_is_harmless(self, spark, tmp_path):
+        """Pins the documented compaction race claim (run with the
+        stream stopped; 'nothing corrupts, but that delta could be
+        read twice by a reader racing the prune'): (a) the official
+        piece enumerator never double-reads — with the folded delta
+        still on disk (prune=False, i.e. compaction crashed before
+        prune or a reader races it) it resolves the compacted
+        generation plus only NEWER deltas; (b) even a hypothetical
+        reader that reads a folded delta twice (c=0 AND the stale
+        b=0 it covers) derives identical survivors — the double-read
+        inflates __df__ (prefix ORDER only) and duplicates candidate
+        rows (absorbed by .distinct()), never changing the answer."""
+        from pyspark.sql import functions as F
+
+        from pd_utils_spark.extensions.dedup import (
+            containment_index_frames,
+            dedup_containment_against_index,
+        )
+        from pd_utils_spark.streaming.stateful import (
+            _containment_state_frames,
+            _versioned_state_pieces,
+            compact_containment_state,
+        )
+        from pd_utils_spark.utils import release_registered
+
+        hist = str(tmp_path / "hist")
+        b0 = spark.createDataFrame(
+            [(1, "alpha bravo charlie delta echo foxtrot golf hotel"),
+             (2, "zulu yankee xray whiskey victor")],
+            ["doc_id", "text"],
+        )
+        b1 = spark.createDataFrame(
+            [(3, "novel content about spark streams")], ["doc_id", "text"]
+        )
+        for bid, frame in ((0, b0), (1, b1)):
+            frames = containment_index_frames(frame, k=1)
+            for name in ("dfreq", "sets", "index"):
+                frames[name].write.mode("overwrite").parquet(
+                    f"{hist}/{name}/b={bid}"
+                )
+            release_registered("containment_index_frames")
+        assert compact_containment_state(spark, hist, prune=False) == 0
+        # (a) stale delta b=0 still on disk; the enumerator resolves
+        # c=0 + b=1 only — no path is read twice
+        import os
+
+        assert os.path.exists(f"{hist}/index/b=0/_SUCCESS")
+        assert _versioned_state_pieces(spark, hist, "index", 2) == [
+            "c=0", "b=1",
+        ]
+        batch = spark.createDataFrame(
+            [(10, "bravo charlie delta echo foxtrot"),  # slice of doc 1
+             (11, "novel content about spark"),         # slice of doc 3
+             (12, "wholly fresh third batch words")],   # novel
+            ["doc_id", "text"],
+        )
+        index, sets, dfreq = _containment_state_frames(spark, hist, below=2)
+        want = sorted(
+            tuple(r)
+            for r in dedup_containment_against_index(
+                batch, index, sets, dfreq, threshold=0.9, k=1
+            ).collect()
+        )
+        release_registered("dedup_containment_against_index")
+        assert {r[0] for r in want} == {12}
+        # (b) the hypothetical double-read: batch-0 artifacts via BOTH
+        # c=0 and the stale b=0 it folded
+        double = ["c=0", "b=0", "b=1"]
+        index2 = spark.read.parquet(*[f"{hist}/index/{p}" for p in double])
+        sets2 = spark.read.parquet(*[f"{hist}/sets/{p}" for p in double])
+        dfreq2 = (
+            spark.read.parquet(*[f"{hist}/dfreq/{p}" for p in double])
+            .groupBy("__tok__")
+            .agg(F.sum("__df__").alias("__df__"))
+        )
+        got = sorted(
+            tuple(r)
+            for r in dedup_containment_against_index(
+                batch, index2, sets2, dfreq2, threshold=0.9, k=1
+            ).collect()
+        )
+        release_registered("dedup_containment_against_index")
+        assert got == want
