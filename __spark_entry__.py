@@ -7093,6 +7093,79 @@ def q_streaming_containment_dedup(
     return spark.createDataFrame(rows, "doc_id bigint")
 
 
+def q_streaming_minhash_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming MinHash near-dup ingest gate driven through the
+    engine end-to-end (streaming/stateful.py streaming_minhash_dedup
+    — the containment gate's sibling, previously pytest-covered
+    only): batch 1 = the documents corpus (LSH-deduped within
+    itself), batch 2 = two-token-appended near-dups (Jaccard >= 0.5
+    with their batch-1 originals — must be blocked by the versioned
+    band-key/shingle artifacts batch 1 wrote) plus token-salted
+    novel docs (every shingle changed — must enter). Batch-ORDER-
+    sensitive like the containment row, so two ordered parquet files
+    + an asserted two-micro-batch run; the oracle replays the full
+    two-stage pipeline (within-batch min-id LSH dedup, then the
+    banded candidate join + Jaccard verify against batch 1's
+    SURVIVORS) in SQL. Returns every accepted doc_id."""
+    import shutil
+    import tempfile
+
+    from pd_utils_spark.streaming.stateful import streaming_minhash_dedup
+
+    base = tempfile.mkdtemp(prefix="pus_mstream_")
+    try:
+        d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        near = d.filter(F.col("doc_id") % 3 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" nv1 nv2")).alias("text"),
+        )
+        novel = d.filter(F.col("doc_id") % 3 == 1).select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            F.regexp_replace(F.col("text"), r"(\S+)", r"$1zz").alias(
+                "text"
+            ),
+        )
+        src = f"{base}/src"
+        d.coalesce(1).write.mode("append").parquet(src)
+        near.unionByName(novel).coalesce(1).write.mode("append").parquet(
+            src
+        )
+        raw_schema = spark.read.parquet(src).schema
+        sdf = (
+            spark.readStream.schema(raw_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        with _stream_state_partitions(spark):
+            q = streaming_minhash_dedup(
+                sdf,
+                output_dir=f"{base}/out",
+                history_dir=f"{base}/hist",
+                checkpoint_dir=f"{base}/ckpt",
+                k=3,
+                num_hashes=12,
+                bands=4,
+                threshold=0.5,
+                available_now=True,
+            )
+            q.awaitTermination()
+            data_batches = sum(
+                1 for p in q.recentProgress if p["numInputRows"] > 0
+            )
+            if data_batches != 2:
+                raise AssertionError(
+                    "streaming_minhash_dedup expects TWO ordered "
+                    f"micro-batches; ran {data_batches}"
+                )
+        out = spark.read.parquet(f"{base}/out").select("doc_id")
+        rows = out.collect()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, "doc_id bigint")
+
+
 def q_streaming_weighted_sample(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -7737,6 +7810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_topk": q_streaming_topk,
         "streaming_weighted_sample": q_streaming_weighted_sample,
         "streaming_containment_dedup": q_streaming_containment_dedup,
+        "streaming_minhash_dedup": q_streaming_minhash_dedup,
         "bpe_learn": q_bpe_learn,
         "bpe_learn_batched": q_bpe_learn_batched,
         "bpe_compression": q_bpe_compression,
@@ -15491,6 +15565,93 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id FROM b2
         WHERE doc_id NOT IN (SELECT doc_id FROM d2a)
           AND doc_id NOT IN (SELECT doc_id FROM d2b)
+    """
+    # the MinHash stream gate: replay batch 1's within-batch min-id
+    # LSH dedup, then batch 2's internal dedup + banded-candidate
+    # Jaccard probe against batch 1's SURVIVORS — the exact pipeline
+    # streaming_minhash_dedup runs through its versioned artifacts
+    d["streaming_minhash_dedup"] = f"""
+        WITH b1 AS (SELECT doc_id, text FROM documents),
+        sh1 AS (SELECT doc_id, {_SQL_SHINGLES} AS s FROM b1),
+        sg1 AS (
+            SELECT doc_id, s, {_sql_minhash_sig_list("s")} AS sg FROM sh1
+        ),
+        bd1 AS (
+            SELECT doc_id, t.b AS band,
+                   md5(array_to_string(sg[t.b * 3 + 1 : t.b * 3 + 3], '|')) AS band_key
+            FROM sg1, range(0, 4) t(b)
+        ),
+        p1 AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bd1 a JOIN bd1 b
+              ON a.band = b.band AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        l1 AS (
+            SELECT DISTINCT p.id_b
+            FROM p1 p
+            JOIN sh1 sa ON sa.doc_id = p.id_a
+            JOIN sh1 sb ON sb.doc_id = p.id_b
+            WHERE len(list_intersect(sa.s, sb.s))
+                  / len(list_distinct(list_concat(sa.s, sb.s))) >= 0.5
+        ),
+        acc1 AS (
+            SELECT doc_id FROM b1
+            WHERE doc_id NOT IN (SELECT id_b FROM l1)
+        ),
+        b2 AS (
+            SELECT doc_id + 100000 AS doc_id, text || ' nv1 nv2' AS text
+            FROM documents WHERE doc_id % 3 = 0
+            UNION ALL
+            SELECT doc_id + 200000,
+                   regexp_replace(text, '(\\S+)', '\\1zz', 'g')
+            FROM documents WHERE doc_id % 3 = 1
+        ),
+        sh2 AS (SELECT doc_id, {_SQL_SHINGLES} AS s FROM b2),
+        sg2 AS (
+            SELECT doc_id, s, {_sql_minhash_sig_list("s")} AS sg FROM sh2
+        ),
+        bd2 AS (
+            SELECT doc_id, t.b AS band,
+                   md5(array_to_string(sg[t.b * 3 + 1 : t.b * 3 + 3], '|')) AS band_key
+            FROM sg2, range(0, 4) t(b)
+        ),
+        p2 AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bd2 a JOIN bd2 b
+              ON a.band = b.band AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        l2 AS (
+            SELECT DISTINCT p.id_b
+            FROM p2 p
+            JOIN sh2 sa ON sa.doc_id = p.id_a
+            JOIN sh2 sb ON sb.doc_id = p.id_b
+            WHERE len(list_intersect(sa.s, sb.s))
+                  / len(list_distinct(list_concat(sa.s, sb.s))) >= 0.5
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS bid, h.doc_id AS hid
+            FROM bd2 a
+            JOIN bd1 h ON a.band = h.band AND a.band_key = h.band_key
+            WHERE a.doc_id NOT IN (SELECT id_b FROM l2)
+              AND h.doc_id IN (SELECT doc_id FROM acc1)
+        ),
+        hits AS (
+            SELECT DISTINCT c.bid
+            FROM cand c
+            JOIN sh2 sa ON sa.doc_id = c.bid
+            JOIN sh1 sb ON sb.doc_id = c.hid
+            WHERE len(list_intersect(sa.s, sb.s))
+                  / len(list_distinct(list_concat(sa.s, sb.s))) >= 0.5
+        )
+        SELECT doc_id FROM acc1
+        UNION ALL
+        SELECT doc_id FROM b2
+        WHERE doc_id NOT IN (SELECT id_b FROM l2)
+          AND doc_id NOT IN (SELECT bid FROM hits)
     """
     d["streaming_weighted_sample"] = """
         SELECT event_type,
