@@ -2771,6 +2771,26 @@ def containment_join_prefix(
     ``"containment_join_prefix"`` (see the cache note there).
     ``shingles``: optional precomputed :func:`shingle_sets` frame to
     share shingle construction across stages."""
+    result, _toks, _sorted = _containment_join_prefix_parts(
+        df, textcol, idcol, threshold, k, shingles, max_bucket
+    )
+    return result
+
+
+def _containment_join_prefix_parts(
+    df: DataFrame,
+    textcol: str = "text",
+    idcol: str = "doc_id",
+    threshold: float = 0.9,
+    k: int = 3,
+    shingles: DataFrame | None = None,
+    max_bucket: int | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """:func:`containment_join_prefix` plus its two PERSISTED internal
+    frames ``(result, toks, sorted_docs)`` so sibling consumers (e.g.
+    :func:`dedup_containment`'s size lookup) can ride the already-
+    cached token work instead of re-running the full shingle pass per
+    subtree. Persist/registry contract identical to the public form."""
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1]: {threshold}")
     if k < 1:
@@ -2876,7 +2896,7 @@ def containment_join_prefix(
     )
     result._pus_persisted = [toks, sorted_docs]
     register_persisted("containment_join_prefix", [toks, sorted_docs])
-    return result
+    return result, toks, sorted_docs
 
 
 def dedup_containment(
@@ -2909,7 +2929,7 @@ def dedup_containment(
     Scale shape: :func:`containment_join_prefix` (its cost profile
     and ``max_bucket`` tradeoff apply verbatim) plus one size lookup
     join and one left-anti join back to ``df``."""
-    pairs = containment_join_prefix(
+    pairs, _toks, sorted_docs = _containment_join_prefix_parts(
         df,
         textcol=textcol,
         idcol=idcol,
@@ -2917,13 +2937,18 @@ def dedup_containment(
         k=k,
         max_bucket=max_bucket,
     )
-    if k == 1:
-        sets = F.array_distinct(_tokens(_norm(F.col(textcol))))
-    else:
-        sets = _shingle_set(F.col(textcol), k)
-    sizes = df.select(
-        F.col(idcol).alias("__sid__"),
-        F.size(F.array_remove(sets, "")).alias("__sz__"),
+    # Size lookup rides the join's PERSISTED per-doc token arrays
+    # instead of re-shingling ``df`` once per join side (r11: the two
+    # extra full text passes were each a whole corpus scan; guide §1.2
+    # "don't compute things twice"). Equivalence: |__toks__| counts the
+    # doc's distinct non-empty shingles exactly like
+    # size(array_remove(sets, '')); docs with ZERO non-empty shingles
+    # are absent here, but such docs emit no probe and no index rows,
+    # so they never appear in ``pairs`` and the size join's result is
+    # unchanged (pytest-pinned).
+    sizes = sorted_docs.select(
+        F.col("__id__").alias("__sid__"),
+        F.size("__toks__").alias("__sz__"),
     )
     sa = sizes.select(
         F.col("__sid__").alias("id_contained"), F.col("__sz__").alias("__na__")

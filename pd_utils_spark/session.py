@@ -37,6 +37,22 @@ def get_spark(app_name: str = "pd_utils_spark", cpus: str | int | None = None) -
         .config("spark.sql.shuffle.partitions", n)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE partition-coalescing knobs, env-parameterised for cluster
+        # tuning. parallelismFirst stays at Spark's default (true): an
+        # A/B over a representative query mix (r11) showed byte-derived
+        # coalescing (false + 64m advisory) serializes the CPU-heavy
+        # small-byte text/simhash aggregations onto one core (measured
+        # 16 s -> 46 s on candidate_recall_simhash) — per-row compute,
+        # not bytes, bounds those stages. On a cluster with genuinely
+        # byte-bound shuffles set SPARK_GRAFT_PARALLELISM_FIRST=false.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+            os.environ.get("SPARK_GRAFT_PARALLELISM_FIRST", "true"),
+        )
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION_BYTES", "64m"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

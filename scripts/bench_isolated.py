@@ -37,7 +37,15 @@ def main() -> None:
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             times.append(round(time.perf_counter() - t0, 3))
+            # same hygiene as bench.py: drop leaked persists, then nudge
+            # a driver GC so the ContextCleaner reclaims shuffle files /
+            # broadcasts (accumulated state measured to inflate later
+            # reps up to ~8x)
             spark.catalog.clearCache()
+            try:
+                spark._jvm.System.gc()
+            except Exception:
+                pass
         out[name] = times
         print(json.dumps({name: times}), flush=True)
     print("FINAL " + json.dumps(out))
