@@ -22,6 +22,30 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pd_utils_spark.utils import to_list
 
 
+def _spread_batch(batch_df: DataFrame) -> DataFrame:
+    """Fan an under-partitioned micro-batch across the executor cores
+    before CPU-heavy gate work (r11, guide §2.5 "input skew"): a file-
+    source micro-batch arrives with one partition per file (one row
+    group = one split), so a single-file trigger runs the whole
+    shingle/minhash/explode pipeline of the batch on ONE core —
+    profiled at sf0.1 as three concurrent 14 s single-task stages
+    inside the containment gate. Repartition only when the batch has
+    fewer partitions than ``defaultParallelism``; at scale batches
+    arrive in many splits and this is a structural no-op (no exchange
+    added). Round-robin repartition is retry-safe (Spark sorts before
+    round-robin by default) and every gate result is partitioning-
+    independent by construction."""
+    sc = batch_df.sparkSession.sparkContext
+    try:
+        n = batch_df.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover — defensive; keep the batch
+        return batch_df
+    p = sc.defaultParallelism
+    if n < p:
+        return batch_df.repartition(p)
+    return batch_df
+
+
 def streaming_exact_dedup(
     sdf: DataFrame,
     textcol: str = "text",
@@ -188,6 +212,10 @@ def streaming_greedy_band_dedup(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        # see _spread_batch — a one-file micro-batch otherwise runs the
+        # per-doc shingle+minhash map on ONE core; keys are per-row
+        # deterministic, so the survivor set is unchanged
+        batch_df = _spread_batch(batch_df)
         work = attach_minhash_band_keys(
             batch_df, textcol, k, rows_per_band, bands, out="__bks__"
         )
@@ -456,6 +484,7 @@ def streaming_containment_dedup(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        batch_df = _spread_batch(batch_df)
         try:
             survivors = dedup_containment(
                 batch_df,
@@ -694,6 +723,10 @@ def streaming_sample_quantiles(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        # single-file micro-batches otherwise hash/struct every batch
+        # row on ONE core (see _spread_batch; result is partitioning-
+        # independent — deterministic sort-truncate)
+        batch_df = _spread_batch(batch_df)
         fresh = sample_sketch_by(
             batch_df, byvars_l, col, id_cols=id_cols, k=k, out="sk"
         )
@@ -846,6 +879,9 @@ def streaming_weighted_sample(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        # see _spread_batch — same single-file micro-batch rationale as
+        # streaming_sample_quantiles; A-ES keys are row-deterministic
+        batch_df = _spread_batch(batch_df)
         fresh = weighted_sample_sketch_by(
             batch_df, byvars_l, col, weight_col, id_cols=id_cols, k=k,
             out="sk",
@@ -1112,6 +1148,7 @@ def streaming_minhash_dedup(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        batch_df = _spread_batch(batch_df)
         try:
             survivors = dedup_minhash_lsh(
                 batch_df, textcol, idcol, k, num_hashes, bands, threshold,
