@@ -6369,13 +6369,50 @@ def q_candidate_recall_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     normed = corpus.select(
         "rec_id", pus_lk.normalize_entity(F.col("name")).alias("norm")
     )
-    a, b = normed.alias("a"), normed.alias("b")
+    # The exact dist<=1 truth via the FastSS deletion-neighborhood
+    # equi-join (r11, guide §1.2 "the distributed algorithm" — replaces
+    # an O(n^2) cross join + bounded-levenshtein over ~8e8 ordered
+    # pairs with an equi-join on ~len+1 keys/record). EQUIVALENCE: for
+    # strings u, v, lev(u, v) <= 1 iff u = v (share key u), v deletes
+    # one char of u (v is in del1(u) and is its own key), or u, v
+    # substitute at position i (deleting position i from both yields
+    # the same string w in del1(u) ∩ del1(v)). Conversely every kept
+    # pair passes the same thresholded-levenshtein verify the cross
+    # join used, so the pair SET is identical (oracle still states the
+    # all-pairs form; the hash match proves the rewrite).
+    del1 = F.expr(
+        "transform(sequence(1, length(norm)), i -> "
+        "concat(substring(norm, 1, i - 1), "
+        "substring(norm, i + 1, length(norm))))"
+    )
+    nkeys = normed.select(
+        "rec_id",
+        "norm",
+        F.explode(
+            F.array_distinct(
+                F.when(
+                    F.length("norm") > 0,
+                    F.concat(F.array(F.col("norm")), del1),
+                ).otherwise(F.array(F.col("norm")))
+            )
+        ).alias("__dk__"),
+    )
+    a, b = nkeys.alias("a"), nkeys.alias("b")
     truth = (
-        a.join(b, F.col("a.rec_id") < F.col("b.rec_id"))
-        .filter(F.levenshtein(F.col("a.norm"), F.col("b.norm"), 1) >= 0)
-        .select(
-            F.col("a.rec_id").alias("id_a"), F.col("b.rec_id").alias("id_b")
+        a.join(
+            b,
+            (F.col("a.__dk__") == F.col("b.__dk__"))
+            & (F.col("a.rec_id") < F.col("b.rec_id")),
         )
+        .select(
+            F.col("a.rec_id").alias("id_a"),
+            F.col("b.rec_id").alias("id_b"),
+            F.col("a.norm").alias("__na__"),
+            F.col("b.norm").alias("__nb__"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.levenshtein(F.col("__na__"), F.col("__nb__"), 1) >= 0)
+        .select("id_a", "id_b")
     )
     out = pus_dedup.candidate_recall(cand, truth, n_items=n_items)
     return out.select(
@@ -6745,6 +6782,12 @@ def q_weighted_pick_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.element_at(F.col("cls_wsample"), 1)["v"].cast("bigint").alias("cls")
     )
+    # 64 rows, but its lineage is the full 9.6M-row salted aggregation
+    # — and BOTH the counts frame and the total_picks action below
+    # consume it. Materialize once (r11, guide §1.2 "don't compute
+    # things twice"): without this the whole salted pipeline was
+    # measured to run twice per bench invocation.
+    picks = picks.localCheckpoint(eager=True)
     counts = picks.groupBy("cls").agg(F.count(F.lit(1)).alias("n_picks"))
     shares = o.groupBy(F.col("cls").cast("bigint").alias("cls")).agg(
         F.sum("wt").alias("__wc__")

@@ -165,9 +165,21 @@ def blocked_edit_pairs(
     if max_block is not None:
         toks = _cap_buckets(toks, ["__blk__"], max_block, "linkage_block_cap")
     a, b = toks.alias("a"), toks.alias("b")
+    # length prefilter (r11, guide §2.3 "shuffle fewer bytes"): a pair
+    # with |len(a) - len(b)| > max_dist cannot pass the Levenshtein
+    # verify (each edit changes length by at most 1), so dropping it
+    # HERE — map-side, before the dropDuplicates exchange — removes the
+    # doomed candidates and their norm strings from the shuffle instead
+    # of after it. Result set provably unchanged.
     cand = (
         a.join(b, "__blk__")
         .filter(F.col("a.__id__") < F.col("b.__id__"))
+        .filter(
+            F.abs(
+                F.length(F.col("a.__norm__")) - F.length(F.col("b.__norm__"))
+            )
+            <= max_dist
+        )
         .select(
             F.col("a.__id__").alias("id_a"),
             F.col("b.__id__").alias("id_b"),
@@ -292,6 +304,12 @@ def edit_join(
         rtoks = _cap_buckets(rtoks, ["__blk__"], max_block, "linkage_right_cap")
     cand = (
         ltoks.join(rtoks, "__blk__")
+        # same length prefilter as blocked_edit_pairs (r11): prune
+        # can't-match pairs before the dropDuplicates exchange
+        .filter(
+            F.abs(F.length(F.col("__ln__")) - F.length(F.col("__rn__")))
+            <= max_dist
+        )
         .select(lid, rid, "__ln__", "__rn__")
         .dropDuplicates([lid, rid])
     )

@@ -124,6 +124,19 @@ HEADLINE_V3_EXTRA = [
 ]
 HEADLINE_V3 = HEADLINE_V2 + HEADLINE_V3_EXTRA
 
+# Round-11 block (the r10 verdict's lane blind spot: of the five most
+# expensive r10 serial rows, these three had no cross-round lane
+# median — streaming_quantiles and weighted_pick_audit were already in
+# V2 — so e.g. dedup_containment_index's 8.83->17.47 s serial doubling
+# could only be dispositioned by inference). Frozen as of r11;
+# reported as its own subtotal (value_v4_subtotal).
+HEADLINE_V4_EXTRA = [
+    "dedup_containment_index",    # incremental gate: build + round-trip + probe
+    "streaming_weighted_sample",  # constant-state streaming A-ES sample
+    "streaming_minhash_dedup",    # streaming LSH ingest gate end-to-end
+]
+HEADLINE_V4 = HEADLINE_V3 + HEADLINE_V4_EXTRA
+
 
 def _cpu_ticks() -> tuple[int, int]:
     """(steal_ticks, total_ticks) from the aggregate /proc/stat cpu
@@ -145,7 +158,7 @@ def main() -> None:
     sf_dir = "/root/testdata/sf0.1"
     reps = 3
     out_path = None
-    names = list(HEADLINE_V3)
+    names = list(HEADLINE_V4)
     for a in sys.argv[1:]:
         if a.startswith("--sf="):
             sf_dir = a.split("=", 1)[1]
@@ -157,6 +170,8 @@ def main() -> None:
             names = list(HEADLINE)
         if a == "--v2":
             names = list(HEADLINE_V2)
+        if a == "--v3":
+            names = list(HEADLINE_V3)
         if a.startswith("--slice="):
             # run a contiguous chunk (e.g. --slice=0:20) so the lane
             # can be produced in resumable pieces and merged
@@ -224,12 +239,21 @@ def main() -> None:
         ),
         3,
     )
+    v4_subtotal = round(
+        sum(
+            r["median"]
+            for n, r in results.items()
+            if n in HEADLINE_V4_EXTRA and r["median"] > 0
+        ),
+        3,
+    )
     doc = {
         "metric": "headline_warm_median_sec",
         "value": total,
         "value_v1_subtotal": v1_subtotal,
         "value_v2_subtotal": v2_subtotal,
         "value_v3_subtotal": v3_subtotal,
+        "value_v4_subtotal": v4_subtotal,
         "unit": "sec",
         "protocol": f"1 discarded cold rep + {reps} warm reps, median; "
         "clearCache between reps; one session",
