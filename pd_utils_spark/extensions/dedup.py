@@ -809,9 +809,27 @@ def _cap_buckets(
     ``observe`` metric (``<metric>_dropped_rows``) so callers can read
     how many rows the cap removed from the last action's
     ``QueryExecutionListener`` / ``Observation`` stream at zero extra
-    compute cost (no separate count job)."""
+    compute cost (no separate count job).
+
+    The key-partitioned shuffle is pinned to an EXPLICIT partition
+    count (r11, guide §2.5): AQE coalesces post-shuffle partitions by
+    INPUT bytes, but every consumer of a capped frame is an exploding
+    within-bucket self-join — small bytes in, quadratic-in-bucket rows
+    out — so byte-derived coalescing was profiled running the whole
+    join of `entity_match` in ONE 4 s task. An explicit repartition
+    (``REPARTITION_BY_NUM`` origin) is exempt from AQE coalescing, the
+    cap window reuses its partitioning, and the downstream equi-join
+    on the same keys reuses it again — same exchange count, full
+    parallelism. The count comes from ``spark.sql.shuffle.partitions``
+    (cluster-sized in deployment), not a local constant."""
     from pyspark.sql import Window
 
+    spark = frame.sparkSession
+    try:
+        nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:  # pragma: no cover — conf always present in practice
+        nparts = spark.sparkContext.defaultParallelism
+    frame = frame.repartition(nparts, *key_cols)
     _CAP_COUNT[0] += 1
     w = Window.partitionBy(*key_cols)
     counted = frame.withColumn("__n__", F.count("*").over(w)).observe(
