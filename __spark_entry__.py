@@ -6203,7 +6203,15 @@ def _entity_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.concat_ws(" ", t[1], t[0], t[2]))
         .alias("name"),
     )
-    return clean.unionByName(variant)
+    # same rationale as _t()'s documents fan-out: the distinct-name
+    # aggregate collapses to 1-2 AQE-coalesced partitions (~80 KB),
+    # which then serializes the downstream normalize-regex + explode
+    # of every linkage consumer onto 1-2 cores (profiled 2.5 s/side in
+    # fuzzy_best_join). Spread the corpus so per-core work reflects the
+    # operators, not the fixture's tiny byte size.
+    return clean.unionByName(variant).repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
 
 _SQL_ENTITY_CORPUS = """

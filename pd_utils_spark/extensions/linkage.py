@@ -186,14 +186,22 @@ def blocked_edit_pairs(
             F.col("a.__norm__").alias("__na__"),
             F.col("b.__norm__").alias("__nb__"),
         )
-        .dropDuplicates(["id_a", "id_b"])
     )
     # thresholded levenshtein: -1 when distance > max_dist (early-exit
-    # banded DP); kept rows carry the EXACT distance
+    # banded DP); kept rows carry the EXACT distance. Verify BEFORE the
+    # dedup exchange (r11, guide §2.3): most candidates fail the
+    # verify, so filtering first shrinks the dropDuplicates shuffle
+    # from every within-block meeting to the true pair set. A pair
+    # sharing several blocks pays the (early-exit, O(max_dist*len))
+    # distance once per shared block — measured far cheaper than
+    # shuffling the unverified candidate set; dedup rows of one pair
+    # are bit-identical (distance is a function of the pair), so the
+    # kept row is deterministic.
     dist = F.levenshtein(F.col("__na__"), F.col("__nb__"), max_dist)
     out = (
         cand.withColumn("edit_distance", dist)
         .filter(F.col("edit_distance") >= 0)
+        .dropDuplicates(["id_a", "id_b"])
         .withColumn(
             "edit_similarity",
             F.round(
@@ -305,18 +313,26 @@ def edit_join(
     cand = (
         ltoks.join(rtoks, "__blk__")
         # same length prefilter as blocked_edit_pairs (r11): prune
-        # can't-match pairs before the dropDuplicates exchange
+        # can't-match pairs map-side, before any exchange
         .filter(
             F.abs(F.length(F.col("__ln__")) - F.length(F.col("__rn__")))
             <= max_dist
         )
         .select(lid, rid, "__ln__", "__rn__")
-        .dropDuplicates([lid, rid])
     )
+    # verify before deduplicating, as in blocked_edit_pairs (r11):
+    # the thresholded distance is recomputed per shared block but the
+    # exchange then carries only VERIFIED pairs. With best=True the
+    # dedup exchange disappears entirely — min(struct(...)) over a
+    # multiset equals min over its set (duplicate (lid, rid) rows are
+    # bit-identical), so the map-side-combined best-match aggregate
+    # absorbs duplicates for free.
     dist = F.levenshtein(F.col("__ln__"), F.col("__rn__"), max_dist)
     scored = cand.withColumn("edit_distance", dist).filter(
         F.col("edit_distance") >= 0
     )
+    if not best:
+        scored = scored.dropDuplicates([lid, rid])
     if best:
         scored = (
             scored.groupBy(lid)
