@@ -458,17 +458,28 @@ def bottomk_rollup(
     deterministic: any grouping of the same increments yields
     IDENTICAL state. State per group is O(inputs * k) pre-truncation
     within one agg buffer — bounded because both factors are. Pass
-    ``byvars=[]`` for a grand-total sketch."""
+    ``byvars=[]`` for a grand-total sketch.
+
+    The distinct-union is sort-then-adjacent-dedup, NOT
+    ``array_distinct`` (r11, guide §1.2 "per-task work"):
+    ``array_distinct`` over STRUCT elements (the sample sketches)
+    falls back to O(n^2) interpreted equality scans — profiled at
+    8.5 s for five groups of two 4096-struct sketches inside
+    ``streaming_sample_quantiles`` — while equal elements are
+    adjacent after ``array_sort``, so one indexed ``filter`` pass
+    dedups in O(n). Same element set, same order, bit-identical
+    output (null-safe ``<=>`` matches array_distinct's NaN/null
+    equality)."""
     byvars_l = to_list(byvars)
     name = out or sketch_col
-    agg = F.slice(
-        F.array_sort(F.array_distinct(F.flatten(F.collect_list(sketch_col)))),
-        1,
-        int(k),
-    ).alias(name)
-    if byvars_l:
-        return sketches.groupBy(*byvars_l).agg(agg)
-    return sketches.agg(agg)
+    agg = F.array_sort(F.flatten(F.collect_list(sketch_col))).alias("__srt__")
+    g = (
+        sketches.groupBy(*byvars_l).agg(agg) if byvars_l else sketches.agg(agg)
+    )
+    dedup = F.expr(
+        "filter(__srt__, (x, i) -> i = 0 OR NOT (x <=> __srt__[i - 1]))"
+    )
+    return g.select(*byvars_l, F.slice(dedup, 1, int(k)).alias(name))
 
 
 def kmv_estimate(

@@ -463,3 +463,25 @@ def test_quantile_rollup_composition(spark):
     ).first()
     # exact median of 0..999 under the ceil(q*m) rule: element 500
     assert out["q50"] == 499.0
+
+
+def test_rollup_dedups_identical_elements_across_sketches(spark):
+    # The r11 sort+adjacent-dedup union must keep array_distinct's
+    # semantics: merging a sketch frame with an exact copy of itself
+    # is a no-op (same elements, same order, same truncation), and
+    # NaN values / null struct fields count as equal to themselves
+    # (Spark's array_distinct NaN/null equality, matched via <=>).
+    df = spark.createDataFrame(
+        [(0, 1, 1.0), (0, 2, float("nan")), (0, 3, None), (1, 4, 2.5)],
+        ["day", "rid", "x"],
+    )
+    fine = sk.sample_sketch_by(df, ["day"], "x", id_cols=["rid"], k=16)
+    once = sk.bottomk_rollup(fine, [], "x_sample", k=16).first()["x_sample"]
+    twice = sk.bottomk_rollup(
+        fine.unionByName(fine), [], "x_sample", k=16
+    ).first()["x_sample"]
+    # repr-compare: tuple equality would fail on nan != nan, but the
+    # claim here is bit-identity, which repr captures
+    assert [repr(tuple(e)) for e in twice] == [repr(tuple(e)) for e in once]
+    # the doubled input must NOT double the sample (dedup is real)
+    assert len(twice) == len(once)
