@@ -702,6 +702,16 @@ def _greedy_band_filter(
     _GREEDY_COUNT[0] += 1
     n = _GREEDY_COUNT[0]
     for b in range(bands):
+        # each pass consumes the surviving frame TWICE (the keeper agg
+        # + the semi join's left side), and neither ReuseExchange nor
+        # AQE stage reuse dedupes the two subtrees — unmaterialized,
+        # the map-heavy shingle+minhash pipeline upstream would
+        # execute once per reference, doubling per pass. Materialize
+        # each pass's input so every pass computes exactly once; the
+        # streaming gate releases these after its eager checkpoint,
+        # batch callers via release_registered("greedy_band_filter").
+        work = materialize(work)
+        register_persisted("greedy_band_filter", [work])
         cur = work.withColumn("__kb__", F.col(keyscol)[b])
         keep = cur.groupBy("__kb__").agg(F.min(idcol).alias(idcol))
         work = (
@@ -3353,8 +3363,16 @@ def candidate_recall(
             F.least(a, b).alias("__a__"), F.greatest(a, b).alias("__b__")
         ).filter(F.col("__a__") != F.col("__b__")).distinct()
 
-    c = canon(cand)
-    t = canon(truth)
+    # materialize the canonicalized pair frames: each is consumed
+    # TWICE (its count + the hit semi-join), and an un-materialized
+    # consumption re-executes the entire generator/truth subtree —
+    # the LSH pipeline / exact prefix join — once per reference
+    # (guide §1.2 "don't compute things twice"; ReuseExchange cannot
+    # dedupe the separate subtrees under AQE). Pair frames are id
+    # pairs only — tiny relative to the corpus they audit.
+    c = materialize(canon(cand))
+    t = materialize(canon(truth))
+    register_persisted("candidate_recall", [c, t])
     hit = t.join(c, ["__a__", "__b__"], "left_semi")
     nt = t.groupBy().agg(F.count(F.lit(1)).alias("n_true"))
     nc = c.groupBy().agg(F.count(F.lit(1)).alias("n_cand"))

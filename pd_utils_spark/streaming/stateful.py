@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from pd_utils_spark.utils import to_list
+from pd_utils_spark.utils import release_registered, to_list
 
 
 def _spread_batch(batch_df: DataFrame) -> DataFrame:
@@ -241,6 +241,11 @@ def streaming_greedy_band_dedup(
         survivors = _greedy_band_filter(work, idcol, bands).localCheckpoint(
             eager=True
         )  # written twice below
+        # the eager checkpoint has materialized the survivor set, so
+        # the per-pass frames _greedy_band_filter persisted are now
+        # superseded — release them here or they accumulate across
+        # micro-batches for the life of the stream
+        release_registered("greedy_band_filter")
         survivors.drop("__bks__").write.mode("append").parquet(output_dir)
         survivors.select(
             F.posexplode("__bks__").alias("band", "key")
