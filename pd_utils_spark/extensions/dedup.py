@@ -357,9 +357,19 @@ def exact_dedup_against_bloom(
     hfp = F.md5(
         (_norm(F.col(htext)) if normalize else F.col(htext)).cast("string")
     )
+    from pyspark import StorageLevel
+
     hist = history.select(hfp.alias("__fp__")).distinct()
     positives = work.filter(F.col("__might__")).select(idcol, "__fp__")
-    confirmed = positives.join(hist, "__fp__", "left_semi").select(idcol)
+    # persisted (guide §7.2): when ``df`` is a UNION, the left-anti
+    # join is pushed through it and each branch re-runs the history
+    # fingerprint distinct + verify semi-join; the id frame is tiny
+    confirmed = (
+        positives.join(hist, "__fp__", "left_semi")
+        .select(idcol)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    register_persisted("exact_dedup_against_bloom", [confirmed])
     return df.join(confirmed, idcol, "left_anti")
 
 
@@ -1017,7 +1027,15 @@ def dedup_minhash_lsh(
     sim = jaccard_pairs(df, cands, textcol, idcol, k, shingles=sh).filter(
         F.col("jaccard") >= threshold
     )
-    losers = sim.select(F.col("id_b").alias(idcol)).distinct()
+    # persisted (guide §7.2): when ``df`` is a UNION, the left-anti
+    # join is pushed through it and each branch re-runs the whole
+    # LSH-candidate + Jaccard-verify pipeline; the id frame is tiny
+    losers = (
+        sim.select(F.col("id_b").alias(idcol))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    register_persisted("dedup_minhash_lsh", [losers])
     return df.join(losers, idcol, "left_anti")
 
 
@@ -1099,17 +1117,19 @@ def minhash_history_frames(
     hsig = _minhash_sig_table(hsh, idcol, num_hashes).withColumnRenamed(
         "__mh_id__", idcol
     )
+    # band keys are a function of (k, num_hashes, bands); stamp them as
+    # column metadata (parquet-persistent) so the probe can fail fast
+    # on a mismatched configuration instead of silently matching
+    # nothing. The applied flood cap rides along so compaction can
+    # re-apply the same recall trade to buckets that grow across deltas
+    # (and so uncapped artifacts are distinguishable from capped ones).
+    meta = {"k": k, "num_hashes": num_hashes, "bands": bands}
+    if max_bucket is not None:
+        meta["max_bucket"] = int(max_bucket)
     keys = lsh_band_keys(hsig, bands=bands).select(
         F.col(idcol).alias("__hid__"),
         "band",
-        # band keys are a function of (k, num_hashes, bands); stamp
-        # them as column metadata (parquet-persistent) so the probe
-        # can fail fast on a mismatched configuration instead of
-        # silently matching nothing
-        F.col("band_key").alias(
-            "band_key",
-            metadata={"k": k, "num_hashes": num_hashes, "bands": bands},
-        ),
+        F.col("band_key").alias("band_key", metadata=meta),
     )
     if max_bucket is not None:
         keys = _cap_buckets(
@@ -1202,11 +1222,17 @@ def dedup_minhash_against_index(
             / F.size(F.array_union("__sa__", "__sb__")),
         )
     )
+    # persisted for the same reason as dedup_containment's dropped
+    # frame: a UNION batch would otherwise re-run the candidate join +
+    # Jaccard verify once per branch via the left-anti pushdown
+    # (guide §7.2)
     hits = (
         j.filter(F.col("__j__") >= threshold)
         .select(F.col("__bid__").alias(idcol))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    register_persisted("dedup_minhash_against_index", [hits])
     return df.join(hits, idcol, "left_anti")
 
 
@@ -2984,6 +3010,14 @@ def dedup_containment(
     sb = sizes.select(
         F.col("__sid__").alias("id_container"), F.col("__sz__").alias("__nb__")
     )
+    from pyspark import StorageLevel
+
+    # Persisted (r11, guide §7.2 "duplicated subtrees"): when ``df``
+    # is a UNION, Catalyst pushes the left-anti join through it
+    # (PushdownLeftSemiAntiJoin) and each branch gets its OWN copy of
+    # the join's right side — re-running the entire candidate+verify
+    # pipeline once per branch. The id frame is tiny; persisting it
+    # turns the pushed-down copies into cache reads.
     dropped = (
         pairs.join(sa, "id_contained")
         .join(sb, "id_container")
@@ -2996,7 +3030,9 @@ def dedup_containment(
         )
         .select(F.col("id_contained").alias(idcol))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    register_persisted("containment_join_prefix", [dropped])
     return df.join(dropped, idcol, "left_anti")
 
 
@@ -3075,11 +3111,27 @@ def containment_index_frames(
     )
     register_persisted("containment_index_frames", [htoks])
     dfreq = htoks.groupBy("__tok__").agg(F.count(F.lit(1)).alias("__df__"))
+    # sets is persisted too (r11, guide §1.2 "don't compute things
+    # twice"): index is DERIVED from sets, so materializing the two
+    # artifacts as separate actions — the parquet writes every caller
+    # performs — would otherwise run the collect_set aggregation over
+    # the full history token frame once per artifact
     sets = (
         htoks.groupBy("__id__")
         .agg(F.collect_set("__tok__").alias("__toks__"))
         .select(F.col("__id__").alias("__hid__"), "__toks__")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    register_persisted("containment_index_frames", [sets])
+    # token hashes are a function of k; stamp it as parquet-persistent
+    # column metadata so the probe fails fast on a mismatched shingle
+    # width (see _check_artifact_params; a generator alias drops
+    # explicit metadata, hence the re-alias on the plain attribute).
+    # The applied flood cap rides along so compaction can re-apply the
+    # same recall trade to buckets that grow across deltas.
+    meta = {"k": k}
+    if max_bucket is not None:
+        meta["max_bucket"] = int(max_bucket)
     index = sets.select(
         "__hid__",
         F.size("__toks__").alias("__dn__"),
@@ -3087,12 +3139,7 @@ def containment_index_frames(
     ).select(
         "__hid__",
         "__dn__",
-        # token hashes are a function of k; stamp it as parquet-
-        # persistent column metadata so the probe fails fast on a
-        # mismatched shingle width (see _check_artifact_params; a
-        # generator alias drops explicit metadata, hence the
-        # re-alias on the plain attribute)
-        F.col("__tok__").alias("__tok__", metadata={"k": k}),
+        F.col("__tok__").alias("__tok__", metadata=meta),
     )
     if max_bucket is not None:
         index = _cap_buckets(
@@ -3213,13 +3260,18 @@ def dedup_containment_against_index(
         "__hid__", F.col("__toks__").alias("__tb__")
     )
     inter = F.size(F.array_intersect("__ta__", "__tb__")).cast("double")
+    # persisted for the same reason as dedup_containment's dropped
+    # frame: a UNION batch would otherwise re-run the candidate join +
+    # verify once per branch via the left-anti pushdown (guide §7.2)
     dropped = (
         cand.join(left, "__bid__")
         .join(right, "__hid__")
         .filter(inter / F.size("__ta__").cast("double") >= threshold)
         .select(F.col("__bid__").alias(idcol))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    register_persisted("dedup_containment_against_index", [dropped])
     return df.join(dropped, idcol, "left_anti")
 
 

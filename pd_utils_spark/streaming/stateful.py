@@ -625,7 +625,22 @@ def _containment_state_frames(spark, history_dir: str, below: int):
     return index, sets, dfreq
 
 
-def compact_containment_state(spark, history_dir: str, prune: bool = True):
+def _stamped_max_bucket(frame: DataFrame, col: str) -> int | None:
+    """The flood cap the artifact BUILDER applied, read back from the
+    parquet-persistent column metadata the builders stamp (see
+    ``minhash_history_frames`` / ``containment_index_frames``).
+    ``None`` for uncapped or externally-built artifacts."""
+    try:
+        mb = (frame.schema[col].metadata or {}).get("max_bucket")
+        return int(mb) if mb else None
+    except Exception:  # pragma: no cover — renamed/absent column
+        return None
+
+
+def compact_containment_state(
+    spark, history_dir: str, prune: bool = True,
+    max_bucket: int | None = None,
+):
     """Fold a :func:`streaming_containment_dedup` state dir's delta
     versions into one compacted generation ``c=<top>``, so the
     per-batch state read opens O(1) directories instead of one per
@@ -652,7 +667,18 @@ def compact_containment_state(spark, history_dir: str, prune: bool = True):
     deltas at or below it, and pruning the superseded pieces is
     best-effort cosmetic cleanup — a crash at any point leaves a
     state the reader resolves identically. Returns the compacted
-    generation id, or None when there is nothing to fold."""
+    generation id, or None when there is nothing to fold.
+
+    **The build-time flood cap is RE-APPLIED to the folded index**:
+    per-delta caps bound each delta independently, so a hot ``__tok__``
+    bucket can grow to ``num_deltas x max_bucket`` across a stream's
+    lifetime — exactly the quadratic candidate fan-out the cap exists
+    to prevent. Folding is the write-once, off-the-hot-path place to
+    re-bound it (same recall trade as the build-time cap, same observe
+    metric). The cap value defaults to what the builder stamped into
+    the artifact metadata (``max_bucket=None`` here = use the stamp;
+    uncapped builds stamp nothing and fold losslessly); pass an int to
+    override."""
     idx_dir = f"{history_dir}/index"
     cs = _bloom_versions(spark, idx_dir, prefix="c=")
     c0 = max(cs) if cs else None
@@ -666,6 +692,17 @@ def compact_containment_state(spark, history_dir: str, prune: bool = True):
     index, sets, dfreq = _containment_state_frames(
         spark, history_dir, below=top + 1
     )
+    # re-bound buckets that grew past the build-time cap across deltas
+    # (see docstring); no-op for uncapped builds
+    mb = max_bucket
+    if mb is None:
+        mb = _stamped_max_bucket(index, "__tok__")
+    if mb is not None:
+        from pd_utils_spark.extensions.dedup import _cap_buckets
+
+        index = _cap_buckets(
+            index, ["__tok__"], mb, "containment_against_bucket"
+        )
     # write to the NEW c=<top> generation; index commits LAST so an
     # index-committed generation implies dfreq/sets committed
     dfreq.write.mode("overwrite").parquet(f"{history_dir}/dfreq/c={top}")
@@ -1220,7 +1257,10 @@ def _minhash_state_frames(spark, history_dir: str, below: int):
     return keys, shingles
 
 
-def compact_minhash_state(spark, history_dir: str, prune: bool = True):
+def compact_minhash_state(
+    spark, history_dir: str, prune: bool = True,
+    max_bucket: int | None = None,
+):
     """Fold a :func:`streaming_minhash_dedup` state dir's delta
     versions into one compacted ``c=<top>`` generation — the MinHash
     sibling of :func:`compact_containment_state` (same crash-safety:
@@ -1230,7 +1270,13 @@ def compact_minhash_state(spark, history_dir: str, prune: bool = True):
     replay after a crash and reads strictly below its own id, so a
     compaction covering it would leave that replay probing empty
     history). Returns the compacted generation id, or the existing
-    one when there is nothing to fold."""
+    one when there is nothing to fold.
+
+    Like its containment sibling, folding RE-APPLIES the build-time
+    flood cap to the folded ``keys`` (a hot ``(band, band_key)``
+    bucket otherwise grows to ``num_deltas x max_bucket`` over the
+    stream's lifetime); the cap defaults to the value the builder
+    stamped into the artifact metadata, pass an int to override."""
     idx_dir = f"{history_dir}/keys"
     cs = _bloom_versions(spark, idx_dir, prefix="c=")
     c0 = max(cs) if cs else None
@@ -1240,6 +1286,17 @@ def compact_minhash_state(spark, history_dir: str, prune: bool = True):
         return c0
     top = max(fold)
     keys, shingles = _minhash_state_frames(spark, history_dir, below=top + 1)
+    # re-bound band buckets that grew past the build-time cap across
+    # deltas (see docstring); no-op for uncapped builds
+    mb = max_bucket
+    if mb is None:
+        mb = _stamped_max_bucket(keys, "band_key")
+    if mb is not None:
+        from pd_utils_spark.extensions.dedup import _cap_buckets
+
+        keys = _cap_buckets(
+            keys, ["band", "band_key"], mb, "lsh_bucket_cap"
+        )
     shingles.write.mode("overwrite").parquet(
         f"{history_dir}/shingles/c={top}"
     )

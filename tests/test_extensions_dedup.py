@@ -1909,9 +1909,10 @@ class TestMinhashIndexPath:
             name: spark.read.parquet(str(tmp_path / name))
             for name in ("keys", "shingles")
         }
-        # the stamp survives the parquet round-trip
+        # the stamp survives the parquet round-trip (the default
+        # build-time flood cap rides along for compaction's recap)
         assert art["keys"].schema["band_key"].metadata == {
-            "k": 3, "num_hashes": 12, "bands": 6,
+            "k": 3, "num_hashes": 12, "bands": 6, "max_bucket": 100_000,
         }
         for bad in (
             dict(k=4, num_hashes=12, bands=6),

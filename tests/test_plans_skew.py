@@ -318,6 +318,7 @@ class TestBucketedIngestGateProbes:
             # the build-time params stamp survives bucketed saveAsTable
             assert spark.table("tb_mh_keys").schema["band_key"].metadata == {
                 "k": 3, "num_hashes": 12, "bands": 6,
+                "max_bucket": 100_000,
             }
             got = sorted(r.doc_id for r in out_b.collect())
             release_registered("dedup_minhash_against_index")

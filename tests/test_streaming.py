@@ -2115,3 +2115,120 @@ class TestStreamingContainmentDedup:
         )
         release_registered("dedup_containment_against_index")
         assert got == want
+
+
+class TestCompactionReappliesFloodCap:
+    """Per-delta flood caps bound each delta independently, so a hot
+    bucket can grow to num_deltas x max_bucket across a stream's
+    lifetime; compaction is the write-once place that re-bounds it.
+    Pins: the builders stamp the applied cap into artifact metadata
+    (parquet-persistent), the compactors re-apply it to the folded
+    frame, and uncapped builds still fold losslessly."""
+
+    def test_minhash_compaction_recaps_folded_keys(self, spark, tmp_path):
+        from pd_utils_spark.extensions.dedup import minhash_history_frames
+        from pd_utils_spark.streaming.stateful import (
+            _minhash_state_frames,
+            compact_minhash_state,
+        )
+        from pd_utils_spark.utils import release_registered
+
+        hist = str(tmp_path / "hist")
+        hot = "the quick brown fox jumps over the lazy dog today"
+        # three deltas; each delta's hot-text bucket is 3 rows <= cap 4,
+        # but the FOLD of b=0 + b=1 holds 6 — over the cap the build
+        # enforced per delta
+        for bid in (0, 1, 2):
+            frame = spark.createDataFrame(
+                [(bid * 10 + i, hot) for i in range(3)]
+                + [(bid * 10 + 5, f"wholly unique delta {bid} payload words")],
+                ["doc_id", "text"],
+            )
+            frames = minhash_history_frames(
+                frame, k=3, num_hashes=12, bands=4, max_bucket=4
+            )
+            for name in ("shingles", "keys"):
+                frames[name].write.mode("overwrite").parquet(
+                    f"{hist}/{name}/b={bid}"
+                )
+            release_registered("minhash_history_frames")
+        keys_b0 = spark.read.parquet(f"{hist}/keys/b=0")
+        # the applied cap is stamped, parquet-persistent
+        assert keys_b0.schema["band_key"].metadata["max_bucket"] == 4
+        # per-delta state respects the cap (3 <= 4, nothing dropped)
+        assert keys_b0.count() == 4 * 4  # 4 docs x 4 bands
+        assert compact_minhash_state(spark, hist) == 1  # folds b=0,b=1
+        folded = spark.read.parquet(f"{hist}/keys/c=1")
+        sizes = folded.groupBy("band", "band_key").count()
+        assert sizes.filter(F.col("count") > 4).count() == 0
+        # the 6-row hot buckets were dropped outright (cap semantics);
+        # the two unique docs' keys survive
+        assert {
+            r["__hid__"] for r in folded.select("__hid__").collect()
+        } == {5, 15}
+        # metadata survives the fold -> a later re-compaction still
+        # knows the cap
+        assert folded.schema["band_key"].metadata["max_bucket"] == 4
+
+    def test_containment_compaction_recaps_folded_index(
+        self, spark, tmp_path
+    ):
+        from pd_utils_spark.extensions.dedup import containment_index_frames
+        from pd_utils_spark.streaming.stateful import (
+            compact_containment_state,
+        )
+        from pd_utils_spark.utils import release_registered
+
+        hist = str(tmp_path / "hist")
+        # "common" appears in 2 docs per delta (<= cap 3); folded across
+        # b=0 + b=1 it holds 4 rows — over the build-time cap
+        for bid in (0, 1, 2):
+            frame = spark.createDataFrame(
+                [
+                    (bid * 10 + 1, f"common alpha{bid} beta{bid}"),
+                    (bid * 10 + 2, f"common gamma{bid} delta{bid}"),
+                ],
+                ["doc_id", "text"],
+            )
+            frames = containment_index_frames(frame, k=1, max_bucket=3)
+            for name in ("dfreq", "sets", "index"):
+                frames[name].write.mode("overwrite").parquet(
+                    f"{hist}/{name}/b={bid}"
+                )
+            release_registered("containment_index_frames")
+        idx_b0 = spark.read.parquet(f"{hist}/index/b=0")
+        assert idx_b0.schema["__tok__"].metadata["max_bucket"] == 3
+        assert idx_b0.count() == 6  # 2 docs x 3 tokens, nothing capped
+        assert compact_containment_state(spark, hist) == 1
+        folded = spark.read.parquet(f"{hist}/index/c=1")
+        sizes = folded.groupBy("__tok__").count()
+        assert sizes.filter(F.col("count") > 3).count() == 0
+        # the shared-token bucket (4 rows folded) was dropped; each
+        # doc's two unique tokens survive
+        assert folded.count() == 8
+
+    def test_uncapped_containment_build_folds_losslessly(
+        self, spark, tmp_path
+    ):
+        from pd_utils_spark.extensions.dedup import containment_index_frames
+        from pd_utils_spark.streaming.stateful import (
+            compact_containment_state,
+        )
+        from pd_utils_spark.utils import release_registered
+
+        hist = str(tmp_path / "hist")
+        for bid in (0, 1, 2):
+            frame = spark.createDataFrame(
+                [(bid * 10 + 1, "common alpha beta")], ["doc_id", "text"]
+            )
+            frames = containment_index_frames(frame, k=1)  # uncapped
+            for name in ("dfreq", "sets", "index"):
+                frames[name].write.mode("overwrite").parquet(
+                    f"{hist}/{name}/b={bid}"
+                )
+            release_registered("containment_index_frames")
+        idx_b0 = spark.read.parquet(f"{hist}/index/b=0")
+        assert "max_bucket" not in (idx_b0.schema["__tok__"].metadata or {})
+        assert compact_containment_state(spark, hist) == 1
+        # every folded row kept: 2 deltas x 1 doc x 3 tokens
+        assert spark.read.parquet(f"{hist}/index/c=1").count() == 6
