@@ -529,17 +529,37 @@ def streaming_containment_dedup(
                 survivors, textcol=textcol, idcol=idcol, k=k,
                 max_bucket=max_bucket,
             )
+            # Independent writes overlap (guide §2.6, r11): docs reads
+            # only the checkpointed survivors, so it runs concurrently
+            # with the sets write (which materializes the shared
+            # htoks+sets caches exactly once — dfreq and index then
+            # read cache). The commit-order invariants hold: index
+            # still commits LAST among the state artifacts, and the
+            # output append starts only after every state write
+            # returned (a failed write raises via .result() and fails
+            # the batch before any output row lands).
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                futs = [
+                    pool.submit(
+                        lambda: frames["sets"]
+                        .write.mode("overwrite")
+                        .parquet(f"{history_dir}/sets/b={batch_id}")
+                    ),
+                    pool.submit(
+                        lambda: survivors.select(idcol, textcol)
+                        .write.mode("overwrite")
+                        .parquet(f"{history_dir}/docs/b={batch_id}")
+                    ),
+                ]
+                for f in futs:
+                    f.result()
             frames["dfreq"].write.mode("overwrite").parquet(
                 f"{history_dir}/dfreq/b={batch_id}"
             )
-            frames["sets"].write.mode("overwrite").parquet(
-                f"{history_dir}/sets/b={batch_id}"
-            )
             frames["index"].write.mode("overwrite").parquet(
                 f"{history_dir}/index/b={batch_id}"
-            )
-            survivors.select(idcol, textcol).write.mode("overwrite").parquet(
-                f"{history_dir}/docs/b={batch_id}"
             )
             survivors.write.mode("append").parquet(output_dir)
         finally:
@@ -1218,14 +1238,32 @@ def streaming_minhash_dedup(
                 survivors, textcol=textcol, idcol=idcol, k=k,
                 num_hashes=num_hashes, bands=bands, max_bucket=max_bucket,
             )
-            frames["shingles"].write.mode("overwrite").parquet(
-                f"{history_dir}/shingles/b={batch_id}"
-            )
+            # Independent writes overlap (guide §2.6, r11) — same
+            # schedule as the containment gate: docs reads only the
+            # checkpointed survivors, so it runs concurrently with the
+            # shingles write (which materializes the shared shingle
+            # cache the keys build then reads); keys still commits
+            # LAST among the state artifacts and the output append
+            # starts only after every state write returned.
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                futs = [
+                    pool.submit(
+                        lambda: frames["shingles"]
+                        .write.mode("overwrite")
+                        .parquet(f"{history_dir}/shingles/b={batch_id}")
+                    ),
+                    pool.submit(
+                        lambda: survivors.select(idcol, textcol)
+                        .write.mode("overwrite")
+                        .parquet(f"{history_dir}/docs/b={batch_id}")
+                    ),
+                ]
+                for f in futs:
+                    f.result()
             frames["keys"].write.mode("overwrite").parquet(
                 f"{history_dir}/keys/b={batch_id}"
-            )
-            survivors.select(idcol, textcol).write.mode("overwrite").parquet(
-                f"{history_dir}/docs/b={batch_id}"
             )
             survivors.write.mode("append").parquet(output_dir)
         finally:
