@@ -1223,8 +1223,24 @@ def q_dedup_containment_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = tempfile.mkdtemp(prefix="pus_cidx_")
     try:
         frames = pus_dedup.containment_index_frames(d, k=1)
-        for name in ("index", "sets", "dfreq"):
-            frames[name].write.mode("overwrite").parquet(f"{base}/{name}")
+        # sets first (materializes the shared htoks+sets caches once),
+        # then index and dfreq overlap (guide §2.6) — both read cache,
+        # and the batch artifacts have no commit-order constraint
+        # (temp dirs, read back below before the probe)
+        from concurrent.futures import ThreadPoolExecutor
+
+        frames["sets"].write.mode("overwrite").parquet(f"{base}/sets")
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            futs = [
+                pool.submit(
+                    lambda n=n: frames[n]
+                    .write.mode("overwrite")
+                    .parquet(f"{base}/{n}")
+                )
+                for n in ("index", "dfreq")
+            ]
+            for f in futs:
+                f.result()
         release_registered("containment_index_frames")
         art = {
             n: spark.read.parquet(f"{base}/{n}")
