@@ -1017,6 +1017,30 @@ def dedup_minhash_lsh(
     it (per-job scratch; at 100 TB it spills to local disk, which is
     still far cheaper than a second tokenize+hash pass).
     """
+    result, _sh, _losers = _dedup_minhash_lsh_parts(
+        df, textcol, idcol, k, num_hashes, bands, threshold, max_bucket
+    )
+    return result
+
+
+def _dedup_minhash_lsh_parts(
+    df: DataFrame,
+    textcol: str = "text",
+    idcol: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.8,
+    max_bucket: int | None = 100_000,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """:func:`dedup_minhash_lsh` plus its PERSISTED internal frames
+    ``(survivors, shingles, losers)`` so a pipeline running several
+    MinHash stages over the same batch (the streaming gate:
+    within-batch dedup -> history probe -> artifact build) can derive
+    each stage's shingle frame from ONE tokenize pass instead of
+    re-shingling the batch text per stage (guide §1.2). ``shingles``
+    covers ALL of ``df``; ``losers`` is the dropped-id frame.
+    Persist/registry contract identical to the public form."""
     from pyspark import StorageLevel
 
     sh = shingle_sets(df, textcol, idcol, k).persist(StorageLevel.MEMORY_AND_DISK)
@@ -1036,7 +1060,7 @@ def dedup_minhash_lsh(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     register_persisted("dedup_minhash_lsh", [losers])
-    return df.join(losers, idcol, "left_anti")
+    return df.join(losers, idcol, "left_anti"), sh, losers
 
 
 def _check_artifact_params(
@@ -1076,6 +1100,7 @@ def minhash_history_frames(
     num_hashes: int = 12,
     bands: int = 4,
     max_bucket: int | None = 100_000,
+    shingles: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """Build the PRECOMPUTABLE history-side artifacts of the MinHash
     ingest gate as two frames, ready to persist and probe with
@@ -1110,9 +1135,16 @@ def minhash_history_frames(
         )
     from pyspark import StorageLevel
 
-    hsh = shingle_sets(history, textcol, idcol, k).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # ``shingles``: optional precomputed :func:`shingle_sets` frame
+    # covering exactly ``history``'s rows with the same (k,) —
+    # shingle_sets is a pure per-row function of (id, text), so a
+    # caller that already shingled a superset batch can pass the
+    # semi-joined slice and skip this builder's full tokenize pass
+    # (guide §1.2; the streaming gate builds its artifacts from the
+    # within-batch dedup's shingle frame this way).
+    if shingles is None:
+        shingles = shingle_sets(history, textcol, idcol, k)
+    hsh = shingles.persist(StorageLevel.MEMORY_AND_DISK)
     register_persisted("minhash_history_frames", [hsh])
     hsig = _minhash_sig_table(hsh, idcol, num_hashes).withColumnRenamed(
         "__mh_id__", idcol
@@ -1150,6 +1182,7 @@ def dedup_minhash_against_index(
     bands: int = 4,
     threshold: float = 0.8,
     max_bucket: int | None = 100_000,
+    batch_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Probe-side of the incremental MinHash gate: drop rows of ``df``
     whose n-gram Jaccard with any history document reaches
@@ -1182,9 +1215,13 @@ def dedup_minhash_against_index(
     )
     from pyspark import StorageLevel
 
-    bsh = shingle_sets(df, textcol, idcol, k).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # ``batch_shingles``: optional precomputed :func:`shingle_sets`
+    # frame covering exactly ``df``'s rows (same contract as
+    # minhash_history_frames(shingles=...)) — skips the probe's own
+    # batch tokenize pass when the caller already shingled the batch.
+    if batch_shingles is None:
+        batch_shingles = shingle_sets(df, textcol, idcol, k)
+    bsh = batch_shingles.persist(StorageLevel.MEMORY_AND_DISK)
     register_persisted("dedup_minhash_against_index", [bsh])
     bsig = _minhash_sig_table(bsh, idcol, num_hashes).withColumnRenamed(
         "__mh_id__", idcol
@@ -2983,7 +3020,35 @@ def dedup_containment(
     Scale shape: :func:`containment_join_prefix` (its cost profile
     and ``max_bucket`` tradeoff apply verbatim) plus one size lookup
     join and one left-anti join back to ``df``."""
-    pairs, _toks, sorted_docs = _containment_join_prefix_parts(
+    survivors, _toks, _dropped = _dedup_containment_parts(
+        df,
+        textcol=textcol,
+        idcol=idcol,
+        threshold=threshold,
+        k=k,
+        max_bucket=max_bucket,
+    )
+    return survivors
+
+
+def _dedup_containment_parts(
+    df: DataFrame,
+    textcol: str = "text",
+    idcol: str = "doc_id",
+    threshold: float = 0.9,
+    k: int = 3,
+    max_bucket: int | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """:func:`dedup_containment` plus its PERSISTED internal frames
+    ``(survivors, toks, dropped)`` so a pipeline running several
+    containment stages over the same batch (the streaming gate:
+    within-batch dedup -> history probe -> artifact build) can derive
+    each stage's token frame from ONE shingle pass instead of
+    re-tokenizing the batch text per stage (guide §1.2). ``toks`` is
+    the exploded ``(__id__, __tok__)`` frame over ALL of ``df``;
+    ``dropped`` the id frame of subsumed docs. Persist/registry
+    contract identical to the public form."""
+    pairs, toks, sorted_docs = _containment_join_prefix_parts(
         df,
         textcol=textcol,
         idcol=idcol,
@@ -3033,7 +3098,7 @@ def dedup_containment(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     register_persisted("containment_join_prefix", [dropped])
-    return df.join(dropped, idcol, "left_anti")
+    return df.join(dropped, idcol, "left_anti"), toks, dropped
 
 
 def _containment_toks(
@@ -3069,6 +3134,7 @@ def containment_index_frames(
     idcol: str = "doc_id",
     k: int = 3,
     max_bucket: int | None = None,
+    toks: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """Build the PRECOMPUTABLE history-side artifacts of the
     incremental containment gate as three frames, ready to persist
@@ -3106,9 +3172,16 @@ def containment_index_frames(
         raise ValueError(f"k must be >= 1: {k}")
     from pyspark import StorageLevel
 
-    htoks = _containment_toks(history, textcol, idcol, k).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # ``toks``: optional precomputed (__id__, __tok__) frame covering
+    # exactly ``history``'s rows with the same (k,) hashing —
+    # _containment_toks is a pure per-row function of (id, text), so a
+    # caller that already tokenized a superset batch can pass the
+    # semi-joined slice and skip this builder's full shingle pass
+    # (guide §1.2; the streaming gate builds its artifacts from the
+    # within-batch dedup's token frame this way).
+    if toks is None:
+        toks = _containment_toks(history, textcol, idcol, k)
+    htoks = toks.persist(StorageLevel.MEMORY_AND_DISK)
     register_persisted("containment_index_frames", [htoks])
     dfreq = htoks.groupBy("__tok__").agg(F.count(F.lit(1)).alias("__df__"))
     # sets is persisted too (r11, guide §1.2 "don't compute things
@@ -3158,6 +3231,7 @@ def dedup_containment_against_index(
     threshold: float = 0.9,
     k: int = 3,
     max_bucket: int | None = None,
+    toks: DataFrame | None = None,
 ) -> DataFrame:
     """Probe-side of the incremental subsumption gate: drop rows of
     ``df`` whose shingle set is ``>= threshold`` contained in any
@@ -3195,9 +3269,13 @@ def dedup_containment_against_index(
     )
     from pyspark import StorageLevel
 
-    btoks = _containment_toks(df, textcol, idcol, k).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # ``toks``: optional precomputed (__id__, __tok__) frame covering
+    # exactly ``df``'s rows (same contract as
+    # containment_index_frames(toks=...)) — skips the probe's own
+    # batch shingle pass when the caller already tokenized the batch.
+    if toks is None:
+        toks = _containment_toks(df, textcol, idcol, k)
+    btoks = toks.persist(StorageLevel.MEMORY_AND_DISK)
     register_persisted("dedup_containment_against_index", [btoks])
     sorted_batch = (
         btoks.join(dfreq, "__tok__", "left")

@@ -22,27 +22,78 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pd_utils_spark.utils import release_registered, to_list
 
 
+#: Per-task input-byte grain for spreading an under-partitioned
+#: micro-batch (r12). The gates' batch-side work is CPU-heavy text
+#: shingling measured at ~4 µs per input byte single-core (an 8.7 s
+#: single-task stage over a ~2 MB batch, profiled at sf0.1), so the
+#: grain sits far below the scan-split default (128 MB): 64 KiB of
+#: batch input per task ≈ 1 s of shingle work — big enough that
+#: per-task scheduling overhead stays negligible, small enough that a
+#: single-file micro-batch fans out. The driver's r11 scaling run
+#: showed the same batches ~2x FASTER at 8-way than at the blanket
+#: 32-way spread, which this grain reproduces (~600 KB batch -> ~10
+#: tasks). Env-parameterised for cluster tuning
+#: (SPARK_GRAFT_SPREAD_TARGET_BYTES).
+_SPREAD_TARGET_BYTES = 64 * 1024
+
+
 def _spread_batch(batch_df: DataFrame) -> DataFrame:
     """Fan an under-partitioned micro-batch across the executor cores
     before CPU-heavy gate work (r11, guide §2.5 "input skew"): a file-
-    source micro-batch arrives with one partition per file (one row
-    group = one split), so a single-file trigger runs the whole
+    source micro-batch arrives with one partition per file split, so a
+    single-file trigger under ``maxPartitionBytes`` runs the whole
     shingle/minhash/explode pipeline of the batch on ONE core —
     profiled at sf0.1 as three concurrent 14 s single-task stages
-    inside the containment gate. Repartition only when the batch has
-    fewer partitions than ``defaultParallelism``; at scale batches
-    arrive in many splits and this is a structural no-op (no exchange
-    added). Round-robin repartition is retry-safe (Spark sorts before
-    round-robin by default) and every gate result is partitioning-
-    independent by construction."""
+    inside the containment gate.
+
+    The spread is SIZE-AWARE (r12 — the r11 form repartitioned every
+    under-partitioned batch straight to ``defaultParallelism``, and the
+    driver's bench showed both big gates anti-scaling with cores: a
+    KB-scale batch paid a 32-way exchange plus 32-task stages per
+    downstream stage, pure scheduling latency). The target partition
+    count is ``ceil(estimated input bytes / target_bytes)`` capped at
+    ``defaultParallelism`` — proportional to the work, per guide §2.5
+    "spread proportional to input, not blindly to core count". The
+    estimate comes from the optimized logical plan's stats (file sizes
+    for a file-source micro-batch — no job, no collect). When the
+    estimate is unavailable or absurd (relations without stats default
+    to Long.MaxValue) the cap keeps the old conservative behavior.
+    At scale this stays a structural no-op: batches bigger than
+    ``target_bytes x defaultParallelism`` already arrive in many
+    splits and hit the ``n >= want`` early exit. Round-robin
+    repartition is retry-safe (Spark sorts before round-robin by
+    default) and every gate result is partitioning-independent by
+    construction."""
+    import math
+    import os
+
     sc = batch_df.sparkSession.sparkContext
     try:
         n = batch_df.rdd.getNumPartitions()
     except Exception:  # pragma: no cover — defensive; keep the batch
         return batch_df
     p = sc.defaultParallelism
-    if n < p:
-        return batch_df.repartition(p)
+    if n >= p:
+        return batch_df
+    try:
+        target = int(
+            os.environ.get(
+                "SPARK_GRAFT_SPREAD_TARGET_BYTES", _SPREAD_TARGET_BYTES
+            )
+        )
+        est = int(
+            str(
+                batch_df._jdf.queryExecution()
+                .optimizedPlan()
+                .stats()
+                .sizeInBytes()
+            )
+        )
+        want = min(p, max(1, math.ceil(est / max(target, 1))))
+    except Exception:  # pragma: no cover — stats unavailable: be
+        want = p  # conservative (the r11 behavior)
+    if n < want:
+        return batch_df.repartition(want)
     return batch_df
 
 
@@ -481,8 +532,8 @@ def streaming_containment_dedup(
     Returns the started ``StreamingQuery``.
     """
     from pd_utils_spark.extensions.dedup import (
+        _dedup_containment_parts,
         containment_index_frames,
-        dedup_containment,
         dedup_containment_against_index,
     )
     from pd_utils_spark.utils import release_registered
@@ -491,13 +542,26 @@ def streaming_containment_dedup(
         spark = batch_df.sparkSession
         batch_df = _spread_batch(batch_df)
         try:
-            survivors = dedup_containment(
+            # ONE shingle pass per micro-batch (r12, guide §1.2): the
+            # within-batch dedup exposes its persisted (__id__,
+            # __tok__) frame, and both the history probe and the
+            # artifact build derive their token frames from it by
+            # (anti/semi) id joins instead of re-tokenizing the batch
+            # text — _containment_toks is a pure per-row function of
+            # (id, text), so the derived slices are row-identical to
+            # what each stage would have computed itself.
+            survivors, btoks, dropped = _dedup_containment_parts(
                 batch_df,
                 textcol=textcol,
                 idcol=idcol,
                 threshold=threshold,
                 k=k,
                 max_bucket=max_bucket,
+            )
+            surv_toks = btoks.join(
+                dropped.select(F.col(idcol).alias("__id__")),
+                "__id__",
+                "left_anti",
             )
             # committed versions strictly below this batch: a retried
             # batch must not probe its own crashed half-state
@@ -519,6 +583,7 @@ def streaming_containment_dedup(
                     threshold=threshold,
                     k=k,
                     max_bucket=None,
+                    toks=surv_toks,
                 )
             survivors = survivors.localCheckpoint(eager=True)  # 5 writes
             # state BEFORE output (see docstring); index commits LAST
@@ -528,6 +593,11 @@ def streaming_containment_dedup(
             frames = containment_index_frames(
                 survivors, textcol=textcol, idcol=idcol, k=k,
                 max_bucket=max_bucket,
+                toks=surv_toks.join(
+                    survivors.select(F.col(idcol).alias("__id__")),
+                    "__id__",
+                    "left_semi",
+                ),
             )
             # Independent writes overlap (guide §2.6, r11): docs reads
             # only the checkpointed survivors, so it runs concurrently
@@ -1202,8 +1272,8 @@ def streaming_minhash_dedup(
     Returns the started ``StreamingQuery``.
     """
     from pd_utils_spark.extensions.dedup import (
+        _dedup_minhash_lsh_parts,
         dedup_minhash_against_index,
-        dedup_minhash_lsh,
         minhash_history_frames,
     )
     from pd_utils_spark.utils import release_registered
@@ -1212,10 +1282,19 @@ def streaming_minhash_dedup(
         spark = batch_df.sparkSession
         batch_df = _spread_batch(batch_df)
         try:
-            survivors = dedup_minhash_lsh(
+            # ONE tokenize pass per micro-batch (r12, guide §1.2):
+            # the within-batch dedup exposes its persisted shingle
+            # frame, and both the history probe and the artifact
+            # build derive their shingle frames from it by (anti/
+            # semi) id joins instead of re-shingling the batch text —
+            # shingle_sets is a pure per-row function of (id, text),
+            # so the derived slices are row-identical to what each
+            # stage would have computed itself.
+            survivors, bsh, losers = _dedup_minhash_lsh_parts(
                 batch_df, textcol, idcol, k, num_hashes, bands, threshold,
                 max_bucket,
             )
+            surv_sh = bsh.join(losers, idcol, "left_anti")
             state = _minhash_state_frames(spark, history_dir, below=batch_id)
             if state is not None:
                 keys, shingles = state
@@ -1230,6 +1309,7 @@ def streaming_minhash_dedup(
                     bands=bands,
                     threshold=threshold,
                     max_bucket=max_bucket,
+                    batch_shingles=surv_sh,
                 )
             survivors = survivors.localCheckpoint(eager=True)  # 4 writes
             # band-bucket flood cap applied per delta at build time
@@ -1237,6 +1317,9 @@ def streaming_minhash_dedup(
             frames = minhash_history_frames(
                 survivors, textcol=textcol, idcol=idcol, k=k,
                 num_hashes=num_hashes, bands=bands, max_bucket=max_bucket,
+                shingles=surv_sh.join(
+                    survivors.select(idcol), idcol, "left_semi"
+                ),
             )
             # Independent writes overlap (guide §2.6, r11) — same
             # schedule as the containment gate: docs reads only the
