@@ -1223,21 +1223,24 @@ def q_dedup_containment_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = tempfile.mkdtemp(prefix="pus_cidx_")
     try:
         frames = pus_dedup.containment_index_frames(d, k=1)
-        # sets first (materializes the shared htoks+sets caches once),
-        # then index and dfreq overlap (guide §2.6) — both read cache,
-        # and the batch artifacts have no commit-order constraint
-        # (temp dirs, read back below before the probe)
+        # all three artifact writes overlap (guide §2.6; r12 widens the
+        # r11 sets-then-{index,dfreq} schedule to ONE wave): the batch
+        # artifacts have no commit-order constraint (temp dirs, read
+        # back below before the probe), and concurrent materialization
+        # of the shared htoks/sets caches is computed once under the
+        # BlockManager's block locks. inheritable_thread_target keeps
+        # job-group/cancellation semantics on the pool threads.
         from concurrent.futures import ThreadPoolExecutor
 
-        frames["sets"].write.mode("overwrite").parquet(f"{base}/sets")
-        with ThreadPoolExecutor(max_workers=2) as pool:
+        from pyspark import inheritable_thread_target
+
+        def _write(n):
+            frames[n].write.mode("overwrite").parquet(f"{base}/{n}")
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
             futs = [
-                pool.submit(
-                    lambda n=n: frames[n]
-                    .write.mode("overwrite")
-                    .parquet(f"{base}/{n}")
-                )
-                for n in ("index", "dfreq")
+                pool.submit(inheritable_thread_target(lambda n=n: _write(n)))
+                for n in ("sets", "index", "dfreq")
             ]
             for f in futs:
                 f.result()
@@ -1311,7 +1314,14 @@ def q_candidate_recall_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity), which is exactly why it must be measured, not
     assumed. Oracle replays both generators and the canonical
     semi-join."""
-    u = _docs_with_copies(spark, sf_dir).filter(F.col("doc_id") % 2 == 0)
+    # the corpus frame is consumed three times (simhash's vote and
+    # join-back subtrees + the truth join's shingle pass), each ref
+    # otherwise re-running the scan+union+repartition (r12, §1.2)
+    u = (
+        _docs_with_copies(spark, sf_dir)
+        .filter(F.col("doc_id") % 2 == 0)
+        .persist()
+    )
     cand = pus_dedup.simhash_near_dup_pairs(u, bits=48, max_hamming=3)
     truth = pus_dedup.jaccard_join_prefix(u, threshold=0.5)
     out = pus_dedup.candidate_recall(cand, truth)
@@ -1435,7 +1445,16 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-ordered sample, so the counts are reproducible across
     partitionings."""
     emb = _t(spark, sf_dir, "embeddings")
-    nrm = emb.select(
+    # spread before the normalize map (r12, guide §2.5 "input skew"):
+    # the embeddings parquet is ONE file -> one partition, so the
+    # whole normalize/encode/ADC pipeline otherwise maps on one core
+    # (profiled: a 3.3 s single-task encode stage). Every consumer is
+    # partitioning-independent — pq_fit samples by a hash ORDER,
+    # cosine/ADC scores are per-row expressions, and the oracle pins
+    # the hit counts literally.
+    nrm = emb.repartition(
+        spark.sparkContext.defaultParallelism
+    ).select(
         "vec_id",
         F.transform(
             "embedding", lambda x: x / pus_sim.norm(F.col("embedding"))
@@ -1445,11 +1464,28 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb = pus_sim.pq_fit(nrm, m=16, ncodes=32, sample=1024)
     enc = pus_sim.pq_encode(nrm, cb)
     cbdf = pus_sim.pq_codebook_table(cb, spark)
+    from pyspark.sql import Window as _W
+
     q = nrm.filter(F.col("vec_id") < 5)
     k = 10
-    truth = pus_sim.brute_force_topk(nrm, q, k=k)
-    adc10 = pus_sim.pq_adc_topk(enc, cbdf, q, k=k)
-    cand = pus_sim.pq_adc_topk(enc, cbdf, q, k=100)
+    # truth feeds BOTH hit joins below; un-materialized, the full
+    # brute-force scoring subtree would execute once per reference
+    # (r12, guide §1.2 "don't compute things twice")
+    truth = pus_sim.brute_force_topk(nrm, q, k=k).persist()
+    # ONE ADC probe (r12, guide §1.2): the k=10 and k=100 probes ran
+    # the whole encode+explode+LUT-join+sum pipeline twice; the top-10
+    # per query of the materialized top-100 IS the k=10 result (same
+    # deterministic total order: adc_dot desc, vec_id — row_number
+    # over a superset prefix returns the identical prefix).
+    cand = pus_sim.pq_adc_topk(enc, cbdf, q, k=100).persist()
+    w10 = _W.partitionBy("query_id").orderBy(
+        F.desc("adc_dot"), F.col("vec_id")
+    )
+    adc10 = (
+        cand.withColumn("__rk__", F.row_number().over(w10))
+        .filter(F.col("__rk__") <= k)
+        .drop("__rk__")
+    )
     # exact rerank of the ADC candidate set only
     rer = (
         cand.join(nrm.select(F.col("vec_id"), F.col("embedding").alias("__cv__")), "vec_id")
@@ -6726,32 +6762,36 @@ def q_kmv_containment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     register_persisted("kmv_containment_audit", [sh])
     K = 16
-    sks = sh.select("doc_id", pus_sk.bottomk_array("t", K).alias("sk"))
-    a = sks.filter(F.col("doc_id") < 100000).select(
-        "doc_id", F.col("sk").alias("ska")
-    )
-    b = sks.filter(F.col("doc_id") >= 100000).select(
-        (F.col("doc_id") - 100000).alias("doc_id"),
-        F.col("sk").alias("skb"),
-    )
-    est = pus_sk.kmv_pair_ops(a.join(b, "doc_id"), "ska", "skb", k=K).select(
-        "doc_id", "containment_est"
-    )
-    ta = sh.filter(F.col("doc_id") < 100000).select(
-        "doc_id", F.col("t").alias("ta")
-    )
-    tb = sh.filter(F.col("doc_id") >= 100000).select(
-        (F.col("doc_id") - 100000).alias("doc_id"), F.col("t").alias("tb")
-    )
-    exact = ta.join(tb, "doc_id").select(
+    # ONE original-vs-variant pair join (r12, guide §2.4 "remove
+    # shuffles outright"): the estimate side (k=16 sketches) and the
+    # exact side (full token arrays) previously met in two separate
+    # doc_id joins whose results were joined AGAIN — three exchanges
+    # hauling the same pair set. Both sides ride one join now: each
+    # row carries (tokens, sketch) per doc, the estimator and the
+    # exact |A∩B|/|A| are computed on the joined row, and the pair
+    # set is unchanged (same filters, same equi-key, inner joins over
+    # identical row sets), so the per-class aggregates are identical.
+    a = sh.filter(F.col("doc_id") < 100000).select(
         "doc_id",
-        (
-            F.size(F.array_intersect("ta", "tb")).cast("double")
-            / F.size("ta").cast("double")
-        ).alias("c_exact"),
+        F.col("t").alias("ta"),
+        pus_sk.bottomk_array("t", K).alias("ska"),
     )
-    j = est.join(exact, "doc_id").withColumn(
-        "cls", (F.col("doc_id") % 3).cast("bigint")
+    b = sh.filter(F.col("doc_id") >= 100000).select(
+        (F.col("doc_id") - 100000).alias("doc_id"),
+        F.col("t").alias("tb"),
+        pus_sk.bottomk_array("t", K).alias("skb"),
+    )
+    j = (
+        pus_sk.kmv_pair_ops(a.join(b, "doc_id"), "ska", "skb", k=K)
+        .select(
+            "doc_id",
+            "containment_est",
+            (
+                F.size(F.array_intersect("ta", "tb")).cast("double")
+                / F.size("ta").cast("double")
+            ).alias("c_exact"),
+        )
+        .withColumn("cls", (F.col("doc_id") % 3).cast("bigint"))
     )
     return (
         j.groupBy("cls")

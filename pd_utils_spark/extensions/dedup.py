@@ -822,7 +822,11 @@ _CAP_COUNT = [0]
 
 
 def _cap_buckets(
-    frame: DataFrame, key_cols: list[str], max_bucket: int, metric: str
+    frame: DataFrame,
+    key_cols: list[str],
+    max_bucket: int,
+    metric: str,
+    spread: bool = True,
 ) -> DataFrame:
     """Drop rows in (key_cols) buckets larger than ``max_bucket`` —
     the flood guard shared by the whole LSH family. Emits an
@@ -841,15 +845,33 @@ def _cap_buckets(
     cap window reuses its partitioning, and the downstream equi-join
     on the same keys reuses it again — same exchange count, full
     parallelism. The count comes from ``spark.sql.shuffle.partitions``
-    (cluster-sized in deployment), not a local constant."""
+    (cluster-sized in deployment), not a local constant.
+
+    ``spread=False`` skips the pin and lets the window's own
+    AQE-coalescible exchange establish the partitioning (r12): the pin
+    exists for the band/linkage key tables, whose tiny-byte buckets
+    explode quadratically in the downstream self-join — profiled
+    collapsing to ONE task under byte-derived coalescing. A caller
+    whose capped frame is corpus-sized in BYTES (winnowing
+    fingerprints: one row per doc-fingerprint, bytes proportional to
+    the join work) gets correct parallelism from AQE already, and the
+    r11 driver bench measured the unconditional pin costing that
+    caller ~10% for nothing."""
     from pyspark.sql import Window
 
-    spark = frame.sparkSession
-    try:
-        nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    except Exception:  # pragma: no cover — conf always present in practice
-        nparts = spark.sparkContext.defaultParallelism
-    frame = frame.repartition(nparts, *key_cols)
+    # 0 (or negative) would silently drop EVERY bucket — an explicit
+    # None is the only "uncapped" spelling (ADVICE r11: a stamped-0
+    # artifact or a max_bucket=0 override must fail loudly, not wipe
+    # the folded index)
+    if max_bucket <= 0:
+        raise ValueError(f"max_bucket must be >= 1: {max_bucket}")
+    if spread:
+        spark = frame.sparkSession
+        try:
+            nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except Exception:  # pragma: no cover — conf present in practice
+            nparts = spark.sparkContext.defaultParallelism
+        frame = frame.repartition(nparts, *key_cols)
     _CAP_COUNT[0] += 1
     w = Window.partitionBy(*key_cols)
     counted = frame.withColumn("__n__", F.count("*").over(w)).observe(
@@ -2287,7 +2309,11 @@ def winnow_containment_pairs(
         .distinct()
     )
     if max_bucket is not None:
-        ex = _cap_buckets(ex, ["__fp__"], max_bucket, "winnow_cap")
+        # spread=False: this frame is corpus-sized in bytes (one row
+        # per doc-fingerprint), so AQE sizes the cap window's exchange
+        # correctly — the r11 unconditional pin cost this operator
+        # ~10% at the driver with no one-task collapse to prevent
+        ex = _cap_buckets(ex, ["__fp__"], max_bucket, "winnow_cap", spread=False)
     # per-doc counts come from the CAPPED frame so numerator and
     # denominator are consistent: a boilerplate-heavy contained doc
     # can still reach containment = 1.0 on its surviving fingerprints

@@ -527,7 +527,11 @@ def streaming_containment_dedup(
     write, ``index`` commits LAST, so an index-committed version
     implies its ``dfreq``/``sets`` committed too (readers enumerate
     versions from ``index``). ``max_bucket`` trades exact recall for
-    flood protection on the history index (observe metric).
+    flood protection on the history index (observe metric). One
+    qualifier: a RECAPPING compaction run between the crash and the
+    restart can shrink what the replayed batch probes, making the
+    replay at-least-once on admissions — see
+    :func:`compact_containment_state`'s replay caveat.
 
     Returns the started ``StreamingQuery``.
     """
@@ -599,35 +603,46 @@ def streaming_containment_dedup(
                     "left_semi",
                 ),
             )
-            # Independent writes overlap (guide §2.6, r11): docs reads
-            # only the checkpointed survivors, so it runs concurrently
-            # with the sets write (which materializes the shared
-            # htoks+sets caches exactly once — dfreq and index then
-            # read cache). The commit-order invariants hold: index
-            # still commits LAST among the state artifacts, and the
-            # output append starts only after every state write
-            # returned (a failed write raises via .result() and fails
-            # the batch before any output row lands).
+            # Independent writes overlap (guide §2.6; widened r11 -> r12
+            # from 2 to 3 concurrent artifacts): docs reads only the
+            # checkpointed survivors, dfreq only the shared htoks
+            # cache, and the sets write materializes the htoks+sets
+            # caches — all three are commit-order-independent, so one
+            # wave replaces three serialized job round-trips
+            # (concurrent materialization of a shared cached block is
+            # safe: the BlockManager computes it once under the block
+            # lock). The commit-order invariants hold: index still
+            # commits LAST among the state artifacts, and the output
+            # append starts only after every state write returned (a
+            # failed write raises via .result() and fails the batch
+            # before any output row lands). Callables are wrapped with
+            # inheritable_thread_target so the batch's JVM local
+            # properties (job group/description, scheduler pool)
+            # propagate to the pool threads — query.stop()/job-group
+            # cancellation reaches the in-flight writes and the
+            # pinned-thread JVM side is cleaned up deterministically.
             from concurrent.futures import ThreadPoolExecutor
 
-            with ThreadPoolExecutor(max_workers=2) as pool:
+            from pyspark import inheritable_thread_target
+
+            writes = [
+                lambda: frames["sets"]
+                .write.mode("overwrite")
+                .parquet(f"{history_dir}/sets/b={batch_id}"),
+                lambda: survivors.select(idcol, textcol)
+                .write.mode("overwrite")
+                .parquet(f"{history_dir}/docs/b={batch_id}"),
+                lambda: frames["dfreq"]
+                .write.mode("overwrite")
+                .parquet(f"{history_dir}/dfreq/b={batch_id}"),
+            ]
+            with ThreadPoolExecutor(max_workers=3) as pool:
                 futs = [
-                    pool.submit(
-                        lambda: frames["sets"]
-                        .write.mode("overwrite")
-                        .parquet(f"{history_dir}/sets/b={batch_id}")
-                    ),
-                    pool.submit(
-                        lambda: survivors.select(idcol, textcol)
-                        .write.mode("overwrite")
-                        .parquet(f"{history_dir}/docs/b={batch_id}")
-                    ),
+                    pool.submit(inheritable_thread_target(w))
+                    for w in writes
                 ]
                 for f in futs:
                     f.result()
-            frames["dfreq"].write.mode("overwrite").parquet(
-                f"{history_dir}/dfreq/b={batch_id}"
-            )
             frames["index"].write.mode("overwrite").parquet(
                 f"{history_dir}/index/b={batch_id}"
             )
@@ -722,14 +737,47 @@ def _stamped_max_bucket(frame: DataFrame, col: str) -> int | None:
     ``None`` for uncapped or externally-built artifacts."""
     try:
         mb = (frame.schema[col].metadata or {}).get("max_bucket")
-        return int(mb) if mb else None
+        return int(mb) if mb is not None else None
     except Exception:  # pragma: no cover — renamed/absent column
         return None
 
 
+def _stamped_max_bucket_pieces(
+    spark, piece_dirs: list[str], col: str
+) -> int | None:
+    """Resolve the build-time flood cap across a FOLD's state pieces
+    by reading each piece's own parquet footer (ADVICE r11: a merged
+    multi-path read surfaces whichever piece's schema Spark samples,
+    so a stream restarted with a different ``max_bucket`` across
+    deltas would be recapped — or not — non-deterministically).
+    Explicit policy: the MINIMUM stamp across stamped pieces (the
+    tightest flood bound any delta was built under — recapping is a
+    protective bound, so the conservative merge is the smallest cap);
+    ``None`` when NO piece is stamped (a fully-uncapped build folds
+    losslessly). Pieces written uncapped alongside capped ones still
+    fold under the capped pieces' minimum — the fold's job is
+    re-bounding cross-delta growth, which an uncapped delta does not
+    exempt its neighbors from."""
+    stamps = []
+    for d in piece_dirs:
+        mb = _stamped_max_bucket(spark.read.parquet(d), col)
+        if mb is not None:
+            stamps.append(mb)
+    return min(stamps) if stamps else None
+
+
+def _validate_recap(max_bucket) -> None:
+    """Fail loudly on cap values that would wipe the folded state
+    (``_cap_buckets`` drops EVERY bucket at <= 0); ``None`` means
+    "use the stamped build-time cap" and ``recap=False`` on the
+    compactors is the explicit no-recap override."""
+    if max_bucket is not None and int(max_bucket) <= 0:
+        raise ValueError(f"max_bucket must be >= 1: {max_bucket}")
+
+
 def compact_containment_state(
     spark, history_dir: str, prune: bool = True,
-    max_bucket: int | None = None,
+    max_bucket: int | None = None, recap: bool = True,
 ):
     """Fold a :func:`streaming_containment_dedup` state dir's delta
     versions into one compacted generation ``c=<top>``, so the
@@ -767,8 +815,26 @@ def compact_containment_state(
     re-bound it (same recall trade as the build-time cap, same observe
     metric). The cap value defaults to what the builder stamped into
     the artifact metadata (``max_bucket=None`` here = use the stamp;
-    uncapped builds stamp nothing and fold losslessly); pass an int to
-    override."""
+    uncapped builds stamp nothing and fold losslessly); pass an int
+    (>= 1 — 0 raises instead of silently wiping the index) to
+    override, or ``recap=False`` to fold a capped build losslessly.
+    Stamps are read PER PIECE (not from the merged read's sampled
+    footer) and merged as the minimum across stamped pieces — see
+    :func:`_stamped_max_bucket_pieces` for the policy.
+
+    Replay caveat (ADVICE r11): recapping weakens the gates' replay
+    invariant from "a retried batch re-derives identical survivors"
+    to AT-LEAST-ONCE on admissions — a crash -> compact -> restart
+    sequence can have the replayed newest batch probe a smaller
+    (recapped) history than its original run and admit docs the
+    original dropped (never the reverse: compaction only removes
+    index rows, and removing index rows only removes drop reasons).
+    The newest delta is never folded, which keeps the replayed
+    batch's own state visible; the recap of OLDER deltas is what it
+    may see differently. Run compaction only after the newest delta's
+    batch is confirmed committed in the streaming checkpoint when
+    exact replay identity matters, or pass ``recap=False``."""
+    _validate_recap(max_bucket)
     idx_dir = f"{history_dir}/index"
     cs = _bloom_versions(spark, idx_dir, prefix="c=")
     c0 = max(cs) if cs else None
@@ -783,11 +849,16 @@ def compact_containment_state(
         spark, history_dir, below=top + 1
     )
     # re-bound buckets that grew past the build-time cap across deltas
-    # (see docstring); no-op for uncapped builds
+    # (see docstring); no-op for uncapped builds or recap=False
     mb = max_bucket
-    if mb is None:
-        mb = _stamped_max_bucket(index, "__tok__")
-    if mb is not None:
+    if mb is None and recap:
+        pieces = _versioned_state_pieces(
+            spark, history_dir, "index", below=top + 1
+        )
+        mb = _stamped_max_bucket_pieces(
+            spark, [f"{history_dir}/index/{p}" for p in pieces], "__tok__"
+        )
+    if mb is not None and recap:
         from pd_utils_spark.extensions.dedup import _cap_buckets
 
         index = _cap_buckets(
@@ -1327,21 +1398,26 @@ def streaming_minhash_dedup(
             # shingles write (which materializes the shared shingle
             # cache the keys build then reads); keys still commits
             # LAST among the state artifacts and the output append
-            # starts only after every state write returned.
+            # starts only after every state write returned. Callables
+            # are wrapped with inheritable_thread_target (r12) so job-
+            # group cancellation reaches the in-flight writes and the
+            # pinned-thread JVM side is cleaned up deterministically.
             from concurrent.futures import ThreadPoolExecutor
 
+            from pyspark import inheritable_thread_target
+
+            writes = [
+                lambda: frames["shingles"]
+                .write.mode("overwrite")
+                .parquet(f"{history_dir}/shingles/b={batch_id}"),
+                lambda: survivors.select(idcol, textcol)
+                .write.mode("overwrite")
+                .parquet(f"{history_dir}/docs/b={batch_id}"),
+            ]
             with ThreadPoolExecutor(max_workers=2) as pool:
                 futs = [
-                    pool.submit(
-                        lambda: frames["shingles"]
-                        .write.mode("overwrite")
-                        .parquet(f"{history_dir}/shingles/b={batch_id}")
-                    ),
-                    pool.submit(
-                        lambda: survivors.select(idcol, textcol)
-                        .write.mode("overwrite")
-                        .parquet(f"{history_dir}/docs/b={batch_id}")
-                    ),
+                    pool.submit(inheritable_thread_target(w))
+                    for w in writes
                 ]
                 for f in futs:
                     f.result()
@@ -1380,7 +1456,7 @@ def _minhash_state_frames(spark, history_dir: str, below: int):
 
 def compact_minhash_state(
     spark, history_dir: str, prune: bool = True,
-    max_bucket: int | None = None,
+    max_bucket: int | None = None, recap: bool = True,
 ):
     """Fold a :func:`streaming_minhash_dedup` state dir's delta
     versions into one compacted ``c=<top>`` generation — the MinHash
@@ -1397,7 +1473,14 @@ def compact_minhash_state(
     flood cap to the folded ``keys`` (a hot ``(band, band_key)``
     bucket otherwise grows to ``num_deltas x max_bucket`` over the
     stream's lifetime); the cap defaults to the value the builder
-    stamped into the artifact metadata, pass an int to override."""
+    stamped into the artifact metadata (read PER PIECE, merged as the
+    minimum across stamped pieces — see
+    :func:`_stamped_max_bucket_pieces`), pass an int (>= 1; 0 raises)
+    to override or ``recap=False`` to fold losslessly. The replay
+    caveat documented on :func:`compact_containment_state` applies
+    verbatim: recapping makes post-compaction replays at-least-once
+    on admissions."""
+    _validate_recap(max_bucket)
     idx_dir = f"{history_dir}/keys"
     cs = _bloom_versions(spark, idx_dir, prefix="c=")
     c0 = max(cs) if cs else None
@@ -1408,11 +1491,16 @@ def compact_minhash_state(
     top = max(fold)
     keys, shingles = _minhash_state_frames(spark, history_dir, below=top + 1)
     # re-bound band buckets that grew past the build-time cap across
-    # deltas (see docstring); no-op for uncapped builds
+    # deltas (see docstring); no-op for uncapped builds or recap=False
     mb = max_bucket
-    if mb is None:
-        mb = _stamped_max_bucket(keys, "band_key")
-    if mb is not None:
+    if mb is None and recap:
+        pieces = _versioned_state_pieces(
+            spark, history_dir, "keys", below=top + 1
+        )
+        mb = _stamped_max_bucket_pieces(
+            spark, [f"{history_dir}/keys/{p}" for p in pieces], "band_key"
+        )
+    if mb is not None and recap:
         from pd_utils_spark.extensions.dedup import _cap_buckets
 
         keys = _cap_buckets(

@@ -2286,3 +2286,86 @@ class TestSpreadBatchSizeAware:
         )
         out = _spread_batch(df)
         assert out.rdd.getNumPartitions() == 2
+
+
+class TestRecapValidationAndPolicy:
+    """r12 (ADVICE r11): cap values that would wipe the folded state
+    fail loudly, recap=False is the explicit lossless override for a
+    capped build, and the fold's stamp is resolved PER PIECE (minimum
+    across stamped pieces) instead of trusting whichever footer a
+    merged multi-path read happens to sample."""
+
+    def _write_minhash_deltas(self, spark, hist, caps):
+        from pd_utils_spark.extensions.dedup import minhash_history_frames
+        from pd_utils_spark.utils import release_registered
+
+        hot = "the quick brown fox jumps over the lazy dog today"
+        for bid, cap in enumerate(caps):
+            frame = spark.createDataFrame(
+                [(bid * 10 + i, hot) for i in range(3)],
+                ["doc_id", "text"],
+            )
+            frames = minhash_history_frames(
+                frame, k=3, num_hashes=12, bands=4, max_bucket=cap
+            )
+            for name in ("shingles", "keys"):
+                frames[name].write.mode("overwrite").parquet(
+                    f"{hist}/{name}/b={bid}"
+                )
+            release_registered("minhash_history_frames")
+
+    def test_zero_cap_raises_everywhere(self, spark, tmp_path):
+        from pd_utils_spark.extensions.dedup import _cap_buckets
+        from pd_utils_spark.streaming.stateful import (
+            compact_containment_state,
+            compact_minhash_state,
+        )
+
+        df = spark.createDataFrame([(1, 2)], ["a", "b"])
+        with pytest.raises(ValueError, match="max_bucket"):
+            _cap_buckets(df, ["a"], 0, "m")
+        with pytest.raises(ValueError, match="max_bucket"):
+            compact_minhash_state(spark, str(tmp_path / "x"), max_bucket=0)
+        with pytest.raises(ValueError, match="max_bucket"):
+            compact_containment_state(
+                spark, str(tmp_path / "y"), max_bucket=-1
+            )
+
+    def test_recap_false_folds_capped_build_losslessly(
+        self, spark, tmp_path
+    ):
+        from pd_utils_spark.streaming.stateful import compact_minhash_state
+
+        hist = str(tmp_path / "hist")
+        # per-delta cap 4; the fold of b=0 + b=1 has 6-row buckets
+        self._write_minhash_deltas(spark, hist, caps=(4, 4, 4))
+        assert compact_minhash_state(spark, hist, recap=False) == 1
+        folded = spark.read.parquet(f"{hist}/keys/c=1")
+        # every folded row kept: 2 deltas x 3 docs x 4 bands
+        assert folded.count() == 2 * 3 * 4
+        sizes = folded.groupBy("band", "band_key").count()
+        assert sizes.filter(F.col("count") > 4).count() > 0  # over-cap kept
+
+    def test_mixed_stamps_take_minimum_per_piece(self, spark, tmp_path):
+        from pd_utils_spark.streaming.stateful import (
+            _stamped_max_bucket_pieces,
+            compact_minhash_state,
+        )
+
+        hist = str(tmp_path / "hist")
+        # deltas built under DIFFERENT caps (a restarted stream with a
+        # changed max_bucket); b=2 stays unfolded (newest delta)
+        self._write_minhash_deltas(spark, hist, caps=(9, 5, 7))
+        assert (
+            _stamped_max_bucket_pieces(
+                spark, [f"{hist}/keys/b=0", f"{hist}/keys/b=1"], "band_key"
+            )
+            == 5
+        )
+        assert compact_minhash_state(spark, hist) == 1
+        folded = spark.read.parquet(f"{hist}/keys/c=1")
+        sizes = folded.groupBy("band", "band_key").count()
+        # the fold's 6-row hot buckets exceed the MIN stamp (5) and are
+        # dropped — deterministic policy, not footer-sampling luck
+        assert sizes.filter(F.col("count") > 5).count() == 0
+        assert folded.count() == 0  # every bucket was hot here
