@@ -1239,7 +1239,7 @@ def q_dedup_containment_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         with ThreadPoolExecutor(max_workers=3) as pool:
             futs = [
-                pool.submit(inheritable_thread_target(lambda n=n: _write(n)))
+                pool.submit(inheritable_thread_target(spark)(lambda n=n: _write(n)))
                 for n in ("sets", "index", "dfreq")
             ]
             for f in futs:

@@ -638,7 +638,7 @@ def streaming_containment_dedup(
             ]
             with ThreadPoolExecutor(max_workers=3) as pool:
                 futs = [
-                    pool.submit(inheritable_thread_target(w))
+                    pool.submit(inheritable_thread_target(spark)(w))
                     for w in writes
                 ]
                 for f in futs:
@@ -1416,7 +1416,7 @@ def streaming_minhash_dedup(
             ]
             with ThreadPoolExecutor(max_workers=2) as pool:
                 futs = [
-                    pool.submit(inheritable_thread_target(w))
+                    pool.submit(inheritable_thread_target(spark)(w))
                     for w in writes
                 ]
                 for f in futs:
